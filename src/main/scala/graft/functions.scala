@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.util.IntervalUtils
+import org.apache.spark.sql.types.CalendarIntervalType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.expressions._
+
+/** Column-API surface of the engine — the Spark-side equivalent of the
+  * reference's SQL functions (`sql/time_bucket.sql`, `sql/bookend.sql`,
+  * `sql/histogram.sql`, `sql/gapfill.sql`, `sql/uuidv7.sql`).
+  */
+object functions {
+
+  private def col(e: Expression): Column = GraftShims.toColumn(e)
+  private def ex(c: Column): Expression = GraftShims.toExpression(c)
+
+  /** Parse a PostgreSQL-style interval string ("1 hour", "3 months") into a
+    * CalendarInterval literal column.
+    */
+  def interval(s: String): Column =
+    col(Literal(IntervalUtils.stringToInterval(UTF8String.fromString(s)), CalendarIntervalType))
+
+  // ---------------------------------------------------------------- buckets
+
+  def time_bucket(width: Column, ts: Column): Column =
+    col(TimeBucket(ex(width), ex(ts), None))
+
+  def time_bucket(width: String, ts: Column): Column =
+    time_bucket(interval(width), ts)
+
+  /** Third argument: origin (timestamp/date) or offset (interval / integer). */
+  def time_bucket(width: Column, ts: Column, originOrOffset: Column): Column =
+    col(TimeBucket(ex(width), ex(ts), Some(ex(originOrOffset))))
+
+  def time_bucket(width: String, ts: Column, originOrOffset: Column): Column =
+    time_bucket(interval(width), ts, originOrOffset)
+
+  /** `time_bucket(width, ts, timezone)` — buckets in local wall-clock time of
+    * `tz`, returns the bucket start as a UTC timestamp (reference
+    * `src/time_bucket.c:335+`).
+    */
+  def time_bucket_tz(width: String, ts: Column, tz: String): Column =
+    F.to_utc_timestamp(time_bucket(width, F.from_utc_timestamp(ts, tz)), tz)
+
+  // --------------------------------------------------------------- bookends
+
+  /** Value of `value` at the smallest `time` in the group
+    * (reference `src/agg_bookend.c:29-33`). Rows with null `time` ignored.
+    */
+  def first(value: Column, time: Column): Column = F.min_by(value, time)
+
+  /** Value of `value` at the largest `time` in the group. */
+  def last(value: Column, time: Column): Column = F.max_by(value, time)
+
+  // -------------------------------------------------------------- histogram
+
+  /** Bucket index for a fixed-width histogram: 0 = underflow, 1..nbuckets =
+    * interior, nbuckets+1 = overflow — the reference's bucketing rule
+    * (`src/histogram.c:49+`, same as width_bucket).
+    */
+  def histogram_bucket(value: Column, min: Double, max: Double, nbuckets: Int): Column =
+    F.width_bucket(value, F.lit(min), F.lit(max), F.lit(nbuckets))
+
+  /** Aggregate: histogram array of length nbuckets+2 with under/overflow at
+    * the ends (reference `sql/histogram.sql:5-28`).
+    */
+  def histogram(value: Column, min: Double, max: Double, nbuckets: Int): Column = {
+    val idx = histogram_bucket(value, min, max, nbuckets)
+    F.array((0 to nbuckets + 1).map(i =>
+      F.sum(F.when(idx === i, 1L).otherwise(0L))): _*)
+  }
+}

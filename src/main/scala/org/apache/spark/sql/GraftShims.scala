@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge between graft's Catalyst expressions and the public Column API.
+  * Spark 4 moved Column↔Expression conversion behind `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`); this shim re-exports
+  * the two conversions the library needs.
+  */
+object GraftShims {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

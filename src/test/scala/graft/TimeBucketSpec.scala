@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{functions => gf}
+
+class TimeBucketSpec extends AnyFunSuite {
+  lazy val spark = Graft.session("time-bucket-spec", "local[4]", 4)
+  import spark.implicits._
+
+  private def tsOf(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def bucket(width: String, ts: String): Timestamp =
+    Seq(tsOf(ts)).toDF("ts")
+      .select(gf.time_bucket(width, $"ts").as("b")).as[Timestamp].head()
+
+  test("hour bucket floors to hour") {
+    assert(bucket("1 hour", "2020-01-01 00:34:56") === tsOf("2020-01-01 00:00:00"))
+  }
+
+  test("15 minute bucket") {
+    assert(bucket("15 minutes", "2020-01-01 00:34:56") === tsOf("2020-01-01 00:30:00"))
+  }
+
+  test("7 day buckets align to Monday 2000-01-03 origin") {
+    // 2020-01-01 is a Wednesday; enclosing Monday is 2019-12-30
+    assert(bucket("7 days", "2020-01-01 10:00:00") === tsOf("2019-12-30 00:00:00"))
+  }
+
+  test("timestamps before the origin floor correctly (negative delta)") {
+    assert(bucket("7 days", "1999-12-31 00:00:00") === tsOf("1999-12-27 00:00:00"))
+    assert(bucket("1 day", "1969-07-20 20:17:40") === tsOf("1969-07-20 00:00:00"))
+  }
+
+  test("month bucket uses 2000-01-01 origin") {
+    assert(bucket("1 month", "2020-02-15 12:00:00") === tsOf("2020-02-01 00:00:00"))
+    assert(bucket("3 months", "2020-02-15 12:00:00") === tsOf("2020-01-01 00:00:00"))
+    assert(bucket("1 year", "1997-06-01 00:00:00") === tsOf("1997-01-01 00:00:00"))
+  }
+
+  test("custom origin") {
+    val got = Seq(tsOf("2020-01-01 10:00:00")).toDF("ts")
+      .select(gf.time_bucket("7 days", $"ts", lit(tsOf("2000-01-01 00:00:00"))).as("b"))
+      .as[Timestamp].head()
+    // 2000-01-01 is a Saturday; Saturday <= 2020-01-01 is 2019-12-28
+    assert(got === tsOf("2019-12-28 00:00:00"))
+  }
+
+  test("interval offset shifts bucket boundaries") {
+    val got = Seq(tsOf("2020-01-01 00:34:00")).toDF("ts")
+      .select(gf.time_bucket("1 day", $"ts", gf.interval("12 hours")).as("b"))
+      .as[Timestamp].head()
+    assert(got === tsOf("2019-12-31 12:00:00"))
+  }
+
+  test("date input") {
+    val got = Seq(Date.valueOf("2020-01-01")).toDF("d")
+      .select(gf.time_bucket("7 days", $"d").as("b")).as[Date].head()
+    assert(got === Date.valueOf("2019-12-30"))
+    val gotM = Seq(Date.valueOf("2020-02-15")).toDF("d")
+      .select(gf.time_bucket("1 month", $"d").as("b")).as[Date].head()
+    assert(gotM === Date.valueOf("2020-02-01"))
+  }
+
+  test("integer time dimension with offset") {
+    val df = Seq((-7L), (0L), (13L)).toDF("t")
+    val got = df.select(gf.time_bucket(lit(10L), $"t").as("b")).as[Long].collect().toSeq
+    assert(got === Seq(-10L, 0L, 10L))
+    val gotOff = df.select(gf.time_bucket(lit(10L), $"t", lit(3L)).as("b")).as[Long].collect().toSeq
+    assert(gotOff === Seq(-7L, -7L, 13L))
+  }
+
+  test("null propagation") {
+    val got = Seq[Option[Timestamp]](None).toDF("ts")
+      .select(gf.time_bucket("1 hour", $"ts").as("b")).collect()
+    assert(got.head.isNullAt(0))
+  }
+
+  test("SQL registration via Graft.init") {
+    Graft.init(spark)
+    val got = spark.sql(
+      "SELECT time_bucket(INTERVAL '1' HOUR, TIMESTAMP '2020-01-01 00:34:56') AS b")
+      .as[Timestamp].head()
+    assert(got === tsOf("2020-01-01 00:00:00"))
+    val gotMonth = spark.sql(
+      "SELECT time_bucket(INTERVAL '1' MONTH, TIMESTAMP '2020-02-15 00:00:00') AS b")
+      .as[Timestamp].head()
+    assert(gotMonth === tsOf("2020-02-01 00:00:00"))
+  }
+
+  test("timezone variant buckets in local wall time") {
+    // 2020-06-01 03:00 UTC = 2020-05-31 23:00 America/New_York (EDT);
+    // daily bucket in NY starts 2020-05-31 00:00 EDT = 2020-05-31 04:00 UTC
+    val got = Seq(tsOf("2020-06-01 03:00:00")).toDF("ts")
+      .select(gf.time_bucket_tz("1 day", $"ts", "America/New_York").as("b"))
+      .as[Timestamp].head()
+    assert(got === tsOf("2020-05-31 04:00:00"))
+  }
+
+  test("events parquet (ns timestamps) is readable and bucketable") {
+    val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val n = ev.select(gf.time_bucket("1 hour", $"ts").as("b")).where($"b".isNotNull).count()
+    assert(n > 0)
+  }
+}
