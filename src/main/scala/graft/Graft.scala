@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.expressions.TimeBucket
+import graft.expressions._
 
 /** Session bootstrap: SQL function registration + scale-oriented defaults.
   * Call [[Graft.init]] on any session before using graft SQL functions;
@@ -21,6 +21,15 @@ object Graft {
         throw new IllegalArgumentException(
           s"time_bucket requires 2 or 3 arguments, got ${exprs.length}")
     }, "scala_udf")
+    def reg1(name: String, f: Expression => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, { case Seq(e) => f(e) }, "scala_udf")
+    reg1("to_uuidv7", ToUuidV7(_, boundary = false))
+    reg1("to_uuidv7_boundary", ToUuidV7(_, boundary = true))
+    reg1("uuid_timestamp", UuidTimestamp(_, withMicros = false))
+    reg1("uuid_timestamp_micros", UuidTimestamp(_, withMicros = true))
+    reg1("uuid_version", UuidVersion(_))
+    reg.createOrReplaceTempFunction("generate_uuidv7",
+      { case Seq() => GenerateUuidV7() }, "scala_udf")
     spark
   }
 

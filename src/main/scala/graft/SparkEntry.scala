@@ -61,8 +61,57 @@ object SparkEntry {
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))
         .orderBy(col("bucket"), col("event_type"))
+    }),
+
+    // §2.4 first/last bookend aggregates over daily buckets.
+    "q03_first_last" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(gf.time_bucket("1 day", col("ts")).as("day"), col("event_type"))
+        .agg(
+          gf.first(col("value"), col("ts")).as("first_value"),
+          gf.last(col("value"), col("ts")).as("last_value"),
+          count(lit(1)).as("n"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    // §2.4 histogram (rows form: one row per non-empty bucket).
+    "q04_histogram" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("bucket", gf.histogram_bucket(col("value"), 0.0, 500.0, 10))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // §2.4 histogram (array form: nbuckets+2 with under/overflow ends).
+    "q05_histogram_array" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(gf.histogram(col("value"), 0.0, 500.0, 10).as("hist"))
+        .orderBy(col("event_type"))
+    }),
+
+    // §2.9 uuidv7: boundary uuid carries the timestamp exactly (ms + sub-ms
+    // micros in rand_a), so extraction round-trips the original micros.
+    "q06_uuidv7_roundtrip" -> ((s, dir) => {
+      val u = gf.to_uuidv7_boundary(col("ts"))
+      t(s, dir, "events")
+        .select(col("event_id"),
+          gf.uuid_timestamp_micros(u).as("ts_rt"),
+          gf.uuid_version(u).as("ver"))
+        .orderBy(col("event_id"))
     })
   )
+
+  private def histogramArraySql(min: Double, max: Double, nbuckets: Int): String = {
+    val w = (max - min) / nbuckets
+    val conds = (0 to nbuckets + 1).map {
+      case 0                       => s"value < $min"
+      case i if i == nbuckets + 1  => s"value >= $max"
+      case i => s"value >= $min AND value < $max AND CAST(FLOOR((value - $min) / $w) AS INT) + 1 = $i"
+    }
+    conds.map(c => s"SUM(CASE WHEN $c THEN 1 ELSE 0 END)").mkString("[", ", ", "]")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -81,6 +130,27 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
         | MIN(value) AS min_value,
         | MAX(value) AS max_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q03_first_last" ->
+      """SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+        | arg_min(value, ts) AS first_value,
+        | arg_max(value, ts) AS last_value,
+        | COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q04_histogram" ->
+      """SELECT event_type,
+        | CASE WHEN value < 0.0 THEN 0 WHEN value >= 500.0 THEN 11
+        |      ELSE CAST(FLOOR((value - 0.0) / 50.0) AS INT) + 1 END AS bucket,
+        | COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q05_histogram_array" ->
+      s"""SELECT event_type, ${histogramArraySql(0.0, 500.0, 10)} AS hist
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q06_uuidv7_roundtrip" ->
+      "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts_rt, 7 AS ver FROM events ORDER BY event_id"
   )
 }

@@ -56,14 +56,38 @@ object functions {
   /** Value of `value` at the largest `time` in the group. */
   def last(value: Column, time: Column): Column = F.max_by(value, time)
 
+  // ----------------------------------------------------------------- uuidv7
+
+  /** Random UUIDv7 stamped with the current time (`sql/uuidv7.sql:5`). */
+  def generate_uuidv7(): Column = col(GenerateUuidV7())
+
+  /** UUIDv7 carrying `ts` (ms + sub-ms micros in rand_a), random tail. */
+  def to_uuidv7(ts: Column): Column = col(ToUuidV7(ex(ts), boundary = false))
+
+  /** Boundary UUIDv7: all random bits zero — usable in range predicates. */
+  def to_uuidv7_boundary(ts: Column): Column = col(ToUuidV7(ex(ts), boundary = true))
+
+  /** Timestamp from a v7 uuid, ms precision. */
+  def uuid_timestamp(uuid: Column): Column = col(UuidTimestamp(ex(uuid), withMicros = false))
+
+  /** Timestamp from a v7 uuid including the sub-ms micros field. */
+  def uuid_timestamp_micros(uuid: Column): Column = col(UuidTimestamp(ex(uuid), withMicros = true))
+
+  def uuid_version(uuid: Column): Column = col(UuidVersion(ex(uuid)))
+
   // -------------------------------------------------------------- histogram
 
   /** Bucket index for a fixed-width histogram: 0 = underflow, 1..nbuckets =
     * interior, nbuckets+1 = overflow — the reference's bucketing rule
-    * (`src/histogram.c:49+`, same as width_bucket).
+    * (`src/histogram.c:49+`). Computed as `floor((v-min)/bucketWidth)+1`
+    * (not Spark's width_bucket, whose different float formula can flip
+    * boundary values).
     */
-  def histogram_bucket(value: Column, min: Double, max: Double, nbuckets: Int): Column =
-    F.width_bucket(value, F.lit(min), F.lit(max), F.lit(nbuckets))
+  def histogram_bucket(value: Column, min: Double, max: Double, nbuckets: Int): Column = {
+    val w = (max - min) / nbuckets
+    F.when(value < min, 0).when(value >= max, nbuckets + 1)
+      .otherwise(F.floor((value - F.lit(min)) / F.lit(w)).cast("int") + 1)
+  }
 
   /** Aggregate: histogram array of length nbuckets+2 with under/overflow at
     * the ends (reference `sql/histogram.sql:5-28`).

@@ -1,0 +1,171 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{functions => gf}
+import graft.expressions.TimeBucketUtil
+
+/** Chunk descriptor: a time range [start, end) in epoch micros backed by one
+  * partition directory (reference `src/chunk.h:63-75` — a chunk is a child
+  * table covering a hypercube; here it's a parquet partition).
+  */
+case class ChunkInfo(startMicros: Long, endMicros: Long, path: String) {
+  def start: java.sql.Timestamp = new java.sql.Timestamp(startMicros / 1000)
+  def end: java.sql.Timestamp = new java.sql.Timestamp(endMicros / 1000)
+}
+
+/** A hypertable: a parquet table partitioned by a time-bucket-derived chunk
+  * column (+ optional hash-bucketed space dimension), the Spark-native
+  * equivalent of the reference's hypertable/dimension/chunk model
+  * (`src/hypertable.h:58-65`, `src/dimension.h:62-97`).
+  *
+  * Layout on disk:
+  *   path/_chunk=<bucket-start-micros>[/_space=<hash bucket>]/part-*.parquet
+  *
+  * - chunk exclusion = Spark partition pruning on `_chunk` (use [[between]]
+  *   or [[timeFilter]] to derive `_chunk` bounds from time predicates);
+  * - space dimension uses Spark's murmur3 `hash()` — same family as the
+  *   reference's `ts_get_partition_hash` (`src/partitioning.c:454-468`);
+  * - `drop_chunks`/`show_chunks` (`sql/ddl_api.sql:92-113`) are partition
+  *   directory operations, transact-less but idempotent.
+  *
+  * At 100 TB: chunk width should be sized so one chunk ≈ executors × a few
+  * GB; the partition column is a long so listing/pruning stays metadata-only.
+  */
+class Hypertable private (
+    val spark: SparkSession,
+    val path: String,
+    val timeCol: String,
+    val chunkWidthMicros: Long,
+    val spaceCol: Option[String],
+    val spacePartitions: Int) {
+
+  import Hypertable._
+
+  private def fs: FileSystem = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Bucket-start (micros) for a time column — the chunk key. */
+  def chunkKey(time: Column): Column =
+    unix_micros(gf.time_bucket(
+      lit(java.time.Duration.of(chunkWidthMicros, java.time.temporal.ChronoUnit.MICROS)),
+      time))
+
+  /** Append rows, routing each to its chunk (and space) partition — the
+    * tuple-routing insert path (`src/chunk_tuple_routing.c:72-147`); chunk
+    * directories are created on demand by the parquet writer.
+    */
+  def write(df: DataFrame, mode: SaveMode = SaveMode.Append): Unit = {
+    var out = df.withColumn(CHUNK, chunkKey(col(timeCol)))
+    val partCols = spaceCol match {
+      case Some(sc) =>
+        out = out.withColumn(SPACE, pmod(hash(col(sc)), lit(spacePartitions)))
+        Seq(CHUNK, SPACE)
+      case None => Seq(CHUNK)
+    }
+    out.write.mode(mode).partitionBy(partCols: _*).parquet(path)
+  }
+
+  /** Full table read; `_chunk` (and `_space`) come back as partition cols. */
+  def read(): DataFrame = spark.read.parquet(path)
+
+  /** Read with chunk exclusion: adds both the row-level time predicate and
+    * the derived `_chunk` partition predicate so pruning happens at
+    * planning time (reference plan-time exclusion,
+    * `src/planner/expand_hypertable.c:1007-1172`).
+    */
+  def between(startMicros: Long, endMicros: Long): DataFrame = {
+    val startChunk = TimeBucketUtil.bucketMicros(startMicros, chunkWidthMicros, TimeBucketUtil.SENTINEL)
+    read()
+      .where(col(CHUNK) >= startChunk && col(CHUNK) < endMicros)
+      .where(col(timeCol) >= timestamp_micros(lit(startMicros)) &&
+        col(timeCol) < timestamp_micros(lit(endMicros)))
+  }
+
+  def between(start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame =
+    between(start.getTime * 1000L, end.getTime * 1000L)
+
+  /** show_chunks: all chunks, optionally only those fully older than a cutoff. */
+  def showChunks(olderThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
+    val dir = new Path(path)
+    if (!fs.exists(dir)) return Seq.empty
+    val chunks = fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$CHUNK="))
+      .map { s =>
+        val start = s.getPath.getName.stripPrefix(s"$CHUNK=").toLong
+        ChunkInfo(start, start + chunkWidthMicros, s.getPath.toString)
+      }
+      .sortBy(_.startMicros)
+    olderThanMicros match {
+      case Some(cut) => chunks.filter(_.endMicros <= cut)
+      case None      => chunks
+    }
+  }
+
+  /** drop_chunks(older_than): delete chunks whose range ends at or before
+    * the cutoff. Returns dropped chunks.
+    */
+  def dropChunks(olderThanMicros: Long): Seq[ChunkInfo] = {
+    val dropped = showChunks(Some(olderThanMicros))
+    dropped.foreach(c => fs.delete(new Path(c.path), true))
+    dropped
+  }
+
+  def dropChunks(olderThan: java.sql.Timestamp): Seq[ChunkInfo] =
+    dropChunks(olderThan.getTime * 1000L)
+}
+
+object Hypertable {
+  val CHUNK = "_chunk"
+  val SPACE = "_space"
+  private val META = "_graft_hypertable.json"
+
+  /** Declare (or re-open) a hypertable rooted at `path`. Default chunk width
+    * is the reference's 7 days (`src/dimension.h:115`).
+    */
+  def create(spark: SparkSession, path: String, timeCol: String,
+      chunkWidth: String = "7 days", spaceCol: Option[String] = None,
+      spacePartitions: Int = 4): Hypertable = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(chunkWidth))
+    require(iv.months == 0, "month-width chunks not supported; use day/hour widths")
+    val widthMicros = iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds
+    val ht = new Hypertable(spark, path, timeCol, widthMicros, spaceCol, spacePartitions)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(path))
+    val meta = s"""{"timeCol":"$timeCol","chunkWidthMicros":$widthMicros,""" +
+      s""""spaceCol":${spaceCol.map(c => "\"" + c + "\"").getOrElse("null")},""" +
+      s""""spacePartitions":$spacePartitions}"""
+    val out = fs.create(new Path(path, META), true)
+    out.write(meta.getBytes("UTF-8")); out.close()
+    ht
+  }
+
+  /** Re-open an existing hypertable from its metadata file. */
+  def at(spark: SparkSession, path: String): Hypertable = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(path, META))
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    var n = in.read(tmp)
+    while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+    in.close()
+    val meta = buf.toString("UTF-8")
+    def str(k: String): Option[String] =
+      ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(meta).map(_.group(1))
+    def num(k: String): Long =
+      ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(meta).map(_.group(1).toLong).get
+    new Hypertable(spark, path, str("timeCol").get, num("chunkWidthMicros"),
+      str("spaceCol"), num("spacePartitions").toInt)
+  }
+}
+
+/** Retention policy runner — `add_retention_policy` semantics
+  * (`sql/policy_api.sql:13-23`): drop chunks strictly older than a lag from
+  * `now` (scheduling itself is external — Airflow/cron invoke this).
+  */
+object RetentionPolicy {
+  def run(ht: Hypertable, dropBeforeMicros: Long): Seq[ChunkInfo] =
+    ht.dropChunks(dropBeforeMicros)
+}

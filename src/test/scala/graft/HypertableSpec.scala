@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Hypertable, RetentionPolicy}
+
+class HypertableSpec extends AnyFunSuite {
+  lazy val spark = Graft.session("hypertable-spec", "local[4]", 4)
+
+  private lazy val dir = Files.createTempDirectory("graft_ht").toString
+  private lazy val ht = {
+    val h = Hypertable.create(spark, s"$dir/events_ht", "ts", chunkWidth = "1 day",
+      spaceCol = Some("user_id"), spacePartitions = 4)
+    h.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    h
+  }
+
+  test("write routes rows into daily chunks with space buckets") {
+    val chunks = ht.showChunks()
+    assert(chunks.size === 30) // events span 2024-01-01..2024-01-30
+    assert(chunks.head.start.toString.startsWith("2024-01-01"))
+    // space sub-dirs exist
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val sub = fs.listStatus(new org.apache.hadoop.fs.Path(chunks.head.path))
+      .count(_.getPath.getName.startsWith("_space="))
+    assert(sub === 4)
+  }
+
+  test("read round-trips all rows") {
+    val n = Tables.table(spark, "/root/testdata/sf0.001", "events").count()
+    assert(ht.read().count() === n)
+  }
+
+  test("between() prunes chunk partitions at plan time") {
+    val df = ht.between(Timestamp.valueOf("2024-01-10 00:00:00"),
+      Timestamp.valueOf("2024-01-12 00:00:00"))
+    val plan = df.queryExecution.executedPlan
+    val scan = plan.collectFirst { case f: FileSourceScanExec => f }.orElse(plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
+      case _ => None
+    }).get
+    // only 2 of 30 chunks (x4 space buckets) survive partition pruning
+    assert(scan.relation.location.inputFiles.length > 0)
+    val parts = scan.selectedPartitions.partitionCount
+    assert(parts === 8, s"expected 8 pruned partitions, got $parts")
+    // row-level correctness
+    val expected = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .where(col("ts") >= lit("2024-01-10") && col("ts") < lit("2024-01-12")).count()
+    assert(df.count() === expected)
+  }
+
+  test("dropChunks removes only chunks fully before the cutoff") {
+    val d2 = Files.createTempDirectory("graft_ht2").toString
+    val h = Hypertable.create(spark, s"$d2/ht", "ts", chunkWidth = "1 day")
+    h.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val before = h.read().count()
+    val cutoff = Timestamp.valueOf("2024-01-08 00:00:00")
+    val dropped = RetentionPolicy.run(h, cutoff.getTime * 1000L)
+    assert(dropped.size === 7)
+    assert(h.showChunks().size === 23)
+    val remaining = h.read().count()
+    val expected = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .where(col("ts") >= lit("2024-01-08")).count()
+    assert(remaining === expected)
+    assert(remaining < before)
+    // idempotent
+    assert(h.dropChunks(cutoff).isEmpty)
+  }
+
+  test("hypertable can be re-opened from metadata") {
+    ht.showChunks() // force creation
+    val re = Hypertable.at(spark, s"$dir/events_ht")
+    assert(re.timeCol === "ts")
+    assert(re.chunkWidthMicros === 86400000000L)
+    assert(re.spaceCol === Some("user_id"))
+  }
+}

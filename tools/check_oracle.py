@@ -18,14 +18,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
         elif str(df[c].dtype).startswith("int"):
             df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     if len(df.columns):
-        sort_cols = [c for c in df.columns if df[c].dtype.kind != "f"] or list(df.columns)
         df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
 
