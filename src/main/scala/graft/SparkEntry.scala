@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{functions => gf}
+import graft.operators.Gapfill
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -100,6 +101,35 @@ object SparkEntry {
           gf.uuid_timestamp_micros(u).as("ts_rt"),
           gf.uuid_version(u).as("ver"))
         .orderBy(col("event_id"))
+    }),
+
+    // §2.8 time_bucket_gapfill + locf over hourly buckets.
+    "q07_gapfill_locf" -> ((s, dir) => {
+      val (start, finish) = (1704067200000000L, 1706659200000000L) // [2024-01-01, 2024-01-31)
+      val ev = t(s, dir, "events")
+        .where(col("ts") >= timestamp_micros(lit(start)) && col("ts") < timestamp_micros(lit(finish)))
+      val agg = ev
+        .groupBy(gf.time_bucket("1 hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(min(col("value")).as("min_value"), count(lit(1)).as("n"))
+      Gapfill.gapfill(agg, "bucket", Seq("event_type"), start, finish, "1 hour")
+        .withColumn("locf_value", Gapfill.locf(col("min_value"), Seq("event_type"), "bucket"))
+        .select("event_type", "bucket", "locf_value", "n")
+        .orderBy("event_type", "bucket")
+    }),
+
+    // §2.8 time_bucket_gapfill + linear interpolate.
+    "q08_gapfill_interpolate" -> ((s, dir) => {
+      val (start, finish) = (1704067200000000L, 1706659200000000L)
+      val ev = t(s, dir, "events")
+        .where(col("ts") >= timestamp_micros(lit(start)) && col("ts") < timestamp_micros(lit(finish)))
+      val agg = ev
+        .groupBy(gf.time_bucket("1 hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(min(col("value")).as("min_value"))
+      Gapfill.gapfill(agg, "bucket", Seq("event_type"), start, finish, "1 hour")
+        .withColumn("interp_value",
+          Gapfill.interpolate(col("min_value"), Seq("event_type"), "bucket"))
+        .select("event_type", "bucket", "interp_value")
+        .orderBy("event_type", "bucket")
     })
   )
 
@@ -151,6 +181,60 @@ object SparkEntry {
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q06_uuidv7_roundtrip" ->
-      "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts_rt, 7 AS ver FROM events ORDER BY event_id"
+      "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts_rt, 7 AS ver FROM events ORDER BY event_id",
+
+    "q07_gapfill_locf" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-31 00:00:00'),
+        |agg AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+        |         MIN(value) AS min_value, COUNT(*) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT g.event_type, b.bucket
+        |  FROM (SELECT DISTINCT event_type FROM agg) g
+        |  CROSS JOIN (SELECT unnest(range(TIMESTAMP '2024-01-01 00:00:00',
+        |    TIMESTAMP '2024-01-31 00:00:00', INTERVAL '1 hour')) AS bucket) b)
+        |SELECT s.event_type, s.bucket,
+        | last_value(a.min_value IGNORE NULLS) OVER (PARTITION BY s.event_type
+        |   ORDER BY s.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+        | a.n AS n
+        |FROM spine s LEFT JOIN agg a USING (event_type, bucket)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q08_gapfill_interpolate" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-31 00:00:00'),
+        |agg AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+        |         MIN(value) AS min_value
+        |  FROM ev GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT g.event_type, b.bucket
+        |  FROM (SELECT DISTINCT event_type FROM agg) g
+        |  CROSS JOIN (SELECT unnest(range(TIMESTAMP '2024-01-01 00:00:00',
+        |    TIMESTAMP '2024-01-31 00:00:00', INTERVAL '1 hour')) AS bucket) b),
+        |j AS (
+        |  SELECT s.event_type, s.bucket, epoch_us(s.bucket) AS x, a.min_value AS v
+        |  FROM spine s LEFT JOIN agg a USING (event_type, bucket)),
+        |w AS (
+        |  SELECT *,
+        |   last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER wp AS p0x,
+        |   last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wp AS p0y,
+        |   first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER wn AS p1x,
+        |   first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wn AS p1y
+        |  FROM j WINDOW
+        |   wp AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |   wn AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, bucket,
+        | CASE WHEN v IS NOT NULL THEN v
+        |      WHEN p0x IS NULL OR p1x IS NULL THEN NULL
+        |      ELSE (p0y * CAST(p1x - x AS DOUBLE) + p1y * CAST(x - p0x AS DOUBLE))
+        |           / CAST(p1x - p0x AS DOUBLE) END AS interp_value
+        |FROM w ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Gapfill
+import graft.{functions => gf}
+
+class GapfillSpec extends AnyFunSuite {
+  lazy val spark = Graft.session("gapfill-spec", "local[4]", 4)
+  import spark.implicits._
+
+  // reference gapfill README "Usage" pattern: points at t=0 (v=1) and t=5 (v=6)
+  private lazy val agg = Seq(
+    ("a", Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+    ("a", Timestamp.valueOf("2024-01-01 05:00:00"), 6.0))
+    .toDF("g", "bucket", "v")
+
+  private val start = 1704067200000000L            // 2024-01-01 00:00:00 UTC
+  private val finish = start + 6L * 3600 * 1000000 // 06:00 exclusive
+
+  test("gapfill injects one row per missing bucket") {
+    val filled = Gapfill.gapfill(agg, "bucket", Seq("g"), start, finish, "1 hour")
+    assert(filled.count() === 6)
+    assert(filled.where($"v".isNull).count() === 4)
+  }
+
+  test("locf carries the last observation forward") {
+    val got = Gapfill.gapfill(agg, "bucket", Seq("g"), start, finish, "1 hour")
+      .withColumn("f", Gapfill.locf($"v", Seq("g"), "bucket"))
+      .orderBy("bucket").select("f").as[Double].collect().toSeq
+    assert(got === Seq(1.0, 1.0, 1.0, 1.0, 1.0, 6.0))
+  }
+
+  test("locf prev seeds the value before the window") {
+    val noFirst = agg.where($"v" =!= 1.0) // only the t=5 point remains
+    val got = Gapfill.gapfill(noFirst, "bucket", Seq("g"), start, finish, "1 hour")
+      .withColumn("f", Gapfill.locf($"v", Seq("g"), "bucket", prev = Some(lit(-1.0))))
+      .orderBy("bucket").select("f").as[Double].collect().toSeq
+    assert(got === Seq(-1.0, -1.0, -1.0, -1.0, -1.0, 6.0))
+  }
+
+  test("interpolate draws the line between surrounding points") {
+    val got = Gapfill.gapfill(agg, "bucket", Seq("g"), start, finish, "1 hour")
+      .withColumn("i", Gapfill.interpolate($"v", Seq("g"), "bucket"))
+      .orderBy("bucket").select("i").as[Double].collect().toSeq
+    assert(got === Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+  }
+
+  test("interpolate leaves nulls outside the first/last points") {
+    val shifted = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 01:00:00"), 2.0),
+      ("a", Timestamp.valueOf("2024-01-01 03:00:00"), 4.0)).toDF("g", "bucket", "v")
+    val got = Gapfill.gapfill(shifted, "bucket", Seq("g"), start, finish, "1 hour")
+      .withColumn("i", Gapfill.interpolate($"v", Seq("g"), "bucket"))
+      .orderBy("bucket").select("i").as[Option[Double]].collect().toSeq
+    assert(got === Seq(None, Some(2.0), Some(3.0), Some(4.0), None, None))
+  }
+
+  test("multiple groups are filled independently") {
+    val two = agg.union(Seq(("b", Timestamp.valueOf("2024-01-01 02:00:00"), 9.0)).toDF)
+    val filled = Gapfill.gapfill(two, "bucket", Seq("g"), start, finish, "1 hour")
+    assert(filled.count() === 12)
+    assert(filled.where($"g" === "b" && $"v".isNotNull).count() === 1)
+  }
+}
