@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Columnstore, CompressionPolicy, Hypertable}
+
+class ColumnstoreSpec extends AnyFunSuite {
+  lazy val spark = Graft.session("columnstore-spec", "local[4]", 4)
+  import spark.implicits._
+
+  private val opts = Columnstore.Options(
+    segmentBy = Seq("event_type"), orderBy = Seq("ts"),
+    bloomFilterCols = Seq("event_type"))
+
+  private lazy val ht = {
+    val dir = Files.createTempDirectory("graft_cs").toString
+    val h = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    h.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    h
+  }
+
+  test("compression preserves data and marks chunks") {
+    val before = ht.read().agg(count(lit(1)), sum($"event_id")).head()
+    val done = Columnstore.compress(ht, opts)
+    assert(done.size === 5) // 30 days / 7-day chunks
+    assert(ht.showChunks().forall(c => Columnstore.isCompressed(spark, c.path)))
+    val after = ht.read().agg(count(lit(1)), sum($"event_id")).head()
+    assert(after === before)
+  }
+
+  test("compression is idempotent (already-compressed chunks skipped)") {
+    Columnstore.compress(ht, opts)
+    assert(Columnstore.compress(ht, opts).isEmpty)
+  }
+
+  test("rows are segment-grouped and time-sorted within each file") {
+    Columnstore.compress(ht, opts)
+    val perFile = ht.read()
+      .withColumn("f", input_file_name())
+      .select($"f", $"event_type", unix_micros($"ts").as("us"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1)
+    assert(perFile.nonEmpty)
+    perFile.foreach { case (f, rows) =>
+      val keys = rows.map(r => (r._2, r._3)).toSeq
+      assert(keys === keys.sorted, s"file $f not sorted by (event_type, ts)")
+    }
+  }
+
+  test("policy runner compresses only chunks older than cutoff") {
+    val dir = Files.createTempDirectory("graft_cs2").toString
+    val h = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    h.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    // weekly chunks align to Monday origin: 2024-01-01, 01-08, 01-15, 01-22, 01-29
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-20 00:00:00").getTime * 1000L
+    val done = CompressionPolicy.run(h, opts, cutoff)
+    assert(done.size === 2) // chunks ending 01-08 and 01-15
+    val states = h.showChunks().map(c => Columnstore.isCompressed(spark, c.path))
+    assert(states === Seq(true, true, false, false, false))
+  }
+}
