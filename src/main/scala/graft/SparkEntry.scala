@@ -130,6 +130,27 @@ object SparkEntry {
           Gapfill.interpolate(col("min_value"), Seq("event_type"), "bucket"))
         .select("event_type", "bucket", "interp_value")
         .orderBy("event_type", "bucket")
+    }),
+
+    // §2.10 continuous aggregate: ingest raw → hypertable, materialize all
+    // buckets, read back the mat table. Oracle = the direct aggregation.
+    "q09_cagg_hourly" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      import graft.streaming.{CaggDef, ContinuousAggregate}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cagg_q").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
+      ht.write(t(s, dir, "events"))
+      val defn = CaggDef("1 hour", Seq("event_type"), Seq(
+        count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"),
+        min(col("value")).as("min_value")))
+      val cagg = ContinuousAggregate.create(s, s"$tmp/cagg", ht, defn)
+      val mm = ht.read().agg(unix_micros(min(col("ts"))), unix_micros(max(col("ts")))).head()
+      cagg.refresh(
+        graft.expressions.TimeBucketUtil.bucketMicros(mm.getLong(0), 3600000000L,
+          graft.expressions.TimeBucketUtil.SENTINEL),
+        mm.getLong(1) + 3600000000L)
+      cagg.materialized.orderBy("bucket", "event_type")
     })
   )
 
@@ -235,6 +256,13 @@ object SparkEntry {
         |      WHEN p0x IS NULL OR p1x IS NULL THEN NULL
         |      ELSE (p0y * CAST(p1x - x AS DOUBLE) + p1y * CAST(x - p0x AS DOUBLE))
         |           / CAST(p1x - p0x AS DOUBLE) END AS interp_value
-        |FROM w ORDER BY 1, 2""".stripMargin
+        |FROM w ORDER BY 1, 2""".stripMargin,
+
+    "q09_cagg_hourly" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
+        | MIN(value) AS min_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

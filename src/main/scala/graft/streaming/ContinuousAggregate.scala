@@ -1,0 +1,230 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{functions => gf}
+import graft.expressions.TimeBucketUtil
+import graft.sources.Hypertable
+
+/** Definition of a continuous aggregate: bucket width + grouping + aggregate
+  * expressions (the reference's direct-view query,
+  * `tsl/src/continuous_aggs/create.c:600`). `aggs` must be aliased columns.
+  */
+case class CaggDef(
+    bucketWidth: String,
+    groupCols: Seq[String],
+    aggs: Seq[Column],
+    bucketCol: String = "bucket") {
+  private[streaming] val widthMicros: Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(bucketWidth))
+    require(iv.months == 0, "month-width caggs not supported yet; use fixed widths")
+    iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds
+  }
+}
+
+/** Continuous aggregate over a [[Hypertable]] — the Spark-native equivalent
+  * of the reference's cagg pipeline (`tsl/src/continuous_aggs/README.md`):
+  *
+  *  - materialization table: parquet partitioned by `_bucket` (micros), so a
+  *    refresh replaces exactly the recomputed buckets via dynamic partition
+  *    overwrite — the MERGE in `materialize.c:442,461,524`;
+  *  - watermark: end of the last materialized bucket, kept in a `_watermark`
+  *    file (`src/ts_catalog/continuous_aggs_watermark.c:26-40`);
+  *  - invalidation log: `_invalidations/` range files appended on
+  *    out-of-order ingest below the watermark (`invalidation.c`), compacted
+  *    and re-materialized by [[refreshInvalidated]];
+  *  - real-time view: materialized rows `< watermark` UNION live aggregation
+  *    `>= watermark` (`create.c:583-592`);
+  *  - refresh windows are inscribed to whole buckets (`refresh.c:29-33`).
+  *
+  * Late data is therefore *re-materialized*, never dropped — the key
+  * divergence from vanilla Structured Streaming watermarking (SURVEY §7.2).
+  *
+  * Scale: refresh recomputes only invalidated buckets, reading only the raw
+  * chunks overlapping them (partition pruning via [[Hypertable.between]]);
+  * the shuffle is keyed on (bucket, groups) like any aggregate. One
+  * partition dir per bucket is the correctness-first layout — size the
+  * bucket width (or add a coarser mat-chunk level) for very long retention.
+  */
+class ContinuousAggregate(
+    val spark: SparkSession,
+    val path: String,
+    val source: Hypertable,
+    val defn: CaggDef) {
+
+  import ContinuousAggregate._
+
+  private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def matPath = s"$path/mat"
+  private def invPath = s"$path/_invalidations"
+
+  private def bucketOf(time: Column): Column =
+    gf.time_bucket(defn.bucketWidth, time)
+
+  /** Aggregate raw rows of [lo, hi) into finalized bucket rows. */
+  private def compute(loMicros: Long, hiMicros: Long): DataFrame = {
+    val raw = source.between(loMicros, hiMicros)
+    raw.groupBy(
+        (unix_micros(bucketOf(col(source.timeCol))).as(BUCKET) +:
+          defn.groupCols.map(col)): _*)
+      .agg(defn.aggs.head, defn.aggs.tail: _*)
+  }
+
+  /** Materialized rows with the bucket as a timestamp column (bucket first,
+    * then group cols, then aggregates — same shape as the live aggregation).
+    */
+  def materialized: DataFrame = {
+    if (!fs.exists(new Path(matPath))) return emptyLike()
+    val df = spark.read.parquet(matPath)
+      .withColumn(defn.bucketCol, timestamp_micros(col(BUCKET)))
+      .drop(BUCKET)
+    val aggCols = df.columns.filterNot(c =>
+      c == defn.bucketCol || defn.groupCols.contains(c))
+    df.select((defn.bucketCol +: defn.groupCols) ++ aggCols map col: _*)
+  }
+
+  private def emptyLike(): DataFrame = {
+    val df = compute(0L, 1L)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+      .withColumn(defn.bucketCol, timestamp_micros(col(BUCKET)))
+      .drop(BUCKET)
+  }
+
+  def watermark: Long = {
+    val p = new Path(path, "_watermark")
+    if (!fs.exists(p)) Long.MinValue
+    else {
+      val in = fs.open(p)
+      val s = new java.io.BufferedReader(new java.io.InputStreamReader(in)).readLine()
+      in.close()
+      s.trim.toLong
+    }
+  }
+
+  private def setWatermark(us: Long): Unit = {
+    val out = fs.create(new Path(path, "_watermark"), true)
+    out.write(us.toString.getBytes("UTF-8")); out.close()
+  }
+
+  /** Inscribed-bucket alignment: first whole bucket at/after `start`,
+    * last whole bucket ending at/before `end`.
+    */
+  def inscribe(startMicros: Long, endMicros: Long): (Long, Long) = {
+    val w = defn.widthMicros
+    val s0 = TimeBucketUtil.bucketMicros(startMicros, w, TimeBucketUtil.SENTINEL)
+    val s = if (s0 < startMicros) s0 + w else s0
+    val e = TimeBucketUtil.bucketMicros(endMicros, w, TimeBucketUtil.SENTINEL)
+    (s, e)
+  }
+
+  /** Materialize [start, end) (inscribed to whole buckets): recompute those
+    * buckets from raw and overwrite exactly their partitions. Advances the
+    * watermark. Returns the aligned window actually refreshed.
+    */
+  def refresh(startMicros: Long, endMicros: Long): (Long, Long) = {
+    val (s, e) = inscribe(startMicros, endMicros)
+    if (s >= e) return (s, s)
+    val prev = spark.conf.getOption(OVERWRITE_MODE)
+    spark.conf.set(OVERWRITE_MODE, "dynamic")
+    try {
+      compute(s, e).write.mode(SaveMode.Overwrite).partitionBy(BUCKET).parquet(matPath)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(OVERWRITE_MODE, v)
+        case None    => spark.conf.unset(OVERWRITE_MODE)
+      }
+    }
+    if (e > watermark) setWatermark(e)
+    (s, e)
+  }
+
+  /** Log an invalidated time range (mutating txn below the watermark). */
+  def invalidate(loMicros: Long, hiMicros: Long): Unit = {
+    fs.mkdirs(new Path(invPath))
+    val name = java.util.UUID.randomUUID().toString
+    val out = fs.create(new Path(invPath, name), true)
+    out.write(s"$loMicros,$hiMicros".getBytes("UTF-8")); out.close()
+  }
+
+  /** Pending invalidation ranges (merged where overlapping). */
+  def pendingInvalidations(): Seq[(Long, Long)] = {
+    val dir = new Path(invPath)
+    if (!fs.exists(dir)) return Seq.empty
+    val ranges = fs.listStatus(dir).toSeq.map { st =>
+      val in = fs.open(st.getPath)
+      val s = new java.io.BufferedReader(new java.io.InputStreamReader(in)).readLine()
+      in.close()
+      val Array(lo, hi) = s.trim.split(",").map(_.toLong)
+      (lo, hi)
+    }.sortBy(_._1)
+    // merge overlapping/adjacent ranges (invalidation.c log compaction)
+    ranges.foldLeft(List.empty[(Long, Long)]) {
+      case (acc @ ((alo, ahi) :: rest), (lo, hi)) if lo <= ahi => (alo, math.max(ahi, hi)) :: rest
+      case (acc, r) => r :: acc
+    }.reverse
+  }
+
+  /** Re-materialize every invalidated range, then clear the log — one
+    * `refresh_continuous_aggregate` policy pass (`refresh.c:996`).
+    */
+  def refreshInvalidated(): Seq[(Long, Long)] = {
+    val done = pendingInvalidations().map { case (lo, hi) =>
+      // widen to enclosing whole buckets: invalidated rows dirty their bucket
+      val w = defn.widthMicros
+      val s = TimeBucketUtil.bucketMicros(lo, w, TimeBucketUtil.SENTINEL)
+      val e = TimeBucketUtil.bucketMicros(hi, w, TimeBucketUtil.SENTINEL) + w
+      refresh(s, e)
+    }
+    fs.delete(new Path(invPath), true)
+    done
+  }
+
+  /** Ingest new raw rows: write to the hypertable and log invalidations for
+    * anything landing below the watermark (late data). The `INSERT` +
+    * invalidation-hook path (`tsl/src/continuous_aggs/insert.c`).
+    */
+  def ingest(df: DataFrame): Unit = {
+    val cached = df.cache()
+    try {
+      source.write(cached)
+      val wm = watermark
+      val late = cached.where(unix_micros(col(source.timeCol)) < wm)
+        .agg(min(unix_micros(col(source.timeCol))), max(unix_micros(col(source.timeCol))))
+        .head()
+      if (!late.isNullAt(0)) invalidate(late.getLong(0), late.getLong(1) + 1)
+    } finally cached.unpersist()
+  }
+
+  /** Real-time view: materialized below the watermark, live aggregation at
+    * or above it (`create.c:583-592` union view).
+    */
+  def realtime: DataFrame = {
+    val wm = watermark
+    if (wm == Long.MinValue) return liveFrom(Long.MinValue / 2)
+    materialized.where(unix_micros(col(defn.bucketCol)) < wm)
+      .unionByName(liveFrom(wm))
+  }
+
+  private def liveFrom(wmMicros: Long): DataFrame = {
+    val raw = source.read().where(unix_micros(col(source.timeCol)) >= wmMicros)
+    raw.groupBy(
+        (bucketOf(col(source.timeCol)).as(defn.bucketCol) +:
+          defn.groupCols.map(col)): _*)
+      .agg(defn.aggs.head, defn.aggs.tail: _*)
+  }
+}
+
+object ContinuousAggregate {
+  private val BUCKET = "_bucket"
+  private val OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
+
+  def create(spark: SparkSession, path: String, source: Hypertable,
+      defn: CaggDef): ContinuousAggregate = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(path))
+    new ContinuousAggregate(spark, path, source, defn)
+  }
+}

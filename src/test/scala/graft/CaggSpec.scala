@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Hypertable
+import graft.streaming.{CaggDef, CaggStream, ContinuousAggregate}
+import graft.{functions => gf}
+
+class CaggSpec extends AnyFunSuite {
+  lazy val spark = Graft.session("cagg-spec", "local[4]", 4)
+  import spark.implicits._
+
+  private val defn = CaggDef("1 hour", Seq("event_type"), Seq(
+    count(lit(1)).as("n"),
+    min(col("value")).as("min_value"),
+    max(col("value")).as("max_value")))
+
+  private def freshCagg(): (Hypertable, ContinuousAggregate) = {
+    val dir = Files.createTempDirectory("graft_cagg").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht, defn)
+    (ht, cagg)
+  }
+
+  private def us(s: String): Long = Timestamp.valueOf(s).getTime * 1000L
+
+  private def directAgg(ht: Hypertable) =
+    ht.read()
+      .groupBy(gf.time_bucket("1 hour", $"ts").as("bucket"), $"event_type")
+      .agg(defn.aggs.head, defn.aggs.tail: _*)
+
+  test("full refresh materializes the same rows as a direct aggregation") {
+    val (ht, cagg) = freshCagg()
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    val mat = cagg.materialized.collect().toSet
+    val direct = directAgg(ht).collect().toSet
+    assert(mat === direct)
+    assert(cagg.watermark === us("2024-02-01 00:00:00"))
+  }
+
+  test("refresh window is inscribed to whole buckets") {
+    val (_, cagg) = freshCagg()
+    val (s, e) = cagg.inscribe(us("2024-01-05 10:30:00"), us("2024-01-05 13:30:00"))
+    assert(s === us("2024-01-05 11:00:00"))
+    assert(e === us("2024-01-05 13:00:00"))
+  }
+
+  test("late data below the watermark is invalidated and re-materialized") {
+    val (ht, cagg) = freshCagg()
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    // pick an hour bucket that exists in the materialization
+    val probe = cagg.materialized.where($"event_type" === "click")
+      .orderBy($"bucket").select($"bucket", $"n").as[(Timestamp, Long)].head()
+    val (bkt, before) = probe
+    def nAt(): Long = cagg.materialized
+      .where($"bucket" === bkt && $"event_type" === "click")
+      .select($"n").as[Long].head()
+    // out-of-order row lands mid-bucket, far below the watermark
+    val lateTs = new Timestamp(bkt.getTime + 30 * 60 * 1000)
+    val late = Seq((999999L, lateTs, 1L, "click", 42.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    cagg.ingest(late)
+    assert(cagg.pendingInvalidations().nonEmpty)
+    // not yet visible in the materialization
+    assert(nAt() === before)
+    cagg.refreshInvalidated()
+    assert(cagg.pendingInvalidations().isEmpty)
+    assert(nAt() === before + 1)
+    // the rest of the materialization still matches a direct aggregation
+    assert(cagg.materialized.collect().toSet === directAgg(ht).collect().toSet)
+  }
+
+  test("realtime view unions materialized and live slices") {
+    val (ht, cagg) = freshCagg()
+    // materialize only the first half of January
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-01-15 00:00:00"))
+    assert(cagg.watermark === us("2024-01-15 00:00:00"))
+    val rt = cagg.realtime.collect().toSet
+    val direct = directAgg(ht).collect().toSet
+    assert(rt === direct)
+    // and the mat table alone is only the first half
+    assert(cagg.materialized.where($"bucket" >= Timestamp.valueOf("2024-01-15 00:00:00")).count() === 0)
+  }
+
+  test("streaming ingest via foreachBatch feeds the cagg") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (ht, cagg) = freshCagg()
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    val n0 = cagg.materialized.agg(sum($"n")).as[Long].head()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val q = CaggStream.attach(cagg, stream, ckpt, refreshEachBatch = true)
+    mem.addData((1000001L, Timestamp.valueOf("2024-01-10 10:10:00"), 5L, "click", 1.0, "{}"))
+    mem.addData((1000002L, Timestamp.valueOf("2024-01-10 10:20:00"), 5L, "view", 2.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val n1 = cagg.materialized.agg(sum($"n")).as[Long].head()
+    assert(n1 === n0 + 2)
+    assert(cagg.materialized.collect().toSet === directAgg(ht).collect().toSet)
+  }
+}
