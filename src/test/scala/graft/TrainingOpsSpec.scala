@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class TrainingOpsSpec extends AnyFunSuite {
+  lazy val spark = Graft.session("training-ops-spec", "local[4]", 4)
+  import spark.implicits._
+
+  private lazy val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+
+  test("exact dedup finds injected duplicates") {
+    val dup = docs.limit(3).withColumn("doc_id", col("doc_id") + 100000)
+    val withDups = docs.unionByName(dup)
+    val groups = Dedup.exactGroups(withDups, "text", "doc_id")
+    assert(groups.where($"n" === 2).count() === 3)
+    val kept = Dedup.dropExactDuplicates(withDups, "text", "doc_id")
+    assert(kept.count() === docs.count())
+    // lowest id survives
+    assert(kept.where($"doc_id" >= 100000).count() === 0)
+  }
+
+  test("minhash+LSH near-dup pipeline finds a perturbed copy") {
+    // perturb one word of doc 0 — jaccard stays high
+    val d0 = docs.where($"doc_id" === 0).select($"text").as[String].head()
+    val perturbed = d0.split(" ").zipWithIndex
+      .map { case (w, i) => if (i == 3) "zzz" else w }.mkString(" ")
+    val withNear = docs.unionByName(Seq((99999L, perturbed, "en", "x", perturbed.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val pairs = Dedup.nearDuplicatePairs(withNear, "doc_id", "text",
+      threshold = 0.5, shingleN = 3, numHashes = 32, bands = 16)
+    val hit = pairs.where($"doc_id_a" === 0 && $"doc_id_b" === 99999)
+    assert(hit.count() === 1)
+    assert(hit.select($"jaccard").as[Double].head() > 0.5)
+    // every emitted pair really is above the threshold (exact verify stage)
+    assert(pairs.where($"jaccard" < 0.5).count() === 0)
+  }
+
+  test("minhash estimate approximates exact jaccard") {
+    val sh = Dedup.shingles(lit("a b c d e f g h i j"), 2)
+    val sh2 = Dedup.shingles(lit("a b c d e f g h i zzz"), 2)
+    val est = spark.range(1).select(
+      Dedup.minhashEstimate(
+        Dedup.minhashSignature(sh, 64), Dedup.minhashSignature(sh2, 64)).as("est"),
+      Dedup.jaccard(sh, sh2).as("exact")).head()
+    assert(math.abs(est.getDouble(0) - est.getDouble(1)) < 0.25)
+  }
+
+  test("simhash: identical texts collide, perturbed texts stay close") {
+    val d0 = docs.where($"doc_id" === 0).select($"text").as[String].head()
+    val perturbed = d0.split(" ").zipWithIndex
+      .map { case (w, i) => if (i == 2) "qqq" else w }.mkString(" ")
+    val df = Seq((1L, d0), (2L, d0), (3L, perturbed)).toDF("id", "text")
+      .select($"id", Dedup.simhash64($"text").as("sig"))
+    val sigs = df.orderBy("id").select($"sig").as[Long].collect()
+    assert(sigs(0) === sigs(1))
+    val ham = spark.range(1).select(
+      Dedup.hamming64(lit(sigs(0)), lit(sigs(2)))).as[Long].head()
+    assert(ham <= 16, s"perturbation moved $ham bits")
+  }
+
+  test("simhash banded candidates find the near pair") {
+    val d0 = docs.where($"doc_id" === 0).select($"text").as[String].head()
+    val perturbed = d0.split(" ").zipWithIndex
+      .map { case (w, i) => if (i == 2) "qqq" else w }.mkString(" ")
+    val withNear = docs.unionByName(Seq((99999L, perturbed, "en", "x", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val pairs = Dedup.simhashCandidatePairs(withNear, "doc_id", "text", maxHamming = 16)
+    assert(pairs.where($"doc_id_a" === 0 && $"doc_id_b" === 99999).count() === 1)
+  }
+
+  test("ANN top-k finds planted near neighbors") {
+    // random synthetic embeddings have no meaningful neighbors, so plant
+    // some: 5 small perturbations of the query vector must dominate the
+    // top-k and survive the LSH bucketing.
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.where($"vec_id" === 1)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val planted = (1 to 5).map { i =>
+      (10000L + i, q.zipWithIndex.map { case (x, j) =>
+        (x + (if (j % 5 == i % 5) 0.02 * i else 0.0)).toFloat }.toArray)
+    }
+    val withPlanted = emb.select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .unionByName(planted.toDF("vec_id", "embedding"))
+    val ann = Similarity.annTopK(withPlanted, "vec_id", "embedding", q, 6,
+      numPlanes = 12, maxFlips = 3)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(ann.contains(1L)) // the query vector itself is its own nearest
+    val found = ann.count(_ > 10000L)
+    assert(found >= 4, s"recall too low: $found/5 planted neighbors in top-6")
+  }
+
+  test("text analysis basics") {
+    val r = spark.range(1).select(
+      TextAnalysis.token_count(lit("  the cat  sat ")).as("t"),
+      TextAnalysis.subword_count(lit("don't stop 123")).as("p"),
+      TextAnalysis.lang_id(lit("the cat and the dog is here")).as("l"),
+      TextAnalysis.lang_id(lit("xyzzy qwerty")).as("u")).head()
+    assert(r.getInt(0) === 3)
+    assert(r.getInt(1) === 5) // don | ' | t | stop | 123
+    assert(r.getString(2) === "en")
+    assert(r.getString(3) === "und")
+  }
+
+  test("multimodal: fake container round-trips and decode is partition-parallel") {
+    val media = docs.select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, txt) =>
+        (id, Multimodal.encodeFake("vid", 320, 240, 100, txt.getBytes("UTF-8")))
+      }.toDF("doc_id", "media").repartition(4)
+    val decoded = Multimodal.decode(spark, media, "doc_id", "media")
+    assert(decoded.count() === docs.count())
+    val row = decoded.where($"id" === 0).head()
+    assert(row.format === "vid" && row.width === 320 && row.height === 240 && row.frames === 100)
+    assert(row.feature.length === 8)
+    // corrupt rows are dropped, not fatal
+    val corrupt = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
+    assert(Multimodal.decode(spark, corrupt, "doc_id", "media").count() === 0)
+    // frame sampling
+    assert(Multimodal.sampleFrameIndices(100, 4) === Seq(0, 25, 50, 75))
+    assert(Multimodal.sampleFrameIndices(3, 10) === Seq(0, 1, 2))
+  }
+}
