@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.{functions => gf}
-import graft.operators.{Dedup, Gapfill, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Gapfill, Joins, Multimodal, Similarity, Stats, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -234,6 +236,117 @@ object SparkEntry {
           round(aggregate(col("feature").cast("array<double>"), lit(0.0),
             (a, x) => a + x), 3).as("feature_sum"))
         .orderBy("id")
+    }),
+
+    // §2.3 joins over the star schema: revenue per nation, dims broadcast.
+    "q20_join_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_name"))
+    }),
+
+    // §2.3 as-of join: each purchase picks up the user's latest click at or
+    // before it (single shuffle union+window — no inequality join).
+    "q21_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      Joins.asOf(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("value_asof").as("click_value"), col("ts_matched").as("click_ts"))
+        .orderBy("event_id")
+    }),
+
+    // §2.5 window functions: per-user delta and per-second rate of change.
+    "q22_window_delta" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .withColumn("delta", col("value") - col("prev_value"))
+        .withColumn("rate", (col("value") - col("prev_value")) /
+          ((unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w))).cast("double") / 1e6))
+        .orderBy("event_id")
+    }),
+
+    // §2.4 DISTINCT (SkipScan surface): distinct (event_type, user_id).
+    "q23_distinct" -> ((s, dir) => {
+      t(s, dir, "events").select("event_type", "user_id").distinct()
+        .orderBy("event_type", "user_id")
+    }),
+
+    // §2.6 top-k ordered scan: latest 100 high-value events — a
+    // TakeOrderedAndProject, no global sort.
+    "q24_topk_recent" -> ((s, dir) => {
+      t(s, dir, "events").where(col("value") > 100)
+        .select("event_id", "ts", "value")
+        .orderBy(col("ts").desc, col("event_id")).limit(100)
+    }),
+
+    // §2.7 set ops: customers with no orders ∪ customers with a big order.
+    "q25_setops" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      val ords = t(s, dir, "orders")
+      val noOrders = cust.except(ords.select(col("o_custkey").as("custkey")))
+      val bigSpender = cust.intersect(
+        ords.where(col("o_totalprice") > 200000).select(col("o_custkey").as("custkey")))
+      noOrders.withColumn("grp", lit("no_orders"))
+        .unionByName(bigSpender.withColumn("grp", lit("big_spender")))
+        .orderBy("grp", "custkey")
+    }),
+
+    // §2.10 hopping window (native superset of the reference's tumbling).
+    "q26_hopping_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("ws", "event_type")
+    }),
+
+    // §2.10 session window per user (30-minute inactivity gap).
+    "q27_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // §2.4 approximate_row_count: exact row counts from parquet footers —
+    // no column data scanned (footers are read on executors).
+    "q28_row_count" -> ((s, dir) => {
+      import s.implicits._
+      Seq("customer", "documents", "events", "lineitem", "orders")
+        .map(n => (n, Stats.rowCount(s, s"$dir/$n.parquet")))
+        .toDF("tbl", "n").orderBy("tbl")
+    }),
+
+    // §2.1 ColumnarIndexScan: min/max answered from footer statistics only.
+    "q29_stats_minmax" -> ((s, dir) => {
+      import s.implicits._
+      val p = s"$dir/events.parquet"
+      val (vmin, vmax) = Stats.minMax(s, p, "value")
+      val (tmin, tmax) = Stats.minMax(s, p, "ts")
+      Seq((vmin.get.asInstanceOf[Double], vmax.get.asInstanceOf[Double],
+        tmin.get.asInstanceOf[Long] / 1000L, tmax.get.asInstanceOf[Long] / 1000L))
+        .toDF("value_min", "value_max", "ts_min_us", "ts_max_us")
+        .select(col("value_min"), col("value_max"),
+          timestamp_micros(col("ts_min_us")).as("ts_min"),
+          timestamp_micros(col("ts_max_us")).as("ts_max"))
     })
   )
 
@@ -410,6 +523,88 @@ object SparkEntry {
         |  / (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y))
         |     * sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y))) AS sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT * FROM p WHERE sim >= 0.45 ORDER BY 1, 2""".stripMargin
+        |SELECT * FROM p WHERE sim >= 0.45 ORDER BY 1, 2""".stripMargin,
+
+    "q20_join_revenue" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        | AND CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01 00:00:00'
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q21_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |       c.value AS click_value, c.ts AS click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q22_window_delta" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        | lag(value) OVER w AS prev_value,
+        | value - lag(value) OVER w AS delta,
+        | (value - lag(value) OVER w) /
+        |   (CAST(epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) AS DOUBLE) / 1e6) AS rate
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q23_distinct" ->
+      "SELECT DISTINCT event_type, user_id FROM events ORDER BY 1, 2",
+
+    "q24_topk_recent" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |WHERE value > 100 ORDER BY ts DESC, event_id LIMIT 100""".stripMargin,
+
+    "q25_setops" ->
+      """SELECT custkey, 'no_orders' AS grp FROM
+        | (SELECT c_custkey AS custkey FROM customer
+        |  EXCEPT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT custkey, 'big_spender' AS grp FROM
+        | (SELECT c_custkey AS custkey FROM customer
+        |  INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        |ORDER BY grp, custkey""".stripMargin,
+
+    "q26_hopping_window" ->
+      """SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+        |         - j * INTERVAL '30 minutes' AS ws,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS j) u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q27_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |x AS (SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+        |      THEN 1 ELSE 0 END AS brk FROM e),
+        |y AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM x)
+        |SELECT user_id, MIN(ts) AS session_start,
+        | MAX(ts) + INTERVAL '30 minutes' AS session_end,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM y GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin,
+
+    "q28_row_count" ->
+      """SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer
+        |UNION ALL SELECT 'documents', COUNT(*) FROM documents
+        |UNION ALL SELECT 'events', COUNT(*) FROM events
+        |UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        |ORDER BY tbl""".stripMargin,
+
+    "q29_stats_minmax" ->
+      """SELECT MIN(value) AS value_min, MAX(value) AS value_max,
+        | MIN(CAST(ts AS TIMESTAMP)) AS ts_min, MAX(CAST(ts AS TIMESTAMP)) AS ts_max
+        |FROM events""".stripMargin
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.SerializableConfiguration
+
+/** Metadata-only queries over parquet footers — the Spark-native
+  * equivalent of the reference's statistics paths:
+  *
+  *  - `approximate_row_count` (`sql/size_utils.sql:311-340`): catalog-stats
+  *    row estimate → parquet footer row counts (exact here, no data scan);
+  *  - ColumnarIndexScan (`tsl/src/nodes/columnar_index_scan/
+  *    columnar_index_scan.c:19-27`): min/max answered from per-batch sparse
+  *    metadata → parquet column statistics in the footer.
+  *
+  * Footers are read on the EXECUTORS (files are parallelized), so this
+  * scales to 100 TB tables with millions of files: the driver only ships
+  * paths and collects one (count, min, max) per file.
+  */
+object Stats {
+
+  case class FileStats(rows: Long, min: Option[Any], max: Option[Any])
+
+  private def listParquetFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(dir: Path): Seq[String] =
+      fs.listStatus(dir).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath.toString)
+        else Nil
+      }
+    if (fs.getFileStatus(p).isFile) Seq(path) else walk(p)
+  }
+
+  /** Exact row count from footers only — no column data is read. */
+  def rowCount(spark: SparkSession, path: String): Long = {
+    val files = listParquetFiles(spark, path)
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map { f =>
+        val in = HadoopInputFile.fromPath(new Path(f), conf.value)
+        val r = ParquetFileReader.open(in)
+        try r.getRowGroups.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }
+      .fold(0L)(_ + _)
+  }
+
+  /** (min, max) of a column from footer statistics only. Returns the raw
+    * parquet-typed values (e.g. Long for INT64 nano timestamps, Double for
+    * DOUBLE); None when no file carries stats. Nulls don't contribute.
+    */
+  def minMax(spark: SparkSession, path: String, column: String): (Option[Any], Option[Any]) = {
+    val files = listParquetFiles(spark, path)
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val perFile = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map(f => columnStats(conf.value, f, column))
+      .collect()
+    val mins = perFile.flatMap(_._1)
+    val maxs = perFile.flatMap(_._2)
+    (if (mins.isEmpty) None else Some(mins.minBy(comparableKey)),
+     if (maxs.isEmpty) None else Some(maxs.maxBy(comparableKey)))
+  }
+
+  private def comparableKey(v: Any): BigDecimal = v match {
+    case l: java.lang.Long    => BigDecimal(l)
+    case i: java.lang.Integer => BigDecimal(i.toInt)
+    case d: java.lang.Double  => BigDecimal(d)
+    case f: java.lang.Float   => BigDecimal(f.toDouble)
+    case other => throw new IllegalArgumentException(
+      s"minMax supports numeric/timestamp columns, got ${other.getClass}")
+  }
+
+  private def columnStats(conf: Configuration, file: String,
+      column: String): (Option[Any], Option[Any]) = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val stats = r.getRowGroups.asScala.flatMap { rg =>
+        rg.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .map(_.getStatistics)
+          .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+      }
+      val mins = stats.map(s => s.genericGetMin.asInstanceOf[Any])
+      val maxs = stats.map(s => s.genericGetMax.asInstanceOf[Any])
+      (if (mins.isEmpty) None else Some(mins.minBy(comparableKey)),
+       if (maxs.isEmpty) None else Some(maxs.maxBy(comparableKey)))
+    } finally r.close()
+  }
+}
