@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions._
+
+/** `SparkSessionExtensions` entry point — enables
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`), the idiomatic analogue
+  * of the reference's planner-hook installation
+  * (`src/planner/planner.c:2165-2168`): SQL functions plus the
+  * sort-transform optimizer rule land on every session built with it.
+  * [[Graft.init]] applies the same registrations to an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.functionBuilders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
+    ext.injectOptimizerRule(_ => graft.plans.SortTransform)
+  }
+}
+
+object GraftExtensions {
+  /** Shared with [[Graft.init]] so both registration paths agree. */
+  val functionBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "time_bucket" -> {
+      case Seq(w, t)    => TimeBucket(w, t, None)
+      case Seq(w, t, o) => TimeBucket(w, t, Some(o))
+      case exprs => throw new IllegalArgumentException(
+        s"time_bucket requires 2 or 3 arguments, got ${exprs.length}")
+    },
+    "to_uuidv7" -> { case Seq(e) => ToUuidV7(e, boundary = false) },
+    "to_uuidv7_boundary" -> { case Seq(e) => ToUuidV7(e, boundary = true) },
+    "uuid_timestamp" -> { case Seq(e) => UuidTimestamp(e, withMicros = false) },
+    "uuid_timestamp_micros" -> { case Seq(e) => UuidTimestamp(e, withMicros = true) },
+    "uuid_version" -> { case Seq(e) => UuidVersion(e) },
+    "generate_uuidv7" -> { case Seq() => GenerateUuidV7() },
+    "simhash64" -> { case Seq(e) => SimHash64(e) })
+}
