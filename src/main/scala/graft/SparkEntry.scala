@@ -209,7 +209,7 @@ object SparkEntry {
     "q17_minhash_sig" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
-        Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 32).as("sig"))
+        Dedup.minhashFast(col("text"), 3, 32).as("sig"))
         .orderBy("doc_id")
     }),
 
@@ -333,6 +333,39 @@ object SparkEntry {
       Seq("customer", "documents", "events", "lineitem", "orders")
         .map(n => (n, Stats.rowCount(s, s"$dir/$n.parquet")))
         .toDF("tbl", "n").orderBy("tbl")
+    }),
+
+    // §1.2 jsonb surface: extract props.k, aggregate per type (long sums).
+    "q30_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+        .orderBy("event_type")
+    }),
+
+    // §2.4 grouping sets: rollup over returnflag/linestatus, decimal sums.
+    "q31_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // §2.4 stddev/variance family — exact decimal moments, finalized in
+    // double with identical arithmetic order on both engines.
+    "q32_stats_spread" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("sum_v"),
+          expr("CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)").as("sum_v2"),
+          expr("""SQRT((CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)
+                 - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+                 / (COUNT(*) - 1))""").as("stddev_v"))
+        .orderBy("event_type")
     }),
 
     // §2.1 ColumnarIndexScan: min/max answered from footer statistics only.
@@ -605,6 +638,28 @@ object SparkEntry {
     "q29_stats_minmax" ->
       """SELECT MIN(value) AS value_min, MAX(value) AS value_max,
         | MIN(CAST(ts AS TIMESTAMP)) AS ts_min, MAX(CAST(ts AS TIMESTAMP)) AS ts_max
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "q30_json_extract" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q31_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q32_stats_spread" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_v2,
+        | SQRT((CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)
+        |   - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+        |   / (COUNT(*) - 1)) AS stddev_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

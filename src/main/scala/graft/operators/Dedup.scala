@@ -42,10 +42,20 @@ object Dedup {
 
   /** MinHash signature: k independent min-hashes over the shingle set.
     * Hash i of shingle s = xxhash64(i, s) — deterministic, seedable.
+    * Portable column formulation; for the hot path use [[minhashFast]]
+    * (single pass, no shingle strings materialized).
     */
   def minhashSignature(shingleArr: Column, k: Int): Column =
     array((0 until k).map(i =>
       array_min(transform(shingleArr, s => xxhash64(lit(i), s)))): _*)
+
+  /** Single-pass MinHash signature of the text's word n-grams (custom
+    * expression, see [[graft.expressions.MinHashSig]]) — the at-scale path.
+    */
+  def minhashFast(text: Column, shingleN: Int, k: Int): Column =
+    org.apache.spark.sql.GraftShims.toColumn(graft.expressions.MinHashSig(
+      org.apache.spark.sql.GraftShims.toExpression(split(trim(text), "\\s+")),
+      shingleN, k))
 
   /** Estimated Jaccard from two signatures: fraction of agreeing hashes. */
   def minhashEstimate(sigA: Column, sigB: Column): Column =
@@ -67,7 +77,7 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignature(shingles(col(textCol), shingleN), numHashes)
+    val sig = minhashFast(col(textCol), shingleN, numHashes)
     val banded = df.select(col(idCol),
         explode(lshBands(sig, bands, rows)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))

@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in doubles, sequential fold (deterministic). */
+  /** Σ aᵢ·bᵢ in doubles, sequential fold (deterministic — same accumulation
+    * order as DuckDB's list_reduce). Codegen'd single loop, no per-element
+    * lambda dispatch (see [[graft.expressions.DotProduct]]).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
-      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftShims.toColumn(graft.expressions.DotProduct(
+      org.apache.spark.sql.GraftShims.toExpression(a),
+      org.apache.spark.sql.GraftShims.toExpression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -71,14 +75,18 @@ object Similarity {
   }
 
   /** All pairs with cosine >= threshold — brute self-join baseline
-    * (exact; O(n²), for modest n or as the in-bucket verifier).
+    * (exact; O(n²), for modest n or as the in-bucket verifier). Norms are
+    * computed once per row BEFORE the join (1 dot per pair, not 3);
+    * `dot/(normA*normB)` keeps the oracle's arithmetic order.
     */
   def bruteForcePairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      norm(col(vecCol)).as("n_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      norm(col(vecCol)).as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("v_a"), col("v_b")))
+      .withColumn("sim", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

@@ -70,15 +70,19 @@ class Hypertable private (
   /** Full table read; `_chunk` (and `_space`) come back as partition cols. */
   def read(): DataFrame = spark.read.parquet(path)
 
-  /** Read with chunk exclusion: adds both the row-level time predicate and
-    * the derived `_chunk` partition predicate so pruning happens at
-    * planning time (reference plan-time exclusion,
-    * `src/planner/expand_hypertable.c:1007-1172`).
+  /** Read with chunk exclusion: the chunk catalog (dir listing + recorded
+    * ranges) supplies the `_chunk` partition IN-list, plus the row-level
+    * time predicate — plan-time exclusion like the reference's
+    * constraint-scan (`src/planner/expand_hypertable.c:1007-1172`,
+    * `ChunkScanCtx` `src/chunk.h:93-98`). Catalog-driven (not arithmetic)
+    * so merged/split chunks with non-derived ranges still resolve.
     */
   def between(startMicros: Long, endMicros: Long): DataFrame = {
-    val startChunk = TimeBucketUtil.bucketMicros(startMicros, chunkWidthMicros, TimeBucketUtil.SENTINEL)
+    val hit = showChunks()
+      .filter(c => c.startMicros < endMicros && c.endMicros > startMicros)
+      .map(_.startMicros)
     read()
-      .where(col(CHUNK) >= startChunk && col(CHUNK) < endMicros)
+      .where(col(CHUNK).isin(hit: _*))
       .where(col(timeCol) >= timestamp_micros(lit(startMicros)) &&
         col(timeCol) < timestamp_micros(lit(endMicros)))
   }
@@ -86,7 +90,10 @@ class Hypertable private (
   def between(start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame =
     between(start.getTime * 1000L, end.getTime * 1000L)
 
-  /** show_chunks: all chunks, optionally only those fully older than a cutoff. */
+  /** show_chunks: all chunks, optionally only those fully older than a
+    * cutoff. A chunk's range is [dirStart, dirStart+width) unless a
+    * `_range` file (written by merge/split) records a different end.
+    */
   def showChunks(olderThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
     val dir = new Path(path)
     if (!fs.exists(dir)) return Seq.empty
@@ -94,13 +101,77 @@ class Hypertable private (
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$CHUNK="))
       .map { s =>
         val start = s.getPath.getName.stripPrefix(s"$CHUNK=").toLong
-        ChunkInfo(start, start + chunkWidthMicros, s.getPath.toString)
+        val rangeFile = new Path(s.getPath, RANGE)
+        val end =
+          if (fs.exists(rangeFile)) readSmallFile(fs, rangeFile).trim.toLong
+          else start + chunkWidthMicros
+        ChunkInfo(start, end, s.getPath.toString)
       }
       .sortBy(_.startMicros)
     olderThanMicros match {
       case Some(cut) => chunks.filter(_.endMicros <= cut)
       case None      => chunks
     }
+  }
+
+  private def chunkAt(startMicros: Long): ChunkInfo =
+    showChunks().find(_.startMicros == startMicros).getOrElse(
+      throw new IllegalArgumentException(s"no chunk starting at $startMicros"))
+
+  private def writeRange(chunkPath: String, endMicros: Long): Unit = {
+    val out = fs.create(new Path(chunkPath, RANGE), true)
+    out.write(endMicros.toString.getBytes("UTF-8")); out.close()
+  }
+
+  /** Rows of one chunk, partition columns dropped (for physical rewrite). */
+  private def chunkRows(c: ChunkInfo): DataFrame =
+    spark.read.parquet(c.path)
+
+  /** Rewrite `df` as the physical content of the chunk dir at `start`
+    * (tmp + swap; `_space` sub-partitioning preserved).
+    */
+  private def rewriteChunkDir(startMicros: Long, endMicros: Long, df: DataFrame): Unit = {
+    val target = new Path(path, s"$CHUNK=$startMicros")
+    // dot-prefixed: invisible to Spark's file index while in flight
+    val tmp = new Path(path, s".tmp_chunk_$startMicros")
+    var w = df.write.mode(SaveMode.Overwrite)
+    if (spaceCol.isDefined) w = w.partitionBy(SPACE)
+    w.parquet(tmp.toString)
+    fs.delete(target, true)
+    fs.rename(tmp, target)
+    writeRange(target.toString, endMicros)
+  }
+
+  /** merge_chunks (`sql/maintenance_utils.sql:8-30`): coalesce two ADJACENT
+    * chunks into one covering both ranges — fewer chunks/files for cold
+    * data. The merged dir keeps the earlier start; its `_range` records the
+    * combined end.
+    */
+  def mergeChunks(startA: Long, startB: Long): ChunkInfo = {
+    val Seq(a, b) = Seq(chunkAt(startA), chunkAt(startB)).sortBy(_.startMicros)
+    require(a.endMicros == b.startMicros,
+      s"chunks must be adjacent: [${a.startMicros},${a.endMicros}) / [${b.startMicros},${b.endMicros})")
+    val rows = chunkRows(a).unionByName(chunkRows(b)).coalesce(1)
+    rewriteChunkDir(a.startMicros, b.endMicros, rows)
+    fs.delete(new Path(b.path), true)
+    ChunkInfo(a.startMicros, b.endMicros, a.path)
+  }
+
+  /** split_chunk (`sql/maintenance_utils.sql:60-80`): split one chunk at a
+    * time point into two chunks covering [start, at) and [at, end).
+    */
+  def splitChunk(startMicros: Long, atMicros: Long): (ChunkInfo, ChunkInfo) = {
+    val c = chunkAt(startMicros)
+    require(atMicros > c.startMicros && atMicros < c.endMicros,
+      s"split point $atMicros outside chunk [${c.startMicros},${c.endMicros})")
+    val rows = chunkRows(c).cache()
+    try {
+      val at = timestamp_micros(lit(atMicros))
+      rewriteChunkDir(atMicros, c.endMicros, rows.where(col(timeCol) >= at))
+      rewriteChunkDir(c.startMicros, atMicros, rows.where(col(timeCol) < at))
+    } finally rows.unpersist()
+    (ChunkInfo(c.startMicros, atMicros, c.path),
+     ChunkInfo(atMicros, c.endMicros, s"$path/$CHUNK=$atMicros"))
   }
 
   /** drop_chunks(older_than): delete chunks whose range ends at or before
@@ -120,6 +191,18 @@ object Hypertable {
   val CHUNK = "_chunk"
   val SPACE = "_space"
   private val META = "_graft_hypertable.json"
+  private val RANGE = "_graft_range"
+
+  private[sources] def readSmallFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      var n = in.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
 
   /** Declare (or re-open) a hypertable rooted at `path`. Default chunk width
     * is the reference's 7 days (`src/dimension.h:115`).

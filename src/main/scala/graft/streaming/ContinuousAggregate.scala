@@ -16,12 +16,24 @@ case class CaggDef(
     bucketWidth: String,
     groupCols: Seq[String],
     aggs: Seq[Column],
-    bucketCol: String = "bucket") {
-  private[streaming] val widthMicros: Long = {
+    bucketCol: String = "bucket",
+    /** Partition width of the materialization table. One partition dir per
+      * BUCKET would melt the metadata layer (a year of minute-buckets =
+      * 525k dirs); one dir per mat-chunk keeps listing/commit costs
+      * O(chunks) while refresh still replaces only touched chunks.
+      */
+    matChunkWidth: String = "7 days") {
+  private def micros(s: String): Long = {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(bucketWidth))
-    require(iv.months == 0, "month-width caggs not supported yet; use fixed widths")
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0, "month widths not supported yet; use fixed widths")
     iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds
+  }
+  private[streaming] val widthMicros: Long = micros(bucketWidth)
+  private[streaming] val matChunkMicros: Long = {
+    val m = micros(matChunkWidth)
+    require(m >= widthMicros, "matChunkWidth must be >= bucketWidth")
+    m
   }
 }
 
@@ -80,7 +92,7 @@ class ContinuousAggregate(
     if (!fs.exists(new Path(matPath))) return emptyLike()
     val df = spark.read.parquet(matPath)
       .withColumn(defn.bucketCol, timestamp_micros(col(BUCKET)))
-      .drop(BUCKET)
+      .drop(BUCKET, MATCHUNK)
     val aggCols = df.columns.filterNot(c =>
       c == defn.bucketCol || defn.groupCols.contains(c))
     df.select((defn.bucketCol +: defn.groupCols) ++ aggCols map col: _*)
@@ -120,26 +132,53 @@ class ContinuousAggregate(
     (s, e)
   }
 
+  private def matChunkOf(bucketMicros: Long): Long =
+    TimeBucketUtil.bucketMicros(bucketMicros, defn.matChunkMicros, TimeBucketUtil.SENTINEL)
+
   /** Materialize [start, end) (inscribed to whole buckets): recompute those
-    * buckets from raw and overwrite exactly their partitions. Advances the
+    * buckets from raw and rewrite exactly the mat-chunks they live in,
+    * carrying over already-materialized buckets outside the window
+    * (MERGE-per-chunk — `materialize.c:442,461,524`). Advances the
     * watermark. Returns the aligned window actually refreshed.
+    *
+    * The rewrite goes through a temp dir + per-chunk swap, so concurrent
+    * readers of a chunk see old or new files, never a mix.
     */
   def refresh(startMicros: Long, endMicros: Long): (Long, Long) = {
     val (s, e) = inscribe(startMicros, endMicros)
     if (s >= e) return (s, s)
-    val prev = spark.conf.getOption(OVERWRITE_MODE)
-    spark.conf.set(OVERWRITE_MODE, "dynamic")
-    try {
-      compute(s, e).write.mode(SaveMode.Overwrite).partitionBy(BUCKET).parquet(matPath)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(OVERWRITE_MODE, v)
-        case None    => spark.conf.unset(OVERWRITE_MODE)
-      }
+    val chunkLo = matChunkOf(s)
+    val chunkHi = matChunkOf(e - 1) + defn.matChunkMicros
+    val fresh = compute(s, e).withColumn(MATCHUNK, graftMatChunk(col(BUCKET)))
+    val combined = if (fs.exists(new Path(matPath))) {
+      val keep = spark.read.parquet(matPath)
+        .where(col(MATCHUNK) >= chunkLo && col(MATCHUNK) < chunkHi &&
+          (col(BUCKET) < s || col(BUCKET) >= e))
+        .select(fresh.columns.map(col): _*)
+      keep.unionByName(fresh)
+    } else fresh
+    val tmp = matPath.stripSuffix("/") + "__refresh_tmp"
+    combined.repartition(col(MATCHUNK))
+      .write.mode(SaveMode.Overwrite).partitionBy(MATCHUNK).parquet(tmp)
+    val tmpDirs = fs.listStatus(new Path(tmp)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$MATCHUNK="))
+    fs.mkdirs(new Path(matPath))
+    tmpDirs.foreach { st =>
+      val target = new Path(matPath, st.getPath.getName)
+      fs.delete(target, true)
+      fs.rename(st.getPath, target)
     }
+    fs.delete(new Path(tmp), true)
     if (e > watermark) setWatermark(e)
     (s, e)
   }
+
+  /** mat-chunk key of a bucket — MUST agree with [[matChunkOf]] (same
+    * time_bucket flooring, same origin), or refresh keep-filters miss the
+    * chunks the writer produced.
+    */
+  private def graftMatChunk(bucket: Column): Column =
+    unix_micros(gf.time_bucket(defn.matChunkWidth, timestamp_micros(bucket)))
 
   /** Log an invalidated time range (mutating txn below the watermark). */
   def invalidate(loMicros: Long, hiMicros: Long): Unit = {
@@ -219,7 +258,7 @@ class ContinuousAggregate(
 
 object ContinuousAggregate {
   private val BUCKET = "_bucket"
-  private val OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
+  private val MATCHUNK = "_mat_chunk"
 
   def create(spark: SparkSession, path: String, source: Hypertable,
       defn: CaggDef): ContinuousAggregate = {

@@ -73,6 +73,31 @@ class HypertableSpec extends AnyFunSuite {
     assert(h.dropChunks(cutoff).isEmpty)
   }
 
+  test("mergeChunks coalesces adjacent chunks; splitChunk reverses it") {
+    val d3 = Files.createTempDirectory("graft_ht3").toString
+    val h = Hypertable.create(spark, s"$d3/ht", "ts", chunkWidth = "1 day")
+    h.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val total = h.read().count()
+    val Seq(c1, c2) = h.showChunks().take(2)
+    val merged = h.mergeChunks(c1.startMicros, c2.startMicros)
+    assert(merged.startMicros === c1.startMicros && merged.endMicros === c2.endMicros)
+    assert(h.showChunks().size === 29)
+    assert(h.showChunks().head.endMicros === c2.endMicros)
+    assert(h.read().count() === total)
+    // between() still finds rows of the second day inside the merged chunk
+    val day2 = h.between(c2.startMicros, c2.endMicros).count()
+    val expected2 = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .where(col("ts") >= lit("2024-01-02") && col("ts") < lit("2024-01-03")).count()
+    assert(day2 === expected2)
+    // split back at the original boundary
+    val (lo, hi) = h.splitChunk(merged.startMicros, c2.startMicros)
+    assert(lo.endMicros === c2.startMicros && hi.startMicros === c2.startMicros)
+    assert(h.showChunks().size === 30)
+    assert(h.read().count() === total)
+    assert(h.between(c1.startMicros, c1.endMicros).count() ===
+      total - h.between(c2.startMicros, h.showChunks().last.endMicros).count())
+  }
+
   test("hypertable can be re-opened from metadata") {
     ht.showChunks() // force creation
     val re = Hypertable.at(spark, s"$dir/events_ht")
