@@ -86,3 +86,17 @@ object CompressionPolicy {
   def run(ht: Hypertable, opts: Columnstore.Options, olderThanMicros: Long): Seq[ChunkInfo] =
     Columnstore.compress(ht, opts, Some(olderThanMicros))
 }
+
+/** reorder_chunk (`sql/maintenance_utils.sql:83-100`) — physically re-sort
+  * a chunk by the given columns (the reference reorders along an index).
+  * Same rewrite machinery as compression, without changing segmentation.
+  */
+object ReorderPolicy {
+  def run(ht: Hypertable, orderBy: Seq[String],
+      olderThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
+    val todo = ht.showChunks(olderThanMicros)
+    todo.foreach(c => Columnstore.compressChunk(ht.spark, c.path,
+      Columnstore.Options(orderBy = orderBy)))
+    todo
+  }
+}

@@ -40,7 +40,7 @@ class Hypertable private (
     val timeCol: String,
     val chunkWidthMicros: Long,
     val spaceCol: Option[String],
-    val spacePartitions: Int) {
+    val spacePartitions: Int) extends TimeSource {
 
   import Hypertable._
 
@@ -172,6 +172,64 @@ class Hypertable private (
     } finally rows.unpersist()
     (ChunkInfo(c.startMicros, atMicros, c.path),
      ChunkInfo(atMicros, c.endMicros, s"$path/$CHUNK=$atMicros"))
+  }
+
+  /** Chunks whose range intersects the optional [lo, hi) restriction. */
+  private def chunksIn(range: Option[(Long, Long)]): Seq[ChunkInfo] = range match {
+    case Some((lo, hi)) => showChunks().filter(c => c.startMicros < hi && c.endMicros > lo)
+    case None           => showChunks()
+  }
+
+  /** DELETE — the compressed-DML path (`tsl/src/compression/
+    * compression_dml.c`): copy-on-write rewrite of each chunk that holds
+    * matching rows; untouched chunks are never read twice or rewritten.
+    * Restrict with `timeRange` to prune chunks up front (the reference
+    * locates batches by metadata the same way). Returns deleted row count.
+    */
+  def deleteWhere(pred: Column, timeRange: Option[(Long, Long)] = None): Long =
+    chunksIn(timeRange).map { c =>
+      val rows = chunkRows(c).cache()
+      try {
+        val hits = rows.where(coalesce(pred, lit(false))).count()
+        if (hits > 0)
+          rewriteChunkDir(c.startMicros, c.endMicros,
+            rows.where(!coalesce(pred, lit(false))))
+        hits
+      } finally rows.unpersist()
+    }.sum
+
+  /** UPDATE ... SET assignments WHERE pred — copy-on-write chunk rewrite
+    * like [[deleteWhere]]. Time-column updates that would move a row to a
+    * different chunk are rejected (the reference re-routes those; here,
+    * delete + re-insert instead). Returns updated row count.
+    */
+  def updateWhere(pred: Column, assignments: Map[String, Column],
+      timeRange: Option[(Long, Long)] = None): Long = {
+    require(!assignments.contains(timeCol),
+      s"updating the time column would re-route rows across chunks; delete + write instead")
+    require(spaceCol.forall(!assignments.contains(_)),
+      s"updating the space column would re-route rows across space buckets; delete + write instead")
+    chunksIn(timeRange).map { c =>
+      val rows = chunkRows(c).cache()
+      try {
+        val p = coalesce(pred, lit(false))
+        val hits = rows.where(p).count()
+        if (hits > 0) {
+          // SQL UPDATE semantics: predicate AND all new values are computed
+          // against the OLD row, so snapshot them before any column changes
+          val P = "_graft_upd_p"
+          val tmpOf = assignments.keys.map(k => k -> s"_graft_upd_$k").toMap
+          var df = rows.withColumn(P, p)
+          assignments.foreach { case (k, v) => df = df.withColumn(tmpOf(k), v) }
+          assignments.keys.foreach { k =>
+            df = df.withColumn(k, when(col(P), col(tmpOf(k))).otherwise(col(k)))
+          }
+          rewriteChunkDir(c.startMicros, c.endMicros,
+            df.drop(P).drop(tmpOf.values.toSeq: _*))
+        }
+        hits
+      } finally rows.unpersist()
+    }.sum
   }
 
   /** drop_chunks(older_than): delete chunks whose range ends at or before

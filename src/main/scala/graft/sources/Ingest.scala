@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Bulk + streaming ingest into a hypertable — the reference's COPY path
+  * (`src/copy.c:12-20`) and its tuple-routing insert
+  * (`src/chunk_tuple_routing.c:72-147`). Chunk routing and on-demand chunk
+  * creation are [[Hypertable.write]]'s `partitionBy`; this module supplies
+  * the source plumbing.
+  */
+object Ingest {
+
+  /** COPY FROM csv: schema-applied bulk load. Header/no-header and custom
+    * delimiter supported; malformed rows are dropped (PERMISSIVE would
+    * null-fill — a 100 TB load should not abort on one bad line).
+    */
+  def copyCsv(spark: SparkSession, csvPath: String, ht: Hypertable,
+      schema: StructType, header: Boolean = true, delimiter: String = ","): Long = {
+    val df = spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .option("mode", "DROPMALFORMED")
+      .csv(csvPath)
+    val n = df.count()
+    ht.write(df)
+    n
+  }
+
+  /** Streaming file ingest: watch `dir` for new files (csv or parquet) and
+    * route each micro-batch into the hypertable — `COPY` as a continuous
+    * process (Structured Streaming file source + checkpointed exactly-once
+    * file tracking).
+    */
+  def streamFiles(spark: SparkSession, dir: String, format: String,
+      schema: StructType, ht: Hypertable, checkpoint: String): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .format(format)
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) => ht.write(batch) }
+      .start()
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{functions => gf}
 import graft.expressions.TimeBucketUtil
-import graft.sources.Hypertable
+import graft.sources.{Hypertable, TimeSource}
 
 /** Definition of a continuous aggregate: bucket width + grouping + aggregate
   * expressions (the reference's direct-view query,
@@ -64,7 +64,7 @@ case class CaggDef(
 class ContinuousAggregate(
     val spark: SparkSession,
     val path: String,
-    val source: Hypertable,
+    val source: TimeSource,
     val defn: CaggDef) {
 
   import ContinuousAggregate._
@@ -226,9 +226,14 @@ class ContinuousAggregate(
     * invalidation-hook path (`tsl/src/continuous_aggs/insert.c`).
     */
   def ingest(df: DataFrame): Unit = {
+    val ht = source match {
+      case h: Hypertable => h
+      case _ => throw new UnsupportedOperationException(
+        "ingest targets a raw hypertable; hierarchical caggs ingest via their base")
+    }
     val cached = df.cache()
     try {
-      source.write(cached)
+      ht.write(cached)
       val wm = watermark
       val late = cached.where(unix_micros(col(source.timeCol)) < wm)
         .agg(min(unix_micros(col(source.timeCol))), max(unix_micros(col(source.timeCol))))
@@ -247,6 +252,20 @@ class ContinuousAggregate(
       .unionByName(liveFrom(wm))
   }
 
+  /** This cagg's materialization as a [[TimeSource]] — the input of a
+    * hierarchical (coarser) cagg: `create(spark, p2, cagg.asSource, dailyDef)`.
+    * The child reads MATERIALIZED rows only, so refresh the parent first
+    * (matching the reference: a cagg-on-cagg sees its parent's mat table).
+    */
+  def asSource: TimeSource = new TimeSource {
+    override def timeCol: String = defn.bucketCol
+    override def read(): DataFrame = materialized
+    override def between(startMicros: Long, endMicros: Long): DataFrame =
+      materialized.where(
+        unix_micros(col(defn.bucketCol)) >= startMicros &&
+        unix_micros(col(defn.bucketCol)) < endMicros)
+  }
+
   private def liveFrom(wmMicros: Long): DataFrame = {
     val raw = source.read().where(unix_micros(col(source.timeCol)) >= wmMicros)
     raw.groupBy(
@@ -260,7 +279,7 @@ object ContinuousAggregate {
   private val BUCKET = "_bucket"
   private val MATCHUNK = "_mat_chunk"
 
-  def create(spark: SparkSession, path: String, source: Hypertable,
+  def create(spark: SparkSession, path: String, source: TimeSource,
       defn: CaggDef): ContinuousAggregate = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(path))
