@@ -17,11 +17,19 @@ object Graft {
     GraftExtensions.functionBuilders.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.SortTransform))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.SortTransform
+    for (rule <- Seq(graft.plans.SortTransform, graft.plans.CaggRewrite))
+      if (!spark.experimental.extraOptimizations.contains(rule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ rule
     spark
   }
+
+  /** Opt a continuous aggregate into transparent query rewrite: matching
+    * raw-hypertable aggregations are answered from its realtime view
+    * (reference `rewrite_with_caggs.c`).
+    */
+  def registerCaggRewrite(cagg: graft.streaming.ContinuousAggregate): Unit =
+    graft.plans.CaggRewrite.register(cagg)
 
   /** Local session with the defaults every graft entry point uses. */
   def session(appName: String = "graft", master: String = "local[*]",

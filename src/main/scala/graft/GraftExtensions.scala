@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.SortTransform)
+    ext.injectOptimizerRule(_ => graft.plans.CaggRewrite)
   }
 }
 

@@ -1,0 +1,169 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.expressions.TimeBucket
+import graft.streaming.ContinuousAggregate
+
+/** Query rewrite to continuous aggregates — the reference's
+  * `rewrite_with_caggs.c:10-42` (pre-planning hook
+  * `src/planner/planner.c:700-706`): an aggregation over the RAW
+  * hypertable whose shape matches a registered cagg is silently answered
+  * from the cagg's realtime view (materialized below the watermark,
+  * live above), skipping the full raw scan.
+  *
+  * Conservative by construction — a rewrite fires only when:
+  *  - the aggregate's child is the hypertable scan (or a pure-attribute
+  *    Project over it): any Filter changes bucket contents, so none allowed;
+  *  - grouping = exactly one `time_bucket` of the registered width on the
+  *    hypertable's time column + exactly the cagg's group columns;
+  *  - every aggregate output's canonical SQL matches one of the cagg's
+  *    (the query may use a subset).
+  * Output attribute ids are preserved via aliasing, so parent operators
+  * (sorts, projections, havings) are untouched.
+  */
+object CaggRewrite extends Rule[LogicalPlan] {
+
+  /** What a registered cagg looks like to the matcher. */
+  private[graft] case class Registered(
+      cagg: ContinuousAggregate,
+      timeCol: String,
+      widthMicros: Long,
+      groupCols: Seq[String],
+      /** canonical agg SQL (sans alias) → cagg output column name */
+      aggSqlToName: Map[String, String])
+
+  private val registry = TrieMap.empty[String, Registered]
+
+  /** Register `cagg` for rewrite; keyed by its hypertable's root path. */
+  def register(cagg: ContinuousAggregate): Unit = {
+    val ht = cagg.source match {
+      case h: graft.sources.Hypertable => h
+      case _ => throw new IllegalArgumentException(
+        "only caggs over a raw hypertable can serve rewrites")
+    }
+    // resolve the cagg's agg columns against the real source to get
+    // canonical SQL for structural matching
+    val probe = ht.read()
+      .groupBy(graft.functions.time_bucket(cagg.defn.bucketWidth,
+        org.apache.spark.sql.functions.col(ht.timeCol)))
+      .agg(cagg.defn.aggs.head, cagg.defn.aggs.tail: _*)
+    val aggSql = probe.queryExecution.analyzed match {
+      case Aggregate(_, result, _, _) =>
+        result.collect { case a: Alias if hasAggregate(a.child) => a.child.sql -> a.name }.toMap
+      case _ => Map.empty[String, String]
+    }
+    registry.put(normalize(ht.path), Registered(
+      cagg, ht.timeCol, cagg.defn.widthMicros, cagg.defn.groupCols, aggSql))
+  }
+
+  def clear(): Unit = registry.clear()
+
+  private def normalize(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath.stripSuffix("/")
+
+  private def hasAggregate(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression])
+
+  /** Unwrap the aggregate's child down to a bare hypertable scan, collecting
+    * Project-introduced aliases (the optimizer's PullOutGroupingExpressions
+    * hoists `time_bucket` into a child Project) so group/agg expressions can
+    * be dereferenced back to source columns. Any Filter (or other operator)
+    * aborts the match — it would change bucket contents.
+    */
+  private def unwrap(plan: LogicalPlan):
+      Option[(String, Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])] =
+    plan match {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.toList match {
+          case p :: Nil => Some((normalize(p.toString), Map.empty))
+          case _        => None
+        }
+      case Project(projList, child)
+          if projList.forall(p => p.isInstanceOf[AttributeReference] || p.isInstanceOf[Alias]) =>
+        unwrap(child).map { case (root, defs) =>
+          val newDefs = projList.collect {
+            case a: Alias => a.exprId -> deref(a.child, defs)
+          }
+          (root, defs ++ newDefs)
+        }
+      case _ => None
+    }
+
+  /** Substitute Project-aliased attributes with their defining expressions. */
+  private def deref(e: Expression,
+      defs: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression]): Expression =
+    e.transformUp {
+      case a: AttributeReference if defs.contains(a.exprId) => defs(a.exprId)
+    }
+
+  private def widthOf(e: Expression): Option[Long] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(iv: org.apache.spark.unsafe.types.CalendarInterval, _) =>
+      if (iv.months != 0) None
+      else Some(iv.days * graft.expressions.TimeBucketUtil.MICROS_PER_DAY + iv.microseconds)
+    case org.apache.spark.sql.catalyst.expressions.Literal(us: java.lang.Long,
+        _: org.apache.spark.sql.types.DayTimeIntervalType) => Some(us)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (registry.isEmpty) return plan
+    plan.transformUp {
+      case agg @ Aggregate(groupExprs, resultExprs, child, _) =>
+        (for {
+          rootDefs <- unwrap(child)
+          reg      <- registry.get(rootDefs._1)
+          next     <- tryRewrite(groupExprs, resultExprs, rootDefs._2, reg)
+        } yield next).getOrElse(agg)
+    }
+  }
+
+  private def isBucketOf(e: Expression, reg: Registered): Boolean = e match {
+    case TimeBucket(w, t: AttributeReference, None) =>
+      t.name == reg.timeCol && widthOf(w).contains(reg.widthMicros)
+    case _ => false
+  }
+
+  private def tryRewrite(groupExprs: Seq[Expression],
+      resultExprs: Seq[NamedExpression],
+      defs: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression],
+      reg: Registered): Option[LogicalPlan] = {
+    // exactly one time_bucket(width, timeCol) group key of the right width
+    val derefGroups = groupExprs.map(g => deref(g, defs))
+    val (bucketGroups, otherGroups) = derefGroups.partition(isBucketOf(_, reg))
+    if (bucketGroups.size != 1) return None
+    val groupNames = otherGroups.map {
+      case a: AttributeReference => a.name
+      case _                     => return None
+    }
+    if (groupNames.sorted != reg.groupCols.sorted) return None
+
+    // realtime view plan (fresh watermark read), already optimized
+    val rtPlan = reg.cagg.realtime.queryExecution.optimizedPlan
+    def rtAttr(name: String): Option[Attribute] =
+      rtPlan.output.find(_.name.equalsIgnoreCase(name))
+
+    val mapped = resultExprs.map { ne =>
+      (ne, deref(ne, defs)) match {
+        case (a: Alias, d: Alias) if isBucketOf(d.child, reg) =>
+          rtAttr(reg.cagg.defn.bucketCol).map(at => Alias(at, a.name)(exprId = a.exprId))
+        case (ar: AttributeReference, d) if isBucketOf(d, reg) =>
+          rtAttr(reg.cagg.defn.bucketCol).map(at => Alias(at, ar.name)(exprId = ar.exprId))
+        case (ar: AttributeReference, _) if groupNames.contains(ar.name) =>
+          rtAttr(ar.name).map(at => Alias(at, ar.name)(exprId = ar.exprId))
+        case (a: Alias, d: Alias) if hasAggregate(d.child) =>
+          reg.aggSqlToName.get(d.child.sql)
+            .flatMap(rtAttr)
+            .map(at => Alias(at, a.name)(exprId = a.exprId))
+        case _ => None
+      }
+    }
+    if (mapped.exists(_.isEmpty)) None
+    else Some(Project(mapped.map(_.get), rtPlan))
+  }
+}

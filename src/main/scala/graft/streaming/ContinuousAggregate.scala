@@ -29,8 +29,8 @@ case class CaggDef(
     require(iv.months == 0, "month widths not supported yet; use fixed widths")
     iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds
   }
-  private[streaming] val widthMicros: Long = micros(bucketWidth)
-  private[streaming] val matChunkMicros: Long = {
+  private[graft] val widthMicros: Long = micros(bucketWidth)
+  private[graft] val matChunkMicros: Long = {
     val m = micros(matChunkWidth)
     require(m >= widthMicros, "matChunkWidth must be >= bucketWidth")
     m

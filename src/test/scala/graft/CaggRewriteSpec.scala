@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.CaggRewrite
+import graft.sources.Hypertable
+import graft.streaming.{CaggDef, ContinuousAggregate}
+import graft.{functions => gf}
+
+class CaggRewriteSpec extends AnyFunSuite {
+  lazy val spark = Graft.session("cagg-rewrite-spec", "local[4]", 4)
+  import spark.implicits._
+
+  private def us(s: String) = Timestamp.valueOf(s).getTime * 1000L
+
+  private def setup(): (Hypertable, ContinuousAggregate) = {
+    CaggRewrite.clear()
+    val dir = Files.createTempDirectory("graft_cagg_rw").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht,
+      CaggDef("1 hour", Seq("event_type"), Seq(
+        count(lit(1)).as("n"), min($"value").as("min_value"))))
+    (ht, cagg)
+  }
+
+  private def rawHourly(ht: Hypertable) = ht.read()
+    .groupBy(gf.time_bucket("1 hour", $"ts").as("bucket"), $"event_type")
+    .agg(count(lit(1)).as("n"), min($"value").as("min_value"))
+
+  private def scansMat(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.toString.contains("_mat_chunk")
+
+  test("matching raw aggregation is answered from the cagg") {
+    val (ht, cagg) = setup()
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    val direct = rawHourly(ht).collect().toSet
+    Graft.registerCaggRewrite(cagg)
+    val q = rawHourly(ht)
+    assert(scansMat(q), s"expected mat scan in:\n${q.queryExecution.optimizedPlan}")
+    assert(q.collect().toSet === direct)
+  }
+
+  test("rewrite composes with the realtime union under partial materialization") {
+    val (ht, cagg) = setup()
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-01-15 00:00:00"))
+    Graft.registerCaggRewrite(cagg)
+    val q = rawHourly(ht)
+    assert(scansMat(q))
+    assert(q.collect().toSet === rawHourly(ht).collect().toSet)
+    // subset of aggregates also rewrites
+    val narrow = ht.read()
+      .groupBy(gf.time_bucket("1 hour", $"ts").as("b"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    assert(scansMat(narrow))
+  }
+
+  test("non-matching shapes are not rewritten") {
+    val (ht, cagg) = setup()
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    Graft.registerCaggRewrite(cagg)
+    // wrong width
+    assert(!scansMat(ht.read()
+      .groupBy(gf.time_bucket("2 hours", $"ts").as("b"), $"event_type")
+      .agg(count(lit(1)).as("n"))))
+    // extra group column
+    assert(!scansMat(ht.read()
+      .groupBy(gf.time_bucket("1 hour", $"ts").as("b"), $"event_type", $"user_id")
+      .agg(count(lit(1)).as("n"))))
+    // filtered input changes bucket contents
+    assert(!scansMat(ht.read().where($"value" > 10)
+      .groupBy(gf.time_bucket("1 hour", $"ts").as("b"), $"event_type")
+      .agg(count(lit(1)).as("n"))))
+    // unknown aggregate
+    assert(!scansMat(ht.read()
+      .groupBy(gf.time_bucket("1 hour", $"ts").as("b"), $"event_type")
+      .agg(max($"value").as("mx"))))
+  }
+}
