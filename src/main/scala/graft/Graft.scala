@@ -17,7 +17,8 @@ object Graft {
     GraftExtensions.functionBuilders.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
-    for (rule <- Seq(graft.plans.SortTransform, graft.plans.CaggRewrite))
+    for (rule <- Seq(graft.plans.GapfillRewrite, graft.plans.SortTransform,
+        graft.plans.CaggRewrite))
       if (!spark.experimental.extraOptimizations.contains(rule))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ rule

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.GapfillRewrite)
     ext.injectOptimizerRule(_ => graft.plans.SortTransform)
     ext.injectOptimizerRule(_ => graft.plans.CaggRewrite)
   }
@@ -41,5 +42,15 @@ object GraftExtensions {
     "uuid_timestamp_micros" -> { case Seq(e) => UuidTimestamp(e, withMicros = true) },
     "uuid_version" -> { case Seq(e) => UuidVersion(e) },
     "generate_uuidv7" -> { case Seq() => GenerateUuidV7() },
-    "simhash64" -> { case Seq(e) => SimHash64(e) })
+    "simhash64" -> { case Seq(e) => SimHash64(e) },
+    "time_bucket_gapfill" -> {
+      case Seq(w, t, s, f) => GapfillBucket(w, t, s, f)
+      case exprs => throw new IllegalArgumentException(
+        s"time_bucket_gapfill(width, ts, start, finish) requires 4 arguments, got ${exprs.length}")
+    },
+    "locf" -> {
+      case Seq(e)    => Locf(e, None)
+      case Seq(e, p) => Locf(e, Some(p))
+    },
+    "interpolate" -> { case Seq(e) => Interpolate(e) })
 }

@@ -1,0 +1,54 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Unevaluable}
+import org.apache.spark.sql.types._
+
+/** Marker expressions for the gapfill rewrite — the reference's
+  * `ts_gapfill_marker` / `locf` / `interpolate` SQL functions
+  * (`sql/gapfill.sql:5-28`): placeholders that [[graft.plans.GapfillRewrite]]
+  * replaces with the spine-join + window plan. They are `Unevaluable` on
+  * purpose: like the reference (which errors when `time_bucket_gapfill` is
+  * not a top-level GROUP BY expression), reaching execution un-rewritten is
+  * a query-shape error, not silent wrong results.
+  */
+case class GapfillBucket(width: Expression, ts: Expression,
+    start: Expression, finish: Expression) extends Expression with Unevaluable {
+  override def children: Seq[Expression] = Seq(width, ts, start, finish)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ts.dataType
+  override def prettyName: String = "time_bucket_gapfill"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isTs(dt: DataType) = dt == TimestampType || dt == TimestampNTZType
+    if (!isTs(ts.dataType))
+      TypeCheckResult.TypeCheckFailure(s"time_bucket_gapfill needs a timestamp, got ${ts.dataType.sql}")
+    else if (!Seq(start, finish).forall(e => isTs(e.dataType) && e.foldable))
+      TypeCheckResult.TypeCheckFailure("time_bucket_gapfill start/finish must be constant timestamps")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(width = c(0), ts = c(1), start = c(2), finish = c(3))
+}
+
+/** `locf(agg [, prev])` — fill gapfilled nulls with the last observation. */
+case class Locf(child: Expression, prev: Option[Expression])
+    extends Expression with Unevaluable {
+  override def children: Seq[Expression] = child +: prev.toSeq
+  override def nullable: Boolean = true
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "locf"
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0), prev = if (c.length > 1) Some(c(1)) else None)
+}
+
+/** `interpolate(agg)` — linear interpolation across gapfilled nulls. */
+case class Interpolate(child: Expression) extends Expression with Unevaluable {
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "interpolate"
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}

@@ -46,6 +46,25 @@ object functions {
   def time_bucket_tz(width: String, ts: Column, tz: String): Column =
     F.to_utc_timestamp(time_bucket(width, F.from_utc_timestamp(ts, tz)), tz)
 
+  // ---------------------------------------------------------------- gapfill
+
+  /** `time_bucket_gapfill(width, ts, start, finish)` — like [[time_bucket]]
+    * but marks the aggregation for gap-filling: the optimizer rule
+    * [[graft.plans.GapfillRewrite]] injects one output row per missing
+    * bucket in [start, finish) (reference `sql/gapfill.sql:5-24`). Must be
+    * a GROUP BY expression; [[locf]]/[[interpolate]] wrap aggregates in the
+    * same query.
+    */
+  def time_bucket_gapfill(width: String, ts: Column, start: Column, finish: Column): Column =
+    col(GapfillBucket(ex(interval(width)), ex(ts), ex(start), ex(finish)))
+
+  /** Last-observation-carried-forward over gapfilled rows. */
+  def locf(agg: Column): Column = col(Locf(ex(agg), None))
+  def locf(agg: Column, prev: Column): Column = col(Locf(ex(agg), Some(ex(prev))))
+
+  /** Linear interpolation across gapfilled rows. */
+  def interpolate(agg: Column): Column = col(Interpolate(ex(agg)))
+
   // --------------------------------------------------------------- bookends
 
   /** Value of `value` at the smallest `time` in the group

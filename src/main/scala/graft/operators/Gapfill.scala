@@ -47,7 +47,11 @@ object Gapfill {
     */
   def gapfill(agg: DataFrame, bucketCol: String, groupCols: Seq[String],
       startMicros: Long, finishMicros: Long, width: String): DataFrame = {
-    val groups = agg.select(groupCols.map(col): _*).distinct()
+    // dedup via groupBy (a logical Aggregate), not distinct(): this frame is
+    // re-injected by GapfillRewrite as an analyzed plan, and the Deduplicate
+    // node only exists post-optimizer
+    val groups = agg.groupBy(groupCols.map(col): _*).agg(count(lit(1)))
+      .select(groupCols.map(col): _*)
     val sp = spine(groups, bucketCol, startMicros, finishMicros, width)
     sp.join(agg, groupCols :+ bucketCol, "left")
   }

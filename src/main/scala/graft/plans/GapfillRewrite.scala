@@ -1,0 +1,156 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, ExprId, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DayTimeIntervalType, TimestampNTZType, TimestampType}
+import org.apache.spark.unsafe.types.CalendarInterval
+
+import graft.expressions.{GapfillBucket, Interpolate, Locf, TimeBucket}
+import graft.operators.Gapfill
+
+/** Gapfill plan injection — the reference inserts a custom scan node above
+  * the aggregation when `time_bucket_gapfill` appears in GROUP BY
+  * (`tsl/src/nodes/gapfill/gapfill_plan.c:725`, `plan_add_gapfill`). Here
+  * the Aggregate carrying [[GapfillBucket]] is rewritten to:
+  * same aggregate (markers stripped) → spine left-join ([[Gapfill.gapfill]])
+  * → locf/interpolate windows — all declarative, shuffled only on the
+  * group keys. Output attribute ids are preserved, so ORDER BY / outer
+  * operators over the gapfilled columns are untouched.
+  */
+object GapfillRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg: Aggregate if agg.expressions.exists(hasMarker) ||
+        (agg.child match {
+          case p: Project => p.projectList.exists(hasMarker)
+          case _          => false
+        }) =>
+      rewrite(agg).getOrElse(agg)
+  }
+
+  private def hasMarker(e: Expression): Boolean =
+    e.exists(x => x.isInstanceOf[GapfillBucket] || x.isInstanceOf[Locf] ||
+      x.isInstanceOf[Interpolate])
+
+  private def derefMap(agg: Aggregate): Map[ExprId, Expression] = agg.child match {
+    case p: Project => p.projectList.collect { case a: Alias => a.exprId -> a.child }.toMap
+    case _          => Map.empty
+  }
+
+  private def deref(e: Expression, defs: Map[ExprId, Expression]): Expression =
+    e.transformUp { case a: AttributeReference if defs.contains(a.exprId) => defs(a.exprId) }
+
+  private def evalMicros(e: Expression): Option[Long] =
+    if (!e.foldable) None
+    else e.eval(InternalRow.empty) match {
+      case l: java.lang.Long => Some(l)
+      case _                 => None
+    }
+
+  private def widthString(e: Expression): Option[String] =
+    if (!e.foldable) None
+    else e.eval(InternalRow.empty) match {
+      case iv: CalendarInterval if iv.months == 0 =>
+        Some(s"${iv.days} days ${iv.microseconds} microseconds")
+      case iv: CalendarInterval if iv.days == 0 && iv.microseconds == 0 =>
+        Some(s"${iv.months} months") // SQL intervals cannot mix ym and dt fields
+      case us: java.lang.Long if e.dataType.isInstanceOf[DayTimeIntervalType] =>
+        Some(s"$us microseconds")
+      case _ => None
+    }
+
+  private val BN = "_graft_gf_bucket"
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val defs = derefMap(agg)
+
+    // the gapfill marker lives in the GROUPING list (result-list occurrences
+    // may be pruned away, e.g. under count())
+    val derefGroups = agg.groupingExpressions.map(g => deref(g, defs))
+    val gidx = derefGroups.indexWhere(_.isInstanceOf[GapfillBucket])
+    if (gidx < 0 || derefGroups.count(_.isInstanceOf[GapfillBucket]) != 1) return None
+    val marker = derefGroups(gidx).asInstanceOf[GapfillBucket]
+    if (marker.ts.dataType != TimestampType && marker.ts.dataType != TimestampNTZType) return None
+    // result outputs that ARE the bucket (may be none)
+    val bucketOutIds = agg.aggregateExpressions.collect {
+      case a: Alias if deref(a.child, defs).isInstanceOf[GapfillBucket] => a.exprId
+    }.toSet
+
+    val width = widthString(marker.width).getOrElse(return None)
+    val startUs = evalMicros(marker.start).getOrElse(return None)
+    val finishUs = evalMicros(marker.finish).getOrElse(return None)
+
+    // remaining group columns must be plain attributes
+    val groupNames = derefGroups.flatMap {
+      case _: GapfillBucket        => None
+      case ar: AttributeReference  => Some(ar.name)
+      case _                       => return None
+    }
+
+    // locf/interpolate fill specs by output name
+    val fills = agg.aggregateExpressions.collect {
+      case a: Alias if a.child.isInstanceOf[Locf] =>
+        val m = a.child.asInstanceOf[Locf]
+        a.name -> ((df: org.apache.spark.sql.DataFrame) => {
+          val prevCol = m.prev.map(p => org.apache.spark.sql.GraftShims.toColumn(p))
+          df.withColumn(a.name, Gapfill.locf(
+            org.apache.spark.sql.functions.col(a.name), groupNames, BN, prevCol))
+        })
+      case a: Alias if a.child.isInstanceOf[Interpolate] =>
+        a.name -> ((df: org.apache.spark.sql.DataFrame) => {
+          df.withColumn(a.name, Gapfill.interpolate(
+            org.apache.spark.sql.functions.col(a.name), groupNames, BN))
+        })
+    }
+
+    // strip markers everywhere in the aggregate subtree (group list, result
+    // list, hoisted child Project); alias ids survive, so the inner plan's
+    // output lines up with the original aggregate's
+    val stripped = agg.transformAllExpressions {
+      case GapfillBucket(w, t, _, _) => TimeBucket(w, t, None)
+      case Locf(c, _)                => c
+      case Interpolate(c)            =>
+        org.apache.spark.sql.catalyst.expressions.Cast(c, org.apache.spark.sql.types.DoubleType)
+    }.asInstanceOf[Aggregate]
+
+    // the spine join needs the bucket and group columns even when the query
+    // pruned them from the result list (e.g. under count()): append a
+    // synthetic bucket alias plus any missing group attributes
+    val presentNames = stripped.aggregateExpressions.map(_.name).toSet
+    val missingGroups = stripped.groupingExpressions.zipWithIndex.collect {
+      case (ar: AttributeReference, i) if i != gidx && !presentNames.contains(ar.name) => ar
+    }
+    val withBucket = stripped.copy(aggregateExpressions =
+      (stripped.aggregateExpressions ++ missingGroups) :+
+        Alias(stripped.groupingExpressions(gidx), BN)())
+    val inner = org.apache.spark.sql.GraftShims.ofRows(withBucket)
+    var filled = Gapfill.gapfill(inner, BN, groupNames, startUs, finishUs, width)
+    fills.foreach { case (_, f) => filled = f(filled) }
+
+    // inject the ANALYZED subtree: physical planning handles analyzed
+    // operators, and re-optimizing a subtree that is then re-injected can
+    // leak collapsed projections with stale (non-nullable) attributes into
+    // the outer-join null side
+    val filledPlan = filled.queryExecution.analyzed
+    def attrByName(n: String) = filledPlan.output.find(_.name == n)
+    val projected: Seq[Option[NamedExpression]] = agg.output.map { out =>
+      val lookup = if (bucketOutIds.contains(out.exprId)) BN else out.name
+      attrByName(lookup).map { at =>
+        val cast = org.apache.spark.sql.catalyst.expressions.Cast(at, out.dataType)
+        // the query's analyzed schema is fixed before this rewrite runs, so a
+        // non-nullable aggregate (count) must stay non-null: empty buckets
+        // get the type default (count = 0) instead of the reference's NULL —
+        // wrap in locf/interpolate (nullable) for fill semantics
+        val value =
+          if (out.nullable) cast
+          else org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(cast,
+            org.apache.spark.sql.catalyst.expressions.Literal.default(out.dataType)))
+        Alias(value, out.name)(exprId = out.exprId)
+      }
+    }
+    if (projected.exists(_.isEmpty)) None
+    else Some(Project(projected.map(_.get), filledPlan))
+  }
+}

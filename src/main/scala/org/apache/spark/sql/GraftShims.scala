@@ -10,4 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame from a logical plan on the active session (`Dataset.ofRows`
+    * is `private[sql]` in Spark 4).
+    */
+  def ofRows(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(classic.SparkSession.active, plan)
 }

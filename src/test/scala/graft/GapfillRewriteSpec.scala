@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Gapfill
+import graft.{functions => gf}
+
+/** The SQL/Column surface of gapfill: `time_bucket_gapfill` + `locf` /
+  * `interpolate` markers rewritten by [[graft.plans.GapfillRewrite]] —
+  * results must equal the explicit [[Gapfill]] operator pipeline.
+  */
+class GapfillRewriteSpec extends AnyFunSuite {
+  lazy val spark = Graft.session("gapfill-rewrite-spec", "local[4]", 4)
+  import spark.implicits._
+
+  private lazy val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+  private val start = lit(Timestamp.valueOf("2024-01-01 00:00:00"))
+  private val finish = lit(Timestamp.valueOf("2024-01-08 00:00:00"))
+  private val (startUs, finishUs) =
+    (Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L,
+     Timestamp.valueOf("2024-01-08 00:00:00").getTime * 1000L)
+
+  private lazy val expectedLocf = {
+    val agg = ev
+      .where($"ts" >= start && $"ts" < finish)
+      .groupBy(gf.time_bucket("1 hour", $"ts").as("bucket"), $"event_type")
+      .agg(min($"value").as("mv"), count(lit(1)).as("n"))
+    Gapfill.gapfill(agg, "bucket", Seq("event_type"), startUs, finishUs, "1 hour")
+      .withColumn("mv", Gapfill.locf(col("mv"), Seq("event_type"), "bucket"))
+      // SQL-form divergence: non-nullable count stays 0 on empty buckets
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .select("bucket", "event_type", "mv", "n")
+  }
+
+  test("time_bucket_gapfill + locf via the Column API matches the operator pipeline") {
+    val out = ev
+      .where($"ts" >= start && $"ts" < finish)
+      .groupBy(gf.time_bucket_gapfill("1 hour", $"ts", start, finish).as("bucket"),
+        $"event_type")
+      .agg(gf.locf(min($"value")).as("mv"), count(lit(1)).as("n"))
+      .select("bucket", "event_type", "mv", "n")
+    assert(out.collect().toSet === expectedLocf.collect().toSet)
+    // spine density: every hour for every present group
+    val groups = expectedLocf.select($"event_type").distinct().count()
+    assert(out.count() === groups * 7 * 24)
+  }
+
+  test("interpolate marker matches the operator pipeline") {
+    val viaMarker = ev
+      .where($"ts" >= start && $"ts" < finish)
+      .groupBy(gf.time_bucket_gapfill("1 hour", $"ts", start, finish).as("bucket"),
+        $"event_type")
+      .agg(gf.interpolate(min($"value")).as("iv"))
+    val agg = ev
+      .where($"ts" >= start && $"ts" < finish)
+      .groupBy(gf.time_bucket("1 hour", $"ts").as("bucket"), $"event_type")
+      .agg(min($"value").as("iv"))
+    val viaOperator = Gapfill.gapfill(agg, "bucket", Seq("event_type"), startUs, finishUs, "1 hour")
+      .withColumn("iv", Gapfill.interpolate(col("iv"), Seq("event_type"), "bucket"))
+      .select("bucket", "event_type", "iv")
+    assert(viaMarker.collect().toSet === viaOperator.collect().toSet)
+  }
+
+  test("SQL form works end-to-end through Graft.init registration") {
+    ev.createOrReplaceTempView("events_v")
+    val out = spark.sql(
+      """SELECT time_bucket_gapfill(INTERVAL '1 hour', ts,
+        |         TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-08 00:00:00') AS bucket,
+        |       event_type, locf(min(value)) AS mv, count(1) AS n
+        |FROM events_v
+        |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 2, 1""".stripMargin)
+    assert(out.collect().toSet === expectedLocf.collect().toSet)
+  }
+
+  test("ORDER BY over gapfilled output survives the rewrite (attribute ids preserved)") {
+    val out = ev
+      .where($"ts" >= start && $"ts" < finish)
+      .groupBy(gf.time_bucket_gapfill("1 hour", $"ts", start, finish).as("bucket"),
+        $"event_type")
+      .agg(gf.locf(min($"value")).as("mv"))
+      .orderBy($"event_type", $"bucket")
+    val buckets = out.select($"event_type", $"bucket").collect()
+    assert(buckets.length > 0)
+    assert(buckets.sliding(2).forall { case Array(a, b) =>
+      val (ka, kb) = (a.getString(0), b.getString(0))
+      ka < kb || (ka == kb && !a.getTimestamp(1).after(b.getTimestamp(1)))
+    })
+  }
+}
