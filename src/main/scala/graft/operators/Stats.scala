@@ -70,6 +70,29 @@ object Stats {
      if (maxs.isEmpty) None else Some(maxs.maxBy(comparableKey)))
   }
 
+  /** hypertable_size (`sql/size_utils.sql:119+`): total bytes under a
+    * table/hypertable root (driver-side listing — catalog-scale only).
+    */
+  def tableSizeBytes(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(p).getLength
+  }
+
+  case class ChunkSize(path: String, bytes: Long, files: Long, rows: Long)
+
+  /** chunks_detailed_size (`sql/size_utils.sql:181+`): per-chunk bytes,
+    * file count, and exact row count (rows from footers, on executors).
+    */
+  def chunksDetailedSize(ht: graft.sources.Hypertable): Seq[ChunkSize] =
+    ht.showChunks().map { c =>
+      val p = new Path(c.path)
+      val fs = p.getFileSystem(ht.spark.sparkContext.hadoopConfiguration)
+      val summary = fs.getContentSummary(p)
+      ChunkSize(c.path, summary.getLength, summary.getFileCount,
+        rowCount(ht.spark, c.path))
+    }
+
   private def comparableKey(v: Any): BigDecimal = v match {
     case l: java.lang.Long    => BigDecimal(l)
     case i: java.lang.Integer => BigDecimal(i.toInt)

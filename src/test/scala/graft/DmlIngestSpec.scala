@@ -88,6 +88,16 @@ class DmlIngestSpec extends AnyFunSuite {
     assert(Columnstore.isCompressed(spark, c.path))
   }
 
+  test("size introspection reports per-chunk bytes/files/rows") {
+    val ht = freshHt()
+    val sizes = graft.operators.Stats.chunksDetailedSize(ht)
+    assert(sizes.size === ht.showChunks().size)
+    assert(sizes.forall(s => s.bytes > 0 && s.files > 0 && s.rows > 0))
+    assert(sizes.map(_.rows).sum === ht.read().count())
+    val total = graft.operators.Stats.tableSizeBytes(spark, ht.path)
+    assert(total >= sizes.map(_.bytes).sum)
+  }
+
   test("hierarchical cagg: daily rollup from an hourly cagg's materialization") {
     val dir = Files.createTempDirectory("graft_hier").toString
     val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
