@@ -42,6 +42,9 @@ object Graft {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // INT96 timestamps carry no parquet min/max stats — micros keep
+      // row-group skipping and footer-stats queries working on time columns
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate())
   }

@@ -70,6 +70,33 @@ object Stats {
      if (maxs.isEmpty) None else Some(maxs.maxBy(comparableKey)))
   }
 
+  /** Bookend lookup via footer stats — the ColumnarIndexScan first/last
+    * path (`tsl/src/nodes/columnar_index_scan/columnar_index_scan.c:19-27`):
+    * footers locate the file(s) holding the globally min/max time, then only
+    * those files are scanned for the row — O(files) metadata + one-file read
+    * instead of a full scan.
+    */
+  def firstByTime(spark: SparkSession, path: String, timeCol: String,
+      earliest: Boolean = true): Option[org.apache.spark.sql.Row] = {
+    val files = listParquetFiles(spark, path)
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val perFile = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map(f => f -> columnStats(conf.value, f, timeCol))
+      .collect()
+    val candidates = perFile.flatMap { case (f, (mn, mx)) =>
+      (if (earliest) mn else mx).map(v => f -> comparableKey(v))
+    }
+    if (candidates.isEmpty) return None
+    val best = (if (earliest) candidates.minBy(_._2) else candidates.maxBy(_._2))._2
+    val bestFiles = candidates.filter(_._2 == best).map(_._1)
+    val df = spark.read.parquet(bestFiles: _*)
+    val ordered =
+      if (earliest) df.orderBy(org.apache.spark.sql.functions.col(timeCol).asc)
+      else df.orderBy(org.apache.spark.sql.functions.col(timeCol).desc)
+    ordered.limit(1).collect().headOption
+  }
+
   /** hypertable_size (`sql/size_utils.sql:119+`): total bytes under a
     * table/hypertable root (driver-side listing — catalog-scale only).
     */

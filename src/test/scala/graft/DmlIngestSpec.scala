@@ -98,6 +98,16 @@ class DmlIngestSpec extends AnyFunSuite {
     assert(total >= sizes.map(_.bytes).sum)
   }
 
+  test("firstByTime answers bookends from footer stats + single-file read") {
+    val ht = freshHt()
+    val first = graft.operators.Stats.firstByTime(spark, ht.path, "ts").get
+    val last = graft.operators.Stats.firstByTime(spark, ht.path, "ts", earliest = false).get
+    val expected = ht.read().orderBy($"ts").select($"event_id").as[Long].head()
+    val expectedLast = ht.read().orderBy($"ts".desc).select($"event_id").as[Long].head()
+    assert(first.getAs[Long]("event_id") === expected)
+    assert(last.getAs[Long]("event_id") === expectedLast)
+  }
+
   test("hierarchical cagg: daily rollup from an hourly cagg's materialization") {
     val dir = Files.createTempDirectory("graft_hier").toString
     val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")

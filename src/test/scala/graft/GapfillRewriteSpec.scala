@@ -76,6 +76,18 @@ class GapfillRewriteSpec extends AnyFunSuite {
     assert(out.collect().toSet === expectedLocf.collect().toSet)
   }
 
+  test("filters over gapfilled output are consistent with materialized rows") {
+    val out = ev
+      .where($"ts" >= start && $"ts" < finish)
+      .groupBy(gf.time_bucket_gapfill("1 hour", $"ts", start, finish).as("bucket"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val zeros = out.where($"n" === 0).count()
+    val zerosCollected = out.collect().count(_.getLong(2) == 0)
+    assert(zeros === zerosCollected)
+    assert(zeros > 0) // sparse data: most hourly buckets are empty
+  }
+
   test("ORDER BY over gapfilled output survives the rewrite (attribute ids preserved)") {
     val out = ev
       .where($"ts" >= start && $"ts" < finish)
