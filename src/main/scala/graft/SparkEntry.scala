@@ -368,6 +368,15 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // §2.4 distinct aggregates (SkipScan surface): exact distinct counts.
+    "q33_count_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // §2.1 ColumnarIndexScan: min/max answered from footer statistics only.
     "q29_stats_minmax" -> ((s, dir) => {
       import s.implicits._
@@ -652,6 +661,10 @@ object SparkEntry {
         | COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q33_count_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q32_stats_spread" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -275,6 +275,32 @@ class ContinuousAggregate(
   }
 }
 
+/** Cagg refresh policy runner — `add_continuous_aggregate_policy`
+  * (`sql/policy_api.sql:99-115`): refresh the window
+  * [now − startOffset, now − endOffset), inscribed to buckets, in batches
+  * of `bucketsPerBatch` (capped at `maxBatchesPerExecution`), newest-first
+  * or oldest-first, then fold in any pending invalidations. Scheduling
+  * itself is external (cron/Airflow), like every policy here.
+  */
+object CaggRefreshPolicy {
+  def run(cagg: ContinuousAggregate, nowMicros: Long,
+      startOffsetMicros: Long, endOffsetMicros: Long,
+      bucketsPerBatch: Int = 0, maxBatchesPerExecution: Int = 0,
+      refreshNewestFirst: Boolean = true): Seq[(Long, Long)] = {
+    require(startOffsetMicros > endOffsetMicros, "start offset must exceed end offset")
+    val (s, e) = cagg.inscribe(nowMicros - startOffsetMicros, nowMicros - endOffsetMicros)
+    if (s >= e) return Seq.empty
+    val w = cagg.defn.widthMicros
+    val batchSpan = if (bucketsPerBatch <= 0) e - s else bucketsPerBatch * w
+    var windows = (s until e by batchSpan).map(lo => (lo, math.min(lo + batchSpan, e)))
+    if (refreshNewestFirst) windows = windows.reverse
+    if (maxBatchesPerExecution > 0) windows = windows.take(maxBatchesPerExecution)
+    val done = windows.map { case (lo, hi) => cagg.refresh(lo, hi) }
+    cagg.refreshInvalidated()
+    done
+  }
+}
+
 object ContinuousAggregate {
   private val BUCKET = "_bucket"
   private val MATCHUNK = "_mat_chunk"

@@ -87,6 +87,29 @@ class CaggSpec extends AnyFunSuite {
     assert(cagg.materialized.where($"bucket" >= Timestamp.valueOf("2024-01-15 00:00:00")).count() === 0)
   }
 
+  test("refresh policy runs batched, offset-windowed refreshes") {
+    import graft.streaming.CaggRefreshPolicy
+    val (ht, cagg) = freshCagg()
+    val now = us("2024-01-21 00:00:00")
+    val day = 86400000000L
+    // refresh [now-20d, now-1d) in 5-day (120-bucket) batches, newest first
+    val done = CaggRefreshPolicy.run(cagg, now,
+      startOffsetMicros = 20 * day, endOffsetMicros = 1 * day,
+      bucketsPerBatch = 120, refreshNewestFirst = true)
+    assert(done.size === 4) // 19 days / 5-day batches -> 4 windows
+    assert(done.head._2 === us("2024-01-20 00:00:00")) // newest first
+    assert(cagg.watermark === us("2024-01-20 00:00:00"))
+    // materialization covers exactly the policy window
+    val mat = cagg.materialized
+    assert(mat.where($"bucket" < java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).count() === 0)
+    assert(mat.where($"bucket" >= java.sql.Timestamp.valueOf("2024-01-20 00:00:00")).count() === 0)
+    val expected = directAgg(ht)
+      .where($"bucket" >= java.sql.Timestamp.valueOf("2024-01-01 00:00:00") &&
+        $"bucket" < java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+      .collect().toSet
+    assert(mat.collect().toSet === expected)
+  }
+
   test("streaming ingest via foreachBatch feeds the cagg") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val (ht, cagg) = freshCagg()
