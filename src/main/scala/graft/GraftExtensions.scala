@@ -51,6 +51,8 @@ object GraftExtensions {
     "locf" -> {
       case Seq(e)    => Locf(e, None)
       case Seq(e, p) => Locf(e, Some(p))
+      case Seq(e, p, t) => Locf(e, Some(p),
+        t.eval().asInstanceOf[Boolean])
     },
     "interpolate" -> { case Seq(e) => Interpolate(e) })
 }

@@ -32,9 +32,11 @@ case class GapfillBucket(width: Expression, ts: Expression,
     copy(width = c(0), ts = c(1), start = c(2), finish = c(3))
 }
 
-/** `locf(agg [, prev])` — fill gapfilled nulls with the last observation. */
-case class Locf(child: Expression, prev: Option[Expression])
-    extends Expression with Unevaluable {
+/** `locf(agg [, prev [, treat_null_as_missing]])` — fill gapfilled rows
+  * with the last observation; `treat_null_as_missing` also fills real NULLs.
+  */
+case class Locf(child: Expression, prev: Option[Expression],
+    treatNullAsMissing: Boolean = false) extends Expression with Unevaluable {
   override def children: Seq[Expression] = child +: prev.toSeq
   override def nullable: Boolean = true
   override def dataType: DataType = child.dataType

@@ -61,6 +61,8 @@ object functions {
   /** Last-observation-carried-forward over gapfilled rows. */
   def locf(agg: Column): Column = col(Locf(ex(agg), None))
   def locf(agg: Column, prev: Column): Column = col(Locf(ex(agg), Some(ex(prev))))
+  def locf(agg: Column, prev: Column, treatNullAsMissing: Boolean): Column =
+    col(Locf(ex(agg), Some(ex(prev)), treatNullAsMissing))
 
   /** Linear interpolation across gapfilled rows. */
   def interpolate(agg: Column): Column = col(Interpolate(ex(agg)))

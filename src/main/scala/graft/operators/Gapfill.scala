@@ -45,6 +45,13 @@ object Gapfill {
     * every group key present in `agg` gets a row; missing buckets carry
     * nulls in the aggregate columns.
     */
+  /** Marks rows injected by the spine (vs rows present in the input):
+    * [[locf]]/[[interpolate]] only fill FILLED rows — a genuine NULL in the
+    * data stays NULL (reference `gapfill_exec.c` tuple-injection semantics),
+    * unless locf's `treatNullAsMissing` says otherwise.
+    */
+  val FILLED = "_gf_filled"
+
   def gapfill(agg: DataFrame, bucketCol: String, groupCols: Seq[String],
       startMicros: Long, finishMicros: Long, width: String): DataFrame = {
     // dedup via groupBy (a logical Aggregate), not distinct(): this frame is
@@ -53,27 +60,41 @@ object Gapfill {
     val groups = agg.groupBy(groupCols.map(col): _*).agg(count(lit(1)))
       .select(groupCols.map(col): _*)
     val sp = spine(groups, bucketCol, startMicros, finishMicros, width)
-    sp.join(agg, groupCols :+ bucketCol, "left")
+    val P = "_gf_present"
+    sp.join(agg.withColumn(P, lit(true)), groupCols :+ bucketCol, "left")
+      .withColumn(FILLED, col(P).isNull)
+      .drop(P)
   }
 
-  /** Last observation carried forward (reference `locf.c`): fill nulls in
-    * `value` with the latest non-null within the group, ordered by bucket.
-    * `prev` optionally seeds the value "before the window" (the reference's
-    * `prev` expression) per group key.
+  /** Last observation carried forward (reference `locf.c`): gapfilled rows
+    * take the latest value of a real row within the group (which may itself
+    * be NULL — real NULLs are carried, not skipped, matching the
+    * reference's default). `treatNullAsMissing` makes NULL data values get
+    * filled too. `prev` seeds the value before the window.
     */
   def locf(value: Column, groupCols: Seq[String], bucketCol: String,
-      prev: Option[Column] = None): Column = {
+      prev: Option[Column] = None, treatNullAsMissing: Boolean = false,
+      filledCol: String = FILLED): Column = {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = last(value, ignoreNulls = true).over(w)
-    prev.map(p => coalesce(filled, p)).getOrElse(filled)
+    val missing =
+      if (treatNullAsMissing) col(filledCol) || value.isNull
+      else col(filledCol)
+    // struct-wrap so a carried NULL value survives ignoreNulls
+    val carry = last(when(!missing, struct(value.as("v"))), ignoreNulls = true).over(w)
+    val carried = prev match {
+      case Some(p) => when(carry.isNotNull, carry("v")).otherwise(p)
+      case None    => carry("v")
+    }
+    when(!missing, value).otherwise(carried)
   }
 
   /** Linear interpolation between the surrounding non-null points
     * (reference `interpolate.c:184-216`: `(y0(x1-x) + y1(x-x0))/(x1-x0)`).
     * Outside the first/last non-null points the result stays null.
     */
-  def interpolate(value: Column, groupCols: Seq[String], bucketCol: String): Column = {
+  def interpolate(value: Column, groupCols: Seq[String], bucketCol: String,
+      filledCol: String = FILLED): Column = {
     val wPrev = Window.partitionBy(groupCols.map(col): _*).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = Window.partitionBy(groupCols.map(col): _*).orderBy(col(bucketCol))
@@ -82,7 +103,9 @@ object Gapfill {
     val pt = when(value.isNotNull, struct(x.as("x"), value.as("y")))
     val p0 = last(pt, ignoreNulls = true).over(wPrev)
     val p1 = first(pt, ignoreNulls = true).over(wNext)
-    when(value.isNotNull, value)
+    // real rows keep their value (including real NULLs); only injected rows
+    // interpolate, anchored on real non-null points
+    when(!col(filledCol), value)
       .when(p0.isNull || p1.isNull, lit(null))
       .otherwise(
         (p0("y") * (p1("x") - x).cast("double") + p1("y") * (x - p0("x")).cast("double")) /

@@ -96,7 +96,8 @@ object GapfillRewrite extends Rule[LogicalPlan] {
         a.name -> ((df: org.apache.spark.sql.DataFrame) => {
           val prevCol = m.prev.map(p => org.apache.spark.sql.GraftShims.toColumn(p))
           df.withColumn(a.name, Gapfill.locf(
-            org.apache.spark.sql.functions.col(a.name), groupNames, BN, prevCol))
+            org.apache.spark.sql.functions.col(a.name), groupNames, BN, prevCol,
+            m.treatNullAsMissing))
         })
       case a: Alias if a.child.isInstanceOf[Interpolate] =>
         a.name -> ((df: org.apache.spark.sql.DataFrame) => {
@@ -110,7 +111,7 @@ object GapfillRewrite extends Rule[LogicalPlan] {
     // output lines up with the original aggregate's
     val stripped = agg.transformAllExpressions {
       case GapfillBucket(w, t, _, _) => TimeBucket(w, t, None)
-      case Locf(c, _)                => c
+      case Locf(c, _, _)             => c
       case Interpolate(c)            =>
         org.apache.spark.sql.catalyst.expressions.Cast(c, org.apache.spark.sql.types.DoubleType)
     }.asInstanceOf[Aggregate]

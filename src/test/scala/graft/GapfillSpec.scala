@@ -59,6 +59,38 @@ class GapfillSpec extends AnyFunSuite {
     assert(got === Seq(None, Some(2.0), Some(3.0), Some(4.0), None, None))
   }
 
+  test("locf carries real NULL values by default; treat_null_as_missing fills them") {
+    // a real data row with a NULL value at t=3
+    val withNull = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 00:00:00"), Some(1.0)),
+      ("a", Timestamp.valueOf("2024-01-01 03:00:00"), None: Option[Double]),
+      ("a", Timestamp.valueOf("2024-01-01 05:00:00"), Some(6.0)))
+      .toDF("g", "bucket", "v")
+    val base = Gapfill.gapfill(withNull, "bucket", Seq("g"), start, finish, "1 hour")
+    val dflt = base.withColumn("f", Gapfill.locf($"v", Seq("g"), "bucket"))
+      .orderBy("bucket").select("f").as[Option[Double]].collect().toSeq
+    // the real NULL at t=3 stays NULL and is carried into the t=4 gap
+    assert(dflt === Seq(Some(1.0), Some(1.0), Some(1.0), None, None, Some(6.0)))
+    val nam = base.withColumn("f",
+        Gapfill.locf($"v", Seq("g"), "bucket", treatNullAsMissing = true))
+      .orderBy("bucket").select("f").as[Option[Double]].collect().toSeq
+    assert(nam === Seq(Some(1.0), Some(1.0), Some(1.0), Some(1.0), Some(1.0), Some(6.0)))
+  }
+
+  test("interpolate preserves real NULL values") {
+    val withNull = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 00:00:00"), Some(1.0)),
+      ("a", Timestamp.valueOf("2024-01-01 03:00:00"), None: Option[Double]),
+      ("a", Timestamp.valueOf("2024-01-01 05:00:00"), Some(6.0)))
+      .toDF("g", "bucket", "v")
+    val got = Gapfill.gapfill(withNull, "bucket", Seq("g"), start, finish, "1 hour")
+      .withColumn("i", Gapfill.interpolate($"v", Seq("g"), "bucket"))
+      .orderBy("bucket").select("i").as[Option[Double]].collect().toSeq
+    // injected rows interpolate on the real non-null anchors (t=0 → t=5);
+    // the real NULL row stays NULL
+    assert(got === Seq(Some(1.0), Some(2.0), Some(3.0), None, Some(5.0), Some(6.0)))
+  }
+
   test("multiple groups are filled independently") {
     val two = agg.union(Seq(("b", Timestamp.valueOf("2024-01-01 02:00:00"), 9.0)).toDF)
     val filled = Gapfill.gapfill(two, "bucket", Seq("g"), start, finish, "1 hour")
