@@ -88,6 +88,27 @@ class DmlIngestSpec extends AnyFunSuite {
     assert(Columnstore.isCompressed(spark, c.path))
   }
 
+  test("DML and compression preserve space sub-partitioning") {
+    val dir = Files.createTempDirectory("graft_dml_sp").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days",
+      spaceCol = Some("user_id"), spacePartitions = 4)
+    ht.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val total = ht.read().count()
+    val errs = ht.read().where($"event_type" === "error").count()
+    assert(ht.deleteWhere(col("event_type") === "error") === errs)
+    assert(ht.read().count() === total - errs)
+    // _space dirs survive the rewrite
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val sub = fs.listStatus(new org.apache.hadoop.fs.Path(ht.showChunks().head.path))
+      .count(_.getPath.getName.startsWith("_space="))
+    assert(sub > 0)
+    // columnstore over space-partitioned chunks keeps rows intact
+    graft.sources.Columnstore.compress(ht,
+      graft.sources.Columnstore.Options(orderBy = Seq("ts")))
+    assert(ht.read().count() === total - errs)
+    assert(ht.read().select($"user_id").distinct().count() > 0)
+  }
+
   test("size introspection reports per-chunk bytes/files/rows") {
     val ht = freshHt()
     val sizes = graft.operators.Stats.chunksDetailedSize(ht)
