@@ -44,9 +44,13 @@ object GraftExtensions {
     "generate_uuidv7" -> { case Seq() => GenerateUuidV7() },
     "simhash64" -> { case Seq(e) => SimHash64(e) },
     "time_bucket_gapfill" -> {
+      case Seq(w, t) => // window inferred from the WHERE clause
+        val nul = org.apache.spark.sql.catalyst.expressions.Literal(null,
+          org.apache.spark.sql.types.TimestampType)
+        GapfillBucket(w, t, nul, nul)
       case Seq(w, t, s, f) => GapfillBucket(w, t, s, f)
       case exprs => throw new IllegalArgumentException(
-        s"time_bucket_gapfill(width, ts, start, finish) requires 4 arguments, got ${exprs.length}")
+        s"time_bucket_gapfill takes (width, ts [, start, finish]), got ${exprs.length} arguments")
     },
     "locf" -> {
       case Seq(e)    => Locf(e, None)

@@ -21,10 +21,15 @@ case class GapfillBucket(width: Expression, ts: Expression,
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def isTs(dt: DataType) = dt == TimestampType || dt == TimestampNTZType
+    def isNullLit(e: Expression) = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(null, _) => true
+      case _ => false
+    }
     if (!isTs(ts.dataType))
       TypeCheckResult.TypeCheckFailure(s"time_bucket_gapfill needs a timestamp, got ${ts.dataType.sql}")
-    else if (!Seq(start, finish).forall(e => isTs(e.dataType) && e.foldable))
-      TypeCheckResult.TypeCheckFailure("time_bucket_gapfill start/finish must be constant timestamps")
+    else if (!Seq(start, finish).forall(e => isNullLit(e) || (isTs(e.dataType) && e.foldable)))
+      TypeCheckResult.TypeCheckFailure(
+        "time_bucket_gapfill start/finish must be constant timestamps (or omitted for WHERE-clause inference)")
     else TypeCheckResult.TypeCheckSuccess
   }
 

@@ -58,6 +58,14 @@ object functions {
   def time_bucket_gapfill(width: String, ts: Column, start: Column, finish: Column): Column =
     col(GapfillBucket(ex(interval(width)), ex(ts), ex(start), ex(finish)))
 
+  /** Two-argument form: the fill window is inferred from the query's
+    * WHERE-clause bounds on `ts` (reference default behavior).
+    */
+  def time_bucket_gapfill(width: String, ts: Column): Column = {
+    val nul = Literal(null, org.apache.spark.sql.types.TimestampType)
+    col(GapfillBucket(ex(interval(width)), ex(ts), nul, nul))
+  }
+
   /** Last-observation-carried-forward over gapfilled rows. */
   def locf(agg: Column): Column = col(Locf(ex(agg), None))
   def locf(agg: Column, prev: Column): Column = col(Locf(ex(agg), Some(ex(prev))))

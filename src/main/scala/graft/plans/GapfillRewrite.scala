@@ -63,6 +63,36 @@ object GapfillRewrite extends Rule[LogicalPlan] {
 
   private val BN = "_graft_gf_bucket"
 
+  /** [start, finish) from Filter predicates on the marker's time expression
+    * anywhere below the aggregate: `ts >= a` / `ts > a` give the start,
+    * `ts < b` / `ts <= b` the finish (tightest bounds win).
+    */
+  private def inferWindow(agg: Aggregate, ts: Expression): Option[(Long, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    def split(c: Expression): Seq[Expression] = c match {
+      case And(l, r) => split(l) ++ split(r)
+      case other     => Seq(other)
+    }
+    agg.foreach {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        split(f.condition).foreach {
+          case GreaterThanOrEqual(e, v) if e.semanticEquals(ts) =>
+            evalMicros(v).foreach(x => lo = Some(lo.fold(x)(math.max(_, x))))
+          case GreaterThan(e, v) if e.semanticEquals(ts) =>
+            evalMicros(v).foreach(x => lo = Some(lo.fold(x)(math.max(_, x))))
+          case LessThan(e, v) if e.semanticEquals(ts) =>
+            evalMicros(v).foreach(x => hi = Some(hi.fold(x)(math.min(_, x))))
+          case LessThanOrEqual(e, v) if e.semanticEquals(ts) =>
+            evalMicros(v).foreach(x => hi = Some(hi.fold(x)(math.min(_, x))))
+          case _ => ()
+        }
+      case _ => ()
+    }
+    for (l <- lo; h <- hi) yield (l, h)
+  }
+
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val defs = derefMap(agg)
 
@@ -79,8 +109,13 @@ object GapfillRewrite extends Rule[LogicalPlan] {
     }.toSet
 
     val width = widthString(marker.width).getOrElse(return None)
-    val startUs = evalMicros(marker.start).getOrElse(return None)
-    val finishUs = evalMicros(marker.finish).getOrElse(return None)
+    // explicit start/finish, or inferred from WHERE-clause bounds on the
+    // marker's time expression (reference `gapfill.sql:5-24`: defaults come
+    // from the query's quals)
+    val (startUs, finishUs) = (evalMicros(marker.start), evalMicros(marker.finish)) match {
+      case (Some(s), Some(f)) => (s, f)
+      case _ => inferWindow(agg, marker.ts).getOrElse(return None)
+    }
 
     // remaining group columns must be plain attributes
     val groupNames = derefGroups.flatMap {

@@ -76,6 +76,20 @@ class GapfillRewriteSpec extends AnyFunSuite {
     assert(out.collect().toSet === expectedLocf.collect().toSet)
   }
 
+  test("two-arg form infers the window from the WHERE clause") {
+    val explicit = ev
+      .where($"ts" >= start && $"ts" < finish)
+      .groupBy(gf.time_bucket_gapfill("1 hour", $"ts", start, finish).as("bucket"),
+        $"event_type")
+      .agg(gf.locf(min($"value")).as("mv"))
+    val inferred = ev
+      .where($"ts" >= start && $"ts" < finish)
+      .groupBy(gf.time_bucket_gapfill("1 hour", $"ts").as("bucket"), $"event_type")
+      .agg(gf.locf(min($"value")).as("mv"))
+    assert(inferred.collect().toSet === explicit.collect().toSet)
+    assert(inferred.count() === explicit.count())
+  }
+
   test("filters over gapfilled output are consistent with materialized rows") {
     val out = ev
       .where($"ts" >= start && $"ts" < finish)
