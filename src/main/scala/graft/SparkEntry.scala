@@ -377,6 +377,33 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // §2.4 exact percentiles (interpolated) per group.
+    "q34_percentile" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // §2.4 correlation from exact decimal moments (deterministic corr).
+    "q35_corr" -> ((s, dir) => {
+      val vd = "CAST(value AS DECIMAL(18,6))"
+      val kd = "CAST(CAST(get_json_object(props, '$.k') AS BIGINT) AS DECIMAL(18,6))"
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          expr(s"CAST(CAST(SUM($vd * $kd) AS DECIMAL(28,6)) AS DOUBLE)").as("sum_vk"),
+          expr(s"""(CAST(CAST(SUM($vd * $kd) AS DECIMAL(28,6)) AS DOUBLE)
+                  - CAST(SUM($vd) AS DOUBLE) * CAST(SUM($kd) AS DOUBLE) / COUNT(*))
+                  / SQRT((CAST(CAST(SUM($vd * $vd) AS DECIMAL(28,6)) AS DOUBLE)
+                  - CAST(SUM($vd) AS DOUBLE) * CAST(SUM($vd) AS DOUBLE) / COUNT(*))
+                  * (CAST(CAST(SUM($kd * $kd) AS DECIMAL(28,6)) AS DOUBLE)
+                  - CAST(SUM($kd) AS DOUBLE) * CAST(SUM($kd) AS DOUBLE) / COUNT(*)))""").as("corr_vk"))
+        .orderBy("event_type")
+    }),
+
     // §2.1 ColumnarIndexScan: min/max answered from footer statistics only.
     "q29_stats_minmax" -> ((s, dir) => {
       import s.implicits._
@@ -664,6 +691,24 @@ object SparkEntry {
 
     "q33_count_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q34_percentile" ->
+      """SELECT event_type,
+        | quantile_cont(value, 0.5) AS p50,
+        | quantile_cont(value, 0.95) AS p95,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q35_corr" ->
+      """SELECT event_type,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(CAST(json_extract_string(props,'$.k') AS BIGINT) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_vk,
+        | (CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(CAST(json_extract_string(props,'$.k') AS BIGINT) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)
+        |   - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * CAST(SUM(CAST(CAST(json_extract_string(props,'$.k') AS BIGINT) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+        | / SQRT((CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)
+        |   - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+        |   * (CAST(CAST(SUM(CAST(CAST(json_extract_string(props,'$.k') AS BIGINT) AS DECIMAL(18,6)) * CAST(CAST(json_extract_string(props,'$.k') AS BIGINT) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)
+        |   - CAST(SUM(CAST(CAST(json_extract_string(props,'$.k') AS BIGINT) AS DECIMAL(18,6))) AS DOUBLE) * CAST(SUM(CAST(CAST(json_extract_string(props,'$.k') AS BIGINT) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))) AS corr_vk
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q32_stats_spread" ->
