@@ -55,7 +55,7 @@ object CaggRewrite extends Rule[LogicalPlan] {
       .agg(cagg.defn.aggs.head, cagg.defn.aggs.tail: _*)
     val aggSql = probe.queryExecution.analyzed match {
       case Aggregate(_, result, _, _) =>
-        result.collect { case a: Alias if hasAggregate(a.child) => a.child.sql -> a.name }.toMap
+        result.collect { case a: Alias if hasAggregate(a.child) => canonicalSql(a.child) -> a.name }.toMap
       case _ => Map.empty[String, String]
     }
     registry.put(normalize(ht.path), Registered(
@@ -66,6 +66,16 @@ object CaggRewrite extends Rule[LogicalPlan] {
 
   private def normalize(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath.stripSuffix("/")
+
+  /** Canonical SQL for structural matching: view/table qualifiers on
+    * attributes are irrelevant to the aggregate's semantics, so strip them
+    * (SQL-resolved plans print `min(view.value)`, DataFrame plans
+    * `min(value)`).
+    */
+  private def canonicalSql(e: Expression): String =
+    e.transform {
+      case a: AttributeReference => a.withQualifier(Seq.empty)
+    }.sql
 
   private def hasAggregate(e: Expression): Boolean =
     e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression])
@@ -157,7 +167,7 @@ object CaggRewrite extends Rule[LogicalPlan] {
         case (ar: AttributeReference, _) if groupNames.contains(ar.name) =>
           rtAttr(ar.name).map(at => Alias(at, ar.name)(exprId = ar.exprId))
         case (a: Alias, d: Alias) if hasAggregate(d.child) =>
-          reg.aggSqlToName.get(d.child.sql)
+          reg.aggSqlToName.get(canonicalSql(d.child))
             .flatMap(rtAttr)
             .map(at => Alias(at, a.name)(exprId = a.exprId))
         case _ => None

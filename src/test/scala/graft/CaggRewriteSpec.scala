@@ -59,6 +59,19 @@ class CaggRewriteSpec extends AnyFunSuite {
     assert(scansMat(narrow))
   }
 
+  test("SQL queries over a hypertable view rewrite too") {
+    val (ht, cagg) = setup()
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    Graft.registerCaggRewrite(cagg)
+    ht.read().createOrReplaceTempView("ht_rw_v")
+    val q = spark.sql(
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+        | count(1) AS n, min(value) AS min_value
+        |FROM ht_rw_v GROUP BY 1, 2""".stripMargin)
+    assert(scansMat(q), s"expected mat scan in:\n${q.queryExecution.optimizedPlan}")
+    assert(q.collect().toSet === rawHourly(ht).collect().toSet)
+  }
+
   test("non-matching shapes are not rewritten") {
     val (ht, cagg) = setup()
     cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))

@@ -66,6 +66,15 @@ class JoinsSpec extends AnyFunSuite {
       3600L * 1000000).count() === 0)
   }
 
+  test("asOf carries multiple right columns") {
+    val left = Seq((1L, "a", ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+    val right = Seq(("a", ts("2024-01-01 09:00:00"), 1.0, "x"),
+      ("a", ts("2024-01-01 09:30:00"), 2.0, "y")).toDF("k", "t", "v", "s")
+    val out = Joins.asOf(left, right, Seq("k"), "t", "t", Seq("v", "s"))
+    val row = out.select($"v_asof", $"s_asof").head()
+    assert(row.getDouble(0) === 2.0 && row.getString(1) === "y")
+  }
+
   test("asOf plan has a single exchange (union+window, no join node)") {
     val left = Seq((1L, "a", ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
     val right = Seq(("a", ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "t", "v")
