@@ -15,10 +15,13 @@ object Graft {
   def init(spark: SparkSession): SparkSession = {
     val reg = spark.sessionState.functionRegistry
     GraftExtensions.functionBuilders.foreach { case (name, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      // skip already-registered names (extensions path) — re-registering
+      // spams "replaced a previously registered function" per query
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
     for (rule <- Seq(graft.plans.GapfillRewrite, graft.plans.SortTransform,
-        graft.plans.CaggRewrite))
+        graft.plans.CaggRewrite, graft.plans.ChunkExclusion))
       if (!spark.experimental.extraOptimizations.contains(rule))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ rule
@@ -36,6 +39,7 @@ object Graft {
   def session(appName: String = "graft", master: String = "local[*]",
       shufflePartitions: Int = 32): SparkSession = {
     init(SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .appName(appName)
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

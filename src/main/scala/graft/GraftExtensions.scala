@@ -21,9 +21,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
     }
+    // gapfill rewrites at RESOLUTION time so empty-bucket aggregates keep
+    // reference NULL semantics (nullability can still widen); the optimizer
+    // registration below is the no-op-unless-unrewritten fallback shared
+    // with Graft.init sessions
+    ext.injectResolutionRule(_ => graft.plans.GapfillResolution)
     ext.injectOptimizerRule(_ => graft.plans.GapfillRewrite)
     ext.injectOptimizerRule(_ => graft.plans.SortTransform)
     ext.injectOptimizerRule(_ => graft.plans.CaggRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.ChunkExclusion)
   }
 }
 

@@ -87,10 +87,13 @@ object SparkEntry {
     }),
 
     // §2.4 histogram (array form: nbuckets+2 with under/overflow ends).
+    // Emitted as a comma-joined string: the driver's comparator can't sort
+    // array-typed cells, and the string form is canonical on both engines.
     "q05_histogram_array" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(gf.histogram(col("value"), 0.0, 500.0, 10).as("hist"))
+        .agg(array_join(gf.histogram(col("value"), 0.0, 500.0, 10)
+          .cast("array<string>"), ",").as("hist"))
         .orderBy(col("event_type"))
     }),
 
@@ -204,24 +207,32 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // MinHash signatures (LSH near-dup building block; not SQL-expressible
-    // in the oracle — rows-only check).
+    // MinHash signatures: PortableHash mod-(2^31-1) arithmetic, so the
+    // DuckDB oracle recomputes the exact signature. Joined to a string for
+    // the comparator (array cells are unsortable driver-side).
     "q17_minhash_sig" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
-        Dedup.minhashFast(col("text"), 3, 32).as("sig"))
+        array_join(Dedup.minhashFast(col("text"), 3, 32)
+          .cast("array<string>"), ",").as("sig"))
         .orderBy("doc_id")
     }),
 
-    // SimHash + banded candidates (rows-only check).
+    // SimHash, checked as four 16-bit chunks (the LSH band keys): a 64-bit
+    // hash with the top bit set doesn't round-trip portably through signed
+    // SQL integers, the chunks do.
     "q18_simhash" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
-        Dedup.simhash64(col("text")).as("simhash"))
+      val sim = Dedup.simhash64(col("text"))
+      t(s, dir, "documents").select(
+        (Seq(col("doc_id")) ++ (0 until 4).map(b =>
+          shiftright(sim, b * 16).bitwiseAND(lit(65535L)).cast("int").as(s"sim$b"))): _*)
         .orderBy("doc_id")
     }),
 
     // Multimodal plumbing: synthesize fake-container media from text bytes,
-    // decode per partition, emit typed metadata + stub features (rows-only).
+    // decode per partition, emit the parsed metadata. The oracle replicates
+    // the header fields arithmetically (format/width/height/frames are pure
+    // byte arithmetic); the stub feature vector is covered by ScalaTest.
     "q19_multimodal_decode" -> ((s, dir) => {
       import s.implicits._
       val media = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -233,8 +244,7 @@ object SparkEntry {
       Multimodal.decode(s, media, "doc_id", "media")
         .toDF()
         .select(col("id"), col("format"), col("width"), col("height"), col("frames"),
-          round(aggregate(col("feature").cast("array<double>"), lit(0.0),
-            (a, x) => a + x), 3).as("feature_sum"))
+          col("payloadBytes").as("payload_bytes"))
         .orderBy("id")
     }),
 
@@ -404,6 +414,38 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // §2.8 SQL-path gapfill through the analyzer rule: count(*) over empty
+    // buckets yields NULL (reference gapfill_exec injected-tuple semantics,
+    // NOT 0), and the BETWEEN finish bound's bucket is included.
+    "q36_gapfill_sql_count" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "events").createOrReplaceTempView("events_q36")
+      s.sql("""
+        SELECT event_type, time_bucket_gapfill(INTERVAL '1 hour', ts) AS bucket,
+               count(*) AS n, locf(min(value)) AS locf_min
+        FROM events_q36
+        WHERE ts BETWEEN TIMESTAMP '2024-01-01 00:00:00'
+                     AND TIMESTAMP '2024-01-14 23:59:59'
+        GROUP BY 1, 2 ORDER BY 1, 2""")
+    }),
+
+    // §2.1 automatic chunk exclusion: plain read().where(ts ...) — no
+    // between(), no `_chunk` — prunes via the catalog-driven optimizer rule.
+    "q37_chunk_exclusion" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      Graft.init(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_excl_q").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
+      ht.write(t(s, dir, "events"))
+      ht.read()
+        .where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-08 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // §2.1 ColumnarIndexScan: min/max answered from footer statistics only.
     "q29_stats_minmax" -> ((s, dir) => {
       import s.implicits._
@@ -426,8 +468,31 @@ object SparkEntry {
       case i if i == nbuckets + 1  => s"value >= $max"
       case i => s"value >= $min AND value < $max AND CAST(FLOOR((value - $min) / $w) AS INT) + 1 = $i"
     }
-    conds.map(c => s"SUM(CASE WHEN $c THEN 1 ELSE 0 END)").mkString("[", ", ", "]")
+    conds.map(c => s"CAST(SUM(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT)")
+      .mkString("array_to_string([", ", ", "], ',')")
   }
+
+  /** DuckDB replica of [[graft.expressions.PortableHash]]: per-doc list of
+    * token hashes (polynomial codepoint hash mod 2^31-1, seed 7, base 131).
+    */
+  private val tokenHashCte =
+    """SELECT doc_id,
+      | list_transform(string_split_regex(trim(text), '\s+'),
+      |  t -> list_reduce(
+      |   list_prepend(CAST(7 AS BIGINT),
+      |    list_transform(regexp_extract_all(t, '.'), c -> CAST(unicode(c) AS BIGINT))),
+      |   (h, cp) -> (h * 131 + cp) % 2147483647)) AS th
+      |FROM documents""".stripMargin
+
+  /** DuckDB affine permutation i of x over Z_(2^31-1), mirroring
+    * PortableHash.permA/permB (indices here are pre-offset literal SQL).
+    */
+  private def permSql(idx: String, x: String): String =
+    s"((($idx) * 1103515245 + 12345) % 2147483647 * ($x) + (($idx) * 69069 + 1) % 2147483647) % 2147483647"
+
+  /** Sum-of-bits SQL for simhash chunk b (bits 16b .. 16b+15). */
+  private def simhashChunkSql(b: Int): String =
+    (0 until 16).map(i => s"bits[${b * 16 + i + 1}] * ${1 << i}").mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -594,6 +659,44 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT * FROM p WHERE sim >= 0.45 ORDER BY 1, 2""".stripMargin,
 
+    "q17_minhash_sig" ->
+      s"""WITH t AS ($tokenHashCte),
+         |g AS (
+         |  SELECT doc_id,
+         |   list_transform(range(0, greatest(length(th) - 2, 1)),
+         |    g -> list_reduce(list_prepend(CAST(7 AS BIGINT), th[g+1 : g+3]),
+         |         (a, x) -> (a * 131 + x + 1) % 2147483647)) AS gh
+         |  FROM t)
+         |SELECT doc_id,
+         | array_to_string(list_transform(range(0, 32), s ->
+         |  list_min(list_transform(gh, x -> ${permSql("s + 1", "x")}))), ',') AS sig
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q18_simhash" ->
+      s"""WITH t AS ($tokenHashCte),
+         |b AS (
+         |  SELECT doc_id,
+         |   list_transform(range(0, 64), j -> CASE WHEN
+         |    list_sum(list_transform(th, x ->
+         |      CASE WHEN 2 * (${permSql("j + 101", "x")}) >= 2147483647
+         |           THEN 1 ELSE -1 END)) > 0
+         |    THEN 1 ELSE 0 END) AS bits
+         |  FROM t)
+         |SELECT doc_id,
+         | CAST(${simhashChunkSql(0)} AS INT) AS sim0,
+         | CAST(${simhashChunkSql(1)} AS INT) AS sim1,
+         | CAST(${simhashChunkSql(2)} AS INT) AS sim2,
+         | CAST(${simhashChunkSql(3)} AS INT) AS sim3
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q19_multimodal_decode" ->
+      """SELECT doc_id AS id, 'img' AS format,
+        | CAST(doc_id % 640 + 1 AS INT) AS width,
+        | CAST((doc_id % 640 + 1) * 3 // 4 + 1 AS INT) AS height,
+        | CAST(1 AS INT) AS frames,
+        | CAST(octet_length(encode(text)) AS INT) AS payload_bytes
+        |FROM documents ORDER BY id""".stripMargin,
+
     "q20_join_revenue" ->
       """SELECT n_name,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
@@ -710,6 +813,34 @@ object SparkEntry {
         |   * (CAST(CAST(SUM(CAST(CAST(json_extract_string(props,'$.k') AS BIGINT) AS DECIMAL(18,6)) * CAST(CAST(json_extract_string(props,'$.k') AS BIGINT) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)
         |   - CAST(SUM(CAST(CAST(json_extract_string(props,'$.k') AS BIGINT) AS DECIMAL(18,6))) AS DOUBLE) * CAST(SUM(CAST(CAST(json_extract_string(props,'$.k') AS BIGINT) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))) AS corr_vk
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q37_chunk_exclusion" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-22 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q36_gapfill_sql_count" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-14 23:59:59'),
+        |agg AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+        |         COUNT(*) AS n, MIN(value) AS min_value
+        |  FROM ev GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT g.event_type, b.bucket
+        |  FROM (SELECT DISTINCT event_type FROM agg) g
+        |  CROSS JOIN (SELECT unnest(range(TIMESTAMP '2024-01-01 00:00:00',
+        |    TIMESTAMP '2024-01-15 00:00:00', INTERVAL '1 hour')) AS bucket) b)
+        |SELECT s.event_type, s.bucket, a.n AS n,
+        | last_value(a.min_value IGNORE NULLS) OVER (PARTITION BY s.event_type
+        |   ORDER BY s.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_min
+        |FROM spine s LEFT JOIN agg a USING (event_type, bucket)
+        |ORDER BY 1, 2""".stripMargin,
 
     "q32_stats_spread" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -5,18 +5,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** `minhash_sig(tokens, n, k)`: the k-permutation MinHash signature of the
   * word-n-gram shingle set, in ONE pass — no shingle strings are ever
   * materialized (the column-expression formulation re-tokenizes and
   * re-concatenates per hash function; at 100 TB that is k× the string
-  * work). Per row: hash each token once, roll an n-token window hash, and
-  * fold each window hash through k seed mixes keeping the minima.
+  * work). Per row: hash each token once, combine n-token windows, and map
+  * each window hash through k affine permutations keeping the minima.
   *
   * Duplicate shingles need no dedup: `min` is idempotent over repeats.
-  * Signature values are NOT portable across engines (like the reference's
-  * internal hashes); near-dup quality, not reproducibility, is the contract.
+  * Hashing uses [[PortableHash]] (mod 2^31-1 arithmetic), so the exact
+  * signature is reproducible in any SQL engine — the DuckDB oracle in
+  * `SparkEntry.oracleSql("q17_minhash_sig")` recomputes it bit-for-bit.
   */
 case class MinHashSig(child: Expression, n: Int, k: Int)
     extends UnaryExpression with CodegenFallback {
@@ -31,8 +31,12 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
       s"minhash_sig needs array<string>, got ${dt.sql}")
   }
 
+  // affine permutation constants, fixed per hash index
+  private lazy val permAs: Array[Long] = Array.tabulate(k)(PortableHash.permA)
+  private lazy val permBs: Array[Long] = Array.tabulate(k)(PortableHash.permB)
+
   override def nullSafeEval(v: Any): Any = {
-    import MinHashSig._
+    import PortableHash._
     val toks = v.asInstanceOf[ArrayData]
     val nt = toks.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
@@ -40,20 +44,19 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
       val th = new Array[Long](nt)
       var i = 0
       while (i < nt) {
-        th(i) = if (toks.isNullAt(i)) 0L else SimHash64.fnv1a64(toks.getUTF8String(i))
+        th(i) = if (toks.isNullAt(i)) Seed else tokenHash(toks.getUTF8String(i))
         i += 1
       }
       val grams = math.max(nt - n + 1, 1) // short docs: one truncated gram
       var g = 0
       while (g < grams) {
-        var h = 0x9E3779B97F4A7C15L
+        var gh = Seed
         var j = g
         val end = math.min(g + n, nt)
-        while (j < end) { h = mix64(h ^ th(j)) * 0x100000001B3L; j += 1 }
-        h = mix64(h)
+        while (j < end) { gh = (gh * B + th(j) + 1L) % P; j += 1 }
         var s = 0
         while (s < k) {
-          val variant = mix64(h ^ (s * 0xC2B2AE3D27D4EB4FL))
+          val variant = (permAs(s) * gh + permBs(s)) % P
           if (variant < mins(s)) mins(s) = variant
           s += 1
         }
@@ -64,14 +67,4 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-object MinHashSig {
-  /** murmur3-style 64-bit finalizer (public-domain avalanche constants). */
-  def mix64(z0: Long): Long = {
-    var z = z0
-    z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL
-    z ^= z >>> 33; z *= 0xC4CEB9FE1A85EC53L
-    z ^ (z >>> 33)
-  }
 }

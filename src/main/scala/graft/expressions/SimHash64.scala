@@ -5,13 +5,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash of a token array: bit j of the result is set iff
-  * Σ_tokens (bit j of fnv1a64(token) ? +1 : −1) > 0. Single pass over the
-  * tokens with a 64-int vote vector — O(tokens·64) bit-ops per row, no
-  * per-bit re-scan. (Used by near-dup detection; not oracle-checked, so the
-  * token hash only needs to be deterministic, not engine-portable.)
+  * Σ_tokens sign_j(token) > 0, where sign_j(t) is +1 when the j-th affine
+  * permutation of the token's [[PortableHash]] lands in the upper half of
+  * Z_P, else −1. Single pass over the tokens with a 64-int vote vector —
+  * O(tokens·64) ops per row, no per-bit re-scan.
+  *
+  * Every per-bit value is reproducible in plain 64-bit SQL arithmetic, so
+  * the DuckDB oracle (`SparkEntry.oracleSql("q18_simhash")`) recomputes the
+  * hash exactly (checked as four 16-bit chunks — a 64-bit value with the
+  * top bit set doesn't round-trip portably through signed SQL integers).
   */
 case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -24,15 +28,17 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   }
 
   override def nullSafeEval(v: Any): Any = {
+    import PortableHash._
     val arr = v.asInstanceOf[ArrayData]
     val votes = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h = SimHash64.fnv1a64(arr.getUTF8String(i))
+        val th = tokenHash(arr.getUTF8String(i))
         var j = 0
         while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          val g = (SimHash64.permAs(j) * th + SimHash64.permBs(j)) % P
+          if (2L * g >= P) votes(j) += 1 else votes(j) -= 1
           j += 1
         }
       }
@@ -48,16 +54,9 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
 }
 
 object SimHash64 {
-  /** FNV-1a 64-bit over the UTF-8 bytes. */
-  def fnv1a64(s: UTF8String): Long = {
-    val bytes = s.getBytes
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
-  }
+  /** Bit-j permutation constants — offset +100 so they are independent of
+    * the MinHash family's indices 0..k-1.
+    */
+  val permAs: Array[Long] = Array.tabulate(64)(j => PortableHash.permA(j + 100))
+  val permBs: Array[Long] = Array.tabulate(64)(j => PortableHash.permB(j + 100))
 }

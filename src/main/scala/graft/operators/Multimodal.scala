@@ -22,7 +22,7 @@ object Multimodal {
   case class MediaMeta(format: String, width: Int, height: Int, frames: Int)
   case class MediaRow(id: Long, media: Array[Byte])
   case class DecodedRow(id: Long, format: String, width: Int, height: Int,
-      frames: Int, feature: Array[Float])
+      frames: Int, payloadBytes: Int, feature: Array[Float])
 
   private val MAGIC = "GRFT".getBytes("US-ASCII")
   val FORMATS = Seq("img", "aud", "vid")
@@ -88,7 +88,7 @@ object Multimodal {
         it.flatMap { r =>
           parseMeta(r.media).map { m =>
             DecodedRow(r.id, m.format, m.width, m.height, m.frames,
-              extractFeatureStub(r.media))
+              r.media.length - 11, extractFeatureStub(r.media))
           }
         }
       }

@@ -18,15 +18,27 @@ import graft.operators.Gapfill
   * → locf/interpolate windows — all declarative, shuffled only on the
   * group keys. Output attribute ids are preserved, so ORDER BY / outer
   * operators over the gapfilled columns are untouched.
+  *
+  * Two registrations of the same logic:
+  *  - [[GapfillResolution]] (analyzer, `injectResolutionRule`): runs before
+  *    the query schema freezes, so non-nullable aggregates (count) WIDEN to
+  *    nullable and empty buckets read NULL — the reference's semantics
+  *    (`gapfill_exec.c` injected tuples carry NULLs).
+  *  - [[GapfillRewrite]] (optimizer): fallback for sessions bootstrapped
+  *    with [[graft.Graft.init]] (`extraOptimizations` cannot reach the
+  *    analyzer). The analyzed schema is already fixed there, so an empty
+  *    bucket under a non-nullable aggregate coalesces to the type default
+  *    (count = 0) — documented divergence on that path only.
   */
-object GapfillRewrite extends Rule[LogicalPlan] {
+class GapfillRewriteRule(widenNullability: Boolean) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg: Aggregate if agg.expressions.exists(hasMarker) ||
+    case agg: Aggregate if agg.resolved &&
+        (agg.expressions.exists(hasMarker) ||
         (agg.child match {
           case p: Project => p.projectList.exists(hasMarker)
           case _          => false
-        }) =>
+        })) =>
       rewrite(agg).getOrElse(agg)
   }
 
@@ -68,53 +80,44 @@ object GapfillRewrite extends Rule[LogicalPlan] {
     * `ts < b` / `ts <= b` the finish (tightest bounds win).
     */
   private def inferWindow(agg: Aggregate, ts: Expression): Option[(Long, Long)] = {
-    import org.apache.spark.sql.catalyst.expressions._
     var lo: Option[Long] = None
     var hi: Option[Long] = None
-    def split(c: Expression): Seq[Expression] = c match {
-      case And(l, r) => split(l) ++ split(r)
-      case other     => Seq(other)
-    }
     agg.foreach {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        split(f.condition).foreach {
-          case GreaterThanOrEqual(e, v) if e.semanticEquals(ts) =>
-            evalMicros(v).foreach(x => lo = Some(lo.fold(x)(math.max(_, x))))
-          case GreaterThan(e, v) if e.semanticEquals(ts) =>
-            evalMicros(v).foreach(x => lo = Some(lo.fold(x)(math.max(_, x))))
-          case LessThan(e, v) if e.semanticEquals(ts) =>
-            evalMicros(v).foreach(x => hi = Some(hi.fold(x)(math.min(_, x))))
-          case LessThanOrEqual(e, v) if e.semanticEquals(ts) =>
-            evalMicros(v).foreach(x => hi = Some(hi.fold(x)(math.min(_, x))))
-          case _ => ()
-        }
+        val (l, h) = TimeBounds.bounds(f.condition, ts)
+        l.foreach(x => lo = Some(lo.fold(x)(math.max(_, x))))
+        h.foreach(x => hi = Some(hi.fold(x)(math.min(_, x))))
       case _ => ()
     }
     for (l <- lo; h <- hi) yield (l, h)
   }
 
+  private def dbg(s: => String): Unit =
+    if (sys.env.contains("GRAFT_DEBUG_GAPFILL")) System.err.println(s"[gapfill] $s")
+
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    dbg(s"rewrite called, widen=$widenNullability")
     val defs = derefMap(agg)
 
     // the gapfill marker lives in the GROUPING list (result-list occurrences
     // may be pruned away, e.g. under count())
     val derefGroups = agg.groupingExpressions.map(g => deref(g, defs))
     val gidx = derefGroups.indexWhere(_.isInstanceOf[GapfillBucket])
-    if (gidx < 0 || derefGroups.count(_.isInstanceOf[GapfillBucket]) != 1) return None
+    if (gidx < 0 || derefGroups.count(_.isInstanceOf[GapfillBucket]) != 1) { dbg("bail: gidx"); return None }
     val marker = derefGroups(gidx).asInstanceOf[GapfillBucket]
-    if (marker.ts.dataType != TimestampType && marker.ts.dataType != TimestampNTZType) return None
+    if (marker.ts.dataType != TimestampType && marker.ts.dataType != TimestampNTZType) { dbg("bail: ts type"); return None }
     // result outputs that ARE the bucket (may be none)
     val bucketOutIds = agg.aggregateExpressions.collect {
       case a: Alias if deref(a.child, defs).isInstanceOf[GapfillBucket] => a.exprId
     }.toSet
 
-    val width = widthString(marker.width).getOrElse(return None)
+    val width = widthString(marker.width).getOrElse { dbg("bail: width"); return None }
     // explicit start/finish, or inferred from WHERE-clause bounds on the
     // marker's time expression (reference `gapfill.sql:5-24`: defaults come
     // from the query's quals)
     val (startUs, finishUs) = (evalMicros(marker.start), evalMicros(marker.finish)) match {
       case (Some(s), Some(f)) => (s, f)
-      case _ => inferWindow(agg, marker.ts).getOrElse(return None)
+      case _ => inferWindow(agg, marker.ts).getOrElse { dbg("bail: inferWindow"); return None }
     }
 
     // remaining group columns must be plain attributes
@@ -175,18 +178,27 @@ object GapfillRewrite extends Rule[LogicalPlan] {
       val lookup = if (bucketOutIds.contains(out.exprId)) BN else out.name
       attrByName(lookup).map { at =>
         val cast = org.apache.spark.sql.catalyst.expressions.Cast(at, out.dataType)
-        // the query's analyzed schema is fixed before this rewrite runs, so a
-        // non-nullable aggregate (count) must stay non-null: empty buckets
-        // get the type default (count = 0) instead of the reference's NULL —
-        // wrap in locf/interpolate (nullable) for fill semantics
+        // analyzer registration: the schema isn't frozen yet, so let the
+        // spine join's nullability flow through — empty buckets read NULL
+        // under count() exactly like the reference. Optimizer registration:
+        // the analyzed schema is already fixed, so a non-nullable aggregate
+        // must stay non-null; coalesce to the type default (count = 0).
         val value =
-          if (out.nullable) cast
+          if (widenNullability || out.nullable) cast
           else org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(cast,
             org.apache.spark.sql.catalyst.expressions.Literal.default(out.dataType)))
         Alias(value, out.name)(exprId = out.exprId)
       }
     }
-    if (projected.exists(_.isEmpty)) None
+    if (projected.exists(_.isEmpty)) { dbg("bail: projected lookup"); None }
     else Some(Project(projected.map(_.get), filledPlan))
   }
 }
+
+/** Optimizer registration (fallback path — see class doc). */
+object GapfillRewrite extends GapfillRewriteRule(widenNullability = false)
+
+/** Analyzer registration (`injectResolutionRule`) — reference NULL
+  * semantics for empty buckets under non-nullable aggregates.
+  */
+object GapfillResolution extends GapfillRewriteRule(widenNullability = true)

@@ -42,17 +42,27 @@ object Columnstore {
 
   /** Rewrite one chunk directory into columnstore layout. Returns row count.
     * Safe to re-run (idempotent); concurrent readers of the same chunk see
-    * either the old or the new files, not a mix (tmp-dir swap).
+    * either the old or the new files, not a mix (dot-prefixed tmp dir is
+    * invisible to Spark's file index while in flight, then a rename swap).
+    * The chunk's `_graft_range` catalog file (non-default range written by
+    * merge/split) survives the rewrite.
     */
   def compressChunk(spark: SparkSession, chunkPath: String, opts: Options): Long = {
-    val fs = new Path(chunkPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val chunkP = new Path(chunkPath)
+    val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val df = spark.read.parquet(chunkPath)
     val spacePart = df.schema.fieldNames.filter(_ == Hypertable.SPACE).toSeq
+    // without a segmentby, size the file count from the input bytes (a 2 TB
+    // chunk must not funnel through one task); zstd+parquet recompression
+    // typically shrinks the input, so target ~2 row groups per output file
     val arranged = (opts.segmentBy match {
-      case Nil  => df.coalesce(1)
+      case Nil =>
+        val bytes = fs.getContentSummary(chunkP).getLength
+        df.coalesce(math.max(1,
+          math.ceil(bytes.toDouble / (2.0 * opts.rowGroupBytes)).toInt))
       case segs => df.repartition(segs.map(col): _*)
     }).sortWithinPartitions((opts.segmentBy ++ opts.orderBy).map(col): _*)
-    val tmp = chunkPath.stripSuffix("/") + "__compress_tmp"
+    val tmp = new Path(chunkP.getParent, "." + chunkP.getName + "_compress_tmp")
     var w = arranged.write.mode("overwrite")
       .option("compression", "zstd")
       .option("parquet.block.size", opts.rowGroupBytes.toString)
@@ -60,12 +70,40 @@ object Columnstore {
       w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
     if (spacePart.nonEmpty) w = w.partitionBy(spacePart: _*)
-    w.parquet(tmp)
-    val n = spark.read.parquet(tmp).count()
-    fs.delete(new Path(chunkPath), true)
-    fs.rename(new Path(tmp), new Path(chunkPath))
-    val touch = fs.create(new Path(chunkPath, MARKER), true)
+    w.parquet(tmp.toString)
+    // row count from the freshly written footers — no data re-read
+    val n = graft.operators.Stats.rowCount(spark, tmp.toString)
+    val range = Hypertable.readRangeFile(fs, chunkP)
+    fs.delete(chunkP, true)
+    fs.rename(tmp, chunkP)
+    range.foreach(end => Hypertable.writeRangeFile(fs, chunkP, end))
+    val touch = fs.create(new Path(chunkP, MARKER), true)
     touch.close()
+    n
+  }
+
+  /** Invert [[compressChunk]]: rewrite the chunk as plain (snappy) parquet
+    * and drop the columnstore marker — `decompress_chunk` /
+    * `convert_to_rowstore` (`tsl/src/compression/api.c:957`). Needed for
+    * the compress → modify heavily → recompress workflow.
+    */
+  def decompressChunk(spark: SparkSession, chunkPath: String): Long = {
+    val chunkP = new Path(chunkPath)
+    val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = spark.read.parquet(chunkPath)
+    val spacePart = df.schema.fieldNames.filter(_ == Hypertable.SPACE).toSeq
+    val bytes = fs.getContentSummary(chunkP).getLength
+    // columnstore chunks are ~4x smaller than their row form; re-inflate
+    val out = df.coalesce(math.max(1, math.ceil(bytes / 32e6).toInt))
+    val tmp = new Path(chunkP.getParent, "." + chunkP.getName + "_decompress_tmp")
+    var w = out.write.mode("overwrite")
+    if (spacePart.nonEmpty) w = w.partitionBy(spacePart: _*)
+    w.parquet(tmp.toString)
+    val n = graft.operators.Stats.rowCount(spark, tmp.toString)
+    val range = Hypertable.readRangeFile(fs, chunkP)
+    fs.delete(chunkP, true)
+    fs.rename(tmp, chunkP)
+    range.foreach(end => Hypertable.writeRangeFile(fs, chunkP, end))
     n
   }
 
@@ -76,7 +114,15 @@ object Columnstore {
       olderThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
     val todo = ht.showChunks(olderThanMicros)
       .filterNot(c => isCompressed(ht.spark, c.path))
-    todo.foreach(c => compressChunk(ht.spark, c.path, opts))
+    graft.Par.foreach(todo)(c => compressChunk(ht.spark, c.path, opts))
+    todo
+  }
+
+  /** Decompress every compressed chunk (optionally range-restricted). */
+  def decompress(ht: Hypertable, olderThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
+    val todo = ht.showChunks(olderThanMicros)
+      .filter(c => isCompressed(ht.spark, c.path))
+    graft.Par.foreach(todo)(c => decompressChunk(ht.spark, c.path))
     todo
   }
 }
@@ -95,7 +141,7 @@ object ReorderPolicy {
   def run(ht: Hypertable, orderBy: Seq[String],
       olderThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
     val todo = ht.showChunks(olderThanMicros)
-    todo.foreach(c => Columnstore.compressChunk(ht.spark, c.path,
+    graft.Par.foreach(todo)(c => Columnstore.compressChunk(ht.spark, c.path,
       Columnstore.Options(orderBy = orderBy)))
     todo
   }

@@ -55,8 +55,15 @@ class Hypertable private (
   /** Append rows, routing each to its chunk (and space) partition — the
     * tuple-routing insert path (`src/chunk_tuple_routing.c:72-147`); chunk
     * directories are created on demand by the parquet writer.
+    *
+    * Rows are shuffled onto their partition key first: without it every
+    * write task opens a file in every chunk dir, committing
+    * tasks × chunks files (measured 23k files/33 s vs 720/3 s at sf0.1).
+    * `filesPerChunk` > 1 splits each chunk across that many writer tasks —
+    * raise it when one ingest batch covers few chunks but many executors.
     */
-  def write(df: DataFrame, mode: SaveMode = SaveMode.Append): Unit = {
+  def write(df: DataFrame, mode: SaveMode = SaveMode.Append,
+      filesPerChunk: Int = 1): Unit = {
     var out = df.withColumn(CHUNK, chunkKey(col(timeCol)))
     val partCols = spaceCol match {
       case Some(sc) =>
@@ -64,11 +71,25 @@ class Hypertable private (
         Seq(CHUNK, SPACE)
       case None => Seq(CHUNK)
     }
-    out.write.mode(mode).partitionBy(partCols: _*).parquet(path)
+    val keys = partCols.map(col)
+    val routed =
+      if (filesPerChunk > 1) // deterministic row-hash salt (shuffle exprs can't be nondeterministic)
+        out.repartition((keys :+ pmod(hash(df.columns.map(col): _*), lit(filesPerChunk))): _*)
+      else out.repartition(keys: _*)
+    routed.write.mode(mode).partitionBy(partCols: _*).parquet(path)
   }
 
-  /** Full table read; `_chunk` (and `_space`) come back as partition cols. */
-  def read(): DataFrame = spark.read.parquet(path)
+  /** Full table read; `_chunk` (and `_space`) come back as partition cols.
+    * Registers this table's chunk catalog so [[graft.plans.ChunkExclusion]]
+    * turns plain `where(ts ...)` predicates into partition pruning.
+    */
+  def read(): DataFrame = {
+    Hypertable.registerForExclusion(qualifiedPath, timeCol, () => showChunks())
+    spark.read.parquet(path)
+  }
+
+  private lazy val qualifiedPath: String =
+    fs.makeQualified(new Path(path)).toString
 
   /** Read with chunk exclusion: the chunk catalog (dir listing + recorded
     * ranges) supplies the `_chunk` partition IN-list, plus the row-level
@@ -187,15 +208,16 @@ class Hypertable private (
     * locates batches by metadata the same way). Returns deleted row count.
     */
   def deleteWhere(pred: Column, timeRange: Option[(Long, Long)] = None): Long =
-    chunksIn(timeRange).map { c =>
-      val rows = chunkRows(c).cache()
-      try {
-        val hits = rows.where(coalesce(pred, lit(false))).count()
-        if (hits > 0)
-          rewriteChunkDir(c.startMicros, c.endMicros,
-            rows.where(!coalesce(pred, lit(false))))
-        hits
-      } finally rows.unpersist()
+    graft.Par.map(chunksIn(timeRange)) { c =>
+      // probe scan first (predicate pushes down to parquet) so untouched
+      // chunks are never rewritten; touched chunks re-scan instead of
+      // caching — per-chunk .cache() at 100 TB is executor-memory pressure
+      val rows = chunkRows(c)
+      val hits = rows.where(coalesce(pred, lit(false))).count()
+      if (hits > 0)
+        rewriteChunkDir(c.startMicros, c.endMicros,
+          rows.where(!coalesce(pred, lit(false))))
+      hits
     }.sum
 
   /** UPDATE ... SET assignments WHERE pred — copy-on-write chunk rewrite
@@ -209,26 +231,24 @@ class Hypertable private (
       s"updating the time column would re-route rows across chunks; delete + write instead")
     require(spaceCol.forall(!assignments.contains(_)),
       s"updating the space column would re-route rows across space buckets; delete + write instead")
-    chunksIn(timeRange).map { c =>
-      val rows = chunkRows(c).cache()
-      try {
-        val p = coalesce(pred, lit(false))
-        val hits = rows.where(p).count()
-        if (hits > 0) {
-          // SQL UPDATE semantics: predicate AND all new values are computed
-          // against the OLD row, so snapshot them before any column changes
-          val P = "_graft_upd_p"
-          val tmpOf = assignments.keys.map(k => k -> s"_graft_upd_$k").toMap
-          var df = rows.withColumn(P, p)
-          assignments.foreach { case (k, v) => df = df.withColumn(tmpOf(k), v) }
-          assignments.keys.foreach { k =>
-            df = df.withColumn(k, when(col(P), col(tmpOf(k))).otherwise(col(k)))
-          }
-          rewriteChunkDir(c.startMicros, c.endMicros,
-            df.drop(P).drop(tmpOf.values.toSeq: _*))
+    graft.Par.map(chunksIn(timeRange)) { c =>
+      val rows = chunkRows(c)
+      val p = coalesce(pred, lit(false))
+      val hits = rows.where(p).count()
+      if (hits > 0) {
+        // SQL UPDATE semantics: predicate AND all new values are computed
+        // against the OLD row, so snapshot them before any column changes
+        val P = "_graft_upd_p"
+        val tmpOf = assignments.keys.map(k => k -> s"_graft_upd_$k").toMap
+        var df = rows.withColumn(P, p)
+        assignments.foreach { case (k, v) => df = df.withColumn(tmpOf(k), v) }
+        assignments.keys.foreach { k =>
+          df = df.withColumn(k, when(col(P), col(tmpOf(k))).otherwise(col(k)))
         }
-        hits
-      } finally rows.unpersist()
+        rewriteChunkDir(c.startMicros, c.endMicros,
+          df.drop(P).drop(tmpOf.values.toSeq: _*))
+      }
+      hits
     }.sum
   }
 
@@ -250,6 +270,32 @@ object Hypertable {
   val SPACE = "_space"
   private val META = "_graft_hypertable.json"
   private val RANGE = "_graft_range"
+
+  /** qualified root path → (timeCol, chunk-catalog lister) for
+    * [[graft.plans.ChunkExclusion]]. Catalog is listed fresh per query
+    * (plan-time exclusion must see current merges/splits/drops).
+    */
+  private val exclusionRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, () => Seq[ChunkInfo])]()
+
+  private[graft] def registerForExclusion(qualifiedPath: String, timeCol: String,
+      lister: () => Seq[ChunkInfo]): Unit =
+    exclusionRegistry.put(qualifiedPath, (timeCol, lister))
+
+  def lookupExclusion(qualifiedPath: String): Option[(String, () => Seq[ChunkInfo])] =
+    Option(exclusionRegistry.get(qualifiedPath))
+
+  /** Read a chunk's recorded non-default range end, if any. */
+  private[sources] def readRangeFile(fs: FileSystem, chunkDir: Path): Option[Long] = {
+    val f = new Path(chunkDir, RANGE)
+    if (fs.exists(f)) Some(readSmallFile(fs, f).trim.toLong) else None
+  }
+
+  /** Record a chunk's range end (merge/split write non-default ranges). */
+  private[sources] def writeRangeFile(fs: FileSystem, chunkDir: Path, endMicros: Long): Unit = {
+    val out = fs.create(new Path(chunkDir, RANGE), true)
+    out.write(endMicros.toString.getBytes("UTF-8")); out.close()
+  }
 
   private[sources] def readSmallFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)

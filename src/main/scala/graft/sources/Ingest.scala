@@ -24,8 +24,23 @@ object Ingest {
       .option("sep", delimiter)
       .option("mode", "DROPMALFORMED")
       .csv(csvPath)
-    val n = df.count()
-    ht.write(df)
+    // count via observe() metrics piggybacked on the write pass — a separate
+    // df.count() would re-read the whole CSV (a full extra pass at 100 TB)
+    val name = s"graft_copy_${System.nanoTime()}"
+    import org.apache.spark.sql.functions.{count, lit}
+    @volatile var n = -1L
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.get(name).foreach(r => n = r.getLong(0))
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      ht.write(df.observe(name, count(lit(1))))
+      org.apache.spark.sql.GraftShims.waitForListeners(spark)
+    } finally spark.listenerManager.unregister(listener)
     n
   }
 

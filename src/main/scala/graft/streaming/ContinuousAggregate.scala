@@ -168,6 +168,19 @@ class ContinuousAggregate(
       fs.delete(target, true)
       fs.rename(st.getPath, target)
     }
+    // a mat-chunk in [chunkLo, chunkHi) whose recomputed content is empty
+    // (all raw rows deleted + invalidated) produces no tmp dir — remove the
+    // stale dir too or materialized/realtime keep serving deleted buckets
+    val written = tmpDirs.map(_.getPath.getName).toSet
+    fs.listStatus(new Path(matPath)).toSeq
+      .filter { st =>
+        st.isDirectory && st.getPath.getName.startsWith(s"$MATCHUNK=") &&
+          !written.contains(st.getPath.getName) && {
+            val ck = st.getPath.getName.stripPrefix(s"$MATCHUNK=").toLong
+            ck >= chunkLo && ck < chunkHi
+          }
+      }
+      .foreach(st => fs.delete(st.getPath, true))
     fs.delete(new Path(tmp), true)
     if (e > watermark) setWatermark(e)
     (s, e)
@@ -294,9 +307,16 @@ object CaggRefreshPolicy {
     val batchSpan = if (bucketsPerBatch <= 0) e - s else bucketsPerBatch * w
     var windows = (s until e by batchSpan).map(lo => (lo, math.min(lo + batchSpan, e)))
     if (refreshNewestFirst) windows = windows.reverse
+    val dropped =
+      if (maxBatchesPerExecution > 0) windows.drop(maxBatchesPerExecution) else Seq.empty
     if (maxBatchesPerExecution > 0) windows = windows.take(maxBatchesPerExecution)
     val done = windows.map { case (lo, hi) => cagg.refresh(lo, hi) }
     cagg.refreshInvalidated()
+    // newest-first + cap skips windows already below the advanced watermark:
+    // log them AFTER the invalidation pass so the NEXT policy run picks them
+    // up (the reference keeps unprocessed ranges in the invalidation log) —
+    // never silently unmaterialized
+    dropped.foreach { case (lo, hi) => cagg.invalidate(lo, hi) }
     done
   }
 }

@@ -16,4 +16,10 @@ object GraftShims {
     */
   def ofRows(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(classic.SparkSession.active, plan)
+
+  /** Drain the listener bus so `observe()` metrics delivered through a
+    * QueryExecutionListener are visible (the bus is `private[spark]`).
+    */
+  def waitForListeners(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -50,6 +50,35 @@ class ColumnstoreSpec extends AnyFunSuite {
     }
   }
 
+  test("decompress round-trips: compress → decompress → identical rows, marker gone") {
+    val dir = Files.createTempDirectory("graft_cs3").toString
+    val h = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    h.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val before = h.read().drop("_chunk").orderBy("event_id").collect()
+    Columnstore.compress(h, opts)
+    val undone = Columnstore.decompress(h)
+    assert(undone.nonEmpty)
+    assert(h.showChunks().forall(c => !Columnstore.isCompressed(spark, c.path)))
+    assert(h.read().drop("_chunk").orderBy("event_id").collect() === before)
+    // decompressing an uncompressed table is a no-op
+    assert(Columnstore.decompress(h).isEmpty)
+  }
+
+  test("compress/decompress preserve a merged chunk's recorded range") {
+    val dir = Files.createTempDirectory("graft_cs4").toString
+    val h = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    h.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val Seq(c0, c1, _*) = h.showChunks()
+    val merged = h.mergeChunks(c0.startMicros, c1.startMicros)
+    Columnstore.compressChunk(spark, merged.path, opts)
+    val afterCompress = h.showChunks().find(_.startMicros == merged.startMicros).get
+    assert(afterCompress.endMicros === merged.endMicros,
+      "compressChunk must carry the _graft_range catalog file over the rewrite")
+    Columnstore.decompressChunk(spark, merged.path)
+    val afterDecompress = h.showChunks().find(_.startMicros == merged.startMicros).get
+    assert(afterDecompress.endMicros === merged.endMicros)
+  }
+
   test("policy runner compresses only chunks older than cutoff") {
     val dir = Files.createTempDirectory("graft_cs2").toString
     val h = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")

@@ -30,8 +30,8 @@ class GapfillRewriteSpec extends AnyFunSuite {
       .agg(min($"value").as("mv"), count(lit(1)).as("n"))
     Gapfill.gapfill(agg, "bucket", Seq("event_type"), startUs, finishUs, "1 hour")
       .withColumn("mv", Gapfill.locf(col("mv"), Seq("event_type"), "bucket"))
-      // SQL-form divergence: non-nullable count stays 0 on empty buckets
-      .withColumn("n", coalesce(col("n"), lit(0L)))
+      // analyzer-stage rewrite widens count() to nullable: empty buckets
+      // read NULL, exactly like the operator pipeline and the reference
       .select("bucket", "event_type", "mv", "n")
   }
 
@@ -96,10 +96,32 @@ class GapfillRewriteSpec extends AnyFunSuite {
       .groupBy(gf.time_bucket_gapfill("1 hour", $"ts", start, finish).as("bucket"),
         $"event_type")
       .agg(count(lit(1)).as("n"))
-    val zeros = out.where($"n" === 0).count()
-    val zerosCollected = out.collect().count(_.getLong(2) == 0)
-    assert(zeros === zerosCollected)
-    assert(zeros > 0) // sparse data: most hourly buckets are empty
+    // empty buckets carry NULL counts (reference semantics): IS NULL filters
+    // agree with collected rows, and n = 0 never materializes
+    val nulls = out.where($"n".isNull).count()
+    val nullsCollected = out.collect().count(_.isNullAt(2))
+    assert(nulls === nullsCollected)
+    assert(nulls > 0) // sparse data: most hourly buckets are empty
+    assert(out.where($"n" === 0).count() === 0)
+  }
+
+  test("two-arg SQL form with BETWEEN: NULL counts, finish bucket included") {
+    ev.createOrReplaceTempView("events_v2")
+    val out = spark.sql(
+      """SELECT event_type, time_bucket_gapfill(INTERVAL '1 hour', ts) AS bucket,
+        |       count(*) AS n
+        |FROM events_v2
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-01 00:00:00'
+        |             AND TIMESTAMP '2024-01-07 23:59:59'
+        |GROUP BY 1, 2""".stripMargin).cache()
+    try {
+      assert(out.schema("n").nullable, "analyzer rewrite must widen count() to nullable")
+      assert(out.where($"n".isNull).count() > 0, "empty buckets must read NULL, not 0")
+      assert(out.where($"n" === 0).count() === 0)
+      // the <= bound's bucket (23:00) is part of the spine
+      val groups = out.select($"event_type").distinct().count()
+      assert(out.count() === groups * 7 * 24)
+    } finally out.unpersist()
   }
 
   test("ORDER BY over gapfilled output survives the rewrite (attribute ids preserved)") {

@@ -31,6 +31,17 @@ class HypertableSpec extends AnyFunSuite {
     assert(sub === 4)
   }
 
+  test("write commits one file per partition dir (shuffle-routed, no task×chunk blowup)") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(ht.path), true)
+    var dataFiles = 0
+    while (it.hasNext) { if (it.next().getPath.getName.startsWith("part-")) dataFiles += 1 }
+    // one file per non-empty (chunk, space) combo; the unrouted plan would
+    // commit writer-tasks × combos files
+    val combos = ht.read().select("_chunk", "_space").distinct().count()
+    assert(dataFiles === combos, s"expected $combos data files, got $dataFiles")
+  }
+
   test("read round-trips all rows") {
     val n = Tables.table(spark, "/root/testdata/sf0.001", "events").count()
     assert(ht.read().count() === n)
@@ -52,6 +63,51 @@ class HypertableSpec extends AnyFunSuite {
     // row-level correctness
     val expected = Tables.table(spark, "/root/testdata/sf0.001", "events")
       .where(col("ts") >= lit("2024-01-10") && col("ts") < lit("2024-01-12")).count()
+    assert(df.count() === expected)
+  }
+
+  test("plain read().where(ts ...) gets catalog-driven chunk exclusion") {
+    val df = ht.read().where(
+      col("ts") >= lit(Timestamp.valueOf("2024-01-10 00:00:00")) &&
+      col("ts") < lit(Timestamp.valueOf("2024-01-12 00:00:00")))
+    val plan = df.queryExecution.executedPlan
+    val scan = plan.collectFirst { case f: FileSourceScanExec => f }.orElse(plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
+      case _ => None
+    }).get
+    // same pruning as the explicit between(): 2 of 30 chunks × 4 space dirs
+    val parts = scan.selectedPartitions.partitionCount
+    assert(parts === 8, s"expected 8 pruned partitions via ChunkExclusion, got $parts")
+    val expected = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .where(col("ts") >= lit("2024-01-10") && col("ts") < lit("2024-01-12")).count()
+    assert(df.count() === expected)
+    // BETWEEN sugar prunes too (inclusive end reaches into 01-12's chunk)
+    val df2 = ht.read().where(col("ts").between(
+      lit(Timestamp.valueOf("2024-01-10 00:00:00")),
+      lit(Timestamp.valueOf("2024-01-12 00:00:00"))))
+    val plan2 = df2.queryExecution.executedPlan
+    val scan2 = plan2.collectFirst { case f: FileSourceScanExec => f }.orElse(plan2 match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
+      case _ => None
+    }).get
+    assert(scan2.selectedPartitions.partitionCount === 12)
+  }
+
+  test("chunk exclusion respects merged-chunk ranges from the catalog") {
+    val dir2 = Files.createTempDirectory("graft_ht_merge").toString
+    val h = Hypertable.create(spark, s"$dir2/ht", "ts", chunkWidth = "1 day")
+    h.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val Seq(c0, c1, _*) = h.showChunks()
+    h.mergeChunks(c0.startMicros, c1.startMicros)
+    // rows from day 2 now live in the merged chunk starting at day 1: a
+    // day-2 query must still scan it (arithmetic ranges would miss it)
+    val df = h.read().where(
+      col("ts") >= lit(Timestamp.valueOf("2024-01-02 00:00:00")) &&
+      col("ts") < lit(Timestamp.valueOf("2024-01-03 00:00:00")))
+    val expected = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .where(col("ts") >= lit("2024-01-02") && col("ts") < lit("2024-01-03")).count()
     assert(df.count() === expected)
   }
 

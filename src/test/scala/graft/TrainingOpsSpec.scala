@@ -114,6 +114,8 @@ class TrainingOpsSpec extends AnyFunSuite {
     val row = decoded.where($"id" === 0).head()
     assert(row.format === "vid" && row.width === 320 && row.height === 240 && row.frames === 100)
     assert(row.feature.length === 8)
+    val payload0 = docs.where($"doc_id" === 0).head().getAs[String]("text").getBytes("UTF-8").length
+    assert(row.payloadBytes === payload0)
     // corrupt rows are dropped, not fatal
     val corrupt = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
     assert(Multimodal.decode(spark, corrupt, "doc_id", "media").count() === 0)
