@@ -158,6 +158,29 @@ object SparkEntry {
       cagg.materialized.orderBy("bucket", "event_type")
     }),
 
+    // §2.10 monthly (calendar-width) cagg over orders: variable-width
+    // buckets in the hypertable chunking AND the cagg definition.
+    "q38_cagg_monthly" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      import graft.streaming.{CaggDef, ContinuousAggregate}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cagg_m").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "o_orderdate", chunkWidth = "6 months")
+      // orders carries TIMESTAMP_NTZ; hypertable time arithmetic is on
+      // TIMESTAMP (session TZ is UTC, so the instant is unchanged)
+      ht.write(t(s, dir, "orders")
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp")))
+      val defn = CaggDef("1 month", Seq("o_orderpriority"), Seq(
+        count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price")),
+        bucketCol = "month", matChunkWidth = "365 days")
+      val cagg = ContinuousAggregate.create(s, s"$tmp/cagg", ht, defn)
+      val mm = ht.read().agg(unix_micros(min(col("o_orderdate"))),
+        unix_micros(max(col("o_orderdate")))).head()
+      cagg.refresh(defn.bucketFloor(mm.getLong(0)),
+        defn.bucketAdvance(defn.bucketFloor(mm.getLong(1)), 1))
+      cagg.materialized.orderBy("month", "o_orderpriority")
+    }),
+
     // Training-data ops: exact dedup groups over documents.
     "q10_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id").orderBy("key")
@@ -201,9 +224,11 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
     }),
 
-    // Embedding near-duplicate pairs (exact cosine >= 0.45 baseline).
+    // Embedding near-duplicate pairs via banded LSH (the at-scale equi-join
+    // path; candidates then exact-cosine verified) — the brute-force
+    // DuckDB self-join is the oracle, so recall must be exact here.
     "q16_embed_neardup" -> ((s, dir) => {
-      Similarity.bruteForcePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+      Similarity.lshPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
         .orderBy("id_a", "id_b")
     }),
 
@@ -594,6 +619,12 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
         | MIN(value) AS min_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q38_cagg_monthly" ->
+      """SELECT time_bucket(INTERVAL '1 month', o_orderdate) AS month, o_orderpriority,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q10_dedup_exact" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS key,

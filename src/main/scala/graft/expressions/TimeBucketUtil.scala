@@ -113,6 +113,10 @@ object TimeBucketUtil {
     o.plusMonths(idx * months).toEpochDay.toInt
   }
 
+  /** Calendar month addition in micros (for month-width chunk/bucket ends). */
+  def addMonthsMicros(us: Long, months: Int): Long =
+    microsFromLdt(ldtFromMicros(us).plusMonths(months.toLong))
+
   /** legacy CalendarInterval width (months XOR days+micros). */
   def bucketCalendarMicros(ts: Long, w: CalendarInterval, origin: Long): Long =
     if (w.months != 0) {

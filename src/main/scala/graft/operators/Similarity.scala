@@ -91,20 +91,46 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
-  /** Embedding near-dup pairs at scale: LSH-bucket the vectors, compare
-    * only within buckets (signature equality), exact-cosine verify.
+  /** Embedding near-dup pairs at scale: banded random-hyperplane LSH.
+    * `bands` independent signature tables of `planesPerBand` bits each;
+    * vectors sharing ANY band bucket become candidates (equi-join on
+    * (band, bucket) — never a cross/BNL join), then exact-cosine verify.
+    *
+    * Per-pair recall = 1 − (1 − p^m)^L with p = 1 − θ/π. Tune to the sim
+    * regime: true near-dups (cos ≥ 0.9) prune massively at m=8, L=4;
+    * a low threshold like 0.45 (θ ≈ 63°, p ≈ 0.65) needs m=1 and L ≈ 20
+    * for recall ≈ 1 − 1e-9 — the prune factor is then bounded by p per
+    * band, an information-theoretic property of the regime, not of the
+    * implementation (dense vectors admit no exact sub-quadratic method).
     */
   def lshPairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numPlanes: Int = 10, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim, seed)
-    val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshSignature(col(vecCol), planes).as("sig"))
-    val a = withSig.as("a")
-    val b = withSig.as("b")
-    a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      .withColumn("sim", cosine(col("a.v"), col("b.v")))
+      threshold: Double, planesPerBand: Int = 1, bands: Int = 20,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(bands * planesPerBand, dim, seed)
+    val bandCol = explode(array((0 until bands).map { b =>
+      val bits = (0 until planesPerBand).map { j =>
+        when(dot(col("v"), typedLit(planes(b * planesPerBand + j))) >= 0,
+          shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+      struct(lit(b).as("band"), bits.as("bucket"))
+    }: _*))
+    val banded = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"), bandCol.as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    // distinct candidate ids FIRST: a pair sharing many bands verifies once
+    val cands = a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("n"))
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b")), "id_b")
+      .withColumn("sim", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .where(col("sim") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+      .select(col("id_a"), col("id_b"), col("sim"))
   }
 }

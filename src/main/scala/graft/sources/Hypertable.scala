@@ -40,7 +40,11 @@ class Hypertable private (
     val timeCol: String,
     val chunkWidthMicros: Long,
     val spaceCol: Option[String],
-    val spacePartitions: Int) extends TimeSource {
+    val spacePartitions: Int,
+    /** calendar-month chunk width; when > 0 `chunkWidthMicros` is unused
+      * (`src/dimension.h:86` month-interval dimensions).
+      */
+    val chunkMonths: Int = 0) extends TimeSource {
 
   import Hypertable._
 
@@ -48,9 +52,16 @@ class Hypertable private (
 
   /** Bucket-start (micros) for a time column — the chunk key. */
   def chunkKey(time: Column): Column =
-    unix_micros(gf.time_bucket(
+    if (chunkMonths > 0)
+      unix_micros(gf.time_bucket(s"$chunkMonths months", time))
+    else unix_micros(gf.time_bucket(
       lit(java.time.Duration.of(chunkWidthMicros, java.time.temporal.ChronoUnit.MICROS)),
       time))
+
+  /** Default end of a chunk starting at `start` (no `_range` recorded). */
+  private def defaultChunkEnd(start: Long): Long =
+    if (chunkMonths > 0) TimeBucketUtil.addMonthsMicros(start, chunkMonths)
+    else start + chunkWidthMicros
 
   /** Append rows, routing each to its chunk (and space) partition — the
     * tuple-routing insert path (`src/chunk_tuple_routing.c:72-147`); chunk
@@ -125,7 +136,7 @@ class Hypertable private (
         val rangeFile = new Path(s.getPath, RANGE)
         val end =
           if (fs.exists(rangeFile)) readSmallFile(fs, rangeFile).trim.toLong
-          else start + chunkWidthMicros
+          else defaultChunkEnd(start)
         ChunkInfo(start, end, s.getPath.toString)
       }
       .sortBy(_.startMicros)
@@ -316,12 +327,15 @@ object Hypertable {
       spacePartitions: Int = 4): Hypertable = {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(chunkWidth))
-    require(iv.months == 0, "month-width chunks not supported; use day/hour widths")
+    require(iv.months == 0 || (iv.days == 0 && iv.microseconds == 0),
+      "chunk width must be either a month interval or a day/time interval, not both")
     val widthMicros = iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds
-    val ht = new Hypertable(spark, path, timeCol, widthMicros, spaceCol, spacePartitions)
+    val ht = new Hypertable(spark, path, timeCol, widthMicros, spaceCol,
+      spacePartitions, chunkMonths = iv.months)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(path))
     val meta = s"""{"timeCol":"$timeCol","chunkWidthMicros":$widthMicros,""" +
+      s""""chunkMonths":${iv.months},""" +
       s""""spaceCol":${spaceCol.map(c => "\"" + c + "\"").getOrElse("null")},""" +
       s""""spacePartitions":$spacePartitions}"""
     val out = fs.create(new Path(path, META), true)
@@ -343,8 +357,10 @@ object Hypertable {
       ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(meta).map(_.group(1))
     def num(k: String): Long =
       ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(meta).map(_.group(1).toLong).get
+    val months = ("\"chunkMonths\":(-?\\d+)").r.findFirstMatchIn(meta)
+      .map(_.group(1).toInt).getOrElse(0)
     new Hypertable(spark, path, str("timeCol").get, num("chunkWidthMicros"),
-      str("spaceCol"), num("spacePartitions").toInt)
+      str("spaceCol"), num("spacePartitions").toInt, months)
   }
 }
 

@@ -23,18 +23,37 @@ case class CaggDef(
       * O(chunks) while refresh still replaces only touched chunks.
       */
     matChunkWidth: String = "7 days") {
-  private def micros(s: String): Long = {
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
-    require(iv.months == 0, "month widths not supported yet; use fixed widths")
+  private def interval(s: String) = org.apache.spark.sql.catalyst.util.IntervalUtils
+    .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+
+  /** calendar-month bucket width (`src/time_bucket.c:148-183`); 0 = fixed. */
+  private[graft] val widthMonths: Int = {
+    val iv = interval(bucketWidth)
+    require(iv.months == 0 || (iv.days == 0 && iv.microseconds == 0),
+      "bucket width must be either a month interval or a day/time interval, not both")
+    iv.months
+  }
+  private[graft] val widthMicros: Long = {
+    val iv = interval(bucketWidth)
     iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds
   }
-  private[graft] val widthMicros: Long = micros(bucketWidth)
   private[graft] val matChunkMicros: Long = {
-    val m = micros(matChunkWidth)
-    require(m >= widthMicros, "matChunkWidth must be >= bucketWidth")
+    val iv = interval(matChunkWidth)
+    require(iv.months == 0, "matChunkWidth must be a fixed day/time interval")
+    val m = iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds
+    require(widthMonths > 0 || m >= widthMicros, "matChunkWidth must be >= bucketWidth")
     m
   }
+
+  /** Bucket start at-or-before `us`. */
+  private[graft] def bucketFloor(us: Long): Long =
+    if (widthMonths > 0) TimeBucketUtil.bucketMonthsMicros(us, widthMonths, TimeBucketUtil.SENTINEL)
+    else TimeBucketUtil.bucketMicros(us, widthMicros, TimeBucketUtil.SENTINEL)
+
+  /** Start of the n-th bucket after the one starting at `bucketStart`. */
+  private[graft] def bucketAdvance(bucketStart: Long, n: Int): Long =
+    if (widthMonths > 0) TimeBucketUtil.addMonthsMicros(bucketStart, widthMonths * n)
+    else bucketStart + widthMicros * n
 }
 
 /** Continuous aggregate over a [[Hypertable]] — the Spark-native equivalent
@@ -125,10 +144,9 @@ class ContinuousAggregate(
     * last whole bucket ending at/before `end`.
     */
   def inscribe(startMicros: Long, endMicros: Long): (Long, Long) = {
-    val w = defn.widthMicros
-    val s0 = TimeBucketUtil.bucketMicros(startMicros, w, TimeBucketUtil.SENTINEL)
-    val s = if (s0 < startMicros) s0 + w else s0
-    val e = TimeBucketUtil.bucketMicros(endMicros, w, TimeBucketUtil.SENTINEL)
+    val s0 = defn.bucketFloor(startMicros)
+    val s = if (s0 < startMicros) defn.bucketAdvance(s0, 1) else s0
+    val e = defn.bucketFloor(endMicros)
     (s, e)
   }
 
@@ -225,9 +243,8 @@ class ContinuousAggregate(
   def refreshInvalidated(): Seq[(Long, Long)] = {
     val done = pendingInvalidations().map { case (lo, hi) =>
       // widen to enclosing whole buckets: invalidated rows dirty their bucket
-      val w = defn.widthMicros
-      val s = TimeBucketUtil.bucketMicros(lo, w, TimeBucketUtil.SENTINEL)
-      val e = TimeBucketUtil.bucketMicros(hi, w, TimeBucketUtil.SENTINEL) + w
+      val s = defn.bucketFloor(lo)
+      val e = defn.bucketAdvance(defn.bucketFloor(hi), 1)
       refresh(s, e)
     }
     fs.delete(new Path(invPath), true)
@@ -303,9 +320,14 @@ object CaggRefreshPolicy {
     require(startOffsetMicros > endOffsetMicros, "start offset must exceed end offset")
     val (s, e) = cagg.inscribe(nowMicros - startOffsetMicros, nowMicros - endOffsetMicros)
     if (s >= e) return Seq.empty
-    val w = cagg.defn.widthMicros
-    val batchSpan = if (bucketsPerBatch <= 0) e - s else bucketsPerBatch * w
-    var windows = (s until e by batchSpan).map(lo => (lo, math.min(lo + batchSpan, e)))
+    var windows =
+      if (bucketsPerBatch <= 0) Seq((s, e))
+      else {
+        // step whole buckets (month-aware: bucket widths vary)
+        val starts = Iterator.iterate(s)(cagg.defn.bucketAdvance(_, bucketsPerBatch))
+          .takeWhile(_ < e).toSeq
+        starts.map(lo => (lo, math.min(cagg.defn.bucketAdvance(lo, bucketsPerBatch), e)))
+      }
     if (refreshNewestFirst) windows = windows.reverse
     val dropped =
       if (maxBatchesPerExecution > 0) windows.drop(maxBatchesPerExecution) else Seq.empty

@@ -50,6 +50,34 @@ class CaggSpec extends AnyFunSuite {
     assert(e === us("2024-01-05 13:00:00"))
   }
 
+  test("monthly cagg: refresh across month boundaries, late data re-materialized") {
+    val dir = Files.createTempDirectory("graft_cagg_m").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "1 month")
+    // synthetic rows spanning Jan..Apr 2024 (incl. leap February)
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        + i.toLong * 77 * 60 * 1000), if (i % 3 == 0) "a" else "b", i * 1.5)
+    }
+    ht.write(rows.toDF("id", "ts", "kind", "v"))
+    assert(ht.showChunks().map(c => (c.start.toString.take(10), c.end.toString.take(10))) ===
+      Seq(("2024-01-01", "2024-02-01"), ("2024-02-01", "2024-03-01"),
+        ("2024-03-01", "2024-04-01"), ("2024-04-01", "2024-05-01")))
+    val mdefn = CaggDef("1 month", Seq("kind"), Seq(
+      count(lit(1)).as("n"),
+      expr("CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE)").as("sum_v")))
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht, mdefn)
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-05-01 00:00:00"))
+    def direct = ht.read()
+      .groupBy(gf.time_bucket("1 month", $"ts").as("bucket"), $"kind")
+      .agg(mdefn.aggs.head, mdefn.aggs.tail: _*)
+    assert(cagg.materialized.collect().toSet === direct.collect().toSet)
+    // late row into February, below the watermark
+    cagg.ingest(Seq((9999L, Timestamp.valueOf("2024-02-15 12:00:00"), "a", 100.0))
+      .toDF("id", "ts", "kind", "v"))
+    cagg.refreshInvalidated()
+    assert(cagg.materialized.collect().toSet === direct.collect().toSet)
+  }
+
   test("late data below the watermark is invalidated and re-materialized") {
     val (ht, cagg) = freshCagg()
     cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))

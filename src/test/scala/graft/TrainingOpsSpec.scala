@@ -104,6 +104,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(r.getString(3) === "und")
   }
 
+  test("lshPairs matches brute-force pairs exactly and plans as an equi-join") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val lsh = Similarity.lshPairs(emb, "vec_id", "embedding", 0.45)
+    val brute = Similarity.bruteForcePairs(emb, "vec_id", "embedding", 0.45)
+    assert(lsh.collect().toSet === brute.collect().toSet)
+    // candidate generation is a bucket equi-join, never a nested-loop scan
+    val plans = lsh.queryExecution.executedPlan.toString
+    assert(!plans.contains("BroadcastNestedLoopJoin"),
+      "lshPairs must not plan a BroadcastNestedLoopJoin")
+    assert(!plans.contains("CartesianProduct"))
+  }
+
   test("multimodal: fake container round-trips and decode is partition-parallel") {
     val media = docs.select($"doc_id", $"text").as[(Long, String)]
       .map { case (id, txt) =>
