@@ -181,6 +181,29 @@ object SparkEntry {
       cagg.materialized.orderBy("month", "o_orderpriority")
     }),
 
+    // §2.10 cagg WITH a dimension join (cagg_joins.sql): daily revenue by
+    // nation — events enriched through customer→nation (broadcast) before
+    // aggregation; group key comes from the dimension.
+    "q39_cagg_join" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      import graft.streaming.{CaggDef, CaggJoin, ContinuousAggregate}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cagg_j").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
+      ht.write(t(s, dir, "events"))
+      val dim = () => t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("user_id"), col("n_name"))
+      val defn = CaggDef("1 day", Seq("n_name"), Seq(
+        count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value")),
+        dimJoin = Some(CaggJoin(dim, Seq("user_id"))))
+      val cagg = ContinuousAggregate.create(s, s"$tmp/cagg", ht, defn)
+      val mm = ht.read().agg(unix_micros(min(col("ts"))), unix_micros(max(col("ts")))).head()
+      cagg.refresh(defn.bucketFloor(mm.getLong(0)),
+        defn.bucketAdvance(defn.bucketFloor(mm.getLong(1)), 1))
+      cagg.materialized.orderBy("bucket", "n_name")
+    }),
+
     // Training-data ops: exact dedup groups over documents.
     "q10_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id").orderBy("key")
@@ -625,6 +648,15 @@ object SparkEntry {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q39_cagg_join" ->
+      """SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS bucket, n_name,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events
+        |JOIN customer ON user_id = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q10_dedup_exact" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS key,

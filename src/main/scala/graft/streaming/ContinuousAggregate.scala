@@ -8,14 +8,41 @@ import graft.{functions => gf}
 import graft.expressions.TimeBucketUtil
 import graft.sources.{Hypertable, TimeSource}
 
+/** Dimension join inside a cagg's view query — caggs-with-joins
+  * (`tsl/test/sql/cagg_joins.sql`): the raw hypertable rows are enriched
+  * with a (small) dimension table before bucketing/aggregation, so group
+  * columns can come from the dimension (enrich-then-aggregate). Like the
+  * reference, only the HYPERTABLE side drives invalidation — a changed
+  * dimension row requires a manual full refresh.
+  *
+  * `broadcastDim` keeps the materialization/realtime plans shuffle-free on
+  * the join (the fact side never moves) — leave it on unless the dimension
+  * is too large to broadcast.
+  */
+case class CaggJoin(
+    dim: () => DataFrame,
+    joinKeys: Seq[String],
+    joinType: String = "inner",
+    broadcastDim: Boolean = true) {
+  require(joinType == "inner" || joinType == "left",
+    "cagg joins support inner/left equality joins (cagg_joins.sql semantics)")
+
+  private[streaming] def apply(raw: DataFrame): DataFrame = {
+    val d = if (broadcastDim) org.apache.spark.sql.functions.broadcast(dim()) else dim()
+    raw.join(d, joinKeys, joinType)
+  }
+}
+
 /** Definition of a continuous aggregate: bucket width + grouping + aggregate
   * expressions (the reference's direct-view query,
   * `tsl/src/continuous_aggs/create.c:600`). `aggs` must be aliased columns.
+  * `dimJoin` optionally enriches raw rows before aggregation.
   */
 case class CaggDef(
     bucketWidth: String,
     groupCols: Seq[String],
     aggs: Seq[Column],
+    dimJoin: Option[CaggJoin] = None,
     bucketCol: String = "bucket",
     /** Partition width of the materialization table. One partition dir per
       * BUCKET would melt the metadata layer (a year of minute-buckets =
@@ -97,7 +124,8 @@ class ContinuousAggregate(
 
   /** Aggregate raw rows of [lo, hi) into finalized bucket rows. */
   private def compute(loMicros: Long, hiMicros: Long): DataFrame = {
-    val raw = source.between(loMicros, hiMicros)
+    val raw = defn.dimJoin.foldLeft(source.between(loMicros, hiMicros))(
+      (df, j) => j(df))
     raw.groupBy(
         (unix_micros(bucketOf(col(source.timeCol))).as(BUCKET) +:
           defn.groupCols.map(col)): _*)
@@ -297,7 +325,9 @@ class ContinuousAggregate(
   }
 
   private def liveFrom(wmMicros: Long): DataFrame = {
-    val raw = source.read().where(unix_micros(col(source.timeCol)) >= wmMicros)
+    val raw = defn.dimJoin.foldLeft(
+      source.read().where(unix_micros(col(source.timeCol)) >= wmMicros))(
+      (df, j) => j(df))
     raw.groupBy(
         (bucketOf(col(source.timeCol)).as(defn.bucketCol) +:
           defn.groupCols.map(col)): _*)

@@ -78,6 +78,33 @@ class CaggSpec extends AnyFunSuite {
     assert(cagg.materialized.collect().toSet === direct.collect().toSet)
   }
 
+  test("cagg with a dimension join: materialization, late data, realtime agree") {
+    val dir = Files.createTempDirectory("graft_cagg_j").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val dim = () => Tables.table(spark, "/root/testdata/sf0.001", "customer")
+      .join(Tables.table(spark, "/root/testdata/sf0.001", "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name"))
+    val jdefn = CaggDef("1 day", Seq("n_name"), Seq(
+      count(lit(1)).as("n"),
+      expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value")),
+      dimJoin = Some(graft.streaming.CaggJoin(dim, Seq("user_id"))))
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht, jdefn)
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    def direct = ht.read().join(dim(), Seq("user_id"))
+      .groupBy(gf.time_bucket("1 day", $"ts").as("bucket"), $"n_name")
+      .agg(jdefn.aggs.head, jdefn.aggs.tail: _*)
+    assert(cagg.materialized.collect().toSet === direct.collect().toSet)
+    // late fact row below the watermark re-materializes through the join
+    cagg.ingest(Seq((99999L, Timestamp.valueOf("2024-01-05 12:00:00"), 3L, "click", 42.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    cagg.refreshInvalidated()
+    assert(cagg.materialized.collect().toSet === direct.collect().toSet)
+    // realtime = materialized below watermark ∪ live (joined) above
+    assert(cagg.realtime.collect().toSet === direct.collect().toSet)
+  }
+
   test("late data below the watermark is invalidated and re-materialized") {
     val (ht, cagg) = freshCagg()
     cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
