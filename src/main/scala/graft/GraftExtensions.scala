@@ -42,6 +42,16 @@ object GraftExtensions {
       case exprs => throw new IllegalArgumentException(
         s"time_bucket requires 2 or 3 arguments, got ${exprs.length}")
     },
+    // bucket in the wall-clock of tz, result back as a UTC instant
+    // (reference `src/time_bucket.c:335+` timestamptz-with-timezone form)
+    "time_bucket_tz" -> {
+      case Seq(w, t, tz) =>
+        org.apache.spark.sql.catalyst.expressions.ToUTCTimestamp(
+          TimeBucket(w,
+            org.apache.spark.sql.catalyst.expressions.FromUTCTimestamp(t, tz), None), tz)
+      case exprs => throw new IllegalArgumentException(
+        s"time_bucket_tz requires (width, ts, timezone), got ${exprs.length} arguments")
+    },
     "to_uuidv7" -> { case Seq(e) => ToUuidV7(e, boundary = false) },
     "to_uuidv7_boundary" -> { case Seq(e) => ToUuidV7(e, boundary = true) },
     "uuid_timestamp" -> { case Seq(e) => UuidTimestamp(e, withMicros = false) },

@@ -204,6 +204,34 @@ object SparkEntry {
       cagg.materialized.orderBy("bucket", "n_name")
     }),
 
+    // §2.1 bigint open dimension: a hypertable keyed on integral time
+    // (epoch micros as BIGINT), integer time_bucket arithmetic end-to-end.
+    "q40_bigint_dim" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      val tmp = java.nio.file.Files.createTempDirectory("graft_big_q").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts_us",
+        chunkWidth = (7L * 86400000000L).toString, timeKind = "bigint")
+      ht.write(t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts"))).drop("ts"))
+      ht.between(1704672000000000L, 1705881600000000L) // [2024-01-08, 2024-01-22)
+        .groupBy(gf.time_bucket(lit(86400000000L), col("ts_us")).as("day_us"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("day_us", "event_type")
+    }),
+
+    // §2.4 timezone-aware time_bucket across a DST transition: events
+    // shifted +60 days span the US spring-forward (2024-03-10); daily
+    // buckets in America/New_York wall-clock, returned as UTC instants —
+    // the 23-hour local day must bucket identically on both engines.
+    "q41_time_bucket_tz" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "events")
+        .withColumn("ts2", col("ts") + expr("INTERVAL 60 DAYS"))
+        .groupBy(gf.time_bucket_tz("1 day", col("ts2"), "America/New_York").as("day_ny"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("day_ny", "event_type")
+    }),
+
     // Training-data ops: exact dedup groups over documents.
     "q10_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id").orderBy("key")
@@ -657,6 +685,21 @@ object SparkEntry {
         |JOIN customer ON user_id = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q40_bigint_dim" ->
+      """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) * 86400000000 AS day_us,
+        | event_type, COUNT(*) AS n
+        |FROM events
+        |WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= 1704672000000000
+        |  AND epoch_us(CAST(ts AS TIMESTAMP)) < 1705881600000000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q41_time_bucket_tz" ->
+      """SELECT timezone('UTC', time_bucket(INTERVAL '1 day',
+        |         timezone('UTC', CAST(ts AS TIMESTAMP) + INTERVAL 60 DAY),
+        |         'America/New_York')) AS day_ny,
+        | event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q10_dedup_exact" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS key,

@@ -44,19 +44,35 @@ class Hypertable private (
     /** calendar-month chunk width; when > 0 `chunkWidthMicros` is unused
       * (`src/dimension.h:86` month-interval dimensions).
       */
-    val chunkMonths: Int = 0) extends TimeSource {
+    val chunkMonths: Int = 0,
+    /** Open-dimension kind (`src/dimension.h:82-84`): "timestamp" (default),
+      * "bigint" (integral time — `chunkWidthMicros` is then a raw integer
+      * width and range bounds are raw values), or "uuidv7" (chunk key from
+      * the uuid's embedded timestamp; v7 strings sort by time, so range
+      * predicates push down on the raw column).
+      */
+    val timeKind: String = "timestamp") extends TimeSource {
 
   import Hypertable._
 
   private def fs: FileSystem = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Bucket-start (micros) for a time column — the chunk key. */
-  def chunkKey(time: Column): Column =
-    if (chunkMonths > 0)
+  /** Bucket-start (micros, or raw integer units for "bigint") for a time
+    * column — the chunk key.
+    */
+  def chunkKey(time: Column): Column = timeKind match {
+    case "bigint" => gf.time_bucket(lit(chunkWidthMicros), time)
+    case "uuidv7" =>
+      unix_micros(gf.time_bucket(
+        lit(java.time.Duration.of(chunkWidthMicros, java.time.temporal.ChronoUnit.MICROS)),
+        gf.uuid_timestamp_micros(time)))
+    case _ if chunkMonths > 0 =>
       unix_micros(gf.time_bucket(s"$chunkMonths months", time))
-    else unix_micros(gf.time_bucket(
-      lit(java.time.Duration.of(chunkWidthMicros, java.time.temporal.ChronoUnit.MICROS)),
-      time))
+    case _ =>
+      unix_micros(gf.time_bucket(
+        lit(java.time.Duration.of(chunkWidthMicros, java.time.temporal.ChronoUnit.MICROS)),
+        time))
+  }
 
   /** Default end of a chunk starting at `start` (no `_range` recorded). */
   private def defaultChunkEnd(start: Long): Long =
@@ -113,11 +129,24 @@ class Hypertable private (
     val hit = showChunks()
       .filter(c => c.startMicros < endMicros && c.endMicros > startMicros)
       .map(_.startMicros)
-    read()
-      .where(col(CHUNK).isin(hit: _*))
-      .where(col(timeCol) >= timestamp_micros(lit(startMicros)) &&
-        col(timeCol) < timestamp_micros(lit(endMicros)))
+    val rowFilter = timeKind match {
+      case "bigint" => col(timeCol) >= lit(startMicros) && col(timeCol) < lit(endMicros)
+      case "uuidv7" =>
+        // boundary v7 uuids (zero random bits) are the smallest uuid of
+        // their timestamp, and v7 strings sort by time: plain string-range
+        // predicates — pushed down to parquet — bound the embedded time
+        col(timeCol) >= lit(boundaryUuid(startMicros)) &&
+          col(timeCol) < lit(boundaryUuid(endMicros))
+      case _ =>
+        col(timeCol) >= timestamp_micros(lit(startMicros)) &&
+          col(timeCol) < timestamp_micros(lit(endMicros))
+    }
+    read().where(col(CHUNK).isin(hit: _*)).where(rowFilter)
   }
+
+  private def boundaryUuid(us: Long): String =
+    graft.expressions.UuidV7Util.format(
+      graft.expressions.UuidV7Util.create(us, boundary = true)).toString
 
   def between(start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame =
     between(start.getTime * 1000L, end.getTime * 1000L)
@@ -198,9 +227,13 @@ class Hypertable private (
       s"split point $atMicros outside chunk [${c.startMicros},${c.endMicros})")
     val rows = chunkRows(c).cache()
     try {
-      val at = timestamp_micros(lit(atMicros))
-      rewriteChunkDir(atMicros, c.endMicros, rows.where(col(timeCol) >= at))
-      rewriteChunkDir(c.startMicros, atMicros, rows.where(col(timeCol) < at))
+      val atOrLater = timeKind match {
+        case "bigint" => col(timeCol) >= lit(atMicros)
+        case "uuidv7" => col(timeCol) >= lit(boundaryUuid(atMicros))
+        case _        => col(timeCol) >= timestamp_micros(lit(atMicros))
+      }
+      rewriteChunkDir(atMicros, c.endMicros, rows.where(atOrLater))
+      rewriteChunkDir(c.startMicros, atMicros, rows.where(!atOrLater))
     } finally rows.unpersist()
     (ChunkInfo(c.startMicros, atMicros, c.path),
      ChunkInfo(atMicros, c.endMicros, s"$path/$CHUNK=$atMicros"))
@@ -322,20 +355,33 @@ object Hypertable {
   /** Declare (or re-open) a hypertable rooted at `path`. Default chunk width
     * is the reference's 7 days (`src/dimension.h:115`).
     */
+  /** Declare (or re-open) a hypertable. `chunkWidth` is an interval string
+    * for "timestamp"/"uuidv7" dimensions, or a raw integer width (as a
+    * string, e.g. "3600000000") for a "bigint" dimension.
+    */
   def create(spark: SparkSession, path: String, timeCol: String,
       chunkWidth: String = "7 days", spaceCol: Option[String] = None,
-      spacePartitions: Int = 4): Hypertable = {
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(chunkWidth))
-    require(iv.months == 0 || (iv.days == 0 && iv.microseconds == 0),
-      "chunk width must be either a month interval or a day/time interval, not both")
-    val widthMicros = iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds
+      spacePartitions: Int = 4, timeKind: String = "timestamp"): Hypertable = {
+    require(Seq("timestamp", "bigint", "uuidv7").contains(timeKind),
+      s"timeKind must be timestamp/bigint/uuidv7, got $timeKind")
+    val (widthMicros, months) =
+      if (timeKind == "bigint") (chunkWidth.trim.toLong, 0)
+      else {
+        val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+          .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(chunkWidth))
+        require(iv.months == 0 || (iv.days == 0 && iv.microseconds == 0),
+          "chunk width must be either a month interval or a day/time interval, not both")
+        require(iv.months == 0 || timeKind == "timestamp",
+          "month-width chunks need a timestamp dimension")
+        (iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds, iv.months)
+      }
     val ht = new Hypertable(spark, path, timeCol, widthMicros, spaceCol,
-      spacePartitions, chunkMonths = iv.months)
+      spacePartitions, chunkMonths = months, timeKind = timeKind)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(path))
-    val meta = s"""{"timeCol":"$timeCol","chunkWidthMicros":$widthMicros,""" +
-      s""""chunkMonths":${iv.months},""" +
+    val meta = s"""{"timeCol":"$timeCol","timeKind":"$timeKind",""" +
+      s""""chunkWidthMicros":$widthMicros,""" +
+      s""""chunkMonths":$months,""" +
       s""""spaceCol":${spaceCol.map(c => "\"" + c + "\"").getOrElse("null")},""" +
       s""""spacePartitions":$spacePartitions}"""
     val out = fs.create(new Path(path, META), true)
@@ -360,7 +406,8 @@ object Hypertable {
     val months = ("\"chunkMonths\":(-?\\d+)").r.findFirstMatchIn(meta)
       .map(_.group(1).toInt).getOrElse(0)
     new Hypertable(spark, path, str("timeCol").get, num("chunkWidthMicros"),
-      str("spaceCol"), num("spacePartitions").toInt, months)
+      str("spaceCol"), num("spacePartitions").toInt, months,
+      str("timeKind").getOrElse("timestamp"))
   }
 }
 

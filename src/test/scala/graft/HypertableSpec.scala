@@ -154,6 +154,39 @@ class HypertableSpec extends AnyFunSuite {
       total - h.between(c2.startMicros, h.showChunks().last.endMicros).count())
   }
 
+  test("bigint open dimension: integer chunk routing and range pruning") {
+    val d = Files.createTempDirectory("graft_ht_big").toString
+    val h = Hypertable.create(spark, s"$d/ht", "ts_us",
+      chunkWidth = (86400000000L).toString, timeKind = "bigint")
+    val src = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    h.write(src)
+    assert(h.showChunks().size === 30)
+    val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00").getTime * 1000L
+    val hi = java.sql.Timestamp.valueOf("2024-01-12 00:00:00").getTime * 1000L
+    val got = h.between(lo, hi).count()
+    val expected = src.where(col("ts_us") >= lo && col("ts_us") < hi).count()
+    assert(got === expected)
+    // re-open keeps the dimension kind
+    assert(Hypertable.at(spark, s"$d/ht").timeKind === "bigint")
+  }
+
+  test("uuidv7 open dimension: chunk key from embedded time, string-range pruning") {
+    val d = Files.createTempDirectory("graft_ht_uuid").toString
+    val h = Hypertable.create(spark, s"$d/ht", "uid",
+      chunkWidth = "7 days", timeKind = "uuidv7")
+    val src = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("uid", graft.functions.to_uuidv7(col("ts")))
+    h.write(src)
+    assert(h.showChunks().size === 5) // 30 days / 7-day chunks
+    val lo = java.sql.Timestamp.valueOf("2024-01-08 00:00:00").getTime * 1000L
+    val hi = java.sql.Timestamp.valueOf("2024-01-15 00:00:00").getTime * 1000L
+    val got = h.between(lo, hi).count()
+    val expected = src.where(col("ts") >= timestamp_micros(lit(lo)) &&
+      col("ts") < timestamp_micros(lit(hi))).count()
+    assert(got === expected)
+  }
+
   test("hypertable can be re-opened from metadata") {
     ht.showChunks() // force creation
     val re = Hypertable.at(spark, s"$dir/events_ht")

@@ -100,6 +100,22 @@ class TimeBucketSpec extends AnyFunSuite {
     assert(got === tsOf("2020-05-31 04:00:00"))
   }
 
+  test("time_bucket_tz SQL form: DST spring-forward day (23h) buckets to local midnight") {
+    Graft.init(spark)
+    val r = spark.sql(
+      """SELECT
+        | time_bucket_tz(INTERVAL '1 day', TIMESTAMP '2024-03-10 06:59:00', 'America/New_York') a,
+        | time_bucket_tz(INTERVAL '1 day', TIMESTAMP '2024-03-11 03:59:00', 'America/New_York') b,
+        | time_bucket_tz(INTERVAL '1 day', TIMESTAMP '2024-03-11 04:00:00', 'America/New_York') c
+        |""".stripMargin).head()
+    // 06:59 UTC = 01:59 EST Mar 10 → local midnight Mar 10 = 05:00 UTC (EST)
+    assert(r.getTimestamp(0) === tsOf("2024-03-10 05:00:00"))
+    // Mar 11 03:59 UTC = Mar 10 23:59 EDT → still local Mar 10 (a 23-hour day)
+    assert(r.getTimestamp(1) === tsOf("2024-03-10 05:00:00"))
+    // Mar 11 04:00 UTC = Mar 11 00:00 EDT → local midnight Mar 11 = 04:00 UTC
+    assert(r.getTimestamp(2) === tsOf("2024-03-11 04:00:00"))
+  }
+
   test("events parquet (ns timestamps) is readable and bucketable") {
     val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
     val n = ev.select(gf.time_bucket("1 hour", $"ts").as("b")).where($"b".isNotNull).count()
