@@ -25,6 +25,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** [min, max] micros of a timestamp column: footer statistics when the
+    * files carry them (TIMESTAMP_MICROS writers — no data scan), else a
+    * min/max aggregation (INT96 legacy files have no footer stats).
+    */
+  private def timeRange(s: SparkSession, path: String, c: String): (Long, Long) =
+    Stats.minMax(s, path, c) match {
+      case (Some(a: java.lang.Long), Some(b: java.lang.Long)) => (a.toLong, b.toLong)
+      case _ =>
+        val r = s.read.parquet(path)
+          .agg(unix_micros(min(col(c))), unix_micros(max(col(c)))).head()
+        (r.getLong(0), r.getLong(1))
+    }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Hourly rollup over the events hypertable: bucket + group + bookends.
     */
@@ -41,15 +54,20 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.4 aggregation over lineitem (TPC-H Q1 shape): exact decimal sums.
+    // §2.4 aggregation over lineitem (TPC-H Q1 shape). Exact arithmetic in
+    // integer cents (2dp inputs ⇒ value*100 is integer-valued; the final
+    // IEEE division by 100/10000 rounds the same rational to the same
+    // nearest double as a DECIMAL→DOUBLE cast) — long sums stay in
+    // whole-stage codegen, 128-bit decimal accumulation does not. Headroom:
+    // unscaled disc_price ≤ ~1e9/row ⇒ safe to ~9e9 rows per group.
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
-          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_base_price"),
-          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("sum_disc_price"),
-          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)").as("avg_qty"),
+          expr("CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0").as("sum_qty"),
+          expr("CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0").as("sum_base_price"),
+          expr("CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0").as("sum_disc_price"),
+          expr("CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(*))").as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -150,11 +168,12 @@ object SparkEntry {
         expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"),
         min(col("value")).as("min_value")))
       val cagg = ContinuousAggregate.create(s, s"$tmp/cagg", ht, defn)
-      val mm = ht.read().agg(unix_micros(min(col("ts"))), unix_micros(max(col("ts")))).head()
+      // refresh window from footer stats (no data scan) — ColumnarIndexScan
+      val (tmin, tmax) = timeRange(s, s"$tmp/ht", "ts")
       cagg.refresh(
-        graft.expressions.TimeBucketUtil.bucketMicros(mm.getLong(0), 3600000000L,
-          graft.expressions.TimeBucketUtil.SENTINEL),
-        mm.getLong(1) + 3600000000L)
+        graft.expressions.TimeBucketUtil.bucketMicros(tmin,
+          3600000000L, graft.expressions.TimeBucketUtil.SENTINEL),
+        tmax + 3600000000L)
       cagg.materialized.orderBy("bucket", "event_type")
     }),
 
@@ -174,10 +193,9 @@ object SparkEntry {
         expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price")),
         bucketCol = "month", matChunkWidth = "365 days")
       val cagg = ContinuousAggregate.create(s, s"$tmp/cagg", ht, defn)
-      val mm = ht.read().agg(unix_micros(min(col("o_orderdate"))),
-        unix_micros(max(col("o_orderdate")))).head()
-      cagg.refresh(defn.bucketFloor(mm.getLong(0)),
-        defn.bucketAdvance(defn.bucketFloor(mm.getLong(1)), 1))
+      val (tmin, tmax) = timeRange(s, s"$tmp/ht", "o_orderdate")
+      cagg.refresh(defn.bucketFloor(tmin),
+        defn.bucketAdvance(defn.bucketFloor(tmax), 1))
       cagg.materialized.orderBy("month", "o_orderpriority")
     }),
 
@@ -198,9 +216,9 @@ object SparkEntry {
         expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value")),
         dimJoin = Some(CaggJoin(dim, Seq("user_id"))))
       val cagg = ContinuousAggregate.create(s, s"$tmp/cagg", ht, defn)
-      val mm = ht.read().agg(unix_micros(min(col("ts"))), unix_micros(max(col("ts")))).head()
-      cagg.refresh(defn.bucketFloor(mm.getLong(0)),
-        defn.bucketAdvance(defn.bucketFloor(mm.getLong(1)), 1))
+      val (tmin, tmax) = timeRange(s, s"$tmp/ht", "ts")
+      cagg.refresh(defn.bucketFloor(tmin),
+        defn.bucketAdvance(defn.bucketFloor(tmax), 1))
       cagg.materialized.orderBy("bucket", "n_name")
     }),
 
@@ -334,7 +352,7 @@ object SparkEntry {
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"),
+          expr("CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0").as("revenue"),
           count(lit(1)).as("n"))
         .orderBy(col("n_name"))
     }),
@@ -435,7 +453,7 @@ object SparkEntry {
     "q31_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
+        .agg(expr("CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0").as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
@@ -573,10 +591,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        | CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        | CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        | CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_qty,
         | COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -805,7 +823,7 @@ object SparkEntry {
 
     "q20_join_revenue" ->
       """SELECT n_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
         | COUNT(*) AS n
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -893,7 +911,7 @@ object SparkEntry {
 
     "q31_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
         | COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,

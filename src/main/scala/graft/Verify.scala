@@ -12,6 +12,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // NOTE: deliberately NOT TIMESTAMP_MICROS here — the driver's
+      // comparator reads our dumped parquet through pandas, and
+      // isAdjustedToUTC=true micros come back timezone-aware (unsortable
+      // against the naive oracle frame). INT96 reads back naive.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -42,19 +42,20 @@ object Similarity {
     * derived from a 64-bit avalanche of (seed, p, j), uniform in [-1, 1).
     */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
-    (0 until numPlanes).map { p =>
-      (0 until dim).map { j =>
-        var h = seed ^ (p * 0x9E3779B97F4A7C15L) ^ (j * 0xC2B2AE3D27D4EB4FL)
-        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
-        (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-      }
-    }
+    graft.expressions.LshBandKeys.hyperplanes(numPlanes, dim, seed).map(_.toSeq).toSeq
+
+  /** All band keys of a vector in one expression (see
+    * [[graft.expressions.LshBandKeys]] — the per-plane `typedLit` column
+    * formulation costs seconds of codegen before the first row).
+    */
+  def lshBandKeys(vec: Column, planesPerBand: Int, bands: Int,
+      dim: Int = 64, seed: Long = 42L): Column =
+    org.apache.spark.sql.GraftShims.toColumn(graft.expressions.LshBandKeys(
+      org.apache.spark.sql.GraftShims.toExpression(vec), planesPerBand, bands, dim, seed))
 
   /** LSH signature: bit p = sign(v · plane_p), packed into a long. */
-  def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (plane, p) =>
-      when(dot(vec, typedLit(plane)) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  def lshSignature(vec: Column, numPlanes: Int, dim: Int = 64, seed: Long = 42L): Column =
+    lshBandKeys(vec, numPlanes, 1, dim, seed).getItem(0).getField("bucket")
 
   /** ANN top-k: candidates = vectors whose signature is within `maxFlips`
     * bits of the query's (multi-probe), exact cosine rerank on candidates.
@@ -69,7 +70,8 @@ object Similarity {
       val d = plane.zip(query).map { case (x, y) => x * y }.sum
       if (d >= 0) qSig |= (1L << p)
     }
-    val withSig = emb.withColumn("_sig", lshSignature(col(vecCol), planes))
+    val withSig = emb.withColumn("_sig",
+      lshSignature(col(vecCol), numPlanes, query.length, seed))
     val cands = withSig.where(bit_count(col("_sig").bitwiseXOR(lit(qSig))) <= maxFlips)
     bruteForceTopK(cands, idCol, vecCol, query, k)
   }
@@ -104,33 +106,42 @@ object Similarity {
     * implementation (dense vectors admit no exact sub-quadratic method).
     */
   def lshPairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planesPerBand: Int = 1, bands: Int = 20,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(bands * planesPerBand, dim, seed)
-    val bandCol = explode(array((0 until bands).map { b =>
-      val bits = (0 until planesPerBand).map { j =>
-        when(dot(col("v"), typedLit(planes(b * planesPerBand + j))) >= 0,
-          shiftleft(lit(1L), j)).otherwise(lit(0L))
-      }.reduce((x, y) => x.bitwiseOR(y))
-      struct(lit(b).as("band"), bits.as("bucket"))
-    }: _*))
-    val banded = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id"), col("v"), bandCol.as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    // distinct candidate ids FIRST: a pair sharing many bands verifies once
-    val cands = a.join(b, col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("n"))
-    cands
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b")), "id_b")
-      .withColumn("sim", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
-      .where(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
+      threshold: Double, planesPerBand: Int = 2, bands: Int = 14,
+      dim: Int = 64, seed: Long = 42L,
+      rejoinVectors: Boolean = false): DataFrame = {
+    def bandCol(v: Column) = explode(lshBandKeys(v, planesPerBand, bands, dim, seed))
+    if (rejoinVectors) {
+      // id-only band shuffle, candidates deduped, vectors joined back once —
+      // for very wide embeddings where duplicating vectors ×bands dominates
+      val banded = emb.select(col(idCol).as("id"), bandCol(col(vecCol)).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val cands = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("n"))
+      cands
+        .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a")), "id_a")
+        .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b")), "id_b")
+        .withColumn("sim", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+        .where(col("sim") >= threshold)
+        .select(col("id_a"), col("id_b"), col("sim"))
+    } else {
+      // carry (vector, norm) through the band join: the verify is inline and
+      // only surviving pairs reach the final dedup shuffle (tiny)
+      val banded = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+          norm(col(vecCol)).as("n"), bandCol(col(vecCol)).as("bb"))
+        .select(col("id"), col("v"), col("n"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          (dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("sim"))
+        .where(col("sim") >= threshold)
+        .distinct()
+    }
   }
 }

@@ -59,15 +59,17 @@ object Stats {
     */
   def minMax(spark: SparkSession, path: String, column: String): (Option[Any], Option[Any]) = {
     val files = listParquetFiles(spark, path)
+    if (files.isEmpty) return (None, None)
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-    val perFile = spark.sparkContext
+    // reduce on the executors — the driver sees one (min, max), not O(files)
+    def pickMin(a: Option[Any], b: Option[Any]): Option[Any] =
+      (a ++ b).reduceOption((x, y) => if (comparableKey(x).compareTo(comparableKey(y)) <= 0) x else y)
+    def pickMax(a: Option[Any], b: Option[Any]): Option[Any] =
+      (a ++ b).reduceOption((x, y) => if (comparableKey(x).compareTo(comparableKey(y)) >= 0) x else y)
+    spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
       .map(f => columnStats(conf.value, f, column))
-      .collect()
-    val mins = perFile.flatMap(_._1)
-    val maxs = perFile.flatMap(_._2)
-    (if (mins.isEmpty) None else Some(mins.minBy(comparableKey)),
-     if (maxs.isEmpty) None else Some(maxs.maxBy(comparableKey)))
+      .treeReduce({ case ((mn1, mx1), (mn2, mx2)) => (pickMin(mn1, mn2), pickMax(mx1, mx2)) })
   }
 
   /** Bookend lookup via footer stats — the ColumnarIndexScan first/last
@@ -79,17 +81,28 @@ object Stats {
   def firstByTime(spark: SparkSession, path: String, timeCol: String,
       earliest: Boolean = true): Option[org.apache.spark.sql.Row] = {
     val files = listParquetFiles(spark, path)
+    if (files.isEmpty) return None
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-    val perFile = spark.sparkContext
+    // distributed argmin/argmax over footer stats: the driver receives only
+    // the winning (key, tied files), never O(files) candidates
+    val sign = if (earliest) -1 else 1
+    val best = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
-      .map(f => f -> columnStats(conf.value, f, timeCol))
-      .collect()
-    val candidates = perFile.flatMap { case (f, (mn, mx)) =>
-      (if (earliest) mn else mx).map(v => f -> comparableKey(v))
-    }
-    if (candidates.isEmpty) return None
-    val best = (if (earliest) candidates.minBy(_._2) else candidates.maxBy(_._2))._2
-    val bestFiles = candidates.filter(_._2 == best).map(_._1)
+      .map { f =>
+        val (mn, mx) = columnStats(conf.value, f, timeCol)
+        (if (earliest) mn else mx).map(v => (comparableKey(v), List(f)))
+          : Option[(BigDecimal, List[String])]
+      }
+      .fold(None) {
+        case (None, b) => b
+        case (a, None) => a
+        case (Some((ka, fa)), Some((kb, fb))) =>
+          val c = ka.compare(kb)
+          if (c == 0) Some((ka, fa ++ fb))
+          else if (c * sign > 0) Some((ka, fa)) else Some((kb, fb))
+      }
+    if (best.isEmpty) return None
+    val bestFiles = best.get._2
     val df = spark.read.parquet(bestFiles: _*)
     val ordered =
       if (earliest) df.orderBy(org.apache.spark.sql.functions.col(timeCol).asc)
