@@ -342,6 +342,40 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // n-gram Jaccard similarity of every document against doc 0 (the
+    // shingle/jaccard kernel of the near-dup verify stage, oracle-checked).
+    "q42_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val probe = d.where(col("doc_id") === 0).head().getAs[String]("text")
+      d.select(col("doc_id"),
+        Dedup.jaccard(Dedup.shingles(col("text"), 3),
+          Dedup.shingles(lit(probe), 3)).as("jac"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.10 hierarchical cagg: daily cagg materialized FROM the hourly
+    // cagg's materialization (exact: the hourly partial is an unfinalized
+    // DECIMAL sum, so re-aggregation is associative).
+    "q43_cagg_hierarchical" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      import graft.streaming.{CaggDef, ContinuousAggregate}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cagg_h").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
+      ht.write(t(s, dir, "events"))
+      val hdefn = CaggDef("1 hour", Seq("event_type"), Seq(
+        count(lit(1)).as("n"),
+        expr("SUM(CAST(value AS DECIMAL(28,8)))").as("sum_dec")))
+      val hourly = ContinuousAggregate.create(s, s"$tmp/hourly", ht, hdefn)
+      val (tmin, tmax) = timeRange(s, s"$tmp/ht", "ts")
+      hourly.refresh(hdefn.bucketFloor(tmin), tmax + 3600000000L)
+      val ddefn = CaggDef("1 day", Seq("event_type"), Seq(
+        sum(col("n")).as("n"),
+        expr("CAST(SUM(sum_dec) AS DOUBLE)").as("sum_value")))
+      val daily = ContinuousAggregate.create(s, s"$tmp/daily", hourly.asSource, ddefn)
+      daily.refresh(ddefn.bucketFloor(tmin), tmax + 86400000000L)
+      daily.materialized.orderBy("bucket", "event_type")
+    }),
+
     // §2.3 joins over the star schema: revenue per nation, dims broadcast.
     "q20_join_revenue" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -820,6 +854,26 @@ object SparkEntry {
         | CAST(1 AS INT) AS frames,
         | CAST(octet_length(encode(text)) AS INT) AS payload_bytes
         |FROM documents ORDER BY id""".stripMargin,
+
+    "q42_ngram_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(0, greatest(length(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i+1 : i+3], ' '))) AS sh
+        |  FROM s),
+        |p AS (SELECT sh AS psh FROM g WHERE doc_id = 0)
+        |SELECT g.doc_id,
+        | CAST(length(list_intersect(g.sh, p.psh)) AS DOUBLE)
+        |  / (length(g.sh) + length(p.psh) - length(list_intersect(g.sh, p.psh))) AS jac
+        |FROM g, p ORDER BY g.doc_id""".stripMargin,
+
+    "q43_cagg_hierarchical" ->
+      """SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q20_join_revenue" ->
       """SELECT n_name,

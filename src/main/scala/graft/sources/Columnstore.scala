@@ -54,12 +54,17 @@ object Columnstore {
     val spacePart = df.schema.fieldNames.filter(_ == Hypertable.SPACE).toSeq
     // without a segmentby, size the file count from the input bytes (a 2 TB
     // chunk must not funnel through one task); zstd+parquet recompression
-    // typically shrinks the input, so target ~2 row groups per output file
+    // typically shrinks the input, so target ~2 row groups per output file.
+    // coalesce() cannot RAISE the task count (a 1-file chunk stays 1 task),
+    // so widening goes through repartitionByRange on the orderby — which
+    // also makes the chunk globally sorted, tightening row-group bounds.
     val arranged = (opts.segmentBy match {
       case Nil =>
         val bytes = fs.getContentSummary(chunkP).getLength
-        df.coalesce(math.max(1,
-          math.ceil(bytes.toDouble / (2.0 * opts.rowGroupBytes)).toInt))
+        val n = math.max(1, math.ceil(bytes.toDouble / (2.0 * opts.rowGroupBytes)).toInt)
+        if (n <= df.rdd.getNumPartitions) df.coalesce(n)
+        else if (opts.orderBy.nonEmpty) df.repartitionByRange(n, opts.orderBy.map(col): _*)
+        else df.repartition(n)
       case segs => df.repartition(segs.map(col): _*)
     }).sortWithinPartitions((opts.segmentBy ++ opts.orderBy).map(col): _*)
     val tmp = new Path(chunkP.getParent, "." + chunkP.getName + "_compress_tmp")

@@ -50,6 +50,22 @@ class ColumnstoreSpec extends AnyFunSuite {
     }
   }
 
+  test("no-segmentby compression sizes output files from input bytes (no 1-task funnel)") {
+    val dir = Files.createTempDirectory("graft_cs5").toString
+    val h = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "30 days")
+    h.write(Tables.table(spark, "/root/testdata/sf0.01", "events"))
+    val chunk = h.showChunks().head
+    val chunkRows = spark.read.parquet(chunk.path).count()
+    // tiny row-group target → the chunk's bytes demand several output files
+    val n = Columnstore.compressChunk(spark, chunk.path,
+      Columnstore.Options(orderBy = Seq("ts"), rowGroupBytes = 16 * 1024))
+    assert(n === chunkRows)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(chunk.path))
+      .count(_.getPath.getName.startsWith("part-"))
+    assert(files > 1, s"expected multiple output files, got $files")
+  }
+
   test("decompress round-trips: compress → decompress → identical rows, marker gone") {
     val dir = Files.createTempDirectory("graft_cs3").toString
     val h = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")

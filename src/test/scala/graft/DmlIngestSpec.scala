@@ -34,6 +34,22 @@ class DmlIngestSpec extends AnyFunSuite {
     assert(ht.deleteWhere(col("event_type") === "error") === 0)
   }
 
+  test("DML over 30 chunks runs chunk jobs concurrently and stays correct") {
+    val dir = Files.createTempDirectory("graft_dml30").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "1 day")
+    ht.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    assert(ht.showChunks().size === 30)
+    val total = ht.read().count()
+    val toDelete = ht.read().where($"event_type" === "error").count()
+    // every chunk holds matches → 30 concurrent copy-on-write rewrites
+    assert(ht.deleteWhere(col("event_type") === "error") === toDelete)
+    assert(ht.read().count() === total - toDelete)
+    val updated = ht.updateWhere(col("value") > 50, Map("value" -> lit(50.0)))
+    assert(updated > 0)
+    assert(ht.read().where($"value" > 50).count() === 0)
+    assert(ht.read().count() === total - toDelete)
+  }
+
   test("deleteWhere with timeRange only rewrites chunks in range") {
     val ht = freshHt()
     val lo = Timestamp.valueOf("2024-01-08 00:00:00").getTime * 1000
