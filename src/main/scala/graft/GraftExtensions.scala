@@ -34,11 +34,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  /** A resolved string argument in a time position is a UUIDv7: bucket its
+    * embedded timestamp (micros-exact round-trip).
+    */
+  private def uuidTs(t: Expression): Expression =
+    if (t.resolved && t.dataType == org.apache.spark.sql.types.StringType)
+      UuidTimestamp(t, withMicros = true)
+    else t
+
   /** Shared with [[Graft.init]] so both registration paths agree. */
   val functionBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "time_bucket" -> {
-      case Seq(w, t)    => TimeBucket(w, t, None)
-      case Seq(w, t, o) => TimeBucket(w, t, Some(o))
+      // uuid overloads (`sql/time_bucket.sql:18-19,29,45` — time_bucket over
+      // a UUIDv7 buckets its embedded timestamp): a string ts is treated as
+      // a v7 uuid, like the reference's UUID signatures
+      case Seq(w, t)    => TimeBucket(w, uuidTs(t), None)
+      case Seq(w, t, o) => TimeBucket(w, uuidTs(t), Some(o))
       case exprs => throw new IllegalArgumentException(
         s"time_bucket requires 2 or 3 arguments, got ${exprs.length}")
     },

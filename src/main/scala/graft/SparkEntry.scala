@@ -376,6 +376,18 @@ object SparkEntry {
       daily.materialized.orderBy("bucket", "event_type")
     }),
 
+    // §2.4 time_bucket over UUIDv7 (the reference's uuid overloads): the
+    // SQL form buckets the uuid's embedded timestamp; boundary uuids carry
+    // micros exactly, so hourly buckets match bucketing the raw timestamp.
+    "q44_uuid_bucket" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "events").createOrReplaceTempView("events_q44")
+      s.sql(
+        """SELECT time_bucket(INTERVAL '1 hour', to_uuidv7_boundary(ts)) AS bucket,
+          |       count(*) AS n
+          |FROM events_q44 GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     // §2.3 joins over the star schema: revenue per nation, dims broadcast.
     "q20_join_revenue" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -874,6 +886,11 @@ object SparkEntry {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q44_uuid_bucket" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        | COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q20_join_revenue" ->
       """SELECT n_name,

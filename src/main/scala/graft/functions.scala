@@ -46,6 +46,13 @@ object functions {
   def time_bucket_tz(width: String, ts: Column, tz: String): Column =
     F.to_utc_timestamp(time_bucket(width, F.from_utc_timestamp(ts, tz)), tz)
 
+  /** `time_bucket(width, uuid)` — bucket of a UUIDv7's embedded timestamp
+    * (reference `sql/time_bucket.sql:18-19` uuid overloads). The SQL-form
+    * `time_bucket` accepts uuid strings directly.
+    */
+  def time_bucket_uuid(width: String, uuid: Column): Column =
+    time_bucket(width, uuid_timestamp_micros(uuid))
+
   // ---------------------------------------------------------------- gapfill
 
   /** `time_bucket_gapfill(width, ts, start, finish)` — like [[time_bucket]]

@@ -116,6 +116,14 @@ class TimeBucketSpec extends AnyFunSuite {
     assert(r.getTimestamp(2) === tsOf("2024-03-11 04:00:00"))
   }
 
+  test("time_bucket over a UUIDv7 buckets the embedded timestamp") {
+    Graft.init(spark)
+    val r = spark.sql(
+      """SELECT time_bucket(INTERVAL '1 hour',
+        |         to_uuidv7(TIMESTAMP '2024-03-10 06:59:31.123456')) AS b""".stripMargin).head()
+    assert(r.getTimestamp(0) === tsOf("2024-03-10 06:00:00"))
+  }
+
   test("events parquet (ns timestamps) is readable and bucketable") {
     val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
     val n = ev.select(gf.time_bucket("1 hour", $"ts").as("b")).where($"b".isNotNull).count()
