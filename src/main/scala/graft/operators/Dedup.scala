@@ -32,6 +32,20 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
+  /** Streaming exact dedup: drop rows whose normalized-text fingerprint was
+    * already emitted, with state BOUNDED by the event-time watermark
+    * (`dropDuplicatesWithinWatermark` — a 100 TB/day stream cannot keep
+    * all-time fingerprints in state; duplicates farther apart than the
+    * delay are handled by a batch [[dropExactDuplicates]] pass downstream).
+    */
+  def streamingDropDuplicates(stream: DataFrame, textCol: String,
+      timeCol: String, watermarkDelay: String): DataFrame =
+    stream
+      .withColumn("_graft_fp", TextAnalysis.fingerprint_md5(col(textCol)))
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("_graft_fp")
+      .drop("_graft_fp")
+
   /** Word n-gram shingles of the text (distinct). */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(trim(text), "\\s+")

@@ -76,6 +76,63 @@ object Similarity {
     bruteForceTopK(cands, idCol, vecCol, query, k)
   }
 
+  /** IVF coarse quantizer: `nlist` centroids from a deterministic sample of
+    * the vectors (smallest xxhash64(id, seed)), refined with `iters` Lloyd
+    * steps — assignment is one distributed pass per step
+    * ([[graft.expressions.NearestCentroid]]), means via posexplode +
+    * per-(cluster, dim) average; only nlist × dim numbers ever reach the
+    * driver.
+    */
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 3, seed: Long = 42L): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    var cents: Array[Array[Double]] = emb
+      .orderBy(xxhash64(col(idCol), lit(seed)))
+      .limit(nlist)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = emb.select(
+        nearestCentroid(col(vecCol), cents).as("_c"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("_i", "_x")))
+      val means = assigned.groupBy("_c", "_i").agg(avg(col("_x")).as("_m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next // clusters that lost all members keep their old centroid
+      it += 1
+    }
+    cents
+  }
+
+  /** Cluster-assignment column for a fixed centroid matrix. */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftShims.toColumn(graft.expressions.NearestCentroid(
+      org.apache.spark.sql.GraftShims.toExpression(vec), centroids))
+
+  /** IVF top-k: probe the `nprobe` clusters whose centroids are nearest the
+    * query, exact-cosine rerank inside them — the classic inverted-file ANN
+    * (recall < 1 by construction; candidate set is |probed clusters| of n).
+    * At scale, persist the assignment column once and filter on it
+    * (partition pruning), instead of re-assigning per query.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 3, seed: Long = 42L): DataFrame = {
+    val cents = ivfCentroids(emb, idCol, vecCol, nlist, iters, seed)
+    val probes = cents.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.zip(query).map { case (a, b) => val t = a - b; t * t }.sum
+        (i, d)
+      }
+      .sortBy { case (i, d) => (d, i) }
+      .take(nprobe).map(_._1).toSeq
+    val cands = emb.where(nearestCentroid(col(vecCol), cents).isin(probes: _*))
+    bruteForceTopK(cands, idCol, vecCol, query, k)
+  }
+
   /** All pairs with cosine >= threshold — brute self-join baseline
     * (exact; O(n²), for modest n or as the in-bucket verifier). Norms are
     * computed once per row BEFORE the join (1 dot per pair, not 3);

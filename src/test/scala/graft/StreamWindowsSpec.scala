@@ -24,6 +24,27 @@ class StreamWindowsSpec extends AnyFunSuite {
     spark.table(name).collect()
   }
 
+  test("streaming exact dedup drops repeated texts within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = graft.operators.Dedup.streamingDropDuplicates(
+      mem.toDF().toDF("id", "ts", "text"), "text", "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), "the same doc"),
+      (2L, ts("2024-01-01 10:05:00"), "the  SAME   doc"), // normalized dup
+      (3L, ts("2024-01-01 10:10:00"), "a different doc"))
+    q.processAllAvailable()
+    // advance event time far enough to flush append-mode results
+    mem.addData((4L, ts("2024-01-01 14:00:00"), "late tick"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("sdedup").collect().map(_.getAs[Long]("id")).toSet
+    assert(ids.contains(1L) && ids.contains(3L))
+    assert(!ids.contains(2L), "normalized duplicate must be dropped")
+  }
+
   test("tumbling stream windows aggregate per hour bucket") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]

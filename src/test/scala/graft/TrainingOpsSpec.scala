@@ -104,6 +104,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(r.getString(3) === "und")
   }
 
+  test("IVF top-k: full-probe equals brute force; partial probe keeps high recall") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.where(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // probing every cluster is an exact (if partitioned) scan
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
+      nlist = 8, nprobe = 8).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(full === brute)
+    // partial probe: the query's own cluster is probed, so the query vector
+    // itself (cosine 1) is always found; most of the top-10 survives
+    val part = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
+      nlist = 8, nprobe = 4).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(part.contains(7L))
+    assert((part & brute).size >= 5, s"IVF recall too low: ${(part & brute).size}/10")
+  }
+
   test("lshPairs matches brute-force pairs exactly and plans as an equi-join") {
     val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val lsh = Similarity.lshPairs(emb, "vec_id", "embedding", 0.45)
