@@ -34,6 +34,7 @@ object CaggRewrite extends Rule[LogicalPlan] {
       cagg: ContinuousAggregate,
       timeCol: String,
       widthMicros: Long,
+      widthMonths: Int,
       groupCols: Seq[String],
       /** canonical agg SQL (sans alias) → cagg output column name */
       aggSqlToName: Map[String, String])
@@ -59,7 +60,8 @@ object CaggRewrite extends Rule[LogicalPlan] {
       case _ => Map.empty[String, String]
     }
     registry.put(normalize(ht.path), Registered(
-      cagg, ht.timeCol, cagg.defn.widthMicros, cagg.defn.groupCols, aggSql))
+      cagg, ht.timeCol, cagg.defn.widthMicros, cagg.defn.widthMonths,
+      cagg.defn.groupCols, aggSql))
   }
 
   def clear(): Unit = registry.clear()
@@ -112,13 +114,22 @@ object CaggRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference if defs.contains(a.exprId) => defs(a.exprId)
     }
 
-  private def widthOf(e: Expression): Option[Long] = e match {
+  /** Does the bucket-width literal equal the registered cagg's width —
+    * fixed micros or calendar months (month-width caggs rewrite too).
+    */
+  private def widthMatches(e: Expression, reg: Registered): Boolean = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(iv: org.apache.spark.unsafe.types.CalendarInterval, _) =>
-      if (iv.months != 0) None
-      else Some(iv.days * graft.expressions.TimeBucketUtil.MICROS_PER_DAY + iv.microseconds)
+      if (iv.months != 0)
+        iv.days == 0 && iv.microseconds == 0 && reg.widthMonths == iv.months
+      else reg.widthMonths == 0 &&
+        iv.days * graft.expressions.TimeBucketUtil.MICROS_PER_DAY + iv.microseconds == reg.widthMicros
     case org.apache.spark.sql.catalyst.expressions.Literal(us: java.lang.Long,
-        _: org.apache.spark.sql.types.DayTimeIntervalType) => Some(us)
-    case _ => None
+        _: org.apache.spark.sql.types.DayTimeIntervalType) =>
+      reg.widthMonths == 0 && us == reg.widthMicros
+    case org.apache.spark.sql.catalyst.expressions.Literal(m: java.lang.Integer,
+        _: org.apache.spark.sql.types.YearMonthIntervalType) =>
+      reg.widthMonths == m.intValue()
+    case _ => false
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -135,7 +146,7 @@ object CaggRewrite extends Rule[LogicalPlan] {
 
   private def isBucketOf(e: Expression, reg: Registered): Boolean = e match {
     case TimeBucket(w, t: AttributeReference, None) =>
-      t.name == reg.timeCol && widthOf(w).contains(reg.widthMicros)
+      t.name == reg.timeCol && widthMatches(w, reg)
     case _ => false
   }
 

@@ -196,7 +196,11 @@ class ContinuousAggregate(
     val chunkLo = matChunkOf(s)
     val chunkHi = matChunkOf(e - 1) + defn.matChunkMicros
     val fresh = compute(s, e).withColumn(MATCHUNK, graftMatChunk(col(BUCKET)))
-    val combined = if (fs.exists(new Path(matPath))) {
+    // carry-over is only needed when the window PARTIALLY covers an edge
+    // mat-chunk; a chunk-aligned window (the common full/policy refresh)
+    // recomputes every bucket of every touched chunk — skip the mat read
+    val needCarryOver = !(s <= chunkLo && e >= chunkHi)
+    val combined = if (needCarryOver && fs.exists(new Path(matPath))) {
       val keep = spark.read.parquet(matPath)
         .where(col(MATCHUNK) >= chunkLo && col(MATCHUNK) < chunkHi &&
           (col(BUCKET) < s || col(BUCKET) >= e))

@@ -45,6 +45,29 @@ class CaggRewriteSpec extends AnyFunSuite {
     assert(q.collect().toSet === direct)
   }
 
+  test("month-width cagg rewrites monthly raw aggregations") {
+    CaggRewrite.clear()
+    val dir = Files.createTempDirectory("graft_cagg_rw_m").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "1 month")
+    ht.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val mdefn = CaggDef("1 month", Seq("event_type"), Seq(
+      count(lit(1)).as("n"), min($"value").as("min_value")))
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht, mdefn)
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    Graft.registerCaggRewrite(cagg)
+    def monthly = ht.read()
+      .groupBy(gf.time_bucket("1 month", $"ts").as("bucket"), $"event_type")
+      .agg(count(lit(1)).as("n"), min($"value").as("min_value"))
+    val direct = monthly.collect().toSet
+    CaggRewrite.clear()
+    val baseline = monthly.collect().toSet
+    assert(baseline === direct)
+    Graft.registerCaggRewrite(cagg)
+    val q = monthly
+    assert(scansMat(q), s"expected mat scan in:\n${q.queryExecution.optimizedPlan}")
+    assert(q.collect().toSet === direct)
+  }
+
   test("rewrite composes with the realtime union under partial materialization") {
     val (ht, cagg) = setup()
     cagg.refresh(us("2024-01-01 00:00:00"), us("2024-01-15 00:00:00"))

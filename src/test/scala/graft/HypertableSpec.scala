@@ -187,6 +187,29 @@ class HypertableSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("runtime chunk exclusion: partition-column join triggers dynamic partition pruning") {
+    // ConstraintAwareAppend analogue: exclusion decided at RUNTIME from the
+    // other join side (src/nodes/constraint_aware_append) maps to Spark DPP
+    val d = Files.createTempDirectory("graft_dpp").toString
+    val h = Hypertable.create(spark, s"$d/ht", "ts", chunkWidth = "1 day")
+    h.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    // dim: chunk keys with an attribute to filter on at runtime
+    import spark.implicits._
+    h.showChunks().zipWithIndex
+      .map { case (c, i) => (c.startMicros, if (i < 2) "keep" else "drop") }
+      .toDF("_chunk", "tag")
+      .write.mode("overwrite").parquet(s"$d/dim")
+    val dim = spark.read.parquet(s"$d/dim").where(col("tag") === "keep")
+    val joined = h.read().join(dim, "_chunk")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in:\n$plan")
+    // correctness: only rows of the 2 kept chunks survive
+    val keptChunks = h.showChunks().take(2).map(_.startMicros).toSet
+    val expected = h.read().where(col("_chunk").isin(keptChunks.toSeq: _*)).count()
+    assert(joined.count() === expected)
+  }
+
   test("hypertable can be re-opened from metadata") {
     ht.showChunks() // force creation
     val re = Hypertable.at(spark, s"$dir/events_ht")

@@ -116,6 +116,22 @@ class TimeBucketSpec extends AnyFunSuite {
     assert(r.getTimestamp(2) === tsOf("2024-03-11 04:00:00"))
   }
 
+  test("time_bucket_tz: DST fall-back day (25h) buckets to local midnight") {
+    Graft.init(spark)
+    val r = spark.sql(
+      """SELECT
+        | time_bucket_tz(INTERVAL '1 day', TIMESTAMP '2024-11-03 05:30:00', 'America/New_York') a,
+        | time_bucket_tz(INTERVAL '1 day', TIMESTAMP '2024-11-03 06:30:00', 'America/New_York') b,
+        | time_bucket_tz(INTERVAL '1 day', TIMESTAMP '2024-11-04 04:59:00', 'America/New_York') c
+        |""".stripMargin).head()
+    // 05:30 UTC = 01:30 EDT (before fall-back) → local Nov 3 → midnight EDT = 04:00 UTC
+    assert(r.getTimestamp(0) === tsOf("2024-11-03 04:00:00"))
+    // 06:30 UTC = 01:30 EST (the repeated hour) → still local Nov 3
+    assert(r.getTimestamp(1) === tsOf("2024-11-03 04:00:00"))
+    // Nov 4 04:59 UTC = Nov 3 23:59 EST → the 25-hour local day's last minute
+    assert(r.getTimestamp(2) === tsOf("2024-11-03 04:00:00"))
+  }
+
   test("time_bucket over a UUIDv7 buckets the embedded timestamp") {
     Graft.init(spark)
     val r = spark.sql(
