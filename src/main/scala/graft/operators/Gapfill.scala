@@ -25,20 +25,47 @@ import graft.expressions.TimeBucketUtil
   */
 object Gapfill {
 
+  /** Longest bucket array materialized per spine row; longer windows split
+    * into segments first (a year of minute buckets would otherwise build a
+    * 525k-element array in a single row per group).
+    */
+  private val MaxSpineSegment = 8192L
+
   /** Dense bucket spine for [start, finish), aligned like
     * `time_bucket(width, start)`; one row per (group, bucket).
+    *
+    * Fixed-width windows longer than [[MaxSpineSegment]] buckets generate
+    * two levels (explode segment starts, then explode buckets within each
+    * segment) so per-row array size stays bounded; month-width spines are
+    * small by construction and stay single-level.
     */
   def spine(groups: DataFrame, bucketCol: String, startMicros: Long,
       finishMicros: Long, width: String): DataFrame = {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(width))
     val ts0 = TimeBucketUtil.bucketCalendarMicros(startMicros, iv, TimeBucketUtil.SENTINEL)
-    groups.select(
-      (groups.columns.map(col) :+
-        explode(sequence(
-          timestamp_micros(lit(ts0)),
-          timestamp_micros(lit(finishMicros - 1)),
-          expr(s"INTERVAL '$width'"))).as(bucketCol)): _*)
+    val w = iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds
+    val nBuckets = if (iv.months != 0 || w <= 0) 0L else (finishMicros - ts0 + w - 1) / w
+    if (iv.months != 0 || nBuckets <= MaxSpineSegment) {
+      groups.select(
+        (groups.columns.map(col) :+
+          explode(sequence(
+            timestamp_micros(lit(ts0)),
+            timestamp_micros(lit(finishMicros - 1)),
+            expr(s"INTERVAL '$width'"))).as(bucketCol)): _*)
+    } else {
+      val segW = w * MaxSpineSegment
+      val seg = "_gf_seg"
+      groups.select(
+        (groups.columns.map(col) :+
+          explode(sequence(lit(ts0), lit(finishMicros - 1), lit(segW))).as(seg)): _*)
+        .select(
+          (groups.columns.map(col) :+
+            explode(sequence(
+              timestamp_micros(col(seg)),
+              timestamp_micros(least(col(seg) + lit(segW - 1), lit(finishMicros - 1))),
+              expr(s"INTERVAL '$width'"))).as(bucketCol)): _*)
+    }
   }
 
   /** Gap-fill an aggregated DataFrame: every bucket in [start, finish) for

@@ -21,6 +21,24 @@ class GapfillSpec extends AnyFunSuite {
   private val start = 1704067200000000L            // 2024-01-01 00:00:00 UTC
   private val finish = start + 6L * 3600 * 1000000 // 06:00 exclusive
 
+  test("long spines split into bounded segments with identical buckets") {
+    import spark.implicits._
+    val groups = Seq("a", "b").toDF("k")
+    // 60 days of minute buckets = 86,400 per group → two-level path
+    val start = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    val finish = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime * 1000L
+    val sp = Gapfill.spine(groups, "bucket", start, finish, "1 minute")
+    assert(sp.count() === 2L * 60 * 24 * 60)
+    // first/last buckets and density per group
+    val mm = sp.groupBy("k").agg(min($"bucket"), max($"bucket"),
+      countDistinct($"bucket")).collect()
+    mm.foreach { r =>
+      assert(r.getTimestamp(1).getTime * 1000L === start)
+      assert(r.getTimestamp(2).getTime * 1000L === finish - 60000000L)
+      assert(r.getLong(3) === 60L * 24 * 60)
+    }
+  }
+
   test("gapfill injects one row per missing bucket") {
     val filled = Gapfill.gapfill(agg, "bucket", Seq("g"), start, finish, "1 hour")
     assert(filled.count() === 6)
