@@ -28,50 +28,86 @@ object Joins {
     * matches older than that become null.
     *
     * Plan shape: union of the two inputs, one window
-    * (`partitionBy keys orderBy time, side`) carrying each right value
-    * forward with `last(_, ignoreNulls)` — exactly one exchange on `keys`.
+    * (`partitionBy keys orderBy time, side`) carrying the matched right
+    * row as ONE struct with `last(_, ignoreNulls)` — exactly one exchange
+    * on `keys`, and all value columns come from the SAME right row
+    * (a genuinely NULL right value stays NULL, like SQL ASOF JOIN).
+    *
+    * `skewBlockMicros`: hot-key mitigation — a single key's full history
+    * otherwise serializes through one window partition. When set, rows
+    * window within (key, time-block) partitions and the match carries
+    * across blocks via a per-(key, block) boundary table (cardinality
+    * keys × blocks, not rows), so no partition exceeds one block of one
+    * key. Results are identical.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, valueCols: Seq[String],
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      skewBlockMicros: Option[Long] = None): DataFrame = {
     val SIDE = "_graft_side"
     val TS = "_graft_ts"
-    val RT = "_graft_rts"
+    val PAY = "_graft_pay"
+    val RT = "_rt"
     val leftCols = left.columns.toSeq
     // shared layout: keys ++ ts ++ side ++ left payload ++ right payload
-    val lNorm = left
-      .withColumn(TS, col(leftTime))
-      .withColumn(SIDE, lit(1))
-      .withColumn(RT, lit(null).cast("timestamp"))
-      .select((keys :+ TS :+ SIDE :+ RT).map(col) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+    // (matched right row travels as one struct: time + value columns)
     val rNorm = right
       .withColumn(TS, col(rightTime))
       .withColumn(SIDE, lit(0))
-      .withColumn(RT, col(rightTime))
-      .select((keys :+ TS :+ SIDE :+ RT).map(col) ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(c => col(c).as(s"_r_$c")): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(TS).asc, col(SIDE).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    var joined = lNorm.unionByName(rNorm)
-      .withColumn(RT, last(col(RT), ignoreNulls = true).over(w))
-    for (c <- valueCols)
-      joined = joined.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    var out = joined.where(col(SIDE) === 1)
+      .withColumn(PAY, struct((col(rightTime).as(RT) +:
+        valueCols.map(c => col(c).as(c))): _*))
+      .select((keys :+ TS :+ SIDE :+ PAY).map(col) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val payType = rNorm.schema(PAY).dataType
+    val lNorm = left
+      .withColumn(TS, col(leftTime))
+      .withColumn(SIDE, lit(1))
+      .withColumn(PAY, lit(null).cast(payType))
+      .select((keys :+ TS :+ SIDE :+ PAY).map(col) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+    val union = lNorm.unionByName(rNorm)
+
+    val matched = skewBlockMicros match {
+      case None =>
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(TS).asc, col(SIDE).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        union.withColumn(PAY, last(col(PAY), ignoreNulls = true).over(w))
+      case Some(blockW) =>
+        val BLK = "_graft_blk"
+        val CARRY = "_graft_carry"
+        val blocked = union.withColumn(BLK,
+          floor(unix_micros(col(TS)).cast("double") / blockW.toDouble).cast("long"))
+        val wIn = Window.partitionBy((keys :+ BLK).map(col): _*)
+          .orderBy(col(TS).asc, col(SIDE).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inBlock = blocked.withColumn(PAY, last(col(PAY), ignoreNulls = true).over(wIn))
+        // boundary: the carried payload AT the end of each (key, block) —
+        // one row per (key, block); carry it across earlier blocks only
+        val boundary = inBlock
+          .groupBy((keys :+ BLK).map(col): _*)
+          .agg(max_by(col(PAY), struct(col(TS), col(SIDE))).as(PAY))
+        val wPrev = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(BLK).asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = boundary
+          .withColumn(CARRY, last(col(PAY), ignoreNulls = true).over(wPrev))
+          .select((keys :+ BLK).map(col) :+ col(CARRY): _*)
+        inBlock.join(carry, keys :+ BLK, "left")
+          .withColumn(PAY, coalesce(col(PAY), col(CARRY)))
+          .drop(BLK, CARRY)
+    }
+
+    var out = matched.where(col(SIDE) === 1)
     for (c <- valueCols) {
       val fresh = toleranceMicros match {
-        case Some(tol) => unix_micros(col(TS)) - unix_micros(col(RT)) <= tol
+        case Some(tol) => unix_micros(col(TS)) - unix_micros(col(PAY)(RT)) <= tol
         case None      => lit(true)
       }
-      out = out.withColumn(c + "_asof", when(fresh, col(s"_r_$c")))
+      out = out.withColumn(c + "_asof", when(fresh, col(PAY)(c)))
     }
-    out.withColumn(leftTime + "_matched",
-        when(col(RT).isNotNull, col(RT)))
-      .drop(TS, SIDE, RT)
-      .drop(valueCols.map(c => s"_r_$c"): _*)
+    out.withColumn(leftTime + "_matched", col(PAY)(RT))
+      .drop(TS, SIDE, PAY)
   }
 
   /** Range join: left rows with `leftPoint` falling inside right's

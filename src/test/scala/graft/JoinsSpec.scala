@@ -75,6 +75,45 @@ class JoinsSpec extends AnyFunSuite {
     assert(row.getDouble(0) === 2.0 && row.getString(1) === "y")
   }
 
+  test("skew-salted asOf equals the plain asOf, including a hot key") {
+    // hot key "h": 2000 clicks + 500 purchases in one day; cold keys normal
+    val rnd = new scala.util.Random(7)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val left = ((1 to 500).map(i => (i.toLong, "h",
+        new Timestamp(base + rnd.nextInt(86400) * 1000L))) ++
+      (501 to 520).map(i => (i.toLong, s"c${i % 5}",
+        new Timestamp(base + rnd.nextInt(86400) * 1000L)))).toDF("id", "k", "t")
+    val right = ((1 to 2000).map(i => ("h",
+        new Timestamp(base + rnd.nextInt(86400) * 1000L), i.toDouble)) ++
+      (1 to 50).map(i => (s"c${i % 5}",
+        new Timestamp(base + rnd.nextInt(86400) * 1000L), -i.toDouble))).toDF("k", "t", "v")
+    val plain = Joins.asOf(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select($"id", $"v_asof", $"t_matched").collect().toSet
+    val salted = Joins.asOf(left, right, Seq("k"), "t", "t", Seq("v"),
+      skewBlockMicros = Some(3600000000L)) // 1-hour blocks
+      .select($"id", $"v_asof", $"t_matched").collect().toSet
+    assert(salted === plain)
+    // also with tolerance
+    val plainTol = Joins.asOf(left, right, Seq("k"), "t", "t", Seq("v"),
+      toleranceMicros = Some(600000000L)).select($"id", $"v_asof").collect().toSet
+    val saltedTol = Joins.asOf(left, right, Seq("k"), "t", "t", Seq("v"),
+      toleranceMicros = Some(600000000L), skewBlockMicros = Some(3600000000L))
+      .select($"id", $"v_asof").collect().toSet
+    assert(saltedTol === plainTol)
+  }
+
+  test("asOf preserves a genuinely NULL right value from the matched row") {
+    val left = Seq((1L, "a", ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", ts("2024-01-01 09:00:00"), Some(5.0)),
+      ("a", ts("2024-01-01 09:30:00"), None: Option[Double])).toDF("k", "t", "v")
+    val out = Joins.asOf(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select($"v_asof", $"t_matched").head()
+    // the matched row (09:30) carries NULL — it must NOT fall back to 09:00's 5.0
+    assert(out.isNullAt(0))
+    assert(out.getTimestamp(1) === ts("2024-01-01 09:30:00"))
+  }
+
   test("asOf plan has a single exchange (union+window, no join node)") {
     val left = Seq((1L, "a", ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
     val right = Seq(("a", ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "t", "v")
