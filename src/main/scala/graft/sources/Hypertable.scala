@@ -151,6 +151,35 @@ class Hypertable private (
   def between(start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame =
     between(start.getTime * 1000L, end.getTime * 1000L)
 
+  /** Ordered append (`src/nodes/chunk_append/chunk_append.c:506-520` +
+    * the batch-sorted-merge idea of `batch_queue_heap.c`): a full-table
+    * time-ordered read WITHOUT a range shuffle. Chunk ranges are disjoint,
+    * so concatenating chunks in time order with a per-chunk local sort
+    * yields globally ordered partitions — the exchange and boundary
+    * sampling of a global ORDER BY are skipped entirely; only the cheap
+    * in-chunk sorts remain (already nearly free on columnstore chunks
+    * sorted by `orderBy(timeCol)`).
+    *
+    * The ordering is physical (partition iteration order), not declared to
+    * Catalyst: consume it with writers/iterators that preserve partition
+    * order, not with a later ORDER BY (which would re-sort). One task per
+    * chunk — the ordered-iteration shape (the reference's ChunkAppend is
+    * likewise ordered OR parallel, not both); use plain `read()` for wide
+    * parallel scans.
+    */
+  def orderedRead(descending: Boolean = false): DataFrame = {
+    val chunks = showChunks()
+    if (chunks.isEmpty) return read()
+    val ordered = if (descending) chunks.reverse else chunks
+    val sortCol = if (descending) col(timeCol).desc else col(timeCol).asc
+    ordered.map { c =>
+      spark.read.parquet(c.path)
+        .withColumn(CHUNK, lit(c.startMicros))
+        .coalesce(1)
+        .sortWithinPartitions(sortCol)
+    }.reduce(_ unionByName _)
+  }
+
   /** show_chunks: all chunks, optionally only those fully older than a
     * cutoff. A chunk's range is [dirStart, dirStart+width) unless a
     * `_range` file (written by merge/split) records a different end.

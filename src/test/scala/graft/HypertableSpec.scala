@@ -210,6 +210,28 @@ class HypertableSpec extends AnyFunSuite {
     assert(joined.count() === expected)
   }
 
+  test("orderedRead streams globally time-ordered rows without an exchange") {
+    val d = Files.createTempDirectory("graft_ord").toString
+    val h = Hypertable.create(spark, s"$d/ht", "ts", chunkWidth = "7 days")
+    h.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val df = h.orderedRead()
+    // no shuffle in the plan: chunk concatenation + per-chunk local sort
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "orderedRead must not plan an exchange")
+    // rows arrive globally ordered across partition iteration order
+    val tsSeq = df.select(unix_micros(col("ts"))).rdd
+      .mapPartitionsWithIndex { case (i, it) => it.map(r => (i, r.getLong(0))) }
+      .collect()
+    assert(tsSeq.sliding(2).forall { case Array((i1, t1), (i2, t2)) =>
+      i1 < i2 || (i1 == i2 && t1 <= t2) })
+    assert(tsSeq.map(_._2).toSeq === tsSeq.map(_._2).sorted.toSeq)
+    assert(df.count() === h.read().count())
+    // descending variant
+    val desc = h.orderedRead(descending = true)
+      .select(unix_micros(col("ts"))).rdd.map(_.getLong(0)).collect()
+    assert(desc.toSeq === desc.sorted(Ordering[Long].reverse).toSeq)
+  }
+
   test("hypertable can be re-opened from metadata") {
     ht.showChunks() // force creation
     val re = Hypertable.at(spark, s"$dir/events_ht")
