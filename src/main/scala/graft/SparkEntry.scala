@@ -344,12 +344,19 @@ object SparkEntry {
 
     // n-gram Jaccard similarity of every document against doc 0 (the
     // shingle/jaccard kernel of the near-dup verify stage, oracle-checked).
+    // Single-pass expression: the probe shingle set is built once, each doc
+    // is shingled once (array_intersect + array_union would rebuild the
+    // probe set per row per call and shingle every doc twice).
     "q42_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val probe = d.where(col("doc_id") === 0).head().getAs[String]("text")
+      val probeToks = probe.trim.split("\\s+").toSeq
+      val probeShingles = (0 to math.max(probeToks.size - 3, 0))
+        .map(i => probeToks.slice(i, i + 3).mkString(" ")).distinct
       d.select(col("doc_id"),
-        Dedup.jaccard(Dedup.shingles(col("text"), 3),
-          Dedup.shingles(lit(probe), 3)).as("jac"))
+        org.apache.spark.sql.GraftShims.toColumn(graft.expressions.NGramJaccard(
+          org.apache.spark.sql.GraftShims.toExpression(col("text")),
+          probeShingles, 3)).as("jac"))
         .orderBy("doc_id")
     }),
 
