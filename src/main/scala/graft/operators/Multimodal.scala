@@ -103,4 +103,41 @@ object Multimodal {
         encodeFake(m.format, w, h, m.frames, bytes.drop(11))
       case None => bytes
     }
+
+  /** Batch resize over a media column — same per-partition batched shape as
+    * [[decode]]; unparseable rows pass through untouched (the stub keeps
+    * them as-is, a real codec would route them to a quarantine sink).
+    */
+  def resize(spark: SparkSession, df: DataFrame, idCol: String,
+      mediaCol: String, w: Int, h: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+      .as[MediaRow]
+      .mapPartitions(_.map(r => MediaRow(r.id, resizeStub(r.media, w, h))))
+  }
+
+  case class FrameRef(id: Long, frameIdx: Int, feature: Array[Float])
+
+  /** Evenly sample up to `n` frames per video row: one output row per
+    * sampled frame with a deterministic stub feature (a real pipeline would
+    * decode the frame here). Non-video / unparseable rows produce nothing.
+    */
+  def sampleFrames(spark: SparkSession, df: DataFrame, idCol: String,
+      mediaCol: String, n: Int): Dataset[FrameRef] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          parseMeta(r.media).toSeq.flatMap { m =>
+            sampleFrameIndices(m.frames, n).map { idx =>
+              // stub per-frame feature: payload bytes salted by frame index
+              val f = extractFeatureStub(r.media)
+              f(idx % f.length) += 1.0f
+              FrameRef(r.id, idx, f)
+            }
+          }
+        }
+      }
+  }
 }

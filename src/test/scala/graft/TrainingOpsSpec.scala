@@ -152,5 +152,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     // frame sampling
     assert(Multimodal.sampleFrameIndices(100, 4) === Seq(0, 25, 50, 75))
     assert(Multimodal.sampleFrameIndices(3, 10) === Seq(0, 1, 2))
+    // DataFrame-level resize: dims rewritten, payload length preserved
+    val resized = Multimodal.decode(spark,
+      Multimodal.resize(spark, media, "doc_id", "media", 64, 48).toDF(),
+      "id", "media")
+    val rr = resized.where($"id" === 0).head()
+    assert(rr.width === 64 && rr.height === 48 && rr.frames === 100)
+    assert(rr.payloadBytes === row.payloadBytes)
+    // DataFrame-level frame sampling: 4 rows per video, distinct indices
+    val frames = Multimodal.sampleFrames(spark, media, "doc_id", "media", 4)
+    assert(frames.count() === docs.count() * 4)
+    val f0 = frames.where($"id" === 0).collect()
+    assert(f0.map(_.frameIdx).sorted.toSeq === Seq(0, 25, 50, 75))
+    assert(f0.forall(_.feature.length === 8))
   }
 }
