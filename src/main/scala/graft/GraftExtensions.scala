@@ -71,6 +71,17 @@ object GraftExtensions {
     "uuid_version" -> { case Seq(e) => UuidVersion(e) },
     "generate_uuidv7" -> { case Seq() => GenerateUuidV7() },
     "simhash64" -> { case Seq(e) => SimHash64(e) },
+    "dot_product" -> { case Seq(a, b) => DotProduct(a, b) },
+    "minhash_sig" -> {
+      case Seq(toks, n, k) =>
+        def intOf(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
+          case _ => throw new IllegalArgumentException(s"minhash_sig: $what must be a literal int")
+        }
+        MinHashSig(toks, intOf(n, "shingle n"), intOf(k, "num hashes"))
+      case exprs => throw new IllegalArgumentException(
+        s"minhash_sig takes (tokens, n, k), got ${exprs.length} arguments")
+    },
     "time_bucket_gapfill" -> {
       case Seq(w, t) => // window inferred from the WHERE clause
         val nul = org.apache.spark.sql.catalyst.expressions.Literal(null,

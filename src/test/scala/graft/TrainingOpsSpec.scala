@@ -134,6 +134,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(!plans.contains("CartesianProduct"))
   }
 
+  test("dot_product and minhash_sig are SQL-registered") {
+    Graft.init(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       minhash_sig(split('a b c d', ' '), 3, 4) AS sig""".stripMargin).head()
+    assert(r.getDouble(0) === 11.0)
+    val viaCol = spark.range(1)
+      .select(Dedup.minhashFast(lit("a b c d"), 3, 4).as("sig"))
+      .head().getSeq[Long](0)
+    assert(r.getSeq[Long](1) === viaCol)
+  }
+
   test("multimodal: fake container round-trips and decode is partition-parallel") {
     val media = docs.select($"doc_id", $"text").as[(Long, String)]
       .map { case (id, txt) =>
