@@ -54,15 +54,13 @@ object TextAnalysis {
     regexp_count(lower(text), lit("\\b(" + words.mkString("|") + ")\\b"))
   }
 
-  def lang_id(text: Column): Column = {
-    val s = LANG_MARKERS.map { case (l, _) => l -> lang_score(text, l) }
-    val Seq(en, fr, de, es) = s.map(_._2)
-    when(en + fr + de + es === 0, lit("und"))
-      .when(en >= fr && en >= de && en >= es, lit("en"))
-      .when(fr >= de && fr >= es, lit("fr"))
-      .when(de >= es, lit("de"))
-      .otherwise(lit("es"))
-  }
+  /** Single-pass expression: the per-language `regexp_count` when-chain
+    * re-evaluated each count up to 4x (16 regex passes/row); see
+    * [[graft.expressions.LangId]] for the equivalence argument.
+    */
+  def lang_id(text: Column): Column =
+    org.apache.spark.sql.GraftShims.toColumn(graft.expressions.LangId(
+      org.apache.spark.sql.GraftShims.toExpression(text), LANG_MARKERS))
 
   /** Whitespace-normalized lowercase md5 fingerprint — engine-portable
     * exact-dup key.
