@@ -1,0 +1,91 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `quality_score(text)` in ONE scan — the column formulation runs three
+  * regex passes (punct, stopwords) plus a tokenizing split, with the token
+  * count duplicated across the formula. A single pass classifies each
+  * character and the formula is evaluated in EXACTLY the column version's
+  * double arithmetic order, so results (and the DuckDB oracle) are
+  * unchanged:
+  *
+  *   0.5·min(tokens/50, 1) + 0.3·(1 − punct/chars) + 0.2·min(5·stop/max(tokens,1), 1)
+  *
+  * Count equivalences: tokens = `split(trim(text), "\s+")` field count
+  * (trim strips 0x20 only; a leading non-space whitespace yields the empty
+  * first field, reproduced here); punct = matches of `[^A-Za-z0-9\s]`
+  * (single chars); stop = `\b(w1|...)\b` matches of all-letter stopwords
+  * on the lowered text = maximal word-char runs equal to a stopword.
+  */
+case class QualityScore(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quality_score"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"quality_score needs a string, got ${dt.sql}")
+  }
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+
+  private def isRegexSpace(c: Char): Boolean = // Java regex \s
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+  private def isAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
+  override def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[UTF8String]
+    val full = u.toString
+    val chars = math.max(full.codePointCount(0, full.length), 1).toDouble
+    var punct = 0
+    var stop = 0
+    // tokens over the 0x20-trimmed text, like split(trim(text), "\s+")
+    val trimmed = u.trim().toString
+    var tokens = 0
+    if (trimmed.nonEmpty) {
+      tokens = 1 // split yields >= 1 field on non-empty input
+      var prevSpace = isRegexSpace(trimmed.charAt(0)) // leading \s → empty first field
+      if (prevSpace) tokens += 1
+      var i = 1
+      while (i < trimmed.length) {
+        val sp = isRegexSpace(trimmed.charAt(i))
+        if (sp && !prevSpace) tokens += 1
+        prevSpace = sp
+        i += 1
+      }
+      // NOTE: Spark's split uses limit -1, so a trailing \s run yields a
+      // kept empty field — already counted by the transition above
+    }
+    // punct + stopword runs over the FULL text
+    val sb = new java.lang.StringBuilder(12)
+    var i = 0
+    while (i <= full.length) {
+      val c = if (i < full.length) full.charAt(i) else ' '
+      if (i < full.length && !isAlnum(c) && !isRegexSpace(c)) punct += 1
+      if (i < full.length && isWordChar(c)) sb.append(Character.toLowerCase(c))
+      else if (sb.length > 0) {
+        if (stopSet.contains(sb.toString)) stop += 1
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    val toks = tokens.toDouble
+    0.5 * math.min(toks / 50.0, 1.0) +
+      0.3 * (1.0 - punct.toDouble / chars) +
+      0.2 * math.min(stop.toDouble * 5.0 / math.max(toks, 1.0), 1.0)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -30,7 +30,18 @@ object TextAnalysis {
   def punct_count(text: Column): Column =
     regexp_count(text, lit("[^A-Za-z0-9\\s]"))
 
-  def quality_score(text: Column): Column = {
+  /** Single-pass expression (see [[graft.expressions.QualityScore]] for
+    * the count equivalences); the column pieces below remain for callers
+    * wanting individual features.
+    */
+  def quality_score(text: Column): Column =
+    org.apache.spark.sql.GraftShims.toColumn(graft.expressions.QualityScore(
+      org.apache.spark.sql.GraftShims.toExpression(text), STOPWORDS_EN))
+
+  /** The score as composed column expressions — the reference formula the
+    * single-pass expression must reproduce bit-for-bit (spec-pinned).
+    */
+  def quality_score_columns(text: Column): Column = {
     val toks = token_count(text).cast("double")
     val chars = greatest(length(text), lit(1)).cast("double")
     val punct = punct_count(text).cast("double")

@@ -134,6 +134,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(!plans.contains("CartesianProduct"))
   }
 
+  test("single-pass quality score equals the column formula bit-for-bit") {
+    val edge = Seq("", "   ", "\tleading tab", "trailing\t", "the the the!",
+      "a_b c-d e.f", "ALL CAPS AND the Of To", "x").toDF("text")
+    for (df <- Seq(docs.select($"text"), edge)) {
+      val r = df.select(
+        TextAnalysis.quality_score($"text").as("fast"),
+        TextAnalysis.quality_score_columns($"text").as("ref")).collect()
+      r.foreach(row => assert(
+        java.lang.Double.doubleToLongBits(row.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(row.getDouble(1)),
+        s"quality mismatch: ${row.getDouble(0)} vs ${row.getDouble(1)}"))
+    }
+  }
+
   test("dot_product and minhash_sig are SQL-registered") {
     Graft.init(spark)
     val r = spark.sql(
