@@ -36,7 +36,7 @@ case class LangId(child: Expression, markers: Seq[(String, Seq[String])])
     m
   }
 
-  private def isWordChar(c: Char): Boolean =
+  private def isWordChar(c: Int): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
 
   override def nullSafeEval(v: Any): Any = {
@@ -45,15 +45,21 @@ case class LangId(child: Expression, markers: Seq[(String, Seq[String])])
     val sb = new java.lang.StringBuilder(16)
     var i = 0
     val n = s.length
+    // by CODE POINT, lowercased BEFORE classification: marker runs live on
+    // lower(text), where e.g. U+212A (Kelvin) lowers into ASCII 'k' and
+    // joins a word run exactly as `\b...\b` over lower() sees it. Simple
+    // 1:1 code-point lowering; locale-special expansions are out of
+    // contract (spec-tested).
     while (i <= n) {
-      val wc = i < n && isWordChar(s.charAt(i))
-      if (wc) sb.append(Character.toLowerCase(s.charAt(i)))
+      val cp = if (i < n) s.codePointAt(i) else ' '.toInt
+      val lc = Character.toLowerCase(cp)
+      if (i < n && isWordChar(lc)) sb.appendCodePoint(lc)
       else if (sb.length > 0) {
         val l = markerLang.get(sb.toString)
         if (l != null) counts(l.intValue()) += 1
         sb.setLength(0)
       }
-      i += 1
+      i += (if (i < n) Character.charCount(cp) else 1)
     }
     val total = counts.sum
     if (total == 0) UTF8String.fromString("und")

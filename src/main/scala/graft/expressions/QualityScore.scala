@@ -38,11 +38,11 @@ case class QualityScore(child: Expression, stopwords: Seq[String])
     s
   }
 
-  private def isRegexSpace(c: Char): Boolean = // Java regex \s
+  private def isRegexSpace(c: Int): Boolean = // Java regex \s
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-  private def isWordChar(c: Char): Boolean =
+  private def isWordChar(c: Int): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
-  private def isAlnum(c: Char): Boolean =
+  private def isAlnum(c: Int): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
 
   override def nullSafeEval(v: Any): Any = {
@@ -68,18 +68,26 @@ case class QualityScore(child: Expression, stopwords: Seq[String])
       // NOTE: Spark's split uses limit -1, so a trailing \s run yields a
       // kept empty field — already counted by the transition above
     }
-    // punct + stopword runs over the FULL text
+    // punct + stopword runs over the FULL text, iterated by CODE POINT
+    // (like the regexes): a surrogate-pair punctuation char is ONE
+    // `[^A-Za-z0-9\s]` match, not two. Stopword runs live on lower(text),
+    // so the code point is lowercased BEFORE classification — U+212A
+    // (Kelvin) lowers into ASCII 'k' and joins a word run exactly as the
+    // regex over lower() sees it. Lowering is simple 1:1 code-point
+    // mapping; locale-special multi-char expansions (İ → i + combining
+    // dot) are outside the pinned contract (spec-tested).
     val sb = new java.lang.StringBuilder(12)
     var i = 0
     while (i <= full.length) {
-      val c = if (i < full.length) full.charAt(i) else ' '
-      if (i < full.length && !isAlnum(c) && !isRegexSpace(c)) punct += 1
-      if (i < full.length && isWordChar(c)) sb.append(Character.toLowerCase(c))
+      val cp = if (i < full.length) full.codePointAt(i) else ' '.toInt
+      if (i < full.length && !isAlnum(cp) && !isRegexSpace(cp)) punct += 1
+      val lc = Character.toLowerCase(cp)
+      if (i < full.length && isWordChar(lc)) sb.appendCodePoint(lc)
       else if (sb.length > 0) {
         if (stopSet.contains(sb.toString)) stop += 1
         sb.setLength(0)
       }
-      i += 1
+      i += (if (i < full.length) Character.charCount(cp) else 1)
     }
     val toks = tokens.toDouble
     0.5 * math.min(toks / 50.0, 1.0) +

@@ -150,23 +150,85 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Guaranteed-recall LSH parameters for a cosine `threshold`: per-pair
+    * collision probability per plane is p = 1 − acos(threshold)/π, so a
+    * pair AT the threshold is missed with probability (1 − p^m)^L. Returns
+    * the widest planes-per-band m (strongest pruning of random pairs,
+    * ~2^−m per band) whose band count L = ⌈ln eps / ln(1 − p^m)⌉ stays
+    * within `maxBands`; pairs above the threshold miss even less. With the
+    * default eps = 1e-9 the residual miss probability is negligible at any
+    * corpus size that fits a cluster.
+    */
+  def lshParams(threshold: Double, eps: Double = 1e-9, maxBands: Int = 24): (Int, Int) = {
+    val t = math.min(math.max(threshold, -1.0), 1.0)
+    val p = 1.0 - math.acos(t) / math.Pi
+    def bandsFor(m: Int): Long = {
+      val pm = math.pow(p, m)
+      if (pm >= 1.0) 1L
+      else math.ceil(math.log(eps) / math.log1p(-pm)).toLong
+    }
+    var best = (1, bandsFor(1))
+    var m = 2
+    while (m <= 16) {
+      val l = bandsFor(m)
+      if (l <= maxBands) best = (m, l)
+      m += 1
+    }
+    (best._1, math.max(best._2, 1L).toInt)
+  }
+
+  /** Exact all-pairs cosine ≥ threshold as a BLOCKED equi-join: the right
+    * side is hashed into `blocks` buckets, the left side is replicated to
+    * every bucket — n² comparisons (exact similarity on dense vectors
+    * admits nothing less), but evenly distributed shuffle-join work with
+    * no broadcast-nested-loop and no driver involvement. This is the scale
+    * path for LOW thresholds, where banded LSH provably cannot prune (see
+    * [[lshPairs]]); n² of anything is infeasible at 10⁹ rows regardless —
+    * cap the corpus or raise the threshold there.
+    */
+  def blockedPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blocks: Int = 32): DataFrame = {
+    val left = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+        norm(col(vecCol)).as("n_a"))
+      .withColumn("_blk", explode(typedLit((0 until blocks).toList)))
+    val right = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      norm(col(vecCol)).as("n_b"),
+      pmod(hash(col(idCol)), lit(blocks)).as("_blk"))
+    // pair (x, y), x < y appears exactly once: x's copy in y's block
+    left.join(right, Seq("_blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Embedding near-dup pairs at scale: banded random-hyperplane LSH.
     * `bands` independent signature tables of `planesPerBand` bits each;
     * vectors sharing ANY band bucket become candidates (equi-join on
     * (band, bucket) — never a cross/BNL join), then exact-cosine verify.
     *
-    * Per-pair recall = 1 − (1 − p^m)^L with p = 1 − θ/π. Tune to the sim
-    * regime: true near-dups (cos ≥ 0.9) prune massively at m=8, L=4;
-    * a low threshold like 0.45 (θ ≈ 63°, p ≈ 0.65) needs m=1 and L ≈ 20
-    * for recall ≈ 1 − 1e-9 — the prune factor is then bounded by p per
-    * band, an information-theoretic property of the regime, not of the
-    * implementation (dense vectors admit no exact sub-quadratic method).
+    * Per-pair recall = 1 − (1 − p^m)^L with p = 1 − θ/π. Parameters
+    * default to [[lshParams]]`(threshold)` — derived so the miss
+    * probability at the threshold is ≤ 1e-9, not an empirical property of
+    * any corpus/seed. When the derived plan would do MORE work than exact
+    * blocked all-pairs (a random pair collides in ~L·2^−m bands; at low
+    * thresholds like 0.45, m degenerates to 1 and that exceeds the 1
+    * comparison brute-force pays — an information-theoretic property of
+    * the regime, not of the implementation), this dispatches to
+    * [[blockedPairs]], which is exact. Pass explicit `planesPerBand`/
+    * `bands` to force banding (high-sim regimes: cos ≥ 0.9 prunes
+    * massively at m=8).
     */
   def lshPairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planesPerBand: Int = 2, bands: Int = 14,
+      threshold: Double, planesPerBand: Int = 0, bands: Int = 0,
       dim: Int = 64, seed: Long = 42L,
       rejoinVectors: Boolean = false): DataFrame = {
-    def bandCol(v: Column) = explode(lshBandKeys(v, planesPerBand, bands, dim, seed))
+    val (m, l) =
+      if (planesPerBand > 0 && bands > 0) (planesPerBand, bands)
+      else lshParams(threshold)
+    if (planesPerBand <= 0 && l * math.pow(0.5, m) >= 1.0)
+      return blockedPairs(emb, idCol, vecCol, threshold)
+    def bandCol(v: Column) = explode(lshBandKeys(v, m, l, dim, seed))
     if (rejoinVectors) {
       // id-only band shuffle, candidates deduped, vectors joined back once —
       // for very wide embeddings where duplicating vectors ×bands dominates

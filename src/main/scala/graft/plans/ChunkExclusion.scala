@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, EvalMode, Expression, In, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -47,9 +47,17 @@ object ChunkExclusion extends Rule[LogicalPlan] {
     val chunks = lister()
     val hits = chunks.filter(c => c.startMicros < h && c.endMicros > l)
     if (hits.size == chunks.size) return f // nothing to exclude
+    // literals in the PARTITION COLUMN's inferred type: small integral chunk
+    // keys (bigint dims with narrow widths) infer `_chunk` as IntegerType,
+    // and this In is spliced into an already-analyzed plan, so no coercion
+    // runs — a LongType literal against an Int attr would compare raw types
+    // at evaluation. Values came from the directory names, so the narrowing
+    // is lossless.
     val in: Expression =
       if (hits.isEmpty) Literal(false)
-      else In(chunkAttr, hits.map(c => Literal(c.startMicros)))
+      else In(chunkAttr, hits.map(c => Literal.create(
+        Cast(Literal(c.startMicros), chunkAttr.dataType, None, EvalMode.LEGACY).eval(null),
+        chunkAttr.dataType)))
     Filter(And(in, cond), rel)
   }
 }

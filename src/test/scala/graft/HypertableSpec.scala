@@ -95,6 +95,28 @@ class HypertableSpec extends AnyFunSuite {
     assert(scan2.selectedPartitions.partitionCount === 12)
   }
 
+  test("chunk exclusion casts _chunk literals to the inferred partition type") {
+    // small integral chunk keys infer `_chunk` as IntegerType; the injected
+    // IN-list literals must be Int too (a LongType literal in the analyzed
+    // plan would compare raw types — CCE or silently-false filter)
+    import spark.implicits._
+    val d2 = Files.createTempDirectory("graft_ht_int").toString
+    val h = Hypertable.create(spark, s"$d2/ht", "t", chunkWidth = "10", timeKind = "bigint")
+    h.write((0L until 100L).toDF("t"))
+    val df = h.read().where(col("t") >= 20L && col("t") < 40L)
+    assert(df.schema("_chunk").dataType ===
+      org.apache.spark.sql.types.IntegerType) // the premise of this test
+    assert(df.count() === 20)
+    val plan = df.queryExecution.executedPlan
+    val scan = plan.collectFirst { case f: FileSourceScanExec => f }.orElse(plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
+      case _ => None
+    }).get
+    assert(scan.selectedPartitions.partitionCount === 2,
+      s"expected 2 pruned partitions, got ${scan.selectedPartitions.partitionCount}")
+  }
+
   test("chunk exclusion respects merged-chunk ranges from the catalog") {
     val dir2 = Files.createTempDirectory("graft_ht_merge").toString
     val h = Hypertable.create(spark, s"$dir2/ht", "ts", chunkWidth = "1 day")

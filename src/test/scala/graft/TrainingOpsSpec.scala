@@ -134,6 +134,48 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(!plans.contains("CartesianProduct"))
   }
 
+  test("lshParams derives guaranteed-recall parameters from the threshold") {
+    // low-sim regime: p ≈ 0.65 at 0.45 — banding degenerates to m=1, L≈20
+    // (the advisor-derived regime), where a random pair collides in ~10
+    // bands: lshPairs must dispatch to exact blockedPairs instead
+    val (m045, l045) = Similarity.lshParams(0.45)
+    assert(m045 === 1 && l045 === 20)
+    // high-sim regime: multi-plane bands with bounded band count
+    val (m09, l09) = Similarity.lshParams(0.9)
+    assert(m09 >= 2 && l09 <= 24)
+    // the derived parameters really do push the miss probability below eps
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    assert(math.pow(1.0 - math.pow(p, m09), l09) <= 1e-9)
+  }
+
+  test("blockedPairs is exact and plans as an equi-join") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val blocked = Similarity.blockedPairs(emb, "vec_id", "embedding", 0.45, blocks = 8)
+    val brute = Similarity.bruteForcePairs(emb, "vec_id", "embedding", 0.45)
+    assert(blocked.collect().toSet === brute.collect().toSet)
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("quality score and lang id iterate by code point") {
+    // astral-plane punctuation (surrogate pair) is ONE [^A-Za-z0-9\s] match;
+    // U+212A (Kelvin sign) lowercases into ASCII 'k' and joins a word run
+    val tricky = Seq("a 😀 b", "😀😀",
+      "looK the cat", "Kthe cat", "King of the hill", "café the")
+      .toDF("text")
+    val r = tricky.select(
+      TextAnalysis.quality_score($"text").as("fast"),
+      TextAnalysis.quality_score_columns($"text").as("ref")).collect()
+    r.foreach(row => assert(
+      java.lang.Double.doubleToLongBits(row.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(row.getDouble(1)),
+      s"quality mismatch: ${row.getDouble(0)} vs ${row.getDouble(1)}"))
+    // "loo<Kelvin>" lowers to "look" — NOT the marker "the"-breaking run the
+    // per-char version saw; the argmax must still match the regex formula
+    val langs = tricky.select(TextAnalysis.lang_id($"text").as("l")).collect()
+    assert(langs.map(_.getString(0)).toSeq === Seq("und", "und", "en", "und", "en", "en"))
+  }
+
   test("single-pass quality score equals the column formula bit-for-bit") {
     val edge = Seq("", "   ", "\tleading tab", "trailing\t", "the the the!",
       "a_b c-d e.f", "ALL CAPS AND the Of To", "x").toDF("text")
