@@ -25,6 +25,9 @@ object Graft {
       if (!spark.experimental.extraOptimizations.contains(rule))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ rule
+    if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategies))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
     spark
   }
 
@@ -49,6 +52,10 @@ object Graft {
       // INT96 timestamps carry no parquet min/max stats — micros keep
       // row-group skipping and footer-stats queries working on time columns
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // task commits rename straight into the destination (v2): the v1
+      // driver-side sequential rename pass costs ~45 ms/dir and dominates
+      // partitioned writes with many chunk dirs
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate())
   }

@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.SortTransform)
     ext.injectOptimizerRule(_ => graft.plans.CaggRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ChunkExclusion)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
 }
 

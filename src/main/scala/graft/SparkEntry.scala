@@ -395,6 +395,28 @@ object SparkEntry {
           |FROM events_q44 GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
+    // §2.6 batch sorted merge: a hypertable's chunks are disjoint ascending
+    // time ranges, so ORDER BY time over orderedRead() plans NO exchange
+    // and NO global sort (the DeclareOrdered claim node — the reference's
+    // batch_queue_heap merge, expressed as planning). Sliced to 2 chunks.
+    "q45_ordered_merge" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bsm_q").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
+      ht.write(t(s, dir, "events")
+        .where(col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))))
+      ht.orderedRead().orderBy("ts")
+        .select("event_id", "ts", "value")
+    }),
+
+    // §2.4 DISTINCT ON / SkipScan surface: latest full event row per user —
+    // one partial/final max_by aggregation, one shuffle, no window sort.
+    "q46_distinct_on" -> ((s, dir) => {
+      graft.operators.DistinctOn.distinctOn(t(s, dir, "events"),
+        Seq("user_id"), "ts", Seq("event_type", "value"))
+        .orderBy("user_id")
+    }),
+
     // §2.3 joins over the star schema: revenue per nation, dims broadcast.
     "q20_join_revenue" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -898,6 +920,17 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
         | COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q45_ordered_merge" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY ts""".stripMargin,
+
+    "q46_distinct_on" ->
+      """SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS ts,
+        | arg_max(event_type, ts) AS event_type,
+        | arg_max(value, ts) AS value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q20_join_revenue" ->
       """SELECT n_name,

@@ -13,7 +13,29 @@ import org.apache.spark.sql.types.LongType
   * keeping the oracle comparable).
   */
 object Tables {
+
+  /** Per-session memo of loaded tables — the input files are immutable
+    * test fixtures, so the resolved relation (file listing + footer schema
+    * read, both driver-side work Spark redoes per `read.parquet` call) is
+    * reused across queries like a catalog table would be. Keyed by session
+    * so test suites with their own sessions don't cross wires.
+    */
+  private val cache = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name), _ => load(spark, dir, name))
+  }
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)

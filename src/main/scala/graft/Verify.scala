@@ -16,6 +16,7 @@ object Verify {
       // comparator reads our dumped parquet through pandas, and
       // isAdjustedToUTC=true micros come back timezone-aware (unsortable
       // against the naive oracle frame). INT96 reads back naive.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

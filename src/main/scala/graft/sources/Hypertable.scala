@@ -172,12 +172,23 @@ class Hypertable private (
     if (chunks.isEmpty) return read()
     val ordered = if (descending) chunks.reverse else chunks
     val sortCol = if (descending) col(timeCol).desc else col(timeCol).asc
-    ordered.map { c =>
+    val df = ordered.map { c =>
       spark.read.parquet(c.path)
         .withColumn(CHUNK, lit(c.startMicros))
         .coalesce(1)
         .sortWithinPartitions(sortCol)
     }.reduce(_ unionByName _)
+    // batch-sorted-merge declaration (plans/SortedMerge.scala): chunk
+    // ranges are disjoint and concatenated in range order with per-chunk
+    // sorts, so the scan is ALREADY range-partitioned + sorted on time —
+    // declare it and a downstream ORDER BY plans no exchange and no sort
+    val analyzed = df.queryExecution.analyzed
+    val tsAttr = analyzed.output.find(_.name == timeCol).get
+    val so = org.apache.spark.sql.catalyst.expressions.SortOrder(tsAttr,
+      if (descending) org.apache.spark.sql.catalyst.expressions.Descending
+      else org.apache.spark.sql.catalyst.expressions.Ascending)
+    org.apache.spark.sql.GraftShims.ofRows(spark,
+      graft.plans.DeclareOrdered(Seq(so), analyzed))
   }
 
   /** show_chunks: all chunks, optionally only those fully older than a

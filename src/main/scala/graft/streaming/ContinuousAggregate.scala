@@ -48,8 +48,16 @@ case class CaggDef(
       * BUCKET would melt the metadata layer (a year of minute-buckets =
       * 525k dirs); one dir per mat-chunk keeps listing/commit costs
       * O(chunks) while refresh still replaces only touched chunks.
+      *
+      * Default "auto" = 10× the source hypertable's chunk width, the
+      * reference's sizing (`tsl/src/continuous_aggs/create.c:104`
+      * `MATPARTCOL_INTERVAL_FACTOR`, applied at `:631`): aggregated rows
+      * are far smaller than raw rows, so mat chunks hold proportionally
+      * more time per dir — fewer dirs to list and commit. Changing the
+      * width on an already-materialized cagg requires a full refresh (the
+      * on-disk `_mat_chunk` keys are derived from it).
       */
-    matChunkWidth: String = "7 days") {
+    matChunkWidth: String = "auto") {
   private def interval(s: String) = org.apache.spark.sql.catalyst.util.IntervalUtils
     .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
 
@@ -64,12 +72,31 @@ case class CaggDef(
     val iv = interval(bucketWidth)
     iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds
   }
-  private[graft] val matChunkMicros: Long = {
-    val iv = interval(matChunkWidth)
-    require(iv.months == 0, "matChunkWidth must be a fixed day/time interval")
-    val m = iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds
-    require(widthMonths > 0 || m >= widthMicros, "matChunkWidth must be >= bucketWidth")
-    m
+  /** Effective mat-chunk width for a given source: explicit width, or the
+    * reference's 10× source-chunk-width default (month-width or non-
+    * hypertable sources fall back to 70 days = 10× the reference's 7-day
+    * default chunk).
+    */
+  private[graft] def matChunkMicrosFor(source: graft.sources.TimeSource): Long = {
+    if (matChunkWidth != "auto") {
+      val iv = interval(matChunkWidth)
+      require(iv.months == 0, "matChunkWidth must be a fixed day/time interval")
+      val m = iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds
+      require(widthMonths > 0 || m >= widthMicros, "matChunkWidth must be >= bucketWidth")
+      m
+    } else {
+      val base = source match {
+        case ht: graft.sources.Hypertable if ht.chunkMonths == 0 && ht.chunkWidthMicros > 0 =>
+          10L * ht.chunkWidthMicros
+        case _ => 70L * TimeBucketUtil.MICROS_PER_DAY
+      }
+      // a mat chunk must hold at least one whole bucket (month buckets can
+      // span up to 31 days × widthMonths)
+      val minSpan =
+        if (widthMonths > 0) widthMonths * 31L * TimeBucketUtil.MICROS_PER_DAY
+        else widthMicros
+      math.max(base, minSpan)
+    }
   }
 
   /** Bucket start at-or-before `us`. */
@@ -118,6 +145,7 @@ class ContinuousAggregate(
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def matPath = s"$path/mat"
   private def invPath = s"$path/_invalidations"
+  private val matChunkMicros: Long = defn.matChunkMicrosFor(source)
 
   private def bucketOf(time: Column): Column =
     gf.time_bucket(defn.bucketWidth, time)
@@ -179,7 +207,7 @@ class ContinuousAggregate(
   }
 
   private def matChunkOf(bucketMicros: Long): Long =
-    TimeBucketUtil.bucketMicros(bucketMicros, defn.matChunkMicros, TimeBucketUtil.SENTINEL)
+    TimeBucketUtil.bucketMicros(bucketMicros, matChunkMicros, TimeBucketUtil.SENTINEL)
 
   /** Materialize [start, end) (inscribed to whole buckets): recompute those
     * buckets from raw and rewrite exactly the mat-chunks they live in,
@@ -194,7 +222,7 @@ class ContinuousAggregate(
     val (s, e) = inscribe(startMicros, endMicros)
     if (s >= e) return (s, s)
     val chunkLo = matChunkOf(s)
-    val chunkHi = matChunkOf(e - 1) + defn.matChunkMicros
+    val chunkHi = matChunkOf(e - 1) + matChunkMicros
     val fresh = compute(s, e).withColumn(MATCHUNK, graftMatChunk(col(BUCKET)))
     // carry-over is only needed when the window PARTIALLY covers an edge
     // mat-chunk; a chunk-aligned window (the common full/policy refresh)
@@ -241,7 +269,10 @@ class ContinuousAggregate(
     * chunks the writer produced.
     */
   private def graftMatChunk(bucket: Column): Column =
-    unix_micros(gf.time_bucket(defn.matChunkWidth, timestamp_micros(bucket)))
+    unix_micros(gf.time_bucket(
+      org.apache.spark.sql.functions.lit(java.time.Duration.of(
+        matChunkMicros, java.time.temporal.ChronoUnit.MICROS)),
+      timestamp_micros(bucket)))
 
   /** Log an invalidated time range (mutating txn below the watermark). */
   def invalidate(loMicros: Long, hiMicros: Long): Unit = {

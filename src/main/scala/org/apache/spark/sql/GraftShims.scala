@@ -17,6 +17,10 @@ object GraftShims {
   def ofRows(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(classic.SparkSession.active, plan)
 
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Drain the listener bus so `observe()` metrics delivered through a
     * QueryExecutionListener are visible (the bus is `private[spark]`).
     */

@@ -254,6 +254,35 @@ class HypertableSpec extends AnyFunSuite {
     assert(desc.toSeq === desc.sorted(Ordering[Long].reverse).toSeq)
   }
 
+  test("batch sorted merge: ORDER BY time over orderedRead plans no sort, no exchange") {
+    val d = Files.createTempDirectory("graft_bsm").toString
+    val h = Hypertable.create(spark, s"$d/ht", "ts", chunkWidth = "7 days")
+    h.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    // the DeclareOrdered node exposes the scan's true ordering + range
+    // partitioning, so the global ORDER BY is satisfied without work —
+    // the reference's batch_queue_heap merge, expressed as planning
+    val sorted = h.orderedRead().orderBy("ts")
+    val plan = sorted.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"ORDER BY planned an exchange:\n$plan")
+    // per-chunk LOCAL sorts (global=false) are the operator; the global
+    // merge sort must be gone
+    val globalSorts = sorted.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, s"ORDER BY planned a global re-sort:\n$plan")
+    val ts = sorted.select(unix_micros(col("ts"))).rdd.map(_.getLong(0)).collect()
+    assert(ts.toSeq === ts.sorted.toSeq)
+    assert(sorted.count() === h.read().count())
+    // LIMIT over the declared order: no global sort either
+    val top = h.orderedRead(descending = true).orderBy(col("ts").desc).limit(5)
+    val topPlan = top.queryExecution.executedPlan.toString
+    assert(!topPlan.contains("Exchange"), s"top-k planned an exchange:\n$topPlan")
+    val expect = h.read().orderBy(col("ts").desc).limit(5)
+      .select(unix_micros(col("ts"))).rdd.map(_.getLong(0)).collect()
+    assert(top.select(unix_micros(col("ts"))).rdd.map(_.getLong(0)).collect().toSeq
+      === expect.toSeq)
+  }
+
   test("hypertable can be re-opened from metadata") {
     ht.showChunks() // force creation
     val re = Hypertable.at(spark, s"$dir/events_ht")
