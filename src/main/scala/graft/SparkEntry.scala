@@ -183,7 +183,10 @@ object SparkEntry {
       import graft.sources.Hypertable
       import graft.streaming.{CaggDef, ContinuousAggregate}
       val tmp = java.nio.file.Files.createTempDirectory("graft_cagg_m").toString
-      val ht = Hypertable.create(s, s"$tmp/ht", "o_orderdate", chunkWidth = "6 months")
+      // 12-month chunks: orders spans ~7 years, so chunk count (= dirs to
+      // commit and list) stays O(years) — chunk sizing follows data span,
+      // the month-width CHUNKING path is exercised all the same
+      val ht = Hypertable.create(s, s"$tmp/ht", "o_orderdate", chunkWidth = "12 months")
       // orders carries TIMESTAMP_NTZ; hypertable time arithmetic is on
       // TIMESTAMP (session TZ is UTC, so the instant is unchanged)
       ht.write(t(s, dir, "orders")
@@ -191,7 +194,7 @@ object SparkEntry {
       val defn = CaggDef("1 month", Seq("o_orderpriority"), Seq(
         count(lit(1)).as("n"),
         expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price")),
-        bucketCol = "month", matChunkWidth = "365 days")
+        bucketCol = "month", matChunkWidth = "3650 days")
       val cagg = ContinuousAggregate.create(s, s"$tmp/cagg", ht, defn)
       val (tmin, tmax) = timeRange(s, s"$tmp/ht", "o_orderdate")
       cagg.refresh(defn.bucketFloor(tmin),

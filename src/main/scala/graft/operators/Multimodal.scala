@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * typed metadata, plus the decode / feature-extract / frame-sample
   * plumbing a training-data pipeline needs.
   *
-  * The actual codec work is STUBBED (no image/audio libraries in this
-  * environment): payloads use a deterministic fake container (`GRFT`
-  * magic + type/width/height/frames header) and "decoding" derives a
-  * deterministic feature vector from the payload bytes. Everything
-  * Spark-side is real: binary schema, per-partition batched iteration
-  * (the Scala analogue of `mapInPandas` batch shape), partition-parallel
-  * execution, typed output schema.
+  * Uncompressed images decode FOR REAL: PPM (P6) and 24-bit BMP payloads
+  * go through [[ImageCodec]] — actual pixel decode, nearest-neighbor
+  * resize, and an 8-dim visual feature, all pure JVM byte arithmetic.
+  * Compressed codecs (JPEG/PNG/MP4) are STUBBED (no image/audio
+  * libraries in this environment): those payloads use a deterministic
+  * fake container (`GRFT` magic + type/width/height/frames header) and
+  * "decoding" derives a deterministic feature from the payload bytes.
+  * Everything Spark-side is real either way: binary schema, per-partition
+  * batched iteration (the Scala analogue of `mapInPandas` batch shape),
+  * partition-parallel execution, typed output schema.
   */
 object Multimodal {
 
@@ -75,38 +78,55 @@ object Multimodal {
     else if (n >= frames) 0 until frames
     else (0 until n).map(i => (i.toLong * frames / n).toInt)
 
+  /** Decode one payload: real pixels for PPM/BMP, fake-container header
+    * for everything else, None if neither parses.
+    */
+  def decodeOne(id: Long, media: Array[Byte]): Option[DecodedRow] =
+    ImageCodec.decodePpm(media) match {
+      case Some(img) => Some(DecodedRow(id, "ppm", img.width, img.height, 1,
+        img.rgb.length, ImageCodec.feature(img)))
+      case None => ImageCodec.decodeBmp(media) match {
+        case Some(img) => Some(DecodedRow(id, "bmp", img.width, img.height, 1,
+          img.rgb.length, ImageCodec.feature(img)))
+        case None => parseMeta(media).map { m =>
+          DecodedRow(id, m.format, m.width, m.height, m.frames,
+            media.length - 11, extractFeatureStub(media))
+        }
+      }
+    }
+
   /** Decode a binary media column per partition (batched iterator — the
-    * `mapInPandas` batch shape): id + header metadata + stub feature.
-    * Unparseable rows are dropped, counted per partition via logs.
+    * `mapInPandas` batch shape): id + metadata + feature (real pixels for
+    * PPM/BMP via [[ImageCodec]], stub for fake containers). Unparseable
+    * rows are dropped, not fatal.
     */
   def decode(spark: SparkSession, df: DataFrame, idCol: String,
       mediaCol: String): Dataset[DecodedRow] = {
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
       .as[MediaRow]
-      .mapPartitions { it =>
-        it.flatMap { r =>
-          parseMeta(r.media).map { m =>
-            DecodedRow(r.id, m.format, m.width, m.height, m.frames,
-              r.media.length - 11, extractFeatureStub(r.media))
-          }
-        }
-      }
+      .mapPartitions(_.flatMap(r => decodeOne(r.id, r.media)))
   }
 
-  /** STUB resize: real implementation would transcode the payload; here it
-    * rewrites the header dims (schema/flow is what's under test).
+  /** Resize one payload: REAL nearest-neighbor pixel resize for PPM/BMP
+    * (re-encoded in the same format); header-dim rewrite for fake
+    * containers (the compressed-codec stub); unknown bytes pass through.
     */
   def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
-    parseMeta(bytes) match {
-      case Some(m) =>
-        encodeFake(m.format, w, h, m.frames, bytes.drop(11))
-      case None => bytes
+    ImageCodec.decodePpm(bytes) match {
+      case Some(img) => ImageCodec.encodePpm(ImageCodec.resizeNearest(img, w, h))
+      case None => ImageCodec.decodeBmp(bytes) match {
+        case Some(img) => ImageCodec.encodeBmp(ImageCodec.resizeNearest(img, w, h))
+        case None => parseMeta(bytes) match {
+          case Some(m) => encodeFake(m.format, w, h, m.frames, bytes.drop(11))
+          case None    => bytes
+        }
+      }
     }
 
   /** Batch resize over a media column — same per-partition batched shape as
-    * [[decode]]; unparseable rows pass through untouched (the stub keeps
-    * them as-is, a real codec would route them to a quarantine sink).
+    * [[decode]]; unparseable rows pass through untouched (a real pipeline
+    * would route them to a quarantine sink).
     */
   def resize(spark: SparkSession, df: DataFrame, idCol: String,
       mediaCol: String, w: Int, h: Int): Dataset[MediaRow] = {

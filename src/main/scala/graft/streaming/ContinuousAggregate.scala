@@ -196,6 +196,32 @@ class ContinuousAggregate(
     out.write(us.toString.getBytes("UTF-8")); out.close()
   }
 
+  /** Invalidation threshold (`tsl/src/continuous_aggs/invalidation_
+    * threshold.c`): the point below which mutations must be LOGGED — a
+    * marker separate from the watermark. It advances at refresh START
+    * (before materialization), while the watermark advances at refresh
+    * COMPLETION: rows landing during an in-flight (or crashed) refresh,
+    * between watermark and threshold, are still logged and re-materialized
+    * by the next [[refreshInvalidated]] pass instead of silently relying
+    * on a materialization that may never have finished.
+    */
+  def invalidationThreshold: Long = {
+    val p = new Path(path, "_threshold")
+    if (!fs.exists(p)) watermark
+    else {
+      val in = fs.open(p)
+      val s = new java.io.BufferedReader(new java.io.InputStreamReader(in)).readLine()
+      in.close()
+      s.trim.toLong
+    }
+  }
+
+  private[graft] def setInvalidationThreshold(us: Long): Unit =
+    if (us > invalidationThreshold) {
+      val out = fs.create(new Path(path, "_threshold"), true)
+      out.write(us.toString.getBytes("UTF-8")); out.close()
+    }
+
   /** Inscribed-bucket alignment: first whole bucket at/after `start`,
     * last whole bucket ending at/before `end`.
     */
@@ -221,6 +247,9 @@ class ContinuousAggregate(
   def refresh(startMicros: Long, endMicros: Long): (Long, Long) = {
     val (s, e) = inscribe(startMicros, endMicros)
     if (s >= e) return (s, s)
+    // threshold first (invalidation_threshold.c ordering): from here on,
+    // ingest below `e` must log — even if this refresh never completes
+    setInvalidationThreshold(e)
     val chunkLo = matChunkOf(s)
     val chunkHi = matChunkOf(e - 1) + matChunkMicros
     val fresh = compute(s, e).withColumn(MATCHUNK, graftMatChunk(col(BUCKET)))
@@ -327,7 +356,9 @@ class ContinuousAggregate(
     val cached = df.cache()
     try {
       ht.write(cached)
-      val wm = watermark
+      // against the THRESHOLD, not the watermark: rows under an in-flight
+      // refresh window are dirty too (its compute may already have scanned)
+      val wm = invalidationThreshold
       val late = cached.where(unix_micros(col(source.timeCol)) < wm)
         .agg(min(unix_micros(col(source.timeCol))), max(unix_micros(col(source.timeCol))))
         .head()

@@ -43,6 +43,30 @@ class CaggSpec extends AnyFunSuite {
     assert(cagg.watermark === us("2024-02-01 00:00:00"))
   }
 
+  test("invalidation threshold is a separate marker ahead of the watermark") {
+    val (ht, cagg) = freshCagg()
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-01-10 00:00:00"))
+    // after a completed refresh both marks sit at the window end
+    assert(cagg.watermark === us("2024-01-10 00:00:00"))
+    assert(cagg.invalidationThreshold === us("2024-01-10 00:00:00"))
+    // simulate an in-flight/crashed refresh: threshold advanced (it moves
+    // at refresh START), watermark did not (it moves at completion)
+    cagg.setInvalidationThreshold(us("2024-01-15 00:00:00"))
+    assert(cagg.watermark === us("2024-01-10 00:00:00"))
+    // ingest a row ABOVE the watermark but BELOW the threshold: it must be
+    // logged (a materialization pass may already have scanned its bucket)
+    val row = Seq((900001L, Timestamp.valueOf("2024-01-12 05:30:00"), 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    cagg.ingest(row)
+    val pend = cagg.pendingInvalidations()
+    assert(pend.nonEmpty && pend.exists { case (lo, hi) =>
+      lo <= us("2024-01-12 05:30:00") && hi > us("2024-01-12 05:30:00") })
+    // the repair pass folds it in and the cagg matches the direct agg
+    cagg.refreshInvalidated()
+    cagg.refresh(us("2024-01-10 00:00:00"), us("2024-02-01 00:00:00"))
+    assert(cagg.materialized.collect().toSet === directAgg(ht).collect().toSet)
+  }
+
   test("refresh window is inscribed to whole buckets") {
     val (_, cagg) = freshCagg()
     val (s, e) = cagg.inscribe(us("2024-01-05 10:30:00"), us("2024-01-05 13:30:00"))
