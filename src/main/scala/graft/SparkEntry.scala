@@ -253,6 +253,27 @@ object SparkEntry {
         .orderBy("day_ny", "event_type")
     }),
 
+    // §2.8 timezone-aware gapfill (time_bucket_gapfill's tz form): daily
+    // NY-local buckets across the 2024-03-10 spring-forward — bucket
+    // instants are unevenly spaced (a 23-hour day), so the spine is
+    // generated in local-naive space and converted back (Gapfill.gapfillTz).
+    // value > 220 sparsifies the data so real gaps exist for locf.
+    "q48_gapfill_tz" -> ((s, dir) => {
+      val tz = "America/New_York"
+      val ls = java.sql.Timestamp.valueOf("2024-02-25 00:00:00").getTime * 1000L
+      val lf = java.sql.Timestamp.valueOf("2024-03-25 00:00:00").getTime * 1000L
+      val ev = t(s, dir, "events")
+        .withColumn("ts2", col("ts") + expr("INTERVAL 60 DAYS"))
+        .where(col("value") > 220)
+      val agg = ev
+        .groupBy(gf.time_bucket_tz("1 day", col("ts2"), tz).as("day_ny"), col("event_type"))
+        .agg(min(col("value")).as("min_value"))
+      Gapfill.gapfillTz(agg, "day_ny", Seq("event_type"), ls, lf, "1 day", tz)
+        .withColumn("locf_value", Gapfill.locf(col("min_value"), Seq("event_type"), "day_ny"))
+        .select("event_type", "day_ny", "locf_value")
+        .orderBy("event_type", "day_ny")
+    }),
+
     // Training-data ops: exact dedup groups over documents.
     "q10_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id").orderBy("key")
@@ -361,6 +382,18 @@ object SparkEntry {
           org.apache.spark.sql.GraftShims.toExpression(col("text")),
           probeShingles, 3)).as("jac"))
         .orderBy("doc_id")
+    }),
+
+    // MinHash+LSH near-duplicate DOCUMENT pairs, exact-verified: bands =
+    // numHashes (r=1) puts the miss probability at (1-j)^32 ≤ 2e-10 at the
+    // 0.5 threshold, so the exact quadratic DuckDB oracle must agree.
+    // Restricted to doc_id < 500 so the oracle's O(n²) side stays sane.
+    "q47_text_neardup" -> ((s, dir) => {
+      Dedup.nearDuplicatePairs(
+          t(s, dir, "documents").where(col("doc_id") < 500),
+          "doc_id", "text", threshold = 0.5, shingleN = 3, numHashes = 32,
+          bands = 32, maxBucketSize = Int.MaxValue)
+        .orderBy("doc_id_a", "doc_id_b")
     }),
 
     // §2.10 hierarchical cagg: daily cagg materialized FROM the hourly
@@ -797,6 +830,27 @@ object SparkEntry {
         | event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q48_gapfill_tz" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS TIMESTAMP) + INTERVAL 60 DAY AS ts2, event_type, value
+        |  FROM events WHERE value > 220),
+        |agg AS (
+        |  SELECT timezone('UTC', time_bucket(INTERVAL '1 day',
+        |           timezone('UTC', ts2), 'America/New_York')) AS day_ny,
+        |         event_type, MIN(value) AS min_value
+        |  FROM ev GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT g.event_type,
+        |         timezone('UTC', timezone('America/New_York', d.d)) AS day_ny
+        |  FROM (SELECT DISTINCT event_type FROM agg) g
+        |  CROSS JOIN (SELECT unnest(range(TIMESTAMP '2024-02-25 00:00:00',
+        |       TIMESTAMP '2024-03-25 00:00:00', INTERVAL '1 day')) AS d) d)
+        |SELECT s.event_type, s.day_ny,
+        | last_value(a.min_value IGNORE NULLS) OVER (PARTITION BY s.event_type
+        |   ORDER BY s.day_ny ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+        |FROM spine s LEFT JOIN agg a USING (event_type, day_ny)
+        |ORDER BY 1, 2""".stripMargin,
+
     "q10_dedup_exact" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS key,
         | MIN(doc_id) AS keep_id, COUNT(*) AS n
@@ -912,6 +966,21 @@ object SparkEntry {
         | CAST(length(list_intersect(g.sh, p.psh)) AS DOUBLE)
         |  / (length(g.sh) + length(p.psh) - length(list_intersect(g.sh, p.psh))) AS jac
         |FROM g, p ORDER BY g.doc_id""".stripMargin,
+
+    "q47_text_neardup" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |g AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(0, greatest(length(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i+1 : i+3], ' '))) AS sh
+        |  FROM s),
+        |p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        | CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |  / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) AS jaccard
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT * FROM p WHERE jaccard >= 0.5 ORDER BY 1, 2""".stripMargin,
 
     "q43_cagg_hierarchical" ->
       """SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS bucket, event_type,

@@ -114,11 +114,20 @@ object Dedup {
 
   /** Full MinHash+LSH near-dup pipeline: candidates verified with exact
     * n-gram Jaccard, keeping pairs >= threshold.
+    *
+    * Recall: a pair at jaccard j is missed with probability (1 − j^r)^b,
+    * r = numHashes/bands. `bands = numHashes` (r = 1) makes the miss
+    * probability (1 − j)^32 ≤ 2e-10 at j = 0.5 — effectively exact, while
+    * random pairs still collide only with probability ≈ their jaccard per
+    * band (minhash banding prunes where hyperplane banding cannot).
+    * `maxBucketSize` caps pathological buckets BEFORE the self-join; pass
+    * Int.MaxValue when exactness matters more than boilerplate blowups.
     */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
-    val cands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes, bands)
+      bands: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes,
+      bands, maxBucketSize)
     val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
     cands
       .join(sh.withColumnRenamed(idCol, s"${idCol}_a").withColumnRenamed("sh", "sh_a"), s"${idCol}_a")

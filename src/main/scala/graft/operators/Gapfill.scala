@@ -93,6 +93,30 @@ object Gapfill {
       .drop(P)
   }
 
+  /** Timezone-aware gapfill — `time_bucket_gapfill(width, ts, timezone)`
+    * (reference `gapfill_exec.c` tz handling; bucket arithmetic
+    * `src/time_bucket.c:335+`): buckets are fixed-width in LOCAL
+    * wall-clock, so their instants are unevenly spaced across DST
+    * transitions (a 23/25-hour day). The spine is therefore generated in
+    * local-naive space — where buckets ARE fixed width and [[spine]]'s
+    * sequence arithmetic is exact — and converted back to instants at the
+    * end. `agg`'s `bucketCol` must hold tz-bucketed INSTANTS (the output
+    * of [[graft.functions.time_bucket_tz]]); `localStart/FinishMicros`
+    * are LOCAL wall-clock micros. locf/interpolate compose unchanged:
+    * local order and instant order agree (the conversion is monotone).
+    */
+  def gapfillTz(agg: DataFrame, bucketCol: String, groupCols: Seq[String],
+      localStartMicros: Long, localFinishMicros: Long, width: String,
+      tz: String): DataFrame = {
+    val L = "_gf_local"
+    val localAgg = agg
+      .withColumn(L, from_utc_timestamp(col(bucketCol), tz))
+      .drop(bucketCol)
+    gapfill(localAgg, L, groupCols, localStartMicros, localFinishMicros, width)
+      .withColumn(bucketCol, to_utc_timestamp(col(L), tz))
+      .drop(L)
+  }
+
   /** Last observation carried forward (reference `locf.c`): gapfilled rows
     * take the latest value of a real row within the group (which may itself
     * be NULL — real NULLs are carried, not skipped, matching the

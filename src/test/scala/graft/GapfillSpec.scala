@@ -115,4 +115,34 @@ class GapfillSpec extends AnyFunSuite {
     assert(filled.count() === 12)
     assert(filled.where($"g" === "b" && $"v".isNotNull).count() === 1)
   }
+
+  test("gapfillTz spans a DST transition with one uneven-instant bucket per local day") {
+    import graft.{functions => gf}
+    val tz = "America/New_York"
+    // one observation either side of the 2024-03-10 spring-forward
+    val data = Seq(
+      ("a", Timestamp.valueOf("2024-03-08 17:00:00"), 1.0),  // NY 12:00 Mar 8
+      ("a", Timestamp.valueOf("2024-03-12 16:00:00"), 5.0))  // NY 12:00 Mar 12
+      .toDF("g", "ts", "v")
+    val agg = data.groupBy(gf.time_bucket_tz("1 day", $"ts", tz).as("day"), $"g")
+      .agg(min($"v").as("v"))
+    val ls = Timestamp.valueOf("2024-03-08 00:00:00").getTime * 1000L
+    val lf = Timestamp.valueOf("2024-03-13 00:00:00").getTime * 1000L
+    val filled = Gapfill.gapfillTz(agg, "day", Seq("g"), ls, lf, "1 day", tz)
+      .withColumn("locf", Gapfill.locf($"v", Seq("g"), "day"))
+      .orderBy("day")
+    val rows = filled.select(unix_micros($"day"), $"locf").collect()
+    assert(rows.length === 5) // Mar 8..12 local days, exactly once each
+    // instants: Mar 8-10 midnights are EST (05:00 UTC — the transition is
+    // at 02:00 local on Mar 10), Mar 11/12 are EDT (04:00 UTC): Mar 10 is
+    // the 23-hour local day
+    val us = rows.map(_.getLong(0))
+    val day = 86400000000L
+    assert(us(1) - us(0) === day)           // Mar 8 → Mar 9: 24 h
+    assert(us(2) - us(1) === day)           // Mar 9 → Mar 10: 24 h
+    assert(us(3) - us(2) === day - 3600000000L) // Mar 10 → Mar 11: 23 h
+    assert(us(4) - us(3) === day)           // Mar 11 → Mar 12: 24 h
+    // locf carries across the transition
+    assert(rows.map(_.getDouble(1)).toSeq === Seq(1.0, 1.0, 1.0, 1.0, 5.0))
+  }
 }
