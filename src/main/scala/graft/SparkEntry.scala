@@ -177,6 +177,26 @@ object SparkEntry {
       cagg.materialized.orderBy("bucket", "event_type")
     }),
 
+    // §2.10 real-time union view (create.c:583-592): materialize only the
+    // FIRST HALF of the window, then read `realtime` — materialized rows
+    // below the watermark UNION live aggregation at/above it. The oracle is
+    // the full direct aggregation: the seam must be invisible.
+    "q49_realtime_view" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      import graft.streaming.{CaggDef, ContinuousAggregate}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cagg_rt").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
+      ht.write(t(s, dir, "events"))
+      val defn = CaggDef("1 hour", Seq("event_type"), Seq(
+        count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value")))
+      val cagg = ContinuousAggregate.create(s, s"$tmp/cagg", ht, defn)
+      val (tmin, tmax) = timeRange(s, s"$tmp/ht", "ts")
+      val mid = defn.bucketFloor((tmin + tmax) / 2)
+      cagg.refresh(defn.bucketFloor(tmin), mid) // half materialized
+      cagg.realtime.orderBy("bucket", "event_type")
+    }),
+
     // §2.10 monthly (calendar-width) cagg over orders: variable-width
     // buckets in the hypertable chunking AND the cagg definition.
     "q38_cagg_monthly" -> ((s, dir) => {
@@ -798,6 +818,12 @@ object SparkEntry {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
         | MIN(value) AS min_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q49_realtime_view" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q38_cagg_monthly" ->

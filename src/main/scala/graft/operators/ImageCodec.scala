@@ -60,6 +60,8 @@ object ImageCodec {
     val maxval = readInt(); if (maxval != 255) return None
     // exactly ONE whitespace byte after maxval, then raw data
     if (i >= bytes.length) return None
+    val sep = bytes(i)
+    if (sep != ' ' && sep != '\t' && sep != '\n' && sep != '\r') return None
     i += 1
     val need = 3L * w * h
     if (bytes.length - i < need) return None

@@ -264,7 +264,10 @@ class ContinuousAggregate(
         .select(fresh.columns.map(col): _*)
       keep.unionByName(fresh)
     } else fresh
-    val tmp = matPath.stripSuffix("/") + "__refresh_tmp"
+    // window-keyed tmp name: concurrent refreshes of DIFFERENT windows
+    // cannot collide, and a re-run of the SAME window reuses (overwrites)
+    // its own leftover dir instead of orphaning it
+    val tmp = matPath.stripSuffix("/") + s"__refresh_tmp_${s}_$e"
     combined.repartition(col(MATCHUNK))
       .write.mode(SaveMode.Overwrite).partitionBy(MATCHUNK).parquet(tmp)
     val tmpDirs = fs.listStatus(new Path(tmp)).toSeq
