@@ -386,6 +386,14 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Corpus bigram statistics: total count + document frequency per word
+    // bigram — exact-integer TF-IDF/LM building blocks (ln is not
+    // IEEE-exact across engines; counts are), one explode + one agg.
+    "q50_ngram_stats" -> ((s, dir) => {
+      TextAnalysis.ngramStats(t(s, dir, "documents"), "doc_id", "text", 2, 5L)
+        .orderBy("gram")
+    }),
+
     // n-gram Jaccard similarity of every document against doc 0 (the
     // shingle/jaccard kernel of the near-dup verify stage, oracle-checked).
     // Single-pass expression: the probe shingle set is built once, each doc
@@ -978,6 +986,16 @@ object SparkEntry {
         | CAST(1 AS INT) AS frames,
         | CAST(octet_length(encode(text)) AS INT) AS payload_bytes
         |FROM documents ORDER BY id""".stripMargin,
+
+    "q50_ngram_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, greatest(length(toks) - 2, 0) + 1),
+        |    i -> array_to_string(toks[i+1 : i+2], ' '))) AS gram
+        |  FROM s)
+        |SELECT gram, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM g GROUP BY gram HAVING COUNT(*) >= 5 ORDER BY gram""".stripMargin,
 
     "q42_ngram_jaccard" ->
       """WITH s AS (

@@ -10,6 +10,26 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Corpus n-gram statistics: total occurrences and document frequency
+    * per word n-gram — the exact-integer building blocks of TF-IDF / LM
+    * corpus stats (the float weighting is left to the consumer: `ln` is
+    * not IEEE-exact across engines, counts are). Shingle formulation
+    * matches [[graft.operators.Dedup.shingles]] minus the distinct (counts
+    * need multiplicity). Scale: explode → one partial/final aggregation on
+    * the gram; `minCount` prunes the long tail BEFORE any sort.
+    */
+  def ngramStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int, minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    df.select(col(idCol), explode(grams).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_total"), count_distinct(col(idCol)).as("n_docs"))
+      .where(col("n_total") >= minCount)
+  }
+
   /** Whitespace token count of the trimmed text. */
   def token_count(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), "\\s+")))
