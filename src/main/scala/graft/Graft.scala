@@ -14,11 +14,18 @@ object Graft {
     */
   def init(spark: SparkSession): SparkSession = {
     val reg = spark.sessionState.functionRegistry
-    GraftExtensions.functionBuilders.foreach { case (name, builder) =>
-      // skip already-registered names (extensions path) — re-registering
-      // spams "replaced a previously registered function" per query
-      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+    // one registration pass per session, tracked by a sentinel: a per-name
+    // exists-check would wrongly skip intentional BUILTIN overrides
+    // (first/last gain the reference's 2-arg bookend forms), and
+    // re-registering every init call spams "replaced a previously
+    // registered function" per query
+    val marker = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_registered")
+    if (!reg.functionExists(marker)) {
+      GraftExtensions.functionBuilders.foreach { case (name, builder) =>
         reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      }
+      reg.createOrReplaceTempFunction(marker.funcName,
+        _ => org.apache.spark.sql.catalyst.expressions.Literal(true), "scala_udf")
     }
     for (rule <- Seq(graft.plans.GapfillRewrite, graft.plans.SortTransform,
         graft.plans.CaggRewrite, graft.plans.ChunkExclusion))

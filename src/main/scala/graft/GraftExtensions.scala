@@ -98,5 +98,87 @@ object GraftExtensions {
       case Seq(e, p, t) => Locf(e, Some(p),
         t.eval().asInstanceOf[Boolean])
     },
-    "interpolate" -> { case Seq(e) => Interpolate(e) })
+    "interpolate" -> { case Seq(e) => Interpolate(e) },
+
+    // bookends (`src/agg_bookend.c:29-33`): first(value, time) /
+    // last(value, time) are the reference's aggregates. Shadowing the
+    // builtin names must stay transparent for BUILTIN call shapes — and in
+    // Spark 4 even the Column API (`functions.last(e, ignoreNulls)`)
+    // resolves "last" by NAME through this registry — so the dispatch is
+    // on the second argument: a boolean LITERAL is the builtin's
+    // ignoreNulls flag, anything else is the reference's time column
+    // (ordering by a boolean literal is meaningless, so the shapes are
+    // disjoint in practice).
+    "first" -> {
+      case Seq(v) => org.apache.spark.sql.catalyst.expressions.aggregate
+        .First(v, ignoreNulls = false).toAggregateExpression()
+      case Seq(v, b) if isBoolLit(b) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .First(v, b.eval(null).asInstanceOf[Boolean]).toAggregateExpression()
+      case Seq(v, t) => org.apache.spark.sql.catalyst.expressions.aggregate
+        .MinBy(v, t).toAggregateExpression()
+    },
+    "last" -> {
+      case Seq(v) => org.apache.spark.sql.catalyst.expressions.aggregate
+        .Last(v, ignoreNulls = false).toAggregateExpression()
+      case Seq(v, b) if isBoolLit(b) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .Last(v, b.eval(null).asInstanceOf[Boolean]).toAggregateExpression()
+      case Seq(v, t) => org.apache.spark.sql.catalyst.expressions.aggregate
+        .MaxBy(v, t).toAggregateExpression()
+    },
+
+    // histogram (`sql/histogram.sql:5-28`): nbuckets+2 array with
+    // under/overflow ends; bucket rule floor((v-min)/w)+1 (histogram.c:49+)
+    "histogram_bucket" -> {
+      case Seq(v, mn, mx, nb) => histogramBucketExpr(v, mn, mx, nb)
+    },
+    "histogram" -> {
+      case Seq(v, mn, mx, nb) =>
+        import org.apache.spark.sql.catalyst.expressions._
+        val n = litInt(nb, "nbuckets")
+        val idx = histogramBucketExpr(v, mn, mx, nb)
+        CreateArray((0 to n + 1).map(i =>
+          aggregate.Sum(If(EqualTo(idx, Literal(i)), Literal(1L), Literal(0L)))
+            .toAggregateExpression()))
+    },
+
+    // single-pass text analysis (library defaults for markers/stopwords)
+    "lang_id" -> { case Seq(e) =>
+      LangId(e, graft.operators.TextAnalysis.LANG_MARKERS) },
+    "quality_score" -> { case Seq(e) =>
+      QualityScore(e, graft.operators.TextAnalysis.STOPWORDS_EN) })
+
+  private def isBoolLit(e: Expression): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(_,
+      org.apache.spark.sql.types.BooleanType) => true
+    case _ => false
+  }
+
+  private def litDouble(e: Expression, what: String): Double = e match {
+    // SQL numeric literals arrive as Int/Long/Double/Decimal Literals
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null => v match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number                             => n.doubleValue()
+      case _ => throw new IllegalArgumentException(s"histogram: $what must be numeric")
+    }
+    case _ => throw new IllegalArgumentException(s"histogram: $what must be a literal")
+  }
+
+  private def litInt(e: Expression, what: String): Int = litDouble(e, what).toInt
+
+  private def histogramBucketExpr(v: Expression, mn: Expression, mx: Expression,
+      nb: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    val min = litDouble(mn, "min")
+    val max = litDouble(mx, "max")
+    val n = litInt(nb, "nbuckets")
+    val w = (max - min) / n
+    val vd = Cast(v, DoubleType)
+    If(LessThan(vd, Literal(min)), Literal(0),
+      If(GreaterThanOrEqual(vd, Literal(max)), Literal(n + 1),
+        Add(Cast(Floor(Divide(Subtract(vd, Literal(min)), Literal(w))),
+          IntegerType), Literal(1))))
+  }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{functions => gf}
+
+/** SQL registration of the reference's function surface: a user migrating
+  * from the reference writes `first(value, ts)`, `histogram(...)`,
+  * `lang_id(...)` in SQL and gets the same results as the Column API.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark = Graft.session("sql-surface-spec", "local[4]", 4)
+  import spark.implicits._
+
+  private lazy val df = {
+    val d = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 00:00:01"), 5.0),
+      ("a", Timestamp.valueOf("2024-01-01 00:00:02"), 1.0),
+      ("a", Timestamp.valueOf("2024-01-01 00:00:03"), 9.0),
+      ("b", Timestamp.valueOf("2024-01-01 00:00:01"), 7.0))
+      .toDF("g", "ts", "v")
+    d.createOrReplaceTempView("bookend_t")
+    d
+  }
+
+  test("first/last: 2-arg reference bookends, 1-arg Spark builtins") {
+    df // force view
+    val sql = spark.sql(
+      """SELECT g, first(v, ts) AS f, last(v, ts) AS l FROM bookend_t
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(sql.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+      === Seq(("a", 5.0, 9.0), ("b", 7.0, 7.0)))
+    // column-API agreement
+    val colApi = df.groupBy("g")
+      .agg(gf.first($"v", $"ts").as("f"), gf.last($"v", $"ts").as("l"))
+      .orderBy("g").collect()
+    assert(sql.map(_.toSeq).toSeq === colApi.map(_.toSeq).toSeq)
+    // 1-arg form keeps builtin semantics (first non-null in group order)
+    val one = spark.sql(
+      "SELECT first(v) FROM (SELECT v FROM bookend_t WHERE g = 'b')").head()
+    assert(one.getDouble(0) === 7.0)
+  }
+
+  test("histogram SQL matches the Column aggregate") {
+    df
+    val sql = spark.sql(
+      """SELECT g, histogram(v, 0.0, 10.0, 5) AS h FROM bookend_t
+        |GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1)))
+    val colApi = df.groupBy("g").agg(gf.histogram($"v", 0.0, 10.0, 5).as("h"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getSeq[Long](1)))
+    assert(sql.toSeq === colApi.toSeq)
+    // bucket rule: 0 = underflow, nbuckets+1 = overflow
+    val b = spark.sql(
+      "SELECT histogram_bucket(-1.0, 0.0, 10.0, 5), histogram_bucket(99.0, 0.0, 10.0, 5), histogram_bucket(4.0, 0.0, 10.0, 5)").head()
+    assert((b.getInt(0), b.getInt(1), b.getInt(2)) === ((0, 6, 3)))
+  }
+
+  test("lang_id and quality_score are SQL-callable and match the Column API") {
+    val t = Seq("the cat and the dog is here", "xyzzy qwerty").toDF("text")
+    t.createOrReplaceTempView("lang_t")
+    val sql = spark.sql(
+      "SELECT lang_id(text) AS l, quality_score(text) AS q FROM lang_t ORDER BY l").collect()
+    val colApi = t.select(
+        graft.operators.TextAnalysis.lang_id($"text").as("l"),
+        graft.operators.TextAnalysis.quality_score($"text").as("q"))
+      .orderBy("l").collect()
+    assert(sql.map(_.toSeq).toSeq === colApi.map(_.toSeq).toSeq)
+  }
+}
