@@ -21,9 +21,9 @@ object TextAnalysis {
   def ngramStats(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int, minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    val grams = org.apache.spark.sql.GraftShims.toColumn(
+      graft.expressions.WordNGrams(
+        org.apache.spark.sql.GraftShims.toExpression(toks), n))
     df.select(col(idCol), explode(grams).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).as("n_total"), count_distinct(col(idCol)).as("n_docs"))

@@ -176,6 +176,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(langs.map(_.getString(0)).toSeq === Seq("und", "und", "en", "und", "en", "en"))
   }
 
+  test("WordNGrams equals the higher-order-function formulation") {
+    val edge = Seq("a b c d", "one", "", "  ", "x y", "t t t t t t").toDF("text")
+    for (df <- Seq(docs.select($"text"), edge); n <- Seq(2, 3)) {
+      val toks = split(trim($"text"), "\\s+")
+      val fast = org.apache.spark.sql.GraftShims.toColumn(
+        graft.expressions.WordNGrams(
+          org.apache.spark.sql.GraftShims.toExpression(toks), n))
+      val ref = transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))
+      val bad = df.select(fast.as("f"), ref.as("r"))
+        .where(not($"f" <=> $"r")).count()
+      assert(bad === 0, s"WordNGrams($n) diverged on $bad rows")
+    }
+  }
+
   test("single-pass quality score equals the column formula bit-for-bit") {
     val edge = Seq("", "   ", "\tleading tab", "trailing\t", "the the the!",
       "a_b c-d e.f", "ALL CAPS AND the Of To", "x").toDF("text")
