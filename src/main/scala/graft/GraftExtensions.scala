@@ -147,7 +147,14 @@ object GraftExtensions {
     "lang_id" -> { case Seq(e) =>
       LangId(e, graft.operators.TextAnalysis.LANG_MARKERS) },
     "quality_score" -> { case Seq(e) =>
-      QualityScore(e, graft.operators.TextAnalysis.STOPWORDS_EN) })
+      QualityScore(e, graft.operators.TextAnalysis.STOPWORDS_EN) },
+    "normalize_text" -> { case Seq(e) => NormalizeText(e) },
+    "word_ngrams" -> {
+      case Seq(toks, n) => WordNGrams(toks, n match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
+        case _ => throw new IllegalArgumentException("word_ngrams: n must be a literal int")
+      })
+    })
 
   private def isBoolLit(e: Expression): Boolean = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(_,

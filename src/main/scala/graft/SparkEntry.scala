@@ -679,6 +679,91 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // §2.1 closed (space) dimension — `by_hash` (`src/dimension.h:62-69`,
+    // `sql/ddl_api.sql:168-177`): events hypertable hash-partitioned on
+    // user_id inside each time chunk; a plain read().where(user_id = X AND
+    // ts range) prunes BOTH dimensions via ChunkExclusion (time → `_chunk`
+    // IN, murmur bucket of X → `_space` IN) — a point lookup reads 1/N of
+    // the matching time chunks.
+    "q51_space_dim" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      Graft.init(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_space_q").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days",
+        spaceCol = Some("user_id"), spacePartitions = 8)
+      ht.write(t(s, dir, "events"))
+      ht.read()
+        .where(col("user_id") === 42L &&
+          col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-29 00:00:00")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Training-data ops: duplicate-CLUSTER assignment — near-dup pairs
+    // (exact-recall minhash banding, as q47) → alternating large-star/
+    // small-star connected components → every doc labeled with the min id
+    // of its duplicate cluster. Oracle = transitive closure in SQL.
+    "q52_dedup_clusters" -> ((s, dir) => {
+      graft.operators.Clustering.clusterAssignments(
+          t(s, dir, "documents").where(col("doc_id") < 500),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // Training-data ops: benchmark-contamination check (decontamination) —
+    // per document, the share of its distinct 3-gram shingles that appear
+    // anywhere in the "benchmark" subset (doc_id % 10 = 0 here).
+    "q53_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.contamination(docs, "doc_id", "text",
+          docs.where(col("doc_id") % 10 === 0), "text", 3)
+        .orderBy("doc_id")
+    }),
+
+    // Training-data ops: deterministic stratified sampling — exactly 20
+    // events per event_type, chosen by md5(id) order (reproducible on any
+    // engine/layout; the mixture of a training run must be auditable).
+    "q54_sample_stratified" -> ((s, dir) => {
+      graft.operators.Sampling.stratified(
+          t(s, dir, "events").select("event_id", "event_type", "user_id", "value"),
+          Seq("event_type"), "event_id", 20)
+        .orderBy("event_type", "event_id")
+    }),
+
+    // Training-data ops: canonical text normalization (NFC + whitespace
+    // collapse/trim + simple lowercase) — the key-building step ahead of
+    // exact dedup/fingerprinting, as one single-pass expression.
+    "q55_normalize" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.normalize_text(col("text")).as("norm"))
+        .orderBy("doc_id")
+    }),
+
+    // Training-data ops: within-document repetition (Gopher-style filter
+    // signal): total vs distinct word bigrams and the duplicate fraction.
+    "q56_repetition" -> ((s, dir) => {
+      val st = TextAnalysis.repetition_stats(col("text"), 2)
+      t(s, dir, "documents").select(col("doc_id"),
+          st.getField("n_grams").as("n_grams"),
+          st.getField("n_distinct").as("n_distinct"),
+          st.getField("dup_fraction").as("dup_fraction"))
+        .orderBy("doc_id")
+    }),
+
+    // ANN, IVF variant: k-means inverted lists + centroid-ordered probes +
+    // exact rerank. Probing ALL lists makes the result exactly the
+    // brute-force top-k (the correctness gate), while exercising the
+    // whole IVF path: centroid build, assignment, probe pruning, rerank.
+    "q57_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10, nlist = 8, nprobe = 8)
+    }),
+
     // §2.1 ColumnarIndexScan: min/max answered from footer statistics only.
     "q29_stats_minmax" -> ((s, dir) => {
       import s.implicits._
@@ -1192,6 +1277,94 @@ object SparkEntry {
         |   ORDER BY s.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_min
         |FROM spine s LEFT JOIN agg a USING (event_type, bucket)
         |ORDER BY 1, 2""".stripMargin,
+
+    "q51_space_dim" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id = 42
+        |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-29 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q52_dedup_clusters" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |g AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(0, greatest(length(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i+1 : i+3], ' '))) AS sh
+        |  FROM s),
+        |p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5),
+        |e AS (
+        |  SELECT da AS a, db AS b FROM p
+        |  UNION SELECT db, da FROM p
+        |  UNION SELECT doc_id, doc_id FROM s),
+        |reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+        |SELECT a AS doc_id, MIN(b) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "q53_contamination" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(0, greatest(length(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i+1 : i+3], ' '))) AS sh
+        |  FROM s),
+        |b AS (SELECT DISTINCT unnest(sh) AS gram FROM g WHERE doc_id % 10 = 0),
+        |u AS (SELECT doc_id, CAST(length(sh) AS BIGINT) AS n_shingles,
+        |        unnest(sh) AS gram FROM g)
+        |SELECT u.doc_id, u.n_shingles, COUNT(b.gram) AS n_shared,
+        | CAST(COUNT(b.gram) AS DOUBLE) / greatest(u.n_shingles, 1) AS contaminated_frac
+        |FROM u LEFT JOIN b USING (gram)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q54_sample_stratified" ->
+      """WITH r AS (
+        |  SELECT event_id, event_type, user_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events)
+        |SELECT event_id, event_type, user_id, value FROM r
+        |WHERE rn <= 20 ORDER BY event_type, event_id""".stripMargin,
+
+    "q55_normalize" ->
+      """SELECT doc_id,
+        | lower(nfc_normalize(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q56_repetition" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(range(0, greatest(length(toks) - 2, 0) + 1),
+        |    i -> array_to_string(toks[i+1 : i+2], ' ')) AS grams
+        |  FROM s)
+        |SELECT doc_id,
+        | CAST(length(grams) AS BIGINT) AS n_grams,
+        | CAST(length(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        | CASE WHEN length(grams) = 0 THEN 0.0
+        |      ELSE 1.0 - CAST(length(list_distinct(grams)) AS DOUBLE) / length(grams)
+        | END AS dup_fraction
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q57_ivf_ann" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT e.vec_id,
+        | list_reduce(list_transform(list_zip(e.v, q.v), x -> x[1]*x[2]), (a,b) -> a+b)
+        |  / (sqrt(list_reduce(list_transform(e.v, x -> x*x), (a,b) -> a+b))
+        |     * sqrt(list_reduce(list_transform(q.v, x -> x*x), (a,b) -> a+b))) AS sim
+        |FROM e, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q32_stats_spread" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -93,6 +93,63 @@ object TextAnalysis {
     org.apache.spark.sql.GraftShims.toColumn(graft.expressions.LangId(
       org.apache.spark.sql.GraftShims.toExpression(text), LANG_MARKERS))
 
+  /** Canonical normalization (NFC + whitespace collapse/trim + simple
+    * lowercase) in one pass — see [[graft.expressions.NormalizeText]].
+    */
+  def normalize_text(text: Column): Column =
+    org.apache.spark.sql.GraftShims.toColumn(graft.expressions.NormalizeText(
+      org.apache.spark.sql.GraftShims.toExpression(text)))
+
+  /** All word n-grams of the text, WITH multiplicity (single-pass
+    * expression — [[graft.expressions.WordNGrams]]).
+    */
+  def word_ngrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftShims.toColumn(graft.expressions.WordNGrams(
+      org.apache.spark.sql.GraftShims.toExpression(split(trim(text), "\\s+")), n))
+
+  /** Within-document repetition metrics (the Gopher-style repetition
+    * filters): total vs distinct word n-grams and the duplicate fraction
+    * `1 − distinct/total` — high values flag boilerplate/spam documents
+    * that near-dup CROSS-document passes don't see. Pure column
+    * expressions over one shingle array; at corpus scale this is a single
+    * narrow scan, no shuffle at all.
+    */
+  def repetition_stats(text: Column, n: Int): Column = {
+    val grams = word_ngrams(text, n)
+    val total = size(grams)
+    val distinctN = size(array_distinct(grams))
+    struct(
+      total.cast("long").as("n_grams"),
+      distinctN.cast("long").as("n_distinct"),
+      when(total === 0, lit(0.0))
+        .otherwise(lit(1.0) - distinctN.cast("double") / total.cast("double"))
+        .as("dup_fraction"))
+  }
+
+  /** Benchmark-contamination check (training-set decontamination): for
+    * each document, how many of its distinct word n-grams appear in ANY
+    * benchmark document, and the contaminated fraction. One explode + one
+    * hash join on the gram + one aggregation; the benchmark shingle set is
+    * broadcast (eval benchmarks are ~10⁶ grams — fits every executor),
+    * so the corpus side never shuffles its full shingle explosion.
+    */
+  def contamination(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, benchmark: org.apache.spark.sql.DataFrame,
+      benchTextCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val bset = benchmark
+      .select(explode(array_distinct(word_ngrams(col(benchTextCol), n))).as("gram"))
+      .distinct()
+      .withColumn("_hit", lit(1))
+    df.select(col(idCol), array_distinct(word_ngrams(col(textCol), n)).as("_sh"))
+      .select(col(idCol), size(col("_sh")).cast("long").as("n_shingles"),
+        explode_outer(col("_sh")).as("gram"))
+      .join(broadcast(bset), Seq("gram"), "left")
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(count(col("_hit")).as("n_shared"))
+      .withColumn("contaminated_frac",
+        col("n_shared").cast("double") / greatest(col("n_shingles"), lit(1)).cast("double"))
+  }
+
   /** Whitespace-normalized lowercase md5 fingerprint — engine-portable
     * exact-dup key.
     */

@@ -111,7 +111,9 @@ class Hypertable private (
     * turns plain `where(ts ...)` predicates into partition pruning.
     */
   def read(): DataFrame = {
-    Hypertable.registerForExclusion(qualifiedPath, timeCol, () => showChunks())
+    Hypertable.registerForExclusion(Hypertable.ExclusionInfo(
+      qualifiedPath, timeCol, () => showChunks(),
+      spaceCol.map(c => (c, spacePartitions))))
     spark.read.parquet(path)
   }
 
@@ -355,18 +357,21 @@ object Hypertable {
   private val META = "_graft_hypertable.json"
   private val RANGE = "_graft_range"
 
-  /** qualified root path → (timeCol, chunk-catalog lister) for
-    * [[graft.plans.ChunkExclusion]]. Catalog is listed fresh per query
-    * (plan-time exclusion must see current merges/splits/drops).
+  /** What [[graft.plans.ChunkExclusion]] needs to prune a hypertable scan:
+    * the open-dimension column + chunk-catalog lister (listed fresh per
+    * query — plan-time exclusion must see current merges/splits/drops) and
+    * the optional closed dimension (column name, partition count).
     */
+  case class ExclusionInfo(qualifiedPath: String, timeCol: String,
+      chunks: () => Seq[ChunkInfo], space: Option[(String, Int)])
+
   private val exclusionRegistry =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, () => Seq[ChunkInfo])]()
+    new java.util.concurrent.ConcurrentHashMap[String, ExclusionInfo]()
 
-  private[graft] def registerForExclusion(qualifiedPath: String, timeCol: String,
-      lister: () => Seq[ChunkInfo]): Unit =
-    exclusionRegistry.put(qualifiedPath, (timeCol, lister))
+  private[graft] def registerForExclusion(info: ExclusionInfo): Unit =
+    exclusionRegistry.put(info.qualifiedPath, info)
 
-  def lookupExclusion(qualifiedPath: String): Option[(String, () => Seq[ChunkInfo])] =
+  def lookupExclusion(qualifiedPath: String): Option[ExclusionInfo] =
     Option(exclusionRegistry.get(qualifiedPath))
 
   /** Read a chunk's recorded non-default range end, if any. */

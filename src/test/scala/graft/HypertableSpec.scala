@@ -95,6 +95,40 @@ class HypertableSpec extends AnyFunSuite {
     assert(scan2.selectedPartitions.partitionCount === 12)
   }
 
+  test("space-dimension exclusion prunes hash buckets from equality predicates") {
+    // user_id = 7 pins one murmur bucket: 2 chunks × 1 of 4 space dirs
+    val df = ht.read().where(
+      col("user_id") === 7L &&
+      col("ts") >= lit(Timestamp.valueOf("2024-01-10 00:00:00")) &&
+      col("ts") < lit(Timestamp.valueOf("2024-01-12 00:00:00")))
+    val plan = df.queryExecution.executedPlan
+    val scan = plan.collectFirst { case f: FileSourceScanExec => f }.orElse(plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
+      case _ => None
+    }).get
+    val parts = scan.selectedPartitions.partitionCount
+    assert(parts === 2, s"expected 2 pruned partitions (2 chunks × 1 bucket), got $parts")
+    val expected = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .where(col("user_id") === 7L &&
+        col("ts") >= lit("2024-01-10") && col("ts") < lit("2024-01-12")).count()
+    assert(df.count() === expected)
+    // IN-lists prune the union of buckets; space-only predicates prune too
+    val df2 = ht.read().where(col("user_id").isin(7L, 8L, 9L))
+    val plan2 = df2.queryExecution.executedPlan
+    val scan2 = plan2.collectFirst { case f: FileSourceScanExec => f }.orElse(plan2 match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
+      case _ => None
+    }).get
+    val buckets = Seq(7L, 8L, 9L).map(v =>
+      spark.range(1).select(pmod(hash(lit(v)), lit(4))).head().getInt(0)).distinct
+    assert(scan2.selectedPartitions.partitionCount === 30 * buckets.size)
+    val exp2 = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .where(col("user_id").isin(7L, 8L, 9L)).count()
+    assert(df2.count() === exp2)
+  }
+
   test("chunk exclusion casts _chunk literals to the inferred partition type") {
     // small integral chunk keys infer `_chunk` as IntegerType; the injected
     // IN-list literals must be Int too (a LongType literal in the analyzed

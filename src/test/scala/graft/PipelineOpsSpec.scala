@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Clustering, Sampling, TextAnalysis}
+
+/** Round-3 training-pipeline operators: connected-components dedup
+  * clustering, deterministic sampling, normalization, repetition,
+  * contamination.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = Graft.session("pipeline-ops-spec", "local[4]", 4)
+  import spark.implicits._
+
+  private lazy val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+
+  test("connected components labels chains, triangles, and isolated pairs") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L)).toDF("a", "b")
+    val cc = Clustering.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components handles a long chain (log rounds, not diameter)") {
+    // a 200-node path: label propagation would need 200 rounds; star
+    // contraction must finish within the default 30
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Clustering.connectedComponents(edges, "a", "b")
+    assert(cc.where($"component" =!= 0L).count() === 0)
+    assert(cc.count() === 200)
+  }
+
+  test("cluster assignment groups exact+near duplicates, singletons keep own id") {
+    val d0 = docs.where($"doc_id" === 0).select($"text").as[String].head()
+    val perturbed = d0.split(" ").zipWithIndex
+      .map { case (w, i) => if (i == 3) "zzz" else w }.mkString(" ")
+    val extra = Seq(
+      (90001L, d0, "en", "x", d0.length.toLong),        // exact dup of 0
+      (90002L, perturbed, "en", "x", perturbed.length.toLong)) // near dup of 0
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val assigned = Clustering.clusterAssignments(
+      docs.unionByName(extra), "doc_id", "text", threshold = 0.5)
+    val c = assigned.as[(Long, Long)].collect().toMap
+    assert(c(90001L) === c(0L) && c(90002L) === c(0L))
+    assert(assigned.count() === docs.count() + 2)
+    // cluster id is the minimum member id
+    assert(c(0L) <= 0L || c(0L) === c.filter(_._2 == c(0L)).keys.min)
+  }
+
+  test("stratified sampling is deterministic and exactly n per stratum") {
+    val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "event_type", "value")
+    val s1 = Sampling.stratified(ev, Seq("event_type"), "event_id", 5)
+    val s2 = Sampling.stratified(ev, Seq("event_type"), "event_id", 5)
+    assert(s1.groupBy("event_type").count().where($"count" =!= 5).count() === 0)
+    assert(s1.exceptAll(s2).count() === 0 && s2.exceptAll(s1).count() === 0)
+    // a different salt draws a different sample
+    val s3 = Sampling.stratified(ev, Seq("event_type"), "event_id", 5, salt = "x")
+    assert(s3.exceptAll(s1).count() > 0)
+  }
+
+  test("bernoulli sampling is deterministic with roughly the right rate") {
+    val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val n = ev.count().toDouble
+    val kept = Sampling.bernoulli(ev, "event_id", 0.25).count().toDouble
+    assert(math.abs(kept / n - 0.25) < 0.05)
+    assert(Sampling.bernoulli(ev, "event_id", 0.25).count().toDouble === kept)
+  }
+
+  test("quotas keeps per-stratum target counts and drops unlisted strata") {
+    val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val q = Sampling.quotas(ev, "event_type", "event_id",
+      Map("click" -> 7, "purchase" -> 3))
+    val counts = q.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("click" -> 7L, "purchase" -> 3L))
+  }
+
+  test("normalize_text: NFC + whitespace collapse + lowercase") {
+    val rows = Seq(
+      "  Hello\t\tWORLD  ",
+      "Café du  Monde", // e + combining acute composes to é
+      "",
+      "   ").toDF("t")
+    val out = rows.select(TextAnalysis.normalize_text($"t")).as[String].collect()
+    assert(out(0) === "hello world")
+    assert(out(1) === "café du monde")
+    assert(out(2) === "" && out(3) === "")
+  }
+
+  test("repetition_stats counts duplicate bigrams") {
+    val r = Seq("a b a b a b", "x y z w").toDF("t")
+      .select(TextAnalysis.repetition_stats($"t", 2).as("s"))
+      .select($"s.n_grams", $"s.n_distinct", $"s.dup_fraction")
+      .as[(Long, Long, Double)].collect()
+    assert(r(0) === ((5L, 2L, 0.6)))   // a-b x3, b-a x2
+    assert(r(1) === ((3L, 3L, 0.0)))
+  }
+
+  test("contamination flags overlap with the benchmark set") {
+    val corpus = Seq((1L, "alpha beta gamma delta"), (2L, "zz yy xx ww"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(corpus, "doc_id", "text", bench, "text", 3)
+      .orderBy("doc_id")
+      .select("n_shingles", "n_shared", "contaminated_frac")
+      .as[(Long, Long, Double)].collect()
+    assert(out(0) === ((2L, 2L, 1.0)))  // both 3-grams of doc 1 are in bench
+    assert(out(1) === ((2L, 0L, 0.0)))
+  }
+}

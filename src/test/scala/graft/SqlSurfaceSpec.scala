@@ -70,4 +70,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .orderBy("l").collect()
     assert(sql.map(_.toSeq).toSeq === colApi.map(_.toSeq).toSeq)
   }
+
+  test("normalize_text and word_ngrams are SQL-callable and match the Column API") {
+    val t = Seq("  The  QUICK\tbrown fox ").toDF("text")
+    t.createOrReplaceTempView("norm_t")
+    val r = spark.sql(
+      """SELECT normalize_text(text) AS n,
+        |       word_ngrams(split(trim(text), '\\s+'), 2) AS g
+        |FROM norm_t""".stripMargin).head()
+    assert(r.getString(0) === "the quick brown fox")
+    assert(r.getSeq[String](1) === Seq("The QUICK", "QUICK brown", "brown fox"))
+  }
 }
