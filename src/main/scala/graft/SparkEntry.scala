@@ -764,6 +764,45 @@ object SparkEntry {
       Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10, nlist = 8, nprobe = 8)
     }),
 
+    // §2.4 time_bucket origin + offset forms (`src/time_bucket.c:98-106`;
+    // SURVEY hard part #3): weekly buckets re-anchored to a Thursday
+    // origin, daily buckets shifted by a 6-hour offset (bucket(ts−o)+o) —
+    // both in one rollup, so the anchor arithmetic is oracle-pinned.
+    "q58_bucket_origin" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          gf.time_bucket("7 days", col("ts"),
+            lit(java.sql.Timestamp.valueOf("2024-01-04 00:00:00"))).as("wk_origin"),
+          gf.time_bucket("1 day", col("ts"), expr("INTERVAL 6 HOURS")).as("day_offset"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("wk_origin", "day_offset")
+    }),
+
+    // §2.1 columnstore end-to-end: write a hypertable, convert every chunk
+    // to columnstore layout (segmentby event_type, orderby ts, zstd +
+    // bloom), then aggregate THROUGH the compressed chunks with a time
+    // predicate — the reference's DecompressChunk scan path. Oracle = the
+    // same aggregation over the raw table: compression must be invisible.
+    "q59_columnstore_query" -> ((s, dir) => {
+      import graft.sources.{Columnstore, Hypertable}
+      Graft.init(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cstore_q").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
+      ht.write(t(s, dir, "events"))
+      Columnstore.compress(ht, Columnstore.Options(
+        segmentBy = Seq("event_type"), orderBy = Seq("ts"),
+        bloomFilterCols = Seq("user_id")))
+      ht.read()
+        .where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-08 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy("event_type")
+    }),
+
     // §2.1 ColumnarIndexScan: min/max answered from footer statistics only.
     "q29_stats_minmax" -> ((s, dir) => {
       import s.implicits._
@@ -1365,6 +1404,24 @@ object SparkEntry {
         |  / (sqrt(list_reduce(list_transform(e.v, x -> x*x), (a,b) -> a+b))
         |     * sqrt(list_reduce(list_transform(q.v, x -> x*x), (a,b) -> a+b))) AS sim
         |FROM e, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q58_bucket_origin" ->
+      """SELECT time_bucket(INTERVAL '7 days', CAST(ts AS TIMESTAMP),
+        |         TIMESTAMP '2024-01-04 00:00:00') AS wk_origin,
+        | time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP),
+        |         INTERVAL '6 hours') AS day_offset,
+        | COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q59_columnstore_query" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
+        | MIN(value) AS min_value,
+        | MAX(value) AS max_value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-22 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q32_stats_spread" ->
       """SELECT event_type, COUNT(*) AS n,
