@@ -338,6 +338,65 @@ class Hypertable private (
     }.sum
   }
 
+  /** attach_chunk (`sql/chunk.sql:67-70`): adopt an EXISTING parquet
+    * directory as a chunk covering [startMicros, endMicros) — the bulk
+    * data-migration path (backfill written elsewhere joins the hypertable
+    * as pure metadata: one rename, zero data movement). The reference
+    * validates the slice via CHECK constraints; here the footer min/max of
+    * the time column (no data scan) must sit inside the declared range.
+    */
+  def attachChunk(srcPath: String, startMicros: Long, endMicros: Long): ChunkInfo = {
+    require(startMicros < endMicros, "empty chunk range")
+    require(spaceCol.isEmpty,
+      "attach_chunk needs the space partition layout inside the source dir; " +
+        "write through the hypertable instead for space-partitioned tables")
+    require(!showChunks().exists(c => c.startMicros < endMicros && c.endMicros > startMicros),
+      s"range [$startMicros,$endMicros) overlaps an existing chunk")
+    val (mn, mx) = graft.operators.Stats.minMax(spark, srcPath, timeCol) match {
+      case (Some(a: java.lang.Long), Some(b: java.lang.Long)) => (a.toLong, b.toLong)
+      case _ =>
+        val r = spark.read.parquet(srcPath)
+          .agg(unix_micros(min(col(timeCol))), unix_micros(max(col(timeCol)))).head()
+        (r.getLong(0), r.getLong(1))
+    }
+    require(mn >= startMicros && mx < endMicros,
+      s"data [$mn,$mx] outside declared range [$startMicros,$endMicros) — " +
+        "chunk exclusion would silently drop those rows")
+    val target = new Path(path, s"$CHUNK=$startMicros")
+    require(!fs.exists(target), s"chunk dir $target already exists")
+    require(fs.rename(new Path(srcPath), target), s"rename $srcPath -> $target failed")
+    writeRange(target.toString, endMicros)
+    ChunkInfo(startMicros, endMicros, target.toString)
+  }
+
+  /** detach_chunk (`sql/chunk.sql:61-65`): remove a chunk from the
+    * hypertable WITHOUT dropping its data — the directory moves to
+    * `destPath` as a standalone parquet table (catalog markers removed).
+    */
+  def detachChunk(startMicros: Long, destPath: String): ChunkInfo = {
+    val c = chunkAt(startMicros)
+    val dest = new Path(destPath)
+    require(!fs.exists(dest), s"$destPath already exists")
+    require(fs.rename(new Path(c.path), dest), s"rename ${c.path} -> $destPath failed")
+    fs.delete(new Path(dest, RANGE), false) // catalog marker, not table data
+    ChunkInfo(c.startMicros, c.endMicros, destPath)
+  }
+
+  /** set_chunk_time_interval (`sql/ddl_api.sql:61-66`): change the chunk
+    * width for FUTURE chunks. Existing chunks keep their ranges — each one
+    * without a recorded `_range` gets one stamped first (their ends would
+    * otherwise be recomputed under the new width). Returns the updated
+    * handle (this one keeps the old width).
+    */
+  def setChunkTimeInterval(chunkWidth: String): Hypertable = {
+    showChunks().foreach { c =>
+      if (Hypertable.readRangeFile(fs, new Path(c.path)).isEmpty)
+        writeRange(c.path, c.endMicros)
+    }
+    Hypertable.create(spark, path, timeCol, chunkWidth = chunkWidth,
+      spaceCol = spaceCol, spacePartitions = spacePartitions, timeKind = timeKind)
+  }
+
   /** drop_chunks(older_than): delete chunks whose range ends at or before
     * the cutoff. Returns dropped chunks.
     */

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Columnstore, Hypertable, Policies, PolicySet}
+import graft.streaming.{CaggDef, ContinuousAggregate}
+
+/** attach_chunk / detach_chunk, set_chunk_time_interval, and the
+  * experimental policy bundle (add/show/alter/remove/run).
+  */
+class ChunkOpsSpec extends AnyFunSuite {
+  lazy val spark = Graft.session("chunk-ops-spec", "local[4]", 4)
+
+  private def events = Tables.table(spark, "/root/testdata/sf0.001", "events")
+
+  private def freshHt(width: String = "7 days"): Hypertable = {
+    val dir = Files.createTempDirectory("graft_chunkops").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = width)
+    ht.write(events)
+    ht
+  }
+
+  test("detach then attach round-trips a chunk with zero data movement") {
+    val ht = freshHt()
+    val total = ht.read().count()
+    val first = ht.showChunks().head
+    val standalone = Files.createTempDirectory("graft_detached").toString + "/t"
+
+    val out = ht.detachChunk(first.startMicros, standalone)
+    assert(ht.showChunks().size === 4)
+    val detachedRows = spark.read.parquet(standalone).count()
+    assert(detachedRows > 0)
+    assert(ht.read().count() === total - detachedRows)
+
+    val back = ht.attachChunk(standalone, first.startMicros, first.endMicros)
+    assert(back.startMicros === first.startMicros && back.endMicros === first.endMicros)
+    assert(ht.showChunks().size === 5)
+    assert(ht.read().count() === total)
+    // exclusion still sees the re-attached chunk's recorded range
+    val jan10 = ht.between(Timestamp.valueOf("2024-01-01 00:00:00"),
+      Timestamp.valueOf("2024-01-08 00:00:00")).count()
+    assert(jan10 === detachedRows)
+    assert(out.path === standalone)
+  }
+
+  test("attach_chunk rejects ranges that don't contain the data") {
+    val ht = freshHt()
+    val first = ht.showChunks().head
+    val standalone = Files.createTempDirectory("graft_badattach").toString + "/t"
+    ht.detachChunk(first.startMicros, standalone)
+    // declared range too narrow for the file's footer min/max
+    val ex = intercept[IllegalArgumentException] {
+      ht.attachChunk(standalone, first.startMicros, first.startMicros + 1000L)
+    }
+    assert(ex.getMessage.contains("outside declared range"))
+    // overlap with an existing chunk is rejected too
+    val second = ht.showChunks().head
+    intercept[IllegalArgumentException] {
+      ht.attachChunk(standalone, second.startMicros, second.endMicros)
+    }
+  }
+
+  test("set_chunk_time_interval affects only new chunks") {
+    val ht = freshHt(width = "1 day")
+    val before = ht.showChunks()
+    assert(before.size === 30)
+    val ht2 = ht.setChunkTimeInterval("7 days")
+    // existing chunks keep their 1-day ranges (stamped, not recomputed)
+    val after = ht2.showChunks().take(30)
+    assert(after.map(c => (c.startMicros, c.endMicros)) ===
+      before.map(c => (c.startMicros, c.endMicros)))
+    // new data (beyond the old span) lands in a 7-day chunk
+    ht2.write(events.withColumn("ts", col("ts") + expr("INTERVAL 60 DAYS"))
+      .limit(100))
+    val newChunks = ht2.showChunks().drop(30)
+    assert(newChunks.nonEmpty)
+    assert(newChunks.forall(c => c.endMicros - c.startMicros === 7L * 86400000000L))
+    // reopening from disk sees the new width
+    assert(Hypertable.at(spark, ht.path).chunkWidthMicros === 7L * 86400000000L)
+  }
+
+  test("policy bundle: add/show/alter/remove round-trip") {
+    val dir = Files.createTempDirectory("graft_polset").toString
+    val set = PolicySet(Some(40L * 86400000000L), Some(0L),
+      Some(20L * 86400000000L), Some(25L * 86400000000L))
+    Policies.add(spark, dir, set)
+    assert(Policies.show(spark, dir) === Some(set))
+    val altered = set.copy(dropAfterMicros = Some(99L))
+    Policies.alter(spark, dir, altered)
+    assert(Policies.show(spark, dir) === Some(altered))
+    assert(Policies.remove(spark, dir))
+    assert(Policies.show(spark, dir) === None)
+    assert(!Policies.remove(spark, dir))
+  }
+
+  test("runAll executes refresh, columnstore, retention in order") {
+    val dir = Files.createTempDirectory("graft_polrun").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(events) // spans 2024-01-01 .. 2024-01-30, 5 chunks
+    val defn = CaggDef("1 day", Seq("event_type"), Seq(count(lit(1)).as("n")))
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht, defn)
+    val now = Timestamp.valueOf("2024-02-01 00:00:00").getTime * 1000L
+    Policies.add(spark, s"$dir/ht", PolicySet(
+      refreshStartOffsetMicros = Some(40L * 86400000000L), // window covers all data
+      refreshEndOffsetMicros = Some(0L),
+      columnstoreAfterMicros = Some(20L * 86400000000L),   // chunks ending ≤ Jan 12
+      dropAfterMicros = Some(28L * 86400000000L)))         // chunks ending ≤ Jan 4
+    val report = Policies.runAll(ht, Some(cagg), s"$dir/ht", now,
+      Columnstore.Options(orderBy = Seq("ts")))
+    // refresh materialized all days (refresh ran BEFORE the drop)
+    assert(cagg.materialized.count() ===
+      events.select(graft.functions.time_bucket("1 day", col("ts")), col("event_type"))
+        .distinct().count())
+    // first chunk ([01-01,01-08) ends Jan 8 > Jan 4 cutoff) survives;
+    // none dropped here, one chunk ([01-01,01-08)) compressed? ends Jan 8 < Jan 12 → yes
+    val chunks = ht.showChunks()
+    assert(chunks.size === 5)
+    assert(Columnstore.isCompressed(spark, chunks.head.path))
+    assert(!Columnstore.isCompressed(spark, chunks.last.path))
+    assert(report.exists(_.startsWith("refreshed")))
+    assert(report.exists(_.startsWith("columnstore")))
+    assert(!report.exists(_.startsWith("dropped")))
+  }
+}
