@@ -2,7 +2,6 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * no marker hits) mirror [[graft.operators.TextAnalysis.LANG_MARKERS]].
   */
 case class LangId(child: Expression, markers: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NullSafeEvalCodegen {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"

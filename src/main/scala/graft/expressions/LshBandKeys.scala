@@ -3,7 +3,6 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -23,7 +22,7 @@ import org.apache.spark.sql.types._
   * formulation.
   */
 case class LshBandKeys(child: Expression, planesPerBand: Int, bands: Int,
-    dim: Int, seed: Long) extends UnaryExpression with CodegenFallback {
+    dim: Int, seed: Long) extends UnaryExpression with NullSafeEvalCodegen {
   require(planesPerBand >= 1 && planesPerBand <= 63 && bands >= 1)
 
   override def dataType: DataType = ArrayType(StructType(Seq(

@@ -2,7 +2,6 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -19,7 +18,7 @@ import org.apache.spark.sql.types._
   * `SparkEntry.oracleSql("q17_minhash_sig")` recomputes it bit-for-bit.
   */
 case class MinHashSig(child: Expression, n: Int, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NullSafeEvalCodegen {
   require(n >= 1 && k >= 1, "minhash_sig: n and k must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -2,7 +2,6 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * joined with one space, distinct.
   */
 case class NGramJaccard(child: Expression, probeShingles: Seq[String], n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NullSafeEvalCodegen {
   require(n >= 1, "ngram_jaccard: n must be positive")
 
   override def dataType: DataType = DoubleType

@@ -2,7 +2,6 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -15,7 +14,7 @@ import org.apache.spark.sql.types._
   * Ties break toward the lower index (deterministic).
   */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NullSafeEvalCodegen {
   require(centroids.nonEmpty, "nearest_centroid needs at least one centroid")
 
   override def dataType: DataType = IntegerType

@@ -2,7 +2,6 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * one NFC pass (a no-op scan for already-composed text) plus one build.
   */
 case class NormalizeText(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NullSafeEvalCodegen {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "normalize_text"

@@ -1,0 +1,38 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+
+/** Whole-stage-codegen glue for single-pass unary expressions whose work
+  * lives in `nullSafeEval`: the generated code calls the expression object
+  * DIRECTLY with the unboxed child value.
+  *
+  * `CodegenFallback` would instead materialize the ENTIRE input row
+  * (`UnsafeRow` copy of every column in flight) per call and route through
+  * `Expression.eval` — per-row row-packing overhead in exactly the hot
+  * scans these expressions exist to speed up. With this trait the stage
+  * stays one fused loop and only the child column is touched; the heavy
+  * lifting (tokenizing, hashing, normalizing) already runs as compiled JVM
+  * code either way, so a hand-written `doGenCode` body would add nothing
+  * further.
+  */
+trait NullSafeEvalCodegen extends UnaryExpression {
+
+  /** Public bridge — generated Java (another package) cannot call the
+    * protected `nullSafeEval`.
+    */
+  final def evalChild(v: AnyRef): AnyRef = nullSafeEval(v).asInstanceOf[AnyRef]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this,
+      classOf[NullSafeEvalCodegen].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val javaType = CodeGenerator.javaType(dataType)
+      val boxed = CodeGenerator.boxedType(dataType)
+      if (javaType == boxed)
+        s"${ev.value} = ($boxed) $ref.evalChild($c);"
+      else // primitive result: unbox (e.g. Long → long)
+        s"${ev.value} = (($boxed) $ref.evalChild($c)).${javaType}Value();"
+    })
+  }
+}

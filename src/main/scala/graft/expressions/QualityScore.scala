@@ -2,7 +2,6 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * on the lowered text = maximal word-char runs equal to a stopword.
   */
 case class QualityScore(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NullSafeEvalCodegen {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "quality_score"

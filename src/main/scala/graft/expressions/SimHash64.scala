@@ -2,7 +2,6 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -17,7 +16,7 @@ import org.apache.spark.sql.types._
   * hash exactly (checked as four 16-bit chunks — a 64-bit value with the
   * top bit set doesn't round-trip portably through signed SQL integers).
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression with NullSafeEvalCodegen {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 

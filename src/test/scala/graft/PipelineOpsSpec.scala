@@ -63,6 +63,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s3.exceptAll(s1).count() > 0)
   }
 
+  test("stratified sampling plans a WindowGroupLimit (map-side top-n per stratum)") {
+    val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val plan = Sampling.stratified(ev, Seq("event_type"), "event_id", 5)
+      .queryExecution.executedPlan
+    assert(plan.toString.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("contamination plans a broadcast join (corpus side never shuffles grams)") {
+    val plan = TextAnalysis.contamination(docs, "doc_id", "text",
+        docs.where($"doc_id" % 10 === 0), "text", 3)
+      .queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"expected BroadcastHashJoin in:\n$plan")
+    assert(!plan.toString.contains("SortMergeJoin"))
+  }
+
   test("bernoulli sampling is deterministic with roughly the right rate") {
     val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
     val n = ev.count().toDouble
