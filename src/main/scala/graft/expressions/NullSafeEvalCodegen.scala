@@ -27,12 +27,16 @@ trait NullSafeEvalCodegen extends UnaryExpression {
     val ref = ctx.addReferenceObj("graftExpr", this,
       classOf[NullSafeEvalCodegen].getName)
     nullSafeCodeGen(ctx, ev, c => {
+      // box primitive children explicitly — janino autoboxing is unreliable
+      val childJava = CodeGenerator.javaType(child.dataType)
+      val childBoxed = CodeGenerator.boxedType(child.dataType)
+      val arg = if (childJava == childBoxed) c else s"$childBoxed.valueOf($c)"
       val javaType = CodeGenerator.javaType(dataType)
       val boxed = CodeGenerator.boxedType(dataType)
       if (javaType == boxed)
-        s"${ev.value} = ($boxed) $ref.evalChild($c);"
+        s"${ev.value} = ($boxed) $ref.evalChild($arg);"
       else // primitive result: unbox (e.g. Long → long)
-        s"${ev.value} = (($boxed) $ref.evalChild($c)).${javaType}Value();"
+        s"${ev.value} = (($boxed) $ref.evalChild($arg)).${javaType}Value();"
     })
   }
 }

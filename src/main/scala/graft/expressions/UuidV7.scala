@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * 1000`, reversed with the `+1` floor trick so round-trips are exact).
   *
   * UUIDs are carried as canonical lowercase strings (Spark has no UUID
-  * type). Not bench-hot-path, so CodegenFallback is acceptable here.
+  * type). Unary forms stay in whole-stage codegen via NullSafeEvalCodegen.
   */
 object UuidV7Util {
   /** bytes[16] of a v7 uuid for a unix-micros timestamp; zeroed random bits
@@ -76,7 +76,7 @@ object UuidV7Util {
 
 /** to_uuidv7(ts) / to_uuidv7_boundary(ts): timestamp → uuid string. */
 case class ToUuidV7(child: Expression, boundary: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NullSafeEvalCodegen {
   override def dataType: DataType = StringType
   override def prettyName: String = if (boundary) "to_uuidv7_boundary" else "to_uuidv7"
   override lazy val deterministic: Boolean = boundary
@@ -101,7 +101,7 @@ case class GenerateUuidV7() extends LeafExpression with CodegenFallback {
 
 /** uuid_timestamp(uuid) (ms precision) / uuid_timestamp_micros(uuid). */
 case class UuidTimestamp(child: Expression, withMicros: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NullSafeEvalCodegen {
   override def dataType: DataType = TimestampType
   override def prettyName: String = if (withMicros) "uuid_timestamp_micros" else "uuid_timestamp"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -117,7 +117,7 @@ case class UuidTimestamp(child: Expression, withMicros: Boolean)
 }
 
 /** uuid_version(uuid): version nibble. */
-case class UuidVersion(child: Expression) extends UnaryExpression with CodegenFallback {
+case class UuidVersion(child: Expression) extends UnaryExpression with NullSafeEvalCodegen {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "uuid_version"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -133,6 +133,43 @@ object Stats {
         rowCount(ht.spark, c.path))
     }
 
+  case class CompressionStats(path: String, compressed: Boolean, rows: Long,
+      compressedBytes: Long, uncompressedBytes: Long) {
+    def ratio: Double =
+      if (compressedBytes == 0) 0.0 else uncompressedBytes.toDouble / compressedBytes
+  }
+
+  /** chunk_compression_stats / hypertable_columnstore_stats
+    * (`sql/size_utils.sql:413+`): per-chunk on-disk (compressed) bytes vs
+    * the footer-recorded uncompressed page bytes, plus the columnstore
+    * marker — everything comes from file listings and footers (read on
+    * executors), no data scan. The reference records before/after sizes in
+    * its catalog at compress time; parquet footers carry the equivalent
+    * (`total_uncompressed_size` per column chunk) for free.
+    */
+  def compressionStats(ht: graft.sources.Hypertable): Seq[CompressionStats] = {
+    val conf = new SerializableConfiguration(
+      ht.spark.sparkContext.hadoopConfiguration)
+    ht.showChunks().map { c =>
+      val files = listParquetFiles(ht.spark, c.path)
+      val (rows, comp, uncomp) = ht.spark.sparkContext
+        .parallelize(files, math.max(1, math.min(files.size, 64)))
+        .map { f =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf.value))
+          try {
+            val rgs = r.getRowGroups.asScala
+            (rgs.map(_.getRowCount).sum,
+              rgs.map(_.getCompressedSize).sum,
+              rgs.map(_.getTotalByteSize).sum)
+          } finally r.close()
+        }
+        .fold((0L, 0L, 0L)) { case ((a, b, x), (d, e, f2)) => (a + d, b + e, x + f2) }
+      CompressionStats(c.path,
+        graft.sources.Columnstore.isCompressed(ht.spark, c.path),
+        rows, comp, uncomp)
+    }
+  }
+
   private def comparableKey(v: Any): BigDecimal = v match {
     case l: java.lang.Long    => BigDecimal(l)
     case i: java.lang.Integer => BigDecimal(i.toInt)

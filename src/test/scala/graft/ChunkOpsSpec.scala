@@ -83,6 +83,22 @@ class ChunkOpsSpec extends AnyFunSuite {
     assert(Hypertable.at(spark, ht.path).chunkWidthMicros === 7L * 86400000000L)
   }
 
+  test("compression stats come from footers: sizes, rows, marker") {
+    val ht = freshHt()
+    val cutoff = Timestamp.valueOf("2024-01-15 00:00:00").getTime * 1000L
+    Columnstore.compress(ht, Columnstore.Options(orderBy = Seq("ts")), Some(cutoff))
+    val stats = graft.operators.Stats.compressionStats(ht)
+    assert(stats.size === 5)
+    assert(stats.count(_.compressed) === 2) // chunks fully before Jan 15
+    assert(stats.map(_.rows).sum === events.count())
+    stats.foreach { s =>
+      assert(s.compressedBytes > 0 && s.uncompressedBytes > 0)
+      assert(s.ratio > 0)
+    }
+    // zstd columnstore chunks actually compress the synthetic data
+    stats.filter(_.compressed).foreach(s => assert(s.ratio > 1.0, s.toString))
+  }
+
   test("policy bundle: add/show/alter/remove round-trip") {
     val dir = Files.createTempDirectory("graft_polset").toString
     val set = PolicySet(Some(40L * 86400000000L), Some(0L),
