@@ -162,7 +162,7 @@ object SparkEntry {
       import graft.streaming.{CaggDef, ContinuousAggregate}
       val tmp = java.nio.file.Files.createTempDirectory("graft_cagg_q").toString
       val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
-      ht.write(t(s, dir, "events"))
+      ht.write(t(s, dir, "events"), filesPerChunk = 8)
       val defn = CaggDef("1 hour", Seq("event_type"), Seq(
         count(lit(1)).as("n"),
         expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"),
@@ -186,7 +186,7 @@ object SparkEntry {
       import graft.streaming.{CaggDef, ContinuousAggregate}
       val tmp = java.nio.file.Files.createTempDirectory("graft_cagg_rt").toString
       val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
-      ht.write(t(s, dir, "events"))
+      ht.write(t(s, dir, "events"), filesPerChunk = 8)
       val defn = CaggDef("1 hour", Seq("event_type"), Seq(
         count(lit(1)).as("n"),
         expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value")))
@@ -230,7 +230,7 @@ object SparkEntry {
       import graft.streaming.{CaggDef, CaggJoin, ContinuousAggregate}
       val tmp = java.nio.file.Files.createTempDirectory("graft_cagg_j").toString
       val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
-      ht.write(t(s, dir, "events"))
+      ht.write(t(s, dir, "events"), filesPerChunk = 8)
       val dim = () => t(s, dir, "customer")
         .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey").as("user_id"), col("n_name"))
@@ -432,7 +432,7 @@ object SparkEntry {
       import graft.streaming.{CaggDef, ContinuousAggregate}
       val tmp = java.nio.file.Files.createTempDirectory("graft_cagg_h").toString
       val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
-      ht.write(t(s, dir, "events"))
+      ht.write(t(s, dir, "events"), filesPerChunk = 8)
       val hdefn = CaggDef("1 hour", Seq("event_type"), Seq(
         count(lit(1)).as("n"),
         expr("SUM(CAST(value AS DECIMAL(28,8)))").as("sum_dec")))
@@ -669,7 +669,7 @@ object SparkEntry {
       Graft.init(s)
       val tmp = java.nio.file.Files.createTempDirectory("graft_excl_q").toString
       val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
-      ht.write(t(s, dir, "events"))
+      ht.write(t(s, dir, "events"), filesPerChunk = 8)
       ht.read()
         .where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-08 00:00:00")) &&
           col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))
@@ -691,6 +691,7 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_space_q").toString
       val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days",
         spaceCol = Some("user_id"), spacePartitions = 8)
+      // 5 chunks × 8 space buckets = 40 writer tasks already
       ht.write(t(s, dir, "events"))
       ht.read()
         .where(col("user_id") === 42L &&
@@ -788,7 +789,7 @@ object SparkEntry {
       Graft.init(s)
       val tmp = java.nio.file.Files.createTempDirectory("graft_cstore_q").toString
       val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
-      ht.write(t(s, dir, "events"))
+      ht.write(t(s, dir, "events"), filesPerChunk = 8)
       Columnstore.compress(ht, Columnstore.Options(
         segmentBy = Seq("event_type"), orderBy = Seq("ts"),
         bloomFilterCols = Seq("user_id")))
