@@ -804,6 +804,15 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // §2.4 SkipScan: DISTINCT answered from parquet dictionary pages (the
+    // u≪k re-seek asymmetry of tsl/src/nodes/skip_scan, columnar form) —
+    // no data page is read unless a row group broke dictionary encoding.
+    "q60_skipscan_distinct" -> ((s, dir) => {
+      t(s, dir, "events") // ensures the ns-timestamp session conf is set
+      graft.operators.SkipScan.distinct(s, s"$dir/events.parquet", "event_type")
+        .orderBy("event_type")
+    }),
+
     // §2.1 ColumnarIndexScan: min/max answered from footer statistics only.
     "q29_stats_minmax" -> ((s, dir) => {
       import s.implicits._
@@ -1423,6 +1432,9 @@ object SparkEntry {
         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-22 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q60_skipscan_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
 
     "q32_stats_spread" ->
       """SELECT event_type, COUNT(*) AS n,
