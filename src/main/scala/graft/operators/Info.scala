@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Columnstore, Hypertable, Policies}
+
+/** Informational views — `timescaledb_information.*` (`sql/views.sql`):
+  * the catalog-introspection surface, as DataFrames with the reference's
+  * column names so monitoring queries port 1:1. Everything derives from
+  * the on-disk catalog (dir listing, `_graft_*` markers, parquet footers);
+  * chunk counts and sizes are metadata-only.
+  */
+object Info {
+
+  /** timescaledb_information.hypertables (`sql/views.sql:9-52`). */
+  def hypertables(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    paths.map { p =>
+      val ht = Hypertable.at(spark, p)
+      val chunks = ht.showChunks()
+      (p, ht.timeCol, ht.timeKind,
+        1 + (if (ht.spaceCol.isDefined) 1 else 0),
+        chunks.size.toLong,
+        chunks.count(c => Columnstore.isCompressed(spark, c.path)).toLong)
+    }.toDF("hypertable_name", "primary_dimension", "primary_dimension_type",
+      "num_dimensions", "num_chunks", "num_compressed_chunks")
+  }
+
+  /** timescaledb_information.chunks (`sql/views.sql:157-224`): one row per
+    * chunk with its primary-dimension range (timestamps for timestamp-kind
+    * dimensions, raw integers for bigint — both columns present, the
+    * inapplicable one NULL, like the reference's
+    * range_start/range_start_integer split).
+    */
+  def chunks(ht: Hypertable): DataFrame = {
+    import ht.spark.implicits._
+    val integral = ht.timeKind == "bigint"
+    ht.showChunks().map { c =>
+      (ht.path, c.path.substring(c.path.lastIndexOf('/') + 1),
+        ht.timeCol, ht.timeKind,
+        if (integral) None else Some(new java.sql.Timestamp(c.startMicros / 1000)),
+        if (integral) None else Some(new java.sql.Timestamp(c.endMicros / 1000)),
+        if (integral) Some(c.startMicros) else None,
+        if (integral) Some(c.endMicros) else None,
+        Columnstore.isCompressed(ht.spark, c.path))
+    }.toDF("hypertable_name", "chunk_name", "primary_dimension",
+      "primary_dimension_type", "range_start", "range_end",
+      "range_start_integer", "range_end_integer", "is_compressed")
+  }
+
+  /** timescaledb_information.dimensions (`sql/views.sql:226-256`). */
+  def dimensions(ht: Hypertable): DataFrame = {
+    import ht.spark.implicits._
+    val integral = ht.timeKind == "bigint"
+    val time = (ht.path, 1, ht.timeCol, ht.timeKind, "Time",
+      if (integral) None else Some(ht.chunkWidthMicros),
+      if (integral) Some(ht.chunkWidthMicros) else None,
+      None: Option[Int])
+    val space = ht.spaceCol.map(sc =>
+      (ht.path, 2, sc, "hash", "Space", None: Option[Long], None: Option[Long],
+        Some(ht.spacePartitions)))
+    (Seq(time) ++ space.toSeq)
+      .toDF("hypertable_name", "dimension_number", "column_name",
+        "column_type", "dimension_type", "time_interval_micros",
+        "integer_interval", "num_partitions")
+  }
+
+  /** timescaledb_information.jobs, policy subset (`sql/views.sql:94-117`):
+    * the configured policy bundle as rows (scheduling is external, so
+    * next_start/job_id have no analogue).
+    */
+  def policies(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    Policies.show(spark, path).toSeq.flatMap { set =>
+      Seq(
+        set.refreshStartOffsetMicros.map(s => ("policy_refresh_continuous_aggregate",
+          s, set.refreshEndOffsetMicros.getOrElse(0L))),
+        set.columnstoreAfterMicros.map(l => ("policy_columnstore", l, 0L)),
+        set.dropAfterMicros.map(l => ("policy_retention", l, 0L))).flatten
+    }.toDF("application_name", "start_offset_micros", "end_offset_micros")
+  }
+}

@@ -99,6 +99,25 @@ class ChunkOpsSpec extends AnyFunSuite {
     stats.filter(_.compressed).foreach(s => assert(s.ratio > 1.0, s.toString))
   }
 
+  test("information views expose hypertables, chunks, dimensions, policies") {
+    val ht = freshHt()
+    val cutoff = Timestamp.valueOf("2024-01-15 00:00:00").getTime * 1000L
+    Columnstore.compress(ht, Columnstore.Options(orderBy = Seq("ts")), Some(cutoff))
+    val hts = graft.operators.Info.hypertables(spark, Seq(ht.path)).collect()
+    assert(hts.length === 1)
+    assert(hts(0).getAs[Long]("num_chunks") === 5L)
+    assert(hts(0).getAs[Long]("num_compressed_chunks") === 2L)
+    val ch = graft.operators.Info.chunks(ht)
+    assert(ch.count() === 5)
+    assert(ch.where(org.apache.spark.sql.functions.col("is_compressed")).count() === 2)
+    assert(ch.schema.fieldNames.contains("range_start"))
+    val dims = graft.operators.Info.dimensions(ht).collect()
+    assert(dims.map(_.getAs[String]("dimension_type")).toSeq === Seq("Time"))
+    Policies.add(spark, ht.path, PolicySet(dropAfterMicros = Some(7L)))
+    val pol = graft.operators.Info.policies(spark, ht.path).collect()
+    assert(pol.map(_.getString(0)).toSeq === Seq("policy_retention"))
+  }
+
   test("policy bundle: add/show/alter/remove round-trip") {
     val dir = Files.createTempDirectory("graft_polset").toString
     val set = PolicySet(Some(40L * 86400000000L), Some(0L),
