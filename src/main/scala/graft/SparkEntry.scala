@@ -813,6 +813,19 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // §2.4 time_bucket over DATE (`sql/time_bucket.sql` date overloads):
+    // month and fixed-width buckets of a DATE column return DATEs — the
+    // reference's date arithmetic (no timestamp promotion).
+    "q61_bucket_date" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(
+          gf.time_bucket("1 month", col("o_orderdate").cast("date")).as("month"),
+          gf.time_bucket("14 days", col("o_orderdate").cast("date")).as("fortnight"),
+          col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("month", "fortnight", "o_orderstatus")
+    }),
+
     // §2.1 ColumnarIndexScan: min/max answered from footer statistics only.
     "q29_stats_minmax" -> ((s, dir) => {
       import s.implicits._
@@ -1435,6 +1448,12 @@ object SparkEntry {
 
     "q60_skipscan_distinct" ->
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+    "q61_bucket_date" ->
+      """SELECT time_bucket(INTERVAL '1 month', CAST(o_orderdate AS DATE)) AS month,
+        | time_bucket(INTERVAL '14 days', CAST(o_orderdate AS DATE)) AS fortnight,
+        | o_orderstatus, COUNT(*) AS n
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q32_stats_spread" ->
       """SELECT event_type, COUNT(*) AS n,
