@@ -40,12 +40,11 @@ object Clustering {
     // undirected, no self-loops, deduped, canonical (u < v); lineage
     // truncated up front so the (possibly expensive) pair-generation plan
     // runs exactly once
-    var e = edges
+    var (e, eBlocks) = checkpoint(edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     var converged = false
     var round = 0
@@ -60,21 +59,20 @@ object Clustering {
         .where(col("v") > col("u") && col("v") =!= col("m"))
         .select(least(col("v"), col("m")).as("u"), greatest(col("v"), col("m")).as("v"))
         .distinct()
-        .localCheckpoint()
 
       // small-star(u): over the smaller-than-u neighborhood N⁻(u),
       // m = min(N⁻(u)); connect every w ∈ N⁻(u) ∪ {u}, w ≠ m, to m.
       // `large` is canonical (u < v), so the flipped view (v → u) IS the
-      // smaller-neighbor list of v.
+      // smaller-neighbor list of v. Both stars run in ONE lineage — only
+      // the round result is checkpointed.
       val le = large.select(col("v").as("u"), col("u").as("v"))
       val sm = le.groupBy("u").agg(min(col("v")).as("m"))
-      val small = le.join(sm, "u")
+      val (small, smallBlocks) = checkpoint(le.join(sm, "u")
         .where(col("v") =!= col("m"))
         .select(col("m").as("u"), col("v"))
         .union(sm.select(col("m").as("u"), col("u").as("v"))) // u itself → m
         .where(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
 
       // converged ⟺ edge set unchanged (exact symmetric diff, one job)
       converged = small
@@ -82,7 +80,11 @@ object Clustering {
         .join(e.withColumn("_o", lit(1)), Seq("u", "v"), "full_outer")
         .where(col("_n").isNull || col("_o").isNull)
         .limit(1).count() == 0
+      // previous round's checkpoint blocks are dead now — free them
+      // instead of pinning O(rounds) edge lists in executor storage
+      eBlocks.unpersist(blocking = false)
       e = small
+      eBlocks = smallBlocks
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
@@ -90,6 +92,20 @@ object Clustering {
     e.select(col("v").as("node"), col("u").as("component"))
       .union(e.select(col("u").as("node"), col("u").as("component")))
       .distinct()
+  }
+
+  /** Eagerly localCheckpoint `df`, returning the checkpointed frame AND a
+    * handle on its storage (the underlying RDD) so the caller can free the
+    * blocks once the round that produced them is superseded —
+    * `Dataset.unpersist` does not release RDD-level localCheckpoint
+    * storage.
+    */
+  private def checkpoint(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val ck = df.localCheckpoint()
+    val rdd = ck.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.head
+    (ck, rdd)
   }
 
   /** Cluster assignment for EVERY row of `df`: near-dup pairs at

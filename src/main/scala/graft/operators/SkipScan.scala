@@ -3,9 +3,10 @@ package graft.operators
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.column.Dictionary
+import org.apache.parquet.column.{ColumnDescriptor, Dictionary}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,109 +23,114 @@ import org.apache.spark.util.SerializableConfiguration
   * whether every data page of a column chunk was dictionary-encoded. When
   * they all are, the union of dictionary pages IS the exact distinct set —
   * read u values per row group instead of k rows (the same u ≪ k asymmetry
-  * the reference's index re-seek exploits). Row groups with any
-  * plain-encoded page (dictionary fallback mid-write, high cardinality)
-  * make their FILE fall back to a normal distinct scan — exactness never
-  * depends on the encoding.
+  * the reference's index re-seek exploits).
+  *
+  * Exactness gates — a FILE falls back to a normal distinct scan when any
+  * of them fails; results never depend on the encoding:
+  *  - every data page of every row group dictionary-encoded (EncodingStats);
+  *  - the (parquet physical + logical annotation, Spark type) pair has an
+  *    exact value conversion (plain int32/int64/float/double, UTF8 binary,
+  *    micros timestamps) — DATE/DECIMAL/millis-timestamps/etc. scan;
+  *  - null counts present in the footer (`isNumNullsSet`) — dictionaries
+  *    never hold NULL, so an unknown null count would silently drop it.
   *
   * Dictionary pages are read on the EXECUTORS (one task per file batch);
   * only distinct values reach the driver — bounded by u × files, the same
-  * driver budget as any collected DISTINCT result. NULLs never enter
-  * dictionaries; footer null counts restore them.
+  * driver budget as any collected DISTINCT result.
   */
 object SkipScan {
 
-  /** Exact `SELECT DISTINCT column FROM parquet(path)`, dictionary-first.
-    * Supported dictionary types: binary/string, int32/64 (incl. timestamp
-    * micros), float/double; anything else scans.
-    */
+  /** Exact `SELECT DISTINCT column FROM parquet(path)`, dictionary-first. */
   def distinct(spark: SparkSession, path: String, column: String): DataFrame = {
     val sparkType = spark.read.parquet(path).schema(column).dataType
-    val files = listParquetFiles(spark, path)
+    val files = Stats.listParquetFiles(spark, path)
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-    // (values from dictionary-complete files, sawNull, fallback files)
+    // (values from dictionary-complete files, sawNull, fallback file)
     val perFile: Seq[(Seq[Any], Boolean, Option[String])] = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
-      .map(f => readFileDictionaries(conf.value, f, column))
+      .map(f => readFileDictionaries(conf.value, f, column, sparkType))
       .collect().toSeq
     val dictValues = perFile.flatMap(_._1).distinct
     val sawNull = perFile.exists(_._2)
     val fallbackFiles = perFile.flatMap(_._3)
 
-    val fromDict = toDf(spark, dictValues, sawNull, column, sparkType)
+    val all = if (sawNull) dictValues :+ null else dictValues
+    val fromDict = spark.createDataFrame(
+      all.map(v => Row(v)).asJava,
+      StructType(Seq(StructField(column, sparkType, nullable = true))))
     if (fallbackFiles.isEmpty) fromDict.distinct()
     else fromDict.unionByName(
       spark.read.parquet(fallbackFiles: _*).select(col(column))).distinct()
   }
 
+  /** Exact dictionary→Spark-external-value conversion for the column, or
+    * None when the (physical type, annotation, Spark type) combination has
+    * no lossless mapping (→ scan fallback).
+    */
+  private def decoderFor(colDesc: ColumnDescriptor,
+      sparkType: DataType): Option[Dictionary => Int => Any] = {
+    val pt = colDesc.getPrimitiveType
+    val ann = pt.getLogicalTypeAnnotation
+    def plainInt(bits: Int): Boolean = ann match {
+      case null => true
+      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+        i.getBitWidth == bits && i.isSigned
+      case _ => false
+    }
+    (pt.getPrimitiveTypeName, sparkType) match {
+      case (PrimitiveTypeName.BINARY, StringType)
+          if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        Some(d => i => d.decodeToBinary(i).toStringUsingUTF8)
+      case (PrimitiveTypeName.INT32, IntegerType) if plainInt(32) =>
+        Some(d => i => d.decodeToInt(i))
+      case (PrimitiveTypeName.INT64, LongType) if plainInt(64) =>
+        Some(d => i => d.decodeToLong(i))
+      case (PrimitiveTypeName.FLOAT, FloatType) if ann == null =>
+        Some(d => i => d.decodeToFloat(i))
+      case (PrimitiveTypeName.DOUBLE, DoubleType) if ann == null =>
+        Some(d => i => d.decodeToDouble(i))
+      case (PrimitiveTypeName.INT64, TimestampType) => ann match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS && t.isAdjustedToUTC =>
+          Some(d => i => java.sql.Timestamp.from(
+            java.time.Instant.EPOCH.plusNanos(d.decodeToLong(i) * 1000L)))
+        case _ => None // millis/nanos or NTZ: scan instead of guessing units
+      }
+      case _ => None
+    }
+  }
+
   /** One file's contribution: (dictionary values, sawNull, fallbackFile). */
   private def readFileDictionaries(conf: org.apache.hadoop.conf.Configuration,
-      file: String, column: String): (Seq[Any], Boolean, Option[String]) = {
+      file: String, column: String,
+      sparkType: DataType): (Seq[Any], Boolean, Option[String]) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema
       val colDesc = schema.getColumns.asScala
         .find(_.getPath.mkString(".") == column)
         .getOrElse(return (Nil, false, Some(file)))
+      val decode = decoderFor(colDesc, sparkType)
+        .getOrElse(return (Nil, false, Some(file)))
       val blocks = reader.getFooter.getBlocks.asScala
       val chunks = blocks.map(_.getColumns.asScala
         .find(_.getPath.toDotString == column).getOrElse(return (Nil, false, Some(file))))
-      val dictComplete = chunks.forall { c =>
+      val exact = chunks.forall { c =>
         val es = c.getEncodingStats
-        es != null && es.hasDictionaryPages && !es.hasNonDictionaryEncodedPages
+        es != null && es.hasDictionaryPages && !es.hasNonDictionaryEncodedPages &&
+          c.getStatistics != null && c.getStatistics.isNumNullsSet
       }
-      val supported = Set(PrimitiveTypeName.BINARY, PrimitiveTypeName.INT32,
-        PrimitiveTypeName.INT64, PrimitiveTypeName.FLOAT, PrimitiveTypeName.DOUBLE)
-        .contains(colDesc.getPrimitiveType.getPrimitiveTypeName)
-      if (!dictComplete || !supported) return (Nil, false, Some(file))
+      if (!exact) return (Nil, false, Some(file))
 
-      val sawNull = chunks.exists(c =>
-        c.getStatistics != null && c.getStatistics.getNumNulls > 0)
+      val sawNull = chunks.exists(_.getStatistics.getNumNulls > 0)
       val values = blocks.flatMap { b =>
         val page = org.apache.parquet.hadoop.GraftParquetShims
           .readDictionaryPage(reader, b, colDesc)
         val dict: Dictionary = page.getEncoding.initDictionary(colDesc, page)
-        (0 to dict.getMaxId).map { i =>
-          colDesc.getPrimitiveType.getPrimitiveTypeName match {
-            case PrimitiveTypeName.BINARY => dict.decodeToBinary(i).toStringUsingUTF8
-            case PrimitiveTypeName.INT32  => dict.decodeToInt(i)
-            case PrimitiveTypeName.INT64  => dict.decodeToLong(i)
-            case PrimitiveTypeName.FLOAT  => dict.decodeToFloat(i)
-            case PrimitiveTypeName.DOUBLE => dict.decodeToDouble(i)
-            case other => throw new IllegalStateException(s"unreachable: $other")
-          }
-        }
+        val d = decode(dict)
+        (0 to dict.getMaxId).map(d)
       }
       (values.distinct.toSeq, sawNull, None)
     } finally reader.close()
-  }
-
-  /** Raw dictionary values → a one-column DataFrame in the column's SPARK
-    * type (timestamps arrive as int64 micros).
-    */
-  private def toDf(spark: SparkSession, values: Seq[Any], sawNull: Boolean,
-      column: String, sparkType: DataType): DataFrame = {
-    val converted: Seq[Any] = sparkType match {
-      case TimestampType | TimestampNTZType =>
-        values.map(v => java.time.Instant.EPOCH.plusNanos(v.asInstanceOf[Long] * 1000L))
-          .map(java.sql.Timestamp.from)
-      case _ => values
-    }
-    val all = if (sawNull) converted :+ null else converted
-    spark.createDataFrame(
-      all.map(v => Row(v)).asJava,
-      StructType(Seq(StructField(column, sparkType, nullable = true))))
-  }
-
-  private def listParquetFiles(spark: SparkSession, path: String): Seq[String] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def walk(dir: Path): Seq[String] =
-      fs.listStatus(dir).toSeq.flatMap { s =>
-        if (s.isDirectory) walk(s.getPath)
-        else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath.toString)
-        else Nil
-      }
-    if (fs.getFileStatus(p).isFile) Seq(path) else walk(p)
   }
 }

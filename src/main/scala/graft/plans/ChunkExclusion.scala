@@ -91,6 +91,7 @@ object ChunkExclusion extends Rule[LogicalPlan] {
       val h = Murmur3Hash(Seq(lit), 42).eval(null).asInstanceOf[Int]
       ((h % nParts) + nParts) % nParts
     }.distinct
+    if (buckets.size >= nParts) return None // nothing to exclude
     Some(In(sAttr, buckets.map(b => typed(b.toLong, sAttr))))
   }
 

@@ -352,15 +352,36 @@ class Hypertable private (
         "write through the hypertable instead for space-partitioned tables")
     require(!showChunks().exists(c => c.startMicros < endMicros && c.endMicros > startMicros),
       s"range [$startMicros,$endMicros) overlaps an existing chunk")
-    val (mn, mx) = graft.operators.Stats.minMax(spark, srcPath, timeCol) match {
-      case (Some(a: java.lang.Long), Some(b: java.lang.Long)) => (a.toLong, b.toLong)
+    // range validation per dimension kind — the CHECK-constraint analogue.
+    // An external backfill may carry any parquet time encoding (millis/ns/
+    // NTZ), so the timestamp path aggregates through Spark's reader
+    // (annotation-aware) rather than trusting raw footer longs; bigint
+    // dims CAN use raw footer stats (values are the units). One-column
+    // min/max with pushdown — attach stays rename-cheap.
+    val inRange = timeKind match {
+      case "bigint" =>
+        val (mn, mx) = graft.operators.Stats.minMax(spark, srcPath, timeCol) match {
+          case (Some(a: java.lang.Long), Some(b: java.lang.Long)) => (a.toLong, b.toLong)
+          case _ =>
+            val r = spark.read.parquet(srcPath)
+              .agg(min(col(timeCol)), max(col(timeCol))).head()
+            (r.getLong(0), r.getLong(1))
+        }
+        (mn >= startMicros && mx < endMicros, s"[$mn,$mx]")
+      case "uuidv7" => // v7 strings sort by embedded time; compare boundaries
+        val r = spark.read.parquet(srcPath)
+          .agg(min(col(timeCol)), max(col(timeCol))).head()
+        val (mn, mx) = (r.getString(0), r.getString(1))
+        (mn >= boundaryUuid(startMicros) && mx < boundaryUuid(endMicros), s"[$mn,$mx]")
       case _ =>
         val r = spark.read.parquet(srcPath)
-          .agg(unix_micros(min(col(timeCol))), unix_micros(max(col(timeCol)))).head()
-        (r.getLong(0), r.getLong(1))
+          .agg(unix_micros(min(col(timeCol)).cast("timestamp")),
+            unix_micros(max(col(timeCol)).cast("timestamp"))).head()
+        (r.getLong(0) >= startMicros && r.getLong(1) < endMicros,
+          s"[${r.getLong(0)},${r.getLong(1)}]")
     }
-    require(mn >= startMicros && mx < endMicros,
-      s"data [$mn,$mx] outside declared range [$startMicros,$endMicros) — " +
+    require(inRange._1,
+      s"data ${inRange._2} outside declared range [$startMicros,$endMicros) — " +
         "chunk exclusion would silently drop those rows")
     val target = new Path(path, s"$CHUNK=$startMicros")
     require(!fs.exists(target), s"chunk dir $target already exists")
