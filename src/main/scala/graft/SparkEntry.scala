@@ -826,6 +826,45 @@ object SparkEntry {
         .orderBy("month", "fortnight", "o_orderstatus")
     }),
 
+    // §2.10 Structured Streaming end-to-end in the correctness gate: the
+    // events table replayed as a FILE STREAM (AvailableNow trigger, real
+    // state store + checkpoint) through a windowed aggregation must
+    // produce byte-identical results to the batch oracle — the streaming
+    // path is not a separate semantics.
+    "q62_stream_agg" -> ((s, dir) => {
+      Graft.init(s)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file stream source needs a DIRECTORY; hard-link the fixture in
+      // (zero-copy) with a copy fallback for cross-device paths
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      val link = streamDir.resolve("events.parquet")
+      try java.nio.file.Files.createLink(link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), link)
+      }
+      val raw = s.readStream.schema(schema).parquet(streamDir.toString)
+      val ev =
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val agg = ev
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"))
+      val qname = "graft_q62_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
+      val query = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      query.awaitTermination()
+      s.table(qname)
+        .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("ws", "event_type")
+    }),
+
     // §2.1 ColumnarIndexScan: min/max answered from footer statistics only.
     "q29_stats_minmax" -> ((s, dir) => {
       import s.implicits._
@@ -1454,6 +1493,12 @@ object SparkEntry {
         | time_bucket(INTERVAL '14 days', CAST(o_orderdate AS DATE)) AS fortnight,
         | o_orderstatus, COUNT(*) AS n
         |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q62_stream_agg" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q32_stats_spread" ->
       """SELECT event_type, COUNT(*) AS n,
