@@ -865,6 +865,24 @@ object SparkEntry {
         .orderBy("ws", "event_type")
     }),
 
+    // §2.3 range (interval-containment) join: clicks landing inside the
+    // hour after a same-user purchase — bucketed equi-join (interval
+    // exploded onto the bucket grid, point bucketed, residual predicate),
+    // never an inequality-only join (which would plan BNL at scale).
+    "q63_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("p_end"))
+      Joins.rangeJoin(clicks, purch, Seq("user_id"), "ts", "p_start", "p_end",
+          1800000000L)
+        .select("click_id", "purchase_id", "user_id", "ts", "p_start")
+        .orderBy("click_id", "purchase_id")
+    }),
+
     // §2.1 ColumnarIndexScan: min/max answered from footer statistics only.
     "q29_stats_minmax" -> ((s, dir) => {
       import s.implicits._
@@ -1499,6 +1517,16 @@ object SparkEntry {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q63_range_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        | CAST(c.ts AS TIMESTAMP) AS ts, CAST(p.ts AS TIMESTAMP) AS p_start
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+        | AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP) + INTERVAL '1 hour'
+        |ORDER BY 1, 2""".stripMargin,
 
     "q32_stats_spread" ->
       """SELECT event_type, COUNT(*) AS n,
