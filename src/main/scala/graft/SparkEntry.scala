@@ -252,7 +252,8 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_big_q").toString
       val ht = Hypertable.create(s, s"$tmp/ht", "ts_us",
         chunkWidth = (7L * 86400000000L).toString, timeKind = "bigint")
-      ht.write(t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts"))).drop("ts"))
+      ht.write(t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts"))).drop("ts"),
+        filesPerChunk = 8)
       ht.between(1704672000000000L, 1705881600000000L) // [2024-01-08, 2024-01-22)
         .groupBy(gf.time_bucket(lit(86400000000L), col("ts_us")).as("day_us"), col("event_type"))
         .agg(count(lit(1)).as("n"))

@@ -33,10 +33,28 @@ trait NullSafeEvalCodegen extends UnaryExpression {
       val arg = if (childJava == childBoxed) c else s"$childBoxed.valueOf($c)"
       val javaType = CodeGenerator.javaType(dataType)
       val boxed = CodeGenerator.boxedType(dataType)
-      if (javaType == boxed)
-        s"${ev.value} = ($boxed) $ref.evalChild($arg);"
-      else // primitive result: unbox (e.g. Long → long)
-        s"${ev.value} = (($boxed) $ref.evalChild($arg)).${javaType}Value();"
+      val tmp = ctx.freshName("graftEval")
+      // nullSafeEval may itself return null for a non-null input; mirror
+      // interpreted eval by propagating it to ev.isNull instead of NPEing
+      // on the unbox. When nullable=false, ev.isNull is the literal `false`
+      // (not assignable) — there the non-null contract genuinely holds.
+      val unboxed =
+        if (javaType == boxed) s"($boxed) $tmp"
+        else s"(($boxed) $tmp).${javaType}Value()"
+      if (nullable)
+        s"""
+           |Object $tmp = $ref.evalChild($arg);
+           |if ($tmp == null) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $unboxed;
+           |}
+         """.stripMargin
+      else
+        s"""
+           |Object $tmp = $ref.evalChild($arg);
+           |${ev.value} = $unboxed;
+         """.stripMargin
     })
   }
 }

@@ -79,18 +79,85 @@ object Gapfill {
     */
   val FILLED = "_gf_filled"
 
+  /** Single-pass formulation: the aggregate is consumed ONCE. A
+    * spine × left-join design needs the distinct group keys first, which
+    * re-aggregates `agg` — Catalyst column-prunes that second subtree
+    * differently, so ReuseExchange does NOT deduplicate it and the raw
+    * table feeding the aggregation is scanned twice (the dominant cost at
+    * scale). Here each aggregated row instead covers the spine span
+    * `[own bucket, next bucket)` (plus `[start, first bucket)` for the
+    * first row of a group) via `lead`/`lag` over the group window and a
+    * bounded explode — one scan, one agg shuffle, one window sort over
+    * already-aggregated (small) data, no join.
+    *
+    * Groups are the keys present in `agg` WITHIN [start, finish) — with
+    * the reference's required time WHERE applied before aggregation
+    * (`gapfill_exec.c` expects bounded input) that is every group. Rows
+    * whose bucket is outside the window or off the `time_bucket(width,
+    * start)` grid are dropped, like the spine join they replace.
+    */
   def gapfill(agg: DataFrame, bucketCol: String, groupCols: Seq[String],
       startMicros: Long, finishMicros: Long, width: String): DataFrame = {
-    // dedup via groupBy (a logical Aggregate), not distinct(): this frame is
-    // re-injected by GapfillRewrite as an analyzed plan, and the Deduplicate
-    // node only exists post-optimizer
-    val groups = agg.groupBy(groupCols.map(col): _*).agg(count(lit(1)))
-      .select(groupCols.map(col): _*)
-    val sp = spine(groups, bucketCol, startMicros, finishMicros, width)
-    val P = "_gf_present"
-    sp.join(agg.withColumn(P, lit(true)), groupCols :+ bucketCol, "left")
-      .withColumn(FILLED, col(P).isNull)
-      .drop(P)
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(width))
+    val ts0 = TimeBucketUtil.bucketCalendarMicros(startMicros, iv, TimeBucketUtil.SENTINEL)
+    val w = iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds
+    val monthly = iv.months != 0
+    val valueCols = agg.columns.filterNot(c => groupCols.contains(c) || c == bucketCol).toSeq
+
+    val B = "_gf_b" // row's own bucket, µs
+    val win = Window.partitionBy(groupCols.map(col): _*).orderBy(col(B))
+    val aligned =
+      if (monthly) graft.functions.time_bucket(width, col(bucketCol)) === col(bucketCol)
+      else (unix_micros(col(bucketCol)) - ts0) % w === 0
+    val rows = agg
+      .where(col(bucketCol) >= timestamp_micros(lit(ts0)) &&
+        col(bucketCol) < timestamp_micros(lit(finishMicros)) && aligned)
+      .withColumn(B, unix_micros(col(bucketCol)))
+    // coverage ranges, inclusive µs bounds: head (first row only), self, gap.
+    // Window results materialize as columns first — generators (explode)
+    // cannot contain window expressions.
+    val FIRST = "_gf_first"; val GAPEND = "_gf_gapend"
+    val winCols = rows
+      .withColumn(FIRST, lag(col(B), 1).over(win).isNull)
+      .withColumn(GAPEND, coalesce(lead(col(B), 1).over(win), lit(finishMicros)) - 1)
+    val lo = "lo"; val hi = "hi"
+    def range(l: Column, h: Column) = struct(l.as(lo), h.as(hi))
+    val headLo = when(col(FIRST), lit(ts0)).otherwise(lit(Long.MaxValue))
+    val stepNext: Column => Column = // start of the bucket after b
+      if (monthly) b => unix_micros(timestamp_micros(b) + expr(s"INTERVAL '$width'"))
+      else b => b + w
+    val ranges = filter(
+      array(range(headLo, col(B) - 1), range(col(B), col(B)),
+        range(stepNext(col(B)), col(GAPEND))),
+      r => r(hi) >= r(lo))
+    val GB = "_gf_gb"
+    val exploded =
+      if (monthly) {
+        // calendar widths: spine is small by construction (a century of
+        // month buckets = 1200) — flatten to the bucket list directly
+        val buckets = flatten(transform(ranges, r => transform(
+          sequence(timestamp_micros(r(lo)), timestamp_micros(r(hi)),
+            expr(s"INTERVAL '$width'")),
+          t => unix_micros(t))))
+        winCols.withColumn(GB, explode(buckets))
+      } else {
+        // fixed widths: two-level (segment starts, then buckets within the
+        // segment) so one sparse group's gap never materializes an
+        // unbounded array in a single row
+        val segW = w * MaxSpineSegment
+        val SEG = "_gf_seg"
+        val segs = flatten(transform(ranges, r => transform(
+          sequence(r(lo), r(hi), lit(segW)),
+          s => range(s, least(s + lit(segW - 1), r(hi))))))
+        winCols.withColumn(SEG, explode(segs))
+          .withColumn(GB, explode(sequence(col(SEG)(lo), col(SEG)(hi), lit(w))))
+      }
+    val filledC = col(GB) =!= col(B)
+    exploded.select(
+      (groupCols.map(col) :+ timestamp_micros(col(GB)).as(bucketCol)) ++
+        valueCols.map(c => when(filledC, lit(null)).otherwise(col(c)).as(c)) :+
+        filledC.as(FILLED): _*)
   }
 
   /** Timezone-aware gapfill — `time_bucket_gapfill(width, ts, timezone)`

@@ -13,6 +13,14 @@ import graft.sources.{Columnstore, Hypertable, Policies}
   */
 object Info {
 
+  /** Micros → Timestamp keeping sub-millisecond precision; floorDiv so
+    * pre-1970 boundaries don't shift by 1 ms under toward-zero division.
+    */
+  private def microsToTimestamp(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      java.lang.Math.floorDiv(us, 1000000L),
+      java.lang.Math.floorMod(us, 1000000L) * 1000L))
+
   /** timescaledb_information.hypertables (`sql/views.sql:9-52`). */
   def hypertables(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
@@ -39,8 +47,8 @@ object Info {
     ht.showChunks().map { c =>
       (ht.path, c.path.substring(c.path.lastIndexOf('/') + 1),
         ht.timeCol, ht.timeKind,
-        if (integral) None else Some(new java.sql.Timestamp(c.startMicros / 1000)),
-        if (integral) None else Some(new java.sql.Timestamp(c.endMicros / 1000)),
+        if (integral) None else Some(microsToTimestamp(c.startMicros)),
+        if (integral) None else Some(microsToTimestamp(c.endMicros)),
         if (integral) Some(c.startMicros) else None,
         if (integral) Some(c.endMicros) else None,
         Columnstore.isCompressed(ht.spark, c.path))

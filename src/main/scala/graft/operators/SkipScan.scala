@@ -92,8 +92,13 @@ object SkipScan {
       case (PrimitiveTypeName.INT64, TimestampType) => ann match {
         case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
             if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS && t.isAdjustedToUTC =>
-          Some(d => i => java.sql.Timestamp.from(
-            java.time.Instant.EPOCH.plusNanos(d.decodeToLong(i) * 1000L)))
+          Some(d => i => {
+            // micros*1000 would overflow Long past ~2262; split sec/nanos
+            val us = d.decodeToLong(i)
+            java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+              java.lang.Math.floorDiv(us, 1000000L),
+              java.lang.Math.floorMod(us, 1000000L) * 1000L))
+          })
         case _ => None // millis/nanos or NTZ: scan instead of guessing units
       }
       case _ => None

@@ -250,11 +250,18 @@ class Hypertable private (
     * data. The merged dir keeps the earlier start; its `_range` records the
     * combined end.
     */
-  def mergeChunks(startA: Long, startB: Long): ChunkInfo = {
+  def mergeChunks(startA: Long, startB: Long,
+      targetFileBytes: Long = 128L << 20): ChunkInfo = {
     val Seq(a, b) = Seq(chunkAt(startA), chunkAt(startB)).sortBy(_.startMicros)
     require(a.endMicros == b.startMicros,
       s"chunks must be adjacent: [${a.startMicros},${a.endMicros}) / [${b.startMicros},${b.endMicros})")
-    val rows = chunkRows(a).unionByName(chunkRows(b)).coalesce(1)
+    // size the output file count from the combined bytes (~targetFileBytes
+    // each): merging two 100 GB chunks must not funnel through one task
+    val bytes = fs.getContentSummary(new Path(a.path)).getLength +
+      fs.getContentSummary(new Path(b.path)).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes.toDouble).toInt)
+    val union = chunkRows(a).unionByName(chunkRows(b))
+    val rows = if (nFiles == 1) union.coalesce(1) else union.repartition(nFiles)
     rewriteChunkDir(a.startMicros, b.endMicros, rows)
     fs.delete(new Path(b.path), true)
     ChunkInfo(a.startMicros, b.endMicros, a.path)
@@ -352,6 +359,10 @@ class Hypertable private (
         "write through the hypertable instead for space-partitioned tables")
     require(!showChunks().exists(c => c.startMicros < endMicros && c.endMicros > startMicros),
       s"range [$startMicros,$endMicros) overlaps an existing chunk")
+    // an empty source would make every min/max aggregate below null — fail
+    // with a clear message instead of an NPE on the aggregate row
+    require(!spark.read.parquet(srcPath).isEmpty,
+      s"source chunk $srcPath is empty — nothing to attach")
     // range validation per dimension kind — the CHECK-constraint analogue.
     // An external backfill may carry any parquet time encoding (millis/ns/
     // NTZ), so the timestamp path aggregates through Spark's reader

@@ -268,7 +268,13 @@ class ContinuousAggregate(
     // cannot collide, and a re-run of the SAME window reuses (overwrites)
     // its own leftover dir instead of orphaning it
     val tmp = matPath.stripSuffix("/") + s"__refresh_tmp_${s}_$e"
-    combined.repartition(col(MATCHUNK))
+    // salt the mat-chunk shuffle like Hypertable.write: plain
+    // repartition(_mat_chunk) funnels every row of a chunk through ONE
+    // writer task — a refresh touching few chunks on many cores serializes.
+    // Deterministic row-hash salt (shuffle exprs can't be nondeterministic);
+    // 8 writer tasks per mat chunk.
+    val salt = pmod(hash(combined.columns.map(col): _*), lit(8))
+    combined.repartition(col(MATCHUNK), salt)
       .write.mode(SaveMode.Overwrite).partitionBy(MATCHUNK).parquet(tmp)
     val tmpDirs = fs.listStatus(new Path(tmp)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$MATCHUNK="))
