@@ -884,6 +884,29 @@ object SparkEntry {
         .orderBy("click_id", "purchase_id")
     }),
 
+    // §2.2 enable_chunk_skipping (`sql/ddl_api.sql:147-160`,
+    // `src/ts_catalog/chunk_column_stats.c`): per-chunk min/max ranges of a
+    // NON-partition bigint column (a serial-ish sequence id, correlated
+    // with ingest time but not a dimension) prune chunks on a range
+    // predicate before any file listing — the plan shape is asserted in
+    // HypertableSpec; this gates the answers through the pruned path.
+    "q64_chunk_skip" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      Graft.init(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_skip_q").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
+      ht.write(t(s, dir, "events")
+        .withColumn("seq", expr("unix_micros(ts) div 1000 + user_id % 1000")),
+        filesPerChunk = 8)
+      ht.enableChunkSkipping("seq")
+      ht.read()
+        .where(col("seq") >= lit(1704844800000L) && col("seq") < lit(1705017600000L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // §2.1 ColumnarIndexScan: min/max answered from footer statistics only.
     "q29_stats_minmax" -> ((s, dir) => {
       import s.implicits._
@@ -1528,6 +1551,14 @@ object SparkEntry {
         | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
         | AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP) + INTERVAL '1 hour'
         |ORDER BY 1, 2""".stripMargin,
+
+    "q64_chunk_skip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM (SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) // 1000 + user_id % 1000 AS seq
+        |      FROM events)
+        |WHERE seq >= 1704844800000 AND seq < 1705017600000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q32_stats_spread" ->
       """SELECT event_type, COUNT(*) AS n,

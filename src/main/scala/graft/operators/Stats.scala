@@ -170,6 +170,128 @@ object Stats {
     }
   }
 
+  /** Per-column value range of every parquet file under `path`, normalized
+    * for chunk skipping (`chunk_column_stats.c` analogue): INT32/INT64
+    * (ints, dates-as-days) → Long, timestamp annotations → Long MICROS
+    * regardless of the file's unit, FLOAT/DOUBLE → Double. Values are
+    * `java.lang.Long`/`java.lang.Double`.
+    *
+    * Three-state result per column, so pruning stays SOUND:
+    *  - absent from the map: some file carries no usable statistics for the
+    *    column (missing column, unsupported physical type like INT96, or a
+    *    writer that recorded none) — the range is unknown;
+    *  - `None`: the column is entirely null under `path`;
+    *  - `Some((min, max))`: non-null value range.
+    *
+    * Footers are read on the executors; the driver sees one merged map.
+    */
+  def columnRanges(spark: SparkSession, path: String,
+      columns: Seq[String]): Map[String, Option[(Any, Any)]] = {
+    if (columns.isEmpty) return Map.empty
+    val files = listParquetFiles(spark, path)
+    if (files.isEmpty) return columns.map(_ -> None).toMap
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val cols = columns.toIndexedSeq
+    // per file: col -> (outer None = unknown/poison, Some(None) = all null)
+    val merged = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map(f => fileColumnRanges(conf.value, f, cols))
+      .treeReduce { (a, b) =>
+        cols.map { c =>
+          val m = (a(c), b(c)) match {
+            case (None, _) | (_, None) => None // unknown poisons the merge
+            case (Some(x), Some(None)) => Some(x)
+            case (Some(None), Some(y)) => Some(y)
+            case (Some(Some((mn1, mx1))), Some(Some((mn2, mx2)))) =>
+              Some(Some((
+                if (cmpRange(mn1, mn2) <= 0) mn1 else mn2,
+                if (cmpRange(mx1, mx2) >= 0) mx1 else mx2)))
+          }
+          c -> m
+        }.toMap
+      }
+    merged.collect { case (c, Some(r)) => c -> r }
+  }
+
+  /** Exact same-type comparison (a Double key would lose precision on
+    * longs past 2^53 and could pick the wrong endpoint).
+    */
+  private def cmpRange(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long)     => java.lang.Long.compare(x, y)
+    case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
+    case _ => throw new IllegalStateException(s"mixed range value types: $a / $b")
+  }
+
+  private def fileColumnRanges(conf: Configuration, file: String,
+      cols: Seq[String]): Map[String, Option[Option[(Any, Any)]]] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      cols.map { c =>
+        val perRg = r.getRowGroups.asScala.map { rg =>
+          rg.getColumns.asScala.find(_.getPath.toDotString == c) match {
+            case None => None // column absent in this file: range unknown
+            case Some(cc) =>
+              val s = cc.getStatistics
+              if (s == null || s.isEmpty) None
+              else if (!s.hasNonNullValue) {
+                // usable stats but zero non-null values -> genuinely all null
+                if (s.getNumNulls == rg.getRowCount) Some(None) else None
+              } else {
+                val pt = cc.getPrimitiveType
+                val ann = pt.getLogicalTypeAnnotation
+                def tsUnitToMicros(v: Long, u: LogicalTypeAnnotation.TimeUnit): Long = u match {
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
+                  case LogicalTypeAnnotation.TimeUnit.MICROS => v
+                  case LogicalTypeAnnotation.TimeUnit.NANOS  => Math.floorDiv(v, 1000L)
+                }
+                (pt.getPrimitiveTypeName, ann) match {
+                  case (PrimitiveTypeName.INT64,
+                      t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+                    Some(Some((
+                      java.lang.Long.valueOf(tsUnitToMicros(
+                        s.genericGetMin.asInstanceOf[Long], t.getUnit)): Any,
+                      java.lang.Long.valueOf(tsUnitToMicros(
+                        s.genericGetMax.asInstanceOf[Long], t.getUnit)): Any)))
+                  case (PrimitiveTypeName.INT64, null) |
+                       (PrimitiveTypeName.INT64, _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) =>
+                    Some(Some((
+                      java.lang.Long.valueOf(s.genericGetMin.asInstanceOf[Long]): Any,
+                      java.lang.Long.valueOf(s.genericGetMax.asInstanceOf[Long]): Any)))
+                  case (PrimitiveTypeName.INT32, null) |
+                       (PrimitiveTypeName.INT32, _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) |
+                       (PrimitiveTypeName.INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+                    Some(Some((
+                      java.lang.Long.valueOf(s.genericGetMin.asInstanceOf[Integer].longValue): Any,
+                      java.lang.Long.valueOf(s.genericGetMax.asInstanceOf[Integer].longValue): Any)))
+                  case (PrimitiveTypeName.DOUBLE, _) =>
+                    Some(Some((
+                      java.lang.Double.valueOf(s.genericGetMin.asInstanceOf[Double]): Any,
+                      java.lang.Double.valueOf(s.genericGetMax.asInstanceOf[Double]): Any)))
+                  case (PrimitiveTypeName.FLOAT, _) =>
+                    Some(Some((
+                      java.lang.Double.valueOf(s.genericGetMin.asInstanceOf[Float].doubleValue): Any,
+                      java.lang.Double.valueOf(s.genericGetMax.asInstanceOf[Float].doubleValue): Any)))
+                  case _ => None // INT96, BINARY, ...: no sound range
+                }
+              }
+          }
+        }
+        val m = perRg.foldLeft(Some(None): Option[Option[(Any, Any)]]) {
+          case (None, _) | (_, None) => None
+          case (Some(x), Some(None)) => Some(x)
+          case (Some(None), Some(y)) => Some(y)
+          case (Some(Some((mn1, mx1))), Some(Some((mn2, mx2)))) =>
+            Some(Some((
+              if (cmpRange(mn1, mn2) <= 0) mn1 else mn2,
+              if (cmpRange(mx1, mx2) >= 0) mx1 else mx2)))
+        }
+        c -> m
+      }.toMap
+    } finally r.close()
+  }
+
   private def comparableKey(v: Any): BigDecimal = v match {
     case l: java.lang.Long    => BigDecimal(l)
     case i: java.lang.Integer => BigDecimal(i.toInt)

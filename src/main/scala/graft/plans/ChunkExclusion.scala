@@ -50,10 +50,135 @@ object ChunkExclusion extends Rule[LogicalPlan] {
 
     val timeIn = timeFilter(cond, rel, reg)
     val spaceIn = spaceFilter(cond, rel, reg)
-    if (timeIn.isEmpty && spaceIn.isEmpty) return f
-    Filter((timeIn.toSeq ++ spaceIn.toSeq :+ cond).reduceLeft(And),
+    val statsIn = statsFilter(cond, rel, reg)
+    if (timeIn.isEmpty && spaceIn.isEmpty && statsIn.isEmpty) return f
+    Filter((timeIn.toSeq ++ spaceIn.toSeq ++ statsIn.toSeq :+ cond).reduceLeft(And),
       rel)
   }
+
+  /** `_chunk IN (...)` from range predicates on chunk-skipping columns —
+    * the reference's non-partition-column chunk exclusion
+    * (`sql/ddl_api.sql:147-160`, `src/ts_catalog/chunk_column_stats.c`):
+    * per-chunk recorded min/max ranges prune chunks on predicates over
+    * columns that are NOT a dimension, before any file listing. A chunk
+    * with no recorded range for the column is kept (unknown is safe); an
+    * all-null column can't satisfy a range predicate, so those chunks
+    * prune too.
+    */
+  private def statsFilter(cond: Expression, rel: LogicalRelation,
+      reg: Hypertable.ExclusionInfo): Option[Expression] = {
+    val chunkAttr = rel.output.find(_.name == Hypertable.CHUNK).getOrElse(return None)
+    if (cond.references.contains(chunkAttr)) return None // already excluded
+    val cat = reg.skipStats()
+    if (cat.isEmpty) return None
+    val skipCols = cat.valuesIterator.flatMap(_.keysIterator).toSet
+    val chunks = reg.chunks()
+    var hits = chunks.map(_.startMicros).toSet
+    var bounded = false
+    for (name <- skipCols; attr <- rel.output.find(_.name == name);
+         isFloat <- statsDomain(attr.dataType);
+         bs <- literalBounds(cond, attr, isFloat)) {
+      bounded = true
+      val (lo, hi) = bs
+      hits = hits.filter { start =>
+        cat.get(start).flatMap(_.get(name)) match {
+          case None             => true  // no recorded range: keep
+          case Some(None)       => false // all-null chunk: range pred can't match
+          case Some(Some((mn, mx))) => rangeHits(isFloat, mn, mx, lo, hi)
+        }
+      }
+    }
+    if (!bounded || hits.size == chunks.size) return None
+    Some(
+      if (hits.isEmpty) Literal(false)
+      else In(chunkAttr,
+        chunks.filter(c => hits(c.startMicros)).map(c => typed(c.startMicros, chunkAttr))))
+  }
+
+  /** The stats comparison domain of a column type: Some(false) = long,
+    * Some(true) = double, None = unsupported (no pruning). Must agree with
+    * how [[graft.operators.Stats.columnRanges]] normalizes footer values.
+    */
+  private def statsDomain(dt: org.apache.spark.sql.types.DataType): Option[Boolean] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType => Some(false)
+      case FloatType | DoubleType => Some(true)
+      case _ => None
+    }
+  }
+
+  /** Catalyst-internal literal value → stats domain (Long or Double). */
+  private def toDomain(v: Any, isFloat: Boolean): Any =
+    if (isFloat) java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue)
+    else java.lang.Long.valueOf(v.asInstanceOf[Number].longValue)
+
+  private def cmpDomain(a: Any, b: Any, isFloat: Boolean): Int =
+    if (isFloat) java.lang.Double.compare(a.asInstanceOf[java.lang.Double],
+      b.asInstanceOf[java.lang.Double])
+    else java.lang.Long.compare(a.asInstanceOf[java.lang.Long],
+      b.asInstanceOf[java.lang.Long])
+
+  /** Keep the chunk iff some value in [mn, mx] can satisfy the bounds. */
+  private def rangeHits(isFloat: Boolean, mn: Any, mx: Any,
+      lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)]): Boolean = {
+    val loOk = lo.forall { case (v, strict) =>
+      val c = cmpDomain(mx, v, isFloat); if (strict) c > 0 else c >= 0
+    }
+    val hiOk = hi.forall { case (v, strict) =>
+      val c = cmpDomain(mn, v, isFloat); if (strict) c < 0 else c <= 0
+    }
+    loOk && hiOk
+  }
+
+  /** ((lo, strict), (hi, strict)) bounds pinned on `a` by top-level
+    * conjuncts, in the stats domain; None when no conjunct constrains it.
+    */
+  private def literalBounds(cond: Expression, a: Attribute, isFloat: Boolean)
+      : Option[(Option[(Any, Boolean)], Option[(Any, Boolean)])] = {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    var lo: Option[(Any, Boolean)] = None
+    var hi: Option[(Any, Boolean)] = None
+    def tightenLo(v: Any, strict: Boolean): Unit = {
+      val d = toDomain(v, isFloat)
+      if (lo.forall { case (c, s) =>
+        val r = cmpDomain(d, c, isFloat); r > 0 || (r == 0 && strict && !s) }) lo = Some((d, strict))
+    }
+    def tightenHi(v: Any, strict: Boolean): Unit = {
+      val d = toDomain(v, isFloat)
+      if (hi.forall { case (c, s) =>
+        val r = cmpDomain(d, c, isFloat); r < 0 || (r == 0 && strict && !s) }) hi = Some((d, strict))
+    }
+    conjuncts(cond).foreach {
+      case GreaterThan(x: Attribute, Literal(v, _)) if v != null && x.semanticEquals(a) => tightenLo(v, true)
+      case GreaterThanOrEqual(x: Attribute, Literal(v, _)) if v != null && x.semanticEquals(a) => tightenLo(v, false)
+      case LessThan(x: Attribute, Literal(v, _)) if v != null && x.semanticEquals(a) => tightenHi(v, true)
+      case LessThanOrEqual(x: Attribute, Literal(v, _)) if v != null && x.semanticEquals(a) => tightenHi(v, false)
+      case GreaterThan(Literal(v, _), x: Attribute) if v != null && x.semanticEquals(a) => tightenHi(v, true)
+      case GreaterThanOrEqual(Literal(v, _), x: Attribute) if v != null && x.semanticEquals(a) => tightenHi(v, false)
+      case LessThan(Literal(v, _), x: Attribute) if v != null && x.semanticEquals(a) => tightenLo(v, true)
+      case LessThanOrEqual(Literal(v, _), x: Attribute) if v != null && x.semanticEquals(a) => tightenLo(v, false)
+      case EqualTo(x: Attribute, Literal(v, _)) if v != null && x.semanticEquals(a) =>
+        tightenLo(v, false); tightenHi(v, false)
+      case EqualTo(Literal(v, _), x: Attribute) if v != null && x.semanticEquals(a) =>
+        tightenLo(v, false); tightenHi(v, false)
+      case In(x: Attribute, vs) if x.semanticEquals(a) && vs.nonEmpty &&
+          vs.forall(e => e.isInstanceOf[Literal] && e.asInstanceOf[Literal].value != null) =>
+        val ds = vs.map(e => toDomain(e.asInstanceOf[Literal].value, isFloat))
+        tightenLo(ds.minBy(d => d)(domainOrdering(isFloat)), false)
+        tightenHi(ds.maxBy(d => d)(domainOrdering(isFloat)), false)
+      case _ => ()
+    }
+    if (lo.isEmpty && hi.isEmpty) None else Some((lo, hi))
+  }
+
+  private def domainOrdering(isFloat: Boolean): Ordering[Any] =
+    (a: Any, b: Any) => cmpDomain(a, b, isFloat)
 
   /** `_chunk IN (...)` from time-column range predicates, or None. */
   private def timeFilter(cond: Expression, rel: LogicalRelation,

@@ -84,6 +84,9 @@ object Columnstore {
     range.foreach(end => Hypertable.writeRangeFile(fs, chunkP, end))
     val touch = fs.create(new Path(chunkP, MARKER), true)
     touch.close()
+    // the reference computes chunk-skipping column ranges at compress time
+    // (chunk_column_stats.c) — same here, from the fresh footers
+    Hypertable.refreshColStatsIfEnabled(spark, chunkPath)
     n
   }
 
@@ -109,6 +112,7 @@ object Columnstore {
     fs.delete(chunkP, true)
     fs.rename(tmp, chunkP)
     range.foreach(end => Hypertable.writeRangeFile(fs, chunkP, end))
+    Hypertable.refreshColStatsIfEnabled(spark, chunkPath)
     n
   }
 

@@ -103,7 +103,88 @@ class Hypertable private (
       if (filesPerChunk > 1) // deterministic row-hash salt (shuffle exprs can't be nondeterministic)
         out.repartition((keys :+ pmod(hash(df.columns.map(col): _*), lit(filesPerChunk))): _*)
       else out.repartition(keys: _*)
+    // with chunk skipping enabled the touched chunks' column ranges must be
+    // refreshed; derive the touched set from the batch BEFORE the write (one
+    // cheap map-side-combined distinct over the derived key — only paid when
+    // the feature is on)
+    val touched =
+      if (skipColumns.nonEmpty)
+        out.select(col(CHUNK)).distinct().collect().map(_.getLong(0)).toSeq
+      else Seq.empty
     routed.write.mode(mode).partitionBy(partCols: _*).parquet(path)
+    if (touched.nonEmpty)
+      refreshColumnStats(touched.map(s => new Path(path, s"$CHUNK=$s").toString))
+  }
+
+  /** enable_chunk_skipping (`sql/ddl_api.sql:147-160`, stats machinery
+    * `src/ts_catalog/chunk_column_stats.c`): track per-chunk min/max ranges
+    * for NON-partition columns so range predicates on them prune chunks at
+    * plan time — before any file listing or footer read. The reference
+    * restricts this to int/serial/timestamp-like columns; same here
+    * (numeric, timestamp, date — whatever parquet footer stats can order
+    * soundly).
+    *
+    * Ranges come from parquet footers (no data scan), are stored in the
+    * chunk catalog (`_graft_colstats`), and refresh on every path that
+    * changes a chunk's contents (write routing, compress/decompress,
+    * merge/split/update/delete rewrites, attach). A chunk with no recorded
+    * range for a column is never pruned on it — unknown stays safe.
+    */
+  def enableChunkSkipping(columns: String*): Unit = {
+    val cur = skipColumns
+    val add = columns.filterNot(cur.contains)
+    require(!columns.contains(timeCol),
+      s"$timeCol is the open dimension — chunk exclusion already prunes on it")
+    writeSkipCols(cur ++ add)
+    refreshColumnStats(showChunks().map(_.path))
+  }
+
+  /** disable_chunk_skipping (`sql/ddl_api.sql:162-174`). Stats files keep
+    * other columns' ranges; the dropped column's entries go stale and are
+    * simply no longer consulted (next refresh rewrites them).
+    */
+  def disableChunkSkipping(columns: String*): Unit =
+    writeSkipCols(skipColumns.filterNot(columns.contains))
+
+  /** Columns with chunk-skipping ranges enabled (ddl_api's
+    * chunk_column_stats catalog entries).
+    */
+  def skipColumns: Seq[String] = {
+    val f = new Path(path, SKIPCOLS)
+    if (!fs.exists(f)) Seq.empty
+    else Hypertable.readSmallFile(fs, f).split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private def writeSkipCols(cols: Seq[String]): Unit = {
+    val out = fs.create(new Path(path, SKIPCOLS), true)
+    out.write(cols.mkString("\n").getBytes("UTF-8")); out.close()
+  }
+
+  /** Recompute and persist the skip-column ranges of the given chunk dirs
+    * from their parquet footers (executor-side; no data read).
+    */
+  private[graft] def refreshColumnStats(chunkPaths: Seq[String]): Unit = {
+    val cols = skipColumns
+    if (cols.isEmpty) return
+    graft.Par.foreach(chunkPaths) { cp =>
+      if (fs.exists(new Path(cp)))
+        Hypertable.writeColStatsFile(fs, new Path(cp),
+          graft.operators.Stats.columnRanges(spark, cp, cols))
+    }
+  }
+
+  /** The chunk-skipping catalog: chunk start → column → recorded range
+    * (None = column all-null in that chunk; absent = no sound range).
+    */
+  def columnStatsCatalog(): Map[Long, Map[String, Option[(Any, Any)]]] = {
+    // gate on the CURRENT enabled list: stats files persist across
+    // disable_chunk_skipping, but a disabled column must not prune
+    val enabled = skipColumns.toSet
+    if (enabled.isEmpty) return Map.empty
+    showChunks().flatMap { c =>
+      Hypertable.readColStatsFile(fs, new Path(c.path))
+        .map(m => c.startMicros -> m.filter { case (k, _) => enabled(k) })
+    }.toMap
   }
 
   /** Full table read; `_chunk` (and `_space`) come back as partition cols.
@@ -113,7 +194,8 @@ class Hypertable private (
   def read(): DataFrame = {
     Hypertable.registerForExclusion(Hypertable.ExclusionInfo(
       qualifiedPath, timeCol, () => showChunks(),
-      spaceCol.map(c => (c, spacePartitions))))
+      spaceCol.map(c => (c, spacePartitions)),
+      () => columnStatsCatalog()))
     spark.read.parquet(path)
   }
 
@@ -243,6 +325,7 @@ class Hypertable private (
     fs.delete(target, true)
     fs.rename(tmp, target)
     writeRange(target.toString, endMicros)
+    refreshColumnStats(Seq(target.toString))
   }
 
   /** merge_chunks (`sql/maintenance_utils.sql:8-30`): coalesce two ADJACENT
@@ -398,6 +481,7 @@ class Hypertable private (
     require(!fs.exists(target), s"chunk dir $target already exists")
     require(fs.rename(new Path(srcPath), target), s"rename $srcPath -> $target failed")
     writeRange(target.toString, endMicros)
+    refreshColumnStats(Seq(target.toString))
     ChunkInfo(startMicros, endMicros, target.toString)
   }
 
@@ -447,14 +531,73 @@ object Hypertable {
   val SPACE = "_space"
   private val META = "_graft_hypertable.json"
   private val RANGE = "_graft_range"
+  private[sources] val SKIPCOLS = "_graft_skipcols"
+  private val COLSTATS = "_graft_colstats"
 
   /** What [[graft.plans.ChunkExclusion]] needs to prune a hypertable scan:
     * the open-dimension column + chunk-catalog lister (listed fresh per
-    * query — plan-time exclusion must see current merges/splits/drops) and
-    * the optional closed dimension (column name, partition count).
+    * query — plan-time exclusion must see current merges/splits/drops),
+    * the optional closed dimension (column name, partition count), and the
+    * chunk-skipping column-range catalog (chunk start → column → range;
+    * range None = all-null column in that chunk).
     */
   case class ExclusionInfo(qualifiedPath: String, timeCol: String,
-      chunks: () => Seq[ChunkInfo], space: Option[(String, Int)])
+      chunks: () => Seq[ChunkInfo], space: Option[(String, Int)],
+      skipStats: () => Map[Long, Map[String, Option[(Any, Any)]]] = () => Map.empty)
+
+  /** Persist a chunk's skip-column ranges (TSV: one `col kind min max` row
+    * per column; kind `l` = long-domain, `d` = double-domain, `n` = all
+    * null). Columns with no sound range are omitted.
+    */
+  private[sources] def writeColStatsFile(fs: FileSystem, chunkDir: Path,
+      ranges: Map[String, Option[(Any, Any)]]): Unit = {
+    val lines = ranges.toSeq.sortBy(_._1).map {
+      case (c, None) => s"$c\tn"
+      case (c, Some((mn: java.lang.Long, mx: java.lang.Long))) => s"$c\tl\t$mn\t$mx"
+      case (c, Some((mn: java.lang.Double, mx: java.lang.Double))) => s"$c\td\t$mn\t$mx"
+      case (c, Some((mn, mx))) =>
+        throw new IllegalStateException(s"unexpected range types for $c: $mn/$mx")
+    }
+    val out = fs.create(new Path(chunkDir, COLSTATS), true)
+    out.write(lines.mkString("\n").getBytes("UTF-8")); out.close()
+  }
+
+  /** Refresh one chunk's skip-column ranges when its parent hypertable has
+    * chunk skipping enabled — for rewrite paths that only know the chunk
+    * dir (columnstore compress/decompress).
+    */
+  private[sources] def refreshColStatsIfEnabled(spark: SparkSession,
+      chunkPath: String): Unit = {
+    val chunkP = new Path(chunkPath)
+    val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val skipF = new Path(chunkP.getParent, SKIPCOLS)
+    if (!fs.exists(skipF)) return
+    val cols = readSmallFile(fs, skipF).split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    if (cols.nonEmpty)
+      writeColStatsFile(fs, chunkP,
+        graft.operators.Stats.columnRanges(spark, chunkPath, cols))
+  }
+
+  /** Read a chunk's recorded skip-column ranges; None = no catalog entry
+    * (chunk contents changed since stats were last computed, or skipping
+    * was never enabled) — such a chunk is never pruned on these columns.
+    */
+  private[graft] def readColStatsFile(fs: FileSystem,
+      chunkDir: Path): Option[Map[String, Option[(Any, Any)]]] = {
+    val f = new Path(chunkDir, COLSTATS)
+    if (!fs.exists(f)) return None
+    Some(readSmallFile(fs, f).split('\n').filter(_.nonEmpty).map { line =>
+      line.split('\t') match {
+        case Array(c, "n")         => c -> None
+        case Array(c, "l", mn, mx) =>
+          c -> Some((java.lang.Long.valueOf(mn): Any, java.lang.Long.valueOf(mx): Any))
+        case Array(c, "d", mn, mx) =>
+          c -> Some((java.lang.Double.valueOf(mn): Any, java.lang.Double.valueOf(mx): Any))
+        case other =>
+          throw new IllegalStateException(s"bad colstats line: $line")
+      }
+    }.toMap)
+  }
 
   private val exclusionRegistry =
     new java.util.concurrent.ConcurrentHashMap[String, ExclusionInfo]()

@@ -210,6 +210,67 @@ class HypertableSpec extends AnyFunSuite {
       total - h.between(c2.startMicros, h.showChunks().last.endMicros).count())
   }
 
+  test("chunk skipping prunes on non-partition-column ranges") {
+    val d = Files.createTempDirectory("graft_ht_skip").toString
+    val h = Hypertable.create(spark, s"$d/ht", "ts", chunkWidth = "7 days")
+    // serial-ish bigint: correlates with ingest time but is NOT a dimension
+    val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("seq", expr("unix_micros(ts) div 1000 + user_id % 1000"))
+    h.write(ev)
+    h.enableChunkSkipping("seq")
+    val nChunks = h.showChunks().size
+    assert(nChunks >= 4, s"need a multi-chunk table, got $nChunks")
+    assert(h.columnStatsCatalog().size === nChunks) // every chunk has a range
+    // seq window inside the [2024-01-08, 2024-01-15) chunk only
+    val lo = 1704844800000L // 2024-01-10 in ms-epoch seq units
+    val hi = 1705017600000L // 2024-01-12
+    val df = h.read().where(col("seq") >= lo && col("seq") < hi)
+    val plan = df.queryExecution.executedPlan
+    val scan = plan.collectFirst { case f: FileSourceScanExec => f }.orElse(plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
+      case _ => None
+    }).get
+    val parts = scan.selectedPartitions.partitionCount
+    assert(parts === 1, s"expected 1 chunk to survive skipping, got $parts")
+    assert(df.count() === ev.where(col("seq") >= lo && col("seq") < hi).count())
+
+    // appends refresh the touched chunks' ranges: rows with far-future seq
+    // values land in an existing chunk, and a query on them still finds them
+    val extra = ev.where(col("ts") >= lit("2024-01-10") && col("ts") < lit("2024-01-11"))
+      .withColumn("seq", col("seq") + lit(10_000_000_000_000L))
+    h.write(extra)
+    val df2 = h.read().where(col("seq") >= lit(10_000_000_000_000L))
+    assert(df2.count() === extra.count())
+
+    // disable: the predicate no longer prunes
+    h.disableChunkSkipping("seq")
+    val df3 = h.read().where(col("seq") >= lo && col("seq") < hi)
+    val plan3 = df3.queryExecution.executedPlan
+    val scan3 = plan3.collectFirst { case f: FileSourceScanExec => f }.orElse(plan3 match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
+      case _ => None
+    }).get
+    assert(scan3.selectedPartitions.partitionCount === nChunks)
+  }
+
+  test("mergeChunks sizes output files from combined bytes (no single-task funnel)") {
+    val d = Files.createTempDirectory("graft_ht_mergesize").toString
+    val h = Hypertable.create(spark, s"$d/ht", "ts", chunkWidth = "1 day")
+    h.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val Seq(c1, c2) = h.showChunks().take(2)
+    val total = h.read().count()
+    // a tiny per-file budget forces the size-based path to fan out
+    val merged = h.mergeChunks(c1.startMicros, c2.startMicros, targetFileBytes = 1024)
+    val p = new org.apache.hadoop.fs.Path(merged.path)
+    val files = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p).map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+    assert(files.length > 1, s"expected multi-file merge output, got ${files.length}")
+    assert(h.read().count() === total)
+  }
+
   test("bigint open dimension: integer chunk routing and range pruning") {
     val d = Files.createTempDirectory("graft_ht_big").toString
     val h = Hypertable.create(spark, s"$d/ht", "ts_us",
