@@ -155,6 +155,26 @@ object SparkEntry {
         .orderBy("event_type", "bucket")
     }),
 
+    // §2.8 interpolate prev/next seed points (`interpolate.c:184-216`,
+    // `sql/gapfill.sql`): the gapfill window deliberately extends beyond
+    // the data on both sides, so edge buckets have no real anchor and the
+    // lookup expressions supply the before/after points.
+    "q65_interpolate_seed" -> ((s, dir) => {
+      val (start, finish) = (1703894400000000L, 1706918400000000L) // 2023-12-30 .. 2024-02-03
+      val ev = t(s, dir, "events")
+        .where(col("ts") >= timestamp_micros(lit(start)) && col("ts") < timestamp_micros(lit(finish)))
+      val agg = ev
+        .groupBy(gf.time_bucket("1 hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(min(col("value")).as("min_value"))
+      Gapfill.gapfill(agg, "bucket", Seq("event_type"), start, finish, "1 hour")
+        .withColumn("interp_value",
+          Gapfill.interpolate(col("min_value"), Seq("event_type"), "bucket",
+            prev = Some((timestamp_micros(lit(start)), lit(0.0))),
+            next = Some((timestamp_micros(lit(finish)), lit(100.0)))))
+        .select("event_type", "bucket", "interp_value")
+        .orderBy("event_type", "bucket")
+    }),
+
     // §2.10 continuous aggregate: ingest raw → hypertable, materialize all
     // buckets, read back the mat table. Oracle = the direct aggregation.
     "q09_cagg_hourly" -> ((s, dir) => {
@@ -446,6 +466,35 @@ object SparkEntry {
       val daily = ContinuousAggregate.create(s, s"$tmp/daily", hourly.asSource, ddefn)
       daily.refresh(ddefn.bucketFloor(tmin), tmax + 86400000000L)
       daily.materialized.orderBy("bucket", "event_type")
+    }),
+
+    // §2.4/§2.10 generalized partial-state cagg (`tsl/src/continuous_aggs/
+    // finalize.c`): the hourly cagg stores finalizable components
+    // (n, Σx, Σx², min, max) in exact decimals; the daily cagg rolls the
+    // COMPONENTS up (associative merge), and avg/stddev/min/max finalize
+    // at query time — bit-identical to aggregating the raw rows directly.
+    "q66_cagg_partial_stats" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      import graft.streaming.{CaggDef, ContinuousAggregate, PartialAgg}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cagg_p").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
+      ht.write(t(s, dir, "events"), filesPerChunk = 8)
+      val hdefn = CaggDef("1 hour", Seq("event_type"),
+        PartialAgg.partials(col("value"), "v"))
+      val hourly = ContinuousAggregate.create(s, s"$tmp/hourly", ht, hdefn)
+      val (tmin, tmax) = timeRange(s, s"$tmp/ht", "ts")
+      hourly.refresh(hdefn.bucketFloor(tmin), tmax + 3600000000L)
+      val ddefn = CaggDef("1 day", Seq("event_type"), PartialAgg.rollup("v"))
+      val daily = ContinuousAggregate.create(s, s"$tmp/daily", hourly.asSource, ddefn)
+      daily.refresh(ddefn.bucketFloor(tmin), tmax + 86400000000L)
+      daily.materialized
+        .select(col("bucket"), col("event_type"),
+          PartialAgg.countOf("v").as("n"),
+          PartialAgg.avg("v").as("avg_v"),
+          PartialAgg.stddevSamp("v").as("stddev_v"),
+          PartialAgg.minOf("v").as("min_v"),
+          PartialAgg.maxOf("v").as("max_v"))
+        .orderBy("bucket", "event_type")
     }),
 
     // §2.4 time_bucket over UUIDv7 (the reference's uuid overloads): the
@@ -1551,6 +1600,52 @@ object SparkEntry {
         | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
         | AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP) + INTERVAL '1 hour'
         |ORDER BY 1, 2""".stripMargin,
+
+    "q65_interpolate_seed" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2023-12-30 00:00:00'
+        |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-03 00:00:00'),
+        |agg AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+        |         MIN(value) AS min_value
+        |  FROM ev GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT g.event_type, b.bucket
+        |  FROM (SELECT DISTINCT event_type FROM agg) g
+        |  CROSS JOIN (SELECT unnest(range(TIMESTAMP '2023-12-30 00:00:00',
+        |    TIMESTAMP '2024-02-03 00:00:00', INTERVAL '1 hour')) AS bucket) b),
+        |j AS (
+        |  SELECT s.event_type, s.bucket, epoch_us(s.bucket) AS x, a.min_value AS v
+        |  FROM spine s LEFT JOIN agg a USING (event_type, bucket)),
+        |w AS (
+        |  SELECT *,
+        |   COALESCE(last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER wp,
+        |            1703894400000000) AS p0x,
+        |   COALESCE(last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wp,
+        |            0.0) AS p0y,
+        |   COALESCE(first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER wn,
+        |            1706918400000000) AS p1x,
+        |   COALESCE(first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wn,
+        |            100.0) AS p1y
+        |  FROM j WINDOW
+        |   wp AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |   wn AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, bucket,
+        | CASE WHEN v IS NOT NULL THEN v
+        |      ELSE (p0y * CAST(p1x - x AS DOUBLE) + p1y * CAST(x - p0x AS DOUBLE))
+        |           / CAST(p1x - p0x AS DOUBLE) END AS interp_value
+        |FROM w ORDER BY 1, 2""".stripMargin,
+
+    "q66_cagg_partial_stats" ->
+      """SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS bucket,
+        | event_type, COUNT(value) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS avg_v,
+        | SQRT((CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |   - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value))
+        |   / (COUNT(value) - 1)) AS stddev_v,
+        | MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q64_chunk_skip" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -209,9 +209,16 @@ object Gapfill {
 
   /** Linear interpolation between the surrounding non-null points
     * (reference `interpolate.c:184-216`: `(y0(x1-x) + y1(x-x0))/(x1-x0)`).
-    * Outside the first/last non-null points the result stays null.
+    * Outside the first/last non-null points the result stays null — unless
+    * a `prev`/`next` seed supplies the lookup-before/after-window point
+    * (the reference's `interpolate(value, prev, next)` record arguments,
+    * `interpolate.c:184-216` + `sql/gapfill.sql`): each seed is a
+    * `(time, value)` pair consulted only when no real point exists on that
+    * side of the window.
     */
   def interpolate(value: Column, groupCols: Seq[String], bucketCol: String,
+      prev: Option[(Column, Column)] = None,
+      next: Option[(Column, Column)] = None,
       filledCol: String = FILLED): Column = {
     val wPrev = Window.partitionBy(groupCols.map(col): _*).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -219,8 +226,14 @@ object Gapfill {
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val x = unix_micros(col(bucketCol))
     val pt = when(value.isNotNull, struct(x.as("x"), value.as("y")))
-    val p0 = last(pt, ignoreNulls = true).over(wPrev)
-    val p1 = first(pt, ignoreNulls = true).over(wNext)
+    def seeded(anchor: Column, seed: Option[(Column, Column)]): Column =
+      seed match {
+        case Some((t, v)) =>
+          coalesce(anchor, struct(unix_micros(t).as("x"), v.as("y")))
+        case None => anchor
+      }
+    val p0 = seeded(last(pt, ignoreNulls = true).over(wPrev), prev)
+    val p1 = seeded(first(pt, ignoreNulls = true).over(wNext), next)
     // real rows keep their value (including real NULLs); only injected rows
     // interpolate, anchored on real non-null points
     when(!col(filledCol), value)

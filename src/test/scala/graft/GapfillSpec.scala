@@ -77,6 +77,22 @@ class GapfillSpec extends AnyFunSuite {
     assert(got === Seq(None, Some(2.0), Some(3.0), Some(4.0), None, None))
   }
 
+  test("interpolate prev/next seeds anchor the edges when no real point exists") {
+    val shifted = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 01:00:00"), 2.0),
+      ("a", Timestamp.valueOf("2024-01-01 03:00:00"), 4.0)).toDF("g", "bucket", "v")
+    // prev point at (t=-1h, 0.0), next at (t=+6h, 10.0): edge buckets draw
+    // the line to the seeds instead of staying null
+    val got = Gapfill.gapfill(shifted, "bucket", Seq("g"), start, finish, "1 hour")
+      .withColumn("i", Gapfill.interpolate($"v", Seq("g"), "bucket",
+        prev = Some((lit(Timestamp.valueOf("2023-12-31 23:00:00")), lit(0.0))),
+        next = Some((lit(Timestamp.valueOf("2024-01-01 06:00:00")), lit(10.0)))))
+      .orderBy("bucket").select("i").as[Double].collect().toSeq
+    // t0: between (-1h,0) and (1h,2) → 1.0; t4: between (3h,4) and (6h,10) → 6.0;
+    // t5: → 8.0; interior buckets use real anchors as before
+    assert(got === Seq(1.0, 2.0, 3.0, 4.0, 6.0, 8.0))
+  }
+
   test("locf carries real NULL values by default; treat_null_as_missing fills them") {
     // a real data row with a NULL value at t=3
     val withNull = Seq(
