@@ -85,14 +85,19 @@ object SparkEntry {
     }),
 
     // §2.4 first/last bookend aggregates over daily buckets.
+    // SQL path: `first(value, ts)` / `last(value, ts)` resolve through
+    // GraftExtensions' registered bookends (`sql/bookend.sql:50-59`) — the
+    // same surface a reference user writes — shadowing Spark's builtin
+    // first/last only for the 2-arg time-column shape.
     "q03_first_last" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(gf.time_bucket("1 day", col("ts")).as("day"), col("event_type"))
-        .agg(
-          gf.first(col("value"), col("ts")).as("first_value"),
-          gf.last(col("value"), col("ts")).as("last_value"),
-          count(lit(1)).as("n"))
-        .orderBy(col("day"), col("event_type"))
+      Graft.init(s)
+      t(s, dir, "events").createOrReplaceTempView("events_q03")
+      s.sql("""
+        SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
+               first(value, ts) AS first_value,
+               last(value, ts) AS last_value,
+               count(*) AS n
+        FROM events_q03 GROUP BY 1, 2 ORDER BY 1, 2""")
     }),
 
     // §2.4 histogram (rows form: one row per non-empty bucket).

@@ -28,7 +28,7 @@ object Info {
       val ht = Hypertable.at(spark, p)
       val chunks = ht.showChunks()
       (p, ht.timeCol, ht.timeKind,
-        1 + (if (ht.spaceCol.isDefined) 1 else 0),
+        1 + ht.spaceDims.size,
         chunks.size.toLong,
         chunks.count(c => Columnstore.isCompressed(spark, c.path)).toLong)
     }.toDF("hypertable_name", "primary_dimension", "primary_dimension_type",
@@ -65,10 +65,11 @@ object Info {
       if (integral) None else Some(ht.chunkWidthMicros),
       if (integral) Some(ht.chunkWidthMicros) else None,
       None: Option[Int])
-    val space = ht.spaceCol.map(sc =>
-      (ht.path, 2, sc, "hash", "Space", None: Option[Long], None: Option[Long],
-        Some(ht.spacePartitions)))
-    (Seq(time) ++ space.toSeq)
+    val space = ht.spaceDims.zipWithIndex.map { case ((sc, n, _), i) =>
+      (ht.path, i + 2, sc, "hash", "Space", None: Option[Long], None: Option[Long],
+        Some(n))
+    }
+    (Seq(time) ++ space)
       .toDF("hypertable_name", "dimension_number", "column_name",
         "column_type", "dimension_type", "time_interval_micros",
         "integer_interval", "num_partitions")

@@ -203,21 +203,29 @@ object ChunkExclusion extends Rule[LogicalPlan] {
       else In(chunkAttr, hits.map(c => typed(c.startMicros, chunkAttr))))
   }
 
-  /** `_space IN (...)` from space-column equality predicates, or None. */
+  /** `_spaceK IN (...)` from space-column equality predicates — one
+    * conjunct per constrained closed dimension (the hyperspace is 1..N
+    * dimensional, `src/dimension.h:89-97`; each prunes independently).
+    */
   private def spaceFilter(cond: Expression, rel: LogicalRelation,
       reg: Hypertable.ExclusionInfo): Option[Expression] = {
-    val (scName, nParts) = reg.space.getOrElse(return None)
-    val sAttr = rel.output.find(_.name == Hypertable.SPACE).getOrElse(return None)
-    if (cond.references.contains(sAttr)) return None // already excluded
-    val vAttr = rel.output.find(_.name == scName).getOrElse(return None)
-    val values = equalityValues(cond, vAttr).getOrElse(return None)
-    val buckets = values.map { lit =>
-      // the write path's pmod(hash(col), N): murmur3 with Spark's seed 42
-      val h = Murmur3Hash(Seq(lit), 42).eval(null).asInstanceOf[Int]
-      ((h % nParts) + nParts) % nParts
-    }.distinct
-    if (buckets.size >= nParts) return None // nothing to exclude
-    Some(In(sAttr, buckets.map(b => typed(b.toLong, sAttr))))
+    val filters = reg.spaces.flatMap { case (scName, nParts, partName) =>
+      (for {
+        sAttr <- rel.output.find(_.name == partName)
+        if !cond.references.contains(sAttr) // already excluded
+        vAttr <- rel.output.find(_.name == scName)
+        values <- equalityValues(cond, vAttr)
+      } yield {
+        val buckets = values.map { lit =>
+          // the write path's pmod(hash(col), N): murmur3 with Spark's seed 42
+          val h = Murmur3Hash(Seq(lit), 42).eval(null).asInstanceOf[Int]
+          ((h % nParts) + nParts) % nParts
+        }.distinct
+        if (buckets.size >= nParts) None // nothing to exclude
+        else Some(In(sAttr, buckets.map(b => typed(b.toLong, sAttr))))
+      }).flatten
+    }
+    filters.reduceLeftOption(And)
   }
 
   /** Literal values `a` is pinned to by a top-level conjunct (`a = v`,

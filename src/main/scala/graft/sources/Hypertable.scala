@@ -51,9 +51,27 @@ class Hypertable private (
       * the uuid's embedded timestamp; v7 strings sort by time, so range
       * predicates push down on the raw column).
       */
-    val timeKind: String = "timestamp") extends TimeSource {
+    val timeKind: String = "timestamp",
+    /** Additional closed dimensions beyond `spaceCol` — the reference's
+      * N-dimensional hyperspace (`add_dimension`, `sql/ddl_api.sql:115-143`;
+      * `Hyperspace` is explicitly 1..N dimensions, `src/dimension.h:89-97`).
+      * Each (column, partitions) pair becomes a further `_spaceK=` hash
+      * partition level, pruned independently by ChunkExclusion.
+      */
+    val extraSpace: Seq[(String, Int)] = Nil) extends TimeSource {
 
   import Hypertable._
+
+  require(extraSpace.isEmpty || spaceCol.isDefined,
+    "extra closed dimensions need a primary space dimension first")
+
+  /** All closed dimensions: (value column, partition count, partition
+    * directory column). The first keeps the legacy `_space` name; further
+    * dimensions are `_space1`, `_space2`, ...
+    */
+  def spaceDims: Seq[(String, Int, String)] =
+    spaceCol.map(sc => (sc, spacePartitions, SPACE)).toSeq ++
+      extraSpace.zipWithIndex.map { case ((c, n), i) => (c, n, s"$SPACE${i + 1}") }
 
   private def fs: FileSystem = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -92,12 +110,10 @@ class Hypertable private (
   def write(df: DataFrame, mode: SaveMode = SaveMode.Append,
       filesPerChunk: Int = 1): Unit = {
     var out = df.withColumn(CHUNK, chunkKey(col(timeCol)))
-    val partCols = spaceCol match {
-      case Some(sc) =>
-        out = out.withColumn(SPACE, pmod(hash(col(sc)), lit(spacePartitions)))
-        Seq(CHUNK, SPACE)
-      case None => Seq(CHUNK)
+    spaceDims.foreach { case (sc, n, pc) =>
+      out = out.withColumn(pc, pmod(hash(col(sc)), lit(n)))
     }
+    val partCols = CHUNK +: spaceDims.map(_._3)
     val keys = partCols.map(col)
     val routed =
       if (filesPerChunk > 1) // deterministic row-hash salt (shuffle exprs can't be nondeterministic)
@@ -194,7 +210,7 @@ class Hypertable private (
   def read(): DataFrame = {
     Hypertable.registerForExclusion(Hypertable.ExclusionInfo(
       qualifiedPath, timeCol, () => showChunks(),
-      spaceCol.map(c => (c, spacePartitions)),
+      spaceDims,
       () => columnStatsCatalog()))
     spark.read.parquet(path)
   }
@@ -320,7 +336,7 @@ class Hypertable private (
     // dot-prefixed: invisible to Spark's file index while in flight
     val tmp = new Path(path, s".tmp_chunk_$startMicros")
     var w = df.write.mode(SaveMode.Overwrite)
-    if (spaceCol.isDefined) w = w.partitionBy(SPACE)
+    if (spaceDims.nonEmpty) w = w.partitionBy(spaceDims.map(_._3): _*)
     w.parquet(tmp.toString)
     fs.delete(target, true)
     fs.rename(tmp, target)
@@ -537,12 +553,13 @@ object Hypertable {
   /** What [[graft.plans.ChunkExclusion]] needs to prune a hypertable scan:
     * the open-dimension column + chunk-catalog lister (listed fresh per
     * query — plan-time exclusion must see current merges/splits/drops),
-    * the optional closed dimension (column name, partition count), and the
+    * the closed dimensions (value column, partition count, partition
+    * directory column — 0..N of them, `src/dimension.h:89-97`), and the
     * chunk-skipping column-range catalog (chunk start → column → range;
     * range None = all-null column in that chunk).
     */
   case class ExclusionInfo(qualifiedPath: String, timeCol: String,
-      chunks: () => Seq[ChunkInfo], space: Option[(String, Int)],
+      chunks: () => Seq[ChunkInfo], spaces: Seq[(String, Int, String)],
       skipStats: () => Map[Long, Map[String, Option[(Any, Any)]]] = () => Map.empty)
 
   /** Persist a chunk's skip-column ranges (TSV: one `col kind min max` row
@@ -640,7 +657,8 @@ object Hypertable {
     */
   def create(spark: SparkSession, path: String, timeCol: String,
       chunkWidth: String = "7 days", spaceCol: Option[String] = None,
-      spacePartitions: Int = 4, timeKind: String = "timestamp"): Hypertable = {
+      spacePartitions: Int = 4, timeKind: String = "timestamp",
+      extraSpace: Seq[(String, Int)] = Nil): Hypertable = {
     require(Seq("timestamp", "bigint", "uuidv7").contains(timeKind),
       s"timeKind must be timestamp/bigint/uuidv7, got $timeKind")
     val (widthMicros, months) =
@@ -655,14 +673,18 @@ object Hypertable {
         (iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds, iv.months)
       }
     val ht = new Hypertable(spark, path, timeCol, widthMicros, spaceCol,
-      spacePartitions, chunkMonths = months, timeKind = timeKind)
+      spacePartitions, chunkMonths = months, timeKind = timeKind,
+      extraSpace = extraSpace)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(path))
+    val extraJson = extraSpace
+      .map { case (c, n) => "\"" + c + ":" + n + "\"" }.mkString("[", ",", "]")
     val meta = s"""{"timeCol":"$timeCol","timeKind":"$timeKind",""" +
       s""""chunkWidthMicros":$widthMicros,""" +
       s""""chunkMonths":$months,""" +
       s""""spaceCol":${spaceCol.map(c => "\"" + c + "\"").getOrElse("null")},""" +
-      s""""spacePartitions":$spacePartitions}"""
+      s""""spacePartitions":$spacePartitions,""" +
+      s""""extraSpace":$extraJson}"""
     val out = fs.create(new Path(path, META), true)
     out.write(meta.getBytes("UTF-8")); out.close()
     ht
@@ -684,9 +706,17 @@ object Hypertable {
       ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(meta).map(_.group(1).toLong).get
     val months = ("\"chunkMonths\":(-?\\d+)").r.findFirstMatchIn(meta)
       .map(_.group(1).toInt).getOrElse(0)
+    val extra = ("\"extraSpace\":\\[([^\\]]*)\\]").r.findFirstMatchIn(meta)
+      .map(_.group(1)).filter(_.nonEmpty).toSeq
+      .flatMap(_.split(',').toSeq)
+      .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .map { s =>
+        val i = s.lastIndexOf(':')
+        (s.substring(0, i), s.substring(i + 1).toInt)
+      }
     new Hypertable(spark, path, str("timeCol").get, num("chunkWidthMicros"),
       str("spaceCol"), num("spacePartitions").toInt, months,
-      str("timeKind").getOrElse("timestamp"))
+      str("timeKind").getOrElse("timestamp"), extra)
   }
 }
 

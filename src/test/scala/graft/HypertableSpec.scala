@@ -129,6 +129,41 @@ class HypertableSpec extends AnyFunSuite {
     assert(df2.count() === exp2)
   }
 
+  test("N-dimensional hyperspace: two closed dimensions prune independently") {
+    val d = Files.createTempDirectory("graft_ht_ndim").toString
+    val h = Hypertable.create(spark, s"$d/ht", "ts", chunkWidth = "7 days",
+      spaceCol = Some("user_id"), spacePartitions = 4,
+      extraSpace = Seq(("event_type", 3)))
+    val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    h.write(ev)
+    val nChunks = h.showChunks().size
+    assert(h.spaceDims.map(_._3) === Seq("_space", "_space1"))
+    // both equality predicates pin one hash bucket in their dimension
+    val df = h.read().where(col("user_id") === 7L && col("event_type") === "click")
+    val plan = df.queryExecution.executedPlan
+    val scan = plan.collectFirst { case f: FileSourceScanExec => f }.orElse(plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
+      case _ => None
+    }).get
+    val parts = scan.selectedPartitions.partitionCount
+    assert(parts === nChunks,
+      s"expected $nChunks partitions (chunks × 1 bucket × 1 bucket), got $parts")
+    assert(df.count() ===
+      ev.where(col("user_id") === 7L && col("event_type") === "click").count())
+    // re-opened from metadata, the extra dimension survives
+    val re = Hypertable.at(spark, s"$d/ht")
+    assert(re.spaceDims === h.spaceDims)
+    // a dir of one time chunk contains _space=*/ _space1=* nesting
+    val chunk0 = new org.apache.hadoop.fs.Path(h.showChunks().head.path)
+    val fs0 = chunk0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lvl1 = fs0.listStatus(chunk0).filter(_.isDirectory).map(_.getPath.getName)
+    assert(lvl1.nonEmpty && lvl1.forall(_.startsWith("_space=")))
+    val lvl2 = fs0.listStatus(new org.apache.hadoop.fs.Path(chunk0, lvl1.head))
+      .filter(_.isDirectory).map(_.getPath.getName)
+    assert(lvl2.nonEmpty && lvl2.forall(_.startsWith("_space1=")))
+  }
+
   test("chunk exclusion casts _chunk literals to the inferred partition type") {
     // small integral chunk keys infer `_chunk` as IntegerType; the injected
     // IN-list literals must be Int too (a LongType literal in the analyzed
