@@ -220,10 +220,17 @@ object Gapfill {
       prev: Option[(Column, Column)] = None,
       next: Option[(Column, Column)] = None,
       filledCol: String = FILLED): Column = {
+    // Both anchors use RUNNING frames (unbounded-preceding..current): the
+    // "next non-null point" comes from a DESCENDING-order running frame,
+    // not `first(...) ROWS CURRENT..UNBOUNDED FOLLOWING` — Spark executes
+    // an unbounded-following frame by re-aggregating the partition tail for
+    // every row, O(n²) per group (a year of minute buckets = 525k rows →
+    // 10¹¹ evals); the descending formulation is one extra sort of
+    // already-aggregated data and stays O(n).
     val wPrev = Window.partitionBy(groupCols.map(col): _*).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(groupCols.map(col): _*).orderBy(col(bucketCol))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wNextRev = Window.partitionBy(groupCols.map(col): _*).orderBy(col(bucketCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val x = unix_micros(col(bucketCol))
     val pt = when(value.isNotNull, struct(x.as("x"), value.as("y")))
     def seeded(anchor: Column, seed: Option[(Column, Column)]): Column =
@@ -233,7 +240,7 @@ object Gapfill {
         case None => anchor
       }
     val p0 = seeded(last(pt, ignoreNulls = true).over(wPrev), prev)
-    val p1 = seeded(first(pt, ignoreNulls = true).over(wNext), next)
+    val p1 = seeded(last(pt, ignoreNulls = true).over(wNextRev), next)
     // real rows keep their value (including real NULLs); only injected rows
     // interpolate, anchored on real non-null points
     when(!col(filledCol), value)
