@@ -502,6 +502,46 @@ object SparkEntry {
         .orderBy("bucket", "event_type")
     }),
 
+    // §2.1 N-dimensional hyperspace (`add_dimension`, `sql/ddl_api.sql:
+    // 115-143`; `Hyperspace` is 1..N, `src/dimension.h:89-97`): one open
+    // time dimension plus TWO closed hash dimensions. Point predicates on
+    // both space columns prune to one _space bucket × one _space1 bucket of
+    // each surviving time chunk (1/32 of the files; plan-asserted in
+    // HypertableSpec) — this gates the answers through that path.
+    "q67_hyperspace" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      Graft.init(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hs_q").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days",
+        spaceCol = Some("user_id"), spacePartitions = 8,
+        extraSpace = Seq(("event_type", 4)))
+      ht.write(t(s, dir, "events"))
+      ht.read()
+        .where(col("user_id") === 42L && col("event_type") === "click" &&
+          col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-29 00:00:00")))
+        .groupBy(gf.time_bucket("1 day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"))
+        .orderBy("day")
+    }),
+
+    // §2.12 the reference's aggregate surface THROUGH SQL TEXT: 2-arg
+    // bookends (`sql/bookend.sql:50-59`) and histogram
+    // (`sql/histogram.sql:5-28`) resolve via GraftExtensions' registry —
+    // the same names SQL users write against the reference.
+    "q68_sql_bookends" -> ((s, dir) => {
+      Graft.init(s)
+      t(s, dir, "events").createOrReplaceTempView("events_q68")
+      s.sql(
+        """SELECT event_type,
+          |  first(value, ts) AS first_value,
+          |  last(value, ts) AS last_value,
+          |  histogram(value, 0.0, 500.0, 10) AS hist
+          |FROM events_q68 GROUP BY event_type ORDER BY event_type""".stripMargin)
+        .withColumn("hist", expr("array_join(hist, ',')"))
+    }),
+
     // §2.4 time_bucket over UUIDv7 (the reference's uuid overloads): the
     // SQL form buckets the uuid's embedded timestamp; boundary uuids carry
     // micros exactly, so hourly buckets match bucketing the raw timestamp.
@@ -1651,6 +1691,35 @@ object SparkEntry {
         |   / (COUNT(value) - 1)) AS stddev_v,
         | MIN(value) AS min_v, MAX(value) AS max_v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q67_hyperspace" ->
+      """SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS day,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id = 42 AND event_type = 'click'
+        |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-29 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q68_sql_bookends" ->
+      """SELECT event_type,
+        | arg_min(value, ts) AS first_value,
+        | arg_max(value, ts) AS last_value,
+        | concat_ws(',',
+        |  SUM(CASE WHEN value < 0.0 THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN value >= 0.0 AND FLOOR(value / 50.0) = 0 THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN value < 500.0 AND FLOOR(value / 50.0) = 1 THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN value < 500.0 AND FLOOR(value / 50.0) = 2 THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN value < 500.0 AND FLOOR(value / 50.0) = 3 THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN value < 500.0 AND FLOOR(value / 50.0) = 4 THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN value < 500.0 AND FLOOR(value / 50.0) = 5 THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN value < 500.0 AND FLOOR(value / 50.0) = 6 THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN value < 500.0 AND FLOOR(value / 50.0) = 7 THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN value < 500.0 AND FLOOR(value / 50.0) = 8 THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN value < 500.0 AND FLOOR(value / 50.0) = 9 THEN 1 ELSE 0 END),
+        |  SUM(CASE WHEN value >= 500.0 THEN 1 ELSE 0 END)) AS hist
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q64_chunk_skip" ->
       """SELECT event_type, COUNT(*) AS n,
