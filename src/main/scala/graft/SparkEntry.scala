@@ -542,6 +542,30 @@ object SparkEntry {
         .withColumn("hist", expr("array_join(hist, ',')"))
     }),
 
+    // §2.1 set_number_partitions (`sql/ddl_api.sql:81-87`): the space
+    // dimension is re-counted 4→8 mid-ingest, so the table carries BOTH
+    // layouts — chunks keep the count they were built with, late rows route
+    // under each chunk's own count, and the space-equality predicate prunes
+    // per count group. The answer must be indistinguishable from a plain
+    // filter over the raw table.
+    "q69_set_num_partitions" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      Graft.init(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snp_q").toString
+      val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      val ht4 = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days",
+        spaceCol = Some("user_id"), spacePartitions = 4)
+      ht4.write(t(s, dir, "events").where(col("ts") < cutoff), filesPerChunk = 8)
+      val ht8 = ht4.setNumberPartitions("user_id", 8)
+      ht8.write(t(s, dir, "events").where(col("ts") >= cutoff), filesPerChunk = 8)
+      ht8.read()
+        .where(col("user_id") === 42L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // §2.4 time_bucket over UUIDv7 (the reference's uuid overloads): the
     // SQL form buckets the uuid's embedded timestamp; boundary uuids carry
     // micros exactly, so hourly buckets match bucketing the raw timestamp.
@@ -1720,6 +1744,13 @@ object SparkEntry {
         |  SUM(CASE WHEN value < 500.0 AND FLOOR(value / 50.0) = 9 THEN 1 ELSE 0 END),
         |  SUM(CASE WHEN value >= 500.0 THEN 1 ELSE 0 END)) AS hist
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q69_set_num_partitions" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id = 42
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q64_chunk_skip" ->
       """SELECT event_type, COUNT(*) AS n,

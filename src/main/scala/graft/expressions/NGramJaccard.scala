@@ -38,8 +38,11 @@ case class NGramJaccard(child: Expression, probeShingles: Seq[String], n: Int)
 
   override def nullSafeEval(v: Any): Any = {
     // UTF8String.trim strips 0x20 only — same as SQL trim (Java's
-    // String.trim would also strip tabs/newlines and diverge)
-    val toks = v.asInstanceOf[UTF8String].trim().toString.split("\\s+")
+    // String.trim would also strip tabs/newlines and diverge).
+    // String.split("\\s+") has no single-char fast path, so it would
+    // compile a fresh Pattern PER ROW — the shared precompiled Pattern is
+    // semantically identical (String.split delegates to Pattern.split).
+    val toks = NGramJaccard.ws.split(v.asInstanceOf[UTF8String].trim().toString)
     val grams = math.max(toks.length - n, 0)
     val seen = new java.util.HashSet[String](math.max(16, grams * 2))
     var inter = 0
@@ -62,4 +65,8 @@ case class NGramJaccard(child: Expression, probeShingles: Seq[String], n: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object NGramJaccard {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
 }

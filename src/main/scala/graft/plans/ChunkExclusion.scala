@@ -206,9 +206,16 @@ object ChunkExclusion extends Rule[LogicalPlan] {
   /** `_spaceK IN (...)` from space-column equality predicates — one
     * conjunct per constrained closed dimension (the hyperspace is 1..N
     * dimensional, `src/dimension.h:89-97`; each prunes independently).
+    *
+    * After set_number_partitions the count varies per chunk: chunks are
+    * grouped by their recorded count and each group gets its own
+    * `(_chunk IN group AND _spaceK IN buckets-under-that-count)` disjunct —
+    * still a partition-column-only predicate, so FileSourceStrategy prunes
+    * it all as metadata. Layout-unknown chunks (-1) stay unpruned.
     */
   private def spaceFilter(cond: Expression, rel: LogicalRelation,
       reg: Hypertable.ExclusionInfo): Option[Expression] = {
+    lazy val partsCat = reg.spaceParts()
     val filters = reg.spaces.flatMap { case (scName, nParts, partName) =>
       (for {
         sAttr <- rel.output.find(_.name == partName)
@@ -216,13 +223,36 @@ object ChunkExclusion extends Rule[LogicalPlan] {
         vAttr <- rel.output.find(_.name == scName)
         values <- equalityValues(cond, vAttr)
       } yield {
-        val buckets = values.map { lit =>
+        def bucketsUnder(n: Int): Seq[Int] = values.map { lit =>
           // the write path's pmod(hash(col), N): murmur3 with Spark's seed 42
           val h = Murmur3Hash(Seq(lit), 42).eval(null).asInstanceOf[Int]
-          ((h % nParts) + nParts) % nParts
+          ((h % n) + n) % n
         }.distinct
-        if (buckets.size >= nParts) None // nothing to exclude
-        else Some(In(sAttr, buckets.map(b => typed(b.toLong, sAttr))))
+        val counts = partsCat.view.mapValues(_.getOrElse(scName, nParts)).toMap
+        if (counts.isEmpty || counts.values.forall(_ == nParts)) {
+          // single-count fast path (no set_number_partitions in effect)
+          val buckets = bucketsUnder(nParts)
+          if (buckets.size >= nParts) None // nothing to exclude
+          else Some(In(sAttr, buckets.map(b => typed(b.toLong, sAttr))))
+        } else {
+          val chunkAttr = rel.output.find(_.name == Hypertable.CHUNK)
+            .getOrElse(return None)
+          val chunks = reg.chunks()
+          val groups = chunks.groupBy(c => counts.getOrElse(c.startMicros, nParts))
+          val terms = groups.toSeq.sortBy(_._1).map { case (n, cs) =>
+            val inChunks = In(chunkAttr, cs.map(c => typed(c.startMicros, chunkAttr)))
+            if (n <= 0) inChunks // layout unknown: keep, no space restriction
+            else {
+              val buckets = bucketsUnder(n)
+              if (buckets.size >= n) inChunks
+              else And(inChunks, In(sAttr, buckets.map(b => typed(b.toLong, sAttr))))
+            }
+          }
+          // all groups unrestricted -> the disjunction is just "chunk is in
+          // the catalog": no pruning value
+          if (terms.forall(!_.isInstanceOf[And])) None
+          else terms.reduceLeftOption(org.apache.spark.sql.catalyst.expressions.Or)
+        }
       }).flatten
     }
     filters.reduceLeftOption(And)

@@ -58,7 +58,13 @@ class Hypertable private (
       * Each (column, partitions) pair becomes a further `_spaceK=` hash
       * partition level, pruned independently by ChunkExclusion.
       */
-    val extraSpace: Seq[(String, Int)] = Nil) extends TimeSource {
+    val extraSpace: Seq[(String, Int)] = Nil,
+    /** True once [[setNumberPartitions]] has run: closed-dimension counts
+      * then vary per chunk (recorded in each chunk's `_graft_spaceparts`),
+      * so routing and pruning consult the per-chunk catalog. False keeps
+      * the single-count fast path with zero extra metadata I/O.
+      */
+    val repartitioned: Boolean = false) extends TimeSource {
 
   import Hypertable._
 
@@ -110,8 +116,33 @@ class Hypertable private (
   def write(df: DataFrame, mode: SaveMode = SaveMode.Append,
       filesPerChunk: Int = 1): Unit = {
     var out = df.withColumn(CHUNK, chunkKey(col(timeCol)))
+    // after set_number_partitions, a row landing in an EXISTING chunk must
+    // route with THAT chunk's recorded count (the reference routes into a
+    // chunk's own slices, not the dimension's current count); only rows
+    // opening new chunks use the current count. The override map is bounded
+    // by the chunk count — a broadcast-sized literal lookup, not a join.
+    val countOverrides: Map[String, Map[Long, Int]] =
+      if (!repartitioned) Map.empty
+      else {
+        val cat = spacePartsCatalog()
+        spaceDims.map { case (sc, n, _) =>
+          // count -1 = "layout unknown" (mixed-count merge): route with the
+          // current count — reads stay correct because pruning is disabled
+          // for such chunks, the stored `_space` values just vary
+          sc -> cat.collect {
+            case (start, counts)
+                if counts.getOrElse(sc, n) != n && counts(sc) > 0 =>
+              start -> counts(sc)
+          }
+        }.toMap
+      }
     spaceDims.foreach { case (sc, n, pc) =>
-      out = out.withColumn(pc, pmod(hash(col(sc)), lit(n)))
+      val overrides = countOverrides.getOrElse(sc, Map.empty)
+      val nExpr =
+        if (overrides.isEmpty) lit(n)
+        else coalesce(
+          element_at(typedLit(overrides), col(CHUNK).cast("long")), lit(n))
+      out = out.withColumn(pc, pmod(hash(col(sc)), nExpr))
     }
     val partCols = CHUNK +: spaceDims.map(_._3)
     val keys = partCols.map(col)
@@ -130,6 +161,62 @@ class Hypertable private (
     routed.write.mode(mode).partitionBy(partCols: _*).parquet(path)
     if (touched.nonEmpty)
       refreshColumnStats(touched.map(s => new Path(path, s"$CHUNK=$s").toString))
+    // chunks this write CREATED were routed with the current counts — stamp
+    // them so later setNumberPartitions calls can't misattribute their layout
+    if (repartitioned) stampUnstampedChunks()
+  }
+
+  /** Record the current closed-dimension counts on every chunk dir that has
+    * no `_graft_spaceparts` yet (metadata-only, parallel over chunks).
+    */
+  private def stampUnstampedChunks(): Unit = {
+    val counts = spaceDims.map { case (sc, n, _) => sc -> n }.toMap
+    graft.Par.foreach(showChunks()) { c =>
+      val dir = new Path(c.path)
+      if (Hypertable.readSpaceParts(fs, dir).isEmpty)
+        Hypertable.writeSpaceParts(fs, dir, counts)
+    }
+  }
+
+  /** Per-chunk closed-dimension partition counts (chunk start → column →
+    * count recorded when the chunk was created; -1 = layout unknown). Only
+    * populated once [[setNumberPartitions]] has run.
+    */
+  def spacePartsCatalog(): Map[Long, Map[String, Int]] =
+    if (!repartitioned) Map.empty
+    else showChunks().flatMap { c =>
+      Hypertable.readSpaceParts(fs, new Path(c.path)).map(c.startMicros -> _)
+    }.toMap
+
+  /** set_number_partitions (`sql/ddl_api.sql:81-87`,
+    * `ts_dimension_set_num_slices`): change a closed dimension's partition
+    * count for chunks created FROM NOW ON. Existing chunks keep their
+    * layout (each gets its creation-time count stamped into the chunk
+    * catalog first); rows later routed into them still use their own count,
+    * and ChunkExclusion prunes each chunk under the count it was built
+    * with. Returns the reopened handle — this one keeps the old count.
+    */
+  def setNumberPartitions(column: String, n: Int): Hypertable = {
+    require(n >= 1, s"partition count must be positive, got $n")
+    require(spaceDims.exists(_._1 == column),
+      s"$column is not a closed dimension of this hypertable " +
+        s"(closed dims: ${spaceDims.map(_._1).mkString(", ")})")
+    // stamp every existing chunk with its (still-current) counts BEFORE the
+    // meta flips, so the new count can never be attributed to them
+    val counts = spaceDims.map { case (sc, cn, _) => sc -> cn }.toMap
+    graft.Par.foreach(showChunks()) { c =>
+      val dir = new Path(c.path)
+      if (Hypertable.readSpaceParts(fs, dir).isEmpty)
+        Hypertable.writeSpaceParts(fs, dir, counts)
+    }
+    val newSpaceParts =
+      if (spaceCol.contains(column)) n else spacePartitions
+    val newExtra = extraSpace.map { case (c, cn) =>
+      (c, if (c == column) n else cn)
+    }
+    Hypertable.writeMeta(spark, path, timeCol, timeKind, chunkWidthMicros,
+      chunkMonths, spaceCol, newSpaceParts, newExtra, repartitioned = true)
+    Hypertable.at(spark, path)
   }
 
   /** enable_chunk_skipping (`sql/ddl_api.sql:147-160`, stats machinery
@@ -211,7 +298,8 @@ class Hypertable private (
     Hypertable.registerForExclusion(Hypertable.ExclusionInfo(
       qualifiedPath, timeCol, () => showChunks(),
       spaceDims,
-      () => columnStatsCatalog()))
+      () => columnStatsCatalog(),
+      () => spacePartsCatalog()))
     spark.read.parquet(path)
   }
 
@@ -333,6 +421,9 @@ class Hypertable private (
     */
   private def rewriteChunkDir(startMicros: Long, endMicros: Long, df: DataFrame): Unit = {
     val target = new Path(path, s"$CHUNK=$startMicros")
+    // the recorded space layout survives the physical rewrite (rows keep
+    // their `_space` values, so the counts that produced them still hold)
+    val parts = if (repartitioned) Hypertable.readSpaceParts(fs, target) else None
     // dot-prefixed: invisible to Spark's file index while in flight
     val tmp = new Path(path, s".tmp_chunk_$startMicros")
     var w = df.write.mode(SaveMode.Overwrite)
@@ -341,6 +432,7 @@ class Hypertable private (
     fs.delete(target, true)
     fs.rename(tmp, target)
     writeRange(target.toString, endMicros)
+    parts.foreach(Hypertable.writeSpaceParts(fs, target, _))
     refreshColumnStats(Seq(target.toString))
   }
 
@@ -361,7 +453,21 @@ class Hypertable private (
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes.toDouble).toInt)
     val union = chunkRows(a).unionByName(chunkRows(b))
     val rows = if (nFiles == 1) union.coalesce(1) else union.repartition(nFiles)
+    // merging chunks built under DIFFERENT closed-dim counts mixes bucket
+    // spaces: mark the result layout-unknown (-1) so space pruning skips it
+    val mergedParts: Option[Map[String, Int]] =
+      if (!repartitioned) None
+      else {
+        val pa = Hypertable.readSpaceParts(fs, new Path(a.path))
+        val pb = Hypertable.readSpaceParts(fs, new Path(b.path))
+        if (pa == pb) pa
+        else Some(spaceDims.map { case (sc, _, _) =>
+          val (ca, cb) = (pa.flatMap(_.get(sc)), pb.flatMap(_.get(sc)))
+          sc -> (if (ca == cb) ca.getOrElse(-1) else -1)
+        }.toMap)
+      }
     rewriteChunkDir(a.startMicros, b.endMicros, rows)
+    mergedParts.foreach(Hypertable.writeSpaceParts(fs, new Path(a.path), _))
     fs.delete(new Path(b.path), true)
     ChunkInfo(a.startMicros, b.endMicros, a.path)
   }
@@ -374,6 +480,8 @@ class Hypertable private (
     require(atMicros > c.startMicros && atMicros < c.endMicros,
       s"split point $atMicros outside chunk [${c.startMicros},${c.endMicros})")
     val rows = chunkRows(c).cache()
+    val parentParts =
+      if (repartitioned) Hypertable.readSpaceParts(fs, new Path(c.path)) else None
     try {
       val atOrLater = timeKind match {
         case "bigint" => col(timeCol) >= lit(atMicros)
@@ -382,6 +490,12 @@ class Hypertable private (
       }
       rewriteChunkDir(atMicros, c.endMicros, rows.where(atOrLater))
       rewriteChunkDir(c.startMicros, atMicros, rows.where(!atOrLater))
+      // both halves inherit the parent's layout (the upper half is a NEW
+      // dir — rewriteChunkDir had nothing to carry over for it)
+      parentParts.foreach { p =>
+        Hypertable.writeSpaceParts(fs, new Path(path, s"$CHUNK=$atMicros"), p)
+        Hypertable.writeSpaceParts(fs, new Path(c.path), p)
+      }
     } finally rows.unpersist()
     (ChunkInfo(c.startMicros, atMicros, c.path),
      ChunkInfo(atMicros, c.endMicros, s"$path/$CHUNK=$atMicros"))
@@ -525,8 +639,17 @@ class Hypertable private (
       if (Hypertable.readRangeFile(fs, new Path(c.path)).isEmpty)
         writeRange(c.path, c.endMicros)
     }
-    Hypertable.create(spark, path, timeCol, chunkWidth = chunkWidth,
-      spaceCol = spaceCol, spacePartitions = spacePartitions, timeKind = timeKind)
+    val updated = Hypertable.create(spark, path, timeCol, chunkWidth = chunkWidth,
+      spaceCol = spaceCol, spacePartitions = spacePartitions, timeKind = timeKind,
+      extraSpace = extraSpace)
+    // create() writes a fresh meta — restore the repartitioned marker, which
+    // is orthogonal to the chunk width
+    if (repartitioned) {
+      Hypertable.writeMeta(spark, path, timeCol, timeKind,
+        updated.chunkWidthMicros, updated.chunkMonths, spaceCol,
+        spacePartitions, extraSpace, repartitioned = true)
+      Hypertable.at(spark, path)
+    } else updated
   }
 
   /** drop_chunks(older_than): delete chunks whose range ends at or before
@@ -549,6 +672,28 @@ object Hypertable {
   private val RANGE = "_graft_range"
   private[sources] val SKIPCOLS = "_graft_skipcols"
   private val COLSTATS = "_graft_colstats"
+  private val SPACEPARTS = "_graft_spaceparts"
+
+  /** Read a chunk's recorded closed-dimension counts (`col:count` lines;
+    * -1 = layout unknown), or None when never stamped.
+    */
+  private[graft] def readSpaceParts(fs: FileSystem,
+      chunkDir: Path): Option[Map[String, Int]] = {
+    val f = new Path(chunkDir, SPACEPARTS)
+    if (!fs.exists(f)) return None
+    Some(readSmallFile(fs, f).split('\n').filter(_.nonEmpty).map { line =>
+      val i = line.lastIndexOf(':')
+      line.substring(0, i) -> line.substring(i + 1).toInt
+    }.toMap)
+  }
+
+  private[sources] def writeSpaceParts(fs: FileSystem, chunkDir: Path,
+      counts: Map[String, Int]): Unit = {
+    val out = fs.create(new Path(chunkDir, SPACEPARTS), true)
+    out.write(counts.toSeq.sortBy(_._1).map { case (c, n) => s"$c:$n" }
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+  }
 
   /** What [[graft.plans.ChunkExclusion]] needs to prune a hypertable scan:
     * the open-dimension column + chunk-catalog lister (listed fresh per
@@ -560,7 +705,12 @@ object Hypertable {
     */
   case class ExclusionInfo(qualifiedPath: String, timeCol: String,
       chunks: () => Seq[ChunkInfo], spaces: Seq[(String, Int, String)],
-      skipStats: () => Map[Long, Map[String, Option[(Any, Any)]]] = () => Map.empty)
+      skipStats: () => Map[Long, Map[String, Option[(Any, Any)]]] = () => Map.empty,
+      /** Per-chunk closed-dim counts after set_number_partitions (chunk
+        * start → column → count; -1 = layout unknown). Empty = every chunk
+        * uses the declared count.
+        */
+      spaceParts: () => Map[Long, Map[String, Int]] = () => Map.empty)
 
   /** Persist a chunk's skip-column ranges (TSV: one `col kind min max` row
     * per column; kind `l` = long-domain, `d` = double-domain, `n` = all
@@ -677,6 +827,16 @@ object Hypertable {
       extraSpace = extraSpace)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(path))
+    writeMeta(spark, path, timeCol, timeKind, widthMicros, months, spaceCol,
+      spacePartitions, extraSpace, repartitioned = false)
+    ht
+  }
+
+  private[sources] def writeMeta(spark: SparkSession, path: String,
+      timeCol: String, timeKind: String, widthMicros: Long, months: Int,
+      spaceCol: Option[String], spacePartitions: Int,
+      extraSpace: Seq[(String, Int)], repartitioned: Boolean): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val extraJson = extraSpace
       .map { case (c, n) => "\"" + c + ":" + n + "\"" }.mkString("[", ",", "]")
     val meta = s"""{"timeCol":"$timeCol","timeKind":"$timeKind",""" +
@@ -684,10 +844,10 @@ object Hypertable {
       s""""chunkMonths":$months,""" +
       s""""spaceCol":${spaceCol.map(c => "\"" + c + "\"").getOrElse("null")},""" +
       s""""spacePartitions":$spacePartitions,""" +
-      s""""extraSpace":$extraJson}"""
+      s""""extraSpace":$extraJson,""" +
+      s""""repartitioned":$repartitioned}"""
     val out = fs.create(new Path(path, META), true)
     out.write(meta.getBytes("UTF-8")); out.close()
-    ht
   }
 
   /** Re-open an existing hypertable from its metadata file. */
@@ -714,9 +874,10 @@ object Hypertable {
         val i = s.lastIndexOf(':')
         (s.substring(0, i), s.substring(i + 1).toInt)
       }
+    val repart = "\"repartitioned\":true".r.findFirstIn(meta).isDefined
     new Hypertable(spark, path, str("timeCol").get, num("chunkWidthMicros"),
       str("spaceCol"), num("spacePartitions").toInt, months,
-      str("timeKind").getOrElse("timestamp"), extra)
+      str("timeKind").getOrElse("timestamp"), extra, repartitioned = repart)
   }
 }
 
