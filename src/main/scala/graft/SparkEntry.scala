@@ -566,6 +566,26 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // §2.1 join-driven (runtime) chunk exclusion (ConstraintAwareAppend /
+    // ChunkAppend runtime exclusion, src/nodes/chunk_append/exec.c): the
+    // excluding times come from a SUBQUERY, not literals — whereTimeIn
+    // evaluates its chunk-key image eagerly and the scan plans with
+    // `_chunk IN (...)` metadata pruning; membership itself is a broadcast
+    // left-semi join. Oracle = the equivalent WHERE ts IN (SELECT ...).
+    "q70_join_exclusion" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      Graft.init(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jex_q").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
+      ht.write(t(s, dir, "events"), filesPerChunk = 8)
+      val sub = t(s, dir, "events").where(col("user_id") === 42L).select("ts")
+      ht.whereTimeIn(sub, col("ts"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // §2.4 time_bucket over UUIDv7 (the reference's uuid overloads): the
     // SQL form buckets the uuid's embedded timestamp; boundary uuids carry
     // micros exactly, so hourly buckets match bucketing the raw timestamp.
@@ -1750,6 +1770,14 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE user_id = 42
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q70_join_exclusion" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) IN
+        |  (SELECT CAST(ts AS TIMESTAMP) FROM events WHERE user_id = 42)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q64_chunk_skip" ->

@@ -339,6 +339,46 @@ class Hypertable private (
   def between(start: java.sql.Timestamp, end: java.sql.Timestamp): DataFrame =
     between(start.getTime * 1000L, end.getTime * 1000L)
 
+  /** Join-driven (runtime) chunk exclusion — the reference's
+    * ConstraintAwareAppend / ChunkAppend runtime exclusion
+    * (`src/nodes/chunk_append/exec.c`, `src/planner/
+    * constraint_aware_append.c`): `WHERE ts IN (SELECT ...)` shapes where
+    * the excluding values exist only once another query runs, so plan-text
+    * analysis ([[graft.plans.ChunkExclusion]]) can't see them.
+    *
+    * Spark-first equivalent: the driving side of such a plan is small by
+    * construction (it's being used to constrain a scan), so its CHUNK-KEY
+    * image is evaluated eagerly — one distinct over the derived bucket key,
+    * map-side combined on the executors; only the keys (bounded by the
+    * subquery's time span / chunk width, not its row count) reach the
+    * driver. The scan then plans with `_chunk IN (hits)` metadata pruning —
+    * the same partition-level exclusion `between` gets from literal bounds —
+    * and the row-level membership test stays a broadcast left-semi join.
+    * Chunks are matched by RANGE OVERLAP against the catalog, not key
+    * equality, so merged/split chunks with non-aligned starts still resolve.
+    *
+    * At 100 TB: the eager subquery is one extra small job before the scan —
+    * exactly the work the reference's executor does when it evaluates
+    * runtime constraints before opening chunks.
+    */
+  def whereTimeIn(sub: DataFrame, subTime: Column): DataFrame = {
+    val keys = sub.select(chunkKey(subTime).as("k")).distinct()
+      .collect().map(_.get(0) match {
+        case n: java.lang.Number => n.longValue()
+        case other => throw new IllegalStateException(s"non-numeric chunk key: $other")
+      })
+    // a key covers [k, defaultChunkEnd(k)); a chunk is hit if any key's
+    // bucket overlaps its recorded range (split chunks start mid-bucket)
+    val hit = showChunks()
+      .filter(c => keys.exists(k =>
+        k < c.endMicros && defaultChunkEnd(k) > c.startMicros))
+      .map(_.startMicros)
+    val probe = "_graft_in_t"
+    read().where(col(CHUNK).isin(hit: _*))
+      .join(broadcast(sub.select(subTime.as(probe)).distinct()),
+        col(timeCol) === col(probe), "left_semi")
+  }
+
   /** Ordered append (`src/nodes/chunk_append/chunk_append.c:506-520` +
     * the batch-sorted-merge idea of `batch_queue_heap.c`): a full-table
     * time-ordered read WITHOUT a range shuffle. Chunk ranges are disjoint,

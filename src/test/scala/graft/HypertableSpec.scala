@@ -420,4 +420,29 @@ class HypertableSpec extends AnyFunSuite {
     assert(re.chunkWidthMicros === 86400000000L)
     assert(re.spaceCol === Some("user_id"))
   }
+
+  test("whereTimeIn: subquery-driven runtime exclusion skips chunks outside the joined range") {
+    val events = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    // driving side: event times from two specific days only
+    val sub = events.where(
+      col("ts") >= lit(Timestamp.valueOf("2024-01-10 00:00:00")) &&
+      col("ts") < lit(Timestamp.valueOf("2024-01-12 00:00:00"))).select("ts")
+    val df = ht.whereTimeIn(sub, col("ts"))
+    val plan = df.queryExecution.executedPlan
+    def htScans(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collect { case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("events_ht")) => f }
+    val scan = htScans(plan).headOption.orElse(plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        htScans(a.executedPlan).headOption
+      case _ => None
+    }).get
+    // 2 of 30 daily chunks survive (× 4 space buckets) — the chunks outside
+    // the subquery's time image are excluded before any footer is read
+    val parts = scan.selectedPartitions.partitionCount
+    assert(parts === 8, s"expected 8 partitions after runtime exclusion, got $parts")
+    // row-level IN semantics match a plain semi filter over the raw table
+    val expected = events.as("a").join(sub.as("b"), col("a.ts") === col("b.ts"), "left_semi").count()
+    assert(df.count() === expected)
+  }
 }
