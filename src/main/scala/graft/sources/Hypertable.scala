@@ -668,6 +668,31 @@ class Hypertable private (
     ChunkInfo(c.startMicros, c.endMicros, destPath)
   }
 
+  /** add_dimension (`sql/ddl_api.sql:115-143`, `ts_dimension_add`): attach
+    * another closed (hash) dimension. Like the reference, only allowed
+    * while the hypertable has no chunks — existing data was not routed
+    * under the new dimension, so its partition dirs would be wrong (the
+    * reference raises `ERROR: hypertable has chunks` for the same reason).
+    * Returns the reopened handle.
+    */
+  def addDimension(column: String, partitions: Int): Hypertable = {
+    require(partitions >= 1, s"partition count must be positive, got $partitions")
+    require(column != timeCol, s"$column is already the open dimension")
+    require(!spaceDims.exists(_._1 == column),
+      s"$column is already a closed dimension")
+    require(showChunks().isEmpty,
+      "hypertable has chunks — dimensions can only be added while empty " +
+        "(existing rows were not routed under the new dimension)")
+    if (spaceCol.isEmpty)
+      Hypertable.writeMeta(spark, path, timeCol, timeKind, chunkWidthMicros,
+        chunkMonths, Some(column), partitions, extraSpace, repartitioned)
+    else
+      Hypertable.writeMeta(spark, path, timeCol, timeKind, chunkWidthMicros,
+        chunkMonths, spaceCol, spacePartitions,
+        extraSpace :+ (column -> partitions), repartitioned)
+    Hypertable.at(spark, path)
+  }
+
   /** set_chunk_time_interval (`sql/ddl_api.sql:61-66`): change the chunk
     * width for FUTURE chunks. Existing chunks keep their ranges — each one
     * without a recorded `_range` gets one stamped first (their ends would

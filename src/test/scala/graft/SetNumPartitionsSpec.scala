@@ -119,4 +119,27 @@ class SetNumPartitionsSpec extends AnyFunSuite {
       .where(col("user_id") === 7L).count()
     assert(h8.read().where(col("user_id") === 7L).count() === expected)
   }
+
+  test("addDimension works only while empty, then routes and prunes like create-time dims") {
+    val dir = Files.createTempDirectory("graft_adddim").toString
+    val h = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    val h2 = h.addDimension("user_id", 4).addDimension("event_type", 2)
+    assert(h2.spaceDims.map(d => (d._1, d._2)) === Seq("user_id" -> 4, "event_type" -> 2))
+    h2.write(events)
+    // a populated table refuses new dimensions, like the reference
+    val e = intercept[IllegalArgumentException](h2.addDimension("value", 2))
+    assert(e.getMessage.contains("has chunks"))
+    // both added dims route (dirs exist) and the table round-trips
+    val c0 = h2.showChunks().head.path
+    assert(spaceDirs(c0).nonEmpty)
+    assert(h2.read().count() === events.count())
+    // equality predicates on the added dims prune via ChunkExclusion
+    Graft.init(spark)
+    val df = h2.read().where(col("user_id") === 7L && col("event_type") === "click")
+    val full = scanOf(h2.read()).selectedPartitions.partitionCount
+    val pruned = scanOf(df).selectedPartitions.partitionCount
+    assert(pruned < full, s"no pruning: $pruned vs $full")
+    assert(df.count() ===
+      events.where(col("user_id") === 7L && col("event_type") === "click").count())
+  }
 }
