@@ -1244,11 +1244,23 @@ object SparkEntry {
         |         timezone('UTC', timezone('America/New_York', d.d)) AS day_ny
         |  FROM (SELECT DISTINCT event_type FROM agg) g
         |  CROSS JOIN (SELECT unnest(range(TIMESTAMP '2024-02-25 00:00:00',
-        |       TIMESTAMP '2024-03-25 00:00:00', INTERVAL '1 day')) AS d) d)
-        |SELECT s.event_type, s.day_ny,
-        | last_value(a.min_value IGNORE NULLS) OVER (PARTITION BY s.event_type
-        |   ORDER BY s.day_ny ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
-        |FROM spine s LEFT JOIN agg a USING (event_type, day_ny)
+        |       TIMESTAMP '2024-03-25 00:00:00', INTERVAL '1 day')) AS d) d),
+        |combined AS (
+        |  SELECT s.event_type, s.day_ny, a.min_value
+        |  FROM spine s LEFT JOIN agg a USING (event_type, day_ny)
+        |  UNION ALL
+        |  -- aggregated rows OUTSIDE [start, finish) pass through unfilled
+        |  -- (reference gapfill_exec.c returns out-of-window subplan tuples
+        |  -- as-is) and seed the locf carry like any real row
+        |  SELECT event_type, day_ny, min_value FROM agg
+        |  WHERE day_ny <  timezone('UTC', timezone('America/New_York',
+        |          TIMESTAMP '2024-02-25 00:00:00'))
+        |     OR day_ny >= timezone('UTC', timezone('America/New_York',
+        |          TIMESTAMP '2024-03-25 00:00:00')))
+        |SELECT event_type, day_ny,
+        | last_value(min_value IGNORE NULLS) OVER (PARTITION BY event_type
+        |   ORDER BY day_ny ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+        |FROM combined
         |ORDER BY 1, 2""".stripMargin,
 
     "q10_dedup_exact" ->

@@ -90,11 +90,14 @@ object Gapfill {
     * bounded explode — one scan, one agg shuffle, one window sort over
     * already-aggregated (small) data, no join.
     *
-    * Groups are the keys present in `agg` WITHIN [start, finish) — with
-    * the reference's required time WHERE applied before aggregation
-    * (`gapfill_exec.c` expects bounded input) that is every group. Rows
-    * whose bucket is outside the window or off the `time_bucket(width,
-    * start)` grid are dropped, like the spine join they replace.
+    * Groups are the keys present in `agg`; every one gets the full spine
+    * [start, finish) (the reference fills each group to gapfill_end even
+    * when its rows sit outside the window — the post-input fill loop in
+    * `gapfill_exec.c`). Rows whose bucket is outside the window, or off
+    * the `time_bucket(width, start)` grid, PASS THROUGH unfilled
+    * (`gapfill_exec.c:1037-1041` returns subplan tuples before
+    * gapfill_start as-is) — they contribute no spine coverage, and the
+    * in-window gap arithmetic skips over them.
     */
   def gapfill(agg: DataFrame, bucketCol: String, groupCols: Seq[String],
       startMicros: Long, finishMicros: Long, width: String): DataFrame = {
@@ -106,21 +109,39 @@ object Gapfill {
     val valueCols = agg.columns.filterNot(c => groupCols.contains(c) || c == bucketCol).toSeq
 
     val B = "_gf_b" // row's own bucket, µs
-    val win = Window.partitionBy(groupCols.map(col): _*).orderBy(col(B))
     val aligned =
       if (monthly) graft.functions.time_bucket(width, col(bucketCol)) === col(bucketCol)
       else (unix_micros(col(bucketCol)) - ts0) % w === 0
+    val INWIN = "_gf_inwin"
     val rows = agg
-      .where(col(bucketCol) >= timestamp_micros(lit(ts0)) &&
-        col(bucketCol) < timestamp_micros(lit(finishMicros)) && aligned)
       .withColumn(B, unix_micros(col(bucketCol)))
-    // coverage ranges, inclusive µs bounds: head (first row only), self, gap.
-    // Window results materialize as columns first — generators (explode)
-    // cannot contain window expressions.
+      .withColumn(INWIN,
+        col(bucketCol) >= timestamp_micros(lit(ts0)) &&
+          col(bucketCol) < timestamp_micros(lit(finishMicros)) && aligned)
+    // Coverage ranges, inclusive µs bounds: head (first IN-WINDOW row
+    // only), self, gap-to-next-in-window. Neighbors are the nearest
+    // IN-WINDOW rows — running conditional frames rather than lead/lag, so
+    // pass-through rows interleaved in the order don't truncate the gaps.
+    // (Both frames are running, O(n); the descending one is the same trick
+    // interpolate uses.) Window results materialize as columns first —
+    // generators (explode) cannot contain window expressions.
+    val winAsc = Window.partitionBy(groupCols.map(col): _*).orderBy(col(B))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val winDesc = Window.partitionBy(groupCols.map(col): _*).orderBy(col(B).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val winAll = Window.partitionBy(groupCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val FIRST = "_gf_first"; val GAPEND = "_gf_gapend"
+    val ONLY = "_gf_only" // sole spine emitter for a group with no in-window rows
+    val inB = when(col(INWIN), col(B))
     val winCols = rows
-      .withColumn(FIRST, lag(col(B), 1).over(win).isNull)
-      .withColumn(GAPEND, coalesce(lead(col(B), 1).over(win), lit(finishMicros)) - 1)
+      .withColumn(FIRST, col(INWIN) && last(inB, ignoreNulls = true).over(winAsc).isNull)
+      .withColumn(GAPEND,
+        coalesce(last(inB, ignoreNulls = true).over(winDesc), lit(finishMicros)) - 1)
+      .withColumn(ONLY,
+        !col(INWIN) && max(col(INWIN)).over(winAll) === false &&
+          row_number().over(
+            Window.partitionBy(groupCols.map(col): _*).orderBy(col(B))) === 1)
     val lo = "lo"; val hi = "hi"
     def range(l: Column, h: Column) = struct(l.as(lo), h.as(hi))
     val headLo = when(col(FIRST), lit(ts0)).otherwise(lit(Long.MaxValue))
@@ -128,8 +149,14 @@ object Gapfill {
       if (monthly) b => unix_micros(timestamp_micros(b) + expr(s"INTERVAL '$width'"))
       else b => b + w
     val ranges = filter(
-      array(range(headLo, col(B) - 1), range(col(B), col(B)),
-        range(stepNext(col(B)), col(GAPEND))),
+      when(col(INWIN),
+        array(range(headLo, col(B) - 1), range(col(B), col(B)),
+          range(stepNext(col(B)), col(GAPEND))))
+        .otherwise( // pass-through row: itself, plus (if the group has no
+          // in-window rows and this is its first row) the whole spine
+          array(range(col(B), col(B)),
+            range(when(col(ONLY), lit(ts0)).otherwise(lit(Long.MaxValue)),
+              lit(finishMicros) - 1))),
       r => r(hi) >= r(lo))
     val GB = "_gf_gb"
     val exploded =

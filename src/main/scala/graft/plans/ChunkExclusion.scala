@@ -69,17 +69,23 @@ object ChunkExclusion extends Rule[LogicalPlan] {
       reg: Hypertable.ExclusionInfo): Option[Expression] = {
     val chunkAttr = rel.output.find(_.name == Hypertable.CHUNK).getOrElse(return None)
     if (cond.references.contains(chunkAttr)) return None // already excluded
+    // cheap gate first: the enabled-column list is one small file; the full
+    // per-chunk stats catalog (`skipStats` — an fs read PER CHUNK) is only
+    // consulted once some conjunct actually bounds an enabled column.
+    // Without this, every query over a 10k-chunk skipping-enabled table
+    // would pay ~10k driver-side reads just to plan a time-only WHERE.
+    val bounded = for {
+      name <- reg.skipCols()
+      attr <- rel.output.find(_.name == name).toSeq
+      isFloat <- statsDomain(attr.dataType).toSeq
+      bs <- literalBounds(cond, attr, isFloat).toSeq
+    } yield (name, isFloat, bs)
+    if (bounded.isEmpty) return None
     val cat = reg.skipStats()
     if (cat.isEmpty) return None
-    val skipCols = cat.valuesIterator.flatMap(_.keysIterator).toSet
     val chunks = reg.chunks()
     var hits = chunks.map(_.startMicros).toSet
-    var bounded = false
-    for (name <- skipCols; attr <- rel.output.find(_.name == name);
-         isFloat <- statsDomain(attr.dataType);
-         bs <- literalBounds(cond, attr, isFloat)) {
-      bounded = true
-      val (lo, hi) = bs
+    for ((name, isFloat, (lo, hi)) <- bounded) {
       hits = hits.filter { start =>
         cat.get(start).flatMap(_.get(name)) match {
           case None             => true  // no recorded range: keep
@@ -88,7 +94,7 @@ object ChunkExclusion extends Rule[LogicalPlan] {
         }
       }
     }
-    if (!bounded || hits.size == chunks.size) return None
+    if (hits.size == chunks.size) return None
     Some(
       if (hits.isEmpty) Literal(false)
       else In(chunkAttr,
@@ -228,17 +234,24 @@ object ChunkExclusion extends Rule[LogicalPlan] {
           val h = Murmur3Hash(Seq(lit), 42).eval(null).asInstanceOf[Int]
           ((h % n) + n) % n
         }.distinct
-        val counts = partsCat.view.mapValues(_.getOrElse(scName, nParts)).toMap
-        if (counts.isEmpty || counts.values.forall(_ == nParts)) {
-          // single-count fast path (no set_number_partitions in effect)
+        // a stamped chunk missing this column's entry, or (in a
+        // repartitioned table) an unstamped chunk — e.g. written through a
+        // stale pre-repartition handle — has UNKNOWN layout: -1, never
+        // pruned. Defaulting to the current count would compute the wrong
+        // bucket and silently drop rows.
+        val counts = partsCat.view.mapValues(_.getOrElse(scName, -1)).toMap
+        lazy val chunks = reg.chunks()
+        lazy val effective = chunks.map(c => counts.getOrElse(c.startMicros, -1))
+        if (counts.isEmpty || effective.forall(_ == nParts)) {
+          // single-count fast path (no set_number_partitions in effect, or
+          // every chunk verifiably stamped with the current count)
           val buckets = bucketsUnder(nParts)
           if (buckets.size >= nParts) None // nothing to exclude
           else Some(In(sAttr, buckets.map(b => typed(b.toLong, sAttr))))
         } else {
           val chunkAttr = rel.output.find(_.name == Hypertable.CHUNK)
             .getOrElse(return None)
-          val chunks = reg.chunks()
-          val groups = chunks.groupBy(c => counts.getOrElse(c.startMicros, nParts))
+          val groups = chunks.groupBy(c => counts.getOrElse(c.startMicros, -1))
           val terms = groups.toSeq.sortBy(_._1).map { case (n, cs) =>
             val inChunks = In(chunkAttr, cs.map(c => typed(c.startMicros, chunkAttr)))
             if (n <= 0) inChunks // layout unknown: keep, no space restriction

@@ -51,7 +51,8 @@ object Columnstore {
     val chunkP = new Path(chunkPath)
     val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val df = spark.read.parquet(chunkPath)
-    val spacePart = df.schema.fieldNames.filter(_.matches("_space\\d*")).toSeq.sorted
+    val spacePart = df.schema.fieldNames.filter(_.matches("_space\\d*")).toSeq
+      .sortBy(n => n.stripPrefix("_space") match { case "" => 0; case d => d.toInt })
     // without a segmentby, size the file count from the input bytes (a 2 TB
     // chunk must not funnel through one task); zstd+parquet recompression
     // typically shrinks the input, so target ~2 row groups per output file.
@@ -99,7 +100,8 @@ object Columnstore {
     val chunkP = new Path(chunkPath)
     val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val df = spark.read.parquet(chunkPath)
-    val spacePart = df.schema.fieldNames.filter(_.matches("_space\\d*")).toSeq.sorted
+    val spacePart = df.schema.fieldNames.filter(_.matches("_space\\d*")).toSeq
+      .sortBy(n => n.stripPrefix("_space") match { case "" => 0; case d => d.toInt })
     val bytes = fs.getContentSummary(chunkP).getLength
     // columnstore chunks are ~4x smaller than their row form; re-inflate
     val out = df.coalesce(math.max(1, math.ceil(bytes / 32e6).toInt))

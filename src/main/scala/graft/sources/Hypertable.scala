@@ -121,10 +121,12 @@ class Hypertable private (
     // chunk's own slices, not the dimension's current count); only rows
     // opening new chunks use the current count. The override map is bounded
     // by the chunk count — a broadcast-sized literal lookup, not a join.
+    val preChunks: Seq[ChunkInfo] = if (repartitioned) showChunks() else Nil
     val countOverrides: Map[String, Map[Long, Int]] =
       if (!repartitioned) Map.empty
       else {
-        val cat = spacePartsCatalog()
+        val cat = preChunks.flatMap(c =>
+          Hypertable.readSpaceParts(fs, new Path(c.path)).map(c.startMicros -> _)).toMap
         spaceDims.map { case (sc, n, _) =>
           // count -1 = "layout unknown" (mixed-count merge): route with the
           // current count — reads stay correct because pruning is disabled
@@ -151,30 +153,35 @@ class Hypertable private (
         out.repartition((keys :+ pmod(hash(df.columns.map(col): _*), lit(filesPerChunk))): _*)
       else out.repartition(keys: _*)
     // with chunk skipping enabled the touched chunks' column ranges must be
-    // refreshed; derive the touched set from the batch BEFORE the write (one
-    // cheap map-side-combined distinct over the derived key — only paid when
-    // the feature is on)
-    val touched =
-      if (skipColumns.nonEmpty)
-        out.select(col(CHUNK)).distinct().collect().map(_.getLong(0)).toSeq
-      else Seq.empty
-    routed.write.mode(mode).partitionBy(partCols: _*).parquet(path)
-    if (touched.nonEmpty)
-      refreshColumnStats(touched.map(s => new Path(path, s"$CHUNK=$s").toString))
+    // refreshed. The routed batch is persisted across the two actions so the
+    // input pipeline (which may be an expensive join/agg) computes ONCE —
+    // the distinct reads the cache the write populated. Rows with a NULL
+    // time produce a NULL chunk key (they land in the default partition,
+    // which the chunk catalog never lists) — skipped, not NPE'd.
+    val needStats = skipColumns.nonEmpty
+    if (needStats) routed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      routed.write.mode(mode).partitionBy(partCols: _*).parquet(path)
+      if (needStats) {
+        val touched = routed.select(col(CHUNK)).distinct().collect()
+          .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+        refreshColumnStats(touched.map(s => new Path(path, s"$CHUNK=$s").toString))
+      }
+    } finally if (needStats) routed.unpersist()
     // chunks this write CREATED were routed with the current counts — stamp
-    // them so later setNumberPartitions calls can't misattribute their layout
-    if (repartitioned) stampUnstampedChunks()
-  }
-
-  /** Record the current closed-dimension counts on every chunk dir that has
-    * no `_graft_spaceparts` yet (metadata-only, parallel over chunks).
-    */
-  private def stampUnstampedChunks(): Unit = {
-    val counts = spaceDims.map { case (sc, n, _) => sc -> n }.toMap
-    graft.Par.foreach(showChunks()) { c =>
-      val dir = new Path(c.path)
-      if (Hypertable.readSpaceParts(fs, dir).isEmpty)
-        Hypertable.writeSpaceParts(fs, dir, counts)
+    // them so later setNumberPartitions calls can't misattribute their
+    // layout. A chunk that already EXISTED but has no stamp was created by
+    // a stale pre-repartition handle, so its layout is unknown: -1.
+    if (repartitioned) {
+      val counts = spaceDims.map { case (sc, n, _) => sc -> n }.toMap
+      val unknown = spaceDims.map { case (sc, _, _) => sc -> -1 }.toMap
+      val pre = preChunks.map(_.startMicros).toSet
+      graft.Par.foreach(showChunks()) { c =>
+        val dir = new Path(c.path)
+        if (Hypertable.readSpaceParts(fs, dir).isEmpty)
+          Hypertable.writeSpaceParts(fs, dir,
+            if (pre(c.startMicros)) unknown else counts)
+      }
     }
   }
 
@@ -299,7 +306,8 @@ class Hypertable private (
       qualifiedPath, timeCol, () => showChunks(),
       spaceDims,
       () => columnStatsCatalog(),
-      () => spacePartsCatalog()))
+      () => spacePartsCatalog(),
+      () => skipColumns))
     spark.read.parquet(path)
   }
 
@@ -362,7 +370,10 @@ class Hypertable private (
     * runtime constraints before opening chunks.
     */
   def whereTimeIn(sub: DataFrame, subTime: Column): DataFrame = {
-    val keys = sub.select(chunkKey(subTime).as("k")).distinct()
+    // NULL subquery times can never match `IN` (same as SQL), so they
+    // contribute no chunk key — filtered rather than crashing on the cast
+    val keys = sub.select(chunkKey(subTime).as("k")).where(col("k").isNotNull)
+      .distinct()
       .collect().map(_.get(0) match {
         case n: java.lang.Number => n.longValue()
         case other => throw new IllegalStateException(s"non-numeric chunk key: $other")
@@ -775,7 +786,12 @@ object Hypertable {
         * start → column → count; -1 = layout unknown). Empty = every chunk
         * uses the declared count.
         */
-      spaceParts: () => Map[Long, Map[String, Int]] = () => Map.empty)
+      spaceParts: () => Map[Long, Map[String, Int]] = () => Map.empty,
+      /** Chunk-skipping-enabled column NAMES — one small catalog-file read,
+        * so the planner can rule out stats pruning without paying the
+        * per-chunk `skipStats` listing on every unrelated query.
+        */
+      skipCols: () => Seq[String] = () => Seq.empty)
 
   /** Persist a chunk's skip-column ranges (TSV: one `col kind min max` row
     * per column; kind `l` = long-domain, `d` = double-domain, `n` = all

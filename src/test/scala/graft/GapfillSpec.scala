@@ -45,6 +45,45 @@ class GapfillSpec extends AnyFunSuite {
     assert(filled.where($"v".isNull).count() === 4)
   }
 
+  test("out-of-window rows pass through unfilled; their neighbors' gaps skip over them") {
+    // reference gapfill_exec.c:1037-1041 returns subplan tuples outside
+    // [start, finish) as-is — they are neither dropped nor spine-joined
+    val wide = Seq(
+      ("a", Timestamp.valueOf("2023-12-31 20:00:00"), 99.0), // before start
+      ("a", Timestamp.valueOf("2024-01-01 02:00:00"), 3.0),
+      ("a", Timestamp.valueOf("2024-01-01 07:00:00"), 88.0)) // after finish
+      .toDF("g", "bucket", "v")
+    val filled = Gapfill.gapfill(wide, "bucket", Seq("g"), start, finish, "1 hour")
+    // 6 spine buckets + 2 pass-through rows
+    assert(filled.count() === 8)
+    val out = filled.orderBy("bucket")
+      .select($"bucket", $"v", col(Gapfill.FILLED)).collect()
+    assert(out.head.getTimestamp(0) === Timestamp.valueOf("2023-12-31 20:00:00"))
+    assert(out.head.getDouble(1) === 99.0 && !out.head.getBoolean(2))
+    assert(out.last.getTimestamp(0) === Timestamp.valueOf("2024-01-01 07:00:00"))
+    assert(out.last.getDouble(1) === 88.0 && !out.last.getBoolean(2))
+    // in-window: the real 02:00 row plus 5 injected buckets
+    assert(filled.where(!col(Gapfill.FILLED)).count() === 3)
+    assert(filled.where(col(Gapfill.FILLED) && $"v".isNull).count() === 5)
+  }
+
+  test("a group with only out-of-window rows still gets the full spine") {
+    // reference: next_timestamp starts at gapfill_start per group and the
+    // post-input loop fills to gapfill_end regardless of row positions
+    val wide = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 02:00:00"), 3.0),
+      ("b", Timestamp.valueOf("2023-12-31 20:00:00"), 7.0)) // b: all before start
+      .toDF("g", "bucket", "v")
+    val filled = Gapfill.gapfill(wide, "bucket", Seq("g"), start, finish, "1 hour")
+    val b = filled.where($"g" === "b")
+    assert(b.count() === 7) // 6 spine buckets + 1 pass-through
+    assert(b.where(col(Gapfill.FILLED)).count() === 6)
+    // locf's prev-less carry can seed from the pass-through row's value
+    val carried = filled.withColumn("f",
+      Gapfill.locf($"v", Seq("g"), "bucket")).where($"g" === "b" && col(Gapfill.FILLED))
+    assert(carried.select("f").collect().forall(_.getDouble(0) === 7.0))
+  }
+
   test("locf carries the last observation forward") {
     val got = Gapfill.gapfill(agg, "bucket", Seq("g"), start, finish, "1 hour")
       .withColumn("f", Gapfill.locf($"v", Seq("g"), "bucket"))
