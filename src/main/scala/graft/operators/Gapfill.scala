@@ -125,23 +125,25 @@ object Gapfill {
     // (Both frames are running, O(n); the descending one is the same trick
     // interpolate uses.) Window results materialize as columns first —
     // generators (explode) cannot contain window expressions.
-    val winAsc = Window.partitionBy(groupCols.map(col): _*).orderBy(col(B))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // Exactly two sorts over the (small, aggregated) frame: ascending and
+    // descending, both shared by every expression below. FIRST = in-window
+    // row with no in-window predecessor; ONLY = the group's first physical
+    // row when NO in-window row exists anywhere (no predecessor at all via
+    // lag, no in-window successor via the desc frame) — it emits the full
+    // spine so out-of-window-only groups still gapfill, reference-style.
+    val ascSpec = Window.partitionBy(groupCols.map(col): _*).orderBy(col(B))
+    val winAsc = ascSpec.rowsBetween(Window.unboundedPreceding, -1)
     val winDesc = Window.partitionBy(groupCols.map(col): _*).orderBy(col(B).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val winAll = Window.partitionBy(groupCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val FIRST = "_gf_first"; val GAPEND = "_gf_gapend"
     val ONLY = "_gf_only" // sole spine emitter for a group with no in-window rows
     val inB = when(col(INWIN), col(B))
+    val nextInWin = last(inB, ignoreNulls = true).over(winDesc)
     val winCols = rows
       .withColumn(FIRST, col(INWIN) && last(inB, ignoreNulls = true).over(winAsc).isNull)
-      .withColumn(GAPEND,
-        coalesce(last(inB, ignoreNulls = true).over(winDesc), lit(finishMicros)) - 1)
+      .withColumn(GAPEND, coalesce(nextInWin, lit(finishMicros)) - 1)
       .withColumn(ONLY,
-        !col(INWIN) && max(col(INWIN)).over(winAll) === false &&
-          row_number().over(
-            Window.partitionBy(groupCols.map(col): _*).orderBy(col(B))) === 1)
+        !col(INWIN) && lag(col(B), 1).over(ascSpec).isNull && nextInWin.isNull)
     val lo = "lo"; val hi = "hi"
     def range(l: Column, h: Column) = struct(l.as(lo), h.as(hi))
     val headLo = when(col(FIRST), lit(ts0)).otherwise(lit(Long.MaxValue))

@@ -153,13 +153,20 @@ class Hypertable private (
         out.repartition((keys :+ pmod(hash(df.columns.map(col): _*), lit(filesPerChunk))): _*)
       else out.repartition(keys: _*)
     // with chunk skipping enabled the touched chunks' column ranges must be
-    // refreshed. The routed batch is persisted across the two actions so the
-    // input pipeline (which may be an expensive join/agg) computes ONCE —
-    // the distinct reads the cache the write populated. Rows with a NULL
-    // time produce a NULL chunk key (they land in the default partition,
-    // which the chunk catalog never lists) — skipped, not NPE'd.
+    // refreshed, which needs the batch's distinct chunk keys — a second
+    // action over the input. A bare-scan input recomputes cheaply (column
+    // pruning reads only the time column); anything with a join/agg/window
+    // is persisted across the two actions so the expensive pipeline runs
+    // ONCE. Rows with a NULL time produce a NULL chunk key (they land in
+    // the default partition, which the chunk catalog never lists) —
+    // skipped, not NPE'd.
     val needStats = skipColumns.nonEmpty
-    if (needStats) routed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Join => LJoin, Window => LWin}
+    val expensiveInput = needStats && df.queryExecution.analyzed.exists {
+      case _: LJoin | _: LAgg | _: LWin => true
+      case _ => false
+    }
+    if (expensiveInput) routed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       routed.write.mode(mode).partitionBy(partCols: _*).parquet(path)
       if (needStats) {
@@ -167,7 +174,7 @@ class Hypertable private (
           .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
         refreshColumnStats(touched.map(s => new Path(path, s"$CHUNK=$s").toString))
       }
-    } finally if (needStats) routed.unpersist()
+    } finally if (expensiveInput) routed.unpersist()
     // chunks this write CREATED were routed with the current counts — stamp
     // them so later setNumberPartitions calls can't misattribute their
     // layout. A chunk that already EXISTED but has no stamp was created by
