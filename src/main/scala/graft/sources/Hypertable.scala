@@ -500,34 +500,46 @@ class Hypertable private (
     * combined end.
     */
   def mergeChunks(startA: Long, startB: Long,
-      targetFileBytes: Long = 128L << 20): ChunkInfo = {
-    val Seq(a, b) = Seq(chunkAt(startA), chunkAt(startB)).sortBy(_.startMicros)
-    require(a.endMicros == b.startMicros,
-      s"chunks must be adjacent: [${a.startMicros},${a.endMicros}) / [${b.startMicros},${b.endMicros})")
+      targetFileBytes: Long = 128L << 20): ChunkInfo =
+    mergeChunks(Seq(startA, startB), targetFileBytes)
+
+  /** Array form (`sql/maintenance_utils.sql:74-76`, `ts_merge_chunks`):
+    * coalesce N ADJACENT chunks in ONE rewrite — a single union + write,
+    * not N−1 pairwise rewrites (which would copy the first chunk's data
+    * N−1 times).
+    */
+  def mergeChunks(starts: Seq[Long], targetFileBytes: Long): ChunkInfo = {
+    require(starts.size >= 2, "merge needs at least two chunks")
+    val cs = starts.map(chunkAt).sortBy(_.startMicros)
+    cs.sliding(2).foreach {
+      case Seq(x, y) =>
+        require(x.endMicros == y.startMicros,
+          s"chunks must be adjacent: [${x.startMicros},${x.endMicros}) / " +
+            s"[${y.startMicros},${y.endMicros})")
+      case _ => ()
+    }
     // size the output file count from the combined bytes (~targetFileBytes
-    // each): merging two 100 GB chunks must not funnel through one task
-    val bytes = fs.getContentSummary(new Path(a.path)).getLength +
-      fs.getContentSummary(new Path(b.path)).getLength
+    // each): merging large chunks must not funnel through one task
+    val bytes = cs.map(c => fs.getContentSummary(new Path(c.path)).getLength).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes.toDouble).toInt)
-    val union = chunkRows(a).unionByName(chunkRows(b))
+    val union = cs.map(chunkRows).reduce(_ unionByName _)
     val rows = if (nFiles == 1) union.coalesce(1) else union.repartition(nFiles)
     // merging chunks built under DIFFERENT closed-dim counts mixes bucket
     // spaces: mark the result layout-unknown (-1) so space pruning skips it
     val mergedParts: Option[Map[String, Int]] =
       if (!repartitioned) None
       else {
-        val pa = Hypertable.readSpaceParts(fs, new Path(a.path))
-        val pb = Hypertable.readSpaceParts(fs, new Path(b.path))
-        if (pa == pb) pa
+        val ps = cs.map(c => Hypertable.readSpaceParts(fs, new Path(c.path)))
+        if (ps.distinct.size == 1) ps.head
         else Some(spaceDims.map { case (sc, _, _) =>
-          val (ca, cb) = (pa.flatMap(_.get(sc)), pb.flatMap(_.get(sc)))
-          sc -> (if (ca == cb) ca.getOrElse(-1) else -1)
+          val counts = ps.map(_.flatMap(_.get(sc)))
+          sc -> (if (counts.distinct.size == 1) counts.head.getOrElse(-1) else -1)
         }.toMap)
       }
-    rewriteChunkDir(a.startMicros, b.endMicros, rows)
-    mergedParts.foreach(Hypertable.writeSpaceParts(fs, new Path(a.path), _))
-    fs.delete(new Path(b.path), true)
-    ChunkInfo(a.startMicros, b.endMicros, a.path)
+    rewriteChunkDir(cs.head.startMicros, cs.last.endMicros, rows)
+    mergedParts.foreach(Hypertable.writeSpaceParts(fs, new Path(cs.head.path), _))
+    cs.tail.foreach(c => fs.delete(new Path(c.path), true))
+    ChunkInfo(cs.head.startMicros, cs.last.endMicros, cs.head.path)
   }
 
   /** split_chunk (`sql/maintenance_utils.sql:60-80`): split one chunk at a

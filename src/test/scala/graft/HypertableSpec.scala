@@ -243,6 +243,17 @@ class HypertableSpec extends AnyFunSuite {
     assert(h.read().count() === total)
     assert(h.between(c1.startMicros, c1.endMicros).count() ===
       total - h.between(c2.startMicros, h.showChunks().last.endMicros).count())
+    // N-ary form (ts_merge_chunks, maintenance_utils.sql:74-76): four
+    // adjacent chunks in ONE rewrite
+    val four = h.showChunks().take(4)
+    val wide = h.mergeChunks(four.map(_.startMicros), 128L << 20)
+    assert(wide.startMicros === four.head.startMicros &&
+      wide.endMicros === four.last.endMicros)
+    assert(h.showChunks().size === 27)
+    assert(h.read().count() === total)
+    assert(h.between(four(2).startMicros, four(2).endMicros).count() ===
+      Tables.table(spark, "/root/testdata/sf0.001", "events")
+        .where(col("ts") >= lit("2024-01-03") && col("ts") < lit("2024-01-04")).count())
   }
 
   test("chunk skipping prunes on non-partition-column ranges") {
