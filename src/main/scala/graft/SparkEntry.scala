@@ -1742,9 +1742,10 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS bucket,
         | event_type, COUNT(value) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS avg_v,
-        | SQRT((CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        | CASE WHEN COUNT(value) <= 1 THEN NULL ELSE
+        |  SQRT(GREATEST((CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
         |   - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value))
-        |   / (COUNT(value) - 1)) AS stddev_v,
+        |   / (COUNT(value) - 1), 0.0)) END AS stddev_v,
         | MIN(value) AS min_v, MAX(value) AS max_v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

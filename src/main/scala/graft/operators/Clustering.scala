@@ -37,11 +37,20 @@ object Clustering {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 30): DataFrame = {
+    // numeric ids normalize to long; string ids are orderable as-is. A
+    // blind cast("long") would turn 'doc-123' into NULL (non-ANSI) and
+    // silently drop every edge — fail fast on types min/least can't order.
+    def key(c: String) = edges.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => col(c).cast("long")
+      case org.apache.spark.sql.types.StringType => col(c)
+      case other => throw new IllegalArgumentException(
+        s"connectedComponents: unsupported id type $other for column $c")
+    }
     // undirected, no self-loops, deduped, canonical (u < v); lineage
     // truncated up front so the (possibly expensive) pair-generation plan
     // runs exactly once
     var (e, eBlocks) = checkpoint(edges
-      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .select(key(srcCol).as("u"), key(dstCol).as("v"))
       .where(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct())
@@ -120,9 +129,12 @@ object Clustering {
     val pairs = Dedup.nearDuplicatePairs(df, idCol, textCol, threshold,
       shingleN, numHashes, bands, maxBucketSize)
     val cc = connectedComponents(pairs, s"${idCol}_a", s"${idCol}_b")
+    val isNumeric =
+      df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val cid = coalesce(col("component"), col(idCol))
     df.select(col(idCol))
       .join(cc, col(idCol) === col("node"), "left")
       .select(col(idCol),
-        coalesce(col("component"), col(idCol)).cast("long").as("cluster_id"))
+        (if (isNumeric) cid.cast("long") else cid).as("cluster_id"))
   }
 }

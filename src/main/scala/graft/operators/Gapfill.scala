@@ -114,7 +114,12 @@ object Gapfill {
       else (unix_micros(col(bucketCol)) - ts0) % w === 0
     val INWIN = "_gf_inwin"
     val rows = agg
-      .withColumn(B, unix_micros(col(bucketCol)))
+      // a NULL bucket would otherwise null out every range bound and the
+      // coverage filter would silently DROP the group — the reference
+      // errors on NULL gapfill time (gapfill_exec.c); so do we
+      .withColumn(B, when(col(bucketCol).isNull,
+          raise_error(lit("time_bucket_gapfill: NULL bucket (time) value")))
+        .otherwise(unix_micros(col(bucketCol))))
       .withColumn(INWIN,
         col(bucketCol) >= timestamp_micros(lit(ts0)) &&
           col(bucketCol) < timestamp_micros(lit(finishMicros)) && aligned)

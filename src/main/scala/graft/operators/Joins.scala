@@ -122,9 +122,15 @@ object Joins {
       bucketWidthMicros: Long): DataFrame = {
     val B = "_graft_bucket"
     val lB = left.withColumn(B, (unix_micros(col(leftPoint)) / bucketWidthMicros).cast("long"))
-    val rB = right.withColumn(B, explode(sequence(
-      (unix_micros(col(rightStart)) / bucketWidthMicros).cast("long"),
-      ((unix_micros(col(rightEnd)) - 1) / bucketWidthMicros).cast("long"))))
+    // empty/inverted intervals (end <= start) can contain nothing under the
+    // [start, end) contract — and an inverted one would otherwise make
+    // `sequence` (default step −1) explode a single corrupt row into a
+    // descending bucket list of unbounded size
+    val rB = right
+      .where(col(rightEnd) > col(rightStart))
+      .withColumn(B, explode(sequence(
+        (unix_micros(col(rightStart)) / bucketWidthMicros).cast("long"),
+        ((unix_micros(col(rightEnd)) - 1) / bucketWidthMicros).cast("long"))))
     lB.join(rB, keys :+ B)
       .where(col(leftPoint) >= col(rightStart) && col(leftPoint) < col(rightEnd))
       .drop(B)

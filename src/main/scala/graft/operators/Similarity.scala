@@ -57,11 +57,21 @@ object Similarity {
   def lshSignature(vec: Column, numPlanes: Int, dim: Int = 64, seed: Long = 42L): Column =
     lshBandKeys(vec, numPlanes, 1, dim, seed).getItem(0).getField("bucket")
 
-  /** ANN top-k: candidates = vectors whose signature is within `maxFlips`
-    * bits of the query's (multi-probe), exact cosine rerank on candidates.
-    * Recall < 1 by construction; bucket scan replaces the full scan.
+  /** Signature-index the corpus once: adds a `_sig` column. Persist or
+    * write this out and query via [[annTopKIndexed]] — computing signatures
+    * per query costs `numPlanes` dot products per row, MORE than the single
+    * dot an exact scan pays, so one-shot [[annTopK]] only wins once the
+    * signature column is reused across queries (or stored and pruned on).
     */
-  def annTopK(emb: DataFrame, idCol: String, vecCol: String,
+  def annIndex(emb: DataFrame, vecCol: String, dim: Int,
+      numPlanes: Int = 12, seed: Long = 42L): DataFrame =
+    emb.withColumn("_sig", lshSignature(col(vecCol), numPlanes, dim, seed))
+
+  /** ANN top-k over an [[annIndex]]ed corpus: candidates = rows whose
+    * `_sig` is within `maxFlips` bits of the query's (multi-probe), exact
+    * cosine rerank on candidates only.
+    */
+  def annTopKIndexed(indexed: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, numPlanes: Int = 12, maxFlips: Int = 2,
       seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(numPlanes, query.length, seed)
@@ -70,11 +80,19 @@ object Similarity {
       val d = plane.zip(query).map { case (x, y) => x * y }.sum
       if (d >= 0) qSig |= (1L << p)
     }
-    val withSig = emb.withColumn("_sig",
-      lshSignature(col(vecCol), numPlanes, query.length, seed))
-    val cands = withSig.where(bit_count(col("_sig").bitwiseXOR(lit(qSig))) <= maxFlips)
+    val cands = indexed.where(bit_count(col("_sig").bitwiseXOR(lit(qSig))) <= maxFlips)
     bruteForceTopK(cands, idCol, vecCol, query, k)
   }
+
+  /** One-shot ANN top-k (index built inline — see [[annIndex]] for the
+    * repeated-query path, which is where LSH actually beats the exact scan).
+    * Recall < 1 by construction.
+    */
+  def annTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, numPlanes: Int = 12, maxFlips: Int = 2,
+      seed: Long = 42L): DataFrame =
+    annTopKIndexed(annIndex(emb, vecCol, query.length, numPlanes, seed),
+      idCol, vecCol, query, k, numPlanes, maxFlips, seed)
 
   /** IVF coarse quantizer: `nlist` centroids from a deterministic sample of
     * the vectors (smallest xxhash64(id, seed)), refined with `iters` Lloyd
@@ -221,14 +239,22 @@ object Similarity {
     */
   def lshPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planesPerBand: Int = 0, bands: Int = 0,
-      dim: Int = 64, seed: Long = 42L,
+      dim: Int = 0, seed: Long = 42L,
       rejoinVectors: Boolean = false): DataFrame = {
     val (m, l) =
       if (planesPerBand > 0 && bands > 0) (planesPerBand, bands)
       else lshParams(threshold)
     if (planesPerBand <= 0 && l * math.pow(0.5, m) >= 1.0)
       return blockedPairs(emb, idCol, vecCol, threshold)
-    def bandCol(v: Column) = explode(lshBandKeys(v, m, l, dim, seed))
+    // dim = 0 (default): derive from the data. A too-small dim silently
+    // truncates the signature dot products (LshBandKeys dots min(len, dim)
+    // components) and voids the recall derivation above.
+    val d = if (dim > 0) dim else {
+      val r = emb.select(size(col(vecCol))).limit(1).collect()
+      if (r.isEmpty) return blockedPairs(emb, idCol, vecCol, threshold) // empty input
+      r(0).getInt(0)
+    }
+    def bandCol(v: Column) = explode(lshBandKeys(v, m, l, d, seed))
     if (rejoinVectors) {
       // id-only band shuffle, candidates deduped, vectors joined back once —
       // for very wide embeddings where duplicating vectors ×bands dominates

@@ -42,7 +42,8 @@ object SkipScan {
 
   /** Exact `SELECT DISTINCT column FROM parquet(path)`, dictionary-first. */
   def distinct(spark: SparkSession, path: String, column: String): DataFrame = {
-    val sparkType = spark.read.parquet(path).schema(column).dataType
+    val fullSchema = spark.read.parquet(path).schema
+    val sparkType = fullSchema(column).dataType
     val files = Stats.listParquetFiles(spark, path)
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     // (values from dictionary-complete files, sawNull, fallback file)
@@ -60,7 +61,12 @@ object SkipScan {
       StructType(Seq(StructField(column, sparkType, nullable = true))))
     if (fallbackFiles.isEmpty) fromDict.distinct()
     else fromDict.unionByName(
-      spark.read.parquet(fallbackFiles: _*).select(col(column))).distinct()
+      // basePath + explicit schema: a PARTITION column (in no file's
+      // physical schema — every file falls back) is re-derived from the
+      // paths, and a schema-evolved column missing from old files
+      // null-fills instead of failing resolution
+      spark.read.option("basePath", path).schema(fullSchema)
+        .parquet(fallbackFiles: _*).select(col(column))).distinct()
   }
 
   /** Exact dictionary→Spark-external-value conversion for the column, or

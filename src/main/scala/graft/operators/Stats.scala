@@ -86,27 +86,39 @@ object Stats {
     // distributed argmin/argmax over footer stats: the driver receives only
     // the winning (key, tied files), never O(files) candidates
     val sign = if (earliest) -1 else 1
-    val best = spark.sparkContext
+    // a file with NO usable stats could still hold the true extremum — it
+    // must be scanned unconditionally, never silently skipped
+    val (best, statless) = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
       .map { f =>
         val (mn, mx) = columnStats(conf.value, f, timeCol)
-        (if (earliest) mn else mx).map(v => (comparableKey(v), List(f)))
-          : Option[(BigDecimal, List[String])]
+        (if (earliest) mn else mx) match {
+          case Some(v) => (Some((comparableKey(v), List(f))): Option[(BigDecimal, List[String])], List.empty[String])
+          case None    => (None: Option[(BigDecimal, List[String])], List(f))
+        }
       }
-      .fold(None) {
-        case (None, b) => b
-        case (a, None) => a
-        case (Some((ka, fa)), Some((kb, fb))) =>
-          val c = ka.compare(kb)
-          if (c == 0) Some((ka, fa ++ fb))
-          else if (c * sign > 0) Some((ka, fa)) else Some((kb, fb))
+      .fold((None, Nil)) { case ((a, sa), (b, sb)) =>
+        val merged = (a, b) match {
+          case (None, x) => x
+          case (x, None) => x
+          case (Some((ka, fa)), Some((kb, fb))) =>
+            val c = ka.compare(kb)
+            if (c == 0) Some((ka, fa ++ fb))
+            else if (c * sign > 0) Some((ka, fa)) else Some((kb, fb))
+        }
+        (merged, sa ++ sb)
       }
-    if (best.isEmpty) return None
-    val bestFiles = best.get._2
-    val df = spark.read.parquet(bestFiles: _*)
+    val candidates = best.map(_._2).getOrElse(Nil) ++ statless
+    if (candidates.isEmpty) return None
+    val fns = org.apache.spark.sql.functions
+    // null times never win the bookend (the reference's first/last skip
+    // null time values) — nulls_last, plus an explicit filter so an
+    // all-null candidate set returns None instead of a null-time row
+    val df = spark.read.parquet(candidates: _*)
+      .where(fns.col(timeCol).isNotNull)
     val ordered =
-      if (earliest) df.orderBy(org.apache.spark.sql.functions.col(timeCol).asc)
-      else df.orderBy(org.apache.spark.sql.functions.col(timeCol).desc)
+      if (earliest) df.orderBy(fns.col(timeCol).asc_nulls_last)
+      else df.orderBy(fns.col(timeCol).desc_nulls_last)
     ordered.limit(1).collect().headOption
   }
 

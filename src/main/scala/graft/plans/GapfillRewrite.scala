@@ -127,17 +127,33 @@ class GapfillRewriteRule(widenNullability: Boolean) extends Rule[LogicalPlan] {
       case _                       => return None
     }
 
-    // locf/interpolate fill specs by output name
+    // locf/interpolate must be the TOP-LEVEL expression of a result column
+    // (the reference validates the same in gapfill_plan.c): a marker nested
+    // inside arithmetic — `(locf(avg(v)) * 2).as("x")` — would be stripped
+    // below without its fill ever being applied. Error, never silence.
+    def isFillMarker(x: Expression) =
+      x.isInstanceOf[Locf] || x.isInstanceOf[Interpolate]
+    agg.aggregateExpressions.foreach { e =>
+      val top = e match { case a: Alias => deref(a.child, defs); case x => deref(x, defs) }
+      val nested = top.children.map(_.collect { case m if isFillMarker(m) => m }.size).sum
+      if (nested > 0 || (isFillMarker(top) && !e.isInstanceOf[Alias]))
+        throw new IllegalArgumentException(
+          s"locf()/interpolate() must be a top-level aliased select expression " +
+            s"(wrap the arithmetic INSIDE the marker instead): $e")
+    }
+
+    // locf/interpolate fill specs by output name (deref: the marker may live
+    // in a hoisted child Project behind an attribute reference)
     val fills = agg.aggregateExpressions.collect {
-      case a: Alias if a.child.isInstanceOf[Locf] =>
-        val m = a.child.asInstanceOf[Locf]
+      case a: Alias if deref(a.child, defs).isInstanceOf[Locf] =>
+        val m = deref(a.child, defs).asInstanceOf[Locf]
         a.name -> ((df: org.apache.spark.sql.DataFrame) => {
           val prevCol = m.prev.map(p => org.apache.spark.sql.GraftShims.toColumn(p))
           df.withColumn(a.name, Gapfill.locf(
             org.apache.spark.sql.functions.col(a.name), groupNames, BN, prevCol,
             m.treatNullAsMissing))
         })
-      case a: Alias if a.child.isInstanceOf[Interpolate] =>
+      case a: Alias if deref(a.child, defs).isInstanceOf[Interpolate] =>
         a.name -> ((df: org.apache.spark.sql.DataFrame) => {
           df.withColumn(a.name, Gapfill.interpolate(
             org.apache.spark.sql.functions.col(a.name), groupNames, BN))

@@ -80,9 +80,14 @@ object Columnstore {
     // row count from the freshly written footers — no data re-read
     val n = graft.operators.Stats.rowCount(spark, tmp.toString)
     val range = Hypertable.readRangeFile(fs, chunkP)
+    // the space-layout stamp must survive like the range file: rows keep
+    // their `_space` values, so the count that produced them still holds —
+    // losing it would make pruning assume the CURRENT dimension count
+    val parts = Hypertable.readSpaceParts(fs, chunkP)
     fs.delete(chunkP, true)
     fs.rename(tmp, chunkP)
     range.foreach(end => Hypertable.writeRangeFile(fs, chunkP, end))
+    parts.foreach(p => Hypertable.writeSpaceParts(fs, chunkP, p))
     val touch = fs.create(new Path(chunkP, MARKER), true)
     touch.close()
     // the reference computes chunk-skipping column ranges at compress time
@@ -103,17 +108,25 @@ object Columnstore {
     val spacePart = df.schema.fieldNames.filter(_.matches("_space\\d*")).toSeq
       .sortBy(n => n.stripPrefix("_space") match { case "" => 0; case d => d.toInt })
     val bytes = fs.getContentSummary(chunkP).getLength
-    // columnstore chunks are ~4x smaller than their row form; re-inflate
-    val out = df.coalesce(math.max(1, math.ceil(bytes / 32e6).toInt))
+    // columnstore chunks are ~4x smaller than their row form; re-inflate.
+    // coalesce() cannot RAISE the partition count — a chunk compressed into
+    // 1-2 zstd files would funnel the whole rewrite through 1-2 tasks, the
+    // exact trap compressChunk's sizing avoids — so widening repartitions
+    val nParts = math.max(1, math.ceil(bytes / 32e6).toInt)
+    val out =
+      if (nParts <= df.rdd.getNumPartitions) df.coalesce(nParts)
+      else df.repartition(nParts)
     val tmp = new Path(chunkP.getParent, "." + chunkP.getName + "_decompress_tmp")
     var w = out.write.mode("overwrite")
     if (spacePart.nonEmpty) w = w.partitionBy(spacePart: _*)
     w.parquet(tmp.toString)
     val n = graft.operators.Stats.rowCount(spark, tmp.toString)
     val range = Hypertable.readRangeFile(fs, chunkP)
+    val parts = Hypertable.readSpaceParts(fs, chunkP)
     fs.delete(chunkP, true)
     fs.rename(tmp, chunkP)
     range.foreach(end => Hypertable.writeRangeFile(fs, chunkP, end))
+    parts.foreach(p => Hypertable.writeSpaceParts(fs, chunkP, p))
     Hypertable.refreshColStatsIfEnabled(spark, chunkPath)
     n
   }

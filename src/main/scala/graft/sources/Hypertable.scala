@@ -115,6 +115,12 @@ class Hypertable private (
     */
   def write(df: DataFrame, mode: SaveMode = SaveMode.Append,
       filesPerChunk: Int = 1): Unit = {
+    // static partition overwrite deletes the ENTIRE table root first —
+    // including _graft_hypertable.json and every catalog stamp, bricking
+    // Hypertable.at(); truncate via dropChunks/deleteWhere, then append
+    require(mode != SaveMode.Overwrite,
+      "hypertable writes are routed appends; SaveMode.Overwrite would wipe " +
+        "the chunk catalog — dropChunks/deleteWhere first, then append")
     var out = df.withColumn(CHUNK, chunkKey(col(timeCol)))
     // after set_number_partitions, a row landing in an EXISTING chunk must
     // route with THAT chunk's recorded count (the reference routes into a
@@ -605,8 +611,8 @@ class Hypertable private (
       timeRange: Option[(Long, Long)] = None): Long = {
     require(!assignments.contains(timeCol),
       s"updating the time column would re-route rows across chunks; delete + write instead")
-    require(spaceCol.forall(!assignments.contains(_)),
-      s"updating the space column would re-route rows across space buckets; delete + write instead")
+    require(spaceDims.forall { case (sc, _, _) => !assignments.contains(sc) },
+      s"updating a space-dimension column would re-route rows across space buckets; delete + write instead")
     graft.Par.map(chunksIn(timeRange)) { c =>
       val rows = chunkRows(c)
       val p = coalesce(pred, lit(false))
@@ -882,12 +888,15 @@ object Hypertable {
   }
 
   /** Record a chunk's range end (merge/split write non-default ranges). */
-  private[sources] def writeRangeFile(fs: FileSystem, chunkDir: Path, endMicros: Long): Unit = {
-    val out = fs.create(new Path(chunkDir, RANGE), true)
-    out.write(endMicros.toString.getBytes("UTF-8")); out.close()
+  private[sources] def writeRangeFile(fs: FileSystem, chunkDir: Path, endMicros: Long): Unit =
+    writeSmallFile(fs, new Path(chunkDir, RANGE), endMicros.toString)
+
+  private[graft] def writeSmallFile(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    out.write(s.getBytes("UTF-8")); out.close()
   }
 
-  private[sources] def readSmallFile(fs: FileSystem, p: Path): String = {
+  private[graft] def readSmallFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {
       val buf = new java.io.ByteArrayOutputStream()

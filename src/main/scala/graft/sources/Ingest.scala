@@ -32,7 +32,11 @@ object Ingest {
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
           d: Long): Unit =
-        qe.observedMetrics.get(name).foreach(r => n = r.getLong(0))
+        // first fire wins: ht.write may run follow-up actions over the same
+        // observed plan (chunk-skipping stats refresh), and a re-read of the
+        // CSV under DROPMALFORMED with different column pruning can count
+        // differently than the rows actually written
+        qe.observedMetrics.get(name).foreach(r => if (n == -1L) n = r.getLong(0))
       override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
           e: Exception): Unit = ()
     }

@@ -164,7 +164,13 @@ class ContinuousAggregate(
     * then group cols, then aggregates — same shape as the live aggregation).
     */
   def materialized: DataFrame = {
-    if (!fs.exists(new Path(matPath))) return emptyLike()
+    val mp = new Path(matPath)
+    // a refresh over a window with no raw rows leaves mat/ with no chunk
+    // dirs — parquet can't infer a schema from a file-less dir, so detect
+    // "no materialized chunks" and return the empty frame instead
+    val hasChunks = fs.exists(mp) && fs.listStatus(mp).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"$MATCHUNK="))
+    if (!hasChunks) return emptyLike()
     val df = spark.read.parquet(matPath)
       .withColumn(defn.bucketCol, timestamp_micros(col(BUCKET)))
       .drop(BUCKET, MATCHUNK)
@@ -175,26 +181,24 @@ class ContinuousAggregate(
 
   private def emptyLike(): DataFrame = {
     val df = compute(0L, 1L)
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+    val empty = spark
+      .createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
       .withColumn(defn.bucketCol, timestamp_micros(col(BUCKET)))
       .drop(BUCKET)
+    // same column order as the non-empty path (bucket, groups, aggs)
+    val aggCols = empty.columns.filterNot(c =>
+      c == defn.bucketCol || defn.groupCols.contains(c))
+    empty.select((defn.bucketCol +: defn.groupCols) ++ aggCols map col: _*)
   }
 
   def watermark: Long = {
     val p = new Path(path, "_watermark")
     if (!fs.exists(p)) Long.MinValue
-    else {
-      val in = fs.open(p)
-      val s = new java.io.BufferedReader(new java.io.InputStreamReader(in)).readLine()
-      in.close()
-      s.trim.toLong
-    }
+    else Hypertable.readSmallFile(fs, p).trim.toLong
   }
 
-  private def setWatermark(us: Long): Unit = {
-    val out = fs.create(new Path(path, "_watermark"), true)
-    out.write(us.toString.getBytes("UTF-8")); out.close()
-  }
+  private def setWatermark(us: Long): Unit =
+    Hypertable.writeSmallFile(fs, new Path(path, "_watermark"), us.toString)
 
   /** Invalidation threshold (`tsl/src/continuous_aggs/invalidation_
     * threshold.c`): the point below which mutations must be LOGGED — a
@@ -208,19 +212,12 @@ class ContinuousAggregate(
   def invalidationThreshold: Long = {
     val p = new Path(path, "_threshold")
     if (!fs.exists(p)) watermark
-    else {
-      val in = fs.open(p)
-      val s = new java.io.BufferedReader(new java.io.InputStreamReader(in)).readLine()
-      in.close()
-      s.trim.toLong
-    }
+    else Hypertable.readSmallFile(fs, p).trim.toLong
   }
 
   private[graft] def setInvalidationThreshold(us: Long): Unit =
-    if (us > invalidationThreshold) {
-      val out = fs.create(new Path(path, "_threshold"), true)
-      out.write(us.toString.getBytes("UTF-8")); out.close()
-    }
+    if (us > invalidationThreshold)
+      Hypertable.writeSmallFile(fs, new Path(path, "_threshold"), us.toString)
 
   /** Inscribed-bucket alignment: first whole bucket at/after `start`,
     * last whole bucket ending at/before `end`.
@@ -242,11 +239,41 @@ class ContinuousAggregate(
     * watermark. Returns the aligned window actually refreshed.
     *
     * The rewrite goes through a temp dir + per-chunk swap, so concurrent
-    * readers of a chunk see old or new files, never a mix.
+    * READERS of a chunk see old or new files, never a mix. Concurrent
+    * REFRESHES are serialized by a lock file (the reference takes an
+    * exclusive per-cagg lock in `refresh.c`): two windows sharing an edge
+    * mat-chunk would otherwise each carry over the other's pre-refresh
+    * buckets and the last chunk swap would silently win.
     */
   def refresh(startMicros: Long, endMicros: Long): (Long, Long) = {
     val (s, e) = inscribe(startMicros, endMicros)
     if (s >= e) return (s, s)
+    withRefreshLock { doRefresh(s, e) }
+  }
+
+  /** Serialize refreshes via an exclusive-create lock file; a lock older
+    * than `staleMs` is presumed crashed and broken (refresh is idempotent —
+    * re-running a window that died mid-swap just rewrites its chunks).
+    */
+  private def withRefreshLock[T](body: => T): T = {
+    val lock = new Path(path, "_refresh_lock")
+    val staleMs = 15 * 60 * 1000L
+    val deadline = System.currentTimeMillis() + staleMs
+    var acquired = fs.createNewFile(lock)
+    while (!acquired) {
+      val stale =
+        try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > staleMs
+        catch { case _: java.io.FileNotFoundException => false }
+      if (stale) fs.delete(lock, false)
+      else if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(s"timed out waiting for cagg refresh lock $lock")
+      else Thread.sleep(100)
+      acquired = fs.createNewFile(lock)
+    }
+    try body finally fs.delete(lock, false)
+  }
+
+  private def doRefresh(s: Long, e: Long): (Long, Long) = {
     // threshold first (invalidation_threshold.c ordering): from here on,
     // ingest below `e` must log — even if this refresh never completes
     setInvalidationThreshold(e)
@@ -315,40 +342,44 @@ class ContinuousAggregate(
   /** Log an invalidated time range (mutating txn below the watermark). */
   def invalidate(loMicros: Long, hiMicros: Long): Unit = {
     fs.mkdirs(new Path(invPath))
-    val name = java.util.UUID.randomUUID().toString
-    val out = fs.create(new Path(invPath, name), true)
-    out.write(s"$loMicros,$hiMicros".getBytes("UTF-8")); out.close()
+    Hypertable.writeSmallFile(fs,
+      new Path(invPath, java.util.UUID.randomUUID().toString), s"$loMicros,$hiMicros")
   }
 
   /** Pending invalidation ranges (merged where overlapping). */
-  def pendingInvalidations(): Seq[(Long, Long)] = {
+  def pendingInvalidations(): Seq[(Long, Long)] = pendingInvalidationsWithFiles()._1
+
+  private def pendingInvalidationsWithFiles(): (Seq[(Long, Long)], Seq[Path]) = {
     val dir = new Path(invPath)
-    if (!fs.exists(dir)) return Seq.empty
-    val ranges = fs.listStatus(dir).toSeq.map { st =>
-      val in = fs.open(st.getPath)
-      val s = new java.io.BufferedReader(new java.io.InputStreamReader(in)).readLine()
-      in.close()
-      val Array(lo, hi) = s.trim.split(",").map(_.toLong)
+    if (!fs.exists(dir)) return (Seq.empty, Seq.empty)
+    val files = fs.listStatus(dir).toSeq.map(_.getPath)
+    val ranges = files.map { p =>
+      val Array(lo, hi) = Hypertable.readSmallFile(fs, p).trim.split(",").map(_.toLong)
       (lo, hi)
     }.sortBy(_._1)
     // merge overlapping/adjacent ranges (invalidation.c log compaction)
-    ranges.foldLeft(List.empty[(Long, Long)]) {
+    val merged = ranges.foldLeft(List.empty[(Long, Long)]) {
       case (acc @ ((alo, ahi) :: rest), (lo, hi)) if lo <= ahi => (alo, math.max(ahi, hi)) :: rest
       case (acc, r) => r :: acc
     }.reverse
+    (merged, files)
   }
 
-  /** Re-materialize every invalidated range, then clear the log — one
-    * `refresh_continuous_aggregate` policy pass (`refresh.c:996`).
+  /** Re-materialize every invalidated range, then clear the processed log
+    * entries — one `refresh_continuous_aggregate` policy pass
+    * (`refresh.c:996`). Only the files READ are deleted: a range logged
+    * concurrently (late rows from an in-flight ingest) stays pending for
+    * the next pass instead of being silently discarded.
     */
   def refreshInvalidated(): Seq[(Long, Long)] = {
-    val done = pendingInvalidations().map { case (lo, hi) =>
+    val (ranges, files) = pendingInvalidationsWithFiles()
+    val done = ranges.map { case (lo, hi) =>
       // widen to enclosing whole buckets: invalidated rows dirty their bucket
       val s = defn.bucketFloor(lo)
       val e = defn.bucketAdvance(defn.bucketFloor(hi), 1)
       refresh(s, e)
     }
-    fs.delete(new Path(invPath), true)
+    files.foreach(f => fs.delete(f, false))
     done
   }
 

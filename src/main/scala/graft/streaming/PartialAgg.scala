@@ -67,12 +67,17 @@ object PartialAgg {
   /** Sample variance from exact moments:
     * (Σx² − (Σx)²/n) / (n−1), finalized in double with a fixed operation
     * order so every engine computing the same decimals agrees bitwise.
+    * n ≤ 1 yields NULL (SQL `var_samp`), not 0/0 = NaN; the result is
+    * clamped at 0 — independent decimal→double roundings of Σx and Σx² can
+    * make a constant group come out a hair negative, and sqrt of that in
+    * [[stddevSamp]] would be NaN.
     */
   def varSamp(prefix: String): Column = {
     val n = col(s"${prefix}_n")
     val s = col(s"${prefix}_sum").cast("double")
     val s2 = col(s"${prefix}_sumsq").cast("double")
-    (s2 - s * s / n) / (n - lit(1))
+    when(n <= 1, lit(null).cast("double"))
+      .otherwise(greatest((s2 - s * s / n) / (n - lit(1)), lit(0.0)))
   }
 
   def stddevSamp(prefix: String): Column = sqrt(varSamp(prefix))

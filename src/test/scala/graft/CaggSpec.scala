@@ -67,6 +67,28 @@ class CaggSpec extends AnyFunSuite {
     assert(cagg.materialized.collect().toSet === directAgg(ht).collect().toSet)
   }
 
+  test("refresh of a window with no raw rows keeps the cagg readable") {
+    val (_, cagg) = freshCagg()
+    // testdata is 2024; a 2030 window has zero raw rows — the refresh
+    // leaves mat/ without chunk dirs but must not break reads
+    cagg.refresh(us("2030-01-01 00:00:00"), us("2030-01-02 00:00:00"))
+    assert(cagg.watermark === us("2030-01-02 00:00:00"))
+    assert(cagg.materialized.count() === 0)
+    assert(cagg.realtime.count() === 0)
+  }
+
+  test("partial-state varSamp: single-row groups NULL, constant groups 0") {
+    import graft.streaming.PartialAgg
+    val df = Seq(("a", 1.5), ("b", 2.0), ("b", 2.0), ("c", 1.0), ("c", 3.0)).toDF("k", "v")
+    val p = PartialAgg.partials($"v", "v")
+    val out = df.groupBy("k").agg(p.head, p.tail: _*)
+      .select($"k", PartialAgg.varSamp("v"), PartialAgg.stddevSamp("v"))
+      .collect().map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out("a") === ((None, None)))       // n = 1 → NULL, not 0/0 = NaN
+    assert(out("b") === ((Some(0.0), Some(0.0)))) // constant → 0, never NaN
+    assert(out("c") === ((Some(2.0), Some(math.sqrt(2.0)))))
+  }
+
   test("refresh window is inscribed to whole buckets") {
     val (_, cagg) = freshCagg()
     val (s, e) = cagg.inscribe(us("2024-01-05 10:30:00"), us("2024-01-05 13:30:00"))

@@ -48,6 +48,20 @@ class GapfillRewriteSpec extends AnyFunSuite {
     assert(out.count() === groups * 7 * 24)
   }
 
+  test("a fill marker nested inside arithmetic errors instead of silently dropping the fill") {
+    val e = intercept[Exception] {
+      ev.where($"ts" >= start && $"ts" < finish)
+        .groupBy(gf.time_bucket_gapfill("1 hour", $"ts", start, finish).as("bucket"),
+          $"event_type")
+        .agg((gf.locf(min($"value")) * 2).as("x"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("top-level")),
+      s"expected the top-level-marker error, got: $e")
+  }
+
   test("interpolate marker matches the operator pipeline") {
     val viaMarker = ev
       .where($"ts" >= start && $"ts" < finish)

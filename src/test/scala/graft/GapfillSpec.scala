@@ -45,6 +45,19 @@ class GapfillSpec extends AnyFunSuite {
     assert(filled.where($"v".isNull).count() === 4)
   }
 
+  test("a NULL bucket errors like the reference instead of silently vanishing") {
+    val bad = Seq(
+      ("a", Some(Timestamp.valueOf("2024-01-01 00:00:00")), 1.0),
+      ("a", None: Option[Timestamp], 2.0))
+      .toDF("g", "bucket", "v")
+    val e = intercept[Exception] {
+      Gapfill.gapfill(bad, "bucket", Seq("g"), start, finish, "1 hour").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("NULL bucket")), s"unexpected error: $e")
+  }
+
   test("out-of-window rows pass through unfilled; their neighbors' gaps skip over them") {
     // reference gapfill_exec.c:1037-1041 returns subplan tuples outside
     // [start, finish) as-is — they are neither dropped nor spine-joined

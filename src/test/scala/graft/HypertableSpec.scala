@@ -47,6 +47,14 @@ class HypertableSpec extends AnyFunSuite {
     assert(ht.read().count() === n)
   }
 
+  test("SaveMode.Overwrite is rejected (it would wipe the chunk catalog)") {
+    val e = intercept[IllegalArgumentException] {
+      ht.write(Tables.table(spark, "/root/testdata/sf0.001", "events"),
+        mode = org.apache.spark.sql.SaveMode.Overwrite)
+    }
+    assert(e.getMessage.contains("chunk catalog"))
+  }
+
   test("between() prunes chunk partitions at plan time") {
     val df = ht.between(Timestamp.valueOf("2024-01-10 00:00:00"),
       Timestamp.valueOf("2024-01-12 00:00:00"))

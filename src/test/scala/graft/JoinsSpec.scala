@@ -66,6 +66,20 @@ class JoinsSpec extends AnyFunSuite {
       3600L * 1000000).count() === 0)
   }
 
+  test("rangeJoin drops inverted/empty intervals instead of exploding them") {
+    val points = Seq((1L, "a", ts("2024-01-01 10:30:00"))).toDF("id", "k", "p")
+    val ivals = Seq(
+      ("a", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), "ok"),
+      // swapped bounds: a descending `sequence` would materialize ~13 years
+      // of hourly buckets for this one corrupt row
+      ("a", ts("2024-01-01 11:00:00"), ts("2011-01-01 00:00:00"), "inverted"),
+      ("a", ts("2024-01-01 10:30:00"), ts("2024-01-01 10:30:00"), "empty"))
+      .toDF("k", "s", "e", "name")
+    val out = Joins.rangeJoin(points, ivals, Seq("k"), "p", "s", "e",
+      3600L * 1000000).select($"name").as[String].collect().toSeq
+    assert(out === Seq("ok"))
+  }
+
   test("asOf carries multiple right columns") {
     val left = Seq((1L, "a", ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
     val right = Seq(("a", ts("2024-01-01 09:00:00"), 1.0, "x"),

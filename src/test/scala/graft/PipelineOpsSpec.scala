@@ -34,6 +34,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cc.count() === 200)
   }
 
+  test("connected components works with string document ids") {
+    // a blind cast-to-long would NULL these out and drop every edge
+    val edges = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "y")).toDF("a", "b")
+    val cc = Clustering.connectedComponents(edges, "a", "b")
+      .as[(String, String)].collect().toMap
+    assert(cc === Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a",
+      "x" -> "x", "y" -> "x"))
+  }
+
   test("cluster assignment groups exact+near duplicates, singletons keep own id") {
     val d0 = docs.where($"doc_id" === 0).select($"text").as[String].head()
     val perturbed = d0.split(" ").zipWithIndex

@@ -98,6 +98,28 @@ class SetNumPartitionsSpec extends AnyFunSuite {
     assert(parts < full, s"no pruning: $parts vs full $full")
   }
 
+  test("compress/decompress preserve the space-layout stamp (pruning stays sound)") {
+    val dir = Files.createTempDirectory("graft_snp_cs").toString
+    val h = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "1 day",
+      spaceCol = Some("user_id"), spacePartitions = 4)
+    val cutoff = lit(Timestamp.valueOf("2024-01-15 00:00:00"))
+    h.write(events.where(col("ts") < cutoff))
+    val h8 = h.setNumberPartitions("user_id", 8)
+    h8.write(events.where(col("ts") >= cutoff))
+    // rewrite every chunk through the columnstore path and back again
+    graft.sources.Columnstore.compress(h8, graft.sources.Columnstore.Options(orderBy = Seq("ts")))
+    val old = h8.showChunks().head
+    assert(Hypertable.readSpaceParts(fs, new org.apache.hadoop.fs.Path(old.path))
+      .contains(Map("user_id" -> 4)), "compressChunk dropped the layout stamp")
+    graft.sources.Columnstore.decompress(h8)
+    assert(Hypertable.readSpaceParts(fs, new org.apache.hadoop.fs.Path(old.path))
+      .contains(Map("user_id" -> 4)), "decompressChunk dropped the layout stamp")
+    // space-equality query across the mixed (4/8) layout still exact
+    Graft.init(spark)
+    assert(h8.read().where(col("user_id") === 7L).count() ===
+      events.where(col("user_id") === 7L).count())
+  }
+
   test("merging chunks with different counts disables pruning for the result, soundly") {
     val dir = Files.createTempDirectory("graft_snp3").toString
     val h = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "1 day",

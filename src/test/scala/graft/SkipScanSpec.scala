@@ -38,6 +38,16 @@ class SkipScanSpec extends AnyFunSuite {
     assert(got.toSeq === (0 until 7).map(i => s"v$i"))
   }
 
+  test("distinct on a partition column (in no file's physical schema)") {
+    val dir = Files.createTempDirectory("graft_skipscan_part").toString
+    val df = (0 until 1000).map(i => (i % 5, i.toLong)).toDF("p", "n")
+    df.write.partitionBy("p").parquet(s"$dir/t")
+    // every file falls back (no physical column); the fallback read must
+    // re-derive the partition values from the paths
+    val got = SkipScan.distinct(spark, s"$dir/t", "p").as[Int].collect().sorted
+    assert(got.toSeq === (0 until 5))
+  }
+
   test("nulls survive (dictionaries never hold them; footer null counts do)") {
     val dir = Files.createTempDirectory("graft_skipscan_null").toString
     val df = Seq(Some("a"), Some("b"), None, Some("a")).toDF("k")
