@@ -85,29 +85,50 @@ case class TimeBucket(width: Expression, ts: Expression, third: Option[Expressio
   private val SENT = s"${TimeBucketUtil.SENTINEL}L"
   private val SENTI = s"${TimeBucketUtil.SENTINEL_INT}"
 
-  /** Java source for the bucketed value; `t`, `w`, `th` are value variable names. */
+  /** Conversion call turning the third argument into the additive offset
+    * for the current (time type, mode) — None when it is used directly.
+    * Emitted ONCE into a local by [[doGenCode]] (the interpreted evaluator
+    * already hoists it); inlining it would re-convert per use, per row.
+    */
+  private def offsetConvCall(th: String): Option[String] = ts.dataType match {
+    case dt if isTs(dt) => mode match {
+      case Mode.OffsetCal => Some(s"$U.calOffsetMicros($th)")
+      case _              => scala.None
+    }
+    case DateType => mode match {
+      case Mode.OffsetDT  => Some(s"$U.dtOffsetDays($th)")
+      case Mode.OffsetCal => Some(s"$U.calOffsetDays($th)")
+      case _              => scala.None
+    }
+    case _ => scala.None
+  }
+
+  /** Java source for the bucketed value; `t`, `w` are value variable names;
+    * `th` is the origin value or the ALREADY-CONVERTED offset (see
+    * [[offsetConvCall]]).
+    */
   private def javaExpr(t: String, w: String, th: String): String = ts.dataType match {
     case dt if isTs(dt) =>
       width.dataType match {
         case _: DayTimeIntervalType => mode match {
           case Mode.None      => s"$U.bucketMicros($t, $w, $SENT)"
           case Mode.Origin    => s"$U.bucketMicros($t, $w, $th)"
-          case Mode.OffsetDT  => s"($U.bucketMicros($t - $th, $w, $SENT) + $th)"
-          case Mode.OffsetCal => s"($U.bucketMicros($t - $U.calOffsetMicros($th), $w, $SENT) + $U.calOffsetMicros($th))"
+          case Mode.OffsetDT | Mode.OffsetCal =>
+            s"($U.bucketMicros($t - $th, $w, $SENT) + $th)"
           case _              => throw new IllegalStateException
         }
         case _: YearMonthIntervalType => mode match {
           case Mode.None      => s"$U.bucketMonthsMicros($t, $w, $SENT)"
           case Mode.Origin    => s"$U.bucketMonthsMicros($t, $w, $th)"
-          case Mode.OffsetDT  => s"($U.bucketMonthsMicros($t - $th, $w, $SENT) + $th)"
-          case Mode.OffsetCal => s"($U.bucketMonthsMicros($t - $U.calOffsetMicros($th), $w, $SENT) + $U.calOffsetMicros($th))"
+          case Mode.OffsetDT | Mode.OffsetCal =>
+            s"($U.bucketMonthsMicros($t - $th, $w, $SENT) + $th)"
           case _              => throw new IllegalStateException
         }
         case CalendarIntervalType => mode match {
           case Mode.None      => s"$U.bucketCalendarMicros($t, $w, $SENT)"
           case Mode.Origin    => s"$U.bucketCalendarMicros($t, $w, $th)"
-          case Mode.OffsetDT  => s"($U.bucketCalendarMicros($t - $th, $w, $SENT) + $th)"
-          case Mode.OffsetCal => s"($U.bucketCalendarMicros($t - $U.calOffsetMicros($th), $w, $SENT) + $U.calOffsetMicros($th))"
+          case Mode.OffsetDT | Mode.OffsetCal =>
+            s"($U.bucketCalendarMicros($t - $th, $w, $SENT) + $th)"
           case _              => throw new IllegalStateException
         }
         case _ => throw new IllegalStateException
@@ -117,22 +138,22 @@ case class TimeBucket(width: Expression, ts: Expression, third: Option[Expressio
         case _: DayTimeIntervalType => mode match {
           case Mode.None      => s"$U.bucketDays($t, $w, $SENTI)"
           case Mode.Origin    => s"$U.bucketDays($t, $w, $th)"
-          case Mode.OffsetDT  => s"($U.bucketDays($t - $U.dtOffsetDays($th), $w, $SENTI) + $U.dtOffsetDays($th))"
-          case Mode.OffsetCal => s"($U.bucketDays($t - $U.calOffsetDays($th), $w, $SENTI) + $U.calOffsetDays($th))"
+          case Mode.OffsetDT | Mode.OffsetCal =>
+            s"($U.bucketDays($t - $th, $w, $SENTI) + $th)"
           case _              => throw new IllegalStateException
         }
         case _: YearMonthIntervalType => mode match {
           case Mode.None      => s"$U.bucketMonthsDays($t, $w, $SENTI)"
           case Mode.Origin    => s"$U.bucketMonthsDays($t, $w, $th)"
-          case Mode.OffsetDT  => s"($U.bucketMonthsDays($t - $U.dtOffsetDays($th), $w, $SENTI) + $U.dtOffsetDays($th))"
-          case Mode.OffsetCal => s"($U.bucketMonthsDays($t - $U.calOffsetDays($th), $w, $SENTI) + $U.calOffsetDays($th))"
+          case Mode.OffsetDT | Mode.OffsetCal =>
+            s"($U.bucketMonthsDays($t - $th, $w, $SENTI) + $th)"
           case _              => throw new IllegalStateException
         }
         case CalendarIntervalType => mode match {
           case Mode.None      => s"$U.bucketCalendarDays($t, $w, $SENTI)"
           case Mode.Origin    => s"$U.bucketCalendarDays($t, $w, $th)"
-          case Mode.OffsetDT  => s"($U.bucketCalendarDays($t - $U.dtOffsetDays($th), $w, $SENTI) + $U.dtOffsetDays($th))"
-          case Mode.OffsetCal => s"($U.bucketCalendarDays($t - $U.calOffsetDays($th), $w, $SENTI) + $U.calOffsetDays($th))"
+          case Mode.OffsetDT | Mode.OffsetCal =>
+            s"($U.bucketCalendarDays($t - $th, $w, $SENTI) + $th)"
           case _              => throw new IllegalStateException
         }
         case _ => throw new IllegalStateException
@@ -158,8 +179,17 @@ case class TimeBucket(width: Expression, ts: Expression, third: Option[Expressio
     val thCode = thGen.map(_.code.toString).getOrElse("")
     val thNull = thGen.map(g => s" || ${g.isNull}").getOrElse("")
     val jt = CodeGenerator.javaType(dataType)
+    val thVal = thGen.map(_.value.toString).getOrElse("")
+    val conv = offsetConvCall(thVal)
+    val offVar = conv.map(_ => ctx.freshName("tbOff"))
+    val offDecl = (conv, offVar) match {
+      case (Some(c), Some(v)) =>
+        val t = if (ts.dataType == DateType) "int" else "long"
+        s"$t $v = $c;"
+      case _ => ""
+    }
     val expr = javaExpr(tGen.value.toString, wGen.value.toString,
-      thGen.map(_.value.toString).getOrElse(""))
+      offVar.getOrElse(thVal))
     ev.copy(code = code"""
       ${wGen.code}
       ${tGen.code}
@@ -167,6 +197,7 @@ case class TimeBucket(width: Expression, ts: Expression, third: Option[Expressio
       boolean ${ev.isNull} = ${wGen.isNull} || ${tGen.isNull}$thNull;
       $jt ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
       if (!${ev.isNull}) {
+        $offDecl
         ${ev.value} = $expr;
       }""")
   }

@@ -110,6 +110,11 @@ case class UuidTimestamp(child: Expression, withMicros: Boolean)
   }
   override def nullSafeEval(v: Any): Any = {
     val b = UuidV7Util.parse(v.asInstanceOf[UTF8String])
+    // only v7 carries a timestamp; interpreting another version's random
+    // bytes as one yields valid-looking garbage — error like the
+    // reference's uuid.c does
+    require(UuidV7Util.version(b) == 7,
+      s"$prettyName: not a version-7 uuid (version ${UuidV7Util.version(b)}): $v")
     val us = UuidV7Util.unixMs(b) * 1000L
     if (withMicros) us + UuidV7Util.extraMicros(b) else us
   }

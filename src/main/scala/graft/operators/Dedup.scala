@@ -90,6 +90,11 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
       maxBucketSize: Int = 1000): DataFrame = {
+    // bands > numHashes would slice empty bands (every doc in ONE bucket —
+    // total recall loss after the cap, or an n² join without it); a
+    // non-dividing count would silently ignore trailing hashes
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
     val sig = minhashFast(col(textCol), shingleN, numHashes)
     val banded = df.select(col(idCol),
@@ -126,9 +131,19 @@ object Dedup {
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, numHashes: Int = 32,
       bands: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+    // checkpoint the candidate list so the LSH band join runs exactly ONCE:
+    // it feeds both the id semi-join below and the final verify join, and
+    // column pruning would otherwise make Catalyst re-execute the whole
+    // banding pipeline per use
     val cands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes,
-      bands, maxBucketSize)
-    val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+      bands, maxBucketSize).localCheckpoint()
+    // shingle only docs that appear in a candidate pair (usually a tiny
+    // fraction of the corpus) — without the semi-join both verify joins
+    // would tokenize+shingle the ENTIRE corpus, twice
+    val candIds = cands.select(col(s"${idCol}_a").as(idCol))
+      .union(cands.select(col(s"${idCol}_b").as(idCol))).distinct()
+    val sh = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
     cands
       .join(sh.withColumnRenamed(idCol, s"${idCol}_a").withColumnRenamed("sh", "sh_a"), s"${idCol}_a")
       .join(sh.withColumnRenamed(idCol, s"${idCol}_b").withColumnRenamed("sh", "sh_b"), s"${idCol}_b")

@@ -48,6 +48,12 @@ object CaggRewrite extends Rule[LogicalPlan] {
       case _ => throw new IllegalArgumentException(
         "only caggs over a raw hypertable can serve rewrites")
     }
+    // a dim-joined cagg aggregates the JOINED rows (the join can filter or
+    // duplicate); a raw-table aggregate of the same shape is NOT equivalent
+    // and matching it would silently return wrong results
+    require(cagg.defn.dimJoin.isEmpty,
+      "caggs with a dimension join cannot serve raw-table rewrites " +
+        "(the join changes bucket contents); query the cagg directly")
     // resolve the cagg's agg columns against the real source to get
     // canonical SQL for structural matching
     val probe = ht.read()
@@ -59,15 +65,25 @@ object CaggRewrite extends Rule[LogicalPlan] {
         result.collect { case a: Alias if hasAggregate(a.child) => canonicalSql(a.child) -> a.name }.toMap
       case _ => Map.empty[String, String]
     }
-    registry.put(normalize(ht.path), Registered(
-      cagg, ht.timeCol, cagg.defn.widthMicros, cagg.defn.widthMonths,
-      cagg.defn.groupCols, aggSql))
+    registry.put(
+      normalize(ht.path, cagg.spark.sessionState.newHadoopConf()),
+      Registered(
+        cagg, ht.timeCol, cagg.defn.widthMicros, cagg.defn.widthMonths,
+        cagg.defn.groupCols, aggSql))
   }
 
   def clear(): Unit = registry.clear()
 
-  private def normalize(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath.stripSuffix("/")
+  /** Fully-qualified key (same convention as the exclusion registry,
+    * `Hypertable.qualifiedPath`): stripping the scheme would collide
+    * same-path tables on different filesystems, and a relative
+    * registration path would never match the scan's qualified rootPath.
+    */
+  private def normalize(p: String,
+      conf: org.apache.hadoop.conf.Configuration): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(conf).makeQualified(hp).toString.stripSuffix("/")
+  }
 
   /** Canonical SQL for structural matching: view/table qualifiers on
     * attributes are irrelevant to the aggregate's semantics, so strip them
@@ -93,7 +109,8 @@ object CaggRewrite extends Rule[LogicalPlan] {
     plan match {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location.rootPaths.toList match {
-          case p :: Nil => Some((normalize(p.toString), Map.empty))
+          case p :: Nil => Some((normalize(p.toString,
+            fs.sparkSession.sessionState.newHadoopConf()), Map.empty))
           case _        => None
         }
       case Project(projList, child)

@@ -144,10 +144,10 @@ object ChunkExclusion extends Rule[LogicalPlan] {
   private def literalBounds(cond: Expression, a: Attribute, isFloat: Boolean)
       : Option[(Option[(Any, Boolean)], Option[(Any, Boolean)])] = {
     import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other     => Seq(other)
-    }
+    // TimeBounds.conjuncts also unwraps With/RuntimeReplaceable sugar —
+    // without it a BETWEEN-shaped skip-column predicate would be invisible
+    // here while the same-shaped time predicate IS seen by timeFilter
+    def conjuncts(e: Expression): Seq[Expression] = TimeBounds.conjuncts(e)
     var lo: Option[(Any, Boolean)] = None
     var hi: Option[(Any, Boolean)] = None
     def tightenLo(v: Any, strict: Boolean): Unit = {
@@ -275,11 +275,7 @@ object ChunkExclusion extends Rule[LogicalPlan] {
     * `v = a`, `a <=> v`, `a IN (v...)`), or None.
     */
   private def equalityValues(cond: Expression, a: Attribute): Option[Seq[Literal]] = {
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other     => Seq(other)
-    }
-    conjuncts(cond).collectFirst {
+    TimeBounds.conjuncts(cond).collectFirst {
       case EqualTo(x: Attribute, l: Literal) if x.semanticEquals(a) && l.value != null => Seq(l)
       case EqualTo(l: Literal, x: Attribute) if x.semanticEquals(a) && l.value != null => Seq(l)
       case EqualNullSafe(x: Attribute, l: Literal) if x.semanticEquals(a) && l.value != null => Seq(l)

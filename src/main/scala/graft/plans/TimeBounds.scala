@@ -35,38 +35,46 @@ object TimeBounds {
       case _                 => None
     }
 
-  /** Tightest (lo, hi) over the conjuncts for predicates on `ts`. */
+  /** Tightest (lo, hi) over the conjuncts for predicates on `ts`.
+    *
+    * The inclusive→exclusive `+1` must not wrap at `Long.MaxValue` (a
+    * common "no upper bound" encoding on bigint dims): a wrapped `hi`
+    * of `Long.MinValue` would turn the pruning filter into
+    * exclude-everything. An inclusive upper bound AT MaxValue is simply
+    * unbounded; a lower bound that would wrap (`ts > MaxValue`) saturates
+    * to MaxValue — a sound over-approximation of the empty range.
+    */
   def bounds(cond: Expression, ts: Expression): (Option[Long], Option[Long]) = {
     var lo: Option[Long] = None
     var hi: Option[Long] = None
+    def tightenLo(x: Long): Unit = lo = Some(lo.fold(x)(math.max(_, x)))
+    def tightenHi(x: Long): Unit = hi = Some(hi.fold(x)(math.min(_, x)))
+    def tightenLoExcl(x: Long): Unit =
+      tightenLo(if (x == Long.MaxValue) Long.MaxValue else x + 1)
+    def tightenHiIncl(x: Long): Unit =
+      if (x != Long.MaxValue) tightenHi(x + 1) // <= MaxValue: unbounded
     conjuncts(cond).foreach {
       case GreaterThanOrEqual(e, v) if e.semanticEquals(ts) =>
-        evalMicros(v).foreach(x => lo = Some(lo.fold(x)(math.max(_, x))))
+        evalMicros(v).foreach(tightenLo)
       case GreaterThan(e, v) if e.semanticEquals(ts) =>
-        evalMicros(v).foreach(x0 => { val x = x0 + 1; lo = Some(lo.fold(x)(math.max(_, x))) })
+        evalMicros(v).foreach(tightenLoExcl)
       case LessThan(e, v) if e.semanticEquals(ts) =>
-        evalMicros(v).foreach(x => hi = Some(hi.fold(x)(math.min(_, x))))
+        evalMicros(v).foreach(tightenHi)
       case LessThanOrEqual(e, v) if e.semanticEquals(ts) =>
-        evalMicros(v).foreach(x0 => { val x = x0 + 1; hi = Some(hi.fold(x)(math.min(_, x))) })
+        evalMicros(v).foreach(tightenHiIncl)
       // reversed operand order: literal OP ts
       case GreaterThanOrEqual(v, e) if e.semanticEquals(ts) =>
-        evalMicros(v).foreach(x0 => { val x = x0 + 1; hi = Some(hi.fold(x)(math.min(_, x))) })
+        evalMicros(v).foreach(tightenHiIncl)
       case GreaterThan(v, e) if e.semanticEquals(ts) =>
-        evalMicros(v).foreach(x => hi = Some(hi.fold(x)(math.min(_, x))))
+        evalMicros(v).foreach(tightenHi)
       case LessThan(v, e) if e.semanticEquals(ts) =>
-        evalMicros(v).foreach(x0 => { val x = x0 + 1; lo = Some(lo.fold(x)(math.max(_, x))) })
+        evalMicros(v).foreach(tightenLoExcl)
       case LessThanOrEqual(v, e) if e.semanticEquals(ts) =>
-        evalMicros(v).foreach(x => lo = Some(lo.fold(x)(math.max(_, x))))
+        evalMicros(v).foreach(tightenLo)
       case EqualTo(e, v) if e.semanticEquals(ts) =>
-        evalMicros(v).foreach { x =>
-          lo = Some(lo.fold(x)(math.max(_, x)))
-          hi = Some(hi.fold(x + 1)(math.min(_, x + 1)))
-        }
+        evalMicros(v).foreach { x => tightenLo(x); tightenHiIncl(x) }
       case EqualTo(v, e) if e.semanticEquals(ts) =>
-        evalMicros(v).foreach { x =>
-          lo = Some(lo.fold(x)(math.max(_, x)))
-          hi = Some(hi.fold(x + 1)(math.min(_, x + 1)))
-        }
+        evalMicros(v).foreach { x => tightenLo(x); tightenHiIncl(x) }
       case _ => ()
     }
     (lo, hi)

@@ -47,6 +47,23 @@ class HypertableSpec extends AnyFunSuite {
     assert(ht.read().count() === n)
   }
 
+  test("time bounds do not wrap at Long.MaxValue (the no-upper-bound encoding)") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    val ts = AttributeReference("ts", LongType)()
+    // ts <= MaxValue is unbounded, not hi = MinValue (overflowed +1)
+    assert(graft.plans.TimeBounds.bounds(
+      LessThanOrEqual(ts, Literal(Long.MaxValue)), ts) === ((None, None)))
+    assert(graft.plans.TimeBounds.bounds(
+      And(GreaterThanOrEqual(ts, Literal(5L)), LessThanOrEqual(ts, Literal(Long.MaxValue))),
+      ts) === ((Some(5L), None)))
+    // ts > MaxValue (empty range) saturates instead of wrapping lo
+    assert(graft.plans.TimeBounds.bounds(
+      GreaterThan(ts, Literal(Long.MaxValue)), ts) === ((Some(Long.MaxValue), None)))
+    assert(graft.plans.TimeBounds.bounds(
+      EqualTo(ts, Literal(Long.MaxValue)), ts) === ((Some(Long.MaxValue), None)))
+  }
+
   test("SaveMode.Overwrite is rejected (it would wipe the chunk catalog)") {
     val e = intercept[IllegalArgumentException] {
       ht.write(Tables.table(spark, "/root/testdata/sf0.001", "events"),

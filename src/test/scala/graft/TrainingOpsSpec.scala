@@ -122,6 +122,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert((part & brute).size >= 5, s"IVF recall too low: ${(part & brute).size}/10")
   }
 
+  test("lshCandidatePairs rejects band counts that do not divide the hash count") {
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    // bands > numHashes would slice empty bands: every doc in one bucket
+    intercept[IllegalArgumentException] {
+      Dedup.lshCandidatePairs(docs, "doc_id", "text", numHashes = 32, bands = 48)
+    }
+    // a non-dividing count would silently ignore trailing hashes
+    intercept[IllegalArgumentException] {
+      Dedup.lshCandidatePairs(docs, "doc_id", "text", numHashes = 32, bands = 5)
+    }
+  }
+
   test("lshPairs matches brute-force pairs exactly and plans as an equi-join") {
     val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val lsh = Similarity.lshPairs(emb, "vec_id", "embedding", 0.45)

@@ -42,6 +42,16 @@ class UuidV7Spec extends AnyFunSuite {
     assert(got.getInt(2) === 7)
   }
 
+  test("uuid_timestamp rejects non-v7 uuids instead of decoding garbage") {
+    val e = intercept[Exception] {
+      Seq("f47ac10b-58cc-4372-a567-0e02b2c3d479") // v4
+        .toDF("u").select(gf.uuid_timestamp($"u")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("version-7")), s"unexpected error: $e")
+  }
+
   test("generate_uuidv7 is a parseable v7 uuid") {
     Graft.init(spark)
     val s = spark.sql("SELECT generate_uuidv7() AS u, uuid_version(generate_uuidv7()) AS v").head()
