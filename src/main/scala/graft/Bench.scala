@@ -43,10 +43,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // a failed query must be VISIBLE in the JSON line, not just stderr —
+    // its near-zero "time" would otherwise read as a speedup
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = selected.map { case (name, fn) =>
       def run(): Unit =
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
       val t0 = System.nanoTime()
@@ -65,7 +69,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val coldTotal = results.map(_._2._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_sec":$coldTotal%.3f,"sf":"$sfDir"}""")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_sec":$coldTotal%.3f,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,23 +18,26 @@ object Graft {
     // exists-check would wrongly skip intentional BUILTIN overrides
     // (first/last gain the reference's 2-arg bookend forms), and
     // re-registering every init call spams "replaced a previously
-    // registered function" per query
-    val marker = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_registered")
+    // registered function" per query. GraftExtensions injects the SAME
+    // sentinel, so init() on an extensions-built session is a full no-op —
+    // appending the rules again would run every rule twice per query.
+    val marker = org.apache.spark.sql.catalyst.FunctionIdentifier(
+      GraftExtensions.SENTINEL)
     if (!reg.functionExists(marker)) {
       GraftExtensions.functionBuilders.foreach { case (name, builder) =>
         reg.createOrReplaceTempFunction(name, builder, "scala_udf")
       }
       reg.createOrReplaceTempFunction(marker.funcName,
         _ => org.apache.spark.sql.catalyst.expressions.Literal(true), "scala_udf")
+      for (rule <- Seq(graft.plans.GapfillRewrite, graft.plans.SortTransform,
+          graft.plans.CaggRewrite, graft.plans.ChunkExclusion))
+        if (!spark.experimental.extraOptimizations.contains(rule))
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ rule
+      if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategies))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
     }
-    for (rule <- Seq(graft.plans.GapfillRewrite, graft.plans.SortTransform,
-        graft.plans.CaggRewrite, graft.plans.ChunkExclusion))
-      if (!spark.experimental.extraOptimizations.contains(rule))
-        spark.experimental.extraOptimizations =
-          spark.experimental.extraOptimizations :+ rule
-    if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategies))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
     spark
   }
 

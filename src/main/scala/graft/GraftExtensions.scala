@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
     }
+    // sentinel function: tells Graft.init the session already carries every
+    // registration below, so init() won't append the rules a second time
+    ext.injectFunction((FunctionIdentifier(GraftExtensions.SENTINEL),
+      new ExpressionInfo(classOf[GraftExtensions].getName, GraftExtensions.SENTINEL),
+      _ => org.apache.spark.sql.catalyst.expressions.Literal(true)))
     // gapfill rewrites at RESOLUTION time so empty-bucket aggregates keep
     // reference NULL semantics (nullability can still widen); the optimizer
     // registration below is the no-op-unless-unrewritten fallback shared
@@ -36,6 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Registration sentinel shared by the extension and [[Graft.init]]. */
+  private[graft] val SENTINEL = "graft_registered"
+
   /** A resolved string argument in a time position is a UUIDv7: bucket its
     * embedded timestamp (micros-exact round-trip).
     */
@@ -44,61 +52,65 @@ object GraftExtensions {
       UuidTimestamp(t, withMicros = true)
     else t
 
+  /** Builder with a uniform arity fallback: a bad SQL call gets an
+    * informative error instead of a raw `scala.MatchError` from analysis.
+    */
+  private def fn(name: String, usage: String)(
+      pf: PartialFunction[Seq[Expression], Expression])
+      : (String, Seq[Expression] => Expression) =
+    name -> { exprs =>
+      if (pf.isDefinedAt(exprs)) pf(exprs)
+      else throw new IllegalArgumentException(
+        s"$name expects $usage, got ${exprs.length} argument(s)")
+    }
+
   /** Shared with [[Graft.init]] so both registration paths agree. */
   val functionBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "time_bucket" -> {
+    fn("time_bucket", "(width, time [, origin or offset])") {
       // uuid overloads (`sql/time_bucket.sql:18-19,29,45` — time_bucket over
       // a UUIDv7 buckets its embedded timestamp): a string ts is treated as
       // a v7 uuid, like the reference's UUID signatures
       case Seq(w, t)    => TimeBucket(w, uuidTs(t), None)
       case Seq(w, t, o) => TimeBucket(w, uuidTs(t), Some(o))
-      case exprs => throw new IllegalArgumentException(
-        s"time_bucket requires 2 or 3 arguments, got ${exprs.length}")
     },
     // bucket in the wall-clock of tz, result back as a UTC instant
     // (reference `src/time_bucket.c:335+` timestamptz-with-timezone form)
-    "time_bucket_tz" -> {
+    fn("time_bucket_tz", "(width, ts, timezone)") {
       case Seq(w, t, tz) =>
         org.apache.spark.sql.catalyst.expressions.ToUTCTimestamp(
           TimeBucket(w,
             org.apache.spark.sql.catalyst.expressions.FromUTCTimestamp(t, tz), None), tz)
-      case exprs => throw new IllegalArgumentException(
-        s"time_bucket_tz requires (width, ts, timezone), got ${exprs.length} arguments")
     },
-    "to_uuidv7" -> { case Seq(e) => ToUuidV7(e, boundary = false) },
-    "to_uuidv7_boundary" -> { case Seq(e) => ToUuidV7(e, boundary = true) },
-    "uuid_timestamp" -> { case Seq(e) => UuidTimestamp(e, withMicros = false) },
-    "uuid_timestamp_micros" -> { case Seq(e) => UuidTimestamp(e, withMicros = true) },
-    "uuid_version" -> { case Seq(e) => UuidVersion(e) },
-    "generate_uuidv7" -> { case Seq() => GenerateUuidV7() },
-    "simhash64" -> { case Seq(e) => SimHash64(e) },
-    "dot_product" -> { case Seq(a, b) => DotProduct(a, b) },
-    "minhash_sig" -> {
+    fn("to_uuidv7", "(timestamp)") { case Seq(e) => ToUuidV7(e, boundary = false) },
+    fn("to_uuidv7_boundary", "(timestamp)") { case Seq(e) => ToUuidV7(e, boundary = true) },
+    fn("uuid_timestamp", "(uuid)") { case Seq(e) => UuidTimestamp(e, withMicros = false) },
+    fn("uuid_timestamp_micros", "(uuid)") { case Seq(e) => UuidTimestamp(e, withMicros = true) },
+    fn("uuid_version", "(uuid)") { case Seq(e) => UuidVersion(e) },
+    fn("generate_uuidv7", "no arguments") { case Seq() => GenerateUuidV7() },
+    fn("simhash64", "(token array)") { case Seq(e) => SimHash64(e) },
+    fn("dot_product", "(a, b)") { case Seq(a, b) => DotProduct(a, b) },
+    fn("minhash_sig", "(tokens, n, k)") {
       case Seq(toks, n, k) =>
         def intOf(e: Expression, what: String): Int = e match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
           case _ => throw new IllegalArgumentException(s"minhash_sig: $what must be a literal int")
         }
         MinHashSig(toks, intOf(n, "shingle n"), intOf(k, "num hashes"))
-      case exprs => throw new IllegalArgumentException(
-        s"minhash_sig takes (tokens, n, k), got ${exprs.length} arguments")
     },
-    "time_bucket_gapfill" -> {
+    fn("time_bucket_gapfill", "(width, ts [, start, finish])") {
       case Seq(w, t) => // window inferred from the WHERE clause
         val nul = org.apache.spark.sql.catalyst.expressions.Literal(null,
           org.apache.spark.sql.types.TimestampType)
         GapfillBucket(w, t, nul, nul)
       case Seq(w, t, s, f) => GapfillBucket(w, t, s, f)
-      case exprs => throw new IllegalArgumentException(
-        s"time_bucket_gapfill takes (width, ts [, start, finish]), got ${exprs.length} arguments")
     },
-    "locf" -> {
+    fn("locf", "(value [, prev [, treat_null_as_missing]])") {
       case Seq(e)    => Locf(e, None)
       case Seq(e, p) => Locf(e, Some(p))
       case Seq(e, p, t) => Locf(e, Some(p),
         t.eval().asInstanceOf[Boolean])
     },
-    "interpolate" -> { case Seq(e) => Interpolate(e) },
+    fn("interpolate", "(value)") { case Seq(e) => Interpolate(e) },
 
     // bookends (`src/agg_bookend.c:29-33`): first(value, time) /
     // last(value, time) are the reference's aggregates. Shadowing the
@@ -109,7 +121,7 @@ object GraftExtensions {
     // ignoreNulls flag, anything else is the reference's time column
     // (ordering by a boolean literal is meaningless, so the shapes are
     // disjoint in practice).
-    "first" -> {
+    fn("first", "(value [, time or ignoreNulls])") {
       case Seq(v) => org.apache.spark.sql.catalyst.expressions.aggregate
         .First(v, ignoreNulls = false).toAggregateExpression()
       case Seq(v, b) if isBoolLit(b) =>
@@ -118,7 +130,7 @@ object GraftExtensions {
       case Seq(v, t) => org.apache.spark.sql.catalyst.expressions.aggregate
         .MinBy(v, t).toAggregateExpression()
     },
-    "last" -> {
+    fn("last", "(value [, time or ignoreNulls])") {
       case Seq(v) => org.apache.spark.sql.catalyst.expressions.aggregate
         .Last(v, ignoreNulls = false).toAggregateExpression()
       case Seq(v, b) if isBoolLit(b) =>
@@ -130,10 +142,10 @@ object GraftExtensions {
 
     // histogram (`sql/histogram.sql:5-28`): nbuckets+2 array with
     // under/overflow ends; bucket rule floor((v-min)/w)+1 (histogram.c:49+)
-    "histogram_bucket" -> {
+    fn("histogram_bucket", "(value, min, max, nbuckets)") {
       case Seq(v, mn, mx, nb) => histogramBucketExpr(v, mn, mx, nb)
     },
-    "histogram" -> {
+    fn("histogram", "(value, min, max, nbuckets)") {
       case Seq(v, mn, mx, nb) =>
         import org.apache.spark.sql.catalyst.expressions._
         val n = litInt(nb, "nbuckets")
@@ -144,12 +156,12 @@ object GraftExtensions {
     },
 
     // single-pass text analysis (library defaults for markers/stopwords)
-    "lang_id" -> { case Seq(e) =>
+    fn("lang_id", "(text)") { case Seq(e) =>
       LangId(e, graft.operators.TextAnalysis.LANG_MARKERS) },
-    "quality_score" -> { case Seq(e) =>
+    fn("quality_score", "(text)") { case Seq(e) =>
       QualityScore(e, graft.operators.TextAnalysis.STOPWORDS_EN) },
-    "normalize_text" -> { case Seq(e) => NormalizeText(e) },
-    "word_ngrams" -> {
+    fn("normalize_text", "(text)") { case Seq(e) => NormalizeText(e) },
+    fn("word_ngrams", "(tokens, n)") {
       case Seq(toks, n) => WordNGrams(toks, n match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
         case _ => throw new IllegalArgumentException("word_ngrams: n must be a literal int")

@@ -25,6 +25,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** UTC-pinned literals: `java.sql.Timestamp.valueOf` parses in the JVM
+    * default timezone, so on a non-UTC host every query window would shift
+    * against the oracle's naive literals (the session timezone is pinned
+    * to UTC, the JVM's isn't). The naive string is always interpreted as
+    * UTC wall-clock.
+    */
+  private def tsUtc(str: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.LocalDateTime.parse(str.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC))
+
+  /** Epoch micros of a naive timestamp string read as UTC (also the
+    * local-naive micros form [[Gapfill.gapfillTz]] expects).
+    */
+  private def usUtc(str: String): Long = {
+    val i = java.time.LocalDateTime.parse(str.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC)
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
   /** [min, max] micros of a timestamp column: footer statistics when the
     * files carry them (TIMESTAMP_MICROS writers — no data scan), else a
     * min/max aggregation (INT96 legacy files have no footer stats).
@@ -306,8 +325,8 @@ object SparkEntry {
     // value > 220 sparsifies the data so real gaps exist for locf.
     "q48_gapfill_tz" -> ((s, dir) => {
       val tz = "America/New_York"
-      val ls = java.sql.Timestamp.valueOf("2024-02-25 00:00:00").getTime * 1000L
-      val lf = java.sql.Timestamp.valueOf("2024-03-25 00:00:00").getTime * 1000L
+      val ls = usUtc("2024-02-25 00:00:00")
+      val lf = usUtc("2024-03-25 00:00:00")
       val ev = t(s, dir, "events")
         .withColumn("ts2", col("ts") + expr("INTERVAL 60 DAYS"))
         .where(col("value") > 220)
@@ -518,8 +537,8 @@ object SparkEntry {
       ht.write(t(s, dir, "events"))
       ht.read()
         .where(col("user_id") === 42L && col("event_type") === "click" &&
-          col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) &&
-          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-29 00:00:00")))
+          col("ts") >= lit(tsUtc("2024-01-01 00:00:00")) &&
+          col("ts") < lit(tsUtc("2024-01-29 00:00:00")))
         .groupBy(gf.time_bucket("1 day", col("ts")).as("day"))
         .agg(count(lit(1)).as("n"),
           expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"))
@@ -552,7 +571,7 @@ object SparkEntry {
       import graft.sources.Hypertable
       Graft.init(s)
       val tmp = java.nio.file.Files.createTempDirectory("graft_snp_q").toString
-      val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      val cutoff = lit(tsUtc("2024-01-15 00:00:00"))
       val ht4 = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days",
         spaceCol = Some("user_id"), spacePartitions = 4)
       ht4.write(t(s, dir, "events").where(col("ts") < cutoff), filesPerChunk = 8)
@@ -607,7 +626,7 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_bsm_q").toString
       val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
       ht.write(t(s, dir, "events")
-        .where(col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))))
+        .where(col("ts") < lit(tsUtc("2024-01-15 00:00:00"))))
       ht.orderedRead().orderBy("ts")
         .select("event_id", "ts", "value")
     }),
@@ -656,8 +675,14 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
         .withColumn("prev_value", lag("value", 1).over(w))
         .withColumn("delta", col("value") - col("prev_value"))
-        .withColumn("rate", (col("value") - col("prev_value")) /
-          ((unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w))).cast("double") / 1e6))
+        .withColumn("rate", {
+          // dt = 0 (same-user timestamp collision) pins to NULL explicitly:
+          // engines disagree on double x/0 (NULL vs Inf/NaN), so neither
+          // side may reach the division
+          val dt = unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w))
+          when(dt === 0, lit(null)).otherwise(
+            (col("value") - col("prev_value")) / (dt.cast("double") / 1e6))
+        })
         .orderBy("event_id")
     }),
 
@@ -810,8 +835,8 @@ object SparkEntry {
       val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
       ht.write(t(s, dir, "events"), filesPerChunk = 8)
       ht.read()
-        .where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-08 00:00:00")) &&
-          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))
+        .where(col("ts") >= lit(tsUtc("2024-01-08 00:00:00")) &&
+          col("ts") < lit(tsUtc("2024-01-22 00:00:00")))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"))
@@ -834,8 +859,8 @@ object SparkEntry {
       ht.write(t(s, dir, "events"))
       ht.read()
         .where(col("user_id") === 42L &&
-          col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) &&
-          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-29 00:00:00")))
+          col("ts") >= lit(tsUtc("2024-01-01 00:00:00")) &&
+          col("ts") < lit(tsUtc("2024-01-29 00:00:00")))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"))
@@ -912,7 +937,7 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy(
           gf.time_bucket("7 days", col("ts"),
-            lit(java.sql.Timestamp.valueOf("2024-01-04 00:00:00"))).as("wk_origin"),
+            lit(tsUtc("2024-01-04 00:00:00"))).as("wk_origin"),
           gf.time_bucket("1 day", col("ts"), expr("INTERVAL 6 HOURS")).as("day_offset"))
         .agg(count(lit(1)).as("n"))
         .orderBy("wk_origin", "day_offset")
@@ -933,8 +958,8 @@ object SparkEntry {
         segmentBy = Seq("event_type"), orderBy = Seq("ts"),
         bloomFilterCols = Seq("user_id")))
       ht.read()
-        .where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-08 00:00:00")) &&
-          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))
+        .where(col("ts") >= lit(tsUtc("2024-01-08 00:00:00")) &&
+          col("ts") < lit(tsUtc("2024-01-22 00:00:00")))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"),
@@ -1051,8 +1076,14 @@ object SparkEntry {
       val p = s"$dir/events.parquet"
       val (vmin, vmax) = Stats.minMax(s, p, "value")
       val (tmin, tmax) = Stats.minMax(s, p, "ts")
+      // footer stats come back in the file's physical unit: nanos when ts
+      // is TIMESTAMP(NANOS)-as-long (this testdata — same LongType branch
+      // Tables.load keys on), micros when a writer used TIMESTAMP_MICROS
+      val tsIsNanosLong =
+        s.read.parquet(p).schema("ts").dataType == org.apache.spark.sql.types.LongType
+      def toUs(v: Long): Long = if (tsIsNanosLong) v / 1000L else v
       Seq((vmin.get.asInstanceOf[Double], vmax.get.asInstanceOf[Double],
-        tmin.get.asInstanceOf[Long] / 1000L, tmax.get.asInstanceOf[Long] / 1000L))
+        toUs(tmin.get.asInstanceOf[Long]), toUs(tmax.get.asInstanceOf[Long])))
         .toDF("value_min", "value_max", "ts_min_us", "ts_max_us")
         .select(col("value_min"), col("value_max"),
           timestamp_micros(col("ts_min_us")).as("ts_min"),
@@ -1452,7 +1483,7 @@ object SparkEntry {
         | lag(value) OVER w AS prev_value,
         | value - lag(value) OVER w AS delta,
         | (value - lag(value) OVER w) /
-        |   (CAST(epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) AS DOUBLE) / 1e6) AS rate
+        |   NULLIF(CAST(epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) AS DOUBLE) / 1e6, 0.0) AS rate
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,

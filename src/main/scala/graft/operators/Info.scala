@@ -61,18 +61,24 @@ object Info {
   def dimensions(ht: Hypertable): DataFrame = {
     import ht.spark.implicits._
     val integral = ht.timeKind == "bigint"
+    // calendar-chunked tables (chunkWidth = "N months") have
+    // chunkWidthMicros = 0 — report the month count instead of a bogus
+    // zero-width micros interval (reference dimensions view shows the
+    // calendar interval)
+    val monthly = ht.chunkMonths > 0
     val time = (ht.path, 1, ht.timeCol, ht.timeKind, "Time",
-      if (integral) None else Some(ht.chunkWidthMicros),
+      if (integral || monthly) None else Some(ht.chunkWidthMicros),
       if (integral) Some(ht.chunkWidthMicros) else None,
+      if (monthly) Some(ht.chunkMonths) else None,
       None: Option[Int])
     val space = ht.spaceDims.zipWithIndex.map { case ((sc, n, _), i) =>
       (ht.path, i + 2, sc, "hash", "Space", None: Option[Long], None: Option[Long],
-        Some(n))
+        None: Option[Int], Some(n))
     }
     (Seq(time) ++ space)
       .toDF("hypertable_name", "dimension_number", "column_name",
         "column_type", "dimension_type", "time_interval_micros",
-        "integer_interval", "num_partitions")
+        "integer_interval", "month_interval", "num_partitions")
   }
 
   /** timescaledb_information.jobs, policy subset (`sql/views.sql:94-117`):

@@ -149,10 +149,14 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { it =>
         it.flatMap { r =>
-          parseMeta(r.media).toSeq.flatMap { m =>
+          // videos only, per the contract — an image parses with frames=1
+          // and would otherwise emit one spurious "frame" per row
+          parseMeta(r.media).filter(_.format == "vid").toSeq.flatMap { m =>
+            // base feature once per ROW (an O(payload) scan), cloned and
+            // salted per frame — not recomputed n times
+            val base = extractFeatureStub(r.media)
             sampleFrameIndices(m.frames, n).map { idx =>
-              // stub per-frame feature: payload bytes salted by frame index
-              val f = extractFeatureStub(r.media)
+              val f = base.clone()
               f(idx % f.length) += 1.0f
               FrameRef(r.id, idx, f)
             }

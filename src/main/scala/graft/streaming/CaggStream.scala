@@ -8,6 +8,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * invalidation), so the cagg's late-data semantics apply to streams too —
   * arrivals below the watermark are re-materialized on the next refresh
   * rather than dropped.
+  *
+  * foreachBatch is AT-LEAST-ONCE: after a crash between ingest and the
+  * checkpoint commit, the same batch is redelivered with the same batchId.
+  * The last ingested id is recorded next to the cagg and replays are
+  * skipped, making the append effectively-once (assumes one stream per
+  * cagg — attach a second stream under a different cagg path).
   */
 object CaggStream {
   def attach(cagg: ContinuousAggregate, stream: DataFrame,
@@ -15,8 +21,11 @@ object CaggStream {
       refreshEachBatch: Boolean = false): StreamingQuery = {
     stream.writeStream
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        cagg.ingest(batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > cagg.lastStreamBatch) {
+          cagg.ingest(batch)
+          cagg.setLastStreamBatch(batchId)
+        }
         if (refreshEachBatch) { cagg.refreshInvalidated(); () }
       }
       .start()

@@ -406,6 +406,17 @@ class ContinuousAggregate(
     } finally cached.unpersist()
   }
 
+  /** Highest stream batch id already ingested via [[CaggStream.attach]]
+    * (-1 = none) — foreachBatch replay protection.
+    */
+  private[streaming] def lastStreamBatch: Long = {
+    val p = new Path(path, "_stream_batch")
+    if (!fs.exists(p)) -1L else Hypertable.readSmallFile(fs, p).trim.toLong
+  }
+
+  private[streaming] def setLastStreamBatch(id: Long): Unit =
+    Hypertable.writeSmallFile(fs, new Path(path, "_stream_batch"), id.toString)
+
   /** Real-time view: materialized below the watermark, live aggregation at
     * or above it (`create.c:583-592` union view).
     */

@@ -118,6 +118,15 @@ class ChunkOpsSpec extends AnyFunSuite {
     assert(pol.map(_.getString(0)).toSeq === Seq("policy_retention"))
   }
 
+  test("dimensions view reports month-width chunks as a month interval, not zero micros") {
+    val dir = Files.createTempDirectory("graft_info_m").toString
+    val ht = graft.sources.Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "1 month")
+    val d = graft.operators.Info.dimensions(ht).collect().head
+    assert(d.getAs[Any]("time_interval_micros") === null)
+    assert(d.getAs[Int]("month_interval") === 1)
+  }
+
   test("policy bundle: add/show/alter/remove round-trip") {
     val dir = Files.createTempDirectory("graft_polset").toString
     val set = PolicySet(Some(40L * 86400000000L), Some(0L),

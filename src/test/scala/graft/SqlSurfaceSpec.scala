@@ -26,6 +26,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
     d
   }
 
+  test("bad arity gets an informative error, not a MatchError") {
+    df // force view
+    val e = intercept[Exception] {
+      spark.sql("SELECT locf() FROM bookend_t").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("locf expects")), s"unexpected error: $e")
+  }
+
+  test("extensions-built sessions get no duplicate rules from init()") {
+    Graft.init(spark); Graft.init(spark)
+    assert(!spark.experimental.extraOptimizations.contains(graft.plans.GapfillRewrite),
+      "init() must not re-append rules the extensions already injected")
+  }
+
   test("first/last: 2-arg reference bookends, 1-arg Spark builtins") {
     df // force view
     val sql = spark.sql(
