@@ -22,12 +22,18 @@ object CaggStream {
     stream.writeStream
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batchId > cagg.lastStreamBatch) {
-          cagg.ingest(batch)
-          cagg.setLastStreamBatch(batchId)
-        }
-        if (refreshEachBatch) { cagg.refreshInvalidated(); () }
+        processBatch(cagg, batch, batchId, refreshEachBatch)
       }
       .start()
+  }
+
+  /** One micro-batch: ingest unless `batchId` was already processed. */
+  private[streaming] def processBatch(cagg: ContinuousAggregate,
+      batch: DataFrame, batchId: Long, refreshEachBatch: Boolean): Unit = {
+    if (batchId > cagg.lastStreamBatch) {
+      cagg.ingest(batch)
+      cagg.setLastStreamBatch(batchId)
+    }
+    if (refreshEachBatch) { cagg.refreshInvalidated(); () }
   }
 }
