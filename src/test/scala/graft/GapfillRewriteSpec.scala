@@ -48,6 +48,25 @@ class GapfillRewriteSpec extends AnyFunSuite {
     assert(out.count() === groups * 7 * 24)
   }
 
+  test("arithmetic INSIDE the marker works (reference 'expressions inside locf')") {
+    // reference gapfill.sql.in: `locf(4 + min(value))` is valid — the
+    // arithmetic is part of the aggregate the fill applies to
+    val out = ev
+      .where($"ts" >= start && $"ts" < finish)
+      .groupBy(gf.time_bucket_gapfill("1 hour", $"ts", start, finish).as("bucket"),
+        $"event_type")
+      .agg(gf.locf(lit(4) + min($"value")).as("x"))
+      .select("bucket", "event_type", "x")
+    val agg = ev
+      .where($"ts" >= start && $"ts" < finish)
+      .groupBy(gf.time_bucket("1 hour", $"ts").as("bucket"), $"event_type")
+      .agg((lit(4) + min($"value")).as("x"))
+    val expected = Gapfill.gapfill(agg, "bucket", Seq("event_type"), startUs, finishUs, "1 hour")
+      .withColumn("x", Gapfill.locf(col("x"), Seq("event_type"), "bucket"))
+      .select("bucket", "event_type", "x")
+    assert(out.collect().toSet === expected.collect().toSet)
+  }
+
   test("a fill marker nested inside arithmetic errors instead of silently dropping the fill") {
     val e = intercept[Exception] {
       ev.where($"ts" >= start && $"ts" < finish)

@@ -145,6 +145,33 @@ class GapfillSpec extends AnyFunSuite {
     assert(got === Seq(1.0, 2.0, 3.0, 4.0, 6.0, 8.0))
   }
 
+  test("locf prev seed + treat_null_as_missing matches the reference combination") {
+    // reference gapfill.sql.in "NULLs in first row of resultset and
+    // treat_null_as_missing with lookup query" (expected gapfill-16.out:1652):
+    // rows (0,NULL),(30,NULL),(50,6), width 10, window [0,50).
+    // treat=false carries the real NULLs (prev never consulted after a real
+    // row exists); treat=true treats them as missing so prev=100 fills
+    // everything until the first real non-null value.
+    val agg = Seq(
+      (0L, null.asInstanceOf[java.lang.Double]),
+      (30L, null.asInstanceOf[java.lang.Double]),
+      (50L, java.lang.Double.valueOf(6.0)))
+      .toDF("us", "v").select(timestamp_micros($"us").as("bucket"), $"v")
+    val out = Gapfill.gapfill(agg, "bucket", Seq.empty, 0L, 50L, "10 microseconds")
+      .withColumn("v1", Gapfill.locf($"v", Seq.empty, "bucket",
+        prev = Some(lit(100.0)), treatNullAsMissing = false))
+      .withColumn("v2", Gapfill.locf($"v", Seq.empty, "bucket",
+        prev = Some(lit(100.0)), treatNullAsMissing = true))
+      .orderBy("bucket")
+      .select(unix_micros($"bucket"), $"v1", $"v2")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(out === Seq(
+      (0L, None, Some(100.0)), (10L, None, Some(100.0)), (20L, None, Some(100.0)),
+      (30L, None, Some(100.0)), (40L, None, Some(100.0)),
+      (50L, Some(6.0), Some(6.0)))) // 50 is the reference's pass-through row
+  }
+
   test("locf carries real NULL values by default; treat_null_as_missing fills them") {
     // a real data row with a NULL value at t=3
     val withNull = Seq(
