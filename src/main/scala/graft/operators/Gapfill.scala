@@ -266,7 +266,13 @@ object Gapfill {
     val wNextRev = Window.partitionBy(groupCols.map(col): _*).orderBy(col(bucketCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val x = unix_micros(col(bucketCol))
-    val pt = when(value.isNotNull, struct(x.as("x"), value.as("y")))
+    // anchors are the surrounding REAL rows — even a real row whose value
+    // is NULL (its NULL then poisons the line, so the injected neighbors
+    // come out NULL). The reference interpolates from the adjacent fetched
+    // tuples' values verbatim (`gapfill-16.out:1784` "interpolate with
+    // NULL values": the 0→5 line is NOT drawn across the NULL row at 2);
+    // anchoring on nearest NON-NULL points would silently bridge it.
+    val pt = when(!col(filledCol), struct(x.as("x"), value.as("y")))
     def seeded(anchor: Column, seed: Option[(Column, Column)]): Column =
       seed match {
         case Some((t, v)) =>
@@ -276,7 +282,7 @@ object Gapfill {
     val p0 = seeded(last(pt, ignoreNulls = true).over(wPrev), prev)
     val p1 = seeded(last(pt, ignoreNulls = true).over(wNextRev), next)
     // real rows keep their value (including real NULLs); only injected rows
-    // interpolate, anchored on real non-null points
+    // interpolate (NULL when either side has no real row and no seed)
     when(!col(filledCol), value)
       .when(p0.isNull || p1.isNull, lit(null))
       .otherwise(

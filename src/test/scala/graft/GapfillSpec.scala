@@ -190,7 +190,7 @@ class GapfillSpec extends AnyFunSuite {
     assert(nam === Seq(Some(1.0), Some(1.0), Some(1.0), Some(1.0), Some(1.0), Some(6.0)))
   }
 
-  test("interpolate preserves real NULL values") {
+  test("interpolate anchors on real rows: a real NULL poisons its neighbors (reference)") {
     val withNull = Seq(
       ("a", Timestamp.valueOf("2024-01-01 00:00:00"), Some(1.0)),
       ("a", Timestamp.valueOf("2024-01-01 03:00:00"), None: Option[Double]),
@@ -199,9 +199,11 @@ class GapfillSpec extends AnyFunSuite {
     val got = Gapfill.gapfill(withNull, "bucket", Seq("g"), start, finish, "1 hour")
       .withColumn("i", Gapfill.interpolate($"v", Seq("g"), "bucket"))
       .orderBy("bucket").select("i").as[Option[Double]].collect().toSeq
-    // injected rows interpolate on the real non-null anchors (t=0 → t=5);
-    // the real NULL row stays NULL
-    assert(got === Seq(Some(1.0), Some(2.0), Some(3.0), None, Some(5.0), Some(6.0)))
+    // reference semantics (gapfill-16.out:1784 "interpolate with NULL
+    // values"): injected rows interpolate from the SURROUNDING REAL rows'
+    // values verbatim — the real NULL at t=3 is an anchor whose NULL
+    // poisons the line on both sides; the 0→5 line is never drawn across it
+    assert(got === Seq(Some(1.0), None, None, None, None, Some(6.0)))
   }
 
   test("multiple groups are filled independently") {
