@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{functions => gf}
+import graft.operators.{Clustering, Dedup, Gapfill, Joins, Sampling}
+import graft.sources.Hypertable
+import graft.streaming.{CaggDef, ContinuousAggregate}
+
+/** Weak-scaling probe: replicate the sf0.1 tables N× (densified — same
+  * time range, N× rows, N× users, N× docs with the duplicate structure
+  * preserved per replica) and time each core operator at every multiplier.
+  * The point is the SHAPE of the curve, not the absolute numbers: a
+  * scale-safe operator grows ~linearly in input rows; a cliff (quadratic
+  * blowup, driver funnel, one-task stage) shows up as a super-linear jump.
+  *
+  * Run: `SPARK_GRAFT_SCALE_MULTS=1,10,100 sbt "runMain graft.ScaleProbe"`.
+  * Results feed SCALE.md §13; this is an experiment harness, not part of
+  * the driver contract surface.
+  */
+object ScaleProbe {
+
+  private def timed[T](body: => T): (Double, T) = {
+    val t0 = System.nanoTime()
+    val r = body
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  /** Min of two runs — the first read after a multi-hundred-MB write pays
+    * page-cache writeback contention that has nothing to do with the plan.
+    */
+  private def timed2[T](body: => T): (Double, T) = {
+    val (t1, _) = timed(body)
+    val (t2, r) = timed(body)
+    (math.min(t1, t2), r)
+  }
+
+  private def force(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Graft.session("graft-scale-probe", s"local[$cpus]", cpus.toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
+
+    for ((m, round) <- mults.zipWithIndex) {
+      // unique dir per sweep entry: re-writing a path within one session
+      // trips Spark's cached file index (stale part-file names)
+      val dir = s"$base/r${round}_m$m"
+      buildScaled(spark, sf, m, dir)
+      val evPath = s"$dir/events.parquet"
+      val docPath = s"$dir/documents.parquet"
+      val evRows = spark.read.parquet(evPath).count()
+      val docRows = spark.read.parquet(docPath).count()
+      println(s"[scale] m=$m events=$evRows documents=$docRows")
+
+      def report(name: String, sec: Double): Unit =
+        println(f"""[scale] {"m":$m,"probe":"$name","sec":$sec%.2f}""")
+
+      // 1. ingest: routed partitionBy write into weekly chunks
+      val htDir = s"$dir/ht"
+      val ht = Hypertable.create(spark, htDir, "ts", chunkWidth = "7 days")
+      val (tIngest, _) = timed {
+        ht.write(Tables.table(spark, dir, "events"), filesPerChunk = 8)
+      }
+      report("ingest", tIngest)
+
+      // 2. full-scan bucket aggregation (partial/final agg, one shuffle)
+      val (tAgg, _) = timed2 {
+        force(ht.read()
+          .groupBy(gf.time_bucket("1 hour", col("ts")).as("b"), col("event_type"))
+          .agg(count(lit(1)), sum(col("value").cast("decimal(28,8)"))))
+      }
+      report("agg_hourly", tAgg)
+
+      // 3. chunk-excluded range aggregation (metadata pruning + scan)
+      val lo = java.time.LocalDateTime.parse("2024-01-08T00:00:00")
+        .toInstant(java.time.ZoneOffset.UTC)
+      val (tRange, _) = timed2 {
+        force(ht.between(
+            lo.getEpochSecond * 1000000L,
+            lo.plusSeconds(2L * 86400).getEpochSecond * 1000000L)
+          .groupBy(col("event_type")).agg(count(lit(1))))
+      }
+      report("range_agg", tRange)
+
+      // 4. gapfill + locf (agg → window → bounded explode)
+      val (tGap, _) = timed2 {
+        val agg = Tables.table(spark, dir, "events")
+          .groupBy(gf.time_bucket("1 hour", col("ts")).as("bucket"), col("event_type"))
+          .agg(avg(col("value")).as("v"))
+        val s = java.time.LocalDateTime.parse("2024-01-01T00:00:00")
+          .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+        val f = java.time.LocalDateTime.parse("2024-01-29T00:00:00")
+          .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+        force(Gapfill.gapfill(agg, "bucket", Seq("event_type"), s, f, "1 hour")
+          .withColumn("v", Gapfill.locf(col("v"), Seq("event_type"), "bucket")))
+      }
+      report("gapfill_locf", tGap)
+
+      // 5. as-of join (union + window, no BNLJ)
+      val (tAsof, _) = timed2 {
+        val ev = Tables.table(spark, dir, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        val clicks = ev.where(col("event_type") === "click")
+          .select("user_id", "ts", "value")
+        force(Joins.asOf(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("value")))
+      }
+      report("asof_join", tAsof)
+
+      // 6. exact dedup groups (one groupBy on md5)
+      val (tDedup, _) = timed2 {
+        force(Dedup.exactGroups(Tables.table(spark, dir, "documents"), "text", "doc_id"))
+      }
+      report("dedup_exact", tDedup)
+
+      // 7. banded near-dup pairs + verify (the LSH pipeline); checkpointed
+      // so the CC probe below measures CLUSTERING, not a pipeline re-run
+      val (tPairs, pairsCk) = timed {
+        val p = Dedup.nearDuplicatePairs(Tables.table(spark, dir, "documents"),
+          "doc_id", "text", threshold = 0.5).localCheckpoint()
+        p
+      }
+      val nPairs = pairsCk.count()
+      report("neardup_pairs", tPairs)
+
+      // 8. duplicate clusters (large-star/small-star CC over the pairs)
+      val (tCc, _) = timed {
+        force(Clustering.connectedComponents(pairsCk, "doc_id_a", "doc_id_b"))
+      }
+      report("dedup_clusters", tCc)
+
+      // 9. cagg create + full refresh (MERGE-per-chunk materialization)
+      val (tCagg, _) = timed {
+        val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht,
+          CaggDef("1 hour", Seq("event_type"), Seq(
+            count(lit(1)).as("n"),
+            expr("SUM(CAST(value AS DECIMAL(28,8)))").as("sum_dec"))))
+        val s = java.time.LocalDateTime.parse("2024-01-01T00:00:00")
+          .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+        val f = java.time.LocalDateTime.parse("2024-02-01T00:00:00")
+          .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+        cagg.refresh(s, f)
+      }
+      report("cagg_refresh", tCagg)
+
+      // 10. stratified sample (one shuffle + WindowGroupLimit)
+      val (tSample, _) = timed2 {
+        force(Sampling.stratified(Tables.table(spark, dir, "events")
+          .select("event_id", "event_type", "value"), Seq("event_type"), "event_id", 100))
+      }
+      report("sample_stratified", tSample)
+
+      println(s"[scale] m=$m done (neardup pairs=$nPairs)")
+    }
+    spark.stop()
+  }
+
+  /** Densified N× replica: same time span, N× rows. Events get distinct
+    * ids/users per replica (group cardinality scales). Documents interleave
+    * a replica token between EVERY word: a mere suffix would leave replicas
+    * ~0.98-jaccard near-dups of each other and the pair count would grow as
+    * N² cliques — a harness artifact, not an engine property. Interleaving
+    * puts the token in every shingle, so replicas share zero shingles while
+    * each replica's internal duplicate structure is preserved → pair count
+    * scales ~N.
+    */
+  private def buildScaled(spark: SparkSession, sf: String, m: Int, dir: String): Unit = {
+    val reps = broadcast(spark.range(m).select(col("id").as("_rep")))
+    val ev = Tables.table(spark, sf, "events").crossJoin(reps)
+      .select(
+        (col("event_id") * m + col("_rep")).as("event_id"),
+        expr("timestampadd(MILLISECOND, CAST(_rep AS INT), ts)").as("ts"),
+        (col("user_id") + col("_rep") * 1000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    ev.repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val docs = Tables.table(spark, sf, "documents").crossJoin(reps)
+      .select(
+        (col("doc_id") * m + col("_rep")).as("doc_id"),
+        regexp_replace(col("text"), lit("\\s+"),
+          concat(lit(" x"), col("_rep"), lit(" "))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    docs.repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+}
