@@ -60,6 +60,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(one.getDouble(0) === 7.0)
   }
 
+  test("bookend NULL semantics match the reference (agg_bookends.sql)") {
+    // reference: a NULL VALUE at the latest time wins (last returns NULL);
+    // rows with NULL TIME are skipped entirely
+    val d = Seq(
+      (Some(Timestamp.valueOf("2024-01-01 00:00:01")), Some(5.0)),
+      (Some(Timestamp.valueOf("2024-01-01 00:00:09")), None: Option[Double]), // null value, latest time
+      (None: Option[Timestamp], Some(99.0))) // null time: skipped
+      .toDF("ts", "v")
+    val r = d.agg(gf.last($"v", $"ts").as("l"), gf.first($"v", $"ts").as("f")).head()
+    assert(r.isNullAt(0), "last must return the NULL value of the latest-time row")
+    assert(r.getDouble(1) === 5.0, "first must skip the NULL-time row")
+  }
+
   test("histogram SQL matches the Column aggregate") {
     df
     val sql = spark.sql(
