@@ -326,6 +326,12 @@ class ContinuousAggregate(
       .foreach(st => fs.delete(st.getPath, true))
     fs.delete(new Path(tmp), true)
     if (e > watermark) setWatermark(e)
+    // propagate down the hierarchy: buckets of [s, e) were re-materialized,
+    // so every dependent cagg-on-cagg reading this mat table is now stale
+    // there — log the range into each child's invalidation log (picked up
+    // by its next refreshInvalidated/policy pass), the reference's
+    // cagg-on-cagg invalidation flow
+    childPaths.foreach(c => ContinuousAggregate.appendInvalidation(fs, c, s, e))
     (s, e)
   }
 
@@ -340,11 +346,8 @@ class ContinuousAggregate(
       timestamp_micros(bucket)))
 
   /** Log an invalidated time range (mutating txn below the watermark). */
-  def invalidate(loMicros: Long, hiMicros: Long): Unit = {
-    fs.mkdirs(new Path(invPath))
-    Hypertable.writeSmallFile(fs,
-      new Path(invPath, java.util.UUID.randomUUID().toString), s"$loMicros,$hiMicros")
-  }
+  def invalidate(loMicros: Long, hiMicros: Long): Unit =
+    ContinuousAggregate.appendInvalidation(fs, path, loMicros, hiMicros)
 
   /** Pending invalidation ranges (merged where overlapping). */
   def pendingInvalidations(): Seq[(Long, Long)] = pendingInvalidationsWithFiles()._1
@@ -431,14 +434,28 @@ class ContinuousAggregate(
     * hierarchical (coarser) cagg: `create(spark, p2, cagg.asSource, dailyDef)`.
     * The child reads MATERIALIZED rows only, so refresh the parent first
     * (matching the reference: a cagg-on-cagg sees its parent's mat table).
+    * Children built on this source are recorded in the parent's
+    * `_children` catalog so parent refreshes propagate invalidations down
+    * the hierarchy (the reference's cagg-on-cagg invalidation flow,
+    * `tsl/src/continuous_aggs/invalidation.c`).
     */
-  def asSource: TimeSource = new TimeSource {
-    override def timeCol: String = defn.bucketCol
-    override def read(): DataFrame = materialized
-    override def between(startMicros: Long, endMicros: Long): DataFrame =
-      materialized.where(
-        unix_micros(col(defn.bucketCol)) >= startMicros &&
-        unix_micros(col(defn.bucketCol)) < endMicros)
+  def asSource: TimeSource = new ContinuousAggregate.CaggSource(this)
+
+  /** Record `childPath` as a dependent cagg (idempotent). */
+  private[streaming] def registerChild(childPath: String): Unit = {
+    val f = new Path(path, "_children")
+    val existing =
+      if (fs.exists(f)) Hypertable.readSmallFile(fs, f).split('\n').map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      else Seq.empty
+    if (!existing.contains(childPath))
+      Hypertable.writeSmallFile(fs, f, (existing :+ childPath).mkString("\n"))
+  }
+
+  private def childPaths: Seq[String] = {
+    val f = new Path(path, "_children")
+    if (!fs.exists(f)) Seq.empty
+    else Hypertable.readSmallFile(fs, f).split('\n').map(_.trim).filter(_.nonEmpty).toSeq
   }
 
   private def liveFrom(wmMicros: Long): DataFrame = {
@@ -494,10 +511,39 @@ object ContinuousAggregate {
   private val BUCKET = "_bucket"
   private val MATCHUNK = "_mat_chunk"
 
+  /** A cagg's materialization exposed as a [[TimeSource]]; carries the
+    * parent so [[create]] can wire up invalidation propagation.
+    */
+  private[streaming] class CaggSource(val parent: ContinuousAggregate) extends TimeSource {
+    override def timeCol: String = parent.defn.bucketCol
+    override def read(): DataFrame = parent.materialized
+    override def between(startMicros: Long, endMicros: Long): DataFrame =
+      parent.materialized.where(
+        unix_micros(col(parent.defn.bucketCol)) >= startMicros &&
+        unix_micros(col(parent.defn.bucketCol)) < endMicros)
+  }
+
+  /** Append one range file to a cagg's invalidation log (by path, so a
+    * parent can write into its children's logs).
+    */
+  private[streaming] def appendInvalidation(fs: org.apache.hadoop.fs.FileSystem,
+      caggPath: String, loMicros: Long, hiMicros: Long): Unit = {
+    val dir = new Path(caggPath, "_invalidations")
+    fs.mkdirs(dir)
+    graft.sources.Hypertable.writeSmallFile(fs,
+      new Path(dir, java.util.UUID.randomUUID().toString), s"$loMicros,$hiMicros")
+  }
+
   def create(spark: SparkSession, path: String, source: TimeSource,
       defn: CaggDef): ContinuousAggregate = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(path))
+    source match {
+      // hierarchical cagg: record this child with its parent so parent
+      // refreshes invalidate it (re-open via the same path is idempotent)
+      case cs: CaggSource => cs.parent.registerChild(path)
+      case _ => ()
+    }
     new ContinuousAggregate(spark, path, source, defn)
   }
 }

@@ -67,6 +67,34 @@ class CaggSpec extends AnyFunSuite {
     assert(cagg.materialized.collect().toSet === directAgg(ht).collect().toSet)
   }
 
+  test("parent refresh propagates invalidations to hierarchical children") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cagg_prop").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val hourly = ContinuousAggregate.create(spark, s"$dir/hourly", ht,
+      CaggDef("1 hour", Seq("event_type"), Seq(count(lit(1)).as("n"))))
+    hourly.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    val daily = ContinuousAggregate.create(spark, s"$dir/daily", hourly.asSource,
+      CaggDef("1 day", Seq("event_type"), Seq(sum(col("n")).as("n"))))
+    daily.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    // a late row lands in the BASE hypertable; the parent's repair pass
+    // re-materializes its bucket and must invalidate the child there —
+    // the reference's cagg-on-cagg invalidation flow
+    val row = Seq((900009L, Timestamp.valueOf("2024-01-05 10:30:00"), 7L, "click", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    hourly.ingest(row)
+    hourly.refreshInvalidated()
+    val pend = daily.pendingInvalidations()
+    assert(pend.exists { case (lo, hi) =>
+      lo <= us("2024-01-05 10:00:00") && hi > us("2024-01-05 10:00:00") },
+      s"child not invalidated by the parent's repair: $pend")
+    daily.refreshInvalidated()
+    val direct = ht.read()
+      .groupBy(gf.time_bucket("1 day", $"ts").as("bucket"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    assert(daily.materialized.collect().toSet === direct.collect().toSet)
+  }
+
   test("refresh of a window with no raw rows keeps the cagg readable") {
     val (_, cagg) = freshCagg()
     // testdata is 2024; a 2030 window has zero raw rows — the refresh
