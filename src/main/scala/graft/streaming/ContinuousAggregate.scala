@@ -247,7 +247,10 @@ class ContinuousAggregate(
     */
   def refresh(startMicros: Long, endMicros: Long): (Long, Long) = {
     val (s, e) = inscribe(startMicros, endMicros)
-    if (s >= e) return (s, s)
+    // reference `refresh.c:1033`: a window covering zero whole buckets is a
+    // caller error, not a silent no-op
+    require(s < e, "refresh window too small: it must cover at least one " +
+      "whole bucket after inscribing to bucket boundaries")
     withRefreshLock { doRefresh(s, e) }
   }
 

@@ -122,6 +122,11 @@ class CaggSpec extends AnyFunSuite {
     val (s, e) = cagg.inscribe(us("2024-01-05 10:30:00"), us("2024-01-05 13:30:00"))
     assert(s === us("2024-01-05 11:00:00"))
     assert(e === us("2024-01-05 13:00:00"))
+    // a window inscribing to zero whole buckets errors (refresh.c:1033),
+    // never silently no-ops
+    val err = intercept[IllegalArgumentException](
+      cagg.refresh(us("2024-01-05 10:30:00"), us("2024-01-05 10:45:00")))
+    assert(err.getMessage.contains("refresh window too small"))
   }
 
   test("monthly cagg: refresh across month boundaries, late data re-materialized") {
