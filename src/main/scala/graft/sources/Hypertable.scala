@@ -443,11 +443,15 @@ class Hypertable private (
       graft.plans.DeclareOrdered(Seq(so), analyzed))
   }
 
-  /** show_chunks: all chunks, optionally only those fully older than a
-    * cutoff. A chunk's range is [dirStart, dirStart+width) unless a
-    * `_range` file (written by merge/split) records a different end.
+  /** show_chunks (`sql/ddl_api.sql:100-108`): all chunks, optionally only
+    * those fully older than `olderThan` (range end ≤ cutoff) and/or
+    * starting at/after `newerThan` (range start ≥ cutoff) — the
+    * reference's bound semantics. A chunk's range is
+    * [dirStart, dirStart+width) unless a `_range` file (written by
+    * merge/split) records a different end.
     */
-  def showChunks(olderThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
+  def showChunks(olderThanMicros: Option[Long] = None,
+      newerThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
     val dir = new Path(path)
     if (!fs.exists(dir)) return Seq.empty
     val chunks = fs.listStatus(dir).toSeq
@@ -461,10 +465,9 @@ class Hypertable private (
         ChunkInfo(start, end, s.getPath.toString)
       }
       .sortBy(_.startMicros)
-    olderThanMicros match {
-      case Some(cut) => chunks.filter(_.endMicros <= cut)
-      case None      => chunks
-    }
+    chunks
+      .filter(c => olderThanMicros.forall(c.endMicros <= _))
+      .filter(c => newerThanMicros.forall(c.startMicros >= _))
   }
 
   private def chunkAt(startMicros: Long): ChunkInfo =
@@ -756,14 +759,25 @@ class Hypertable private (
   /** drop_chunks(older_than): delete chunks whose range ends at or before
     * the cutoff. Returns dropped chunks.
     */
-  def dropChunks(olderThanMicros: Long): Seq[ChunkInfo] = {
-    val dropped = showChunks(Some(olderThanMicros))
-    dropped.foreach(c => fs.delete(new Path(c.path), true))
-    dropped
-  }
+  def dropChunks(olderThanMicros: Long): Seq[ChunkInfo] =
+    dropChunks(Some(olderThanMicros), None)
 
   def dropChunks(olderThan: java.sql.Timestamp): Seq[ChunkInfo] =
     dropChunks(olderThan.getTime * 1000L)
+
+  /** drop_chunks with the reference's full bound surface
+    * (`sql/ddl_api.sql:92-97`): older_than (range end ≤), newer_than
+    * (range start ≥), or both; at least one bound is required, like the
+    * reference (an unbounded drop is a truncate, which must be explicit).
+    */
+  def dropChunks(olderThanMicros: Option[Long],
+      newerThanMicros: Option[Long]): Seq[ChunkInfo] = {
+    require(olderThanMicros.isDefined || newerThanMicros.isDefined,
+      "drop_chunks needs older_than and/or newer_than")
+    val dropped = showChunks(olderThanMicros, newerThanMicros)
+    dropped.foreach(c => fs.delete(new Path(c.path), true))
+    dropped
+  }
 }
 
 object Hypertable {

@@ -24,6 +24,25 @@ class ChunkOpsSpec extends AnyFunSuite {
     ht
   }
 
+  test("show/drop_chunks honor older_than AND newer_than bounds (ddl_api.sql)") {
+    val ht = freshHt()
+    val all = ht.showChunks()
+    assert(all.size === 5)
+    val cut = all(1).endMicros // end of the 2nd chunk
+    // newer_than: range start >= cutoff (reference bound semantics)
+    assert(ht.showChunks(newerThanMicros = Some(cut)).map(_.startMicros)
+      === all.drop(2).map(_.startMicros))
+    // both bounds: a middle slice
+    assert(ht.showChunks(Some(all(3).startMicros), Some(cut)).map(_.startMicros)
+      === Seq(all(2).startMicros))
+    // drop the NEWEST chunks (data-revocation direction)
+    val dropped = ht.dropChunks(None, Some(all(3).startMicros))
+    assert(dropped.map(_.startMicros) === all.drop(3).map(_.startMicros))
+    assert(ht.showChunks().size === 3)
+    // at least one bound required
+    intercept[IllegalArgumentException](ht.dropChunks(None, None))
+  }
+
   test("detach then attach round-trips a chunk with zero data movement") {
     val ht = freshHt()
     val total = ht.read().count()
