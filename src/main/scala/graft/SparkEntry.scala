@@ -605,6 +605,31 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // §2.8 integer-time gapfill (`sql/gapfill.sql:5-11` int signatures —
+    // most reference gapfill goldens are integer-time): hourly int buckets
+    // over a bigint-dimension hypertable, origin-0 alignment, locf across
+    // the injected gaps. value > 220 sparsifies so real gaps exist.
+    "q71_gapfill_int" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gfint_q").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts_us",
+        chunkWidth = (7L * 86400000000L).toString, timeKind = "bigint")
+      ht.write(t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts"))).drop("ts"),
+        filesPerChunk = 8)
+      val w = 3600000000L
+      val lo = 1704672000000000L // 2024-01-08, w-aligned
+      val hi = 1705276800000000L // 2024-01-15
+      val agg = ht.between(lo, hi)
+        .where(col("value") > 220)
+        .groupBy(gf.time_bucket(lit(w), col("ts_us")).as("bucket_us"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"))
+      Gapfill.gapfillInt(agg, "bucket_us", Seq("event_type"), lo, hi, w)
+        .withColumn("n_locf", Gapfill.locf(col("n"), Seq("event_type"), "bucket_us"))
+        .select("bucket_us", "event_type", "n", "n_locf", "sum_value")
+        .orderBy("event_type", "bucket_us")
+    }),
+
     // §2.4 time_bucket over UUIDv7 (the reference's uuid overloads): the
     // SQL form buckets the uuid's embedded timestamp; boundary uuids carry
     // micros exactly, so hourly buckets match bucketing the raw timestamp.
@@ -1839,6 +1864,28 @@ object SparkEntry {
         | SQRT((CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)
         |   - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
         |   / (COUNT(*) - 1)) AS stddev_v
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q71_gapfill_int" ->
+      """WITH agg AS (
+        |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS bucket_us,
+        |   event_type, COUNT(*) AS n,
+        |   CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |  FROM events
+        |  WHERE value > 220
+        |   AND epoch_us(CAST(ts AS TIMESTAMP)) >= 1704672000000000
+        |   AND epoch_us(CAST(ts AS TIMESTAMP)) < 1705276800000000
+        |  GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT g.b AS bucket_us, e.event_type
+        |  FROM (SELECT UNNEST(generate_series(1704672000000000, 1705276799999999, 3600000000)) AS b) g
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM agg) e)
+        |SELECT s.bucket_us, s.event_type, a.n,
+        | last_value(a.n IGNORE NULLS) OVER (
+        |   PARTITION BY s.event_type ORDER BY s.bucket_us
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_locf,
+        | a.sum_value
+        |FROM spine s LEFT JOIN agg a USING (bucket_us, event_type)
+        |ORDER BY 2, 1""".stripMargin
   )
 }

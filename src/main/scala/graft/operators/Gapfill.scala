@@ -104,6 +104,31 @@ object Gapfill {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(width))
     val ts0 = TimeBucketUtil.bucketCalendarMicros(startMicros, iv, TimeBucketUtil.SENTINEL)
+    gapfillCore(agg, bucketCol, groupCols, ts0, finishMicros, width, iv)
+  }
+
+  /** Integer-time gapfill — `time_bucket_gapfill(width::int, time::int, ...)`
+    * over a bigint dimension (`sql/gapfill.sql:5-11`; most reference
+    * gapfill goldens are integer-time). Bucket alignment uses the integer
+    * origin 0 (`bucketLong`), NOT the timestamp default origin; internally
+    * the int values ride through the micros engine as-is and convert back
+    * at the end.
+    */
+  def gapfillInt(agg: DataFrame, bucketCol: String, groupCols: Seq[String],
+      start: Long, finish: Long, width: Long): DataFrame = {
+    require(width > 0, "gapfill width must be positive")
+    val ts0 = TimeBucketUtil.bucketLong(start, width, TimeBucketUtil.SENTINEL)
+    val iv = new org.apache.spark.unsafe.types.CalendarInterval(0, 0, width)
+    val bucketType = agg.schema(bucketCol).dataType
+    val asTs = agg.withColumn(bucketCol,
+      timestamp_micros(col(bucketCol).cast("long")))
+    gapfillCore(asTs, bucketCol, groupCols, ts0, finish, s"$width microseconds", iv)
+      .withColumn(bucketCol, unix_micros(col(bucketCol)).cast(bucketType))
+  }
+
+  private def gapfillCore(agg: DataFrame, bucketCol: String, groupCols: Seq[String],
+      ts0: Long, finishMicros: Long, width: String,
+      iv: org.apache.spark.unsafe.types.CalendarInterval): DataFrame = {
     val w = iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds
     val monthly = iv.months != 0
     val valueCols = agg.columns.filterNot(c => groupCols.contains(c) || c == bucketCol).toSeq

@@ -145,6 +145,27 @@ class GapfillSpec extends AnyFunSuite {
     assert(got === Seq(1.0, 2.0, 3.0, 4.0, 6.0, 8.0))
   }
 
+  test("integer-time gapfill matches the reference golden (gapfill-16.out 'test locf')") {
+    // reference: rows (10,9),(20,3),(50,6), width 10, window [0,50) —
+    // integer buckets align to origin 0, and the row at 50 passes through
+    val agg = Seq((10L, 9.0), (20L, 3.0), (50L, 6.0)).toDF("t", "v")
+    val out = Gapfill.gapfillInt(agg, "t", Seq.empty, 0L, 50L, 10L)
+      .withColumn("v", Gapfill.locf($"v", Seq.empty, "t"))
+      .orderBy("t").select($"t", $"v").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(out === Seq((0L, None), (10L, Some(9.0)), (20L, Some(3.0)),
+      (30L, Some(3.0)), (40L, Some(3.0)), (50L, Some(6.0))))
+  }
+
+  test("integer-time gapfill aligns to origin 0, not the timestamp origin") {
+    // width 7 does NOT divide the default timestamp origin (2000-01-03 in
+    // micros), so reusing the timestamp alignment would shift the spine
+    val agg = Seq((7L, 1.0), (21L, 2.0)).toDF("t", "v")
+    val buckets = Gapfill.gapfillInt(agg, "t", Seq.empty, 0L, 28L, 7L)
+      .orderBy("t").select($"t").as[Long].collect().toSeq
+    assert(buckets === Seq(0L, 7L, 14L, 21L))
+  }
+
   test("locf prev seed + treat_null_as_missing matches the reference combination") {
     // reference gapfill.sql.in "NULLs in first row of resultset and
     // treat_null_as_missing with lookup query" (expected gapfill-16.out:1652):
