@@ -177,7 +177,10 @@ object ScaleProbe {
       .select(
         (col("event_id") * m + col("_rep")).as("event_id"),
         expr("timestampadd(MILLISECOND, CAST(_rep AS INT), ts)").as("ts"),
-        (col("user_id") + col("_rep") * 1000000L).as("user_id"),
+        // collision-free like event_id (adding _rep * K would alias
+        // replicas once the base domain reaches K, flattening the
+        // group-cardinality curve the probe interprets)
+        (col("user_id") * m + col("_rep")).as("user_id"),
         col("event_type"), col("value"), col("props"))
     ev.repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
     val docs = Tables.table(spark, sf, "documents").crossJoin(reps)

@@ -248,10 +248,12 @@ object Similarity {
       return blockedPairs(emb, idCol, vecCol, threshold)
     // dim = 0 (default): derive from the data. A too-small dim silently
     // truncates the signature dot products (LshBandKeys dots min(len, dim)
-    // components) and voids the recall derivation above.
+    // components) and voids the recall derivation above. NULL vectors are
+    // skipped when sampling — size(NULL) would poison the derived dim.
     val d = if (dim > 0) dim else {
-      val r = emb.select(size(col(vecCol))).limit(1).collect()
-      if (r.isEmpty) return blockedPairs(emb, idCol, vecCol, threshold) // empty input
+      val r = emb.where(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).limit(1).collect()
+      if (r.isEmpty) return blockedPairs(emb, idCol, vecCol, threshold) // no vectors
       r(0).getInt(0)
     }
     def bandCol(v: Column) = explode(lshBandKeys(v, m, l, d, seed))

@@ -78,12 +78,18 @@ object CaggRewrite extends Rule[LogicalPlan] {
     * `Hypertable.qualifiedPath`): stripping the scheme would collide
     * same-path tables on different filesystems, and a relative
     * registration path would never match the scan's qualified rootPath.
+    * Results are cached per raw path — this runs inside the optimizer for
+    * every matched Aggregate, and `newHadoopConf()` clones the full
+    * Hadoop configuration (the conf thunk is only forced on a miss).
     */
+  private val qualifiedCache = TrieMap.empty[String, String]
+
   private def normalize(p: String,
-      conf: org.apache.hadoop.conf.Configuration): String = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    hp.getFileSystem(conf).makeQualified(hp).toString.stripSuffix("/")
-  }
+      conf: => org.apache.hadoop.conf.Configuration): String =
+    qualifiedCache.getOrElseUpdate(p, {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString.stripSuffix("/")
+    })
 
   /** Canonical SQL for structural matching: view/table qualifiers on
     * attributes are irrelevant to the aggregate's semantics, so strip them

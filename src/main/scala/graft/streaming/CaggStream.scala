@@ -9,11 +9,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * arrivals below the watermark are re-materialized on the next refresh
   * rather than dropped.
   *
-  * foreachBatch is AT-LEAST-ONCE: after a crash between ingest and the
-  * checkpoint commit, the same batch is redelivered with the same batchId.
-  * The last ingested id is recorded next to the cagg and replays are
-  * skipped, making the append effectively-once (assumes one stream per
-  * cagg — attach a second stream under a different cagg path).
+  * foreachBatch is AT-LEAST-ONCE: after a crash the current batch is
+  * redelivered with the same batchId. The last ingested id is recorded per
+  * CHECKPOINT (batch ids are only meaningful within one checkpoint — a
+  * fresh checkpointLocation restarts from 0 and must not be mistaken for a
+  * replay), so redelivered batches are skipped. The one remaining
+  * duplicate window is a crash BETWEEN the hypertable append and the
+  * marker write: rows can then be ingested twice (never lost) — run a
+  * batch dedup pass downstream if that matters; exactly-once appends need
+  * a transactional sink.
   */
 object CaggStream {
   def attach(cagg: ContinuousAggregate, stream: DataFrame,
@@ -22,17 +26,20 @@ object CaggStream {
     stream.writeStream
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(cagg, batch, batchId, refreshEachBatch)
+        processBatch(cagg, batch, batchId, checkpointLocation, refreshEachBatch)
       }
       .start()
   }
 
-  /** One micro-batch: ingest unless `batchId` was already processed. */
+  /** One micro-batch: ingest unless this checkpoint's `batchId` was
+    * already processed.
+    */
   private[streaming] def processBatch(cagg: ContinuousAggregate,
-      batch: DataFrame, batchId: Long, refreshEachBatch: Boolean): Unit = {
-    if (batchId > cagg.lastStreamBatch) {
+      batch: DataFrame, batchId: Long, checkpointLocation: String,
+      refreshEachBatch: Boolean): Unit = {
+    if (batchId > cagg.lastStreamBatch(checkpointLocation)) {
       cagg.ingest(batch)
-      cagg.setLastStreamBatch(batchId)
+      cagg.setLastStreamBatch(checkpointLocation, batchId)
     }
     if (refreshEachBatch) { cagg.refreshInvalidated(); () }
   }

@@ -255,20 +255,27 @@ class ContinuousAggregate(
   }
 
   /** Serialize refreshes via an exclusive-create lock file; a lock older
-    * than `staleMs` is presumed crashed and broken (refresh is idempotent —
-    * re-running a window that died mid-swap just rewrites its chunks).
+    * than `staleMs` (1 h — a refresh holding it longer is presumed
+    * crashed; refresh is idempotent, so re-running a window that died
+    * mid-swap just rewrites its chunks) is broken by RENAMING it to a
+    * unique name first: rename is atomic, so of N waiters exactly one
+    * wins the takeover — a bare delete+create would let a second waiter
+    * delete the winner's FRESH lock and both would enter.
     */
   private def withRefreshLock[T](body: => T): T = {
     val lock = new Path(path, "_refresh_lock")
-    val staleMs = 15 * 60 * 1000L
+    val staleMs = 60 * 60 * 1000L
     val deadline = System.currentTimeMillis() + staleMs
     var acquired = fs.createNewFile(lock)
     while (!acquired) {
       val stale =
         try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > staleMs
         catch { case _: java.io.FileNotFoundException => false }
-      if (stale) fs.delete(lock, false)
-      else if (System.currentTimeMillis() > deadline)
+      if (stale) {
+        val takeover = new Path(path, s"_refresh_lock_stale_${System.nanoTime()}")
+        try { if (fs.rename(lock, takeover)) fs.delete(takeover, false) }
+        catch { case _: java.io.IOException => () } // another waiter won
+      } else if (System.currentTimeMillis() > deadline)
         throw new IllegalStateException(s"timed out waiting for cagg refresh lock $lock")
       else Thread.sleep(100)
       acquired = fs.createNewFile(lock)
@@ -277,6 +284,7 @@ class ContinuousAggregate(
   }
 
   private def doRefresh(s: Long, e: Long): (Long, Long) = {
+    val wmBefore = watermark
     // threshold first (invalidation_threshold.c ordering): from here on,
     // ingest below `e` must log — even if this refresh never completes
     setInvalidationThreshold(e)
@@ -329,12 +337,18 @@ class ContinuousAggregate(
       .foreach(st => fs.delete(st.getPath, true))
     fs.delete(new Path(tmp), true)
     if (e > watermark) setWatermark(e)
-    // propagate down the hierarchy: buckets of [s, e) were re-materialized,
-    // so every dependent cagg-on-cagg reading this mat table is now stale
-    // there — log the range into each child's invalidation log (picked up
-    // by its next refreshInvalidated/policy pass), the reference's
-    // cagg-on-cagg invalidation flow
-    childPaths.foreach(c => ContinuousAggregate.appendInvalidation(fs, c, s, e))
+    // propagate down the hierarchy (the reference's cagg-on-cagg
+    // invalidation flow): log the CHANGED range into each child's
+    // invalidation log. A repair refresh (window at/below the previous
+    // watermark) is dirty throughout; a watermark-advancing refresh only
+    // changes [old watermark, e) — its below-watermark portion was clean
+    // (below-watermark mutations go through invalidate() and arrive here
+    // as repair refreshes), and propagating the full standing window of a
+    // periodic policy would force children to re-materialize it every
+    // pass with zero new data.
+    val propLo = if (e <= wmBefore) s else math.max(s, wmBefore)
+    if (propLo < e)
+      childPaths.foreach(c => ContinuousAggregate.appendInvalidation(fs, c, propLo, e))
     (s, e)
   }
 
@@ -413,15 +427,25 @@ class ContinuousAggregate(
   }
 
   /** Highest stream batch id already ingested via [[CaggStream.attach]]
-    * (-1 = none) — foreachBatch replay protection.
+    * for the given checkpoint (-1 = none) — foreachBatch replay
+    * protection. Keyed per checkpointLocation: batch ids restart at 0 for
+    * a fresh checkpoint, and a global marker would silently DROP every
+    * batch of a reprocessing run until the old max id was exceeded.
     */
-  private[streaming] def lastStreamBatch: Long = {
-    val p = new Path(path, "_stream_batch")
+  private[streaming] def lastStreamBatch(checkpoint: String): Long = {
+    val p = streamBatchMarker(checkpoint)
     if (!fs.exists(p)) -1L else Hypertable.readSmallFile(fs, p).trim.toLong
   }
 
-  private[streaming] def setLastStreamBatch(id: Long): Unit =
-    Hypertable.writeSmallFile(fs, new Path(path, "_stream_batch"), id.toString)
+  private[streaming] def setLastStreamBatch(checkpoint: String, id: Long): Unit =
+    Hypertable.writeSmallFile(fs, streamBatchMarker(checkpoint), id.toString)
+
+  private def streamBatchMarker(checkpoint: String): Path = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8")).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString
+    new Path(path, s"_stream_batch_$key")
+  }
 
   /** Real-time view: materialized below the watermark, live aggregation at
     * or above it (`create.c:583-592` union view).
@@ -444,21 +468,27 @@ class ContinuousAggregate(
     */
   def asSource: TimeSource = new ContinuousAggregate.CaggSource(this)
 
-  /** Record `childPath` as a dependent cagg (idempotent). */
+  /** Record `childPath` as a dependent cagg — one marker FILE per child
+    * (name = hash of the path, content = the path): concurrent creation of
+    * two children writes two files, where a read-modify-write of a single
+    * list file would let the second clobber the first and leave that child
+    * silently un-invalidated forever.
+    */
   private[streaming] def registerChild(childPath: String): Unit = {
-    val f = new Path(path, "_children")
-    val existing =
-      if (fs.exists(f)) Hypertable.readSmallFile(fs, f).split('\n').map(_.trim)
-        .filter(_.nonEmpty).toSeq
-      else Seq.empty
-    if (!existing.contains(childPath))
-      Hypertable.writeSmallFile(fs, f, (existing :+ childPath).mkString("\n"))
+    val dir = new Path(path, "_children")
+    fs.mkdirs(dir)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(childPath.getBytes("UTF-8")).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString
+    Hypertable.writeSmallFile(fs, new Path(dir, key), childPath)
   }
 
   private def childPaths: Seq[String] = {
-    val f = new Path(path, "_children")
-    if (!fs.exists(f)) Seq.empty
-    else Hypertable.readSmallFile(fs, f).split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    val dir = new Path(path, "_children")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(st => Hypertable.readSmallFile(fs, st.getPath).trim)
+      .filter(_.nonEmpty)
   }
 
   private def liveFrom(wmMicros: Long): DataFrame = {

@@ -26,11 +26,17 @@ class CaggStreamReplaySpec extends AnyFunSuite {
       (2L, Timestamp.valueOf("2024-01-01 00:20:00"), 2L, "view", 2.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
-    CaggStream.processBatch(cagg, batch, batchId = 0L, refreshEachBatch = false)
-    CaggStream.processBatch(cagg, batch, batchId = 0L, refreshEachBatch = false) // replay
+    val ckpt = s"$dir/ckpt1"
+    CaggStream.processBatch(cagg, batch, batchId = 0L, ckpt, refreshEachBatch = false)
+    CaggStream.processBatch(cagg, batch, batchId = 0L, ckpt, refreshEachBatch = false) // replay
     assert(ht.read().count() === 2, "replayed batch was double-ingested")
 
-    CaggStream.processBatch(cagg, batch, batchId = 1L, refreshEachBatch = false)
+    CaggStream.processBatch(cagg, batch, batchId = 1L, ckpt, refreshEachBatch = false)
     assert(ht.read().count() === 4, "a genuinely new batch must still ingest")
+
+    // a FRESH checkpoint restarts batch ids at 0 — its batches are new
+    // work, not replays; a checkpoint-agnostic marker would drop them
+    CaggStream.processBatch(cagg, batch, batchId = 0L, s"$dir/ckpt2", refreshEachBatch = false)
+    assert(ht.read().count() === 6, "a new checkpoint's batch 0 was wrongly skipped")
   }
 }
