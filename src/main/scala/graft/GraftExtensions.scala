@@ -97,11 +97,15 @@ object GraftExtensions {
         }
         MinHashSig(toks, intOf(n, "shingle n"), intOf(k, "num hashes"))
     },
-    fn("time_bucket_gapfill", "(width, ts [, start, finish])") {
+    fn("time_bucket_gapfill", "(width, ts [, timezone] [, start, finish])") {
+      // the reference dispatches on the type of the 3rd argument: TEXT is
+      // the timezone form (`sql/gapfill.sql` tz signature), otherwise
+      // start/finish instants
       case Seq(w, t) => // window inferred from the WHERE clause
-        val nul = org.apache.spark.sql.catalyst.expressions.Literal(null,
-          org.apache.spark.sql.types.TimestampType)
-        GapfillBucket(w, t, nul, nul)
+        GapfillBucket(w, t, nullTsLit, nullTsLit)
+      case Seq(w, t, z) if isStringExpr(z) =>
+        GapfillBucket(w, t, nullTsLit, nullTsLit, Some(z))
+      case Seq(w, t, z, s, f) if isStringExpr(z) => GapfillBucket(w, t, s, f, Some(z))
       case Seq(w, t, s, f) => GapfillBucket(w, t, s, f)
     },
     fn("locf", "(value [, prev [, treat_null_as_missing]])") {
@@ -173,6 +177,12 @@ object GraftExtensions {
       org.apache.spark.sql.types.BooleanType) => true
     case _ => false
   }
+
+  private def nullTsLit = org.apache.spark.sql.catalyst.expressions.Literal(
+    null, org.apache.spark.sql.types.TimestampType)
+
+  private def isStringExpr(e: Expression): Boolean =
+    e.resolved && e.dataType == org.apache.spark.sql.types.StringType
 
   private def litDouble(e: Expression, what: String): Double = e match {
     // SQL numeric literals arrive as Int/Long/Double/Decimal Literals

@@ -13,8 +13,13 @@ import org.apache.spark.sql.types._
   * a query-shape error, not silent wrong results.
   */
 case class GapfillBucket(width: Expression, ts: Expression,
-    start: Expression, finish: Expression) extends Expression with Unevaluable {
-  override def children: Seq[Expression] = Seq(width, ts, start, finish)
+    start: Expression, finish: Expression,
+    /** `time_bucket_gapfill(width, ts, timezone, ...)` form
+      * (`sql/gapfill.sql` tz signature): buckets are fixed-width in the
+      * zone's LOCAL wall-clock (DST-uneven instants).
+      */
+    tz: Option[Expression] = None) extends Expression with Unevaluable {
+  override def children: Seq[Expression] = Seq(width, ts, start, finish) ++ tz
   override def nullable: Boolean = true
   override def dataType: DataType = ts.dataType
   override def prettyName: String = "time_bucket_gapfill"
@@ -30,11 +35,15 @@ case class GapfillBucket(width: Expression, ts: Expression,
     else if (!Seq(start, finish).forall(e => isNullLit(e) || (isTs(e.dataType) && e.foldable)))
       TypeCheckResult.TypeCheckFailure(
         "time_bucket_gapfill start/finish must be constant timestamps (or omitted for WHERE-clause inference)")
+    else if (!tz.forall(z => z.foldable && z.dataType == StringType))
+      TypeCheckResult.TypeCheckFailure(
+        "time_bucket_gapfill timezone must be a constant string")
     else TypeCheckResult.TypeCheckSuccess
   }
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
-    copy(width = c(0), ts = c(1), start = c(2), finish = c(3))
+    copy(width = c(0), ts = c(1), start = c(2), finish = c(3),
+      tz = if (c.length > 4) Some(c(4)) else None)
 }
 
 /** `locf(agg [, prev [, treat_null_as_missing]])` — fill gapfilled rows

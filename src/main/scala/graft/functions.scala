@@ -73,6 +73,16 @@ object functions {
     col(GapfillBucket(ex(interval(width)), ex(ts), nul, nul))
   }
 
+  /** Timezone form (`sql/gapfill.sql` tz signature): buckets and spine are
+    * fixed-width in `tz`'s LOCAL wall-clock (DST-uneven instants —
+    * [[Gapfill.gapfillTz]] semantics); `start`/`finish` are instants.
+    */
+  def time_bucket_gapfill(width: String, ts: Column, tz: String,
+      start: Column, finish: Column): Column =
+    col(GapfillBucket(ex(interval(width)), ex(ts), ex(start), ex(finish),
+      Some(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(tz),
+        org.apache.spark.sql.types.StringType))))
+
   /** Last-observation-carried-forward over gapfilled rows. */
   def locf(agg: Column): Column = col(Locf(ex(agg), None))
   def locf(agg: Column, prev: Column): Column = col(Locf(ex(agg), Some(ex(prev))))

@@ -95,6 +95,17 @@ class GapfillRewriteRule(widenNullability: Boolean) extends Rule[LogicalPlan] {
   private def dbg(s: => String): Unit =
     if (sys.env.contains("GRAFT_DEBUG_GAPFILL")) System.err.println(s"[gapfill] $s")
 
+  /** Wall-clock micros of an instant in `zone` — the local-naive form
+    * [[Gapfill.gapfillTz]] takes its window bounds in.
+    */
+  private def instantToLocalMicros(us: Long, zone: String): Long = {
+    val ins = java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+    val local = java.time.LocalDateTime.ofInstant(ins, java.time.ZoneId.of(zone))
+      .toInstant(java.time.ZoneOffset.UTC)
+    local.getEpochSecond * 1000000L + local.getNano / 1000L
+  }
+
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     dbg(s"rewrite called, widen=$widenNullability")
     val defs = derefMap(agg)
@@ -112,6 +123,8 @@ class GapfillRewriteRule(widenNullability: Boolean) extends Rule[LogicalPlan] {
     }.toSet
 
     val width = widthString(marker.width).getOrElse { dbg("bail: width"); return None }
+    val tzStr: Option[String] = marker.tz.map(z =>
+      z.eval(InternalRow.empty).toString)
     // explicit start/finish, or inferred from WHERE-clause bounds on the
     // marker's time expression (reference `gapfill.sql:5-24`: defaults come
     // from the query's quals)
@@ -162,9 +175,15 @@ class GapfillRewriteRule(widenNullability: Boolean) extends Rule[LogicalPlan] {
 
     // strip markers everywhere in the aggregate subtree (group list, result
     // list, hoisted child Project); alias ids survive, so the inner plan's
-    // output lines up with the original aggregate's
+    // output lines up with the original aggregate's. The tz form strips to
+    // the time_bucket_tz expression (bucket in local wall-clock, result
+    // back as a UTC instant) — exactly what Gapfill.gapfillTz expects.
     val stripped = agg.transformAllExpressions {
-      case GapfillBucket(w, t, _, _) => TimeBucket(w, t, None)
+      case GapfillBucket(w, t, _, _, None) => TimeBucket(w, t, None)
+      case GapfillBucket(w, t, _, _, Some(z)) =>
+        org.apache.spark.sql.catalyst.expressions.ToUTCTimestamp(
+          TimeBucket(w,
+            org.apache.spark.sql.catalyst.expressions.FromUTCTimestamp(t, z), None), z)
       case Locf(c, _, _)             => c
       case Interpolate(c)            =>
         org.apache.spark.sql.catalyst.expressions.Cast(c, org.apache.spark.sql.types.DoubleType)
@@ -181,7 +200,15 @@ class GapfillRewriteRule(widenNullability: Boolean) extends Rule[LogicalPlan] {
       (stripped.aggregateExpressions ++ missingGroups) :+
         Alias(stripped.groupingExpressions(gidx), BN)())
     val inner = org.apache.spark.sql.GraftShims.ofRows(withBucket)
-    var filled = Gapfill.gapfill(inner, BN, groupNames, startUs, finishUs, width)
+    var filled = tzStr match {
+      case Some(z) =>
+        // tz form: the spine is generated in local wall-clock (fixed-width
+        // there; DST-uneven instants), window bounds converted to local
+        Gapfill.gapfillTz(inner, BN, groupNames,
+          instantToLocalMicros(startUs, z), instantToLocalMicros(finishUs, z), width, z)
+      case None =>
+        Gapfill.gapfill(inner, BN, groupNames, startUs, finishUs, width)
+    }
     fills.foreach { case (_, f) => filled = f(filled) }
 
     // inject the ANALYZED subtree: physical planning handles analyzed

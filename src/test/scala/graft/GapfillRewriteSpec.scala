@@ -67,6 +67,32 @@ class GapfillRewriteSpec extends AnyFunSuite {
     assert(out.collect().toSet === expected.collect().toSet)
   }
 
+  test("timezone marker form matches the explicit gapfillTz pipeline across DST") {
+    val tz = "America/New_York"
+    // instants for NY-local midnights around the 2024-03-10 spring-forward
+    val sIns = lit(Timestamp.valueOf("2024-02-25 05:00:00")) // 00:00 EST
+    val fIns = lit(Timestamp.valueOf("2024-03-25 04:00:00")) // 00:00 EDT
+    val evTz = ev.withColumn("ts2", $"ts" + expr("INTERVAL 60 DAYS"))
+      .where($"value" > 220 && $"ts2" >= sIns && $"ts2" < fIns)
+    val out = evTz
+      .groupBy(gf.time_bucket_gapfill("1 day", $"ts2", tz, sIns, fIns).as("day"),
+        $"event_type")
+      .agg(gf.locf(min($"value")).as("mv"))
+      .select("day", "event_type", "mv")
+    val agg = evTz
+      .groupBy(gf.time_bucket_tz("1 day", $"ts2", tz).as("day"), $"event_type")
+      .agg(min($"value").as("mv"))
+    val ls = Timestamp.valueOf("2024-02-25 00:00:00").getTime * 1000L
+    val lf = Timestamp.valueOf("2024-03-25 00:00:00").getTime * 1000L
+    val expected = Gapfill.gapfillTz(agg, "day", Seq("event_type"), ls, lf, "1 day", tz)
+      .withColumn("mv", Gapfill.locf($"mv", Seq("event_type"), "day"))
+      .select("day", "event_type", "mv")
+    assert(out.collect().toSet === expected.collect().toSet)
+    // spine density: one bucket per LOCAL day per group (DST day included)
+    val groups = expected.select($"event_type").distinct().count()
+    assert(out.count() >= groups * 29)
+  }
+
   test("a fill marker nested inside arithmetic errors instead of silently dropping the fill") {
     val e = intercept[Exception] {
       ev.where($"ts" >= start && $"ts" < finish)
