@@ -145,6 +145,42 @@ class GapfillSpec extends AnyFunSuite {
     assert(got === Seq(1.0, 2.0, 3.0, 4.0, 6.0, 8.0))
   }
 
+  test("gapfillInt matches an in-memory model on randomized sparse inputs") {
+    // the riskiest operator surface (the reference needs a 1695-line state
+    // machine): pit the distributed formulation against an obviously-
+    // correct model — spine = aligned buckets of [floor(s), f) per group,
+    // input values placed on their buckets, off-grid/out-of-window rows
+    // passed through unfilled
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 15) {
+      val w = 1 + rnd.nextInt(19)
+      val s = (rnd.nextInt(101) - 50).toLong
+      val f = s + 1 + rnd.nextInt(120)
+      val gs = Seq("a", "b").take(1 + rnd.nextInt(2))
+      val rows = (for {
+        g <- gs
+        _ <- 0 until (1 + rnd.nextInt(6))
+      } yield (g, s - 30 + rnd.nextInt((f - s).toInt + 60))).distinct
+        .map { case (g, t) => (g, t, rnd.nextInt(100).toDouble) }
+      val got = Gapfill.gapfillInt(rows.toDF("g", "t", "v"), "t", Seq("g"), s, f, w)
+        .select($"g", $"t", $"v", col(Gapfill.FILLED))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3)))
+        .toSet
+      val ts0 = Math.floorDiv(s, w) * w
+      val spine = Iterator.iterate(ts0)(_ + w).takeWhile(_ < f).toSeq
+      val byKey = rows.map(r => (r._1, r._2) -> r._3).toMap
+      def inwin(t: Long) = t >= ts0 && t < f && Math.floorMod(t - ts0, w) == 0
+      val expected =
+        (for { g <- rows.map(_._1).distinct; b <- spine } yield {
+          val v = byKey.get((g, b))
+          (g, b, v: Option[Any], v.isEmpty)
+        }).toSet ++
+        rows.collect { case (g, t, v) if !inwin(t) => (g, t, Some(v): Option[Any], false) }
+      assert(got === expected, s"case w=$w s=$s f=$f rows=$rows")
+    }
+  }
+
   test("integer-time gapfill matches the reference golden (gapfill-16.out 'test locf')") {
     // reference: rows (10,9),(20,3),(50,6), width 10, window [0,50) —
     // integer buckets align to origin 0, and the row at 50 passes through
