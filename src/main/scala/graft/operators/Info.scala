@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{Columnstore, Hypertable, Policies}
+import graft.sources.{Columnstore, Hypertable, Jobs, Policies}
 
 /** Informational views — `timescaledb_information.*` (`sql/views.sql`):
   * the catalog-introspection surface, as DataFrames with the reference's
@@ -79,6 +79,43 @@ object Info {
       .toDF("hypertable_name", "dimension_number", "column_name",
         "column_type", "dimension_type", "time_interval_micros",
         "integer_interval", "month_interval", "num_partitions")
+  }
+
+  /** timescaledb_information.jobs (`sql/views.sql` jobs view): one row per
+    * registered job with its schedule and config.
+    */
+  def jobs(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    Jobs.list(spark, root).map { case (j, s) =>
+      (j.id, j.jobName.getOrElse(j.proc), j.proc,
+        j.scheduleIntervalMicros, j.maxRetries, j.retryPeriodMicros,
+        j.scheduled, j.fixedSchedule,
+        j.config.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","),
+        j.initialStartMicros.map(microsToTimestamp),
+        s.nextStartMicros.map(microsToTimestamp),
+        j.timezone)
+    }.toDF("job_id", "application_name", "proc_name",
+      "schedule_interval_micros", "max_retries", "retry_period_micros",
+      "scheduled", "fixed_schedule", "config", "initial_start", "next_start",
+      "timezone")
+  }
+
+  /** timescaledb_information.job_stats (`sql/views.sql` job_stats view). */
+  def jobStats(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    Jobs.list(spark, root).map { case (j, s) =>
+      (j.id, s.lastRunStartMicros.map(microsToTimestamp),
+        s.lastFinishMicros.filter(_ => s.lastRunSuccess.contains(true))
+          .map(microsToTimestamp),
+        s.lastRunSuccess.map(if (_) "Success" else "Failed"),
+        if (j.scheduled) "Scheduled" else "Paused",
+        s.nextStartMicros.map(microsToTimestamp),
+        s.totalRuns, s.totalSuccesses, s.totalFailures,
+        s.consecutiveFailures)
+    }.toDF("job_id", "last_run_started_at", "last_successful_finish",
+      "last_run_status", "job_status", "next_start",
+      "total_runs", "total_successes", "total_failures",
+      "consecutive_failures")
   }
 
   /** timescaledb_information.jobs, policy subset (`sql/views.sql:94-117`):

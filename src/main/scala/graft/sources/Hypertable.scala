@@ -756,6 +756,47 @@ class Hypertable private (
     } else updated
   }
 
+  /** set_partitioning_interval (`sql/ddl_api.sql:89-90`): the generalized
+    * name for changing the primary dimension's interval — identical to
+    * [[setChunkTimeInterval]] here, since graft has exactly one open
+    * dimension.
+    */
+  def setPartitioningInterval(chunkWidth: String): Hypertable =
+    setChunkTimeInterval(chunkWidth)
+
+  /** set_integer_now_func (`sql/ddl_api.sql:73-79`): register the "current
+    * time" function for a bigint-dimension hypertable, so lag-based policies
+    * (retention/columnstore) can compute `now - lag` in the dimension's own
+    * units. The function itself lives in the in-session
+    * [[Hypertable.registerIntegerNow]] registry (the REGPROC pattern — the
+    * catalog stores the name; the session must provide the implementation).
+    */
+  def setIntegerNowFunc(name: String): Unit = {
+    require(timeKind == "bigint",
+      "set_integer_now_func requires a bigint open dimension, like the reference")
+    Hypertable.writeSmallFile(fs, new Path(path, Hypertable.INTEGERNOW), name)
+  }
+
+  /** The registered integer-now function name, if any. */
+  def integerNowFunc: Option[String] = {
+    val f = new Path(path, Hypertable.INTEGERNOW)
+    if (fs.exists(f)) Some(Hypertable.readSmallFile(fs, f).trim) else None
+  }
+
+  /** Current time in this hypertable's dimension units: the registered
+    * integer-now function for bigint dimensions (error if none was set —
+    * the reference refuses lag-based policies on integer hypertables
+    * without one), wall-clock micros otherwise.
+    */
+  def nowMicros(): Long = timeKind match {
+    case "bigint" =>
+      val name = integerNowFunc.getOrElse(throw new IllegalStateException(
+        "integer-dimension hypertable has no integer-now func; call " +
+          "setIntegerNowFunc first (ddl_api.sql:73-79)"))
+      Hypertable.integerNow(name)
+    case _ => java.time.Instant.now.toEpochMilli * 1000L
+  }
+
   /** drop_chunks(older_than): delete chunks whose range ends at or before
     * the cutoff. Returns dropped chunks.
     */
@@ -788,6 +829,20 @@ object Hypertable {
   private[sources] val SKIPCOLS = "_graft_skipcols"
   private val COLSTATS = "_graft_colstats"
   private val SPACEPARTS = "_graft_spaceparts"
+  private[sources] val INTEGERNOW = "_graft_integer_now"
+
+  /** In-session registry of integer-now functions (`set_integer_now_func`
+    * REGPROC analog — see [[Hypertable#setIntegerNowFunc]]).
+    */
+  private val integerNowFuncs =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Long]()
+
+  def registerIntegerNow(name: String)(f: () => Long): Unit =
+    integerNowFuncs.put(name, f)
+
+  private[sources] def integerNow(name: String): Long =
+    Option(integerNowFuncs.get(name)).getOrElse(throw new IllegalStateException(
+      s"integer-now func '$name' is not registered in this session")).apply()
 
   /** Read a chunk's recorded closed-dimension counts (`col:count` lines;
     * -1 = layout unknown), or None when never stamped.

@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{Columnstore, Hypertable, Policies, PolicySet}
+import graft.sources.{Columnstore, Hypertable, Jobs, Policies, PolicySet}
 import graft.streaming.{CaggDef, ContinuousAggregate}
 
 /** attach_chunk / detach_chunk, set_chunk_time_interval, and the
@@ -100,6 +100,37 @@ class ChunkOpsSpec extends AnyFunSuite {
     assert(newChunks.forall(c => c.endMicros - c.startMicros === 7L * 86400000000L))
     // reopening from disk sees the new width
     assert(Hypertable.at(spark, ht.path).chunkWidthMicros === 7L * 86400000000L)
+  }
+
+  test("set_partitioning_interval is the generalized set_chunk_time_interval") {
+    val ht = freshHt(width = "1 day")
+    val ht2 = ht.setPartitioningInterval("7 days")
+    assert(ht2.chunkWidthMicros === 7L * 86400000000L)
+    assert(Hypertable.at(spark, ht.path).chunkWidthMicros === 7L * 86400000000L)
+  }
+
+  test("set_integer_now_func drives lag-based policies on bigint dimensions") {
+    val dir = Files.createTempDirectory("graft_intnow").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "seq",
+      chunkWidth = "1000", timeKind = "bigint")
+    import spark.implicits._
+    ht.write((0L until 5000L).map(i => (i, i % 7)).toDF("seq", "v"))
+    assert(ht.showChunks().size === 5)
+    // no func registered → lag-based "now" errors, like the reference
+    intercept[IllegalStateException](ht.nowMicros())
+    ht.setIntegerNowFunc("spec_int_now")
+    intercept[IllegalStateException](ht.nowMicros()) // named but not registered
+    Hypertable.registerIntegerNow("spec_int_now")(() => 4500L)
+    assert(ht.nowMicros() === 4500L)
+    // a retention job with no explicit "now" resolves via the integer-now func
+    val r = Files.createTempDirectory("graft_intnow_jobs").toString
+    val id = Jobs.add(spark, r, "policy_retention", 3600L * 1000000, nowMicros = 0L,
+      config = Map("hypertable" -> ht.path, "drop_after" -> "2500"))
+    assert(Jobs.run(spark, r, id, nowMicros = 0L))
+    // now=4500, lag=2500 → cutoff 2000: chunks [0,1000) and [1000,2000) drop
+    assert(ht.showChunks().map(_.startMicros) === Seq(2000L, 3000L, 4000L))
+    // only bigint dimensions accept an integer-now func
+    intercept[IllegalArgumentException](freshHt().setIntegerNowFunc("x"))
   }
 
   test("compression stats come from footers: sizes, rows, marker") {
