@@ -35,6 +35,87 @@ object Columnstore {
 
   private val MARKER = "_graft_compressed"
 
+  /** A suggested compression configuration with the reference's
+    * confidence scale (0..10) and advisory message
+    * (`sql/compression_defaults.sql:6-9`).
+    */
+  case class Suggestion(options: Options, confidence: Int,
+      message: Option[String] = None)
+
+  /** `get_segmentby_defaults` + `get_orderby_defaults`
+    * (`sql/compression_defaults.sql:10,286`): suggest segmentby/orderby for
+    * [[compress]]. The reference scores candidate columns by how EVENLY
+    * tuples spread across their distinct values (stddev of the most-common-
+    * value frequencies from pg_stats, lowest wins) and falls back through
+    * index definitions; orderby is the remaining key columns plus the time
+    * dimension.
+    *
+    * Spark has no indexes or ANALYZE stats, so the stats come from a sample
+    * of the LARGEST chunk — the newest is often still filling, and a partial
+    * chunk under-represents segment sizes; picking by bytes is one directory
+    * listing per chunk, metadata-only, and one chunk bounds the scan cost at
+    * any table size. Per non-dimension, non-temporal, non-floating column:
+    * distinct count and top-value frequency stddev in a handful of small
+    * jobs over one cached sample.
+    *
+    * Selection mirrors the reference's STEP 3 (stats, no indexes):
+    * candidates need 1 < distinct values, each segment must average at
+    * least `minSegmentRows` rows (the reference's warning threshold for
+    * over-segmenting), and the evenest column wins (confidence 7). With no
+    * viable candidate the suggestion is orderby-only (confidence 5, with a
+    * message, like the reference's low-confidence fallbacks). Orderby is
+    * always `timeCol` — matching `get_orderby_defaults`' "a dimension column
+    * like time should probably always be part of the order by".
+    */
+  def suggestOptions(ht: Hypertable, sampleRows: Int = 100000,
+      minSegmentRows: Int = 100): Suggestion = {
+    import org.apache.spark.sql.types.{DateType, DoubleType, FloatType, TimestampType}
+    val dims = (ht.timeCol +: ht.spaceDims.map(_._1)).toSet
+    val chunks = ht.showChunks()
+    if (chunks.isEmpty)
+      return Suggestion(Options(orderBy = Seq(ht.timeCol)), 0,
+        Some("hypertable has no chunks yet; using orderby-only defaults"))
+    val fsys = new Path(ht.path)
+      .getFileSystem(ht.spark.sparkContext.hadoopConfiguration)
+    // getContentSummary recurses through _space=N subdirectories
+    val biggest = chunks.maxBy(c =>
+      fsys.getContentSummary(new Path(c.path)).getLength)
+    val sample = ht.spark.read.parquet(biggest.path)
+      .limit(sampleRows).cache()
+    try {
+      val n = sample.count()
+      val candidates = sample.schema.fields
+        .filterNot(f => dims.contains(f.name) || f.name.startsWith("_"))
+        .filterNot(f => Seq(DateType, TimestampType).contains(f.dataType)) // typcategory 'D'
+        .filterNot(f => Seq(DoubleType, FloatType).contains(f.dataType)) // measures, not keys
+        .map(_.name).toSeq
+      if (candidates.isEmpty || n == 0)
+        return Suggestion(Options(orderBy = Seq(ht.timeCol)), 5,
+          Some("no segmentby candidate columns; verify with domain knowledge"))
+      // one pass for all distinct counts
+      val dc = sample.agg(
+        approx_count_distinct(candidates.head).as(candidates.head),
+        candidates.tail.map(c => approx_count_distinct(c).as(c)): _*)
+        .head().getValuesMap[Long](candidates)
+      val viable = candidates.filter(c => dc(c) > 1 && n / dc(c) >= minSegmentRows)
+      if (viable.isEmpty)
+        return Suggestion(Options(orderBy = Seq(ht.timeCol)), 5,
+          Some("no column segments evenly with enough rows per segment; " +
+            "consider compressing without segmentby"))
+      // evenness: stddev of the top-10 value frequencies (pg_stats
+      // most_common_freqs analogue), lowest wins; ties → fewer segments
+      val scored = viable.map { c =>
+        val freqs = sample.groupBy(c).count()
+          .orderBy(desc("count")).limit(10)
+          .select((col("count") / n.toDouble).as("f"))
+          .agg(coalesce(stddev_pop(col("f")), lit(0.0))).head().getDouble(0)
+        (c, freqs, dc(c))
+      }
+      val (best, _, _) = scored.minBy { case (_, sd, d) => (sd, d) }
+      Suggestion(Options(segmentBy = Seq(best), orderBy = Seq(ht.timeCol)), 7)
+    } finally sample.unpersist()
+  }
+
   def isCompressed(spark: SparkSession, chunkPath: String): Boolean = {
     val p = new Path(chunkPath)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(new Path(p, MARKER))

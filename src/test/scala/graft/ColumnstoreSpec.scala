@@ -95,6 +95,29 @@ class ColumnstoreSpec extends AnyFunSuite {
     assert(afterDecompress.endMicros === merged.endMicros)
   }
 
+  test("suggestOptions picks an even low-cardinality segmentby (compression_defaults.sql)") {
+    // the sf0.001 chunk has ~250 rows: scale the per-segment floor down
+    val s = Columnstore.suggestOptions(ht, minSegmentRows = 20)
+    // event_id is near-unique and props/user_id segment too finely at this
+    // floor; value is a measure column — event_type is the even candidate
+    assert(s.confidence === 7)
+    assert(s.options.segmentBy === Seq("event_type"))
+    assert(s.options.orderBy === Seq("ts"))
+    // empty hypertable → orderby-only with a message, zero confidence
+    val dir = Files.createTempDirectory("graft_cs_empty").toString
+    val empty = Hypertable.create(spark, s"$dir/ht", "ts")
+    val se = Columnstore.suggestOptions(empty)
+    assert(se.confidence === 0 && se.options.segmentBy.isEmpty)
+    assert(se.options.orderBy === Seq("ts") && se.message.isDefined)
+    // a table whose only candidate is near-unique falls back with advice
+    val dir2 = Files.createTempDirectory("graft_cs_uni").toString
+    val uni = Hypertable.create(spark, s"$dir2/ht", "ts", chunkWidth = "30 days")
+    uni.write(Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select($"ts", $"event_id"))
+    val su = Columnstore.suggestOptions(uni)
+    assert(su.confidence === 5 && su.options.segmentBy.isEmpty && su.message.isDefined)
+  }
+
   test("policy runner compresses only chunks older than cutoff") {
     val dir = Files.createTempDirectory("graft_cs2").toString
     val h = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
