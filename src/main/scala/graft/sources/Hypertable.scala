@@ -167,11 +167,13 @@ class Hypertable private (
     // the default partition, which the chunk catalog never lists) —
     // skipped, not NPE'd.
     val needStats = skipColumns.nonEmpty
+    val caggs = caggPaths
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Join => LJoin, Window => LWin}
-    val expensiveInput = needStats && df.queryExecution.analyzed.exists {
-      case _: LJoin | _: LAgg | _: LWin => true
-      case _ => false
-    }
+    val expensiveInput = (needStats || caggs.nonEmpty) &&
+      df.queryExecution.analyzed.exists {
+        case _: LJoin | _: LAgg | _: LWin => true
+        case _ => false
+      }
     if (expensiveInput) routed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       routed.write.mode(mode).partitionBy(partCols: _*).parquet(path)
@@ -179,6 +181,13 @@ class Hypertable private (
         val touched = routed.select(col(CHUNK)).distinct().collect()
           .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
         refreshColumnStats(touched.map(s => new Path(path, s"$CHUNK=$s").toString))
+      }
+      // hypertable-side cagg invalidation (insert.c hook): one extra
+      // min/max aggregate over the batch, only when caggs are registered
+      if (caggs.nonEmpty) {
+        val t = timeMicrosExpr(col(timeCol))
+        val r = routed.agg(min(t), max(t)).head()
+        if (!r.isNullAt(0)) invalidateCaggs(r.getLong(0), r.getLong(1) + 1)
       }
     } finally if (expensiveInput) routed.unpersist()
     // chunks this write CREATED were routed with the current counts — stamp
@@ -196,6 +205,50 @@ class Hypertable private (
             if (pre(c.startMicros)) unknown else counts)
       }
     }
+  }
+
+  // ------------------------------------------------ cagg invalidation hooks
+  // The reference collects invalidations HYPERTABLE-side and distributes
+  // them to every continuous aggregate on the table (insert hook
+  // `tsl/src/continuous_aggs/insert.c`; DML/drop paths
+  // `src/process_utility.c:1460-1520`, `src/chunk.c:4064-4101`). Graft
+  // mirrors that: caggs register themselves here at create(), and every
+  // mutation fans its changed time range out to each registered log, cut at
+  // that cagg's own invalidation threshold.
+
+  /** Cagg paths registered on this hypertable (`_graft_caggs`, one per
+    * line) — the `continuous_agg` catalog rows pointing at this raw table.
+    */
+  def caggPaths: Seq[String] = {
+    val f = new Path(path, Hypertable.CAGGS)
+    if (!fs.exists(f)) Nil
+    else Hypertable.readSmallFile(fs, f).split('\n').filter(_.nonEmpty).toSeq.distinct
+  }
+
+  private[graft] def registerCagg(caggPath: String): Unit = {
+    val cur = caggPaths
+    if (!cur.contains(caggPath))
+      Hypertable.writeSmallFile(fs, new Path(path, Hypertable.CAGGS),
+        (cur :+ caggPath).mkString("\n"))
+  }
+
+  /** The raw time range [loMicros, hiMicros) changed — log it into every
+    * registered cagg's invalidation log.
+    */
+  private def invalidateCaggs(loMicros: Long, hiMicros: Long): Unit = {
+    val paths = caggPaths
+    if (paths.nonEmpty && loMicros < hiMicros)
+      graft.streaming.ContinuousAggregate
+        .distributeInvalidation(spark, paths, loMicros, hiMicros)
+  }
+
+  /** Actual time value in dimension units (micros / raw integer) — NOT the
+    * chunk bucket.
+    */
+  private def timeMicrosExpr(time: Column): Column = timeKind match {
+    case "bigint" => time
+    case "uuidv7" => gf.uuid_timestamp_micros(time)
+    case _        => unix_micros(time.cast("timestamp"))
   }
 
   /** Per-chunk closed-dimension partition counts (chunk start → column →
@@ -592,8 +645,8 @@ class Hypertable private (
     * Restrict with `timeRange` to prune chunks up front (the reference
     * locates batches by metadata the same way). Returns deleted row count.
     */
-  def deleteWhere(pred: Column, timeRange: Option[(Long, Long)] = None): Long =
-    graft.Par.map(chunksIn(timeRange)) { c =>
+  def deleteWhere(pred: Column, timeRange: Option[(Long, Long)] = None): Long = {
+    val perChunk = graft.Par.map(chunksIn(timeRange)) { c =>
       // probe scan first (predicate pushes down to parquet) so untouched
       // chunks are never rewritten; touched chunks re-scan instead of
       // caching — per-chunk .cache() at 100 TB is executor-memory pressure
@@ -602,8 +655,16 @@ class Hypertable private (
       if (hits > 0)
         rewriteChunkDir(c.startMicros, c.endMicros,
           rows.where(!coalesce(pred, lit(false))))
-      hits
-    }.sum
+      (hits, c)
+    }
+    // DELETE invalidates caggs over the touched chunks' ranges
+    // (process_utility.c:1520 DML hook; chunk granularity, like the
+    // reference's per-chunk invalidation entries)
+    val touched = perChunk.collect { case (h, c) if h > 0 => c }
+    if (touched.nonEmpty)
+      invalidateCaggs(touched.map(_.startMicros).min, touched.map(_.endMicros).max)
+    perChunk.map(_._1).sum
+  }
 
   /** UPDATE ... SET assignments WHERE pred — copy-on-write chunk rewrite
     * like [[deleteWhere]]. Time-column updates that would move a row to a
@@ -616,7 +677,7 @@ class Hypertable private (
       s"updating the time column would re-route rows across chunks; delete + write instead")
     require(spaceDims.forall { case (sc, _, _) => !assignments.contains(sc) },
       s"updating a space-dimension column would re-route rows across space buckets; delete + write instead")
-    graft.Par.map(chunksIn(timeRange)) { c =>
+    val perChunk = graft.Par.map(chunksIn(timeRange)) { c =>
       val rows = chunkRows(c)
       val p = coalesce(pred, lit(false))
       val hits = rows.where(p).count()
@@ -633,8 +694,12 @@ class Hypertable private (
         rewriteChunkDir(c.startMicros, c.endMicros,
           df.drop(P).drop(tmpOf.values.toSeq: _*))
       }
-      hits
-    }.sum
+      (hits, c)
+    }
+    val touched = perChunk.collect { case (h, c) if h > 0 => c }
+    if (touched.nonEmpty)
+      invalidateCaggs(touched.map(_.startMicros).min, touched.map(_.endMicros).max)
+    perChunk.map(_._1).sum
   }
 
   /** attach_chunk (`sql/chunk.sql:67-70`): adopt an EXISTING parquet
@@ -691,6 +756,7 @@ class Hypertable private (
     require(fs.rename(new Path(srcPath), target), s"rename $srcPath -> $target failed")
     writeRange(target.toString, endMicros)
     refreshColumnStats(Seq(target.toString))
+    invalidateCaggs(startMicros, endMicros) // new raw rows appeared
     ChunkInfo(startMicros, endMicros, target.toString)
   }
 
@@ -704,6 +770,7 @@ class Hypertable private (
     require(!fs.exists(dest), s"$destPath already exists")
     require(fs.rename(new Path(c.path), dest), s"rename ${c.path} -> $destPath failed")
     fs.delete(new Path(dest, RANGE), false) // catalog marker, not table data
+    invalidateCaggs(c.startMicros, c.endMicros) // raw rows disappeared
     ChunkInfo(c.startMicros, c.endMicros, destPath)
   }
 
@@ -817,6 +884,12 @@ class Hypertable private (
       "drop_chunks needs older_than and/or newer_than")
     val dropped = showChunks(olderThanMicros, newerThanMicros)
     dropped.foreach(c => fs.delete(new Path(c.path), true))
+    // drop_chunks invalidates caggs over the removed range (chunk.c:
+    // 4064-4101) — a later refresh covering it re-materializes from what's
+    // left. As in the reference, pair retention with BOUNDED cagg refresh
+    // windows (CaggRefreshPolicy offsets) to keep aggregated history.
+    if (dropped.nonEmpty)
+      invalidateCaggs(dropped.map(_.startMicros).min, dropped.map(_.endMicros).max)
     dropped
   }
 }
@@ -830,6 +903,7 @@ object Hypertable {
   private val COLSTATS = "_graft_colstats"
   private val SPACEPARTS = "_graft_spaceparts"
   private[sources] val INTEGERNOW = "_graft_integer_now"
+  private[sources] val CAGGS = "_graft_caggs"
 
   /** In-session registry of integer-now functions (`set_integer_now_func`
     * REGPROC analog — see [[Hypertable#setIntegerNowFunc]]).

@@ -413,17 +413,24 @@ class ContinuousAggregate(
       case _ => throw new UnsupportedOperationException(
         "ingest targets a raw hypertable; hierarchical caggs ingest via their base")
     }
-    val cached = df.cache()
-    try {
-      ht.write(cached)
-      // against the THRESHOLD, not the watermark: rows under an in-flight
-      // refresh window are dirty too (its compute may already have scanned)
-      val wm = invalidationThreshold
-      val late = cached.where(unix_micros(col(source.timeCol)) < wm)
-        .agg(min(unix_micros(col(source.timeCol))), max(unix_micros(col(source.timeCol))))
-        .head()
-      if (!late.isNullAt(0)) invalidate(late.getLong(0), late.getLong(1) + 1)
-    } finally cached.unpersist()
+    if (ht.caggPaths.contains(path)) {
+      // the hypertable-side hook fans the batch's range out to this cagg
+      // (and any sibling caggs) — cut per-cagg at each THRESHOLD, not the
+      // watermark: rows under an in-flight refresh window are dirty too
+      ht.write(df)
+    } else {
+      // cagg handle opened against a table that never registered it (e.g.
+      // a registry file removed out-of-band): keep the old local path
+      val cached = df.cache()
+      try {
+        ht.write(cached)
+        val wm = invalidationThreshold
+        val late = cached.where(unix_micros(col(source.timeCol)) < wm)
+          .agg(min(unix_micros(col(source.timeCol))), max(unix_micros(col(source.timeCol))))
+          .head()
+        if (!late.isNullAt(0)) invalidate(late.getLong(0), late.getLong(1) + 1)
+      } finally cached.unpersist()
+    }
   }
 
   /** Highest stream batch id already ingested via [[CaggStream.attach]]
@@ -567,6 +574,35 @@ object ContinuousAggregate {
       new Path(dir, java.util.UUID.randomUUID().toString), s"$loMicros,$hiMicros")
   }
 
+  /** A cagg's invalidation threshold read by path (no instance needed —
+    * same `_threshold`-falls-back-to-`_watermark` rule as
+    * [[ContinuousAggregate.invalidationThreshold]]).
+    */
+  private def thresholdAt(fs: org.apache.hadoop.fs.FileSystem,
+      caggPath: String): Long = {
+    val t = new Path(caggPath, "_threshold")
+    val w = new Path(caggPath, "_watermark")
+    if (fs.exists(t)) graft.sources.Hypertable.readSmallFile(fs, t).trim.toLong
+    else if (fs.exists(w)) graft.sources.Hypertable.readSmallFile(fs, w).trim.toLong
+    else Long.MinValue
+  }
+
+  /** Hypertable-side invalidation distribution (the reference's
+    * `invalidation.c` log-processing: one hypertable-level entry is cut at
+    * each cagg's threshold and moved into that cagg's own log). Ranges at
+    * or above a cagg's threshold are not logged — that region was never
+    * materialized, and the next threshold-advancing refresh recomputes it
+    * from raw anyway.
+    */
+  private[graft] def distributeInvalidation(spark: org.apache.spark.sql.SparkSession,
+      caggPaths: Seq[String], loMicros: Long, hiMicros: Long): Unit =
+    caggPaths.foreach { p =>
+      val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val thr = thresholdAt(fs, p)
+      val hi = math.min(hiMicros, thr)
+      if (loMicros < hi) appendInvalidation(fs, p, loMicros, hi)
+    }
+
   def create(spark: SparkSession, path: String, source: TimeSource,
       defn: CaggDef): ContinuousAggregate = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -575,6 +611,10 @@ object ContinuousAggregate {
       // hierarchical cagg: record this child with its parent so parent
       // refreshes invalidate it (re-open via the same path is idempotent)
       case cs: CaggSource => cs.parent.registerChild(path)
+      // raw hypertable: register with the table so EVERY mutation path
+      // (write/DML/drop/attach) fans invalidations out to this cagg — the
+      // reference's hypertable-side invalidation collection
+      case h: graft.sources.Hypertable => h.registerCagg(path)
       case _ => ()
     }
     new ContinuousAggregate(spark, path, source, defn)

@@ -67,6 +67,75 @@ class CaggSpec extends AnyFunSuite {
     assert(cagg.materialized.collect().toSet === directAgg(ht).collect().toSet)
   }
 
+  test("two caggs on one hypertable: invalidations distributed and cleared " +
+      "independently (cagg_invalidation.out)") {
+    // the reference's core invalidation scenario: cond_10 and cond_20 on
+    // the same hypertable — a mutation below both thresholds must land in
+    // BOTH logs, and refreshing one must not clear the other's
+    val dir = Files.createTempDirectory("graft_cagg2").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val hourly = ContinuousAggregate.create(spark, s"$dir/hourly", ht, defn)
+    val daily = ContinuousAggregate.create(spark, s"$dir/daily", ht,
+      CaggDef("1 day", Seq("event_type"), Seq(count(lit(1)).as("n"))))
+    assert(ht.caggPaths.toSet === Set(s"$dir/hourly", s"$dir/daily"))
+
+    hourly.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    daily.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    // before any refresh moved thresholds nothing was logged; now a plain
+    // hypertable WRITE (no cagg in sight) lands in both logs
+    val late = Seq((900100L, Timestamp.valueOf("2024-01-05 10:30:00"), 2L, "view", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    ht.write(late)
+    val t = us("2024-01-05 10:30:00")
+    assert(hourly.pendingInvalidations().exists { case (lo, hi) => lo <= t && hi > t })
+    assert(daily.pendingInvalidations().exists { case (lo, hi) => lo <= t && hi > t })
+
+    // refreshing ONE cagg clears only its own log (invalidation.c moves
+    // entries into per-cagg logs exactly so this independence holds)
+    hourly.refreshInvalidated()
+    assert(hourly.pendingInvalidations().isEmpty)
+    assert(daily.pendingInvalidations().nonEmpty)
+    assert(hourly.materialized.collect().toSet === directAgg(ht).collect().toSet)
+
+    // the second cagg still repairs correctly from its own log
+    daily.refreshInvalidated()
+    assert(daily.pendingInvalidations().isEmpty)
+    val dailyDirect = ht.read()
+      .groupBy(gf.time_bucket("1 day", $"ts").as("bucket"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    assert(daily.materialized.collect().toSet === dailyDirect.collect().toSet)
+
+    // DELETE also fans out (process_utility.c DML hook)
+    ht.deleteWhere($"event_id" === 900100L)
+    assert(hourly.pendingInvalidations().nonEmpty)
+    assert(daily.pendingInvalidations().nonEmpty)
+    hourly.refreshInvalidated()
+    assert(hourly.materialized.collect().toSet === directAgg(ht).collect().toSet)
+
+    // mutations entirely ABOVE a threshold are not logged (the region was
+    // never materialized; the next refresh recomputes it from raw)
+    daily.refreshInvalidated()
+    val future = Seq((900101L, Timestamp.valueOf("2024-03-20 10:30:00"), 2L, "view", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    ht.write(future)
+    assert(hourly.pendingInvalidations().isEmpty)
+    assert(daily.pendingInvalidations().isEmpty)
+  }
+
+  test("drop_chunks invalidates caggs over the removed range (chunk.c:4064)") {
+    val (ht, cagg) = freshCagg()
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    val first = ht.showChunks().head
+    ht.dropChunks(first.endMicros)
+    val pend = cagg.pendingInvalidations()
+    assert(pend.exists { case (lo, hi) =>
+      lo <= first.startMicros && hi >= first.endMicros })
+    // refreshing folds the drop in: those buckets disappear from the cagg
+    cagg.refreshInvalidated()
+    assert(cagg.materialized.collect().toSet === directAgg(ht).collect().toSet)
+  }
+
   test("parent refresh propagates invalidations to hierarchical children") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cagg_prop").toString
     val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
