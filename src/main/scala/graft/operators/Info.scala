@@ -105,8 +105,7 @@ object Info {
     import spark.implicits._
     Jobs.list(spark, root).map { case (j, s) =>
       (j.id, s.lastRunStartMicros.map(microsToTimestamp),
-        s.lastFinishMicros.filter(_ => s.lastRunSuccess.contains(true))
-          .map(microsToTimestamp),
+        s.lastSuccessfulFinishMicros.map(microsToTimestamp),
         s.lastRunSuccess.map(if (_) "Success" else "Failed"),
         if (j.scheduled) "Scheduled" else "Paused",
         s.nextStartMicros.map(microsToTimestamp),

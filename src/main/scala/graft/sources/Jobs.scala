@@ -49,6 +49,10 @@ case class JobStat(
     nextStartMicros: Option[Long] = None,
     lastRunStartMicros: Option[Long] = None,
     lastFinishMicros: Option[Long] = None,
+    /** Finish time of the last SUCCESSFUL run — survives later failures
+      * (the reference view's `last_successful_finish`).
+      */
+    lastSuccessfulFinishMicros: Option[Long] = None,
     lastRunSuccess: Option[Boolean] = None,
     totalRuns: Long = 0,
     totalSuccesses: Long = 0,
@@ -117,6 +121,7 @@ object Jobs {
     s.nextStartMicros.foreach(o.put("next_start", _))
     s.lastRunStartMicros.foreach(o.put("last_run_start", _))
     s.lastFinishMicros.foreach(o.put("last_finish", _))
+    s.lastSuccessfulFinishMicros.foreach(o.put("last_successful_finish", _))
     s.lastRunSuccess.foreach(o.put("last_run_success", _))
     o.put("total_runs", s.totalRuns)
     o.put("total_successes", s.totalSuccesses)
@@ -150,6 +155,7 @@ object Jobs {
       nextStartMicros = optLong(n, "next_start"),
       lastRunStartMicros = optLong(n, "last_run_start"),
       lastFinishMicros = optLong(n, "last_finish"),
+      lastSuccessfulFinishMicros = optLong(n, "last_successful_finish"),
       lastRunSuccess = if (n.has("last_run_success")) Some(n.get("last_run_success").asBoolean) else None,
       totalRuns = n.get("total_runs").asLong,
       totalSuccesses = n.get("total_successes").asLong,
@@ -159,19 +165,30 @@ object Jobs {
   }
 
   /** All jobs with their stats, in id order. */
-  def list(spark: SparkSession, root: String): Seq[(JobSpec, JobStat)] = {
+  def list(spark: SparkSession, root: String): Seq[(JobSpec, JobStat)] =
+    readCatalog(spark, root)._2
+
+  /** (next id to allocate, jobs). Ids come from a persisted counter — never
+    * recycled after delete_job, like the reference's bgw_job sequence (an
+    * external scheduler holding a stale id must not fire a different job).
+    */
+  private def readCatalog(spark: SparkSession,
+      root: String): (Int, Seq[(JobSpec, JobStat)]) = {
     val p = new Path(root, FILE)
     val filesys = fs(spark, root)
-    if (!filesys.exists(p)) return Seq.empty
-    val arr = mapper.readTree(Hypertable.readSmallFile(filesys, p))
-    arr.elements().asScala.map(fromJson).toSeq.sortBy(_._1.id)
+    if (!filesys.exists(p)) return (FIRST_ID, Seq.empty)
+    val tree = mapper.readTree(Hypertable.readSmallFile(filesys, p))
+    val jobs = tree.get("jobs").elements().asScala.map(fromJson).toSeq.sortBy(_._1.id)
+    (tree.get("next_id").asInt, jobs)
   }
 
-  private def save(spark: SparkSession, root: String,
+  private def save(spark: SparkSession, root: String, nextId: Int,
       jobs: Seq[(JobSpec, JobStat)]): Unit = {
-    val arr = mapper.createArrayNode()
+    val o = mapper.createObjectNode()
+    o.put("next_id", nextId)
+    val arr = o.putArray("jobs")
     jobs.sortBy(_._1.id).foreach { case (j, s) => arr.add(toJson(j, s)) }
-    Hypertable.writeSmallFile(fs(spark, root), new Path(root, FILE), arr.toString)
+    Hypertable.writeSmallFile(fs(spark, root), new Path(root, FILE), o.toString)
   }
 
   // ------------------------------------------------------------------- API
@@ -192,13 +209,13 @@ object Jobs {
       jobName: Option[String] = None): Int = lock.synchronized {
     require(scheduleIntervalMicros > 0, "schedule_interval must be positive")
     timezone.foreach(ZoneId.of(_)) // fail fast on a bad zone, like the reference
-    val existing = list(spark, root)
-    val id = ((FIRST_ID - 1) +: existing.map(_._1.id)).max + 1
+    val (nextId, existing) = readCatalog(spark, root)
+    val id = nextId
     val spec = JobSpec(id, proc, scheduleIntervalMicros, config,
       initialStartMicros.orElse(if (fixedSchedule) Some(nowMicros) else None),
       scheduled, fixedSchedule, timezone, jobName)
     val next = initialStartMicros.getOrElse(nowMicros + scheduleIntervalMicros)
-    save(spark, root, existing :+ (spec, JobStat(nextStartMicros = Some(next))))
+    save(spark, root, id + 1, existing :+ (spec, JobStat(nextStartMicros = Some(next))))
     id
   }
 
@@ -222,7 +239,14 @@ object Jobs {
       ifExists: Boolean = false): Option[JobSpec] = lock.synchronized {
     require(config.isEmpty || configMerge.isEmpty,
       "config and config_merge are mutually exclusive") // job_api.sql config_merge
-    val jobs = list(spark, root)
+    // the same bounds add() enforces — run()'s next-start math divides by
+    // and buckets with these
+    scheduleIntervalMicros.foreach(w =>
+      require(w > 0, "schedule_interval must be positive"))
+    retryPeriodMicros.foreach(w => require(w > 0, "retry_period must be positive"))
+    maxRetries.foreach(m => require(m >= -1, "max_retries must be >= -1"))
+    timezone.foreach(ZoneId.of(_))
+    val (nextId, jobs) = readCatalog(spark, root)
     val hit = jobs.find(_._1.id == id)
     if (hit.isEmpty) {
       if (ifExists) return None
@@ -234,21 +258,25 @@ object Jobs {
       scheduled = scheduled.getOrElse(j.scheduled),
       config = config.getOrElse(configMerge.map(j.config ++ _).getOrElse(j.config)),
       fixedSchedule = fixedSchedule.getOrElse(j.fixedSchedule),
-      initialStartMicros = initialStartMicros.orElse(j.initialStartMicros),
+      // flipping a drifting job to a fixed schedule needs a grid anchor:
+      // without one the grid would snap to epoch 0 — anchor at the job's
+      // current next_start (the first fixed slot the operator observes)
+      initialStartMicros = initialStartMicros.orElse(j.initialStartMicros)
+        .orElse(if (fixedSchedule.contains(true)) s.nextStartMicros else None),
       timezone = timezone.orElse(j.timezone),
       jobName = jobName.orElse(j.jobName),
       maxRetries = maxRetries.getOrElse(j.maxRetries),
       retryPeriodMicros = retryPeriodMicros.getOrElse(j.retryPeriodMicros))
     val stat = nextStartMicros.map(n => s.copy(nextStartMicros = Some(n))).getOrElse(s)
-    save(spark, root, jobs.filterNot(_._1.id == id) :+ (updated, stat))
+    save(spark, root, nextId, jobs.filterNot(_._1.id == id) :+ (updated, stat))
     Some(updated)
   }
 
   /** `delete_job(job_id)`. Errors on unknown id like the reference. */
   def delete(spark: SparkSession, root: String, id: Int): Unit = lock.synchronized {
-    val jobs = list(spark, root)
+    val (nextId, jobs) = readCatalog(spark, root)
     require(jobs.exists(_._1.id == id), s"job $id not found")
-    save(spark, root, jobs.filterNot(_._1.id == id))
+    save(spark, root, nextId, jobs.filterNot(_._1.id == id))
   }
 
   /** Jobs an external scheduler should fire now: scheduled, with
@@ -278,7 +306,7 @@ object Jobs {
       try { f(spark, spec.config); true }
       catch { case scala.util.control.NonFatal(_) => false }
     lock.synchronized {
-      val jobs = list(spark, root)
+      val (nextId, jobs) = readCatalog(spark, root)
       jobs.find(_._1.id == id).foreach { case (j, s) =>
         val finish = finishMicros.getOrElse(nowMicros)
         val fails = if (ok) 0 else s.consecutiveFailures + 1
@@ -289,12 +317,14 @@ object Jobs {
           nextStartMicros = Some(next),
           lastRunStartMicros = Some(nowMicros),
           lastFinishMicros = Some(finish),
+          lastSuccessfulFinishMicros =
+            if (ok) Some(finish) else s.lastSuccessfulFinishMicros,
           lastRunSuccess = Some(ok),
           totalRuns = s.totalRuns + 1,
           totalSuccesses = s.totalSuccesses + (if (ok) 1 else 0),
           totalFailures = s.totalFailures + (if (ok) 0 else 1),
           consecutiveFailures = fails)
-        save(spark, root, jobs.filterNot(_._1.id == id) :+ (j, stat))
+        save(spark, root, nextId, jobs.filterNot(_._1.id == id) :+ (j, stat))
       }
     }
     ok
@@ -375,7 +405,13 @@ object Jobs {
 
   registerProc("policy_columnstore") { (spark, config) =>
     val ht = Hypertable.at(spark, config("hypertable"))
-    Columnstore.compress(ht, Columnstore.Options(),
+    // honor the table's compression layout like the reference policy does
+    // (it reads the stored compression settings): comma-separated
+    // "segmentby"/"orderby" config keys
+    def cols(k: String): Seq[String] =
+      config.get(k).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    Columnstore.compress(ht,
+      Columnstore.Options(segmentBy = cols("segmentby"), orderBy = cols("orderby")),
       Some(cfgNow(config, ht) - config("compress_after").toLong))
   }
 }

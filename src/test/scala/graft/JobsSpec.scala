@@ -149,6 +149,45 @@ class JobsSpec extends AnyFunSuite {
     assert(!Columnstore.isCompressed(spark, all(4).path))
   }
 
+  test("job ids are never recycled after delete_job (bgw_job sequence)") {
+    val r = root()
+    val a = Jobs.add(spark, r, "noop", HOUR, nowMicros = 0L)
+    Jobs.delete(spark, r, a)
+    // a stale external reference to id `a` must not resolve to the new job
+    assert(Jobs.add(spark, r, "noop", HOUR, nowMicros = 0L) === a + 1)
+  }
+
+  test("last_successful_finish survives later failures") {
+    val r = root()
+    @volatile var fail = false
+    Jobs.registerProc("spec_flaky") { (_, _) => if (fail) sys.error("boom") }
+    val id = Jobs.add(spark, r, "spec_flaky", HOUR, nowMicros = 0L)
+    Jobs.run(spark, r, id, nowMicros = 100L)
+    fail = true
+    Jobs.run(spark, r, id, nowMicros = 200L)
+    val s = Jobs.list(spark, r).head._2
+    assert(s.lastRunSuccess === Some(false))
+    assert(s.lastSuccessfulFinishMicros === Some(100L))
+    assert(Info.jobStats(spark, r).collect().head
+      .getAs[java.sql.Timestamp]("last_successful_finish").getTime === 0L) // 100us
+  }
+
+  test("alter validates intervals and anchors a drifting-to-fixed flip") {
+    val r = root()
+    Jobs.registerProc("noop") { (_, _) => () }
+    val id = Jobs.add(spark, r, "noop", HOUR, nowMicros = 0L, fixedSchedule = false)
+    intercept[IllegalArgumentException](
+      Jobs.alter(spark, r, id, scheduleIntervalMicros = Some(0L)))
+    intercept[IllegalArgumentException](
+      Jobs.alter(spark, r, id, retryPeriodMicros = Some(-1L)))
+    // drifting job has no initial_start; flipping to fixed anchors the grid
+    // at its current next_start instead of the 1970 epoch
+    val flipped = Jobs.alter(spark, r, id, fixedSchedule = Some(true)).get
+    assert(flipped.initialStartMicros === Some(HOUR)) // next_start from add()
+    Jobs.run(spark, r, id, nowMicros = HOUR + 1)
+    assert(Jobs.list(spark, r).head._2.nextStartMicros === Some(2 * HOUR))
+  }
+
   test("info views expose jobs and job_stats with reference column names") {
     val r = root()
     Jobs.registerProc("noop") { (_, _) => () }
