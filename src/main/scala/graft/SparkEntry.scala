@@ -630,6 +630,39 @@ object SparkEntry {
         .orderBy("event_type", "bucket_us")
     }),
 
+    // §2.10 continuous aggregate over an INTEGER-time (bigint-dimension)
+    // hypertable — the reference's own cagg test harness shape
+    // (cagg_invalidation.sql: chunk_time_interval => 10, time_bucket(BIGINT
+    // '10', time)). Daily integer buckets align at origin 0 (ts_int_bucket),
+    // a late write lands via the hypertable-side invalidation fan-out, and
+    // refreshInvalidated repairs it — the result must equal aggregating all
+    // raw rows directly.
+    "q72_int_cagg" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      import graft.streaming.{CaggDef, ContinuousAggregate}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_intcagg_q").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts_us",
+        chunkWidth = (7L * 86400000000L).toString, timeKind = "bigint")
+      val events = t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+      val day = 86400000000L
+      // hold back one late slice to exercise the invalidation path
+      val cut = 1704672000000000L // 2024-01-08
+      ht.write(events.where(col("ts_us") >= cut), filesPerChunk = 8)
+      val defn = CaggDef(day.toString, Seq("event_type"), Seq(
+        count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value")))
+      val cagg = ContinuousAggregate.create(s, s"$tmp/cagg", ht, defn)
+      val (tmin, tmax) = timeRange(s, s"$tmp/ht", "ts_us")
+      cagg.refresh(Math.floorDiv(tmin, day) * day, tmax + day)
+      // the late slice arrives through a PLAIN hypertable write; the
+      // fan-out hook logs it (all below the threshold) and
+      // refreshInvalidated folds it in — no explicit window needed
+      ht.write(events.where(col("ts_us") < cut), filesPerChunk = 8)
+      cagg.refreshInvalidated()
+      cagg.materialized.withColumnRenamed("bucket", "day_us")
+        .orderBy("day_us", "event_type")
+    }),
+
     // §2.4 time_bucket over UUIDv7 (the reference's uuid overloads): the
     // SQL form buckets the uuid's embedded timestamp; boundary uuids carry
     // micros exactly, so hourly buckets match bucketing the raw timestamp.
@@ -1278,6 +1311,12 @@ object SparkEntry {
         |WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= 1704672000000000
         |  AND epoch_us(CAST(ts AS TIMESTAMP)) < 1705881600000000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q72_int_cagg" ->
+      """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) * 86400000000 AS day_us,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q41_time_bucket_tz" ->
       """SELECT timezone('UTC', time_bucket(INTERVAL '1 day',

@@ -225,22 +225,38 @@ class Hypertable private (
     else Hypertable.readSmallFile(fs, f).split('\n').filter(_.nonEmpty).toSeq.distinct
   }
 
-  private[graft] def registerCagg(caggPath: String): Unit = {
-    val cur = caggPaths
-    if (!cur.contains(caggPath))
-      Hypertable.writeSmallFile(fs, new Path(path, Hypertable.CAGGS),
-        (cur :+ caggPath).mkString("\n"))
+  private[graft] def registerCagg(caggPath: String): Unit =
+    // in-JVM lock: two concurrent create()s must not lose a registration
+    // to the read-modify-write (a lost entry = a cagg that silently never
+    // sees invalidations)
+    Hypertable.caggRegistryLock.synchronized {
+      val cur = caggPaths
+      if (!cur.contains(caggPath))
+        Hypertable.writeSmallFile(fs, new Path(path, Hypertable.CAGGS),
+          (cur :+ caggPath).mkString("\n"))
+    }
+
+  /** The raw time ranges changed — log them into every registered cagg's
+    * invalidation log. Overlapping/adjacent input ranges are merged, but
+    * DISJOINT ranges stay separate entries (a delete touching the first and
+    * last chunk of a year must not invalidate the 50 chunks between).
+    */
+  private def invalidateCaggs(ranges: Seq[(Long, Long)]): Unit = {
+    val paths = caggPaths
+    if (paths.isEmpty) return
+    val merged = ranges.filter { case (lo, hi) => lo < hi }.sorted
+      .foldLeft(List.empty[(Long, Long)]) {
+        case ((lo0, hi0) :: acc, (lo, hi)) if lo <= hi0 =>
+          (lo0, math.max(hi0, hi)) :: acc
+        case (acc, r) => r :: acc
+      }.reverse
+    if (merged.nonEmpty)
+      graft.streaming.ContinuousAggregate
+        .distributeInvalidation(spark, paths, merged)
   }
 
-  /** The raw time range [loMicros, hiMicros) changed — log it into every
-    * registered cagg's invalidation log.
-    */
-  private def invalidateCaggs(loMicros: Long, hiMicros: Long): Unit = {
-    val paths = caggPaths
-    if (paths.nonEmpty && loMicros < hiMicros)
-      graft.streaming.ContinuousAggregate
-        .distributeInvalidation(spark, paths, loMicros, hiMicros)
-  }
+  private def invalidateCaggs(loMicros: Long, hiMicros: Long): Unit =
+    invalidateCaggs(Seq((loMicros, hiMicros)))
 
   /** Actual time value in dimension units (micros / raw integer) — NOT the
     * chunk bucket.
@@ -660,9 +676,8 @@ class Hypertable private (
     // DELETE invalidates caggs over the touched chunks' ranges
     // (process_utility.c:1520 DML hook; chunk granularity, like the
     // reference's per-chunk invalidation entries)
-    val touched = perChunk.collect { case (h, c) if h > 0 => c }
-    if (touched.nonEmpty)
-      invalidateCaggs(touched.map(_.startMicros).min, touched.map(_.endMicros).max)
+    invalidateCaggs(perChunk.collect {
+      case (h, c) if h > 0 => (c.startMicros, c.endMicros) })
     perChunk.map(_._1).sum
   }
 
@@ -696,9 +711,8 @@ class Hypertable private (
       }
       (hits, c)
     }
-    val touched = perChunk.collect { case (h, c) if h > 0 => c }
-    if (touched.nonEmpty)
-      invalidateCaggs(touched.map(_.startMicros).min, touched.map(_.endMicros).max)
+    invalidateCaggs(perChunk.collect {
+      case (h, c) if h > 0 => (c.startMicros, c.endMicros) })
     perChunk.map(_._1).sum
   }
 
@@ -884,12 +898,12 @@ class Hypertable private (
       "drop_chunks needs older_than and/or newer_than")
     val dropped = showChunks(olderThanMicros, newerThanMicros)
     dropped.foreach(c => fs.delete(new Path(c.path), true))
-    // drop_chunks invalidates caggs over the removed range (chunk.c:
-    // 4064-4101) — a later refresh covering it re-materializes from what's
-    // left. As in the reference, pair retention with BOUNDED cagg refresh
-    // windows (CaggRefreshPolicy offsets) to keep aggregated history.
-    if (dropped.nonEmpty)
-      invalidateCaggs(dropped.map(_.startMicros).min, dropped.map(_.endMicros).max)
+    // drop_chunks invalidates caggs over the removed ranges (chunk.c:
+    // 4064-4101) — a later refresh covering them re-materializes from
+    // what's left. As in the reference, pair retention with BOUNDED cagg
+    // refresh windows (CaggRefreshPolicy offsets) to keep aggregated
+    // history.
+    invalidateCaggs(dropped.map(c => (c.startMicros, c.endMicros)))
     dropped
   }
 }
@@ -910,6 +924,9 @@ object Hypertable {
     */
   private val integerNowFuncs =
     new java.util.concurrent.ConcurrentHashMap[String, () => Long]()
+
+  /** Serializes `_graft_caggs` read-modify-writes across threads. */
+  private val caggRegistryLock = new Object
 
   def registerIntegerNow(name: String)(f: () => Long): Unit =
     integerNowFuncs.put(name, f)

@@ -61,16 +61,32 @@ case class CaggDef(
   private def interval(s: String) = org.apache.spark.sql.catalyst.util.IntervalUtils
     .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
 
+  /** A bare integer width ("10") targets an integer-time (bigint-dimension)
+    * hypertable — the reference's `time_bucket(BIGINT '10', time)` cagg form
+    * (`tsl/test/sql/cagg_invalidation.sql` uses exactly this shape). The
+    * width is then in the dimension's own units.
+    */
+  private[graft] val integerWidth: Boolean = bucketWidth.trim.matches("-?\\d+")
+
   /** calendar-month bucket width (`src/time_bucket.c:148-183`); 0 = fixed. */
   private[graft] val widthMonths: Int = {
-    val iv = interval(bucketWidth)
-    require(iv.months == 0 || (iv.days == 0 && iv.microseconds == 0),
-      "bucket width must be either a month interval or a day/time interval, not both")
-    iv.months
+    if (integerWidth) 0
+    else {
+      val iv = interval(bucketWidth)
+      require(iv.months == 0 || (iv.days == 0 && iv.microseconds == 0),
+        "bucket width must be either a month interval or a day/time interval, not both")
+      iv.months
+    }
   }
   private[graft] val widthMicros: Long = {
-    val iv = interval(bucketWidth)
-    iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds
+    if (integerWidth) {
+      val w = bucketWidth.trim.toLong
+      require(w > 0, s"integer bucket width must be positive, got $w")
+      w
+    } else {
+      val iv = interval(bucketWidth)
+      iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds
+    }
   }
   /** Effective mat-chunk width for a given source: explicit width, or the
     * reference's 10× source-chunk-width default (month-width or non-
@@ -99,9 +115,13 @@ case class CaggDef(
     }
   }
 
-  /** Bucket start at-or-before `us`. */
+  /** Bucket start at-or-before `us` (integer widths align to origin 0, like
+    * the reference's `ts_int_bucket`; timestamp widths to the Monday
+    * epoch).
+    */
   private[graft] def bucketFloor(us: Long): Long =
-    if (widthMonths > 0) TimeBucketUtil.bucketMonthsMicros(us, widthMonths, TimeBucketUtil.SENTINEL)
+    if (integerWidth) TimeBucketUtil.bucketLong(us, widthMicros, TimeBucketUtil.SENTINEL)
+    else if (widthMonths > 0) TimeBucketUtil.bucketMonthsMicros(us, widthMonths, TimeBucketUtil.SENTINEL)
     else TimeBucketUtil.bucketMicros(us, widthMicros, TimeBucketUtil.SENTINEL)
 
   /** Start of the n-th bucket after the one starting at `bucketStart`. */
@@ -147,15 +167,36 @@ class ContinuousAggregate(
   private def invPath = s"$path/_invalidations"
   private val matChunkMicros: Long = defn.matChunkMicrosFor(source)
 
+  /** Integer-time cagg: the source dimension is bigint and the bucket width
+    * is a raw integer — times ARE the internal long values, no
+    * timestamp<->micros conversion anywhere (reference integer-time caggs,
+    * `cagg_invalidation.sql`).
+    */
+  private[streaming] val integral: Boolean = source match {
+    case h: Hypertable => h.timeKind == "bigint"
+    case cs: CaggSource => cs.parent.integral
+    case _ => false
+  }
+  require(integral == defn.integerWidth,
+    if (integral) "a bigint-dimension source needs a raw integer bucket width (e.g. \"10\")"
+    else "an integer bucket width needs a bigint-dimension source")
+
   private def bucketOf(time: Column): Column =
-    gf.time_bucket(defn.bucketWidth, time)
+    if (integral) gf.time_bucket(lit(defn.widthMicros), time)
+    else gf.time_bucket(defn.bucketWidth, time)
+
+  /** Internal long (micros / raw units) of a time-typed column. */
+  private def toUs(c: Column): Column = if (integral) c else unix_micros(c)
+
+  /** Column value of an internal long. */
+  private def fromUs(c: Column): Column = if (integral) c else timestamp_micros(c)
 
   /** Aggregate raw rows of [lo, hi) into finalized bucket rows. */
   private def compute(loMicros: Long, hiMicros: Long): DataFrame = {
     val raw = defn.dimJoin.foldLeft(source.between(loMicros, hiMicros))(
       (df, j) => j(df))
     raw.groupBy(
-        (unix_micros(bucketOf(col(source.timeCol))).as(BUCKET) +:
+        (toUs(bucketOf(col(source.timeCol))).as(BUCKET) +:
           defn.groupCols.map(col)): _*)
       .agg(defn.aggs.head, defn.aggs.tail: _*)
   }
@@ -172,7 +213,7 @@ class ContinuousAggregate(
       st.isDirectory && st.getPath.getName.startsWith(s"$MATCHUNK="))
     if (!hasChunks) return emptyLike()
     val df = spark.read.parquet(matPath)
-      .withColumn(defn.bucketCol, timestamp_micros(col(BUCKET)))
+      .withColumn(defn.bucketCol, fromUs(col(BUCKET)))
       .drop(BUCKET, MATCHUNK)
     val aggCols = df.columns.filterNot(c =>
       c == defn.bucketCol || defn.groupCols.contains(c))
@@ -183,7 +224,7 @@ class ContinuousAggregate(
     val df = compute(0L, 1L)
     val empty = spark
       .createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
-      .withColumn(defn.bucketCol, timestamp_micros(col(BUCKET)))
+      .withColumn(defn.bucketCol, fromUs(col(BUCKET)))
       .drop(BUCKET)
     // same column order as the non-empty path (bucket, groups, aggs)
     val aggCols = empty.columns.filterNot(c =>
@@ -230,7 +271,10 @@ class ContinuousAggregate(
   }
 
   private def matChunkOf(bucketMicros: Long): Long =
-    TimeBucketUtil.bucketMicros(bucketMicros, matChunkMicros, TimeBucketUtil.SENTINEL)
+    // MUST agree with graftMatChunk: integer grids align at 0, timestamp
+    // grids at the kernel default origin
+    if (integral) TimeBucketUtil.bucketLong(bucketMicros, matChunkMicros, TimeBucketUtil.SENTINEL)
+    else TimeBucketUtil.bucketMicros(bucketMicros, matChunkMicros, TimeBucketUtil.SENTINEL)
 
   /** Materialize [start, end) (inscribed to whole buckets): recompute those
     * buckets from raw and rewrite exactly the mat-chunks they live in,
@@ -357,7 +401,8 @@ class ContinuousAggregate(
     * chunks the writer produced.
     */
   private def graftMatChunk(bucket: Column): Column =
-    unix_micros(gf.time_bucket(
+    if (integral) gf.time_bucket(lit(matChunkMicros), bucket)
+    else unix_micros(gf.time_bucket(
       org.apache.spark.sql.functions.lit(java.time.Duration.of(
         matChunkMicros, java.time.temporal.ChronoUnit.MICROS)),
       timestamp_micros(bucket)))
@@ -416,8 +461,13 @@ class ContinuousAggregate(
     if (ht.caggPaths.contains(path)) {
       // the hypertable-side hook fans the batch's range out to this cagg
       // (and any sibling caggs) — cut per-cagg at each THRESHOLD, not the
-      // watermark: rows under an in-flight refresh window are dirty too
-      ht.write(df)
+      // watermark: rows under an in-flight refresh window are dirty too.
+      // Cache pins ONE evaluation of the batch across the parquet write and
+      // the hook's min/max aggregate — a non-deterministic input (sampling,
+      // a directory being appended to) must not report a narrower range
+      // than the rows actually written.
+      val cached = df.cache()
+      try ht.write(cached) finally cached.unpersist()
     } else {
       // cagg handle opened against a table that never registered it (e.g.
       // a registry file removed out-of-band): keep the old local path
@@ -425,8 +475,8 @@ class ContinuousAggregate(
       try {
         ht.write(cached)
         val wm = invalidationThreshold
-        val late = cached.where(unix_micros(col(source.timeCol)) < wm)
-          .agg(min(unix_micros(col(source.timeCol))), max(unix_micros(col(source.timeCol))))
+        val late = cached.where(toUs(col(source.timeCol)) < wm)
+          .agg(min(toUs(col(source.timeCol))), max(toUs(col(source.timeCol))))
           .head()
         if (!late.isNullAt(0)) invalidate(late.getLong(0), late.getLong(1) + 1)
       } finally cached.unpersist()
@@ -460,7 +510,7 @@ class ContinuousAggregate(
   def realtime: DataFrame = {
     val wm = watermark
     if (wm == Long.MinValue) return liveFrom(Long.MinValue / 2)
-    materialized.where(unix_micros(col(defn.bucketCol)) < wm)
+    materialized.where(toUs(col(defn.bucketCol)) < wm)
       .unionByName(liveFrom(wm))
   }
 
@@ -500,7 +550,7 @@ class ContinuousAggregate(
 
   private def liveFrom(wmMicros: Long): DataFrame = {
     val raw = defn.dimJoin.foldLeft(
-      source.read().where(unix_micros(col(source.timeCol)) >= wmMicros))(
+      source.read().where(toUs(col(source.timeCol)) >= wmMicros))(
       (df, j) => j(df))
     raw.groupBy(
         (bucketOf(col(source.timeCol)).as(defn.bucketCol) +:
@@ -559,8 +609,10 @@ object ContinuousAggregate {
     override def read(): DataFrame = parent.materialized
     override def between(startMicros: Long, endMicros: Long): DataFrame =
       parent.materialized.where(
-        unix_micros(col(parent.defn.bucketCol)) >= startMicros &&
-        unix_micros(col(parent.defn.bucketCol)) < endMicros)
+        parentBucketUs(col(parent.defn.bucketCol)) >= startMicros &&
+        parentBucketUs(col(parent.defn.bucketCol)) < endMicros)
+    private def parentBucketUs(c: org.apache.spark.sql.Column) =
+      if (parent.integral) c else unix_micros(c)
   }
 
   /** Append one range file to a cagg's invalidation log (by path, so a
@@ -595,12 +647,14 @@ object ContinuousAggregate {
     * from raw anyway.
     */
   private[graft] def distributeInvalidation(spark: org.apache.spark.sql.SparkSession,
-      caggPaths: Seq[String], loMicros: Long, hiMicros: Long): Unit =
+      caggPaths: Seq[String], ranges: Seq[(Long, Long)]): Unit =
     caggPaths.foreach { p =>
       val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val thr = thresholdAt(fs, p)
-      val hi = math.min(hiMicros, thr)
-      if (loMicros < hi) appendInvalidation(fs, p, loMicros, hi)
+      ranges.foreach { case (lo, hi0) =>
+        val hi = math.min(hi0, thr)
+        if (lo < hi) appendInvalidation(fs, p, lo, hi)
+      }
     }
 
   def create(spark: SparkSession, path: String, source: TimeSource,

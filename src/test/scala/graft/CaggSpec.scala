@@ -123,6 +123,24 @@ class CaggSpec extends AnyFunSuite {
     assert(daily.pendingInvalidations().isEmpty)
   }
 
+  test("a delete touching only the first and last chunk logs two disjoint " +
+      "invalidations, not one spanning range") {
+    val (ht, cagg) = freshCagg()
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    val chunks = ht.showChunks()
+    // delete by time: the first day of the first chunk and everything from
+    // the last chunk's start — two touched chunks, three untouched
+    ht.deleteWhere($"ts" < new Timestamp((chunks.head.startMicros + 86400000000L) / 1000)
+      || $"ts" >= new Timestamp(chunks.last.startMicros / 1000))
+    val pend = cagg.pendingInvalidations()
+    // two entries, and the middle chunks are NOT covered
+    assert(pend.size === 2, pend.toString)
+    val mid = (chunks(2).startMicros + chunks(2).endMicros) / 2
+    assert(!pend.exists { case (lo, hi) => lo <= mid && mid < hi })
+    cagg.refreshInvalidated()
+    assert(cagg.materialized.collect().toSet === directAgg(ht).collect().toSet)
+  }
+
   test("drop_chunks invalidates caggs over the removed range (chunk.c:4064)") {
     val (ht, cagg) = freshCagg()
     cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
