@@ -332,6 +332,10 @@ class ContinuousAggregate(
     // threshold first (invalidation_threshold.c ordering): from here on,
     // ingest below `e` must log — even if this refresh never completes
     setInvalidationThreshold(e)
+    // snapshot the log BEFORE any raw scan: entries appended while this
+    // refresh runs may describe rows the compute missed, so only the
+    // entries visible NOW may be cut against the window afterwards
+    val logBefore = invEntries()
     val chunkLo = matChunkOf(s)
     val chunkHi = matChunkOf(e - 1) + matChunkMicros
     val fresh = compute(s, e).withColumn(MATCHUNK, graftMatChunk(col(BUCKET)))
@@ -393,6 +397,18 @@ class ContinuousAggregate(
     val propLo = if (e <= wmBefore) s else math.max(s, wmBefore)
     if (propLo < e)
       childPaths.foreach(c => ContinuousAggregate.appendInvalidation(fs, c, propLo, e))
+    // cut processed log entries against the refresh window
+    // (invalidation.c: entries inside [s, e) were just repaired and are
+    // deleted; a partial overlap leaves the remainder(s) outside the
+    // window). Only the pre-compute snapshot is touched — entries logged
+    // mid-refresh stay for the next pass.
+    logBefore.foreach { case (f, (lo, hi)) =>
+      if (lo < e && hi > s) {
+        fs.delete(f, false)
+        if (lo < s) appendInvalidation(fs, path, lo, s)
+        if (hi > e) appendInvalidation(fs, path, e, hi)
+      }
+    }
     (s, e)
   }
 
@@ -414,14 +430,21 @@ class ContinuousAggregate(
   /** Pending invalidation ranges (merged where overlapping). */
   def pendingInvalidations(): Seq[(Long, Long)] = pendingInvalidationsWithFiles()._1
 
-  private def pendingInvalidationsWithFiles(): (Seq[(Long, Long)], Seq[Path]) = {
+  /** Raw (unmerged) log entries with their files. */
+  private def invEntries(): Seq[(Path, (Long, Long))] = {
     val dir = new Path(invPath)
-    if (!fs.exists(dir)) return (Seq.empty, Seq.empty)
-    val files = fs.listStatus(dir).toSeq.map(_.getPath)
-    val ranges = files.map { p =>
-      val Array(lo, hi) = Hypertable.readSmallFile(fs, p).trim.split(",").map(_.toLong)
-      (lo, hi)
-    }.sortBy(_._1)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.map { st =>
+      val Array(lo, hi) =
+        Hypertable.readSmallFile(fs, st.getPath).trim.split(",").map(_.toLong)
+      st.getPath -> (lo, hi)
+    }
+  }
+
+  private def pendingInvalidationsWithFiles(): (Seq[(Long, Long)], Seq[Path]) = {
+    val entries = invEntries()
+    val files = entries.map(_._1)
+    val ranges = entries.map(_._2).sortBy(_._1)
     // merge overlapping/adjacent ranges (invalidation.c log compaction)
     val merged = ranges.foldLeft(List.empty[(Long, Long)]) {
       case (acc @ ((alo, ahi) :: rest), (lo, hi)) if lo <= ahi => (alo, math.max(ahi, hi)) :: rest

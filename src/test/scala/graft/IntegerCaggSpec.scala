@@ -105,6 +105,32 @@ class IntegerCaggSpec extends AnyFunSuite {
     assert(cagg.materialized.collect().toSet === direct(ht, 10, 0, 100).collect().toSet)
   }
 
+  test("refresh cuts log entries against its window (cagg_invalidation.out " +
+      "cut-left/right scenarios)") {
+    val ht = freshConditions()
+    val cagg = ContinuousAggregate.create(spark,
+      ht.path.stripSuffix("/ht") + "/cut", ht, def10)
+    cagg.refresh(0L, 100L)
+    // three late statements → three log entries: [1,26) [60,91) [30,60)
+    ht.write(Seq((1L, 4L, 23.7), (25L, 1L, 23.4)).toDF("time", "device", "temp"))
+    ht.write(Seq((60L, 3L, 23.6), (90L, 3L, 23.6)).toDF("time", "device", "temp"))
+    ht.write(Seq((30L, 1L, 23.4), (59L, 1L, 23.4)).toDF("time", "device", "temp"))
+    // the view merges the ADJACENT [30,60)+[60,91) pair (log compaction);
+    // the underlying files stay separate and are cut independently
+    assert(cagg.pendingInvalidations() === Seq((1L, 26L), (30L, 91L)))
+    // refresh [20, 60): the middle entry is fully repaired (deleted), the
+    // first is cut to its left remainder, the last is untouched
+    cagg.refresh(20L, 60L)
+    assert(cagg.pendingInvalidations() === Seq((1L, 20L), (60L, 91L)))
+    // the repaired slice really is repaired; the uncut ranges still differ
+    assert(cagg.materialized.where($"bucket" >= 20 && $"bucket" < 60).collect().toSet
+      === direct(ht, 10, 20, 60).collect().toSet)
+    // remaining log drains to a full match
+    cagg.refreshInvalidated()
+    assert(cagg.pendingInvalidations().isEmpty)
+    assert(cagg.materialized.collect().toSet === direct(ht, 10, 0, 100).collect().toSet)
+  }
+
   test("set_integer_now_func drives the integer cagg refresh policy window") {
     val ht = freshConditions()
     val cagg = ContinuousAggregate.create(spark,
