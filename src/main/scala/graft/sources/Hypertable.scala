@@ -393,6 +393,31 @@ class Hypertable private (
     spark.read.parquet(path)
   }
 
+  /** Read the hypertable as a Structured Streaming source: files appended
+    * to chunk directories (by another writer's [[write]], COPY ingest, a
+    * backfill job) become micro-batches — the change-stream view of the
+    * table that feeds downstream streaming caggs or CDC-style pipelines.
+    *
+    * Spark's file source tracks seen files in the checkpoint, so each file
+    * is delivered exactly once; new `_chunk=`/`_space=` directories are
+    * discovered as they appear (partition columns come from the provided
+    * schema + basePath). `maxFilesPerTrigger` bounds micro-batch size —
+    * size it so one batch ≈ executors × a few input splits at the target
+    * scale.
+    *
+    * The catalog marker files (`_graft_*`) are never matched: the glob
+    * pattern requires the `_chunk=` partition-dir prefix, and Spark's file
+    * index ignores `_`-prefixed files inside the dirs.
+    */
+  def readStream(maxFilesPerTrigger: Int = 1000): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    spark.readStream
+      .schema(schema)
+      .option("basePath", path)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(s"$path/$CHUNK=*")
+  }
+
   private lazy val qualifiedPath: String =
     fs.makeQualified(new Path(path)).toString
 
