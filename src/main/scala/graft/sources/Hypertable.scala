@@ -244,12 +244,7 @@ class Hypertable private (
   private def invalidateCaggs(ranges: Seq[(Long, Long)]): Unit = {
     val paths = caggPaths
     if (paths.isEmpty) return
-    val merged = ranges.filter { case (lo, hi) => lo < hi }.sorted
-      .foldLeft(List.empty[(Long, Long)]) {
-        case ((lo0, hi0) :: acc, (lo, hi)) if lo <= hi0 =>
-          (lo0, math.max(hi0, hi)) :: acc
-        case (acc, r) => r :: acc
-      }.reverse
+    val merged = graft.Ranges.mergeOverlapping(ranges)
     if (merged.nonEmpty)
       graft.streaming.ContinuousAggregate
         .distributeInvalidation(spark, paths, merged)
@@ -398,21 +393,36 @@ class Hypertable private (
     * backfill job) become micro-batches — the change-stream view of the
     * table that feeds downstream streaming caggs or CDC-style pipelines.
     *
-    * Spark's file source tracks seen files in the checkpoint, so each file
-    * is delivered exactly once; new `_chunk=`/`_space=` directories are
-    * discovered as they appear (partition columns come from the provided
-    * schema + basePath). `maxFilesPerTrigger` bounds micro-batch size —
-    * size it so one batch ≈ executors × a few input splits at the target
-    * scale.
+    * Spark's file source tracks seen FILES in the checkpoint, so each file
+    * is delivered once; new `_chunk=`/`_space=` directories are discovered
+    * as they appear (partition columns come from the provided schema +
+    * basePath). `maxFilesPerTrigger` bounds micro-batch size — size it so
+    * one batch ≈ executors × a few input splits at the target scale.
     *
-    * The catalog marker files (`_graft_*`) are never matched: the glob
-    * pattern requires the `_chunk=` partition-dir prefix, and Spark's file
-    * index ignores `_`-prefixed files inside the dirs.
+    * APPEND-ONLY contract: a chunk REWRITE (deleteWhere/updateWhere,
+    * compress/decompress, merge/split) produces new part files whose rows
+    * were already delivered, and the file source re-emits them. Run
+    * compaction/DML on chunks only after their consumers are drained and
+    * past them (e.g. compress behind the same lag a cagg's refresh policy
+    * uses), or deduplicate downstream — the same contract every
+    * file-tailing CDC pipeline has.
+    *
+    * `schema`: required before the first chunk exists (parquet cannot infer
+    * a schema from an empty table); afterwards it defaults to the table's
+    * own files. The catalog marker files (`_graft_*`) are never matched:
+    * the glob requires the `_chunk=` partition-dir prefix, and Spark's
+    * file index ignores `_`-prefixed files inside the dirs.
     */
-  def readStream(maxFilesPerTrigger: Int = 1000): DataFrame = {
-    val schema = spark.read.parquet(path).schema
+  def readStream(maxFilesPerTrigger: Int = 1000,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val s = schema.getOrElse {
+      require(showChunks().nonEmpty,
+        "hypertable has no chunks yet — pass an explicit schema to " +
+          "readStream (parquet cannot infer one from an empty table)")
+      spark.read.parquet(path).schema
+    }
     spark.readStream
-      .schema(schema)
+      .schema(s)
       .option("basePath", path)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(s"$path/$CHUNK=*")

@@ -178,6 +178,12 @@ object Jobs {
     val filesys = fs(spark, root)
     if (!filesys.exists(p)) return (FIRST_ID, Seq.empty)
     val tree = mapper.readTree(Hypertable.readSmallFile(filesys, p))
+    // migrate a bare-array catalog written before the next_id counter
+    // existed: treat max(id)+1 as the counter
+    if (tree.isArray) {
+      val jobs = tree.elements().asScala.map(fromJson).toSeq.sortBy(_._1.id)
+      return (((FIRST_ID - 1) +: jobs.map(_._1.id)).max + 1, jobs)
+    }
     val jobs = tree.get("jobs").elements().asScala.map(fromJson).toSeq.sortBy(_._1.id)
     (tree.get("next_id").asInt, jobs)
   }

@@ -95,9 +95,20 @@ case class CaggDef(
     */
   private[graft] def matChunkMicrosFor(source: graft.sources.TimeSource): Long = {
     if (matChunkWidth != "auto") {
-      val iv = interval(matChunkWidth)
-      require(iv.months == 0, "matChunkWidth must be a fixed day/time interval")
-      val m = iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds
+      // integer-width caggs take a raw integer mat-chunk width in the same
+      // units; a calendar interval here would silently mix micros with
+      // dimension units
+      val m =
+        if (integerWidth) {
+          require(matChunkWidth.trim.matches("-?\\d+"),
+            "an integer-width cagg needs a raw integer matChunkWidth " +
+              "(dimension units), not a calendar interval")
+          matChunkWidth.trim.toLong
+        } else {
+          val iv = interval(matChunkWidth)
+          require(iv.months == 0, "matChunkWidth must be a fixed day/time interval")
+          iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds
+        }
       require(widthMonths > 0 || m >= widthMicros, "matChunkWidth must be >= bucketWidth")
       m
     } else {
@@ -430,27 +441,28 @@ class ContinuousAggregate(
   /** Pending invalidation ranges (merged where overlapping). */
   def pendingInvalidations(): Seq[(Long, Long)] = pendingInvalidationsWithFiles()._1
 
-  /** Raw (unmerged) log entries with their files. */
+  /** Raw (unmerged) log entries with their files. A file deleted between
+    * the listing and the read was just processed by a concurrent refresh's
+    * log cut — that range is repaired, so skipping it is the correct
+    * answer, not an error.
+    */
   private def invEntries(): Seq[(Path, (Long, Long))] = {
     val dir = new Path(invPath)
     if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toSeq.map { st =>
-      val Array(lo, hi) =
-        Hypertable.readSmallFile(fs, st.getPath).trim.split(",").map(_.toLong)
-      st.getPath -> (lo, hi)
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      try {
+        val Array(lo, hi) =
+          Hypertable.readSmallFile(fs, st.getPath).trim.split(",").map(_.toLong)
+        Some(st.getPath -> (lo, hi))
+      } catch { case _: java.io.FileNotFoundException => None }
     }
   }
 
   private def pendingInvalidationsWithFiles(): (Seq[(Long, Long)], Seq[Path]) = {
     val entries = invEntries()
     val files = entries.map(_._1)
-    val ranges = entries.map(_._2).sortBy(_._1)
     // merge overlapping/adjacent ranges (invalidation.c log compaction)
-    val merged = ranges.foldLeft(List.empty[(Long, Long)]) {
-      case (acc @ ((alo, ahi) :: rest), (lo, hi)) if lo <= ahi => (alo, math.max(ahi, hi)) :: rest
-      case (acc, r) => r :: acc
-    }.reverse
-    (merged, files)
+    (graft.Ranges.mergeOverlapping(entries.map(_._2)), files)
   }
 
   /** Re-materialize every invalidated range, then clear the processed log
@@ -684,6 +696,11 @@ object ContinuousAggregate {
       defn: CaggDef): ContinuousAggregate = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(path))
+    // construct FIRST: the constructor validates the definition against the
+    // source (integer width vs dimension kind) — registering before would
+    // leave a permanent phantom entry in the table's cagg registry when
+    // validation throws
+    val cagg = new ContinuousAggregate(spark, path, source, defn)
     source match {
       // hierarchical cagg: record this child with its parent so parent
       // refreshes invalidate it (re-open via the same path is idempotent)
@@ -694,6 +711,6 @@ object ContinuousAggregate {
       case h: graft.sources.Hypertable => h.registerCagg(path)
       case _ => ()
     }
-    new ContinuousAggregate(spark, path, source, defn)
+    cagg
   }
 }

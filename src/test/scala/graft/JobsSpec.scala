@@ -149,6 +149,25 @@ class JobsSpec extends AnyFunSuite {
     assert(!Columnstore.isCompressed(spark, all(4).path))
   }
 
+  test("a bare-array catalog from before the next_id counter still reads") {
+    val r = root()
+    val id = Jobs.add(spark, r, "noop", HOUR, nowMicros = 0L)
+    // rewrite the catalog in the old format: the jobs array without the
+    // wrapping {next_id, jobs} object
+    val p = new org.apache.hadoop.fs.Path(r, "_graft_jobs.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val json = {
+      val in = fs.open(p); val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, true)
+      out.toString("UTF-8")
+    }
+    val arrayOnly = json.substring(json.indexOf("["), json.lastIndexOf("]") + 1)
+    val o = fs.create(p, true); o.write(arrayOnly.getBytes("UTF-8")); o.close()
+    assert(Jobs.list(spark, r).map(_._1.id) === Seq(id))
+    // the migrated counter continues past the existing ids
+    assert(Jobs.add(spark, r, "noop", HOUR, nowMicros = 0L) === id + 1)
+  }
+
   test("job ids are never recycled after delete_job (bgw_job sequence)") {
     val r = root()
     val a = Jobs.add(spark, r, "noop", HOUR, nowMicros = 0L)

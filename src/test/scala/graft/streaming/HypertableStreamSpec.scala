@@ -69,6 +69,26 @@ class HypertableStreamSpec extends AnyFunSuite {
       === events.select("event_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("a stream can start before the first chunk with an explicit schema") {
+    val dir = Files.createTempDirectory("graft_htstream_empty").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    // schema inference on an empty table fails clearly...
+    val e = intercept[IllegalArgumentException](ht.readStream())
+    assert(e.getMessage.contains("explicit schema"))
+    // ...but an explicit schema works, and rows written later flow through
+    val events = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val withChunk = org.apache.spark.sql.types.StructType(
+      events.schema.fields :+
+        org.apache.spark.sql.types.StructField("_chunk",
+          org.apache.spark.sql.types.LongType))
+    val stream = ht.readStream(schema = Some(withChunk))
+    ht.write(events.limit(50))
+    val q = stream.writeStream.format("memory").queryName("ht_empty_sink")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("ht_empty_sink").count() === 50)
+  }
+
   test("space-partitioned hypertables stream too (files live one level deeper)") {
     val dir = Files.createTempDirectory("graft_htstream_sp").toString
     val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "14 days",
