@@ -56,9 +56,15 @@ object CaggRewrite extends Rule[LogicalPlan] {
         "(the join changes bucket contents); query the cagg directly")
     // resolve the cagg's agg columns against the real source to get
     // canonical SQL for structural matching
+    val bucketExpr =
+      if (cagg.defn.integerWidth) // integer-time cagg: raw long width
+        graft.functions.time_bucket(
+          org.apache.spark.sql.functions.lit(cagg.defn.widthMicros),
+          org.apache.spark.sql.functions.col(ht.timeCol))
+      else graft.functions.time_bucket(cagg.defn.bucketWidth,
+        org.apache.spark.sql.functions.col(ht.timeCol))
     val probe = ht.read()
-      .groupBy(graft.functions.time_bucket(cagg.defn.bucketWidth,
-        org.apache.spark.sql.functions.col(ht.timeCol)))
+      .groupBy(bucketExpr)
       .agg(cagg.defn.aggs.head, cagg.defn.aggs.tail: _*)
     val aggSql = probe.queryExecution.analyzed match {
       case Aggregate(_, result, _, _) =>
@@ -152,6 +158,15 @@ object CaggRewrite extends Rule[LogicalPlan] {
     case org.apache.spark.sql.catalyst.expressions.Literal(m: java.lang.Integer,
         _: org.apache.spark.sql.types.YearMonthIntervalType) =>
       reg.widthMonths == m.intValue()
+    // integer-time cagg: a raw integral width literal in dimension units
+    // (time_bucket's integer overloads only typecheck on integral time
+    // columns, so this cannot cross-match a timestamp cagg)
+    case org.apache.spark.sql.catalyst.expressions.Literal(w: java.lang.Long,
+        org.apache.spark.sql.types.LongType) =>
+      reg.widthMonths == 0 && w.longValue() == reg.widthMicros
+    case org.apache.spark.sql.catalyst.expressions.Literal(w: java.lang.Integer,
+        org.apache.spark.sql.types.IntegerType) =>
+      reg.widthMonths == 0 && w.longValue() == reg.widthMicros
     case _ => false
   }
 

@@ -95,6 +95,26 @@ class CaggRewriteSpec extends AnyFunSuite {
     assert(q.collect().toSet === rawHourly(ht).collect().toSet)
   }
 
+  test("integer-time cagg rewrites raw integer-bucket aggregations") {
+    CaggRewrite.clear()
+    val dir = Files.createTempDirectory("graft_cagg_rw_int").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "time",
+      chunkWidth = "10", timeKind = "bigint")
+    ht.write((1 to 100).map(t => (t.toLong, (t % 4).toLong, 20.0 + t % 10))
+      .toDF("time", "device", "temp"))
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht,
+      CaggDef("10", Seq("device"), Seq(count(lit(1)).as("n"))))
+    cagg.refresh(0L, 110L)
+    def raw = ht.read()
+      .groupBy(gf.time_bucket(lit(10L), $"time").as("bucket"), $"device")
+      .agg(count(lit(1)).as("n"))
+    val direct = raw.collect().toSet
+    Graft.registerCaggRewrite(cagg)
+    val q = raw
+    assert(scansMat(q), s"expected mat scan in:\n${q.queryExecution.optimizedPlan}")
+    assert(q.collect().toSet === direct)
+  }
+
   test("non-matching shapes are not rewritten") {
     val (ht, cagg) = setup()
     cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
