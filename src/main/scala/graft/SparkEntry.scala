@@ -663,6 +663,40 @@ object SparkEntry {
         .orderBy("day_us", "event_type")
     }),
 
+    // §2.10 compressed cagg (`ALTER MATERIALIZED VIEW ... SET
+    // (timescaledb.compress)` + columnstore policy on the cagg): daily
+    // cagg, materialization converted to columnstore (segmentby = group
+    // cols, orderby = bucket — the reference defaults), then queried. Late
+    // data reverts its mat chunk to rowstore via the repair refresh and a
+    // second policy pass recompresses it; the read must be layout-blind.
+    "q73_compressed_cagg" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      import graft.streaming.{CaggDef, ContinuousAggregate}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ccagg_q").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
+      val events = t(s, dir, "events")
+      val cut = tsUtc("2024-01-08 00:00:00")
+      ht.write(events.where(col("ts") >= lit(cut)), filesPerChunk = 8)
+      val defn = CaggDef("1 day", Seq("event_type"), Seq(
+        count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"),
+        max(col("value")).as("max_value")), matChunkWidth = "7 days")
+      val cagg = ContinuousAggregate.create(s, s"$tmp/cagg", ht, defn)
+      val day = 86400000000L
+      val (tmin, tmax) = timeRange(s, s"$tmp/ht", "ts")
+      cagg.refresh(
+        graft.expressions.TimeBucketUtil.bucketMicros(tmin, day,
+          graft.expressions.TimeBucketUtil.SENTINEL),
+        tmax + day)
+      cagg.compressMaterialization()
+      // late slice: fan-out hook logs it, repair refresh rewrites the
+      // touched (compressed) chunks, recompress restores columnstore
+      ht.write(events.where(col("ts") < lit(cut)), filesPerChunk = 8)
+      cagg.refreshInvalidated()
+      cagg.compressMaterialization()
+      cagg.materialized.orderBy("bucket", "event_type")
+    }),
+
     // §2.4 time_bucket over UUIDv7 (the reference's uuid overloads): the
     // SQL form buckets the uuid's embedded timestamp; boundary uuids carry
     // micros exactly, so hourly buckets match bucketing the raw timestamp.
@@ -1316,6 +1350,13 @@ object SparkEntry {
       """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) * 86400000000 AS day_us,
         | event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q73_compressed_cagg" ->
+      """SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS bucket,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
+        | MAX(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q41_time_bucket_tz" ->

@@ -117,6 +117,37 @@ object Info {
       "consecutive_failures")
   }
 
+  /** timescaledb_information.continuous_aggregates (`sql/views.sql`
+    * continuous_aggregates view): one row per cagg handle with its bucket
+    * definition, materialization state, and compression status. Caggs are
+    * handle-based (the definition holds live Columns), so the view takes
+    * the open handles rather than paths. `finalized` is always true —
+    * graft materializes finalized values (plus exact partial components
+    * where the definition asks for them), never bare transition state.
+    */
+  def continuousAggregates(
+      caggs: Seq[graft.streaming.ContinuousAggregate]): DataFrame = {
+    require(caggs.nonEmpty, "pass at least one cagg handle")
+    val spark = caggs.head.spark
+    import spark.implicits._
+    caggs.map { c =>
+      val mat = c.matChunks
+      val compressed = c.compressedMatChunks
+      val wm = c.watermark
+      (c.path, c.sourcePath, c.defn.bucketWidth, c.defn.bucketCol,
+        c.defn.groupCols.mkString(","), true, false,
+        compressed.nonEmpty ||
+          Policies.show(c.spark, c.path).exists(_.columnstoreAfterMicros.nonEmpty),
+        mat.size.toLong, compressed.size.toLong,
+        if (wm == Long.MinValue) None else Some(wm),
+        c.pendingInvalidations().size.toLong,
+        c.childCaggPaths.size.toLong)
+    }.toDF("view_name", "hypertable_name", "bucket_width", "bucket_column",
+      "group_columns", "finalized", "materialized_only",
+      "compression_enabled", "num_mat_chunks", "num_compressed_mat_chunks",
+      "watermark_micros", "pending_invalidations", "num_children")
+  }
+
   /** timescaledb_information.jobs, policy subset (`sql/views.sql:94-117`):
     * the configured policy bundle as rows (scheduling is external, so
     * next_start/job_id have no analogue).

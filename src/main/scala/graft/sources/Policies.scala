@@ -70,11 +70,19 @@ object Policies {
   /** Execute a stored bundle against the hypertable (and its cagg, when
     * the refresh offsets are set): refresh → columnstore → retention, in
     * that order. Returns a short human-readable action report.
+    *
+    * A bundle stored at the CAGG's own path targets the cagg, like the
+    * reference's `add_policies(cagg)`: columnstore/retention then rewrite
+    * and drop MATERIALIZATION chunks (the cagg's defaults pick the
+    * segmentby/orderby; `columnstoreOpts` applies to hypertable chunks
+    * only), leaving the raw hypertable untouched — the "downsample then
+    * expire detail" pattern.
     */
   def runAll(ht: Hypertable, cagg: Option[ContinuousAggregate],
       policyPath: String, nowMicros: Long,
       columnstoreOpts: Columnstore.Options = Columnstore.Options()): Seq[String] = {
     val set = show(ht.spark, policyPath).getOrElse(return Seq.empty)
+    val onCagg = cagg.exists(_.path == policyPath)
     val refreshed = (cagg, set.refreshStartOffsetMicros, set.refreshEndOffsetMicros) match {
       case (Some(c), Some(s), Some(e)) =>
         CaggRefreshPolicy.run(c, nowMicros, s, e)
@@ -82,11 +90,18 @@ object Policies {
       case _ => Seq.empty
     }
     val compressed = set.columnstoreAfterMicros.toSeq.flatMap { lag =>
-      Columnstore.compress(ht, columnstoreOpts, Some(nowMicros - lag))
-        .map(c => s"columnstore ${c.startMicros}")
+      if (onCagg)
+        cagg.get.compressMaterialization(Some(nowMicros - lag))
+          .map(k => s"columnstore mat $k")
+      else
+        Columnstore.compress(ht, columnstoreOpts, Some(nowMicros - lag))
+          .map(c => s"columnstore ${c.startMicros}")
     }
     val dropped = set.dropAfterMicros.toSeq.flatMap { lag =>
-      ht.dropChunks(nowMicros - lag).map(c => s"dropped ${c.startMicros}")
+      if (onCagg)
+        cagg.get.dropMatChunks(nowMicros - lag).map(k => s"dropped mat $k")
+      else
+        ht.dropChunks(nowMicros - lag).map(c => s"dropped ${c.startMicros}")
     }
     refreshed ++ compressed ++ dropped
   }

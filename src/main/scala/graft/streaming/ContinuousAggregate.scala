@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{functions => gf}
 import graft.expressions.TimeBucketUtil
-import graft.sources.{Hypertable, TimeSource}
+import graft.sources.{Columnstore, Hypertable, TimeSource}
 
 /** Dimension join inside a cagg's view query — caggs-with-joins
   * (`tsl/test/sql/cagg_joins.sql`): the raw hypertable rows are enriched
@@ -483,6 +483,86 @@ class ContinuousAggregate(
     done
   }
 
+  /** Mat-chunk partition dirs as (chunk key, path), key-sorted. */
+  private def matChunkDirs: Seq[(Long, Path)] = {
+    val mp = new Path(matPath)
+    if (!fs.exists(mp)) return Seq.empty
+    fs.listStatus(mp).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$MATCHUNK="))
+      .map(st => st.getPath.getName.stripPrefix(s"$MATCHUNK=").toLong -> st.getPath)
+      .sortBy(_._1)
+  }
+
+  /** Chunk keys (bucket-time micros / integer units) of the mat chunks. */
+  def matChunks: Seq[Long] = matChunkDirs.map(_._1)
+
+  /** Chunk keys of mat chunks currently in columnstore layout. */
+  def compressedMatChunks: Seq[Long] =
+    matChunkDirs.collect {
+      case (k, p) if Columnstore.isCompressed(spark, p.toString) => k
+    }
+
+  /** Convert mat chunks fully older than the cutoff to columnstore layout —
+    * compression on a continuous aggregate (`ALTER MATERIALIZED VIEW ...
+    * SET (timescaledb.compress)` + a columnstore policy on the cagg).
+    * Default layout mirrors the reference defaults
+    * (`tsl/src/continuous_aggs/options.c`: segmentby = the GROUP BY
+    * columns, orderby = the bucket). Returns the chunk keys compressed.
+    *
+    * A later refresh that rewrites a compressed mat-chunk (late data)
+    * reverts that chunk to rowstore — the next policy pass recompresses
+    * it, matching the reference's refresh-into-compressed-cagg flow.
+    * Serialized against refresh by the same lock (both swap chunk dirs).
+    */
+  def compressMaterialization(olderThanMicros: Option[Long] = None,
+      opts: Option[Columnstore.Options] = None): Seq[Long] = withRefreshLock {
+    val o = opts.getOrElse(Columnstore.Options(
+      segmentBy = defn.groupCols, orderBy = Seq(BUCKET)))
+    val todo = matChunkDirs.filter { case (k, p) =>
+      olderThanMicros.forall(cut => k + matChunkMicros <= cut) &&
+        !Columnstore.isCompressed(spark, p.toString)
+    }
+    graft.Par.foreach(todo) { case (_, p) =>
+      Columnstore.compressChunk(spark, p.toString, o)
+    }
+    todo.map(_._1)
+  }
+
+  /** Invert [[compressMaterialization]] for every compressed mat chunk. */
+  def decompressMaterialization(): Seq[Long] = withRefreshLock {
+    val todo = matChunkDirs.filter { case (_, p) =>
+      Columnstore.isCompressed(spark, p.toString)
+    }
+    graft.Par.foreach(todo) { case (_, p) =>
+      Columnstore.decompressChunk(spark, p.toString)
+    }
+    todo.map(_._1)
+  }
+
+  /** Drop mat chunks fully older than the cutoff — retention applied to
+    * the CAGG itself (`add_retention_policy(cagg)` = `drop_chunks` on the
+    * materialization hypertable). Raw rows are untouched; the watermark
+    * stays, so [[realtime]] serves the remaining window plus live data —
+    * the reference's "downsample then expire detail" pattern. Returns the
+    * dropped chunk keys.
+    */
+  def dropMatChunks(olderThanMicros: Long): Seq[Long] = withRefreshLock {
+    val todo = matChunkDirs.filter { case (k, _) =>
+      k + matChunkMicros <= olderThanMicros
+    }
+    todo.foreach { case (_, p) => fs.delete(p, true) }
+    todo.map(_._1)
+  }
+
+  /** Path of the raw source (hypertable, or the parent cagg of a
+    * hierarchical cagg) — for introspection views.
+    */
+  def sourcePath: String = source match {
+    case h: Hypertable => h.path
+    case cs: CaggSource => cs.parent.path
+    case _ => ""
+  }
+
   /** Ingest new raw rows: write to the hypertable and log invalidations for
     * anything landing below the watermark (late data). The `INSERT` +
     * invalidation-hook path (`tsl/src/continuous_aggs/insert.c`).
@@ -574,6 +654,9 @@ class ContinuousAggregate(
       .map(b => f"${b & 0xff}%02x").mkString
     Hypertable.writeSmallFile(fs, new Path(dir, key), childPath)
   }
+
+  /** Paths of registered dependent (hierarchical) caggs. */
+  def childCaggPaths: Seq[String] = childPaths
 
   private def childPaths: Seq[String] = {
     val dir = new Path(path, "_children")

@@ -349,4 +349,115 @@ class CaggSpec extends AnyFunSuite {
     assert(n1 === n0 + 2)
     assert(cagg.materialized.collect().toSet === directAgg(ht).collect().toSet)
   }
+
+  /** Like [[freshCagg]] but with 7-day mat chunks, so the one month of
+    * events spans several mat chunks (the default 10× sizing would put
+    * all of January in a single 70-day chunk).
+    */
+  private def freshCaggChunked(): (Hypertable, ContinuousAggregate) = {
+    val dir = Files.createTempDirectory("graft_cagg").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht,
+      defn.copy(matChunkWidth = "7 days"))
+    (ht, cagg)
+  }
+
+  test("compressed cagg: mat chunks compress, reads unchanged, refresh " +
+      "reverts touched chunks to rowstore (cagg compression)") {
+    val (ht, cagg) = freshCaggChunked()
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    val before = cagg.materialized.collect().toSet
+    assert(cagg.compressedMatChunks.isEmpty)
+    // compress everything fully older than Jan 25 (cutoff in bucket time)
+    val done = cagg.compressMaterialization(Some(us("2024-01-25 00:00:00")))
+    assert(done.nonEmpty)
+    assert(cagg.compressedMatChunks.toSet === done.toSet)
+    assert(done.toSet.subsetOf(cagg.matChunks.toSet))
+    // every compressed chunk ends at/before the cutoff
+    assert(cagg.matChunks.toSet.diff(done.toSet).nonEmpty,
+      "cutoff should leave the newest chunk uncompressed")
+    // reads are layout-independent
+    assert(cagg.materialized.collect().toSet === before)
+    assert(cagg.realtime.collect().toSet ===
+      directAgg(ht).collect().toSet)
+    // a second pass is a no-op (already compressed)
+    assert(cagg.compressMaterialization(Some(us("2024-01-25 00:00:00"))).isEmpty)
+    // late data into a compressed chunk: repair refresh rewrites it back
+    // to rowstore and the answer stays exact
+    val late = Seq((910000L, Timestamp.valueOf("2024-01-03 07:30:00"), 9L, "click", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    cagg.ingest(late)
+    cagg.refreshInvalidated()
+    assert(cagg.materialized.collect().toSet === directAgg(ht).collect().toSet)
+    assert(cagg.compressedMatChunks.size < done.size,
+      "the refreshed chunk must have reverted to rowstore")
+    // full recompress (no cutoff) takes every chunk
+    val all = cagg.compressMaterialization()
+    assert(cagg.compressedMatChunks.toSet === cagg.matChunks.toSet)
+    assert(all.nonEmpty)
+    assert(cagg.materialized.collect().toSet === directAgg(ht).collect().toSet)
+    // decompress restores rowstore everywhere, same rows
+    assert(cagg.decompressMaterialization().toSet === cagg.matChunks.toSet)
+    assert(cagg.compressedMatChunks.isEmpty)
+    assert(cagg.materialized.collect().toSet === directAgg(ht).collect().toSet)
+  }
+
+  test("cagg retention: dropMatChunks expires old materialization only") {
+    val (ht, cagg) = freshCaggChunked()
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    val chunksBefore = cagg.matChunks
+    assert(chunksBefore.size > 1)
+    val cut = chunksBefore.last // keep only the newest chunk
+    val dropped = cagg.dropMatChunks(cut)
+    assert(dropped.nonEmpty && dropped.forall(_ < cut))
+    assert(cagg.matChunks.contains(cut))
+    assert(cagg.matChunks === chunksBefore.filterNot(dropped.contains))
+    // materialized serves the surviving window; raw ht untouched
+    assert(cagg.matChunks.nonEmpty)
+    assert(ht.read().count() === Tables.table(spark, "/root/testdata/sf0.001", "events").count())
+  }
+
+  test("policy bundle at the cagg path compresses and expires the " +
+      "materialization, not the hypertable") {
+    val dir = Files.createTempDirectory("graft_caggpol").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht,
+      defn.copy(matChunkWidth = "7 days"))
+    val now = us("2024-02-01 00:00:00")
+    graft.sources.Policies.add(spark, s"$dir/cagg", graft.sources.PolicySet(
+      refreshStartOffsetMicros = Some(40L * 86400000000L),
+      refreshEndOffsetMicros = Some(0L),
+      columnstoreAfterMicros = Some(20L * 86400000000L),
+      dropAfterMicros = Some(45L * 86400000000L))) // nothing old enough to drop
+    val report = graft.sources.Policies.runAll(ht, Some(cagg), s"$dir/cagg", now)
+    assert(report.exists(_.startsWith("refreshed")))
+    assert(report.exists(_.startsWith("columnstore mat")))
+    assert(!report.exists(_.startsWith("dropped")))
+    // mat chunks ending before Jan 12 are compressed; ht chunks untouched
+    assert(cagg.compressedMatChunks.nonEmpty)
+    assert(ht.showChunks().forall(c =>
+      !graft.sources.Columnstore.isCompressed(spark, c.path)))
+    assert(cagg.materialized.collect().toSet === directAgg(ht).collect().toSet)
+  }
+
+  test("continuous_aggregates info view reports definition and state") {
+    val (ht, cagg) = freshCaggChunked()
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    cagg.compressMaterialization(Some(us("2024-01-25 00:00:00")))
+    val row = graft.operators.Info.continuousAggregates(Seq(cagg))
+      .where($"view_name" === cagg.path).head()
+    assert(row.getAs[String]("hypertable_name") === ht.path)
+    assert(row.getAs[String]("bucket_width") === "1 hour")
+    assert(row.getAs[String]("group_columns") === "event_type")
+    assert(row.getAs[Boolean]("finalized"))
+    assert(row.getAs[Boolean]("compression_enabled"))
+    assert(row.getAs[Long]("num_mat_chunks") === cagg.matChunks.size.toLong)
+    assert(row.getAs[Long]("num_compressed_mat_chunks") ===
+      cagg.compressedMatChunks.size.toLong)
+    assert(row.getAs[Long]("watermark_micros") === us("2024-02-01 00:00:00"))
+    assert(row.getAs[Long]("pending_invalidations") === 0L)
+    assert(row.getAs[Long]("num_children") === 0L)
+  }
 }
