@@ -386,7 +386,10 @@ object SparkEntry {
     // path; candidates then exact-cosine verified) — the brute-force
     // DuckDB self-join is the oracle, so recall must be exact here.
     "q16_embed_neardup" -> ((s, dir) => {
-      Similarity.lshPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+      // dim passed explicitly (testdata embeddings are 64-dim): skips
+      // lshPairs' derive-from-data probe job
+      Similarity.lshPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45,
+          dim = 64)
         .orderBy("id_a", "id_b")
     }),
 
