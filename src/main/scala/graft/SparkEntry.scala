@@ -393,6 +393,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Training-data ops: exact batch k-NN join — every query row gets its
+    // k nearest corpus rows in ONE pass (queries broadcast, corpus never
+    // shuffled, per-query top-k kept below the exchange by Spark's window
+    // group limit). The IVF variant (knnJoinIvf) is the recall<1 scale
+    // path; this exact form is the oracle-checkable baseline.
+    "q74_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnJoin(emb.where(col("vec_id") < 5),
+          emb.where(col("vec_id") >= 5), "vec_id", "embedding", "vec_id",
+          k = 10)
+        .orderBy("query_id", "vec_id")
+    }),
+
     // MinHash signatures: PortableHash mod-(2^31-1) arithmetic, so the
     // DuckDB oracle recomputes the exact signature. Joined to a string for
     // the comparator (array cells are unsortable driver-side).
@@ -1361,6 +1374,19 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
         | MAX(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q74_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |      FROM embeddings WHERE vec_id >= 5)
+        |SELECT q.query_id, e.vec_id,
+        | list_reduce(list_transform(list_zip(e.v, q.qv), x -> x[1]*x[2]), (a,b) -> a+b)
+        |  / (sqrt(list_reduce(list_transform(e.v, x -> x*x), (a,b) -> a+b))
+        |     * sqrt(list_reduce(list_transform(q.qv, x -> x*x), (a,b) -> a+b))) AS sim
+        |FROM e, q
+        |QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY sim DESC, e.vec_id) <= 10
+        |ORDER BY q.query_id, e.vec_id""".stripMargin,
 
     "q41_time_bucket_tz" ->
       """SELECT timezone('UTC', time_bucket(INTERVAL '1 day',

@@ -151,6 +151,71 @@ object Similarity {
     bruteForceTopK(cands, idCol, vecCol, query, k)
   }
 
+  /** Exact batch k-NN join: for every row of `queries`, its `k` nearest
+    * corpus rows by cosine (ties by corpus id). The query side BROADCASTS —
+    * it is a bounded query batch, not a second corpus — so the corpus is
+    * read in one narrow scan with no corpus shuffle, each row scoring
+    * |queries| dots map-side. The per-query top-k runs as a window group
+    * limit (Spark inserts WindowGroupLimit below the exchange for a
+    * row_number ≤ k filter): every task forwards at most k rows per query,
+    * so the one shuffle carries O(|queries| · k · tasks) rows, never
+    * |corpus| × |queries|.
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).as("_qv")))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(q)
+      .select(col("query_id"), col(idCol),
+        cosine(col(vecCol), col("_qv")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k).drop("_rn")
+  }
+
+  /** IVF batch k-NN join — the scale path of [[knnJoin]]: corpus rows are
+    * assigned to their nearest coarse centroid once; each query probes its
+    * `nprobe` nearest cells (same squared-L2 metric as the assignment:
+    * for a fixed query, ‖q−c‖² ranks as ‖c‖² − 2·q·c), and candidates come
+    * from ONE equi-join on the cell id — per query it scores ~nprobe/nlist
+    * of the corpus instead of all of it. Recall < 1 by construction.
+    * At 100 TB, persist the assignment column and partition by it so the
+    * cell join prunes files instead of scanning.
+    */
+  def knnJoinIvf(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, queryIdCol: String, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, iters: Int = 3, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, iters, seed)
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      nearestCentroid(col(vecCol), cents).as("_c"))
+    // centroid table as DATA rows, not plan literals (nlist × dim literal
+    // arrays would re-trip the plan-size tax — see NearestCentroid)
+    val centDf = cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
+      .toDF("_c", "_cent", "_cn2")
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_cd").asc, col("_c").asc)
+    val qProbes = queries
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("_qv"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("_cd", col("_cn2") - lit(2.0) * dot(col("_qv"), col("_cent")))
+      .withColumn("_rn", row_number().over(qw)).where(col("_rn") <= nprobe)
+      .select(col("query_id"), col("_qv"), col("_c"))
+    val scored = assigned.join(broadcast(qProbes), Seq("_c"))
+      .select(col("query_id"), col(idCol),
+        cosine(col(vecCol), col("_qv")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k).drop("_rn")
+  }
+
   /** All pairs with cosine >= threshold — brute self-join baseline
     * (exact; O(n²), for modest n or as the in-bucket verifier). Norms are
     * computed once per row BEFORE the join (1 dot per pair, not 3);

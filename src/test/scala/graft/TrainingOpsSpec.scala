@@ -122,6 +122,48 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert((part & brute).size >= 5, s"IVF recall too low: ${(part & brute).size}/10")
   }
 
+  test("knnJoin: per-query results equal bruteForceTopK; plan keeps the " +
+      "top-k below the exchange (window group limit)") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.where($"vec_id" < 5)
+    val corpus = emb.where($"vec_id" >= 5)
+    val knn = Similarity.knnJoin(queries, corpus, "vec_id", "embedding",
+      "vec_id", k = 10)
+    // window-group-limit: each task forwards at most k rows per query
+    // BEFORE the shuffle — the mark of a scale-safe batch top-k
+    val phys = knn.queryExecution.executedPlan.toString
+    assert(phys.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in the physical plan:\n$phys")
+    val got = knn.select($"query_id", $"vec_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 5L).foreach { qid =>
+      val q = emb.where($"vec_id" === qid)
+        .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+      val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got(qid) === brute, s"query $qid mismatch")
+    }
+  }
+
+  test("knnJoinIvf: full probe equals exact knnJoin; partial probe keeps " +
+      "high recall") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.where($"vec_id" < 5)
+    val corpus = emb.where($"vec_id" >= 5)
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"vec_id").as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = sets(Similarity.knnJoin(queries, corpus, "vec_id",
+      "embedding", "vec_id", k = 10))
+    val full = sets(Similarity.knnJoinIvf(queries, corpus, "vec_id",
+      "embedding", "vec_id", k = 10, nlist = 8, nprobe = 8))
+    assert(full === exact)
+    val part = sets(Similarity.knnJoinIvf(queries, corpus, "vec_id",
+      "embedding", "vec_id", k = 10, nlist = 8, nprobe = 4))
+    val recall = (0L until 5L).map(q => (part(q) & exact(q)).size).sum / 50.0
+    assert(recall >= 0.5, s"IVF knn-join recall too low: $recall")
+  }
+
   test("lshCandidatePairs rejects band counts that do not divide the hash count") {
     val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
     // bands > numHashes would slice empty bands: every doc in one bucket
