@@ -87,6 +87,14 @@ object GraftExtensions {
     fn("uuid_timestamp_micros", "(uuid)") { case Seq(e) => UuidTimestamp(e, withMicros = true) },
     fn("uuid_version", "(uuid)") { case Seq(e) => UuidVersion(e) },
     fn("generate_uuidv7", "no arguments") { case Seq() => GenerateUuidV7() },
+    // partitioning introspection (`sql/partitioning.sql`): the hash family
+    // is Spark murmur3 — matches graft's `_space` routing, not the
+    // reference's numeric output
+    fn("get_partition_hash", "(value)") { case Seq(e) =>
+      new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(e)) },
+    fn("get_partition_for_key", "(value, partitions)") { case Seq(e, n) =>
+      org.apache.spark.sql.catalyst.expressions.Pmod(
+        new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(e)), n) },
     fn("simhash64", "(token array)") { case Seq(e) => SimHash64(e) },
     fn("dot_product", "(a, b)") { case Seq(a, b) => DotProduct(a, b) },
     fn("minhash_sig", "(tokens, n, k)") {

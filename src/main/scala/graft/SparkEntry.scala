@@ -398,6 +398,30 @@ object SparkEntry {
     // shuffled, per-query top-k kept below the exchange by Spark's window
     // group limit). The IVF variant (knnJoinIvf) is the recall<1 scale
     // path; this exact form is the oracle-checkable baseline.
+    // §2.1 compact_chunk / add_compaction_policy (maintenance_utils.sql:92,
+    // policy_internal.sql:25-95): a hypertable fragmented by four separate
+    // routed appends (8 writer files each) is compacted by the policy sweep
+    // — narrow per-chunk coalesce, no shuffle — and must answer identically
+    // to the plain aggregation over the raw fixture. Exercises the
+    // fragmentation status detection end-to-end.
+    "q75_compact" -> ((s, dir) => {
+      import graft.sources.{CompactionPolicy, Hypertable}
+      Graft.init(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact_q").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
+      val ev = t(s, dir, "events")
+      (0 until 4).foreach { i =>
+        ht.write(ev.where(pmod(col("event_id"), lit(4)) === i), filesPerChunk = 8)
+      }
+      val compacted = CompactionPolicy.run(ht)
+      require(compacted.nonEmpty, "compaction fixture was not fragmented")
+      ht.read()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     "q74_knn_join" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.knnJoin(emb.where(col("vec_id") < 5),
@@ -1374,6 +1398,12 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
         | MAX(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q75_compact" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q74_knn_join" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -121,6 +121,25 @@ object functions {
 
   def uuid_version(uuid: Column): Column = col(UuidVersion(ex(uuid)))
 
+  // ----------------------------------------------------------- partitioning
+
+  /** The space-dimension hash of a value — the reference's
+    * `get_partition_hash` (`src/partitioning.c:454-468`, SQL
+    * `sql/partitioning.sql`). Graft's hash family is Spark's murmur3
+    * `hash()` (the same one [[graft.sources.Hypertable]] routes with), so
+    * this value matches the `_space` assignment arithmetic, not the
+    * reference's numeric output.
+    */
+  def get_partition_hash(value: Column): Column = F.hash(value)
+
+  /** The closed-dimension bucket for a key under `partitions` buckets —
+    * `get_partition_for_key` composed with the range step the reference
+    * applies when routing (`src/partitioning.c:470-491`): exactly the
+    * `_space` value a row with this key gets.
+    */
+  def get_partition_for_key(value: Column, partitions: Int): Column =
+    F.pmod(F.hash(value), F.lit(partitions))
+
   // -------------------------------------------------------------- histogram
 
   /** Bucket index for a fixed-width histogram: 0 = underflow, 1..nbuckets =

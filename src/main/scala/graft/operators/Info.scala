@@ -51,10 +51,12 @@ object Info {
         if (integral) None else Some(microsToTimestamp(c.endMicros)),
         if (integral) Some(c.startMicros) else None,
         if (integral) Some(c.endMicros) else None,
-        Columnstore.isCompressed(ht.spark, c.path))
+        Columnstore.isCompressed(ht.spark, c.path),
+        ht.chunkStatusText(c.startMicros))
     }.toDF("hypertable_name", "chunk_name", "primary_dimension",
       "primary_dimension_type", "range_start", "range_end",
-      "range_start_integer", "range_end_integer", "is_compressed")
+      "range_start_integer", "range_end_integer", "is_compressed",
+      "chunk_status")
   }
 
   /** timescaledb_information.dimensions (`sql/views.sql:226-256`). */

@@ -121,6 +121,107 @@ object Columnstore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(new Path(p, MARKER))
   }
 
+  /** A chunk's data files (recursing through `_space=` subdirectories),
+    * excluding `_graft_*` catalog markers and hidden/committer files —
+    * the parquet parts a scan actually reads. Metadata-only.
+    */
+  private[sources] def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val it = fs.listFiles(dir, true)
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) out += s
+    }
+    out.result()
+  }
+
+  /** CHUNK_STATUS_COMPRESSED_PARTIAL analogue (reference `src/chunk.c:3563`
+    * `ts_chunk_set_partial`): plain appends landed AFTER compression, so the
+    * chunk holds uncompressed rows alongside the columnstore files. Detected
+    * from mtimes: any data file newer than the compression marker.
+    */
+  def isPartial(spark: SparkSession, chunkPath: String): Boolean = {
+    val p = new Path(chunkPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = new Path(p, MARKER)
+    fs.exists(m) && {
+      val markedAt = fs.getFileStatus(m).getModificationTime
+      dataFiles(fs, p).exists(_.getModificationTime > markedAt)
+    }
+  }
+
+  /** CHUNK_STATUS_COMPRESSED_UNORDERED analogue (`src/chunk.c:3554`): the
+    * chunk is FRAGMENTED — repeated small appends left it with well more
+    * data files than its byte size warrants, so scans pay per-file open/
+    * footer cost (the Spark small-files problem; the reference's version is
+    * many small compressed batches from direct-compress ingest). Fragmented
+    * means over 2x the size-targeted file count. Metadata-only.
+    */
+  def isFragmented(spark: SparkSession, chunkPath: String,
+      targetFileBytes: Long = DEFAULT_FILE_BYTES): Boolean = {
+    val p = new Path(chunkPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = dataFiles(fs, p)
+    val target = sizeTargetFiles(files.map(_.getLen).sum, targetFileBytes)
+    files.size > 2 * target
+  }
+
+  /** ceil(bytes / targetFileBytes), min 1 — the size-targeted file count. */
+  private def sizeTargetFiles(bytes: Long, targetFileBytes: Long): Int =
+    math.max(1, math.ceil(bytes.toDouble / targetFileBytes.toDouble).toInt)
+
+  private[sources] val DEFAULT_FILE_BYTES = 128L << 20
+
+  /** compact_chunk (`sql/maintenance_utils.sql:92-95`, `ts_compact_chunk`):
+    * merge a fragmented chunk's many small files into size-targeted ones
+    * WITHOUT re-sorting — the reference merges compressed batches in
+    * arrival order; here a narrow `coalesce` concatenates files with no
+    * shuffle, so at 100 TB the cost is one streaming rewrite of the chunk.
+    * Compressed chunks keep zstd + row-group sizing + their marker; raw
+    * chunks get a plain rewrite. `maxFiles` (the reference's `max_batches`)
+    * caps the resulting count below the size-derived target when > 0.
+    *
+    * Refuses frozen chunks (`src/chunk.c:3580` — maintenance does not run
+    * on frozen) and partial chunks (uncompressed appends mixed in; the
+    * columnstore policy recompresses those, `sql/policy_internal.sql:66`).
+    * Returns the new data-file count, or -1 when already compact (no-op).
+    */
+  def compactChunk(spark: SparkSession, chunkPath: String,
+      targetFileBytes: Long = DEFAULT_FILE_BYTES, maxFiles: Int = 0): Int = {
+    val chunkP = new Path(chunkPath)
+    val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!Hypertable.chunkFrozen(fs, chunkP),
+      s"cannot compact frozen chunk $chunkPath — unfreeze_chunk first")
+    require(!isPartial(spark, chunkPath),
+      s"chunk $chunkPath has uncompressed appends after compression; " +
+        "recompress (compress_chunk) instead of compacting")
+    val files = dataFiles(fs, chunkP)
+    var n = sizeTargetFiles(files.map(_.getLen).sum, targetFileBytes)
+    if (maxFiles > 0) n = math.min(n, maxFiles)
+    if (files.size <= n) return -1
+    val compressed = isCompressed(spark, chunkPath)
+    val df = spark.read.parquet(chunkPath)
+    val spacePart = df.schema.fieldNames.filter(_.matches("_space\\d*")).toSeq
+      .sortBy(c => c.stripPrefix("_space") match { case "" => 0; case d => d.toInt })
+    val tmp = new Path(chunkP.getParent, "." + chunkP.getName + "_compact_tmp")
+    var w = df.coalesce(n).write.mode("overwrite")
+    if (compressed) w = w.option("compression", "zstd")
+      .option("parquet.block.size", (64L * 1024 * 1024).toString)
+    if (spacePart.nonEmpty) w = w.partitionBy(spacePart: _*)
+    w.parquet(tmp.toString)
+    val range = Hypertable.readRangeFile(fs, chunkP)
+    val parts = Hypertable.readSpaceParts(fs, chunkP)
+    fs.delete(chunkP, true)
+    fs.rename(tmp, chunkP)
+    range.foreach(end => Hypertable.writeRangeFile(fs, chunkP, end))
+    parts.foreach(p => Hypertable.writeSpaceParts(fs, chunkP, p))
+    if (compressed) fs.create(new Path(chunkP, MARKER), true).close()
+    Hypertable.refreshColStatsIfEnabled(spark, chunkPath)
+    dataFiles(fs, chunkP).size
+  }
+
   /** Rewrite one chunk directory into columnstore layout. Returns row count.
     * Safe to re-run (idempotent); concurrent readers of the same chunk see
     * either the old or the new files, not a mix (dot-prefixed tmp dir is
@@ -131,6 +232,8 @@ object Columnstore {
   def compressChunk(spark: SparkSession, chunkPath: String, opts: Options): Long = {
     val chunkP = new Path(chunkPath)
     val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!Hypertable.chunkFrozen(fs, chunkP),
+      s"cannot modify frozen chunk $chunkPath — unfreeze_chunk first")
     val df = spark.read.parquet(chunkPath)
     val spacePart = df.schema.fieldNames.filter(_.matches("_space\\d*")).toSeq
       .sortBy(n => n.stripPrefix("_space") match { case "" => 0; case d => d.toInt })
@@ -185,6 +288,8 @@ object Columnstore {
   def decompressChunk(spark: SparkSession, chunkPath: String): Long = {
     val chunkP = new Path(chunkPath)
     val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!Hypertable.chunkFrozen(fs, chunkP),
+      s"cannot modify frozen chunk $chunkPath — unfreeze_chunk first")
     val df = spark.read.parquet(chunkPath)
     val spacePart = df.schema.fieldNames.filter(_.matches("_space\\d*")).toSeq
       .sortBy(n => n.stripPrefix("_space") match { case "" => 0; case d => d.toInt })
@@ -213,19 +318,26 @@ object Columnstore {
   }
 
   /** Compress every not-yet-compressed chunk fully older than the cutoff —
-    * `add_columnstore_policy` semantics (`sql/policy_api.sql:66-93`).
+    * `add_columnstore_policy` semantics (`sql/policy_api.sql:66-93`). Like
+    * the reference policy, PARTIAL chunks (plain appends after an earlier
+    * compression) are RE-compressed so late data rejoins the columnstore
+    * layout, and frozen chunks are skipped (`src/chunk.c:3580`).
     */
   def compress(ht: Hypertable, opts: Options,
       olderThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
     val todo = ht.showChunks(olderThanMicros)
-      .filterNot(c => isCompressed(ht.spark, c.path))
+      .filterNot(c => ht.isFrozen(c.startMicros))
+      .filter(c => !isCompressed(ht.spark, c.path) || isPartial(ht.spark, c.path))
     graft.Par.foreach(todo)(c => compressChunk(ht.spark, c.path, opts))
     todo
   }
 
-  /** Decompress every compressed chunk (optionally range-restricted). */
+  /** Decompress every compressed chunk (optionally range-restricted);
+    * frozen chunks are skipped like every maintenance path.
+    */
   def decompress(ht: Hypertable, olderThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
     val todo = ht.showChunks(olderThanMicros)
+      .filterNot(c => ht.isFrozen(c.startMicros))
       .filter(c => isCompressed(ht.spark, c.path))
     graft.Par.foreach(todo)(c => decompressChunk(ht.spark, c.path))
     todo
@@ -246,8 +358,41 @@ object ReorderPolicy {
   def run(ht: Hypertable, orderBy: Seq[String],
       olderThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
     val todo = ht.showChunks(olderThanMicros)
+      .filterNot(c => ht.isFrozen(c.startMicros))
     graft.Par.foreach(todo)(c => Columnstore.compressChunk(ht.spark, c.path,
       Columnstore.Options(orderBy = orderBy)))
+    todo
+  }
+}
+
+/** add_compaction_policy / policy_compaction (`sql/policy_api.sql:48-63`,
+  * `sql/policy_internal.sql:25-95`): one maintenance sweep that compacts
+  * every FRAGMENTED chunk — skipping frozen chunks, partial chunks (the
+  * columnstore policy recompresses those instead), and chunks still
+  * receiving writes (`inactiveFor`: any data file modified within the
+  * window defers the chunk, the reference's `inactive_for` gate against
+  * recompacting hot chunks). `maxChunks`/`maxFiles` mirror the reference's
+  * `max_chunks`/`max_batches` caps (0 = unlimited). Returns the compacted
+  * chunks. Chunk-parallel; per chunk the rewrite is a narrow coalesce.
+  */
+object CompactionPolicy {
+  def run(ht: Hypertable, targetFileBytes: Long = Columnstore.DEFAULT_FILE_BYTES,
+      maxChunks: Int = 0, maxFiles: Int = 0,
+      inactiveForMicros: Option[Long] = None,
+      nowMicros: () => Long = () => System.currentTimeMillis * 1000L): Seq[ChunkInfo] = {
+    val fs = new Path(ht.path)
+      .getFileSystem(ht.spark.sparkContext.hadoopConfiguration)
+    val cutoffMs = inactiveForMicros.map(w => (nowMicros() - w) / 1000L)
+    val all = ht.showChunks()
+      .filterNot(c => ht.isFrozen(c.startMicros))
+      .filterNot(c => Columnstore.isPartial(ht.spark, c.path))
+      .filter(c => Columnstore.isFragmented(ht.spark, c.path, targetFileBytes))
+      .filter(c => cutoffMs.forall(cut =>
+        Columnstore.dataFiles(fs, new Path(c.path))
+          .forall(_.getModificationTime <= cut)))
+    val todo = if (maxChunks > 0) all.take(maxChunks) else all
+    graft.Par.foreach(todo)(c =>
+      Columnstore.compactChunk(ht.spark, c.path, targetFileBytes, maxFiles))
     todo
   }
 }

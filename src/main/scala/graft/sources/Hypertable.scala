@@ -152,6 +152,16 @@ class Hypertable private (
           element_at(typedLit(overrides), col(CHUNK).cast("long")), lit(n))
       out = out.withColumn(pc, pmod(hash(col(sc)), nExpr))
     }
+    // no inserts into frozen chunks (src/chunk.c:3579). The catalog check
+    // is metadata-only; the row probe (a filtered recompute of the batch)
+    // runs ONLY when frozen chunks exist — the common case pays nothing.
+    val frozenStarts = showChunks()
+      .filter(c => Hypertable.chunkFrozen(fs, new Path(c.path)))
+      .map(_.startMicros)
+    if (frozenStarts.nonEmpty)
+      require(out.where(col(CHUNK).isInCollection(frozenStarts)).isEmpty,
+        s"batch routes rows into frozen chunk(s) ${frozenStarts.mkString(",")} — " +
+          "unfreeze_chunk first")
     val partCols = CHUNK +: spaceDims.map(_._3)
     val keys = partCols.map(col)
     val routed =
@@ -624,6 +634,8 @@ class Hypertable private (
   def mergeChunks(starts: Seq[Long], targetFileBytes: Long): ChunkInfo = {
     require(starts.size >= 2, "merge needs at least two chunks")
     val cs = starts.map(chunkAt).sortBy(_.startMicros)
+    cs.foreach(c => require(!Hypertable.chunkFrozen(fs, new Path(c.path)),
+      s"cannot merge frozen chunk ${c.path} — unfreeze_chunk first"))
     cs.sliding(2).foreach {
       case Seq(x, y) =>
         require(x.endMicros == y.startMicros,
@@ -660,6 +672,8 @@ class Hypertable private (
     */
   def splitChunk(startMicros: Long, atMicros: Long): (ChunkInfo, ChunkInfo) = {
     val c = chunkAt(startMicros)
+    require(!Hypertable.chunkFrozen(fs, new Path(c.path)),
+      s"cannot split frozen chunk ${c.path} — unfreeze_chunk first")
     require(atMicros > c.startMicros && atMicros < c.endMicros,
       s"split point $atMicros outside chunk [${c.startMicros},${c.endMicros})")
     val rows = chunkRows(c).cache()
@@ -703,9 +717,14 @@ class Hypertable private (
       // caching — per-chunk .cache() at 100 TB is executor-memory pressure
       val rows = chunkRows(c)
       val hits = rows.where(coalesce(pred, lit(false))).count()
-      if (hits > 0)
+      if (hits > 0) {
+        // no deletes permitted on a frozen chunk (src/chunk.c:3579)
+        if (Hypertable.chunkFrozen(fs, new Path(c.path)))
+          throw new IllegalStateException(
+            s"DELETE matches $hits rows in frozen chunk ${c.path} — unfreeze_chunk first")
         rewriteChunkDir(c.startMicros, c.endMicros,
           rows.where(!coalesce(pred, lit(false))))
+      }
       (hits, c)
     }
     // DELETE invalidates caggs over the touched chunks' ranges
@@ -732,6 +751,10 @@ class Hypertable private (
       val p = coalesce(pred, lit(false))
       val hits = rows.where(p).count()
       if (hits > 0) {
+        // no updates permitted on a frozen chunk (src/chunk.c:3579)
+        if (Hypertable.chunkFrozen(fs, new Path(c.path)))
+          throw new IllegalStateException(
+            s"UPDATE matches $hits rows in frozen chunk ${c.path} — unfreeze_chunk first")
         // SQL UPDATE semantics: predicate AND all new values are computed
         // against the OLD row, so snapshot them before any column changes
         val P = "_graft_upd_p"
@@ -815,6 +838,8 @@ class Hypertable private (
     */
   def detachChunk(startMicros: Long, destPath: String): ChunkInfo = {
     val c = chunkAt(startMicros)
+    require(!Hypertable.chunkFrozen(fs, new Path(c.path)),
+      s"cannot detach frozen chunk ${c.path} — unfreeze_chunk first")
     val dest = new Path(destPath)
     require(!fs.exists(dest), s"$destPath already exists")
     require(fs.rename(new Path(c.path), dest), s"rename ${c.path} -> $destPath failed")
@@ -931,7 +956,9 @@ class Hypertable private (
       newerThanMicros: Option[Long]): Seq[ChunkInfo] = {
     require(olderThanMicros.isDefined || newerThanMicros.isDefined,
       "drop_chunks needs older_than and/or newer_than")
+    // frozen chunks are skipped, not dropped (src/chunk.c:4113)
     val dropped = showChunks(olderThanMicros, newerThanMicros)
+      .filterNot(c => Hypertable.chunkFrozen(fs, new Path(c.path)))
     dropped.foreach(c => fs.delete(new Path(c.path), true))
     // drop_chunks invalidates caggs over the removed ranges (chunk.c:
     // 4064-4101) — a later refresh covering them re-materializes from
@@ -940,6 +967,55 @@ class Hypertable private (
     // history.
     invalidateCaggs(dropped.map(c => (c.startMicros, c.endMicros)))
     dropped
+  }
+
+  // --------------------------------------------------- freeze / chunk status
+
+  /** freeze_chunk (`sql/chunk.sql:40-42`, `ts_chunk_set_frozen`,
+    * `src/chunk.c:3579-3586`): mark the chunk read-only — inserts, updates,
+    * deletes, and maintenance (compress/decompress/compact/reorder/merge/
+    * split) refuse it, and `dropChunks` skips it (`src/chunk.c:4113`).
+    * Returns false if already frozen.
+    */
+  def freezeChunk(startMicros: Long): Boolean = {
+    val c = chunkAt(startMicros)
+    val f = new Path(c.path, Hypertable.FROZEN)
+    if (fs.exists(f)) false
+    else { fs.create(f, true).close(); true }
+  }
+
+  /** unfreeze_chunk (`sql/chunk.sql:44-46`). Returns false if not frozen. */
+  def unfreezeChunk(startMicros: Long): Boolean =
+    fs.delete(new Path(chunkAt(startMicros).path, Hypertable.FROZEN), false)
+
+  def isFrozen(startMicros: Long): Boolean =
+    showChunks().find(_.startMicros == startMicros)
+      .exists(c => Hypertable.chunkFrozen(fs, new Path(c.path)))
+
+  /** chunk_status bitmask mirroring the reference flags (`src/chunk.h`):
+    * 1 = COMPRESSED (columnstore layout), 2 = UNORDERED (fragmented — well
+    * more data files than the chunk's byte size warrants; the reference's
+    * version is out-of-order direct-compress batches), 4 = PARTIAL (plain
+    * appends landed after compression), 8 = FROZEN. Unlike the reference,
+    * UNORDERED is reported for raw chunks too — small-file fragmentation
+    * is layout debt regardless of compression state, and it is what
+    * [[CompactionPolicy]] repairs.
+    */
+  def chunkStatus(startMicros: Long): Int = {
+    val c = chunkAt(startMicros)
+    var s = 0
+    if (Columnstore.isCompressed(spark, c.path)) s |= 1
+    if (Columnstore.isFragmented(spark, c.path)) s |= 2
+    if (Columnstore.isPartial(spark, c.path)) s |= 4
+    if (Hypertable.chunkFrozen(fs, new Path(c.path))) s |= 8
+    s
+  }
+
+  /** chunk_status_text (`sql/chunk.sql:10-14`, `ts_chunk_status_text`). */
+  def chunkStatusText(startMicros: Long): Seq[String] = {
+    val s = chunkStatus(startMicros)
+    Seq(1 -> "COMPRESSED", 2 -> "UNORDERED", 4 -> "PARTIAL", 8 -> "FROZEN")
+      .collect { case (bit, name) if (s & bit) != 0 => name }
   }
 }
 
@@ -953,6 +1029,11 @@ object Hypertable {
   private val SPACEPARTS = "_graft_spaceparts"
   private[sources] val INTEGERNOW = "_graft_integer_now"
   private[sources] val CAGGS = "_graft_caggs"
+  private[sources] val FROZEN = "_graft_frozen"
+
+  /** Frozen sentinel check by chunk dir (`ts_chunk_is_frozen`). */
+  private[graft] def chunkFrozen(fs: FileSystem, chunkDir: Path): Boolean =
+    fs.exists(new Path(chunkDir, FROZEN))
 
   /** In-session registry of integer-now functions (`set_integer_now_func`
     * REGPROC analog — see [[Hypertable#setIntegerNowFunc]]).

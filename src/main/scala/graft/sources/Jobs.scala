@@ -409,6 +409,17 @@ object Jobs {
     ht.dropChunks(cfgNow(config, ht) - config("drop_after").toLong)
   }
 
+  registerProc("policy_compaction") { (spark, config) =>
+    val ht = Hypertable.at(spark, config("hypertable"))
+    CompactionPolicy.run(ht,
+      targetFileBytes = config.get("target_file_bytes").map(_.toLong)
+        .getOrElse(Columnstore.DEFAULT_FILE_BYTES),
+      maxChunks = config.get("max_chunks").map(_.toInt).getOrElse(0),
+      maxFiles = config.get("max_batches").map(_.toInt).getOrElse(0),
+      inactiveForMicros = config.get("inactive_for").map(_.toLong),
+      nowMicros = () => cfgNow(config, ht))
+  }
+
   registerProc("policy_columnstore") { (spark, config) =>
     val ht = Hypertable.at(spark, config("hypertable"))
     // honor the table's compression layout like the reference policy does

@@ -110,4 +110,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getString(0) === "the quick brown fox")
     assert(r.getSeq[String](1) === Seq("The QUICK", "QUICK brown", "brown fox"))
   }
+
+  test("get_partition_hash / get_partition_for_key match hypertable routing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_parthash").toString
+    val ht = graft.sources.Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", spaceCol = Some("g"), spacePartitions = 4)
+    ht.write(df.select($"ts", $"g", $"v"))
+    // SQL and Column forms agree with each other and with the routed dirs
+    val sql = spark.sql(
+      "SELECT g, get_partition_for_key(g, 4) AS p FROM bookend_t GROUP BY 1, 2")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val colApi = df.select($"g", gf.get_partition_for_key($"g", 4).as("p"))
+      .distinct().collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(sql === colApi)
+    val routed = ht.read().select($"g", col(graft.sources.Hypertable.SPACE))
+      .distinct().collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(routed === sql)
+    val h = spark.sql("SELECT get_partition_hash('a') AS h").head().getInt(0)
+    assert(h === df.sparkSession.range(1)
+      .select(hash(lit("a"))).head().getInt(0))
+  }
 }
