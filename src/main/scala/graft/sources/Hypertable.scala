@@ -338,10 +338,17 @@ class Hypertable private (
 
   /** disable_chunk_skipping (`sql/ddl_api.sql:162-174`). Stats files keep
     * other columns' ranges; the dropped column's entries go stale and are
-    * simply no longer consulted (next refresh rewrites them).
+    * simply no longer consulted (next refresh rewrites them). Disabling a
+    * column that was never enabled errors, like the reference
+    * ("statistics not enabled for column", `chunk_column_stats.c`).
     */
-  def disableChunkSkipping(columns: String*): Unit =
-    writeSkipCols(skipColumns.filterNot(columns.contains))
+  def disableChunkSkipping(columns: String*): Unit = {
+    val cur = skipColumns
+    val missing = columns.filterNot(cur.contains)
+    require(missing.isEmpty,
+      s"statistics not enabled for column(s) ${missing.mkString(", ")}")
+    writeSkipCols(cur.filterNot(columns.contains))
+  }
 
   /** Columns with chunk-skipping ranges enabled (ddl_api's
     * chunk_column_stats catalog entries).
