@@ -393,11 +393,6 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // Training-data ops: exact batch k-NN join — every query row gets its
-    // k nearest corpus rows in ONE pass (queries broadcast, corpus never
-    // shuffled, per-query top-k kept below the exchange by Spark's window
-    // group limit). The IVF variant (knnJoinIvf) is the recall<1 scale
-    // path; this exact form is the oracle-checkable baseline.
     // §2.1 compact_chunk / add_compaction_policy (maintenance_utils.sql:92,
     // policy_internal.sql:25-95): a hypertable fragmented by four separate
     // routed appends (8 writer files each) is compacted by the policy sweep
@@ -422,6 +417,11 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Training-data ops: exact batch k-NN join — every query row gets its
+    // k nearest corpus rows in ONE pass (queries broadcast, corpus never
+    // shuffled, per-query top-k kept below the exchange by Spark's window
+    // group limit). The IVF variant (knnJoinIvf) is the recall<1 scale
+    // path; this exact form is the oracle-checkable baseline.
     "q74_knn_join" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.knnJoin(emb.where(col("vec_id") < 5),

@@ -52,7 +52,7 @@ object Info {
         if (integral) Some(c.startMicros) else None,
         if (integral) Some(c.endMicros) else None,
         Columnstore.isCompressed(ht.spark, c.path),
-        ht.chunkStatusText(c.startMicros))
+        ht.chunkStatusText(c)) // ChunkInfo overload: no catalog re-listing
     }.toDF("hypertable_name", "chunk_name", "primary_dimension",
       "primary_dimension_type", "range_start", "range_end",
       "range_start_integer", "range_end_integer", "is_compressed",

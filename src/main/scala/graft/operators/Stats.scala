@@ -124,6 +124,12 @@ object Stats {
 
   /** hypertable_size (`sql/size_utils.sql:119+`): total bytes under a
     * table/hypertable root (driver-side listing — catalog-scale only).
+    *
+    * Also serves as `hypertable_approximate_size` /
+    * `relation_approximate_size` (`sql/size_utils.sql`): the reference's
+    * approximate variant skips exact per-relation accounting in favor of
+    * catalog numbers; here the listing IS the catalog — exact and
+    * approximate coincide, so no separate code path exists.
     */
   def tableSizeBytes(spark: SparkSession, path: String): Long = {
     val p = new Path(path)

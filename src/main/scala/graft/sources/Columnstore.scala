@@ -121,51 +121,67 @@ object Columnstore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(new Path(p, MARKER))
   }
 
-  /** A chunk's data files (recursing through `_space=` subdirectories),
-    * excluding `_graft_*` catalog markers and hidden/committer files —
-    * the parquet parts a scan actually reads. Metadata-only.
+  /** One recursive walk of a chunk: its LEAF data directories (the
+    * `_space=` partition dirs, or the chunk root when unpartitioned — the
+    * unit compaction targets) each with their data files. `_graft_*`
+    * catalog markers and hidden/committer files excluded. Metadata-only,
+    * and the single listing every status/compaction check shares.
     */
-  private[sources] def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
-      dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
-    val it = fs.listFiles(dir, true)
-    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
-    while (it.hasNext) {
-      val s = it.next()
-      val n = s.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) out += s
-    }
-    out.result()
+  private[sources] def leafFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[(Path, Seq[org.apache.hadoop.fs.FileStatus])] = {
+    val entries = fs.listStatus(dir).toSeq
+      .filterNot(s => s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.contains("=")) // keep _space=N dirs, drop markers
+      .filterNot(_.getPath.getName.startsWith("."))
+    val (dirs, files) = entries.partition(_.isDirectory)
+    val below = dirs.flatMap(d => leafFiles(fs, d.getPath))
+    if (files.nonEmpty || below.isEmpty) (dir -> files) +: below else below
   }
+
+  /** A chunk's data files across all leaves. */
+  private[sources] def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    leafFiles(fs, dir).flatMap(_._2)
 
   /** CHUNK_STATUS_COMPRESSED_PARTIAL analogue (reference `src/chunk.c:3563`
     * `ts_chunk_set_partial`): plain appends landed AFTER compression, so the
     * chunk holds uncompressed rows alongside the columnstore files. Detected
     * from mtimes: any data file newer than the compression marker.
     */
-  def isPartial(spark: SparkSession, chunkPath: String): Boolean = {
-    val p = new Path(chunkPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val m = new Path(p, MARKER)
-    fs.exists(m) && {
-      val markedAt = fs.getFileStatus(m).getModificationTime
-      dataFiles(fs, p).exists(_.getModificationTime > markedAt)
-    }
-  }
+  def isPartial(spark: SparkSession, chunkPath: String): Boolean =
+    (statusBits(spark, chunkPath) & 4) != 0
 
   /** CHUNK_STATUS_COMPRESSED_UNORDERED analogue (`src/chunk.c:3554`): the
-    * chunk is FRAGMENTED — repeated small appends left it with well more
-    * data files than its byte size warrants, so scans pay per-file open/
-    * footer cost (the Spark small-files problem; the reference's version is
-    * many small compressed batches from direct-compress ingest). Fragmented
-    * means over 2x the size-targeted file count. Metadata-only.
+    * chunk is FRAGMENTED — repeated small appends left some leaf directory
+    * with well more data files than its byte size warrants, so scans pay
+    * per-file open/footer cost (the Spark small-files problem; the
+    * reference's version is many small compressed batches from
+    * direct-compress ingest). Fragmented means over 2x the size-targeted
+    * file count in any leaf. Metadata-only.
     */
   def isFragmented(spark: SparkSession, chunkPath: String,
-      targetFileBytes: Long = DEFAULT_FILE_BYTES): Boolean = {
+      targetFileBytes: Long = DEFAULT_FILE_BYTES): Boolean =
+    (statusBits(spark, chunkPath, targetFileBytes) & 2) != 0
+
+  /** COMPRESSED | UNORDERED | PARTIAL bits from ONE walk of the chunk
+    * (frozen is the caller's bit — it lives in [[Hypertable]]'s catalog).
+    */
+  private[graft] def statusBits(spark: SparkSession, chunkPath: String,
+      targetFileBytes: Long = DEFAULT_FILE_BYTES): Int = {
     val p = new Path(chunkPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = dataFiles(fs, p)
-    val target = sizeTargetFiles(files.map(_.getLen).sum, targetFileBytes)
-    files.size > 2 * target
+    val leaves = leafFiles(fs, p)
+    val m = new Path(p, MARKER)
+    var bits = 0
+    if (fs.exists(m)) {
+      bits |= 1
+      val markedAt = fs.getFileStatus(m).getModificationTime
+      if (leaves.exists(_._2.exists(_.getModificationTime > markedAt))) bits |= 4
+    }
+    if (leaves.exists { case (_, fls) =>
+        fls.size > 2 * sizeTargetFiles(fls.map(_.getLen).sum, targetFileBytes) })
+      bits |= 2
+    bits
   }
 
   /** ceil(bytes / targetFileBytes), min 1 — the size-targeted file count. */
@@ -178,10 +194,14 @@ object Columnstore {
     * merge a fragmented chunk's many small files into size-targeted ones
     * WITHOUT re-sorting — the reference merges compressed batches in
     * arrival order; here a narrow `coalesce` concatenates files with no
-    * shuffle, so at 100 TB the cost is one streaming rewrite of the chunk.
-    * Compressed chunks keep zstd + row-group sizing + their marker; raw
-    * chunks get a plain rewrite. `maxFiles` (the reference's `max_batches`)
-    * caps the resulting count below the size-derived target when > 0.
+    * shuffle, so at 100 TB the cost is one streaming rewrite of the
+    * oversized leaves only. Each `_space=` leaf compacts independently
+    * (the partition layout is the dir tree — per-leaf targets are the only
+    * ones a partitioned write could actually hit), and leaves already at
+    * their target are left untouched. Compressed chunks keep zstd +
+    * `rowGroupBytes` row groups + their marker; raw chunks get a plain
+    * rewrite. `maxFiles` (the reference's `max_batches`) caps each leaf's
+    * count below the size-derived target when > 0.
     *
     * Refuses frozen chunks (`src/chunk.c:3580` — maintenance does not run
     * on frozen) and partial chunks (uncompressed appends mixed in; the
@@ -189,34 +209,53 @@ object Columnstore {
     * Returns the new data-file count, or -1 when already compact (no-op).
     */
   def compactChunk(spark: SparkSession, chunkPath: String,
-      targetFileBytes: Long = DEFAULT_FILE_BYTES, maxFiles: Int = 0): Int = {
+      targetFileBytes: Long = DEFAULT_FILE_BYTES, maxFiles: Int = 0,
+      rowGroupBytes: Long = 64L * 1024 * 1024): Int = {
     val chunkP = new Path(chunkPath)
     val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!Hypertable.chunkFrozen(fs, chunkP),
       s"cannot compact frozen chunk $chunkPath — unfreeze_chunk first")
-    require(!isPartial(spark, chunkPath),
-      s"chunk $chunkPath has uncompressed appends after compression; " +
-        "recompress (compress_chunk) instead of compacting")
-    val files = dataFiles(fs, chunkP)
-    var n = sizeTargetFiles(files.map(_.getLen).sum, targetFileBytes)
-    if (maxFiles > 0) n = math.min(n, maxFiles)
-    if (files.size <= n) return -1
     val compressed = isCompressed(spark, chunkPath)
-    val df = spark.read.parquet(chunkPath)
-    val spacePart = df.schema.fieldNames.filter(_.matches("_space\\d*")).toSeq
-      .sortBy(c => c.stripPrefix("_space") match { case "" => 0; case d => d.toInt })
-    val tmp = new Path(chunkP.getParent, "." + chunkP.getName + "_compact_tmp")
-    var w = df.coalesce(n).write.mode("overwrite")
-    if (compressed) w = w.option("compression", "zstd")
-      .option("parquet.block.size", (64L * 1024 * 1024).toString)
-    if (spacePart.nonEmpty) w = w.partitionBy(spacePart: _*)
-    w.parquet(tmp.toString)
-    val range = Hypertable.readRangeFile(fs, chunkP)
-    val parts = Hypertable.readSpaceParts(fs, chunkP)
-    fs.delete(chunkP, true)
-    fs.rename(tmp, chunkP)
-    range.foreach(end => Hypertable.writeRangeFile(fs, chunkP, end))
-    parts.foreach(p => Hypertable.writeSpaceParts(fs, chunkP, p))
+    val leaves = leafFiles(fs, chunkP)
+    if (compressed) {
+      val markedAt = fs.getFileStatus(new Path(chunkP, MARKER)).getModificationTime
+      require(!leaves.exists(_._2.exists(_.getModificationTime > markedAt)),
+        s"chunk $chunkPath has uncompressed appends after compression; " +
+          "recompress (compress_chunk) instead of compacting")
+    }
+    val todo = leaves.flatMap { case (leaf, fls) =>
+      var n = sizeTargetFiles(fls.map(_.getLen).sum, targetFileBytes)
+      if (maxFiles > 0) n = math.min(n, maxFiles)
+      if (fls.size > n) Some(leaf -> n) else None
+    }
+    if (todo.isEmpty) return -1
+    todo.foreach { case (leaf, n) =>
+      // leaf files carry no partition columns (those are encoded in the
+      // dir names above), so the rewrite is a plain read → coalesce →
+      // tmp-dir swap inside the leaf's parent
+      val tmp = new Path(leaf.getParent, "." + leaf.getName + "_compact_tmp")
+      var w = spark.read.parquet(leaf.toString).coalesce(n)
+        .write.mode("overwrite")
+      if (compressed) w = w.option("compression", "zstd")
+        .option("parquet.block.size", rowGroupBytes.toString)
+      w.parquet(tmp.toString)
+      // the chunk-root catalog files (_graft_range/_graft_spaceparts/
+      // marker) live OUTSIDE the leaf, so only when the leaf IS the root
+      // must they be carried across the swap
+      if (leaf == chunkP) {
+        val range = Hypertable.readRangeFile(fs, chunkP)
+        val parts = Hypertable.readSpaceParts(fs, chunkP)
+        fs.delete(chunkP, true)
+        fs.rename(tmp, chunkP)
+        range.foreach(end => Hypertable.writeRangeFile(fs, chunkP, end))
+        parts.foreach(p => Hypertable.writeSpaceParts(fs, chunkP, p))
+      } else {
+        fs.delete(leaf, true)
+        fs.rename(tmp, leaf)
+      }
+    }
+    // the rewrite stamped fresh mtimes; re-touch the marker so the chunk
+    // does not read as PARTIAL (the compacted files ARE the columnstore)
     if (compressed) fs.create(new Path(chunkP, MARKER), true).close()
     Hypertable.refreshColStatsIfEnabled(spark, chunkPath)
     dataFiles(fs, chunkP).size
@@ -325,9 +364,11 @@ object Columnstore {
     */
   def compress(ht: Hypertable, opts: Options,
       olderThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
+    val fs = new Path(ht.path)
+      .getFileSystem(ht.spark.sparkContext.hadoopConfiguration)
     val todo = ht.showChunks(olderThanMicros)
-      .filterNot(c => ht.isFrozen(c.startMicros))
-      .filter(c => !isCompressed(ht.spark, c.path) || isPartial(ht.spark, c.path))
+      .filterNot(c => Hypertable.chunkFrozen(fs, new Path(c.path)))
+      .filter(c => (statusBits(ht.spark, c.path) & 5) != 1) // raw or partial
     graft.Par.foreach(todo)(c => compressChunk(ht.spark, c.path, opts))
     todo
   }
@@ -336,8 +377,10 @@ object Columnstore {
     * frozen chunks are skipped like every maintenance path.
     */
   def decompress(ht: Hypertable, olderThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
+    val fs = new Path(ht.path)
+      .getFileSystem(ht.spark.sparkContext.hadoopConfiguration)
     val todo = ht.showChunks(olderThanMicros)
-      .filterNot(c => ht.isFrozen(c.startMicros))
+      .filterNot(c => Hypertable.chunkFrozen(fs, new Path(c.path)))
       .filter(c => isCompressed(ht.spark, c.path))
     graft.Par.foreach(todo)(c => decompressChunk(ht.spark, c.path))
     todo
@@ -357,8 +400,10 @@ object CompressionPolicy {
 object ReorderPolicy {
   def run(ht: Hypertable, orderBy: Seq[String],
       olderThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
+    val fs = new Path(ht.path)
+      .getFileSystem(ht.spark.sparkContext.hadoopConfiguration)
     val todo = ht.showChunks(olderThanMicros)
-      .filterNot(c => ht.isFrozen(c.startMicros))
+      .filterNot(c => Hypertable.chunkFrozen(fs, new Path(c.path)))
     graft.Par.foreach(todo)(c => Columnstore.compressChunk(ht.spark, c.path,
       Columnstore.Options(orderBy = orderBy)))
     todo
@@ -382,14 +427,19 @@ object CompactionPolicy {
       nowMicros: () => Long = () => System.currentTimeMillis * 1000L): Seq[ChunkInfo] = {
     val fs = new Path(ht.path)
       .getFileSystem(ht.spark.sparkContext.hadoopConfiguration)
+    // `inactive_for` gates on data-file MTIMES, so both sides of the
+    // comparison are wall-clock — dimension time plays no role here
     val cutoffMs = inactiveForMicros.map(w => (nowMicros() - w) / 1000L)
-    val all = ht.showChunks()
-      .filterNot(c => ht.isFrozen(c.startMicros))
-      .filterNot(c => Columnstore.isPartial(ht.spark, c.path))
-      .filter(c => Columnstore.isFragmented(ht.spark, c.path, targetFileBytes))
-      .filter(c => cutoffMs.forall(cut =>
-        Columnstore.dataFiles(fs, new Path(c.path))
-          .forall(_.getModificationTime <= cut)))
+    // all gates from ONE walk per chunk: frozen (1 exists), then leaves
+    val all = ht.showChunks().filter { c =>
+      val dir = new Path(c.path)
+      !Hypertable.chunkFrozen(fs, dir) && {
+        val bits = Columnstore.statusBits(ht.spark, c.path, targetFileBytes)
+        (bits & 4) == 0 && (bits & 2) != 0 &&
+          cutoffMs.forall(cut => Columnstore.dataFiles(fs, dir)
+            .forall(_.getModificationTime <= cut))
+      }
+    }
     val todo = if (maxChunks > 0) all.take(maxChunks) else all
     graft.Par.foreach(todo)(c =>
       Columnstore.compactChunk(ht.spark, c.path, targetFileBytes, maxFiles))

@@ -152,12 +152,11 @@ class Hypertable private (
           element_at(typedLit(overrides), col(CHUNK).cast("long")), lit(n))
       out = out.withColumn(pc, pmod(hash(col(sc)), nExpr))
     }
-    // no inserts into frozen chunks (src/chunk.c:3579). The catalog check
-    // is metadata-only; the row probe (a filtered recompute of the batch)
-    // runs ONLY when frozen chunks exist — the common case pays nothing.
-    val frozenStarts = showChunks()
-      .filter(c => Hypertable.chunkFrozen(fs, new Path(c.path)))
-      .map(_.startMicros)
+    // no inserts into frozen chunks (src/chunk.c:3579). One small-file
+    // read of the root frozen catalog per batch; the row probe (a filtered
+    // recompute of the batch) runs ONLY when frozen chunks exist — the
+    // common case pays a single `exists` and nothing more.
+    val frozenStarts = frozenCatalog()
     if (frozenStarts.nonEmpty)
       require(out.where(col(CHUNK).isInCollection(frozenStarts)).isEmpty,
         s"batch routes rows into frozen chunk(s) ${frozenStarts.mkString(",")} — " +
@@ -718,20 +717,20 @@ class Hypertable private (
     * locates batches by metadata the same way). Returns deleted row count.
     */
   def deleteWhere(pred: Column, timeRange: Option[(Long, Long)] = None): Long = {
+    // no deletes permitted on a frozen chunk (src/chunk.c:3579) — probed
+    // BEFORE any rewrite starts, so a frozen hit can't leave the sweep
+    // half-applied with sibling chunks already rewritten (and their cagg
+    // invalidations unrecorded)
+    requireNoFrozenHits(chunksIn(timeRange), pred, "DELETE")
     val perChunk = graft.Par.map(chunksIn(timeRange)) { c =>
       // probe scan first (predicate pushes down to parquet) so untouched
       // chunks are never rewritten; touched chunks re-scan instead of
       // caching — per-chunk .cache() at 100 TB is executor-memory pressure
       val rows = chunkRows(c)
       val hits = rows.where(coalesce(pred, lit(false))).count()
-      if (hits > 0) {
-        // no deletes permitted on a frozen chunk (src/chunk.c:3579)
-        if (Hypertable.chunkFrozen(fs, new Path(c.path)))
-          throw new IllegalStateException(
-            s"DELETE matches $hits rows in frozen chunk ${c.path} — unfreeze_chunk first")
+      if (hits > 0)
         rewriteChunkDir(c.startMicros, c.endMicros,
           rows.where(!coalesce(pred, lit(false))))
-      }
       (hits, c)
     }
     // DELETE invalidates caggs over the touched chunks' ranges
@@ -753,15 +752,13 @@ class Hypertable private (
       s"updating the time column would re-route rows across chunks; delete + write instead")
     require(spaceDims.forall { case (sc, _, _) => !assignments.contains(sc) },
       s"updating a space-dimension column would re-route rows across space buckets; delete + write instead")
+    // frozen probe BEFORE any rewrite — see deleteWhere
+    requireNoFrozenHits(chunksIn(timeRange), pred, "UPDATE")
     val perChunk = graft.Par.map(chunksIn(timeRange)) { c =>
       val rows = chunkRows(c)
       val p = coalesce(pred, lit(false))
       val hits = rows.where(p).count()
       if (hits > 0) {
-        // no updates permitted on a frozen chunk (src/chunk.c:3579)
-        if (Hypertable.chunkFrozen(fs, new Path(c.path)))
-          throw new IllegalStateException(
-            s"UPDATE matches $hits rows in frozen chunk ${c.path} — unfreeze_chunk first")
         // SQL UPDATE semantics: predicate AND all new values are computed
         // against the OLD row, so snapshot them before any column changes
         val P = "_graft_upd_p"
@@ -833,6 +830,13 @@ class Hypertable private (
     val target = new Path(path, s"$CHUNK=$startMicros")
     require(!fs.exists(target), s"chunk dir $target already exists")
     require(fs.rename(new Path(srcPath), target), s"rename $srcPath -> $target failed")
+    // an adopted dir may carry a frozen sentinel (e.g. re-attaching a
+    // previously frozen+detached chunk's data) — keep the root catalog,
+    // which the insert guard reads, in sync with it
+    if (Hypertable.chunkFrozen(fs, target))
+      Hypertable.frozenCatalogLock.synchronized {
+        writeFrozenCatalog(frozenCatalog() + startMicros)
+      }
     writeRange(target.toString, endMicros)
     refreshColumnStats(Seq(target.toString))
     invalidateCaggs(startMicros, endMicros) // new raw rows appeared
@@ -983,47 +987,92 @@ class Hypertable private (
     * deletes, and maintenance (compress/decompress/compact/reorder/merge/
     * split) refuse it, and `dropChunks` skips it (`src/chunk.c:4113`).
     * Returns false if already frozen.
+    *
+    * Two records per frozen chunk: a sentinel IN the chunk dir (what every
+    * per-chunk guard reads — one `exists` next to work it already does)
+    * and a table-root catalog of frozen starts (what the hot insert path
+    * reads — ONE small-file read per batch instead of a per-chunk scan).
     */
   def freezeChunk(startMicros: Long): Boolean = {
     val c = chunkAt(startMicros)
     val f = new Path(c.path, Hypertable.FROZEN)
     if (fs.exists(f)) false
-    else { fs.create(f, true).close(); true }
+    else Hypertable.frozenCatalogLock.synchronized {
+      fs.create(f, true).close()
+      writeFrozenCatalog(frozenCatalog() + startMicros)
+      true
+    }
   }
 
   /** unfreeze_chunk (`sql/chunk.sql:44-46`). Returns false if not frozen. */
   def unfreezeChunk(startMicros: Long): Boolean =
-    fs.delete(new Path(chunkAt(startMicros).path, Hypertable.FROZEN), false)
+    Hypertable.frozenCatalogLock.synchronized {
+      writeFrozenCatalog(frozenCatalog() - startMicros)
+      fs.delete(new Path(chunkAt(startMicros).path, Hypertable.FROZEN), false)
+    }
 
   def isFrozen(startMicros: Long): Boolean =
     showChunks().find(_.startMicros == startMicros)
       .exists(c => Hypertable.chunkFrozen(fs, new Path(c.path)))
 
-  /** chunk_status bitmask mirroring the reference flags (`src/chunk.h`):
-    * 1 = COMPRESSED (columnstore layout), 2 = UNORDERED (fragmented — well
-    * more data files than the chunk's byte size warrants; the reference's
-    * version is out-of-order direct-compress batches), 4 = PARTIAL (plain
-    * appends landed after compression), 8 = FROZEN. Unlike the reference,
-    * UNORDERED is reported for raw chunks too — small-file fragmentation
-    * is layout debt regardless of compression state, and it is what
-    * [[CompactionPolicy]] repairs.
+  /** Frozen chunk starts from the root catalog (`_graft_frozen_chunks`). */
+  private[sources] def frozenCatalog(): Set[Long] = {
+    val f = new Path(path, Hypertable.FROZENCAT)
+    if (!fs.exists(f)) Set.empty
+    else Hypertable.readSmallFile(fs, f).split('\n')
+      .filter(_.nonEmpty).map(_.trim.toLong).toSet
+  }
+
+  private def writeFrozenCatalog(starts: Set[Long]): Unit = {
+    val f = new Path(path, Hypertable.FROZENCAT)
+    if (starts.isEmpty) { fs.delete(f, false); () }
+    else {
+      val out = fs.create(f, true)
+      out.write(starts.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
+  /** DML pre-check: a frozen chunk holding rows matching `pred` fails the
+    * whole statement BEFORE any chunk is rewritten — a mid-sweep failure
+    * would leave the DML half-applied with sibling rewrites already
+    * durable and their cagg invalidations unrecorded. Only frozen chunks
+    * are probed (none in the common case), with pushdown + limit 1.
     */
-  def chunkStatus(startMicros: Long): Int = {
-    val c = chunkAt(startMicros)
-    var s = 0
-    if (Columnstore.isCompressed(spark, c.path)) s |= 1
-    if (Columnstore.isFragmented(spark, c.path)) s |= 2
-    if (Columnstore.isPartial(spark, c.path)) s |= 4
+  private def requireNoFrozenHits(chunks: Seq[ChunkInfo], pred: Column,
+      op: String): Unit =
+    chunks.filter(c => Hypertable.chunkFrozen(fs, new Path(c.path))).foreach { c =>
+      if (chunkRows(c).where(coalesce(pred, lit(false))).limit(1).count() > 0)
+        throw new IllegalStateException(
+          s"$op matches rows in frozen chunk ${c.path} — unfreeze_chunk first")
+    }
+
+  /** chunk_status bitmask mirroring the reference flags (`src/chunk.h`):
+    * 1 = COMPRESSED (columnstore layout), 2 = UNORDERED (fragmented — some
+    * leaf dir has well more data files than its byte size warrants; the
+    * reference's version is out-of-order direct-compress batches),
+    * 4 = PARTIAL (plain appends landed after compression), 8 = FROZEN.
+    * Unlike the reference, UNORDERED is reported for raw chunks too —
+    * small-file fragmentation is layout debt regardless of compression
+    * state, and it is what [[CompactionPolicy]] repairs.
+    */
+  def chunkStatus(startMicros: Long): Int = chunkStatus(chunkAt(startMicros))
+
+  /** Status from an already-listed [[ChunkInfo]] — one chunk walk, no
+    * catalog re-listing (the shape `Info.chunks` iterates with).
+    */
+  def chunkStatus(c: ChunkInfo): Int = {
+    var s = Columnstore.statusBits(spark, c.path)
     if (Hypertable.chunkFrozen(fs, new Path(c.path))) s |= 8
     s
   }
 
   /** chunk_status_text (`sql/chunk.sql:10-14`, `ts_chunk_status_text`). */
-  def chunkStatusText(startMicros: Long): Seq[String] = {
-    val s = chunkStatus(startMicros)
-    Seq(1 -> "COMPRESSED", 2 -> "UNORDERED", 4 -> "PARTIAL", 8 -> "FROZEN")
-      .collect { case (bit, name) if (s & bit) != 0 => name }
-  }
+  def chunkStatusText(startMicros: Long): Seq[String] =
+    Hypertable.statusText(chunkStatus(startMicros))
+
+  def chunkStatusText(c: ChunkInfo): Seq[String] =
+    Hypertable.statusText(chunkStatus(c))
 }
 
 object Hypertable {
@@ -1037,10 +1086,18 @@ object Hypertable {
   private[sources] val INTEGERNOW = "_graft_integer_now"
   private[sources] val CAGGS = "_graft_caggs"
   private[sources] val FROZEN = "_graft_frozen"
+  private[sources] val FROZENCAT = "_graft_frozen_chunks"
+
+  /** Serializes root frozen-catalog read-modify-writes across threads. */
+  private val frozenCatalogLock = new Object
 
   /** Frozen sentinel check by chunk dir (`ts_chunk_is_frozen`). */
   private[graft] def chunkFrozen(fs: FileSystem, chunkDir: Path): Boolean =
     fs.exists(new Path(chunkDir, FROZEN))
+
+  private[sources] def statusText(s: Int): Seq[String] =
+    Seq(1 -> "COMPRESSED", 2 -> "UNORDERED", 4 -> "PARTIAL", 8 -> "FROZEN")
+      .collect { case (bit, name) if (s & bit) != 0 => name }
 
   /** In-session registry of integer-now functions (`set_integer_now_func`
     * REGPROC analog — see [[Hypertable#setIntegerNowFunc]]).

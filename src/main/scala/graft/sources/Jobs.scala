@@ -417,7 +417,12 @@ object Jobs {
       maxChunks = config.get("max_chunks").map(_.toInt).getOrElse(0),
       maxFiles = config.get("max_batches").map(_.toInt).getOrElse(0),
       inactiveForMicros = config.get("inactive_for").map(_.toLong),
-      nowMicros = () => cfgNow(config, ht))
+      // the inactive_for gate compares FILE MTIMES, so `now` here is
+      // WALL-CLOCK micros (config "wall_now" overrides for replay) — NOT
+      // cfgNow, whose integer-dimension values are in table units and
+      // would make the cutoff nonsense on bigint hypertables
+      nowMicros = () => config.get("wall_now").map(_.toLong)
+        .getOrElse(System.currentTimeMillis * 1000L))
   }
 
   registerProc("policy_columnstore") { (spark, config) =>

@@ -62,33 +62,73 @@ class CompactionSpec extends AnyFunSuite {
     assert(Columnstore.compactChunk(spark, c.path) === -1)
   }
 
-  test("compactChunk preserves compression marker, zstd, and the range stamp") {
+  test("compactChunk on a COMPRESSED multi-file chunk: marker survives, " +
+      "files merge, PARTIAL chunks are refused then recompressed by policy") {
     val ht = fragmentedHt()
     val all = ht.showChunks()
     val c = all(1)
-    // merge then re-split leaves a _graft_range record to preserve
-    Columnstore.compressChunk(spark, c.path, Columnstore.Options(orderBy = Seq("ts")))
+    // segmentby forces a multi-file compressed layout (segments spread
+    // across shuffle partitions) so the compressed-compact path is NOT a
+    // no-op; AQE would coalesce the tiny test shuffle back to one file,
+    // so it is off for the compress only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Columnstore.compressChunk(spark, c.path,
+      Columnstore.Options(segmentBy = Seq("user_id"), orderBy = Seq("ts")))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert(Columnstore.isCompressed(spark, c.path))
-    // re-fragment the compressed chunk via more appends, then recompress so
-    // it is fragmented-but-not-partial (files stay small, marker fresh)
-    (0 until 3).foreach { i =>
-      ht.write(events.where(pmod(col("event_id"), lit(4)) === i)
-        .where(col("ts") >= new java.sql.Timestamp(c.startMicros / 1000))
-        .where(col("ts") < new java.sql.Timestamp(c.endMicros / 1000))
-        .withColumn("event_id", col("event_id") + lit(1000000)), filesPerChunk = 4)
-    }
+    val before = fileCount(ht, c.path)
+    assert(before > 1, s"segmented compression produced $before file(s)")
+    val rows = spark.read.parquet(c.path).count()
+    val n = Columnstore.compactChunk(spark, c.path)
+    assert(n >= 1 && n < before, s"expected a real merge: $before -> $n")
+    // marker survived (a regression dropping the re-touch would read as
+    // uncompressed here) and so did the data
+    assert(Columnstore.isCompressed(spark, c.path))
+    assert(!ht.chunkStatusText(c.startMicros).contains("PARTIAL"))
+    assert(spark.read.parquet(c.path).count() === rows)
+
+    // appends after compression → PARTIAL: compact refuses, pointing at
+    // recompression; the columnstore policy then repairs it
+    ht.write(events
+      .where(col("ts") >= new java.sql.Timestamp(c.startMicros / 1000))
+      .where(col("ts") < new java.sql.Timestamp(c.endMicros / 1000))
+      .withColumn("event_id", col("event_id") + lit(1000000)))
     assert(ht.chunkStatusText(c.startMicros).contains("PARTIAL"))
-    // the columnstore policy recompresses PARTIAL chunks (policy gate)
+    intercept[IllegalArgumentException] {
+      Columnstore.compactChunk(spark, c.path)
+    }
     val recompressed = Columnstore.compress(ht,
       Columnstore.Options(orderBy = Seq("ts")))
     assert(recompressed.exists(_.startMicros == c.startMicros))
     assert(!ht.chunkStatusText(c.startMicros).contains("PARTIAL"))
-    // now compact with a tiny byte target so the call is NOT a no-op, and
-    // confirm the marker survives
-    val n = Columnstore.compactChunk(spark, c.path, targetFileBytes = 1L << 40)
-    if (n != -1) assert(Columnstore.isCompressed(spark, c.path))
-    assert(Columnstore.isCompressed(spark, c.path))
-    assert(spark.read.parquet(c.path).count() > 0)
+  }
+
+  test("space-partitioned chunks compact per leaf and CONVERGE (no " +
+      "perpetual re-selection)") {
+    val dir = Files.createTempDirectory("graft_compact_space").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days",
+      spaceCol = Some("user_id"), spacePartitions = 4)
+    (0 until 4).foreach { i =>
+      ht.write(events.where(pmod(col("event_id"), lit(4)) === i))
+    }
+    val c = ht.showChunks().head
+    assert(ht.chunkStatusText(c.startMicros).contains("UNORDERED"))
+    val rows = spark.read.parquet(c.path).count()
+    val n = Columnstore.compactChunk(spark, c.path)
+    assert(n >= 1)
+    // the partitionBy layout means a whole-chunk file target is
+    // unreachable; the per-leaf targets ARE reached, so the chunk must
+    // stop reading as fragmented — else the policy rewrites it forever
+    assert(!ht.chunkStatusText(c.startMicros).contains("UNORDERED"))
+    assert(Columnstore.compactChunk(spark, c.path) === -1)
+    assert(spark.read.parquet(c.path).count() === rows)
+    // space layout survived: the _space dirs still partition the data
+    val fs = new org.apache.hadoop.fs.Path(c.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(c.path))
+      .count(_.getPath.getName.startsWith("_space=")) > 0)
+    assert(ht.read().where(col("user_id") === 1).count() ===
+      events.where(col("user_id") === 1).count() * 1)
   }
 
   test("CompactionPolicy compacts fragmented chunks, honors caps and gates") {
