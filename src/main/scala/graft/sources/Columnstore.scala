@@ -121,6 +121,13 @@ object Columnstore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(new Path(p, MARKER))
   }
 
+  /** Stamp a chunk dir as columnstore (for rewrite paths that re-encode a
+    * compressed chunk's rows and must keep its state).
+    */
+  private[sources] def markCompressed(fs: org.apache.hadoop.fs.FileSystem,
+      chunkDir: Path): Unit =
+    fs.create(new Path(chunkDir, MARKER), true).close()
+
   /** One recursive walk of a chunk: its LEAF data directories (the
     * `_space=` partition dirs, or the chunk root when unpartitioned — the
     * unit compaction targets) each with their data files. `_graft_*`

@@ -604,22 +604,34 @@ class Hypertable private (
     spark.read.parquet(c.path)
 
   /** Rewrite `df` as the physical content of the chunk dir at `start`
-    * (tmp + swap; `_space` sub-partitioning preserved).
+    * (tmp + swap; `_space` sub-partitioning preserved). A chunk in
+    * columnstore layout STAYS columnstore across the rewrite (zstd files +
+    * marker) — the reference's merge/split/DML all preserve compression
+    * (`tsl/src/chunk_split.c:1245` splits the compressed rel;
+    * `merge_chunks.out` keeps merged chunks in compression_chunk_size).
+    * `forceCompressed` overrides the target's current state — needed when
+    * the target dir does not exist yet (split's upper half) or when the
+    * result must reflect several inputs (merge).
     */
-  private def rewriteChunkDir(startMicros: Long, endMicros: Long, df: DataFrame): Unit = {
+  private def rewriteChunkDir(startMicros: Long, endMicros: Long, df: DataFrame,
+      forceCompressed: Option[Boolean] = None): Unit = {
     val target = new Path(path, s"$CHUNK=$startMicros")
+    val compressed = forceCompressed
+      .getOrElse(Columnstore.isCompressed(spark, target.toString))
     // the recorded space layout survives the physical rewrite (rows keep
     // their `_space` values, so the counts that produced them still hold)
     val parts = if (repartitioned) Hypertable.readSpaceParts(fs, target) else None
     // dot-prefixed: invisible to Spark's file index while in flight
     val tmp = new Path(path, s".tmp_chunk_$startMicros")
     var w = df.write.mode(SaveMode.Overwrite)
+    if (compressed) w = w.option("compression", "zstd")
     if (spaceDims.nonEmpty) w = w.partitionBy(spaceDims.map(_._3): _*)
     w.parquet(tmp.toString)
     fs.delete(target, true)
     fs.rename(tmp, target)
     writeRange(target.toString, endMicros)
     parts.foreach(Hypertable.writeSpaceParts(fs, target, _))
+    if (compressed) Columnstore.markCompressed(fs, target)
     refreshColumnStats(Seq(target.toString))
   }
 
@@ -639,9 +651,14 @@ class Hypertable private (
     */
   def mergeChunks(starts: Seq[Long], targetFileBytes: Long): ChunkInfo = {
     require(starts.size >= 2, "merge needs at least two chunks")
+    require(starts.distinct.size == starts.size,
+      s"duplicate chunk in merge (ts_merge_chunks errors likewise)")
     val cs = starts.map(chunkAt).sortBy(_.startMicros)
     cs.foreach(c => require(!Hypertable.chunkFrozen(fs, new Path(c.path)),
       s"cannot merge frozen chunk ${c.path} — unfreeze_chunk first"))
+    // merged result stays columnstore iff EVERY input was (the rewrite
+    // re-encodes all rows, so the marker is truthful either way)
+    val keepCompressed = cs.forall(c => Columnstore.isCompressed(spark, c.path))
     cs.sliding(2).foreach {
       case Seq(x, y) =>
         require(x.endMicros == y.startMicros,
@@ -667,7 +684,8 @@ class Hypertable private (
           sc -> (if (counts.distinct.size == 1) counts.head.getOrElse(-1) else -1)
         }.toMap)
       }
-    rewriteChunkDir(cs.head.startMicros, cs.last.endMicros, rows)
+    rewriteChunkDir(cs.head.startMicros, cs.last.endMicros, rows,
+      forceCompressed = Some(keepCompressed))
     mergedParts.foreach(Hypertable.writeSpaceParts(fs, new Path(cs.head.path), _))
     cs.tail.foreach(c => fs.delete(new Path(c.path), true))
     ChunkInfo(cs.head.startMicros, cs.last.endMicros, cs.head.path)
@@ -691,8 +709,13 @@ class Hypertable private (
         case "uuidv7" => col(timeCol) >= lit(boundaryUuid(atMicros))
         case _        => col(timeCol) >= timestamp_micros(lit(atMicros))
       }
-      rewriteChunkDir(atMicros, c.endMicros, rows.where(atOrLater))
-      rewriteChunkDir(c.startMicros, atMicros, rows.where(!atOrLater))
+      // both halves keep the parent's columnstore state (the reference
+      // splits the compressed rel itself, chunk_split.c:1245)
+      val wasCompressed = Columnstore.isCompressed(spark, c.path)
+      rewriteChunkDir(atMicros, c.endMicros, rows.where(atOrLater),
+        forceCompressed = Some(wasCompressed))
+      rewriteChunkDir(c.startMicros, atMicros, rows.where(!atOrLater),
+        forceCompressed = Some(wasCompressed))
       // both halves inherit the parent's layout (the upper half is a NEW
       // dir — rewriteChunkDir had nothing to carry over for it)
       parentParts.foreach { p =>

@@ -129,4 +129,39 @@ class ColumnstoreSpec extends AnyFunSuite {
     val states = h.showChunks().map(c => Columnstore.isCompressed(spark, c.path))
     assert(states === Seq(true, true, false, false, false))
   }
+
+  test("merge/split/DML preserve columnstore state (reference keeps " +
+      "compressed chunks compressed through all three)") {
+    val dir = Files.createTempDirectory("graft_cs3").toString
+    val h = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    h.write(ev)
+    val rows = h.read().count()
+    Columnstore.compress(h, Columnstore.Options(orderBy = Seq("ts")))
+    val all = h.showChunks()
+    // merge of two compressed chunks → compressed result
+    val merged = h.mergeChunks(all(0).startMicros, all(1).startMicros)
+    assert(Columnstore.isCompressed(spark, merged.path))
+    // split of the compressed merged chunk → both halves compressed
+    val (lo, hi) = h.splitChunk(merged.startMicros,
+      (merged.startMicros + merged.endMicros) / 2)
+    assert(Columnstore.isCompressed(spark, lo.path))
+    assert(Columnstore.isCompressed(spark, hi.path))
+    // compressed DML: copy-on-write rewrite keeps the chunk compressed
+    val deleted = h.deleteWhere(col("event_type") === lit("click"),
+      timeRange = Some((lo.startMicros, lo.endMicros)))
+    assert(deleted > 0)
+    assert(Columnstore.isCompressed(spark, lo.path))
+    // duplicate chunk in merge errors like ts_merge_chunks
+    intercept[IllegalArgumentException] {
+      h.mergeChunks(Seq(lo.startMicros, lo.startMicros), 128L << 20)
+    }
+    // mixed merge (compressed lo/hi halves + raw tail chunk) → rowstore
+    val raw = h.showChunks().filterNot(c => Columnstore.isCompressed(spark, c.path))
+    assert(raw.isEmpty) // everything above was compressed
+    Columnstore.decompressChunk(spark, hi.path)
+    val mixed = h.mergeChunks(lo.startMicros, hi.startMicros)
+    assert(!Columnstore.isCompressed(spark, mixed.path))
+    assert(h.read().count() === rows - deleted)
+  }
 }
