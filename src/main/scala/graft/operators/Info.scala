@@ -59,6 +59,40 @@ object Info {
       "chunk_status")
   }
 
+  /** chunk_columnstore_stats / chunk_compression_stats
+    * (`sql/size_utils.sql:413+`, both names are the same function in the
+    * reference): per-chunk compression state and before/after sizes with
+    * the reference's column names, so monitoring queries port 1:1. Sizes
+    * come from parquet footers on executors ([[Stats.compressionStats]]);
+    * before/after are NULL for uncompressed chunks like the reference.
+    */
+  def chunkColumnstoreStats(ht: Hypertable): DataFrame = {
+    import ht.spark.implicits._
+    Stats.compressionStats(ht).map { s =>
+      (ht.path, s.path.substring(s.path.lastIndexOf('/') + 1),
+        if (s.compressed) "Compressed" else "Uncompressed",
+        s.rows,
+        if (s.compressed) Some(s.uncompressedBytes) else None,
+        if (s.compressed) Some(s.compressedBytes) else None)
+    }.toDF("hypertable_name", "chunk_name", "compression_status",
+      "numrows_pre_compression", "before_compression_total_bytes",
+      "after_compression_total_bytes")
+  }
+
+  /** hypertable_columnstore_stats / hypertable_compression_stats
+    * (`sql/size_utils.sql:455+`): the per-hypertable rollup of
+    * [[chunkColumnstoreStats]].
+    */
+  def hypertableColumnstoreStats(ht: Hypertable): DataFrame = {
+    import ht.spark.implicits._
+    val stats = Stats.compressionStats(ht)
+    val comp = stats.filter(_.compressed)
+    Seq((ht.path, stats.size.toLong, comp.size.toLong,
+      comp.map(_.uncompressedBytes).sum, comp.map(_.compressedBytes).sum))
+      .toDF("hypertable_name", "total_chunks", "number_compressed_chunks",
+        "before_compression_total_bytes", "after_compression_total_bytes")
+  }
+
   /** timescaledb_information.dimensions (`sql/views.sql:226-256`). */
   def dimensions(ht: Hypertable): DataFrame = {
     import ht.spark.implicits._

@@ -166,6 +166,16 @@ class ChunkOpsSpec extends AnyFunSuite {
     Policies.add(spark, ht.path, PolicySet(dropAfterMicros = Some(7L)))
     val pol = graft.operators.Info.policies(spark, ht.path).collect()
     assert(pol.map(_.getString(0)).toSeq === Seq("policy_retention"))
+    // columnstore stats views (chunk + hypertable rollup, reference names)
+    val cs = graft.operators.Info.chunkColumnstoreStats(ht)
+    assert(cs.count() === 5)
+    assert(cs.where(org.apache.spark.sql.functions.col("compression_status")
+      === "Compressed").count() === 2)
+    val hs = graft.operators.Info.hypertableColumnstoreStats(ht).head()
+    assert(hs.getAs[Long]("total_chunks") === 5L)
+    assert(hs.getAs[Long]("number_compressed_chunks") === 2L)
+    assert(hs.getAs[Long]("before_compression_total_bytes") >=
+      hs.getAs[Long]("after_compression_total_bytes"))
   }
 
   test("dimensions view reports month-width chunks as a month interval, not zero micros") {
