@@ -1003,6 +1003,41 @@ class Hypertable private (
     dropped
   }
 
+  /** show_chunks / drop_chunks `created_before` / `created_after`
+    * (`sql/ddl_api.sql:88-108`): bound on chunk CREATION time rather than
+    * dimension time — retention by ARRIVAL for late/out-of-order data. The
+    * filesystem records no creation instant, so the proxy is the chunk's
+    * EARLIEST data-file mtime; rewrites can only move that later, which
+    * defers drops — the safe direction. Bounds are wall-clock micros;
+    * `created_before` is exclusive, `created_after` inclusive, matching
+    * the reference's `<` / `>=` (`src/chunk.c:2298+`). Like the reference,
+    * creation bounds cannot mix with older_than/newer_than
+    * (`src/chunk.c:2360`) — these are separate methods.
+    */
+  def showChunksCreated(createdBeforeMicros: Option[Long],
+      createdAfterMicros: Option[Long]): Seq[ChunkInfo] = {
+    require(createdBeforeMicros.isDefined || createdAfterMicros.isDefined,
+      "created bounds need created_before and/or created_after")
+    showChunks().filter { c =>
+      val files = Columnstore.dataFiles(fs, new Path(c.path))
+      files.nonEmpty && {
+        val createdUs = files.map(_.getModificationTime).min * 1000L
+        createdBeforeMicros.forall(createdUs < _) &&
+          createdAfterMicros.forall(createdUs >= _)
+      }
+    }
+  }
+
+  /** drop_chunks by creation time — frozen chunks skipped as always. */
+  def dropChunksCreated(createdBeforeMicros: Option[Long],
+      createdAfterMicros: Option[Long]): Seq[ChunkInfo] = {
+    val dropped = showChunksCreated(createdBeforeMicros, createdAfterMicros)
+      .filterNot(c => Hypertable.chunkFrozen(fs, new Path(c.path)))
+    dropped.foreach(c => fs.delete(new Path(c.path), true))
+    invalidateCaggs(dropped.map(c => (c.startMicros, c.endMicros)))
+    dropped
+  }
+
   // --------------------------------------------------- freeze / chunk status
 
   /** freeze_chunk (`sql/chunk.sql:40-42`, `ts_chunk_set_frozen`,

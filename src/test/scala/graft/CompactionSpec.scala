@@ -212,6 +212,23 @@ class CompactionSpec extends AnyFunSuite {
     assert(compacted === 2)
   }
 
+  test("show/drop chunks by CREATION time (created_before/created_after)") {
+    val ht = fragmentedHt()
+    val all = ht.showChunks()
+    val now = System.currentTimeMillis * 1000L
+    // everything in this fixture was just created
+    assert(ht.showChunksCreated(Some(now + 60_000_000L), None).size === all.size)
+    assert(ht.showChunksCreated(None, Some(now + 60_000_000L)).isEmpty)
+    assert(ht.showChunksCreated(Some(now + 60_000_000L),
+      Some(now - 3600_000_000L)).size === all.size)
+    intercept[IllegalArgumentException] { ht.showChunksCreated(None, None) }
+    // frozen chunks survive a creation-time drop like a dimension-time one
+    ht.freezeChunk(all.head.startMicros)
+    val dropped = ht.dropChunksCreated(Some(now + 60_000_000L), None)
+    assert(dropped.size === all.size - 1)
+    assert(ht.showChunks().map(_.startMicros) === Seq(all.head.startMicros))
+  }
+
   test("Info.chunks surfaces chunk_status") {
     val ht = fragmentedHt()
     val c = ht.showChunks().head
