@@ -2,15 +2,20 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the TESTDATA parquet tables.
   *
-  * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-  * vectorized reader rejects; with `spark.sql.legacy.parquet.nanosAsLong` it
-  * surfaces as a long we convert to a micros TimestampType column
-  * (truncation — the same thing DuckDB's TIMESTAMP_NS→TIMESTAMP cast does,
-  * keeping the oracle comparable).
+  * Fixture timestamp columns are normalized to the session-zone instant
+  * type (`TimestampType`) every operator computes on:
+  *  - TIMESTAMP(NANOS) files (earlier fixture generations) surface as a
+  *    long under `spark.sql.legacy.parquet.nanosAsLong` and are truncated
+  *    to micros — the same thing DuckDB's TIMESTAMP_NS→TIMESTAMP cast
+  *    does, keeping the oracle comparable;
+  *  - naive TIMESTAMP(MICROS) files (current generation) read as
+  *    `TIMESTAMP_NTZ` and are cast, which under the UTC sessions every
+  *    graft entry point pins is value-preserving — DuckDB reads the same
+  *    files as naive TIMESTAMP and computes on identical wall clocks.
   */
 object Tables {
 
@@ -38,9 +43,13 @@ object Tables {
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val nanosFixed =
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    nanosFixed.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(nanosFixed)((d, f) =>
+        d.withColumn(f.name, col(f.name).cast(TimestampType)))
   }
 
   val names = Seq("region", "nation", "customer", "supplier", "part", "orders",
