@@ -81,6 +81,18 @@ class Hypertable private (
 
   private def fs: FileSystem = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Naive (TIMESTAMP_NTZ) time columns cast to the session-zone instant
+    * type the chunk arithmetic runs on — value-preserving under graft's
+    * pinned-UTC sessions, and a no-op (eliminated by SimplifyCasts) for
+    * already-typed inputs. Keeps `write`/`whereTimeIn` usable on parquet
+    * written by naive-timestamp producers without a manual cast.
+    */
+  private def normalizeTime(df: DataFrame, c: String): DataFrame =
+    if (timeKind == "timestamp" &&
+        df.schema(c).dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn(c, col(c).cast("timestamp"))
+    else df
+
   /** Bucket-start (micros, or raw integer units for "bigint") for a time
     * column — the chunk key.
     */
@@ -121,7 +133,7 @@ class Hypertable private (
     require(mode != SaveMode.Overwrite,
       "hypertable writes are routed appends; SaveMode.Overwrite would wipe " +
         "the chunk catalog — dropChunks/deleteWhere first, then append")
-    var out = df.withColumn(CHUNK, chunkKey(col(timeCol)))
+    var out = normalizeTime(df, timeCol).withColumn(CHUNK, chunkKey(col(timeCol)))
     // after set_number_partitions, a row landing in an EXISTING chunk must
     // route with THAT chunk's recorded count (the reference routes into a
     // chunk's own slices, not the dimension's current count); only rows
@@ -503,9 +515,11 @@ class Hypertable private (
     * runtime constraints before opening chunks.
     */
   def whereTimeIn(sub: DataFrame, subTime: Column): DataFrame = {
+    val probe = "_graft_in_t"
+    val subT = normalizeTime(sub.select(subTime.as(probe)), probe)
     // NULL subquery times can never match `IN` (same as SQL), so they
     // contribute no chunk key — filtered rather than crashing on the cast
-    val keys = sub.select(chunkKey(subTime).as("k")).where(col("k").isNotNull)
+    val keys = subT.select(chunkKey(col(probe)).as("k")).where(col("k").isNotNull)
       .distinct()
       .collect().map(_.get(0) match {
         case n: java.lang.Number => n.longValue()
@@ -517,9 +531,8 @@ class Hypertable private (
       .filter(c => keys.exists(k =>
         k < c.endMicros && defaultChunkEnd(k) > c.startMicros))
       .map(_.startMicros)
-    val probe = "_graft_in_t"
     read().where(col(CHUNK).isin(hit: _*))
-      .join(broadcast(sub.select(subTime.as(probe)).distinct()),
+      .join(broadcast(subT.distinct()),
         col(timeCol) === col(probe), "left_semi")
   }
 

@@ -481,4 +481,22 @@ class HypertableSpec extends AnyFunSuite {
     val expected = events.as("a").join(sub.as("b"), col("a.ts") === col("b.ts"), "left_semi").count()
     assert(df.count() === expected)
   }
+
+  test("naive (NTZ) time columns are accepted at the write/whereTimeIn boundary") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val d = Files.createTempDirectory("graft_ntz").toString
+    val events = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val naive = events.withColumn("ts", col("ts").cast(TimestampNTZType))
+    assert(naive.schema("ts").dataType === TimestampNTZType)
+    val h = Hypertable.create(spark, s"$d/ht", "ts", chunkWidth = "7 days")
+    h.write(naive) // would fail analysis without boundary normalization
+    assert(h.read().count() === events.count())
+    // the stored column is the session-zone instant type (UTC sessions ⇒
+    // identical wall clocks), so reads compare equal against the typed load
+    val sub = naive.where(col("user_id") === 7L).select("ts")
+    val expected = events.as("a")
+      .join(sub.select(col("ts").cast("timestamp").as("ts")).as("b"),
+        col("a.ts") === col("b.ts"), "left_semi").count()
+    assert(h.whereTimeIn(sub, col("ts")).count() === expected)
+  }
 }
