@@ -171,7 +171,7 @@ object CaggRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (registry.isEmpty) return plan
+    if (registry.isEmpty || !Toggles.caggRewrites) return plan
     plan.transformUp {
       case agg @ Aggregate(groupExprs, resultExprs, child, _) =>
         (for {

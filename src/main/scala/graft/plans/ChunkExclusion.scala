@@ -36,7 +36,7 @@ import graft.sources.Hypertable
   */
 object ChunkExclusion extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = if (!Toggles.constraintExclusion) plan else plan.transformUp {
     case f @ Filter(cond, rel: LogicalRelation) => exclude(f, cond, rel)
   }
 

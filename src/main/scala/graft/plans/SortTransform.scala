@@ -35,7 +35,7 @@ object SortTransform extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan = if (!Toggles.sortTransform) plan else plan.transform {
     case s @ Sort(orders, _, _, _) if orders.nonEmpty =>
       val last = orders.last
       monotoneArg(last.child) match {

@@ -704,6 +704,15 @@ class Hypertable private (
     ChunkInfo(cs.head.startMicros, cs.last.endMicros, cs.head.path)
   }
 
+  /** split_chunk with the reference's default split point: the midpoint of
+    * the chunk's recorded range (`tsl/src/chunk_split.c:1136-1139`,
+    * `split_at = range_start + interval_range / 2`).
+    */
+  def splitChunk(startMicros: Long): (ChunkInfo, ChunkInfo) = {
+    val c = chunkAt(startMicros)
+    splitChunk(startMicros, c.startMicros + (c.endMicros - c.startMicros) / 2)
+  }
+
   /** split_chunk (`sql/maintenance_utils.sql:60-80`): split one chunk at a
     * time point into two chunks covering [start, at) and [at, end).
     */

@@ -118,6 +118,33 @@ class HypertableSpec extends AnyFunSuite {
       case _ => None
     }).get
     assert(scan2.selectedPartitions.partitionCount === 12)
+    // reference GUC parity (timescaledb.enable_constraint_exclusion,
+    // src/guc.c:757): toggled off, the same query scans every partition
+    spark.conf.set("spark.graft.enable_constraint_exclusion", "false")
+    try {
+      val all = ht.read().where(
+        col("ts") >= lit(Timestamp.valueOf("2024-01-10 00:00:00")) &&
+        col("ts") < lit(Timestamp.valueOf("2024-01-12 00:00:00")))
+      val planAll = all.queryExecution.executedPlan
+      val scanAll = planAll.collectFirst { case f: FileSourceScanExec => f }.orElse(planAll match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
+        case _ => None
+      }).get
+      // every existing leaf partition is scanned (sf0.001 doesn't fill all
+      // 30 × 4 space buckets, so count the dirs rather than assuming 120)
+      val totalParts = {
+        val p0 = ht.read().queryExecution.executedPlan
+        p0.collectFirst { case f: FileSourceScanExec => f }.orElse(p0 match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
+          case _ => None
+        }).get.selectedPartitions.partitionCount
+      }
+      assert(totalParts > 100)
+      assert(scanAll.selectedPartitions.partitionCount === totalParts)
+      assert(all.count() === expected) // answers never change, only pruning
+    } finally spark.conf.unset("spark.graft.enable_constraint_exclusion")
   }
 
   test("space-dimension exclusion prunes hash buckets from equality predicates") {
@@ -279,6 +306,13 @@ class HypertableSpec extends AnyFunSuite {
     assert(h.between(four(2).startMicros, four(2).endMicros).count() ===
       Tables.table(spark, "/root/testdata/sf0.001", "events")
         .where(col("ts") >= lit("2024-01-03") && col("ts") < lit("2024-01-04")).count())
+    // default split point = range midpoint (chunk_split.c:1136-1139)
+    val before = h.showChunks().size
+    val (ml, mh) = h.splitChunk(wide.startMicros)
+    val mid = wide.startMicros + (wide.endMicros - wide.startMicros) / 2
+    assert(ml.endMicros === mid && mh.startMicros === mid)
+    assert(h.showChunks().size === before + 1)
+    assert(h.read().count() === total)
   }
 
   test("chunk skipping prunes on non-partition-column ranges") {

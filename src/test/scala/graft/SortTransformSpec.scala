@@ -25,6 +25,17 @@ class SortTransformSpec extends AnyFunSuite {
     assert(keys.head === Seq("ts"), s"sort keys were ${keys.head}")
   }
 
+  test("session toggles disable the rewrite like the reference GUCs (guc.c)") {
+    def bucketed = ev.orderBy(gf.time_bucket("1 hour", $"ts"))
+    for (key <- Seq("spark.graft.enable_sort_transform",
+        "spark.graft.enable_optimizations")) {
+      spark.conf.set(key, "false")
+      try assert(sortKeys(bucketed).head !== Seq("ts"), s"$key=false ignored")
+      finally spark.conf.unset(key)
+    }
+    assert(sortKeys(bucketed).head === Seq("ts")) // back on by default
+  }
+
   test("descending and prefixed sorts rewrite only the trailing bucket key") {
     val desc = ev.orderBy(gf.time_bucket("1 hour", $"ts").desc)
     assert(sortKeys(desc).head === Seq("ts"))
