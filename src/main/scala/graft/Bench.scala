@@ -63,7 +63,13 @@ object Bench {
       // multi-second host-level stalls (one identical back-to-back suite
       // run measured a 1.6 s query at 27 s); the min is the reproducible
       // cost of the plan, which is what the number is for
-      name -> (math.min(timed(), timed()), cold)
+      val r = name -> (math.min(timed(), timed()), cold)
+      // drop cache blocks a query persisted (dedup pipelines cache their
+      // candidate lists): 75 queries × 3 runs would otherwise accumulate
+      // dead blocks and bleed GC pressure into later measurements
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      r
     }
     val qs = results.map { case (k, (v, _)) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
