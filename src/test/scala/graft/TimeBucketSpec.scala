@@ -73,6 +73,32 @@ class TimeBucketSpec extends AnyFunSuite {
     assert(gotOff === Seq(-7L, -7L, 13L))
   }
 
+  test("reference error parity (test/sql/timestamp.sql:151-189)") {
+    def err(body: => Any): String =
+      intercept[Exception](body).getMessage
+    def dateBucket(width: String, offset: Option[String] = None) = {
+      val d = Seq(Date.valueOf("2012-01-01")).toDF("d")
+      val b = offset match {
+        case Some(o) => gf.time_bucket(width, $"d", gf.interval(o))
+        case None    => gf.time_bucket(width, $"d")
+      }
+      d.select(b).head()
+    }
+    // no time_bucketing of dates not by an integer number of days
+    assert(err(dateBucket("1 hour")).contains("whole number of days"))
+    assert(err(dateBucket("25 hours")).contains("whole number of days"))
+    // sub-day offset not supported for DATE input
+    assert(err(dateBucket("1 day", Some("1 hour"))).contains("whole days"))
+    assert(err(dateBucket("1 week", Some("30 minutes"))).contains("whole days"))
+    // mixed month/day/time widths are rejected
+    def tsBucket(width: String) = Seq(tsOf("2011-01-02 01:01:01")).toDF("ts")
+      .select(gf.time_bucket(gf.interval(width), $"ts")).head()
+    assert(err(tsBucket("1 year 1 day")).contains("mixed month"))
+    assert(err(tsBucket("1 month 1 minute")).contains("mixed month"))
+    // and the plain forms still work (timestamp.sql:162)
+    assert(bucket("1 day", "2011-01-02 01:01:01") === tsOf("2011-01-02 00:00:00"))
+  }
+
   test("null propagation") {
     val got = Seq[Option[Timestamp]](None).toDF("ts")
       .select(gf.time_bucket("1 hour", $"ts").as("b")).collect()
