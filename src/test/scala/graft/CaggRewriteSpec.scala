@@ -43,6 +43,14 @@ class CaggRewriteSpec extends AnyFunSuite {
     val q = rawHourly(ht)
     assert(scansMat(q), s"expected mat scan in:\n${q.queryExecution.optimizedPlan}")
     assert(q.collect().toSet === direct)
+    // GUC parity (timescaledb.enable_cagg_rewrites, src/guc.c:974): off →
+    // the same query reads raw, same answers
+    spark.conf.set("spark.graft.enable_cagg_rewrites", "false")
+    try {
+      val raw = rawHourly(ht)
+      assert(!scansMat(raw))
+      assert(raw.collect().toSet === direct)
+    } finally spark.conf.unset("spark.graft.enable_cagg_rewrites")
   }
 
   test("month-width cagg rewrites monthly raw aggregations") {
