@@ -46,6 +46,17 @@ object Bench {
     // a failed query must be VISIBLE in the JSON line, not just stderr —
     // its near-zero "time" would otherwise read as a speedup
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // drop cache/checkpoint blocks a run materialized (dedup pipelines
+    // cache their candidate lists). Cleared BETWEEN runs, not just between
+    // queries: Spark's CacheManager matches canonicalized plans, so a
+    // second identical run would silently substitute the first run's
+    // materialized subtree and the "steady-state" number would omit work
+    // a fresh execution pays. It also keeps 75 queries × 3 runs of dead
+    // blocks from bleeding GC pressure into later measurements.
+    def dropBlocks(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     val results = selected.map { case (name, fn) =>
       def run(): Unit =
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -57,6 +68,7 @@ object Bench {
       run() // unmeasured: codegen compile + file index + JIT
       val cold = (System.nanoTime() - t0) / 1e9
       def timed(): Double = {
+        dropBlocks()
         val t = System.nanoTime(); run(); (System.nanoTime() - t) / 1e9
       }
       // steady-state = MIN of two measured runs: this box shows transient
@@ -64,11 +76,7 @@ object Bench {
       // run measured a 1.6 s query at 27 s); the min is the reproducible
       // cost of the plan, which is what the number is for
       val r = name -> (math.min(timed(), timed()), cold)
-      // drop cache blocks a query persisted (dedup pipelines cache their
-      // candidate lists): 75 queries × 3 runs would otherwise accumulate
-      // dead blocks and bleed GC pressure into later measurements
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      dropBlocks()
       r
     }
     val qs = results.map { case (k, (v, _)) => "\"" + k + f"\":$v%.3f" }

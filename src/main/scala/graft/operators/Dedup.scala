@@ -131,15 +131,22 @@ object Dedup {
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, numHashes: Int = 32,
       bands: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
-    // cache the candidate list so the LSH band join runs exactly ONCE: it
-    // feeds both the id semi-join below and the final verify join, and
+    // snapshot the candidate list so the LSH band join runs exactly ONCE:
+    // it feeds both the id semi-join below and the final verify join, and
     // column pruning would otherwise make Catalyst re-execute the whole
-    // banding pipeline per use. LAZY persist, not localCheckpoint — the
-    // eager variant inserts a synchronous materialization barrier before
-    // the verify plan even starts (measured +0.8 s on q47 at sf0.1); the
-    // cache fills during the single action and both subtrees share it.
+    // banding pipeline per use. LAZY localCheckpoint, specifically:
+    //  - lazy (not the eager default): the eager form inserts a
+    //    synchronous materialization barrier before the verify plan even
+    //    starts (measured +0.8 s on q47 at sf0.1); lazy materializes
+    //    inside the one action and both subtrees share the blocks;
+    //  - localCheckpoint (not persist): persist registers the plan in the
+    //    CacheManager, which pins executor storage until an explicit
+    //    clearCache (no caller-reachable handle here) and silently
+    //    substitutes the cached subtree into LATER identical queries —
+    //    checkpoint blocks are plain RDD storage, reclaimed by the
+    //    ContextCleaner once unreferenced and never plan-matched.
     val cands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes,
-      bands, maxBucketSize).persist()
+      bands, maxBucketSize).localCheckpoint(eager = false)
     // shingle only docs that appear in a candidate pair (usually a tiny
     // fraction of the corpus) — without the semi-join both verify joins
     // would tokenize+shingle+SHUFFLE the shingle arrays of the ENTIRE

@@ -3,16 +3,29 @@ package graft.plans
 import org.apache.spark.sql.internal.SQLConf
 
 /** Session-level optimization toggles — the Spark-conf analogue of the
-  * reference's GUC surface (`src/guc.c`): every custom graft rewrite can be
-  * switched off per session (or per statement via `SET`) for A/B diagnosis,
-  * exactly how a reference user flips `timescaledb.enable_*`. Defaults all
-  * ON; `spark.graft.enable_optimizations` is the master switch gating every
-  * rule (`guc.c:677`, `ts_guc_enable_optimizations`).
+  * reference's GUC surface (`src/guc.c`): every custom graft OPTIMIZATION
+  * rewrite can be switched off per session (or per statement via `SET`)
+  * for A/B diagnosis, exactly how a reference user flips
+  * `timescaledb.enable_*`. Defaults all ON;
+  * `spark.graft.enable_optimizations` is the master switch (`guc.c:677`,
+  * `ts_guc_enable_optimizations`). GapfillRewrite is deliberately NOT
+  * gated: it implements `time_bucket_gapfill`'s semantics (the query is
+  * wrong without it), it is not a plan improvement — same reason the
+  * reference has no GUC for its gapfill node.
   */
 object Toggles {
 
+  /** GUC-style boolean: accepts true/false/on/off/1/0/yes/no (PostgreSQL's
+    * `SET` vocabulary); anything else names the offending key instead of
+    * surfacing a bare NumberFormatException from inside the optimizer.
+    */
   private def on(key: String): Boolean =
-    SQLConf.get.getConfString(key, "true").toBoolean
+    SQLConf.get.getConfString(key, "true").trim.toLowerCase match {
+      case "true" | "on" | "1" | "yes"  => true
+      case "false" | "off" | "0" | "no" => false
+      case other => throw new IllegalArgumentException(
+        s"$key must be a boolean (true/false/on/off/1/0), got '$other'")
+    }
 
   /** Master switch — `timescaledb.enable_optimizations` (`src/guc.c:677`). */
   def optimizations: Boolean = on("spark.graft.enable_optimizations")

@@ -710,14 +710,16 @@ class Hypertable private (
     */
   def splitChunk(startMicros: Long): (ChunkInfo, ChunkInfo) = {
     val c = chunkAt(startMicros)
-    splitChunk(startMicros, c.startMicros + (c.endMicros - c.startMicros) / 2)
+    splitChunkImpl(c, c.startMicros + (c.endMicros - c.startMicros) / 2)
   }
 
   /** split_chunk (`sql/maintenance_utils.sql:60-80`): split one chunk at a
     * time point into two chunks covering [start, at) and [at, end).
     */
-  def splitChunk(startMicros: Long, atMicros: Long): (ChunkInfo, ChunkInfo) = {
-    val c = chunkAt(startMicros)
+  def splitChunk(startMicros: Long, atMicros: Long): (ChunkInfo, ChunkInfo) =
+    splitChunkImpl(chunkAt(startMicros), atMicros)
+
+  private def splitChunkImpl(c: ChunkInfo, atMicros: Long): (ChunkInfo, ChunkInfo) = {
     require(!Hypertable.chunkFrozen(fs, new Path(c.path)),
       s"cannot split frozen chunk ${c.path} — unfreeze_chunk first")
     require(atMicros > c.startMicros && atMicros < c.endMicros,

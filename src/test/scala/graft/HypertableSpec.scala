@@ -20,6 +20,19 @@ class HypertableSpec extends AnyFunSuite {
     h
   }
 
+
+  /** First parquet leaf scan of a plan, unwrapping AQE. */
+  private def leafScan(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+    def find(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collectFirst { case f: FileSourceScanExec => f }
+    val plan = df.queryExecution.executedPlan
+    find(plan).orElse(plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        find(a.executedPlan)
+      case _ => None
+    }).get
+  }
+
   test("write routes rows into daily chunks with space buckets") {
     val chunks = ht.showChunks()
     assert(chunks.size === 30) // events span 2024-01-01..2024-01-30
@@ -75,12 +88,7 @@ class HypertableSpec extends AnyFunSuite {
   test("between() prunes chunk partitions at plan time") {
     val df = ht.between(Timestamp.valueOf("2024-01-10 00:00:00"),
       Timestamp.valueOf("2024-01-12 00:00:00"))
-    val plan = df.queryExecution.executedPlan
-    val scan = plan.collectFirst { case f: FileSourceScanExec => f }.orElse(plan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
-      case _ => None
-    }).get
+    val scan = leafScan(df)
     // only 2 of 30 chunks (x4 space buckets) survive partition pruning
     assert(scan.relation.location.inputFiles.length > 0)
     val parts = scan.selectedPartitions.partitionCount
@@ -95,12 +103,7 @@ class HypertableSpec extends AnyFunSuite {
     val df = ht.read().where(
       col("ts") >= lit(Timestamp.valueOf("2024-01-10 00:00:00")) &&
       col("ts") < lit(Timestamp.valueOf("2024-01-12 00:00:00")))
-    val plan = df.queryExecution.executedPlan
-    val scan = plan.collectFirst { case f: FileSourceScanExec => f }.orElse(plan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
-      case _ => None
-    }).get
+    val scan = leafScan(df)
     // same pruning as the explicit between(): 2 of 30 chunks × 4 space dirs
     val parts = scan.selectedPartitions.partitionCount
     assert(parts === 8, s"expected 8 pruned partitions via ChunkExclusion, got $parts")
@@ -111,12 +114,7 @@ class HypertableSpec extends AnyFunSuite {
     val df2 = ht.read().where(col("ts").between(
       lit(Timestamp.valueOf("2024-01-10 00:00:00")),
       lit(Timestamp.valueOf("2024-01-12 00:00:00"))))
-    val plan2 = df2.queryExecution.executedPlan
-    val scan2 = plan2.collectFirst { case f: FileSourceScanExec => f }.orElse(plan2 match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
-      case _ => None
-    }).get
+    val scan2 = leafScan(df2)
     assert(scan2.selectedPartitions.partitionCount === 12)
     // reference GUC parity (timescaledb.enable_constraint_exclusion,
     // src/guc.c:757): toggled off, the same query scans every partition
@@ -125,22 +123,10 @@ class HypertableSpec extends AnyFunSuite {
       val all = ht.read().where(
         col("ts") >= lit(Timestamp.valueOf("2024-01-10 00:00:00")) &&
         col("ts") < lit(Timestamp.valueOf("2024-01-12 00:00:00")))
-      val planAll = all.queryExecution.executedPlan
-      val scanAll = planAll.collectFirst { case f: FileSourceScanExec => f }.orElse(planAll match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
-        case _ => None
-      }).get
+      val scanAll = leafScan(all)
       // every existing leaf partition is scanned (sf0.001 doesn't fill all
       // 30 × 4 space buckets, so count the dirs rather than assuming 120)
-      val totalParts = {
-        val p0 = ht.read().queryExecution.executedPlan
-        p0.collectFirst { case f: FileSourceScanExec => f }.orElse(p0 match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
-          case _ => None
-        }).get.selectedPartitions.partitionCount
-      }
+      val totalParts = leafScan(ht.read()).selectedPartitions.partitionCount
       assert(totalParts > 100)
       assert(scanAll.selectedPartitions.partitionCount === totalParts)
       assert(all.count() === expected) // answers never change, only pruning
@@ -153,12 +139,7 @@ class HypertableSpec extends AnyFunSuite {
       col("user_id") === 7L &&
       col("ts") >= lit(Timestamp.valueOf("2024-01-10 00:00:00")) &&
       col("ts") < lit(Timestamp.valueOf("2024-01-12 00:00:00")))
-    val plan = df.queryExecution.executedPlan
-    val scan = plan.collectFirst { case f: FileSourceScanExec => f }.orElse(plan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
-      case _ => None
-    }).get
+    val scan = leafScan(df)
     val parts = scan.selectedPartitions.partitionCount
     assert(parts === 2, s"expected 2 pruned partitions (2 chunks × 1 bucket), got $parts")
     val expected = Tables.table(spark, "/root/testdata/sf0.001", "events")
@@ -167,12 +148,7 @@ class HypertableSpec extends AnyFunSuite {
     assert(df.count() === expected)
     // IN-lists prune the union of buckets; space-only predicates prune too
     val df2 = ht.read().where(col("user_id").isin(7L, 8L, 9L))
-    val plan2 = df2.queryExecution.executedPlan
-    val scan2 = plan2.collectFirst { case f: FileSourceScanExec => f }.orElse(plan2 match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
-      case _ => None
-    }).get
+    val scan2 = leafScan(df2)
     val buckets = Seq(7L, 8L, 9L).map(v =>
       spark.range(1).select(pmod(hash(lit(v)), lit(4))).head().getInt(0)).distinct
     assert(scan2.selectedPartitions.partitionCount === 30 * buckets.size)
@@ -192,12 +168,7 @@ class HypertableSpec extends AnyFunSuite {
     assert(h.spaceDims.map(_._3) === Seq("_space", "_space1"))
     // both equality predicates pin one hash bucket in their dimension
     val df = h.read().where(col("user_id") === 7L && col("event_type") === "click")
-    val plan = df.queryExecution.executedPlan
-    val scan = plan.collectFirst { case f: FileSourceScanExec => f }.orElse(plan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
-      case _ => None
-    }).get
+    val scan = leafScan(df)
     val parts = scan.selectedPartitions.partitionCount
     assert(parts === nChunks,
       s"expected $nChunks partitions (chunks × 1 bucket × 1 bucket), got $parts")
@@ -228,12 +199,7 @@ class HypertableSpec extends AnyFunSuite {
     assert(df.schema("_chunk").dataType ===
       org.apache.spark.sql.types.IntegerType) // the premise of this test
     assert(df.count() === 20)
-    val plan = df.queryExecution.executedPlan
-    val scan = plan.collectFirst { case f: FileSourceScanExec => f }.orElse(plan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
-      case _ => None
-    }).get
+    val scan = leafScan(df)
     assert(scan.selectedPartitions.partitionCount === 2,
       s"expected 2 pruned partitions, got ${scan.selectedPartitions.partitionCount}")
   }
@@ -330,12 +296,7 @@ class HypertableSpec extends AnyFunSuite {
     val lo = 1704844800000L // 2024-01-10 in ms-epoch seq units
     val hi = 1705017600000L // 2024-01-12
     val df = h.read().where(col("seq") >= lo && col("seq") < hi)
-    val plan = df.queryExecution.executedPlan
-    val scan = plan.collectFirst { case f: FileSourceScanExec => f }.orElse(plan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
-      case _ => None
-    }).get
+    val scan = leafScan(df)
     val parts = scan.selectedPartitions.partitionCount
     assert(parts === 1, s"expected 1 chunk to survive skipping, got $parts")
     assert(df.count() === ev.where(col("seq") >= lo && col("seq") < hi).count())
@@ -351,12 +312,7 @@ class HypertableSpec extends AnyFunSuite {
     // disable: the predicate no longer prunes
     h.disableChunkSkipping("seq")
     val df3 = h.read().where(col("seq") >= lo && col("seq") < hi)
-    val plan3 = df3.queryExecution.executedPlan
-    val scan3 = plan3.collectFirst { case f: FileSourceScanExec => f }.orElse(plan3 match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
-      case _ => None
-    }).get
+    val scan3 = leafScan(df3)
     assert(scan3.selectedPartitions.partitionCount === nChunks)
   }
 
