@@ -192,11 +192,12 @@ object ChunkExclusion extends Rule[LogicalPlan] {
     val ts = rel.output.find(_.name == reg.timeCol).getOrElse(return None)
     val chunkAttr = rel.output.find(_.name == Hypertable.CHUNK).getOrElse(return None)
     if (cond.references.contains(chunkAttr)) return None // already excluded
-    val (lo, hi) = TimeBounds.bounds(cond, ts)
-    if (lo.isEmpty && hi.isEmpty) return None
-    val (l, h) = (lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
+    // disjunction-aware: `ts < a OR ts >= b` prunes to the UNION of the
+    // arms' chunk sets (hypertable_restrict_info.c OR handling)
+    val cover = TimeBounds.intervalCover(cond, ts).getOrElse(return None)
     val chunks = reg.chunks()
-    val hits = chunks.filter(c => c.startMicros < h && c.endMicros > l)
+    val hits = chunks.filter(c =>
+      cover.exists { case (l, h) => c.startMicros < h && c.endMicros > l })
     if (hits.size == chunks.size) return None // nothing to exclude
     // literals in the PARTITION COLUMN's inferred type: small integral chunk
     // keys (bigint dims with narrow widths) infer `_chunk` as IntegerType,

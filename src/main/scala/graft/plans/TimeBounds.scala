@@ -35,6 +35,51 @@ object TimeBounds {
       case _                 => None
     }
 
+  /** Sound interval cover of `cond` for `ts`: half-open `[lo, hi)`
+    * intervals (Long.MinValue/MaxValue = unbounded) whose union admits
+    * every row the predicate can — the disjunction-aware generalization of
+    * [[bounds]], mirroring the reference's OR-capable restrict-info
+    * (`src/hypertable_restrict_info.c` collects one restriction per
+    * arm and unions chunk sets). `None` = no time constraint derivable
+    * (prune nothing); `Some(Nil)` = provably empty (prune everything).
+    *
+    *  - `AND`: a side with no constraint is the full range, so the other
+    *    side's cover stands; two covers intersect pairwise.
+    *  - `OR`: both arms must constrain time — an unconstrained arm admits
+    *    everything and poisons the disjunction.
+    */
+  def intervalCover(cond: Expression, ts: Expression): Option[Seq[(Long, Long)]] = cond match {
+    case Or(l, r) =>
+      for { a <- intervalCover(l, ts); b <- intervalCover(r, ts) } yield a ++ b
+    case And(l, r) =>
+      (intervalCover(l, ts), intervalCover(r, ts)) match {
+        case (None, x) => x
+        case (x, None) => x
+        case (Some(a), Some(b)) =>
+          Some(for {
+            (al, ah) <- a
+            (bl, bh) <- b
+            lo = math.max(al, bl)
+            hi = math.min(ah, bh)
+            if lo < hi
+          } yield (lo, hi))
+      }
+    case w: With =>
+      val defMap = w.defs.map(d => d.id -> d.child).toMap
+      intervalCover(w.child.transformUp {
+        case r: CommonExpressionRef => defMap.getOrElse(r.id, r)
+      }, ts)
+    case rr: RuntimeReplaceable => intervalCover(rr.replacement, ts)
+    case leaf =>
+      bounds(leaf, ts) match {
+        case (None, None) => None
+        case (lo, hi) =>
+          val l = lo.getOrElse(Long.MinValue)
+          val h = hi.getOrElse(Long.MaxValue)
+          Some(if (l < h) Seq((l, h)) else Nil)
+      }
+  }
+
   /** Tightest (lo, hi) over the conjuncts for predicates on `ts`.
     *
     * The inclusive→exclusive `+1` must not wrap at `Long.MaxValue` (a

@@ -133,6 +133,38 @@ class HypertableSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.enable_constraint_exclusion")
   }
 
+  test("OR'd time ranges prune to the union of arm chunk sets") {
+    val events = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    // 2 leading + 2 trailing daily chunks survive (hypertable_restrict_info
+    // OR handling): arms [*, 01-03) and [01-28, *)
+    val df = ht.read().where(
+      col("ts") < lit(Timestamp.valueOf("2024-01-03 00:00:00")) ||
+      col("ts") >= lit(Timestamp.valueOf("2024-01-28 00:00:00")))
+    val parts = leafScan(df).selectedPartitions.partitionCount
+    assert(parts === 20, s"expected (2+3) chunks x 4 buckets = 20, got $parts")
+    val expected = events.where(
+      col("ts") < lit("2024-01-03") || col("ts") >= lit("2024-01-28")).count()
+    assert(df.count() === expected)
+    // AND of an OR: the conjunct intersects each arm
+    val df2 = ht.read().where(
+      (col("ts") < lit(Timestamp.valueOf("2024-01-03 00:00:00")) ||
+       col("ts") >= lit(Timestamp.valueOf("2024-01-28 00:00:00"))) &&
+      col("ts") >= lit(Timestamp.valueOf("2024-01-02 00:00:00")))
+    val parts2 = leafScan(df2).selectedPartitions.partitionCount
+    assert(parts2 === 16, s"expected (1+3) chunks x 4 buckets = 16, got $parts2")
+    assert(df2.count() === events.where(
+      (col("ts") < lit("2024-01-03") || col("ts") >= lit("2024-01-28")) &&
+      col("ts") >= lit("2024-01-02")).count())
+    // an arm with no time constraint admits everything — no pruning, and
+    // the answer still matches the raw filter
+    val df3 = ht.read().where(
+      col("ts") < lit(Timestamp.valueOf("2024-01-03 00:00:00")) ||
+      col("user_id") === 7L)
+    assert(leafScan(df3).selectedPartitions.partitionCount > 100)
+    assert(df3.count() === events.where(
+      col("ts") < lit("2024-01-03") || col("user_id") === 7L).count())
+  }
+
   test("space-dimension exclusion prunes hash buckets from equality predicates") {
     // user_id = 7 pins one murmur bucket: 2 chunks × 1 of 4 space dirs
     val df = ht.read().where(
