@@ -417,6 +417,35 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // §2.1 recompress_chunk_segmentwise (`tsl/src/compression/recompress.c`):
+    // compress the bulk of the table, land a late slice on every chunk
+    // (PARTIAL status), then let the columnstore policy fold the appends
+    // back in SEGMENTWISE — only files whose segment range the late rows
+    // touch are rewritten — and the answers must equal the plain
+    // aggregation over the full fixture.
+    "q76_recompress" -> ((s, dir) => {
+      import graft.sources.{Columnstore, Hypertable}
+      Graft.init(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_recomp_q").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
+      val ev = t(s, dir, "events")
+      val opts = Columnstore.Options(segmentBy = Seq("user_id"), orderBy = Seq("ts"))
+      ht.write(ev.where(pmod(col("event_id"), lit(10)) =!= 0), filesPerChunk = 8)
+      Columnstore.compress(ht, opts)
+      ht.write(ev.where(pmod(col("event_id"), lit(10)) === 0), filesPerChunk = 2)
+      require(ht.showChunks().exists(c => Columnstore.isPartial(s, c.path)),
+        "late slice did not mark any chunk PARTIAL")
+      Columnstore.compress(ht, opts) // dispatches partial chunks segmentwise
+      require(ht.showChunks().forall(c => !Columnstore.isPartial(s, c.path)),
+        "segmentwise recompression left a PARTIAL chunk")
+      ht.read()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"),
+          min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"))
+        .orderBy("event_type")
+    }),
+
     // Training-data ops: exact batch k-NN join — every query row gets its
     // k nearest corpus rows in ONE pass (queries broadcast, corpus never
     // shuffled, per-query top-k kept below the exchange by Spark's window
@@ -1402,6 +1431,13 @@ object SparkEntry {
     "q75_compact" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q76_recompress" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
+        | MIN(user_id) AS min_user, MAX(user_id) AS max_user
         |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 

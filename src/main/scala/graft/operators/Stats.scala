@@ -240,6 +240,15 @@ object Stats {
     case _ => throw new IllegalStateException(s"mixed range value types: $a / $b")
   }
 
+  /** One file's footer range of one column, normalized like
+    * [[columnRanges]] (Long for integral/date/timestamp, Double for
+    * floats). `None` = unknown/unsupported stats, `Some(None)` = the column
+    * is entirely null in this file. Metadata-only (one footer read).
+    */
+  private[graft] def fileColumnRange(conf: Configuration, file: String,
+      column: String): Option[Option[(Any, Any)]] =
+    fileColumnRanges(conf, file, Seq(column))(column)
+
   private def fileColumnRanges(conf: Configuration, file: String,
       cols: Seq[String]): Map[String, Option[Option[(Any, Any)]]] = {
     import org.apache.parquet.schema.LogicalTypeAnnotation

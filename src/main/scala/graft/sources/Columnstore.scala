@@ -296,7 +296,15 @@ object Columnstore {
         if (n <= df.rdd.getNumPartitions) df.coalesce(n)
         else if (opts.orderBy.nonEmpty) df.repartitionByRange(n, opts.orderBy.map(col): _*)
         else df.repartition(n)
-      case segs => df.repartition(segs.map(col): _*)
+      case segs =>
+        // RANGE-partition the segments (not hash): same one-segment-one-
+        // partition batch property, but each output file additionally gets
+        // a NON-OVERLAPPING footer range on the segment key — so segment-
+        // key scans skip files by metadata, and segmentwise recompression
+        // rewrites only the files whose range a late batch actually touches
+        // (hash layout makes every file's range span the whole domain,
+        // defeating both)
+        df.repartitionByRange(segs.map(col): _*)
     }).sortWithinPartitions((opts.segmentBy ++ opts.orderBy).map(col): _*)
     val tmp = new Path(chunkP.getParent, "." + chunkP.getName + "_compress_tmp")
     var w = arranged.write.mode("overwrite")
@@ -363,11 +371,127 @@ object Columnstore {
     n
   }
 
+  /** recompress_chunk_segmentwise (`tsl/src/compression/recompress.c`):
+    * fold a PARTIAL chunk's post-compression appends back into columnstore
+    * layout WITHOUT rewriting the whole chunk. The reference decompresses
+    * only the batches whose segmentby keys appear in the new rows, merges,
+    * and recompresses those segments; here the unit is the parquet file —
+    * per leaf, the inputs are the appended (post-marker) files plus only
+    * those compressed files whose footer range on the lead segmentby column
+    * intersects a key present in the append. Everything else keeps its
+    * bytes AND its file identity (mtime/name untouched — at 100 TB,
+    * recompressing a chunk after a 10 MB late batch costs one small
+    * rewrite, not a chunk-sized one).
+    *
+    * Pruning is footer-metadata only and falls back closed: non-integral
+    * segment keys, nulls among the append's keys, or missing stats rewrite
+    * the whole leaf (exactly `recompress_chunk`'s full fallback,
+    * `api.c:1057` "falling back to full recompression"). Without a
+    * segmentby the appended files alone are re-sorted into zstd batches —
+    * the columnar scan merges pre-sorted batches, so per-file order is the
+    * batch contract (`batch_queue_heap.c`).
+    *
+    * Returns the number of input files consumed, or -1 when the chunk has
+    * no uncompressed appends (no-op, like `if_not_compressed`).
+    */
+  def recompressChunkSegmentwise(spark: SparkSession, chunkPath: String,
+      opts: Options): Int = {
+    val chunkP = new Path(chunkPath)
+    val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!Hypertable.chunkFrozen(fs, chunkP),
+      s"cannot modify frozen chunk $chunkPath — unfreeze_chunk first")
+    val m = new Path(chunkP, MARKER)
+    require(fs.exists(m),
+      s"chunk $chunkPath is not compressed — compress_chunk instead")
+    val markedAt = fs.getFileStatus(m).getModificationTime
+    val conf = spark.sparkContext.hadoopConfiguration
+    var consumed = 0
+    leafFiles(fs, chunkP).foreach { case (leaf, fls) =>
+      val (newF, oldF) = fls.partition(_.getModificationTime > markedAt)
+      if (newF.nonEmpty) {
+        val newPaths = newF.map(_.getPath.toString)
+        val affected = opts.segmentBy match {
+          case Nil => Nil
+          case seg +: _ =>
+            // the append's distinct segment keys — bounded by the segment
+            // cardinality OF THE APPEND (a late batch touches few series),
+            // not the chunk's
+            val raw = spark.read.parquet(newPaths: _*)
+              .select(col(seg)).distinct().collect().map(_.get(0))
+            val keys = raw.collect {
+              case l: java.lang.Long    => l.longValue
+              case i: java.lang.Integer => i.longValue
+              case s: java.lang.Short   => s.longValue
+              case b: java.lang.Byte    => b.longValue
+            }
+            if (keys.length != raw.length) oldF // null/non-integral: no pruning
+            else oldF.filter { f =>
+              graft.operators.Stats.fileColumnRange(conf, f.getPath.toString, seg) match {
+                case Some(Some((mn: java.lang.Long, mx: java.lang.Long))) =>
+                  keys.exists(k => k >= mn && k <= mx)
+                case Some(None) => false // column all-null in file: no key match
+                case _ => true           // unknown stats: conservatively rewrite
+              }
+            }
+        }
+        val inputs = newF ++ affected
+        val inputPaths = inputs.map(_.getPath.toString)
+        val bytes = inputs.map(_.getLen).sum
+        val n = math.max(1, math.ceil(bytes.toDouble / (2.0 * opts.rowGroupBytes)).toInt)
+        // leaf files carry no partition columns (dir names encode them), so
+        // a direct multi-file read + same-leaf write keeps the layout
+        val df = spark.read.parquet(inputPaths: _*)
+        val arranged = (opts.segmentBy match {
+          case Nil =>
+            if (n <= df.rdd.getNumPartitions) df.coalesce(n)
+            else if (opts.orderBy.nonEmpty) df.repartitionByRange(n, opts.orderBy.map(col): _*)
+            else df.repartition(n)
+          case segs => df.repartition(n, segs.map(col): _*)
+        }).sortWithinPartitions((opts.segmentBy ++ opts.orderBy).map(col): _*)
+        val tmp = new Path(leaf, ".recompress_tmp")
+        var w = arranged.write.mode("overwrite")
+          .option("compression", "zstd")
+          .option("parquet.block.size", opts.rowGroupBytes.toString)
+        opts.bloomFilterCols.foreach { c =>
+          w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        }
+        w.parquet(tmp.toString)
+        // swap: drop the consumed inputs, adopt the fresh files (Spark part
+        // names carry a fresh job UUID — no collision with the survivors)
+        inputs.foreach(f => fs.delete(f.getPath, false))
+        fs.listStatus(tmp)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .foreach(s => fs.rename(s.getPath, new Path(leaf, s.getPath.getName)))
+        fs.delete(tmp, true)
+        consumed += inputs.size
+      }
+    }
+    if (consumed == 0) return -1
+    // re-touch the marker: the rewritten rows ARE columnstore now, so the
+    // chunk must stop reading as PARTIAL
+    markCompressed(fs, chunkP)
+    Hypertable.refreshColStatsIfEnabled(spark, chunkPath)
+    consumed
+  }
+
+  /** recompress_chunk (`tsl/src/compression/api.c` `tsl_recompress_chunk`):
+    * raw chunk → full compression; partial chunk → segmentwise fold-in;
+    * already-clean compressed chunk → no-op (-1).
+    */
+  def recompressChunk(spark: SparkSession, chunkPath: String,
+      opts: Options): Long =
+    (statusBits(spark, chunkPath) & 5) match {
+      case 5 => recompressChunkSegmentwise(spark, chunkPath, opts).toLong
+      case 1 => -1L
+      case _ => compressChunk(spark, chunkPath, opts)
+    }
+
   /** Compress every not-yet-compressed chunk fully older than the cutoff —
     * `add_columnstore_policy` semantics (`sql/policy_api.sql:66-93`). Like
     * the reference policy, PARTIAL chunks (plain appends after an earlier
-    * compression) are RE-compressed so late data rejoins the columnstore
-    * layout, and frozen chunks are skipped (`src/chunk.c:3580`).
+    * compression) are RE-compressed segmentwise so late data rejoins the
+    * columnstore layout without rewriting the chunk, and frozen chunks are
+    * skipped (`src/chunk.c:3580`).
     */
   def compress(ht: Hypertable, opts: Options,
       olderThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
@@ -375,9 +499,13 @@ object Columnstore {
       .getFileSystem(ht.spark.sparkContext.hadoopConfiguration)
     val todo = ht.showChunks(olderThanMicros)
       .filterNot(c => Hypertable.chunkFrozen(fs, new Path(c.path)))
-      .filter(c => (statusBits(ht.spark, c.path) & 5) != 1) // raw or partial
-    graft.Par.foreach(todo)(c => compressChunk(ht.spark, c.path, opts))
-    todo
+      .map(c => c -> (statusBits(ht.spark, c.path) & 5))
+      .filter(_._2 != 1) // keep raw and partial; skip clean compressed
+    graft.Par.foreach(todo) { case (c, bits) =>
+      if (bits == 5) recompressChunkSegmentwise(ht.spark, c.path, opts)
+      else compressChunk(ht.spark, c.path, opts)
+    }
+    todo.map(_._1)
   }
 
   /** Decompress every compressed chunk (optionally range-restricted);

@@ -164,4 +164,86 @@ class ColumnstoreSpec extends AnyFunSuite {
     assert(!Columnstore.isCompressed(spark, mixed.path))
     assert(h.read().count() === rows - deleted)
   }
+
+  test("segmentwise recompress rewrites only the files a late batch touches " +
+      "(recompress.c: untouched segments keep their bytes)") {
+    val dir = Files.createTempDirectory("graft_cs_rw").toString
+    val h = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "30 days")
+    val ev = Tables.table(spark, "/root/testdata/sf0.01", "events")
+    h.write(ev)
+    val c = h.showChunks().head
+    val segOpts = Columnstore.Options(segmentBy = Seq("user_id"), orderBy = Seq("ts"))
+    // AQE off so the range shuffle keeps several output files at test scale
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Columnstore.compressChunk(spark, c.path, segOpts)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def files() = fs.listStatus(new org.apache.hadoop.fs.Path(c.path))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(f => f.getPath.getName -> f.getModificationTime).toMap
+    val before = files()
+    assert(before.size > 2, s"need a multi-file layout, got ${before.size}")
+    val rows = spark.read.parquet(c.path).count()
+
+    // late batch touching ONE segment key — range-partitioned files give
+    // non-overlapping user_id footer ranges, so only one file can match
+    val probe = ev.where(col("ts") >= new java.sql.Timestamp(c.startMicros / 1000))
+      .where(col("ts") < new java.sql.Timestamp(c.endMicros / 1000))
+    val uid = probe.agg(min($"user_id")).head().getLong(0)
+    val late = probe.where($"user_id" === uid).limit(50)
+      .withColumn("event_id", $"event_id" + lit(9000000))
+    val lateN = late.count()
+    assert(lateN > 0)
+    h.write(late)
+    assert(Columnstore.isPartial(spark, c.path))
+
+    val consumed = Columnstore.recompressChunkSegmentwise(spark, c.path, segOpts)
+    assert(consumed >= 1)
+    assert(!Columnstore.isPartial(spark, c.path))
+    assert(Columnstore.isCompressed(spark, c.path))
+    val after = files()
+    // at least one pre-existing file survived byte-identical (same name and
+    // mtime) — the whole point of segmentwise over full recompression
+    val survivors = before.filter { case (n, t) => after.get(n).contains(t) }
+    assert(survivors.size >= before.size - 2,
+      s"expected most files untouched: ${survivors.size} of ${before.size}")
+    assert(survivors.size < after.size, "the rewritten file(s) must be new")
+    assert(spark.read.parquet(c.path).count() === rows + lateN)
+    // the appended rows are present and the untouched segments unharmed
+    assert(h.read().where($"event_id" >= 9000000).count() === lateN)
+    // clean chunk → no-op
+    assert(Columnstore.recompressChunkSegmentwise(spark, c.path, segOpts) === -1)
+  }
+
+  test("segmentwise recompress without segmentby folds ONLY the appended " +
+      "files; recompressChunk dispatches raw/partial/clean") {
+    val dir = Files.createTempDirectory("graft_cs_rw2").toString
+    val h = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "30 days")
+    val ev = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    h.write(ev)
+    val c = h.showChunks().head
+    val plain = Columnstore.Options(orderBy = Seq("ts"))
+    // raw chunk: recompressChunk = full compression (returns row count)
+    val rows = spark.read.parquet(c.path).count()
+    assert(Columnstore.recompressChunk(spark, c.path, plain) === rows)
+    assert(Columnstore.isCompressed(spark, c.path))
+    // clean compressed chunk: no-op
+    assert(Columnstore.recompressChunk(spark, c.path, plain) === -1L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def files() = fs.listStatus(new org.apache.hadoop.fs.Path(c.path))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(f => f.getPath.getName -> f.getModificationTime).toMap
+    val before = files()
+    val late = ev.where(col("ts") >= new java.sql.Timestamp(c.startMicros / 1000))
+      .where(col("ts") < new java.sql.Timestamp(c.endMicros / 1000))
+      .limit(20).withColumn("event_id", $"event_id" + lit(9000000))
+    val lateN = late.count()
+    h.write(late)
+    assert(Columnstore.recompressChunk(spark, c.path, plain) >= 1)
+    val after = files()
+    // with no segmentby every pre-existing columnstore file is untouched
+    assert(before.forall { case (n, t) => after.get(n).contains(t) })
+    assert(!Columnstore.isPartial(spark, c.path))
+    assert(spark.read.parquet(c.path).count() === rows + lateN)
+  }
 }
