@@ -266,6 +266,51 @@ object SparkEntry {
       cagg.materialized.orderBy("month", "o_orderpriority")
     }),
 
+    // §2.10 timezone cagg (reference `cagg_timezone.sql` variable-bucket
+    // form): daily NY-local buckets over events shifted +60 days to cross
+    // the 2024-03-10 spring-forward — refresh alignment happens in local
+    // wall-clock space (uneven bucket instants), and the materialization
+    // must equal DuckDB's ICU tz bucketing exactly.
+    "q77_cagg_tz" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      import graft.streaming.{CaggDef, ContinuousAggregate}
+      Graft.init(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cagg_tz").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
+      ht.write(t(s, dir, "events")
+        .withColumn("ts", col("ts") + expr("INTERVAL 60 DAYS")), filesPerChunk = 8)
+      val defn = CaggDef("1 day", Seq("event_type"), Seq(
+        count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value")),
+        bucketCol = "day_ny", bucketTz = Some("America/New_York"))
+      val cagg = ContinuousAggregate.create(s, s"$tmp/cagg", ht, defn)
+      val (tmin, tmax) = timeRange(s, s"$tmp/ht", "ts")
+      cagg.refresh(defn.bucketFloor(tmin),
+        defn.bucketAdvance(defn.bucketFloor(tmax), 1))
+      cagg.materialized.orderBy("day_ny", "event_type")
+    }),
+
+    // §2.10 custom-origin cagg (reference `exp_cagg_origin.sql`): weekly
+    // buckets anchored to a Thursday origin instead of the Monday epoch.
+    "q78_cagg_origin" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      import graft.streaming.{CaggDef, ContinuousAggregate}
+      Graft.init(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cagg_og").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
+      ht.write(t(s, dir, "events"), filesPerChunk = 8)
+      val defn = CaggDef("7 days", Seq("event_type"), Seq(
+        count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value")),
+        bucketCol = "wk",
+        bucketOriginMicros = Some(tsUtc("2024-01-04 00:00:00").getTime * 1000L))
+      val cagg = ContinuousAggregate.create(s, s"$tmp/cagg", ht, defn)
+      val (tmin, tmax) = timeRange(s, s"$tmp/ht", "ts")
+      cagg.refresh(defn.bucketFloor(tmin),
+        defn.bucketAdvance(defn.bucketFloor(tmax), 1))
+      cagg.materialized.orderBy("wk", "event_type")
+    }),
+
     // §2.10 cagg WITH a dimension join (cagg_joins.sql): daily revenue by
     // nation — events enriched through customer→nation (broadcast) before
     // aggregation; group key comes from the dimension.
@@ -1397,6 +1442,21 @@ object SparkEntry {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q77_cagg_tz" ->
+      """SELECT timezone('UTC', time_bucket(INTERVAL '1 day',
+        |         timezone('UTC', CAST(ts AS TIMESTAMP) + INTERVAL 60 DAY),
+        |         'America/New_York')) AS day_ny,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q78_cagg_origin" ->
+      """SELECT time_bucket(INTERVAL '7 days', CAST(ts AS TIMESTAMP),
+        |         TIMESTAMP '2024-01-04 00:00:00') AS wk,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q39_cagg_join" ->
       """SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS bucket, n_name,

@@ -117,6 +117,26 @@ object TimeBucketUtil {
   def addMonthsMicros(us: Long, months: Int): Long =
     microsFromLdt(ldtFromMicros(us).plusMonths(months.toLong))
 
+  /** Wall-clock micros of instant `us` in `zone` — the driver-side mirror
+    * of Spark's `from_utc_timestamp` (shift by the zone offset AT the
+    * instant), so tz-bucket alignment computed on the driver agrees with
+    * the column expression exactly.
+    */
+  def localMicros(us: Long, zone: java.time.ZoneId): Long = {
+    val i = java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      Math.floorMod(us, 1000000L) * 1000L)
+    us + zone.getRules.getOffset(i).getTotalSeconds * 1000000L
+  }
+
+  /** Instant micros of wall-clock `localUs` in `zone` — mirror of Spark's
+    * `to_utc_timestamp` (`LocalDateTime.atZone` resolution: DST gaps shift
+    * forward, overlaps take the earlier offset).
+    */
+  def instantMicros(localUs: Long, zone: java.time.ZoneId): Long = {
+    val i = ldtFromMicros(localUs).atZone(zone).toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
   /** legacy CalendarInterval width (months XOR days+micros). */
   def bucketCalendarMicros(ts: Long, w: CalendarInterval, origin: Long): Long =
     if (w.months != 0) {

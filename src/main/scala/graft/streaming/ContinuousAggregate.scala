@@ -57,9 +57,28 @@ case class CaggDef(
       * width on an already-materialized cagg requires a full refresh (the
       * on-disk `_mat_chunk` keys are derived from it).
       */
-    matChunkWidth: String = "auto") {
+    matChunkWidth: String = "auto",
+    /** Bucket in this timezone's wall-clock (`time_bucket(width, ts,
+      * timezone)` caggs, reference `cagg_timezone.sql` variable-bucket
+      * suite): bucket STARTS are local-midnight/month instants, so bucket
+      * widths vary across DST. Bucket values stored/emitted remain UTC
+      * instants.
+      */
+    bucketTz: Option[String] = None,
+    /** Custom bucket origin as UTC micros (`time_bucket(width, ts, origin)`
+      * caggs, reference `exp_cagg_origin` suite). Not combined with
+      * `bucketTz` here.
+      */
+    bucketOriginMicros: Option[Long] = None) {
   private def interval(s: String) = org.apache.spark.sql.catalyst.util.IntervalUtils
     .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+
+  require(bucketTz.isEmpty || bucketOriginMicros.isEmpty,
+    "bucketTz and bucketOriginMicros cannot be combined")
+  /** Parsed zone (validates the id eagerly, at definition time). */
+  @transient private lazy val zone: java.time.ZoneId =
+    java.time.ZoneId.of(bucketTz.get)
+  bucketTz.foreach(_ => zone)
 
   /** A bare integer width ("10") targets an integer-time (bigint-dimension)
     * hypertable — the reference's `time_bucket(BIGINT '10', time)` cagg form
@@ -67,6 +86,8 @@ case class CaggDef(
     * width is then in the dimension's own units.
     */
   private[graft] val integerWidth: Boolean = bucketWidth.trim.matches("-?\\d+")
+  require(!integerWidth || (bucketTz.isEmpty && bucketOriginMicros.isEmpty),
+    "integer-time caggs have no timezone/origin bucket form (dimension units)")
 
   /** calendar-month bucket width (`src/time_bucket.c:148-183`); 0 = fixed. */
   private[graft] val widthMonths: Int = {
@@ -118,27 +139,62 @@ case class CaggDef(
         case _ => 70L * TimeBucketUtil.MICROS_PER_DAY
       }
       // a mat chunk must hold at least one whole bucket (month buckets can
-      // span up to 31 days × widthMonths)
+      // span up to 31 days × widthMonths; tz buckets stretch by a DST hour)
       val minSpan =
         if (widthMonths > 0) widthMonths * 31L * TimeBucketUtil.MICROS_PER_DAY
+        else if (bucketTz.isDefined) widthMicros + TimeBucketUtil.MICROS_PER_DAY
         else widthMicros
       math.max(base, minSpan)
     }
   }
 
+  // month-width origins past day 28 would drift under calendar-month
+  // stepping (plusMonths clamps Jan 31 → Feb 28, so advance no longer
+  // agrees with months-since-origin flooring); refuse up front
+  bucketOriginMicros.foreach { o =>
+    if (widthMonths > 0)
+      require(java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(o, 1000000L),
+          (Math.floorMod(o, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC).getDayOfMonth <= 28,
+        "month-width bucket origin must fall on day 1-28 of its month")
+  }
+
+  /** Floor in the space bucket arithmetic is FIXED in: raw units for
+    * integer widths, UTC micros for plain widths, local wall-clock micros
+    * for tz buckets (where buckets ARE fixed-width/whole-month).
+    */
+  private def floorFixed(us: Long, origin: Long): Long =
+    if (widthMonths > 0) TimeBucketUtil.bucketMonthsMicros(us, widthMonths, origin)
+    else TimeBucketUtil.bucketMicros(us, widthMicros, origin)
+
   /** Bucket start at-or-before `us` (integer widths align to origin 0, like
-    * the reference's `ts_int_bucket`; timestamp widths to the Monday
-    * epoch).
+    * the reference's `ts_int_bucket`; timestamp widths to the Monday epoch
+    * or the explicit origin; tz widths floor in local wall-clock space and
+    * convert back to the instant).
     */
   private[graft] def bucketFloor(us: Long): Long =
     if (integerWidth) TimeBucketUtil.bucketLong(us, widthMicros, TimeBucketUtil.SENTINEL)
-    else if (widthMonths > 0) TimeBucketUtil.bucketMonthsMicros(us, widthMonths, TimeBucketUtil.SENTINEL)
-    else TimeBucketUtil.bucketMicros(us, widthMicros, TimeBucketUtil.SENTINEL)
+    else bucketTz match {
+      case Some(_) => TimeBucketUtil.instantMicros(
+        floorFixed(TimeBucketUtil.localMicros(us, zone), TimeBucketUtil.SENTINEL), zone)
+      case None =>
+        floorFixed(us, bucketOriginMicros.getOrElse(TimeBucketUtil.SENTINEL))
+    }
 
-  /** Start of the n-th bucket after the one starting at `bucketStart`. */
-  private[graft] def bucketAdvance(bucketStart: Long, n: Int): Long =
-    if (widthMonths > 0) TimeBucketUtil.addMonthsMicros(bucketStart, widthMonths * n)
-    else bucketStart + widthMicros * n
+  /** Start of the n-th bucket after the one starting at `bucketStart`.
+    * tz buckets step in local wall-clock space (a DST-crossing daily
+    * bucket is 23 or 25 hours as an instant span).
+    */
+  private[graft] def bucketAdvance(bucketStart: Long, n: Int): Long = {
+    def step(us: Long): Long =
+      if (widthMonths > 0) TimeBucketUtil.addMonthsMicros(us, widthMonths * n)
+      else us + widthMicros * n
+    bucketTz match {
+      case Some(_) => TimeBucketUtil.instantMicros(
+        step(TimeBucketUtil.localMicros(bucketStart, zone)), zone)
+      case None => step(bucketStart)
+    }
+  }
 }
 
 /** Continuous aggregate over a [[Hypertable]] — the Spark-native equivalent
@@ -194,7 +250,12 @@ class ContinuousAggregate(
 
   private def bucketOf(time: Column): Column =
     if (integral) gf.time_bucket(lit(defn.widthMicros), time)
-    else gf.time_bucket(defn.bucketWidth, time)
+    else (defn.bucketTz, defn.bucketOriginMicros) match {
+      case (Some(tz), _) => gf.time_bucket_tz(defn.bucketWidth, time, tz)
+      case (None, Some(o)) =>
+        gf.time_bucket(defn.bucketWidth, time, timestamp_micros(lit(o)))
+      case _ => gf.time_bucket(defn.bucketWidth, time)
+    }
 
   /** Internal long (micros / raw units) of a time-typed column. */
   private def toUs(c: Column): Column = if (integral) c else unix_micros(c)
