@@ -37,7 +37,13 @@ object CaggRewrite extends Rule[LogicalPlan] {
       widthMonths: Int,
       groupCols: Seq[String],
       /** canonical agg SQL (sans alias) → cagg output column name */
-      aggSqlToName: Map[String, String])
+      aggSqlToName: Map[String, String],
+      /** variable-bucket forms: tz caggs match only the
+        * `time_bucket_tz`-shaped expression, origin caggs only the
+        * explicit-origin form (and plain caggs only the plain form)
+        */
+      tz: Option[String] = None,
+      originMicros: Option[Long] = None)
 
   private val registry = TrieMap.empty[String, Registered]
 
@@ -56,13 +62,20 @@ object CaggRewrite extends Rule[LogicalPlan] {
         "(the join changes bucket contents); query the cagg directly")
     // resolve the cagg's agg columns against the real source to get
     // canonical SQL for structural matching
+    val tcol = org.apache.spark.sql.functions.col(ht.timeCol)
     val bucketExpr =
       if (cagg.defn.integerWidth) // integer-time cagg: raw long width
         graft.functions.time_bucket(
-          org.apache.spark.sql.functions.lit(cagg.defn.widthMicros),
-          org.apache.spark.sql.functions.col(ht.timeCol))
-      else graft.functions.time_bucket(cagg.defn.bucketWidth,
-        org.apache.spark.sql.functions.col(ht.timeCol))
+          org.apache.spark.sql.functions.lit(cagg.defn.widthMicros), tcol)
+      else (cagg.defn.bucketTz, cagg.defn.bucketOriginMicros) match {
+        case (Some(tz), _) =>
+          graft.functions.time_bucket_tz(cagg.defn.bucketWidth, tcol, tz)
+        case (None, Some(o)) => graft.functions.time_bucket(
+          cagg.defn.bucketWidth, tcol,
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.lit(o)))
+        case _ => graft.functions.time_bucket(cagg.defn.bucketWidth, tcol)
+      }
     val probe = ht.read()
       .groupBy(bucketExpr)
       .agg(cagg.defn.aggs.head, cagg.defn.aggs.tail: _*)
@@ -75,7 +88,8 @@ object CaggRewrite extends Rule[LogicalPlan] {
       normalize(ht.path, cagg.spark.sessionState.newHadoopConf()),
       Registered(
         cagg, ht.timeCol, cagg.defn.widthMicros, cagg.defn.widthMonths,
-        cagg.defn.groupCols, aggSql))
+        cagg.defn.groupCols, aggSql,
+        cagg.defn.bucketTz, cagg.defn.bucketOriginMicros))
   }
 
   def clear(): Unit = registry.clear()
@@ -182,10 +196,27 @@ object CaggRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  private def isBucketOf(e: Expression, reg: Registered): Boolean = e match {
-    case TimeBucket(w, t: AttributeReference, None) =>
-      t.name == reg.timeCol && widthMatches(w, reg)
-    case _ => false
+  private def isBucketOf(e: Expression, reg: Registered): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{FromUTCTimestamp, Literal, ToUTCTimestamp}
+    e match {
+      // plain form matches only plain caggs (a tz/origin cagg holds
+      // differently-aligned buckets — matching it would be silently wrong)
+      case TimeBucket(w, t: AttributeReference, None) =>
+        reg.tz.isEmpty && reg.originMicros.isEmpty &&
+          t.name == reg.timeCol && widthMatches(w, reg)
+      // time_bucket_tz shape: to_utc(time_bucket(w, from_utc(ts, tz)), tz)
+      case ToUTCTimestamp(
+          TimeBucket(w, FromUTCTimestamp(t: AttributeReference, Literal(tz1, _)), None),
+          Literal(tz2, _)) =>
+        reg.tz.contains(String.valueOf(tz1)) && tz1 == tz2 &&
+          t.name == reg.timeCol && widthMatches(w, reg)
+      // explicit-origin form: the origin literal folds to a timestamp
+      case TimeBucket(w, t: AttributeReference,
+          Some(Literal(us: java.lang.Long, _: org.apache.spark.sql.types.TimestampType))) =>
+        reg.originMicros.contains(us.longValue()) &&
+          t.name == reg.timeCol && widthMatches(w, reg)
+      case _ => false
+    }
   }
 
   private def tryRewrite(groupExprs: Seq[Expression],

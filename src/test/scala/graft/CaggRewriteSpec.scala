@@ -123,6 +123,57 @@ class CaggRewriteSpec extends AnyFunSuite {
     assert(q.collect().toSet === direct)
   }
 
+  test("tz and origin caggs rewrite only their own bucket forms") {
+    CaggRewrite.clear()
+    val dir = Files.createTempDirectory("graft_cagg_rw_tz").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val tzCagg = ContinuousAggregate.create(spark, s"$dir/ctz", ht,
+      CaggDef("1 day", Seq("event_type"), Seq(count(lit(1)).as("n")),
+        bucketTz = Some("America/New_York")))
+    tzCagg.refresh(tzCagg.defn.bucketFloor(us("2024-01-01 00:00:00")),
+      tzCagg.defn.bucketAdvance(tzCagg.defn.bucketFloor(us("2024-02-01 00:00:00")), 1))
+    def rawTz = ht.read()
+      .groupBy(gf.time_bucket_tz("1 day", $"ts", "America/New_York").as("day_ny"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val direct = rawTz.collect().toSet
+    Graft.registerCaggRewrite(tzCagg)
+    val q = rawTz
+    assert(scansMat(q), s"expected mat scan in:\n${q.queryExecution.optimizedPlan}")
+    assert(q.collect().toSet === direct)
+    // a PLAIN daily aggregation must NOT match the tz cagg (different
+    // bucket alignment), and a different zone must not either
+    assert(!scansMat(ht.read()
+      .groupBy(gf.time_bucket("1 day", $"ts").as("b"), $"event_type")
+      .agg(count(lit(1)).as("n"))))
+    assert(!scansMat(ht.read()
+      .groupBy(gf.time_bucket_tz("1 day", $"ts", "Europe/Berlin").as("b"), $"event_type")
+      .agg(count(lit(1)).as("n"))))
+
+    // origin cagg: matches only the same-origin form
+    CaggRewrite.clear()
+    val origin = us("2024-01-04 00:00:00")
+    val oCagg = ContinuousAggregate.create(spark, s"$dir/cog", ht,
+      CaggDef("7 days", Seq("event_type"), Seq(count(lit(1)).as("n")),
+        bucketOriginMicros = Some(origin)))
+    oCagg.refresh(oCagg.defn.bucketFloor(us("2024-01-01 00:00:00")),
+      oCagg.defn.bucketAdvance(oCagg.defn.bucketFloor(us("2024-02-01 00:00:00")), 1))
+    def rawOg = ht.read()
+      .groupBy(gf.time_bucket("7 days", $"ts",
+        timestamp_micros(lit(origin))).as("wk"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val directOg = rawOg.collect().toSet
+    Graft.registerCaggRewrite(oCagg)
+    val q2 = rawOg
+    assert(scansMat(q2), s"expected mat scan in:\n${q2.queryExecution.optimizedPlan}")
+    assert(q2.collect().toSet === directOg)
+    // default-origin weekly form must not match the custom-origin cagg
+    assert(!scansMat(ht.read()
+      .groupBy(gf.time_bucket("7 days", $"ts").as("wk"), $"event_type")
+      .agg(count(lit(1)).as("n"))))
+  }
+
   test("non-matching shapes are not rewritten") {
     val (ht, cagg) = setup()
     cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
