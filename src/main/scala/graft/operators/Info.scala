@@ -177,11 +177,16 @@ object Info {
         mat.size.toLong, compressed.size.toLong,
         if (wm == Long.MinValue) None else Some(wm),
         c.pendingInvalidations().size.toLong,
-        c.childCaggPaths.size.toLong)
+        c.childCaggPaths.size.toLong,
+        // bucket-function catalog columns (continuous_aggs_bucket_function:
+        // bucket_timezone / bucket_origin / bucket_fixed_width)
+        c.defn.bucketTz, c.defn.bucketOriginMicros,
+        c.defn.widthMonths == 0 && c.defn.bucketTz.isEmpty)
     }.toDF("view_name", "hypertable_name", "bucket_width", "bucket_column",
       "group_columns", "finalized", "materialized_only",
       "compression_enabled", "num_mat_chunks", "num_compressed_mat_chunks",
-      "watermark_micros", "pending_invalidations", "num_children")
+      "watermark_micros", "pending_invalidations", "num_children",
+      "bucket_timezone", "bucket_origin_micros", "bucket_fixed_width")
   }
 
   /** timescaledb_information.jobs, policy subset (`sql/views.sql:94-117`):

@@ -459,5 +459,17 @@ class CaggSpec extends AnyFunSuite {
     assert(row.getAs[Long]("watermark_micros") === us("2024-02-01 00:00:00"))
     assert(row.getAs[Long]("pending_invalidations") === 0L)
     assert(row.getAs[Long]("num_children") === 0L)
+    // bucket-function catalog columns (continuous_aggs_bucket_function)
+    assert(row.getAs[String]("bucket_timezone") === null)
+    assert(row.isNullAt(row.fieldIndex("bucket_origin_micros")))
+    assert(row.getAs[Boolean]("bucket_fixed_width"))
+    // a tz cagg reports its zone and variable width
+    val tzc = graft.streaming.ContinuousAggregate.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_info_tz").toString + "/c",
+      ht, graft.streaming.CaggDef("1 day", Seq("event_type"),
+        Seq(count(lit(1)).as("n")), bucketTz = Some("America/New_York")))
+    val trow = graft.operators.Info.continuousAggregates(Seq(tzc)).head()
+    assert(trow.getAs[String]("bucket_timezone") === "America/New_York")
+    assert(!trow.getAs[Boolean]("bucket_fixed_width"))
   }
 }
