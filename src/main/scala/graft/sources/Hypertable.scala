@@ -283,6 +283,24 @@ class Hypertable private (
     case _        => unix_micros(time.cast("timestamp"))
   }
 
+  /** [min, max+1) of the data's time values. The chunk catalog orders the
+    * chunks, so only the FIRST and LAST chunk are read (pruned one-column
+    * min/max — O(edge chunks), not O(table)).
+    */
+  override def timeBounds: Option[(Long, Long)] = {
+    val cs = showChunks()
+    if (cs.isEmpty) return None
+    def edge(path: String, agg: Column => Column): Option[Long] = {
+      val r = spark.read.parquet(path)
+        .agg(agg(timeMicrosExpr(col(timeCol)))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    for {
+      lo <- edge(cs.head.path, min)
+      hi <- edge(cs.last.path, max)
+    } yield (lo, hi + 1)
+  }
+
   /** Per-chunk closed-dimension partition counts (chunk start → column →
     * count recorded when the chunk was created; -1 = layout unknown). Only
     * populated once [[setNumberPartitions]] has run.

@@ -11,4 +11,10 @@ trait TimeSource {
   def read(): DataFrame
   /** Rows with timeCol in [startMicros, endMicros), source-pruned. */
   def between(startMicros: Long, endMicros: Long): DataFrame
+  /** [min, max+1) of the ACTUAL data's time values (dimension units) —
+    * used to give the unbounded "everything is dirty" invalidation entry a
+    * finite footprint. Metadata-cheap: only the edge chunks are consulted.
+    * None when the source holds no rows.
+    */
+  def timeBounds: Option[(Long, Long)]
 }

@@ -352,7 +352,16 @@ class ContinuousAggregate(
     * buckets from raw and rewrite exactly the mat-chunks they live in,
     * carrying over already-materialized buckets outside the window
     * (MERGE-per-chunk — `materialize.c:442,461,524`). Advances the
-    * watermark. Returns the aligned window actually refreshed.
+    * watermark. Returns the aligned window.
+    *
+    * Like the reference (`refresh.c:1377-1382`), the DEFAULT pass skips
+    * already-clean regions: only the never-materialized tail (at/after the
+    * watermark) and the logged invalidation ranges inside the window are
+    * recomputed — a periodic policy re-running a standing 7-day window
+    * over a 100 TB table pays for the dirty buckets, not the window.
+    * `force = true` re-materializes the whole window regardless
+    * (`refresh.c:1476` — the escape hatch for suspected corruption or
+    * unlogged external edits to the raw files).
     *
     * The rewrite goes through a temp dir + per-chunk swap, so concurrent
     * READERS of a chunk see old or new files, never a mix. Concurrent
@@ -361,13 +370,53 @@ class ContinuousAggregate(
     * mat-chunk would otherwise each carry over the other's pre-refresh
     * buckets and the last chunk swap would silently win.
     */
-  def refresh(startMicros: Long, endMicros: Long): (Long, Long) = {
+  def refresh(startMicros: Long, endMicros: Long,
+      force: Boolean = false): (Long, Long) = {
     val (s, e) = inscribe(startMicros, endMicros)
     // reference `refresh.c:1033`: a window covering zero whole buckets is a
     // caller error, not a silent no-op
     require(s < e, "refresh window too small: it must cover at least one " +
       "whole bucket after inscribing to bucket boundaries")
-    withRefreshLock { doRefresh(s, e) }
+    withRefreshLock {
+      if (force) doRefresh(s, e)
+      else {
+        // threshold moves at refresh START (invalidation_threshold.c
+        // ordering) over the WHOLE window — mutations below e log from
+        // here on even if this refresh crashes mid-way
+        setInvalidationThreshold(e)
+        // dirty = logged invalidations ∩ window, widened to whole buckets.
+        // "Never materialized" needs no special case: creation logs one
+        // unbounded entry (`create.c:437` invalidates [-inf, +inf)), so
+        // every un-refreshed region IS in the log until a refresh cuts it.
+        // Everything else in the window is materialized AND clean —
+        // recomputing it would produce identical bytes.
+        val dirty = dirtRanges().flatMap { case (lo, hi) =>
+          // clip to the (finite) window FIRST — the widening arithmetic
+          // must never see unbounded endpoints
+          val l = math.max(lo, s)
+          val h = math.min(hi, e)
+          if (l >= h) None
+          else Some((math.max(defn.bucketFloor(l), s),
+            math.min(defn.bucketAdvance(defn.bucketFloor(h - 1), 1), e)))
+        }
+        // the LAST region's pass cuts entries against the WHOLE window,
+        // not just its own dirty region: the window's clean zones were
+        // just verified (materialized or rowless), so dirt markers there
+        // are repaid — without this a data-gap inside the window would
+        // read as pending forever. Earlier regions cut only themselves,
+        // so a crash mid-sequence leaves the unprocessed dirt logged.
+        val merged = graft.Ranges.mergeOverlapping(dirty)
+        merged.zipWithIndex.foreach { case ((a, b), i) =>
+          if (i == merged.size - 1) doRefresh(a, b, s, e)
+          else doRefresh(a, b)
+        }
+        // after the loop the WHOLE window below e is materialized-or-empty
+        // (dirty repaired, clean already materialized), so the realtime
+        // seam advances to the window end even when nothing was rewritten
+        if (e > watermark) setWatermark(e)
+        (s, e)
+      }
+    }
   }
 
   /** Serialize refreshes via an exclusive-create lock file; a lock older
@@ -399,7 +448,15 @@ class ContinuousAggregate(
     try body finally fs.delete(lock, false)
   }
 
-  private def doRefresh(s: Long, e: Long): (Long, Long) = {
+  /** `cutLo`/`cutHi`: the range the invalidation-log cut applies to — the
+    * materialized region itself for a forced/direct refresh; the WHOLE
+    * window for the non-forced path (regions outside the dirty part were
+    * just verified clean).
+    */
+  private def doRefresh(s: Long, e: Long): (Long, Long) = doRefresh(s, e, s, e)
+
+  private def doRefresh(s: Long, e: Long,
+      cutLo: Long, cutHi: Long): (Long, Long) = {
     val wmBefore = watermark
     // threshold first (invalidation_threshold.c ordering): from here on,
     // ingest below `e` must log — even if this refresh never completes
@@ -469,16 +526,17 @@ class ContinuousAggregate(
     val propLo = if (e <= wmBefore) s else math.max(s, wmBefore)
     if (propLo < e)
       childPaths.foreach(c => ContinuousAggregate.appendInvalidation(fs, c, propLo, e))
-    // cut processed log entries against the refresh window
-    // (invalidation.c: entries inside [s, e) were just repaired and are
-    // deleted; a partial overlap leaves the remainder(s) outside the
-    // window). Only the pre-compute snapshot is touched — entries logged
-    // mid-refresh stay for the next pass.
+    // cut processed log entries against the cut range (invalidation.c:
+    // entries inside [cutLo, cutHi) were just repaired — or verified
+    // rowless by the enclosing non-forced window — and are deleted; a
+    // partial overlap leaves the remainder(s) outside. Only the
+    // pre-compute snapshot is touched — entries logged mid-refresh stay
+    // for the next pass.
     logBefore.foreach { case (f, (lo, hi)) =>
-      if (lo < e && hi > s) {
+      if (lo < cutHi && hi > cutLo) {
         fs.delete(f, false)
-        if (lo < s) appendInvalidation(fs, path, lo, s)
-        if (hi > e) appendInvalidation(fs, path, e, hi)
+        if (lo < cutLo) appendInvalidation(fs, path, lo, cutLo)
+        if (hi > cutHi) appendInvalidation(fs, path, cutHi, hi)
       }
     }
     (s, e)
@@ -499,8 +557,43 @@ class ContinuousAggregate(
   def invalidate(loMicros: Long, hiMicros: Long): Unit =
     ContinuousAggregate.appendInvalidation(fs, path, loMicros, hiMicros)
 
-  /** Pending invalidation ranges (merged where overlapping). */
-  def pendingInvalidations(): Seq[(Long, Long)] = pendingInvalidationsWithFiles()._1
+  /** ALL dirty ranges (merged): logged mutations plus the remainders of
+    * the creation-time "everything dirty" entry. Unbounded endpoints are
+    * clipped to the source's ACTUAL data bounds — dirt without rows under
+    * it is vacuously repaired. Only the unbounded endpoints are clipped;
+    * finite entries (real logged mutations, e.g. a tail delete) are
+    * preserved even when they lie beyond the current data bounds, since
+    * the MATERIALIZATION may still hold stale rows there.
+    */
+  private def dirtRanges(): Seq[(Long, Long)] = {
+    val raw = invEntries().map(_._2)
+    if (raw.isEmpty) return Seq.empty
+    lazy val bounds = source.timeBounds
+    // clip BEFORE merging: merging a finite entry into an unbounded
+    // remainder first would erase the finite endpoint, and the clip could
+    // then discard real dirt (e.g. a logged delete of rows at the data
+    // edge, where the deletion itself moved the data bound inward)
+    graft.Ranges.mergeOverlapping(raw.flatMap { case (lo, hi) =>
+      val l = if (lo != Long.MinValue) lo
+        else bounds.fold(Long.MaxValue)(_._1)
+      val h = if (hi != Long.MaxValue) hi
+        else bounds.fold(Long.MinValue)(_._2)
+      if (l < h) Some((l, h)) else None
+    })
+  }
+
+  /** Pending invalidations NEEDING REPAIR: dirty ranges below the
+    * invalidation threshold (the reference's log holds entries only
+    * there). Dirt at/above the threshold is the not-yet-materialized tail
+    * — new data a policy's bounded window deliberately hasn't reached —
+    * not a repair.
+    */
+  def pendingInvalidations(): Seq[(Long, Long)] = {
+    val t = invalidationThreshold
+    dirtRanges().flatMap { case (lo, hi) =>
+      if (lo >= t) None else Some((lo, math.min(hi, t)))
+    }
+  }
 
   /** Raw (unmerged) log entries with their files. A file deleted between
     * the listing and the read was just processed by a concurrent refresh's
@@ -519,33 +612,28 @@ class ContinuousAggregate(
     }
   }
 
-  private def pendingInvalidationsWithFiles(): (Seq[(Long, Long)], Seq[Path]) = {
-    val entries = invEntries()
-    val files = entries.map(_._1)
-    // merge overlapping/adjacent ranges (invalidation.c log compaction)
-    (graft.Ranges.mergeOverlapping(entries.map(_._2)), files)
-  }
 
-  /** Re-materialize every invalidated range, then clear the processed log
-    * entries — one `refresh_continuous_aggregate` policy pass
-    * (`refresh.c:996`). Only the files READ are deleted: a range logged
-    * concurrently (late rows from an in-flight ingest) stays pending for
-    * the next pass instead of being silently discarded.
+  /** Re-materialize every invalidated range — one
+    * `refresh_continuous_aggregate` policy pass (`refresh.c:996`). One
+    * non-forced refresh over the dirty SPAN does the work: only the dirty
+    * regions inside it are recomputed, and [[doRefresh]]'s log cut removes
+    * exactly the entries repaired — a range logged concurrently (late rows
+    * from an in-flight ingest) stays pending for the next pass instead of
+    * being silently discarded.
     */
   def refreshInvalidated(): Seq[(Long, Long)] = {
-    val (ranges, files) = pendingInvalidationsWithFiles()
-    val done = ranges.map { case (lo, hi) =>
-      // widen to enclosing whole buckets: invalidated rows dirty their bucket
-      val s = defn.bucketFloor(lo)
-      val e = defn.bucketAdvance(defn.bucketFloor(hi), 1)
-      refresh(s, e)
+    val ranges = pendingInvalidations()
+    if (ranges.isEmpty) return Seq.empty
+    // widen to enclosing whole buckets: invalidated rows dirty their bucket
+    val widened = ranges.map { case (lo, hi) =>
+      (defn.bucketFloor(lo), defn.bucketAdvance(defn.bucketFloor(hi - 1), 1))
     }
-    files.foreach(f => fs.delete(f, false))
-    done
+    refresh(widened.map(_._1).min, widened.map(_._2).max)
+    widened
   }
 
   /** Mat-chunk partition dirs as (chunk key, path), key-sorted. */
-  private def matChunkDirs: Seq[(Long, Path)] = {
+  private[streaming] def matChunkDirs: Seq[(Long, Path)] = {
     val mp = new Path(matPath)
     if (!fs.exists(mp)) return Seq.empty
     fs.listStatus(mp).toSeq
@@ -765,12 +853,14 @@ object CaggRefreshPolicy {
     val dropped =
       if (maxBatchesPerExecution > 0) windows.drop(maxBatchesPerExecution) else Seq.empty
     if (maxBatchesPerExecution > 0) windows = windows.take(maxBatchesPerExecution)
+    // each windowed refresh folds in the window's own invalidations (the
+    // default refresh is invalidation-driven, refresh.c:1377); dirt
+    // OUTSIDE the policy window deliberately stays logged — the reference
+    // policy never repairs past its offsets
     val done = windows.map { case (lo, hi) => cagg.refresh(lo, hi) }
-    cagg.refreshInvalidated()
-    // newest-first + cap skips windows already below the advanced watermark:
-    // log them AFTER the invalidation pass so the NEXT policy run picks them
-    // up (the reference keeps unprocessed ranges in the invalidation log) —
-    // never silently unmaterialized
+    // newest-first + cap skips windows: log them so the NEXT policy run
+    // picks them up (the reference keeps unprocessed ranges in the
+    // invalidation log) — never silently unmaterialized
     dropped.foreach { case (lo, hi) => cagg.invalidate(lo, hi) }
     done
   }
@@ -792,6 +882,19 @@ object ContinuousAggregate {
         parentBucketUs(col(parent.defn.bucketCol)) < endMicros)
     private def parentBucketUs(c: org.apache.spark.sql.Column) =
       if (parent.integral) c else unix_micros(c)
+    /** Edge mat chunks only — the dirs are key-ordered. */
+    override def timeBounds: Option[(Long, Long)] = {
+      val dirs = parent.matChunkDirs
+      if (dirs.isEmpty) return None
+      def edge(p: Path, agg: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Option[Long] = {
+        val r = parent.spark.read.parquet(p.toString).agg(agg(col(BUCKET))).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+      for {
+        lo <- edge(dirs.head._2, min)
+        hi <- edge(dirs.last._2, max)
+      } yield (lo, hi + 1)
+    }
   }
 
   /** Append one range file to a cagg's invalidation log (by path, so a
@@ -845,6 +948,14 @@ object ContinuousAggregate {
     // leave a permanent phantom entry in the table's cagg registry when
     // validation throws
     val cagg = new ContinuousAggregate(spark, path, source, defn)
+    // reference `create.c:437`: creation invalidates [-inf, +inf) — the
+    // whole range starts DIRTY, so refresh needs no "never materialized"
+    // special case; each refresh cuts the region it repairs out of the
+    // log. Only on first creation (the `_invalidations` dir outliving its
+    // entries marks a prior create — re-opening must not re-dirty).
+    val invDir = new Path(path, "_invalidations")
+    if (!fs.exists(invDir))
+      appendInvalidation(fs, path, Long.MinValue, Long.MaxValue)
     source match {
       // hierarchical cagg: record this child with its parent so parent
       // refreshes invalidate it (re-open via the same path is idempotent)

@@ -472,4 +472,53 @@ class CaggSpec extends AnyFunSuite {
     assert(trow.getAs[String]("bucket_timezone") === "America/New_York")
     assert(!trow.getAs[Boolean]("bucket_fixed_width"))
   }
+
+  test("default refresh skips clean regions; force recomputes the window " +
+      "(refresh.c:1377,1476 semantics)") {
+    val dir = Files.createTempDirectory("graft_cagg_clean").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht,
+      CaggDef("1 hour", Seq("event_type"), Seq(
+        count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value")),
+        matChunkWidth = "7 days"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def matState(): Map[String, Long] = {
+      val mp = new org.apache.hadoop.fs.Path(s"$dir/cagg/mat")
+      if (!fs.exists(mp)) return Map.empty
+      fs.listStatus(mp).filter(_.isDirectory).flatMap(d =>
+        fs.listStatus(d.getPath).filter(_.isFile)
+          .map(f => s"${d.getPath.getName}/${f.getPath.getName}" -> f.getModificationTime)).toMap
+    }
+    def direct() = ht.read()
+      .groupBy(gf.time_bucket("1 hour", $"ts").as("bucket"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"))
+
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    val afterFirst = matState()
+    assert(afterFirst.nonEmpty)
+    // the whole window is materialized and clean → the default pass
+    // rewrites NOTHING (every mat file keeps its name and mtime)
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    assert(matState() === afterFirst, "clean re-refresh must be a no-op")
+    // force re-materializes regardless
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"), force = true)
+    assert(matState() !== afterFirst, "forced refresh must rewrite")
+
+    // a late row dirties ONE bucket: the default whole-window pass must
+    // rewrite only the mat chunk(s) holding it, not the other weeks
+    val preDirty = matState()
+    cagg.ingest(Seq((990009L, Timestamp.valueOf("2024-01-10 05:30:00"), 1L,
+        "click", 42.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    val postDirty = matState()
+    val changedChunks = (postDirty.keySet ++ preDirty.keySet)
+      .filter(k => preDirty.get(k) != postDirty.get(k)).map(_.split("/")(0))
+    assert(changedChunks.size === 1,
+      s"expected exactly the dirty week's mat chunk rewritten, got $changedChunks")
+    assert(cagg.materialized.collect().toSet === direct().collect().toSet)
+  }
 }
