@@ -26,7 +26,7 @@ object Stats {
 
   case class FileStats(rows: Long, min: Option[Any], max: Option[Any])
 
-  private[operators] def listParquetFiles(spark: SparkSession, path: String): Seq[String] = {
+  private[graft] def listParquetFiles(spark: SparkSession, path: String): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def walk(dir: Path): Seq[String] =

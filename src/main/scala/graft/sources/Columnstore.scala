@@ -391,6 +391,16 @@ object Columnstore {
     * the columnar scan merges pre-sorted batches, so per-file order is the
     * batch contract (`batch_queue_heap.c`).
     *
+    * Concurrency: the reference holds an exclusive chunk lock for the
+    * whole of `recompress_chunk` (readers block); a filesystem has no such
+    * lock, and the per-leaf swap here (delete consumed inputs, adopt
+    * replacements) is NOT atomic — a query that lists the leaf mid-swap
+    * can transiently miss the affected segments' rows. The window is
+    * proportional to the files *touched* (small by construction — that is
+    * the point of the segmentwise pass), but like every chunk-rewrite
+    * maintenance op it must be serialized against readers externally
+    * (policy/maintenance windows), exactly as the reference's lock does.
+    *
     * Returns the number of input files consumed, or -1 when the chunk has
     * no uncompressed appends (no-op, like `if_not_compressed`).
     */
@@ -446,7 +456,11 @@ object Columnstore {
             if (n <= df.rdd.getNumPartitions) df.coalesce(n)
             else if (opts.orderBy.nonEmpty) df.repartitionByRange(n, opts.orderBy.map(col): _*)
             else df.repartition(n)
-          case segs => df.repartition(n, segs.map(col): _*)
+          // RANGE like compressChunk — a hash layout here would give the
+          // rewritten files whole-domain footer ranges on the segment key,
+          // degrading the very pruning (and segment-key file skipping)
+          // this pass depends on for the NEXT late batch
+          case segs => df.repartitionByRange(n, segs.map(col): _*)
         }).sortWithinPartitions((opts.segmentBy ++ opts.orderBy).map(col): _*)
         val tmp = new Path(leaf, ".recompress_tmp")
         var w = arranged.write.mode("overwrite")
@@ -474,16 +488,31 @@ object Columnstore {
     consumed
   }
 
+  /** What a [[recompressChunk]] dispatch did — the two live branches count
+    * different things (rows written vs input files folded), so the result
+    * is typed rather than a unit-ambiguous number.
+    */
+  sealed trait RecompressResult
+  /** Raw chunk: full compression ran, `rows` written. */
+  final case class RecompressedFull(rows: Long) extends RecompressResult
+  /** Partial chunk: segmentwise fold-in consumed `filesConsumed` inputs. */
+  final case class RecompressedSegmentwise(filesConsumed: Int) extends RecompressResult
+  /** Already-clean columnstore chunk — nothing to do. */
+  case object RecompressNoop extends RecompressResult
+
   /** recompress_chunk (`tsl/src/compression/api.c` `tsl_recompress_chunk`):
     * raw chunk → full compression; partial chunk → segmentwise fold-in;
-    * already-clean compressed chunk → no-op (-1).
+    * already-clean compressed chunk → no-op.
     */
   def recompressChunk(spark: SparkSession, chunkPath: String,
-      opts: Options): Long =
+      opts: Options): RecompressResult =
     (statusBits(spark, chunkPath) & 5) match {
-      case 5 => recompressChunkSegmentwise(spark, chunkPath, opts).toLong
-      case 1 => -1L
-      case _ => compressChunk(spark, chunkPath, opts)
+      case 5 => recompressChunkSegmentwise(spark, chunkPath, opts) match {
+        case -1 => RecompressNoop // appends vanished between status and pass
+        case n  => RecompressedSegmentwise(n)
+      }
+      case 1 => RecompressNoop
+      case _ => RecompressedFull(compressChunk(spark, chunkPath, opts))
     }
 
   /** Compress every not-yet-compressed chunk fully older than the cutoff —

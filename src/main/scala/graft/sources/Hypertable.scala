@@ -284,20 +284,51 @@ class Hypertable private (
   }
 
   /** [min, max+1) of the data's time values. The chunk catalog orders the
-    * chunks, so only the FIRST and LAST chunk are read (pruned one-column
-    * min/max — O(edge chunks), not O(table)).
+    * chunks, so bounds come from the EDGE chunks — parquet footer ranges
+    * when the encoding has sound stats (timestamp/bigint), a pruned
+    * one-column scan otherwise (uuid strings: binary footer stats may be
+    * truncated, so they are never trusted for an exact bound). An edge
+    * chunk that is empty or all-null contributes nothing and the walk
+    * moves inward — a tail delete that empties the last chunk must not
+    * erase the bounds of the data that still exists.
     */
   override def timeBounds: Option[(Long, Long)] = {
     val cs = showChunks()
     if (cs.isEmpty) return None
-    def edge(path: String, agg: Column => Column): Option[Long] = {
-      val r = spark.read.parquet(path)
-        .agg(agg(timeMicrosExpr(col(timeCol)))).head()
-      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    // Some(None) = chunk provably holds no time values (empty/all-null);
+    // Some(Some(v)) = bound; None = footers can't answer, scan decides
+    def viaFooter(c: ChunkInfo, wantMin: Boolean): Option[Option[Long]] =
+      timeKind match {
+        case "uuidv7" => None
+        case _ =>
+          graft.operators.Stats.columnRanges(spark, c.path, Seq(timeCol))
+            .get(timeCol) match {
+            case None => None
+            case Some(None) => Some(None)
+            case Some(Some((mn, mx))) => (if (wantMin) mn else mx) match {
+              case l: java.lang.Long => Some(Some(l.longValue))
+              case _ => None
+            }
+          }
+      }
+    def viaScan(c: ChunkInfo, wantMin: Boolean): Option[Long] = {
+      // a rewrite can leave a listed chunk dir with zero files — that is
+      // an empty chunk, not a schema-inference error
+      if (graft.operators.Stats.listParquetFiles(spark, c.path).isEmpty) None
+      else {
+        val a = if (wantMin) min(timeMicrosExpr(col(timeCol)))
+                else max(timeMicrosExpr(col(timeCol)))
+        val r = spark.read.parquet(c.path).agg(a).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
     }
+    def bound(order: Seq[ChunkInfo], wantMin: Boolean): Option[Long] =
+      order.iterator
+        .map(c => viaFooter(c, wantMin).getOrElse(viaScan(c, wantMin)))
+        .collectFirst { case Some(v) => v }
     for {
-      lo <- edge(cs.head.path, min)
-      hi <- edge(cs.last.path, max)
+      lo <- bound(cs, wantMin = true)
+      hi <- bound(cs.reverse, wantMin = false)
     } yield (lo, hi + 1)
   }
 

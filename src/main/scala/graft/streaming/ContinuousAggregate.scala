@@ -384,13 +384,20 @@ class ContinuousAggregate(
         // ordering) over the WHOLE window — mutations below e log from
         // here on even if this refresh crashes mid-way
         setInvalidationThreshold(e)
+        // snapshot the log ONCE, after the threshold move: the dirty
+        // regions derive from exactly these entries, and only exactly
+        // these entries are cut afterwards. An entry appended while this
+        // refresh runs (in-flight ingest landing in a zone this pass
+        // treats as clean) is NOT in the snapshot, so it survives for the
+        // next pass instead of being deleted un-repaired.
+        val logSnap = invEntries()
         // dirty = logged invalidations ∩ window, widened to whole buckets.
         // "Never materialized" needs no special case: creation logs one
         // unbounded entry (`create.c:437` invalidates [-inf, +inf)), so
         // every un-refreshed region IS in the log until a refresh cuts it.
         // Everything else in the window is materialized AND clean —
         // recomputing it would produce identical bytes.
-        val dirty = dirtRanges().flatMap { case (lo, hi) =>
+        val dirty = dirtRanges(logSnap.map(_._2)).flatMap { case (lo, hi) =>
           // clip to the (finite) window FIRST — the widening arithmetic
           // must never see unbounded endpoints
           val l = math.max(lo, s)
@@ -399,17 +406,16 @@ class ContinuousAggregate(
           else Some((math.max(defn.bucketFloor(l), s),
             math.min(defn.bucketAdvance(defn.bucketFloor(h - 1), 1), e)))
         }
-        // the LAST region's pass cuts entries against the WHOLE window,
-        // not just its own dirty region: the window's clean zones were
-        // just verified (materialized or rowless), so dirt markers there
-        // are repaid — without this a data-gap inside the window would
-        // read as pending forever. Earlier regions cut only themselves,
-        // so a crash mid-sequence leaves the unprocessed dirt logged.
         val merged = graft.Ranges.mergeOverlapping(dirty)
-        merged.zipWithIndex.foreach { case ((a, b), i) =>
-          if (i == merged.size - 1) doRefresh(a, b, s, e)
-          else doRefresh(a, b)
-        }
+        merged.foreach { case (a, b) => doRefresh(a, b, cutLog = false) }
+        // every dirty region is repaired and the window's clean zones were
+        // just verified (materialized or rowless), so the SNAPSHOT entries
+        // are repaid across the whole window — without this a data-gap
+        // inside the window would read as pending forever. Cutting only
+        // after ALL regions complete means a crash mid-sequence leaves
+        // every entry logged (the next pass redoes at most the regions
+        // that already finished — wasteful, never lossy).
+        cutLog(logSnap, s, e)
         // after the loop the WHOLE window below e is materialized-or-empty
         // (dirty repaired, clean already materialized), so the realtime
         // seam advances to the window end even when nothing was rewritten
@@ -448,15 +454,13 @@ class ContinuousAggregate(
     try body finally fs.delete(lock, false)
   }
 
-  /** `cutLo`/`cutHi`: the range the invalidation-log cut applies to — the
-    * materialized region itself for a forced/direct refresh; the WHOLE
-    * window for the non-forced path (regions outside the dirty part were
-    * just verified clean).
+  /** `cutLog = false`: skip the materialize-then-cut of log entries — the
+    * non-forced [[refresh]] path owns the cut (it repairs several regions
+    * from ONE log snapshot and cuts that snapshot against the whole window
+    * only after every region completes).
     */
-  private def doRefresh(s: Long, e: Long): (Long, Long) = doRefresh(s, e, s, e)
-
   private def doRefresh(s: Long, e: Long,
-      cutLo: Long, cutHi: Long): (Long, Long) = {
+      cutLog: Boolean = true): (Long, Long) = {
     val wmBefore = watermark
     // threshold first (invalidation_threshold.c ordering): from here on,
     // ingest below `e` must log — even if this refresh never completes
@@ -464,7 +468,7 @@ class ContinuousAggregate(
     // snapshot the log BEFORE any raw scan: entries appended while this
     // refresh runs may describe rows the compute missed, so only the
     // entries visible NOW may be cut against the window afterwards
-    val logBefore = invEntries()
+    val logBefore = if (cutLog) invEntries() else Seq.empty
     val chunkLo = matChunkOf(s)
     val chunkHi = matChunkOf(e - 1) + matChunkMicros
     val fresh = compute(s, e).withColumn(MATCHUNK, graftMatChunk(col(BUCKET)))
@@ -526,21 +530,28 @@ class ContinuousAggregate(
     val propLo = if (e <= wmBefore) s else math.max(s, wmBefore)
     if (propLo < e)
       childPaths.foreach(c => ContinuousAggregate.appendInvalidation(fs, c, propLo, e))
-    // cut processed log entries against the cut range (invalidation.c:
-    // entries inside [cutLo, cutHi) were just repaired — or verified
-    // rowless by the enclosing non-forced window — and are deleted; a
-    // partial overlap leaves the remainder(s) outside. Only the
-    // pre-compute snapshot is touched — entries logged mid-refresh stay
-    // for the next pass.
-    logBefore.foreach { case (f, (lo, hi)) =>
+    // cut processed log entries against the materialized range
+    // (invalidation.c): only the pre-compute snapshot is touched —
+    // entries logged mid-refresh stay for the next pass
+    if (cutLog) this.cutLog(logBefore, s, e)
+    (s, e)
+  }
+
+  /** Delete the given log entries' overlap with [cutLo, cutHi) — that
+    * range was just repaired (or verified rowless by an enclosing
+    * non-forced window); a partial overlap re-logs the remainder(s).
+    * Cutting ONLY an explicit snapshot is load-bearing: an entry appended
+    * concurrently may describe rows no completed compute has seen.
+    */
+  private def cutLog(entries: Seq[(Path, (Long, Long))],
+      cutLo: Long, cutHi: Long): Unit =
+    entries.foreach { case (f, (lo, hi)) =>
       if (lo < cutHi && hi > cutLo) {
         fs.delete(f, false)
         if (lo < cutLo) appendInvalidation(fs, path, lo, cutLo)
         if (hi > cutHi) appendInvalidation(fs, path, cutHi, hi)
       }
     }
-    (s, e)
-  }
 
   /** mat-chunk key of a bucket — MUST agree with [[matChunkOf]] (same
     * time_bucket flooring, same origin), or refresh keep-filters miss the
@@ -565,8 +576,9 @@ class ContinuousAggregate(
     * preserved even when they lie beyond the current data bounds, since
     * the MATERIALIZATION may still hold stale rows there.
     */
-  private def dirtRanges(): Seq[(Long, Long)] = {
-    val raw = invEntries().map(_._2)
+  private def dirtRanges(): Seq[(Long, Long)] = dirtRanges(invEntries().map(_._2))
+
+  private def dirtRanges(raw: Seq[(Long, Long)]): Seq[(Long, Long)] = {
     if (raw.isEmpty) return Seq.empty
     lazy val bounds = source.timeBounds
     // clip BEFORE merging: merging a finite entry into an unbounded
@@ -616,10 +628,10 @@ class ContinuousAggregate(
   /** Re-materialize every invalidated range — one
     * `refresh_continuous_aggregate` policy pass (`refresh.c:996`). One
     * non-forced refresh over the dirty SPAN does the work: only the dirty
-    * regions inside it are recomputed, and [[doRefresh]]'s log cut removes
-    * exactly the entries repaired — a range logged concurrently (late rows
-    * from an in-flight ingest) stays pending for the next pass instead of
-    * being silently discarded.
+    * regions inside it are recomputed, and [[refresh]]'s snapshot cut
+    * removes exactly the entries it saw at start — a range logged
+    * concurrently (late rows from an in-flight ingest) stays pending for
+    * the next pass instead of being silently discarded.
     */
   def refreshInvalidated(): Seq[(Long, Long)] = {
     val ranges = pendingInvalidations()
@@ -882,17 +894,39 @@ object ContinuousAggregate {
         parentBucketUs(col(parent.defn.bucketCol)) < endMicros)
     private def parentBucketUs(c: org.apache.spark.sql.Column) =
       if (parent.integral) c else unix_micros(c)
-    /** Edge mat chunks only — the dirs are key-ordered. */
+    /** Bounds from the edge mat chunks (key-ordered dirs): parquet footer
+      * ranges first (the bucket is a plain INT64 — exact), scan fallback;
+      * an empty or file-less edge dir moves the walk inward instead of
+      * erasing the bounds of the chunks that still hold rows.
+      */
     override def timeBounds: Option[(Long, Long)] = {
       val dirs = parent.matChunkDirs
       if (dirs.isEmpty) return None
-      def edge(p: Path, agg: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Option[Long] = {
-        val r = parent.spark.read.parquet(p.toString).agg(agg(col(BUCKET))).head()
-        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      def viaFooter(p: Path, wantMin: Boolean): Option[Option[Long]] =
+        graft.operators.Stats.columnRanges(parent.spark, p.toString, Seq(BUCKET))
+          .get(BUCKET) match {
+          case None => None
+          case Some(None) => Some(None)
+          case Some(Some((mn, mx))) => (if (wantMin) mn else mx) match {
+            case l: java.lang.Long => Some(Some(l.longValue))
+            case _ => None
+          }
+        }
+      def viaScan(p: Path, wantMin: Boolean): Option[Long] = {
+        if (graft.operators.Stats.listParquetFiles(parent.spark, p.toString).isEmpty) None
+        else {
+          val a = if (wantMin) min(col(BUCKET)) else max(col(BUCKET))
+          val r = parent.spark.read.parquet(p.toString).agg(a).head()
+          if (r.isNullAt(0)) None else Some(r.getLong(0))
+        }
       }
+      def bound(order: Seq[(Long, Path)], wantMin: Boolean): Option[Long] =
+        order.iterator
+          .map { case (_, p) => viaFooter(p, wantMin).getOrElse(viaScan(p, wantMin)) }
+          .collectFirst { case Some(v) => v }
       for {
-        lo <- edge(dirs.head._2, min)
-        hi <- edge(dirs.last._2, max)
+        lo <- bound(dirs, wantMin = true)
+        hi <- bound(dirs.reverse, wantMin = false)
       } yield (lo, hi + 1)
     }
   }
@@ -951,11 +985,16 @@ object ContinuousAggregate {
     // reference `create.c:437`: creation invalidates [-inf, +inf) — the
     // whole range starts DIRTY, so refresh needs no "never materialized"
     // special case; each refresh cuts the region it repairs out of the
-    // log. Only on first creation (the `_invalidations` dir outliving its
-    // entries marks a prior create — re-opening must not re-dirty).
-    val invDir = new Path(path, "_invalidations")
-    if (!fs.exists(invDir))
+    // log. An explicit `_created` marker (not "the `_invalidations` dir
+    // exists" — appendInvalidation also creates that dir) distinguishes
+    // re-opening from first creation: re-opening must not re-dirty. A
+    // marker-less on-disk cagg from before the marker existed gets the
+    // full entry — one redundant recompute, never a silent gap.
+    val marker = new Path(path, "_created")
+    if (!fs.exists(marker)) {
       appendInvalidation(fs, path, Long.MinValue, Long.MaxValue)
+      graft.sources.Hypertable.writeSmallFile(fs, marker, "1")
+    }
     source match {
       // hierarchical cagg: record this child with its parent so parent
       // refreshes invalidate it (re-open via the same path is idempotent)

@@ -521,4 +521,49 @@ class CaggSpec extends AnyFunSuite {
       s"expected exactly the dirty week's mat chunk rewritten, got $changedChunks")
     assert(cagg.materialized.collect().toSet === direct().collect().toSet)
   }
+
+  test("re-opening a cagg stays clean; a marker-less (pre-marker) cagg " +
+      "conservatively re-dirties") {
+    val (ht, cagg) = freshCagg()
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    assert(cagg.pendingInvalidations().isEmpty)
+    // re-open through create(): the `_created` marker says "not first
+    // creation", so nothing re-dirties
+    val reopened = ContinuousAggregate.create(spark, cagg.path, ht, defn)
+    assert(reopened.pendingInvalidations().isEmpty)
+    // an on-disk cagg from before the marker existed (dir present, no
+    // marker): create() must append the creation entry — a redundant
+    // recompute on the next refresh, never a silent gap
+    val fs = new org.apache.hadoop.fs.Path(cagg.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(cagg.path, "_created"), false)
+    val legacy = ContinuousAggregate.create(spark, cagg.path, ht, defn)
+    assert(legacy.pendingInvalidations().nonEmpty)
+    // and the recompute converges back to clean + correct
+    legacy.refreshInvalidated()
+    assert(legacy.pendingInvalidations().isEmpty)
+    assert(legacy.materialized.collect().toSet === directAgg(ht).collect().toSet)
+  }
+
+  test("a delete that empties the newest chunk neither crashes bounds " +
+      "discovery nor strands the cagg") {
+    val (ht, cagg) = freshCagg()
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    val lastStart = ht.showChunks().last.startMicros
+    val boundsBefore = ht.timeBounds.get
+    // wipe every row of the newest chunk — rewriteChunkDir leaves a listed,
+    // file-less dir behind
+    ht.deleteWhere(unix_micros($"ts") >= lastStart)
+    // bounds walk moves inward past the empty edge dir instead of
+    // crashing or reporting None
+    val boundsAfter = ht.timeBounds.get
+    assert(boundsAfter._2 <= lastStart + 1)
+    assert(boundsAfter._1 === boundsBefore._1)
+    // the delete invalidated the cagg; the repair pass must run clean and
+    // remove the deleted range's buckets
+    assert(cagg.pendingInvalidations().nonEmpty)
+    cagg.refreshInvalidated()
+    assert(cagg.pendingInvalidations().isEmpty)
+    assert(cagg.materialized.collect().toSet === directAgg(ht).collect().toSet)
+  }
 }

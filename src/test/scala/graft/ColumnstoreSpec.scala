@@ -223,12 +223,14 @@ class ColumnstoreSpec extends AnyFunSuite {
     h.write(ev)
     val c = h.showChunks().head
     val plain = Columnstore.Options(orderBy = Seq("ts"))
-    // raw chunk: recompressChunk = full compression (returns row count)
+    // raw chunk: recompressChunk = full compression (reports rows written)
     val rows = spark.read.parquet(c.path).count()
-    assert(Columnstore.recompressChunk(spark, c.path, plain) === rows)
+    assert(Columnstore.recompressChunk(spark, c.path, plain) ===
+      Columnstore.RecompressedFull(rows))
     assert(Columnstore.isCompressed(spark, c.path))
     // clean compressed chunk: no-op
-    assert(Columnstore.recompressChunk(spark, c.path, plain) === -1L)
+    assert(Columnstore.recompressChunk(spark, c.path, plain) ===
+      Columnstore.RecompressNoop)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     def files() = fs.listStatus(new org.apache.hadoop.fs.Path(c.path))
       .filter(_.getPath.getName.endsWith(".parquet"))
@@ -239,7 +241,10 @@ class ColumnstoreSpec extends AnyFunSuite {
       .limit(20).withColumn("event_id", $"event_id" + lit(9000000))
     val lateN = late.count()
     h.write(late)
-    assert(Columnstore.recompressChunk(spark, c.path, plain) >= 1)
+    assert(Columnstore.recompressChunk(spark, c.path, plain) match {
+      case Columnstore.RecompressedSegmentwise(n) => n >= 1
+      case _ => false
+    })
     val after = files()
     // with no segmentby every pre-existing columnstore file is untouched
     assert(before.forall { case (n, t) => after.get(n).contains(t) })
