@@ -1124,6 +1124,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Training-data ops: PII redaction (email/IPv4/SSN/US-phone) as a
+    // chain of codegen'd regexp_replace passes, plus per-kind match
+    // counts. The synthetic corpus carries no natural PII, so the query
+    // injects a deterministic specimen of each kind per doc (derived from
+    // doc_id on BOTH engines) — every row provably exercises every
+    // pattern, and the redacted text plus counts hash-match the oracle.
+    "q79_pii_redact" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"),
+          lit(".7 ssn 123-45-6789 call 555-867-5309")).as("text"))
+      val counts = TextAnalysis.pii_counts(col("text"))
+      aug.select(col("doc_id"),
+          TextAnalysis.redact_pii(col("text")).as("redacted"),
+          counts.getField("n_email").as("n_email"),
+          counts.getField("n_ipv4").as("n_ipv4"),
+          counts.getField("n_ssn").as("n_ssn"),
+          counts.getField("n_phone_us").as("n_phone"))
+        .orderBy("doc_id")
+    }),
+
     // ANN, IVF variant: k-means inverted lists + centroid-ordered probes +
     // exact rerank. Probing ALL lists makes the result exactly the
     // brute-force top-k (the correctness gate), while exercising the
@@ -1940,6 +1963,28 @@ object SparkEntry {
         |      ELSE 1.0 - CAST(length(list_distinct(grams)) AS DOUBLE) / length(grams)
         | END AS dup_fraction
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q79_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    concat(text, ' contact user', doc_id, '@example.com from 10.0.',
+        |      doc_id % 256, '.7 ssn 123-45-6789 call 555-867-5309') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |   '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted,
+        | CAST(length(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        | CAST(length(regexp_extract_all(text,
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+        | CAST(length(regexp_extract_all(text,
+        |   '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+        | CAST(length(regexp_extract_all(text,
+        |   '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone
+        |FROM aug ORDER BY doc_id""".stripMargin,
 
     "q57_ivf_ann" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),

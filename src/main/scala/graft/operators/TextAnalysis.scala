@@ -161,4 +161,42 @@ object TextAnalysis {
     */
   def fingerprint64(text: Column): Column =
     xxhash64(lower(regexp_replace(text, lit("\\s+"), lit(" "))))
+
+  /** PII redaction patterns, applied in order: (kind, regex, replacement).
+    * Patterns are deliberately restricted to syntax with identical
+    * semantics in Java regex and RE2 (no lookaround, ASCII classes, `\b`)
+    * so an engine-portable oracle can verify the redaction byte-for-byte.
+    * Email precedes IPv4 (an all-alpha TLD keeps the two disjoint, but a
+    * dotted-quad inside an already-redacted token must not resurface);
+    * replacements contain no digits, so later passes can never match
+    * inside earlier replacements. SSN (3-2-4) and US phone (3-3-4) groups
+    * are length-disjoint.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone_us", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"))
+
+  /** Redact the selected PII kinds — a chain of codegen'd
+    * `regexp_replace`s (one narrow scan, no UDF). At 100 TB this is
+    * embarrassingly parallel and pipelines inside whole-stage codegen with
+    * whatever filter/projection surrounds it.
+    */
+  def redact_pii(text: Column,
+      kinds: Seq[String] = piiPatterns.map(_._1)): Column = {
+    val unknown = kinds.filterNot(k => piiPatterns.exists(_._1 == k))
+    require(unknown.isEmpty, s"unknown PII kind(s): ${unknown.mkString(",")}")
+    piiPatterns.filter(p => kinds.contains(p._1)).foldLeft(text) {
+      case (c, (_, pat, repl)) => regexp_replace(c, lit(pat), lit(repl))
+    }
+  }
+
+  /** Per-kind PII match counts (for filtering/reporting pipelines) as a
+    * struct with one field per kind in [[piiPatterns]] order.
+    */
+  def pii_counts(text: Column): Column =
+    struct(piiPatterns.map { case (kind, pat, _) =>
+      regexp_count(text, lit(pat)).as(s"n_$kind")
+    }: _*)
 }

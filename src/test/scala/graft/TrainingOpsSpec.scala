@@ -304,4 +304,43 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(f0.map(_.frameIdx).sorted.toSeq === Seq(0, 25, 50, 75))
     assert(f0.forall(_.feature.length === 8))
   }
+
+  test("redact_pii masks each kind, leaves clean text alone, and counts " +
+      "agree with the masks") {
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      (1L, "reach me at jane.doe+spam@corp.example.org today"),
+      (2L, "server 192.168.0.17 and 8.8.8.8 are up"),
+      (3L, "ssn 123-45-6789 phone 555-867-5309"),
+      (4L, "no pii here, just 3.14 and v1.2.3 and a-b-c"),
+      (5L, "mixed: bob@x.io at 10.0.0.1, 987-65-4321")
+    ).toDF("id", "text")
+    val out = rows.select($"id",
+        TextAnalysis.redact_pii($"text").as("r"),
+        TextAnalysis.pii_counts($"text").as("c"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) === "reach me at <EMAIL> today")
+    assert(out(1).getString(1) === "server <IP> and <IP> are up")
+    assert(out(2).getString(1) === "ssn <SSN> phone <PHONE>")
+    // version strings / decimals / hyphenated words survive untouched
+    assert(out(3).getString(1) === "no pii here, just 3.14 and v1.2.3 and a-b-c")
+    assert(out(4).getString(1) === "mixed: <EMAIL> at <IP>, <SSN>")
+    def counts(r: org.apache.spark.sql.Row) = {
+      val c = r.getStruct(2)
+      (c.getInt(0), c.getInt(1), c.getInt(2), c.getInt(3))
+    }
+    assert(counts(out(0)) === ((1, 0, 0, 0)))
+    assert(counts(out(1)) === ((0, 2, 0, 0)))
+    assert(counts(out(2)) === ((0, 0, 1, 1)))
+    assert(counts(out(3)) === ((0, 0, 0, 0)))
+    assert(counts(out(4)) === ((1, 1, 1, 0)))
+    // kind selection: only the requested kinds are masked
+    val only = rows.where($"id" === 5L)
+      .select(TextAnalysis.redact_pii($"text", Seq("email")).as("r"))
+      .head().getString(0)
+    assert(only === "mixed: <EMAIL> at 10.0.0.1, 987-65-4321")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.redact_pii($"text", Seq("credit_card"))
+    }
+  }
 }
