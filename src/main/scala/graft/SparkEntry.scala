@@ -765,6 +765,10 @@ object SparkEntry {
       val defn = CaggDef(day.toString, Seq("event_type"), Seq(
         count(lit(1)).as("n"),
         expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value")))
+      // integer caggs require the dimension's clock (set_integer_now_func)
+      // before creation, like the reference
+      Hypertable.registerIntegerNow("q72_now")(() => Long.MaxValue / 2)
+      ht.setIntegerNowFunc("q72_now")
       val cagg = ContinuousAggregate.create(s, s"$tmp/cagg", ht, defn)
       val (tmin, tmax) = timeRange(s, s"$tmp/ht", "ts_us")
       cagg.refresh(Math.floorDiv(tmin, day) * day, tmax + day)

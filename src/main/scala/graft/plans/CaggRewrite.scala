@@ -60,6 +60,11 @@ object CaggRewrite extends Rule[LogicalPlan] {
     require(cagg.defn.dimJoin.isEmpty,
       "caggs with a dimension join cannot serve raw-table rewrites " +
         "(the join changes bucket contents); query the cagg directly")
+    // a WHERE/HAVING cagg materializes a SUBSET of the raw aggregation —
+    // matching an unfiltered raw query to it would silently drop rows
+    require(cagg.defn.filter.isEmpty && cagg.defn.having.isEmpty,
+      "caggs with a WHERE/HAVING clause cannot serve raw-table rewrites " +
+        "(they materialize a filtered subset); query the cagg directly")
     // resolve the cagg's agg columns against the real source to get
     // canonical SQL for structural matching
     val tcol = org.apache.spark.sql.functions.col(ht.timeCol)

@@ -19,8 +19,8 @@ object Toggles {
     * `SET` vocabulary); anything else names the offending key instead of
     * surfacing a bare NumberFormatException from inside the optimizer.
     */
-  private def on(key: String): Boolean =
-    SQLConf.get.getConfString(key, "true").trim.toLowerCase match {
+  private def on(key: String, default: Boolean = true): Boolean =
+    SQLConf.get.getConfString(key, default.toString).trim.toLowerCase match {
       case "true" | "on" | "1" | "yes"  => true
       case "false" | "off" | "0" | "no" => false
       case other => throw new IllegalArgumentException(
@@ -51,4 +51,14 @@ object Toggles {
     */
   def caggRewrites: Boolean =
     optimizations && on("spark.graft.enable_cagg_rewrites")
+
+  /** Skip cagg invalidation logging during DML —
+    * `timescaledb.skip_cagg_invalidation` (`tsl/test/sql/
+    * cagg_skip_invalidation.sql`): a bulk-backfill escape hatch for loads
+    * whose range the operator will refresh explicitly afterwards. Default
+    * OFF (mutations log), deliberately NOT under the `optimizations`
+    * master switch — it changes refresh-visible STATE, not plan shape.
+    */
+  def skipCaggInvalidation: Boolean =
+    on("spark.graft.skip_cagg_invalidation", default = false)
 }

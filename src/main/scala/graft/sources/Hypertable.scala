@@ -263,6 +263,10 @@ class Hypertable private (
     * last chunk of a year must not invalidate the 50 chunks between).
     */
   private def invalidateCaggs(ranges: Seq[(Long, Long)]): Unit = {
+    // `timescaledb.skip_cagg_invalidation` escape hatch: a bulk backfill
+    // the operator refreshes explicitly afterwards skips the per-batch
+    // log fan-out (cagg_skip_invalidation.sql — every DML path honors it)
+    if (graft.plans.Toggles.skipCaggInvalidation) return
     val paths = caggPaths
     if (paths.isEmpty) return
     val merged = graft.Ranges.mergeOverlapping(ranges)

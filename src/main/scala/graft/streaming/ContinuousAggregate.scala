@@ -69,12 +69,47 @@ case class CaggDef(
       * caggs, reference `exp_cagg_origin` suite). Not combined with
       * `bucketTz` here.
       */
-    bucketOriginMicros: Option[Long] = None) {
+    bucketOriginMicros: Option[Long] = None,
+    /** Raw-row predicate of the cagg's defining query (the `WHERE` clause
+      * in `CREATE MATERIALIZED VIEW ... AS SELECT ... WHERE ...`, e.g.
+      * `cagg_union_view.sql` mat_m1): applied before bucketing in both the
+      * materialization and the realtime live side.
+      */
+    filter: Option[Column] = None,
+    /** Helper aggregates usable in [[having]] but dropped from the output
+      * (the reference allows `HAVING sum(c) > 50` with `sum(c)` absent from
+      * the select list). Each must be aliased.
+      */
+    havingAggs: Seq[Column] = Nil,
+    /** Post-aggregation predicate (`HAVING`), referencing output and/or
+      * [[havingAggs]] aliases. Safe to apply at materialization: each
+      * refresh recomputes whole buckets, so a group row's pass/fail is
+      * always decided on its complete aggregate — no partial-merge hazard.
+      */
+    having: Option[Column] = None) {
   private def interval(s: String) = org.apache.spark.sql.catalyst.util.IntervalUtils
     .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
 
   require(bucketTz.isEmpty || bucketOriginMicros.isEmpty,
     "bucketTz and bucketOriginMicros cannot be combined")
+  require(havingAggs.isEmpty || having.nonEmpty,
+    "havingAggs without a having predicate would compute and drop dead columns")
+
+  /** Aggregate + HAVING tail shared by materialization and the realtime
+    * live side: helper aggregates computed, predicate applied, helpers
+    * dropped. The helpers are dropped positionally — they are always the
+    * trailing `havingAggs.size` output columns of the aggregation, so no
+    * Column→name reflection is needed.
+    */
+  private[streaming] def aggregateAndHave(grouped:
+      org.apache.spark.sql.RelationalGroupedDataset): org.apache.spark.sql.DataFrame = {
+    val all = aggs ++ havingAggs
+    val agg = grouped.agg(all.head, all.tail: _*)
+    val post = having.foldLeft(agg)((df, p) => df.where(p))
+    if (havingAggs.isEmpty) post
+    else post.select(post.columns.dropRight(havingAggs.size)
+      .map(org.apache.spark.sql.functions.col).toSeq: _*)
+  }
   /** Parsed zone (validates the id eagerly, at definition time). */
   @transient private lazy val zone: java.time.ZoneId =
     java.time.ZoneId.of(bucketTz.get)
@@ -265,12 +300,12 @@ class ContinuousAggregate(
 
   /** Aggregate raw rows of [lo, hi) into finalized bucket rows. */
   private def compute(loMicros: Long, hiMicros: Long): DataFrame = {
-    val raw = defn.dimJoin.foldLeft(source.between(loMicros, hiMicros))(
+    val joined = defn.dimJoin.foldLeft(source.between(loMicros, hiMicros))(
       (df, j) => j(df))
-    raw.groupBy(
-        (toUs(bucketOf(col(source.timeCol))).as(BUCKET) +:
-          defn.groupCols.map(col)): _*)
-      .agg(defn.aggs.head, defn.aggs.tail: _*)
+    val raw = defn.filter.foldLeft(joined)((df, p) => df.where(p))
+    defn.aggregateAndHave(raw.groupBy(
+      (toUs(bucketOf(col(source.timeCol))).as(BUCKET) +:
+        defn.groupCols.map(col)): _*))
   }
 
   /** Materialized rows with the bucket as a timestamp column (bucket first,
@@ -424,6 +459,30 @@ class ContinuousAggregate(
       }
     }
   }
+
+  /** `refresh_continuous_aggregate` with unbounded (NULL) window ends
+    * (`refresh.c:996`: NULL start/end are open bounds): an unbounded end
+    * clips to the source's data bounds, widened to whole buckets. A cagg
+    * over an EMPTY source — or a one-sided window that covers no whole
+    * bucket of the data — is the reference's "nothing to refresh" NOTICE,
+    * surfaced as None rather than an error.
+    */
+  def refresh(startOpt: Option[Long], endOpt: Option[Long],
+      force: Boolean): Option[(Long, Long)] =
+    (startOpt, endOpt) match {
+      case (Some(s), Some(e)) => Some(refresh(s, e, force))
+      case _ => source.timeBounds.flatMap { case (lo, hi) =>
+        val s = startOpt.getOrElse(defn.bucketFloor(lo))
+        val e = endOpt.getOrElse(defn.bucketAdvance(defn.bucketFloor(hi - 1), 1))
+        if (s >= e) None else Some(refresh(s, e, force))
+      }
+    }
+
+  /** `CALL refresh_continuous_aggregate(cagg, NULL, NULL[, force])` — the
+    * whole-range refresh. No-op (None) on an empty source.
+    */
+  def refreshAll(force: Boolean = false): Option[(Long, Long)] =
+    refresh(None, None, force)
 
   /** Serialize refreshes via an exclusive-create lock file; a lock older
     * than `staleMs` (1 h — a refresh holding it longer is presumed
@@ -828,13 +887,13 @@ class ContinuousAggregate(
   }
 
   private def liveFrom(wmMicros: Long): DataFrame = {
-    val raw = defn.dimJoin.foldLeft(
+    val joined = defn.dimJoin.foldLeft(
       source.read().where(toUs(col(source.timeCol)) >= wmMicros))(
       (df, j) => j(df))
-    raw.groupBy(
-        (bucketOf(col(source.timeCol)).as(defn.bucketCol) +:
-          defn.groupCols.map(col)): _*)
-      .agg(defn.aggs.head, defn.aggs.tail: _*)
+    val raw = defn.filter.foldLeft(joined)((df, p) => df.where(p))
+    defn.aggregateAndHave(raw.groupBy(
+      (bucketOf(col(source.timeCol)).as(defn.bucketCol) +:
+        defn.groupCols.map(col)): _*))
   }
 }
 
@@ -973,9 +1032,27 @@ object ContinuousAggregate {
       }
     }
 
+  /** `withData = true` = `CREATE MATERIALIZED VIEW ... WITH DATA`: run a
+    * whole-range refresh immediately after wiring (the reference's
+    * default); `false` = `WITH NO DATA` (this library's default — callers
+    * usually refresh an explicit window next).
+    */
   def create(spark: SparkSession, path: String, source: TimeSource,
-      defn: CaggDef): ContinuousAggregate = {
+      defn: CaggDef, withData: Boolean = false): ContinuousAggregate = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // reference parity (`cagg_create`, tested in cagg_refresh_common.sql
+    // "without a now function. This should not be allowed"): an
+    // integer-time cagg requires the hypertable's integer-now function
+    // BEFORE creation — the invalidation threshold and every policy need
+    // that clock ("custom time function required")
+    source match {
+      case h: graft.sources.Hypertable
+          if h.timeKind == "bigint" && h.integerNowFunc.isEmpty =>
+        throw new IllegalArgumentException(
+          s"custom time function required on hypertable ${h.path} — " +
+            "setIntegerNowFunc first (ddl_api.sql:73-79)")
+      case _ => ()
+    }
     fs.mkdirs(new Path(path))
     // construct FIRST: the constructor validates the definition against the
     // source (integer width vs dimension kind) — registering before would
@@ -1005,6 +1082,7 @@ object ContinuousAggregate {
       case h: graft.sources.Hypertable => h.registerCagg(path)
       case _ => ()
     }
+    if (withData) cagg.refreshAll()
     cagg
   }
 }

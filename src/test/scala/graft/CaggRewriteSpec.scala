@@ -110,6 +110,8 @@ class CaggRewriteSpec extends AnyFunSuite {
       chunkWidth = "10", timeKind = "bigint")
     ht.write((1 to 100).map(t => (t.toLong, (t % 4).toLong, 20.0 + t % 10))
       .toDF("time", "device", "temp"))
+    Hypertable.registerIntegerNow("cagg_rw_int_now")(() => 100L)
+    ht.setIntegerNowFunc("cagg_rw_int_now")
     val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht,
       CaggDef("10", Seq("device"), Seq(count(lit(1)).as("n"))))
     cagg.refresh(0L, 110L)

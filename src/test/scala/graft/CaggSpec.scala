@@ -545,6 +545,48 @@ class CaggSpec extends AnyFunSuite {
     assert(legacy.materialized.collect().toSet === directAgg(ht).collect().toSet)
   }
 
+  test("skip_cagg_invalidation toggle suppresses the DML fan-out " +
+      "(cagg_skip_invalidation.sql)") {
+    val (ht, cagg) = freshCagg()
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    assert(cagg.pendingInvalidations().isEmpty)
+    def late(id: Long) =
+      Seq((id, Timestamp.valueOf("2024-01-10 05:30:00"), 1L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // toggle on: the below-threshold write does NOT log (bulk-backfill
+    // escape hatch — the operator refreshes the range explicitly after)
+    spark.conf.set("spark.graft.skip_cagg_invalidation", "on")
+    try ht.write(late(990100L))
+    finally spark.conf.unset("spark.graft.skip_cagg_invalidation")
+    assert(cagg.pendingInvalidations().isEmpty)
+    // default (off): the same write logs and the cagg reads as dirty
+    ht.write(late(990101L))
+    assert(cagg.pendingInvalidations().nonEmpty)
+  }
+
+  test("unbounded refresh windows and WITH [NO] DATA " +
+      "(cagg_refresh_common.sql NULL-window scenarios)") {
+    val dir = Files.createTempDirectory("graft_cagg_nullwin").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht, defn)
+    // refresh on a cagg over an EMPTY hypertable: the reference notices
+    // "nothing to refresh" — a no-op, not an error (forced too)
+    assert(cagg.refreshAll() === None)
+    assert(cagg.refreshAll(force = true) === None)
+    // data lands; the cagg stays empty until refreshed (WITH NO DATA)
+    ht.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    assert(cagg.materialized.isEmpty)
+    // one-sided unbounded windows: forward from mid, then back to mid
+    val mid = us("2024-01-15 00:00:00")
+    assert(cagg.refresh(Some(mid), None, force = false).nonEmpty)
+    assert(cagg.refresh(None, Some(mid), force = false).nonEmpty)
+    assert(cagg.materialized.collect().toSet === directAgg(ht).collect().toSet)
+    // WITH DATA: whole-range refresh at creation
+    val wd = ContinuousAggregate.create(spark, s"$dir/cagg_wd", ht, defn,
+      withData = true)
+    assert(wd.materialized.collect().toSet === directAgg(ht).collect().toSet)
+  }
+
   test("a delete that empties the newest chunk neither crashes bounds " +
       "discovery nor strands the cagg") {
     val (ht, cagg) = freshCagg()

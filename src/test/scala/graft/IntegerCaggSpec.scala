@@ -28,6 +28,10 @@ class IntegerCaggSpec extends AnyFunSuite {
     val ht = Hypertable.create(spark, s"$dir/ht", "time",
       chunkWidth = "10", timeKind = "bigint")
     ht.write(conditionsRows())
+    // like the reference's `smallint_now()` setup: integer caggs require
+    // the dimension's clock before creation (cagg_refresh_common.sql)
+    Hypertable.registerIntegerNow("intcagg_spec_now")(() => 100L)
+    ht.setIntegerNowFunc("intcagg_spec_now")
     ht
   }
 
@@ -52,6 +56,65 @@ class IntegerCaggSpec extends AnyFunSuite {
     // origin-0 alignment: every bucket is a multiple of 10 (ts_int_bucket)
     assert(mat.select($"bucket").collect().forall(_.getLong(0) % 10 === 0))
     assert(cagg.watermark === 100L)
+  }
+
+  test("union view with WHERE and HAVING matches the reference golden " +
+      "(cagg_union_view.sql mat_m1)") {
+    val dir = Files.createTempDirectory("graft_matm1").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "a",
+      chunkWidth = "10", timeKind = "bigint")
+    ht.write(Seq((3, 16, 20), (1, 10, 20), (1, 11, 20), (1, 12, 20),
+        (1, 13, 20), (1, 14, 20), (2, 14, 20), (2, 15, 20), (2, 16, 20),
+        (20, 16, 20), (20, 26, 20), (20, 16, 20), (21, 15, 30),
+        (21, 15, 30), (21, 15, 30))
+      .map { case (a, b, c) => (a.toLong, b.toLong, c.toLong) }
+      .toDF("a", "b", "c"))
+    Hypertable.registerIntegerNow("matm1_now")(() => 21L)
+    ht.setIntegerNowFunc("matm1_now")
+    // CREATE MATERIALIZED VIEW mat_m1 AS SELECT time_bucket(1, a),
+    //   count(*), sum(b+c), max(c)-min(b), avg(c) FROM ht_intdata
+    //   WHERE b < 16 GROUP BY 1 HAVING sum(c) > 50
+    val defn = CaggDef("1", Seq.empty, Seq(
+        count(lit(1)).as("countb"),
+        sum($"b" + $"c").as("sumbc"),
+        (max($"c") - min($"b")).as("spreadcb"),
+        avg($"c").as("avgc")),
+      bucketCol = "a_bucket",
+      filter = Some($"b" < 16),
+      havingAggs = Seq(sum($"c").as("_sum_c")),
+      having = Some($"_sum_c" > 50))
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht, defn)
+    // "Do partial refresh to have something to union": NULL -> 11
+    cagg.refresh(None, Some(11L), force = false)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    // materialized-only: bucket 21 is above the watermark; buckets 2
+    // (HAVING fails: sum(c)=40), 3 and 20 (WHERE removes every row) exist
+    // on neither side
+    assert(rows(cagg.materialized) === Set((1L, 5L, 160L, 10L, 20.0)))
+    assert(rows(cagg.realtime) ===
+      Set((1L, 5L, 160L, 10L, 20.0), (21L, 3L, 135L, 15L, 30.0)))
+    // helper HAVING aggregates never leak into the schema
+    assert(!cagg.materialized.columns.contains("_sum_c"))
+    assert(!cagg.realtime.columns.contains("_sum_c"))
+    // late rows above the watermark surface in the union view immediately
+    ht.write(Seq((31L, 15L, 30L), (31L, 14L, 70L)).toDF("a", "b", "c"))
+    assert(rows(cagg.realtime) === Set((1L, 5L, 160L, 10L, 20.0),
+      (21L, 3L, 135L, 15L, 30.0), (31L, 2L, 129L, 56L, 50.0)))
+  }
+
+  test("an integer cagg without an integer-now function is rejected " +
+      "(cagg_refresh_common.sql 'custom time function required')") {
+    val dir = Files.createTempDirectory("graft_intcagg_nonow").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "time",
+      chunkWidth = "10", timeKind = "bigint")
+    ht.write(conditionsRows())
+    val e = intercept[IllegalArgumentException] {
+      ContinuousAggregate.create(spark, s"$dir/bad", ht, def10)
+    }
+    assert(e.getMessage.contains("custom time function required"))
+    // and the failed create must not leave a phantom registration behind
+    assert(ht.caggPaths.isEmpty)
   }
 
   test("mismatched width/dimension kinds are rejected up front") {
