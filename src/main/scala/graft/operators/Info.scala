@@ -93,6 +93,23 @@ object Info {
         "before_compression_total_bytes", "after_compression_total_bytes")
   }
 
+  /** timescaledb_information.hypertable_columnstore_settings
+    * (`sql/views.sql:368-420`): the table's STORED columnstore layout
+    * ([[graft.sources.Hypertable.setColumnstoreSettings]]) with the
+    * reference's comma-joined column-list shape; one all-null settings row
+    * when none are configured (the reference's LEFT JOIN against the
+    * settings catalog).
+    */
+  def hypertableColumnstoreSettings(ht: Hypertable): DataFrame = {
+    import ht.spark.implicits._
+    val s = ht.columnstoreSettings
+    Seq((ht.path,
+        s.map(_.segmentBy.mkString(",")),
+        s.map(_.orderBy.mkString(",")),
+        s.map(_.rowGroupBytes)))
+      .toDF("hypertable", "segmentby", "orderby", "row_group_bytes")
+  }
+
   /** timescaledb_information.dimensions (`sql/views.sql:226-256`). */
   def dimensions(ht: Hypertable): DataFrame = {
     import ht.spark.implicits._

@@ -522,6 +522,22 @@ object Columnstore {
     * columnstore layout without rewriting the chunk, and frozen chunks are
     * skipped (`src/chunk.c:3580`).
     */
+  /** Options for maintenance over `ht` when the caller passes none: the
+    * table's stored settings ([[Hypertable.setColumnstoreSettings]] —
+    * the reference's `compression_settings` catalog), else the
+    * stats-derived defaults (`compression_defaults.c` — what the
+    * reference computes when compression is enabled without settings).
+    */
+  def resolveOptions(ht: Hypertable): Options =
+    ht.columnstoreSettings.getOrElse(suggestOptions(ht).options)
+
+  /** [[compress]] with the table's stored/derived settings. */
+  def compress(ht: Hypertable): Seq[ChunkInfo] =
+    compress(ht, resolveOptions(ht), None)
+
+  def compress(ht: Hypertable, olderThanMicros: Option[Long]): Seq[ChunkInfo] =
+    compress(ht, resolveOptions(ht), olderThanMicros)
+
   def compress(ht: Hypertable, opts: Options,
       olderThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
     val fs = new Path(ht.path)

@@ -1035,6 +1035,51 @@ class Hypertable private (
     if (fs.exists(f)) Some(Hypertable.readSmallFile(fs, f).trim) else None
   }
 
+  /** `ALTER TABLE ... SET (timescaledb.enable_columnstore,
+    * timescaledb.segmentby, timescaledb.orderby)` analogue (settings
+    * catalog `_timescaledb_catalog.compression_settings`,
+    * `sql/compression.sql`): persist this table's columnstore layout so
+    * maintenance paths (policy sweeps, chunk-level compress calls) use it
+    * without per-call options. Overwriting is allowed — like the
+    * reference, new settings apply to chunks compressed FROM NOW ON;
+    * already-compressed chunks keep their layout until recompressed.
+    */
+  def setColumnstoreSettings(opts: Columnstore.Options): Unit = {
+    // validate column names against the data's schema when data exists
+    // (footer-only read of the first chunk — no scan); an empty table
+    // can't be validated yet, like a reference hypertable with no rows
+    showChunks().headOption.foreach { c =>
+      val fields = spark.read.parquet(c.path).schema.fieldNames.toSet
+      val missing = (opts.segmentBy ++ opts.orderBy ++ opts.bloomFilterCols)
+        .filterNot(fields.contains)
+      require(missing.isEmpty,
+        s"columnstore settings name missing column(s): ${missing.mkString(",")}")
+    }
+    def arr(s: Seq[String]) = s.map("\"" + _ + "\"").mkString("[", ",", "]")
+    Hypertable.writeSmallFile(fs, new Path(path, Hypertable.COLSETTINGS),
+      s"""{"segmentby":${arr(opts.segmentBy)},"orderby":${arr(opts.orderBy)},""" +
+        s""""bloom":${arr(opts.bloomFilterCols)},"rowGroupBytes":${opts.rowGroupBytes}}""")
+  }
+
+  /** The stored columnstore settings, if configured. */
+  def columnstoreSettings: Option[Columnstore.Options] = {
+    val f = new Path(path, Hypertable.COLSETTINGS)
+    if (!fs.exists(f)) None
+    else {
+      val s = Hypertable.readSmallFile(fs, f)
+      def arr(k: String): Seq[String] =
+        ("\"" + k + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(s)
+          .map(_.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty))
+          .getOrElse(Nil)
+      val rgb = "\"rowGroupBytes\":(\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong).getOrElse(64L * 1024 * 1024)
+      Some(Columnstore.Options(segmentBy = arr("segmentby"),
+        orderBy = arr("orderby"), bloomFilterCols = arr("bloom"),
+        rowGroupBytes = rgb))
+    }
+  }
+
   /** Current time in this hypertable's dimension units: the registered
     * integer-now function for bigint dimensions (error if none was set —
     * the reference refuses lag-based policies on integer hypertables
@@ -1216,6 +1261,7 @@ object Hypertable {
   private val META = "_graft_hypertable.json"
   private val RANGE = "_graft_range"
   private[sources] val SKIPCOLS = "_graft_skipcols"
+  private[sources] val COLSETTINGS = "_graft_columnstore_settings"
   private val COLSTATS = "_graft_colstats"
   private val SPACEPARTS = "_graft_spaceparts"
   private[sources] val INTEGERNOW = "_graft_integer_now"

@@ -427,13 +427,17 @@ object Jobs {
 
   registerProc("policy_columnstore") { (spark, config) =>
     val ht = Hypertable.at(spark, config("hypertable"))
-    // honor the table's compression layout like the reference policy does
-    // (it reads the stored compression settings): comma-separated
-    // "segmentby"/"orderby" config keys
+    // layout resolution mirrors the reference policy: explicit job-config
+    // "segmentby"/"orderby" keys win, else the table's STORED settings
+    // (setColumnstoreSettings = the compression_settings catalog), else
+    // the stats-derived defaults
     def cols(k: String): Seq[String] =
       config.get(k).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    Columnstore.compress(ht,
-      Columnstore.Options(segmentBy = cols("segmentby"), orderBy = cols("orderby")),
+    val opts =
+      if (config.contains("segmentby") || config.contains("orderby"))
+        Columnstore.Options(segmentBy = cols("segmentby"), orderBy = cols("orderby"))
+      else Columnstore.resolveOptions(ht)
+    Columnstore.compress(ht, opts,
       Some(cfgNow(config, ht) - config("compress_after").toLong))
   }
 }

@@ -215,6 +215,34 @@ class ColumnstoreSpec extends AnyFunSuite {
     assert(Columnstore.recompressChunkSegmentwise(spark, c.path, segOpts) === -1)
   }
 
+  test("stored columnstore settings drive option-less maintenance " +
+      "(ALTER TABLE SET timescaledb.segmentby/orderby analogue)") {
+    val dir = Files.createTempDirectory("graft_cs_settings").toString
+    val h = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "30 days")
+    h.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    // no settings stored: resolution falls back to the stats-derived
+    // defaults (compression_defaults.c behavior)
+    assert(h.columnstoreSettings === None)
+    val derived = Columnstore.resolveOptions(h)
+    assert(derived.orderBy === Seq("ts"))
+    // store settings; resolution and the info view now read them back
+    h.setColumnstoreSettings(Columnstore.Options(
+      segmentBy = Seq("event_type"), orderBy = Seq("ts")))
+    assert(Columnstore.resolveOptions(h) ===
+      Columnstore.Options(segmentBy = Seq("event_type"), orderBy = Seq("ts")))
+    val view = graft.operators.Info.hypertableColumnstoreSettings(h).head()
+    assert(view.getString(1) === "event_type" && view.getString(2) === "ts")
+    // unknown columns are rejected up front
+    intercept[IllegalArgumentException] {
+      h.setColumnstoreSettings(Columnstore.Options(segmentBy = Seq("nope")))
+    }
+    // option-less compress uses the stored layout: every chunk compresses
+    val before = h.read().agg(count(lit(1)), sum($"event_id")).head()
+    assert(Columnstore.compress(h).nonEmpty)
+    assert(h.showChunks().forall(c => Columnstore.isCompressed(spark, c.path)))
+    assert(h.read().agg(count(lit(1)), sum($"event_id")).head() === before)
+  }
+
   test("segmentwise recompress without segmentby folds ONLY the appended " +
       "files; recompressChunk dispatches raw/partial/clean") {
     val dir = Files.createTempDirectory("graft_cs_rw2").toString
