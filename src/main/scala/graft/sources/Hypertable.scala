@@ -246,6 +246,30 @@ class Hypertable private (
     else Hypertable.readSmallFile(fs, f).split('\n').filter(_.nonEmpty).toSeq.distinct
   }
 
+  /** `DROP TABLE` on the hypertable. RESTRICT like the reference: a table
+    * with registered continuous aggregates refuses (their defining queries
+    * would dangle) — drop the caggs first.
+    */
+  def drop(): Unit = {
+    require(caggPaths.isEmpty,
+      s"hypertable $path has continuous aggregates " +
+        s"(${caggPaths.mkString(",")}) — drop them first")
+    fs.delete(new Path(path), true)
+  }
+
+  /** Remove a dropped cagg from this table's fan-out registry — without
+    * this, every later mutation would resurrect the dead cagg's
+    * `_invalidations` dir (appendInvalidation mkdirs it) and log into a
+    * view nobody will ever refresh.
+    */
+  private[graft] def unregisterCagg(caggPath: String): Unit =
+    Hypertable.caggRegistryLock.synchronized {
+      val rest = caggPaths.filterNot(_ == caggPath)
+      val f = new Path(path, Hypertable.CAGGS)
+      if (rest.isEmpty) fs.delete(f, false)
+      else Hypertable.writeSmallFile(fs, f, rest.mkString("\n"))
+    }
+
   private[graft] def registerCagg(caggPath: String): Unit =
     // in-JVM lock: two concurrent create()s must not lose a registration
     // to the read-modify-write (a lost entry = a cagg that silently never

@@ -875,6 +875,36 @@ class ContinuousAggregate(
     Hypertable.writeSmallFile(fs, new Path(dir, key), childPath)
   }
 
+  /** Remove `childPath`'s marker (the child was dropped). */
+  private[streaming] def unregisterChild(childPath: String): Unit = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(childPath.getBytes("UTF-8")).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString
+    fs.delete(new Path(new Path(path, "_children"), key), false)
+  }
+
+  /** `DROP MATERIALIZED VIEW` on a continuous aggregate: unregister from
+    * the source's invalidation fan-out FIRST (a mutation landing between
+    * the delete and an unregister would resurrect the dead cagg's
+    * `_invalidations` dir and log into a view nobody refreshes), then
+    * delete the materialization, catalogs, and registered children
+    * markers. Children themselves are NOT dropped (the reference refuses
+    * a drop with dependent caggs unless cascaded — here the child keeps
+    * reading its last materialization and simply stops receiving
+    * propagated invalidations; drop children first for a clean cascade).
+    */
+  def drop(): Unit = {
+    require(childPaths.isEmpty,
+      s"cagg $path has dependent caggs (${childPaths.mkString(",")}) — " +
+        "drop them first, like the reference's RESTRICT behavior")
+    source match {
+      case h: graft.sources.Hypertable => h.unregisterCagg(path)
+      case cs: ContinuousAggregate.CaggSource => cs.parent.unregisterChild(path)
+      case _ => ()
+    }
+    fs.delete(new Path(path), true)
+  }
+
   /** Paths of registered dependent (hierarchical) caggs. */
   def childCaggPaths: Seq[String] = childPaths
 

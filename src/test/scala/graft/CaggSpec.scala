@@ -545,6 +545,35 @@ class CaggSpec extends AnyFunSuite {
     assert(legacy.materialized.collect().toSet === directAgg(ht).collect().toSet)
   }
 
+  test("drop() unregisters from the fan-out and refuses while dependent " +
+      "caggs exist (DROP MATERIALIZED VIEW semantics)") {
+    val (ht, cagg) = freshCagg()
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    val daily = ContinuousAggregate.create(spark, cagg.path + "_daily",
+      cagg.asSource, CaggDef("1 day", Seq("event_type"),
+        Seq(sum($"n").as("n"))))
+    // RESTRICT: a parent with dependents cannot be dropped
+    intercept[IllegalArgumentException](cagg.drop())
+    daily.drop()
+    cagg.drop()
+    assert(ht.caggPaths.isEmpty)
+    val fs = new org.apache.hadoop.fs.Path(ht.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(cagg.path)))
+    // later DML must NOT resurrect the dropped cagg's invalidation dir
+    ht.write(Seq((990200L, Timestamp.valueOf("2024-01-10 05:30:00"), 1L,
+        "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(cagg.path)))
+    // and the hypertable itself drops only once cagg-free (DROP TABLE
+    // RESTRICT): with a fresh cagg registered it refuses
+    val again = ContinuousAggregate.create(spark, cagg.path, ht, defn)
+    intercept[IllegalArgumentException](ht.drop())
+    again.drop()
+    ht.drop()
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(ht.path)))
+  }
+
   test("skip_cagg_invalidation toggle suppresses the DML fan-out " +
       "(cagg_skip_invalidation.sql)") {
     val (ht, cagg) = freshCagg()
