@@ -103,9 +103,12 @@ object Info {
   def hypertableColumnstoreSettings(ht: Hypertable): DataFrame = {
     import ht.spark.implicits._
     val s = ht.columnstoreSettings
+    // an EMPTY stored list reads as NULL like the reference view (its
+    // LEFT JOIN yields NULL, never ''): isNull consumers must not see a
+    // phantom empty-string segmentby
     Seq((ht.path,
-        s.map(_.segmentBy.mkString(",")),
-        s.map(_.orderBy.mkString(",")),
+        s.map(_.segmentBy.mkString(",")).filter(_.nonEmpty),
+        s.map(_.orderBy.mkString(",")).filter(_.nonEmpty),
         s.map(_.rowGroupBytes)))
       .toDF("hypertable", "segmentby", "orderby", "row_group_bytes")
   }

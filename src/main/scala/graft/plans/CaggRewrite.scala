@@ -99,6 +99,13 @@ object CaggRewrite extends Rule[LogicalPlan] {
 
   def clear(): Unit = registry.clear()
 
+  /** Evict the entry serving rewrites THROUGH this cagg (a dropped cagg
+    * must stop intercepting raw queries). A different cagg registered for
+    * the same hypertable is left alone.
+    */
+  def evict(cagg: ContinuousAggregate): Unit =
+    registry.filterInPlace { case (_, reg) => reg.cagg.path != cagg.path }
+
   /** Fully-qualified key (same convention as the exclusion registry,
     * `Hypertable.qualifiedPath`): stripping the scheme would collide
     * same-path tables on different filesystems, and a relative

@@ -515,21 +515,24 @@ object Columnstore {
       case _ => RecompressedFull(compressChunk(spark, chunkPath, opts))
     }
 
-  /** Compress every not-yet-compressed chunk fully older than the cutoff —
-    * `add_columnstore_policy` semantics (`sql/policy_api.sql:66-93`). Like
-    * the reference policy, PARTIAL chunks (plain appends after an earlier
-    * compression) are RE-compressed segmentwise so late data rejoins the
-    * columnstore layout without rewriting the chunk, and frozen chunks are
-    * skipped (`src/chunk.c:3580`).
-    */
   /** Options for maintenance over `ht` when the caller passes none: the
     * table's stored settings ([[Hypertable.setColumnstoreSettings]] —
     * the reference's `compression_settings` catalog), else the
     * stats-derived defaults (`compression_defaults.c` — what the
     * reference computes when compression is enabled without settings).
+    * Derived defaults are PERSISTED on first resolution (when the table
+    * has data to derive them from): the reference stores its computed
+    * settings too, and without that a periodic policy would both re-pay
+    * the stats sweep every pass and risk picking a DIFFERENT segmentby as
+    * the data grows — chunks compressed across passes must share one
+    * layout.
     */
   def resolveOptions(ht: Hypertable): Options =
-    ht.columnstoreSettings.getOrElse(suggestOptions(ht).options)
+    ht.columnstoreSettings.getOrElse {
+      val derived = suggestOptions(ht).options
+      if (ht.showChunks().nonEmpty) ht.setColumnstoreSettings(derived)
+      derived
+    }
 
   /** [[compress]] with the table's stored/derived settings. */
   def compress(ht: Hypertable): Seq[ChunkInfo] =
@@ -538,6 +541,13 @@ object Columnstore {
   def compress(ht: Hypertable, olderThanMicros: Option[Long]): Seq[ChunkInfo] =
     compress(ht, resolveOptions(ht), olderThanMicros)
 
+  /** Compress every not-yet-compressed chunk fully older than the cutoff —
+    * `add_columnstore_policy` semantics (`sql/policy_api.sql:66-93`). Like
+    * the reference policy, PARTIAL chunks (plain appends after an earlier
+    * compression) are RE-compressed segmentwise so late data rejoins the
+    * columnstore layout without rewriting the chunk, and frozen chunks are
+    * skipped (`src/chunk.c:3580`).
+    */
   def compress(ht: Hypertable, opts: Options,
       olderThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
     val fs = new Path(ht.path)

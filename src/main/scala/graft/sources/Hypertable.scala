@@ -188,7 +188,12 @@ class Hypertable private (
     // the default partition, which the chunk catalog never lists) —
     // skipped, not NPE'd.
     val needStats = skipColumns.nonEmpty
-    val caggs = caggPaths
+    // the skip_cagg_invalidation toggle is read HERE, not just inside
+    // invalidateCaggs: it must also skip the min/max aggregate over the
+    // batch and the expensive-input persist below — the cost the
+    // bulk-backfill escape hatch exists to avoid
+    val caggs =
+      if (graft.plans.Toggles.skipCaggInvalidation) Nil else caggPaths
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Join => LJoin, Window => LWin}
     val expensiveInput = (needStats || caggs.nonEmpty) &&
       df.queryExecution.analyzed.exists {
@@ -250,12 +255,16 @@ class Hypertable private (
     * with registered continuous aggregates refuses (their defining queries
     * would dangle) — drop the caggs first.
     */
-  def drop(): Unit = {
-    require(caggPaths.isEmpty,
-      s"hypertable $path has continuous aggregates " +
-        s"(${caggPaths.mkString(",")}) — drop them first")
-    fs.delete(new Path(path), true)
-  }
+  def drop(): Unit =
+    // same in-JVM lock registration takes: a concurrent create() either
+    // registers before the check (drop refuses) or observes the deleted
+    // table (registerCagg refuses) — never a live cagg on a deleted table
+    Hypertable.caggRegistryLock.synchronized {
+      require(caggPaths.isEmpty,
+        s"hypertable $path has continuous aggregates " +
+          s"(${caggPaths.mkString(",")}) — drop them first")
+      fs.delete(new Path(path), true)
+    }
 
   /** Remove a dropped cagg from this table's fan-out registry — without
     * this, every later mutation would resurrect the dead cagg's
@@ -275,6 +284,10 @@ class Hypertable private (
     // to the read-modify-write (a lost entry = a cagg that silently never
     // sees invalidations)
     Hypertable.caggRegistryLock.synchronized {
+      // a concurrent drop() holds the same lock: registering against a
+      // deleted table must fail loudly, not resurrect a stub dir
+      require(fs.exists(new Path(path, Hypertable.META)),
+        s"hypertable $path no longer exists — cannot register cagg $caggPath")
       val cur = caggPaths
       if (!cur.contains(caggPath))
         Hypertable.writeSmallFile(fs, new Path(path, Hypertable.CAGGS),
@@ -1072,10 +1085,17 @@ class Hypertable private (
     // validate column names against the data's schema when data exists
     // (footer-only read of the first chunk — no scan); an empty table
     // can't be validated yet, like a reference hypertable with no rows
+    val names = opts.segmentBy ++ opts.orderBy ++ opts.bloomFilterCols
+    // the settings file is hand-rolled JSON with comma-joined arrays — a
+    // name containing its delimiters would read back corrupted, so refuse
+    // it up front rather than half-escape
+    val unsupported = names.filter(_.exists(ch =>
+      ch == ',' || ch == '"' || ch == '[' || ch == ']' || ch == '\\' || ch < ' '))
+    require(unsupported.isEmpty,
+      s"unsupported characters in column name(s): ${unsupported.mkString(",")}")
     showChunks().headOption.foreach { c =>
       val fields = spark.read.parquet(c.path).schema.fieldNames.toSet
-      val missing = (opts.segmentBy ++ opts.orderBy ++ opts.bloomFilterCols)
-        .filterNot(fields.contains)
+      val missing = names.filterNot(fields.contains)
       require(missing.isEmpty,
         s"columnstore settings name missing column(s): ${missing.mkString(",")}")
     }

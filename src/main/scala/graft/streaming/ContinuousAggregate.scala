@@ -474,7 +474,12 @@ class ContinuousAggregate(
       case _ => source.timeBounds.flatMap { case (lo, hi) =>
         val s = startOpt.getOrElse(defn.bucketFloor(lo))
         val e = endOpt.getOrElse(defn.bucketAdvance(defn.bucketFloor(hi - 1), 1))
-        if (s >= e) None else Some(refresh(s, e, force))
+        // the no-whole-bucket check must run on the INSCRIBED bounds: an
+        // unaligned one-sided window (e.g. start mid-way through the
+        // data's only bucket) collapses only after inscribing, and this
+        // form promises None for it, not the two-sided form's error
+        val (is, ie) = if (s < e) inscribe(s, e) else (s, s)
+        if (is >= ie) None else Some(refresh(is, ie, force))
       }
     }
 
@@ -809,11 +814,15 @@ class ContinuousAggregate(
       val cached = df.cache()
       try {
         ht.write(cached)
-        val wm = invalidationThreshold
-        val late = cached.where(toUs(col(source.timeCol)) < wm)
-          .agg(min(toUs(col(source.timeCol))), max(toUs(col(source.timeCol))))
-          .head()
-        if (!late.isNullAt(0)) invalidate(late.getLong(0), late.getLong(1) + 1)
+        // the skip_cagg_invalidation escape hatch applies to this direct
+        // path too — "every DML path honors it" must include the fallback
+        if (!graft.plans.Toggles.skipCaggInvalidation) {
+          val wm = invalidationThreshold
+          val late = cached.where(toUs(col(source.timeCol)) < wm)
+            .agg(min(toUs(col(source.timeCol))), max(toUs(col(source.timeCol))))
+            .head()
+          if (!late.isNullAt(0)) invalidate(late.getLong(0), late.getLong(1) + 1)
+        }
       } finally cached.unpersist()
     }
   }
@@ -866,16 +875,24 @@ class ContinuousAggregate(
     * list file would let the second clobber the first and leave that child
     * silently un-invalidated forever.
     */
-  private[streaming] def registerChild(childPath: String): Unit = {
-    val dir = new Path(path, "_children")
-    fs.mkdirs(dir)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(childPath.getBytes("UTF-8")).take(8)
-      .map(b => f"${b & 0xff}%02x").mkString
-    Hypertable.writeSmallFile(fs, new Path(dir, key), childPath)
-  }
+  private[streaming] def registerChild(childPath: String): Unit =
+    // same lock as drop(): a child registering against a parent being
+    // dropped must fail loudly, not leave a marker on a deleted dir
+    ContinuousAggregate.childRegistryLock.synchronized {
+      require(fs.exists(new Path(path)),
+        s"cagg $path no longer exists — cannot register child $childPath")
+      val dir = new Path(path, "_children")
+      fs.mkdirs(dir)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(childPath.getBytes("UTF-8")).take(8)
+        .map(b => f"${b & 0xff}%02x").mkString
+      Hypertable.writeSmallFile(fs, new Path(dir, key), childPath)
+    }
 
-  /** Remove `childPath`'s marker (the child was dropped). */
+  /** Remove `childPath`'s marker (the child was dropped). NOT under the
+    * registry lock: the only caller is the child's own drop(), which
+    * already holds it.
+    */
   private[streaming] def unregisterChild(childPath: String): Unit = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(childPath.getBytes("UTF-8")).take(8)
@@ -893,10 +910,14 @@ class ContinuousAggregate(
     * reading its last materialization and simply stops receiving
     * propagated invalidations; drop children first for a clean cascade).
     */
-  def drop(): Unit = {
+  def drop(): Unit = ContinuousAggregate.childRegistryLock.synchronized {
     require(childPaths.isEmpty,
       s"cagg $path has dependent caggs (${childPaths.mkString(",")}) — " +
         "drop them first, like the reference's RESTRICT behavior")
+    // stop intercepting raw queries BEFORE the files disappear — a
+    // registered rewrite through a dropped cagg would silently degrade
+    // every matching query to a live aggregation over a dead handle
+    graft.plans.CaggRewrite.evict(this)
     source match {
       case h: graft.sources.Hypertable => h.unregisterCagg(path)
       case cs: ContinuousAggregate.CaggSource => cs.parent.unregisterChild(path)
@@ -970,6 +991,11 @@ object CaggRefreshPolicy {
 object ContinuousAggregate {
   private val BUCKET = "_bucket"
   private val MATCHUNK = "_mat_chunk"
+
+  /** In-JVM lock serializing child registration against parent drop —
+    * the cagg-side analogue of `Hypertable.caggRegistryLock`.
+    */
+  private[streaming] val childRegistryLock = new Object
 
   /** A cagg's materialization exposed as a [[TimeSource]]; carries the
     * parent so [[create]] can wire up invalidation propagation.

@@ -225,6 +225,9 @@ class ColumnstoreSpec extends AnyFunSuite {
     assert(h.columnstoreSettings === None)
     val derived = Columnstore.resolveOptions(h)
     assert(derived.orderBy === Seq("ts"))
+    // first resolution PERSISTS the derived defaults (stable layout across
+    // policy passes, no repeated stats sweep)
+    assert(h.columnstoreSettings === Some(derived))
     // store settings; resolution and the info view now read them back
     h.setColumnstoreSettings(Columnstore.Options(
       segmentBy = Seq("event_type"), orderBy = Seq("ts")))
