@@ -67,7 +67,7 @@ object ChunkExclusion extends Rule[LogicalPlan] {
     */
   private def statsFilter(cond: Expression, rel: LogicalRelation,
       reg: Hypertable.ExclusionInfo): Option[Expression] = {
-    val chunkAttr = rel.output.find(_.name == Hypertable.CHUNK).getOrElse(return None)
+    val chunkAttr = rel.output.find(_.name == reg.chunkCol).getOrElse(return None)
     if (cond.references.contains(chunkAttr)) return None // already excluded
     // cheap gate first: the enabled-column list is one small file; the full
     // per-chunk stats catalog (`skipStats` — an fs read PER CHUNK) is only
@@ -190,11 +190,23 @@ object ChunkExclusion extends Rule[LogicalPlan] {
   private def timeFilter(cond: Expression, rel: LogicalRelation,
       reg: Hypertable.ExclusionInfo): Option[Expression] = {
     val ts = rel.output.find(_.name == reg.timeCol).getOrElse(return None)
-    val chunkAttr = rel.output.find(_.name == Hypertable.CHUNK).getOrElse(return None)
+    val chunkAttr = rel.output.find(_.name == reg.chunkCol).getOrElse(return None)
     if (cond.references.contains(chunkAttr)) return None // already excluded
     // disjunction-aware: `ts < a OR ts >= b` prunes to the UNION of the
-    // arms' chunk sets (hypertable_restrict_info.c OR handling)
-    val cover = TimeBounds.intervalCover(cond, ts).getOrElse(return None)
+    // arms' chunk sets (hypertable_restrict_info.c OR handling). When the
+    // stored column is raw micros surfaced to users through a
+    // `timestamp_micros` projection (a cagg's `_bucket`), pushed-down
+    // predicates bound `timestamp_micros(_bucket)` rather than the bare
+    // attribute — the wrapper is strictly monotone, so bounds on it ARE
+    // micros bounds on the column.
+    val cover = TimeBounds.intervalCover(cond, ts)
+      .orElse {
+        if (ts.dataType == org.apache.spark.sql.types.LongType)
+          TimeBounds.intervalCover(cond,
+            org.apache.spark.sql.catalyst.expressions.MicrosToTimestamp(ts))
+        else None
+      }
+      .getOrElse(return None)
     val chunks = reg.chunks()
     val hits = chunks.filter(c =>
       cover.exists { case (l, h) => c.startMicros < h && c.endMicros > l })
@@ -250,7 +262,7 @@ object ChunkExclusion extends Rule[LogicalPlan] {
           if (buckets.size >= nParts) None // nothing to exclude
           else Some(In(sAttr, buckets.map(b => typed(b.toLong, sAttr))))
         } else {
-          val chunkAttr = rel.output.find(_.name == Hypertable.CHUNK)
+          val chunkAttr = rel.output.find(_.name == reg.chunkCol)
             .getOrElse(return None)
           val groups = chunks.groupBy(c => counts.getOrElse(c.startMicros, -1))
           val terms = groups.toSeq.sortBy(_._1).map { case (n, cs) =>

@@ -1381,7 +1381,12 @@ object Hypertable {
         * so the planner can rule out stats pruning without paying the
         * per-chunk `skipStats` listing on every unrelated query.
         */
-      skipCols: () => Seq[String] = () => Seq.empty)
+      skipCols: () => Seq[String] = () => Seq.empty,
+      /** Partition-directory column the `IN (...)` prune targets —
+        * `_chunk` for hypertables, `_mat_chunk` for a cagg's registered
+        * materialization.
+        */
+      chunkCol: String = Hypertable.CHUNK)
 
   /** Persist a chunk's skip-column ranges (TSV: one `col kind min max` row
     * per column; kind `l` = long-domain, `d` = double-domain, `n` = all

@@ -319,6 +319,17 @@ class ContinuousAggregate(
     val hasChunks = fs.exists(mp) && fs.listStatus(mp).exists(st =>
       st.isDirectory && st.getPath.getName.startsWith(s"$MATCHUNK="))
     if (!hasChunks) return emptyLike()
+    // register the materialization for plan-time chunk exclusion — the
+    // reference plans the mat hypertable through the same expansion as a
+    // raw table, so a bucket-bounded query over a year of mat chunks
+    // lists only the covered weeks. `_bucket` is raw micros behind a
+    // timestamp_micros projection; ChunkExclusion sees through it.
+    Hypertable.registerForExclusion(Hypertable.ExclusionInfo(
+      fs.makeQualified(new Path(matPath)).toString, BUCKET,
+      () => matChunkDirs.map { case (k, p) =>
+        graft.sources.ChunkInfo(k, k + matChunkMicros, p.toString) },
+      Seq.empty,
+      chunkCol = MATCHUNK))
     val df = spark.read.parquet(matPath)
       .withColumn(defn.bucketCol, fromUs(col(BUCKET)))
       .drop(BUCKET, MATCHUNK)

@@ -545,6 +545,37 @@ class CaggSpec extends AnyFunSuite {
     assert(legacy.materialized.collect().toSet === directAgg(ht).collect().toSet)
   }
 
+  test("bucket predicates over the materialization prune mat chunks at " +
+      "plan time (cagg planner chunk exclusion)") {
+    val dir = Files.createTempDirectory("graft_cagg_prune").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val d = defn.copy(matChunkWidth = "7 days")
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht, d)
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    def parts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.head
+    val total = parts(cagg.materialized)
+    assert(total >= 4, s"expected >=4 weekly mat chunks, got $total")
+    val pruned = parts(cagg.materialized.where(
+      $"bucket" >= java.sql.Timestamp.valueOf("2024-01-10 00:00:00") &&
+      $"bucket" < java.sql.Timestamp.valueOf("2024-01-12 00:00:00")))
+    assert(pruned <= 2, s"expected <=2 mat chunks after pruning, got $pruned")
+    // and the pruned read returns exactly the full read's matching rows
+    assert(cagg.materialized.where(
+        $"bucket" >= java.sql.Timestamp.valueOf("2024-01-10 00:00:00") &&
+        $"bucket" < java.sql.Timestamp.valueOf("2024-01-12 00:00:00"))
+      .collect().toSet ===
+      cagg.materialized.collect().filter { r =>
+        val b = r.getTimestamp(0)
+        !b.before(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")) &&
+          b.before(java.sql.Timestamp.valueOf("2024-01-12 00:00:00"))
+      }.toSet)
+  }
+
   test("drop() unregisters from the fan-out and refuses while dependent " +
       "caggs exist (DROP MATERIALIZED VIEW semantics)") {
     val (ht, cagg) = freshCagg()
