@@ -1151,6 +1151,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Training-data ops: sequence packing (concat-then-chop into 2048-token
+    // windows, per-source shards packed independently — the per-shard
+    // window IS the scale story: no global prefix sum anywhere).
+    "q80_pack_sequences" -> ((s, dir) => {
+      TextAnalysis.packSequences(t(s, dir, "documents"),
+          "doc_id", "text", "source", windowTokens = 2048)
+        .orderBy("source", "doc_id")
+    }),
+
     // ANN, IVF variant: k-means inverted lists + centroid-ordered probes +
     // exact rerank. Probing ALL lists makes the result exactly the
     // brute-force top-k (the correctness gate), while exercising the
@@ -1967,6 +1976,25 @@ object SparkEntry {
         |      ELSE 1.0 - CAST(length(list_distinct(grams)) AS DOUBLE) / length(grams)
         | END AS dup_fraction
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q80_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE length(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_tok
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, start_tok,
+        |  start_tok // 2048 AS window_id,
+        |  n_tokens > 0 AND (start_tok + n_tokens - 1) // 2048 > start_tok // 2048
+        |    AS crosses_boundary
+        |FROM p ORDER BY source, doc_id""".stripMargin,
 
     "q79_pii_redact" ->
       """WITH aug AS (

@@ -162,6 +162,40 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     xxhash64(lower(regexp_replace(text, lit("\\s+"), lit(" "))))
 
+  /** Sequence packing for training-data pipelines (the standard
+    * concat-then-chop formulation: documents are concatenated in a
+    * deterministic order and the token stream is chopped into fixed
+    * `windowTokens` windows). Emits one row per document with its
+    * placement: `start_tok` (exclusive prefix sum of token counts),
+    * `window_id` (the window its first token lands in), and
+    * `crosses_boundary` (the document spans a chop point — pipelines that
+    * forbid splits re-route these).
+    *
+    * Scale shape: the running sum is windowed PER `shardCol` group (e.g.
+    * the corpus source) ordered by `idCol` — shards pack independently and
+    * in parallel, so no global single-task prefix sum exists anywhere; at
+    * 100 TB the shard is the parallelism unit exactly like a training
+    * run's per-source data mix.
+    */
+  def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, shardCol: String,
+      windowTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val n = token_count(col(textCol)).cast("long")
+    df.select(col(idCol), col(shardCol), n.as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer division throughout (exact at any corpus size; double
+      // division would wobble past 2^53 tokens). The n_tokens > 0 guard
+      // keeps the numerator non-negative — trunc-vs-floor division of a
+      // -1 numerator is the one place engines disagree.
+      .withColumn("window_id", expr(s"start_tok div $windowTokens"))
+      .withColumn("crosses_boundary", col("n_tokens") > 0 &&
+        expr(s"(start_tok + n_tokens - 1) div $windowTokens") > col("window_id"))
+  }
+
   /** PII redaction patterns, applied in order: (kind, regex, replacement).
     * Patterns are deliberately restricted to syntax with identical
     * semantics in Java regex and RE2 (no lookaround, ASCII classes, `\b`)

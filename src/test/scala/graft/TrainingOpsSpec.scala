@@ -305,6 +305,33 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(f0.forall(_.feature.length === 8))
   }
 
+  test("packSequences places documents on the concat-then-chop token grid " +
+      "per shard") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a", "one two three"),          // 3 tokens, start 0
+      (2L, "a", ""),                       // empty: 0 tokens, start 3
+      (3L, "a", (1 to 6).map(_ => "t").mkString(" ")), // 6 tokens, start 3 → crosses 8
+      (4L, "a", "x"),                      // start 9, window 1
+      (5L, "b", "fresh shard")             // shard b packs from 0
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.packSequences(docs, "doc_id", "text", "source",
+        windowTokens = 8)
+      .orderBy("source", "doc_id").collect()
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+    assert(row(out(0)) === ((1L, 3L, 0L, 0L, false)))
+    assert(row(out(1)) === ((2L, 0L, 3L, 0L, false))) // empty doc never "crosses"
+    assert(row(out(2)) === ((3L, 6L, 3L, 0L, true)))  // spans tokens 3..8 → chop at 8
+    assert(row(out(3)) === ((4L, 1L, 9L, 1L, false)))
+    assert(row(out(4)) === ((5L, 2L, 0L, 0L, false))) // shards are independent
+    // a doc ending exactly AT the boundary does not cross it
+    val exact = TextAnalysis.packSequences(
+      Seq((1L, "a", (1 to 8).map(_ => "t").mkString(" "))).toDF("doc_id", "source", "text"),
+      "doc_id", "text", "source", windowTokens = 8).head()
+    assert(exact.getBoolean(5) === false)
+  }
+
   test("redact_pii masks each kind, leaves clean text alone, and counts " +
       "agree with the masks") {
     import graft.operators.TextAnalysis
