@@ -74,8 +74,15 @@ object Bench {
       // steady-state = MIN of two measured runs: this box shows transient
       // multi-second host-level stalls (one identical back-to-back suite
       // run measured a 1.6 s query at 27 s); the min is the reproducible
-      // cost of the plan, which is what the number is for
-      val r = name -> (math.min(timed(), timed()), cold)
+      // cost of the plan, which is what the number is for. When the two
+      // runs disagree by >1.5x, one of them was contaminated (ambient
+      // load, GC, JIT mid-ramp) — a third run breaks the tie; the extra
+      // cost is bounded to exactly the noisy rows.
+      val (a, b) = (timed(), timed())
+      val steady =
+        if (math.max(a, b) > 1.5 * math.min(a, b)) math.min(math.min(a, b), timed())
+        else math.min(a, b)
+      val r = name -> (steady, cold)
       dropBlocks()
       r
     }
