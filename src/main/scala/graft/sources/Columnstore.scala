@@ -241,7 +241,7 @@ object Columnstore {
       // dir names above), so the rewrite is a plain read → coalesce →
       // tmp-dir swap inside the leaf's parent
       val tmp = new Path(leaf.getParent, "." + leaf.getName + "_compact_tmp")
-      var w = spark.read.parquet(leaf.toString).coalesce(n)
+      var w = spark.read.option("mergeSchema", "true").parquet(leaf.toString).coalesce(n)
         .write.mode("overwrite")
       if (compressed) w = w.option("compression", "zstd")
         .option("parquet.block.size", rowGroupBytes.toString)
@@ -280,7 +280,10 @@ object Columnstore {
     val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!Hypertable.chunkFrozen(fs, chunkP),
       s"cannot modify frozen chunk $chunkPath — unfreeze_chunk first")
-    val df = spark.read.parquet(chunkPath)
+    // mergeSchema: a post-ALTER append can leave files of differing
+    // widths in one chunk — a single-footer read would silently drop the
+    // newer columns from the REWRITE
+    val df = spark.read.option("mergeSchema", "true").parquet(chunkPath)
     val spacePart = df.schema.fieldNames.filter(_.matches("_space\\d*")).toSeq
       .sortBy(n => n.stripPrefix("_space") match { case "" => 0; case d => d.toInt })
     // without a segmentby, size the file count from the input bytes (a 2 TB
@@ -344,7 +347,10 @@ object Columnstore {
     val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!Hypertable.chunkFrozen(fs, chunkP),
       s"cannot modify frozen chunk $chunkPath — unfreeze_chunk first")
-    val df = spark.read.parquet(chunkPath)
+    // mergeSchema: a post-ALTER append can leave files of differing
+    // widths in one chunk — a single-footer read would silently drop the
+    // newer columns from the REWRITE
+    val df = spark.read.option("mergeSchema", "true").parquet(chunkPath)
     val spacePart = df.schema.fieldNames.filter(_.matches("_space\\d*")).toSeq
       .sortBy(n => n.stripPrefix("_space") match { case "" => 0; case d => d.toInt })
     val bytes = fs.getContentSummary(chunkP).getLength
@@ -450,7 +456,7 @@ object Columnstore {
         val n = math.max(1, math.ceil(bytes.toDouble / (2.0 * opts.rowGroupBytes)).toInt)
         // leaf files carry no partition columns (dir names encode them), so
         // a direct multi-file read + same-leaf write keeps the layout
-        val df = spark.read.parquet(inputPaths: _*)
+        val df = spark.read.option("mergeSchema", "true").parquet(inputPaths: _*)
         val arranged = (opts.segmentBy match {
           case Nil =>
             if (n <= df.rdd.getNumPartitions) df.coalesce(n)

@@ -133,7 +133,8 @@ class Hypertable private (
     require(mode != SaveMode.Overwrite,
       "hypertable writes are routed appends; SaveMode.Overwrite would wipe " +
         "the chunk catalog — dropChunks/deleteWhere first, then append")
-    var out = normalizeTime(df, timeCol).withColumn(CHUNK, chunkKey(col(timeCol)))
+    var out = conformToSchema(normalizeTime(df, timeCol))
+      .withColumn(CHUNK, chunkKey(col(timeCol)))
     // after set_number_partitions, a row landing in an EXISTING chunk must
     // route with THAT chunk's recorded count (the reference routes into a
     // chunk's own slices, not the dimension's current count); only rows
@@ -492,9 +493,71 @@ class Hypertable private (
     }.toMap
   }
 
+  /** The table's DECLARED data schema (the ALTER TABLE catalog analogue):
+    * stamped by the first write, widened by [[alterAddColumn]]. None on a
+    * pre-stamp table (reads fall back to parquet inference, the old
+    * behavior).
+    */
+  def dataSchema: Option[org.apache.spark.sql.types.StructType] = {
+    val f = new Path(path, Hypertable.SCHEMA)
+    if (!fs.exists(f)) None
+    else Some(org.apache.spark.sql.types.StructType.fromDDL(
+      Hypertable.readSmallFile(fs, f)))
+  }
+
+  private def stampSchema(s: org.apache.spark.sql.types.StructType): Unit =
+    Hypertable.writeSmallFile(fs, new Path(path, Hypertable.SCHEMA), s.toDDL)
+
+  /** `ALTER TABLE ... ADD COLUMN` — widen the declared schema. Instant and
+    * metadata-only, like the reference: no file is rewritten; rows written
+    * before the ALTER read back NULL for the new column (the declared
+    * schema drives every read, and the parquet reader fills columns a file
+    * does not carry).
+    */
+  def alterAddColumn(name: String, ddlType: String): Unit = {
+    val cur = dataSchema.getOrElse(throw new IllegalStateException(
+      s"hypertable $path has no declared schema yet — the first write stamps it"))
+    require(!cur.fieldNames.contains(name), s"column $name already exists")
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(ddlType)
+    stampSchema(org.apache.spark.sql.types.StructType(
+      cur.fields :+ org.apache.spark.sql.types.StructField(name, dt)))
+  }
+
+  /** Conform a write batch to the declared schema: unknown columns error
+    * (the reference's INSERT "column does not exist"), missing columns
+    * fill NULL (INSERT with a column list), present columns cast to the
+    * declared type (SQL assignment coercion) — so every file on disk
+    * carries the full current schema in declared order. First write
+    * stamps the schema instead.
+    */
+  private def conformToSchema(df: DataFrame): DataFrame = dataSchema match {
+    case None => stampSchema(df.schema); df
+    case Some(decl) =>
+      val extra = df.columns.filterNot(decl.fieldNames.contains)
+      require(extra.isEmpty,
+        s"column(s) ${extra.mkString(",")} do not exist on $path — " +
+          "alterAddColumn first (ALTER TABLE semantics)")
+      decl.fields.foldLeft(df) { (d, f) =>
+        if (d.columns.contains(f.name)) d.withColumn(f.name, col(f.name).cast(f.dataType))
+        else d.withColumn(f.name, lit(null).cast(f.dataType))
+      }.select(decl.fieldNames.map(col): _*)
+  }
+
+  /** Declared-schema read of a chunk-dir path (NULL-fills columns the
+    * files predate); parquet inference on pre-stamp tables.
+    */
+  private def readPaths(paths: String*): DataFrame = dataSchema match {
+    case Some(s) => spark.read.schema(s).parquet(paths: _*)
+    case None => spark.read.parquet(paths: _*)
+  }
+
   /** Full table read; `_chunk` (and `_space`) come back as partition cols.
     * Registers this table's chunk catalog so [[graft.plans.ChunkExclusion]]
-    * turns plain `where(ts ...)` predicates into partition pruning.
+    * turns plain `where(ts ...)` predicates into partition pruning. The
+    * declared schema (when stamped) drives the read, so files written
+    * before an ALTER ADD COLUMN surface the new column as NULL — Spark
+    * appends the partition columns it discovers to a user-specified
+    * schema, so pruning is unaffected.
     */
   def read(): DataFrame = {
     Hypertable.registerForExclusion(Hypertable.ExclusionInfo(
@@ -503,7 +566,7 @@ class Hypertable private (
       () => columnStatsCatalog(),
       () => spacePartsCatalog(),
       () => skipColumns))
-    spark.read.parquet(path)
+    readPaths(path)
   }
 
   /** Read the hypertable as a Structured Streaming source: files appended
@@ -648,7 +711,7 @@ class Hypertable private (
     val ordered = if (descending) chunks.reverse else chunks
     val sortCol = if (descending) col(timeCol).desc else col(timeCol).asc
     val df = ordered.map { c =>
-      spark.read.parquet(c.path)
+      readPaths(c.path)
         .withColumn(CHUNK, lit(c.startMicros))
         .coalesce(1)
         .sortWithinPartitions(sortCol)
@@ -703,8 +766,7 @@ class Hypertable private (
   }
 
   /** Rows of one chunk, partition columns dropped (for physical rewrite). */
-  private def chunkRows(c: ChunkInfo): DataFrame =
-    spark.read.parquet(c.path)
+  private def chunkRows(c: ChunkInfo): DataFrame = readPaths(c.path)
 
   /** Rewrite `df` as the physical content of the chunk dir at `start`
     * (tmp + swap; `_space` sub-partitioning preserved). A chunk in
@@ -1093,9 +1155,14 @@ class Hypertable private (
       ch == ',' || ch == '"' || ch == '[' || ch == ']' || ch == '\\' || ch < ' '))
     require(unsupported.isEmpty,
       s"unsupported characters in column name(s): ${unsupported.mkString(",")}")
-    showChunks().headOption.foreach { c =>
-      val fields = spark.read.parquet(c.path).schema.fieldNames.toSet
-      val missing = names.filterNot(fields.contains)
+    // validate against the DECLARED schema when stamped (a column just
+    // added by alterAddColumn is legal even though no file carries it
+    // yet); fall back to the first chunk's footers pre-stamp
+    val fields: Option[Set[String]] = dataSchema.map(_.fieldNames.toSet)
+      .orElse(showChunks().headOption.map(c =>
+        spark.read.parquet(c.path).schema.fieldNames.toSet))
+    fields.foreach { fs0 =>
+      val missing = names.filterNot(fs0.contains)
       require(missing.isEmpty,
         s"columnstore settings name missing column(s): ${missing.mkString(",")}")
     }
@@ -1306,6 +1373,7 @@ object Hypertable {
   private val RANGE = "_graft_range"
   private[sources] val SKIPCOLS = "_graft_skipcols"
   private[sources] val COLSETTINGS = "_graft_columnstore_settings"
+  private[sources] val SCHEMA = "_graft_table_schema"
   private val COLSTATS = "_graft_colstats"
   private val SPACEPARTS = "_graft_spaceparts"
   private[sources] val INTEGERNOW = "_graft_integer_now"

@@ -95,9 +95,11 @@ class VariableBucketCaggSpec extends AnyFunSuite {
       .select(hour($"bucket")).distinct().as[Int].collect().toSet
     assert(hours === Set(4, 5))
     // late row below the watermark → logged, repaired on the next pass
+    // (the batch matches the table's declared schema — an extra column
+    // would now be rejected, ALTER TABLE semantics)
     cagg.ingest(Seq((990001L, Timestamp.valueOf("2024-03-10 12:10:00"), 1L,
-        "click", 55.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+        "click", 55.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value"))
     cagg.refreshInvalidated()
     assert(cagg.materialized.collect().toSet === direct().collect().toSet)
   }
