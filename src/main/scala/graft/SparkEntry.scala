@@ -1160,6 +1160,33 @@ object SparkEntry {
         .orderBy("source", "doc_id")
     }),
 
+    // §2.1 tablespaces + move_chunk (`tsl/src/chunk_api.c`, `src/
+    // tablespace.c`): half the table ingested, the two oldest chunks moved
+    // to an attached tablespace root (metadata-only rename), the other
+    // half appended AFTERWARDS (rows routed into moved chunks are folded
+    // into their tablespace dirs) — then one time-ranged aggregate reads
+    // through BOTH storage roots with chunk exclusion on each. The answer
+    // must equal the plain single-table aggregate.
+    "q81_move_chunk" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      Graft.init(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_move_q").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
+      val ev = t(s, dir, "events")
+      ht.write(ev.where(col("event_id") % 2 === 0), filesPerChunk = 8)
+      ht.attachTablespace(s"$tmp/cold")
+      ht.showChunks().take(2).foreach(c =>
+        ht.moveChunk(c.startMicros, Some(s"$tmp/cold")))
+      ht.write(ev.where(col("event_id") % 2 =!= 0), filesPerChunk = 8)
+      ht.read()
+        .where(col("ts") >= lit(tsUtc("2024-01-01 00:00:00")) &&
+          col("ts") < lit(tsUtc("2024-02-05 00:00:00")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // ANN, IVF variant: k-means inverted lists + centroid-ordered probes +
     // exact rerank. Probing ALL lists makes the result exactly the
     // brute-force top-k (the correctness gate), while exercising the
@@ -1976,6 +2003,14 @@ object SparkEntry {
         |      ELSE 1.0 - CAST(length(list_distinct(grams)) AS DOUBLE) / length(grams)
         | END AS dup_fraction
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q81_move_chunk" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-05 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q80_pack_sequences" ->
       """WITH t AS (

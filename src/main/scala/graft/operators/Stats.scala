@@ -137,6 +137,45 @@ object Stats {
     fs.getContentSummary(p).getLength
   }
 
+  case class DetailedSize(tableBytes: Long, indexBytes: Long,
+      toastBytes: Long, totalBytes: Long)
+
+  /** hypertable_detailed_size / hypertable_size (`sql/size_utils.sql:
+    * 62-141`), tablespace-aware: data bytes are every chunk's files
+    * (wherever the chunk lives — chunks moved to attached tablespace roots
+    * are counted like the reference sums per-tablespace sizes), "index"
+    * bytes are the pruning-metadata catalog files (`_graft_*` markers +
+    * parquet `_metadata`-style sidecars) — the closest analogue of index
+    * relations in a footer/catalog-pruned store; toast is always 0 (no
+    * out-of-line storage exists). `hypertable_index_size`
+    * (`sql/size_utils.sql:146-176`) is the `indexBytes` component.
+    */
+  def hypertableDetailedSize(ht: graft.sources.Hypertable): DetailedSize = {
+    val conf = ht.spark.sparkContext.hadoopConfiguration
+    var table = 0L
+    var index = 0L
+    def walk(p: Path): Unit = {
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.startsWith("_")) index += st.getLen
+        else table += st.getLen
+      }
+    }
+    val root = new Path(ht.path)
+    val qualifiedRoot = root.getFileSystem(conf).makeQualified(root)
+    walk(root)
+    // chunks living outside the primary root (moved to a tablespace)
+    ht.showChunks().map(c => new Path(c.path))
+      .filterNot(_.getParent == qualifiedRoot)
+      .foreach(walk)
+    DetailedSize(table, index, 0L, table + index)
+  }
+
+  def hypertableSize(ht: graft.sources.Hypertable): Long =
+    hypertableDetailedSize(ht).totalBytes
+
   case class ChunkSize(path: String, bytes: Long, files: Long, rows: Long)
 
   /** chunks_detailed_size (`sql/size_utils.sql:181+`): per-chunk bytes,

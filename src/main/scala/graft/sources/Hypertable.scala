@@ -204,10 +204,15 @@ class Hypertable private (
     if (expensiveInput) routed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       routed.write.mode(mode).partitionBy(partCols: _*).parquet(path)
+      // rows routed into chunks that live in a tablespace landed under the
+      // primary root — fold them into the chunk's real directory (no-op
+      // without attached tablespaces: one small-file read)
+      if (showTablespaces.nonEmpty) relocateFreshWrites()
       if (needStats) {
         val touched = routed.select(col(CHUNK)).distinct().collect()
-          .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
-        refreshColumnStats(touched.map(s => new Path(path, s"$CHUNK=$s").toString))
+          .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+        refreshColumnStats(
+          showChunks().filter(c => touched(c.startMicros)).map(_.path))
       }
       // hypertable-side cagg invalidation (insert.c hook): one extra
       // min/max aggregate over the batch, only when caggs are registered
@@ -264,7 +269,14 @@ class Hypertable private (
       require(caggPaths.isEmpty,
         s"hypertable $path has continuous aggregates " +
           s"(${caggPaths.mkString(",")}) — drop them first")
+      // tablespace-resident chunk dirs go with the table (read the catalog
+      // BEFORE deleting the primary root that holds it)
+      val tsDirs = tablespaceTableDirs
       fs.delete(new Path(path), true)
+      tsDirs.foreach { d =>
+        val dfs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (dfs.exists(d)) dfs.delete(d, true)
+      }
     }
 
   /** Remove a dropped cagg from this table's fan-out registry — without
@@ -560,13 +572,32 @@ class Hypertable private (
     * schema, so pruning is unaffected.
     */
   def read(): DataFrame = {
-    Hypertable.registerForExclusion(Hypertable.ExclusionInfo(
+    val info = Hypertable.ExclusionInfo(
       qualifiedPath, timeCol, () => showChunks(),
       spaceDims,
       () => columnStatsCatalog(),
       () => spacePartsCatalog(),
-      () => skipColumns))
-    readPaths(path)
+      () => skipColumns)
+    Hypertable.registerForExclusion(info)
+    // chunks living in attached tablespace roots: union one scan per root
+    // (same schema, same `_chunk`/`_space` partition discovery), each
+    // registered in the exclusion catalog so time/space/stats pruning
+    // applies root-by-root. The common no-tablespace case stays a single
+    // scan with zero extra I/O beyond one small-file existence check.
+    val extra = tablespaceTableDirs.filter(d => listChunksUnder(d).nonEmpty)
+    if (extra.isEmpty) readPaths(path)
+    else {
+      extra.foreach { d =>
+        val q = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .makeQualified(d).toString
+        Hypertable.registerForExclusion(info.copy(qualifiedPath = q))
+      }
+      val primaryScan =
+        if (listChunksUnder(new Path(path)).nonEmpty) Seq(readPaths(path))
+        else Nil // avoid an unanchored empty-dir scan when all chunks moved
+      (primaryScan ++ extra.map(d => readPaths(d.toString)))
+        .reduceLeft(_ unionByName _)
+    }
   }
 
   /** Read the hypertable as a Structured Streaming source: files appended
@@ -738,22 +769,34 @@ class Hypertable private (
     */
   def showChunks(olderThanMicros: Option[Long] = None,
       newerThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
-    val dir = new Path(path)
-    if (!fs.exists(dir)) return Seq.empty
-    val chunks = fs.listStatus(dir).toSeq
+    val roots = new Path(path) +: tablespaceTableDirs
+    val chunks = roots.flatMap(listChunksUnder).sortBy(_.startMicros)
+    // a chunk start present in two roots means a crashed mid-move/ingest
+    // relocation left both halves visible — reading would double rows
+    chunks.groupBy(_.startMicros).find(_._2.size > 1).foreach { case (s, cs) =>
+      throw new IllegalStateException(
+        s"chunk $s exists in multiple storage roots (${cs.map(_.path).mkString(", ")}) — " +
+          "an interrupted move_chunk/ingest relocation; merge the directories manually")
+    }
+    chunks
+      .filter(c => olderThanMicros.forall(c.endMicros <= _))
+      .filter(c => newerThanMicros.forall(c.startMicros >= _))
+  }
+
+  /** `_chunk=` dirs directly under `dir` (one storage root), with ranges. */
+  private def listChunksUnder(dir: Path): Seq[ChunkInfo] = {
+    val dfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!dfs.exists(dir)) return Seq.empty
+    dfs.listStatus(dir).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$CHUNK="))
       .map { s =>
         val start = s.getPath.getName.stripPrefix(s"$CHUNK=").toLong
         val rangeFile = new Path(s.getPath, RANGE)
         val end =
-          if (fs.exists(rangeFile)) readSmallFile(fs, rangeFile).trim.toLong
+          if (dfs.exists(rangeFile)) readSmallFile(dfs, rangeFile).trim.toLong
           else defaultChunkEnd(start)
         ChunkInfo(start, end, s.getPath.toString)
       }
-      .sortBy(_.startMicros)
-    chunks
-      .filter(c => olderThanMicros.forall(c.endMicros <= _))
-      .filter(c => newerThanMicros.forall(c.startMicros >= _))
   }
 
   private def chunkAt(startMicros: Long): ChunkInfo =
@@ -780,14 +823,19 @@ class Hypertable private (
     */
   private def rewriteChunkDir(startMicros: Long, endMicros: Long, df: DataFrame,
       forceCompressed: Option[Boolean] = None): Unit = {
-    val target = new Path(path, s"$CHUNK=$startMicros")
+    // a chunk that was move_chunk'd to a tablespace is rewritten IN PLACE
+    // at its current root; brand-new dirs (split's upper half) open in the
+    // primary root
+    val target = showChunks().find(_.startMicros == startMicros)
+      .map(c => new Path(c.path))
+      .getOrElse(new Path(path, s"$CHUNK=$startMicros"))
     val compressed = forceCompressed
       .getOrElse(Columnstore.isCompressed(spark, target.toString))
     // the recorded space layout survives the physical rewrite (rows keep
     // their `_space` values, so the counts that produced them still hold)
     val parts = if (repartitioned) Hypertable.readSpaceParts(fs, target) else None
     // dot-prefixed: invisible to Spark's file index while in flight
-    val tmp = new Path(path, s".tmp_chunk_$startMicros")
+    val tmp = new Path(target.getParent, s".tmp_chunk_$startMicros")
     var w = df.write.mode(SaveMode.Overwrite)
     if (compressed) w = w.option("compression", "zstd")
     if (spaceDims.nonEmpty) w = w.partitionBy(spaceDims.map(_._3): _*)
@@ -855,6 +903,16 @@ class Hypertable private (
     cs.tail.foreach(c => fs.delete(new Path(c.path), true))
     ChunkInfo(cs.head.startMicros, cs.last.endMicros, cs.head.path)
   }
+
+  /** merge_chunks_concurrently (`sql/maintenance_utils.sql:31-58`): the
+    * reference variant that merges under weaker locks so readers proceed.
+    * Graft's merge already has that property — readers hold no locks, and
+    * the rewrite is tmp-dir + atomic swap, so concurrent scans see either
+    * the old chunks or the merged one — hence this is the same operation.
+    */
+  def mergeChunksConcurrently(starts: Seq[Long],
+      targetFileBytes: Long = 128L << 20): ChunkInfo =
+    mergeChunks(starts, targetFileBytes)
 
   /** split_chunk with the reference's default split point: the midpoint of
     * the chunk's recorded range (`tsl/src/chunk_split.c:1136-1139`,
@@ -1056,6 +1114,162 @@ class Hypertable private (
     fs.delete(new Path(dest, RANGE), false) // catalog marker, not table data
     invalidateCaggs(c.startMicros, c.endMicros) // raw rows disappeared
     ChunkInfo(c.startMicros, c.endMicros, destPath)
+  }
+
+  // ------------------------------------------------ tablespaces / move_chunk
+  // The reference's tablespaces (`sql/ddl_api.sql` attach/detach_tablespace,
+  // `src/tablespace.c`) put chunks on different storage; `move_chunk`
+  // (`tsl/src/chunk_api.c`) relocates one chunk between them. The data-lake
+  // analogue is STORAGE ROOTS — e.g. a hot NVMe-backed prefix and a cold
+  // object-store prefix. A moved chunk keeps its catalog identity (start,
+  // range, columnstore state, frozen marker — they all travel with the
+  // dir); reads union the roots, and chunk exclusion prunes each root's
+  // scan through the same catalog, so a time-bounded query over a 10k-chunk
+  // table still opens only the hit chunks regardless of where they live.
+
+  /** This table's directory inside a tablespace root: the primary dir name
+    * plus a short digest of the qualified path, so two tables that share a
+    * name (different parents) cannot collide inside one tablespace.
+    */
+  private[graft] def tablespaceTableDir(root: String): Path = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(qualifiedPath.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    new Path(root, s"${new Path(path).getName}_$digest")
+  }
+
+  /** Attached tablespace roots (`show_tablespaces`, `sql/ddl_api.sql`). */
+  def showTablespaces: Seq[String] = {
+    val f = new Path(path, TABLESPACES)
+    if (!fs.exists(f)) Nil
+    else readSmallFile(fs, f).split('\n').filter(_.nonEmpty).toSeq
+  }
+
+  /** Per-table data dirs inside each attached tablespace root. */
+  private def tablespaceTableDirs: Seq[Path] =
+    showTablespaces.map(tablespaceTableDir)
+
+  /** attach_tablespace: register another storage root chunks can move to.
+    * Metadata-only (one small-file write); the per-table dir is created
+    * lazily by the first move.
+    */
+  def attachTablespace(root: String): Unit = {
+    val cur = showTablespaces
+    require(!cur.contains(root), s"tablespace $root is already attached")
+    writeSmallFile(fs, new Path(path, TABLESPACES), (cur :+ root).mkString("\n"))
+  }
+
+  /** detach_tablespace: refuse while the root still holds this table's
+    * chunks (they would vanish from the catalog), like the reference's
+    * in-use check.
+    */
+  def detachTablespace(root: String): Unit = {
+    val cur = showTablespaces
+    require(cur.contains(root), s"tablespace $root is not attached")
+    val dir = tablespaceTableDir(root)
+    val inUse = listChunksUnder(dir)
+    require(inUse.isEmpty,
+      s"tablespace $root still holds ${inUse.size} chunk(s) of this table — " +
+        "move_chunk them back first")
+    val rest = cur.filterNot(_ == root)
+    val f = new Path(path, TABLESPACES)
+    if (rest.isEmpty) fs.delete(f, false)
+    else writeSmallFile(fs, f, rest.mkString("\n"))
+    val dfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (dfs.exists(dir)) dfs.delete(dir, true) // only empty per-table stubs
+  }
+
+  /** detach_tablespaces: detach every attached root (all must be empty). */
+  def detachTablespaces(): Seq[String] = {
+    val all = showTablespaces
+    all.foreach(detachTablespace)
+    all
+  }
+
+  /** move_chunk (`tsl/src/chunk_api.c`, `sql/ddl_api.sql`): relocate one
+    * chunk to an attached tablespace root (or back to the primary root with
+    * `destRoot = None`). Same-filesystem moves are a metadata-only rename —
+    * O(1) regardless of chunk size; cross-filesystem moves copy file-by-
+    * file then delete (at cluster scale that copy would be a distributed
+    * job; the sequential fallback here covers the local/test filesystems).
+    * The chunk stays fully live: reads, DML, compression and policies all
+    * resolve it through the catalog at its new location. `readStream`
+    * tails only the primary root — move chunks past the streaming
+    * consumers' watermark, the same contract compaction has.
+    */
+  def moveChunk(startMicros: Long, destRoot: Option[String]): ChunkInfo = {
+    val c = chunkAt(startMicros)
+    require(!Hypertable.chunkFrozen(fs, new Path(c.path)),
+      s"cannot move frozen chunk ${c.path} — unfreeze_chunk first")
+    val parent = destRoot match {
+      case Some(r) =>
+        require(showTablespaces.contains(r),
+          s"tablespace $r is not attached — attach_tablespace first")
+        tablespaceTableDir(r)
+      case None => new Path(path)
+    }
+    val src = new Path(c.path)
+    val dst = new Path(parent, s"$CHUNK=$startMicros")
+    val dstFs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualifiedDst = dstFs.makeQualified(dst)
+    if (src == qualifiedDst) return c // already there
+    require(!dstFs.exists(dst), s"$dst already exists")
+    dstFs.mkdirs(parent)
+    val srcFs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (srcFs.getUri == dstFs.getUri) {
+      require(srcFs.rename(src, dst), s"rename $src -> $dst failed")
+    } else {
+      require(org.apache.hadoop.fs.FileUtil.copy(srcFs, src, dstFs, dst,
+        true /* deleteSource */, spark.sparkContext.hadoopConfiguration),
+        s"copy $src -> $dst failed")
+    }
+    ChunkInfo(c.startMicros, c.endMicros, qualifiedDst.toString)
+  }
+
+  def moveChunk(startMicros: Long, destRoot: String): ChunkInfo =
+    moveChunk(startMicros, Some(destRoot))
+
+  /** Appended rows for chunks that live in a tablespace land (atomically,
+    * via the normal routed write) under the PRIMARY root first; this folds
+    * those fresh part files into the chunk's real directory. File-count
+    * work only — each file is a same-FS rename (cross-FS: copy+delete).
+    */
+  private def relocateFreshWrites(): Unit = {
+    val moved: Map[Long, Path] = tablespaceTableDirs
+      .flatMap(listChunksUnder).map(c => c.startMicros -> new Path(c.path)).toMap
+    if (moved.isEmpty) return
+    val stubs = listChunksUnder(new Path(path))
+      .filter(c => moved.contains(c.startMicros))
+    graft.Par.foreach(stubs) { stub =>
+      val dst = moved(stub.startMicros)
+      val dstFs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      mergeInto(fs, new Path(stub.path), dstFs, dst)
+      fs.delete(new Path(stub.path), true)
+    }
+  }
+
+  /** Move every data file under `src` into `dst`, preserving `_space*=`
+    * sub-dir structure; part filenames are task-unique so plain renames
+    * cannot collide. Catalog marker files in the stub are DISCARDED — the
+    * destination's markers are authoritative.
+    */
+  private def mergeInto(srcFs: FileSystem, src: Path,
+      dstFs: FileSystem, dst: Path): Unit = {
+    dstFs.mkdirs(dst)
+    srcFs.listStatus(src).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) mergeInto(srcFs, st.getPath, dstFs, new Path(dst, name))
+      else if (!name.startsWith("_") && !name.startsWith(".")) {
+        val target = new Path(dst, name)
+        if (srcFs.getUri == dstFs.getUri)
+          require(srcFs.rename(st.getPath, target),
+            s"rename ${st.getPath} -> $target failed")
+        else
+          require(org.apache.hadoop.fs.FileUtil.copy(srcFs, st.getPath,
+            dstFs, target, true, spark.sparkContext.hadoopConfiguration),
+            s"copy ${st.getPath} -> $target failed")
+      }
+    }
   }
 
   /** add_dimension (`sql/ddl_api.sql:115-143`, `ts_dimension_add`): attach
@@ -1380,6 +1594,7 @@ object Hypertable {
   private[sources] val CAGGS = "_graft_caggs"
   private[sources] val FROZEN = "_graft_frozen"
   private[sources] val FROZENCAT = "_graft_frozen_chunks"
+  private[sources] val TABLESPACES = "_graft_tablespaces"
 
   /** Serializes root frozen-catalog read-modify-writes across threads. */
   private val frozenCatalogLock = new Object

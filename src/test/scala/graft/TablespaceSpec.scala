@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Columnstore, Hypertable}
+
+/** Tablespaces + move_chunk (`tsl/src/chunk_api.c`, `src/tablespace.c`,
+  * `sql/ddl_api.sql` attach/detach_tablespace): chunks relocated to other
+  * storage roots stay fully live — reads union the roots with chunk
+  * exclusion on each, appends fold into the moved dirs, maintenance
+  * resolves chunks at their current location.
+  */
+class TablespaceSpec extends AnyFunSuite {
+  lazy val spark = Graft.session("tablespace-spec", "local[4]", 4)
+
+  private def events = Tables.table(spark, "/root/testdata/sf0.001", "events")
+
+  private def fresh(): (Hypertable, String) = {
+    val dir = Files.createTempDirectory("graft_tblspc").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(events)
+    (ht, dir)
+  }
+
+  /** All parquet leaf scans of a plan, unwrapping AQE. */
+  private def leafScans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collect { case f: FileSourceScanExec => f }
+  }
+
+  test("move_chunk relocates; reads union roots; answers unchanged") {
+    val (ht, dir) = fresh()
+    val before = ht.read().groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = ht.showChunks()
+    assert(all.size === 5)
+
+    ht.attachTablespace(s"$dir/cold")
+    assert(ht.showTablespaces === Seq(s"$dir/cold"))
+    val moved = ht.moveChunk(all.head.startMicros, Some(s"$dir/cold"))
+    assert(moved.path.contains("/cold/"))
+    // catalog still sees 5 chunks, one of them at the new root
+    val after = ht.showChunks()
+    assert(after.size === 5)
+    assert(after.head.path === moved.path)
+    // answers identical through the union read
+    val now = ht.read().groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(now === before)
+  }
+
+  test("chunk exclusion prunes each storage root's scan independently") {
+    val (ht, dir) = fresh()
+    ht.attachTablespace(s"$dir/cold")
+    val all = ht.showChunks()
+    all.take(2).foreach(c => ht.moveChunk(c.startMicros, Some(s"$dir/cold")))
+
+    // a range covering only the 2 moved chunks: the tablespace scan keeps
+    // both partitions, the primary scan keeps none
+    val df = ht.read().where(col("ts") < new Timestamp(all(1).endMicros / 1000))
+    val scans = leafScans(df)
+    assert(scans.nonEmpty)
+    val parts = scans.map(_.selectedPartitions.partitionCount)
+    assert(parts.sum === 2,
+      s"expected 2 chunk partitions total across roots, got $parts")
+
+    // a range covering only primary-resident chunks prunes the moved ones
+    val df2 = ht.read().where(col("ts") >= new Timestamp(all(2).startMicros / 1000))
+    assert(leafScans(df2).map(_.selectedPartitions.partitionCount).sum === 3)
+  }
+
+  test("appends into moved chunks fold into the tablespace dir") {
+    val (ht, dir) = fresh()
+    val total = ht.read().count()
+    ht.attachTablespace(s"$dir/cold")
+    val first = ht.showChunks().head
+    val chunkRowsBefore = spark.read.parquet(first.path).count()
+    val movedPath = ht.moveChunk(first.startMicros, Some(s"$dir/cold")).path
+
+    // append rows that route into the MOVED chunk (same time range)
+    val late = events.where(
+      col("ts") < new Timestamp(first.endMicros / 1000)).limit(100)
+    val nLate = late.count()
+    ht.write(late)
+
+    // no stub dir left under the primary root; rows land in the moved dir
+    assert(!ht.showChunks().exists(c =>
+      c.startMicros == first.startMicros && !c.path.contains("/cold/")))
+    assert(ht.read().count() === total + nLate)
+    assert(spark.read.parquet(movedPath).count() === chunkRowsBefore + nLate)
+  }
+
+  test("maintenance resolves moved chunks: compress + merge in place") {
+    val (ht, dir) = fresh()
+    ht.attachTablespace(s"$dir/cold")
+    val all = ht.showChunks()
+    val a = ht.moveChunk(all(0).startMicros, Some(s"$dir/cold"))
+    val b = ht.moveChunk(all(1).startMicros, Some(s"$dir/cold"))
+
+    // columnstore conversion operates on the tablespace-resident path
+    Columnstore.compressChunk(spark, a.path, Columnstore.Options(Seq("event_type"), Seq("ts")))
+    assert(Columnstore.isCompressed(spark, a.path))
+
+    // merge keeps the earlier (moved) chunk's root; decompressed first so
+    // the merge result stays rowstore
+    Columnstore.decompressChunk(spark, a.path)
+    val merged = ht.mergeChunksConcurrently(Seq(a.startMicros, b.startMicros))
+    assert(merged.path.contains("/cold/"))
+    assert(ht.showChunks().size === 4)
+    assert(ht.read().count() === events.count())
+  }
+
+  test("detach_tablespace refuses while chunks live there; empty detach ok") {
+    val (ht, dir) = fresh()
+    ht.attachTablespace(s"$dir/cold")
+    intercept[IllegalArgumentException](ht.attachTablespace(s"$dir/cold"))
+    val first = ht.showChunks().head
+    ht.moveChunk(first.startMicros, Some(s"$dir/cold"))
+    intercept[IllegalArgumentException](ht.detachTablespace(s"$dir/cold"))
+    // move back to primary, then detach succeeds
+    val home = ht.moveChunk(first.startMicros, None)
+    assert(!home.path.contains("/cold/"))
+    assert(ht.detachTablespaces() === Seq(s"$dir/cold"))
+    assert(ht.showTablespaces.isEmpty)
+    intercept[IllegalArgumentException](ht.detachTablespace(s"$dir/cold"))
+  }
+
+  test("hypertable_detailed_size counts tablespace-resident chunks") {
+    val (ht, dir) = fresh()
+    val before = graft.operators.Stats.hypertableDetailedSize(ht)
+    assert(before.tableBytes > 0 && before.totalBytes >= before.tableBytes)
+    ht.attachTablespace(s"$dir/cold")
+    ht.moveChunk(ht.showChunks().head.startMicros, Some(s"$dir/cold"))
+    val after = graft.operators.Stats.hypertableDetailedSize(ht)
+    // moving storage must not change accounted data bytes
+    assert(after.tableBytes === before.tableBytes)
+    assert(graft.operators.Stats.hypertableSize(ht) === after.totalBytes)
+  }
+
+  test("drop() removes tablespace-resident chunk dirs too") {
+    val (ht, dir) = fresh()
+    ht.attachTablespace(s"$dir/cold")
+    ht.moveChunk(ht.showChunks().head.startMicros, Some(s"$dir/cold"))
+    val tsDir = ht.tablespaceTableDir(s"$dir/cold")
+    val fs = tsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(tsDir))
+    ht.drop()
+    assert(!fs.exists(tsDir))
+  }
+}
