@@ -1187,6 +1187,29 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Training-data ops: semantic dedup (SemDeDup) — transitive closure of
+    // the cosine-near-dup relation via banded LSH pairs + large/small-star
+    // connected components; keep the smallest id of each group. Verified
+    // against DuckDB's quadratic pairs + recursive-CTE closure.
+    "q82_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          0.45, dim = 64)
+        .orderBy("vec_id")
+    }),
+
+    // Training-data ops: token-budget mixture — per source, keep docs in
+    // md5(id) order while the running token total stays within the
+    // source's budget (the auditable "data recipe" of a training run).
+    // src2's zero budget keeps nothing; sources without a budget drop.
+    "q83_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.token_count(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.tokenBudget(docs, "source", "doc_id",
+          "n_tokens", Map("src0" -> 5000L, "src1" -> 800L, "src2" -> 0L))
+        .orderBy("source", "doc_id")
+    }),
+
     // ANN, IVF variant: k-means inverted lists + centroid-ordered probes +
     // exact rerank. Probing ALL lists makes the result exactly the
     // brute-force top-k (the correctness gate), while exercising the
@@ -2003,6 +2026,43 @@ object SparkEntry {
         |      ELSE 1.0 - CAST(length(list_distinct(grams)) AS DOUBLE) / length(grams)
         | END AS dup_fraction
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q82_semantic_dedup" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS da, b.vec_id AS db
+        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), (x,y) -> x+y)
+        |   / (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y))
+        |      * sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y))) >= 0.45),
+        |e AS (
+        |  SELECT da AS a, db AS b FROM p
+        |  UNION SELECT db, da FROM p
+        |  UNION SELECT vec_id, vec_id FROM e0),
+        |reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+        |SELECT a AS vec_id, MIN(b) AS rep_id, MIN(b) = a AS kept
+        |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
+
+    "q83_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE length(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT * FROM (VALUES ('src0', 5000), ('src1', 800), ('src2', 0))
+        |      AS v(source, budget)),
+        |p AS (
+        |  SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+        |    SUM(n_tokens) OVER (PARTITION BY t.source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t JOIN b USING (source))
+        |SELECT doc_id, source, n_tokens FROM p
+        |WHERE cum <= budget ORDER BY source, doc_id""".stripMargin,
 
     "q81_move_chunk" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -67,4 +67,34 @@ object Sampling {
       .where(col("_graft_rn") <= col("_graft_q"))
       .drop("_graft_q", "_graft_rn")
   }
+
+  /** TOKEN-budget mixture (the unit a training run is actually planned
+    * in): per stratum (source/domain), keep documents — in deterministic
+    * md5(id) order — while the RUNNING token total stays within that
+    * stratum's budget. A doc is kept iff its inclusive prefix sum of
+    * `tokensCol` ≤ the stratum's budget, so the kept set is a prefix of
+    * the hash order: reproducible on any engine/layout, auditable, and
+    * stable under corpus growth (new docs can only displace docs that
+    * hash after them). Strata absent from `budgets` are dropped.
+    *
+    * One shuffle (the per-stratum window); exact-integer arithmetic
+    * throughout — double accumulation would wobble past 2^53 tokens.
+    * Skew note: a stratum's rows land in one window partition; at 100 TB
+    * pre-aggregate per (stratum, doc) first — `tokensCol` is per-doc
+    * already, and the window carries only (id, stratum, tokens), so the
+    * sort is over narrow rows, not document text.
+    */
+  def tokenBudget(df: DataFrame, strataCol: String, idCol: String,
+      tokensCol: String, budgets: Map[String, Long],
+      salt: String = ""): DataFrame = {
+    val b = typedLit(budgets)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashKey(col(idCol), salt), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_graft_b", b(col(strataCol)))
+      .where(col("_graft_b").isNotNull)
+      .withColumn("_graft_cum", sum(col(tokensCol).cast("long")).over(w))
+      .where(col("_graft_cum") <= col("_graft_b"))
+      .drop("_graft_b", "_graft_cum")
+  }
 }

@@ -356,4 +356,37 @@ object Similarity {
         .distinct()
     }
   }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): drop all but one
+    * representative of every group of embedding-near-duplicate documents.
+    * Groups are the TRANSITIVE closure of the cosine-≥-threshold relation
+    * (a paraphrase chain a≈b≈c collapses to one doc even when cos(a,c)
+    * dips below the threshold); the kept representative is the smallest id
+    * in the group — deterministic on any engine/layout.
+    *
+    * Scale shape: pair discovery is [[lshPairs]] (banded equi-join with a
+    * derived ≤1e-9 miss bound — never all-pairs), grouping is
+    * [[Clustering.connectedComponents]] (large-star/small-star, O(log²)
+    * rounds), and the final markup is one left join against the component
+    * map (|near-dup nodes|-bounded, tiny next to the corpus).
+    *
+    * Returns (idCol, rep_id, kept): every input row, its group
+    * representative (itself when it has no near-dup), and whether a
+    * dedup pass keeps it.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planesPerBand: Int = 0, bands: Int = 0,
+      dim: Int = 0, seed: Long = 42L): DataFrame = {
+    val pairs = lshPairs(emb, idCol, vecCol, threshold, planesPerBand,
+      bands, dim, seed)
+    val cc = Clustering.connectedComponents(pairs, "id_a", "id_b")
+    val isNumeric =
+      emb.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val rep = coalesce(col("component"), col(idCol))
+    emb.select(col(idCol))
+      .join(cc, col(idCol) === col("node"), "left")
+      .select(col(idCol),
+        (if (isNumeric) rep.cast("long") else rep).as("rep_id"))
+      .withColumn("kept", col("rep_id") === col(idCol))
+  }
 }

@@ -105,6 +105,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(counts === Map("click" -> 7L, "purchase" -> 3L))
   }
 
+  test("tokenBudget keeps the hash-order prefix within each budget") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L), (4L, "a", 10L),
+      (5L, "b", 100L), (6L, "b", 1L),
+      (7L, "c", 5L)
+    ).toDF("id", "src", "n")
+    val out = Sampling.tokenBudget(docs, "src", "id", "n",
+      Map("a" -> 25L, "b" -> 1L, "c" -> 0L))
+    val kept = out.select("id").as[Long].collect().toSet
+    // src a: first two docs in md5 order fit (10+10 ≤ 25), third crosses;
+    // src b: whichever hashes first is 100 or 1 — only a 1-token doc fits
+    // a 1-token budget; src c: zero budget keeps nothing
+    val keptA = kept.count(id => id <= 4L)
+    assert(keptA === 2, s"expected 2 docs from src a, kept $kept")
+    assert(!kept.contains(7L))
+    assert(out.count() === out.distinct().count())
+    // deterministic: same call, same rows
+    assert(Sampling.tokenBudget(docs, "src", "id", "n",
+      Map("a" -> 25L, "b" -> 1L, "c" -> 0L))
+      .select("id").as[Long].collect().toSet === kept)
+    // the kept set is a PREFIX of the hash order: every kept doc hashes
+    // before every dropped doc of the same stratum (src a)
+    val order = docs.where($"src" === "a")
+      .orderBy(Sampling.hashKey($"id"), $"id").select("id").as[Long].collect()
+    assert(order.take(keptA).toSet === kept.filter(_ <= 4L))
+  }
+
+  test("semanticDedup keeps one representative per near-dup closure") {
+    import graft.operators.Similarity
+    // 0 ≈ 1 ≈ 2 (chain via 1), 3 isolated; 64-dim unit-ish vectors
+    def v(x: Double, y: Double) =
+      Array(x, y) ++ Array.fill(62)(0.0)
+    val emb = Seq(
+      (0L, v(1.0, 0.0)), (1L, v(0.9, 0.4359)), (2L, v(0.62, 0.7846)),
+      (3L, v(-1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding", 0.85,
+        dim = 64)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    // cos(0,1)=0.9, cos(1,2)=0.9 → one component {0,1,2}; cos(0,2)=0.62
+    // alone would NOT pair them — the closure must
+    assert(out.map(r => (r._1, r._2)).toSeq ===
+      Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L)))
+    assert(out.filter(_._3).map(_._1).toSeq === Seq(0L, 3L))
+  }
+
   test("normalize_text: NFC + whitespace collapse + lowercase") {
     val rows = Seq(
       "  Hello\t\tWORLD  ",
