@@ -167,6 +167,24 @@ object GraftExtensions {
             .toAggregateExpression()))
     },
 
+    // time-conversion layer (`sql/util_time.sql`; internal time = Unix
+    // micros). `to_timestamp` is NOT shadowed — SQL users reach the same
+    // conversion through Spark's builtin `timestamp_micros`.
+    fn("to_unix_microseconds", "(timestamp)") { case Seq(e) =>
+      org.apache.spark.sql.catalyst.expressions.UnixMicros(
+        org.apache.spark.sql.catalyst.expressions.Cast(e,
+          org.apache.spark.sql.types.TimestampType)) },
+    fn("to_timestamp_without_timezone", "(unixtime_us)") { case Seq(e) =>
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.MicrosToTimestamp(e),
+        org.apache.spark.sql.types.TimestampNTZType, Some("UTC")) },
+    fn("to_interval", "(unixtime_us)") { case Seq(e) =>
+      org.apache.spark.sql.catalyst.expressions.MultiplyDTInterval(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L,
+          org.apache.spark.sql.types.DayTimeIntervalType()), e) },
+    fn("interval_to_usec", "(interval)") { case Seq(e) => IntervalToUsec(e) },
+    fn("time_to_internal", "(time value)") { case Seq(e) => TimeToInternal(e) },
+
     // single-pass text analysis (library defaults for markers/stopwords)
     fn("lang_id", "(text)") { case Seq(e) =>
       LangId(e, graft.operators.TextAnalysis.LANG_MARKERS) },

@@ -140,6 +140,58 @@ object functions {
   def get_partition_for_key(value: Column, partitions: Int): Column =
     F.pmod(F.hash(value), F.lit(partitions))
 
+  // ------------------------------------------------- util_time conversions
+  // (`sql/util_time.sql` — the reference's internal time-conversion layer;
+  // internal time is Unix-epoch MICROSECONDS as bigint)
+
+  /** Unix-epoch microseconds of a timestamp (`to_unix_microseconds`). */
+  def to_unix_microseconds(ts: Column): Column = F.unix_micros(ts)
+
+  /** Timestamp (instant) from Unix-epoch microseconds — the reference's
+    * `_timescaledb_functions.to_timestamp(BIGINT)`. Named with the _micros
+    * suffix to avoid shadowing Spark's string-parsing `to_timestamp`.
+    */
+  def to_timestamp_micros(us: Column): Column = F.timestamp_micros(us)
+
+  /** Naive (no-timezone) timestamp carrying the UTC wall clock of the given
+    * Unix-epoch micros (`to_timestamp_without_timezone`). Session-zone
+    * independent: the NTZ value is the UTC rendering regardless of
+    * `spark.sql.session.timeZone`.
+    */
+  def to_timestamp_without_timezone(us: Column): Column =
+    col(org.apache.spark.sql.catalyst.expressions.Cast(
+      ex(F.timestamp_micros(us)),
+      org.apache.spark.sql.types.TimestampNTZType, Some("UTC")))
+
+  /** UTC calendar date containing the given Unix-epoch micros (`to_date`). */
+  def to_date_micros(us: Column): Column =
+    col(org.apache.spark.sql.catalyst.expressions.Cast(
+      ex(F.timestamp_micros(us)),
+      org.apache.spark.sql.types.DateType, Some("UTC")))
+
+  /** Day-time interval of the given Unix-epoch micros (`to_interval`). */
+  def to_interval(us: Column): Column =
+    col(org.apache.spark.sql.catalyst.expressions.MultiplyDTInterval(
+      Literal(1L, org.apache.spark.sql.types.DayTimeIntervalType()), ex(us)))
+
+  /** Total microseconds of an interval under PG epoch-extraction rules
+    * (month = 30 days, day = 24 h) — `interval_to_usec`.
+    */
+  def interval_to_usec(i: Column): Column = col(IntervalToUsec(ex(i)))
+
+  /** Driver-side form for interval strings: `interval_to_usec("1 hour")`. */
+  def interval_to_usec(s: String): Long = {
+    val ci = IntervalUtils.stringToInterval(UTF8String.fromString(s))
+    IntervalToUsec(Literal(ci, CalendarIntervalType)).eval(null).asInstanceOf[Long]
+  }
+
+  /** Internal (bigint micros) value of any dimension-typed column
+    * (`time_to_internal`): timestamps → Unix micros, dates → midnight UTC
+    * micros, integral columns → cast to bigint (integer dimensions keep
+    * their own units).
+    */
+  def time_to_internal(t: Column): Column = col(TimeToInternal(ex(t)))
+
   // -------------------------------------------------------------- histogram
 
   /** Bucket index for a fixed-width histogram: 0 = underflow, 1..nbuckets =

@@ -791,10 +791,8 @@ class Hypertable private (
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$CHUNK="))
       .map { s =>
         val start = s.getPath.getName.stripPrefix(s"$CHUNK=").toLong
-        val rangeFile = new Path(s.getPath, RANGE)
-        val end =
-          if (dfs.exists(rangeFile)) readSmallFile(dfs, rangeFile).trim.toLong
-          else defaultChunkEnd(start)
+        val end = Hypertable.readRangeFile(dfs, s.getPath)
+          .getOrElse(defaultChunkEnd(start))
         ChunkInfo(start, end, s.getPath.toString)
       }
   }
@@ -803,10 +801,8 @@ class Hypertable private (
     showChunks().find(_.startMicros == startMicros).getOrElse(
       throw new IllegalArgumentException(s"no chunk starting at $startMicros"))
 
-  private def writeRange(chunkPath: String, endMicros: Long): Unit = {
-    val out = fs.create(new Path(chunkPath, RANGE), true)
-    out.write(endMicros.toString.getBytes("UTF-8")); out.close()
-  }
+  private def writeRange(chunkPath: String, endMicros: Long): Unit =
+    Hypertable.writeRangeFile(fs, new Path(chunkPath), endMicros)
 
   /** Rows of one chunk, partition columns dropped (for physical rewrite). */
   private def chunkRows(c: ChunkInfo): DataFrame = readPaths(c.path)
@@ -1734,19 +1730,49 @@ object Hypertable {
   def lookupExclusion(qualifiedPath: String): Option[ExclusionInfo] =
     Option(exclusionRegistry.get(qualifiedPath))
 
-  /** Read a chunk's recorded non-default range end, if any. */
+  /** Read a chunk's recorded non-default range end, if any. Tolerates a
+    * concurrent [[writeRangeFile]]: a vanished or momentarily-empty file
+    * (the delete+rename swap window) retries briefly, then reads as None.
+    */
   private[sources] def readRangeFile(fs: FileSystem, chunkDir: Path): Option[Long] = {
     val f = new Path(chunkDir, RANGE)
-    if (fs.exists(f)) Some(readSmallFile(fs, f).trim.toLong) else None
+    var attempt = 0
+    while (attempt < 3) {
+      try {
+        if (!fs.exists(f)) return None
+        val txt = readSmallFile(fs, f).trim
+        if (txt.nonEmpty) return Some(txt.toLong)
+      } catch { case _: java.io.FileNotFoundException => }
+      attempt += 1
+      if (attempt < 3) Thread.sleep(5L << attempt)
+    }
+    None
   }
 
   /** Record a chunk's range end (merge/split write non-default ranges). */
   private[sources] def writeRangeFile(fs: FileSystem, chunkDir: Path, endMicros: Long): Unit =
     writeSmallFile(fs, new Path(chunkDir, RANGE), endMicros.toString)
 
+  /** Atomic metadata write: create-then-write would expose a concurrent
+    * reader to a truncated (empty) file between `create` and `close` —
+    * observed as a NumberFormatException from a racing `showChunks` while
+    * per-chunk DML jobs re-stamp their range files. Writing a dot-prefixed
+    * tmp (invisible to Spark's file index) and renaming in means readers
+    * see the old content, no file, or the full new content — never a
+    * partial write.
+    */
   private[graft] def writeSmallFile(fs: FileSystem, p: Path, s: String): Unit = {
-    val out = fs.create(p, true)
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
     out.write(s.getBytes("UTF-8")); out.close()
+    // local FS rename refuses an existing destination; the delete+rename
+    // window reads as "no file", which every caller already handles
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"could not swap metadata file $p")
+    }
   }
 
   private[graft] def readSmallFile(fs: FileSystem, p: Path): String = {

@@ -130,4 +130,46 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(h === df.sparkSession.range(1)
       .select(hash(lit("a"))).head().getInt(0))
   }
+
+  test("util_time conversions (sql/util_time.sql): micros round-trips") {
+    val us = 1704067200000000L // 2024-01-01T00:00:00Z
+    // SQL surface
+    val r = spark.sql(
+      s"""SELECT to_unix_microseconds(timestamp'2024-01-01 00:00:00Z') AS a,
+         |       to_timestamp_without_timezone(${us}L) AS b,
+         |       to_interval(3600000000) AS c,
+         |       interval_to_usec(INTERVAL '1 hour') AS d,
+         |       interval_to_usec(INTERVAL '2' MONTH) AS e,
+         |       time_to_internal(timestamp'2024-01-01 00:00:00Z') AS f,
+         |       time_to_internal(date'2024-01-02') AS g,
+         |       time_to_internal(42) AS h""".stripMargin).head()
+    assert(r.getLong(0) === us)
+    assert(r.getAs[java.time.LocalDateTime](1) ===
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0))
+    assert(r.getAs[java.time.Duration](2) === java.time.Duration.ofHours(1))
+    assert(r.getLong(3) === 3600000000L)
+    // PG extract(epoch): month = 30 days
+    assert(r.getLong(4) === 60L * 86400000000L)
+    assert(r.getLong(5) === us)
+    assert(r.getLong(6) === us + 86400000000L)
+    assert(r.getLong(7) === 42L)
+    // Column API agreement + timestamp_micros inverse
+    val c = spark.range(1).select(
+      gf.to_unix_microseconds(gf.to_timestamp_micros(lit(us))).as("rt"),
+      gf.to_date_micros(lit(us + 86400000000L)).as("d"),
+      gf.interval_to_usec(gf.to_interval(lit(123456789L))).as("i"),
+      gf.time_to_internal(gf.to_timestamp_without_timezone(lit(us))).as("ntz"))
+      .head()
+    assert(c.getLong(0) === us)
+    assert(c.getAs[java.sql.Date](1).toString === "2024-01-02")
+    assert(c.getLong(2) === 123456789L)
+    assert(c.getLong(3) === us)
+    assert(gf.interval_to_usec("1 hour") === 3600000000L)
+    // mixed CalendarInterval (not expressible as an ANSI SQL literal)
+    assert(gf.interval_to_usec("1 month 2 days") === 32L * 86400000000L)
+    val ci = spark.range(1)
+      .select(gf.interval_to_usec(gf.interval("1 month 2 days 1 hour")))
+      .head().getLong(0)
+    assert(ci === 32L * 86400000000L + 3600000000L)
+  }
 }
