@@ -1210,6 +1210,19 @@ object SparkEntry {
         .orderBy("source", "doc_id")
     }),
 
+    // Training-data ops: corpus-level repeated-segment removal (Lee et al.
+    // 2021 / CCNet line dedup) — segments duplicated >= 2 times corpus-wide
+    // keep only their first (doc_id, position) occurrence; docs come back
+    // re-assembled. Separator " a " because the synthetic docs have no
+    // newlines; the operator is separator-generic.
+    "q84_line_dedup" -> ((s, dir) => {
+      Dedup.dedupSegments(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", sep = " a ", minDupCount = 2)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // ANN, IVF variant: k-means inverted lists + centroid-ordered probes +
     // exact rerank. Probing ALL lists makes the result exactly the
     // brute-force top-k (the correctness gate), while exercising the
@@ -2063,6 +2076,23 @@ object SparkEntry {
         |  FROM t JOIN b USING (source))
         |SELECT doc_id, source, n_tokens FROM p
         |WHERE cum <= budget ORDER BY source, doc_id""".stripMargin,
+
+    "q84_line_dedup" ->
+      """WITH lines AS (
+        |  SELECT doc_id, unnest(range(len(ls))) AS pos, unnest(ls) AS seg
+        |  FROM (SELECT doc_id, string_split(text, ' a ') AS ls FROM documents) t),
+        |marked AS (
+        |  SELECT doc_id, pos, seg,
+        |         count(*) OVER (PARTITION BY seg) AS n,
+        |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        |  FROM lines),
+        |kept AS (SELECT * FROM marked WHERE n < 2 OR rn = 1),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(seg, ' a ' ORDER BY pos) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text
+        |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q81_move_chunk" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -199,4 +199,42 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Corpus-level repeated-segment removal — the line/passage dedup of
+    * training-data pipelines (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better"; CCNet's shard line dedup): split every
+    * document on `sep`, and for each distinct segment occurring
+    * `minDupCount`-or-more times CORPUS-WIDE keep only its first occurrence
+    * in (id, position) order; rarer segments are untouched. Documents come
+    * back re-assembled in original order (a doc losing every segment keeps
+    * empty text); all other columns pass through.
+    *
+    * Scale shape (no windows over segment partitions — a boilerplate
+    * segment occurring 10^8 times would funnel one sort task):
+    * segment stats are a partial/final aggregation on the md5 of the
+    * segment (never the raw text as a shuffle key); the join back is a hash
+    * equi-join AQE can split on hot keys; reassembly is one groupBy(id).
+    * Three shuffles total, all on uniform-ish hashed keys.
+    */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minDupCount: Int = 2): DataFrame = {
+    val segs = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("_pos", "_seg")))
+      .withColumn("_k", md5(col("_seg")))
+    val stats = segs.groupBy("_k")
+      .agg(count(lit(1)).as("_n"),
+        min(struct(col(idCol), col("_pos"))).as("_first"))
+    val kept = segs.join(stats, "_k")
+      .where(col("_n") < minDupCount ||
+        (col(idCol) === col("_first")(idCol) && col("_pos") === col("_first")("_pos")))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_seg")))),
+          s => s.getField("_seg")), sep).as("_graft_newtext"))
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("_graft_newtext"), lit("")))
+      .drop("_graft_newtext")
+  }
 }

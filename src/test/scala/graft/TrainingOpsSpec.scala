@@ -370,4 +370,22 @@ class TrainingOpsSpec extends AnyFunSuite {
       TextAnalysis.redact_pii($"text", Seq("credit_card"))
     }
   }
+
+  test("corpus-level segment dedup keeps first occurrence, rebuilds docs") {
+    val df = Seq(
+      (1L, "a\nb\na", "s0"),   // 2nd "a" is a later occurrence -> dropped
+      (2L, "a\n\nc", "s1"),    // "a" dup of doc1 pos0 -> dropped; "" unique here...
+      (3L, "", "s2"),          // ...no: "" also at doc2 pos1 -> doc3's dropped
+      (4L, "only once", "s3")) // untouched (no separator, unique line)
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dedupSegments(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((1L, "a\nb", "s0"), (2L, "\nc", "s1"), (3L, "", "s2"),
+        (4L, "only once", "s3")))
+    // raising the threshold above every multiplicity is the identity
+    val id = Dedup.dedupSegments(df, "doc_id", "text", minDupCount = 10)
+      .orderBy("doc_id").collect()
+    assert(id.map(_.getString(1)).toSeq === Seq("a\nb\na", "a\n\nc", "", "only once"))
+  }
 }
