@@ -1210,6 +1210,17 @@ object SparkEntry {
         .orderBy("source", "doc_id")
     }),
 
+    // Similarity at scale: int8-quantized cosine top-k — the 4×-less-scan
+    // first stage of quantized ANN (per-vector symmetric scalar
+    // quantization; the scale cancels in cosine so ranking reads codes
+    // only). Deterministic floor(+0.5) rounding keeps codes engine-exact.
+    "q85_quantized_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      Similarity.quantizedTopK(emb, "vec_id", "embedding", q, 10)
+    }),
+
     // Training-data ops: corpus-level repeated-segment removal (Lee et al.
     // 2021 / CCNet line dedup) — segments duplicated >= 2 times corpus-wide
     // keep only their first (doc_id, position) occurrence; docs come back
@@ -2076,6 +2087,23 @@ object SparkEntry {
         |  FROM t JOIN b USING (source))
         |SELECT doc_id, source, n_tokens FROM p
         |WHERE cum <= budget ORDER BY source, doc_id""".stripMargin,
+
+    "q85_quantized_ann" ->
+      """WITH qv AS (
+        |  SELECT list_transform(v, x -> floor(x*127.0/s + 0.5)) AS q FROM (
+        |    SELECT embedding::DOUBLE[] AS v,
+        |      greatest(list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max'), 1e-30) AS s
+        |    FROM embeddings WHERE vec_id = 0)),
+        |e AS (
+        |  SELECT vec_id, list_transform(v, x -> floor(x*127.0/s + 0.5)) AS q FROM (
+        |    SELECT vec_id, embedding::DOUBLE[] AS v,
+        |      greatest(list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max'), 1e-30) AS s
+        |    FROM embeddings))
+        |SELECT e.vec_id,
+        |  list_reduce(list_transform(list_zip(e.q, qv.q), x -> x[1]*x[2]), (a,b) -> a+b)
+        |   / (sqrt(list_reduce(list_transform(e.q, x -> x*x), (a,b) -> a+b))
+        |      * sqrt(list_reduce(list_transform(qv.q, x -> x*x), (a,b) -> a+b))) AS qsim
+        |FROM e, qv ORDER BY qsim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q84_line_dedup" ->
       """WITH lines AS (

