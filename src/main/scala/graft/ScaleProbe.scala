@@ -157,6 +157,24 @@ object ScaleProbe {
       }
       report("sample_stratified", tSample)
 
+      // 11. corpus-level segment dedup (agg + equi-join + regroup; word
+      // segments on the interleaved docs make deliberately hot keys — the
+      // AQE-skew-join path is part of what's being timed)
+      val (tSeg, _) = timed2 {
+        force(Dedup.dedupSegments(Tables.table(spark, dir, "documents")
+          .select("doc_id", "text"), "doc_id", "text", sep = " "))
+      }
+      report("segment_dedup", tSeg)
+
+      // 12. int8-quantized cosine top-k (narrow scan + TakeOrdered)
+      val (tQAnn, _) = timed2 {
+        val emb = Tables.table(spark, dir, "embeddings")
+        val q = emb.where(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        force(graft.operators.Similarity.quantizedTopK(emb, "vec_id", "embedding", q, 10))
+      }
+      report("quantized_topk", tQAnn)
+
       println(s"[scale] m=$m done (neardup pairs=$nPairs)")
     }
     spark.stop()
@@ -190,5 +208,11 @@ object ScaleProbe {
           concat(lit(" x"), col("_rep"), lit(" "))).as("text"),
         col("lang"), col("source"), col("n_chars"))
     docs.repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // embeddings: same vectors under distinct ids per replica — the ANN
+    // probes are scan-shaped, so row count (not vector novelty) is the load
+    val emb = Tables.table(spark, sf, "embeddings").crossJoin(reps)
+      .select((col("vec_id") * m + col("_rep")).as("vec_id"),
+        col("embedding"), col("label"))
+    emb.repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 }

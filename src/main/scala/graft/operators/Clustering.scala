@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * a groupBy(min) + an equi-join over the edge list, and the edge set
   * contracts toward one star per component in O(log²) rounds. Chosen over
   * per-round label propagation (O(diameter) rounds — a 100-doc duplicate
-  * chain is 100 shuffles there, ~7 here) and over driver-side union-find
-  * (not distributed). No neighborhood is ever materialized as an array:
+  * chain is 100 shuffles there, ~7 here). Deduped edge lists at or below
+  * `driverThreshold` dispatch to a driver-side union-find instead — ~10
+  * scheduler round-trips of iterative overhead buy nothing on a graph that
+  * fits in single-digit MB. No neighborhood is ever materialized as an array:
   * the per-node minimum is a scalar aggregate joined back to the edge
   * list, so a boilerplate super-node with 10⁷ neighbors is just a skewed
   * join key (AQE skew handling applies), never a 10⁷-element row. Every
@@ -36,7 +38,7 @@ object Clustering {
     * default them to their own id, as [[clusterAssignments]] does.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 30): DataFrame = {
+      maxRounds: Int = 30, driverThreshold: Long = 100000): DataFrame = {
     // numeric ids normalize to long; string ids are orderable as-is. A
     // blind cast("long") would turn 'doc-123' into NULL (non-ANSI) and
     // silently drop every edge — fail fast on types min/least can't order.
@@ -57,6 +59,23 @@ object Clustering {
 
     var converged = false
     var round = 0
+    // edge count of the current set — a cheap scan of checkpointed blocks.
+    // Used twice: to dispatch tiny graphs to the driver, and to GATE the
+    // exact convergence diff below (different counts cannot be equal sets,
+    // so most rounds skip the full-outer-join check entirely).
+    var eCount = e.count()
+    // Size-gated dispatch (same pattern as Similarity.blockedPairs and the
+    // SkipScan dictionary collect): a deduped edge list under the threshold
+    // (default 100k edges ≈ 1.6 MB) is union-find on the driver in
+    // milliseconds, where the iterative loop would pay ~10 scheduler
+    // round-trips for the same answer. At 100 TB the near-dup edge list is
+    // billions of rows and takes the distributed loop; the threshold bounds
+    // driver memory explicitly. Results are bit-identical (specs assert).
+    if (eCount <= driverThreshold) {
+      val out = driverUnionFind(e)
+      eBlocks.unpersist(blocking = false)
+      return out
+    }
     while (!converged && round < maxRounds) {
       // large-star(u): m = min(N(u) ∪ {u}); connect every neighbor w > u
       // to m. Neighborhoods come from the symmetric edge view; the min is
@@ -83,8 +102,11 @@ object Clustering {
         .where(col("u") =!= col("v"))
         .distinct())
 
-      // converged ⟺ edge set unchanged (exact symmetric diff, one job)
-      converged = small
+      // converged ⟺ edge set unchanged. Exact symmetric diff, but only
+      // when the cheap count gate says equality is possible — a changed
+      // count proves non-convergence without touching a join.
+      val smallCount = small.count()
+      converged = smallCount == eCount && small
         .withColumn("_n", lit(1))
         .join(e.withColumn("_o", lit(1)), Seq("u", "v"), "full_outer")
         .where(col("_n").isNull || col("_o").isNull)
@@ -94,6 +116,7 @@ object Clustering {
       eBlocks.unpersist(blocking = false)
       e = small
       eBlocks = smallBlocks
+      eCount = smallCount
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
@@ -101,6 +124,44 @@ object Clustering {
     e.select(col("v").as("node"), col("u").as("component"))
       .union(e.select(col("u").as("node"), col("u").as("component")))
       .distinct()
+  }
+
+  /** Driver-side min-id union-find over an already-canonicalized (u < v,
+    * deduped) edge list — the small-graph arm of [[connectedComponents]]'s
+    * dispatch. Same contract as the distributed loop: one row per node
+    * appearing in the edges, component = minimum reachable id.
+    */
+  private def driverUnionFind(e: DataFrame): DataFrame = {
+    val dt = e.schema("u").dataType
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long) => x < y
+      case (x: String, y: String) => x < y
+      case _ => throw new IllegalStateException(s"unexpected id types: $a / $b")
+    }
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var root = x
+      var p = parent.get(root)
+      while (p != null && p != root) { root = p; p = parent.get(root) }
+      // path compression
+      var cur = x
+      while (cur != root) { val nxt = parent.get(cur); parent.put(cur, root); cur = nxt }
+      root
+    }
+    val rows = e.collect()
+    rows.foreach { r =>
+      val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+      if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val nodes = new java.util.LinkedHashSet[Any]()
+    rows.foreach { r => nodes.add(r.get(0)); nodes.add(r.get(1)) }
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](nodes.size)
+    nodes.forEach(n => out += org.apache.spark.sql.Row(n, find(n)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", dt),
+      org.apache.spark.sql.types.StructField("component", dt)))
+    e.sparkSession.createDataFrame(
+      e.sparkSession.sparkContext.parallelize(out.toSeq, 1), schema)
   }
 
   /** Eagerly localCheckpoint `df`, returning the checkpointed frame AND a

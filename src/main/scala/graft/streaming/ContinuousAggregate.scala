@@ -144,6 +144,11 @@ case class CaggDef(
       iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds
     }
   }
+  // reference error parity (`tsl/test/expected/cagg_errors.out`:241-255):
+  // a zero or negative bucket width must fail at definition time, not as a
+  // downstream division-by-zero during refresh alignment
+  require(widthMonths > 0 || widthMicros > 0,
+    "time bucket width must be greater than zero")
   /** Effective mat-chunk width for a given source: explicit width, or the
     * reference's 10× source-chunk-width default (month-width or non-
     * hypertable sources fall back to 70 days = 10× the reference's 7-day

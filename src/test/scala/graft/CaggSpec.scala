@@ -216,6 +216,16 @@ class CaggSpec extends AnyFunSuite {
     assert(err.getMessage.contains("refresh window too small"))
   }
 
+  test("zero/negative bucket widths error at definition (cagg_errors.out:241-255)") {
+    for (w <- Seq("0 days", "-4 weeks", "-1 month", "0")) {
+      val err = intercept[IllegalArgumentException](
+        CaggDef(w, Seq("event_type"), Seq(count(lit(1)).as("n"))))
+      assert(err.getMessage.contains("must be greater than zero")
+          || err.getMessage.contains("must be positive"),
+        s"width '$w': unexpected message ${err.getMessage}")
+    }
+  }
+
   test("monthly cagg: refresh across month boundaries, late data re-materialized") {
     val dir = Files.createTempDirectory("graft_cagg_m").toString
     val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "1 month")

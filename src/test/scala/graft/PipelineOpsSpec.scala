@@ -43,6 +43,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       "x" -> "x", "y" -> "x"))
   }
 
+  test("driver union-find and distributed star-contraction agree on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 120
+      val edges = (0 until 220).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.toDF("a", "b")
+      val viaDriver = Clustering.connectedComponents(edges, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val viaLoop = Clustering.connectedComponents(edges, "a", "b",
+          driverThreshold = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(viaDriver === viaLoop, s"trial $trial diverged")
+    }
+    // string ids through the driver arm too
+    val se = Seq(("b", "a"), ("b", "c")).toDF("a", "b")
+    assert(Clustering.connectedComponents(se, "a", "b")
+      .as[(String, String)].collect().toMap ===
+      Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
   test("cluster assignment groups exact+near duplicates, singletons keep own id") {
     val d0 = docs.where($"doc_id" === 0).select($"text").as[String].head()
     val perturbed = d0.split(" ").zipWithIndex

@@ -392,6 +392,32 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rr === exact, "int8 prefilter + exact rerank diverged from brute force")
   }
 
+  test("segment dedup matches an in-memory model on randomized corpora") {
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("x", "y", "zz", "", "x y")
+    val docs = (0L until 60L).map { id =>
+      val n = rnd.nextInt(6)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString("|"))
+    }
+    for (minDup <- Seq(2, 3)) {
+      // model: global first-occurrence scan in (id, pos) order
+      val segs = docs.flatMap { case (id, t) =>
+        t.split("\\|", -1).zipWithIndex.map { case (s, p) => (id, p, s) } }
+      val counts = segs.groupBy(_._3).map { case (s, g) => s -> g.size }
+      val firsts = segs.groupBy(_._3).map { case (s, g) =>
+        s -> g.map(x => (x._1, x._2)).min }
+      val expected = docs.map { case (id, t) =>
+        val kept = t.split("\\|", -1).zipWithIndex.collect {
+          case (s, p) if counts(s) < minDup || firsts(s) == (id, p) => s }
+        id -> kept.mkString("|")
+      }.toMap
+      val out = Dedup.dedupSegments(docs.toDF("doc_id", "text"),
+          "doc_id", "text", sep = "|", minDupCount = minDup)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out === expected, s"minDupCount=$minDup diverged from model")
+    }
+  }
+
   test("corpus-level segment dedup keeps first occurrence, rebuilds docs") {
     val df = Seq(
       (1L, "a\nb\na", "s0"),   // 2nd "a" is a later occurrence -> dropped
