@@ -1221,6 +1221,31 @@ object SparkEntry {
       Similarity.quantizedTopK(emb, "vec_id", "embedding", q, 10)
     }),
 
+    // Training-data ops: DSIR importance resampling (Xie et al. 2023) — the
+    // 100 docs whose hashed-unigram feature distribution most resembles the
+    // English target subset. The weight is a sequential log-likelihood-ratio
+    // fold in document token order, so the DuckDB oracle reproduces the
+    // double bit-for-bit (JVM Math.log and DuckDB ln are both correctly
+    // rounded; verified bitwise on this container).
+    "q86_dsir_sample" -> ((s, dir) => {
+      graft.operators.Sampling.dsirResample(
+          t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", k = 100)
+        .select(col("doc_id"), col("dsir_weight"))
+        .orderBy(col("dsir_weight").desc, col("doc_id"))
+    }),
+
+    // Training-data ops: fuzzy dedup with quality-aware retention — near-dup
+    // clusters (as q52), then ONE representative per cluster kept: the
+    // longest doc (n_chars), ties → min doc_id. "Keep best, not first" is
+    // the retention rule of production dedup pipelines.
+    "q87_keep_best" -> ((s, dir) => {
+      graft.operators.Clustering.dedupKeepBest(
+          t(s, dir, "documents").where(col("doc_id") < 500),
+          "doc_id", "text", threshold = 0.5, quality = col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Training-data ops: corpus-level repeated-segment removal (Lee et al.
     // 2021 / CCNet line dedup) — segments duplicated >= 2 times corpus-wide
     // keep only their first (doc_id, position) occurrence; docs come back
@@ -2104,6 +2129,70 @@ object SparkEntry {
         |   / (sqrt(list_reduce(list_transform(e.q, x -> x*x), (a,b) -> a+b))
         |      * sqrt(list_reduce(list_transform(qv.q, x -> x*x), (a,b) -> a+b))) AS qsim
         |FROM e, qv ORDER BY qsim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q86_dsir_sample" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(toks, tk -> CAST(list_reduce(
+        |      list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(regexp_extract_all(tk, '.'), c -> CAST(unicode(c) AS BIGINT))),
+        |      (h, cp) -> (h * 131 + cp) % 2147483647) % 1024 AS INT)) AS bs
+        |  FROM tok),
+        |ex AS (SELECT lang, unnest(bs) AS b FROM tb),
+        |cnt AS (
+        |  SELECT b, count(*) AS raw,
+        |         count(*) FILTER (WHERE lang = 'en') AS tgt
+        |  FROM ex GROUP BY b),
+        |tot AS (SELECT sum(raw) AS r, sum(tgt) AS t FROM cnt),
+        |lam AS (
+        |  SELECT b, ln(CAST(tgt + 1 AS DOUBLE) / CAST(t + 1024 AS DOUBLE))
+        |          - ln(CAST(raw + 1 AS DOUBLE) / CAST(r + 1024 AS DOUBLE)) AS l
+        |  FROM cnt, tot),
+        |m AS (SELECT map(list(b), list(l)) AS mp FROM lam),
+        |sc AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(bs, x -> map_extract(mp, x)[1])),
+        |      (a, y) -> a + y) AS dsir_weight
+        |  FROM tb, m)
+        |SELECT doc_id, dsir_weight FROM sc
+        |ORDER BY dsir_weight DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q87_keep_best" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |g AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(0, greatest(length(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i+1 : i+3], ' '))) AS sh
+        |  FROM s),
+        |p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5),
+        |e AS (
+        |  SELECT da AS a, db AS b FROM p
+        |  UNION SELECT db, da FROM p
+        |  UNION SELECT doc_id, doc_id FROM s),
+        |reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |c AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+        |j AS (
+        |  SELECT c.doc_id, c.cluster_id, d.n_chars
+        |  FROM c JOIN documents d ON d.doc_id = c.doc_id),
+        |r AS (
+        |  SELECT doc_id, cluster_id,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM j)
+        |SELECT doc_id, cluster_id, rn = 1 AS kept FROM r ORDER BY doc_id""".stripMargin,
 
     "q84_line_dedup" ->
       """WITH lines AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph clustering for dedup pipelines: given near-duplicate candidate
@@ -197,5 +197,46 @@ object Clustering {
       .join(cc, col(idCol) === col("node"), "left")
       .select(col(idCol),
         (if (isNumeric) cid.cast("long") else cid).as("cluster_id"))
+  }
+
+  /** Fuzzy-dedup RETENTION: given per-row duplicate-cluster assignments,
+    * mark ONE representative per cluster — the row with the highest
+    * `quality` (ties → smallest id) — as `kept`. This is the step that
+    * turns cluster ids into a training corpus: near-duplicates collapse to
+    * their best exemplar instead of an arbitrary one (the "keep best, not
+    * first" rule of fuzzy dedup pipelines).
+    *
+    * One shuffle (the per-cluster window); the rows under the window are
+    * narrow (id, cluster, quality) — join text back AFTER filtering on
+    * `kept` so document bodies never ride through the exchange. Cluster
+    * sizes are near-dup cliques (bounded in practice by the banding's
+    * bucket cap), so per-partition skew stays benign at 100 TB.
+    */
+  def keepBestPerCluster(assignments: DataFrame, idCol: String,
+      clusterCol: String, quality: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol))
+      .orderBy(quality.desc, col(idCol).asc)
+    assignments
+      .withColumn("_graft_rn", row_number().over(w))
+      .withColumn("kept", col("_graft_rn") === 1)
+      .drop("_graft_rn")
+  }
+
+  /** End-to-end fuzzy dedup with quality-aware retention: near-dup
+    * clusters at `threshold`, then keep the best row of each cluster by
+    * `quality` (ties → smallest id). Returns (id, cluster_id, kept) for
+    * every input row.
+    */
+  def dedupKeepBest(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, quality: Column, shingleN: Int = 3,
+      numHashes: Int = 32, bands: Int = 32): DataFrame = {
+    val assign = clusterAssignments(df, idCol, textCol, threshold,
+      shingleN, numHashes, bands)
+    val q = df.select(col(idCol).as("_graft_qid"), quality.as("_graft_q"))
+    keepBestPerCluster(
+        assign.join(q, col(idCol) === col("_graft_qid")),
+        idCol, "cluster_id", col("_graft_q"))
+      .select(col(idCol), col("cluster_id"), col("kept"))
   }
 }

@@ -84,6 +84,78 @@ object Sampling {
     * already, and the window carries only (id, stratum, tokens), so the
     * sort is over narrow rows, not document text.
     */
+  /** Hashed bag-of-words bucket ids of the text's whitespace tokens, in
+    * document order (single-pass expression; PortableHash mod `buckets`, so
+    * any engine reproduces the exact ids).
+    */
+  def tokenBuckets(text: Column, buckets: Int): Column =
+    org.apache.spark.sql.GraftShims.toColumn(graft.expressions.TokenBuckets(
+      org.apache.spark.sql.GraftShims.toExpression(split(trim(text), "\\s+")),
+      buckets))
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every document by how much
+    * more likely its hashed-unigram features are under a TARGET corpus (the
+    * rows where `isTarget`) than under the raw corpus.
+    *
+    * weight(doc) = Σ_tokens [ ln((tgt[b]+1)/(T+B)) − ln((raw[b]+1)/(R+B)) ]
+    * with b = PortableHash(token) mod B, add-1 smoothing, T/R = total
+    * target/raw token counts. The sum runs in DOCUMENT ORDER as a
+    * sequential fold, so the double is bit-reproducible across engines
+    * (`SparkEntry.oracleSql("q86_dsir_sample")` recomputes it in DuckDB).
+    *
+    * Dataflow at 100 TB: one narrow scan + a B-bounded groupBy builds the
+    * bucket table (≤ `buckets` rows — the only shuffle); the per-bucket
+    * log-ratios come to the driver as one Array[Double] (8·B bytes, same
+    * bounded pull as the IVF centroids) and ship back as an array literal,
+    * so SCORING is a pure narrow map — no join, no second shuffle. DSIR is
+    * inherently two-pass over the text (counts, then scores).
+    *
+    * Returns `df` plus a `dsir_weight` column.
+    */
+  def dsirWeights(df: DataFrame, textCol: String, isTarget: Column,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      "dsirWeights: buckets must be in [2, 2^20] (the ratio table is a driver array)")
+    val tb = tokenBuckets(col(textCol), buckets)
+    val counts = df
+      .select(explode(tb).as("_graft_b"), isTarget.cast("boolean").as("_graft_t"))
+      .groupBy("_graft_b")
+      .agg(count(lit(1)).as("raw"),
+        sum(when(col("_graft_t"), 1L).otherwise(0L)).as("tgt"))
+      .collect() // bounded: <= buckets rows
+    var rawTot = 0L
+    var tgtTot = 0L
+    counts.foreach { r => rawTot += r.getLong(1); tgtTot += r.getLong(2) }
+    val lam = new Array[Double](buckets)
+    var b = 0
+    while (b < buckets) { // unseen buckets get the pure-smoothing ratio
+      lam(b) = math.log(1.0 / (tgtTot + buckets).toDouble) -
+        math.log(1.0 / (rawTot + buckets).toDouble)
+      b += 1
+    }
+    counts.foreach { r =>
+      lam(r.getInt(0)) =
+        math.log((r.getLong(2) + 1L).toDouble / (tgtTot + buckets).toDouble) -
+          math.log((r.getLong(1) + 1L).toDouble / (rawTot + buckets).toDouble)
+    }
+    val lamLit = lit(lam)
+    df.withColumn("dsir_weight",
+      aggregate(transform(tb, x => element_at(lamLit, x + 1)),
+        lit(0.0), (acc, v) => acc + v))
+  }
+
+  /** DSIR selection: the `k` documents whose hashed-feature distribution
+    * looks most like the target corpus — deterministic top-k by
+    * (weight desc, id asc), planned as TakeOrderedAndProject (no global
+    * sort materializes).
+    */
+  def dsirResample(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, k: Int, buckets: Int = 1024): DataFrame =
+    dsirWeights(df, textCol, isTarget, buckets)
+      .orderBy(col("dsir_weight").desc, col(idCol))
+      .limit(k)
+
   def tokenBudget(df: DataFrame, strataCol: String, idCol: String,
       tokensCol: String, budgets: Map[String, Long],
       salt: String = ""): DataFrame = {

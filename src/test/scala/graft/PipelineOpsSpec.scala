@@ -204,4 +204,71 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(0) === ((2L, 2L, 1.0)))  // both 3-grams of doc 1 are in bench
     assert(out(1) === ((2L, 0L, 0.0)))
   }
+
+  test("dsirWeights ranks target-like documents above off-target ones") {
+    // target = docs made of "aa bb cc" vocabulary; raw corpus adds docs of
+    // "xx yy zz" vocabulary. A held-out target-vocab doc must outscore the
+    // off-vocab docs.
+    val rows = Seq(
+      (1L, "aa bb cc aa bb", true), (2L, "bb cc aa cc", true),
+      (3L, "aa cc bb aa", true),
+      (10L, "xx yy zz xx", false), (11L, "yy zz xx zz", false),
+      (20L, "aa bb cc bb aa", false)) // target-vocab but not in target set
+      .toDF("doc_id", "text", "is_tgt")
+    val w = Sampling.dsirWeights(rows, "text", col("is_tgt"), buckets = 64)
+      .select($"doc_id", $"dsir_weight").as[(Long, Double)].collect().toMap
+    assert(w(20L) > w(10L) && w(20L) > w(11L),
+      s"target-vocab doc must outscore off-vocab docs: $w")
+    assert(w(10L) < 0 && w(11L) < 0, s"off-vocab docs score negative: $w")
+    // deterministic across runs
+    val w2 = Sampling.dsirWeights(rows, "text", col("is_tgt"), buckets = 64)
+      .select($"doc_id", $"dsir_weight").as[(Long, Double)].collect().toMap
+    assert(w === w2)
+  }
+
+  test("dsirResample returns the k highest-weight docs deterministically") {
+    val out = Sampling.dsirResample(docs, "doc_id", "text",
+      $"lang" === "en", k = 10)
+    val got = out.select("doc_id").as[Long].collect()
+    assert(got.length === 10 && got.distinct.length === 10)
+    val all = Sampling.dsirWeights(docs, "text", $"lang" === "en")
+      .select($"doc_id", $"dsir_weight").as[(Long, Double)].collect()
+    val expect = all.sortBy { case (id, w) => (-w, id) }.take(10).map(_._1)
+    assert(got.toSeq === expect.toSeq)
+    // an English-target ranking enriches English beyond the corpus rate
+    val langOf = docs.select($"doc_id", $"lang").as[(Long, String)]
+      .collect().toMap
+    val corpusRate = langOf.values.count(_ == "en").toDouble / langOf.size
+    assert(got.count(id => langOf(id) == "en").toDouble / got.length > corpusRate,
+      s"top-k must be enriched for the target language (corpus rate $corpusRate)")
+  }
+
+  test("keepBestPerCluster keeps exactly the best-quality row per cluster") {
+    val assign = Seq(
+      (1L, 1L, 10L), (2L, 1L, 30L), (3L, 1L, 30L), // tie at 30 → min id 2
+      (7L, 7L, 5L)) // singleton
+      .toDF("doc_id", "cluster_id", "quality")
+    val out = Clustering.keepBestPerCluster(assign, "doc_id", "cluster_id",
+        col("quality"))
+      .select($"doc_id", $"kept").as[(Long, Boolean)].collect().toMap
+    assert(out === Map(1L -> false, 2L -> true, 3L -> false, 7L -> true))
+  }
+
+  test("dedupKeepBest keeps one representative per near-dup cluster") {
+    val d0 = docs.where($"doc_id" === 0).select($"text").as[String].head()
+    val extra = Seq(
+      (90001L, d0 + " tail", "en", "x", (d0.length + 5).toLong)) // near dup, longer
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Clustering.dedupKeepBest(docs.unionByName(extra), "doc_id",
+        "text", threshold = 0.5, quality = col("n_chars"))
+      .as[(Long, Long, Boolean)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // 0 and 90001 share a cluster; the longer doc (90001) is kept
+    assert(byId(0L)._2 === byId(90001L)._2)
+    assert(byId(90001L)._3 && !byId(0L)._3)
+    // exactly one kept per cluster, every row labeled
+    val perCluster = out.groupBy(_._2).view.mapValues(_.count(_._3)).toMap
+    assert(perCluster.values.forall(_ == 1))
+    assert(out.length === docs.count() + 1)
+  }
 }
