@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // reference NULL semantics (nullability can still widen); the optimizer
     // registration below is the no-op-unless-unrewritten fallback shared
     // with Graft.init sessions
+    // admin-call statements (`SELECT create_hypertable(...)`, `CALL
+    // refresh_continuous_aggregate(...)` — the reference's ddl_api surface)
+    // parse to eagerly-run commands; everything else delegates untouched
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     ext.injectResolutionRule(_ => graft.plans.GapfillResolution)
     ext.injectOptimizerRule(_ => graft.plans.GapfillRewrite)
     ext.injectOptimizerRule(_ => graft.plans.SortTransform)

@@ -1309,6 +1309,35 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // §2.9/§2.1 the ADMIN SQL SURFACE end-to-end (`sql/ddl_api.sql` call
+    // shapes through the parser extension): create_hypertable, drop_chunks
+    // with a named older_than bound, compress_chunk per show_chunks row,
+    // approximate_row_count — all as SQL statements — then an aggregation
+    // THROUGH the admin-built compressed table. Oracle = the same
+    // aggregation over the raw rows at/after the retention cutoff (the
+    // cutoff is a chunk boundary, so drop_chunks ≡ the row filter).
+    "q88_sql_admin" -> ((s, dir) => {
+      import graft.sources.{Columnstore, Hypertable}
+      Graft.init(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sqladmin_q").toString
+      val p = s"$tmp/ht"
+      s.sql(s"SELECT create_hypertable('$p', 'ts', chunk_interval => INTERVAL '7 days')")
+      Hypertable.at(s, p).write(t(s, dir, "events"), filesPerChunk = 8)
+      // 2024-01-08 lies on a 7-day chunk boundary (2000-01-01-aligned grid)
+      s.sql(s"SELECT drop_chunks('$p', older_than => TIMESTAMP '2024-01-08 00:00:00')")
+      Hypertable.at(s, p).setColumnstoreSettings(Columnstore.Options(
+        segmentBy = Seq("event_type"), orderBy = Seq("ts")))
+      s.sql(s"SELECT show_chunks('$p')").collect()
+        .foreach(r => s.sql(s"SELECT compress_chunk('${r.getString(0)}')"))
+      Hypertable.at(s, p).read()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy("event_type")
+    }),
+
     // §2.4 SkipScan: DISTINCT answered from parquet dictionary pages (the
     // u≪k re-seek asymmetry of tsl/src/nodes/skip_scan, columnar form) —
     // no data page is read unless a row group broke dictionary encoding.
@@ -2289,6 +2318,15 @@ object SparkEntry {
 
     "q60_skipscan_distinct" ->
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+    "q88_sql_admin" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
+        | MIN(value) AS min_value,
+        | MAX(value) AS max_value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q61_bucket_date" ->
       """SELECT time_bucket(INTERVAL '1 month', CAST(o_orderdate AS DATE)) AS month,

@@ -1,0 +1,444 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, Expression, Literal, TimeZoneAwareExpression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
+
+import graft.sources.{Columnstore, Hypertable, Jobs}
+
+/** The reference's ADMINISTRATIVE SQL surface (`sql/ddl_api.sql`,
+  * `sql/maintenance_utils.sql`, `sql/policy_api.sql`): statements like
+  * `SELECT create_hypertable('/data/events', 'ts')`,
+  * `SELECT show_chunks('/data/events', older_than => TIMESTAMP '...')`,
+  * `SELECT compress_chunk('<chunk>')`, `CALL refresh_continuous_aggregate(...)`.
+  *
+  * Spark has no stored procedures, so the idiomatic mapping is a PARSER
+  * extension ([[GraftSqlParser]], injected via `spark.sql.extensions`): a
+  * statement of the shape `SELECT <admin_fn>(args)` / `CALL <admin_fn>(args)`
+  * (or `SELECT * FROM <admin_fn>(args)`) parses to a [[GraftAdminCommand]] —
+  * a standard `RunnableCommand`, executed eagerly by Spark exactly like its
+  * own DDL, returning the reference's result rows. Everything else delegates
+  * to Spark's parser untouched, so the extension costs one regex probe per
+  * statement.
+  *
+  * Tables are addressed by PATH (graft's hypertable identity), not by
+  * catalog name — the one deliberate difference from the reference's
+  * regclass arguments. Chunk arguments take the chunk paths that
+  * `show_chunks` returns, mirroring the reference's show_chunks →
+  * compress_chunk flow. Positional and `name => value` named arguments are
+  * both supported, like PostgreSQL calls.
+  */
+object SqlAdmin {
+
+  /** Declared output schema per admin function (column named after the
+    * function, as PostgreSQL names scalar-function result columns).
+    */
+  val outputs: Map[String, StructType] = Map(
+    "create_hypertable" -> StructType(Seq(
+      StructField("hypertable", StringType), StructField("created", BooleanType))),
+    "show_chunks" -> StructType(Seq(StructField("show_chunks", StringType))),
+    "drop_chunks" -> StructType(Seq(StructField("drop_chunks", StringType))),
+    "approximate_row_count" -> StructType(Seq(
+      StructField("approximate_row_count", LongType))),
+    "hypertable_size" -> StructType(Seq(StructField("hypertable_size", LongType))),
+    "set_chunk_time_interval" -> StructType(Seq(
+      StructField("set_chunk_time_interval", BooleanType))),
+    "enable_chunk_skipping" -> StructType(Seq(
+      StructField("column_name", StringType), StructField("enabled", BooleanType))),
+    "disable_chunk_skipping" -> StructType(Seq(
+      StructField("column_name", StringType), StructField("disabled", BooleanType))),
+    "compress_chunk" -> StructType(Seq(StructField("compress_chunk", StringType))),
+    "decompress_chunk" -> StructType(Seq(StructField("decompress_chunk", StringType))),
+    "compact_chunk" -> StructType(Seq(StructField("compact_chunk", StringType))),
+    "freeze_chunk" -> StructType(Seq(StructField("freeze_chunk", BooleanType))),
+    "unfreeze_chunk" -> StructType(Seq(StructField("unfreeze_chunk", BooleanType))),
+    "move_chunk" -> StructType(Seq(StructField("move_chunk", StringType))),
+    "attach_tablespace" -> StructType(Seq(
+      StructField("attach_tablespace", BooleanType))),
+    "detach_tablespace" -> StructType(Seq(
+      StructField("detach_tablespace", BooleanType))),
+    "show_tablespaces" -> StructType(Seq(StructField("show_tablespaces", StringType))),
+    "add_retention_policy" -> StructType(Seq(
+      StructField("add_retention_policy", IntegerType))),
+    "remove_retention_policy" -> StructType(Seq(
+      StructField("remove_retention_policy", BooleanType))),
+    "add_columnstore_policy" -> StructType(Seq(
+      StructField("add_columnstore_policy", IntegerType))),
+    "add_compression_policy" -> StructType(Seq(
+      StructField("add_compression_policy", IntegerType))),
+    "remove_columnstore_policy" -> StructType(Seq(
+      StructField("remove_columnstore_policy", BooleanType))),
+    "remove_compression_policy" -> StructType(Seq(
+      StructField("remove_compression_policy", BooleanType))),
+    "add_compaction_policy" -> StructType(Seq(
+      StructField("add_compaction_policy", IntegerType))),
+    "remove_compaction_policy" -> StructType(Seq(
+      StructField("remove_compaction_policy", BooleanType))),
+    "refresh_continuous_aggregate" -> StructType(Seq(
+      StructField("refresh_continuous_aggregate", BooleanType))))
+
+  /** One evaluated call argument: optional `name =>` plus the literal. */
+  case class Arg(name: Option[String], value: Any, dataType: DataType)
+
+  /** Positional+named argument accessor with the conversions the admin
+    * surface needs. Positional index counts ONLY positional args.
+    */
+  class Args(fn: String, args: Seq[Arg]) {
+    private val positional = args.takeWhile(_.name.isEmpty)
+    private val named = args.collect { case Arg(Some(n), v, t) => n -> ((v, t)) }.toMap
+    require(args.dropWhile(_.name.isEmpty).forall(_.name.isDefined),
+      s"$fn: positional arguments cannot follow named arguments")
+    private val unknown = named.keySet
+    private var consumed = Set.empty[String]
+
+    private def raw(i: Int, name: String): Option[(Any, DataType)] = {
+      consumed += name
+      val hit =
+        if (i < positional.size) Some((positional(i).value, positional(i).dataType))
+        else named.get(name)
+      hit.filter(_._1 != null) // SQL NULL = argument absent (open bound)
+    }
+    def str(i: Int, name: String): String = strOpt(i, name).getOrElse(
+      throw new IllegalArgumentException(s"$fn: missing argument '$name'"))
+    def strOpt(i: Int, name: String): Option[String] = raw(i, name).map {
+      case (s: UTF8String, _) => s.toString
+      case (s: String, _) => s
+      case (v, t) => throw new IllegalArgumentException(
+        s"$fn: argument '$name' must be a string, got ${t.sql} ($v)")
+    }
+    def boolOpt(i: Int, name: String): Option[Boolean] = raw(i, name).map {
+      case (b: java.lang.Boolean, _) => b.booleanValue
+      case (v, t) => throw new IllegalArgumentException(
+        s"$fn: argument '$name' must be a boolean, got ${t.sql} ($v)")
+    }
+    def intOpt(i: Int, name: String): Option[Int] = raw(i, name).map {
+      case (n: java.lang.Integer, _) => n.intValue
+      case (n: java.lang.Long, _) => n.intValue
+      case (v, t) => throw new IllegalArgumentException(
+        s"$fn: argument '$name' must be an integer, got ${t.sql} ($v)")
+    }
+    /** A time bound in the dimension's units: TIMESTAMP literal → micros;
+      * integer → as-is (bigint dimensions / already-micros).
+      */
+    def microsOpt(i: Int, name: String): Option[Long] = raw(i, name).map {
+      case (us: java.lang.Long, TimestampType | TimestampNTZType) => us.longValue
+      case (n: java.lang.Long, LongType) => n.longValue
+      case (n: java.lang.Integer, _) => n.longValue
+      case (s: UTF8String, StringType) => // 'YYYY-MM-DD ...' in UTC
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToTimestamp(s, java.time.ZoneOffset.UTC).getOrElse(
+            throw new IllegalArgumentException(
+              s"$fn: cannot parse '$s' as a timestamp for '$name'"))
+      case (v, t) => throw new IllegalArgumentException(
+        s"$fn: argument '$name' must be a timestamp or integer, got ${t.sql} ($v)")
+    }
+    def micros(i: Int, name: String): Long = microsOpt(i, name).getOrElse(
+      throw new IllegalArgumentException(s"$fn: missing argument '$name'"))
+    /** An interval argument in MICROSECONDS (calendar months rejected —
+      * policy lags are fixed durations, like the reference's bigint lags).
+      */
+    def intervalMicrosOpt(i: Int, name: String): Option[Long] = raw(i, name).map {
+      case (us: java.lang.Long, _: DayTimeIntervalType) => us.longValue
+      case (n: java.lang.Long, LongType) => n.longValue
+      case (n: java.lang.Integer, _) => n.longValue
+      case (ci: CalendarInterval, _) =>
+        require(ci.months == 0, s"$fn: '$name' must not contain calendar months")
+        ci.days * 86400000000L + ci.microseconds
+      case (s: UTF8String, StringType) =>
+        val ci = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(s)
+        require(ci.months == 0, s"$fn: '$name' must not contain calendar months")
+        ci.days * 86400000000L + ci.microseconds
+      case (v, t) => throw new IllegalArgumentException(
+        s"$fn: argument '$name' must be an interval, got ${t.sql} ($v)")
+    }
+    /** An interval as a chunk-width STRING (months allowed — calendar
+      * chunks are a supported width), in `Hypertable.create` syntax.
+      */
+    def widthStrOpt(i: Int, name: String): Option[String] = raw(i, name).map {
+      case (s: UTF8String, StringType) => s.toString
+      case (us: java.lang.Long, _: DayTimeIntervalType) => s"$us microseconds"
+      case (m: java.lang.Integer, _: YearMonthIntervalType) => s"$m months"
+      case (n: java.lang.Long, LongType) => n.toString // bigint width
+      case (n: java.lang.Integer, _) => n.toString
+      case (ci: CalendarInterval, _) =>
+        if (ci.months != 0) {
+          require(ci.days == 0 && ci.microseconds == 0,
+            s"$fn: '$name' cannot mix months with day/time parts")
+          s"${ci.months} months"
+        } else s"${ci.days * 86400000000L + ci.microseconds} microseconds"
+      case (v, t) => throw new IllegalArgumentException(
+        s"$fn: argument '$name' must be an interval or string, got ${t.sql} ($v)")
+    }
+    def done(): Unit = {
+      val extra = unknown -- consumed
+      require(extra.isEmpty, s"$fn: unknown argument(s) ${extra.mkString(", ")}")
+      require(positional.size <= consumed.size,
+        s"$fn: too many positional arguments (${positional.size})")
+    }
+  }
+
+  /** Hypertable path + chunk start parsed from a chunk path (the strings
+    * `show_chunks` returns: `<ht>/_chunk=<start>[/...]`).
+    */
+  private def chunkAddr(chunkPath: String): (String, Long) = {
+    val marker = "/_chunk="
+    val i = chunkPath.lastIndexOf(marker)
+    require(i > 0, s"'$chunkPath' is not a chunk path (no /_chunk= component)")
+    val rest = chunkPath.substring(i + marker.length)
+    val end = rest.indexOf('/')
+    val start = (if (end < 0) rest else rest.substring(0, end)).toLong
+    (chunkPath.substring(0, i), start)
+  }
+
+  private def policyJobId(spark: SparkSession, root: String, proc: String): Option[Int] =
+    Jobs.list(spark, root).collectFirst { case (spec, _) if spec.proc == proc => spec.id }
+
+  private def addPolicyJob(spark: SparkSession, path: String, proc: String,
+      scheduleMicros: Long, config: Map[String, String]): Int = {
+    require(policyJobId(spark, path, proc).isEmpty,
+      s"$proc already exists for $path (remove it first)")
+    Hypertable.at(spark, path) // validate the target is a hypertable
+    Jobs.add(spark, path, proc, scheduleMicros,
+      nowMicros = System.currentTimeMillis * 1000L,
+      config = config + ("hypertable" -> path))
+  }
+
+  private def removePolicyJob(spark: SparkSession, path: String, proc: String): Boolean =
+    policyJobId(spark, path, proc) match {
+      case Some(id) => Jobs.delete(spark, path, id); true
+      case None => false
+    }
+
+  private val DAY_MICROS = 86400000000L
+
+  /** Execute `fn(args)`; the rows conform to `outputs(fn)`. */
+  def run(spark: SparkSession, fn: String, rawArgs: Seq[Arg]): Seq[Row] = {
+    val a = new Args(fn, rawArgs)
+    def ht(path: String) = Hypertable.at(spark, path)
+    val rows: Seq[Row] = fn match {
+      case "create_hypertable" =>
+        val path = a.str(0, "relation")
+        val timeCol = a.str(1, "time_column_name")
+        val width = a.widthStrOpt(2, "chunk_time_interval")
+          .orElse(a.widthStrOpt(Int.MaxValue, "chunk_interval"))
+        val spaceCol = a.strOpt(3, "partitioning_column")
+        val nParts = a.intOpt(4, "number_partitions")
+        val kind = a.strOpt(Int.MaxValue, "time_kind").getOrElse("timestamp")
+        val defaultWidth = if (kind == "bigint") "604800000000" else "7 days"
+        Hypertable.create(spark, path, timeCol,
+          chunkWidth = width.getOrElse(defaultWidth),
+          spaceCol = spaceCol, spacePartitions = nParts.getOrElse(4),
+          timeKind = kind)
+        Seq(Row(path, true))
+      case "show_chunks" =>
+        val h = ht(a.str(0, "relation"))
+        h.showChunks(a.microsOpt(1, "older_than"), a.microsOpt(2, "newer_than"))
+          .map(c => Row(c.path))
+      case "drop_chunks" =>
+        val h = ht(a.str(0, "relation"))
+        h.dropChunks(a.microsOpt(1, "older_than"), a.microsOpt(2, "newer_than"))
+          .map(c => Row(c.path))
+      case "approximate_row_count" =>
+        Seq(Row(graft.operators.Stats.rowCount(spark, a.str(0, "relation"))))
+      case "hypertable_size" =>
+        Seq(Row(graft.operators.Stats.hypertableSize(ht(a.str(0, "relation")))))
+      case "set_chunk_time_interval" =>
+        ht(a.str(0, "relation")).setChunkTimeInterval(
+          a.widthStrOpt(1, "chunk_time_interval").getOrElse(
+            throw new IllegalArgumentException(
+              s"$fn: missing argument 'chunk_time_interval'")))
+        Seq(Row(true))
+      case "enable_chunk_skipping" =>
+        val col = a.str(1, "column_name")
+        ht(a.str(0, "relation")).enableChunkSkipping(col)
+        Seq(Row(col, true))
+      case "disable_chunk_skipping" =>
+        val col = a.str(1, "column_name")
+        ht(a.str(0, "relation")).disableChunkSkipping(col)
+        Seq(Row(col, true))
+      case "compress_chunk" =>
+        val p = a.str(0, "chunk")
+        val (htPath, _) = chunkAddr(p)
+        Columnstore.compressChunk(spark, p, Columnstore.resolveOptions(ht(htPath)))
+        Seq(Row(p))
+      case "decompress_chunk" =>
+        val p = a.str(0, "chunk")
+        Columnstore.decompressChunk(spark, p)
+        Seq(Row(p))
+      case "compact_chunk" =>
+        val p = a.str(0, "chunk")
+        Columnstore.compactChunk(spark, p)
+        Seq(Row(p))
+      case "freeze_chunk" =>
+        val (htPath, start) = chunkAddr(a.str(0, "chunk"))
+        Seq(Row(ht(htPath).freezeChunk(start)))
+      case "unfreeze_chunk" =>
+        val (htPath, start) = chunkAddr(a.str(0, "chunk"))
+        Seq(Row(ht(htPath).unfreezeChunk(start)))
+      case "move_chunk" =>
+        val (htPath, start) = chunkAddr(a.str(0, "chunk"))
+        val dest = a.str(1, "destination_tablespace")
+        Seq(Row(ht(htPath).moveChunk(start, dest).path))
+      case "attach_tablespace" =>
+        ht(a.str(1, "hypertable")).attachTablespace(a.str(0, "tablespace"))
+        Seq(Row(true))
+      case "detach_tablespace" =>
+        ht(a.str(1, "hypertable")).detachTablespace(a.str(0, "tablespace"))
+        Seq(Row(true))
+      case "show_tablespaces" =>
+        ht(a.str(0, "hypertable")).showTablespaces.map(Row(_))
+      case "add_retention_policy" =>
+        val path = a.str(0, "relation")
+        val drop = a.intervalMicrosOpt(1, "drop_after").getOrElse(
+          throw new IllegalArgumentException(s"$fn: missing argument 'drop_after'"))
+        val sched = a.intervalMicrosOpt(Int.MaxValue, "schedule_interval")
+          .getOrElse(DAY_MICROS)
+        Seq(Row(addPolicyJob(spark, path, "policy_retention", sched,
+          Map("drop_after" -> drop.toString))))
+      case "remove_retention_policy" =>
+        Seq(Row(removePolicyJob(spark, a.str(0, "relation"), "policy_retention")))
+      case "add_columnstore_policy" | "add_compression_policy" =>
+        val path = a.str(0, "relation")
+        val after = a.intervalMicrosOpt(1, "after")
+          .orElse(a.intervalMicrosOpt(Int.MaxValue, "compress_after")).getOrElse(
+            throw new IllegalArgumentException(s"$fn: missing argument 'after'"))
+        val sched = a.intervalMicrosOpt(Int.MaxValue, "schedule_interval")
+          .getOrElse(DAY_MICROS)
+        Seq(Row(addPolicyJob(spark, path, "policy_columnstore", sched,
+          Map("compress_after" -> after.toString))))
+      case "remove_columnstore_policy" | "remove_compression_policy" =>
+        Seq(Row(removePolicyJob(spark, a.str(0, "relation"), "policy_columnstore")))
+      case "add_compaction_policy" =>
+        val path = a.str(0, "relation")
+        val sched = a.intervalMicrosOpt(1, "schedule_interval").getOrElse(DAY_MICROS)
+        Seq(Row(addPolicyJob(spark, path, "policy_compaction", sched, Map.empty)))
+      case "remove_compaction_policy" =>
+        Seq(Row(removePolicyJob(spark, a.str(0, "relation"), "policy_compaction")))
+      case "refresh_continuous_aggregate" =>
+        val path = a.str(0, "continuous_aggregate")
+        val cagg = graft.streaming.ContinuousAggregate.atPath(path).getOrElse(
+          throw new IllegalArgumentException(
+            s"no continuous aggregate registered at '$path' in this session " +
+              "(build it with ContinuousAggregate.create, which registers it)"))
+        val force = a.boolOpt(Int.MaxValue, "force").getOrElse(false)
+        cagg.refresh(a.microsOpt(1, "window_start"), a.microsOpt(2, "window_end"),
+          force = force)
+        Seq(Row(true))
+      case other =>
+        throw new IllegalArgumentException(s"unknown admin function $other")
+    }
+    a.done()
+    rows
+  }
+}
+
+/** Eagerly-executed admin call — Spark runs `RunnableCommand`s at
+  * `Dataset.ofRows` time exactly like its own DDL commands.
+  */
+case class GraftAdminCommand(fn: String, args: Seq[SqlAdmin.Arg])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    SqlAdmin.outputs(fn).fields.toSeq.map(f =>
+      AttributeReference(f.name, f.dataType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    SqlAdmin.run(sparkSession, fn, args)
+}
+
+/** Parser extension: intercepts the admin-call statement shapes, delegates
+  * every other statement (and every other ParserInterface method) to
+  * Spark's own parser.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val callShapes = Seq(
+    // SELECT fn(args)  /  SELECT * FROM fn(args)  /  CALL fn(args)
+    """(?is)^\s*select\s+([a-z_][a-z0-9_]*)\s*\((.*)\)\s*;?\s*$""".r,
+    """(?is)^\s*select\s+\*\s+from\s+([a-z_][a-z0-9_]*)\s*\((.*)\)\s*;?\s*$""".r,
+    """(?is)^\s*call\s+([a-z_][a-z0-9_]*)\s*\((.*)\)\s*;?\s*$""".r)
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    for (shape <- callShapes; m <- shape.findFirstMatchIn(sqlText)) {
+      val fn = m.group(1).toLowerCase(java.util.Locale.ROOT)
+      if (SqlAdmin.outputs.contains(fn))
+        return GraftAdminCommand(fn, parseArgs(fn, m.group(2)))
+    }
+    delegate.parsePlan(sqlText)
+  }
+
+  /** Split `argsText` on top-level commas (quote- and paren-aware), parse
+    * each with Spark's expression parser, fold to a literal.
+    */
+  private def parseArgs(fn: String, argsText: String): Seq[SqlAdmin.Arg] = {
+    if (argsText.trim.isEmpty) return Nil
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < argsText.length) {
+      val c = argsText.charAt(i)
+      if (inQuote) {
+        cur.append(c)
+        if (c == '\'')
+          // '' escape: consume the second quote and stay in-quote
+          if (i + 1 < argsText.length && argsText.charAt(i + 1) == '\'') {
+            cur.append('\''); i += 1
+          } else inQuote = false
+      } else c match {
+        case '\'' => inQuote = true; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    parts += cur.toString
+    val named = """(?s)^\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*=>\s*(.*)$""".r
+    parts.toSeq.map { p =>
+      val (name, exprText) = p match {
+        case named(n, rest) => (Some(n.toLowerCase(java.util.Locale.ROOT)), rest)
+        case _ => (None, p)
+      }
+      val (value, dt) = foldLiteral(fn, exprText.trim)
+      SqlAdmin.Arg(name, value, dt)
+    }
+  }
+
+  private def foldLiteral(fn: String, exprText: String): (Any, DataType) = {
+    val e = delegate.parseExpression(exprText)
+    val withTz = e.transformUp {
+      case tz: TimeZoneAwareExpression if tz.timeZoneId.isEmpty =>
+        tz.withTimeZone("UTC")
+    }
+    withTz match {
+      case l: Literal => (l.value, l.dataType)
+      case other if other.foldable => (other.eval(null), other.dataType)
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$exprText' must be a literal")
+    }
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}

@@ -939,6 +939,7 @@ class ContinuousAggregate(
       case cs: ContinuousAggregate.CaggSource => cs.parent.unregisterChild(path)
       case _ => ()
     }
+    ContinuousAggregate.sessionRegistry.remove(path)
     fs.delete(new Path(path), true)
   }
 
@@ -1155,6 +1156,18 @@ object ContinuousAggregate {
       case _ => ()
     }
     if (withData) cagg.refreshAll()
+    sessionRegistry.put(path, cagg)
     cagg
   }
+
+  /** In-session registry of caggs by materialization path — the lookup
+    * behind the SQL `refresh_continuous_aggregate` admin call (caggs are
+    * defined with Column expressions, so a fresh session must re-`create`
+    * them before the SQL surface can address them, like views).
+    */
+  private val sessionRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, ContinuousAggregate]
+
+  private[graft] def atPath(path: String): Option[ContinuousAggregate] =
+    sessionRegistry.get(path)
 }

@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Columnstore, Hypertable, Jobs}
+import graft.streaming.{CaggDef, ContinuousAggregate}
+
+/** The reference's administrative SQL surface (`sql/ddl_api.sql`,
+  * `sql/policy_api.sql`) through the parser extension: `SELECT
+  * create_hypertable(...)`, `SELECT show_chunks(...)`, `CALL
+  * refresh_continuous_aggregate(...)` run as eagerly-executed commands.
+  */
+class SqlAdminSpec extends AnyFunSuite {
+  lazy val spark = Graft.session("sql-admin-spec", "local[4]", 4)
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_sqladmin").toString
+
+  private def events(n: Int) = {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    (0 until n).map { i =>
+      (new java.sql.Timestamp(base.getTime + i * 3600L * 1000), i.toLong, i * 1.5)
+    }.toDF("ts", "user_id", "value")
+  }
+
+  test("create_hypertable / show_chunks / drop_chunks round-trip in SQL") {
+    val path = tmp()
+    val created = spark.sql(
+      s"SELECT create_hypertable('$path', 'ts', chunk_interval => INTERVAL '1 day')")
+      .collect()
+    assert(created.map(r => (r.getString(0), r.getBoolean(1))).toSeq ===
+      Seq((path, true)))
+
+    Hypertable.at(spark, path).write(events(96)) // 4 days → 4 chunks
+    val chunks = spark.sql(s"SELECT show_chunks('$path')").as[String].collect()
+    assert(chunks.length === 4 && chunks.forall(_.contains("_chunk=")))
+
+    // named time bound; also the SELECT * FROM form
+    val older = spark.sql(
+      s"SELECT * FROM show_chunks('$path', older_than => TIMESTAMP '2024-01-03 00:00:00')")
+      .as[String].collect()
+    assert(older.length === 2)
+
+    val dropped = spark.sql(
+      s"SELECT drop_chunks('$path', older_than => TIMESTAMP '2024-01-02 00:00:00')")
+      .as[String].collect()
+    assert(dropped.length === 1)
+    assert(spark.sql(s"SELECT show_chunks('$path')").count() === 3)
+  }
+
+  test("approximate_row_count and hypertable_size read footer metadata") {
+    val path = tmp()
+    spark.sql(s"SELECT create_hypertable('$path', 'ts')")
+    Hypertable.at(spark, path).write(events(50))
+    assert(spark.sql(s"SELECT approximate_row_count('$path')")
+      .as[Long].head() === 50L)
+    assert(spark.sql(s"SELECT hypertable_size('$path')").as[Long].head() > 0L)
+  }
+
+  test("compress_chunk / decompress_chunk by the path show_chunks returned") {
+    val path = tmp()
+    spark.sql(s"SELECT create_hypertable('$path', 'ts', INTERVAL '1 day')")
+    val ht = Hypertable.at(spark, path)
+    ht.write(events(48))
+    ht.setColumnstoreSettings(Columnstore.Options(
+      segmentBy = Seq("user_id"), orderBy = Seq("ts")))
+    val chunk = spark.sql(s"SELECT show_chunks('$path')").as[String].head()
+    assert(spark.sql(s"SELECT compress_chunk('$chunk')").as[String].head() === chunk)
+    assert(Columnstore.isCompressed(spark, chunk))
+    assert(spark.sql(s"SELECT decompress_chunk('$chunk')").as[String].head() === chunk)
+    assert(!Columnstore.isCompressed(spark, chunk))
+  }
+
+  test("freeze_chunk blocks drop; unfreeze re-enables it") {
+    val path = tmp()
+    spark.sql(s"SELECT create_hypertable('$path', 'ts', INTERVAL '1 day')")
+    Hypertable.at(spark, path).write(events(48))
+    val chunk = spark.sql(s"SELECT show_chunks('$path')").as[String].head()
+    assert(spark.sql(s"SELECT freeze_chunk('$chunk')").as[Boolean].head())
+    // frozen chunks are skipped by drop_chunks, like the reference
+    val dropped = spark.sql(
+      s"SELECT drop_chunks('$path', older_than => TIMESTAMP '2025-01-01 00:00:00')")
+      .count()
+    assert(spark.sql(s"SELECT show_chunks('$path')").count() === 1)
+    assert(dropped === 1) // the other, unfrozen chunk went
+    assert(spark.sql(s"SELECT unfreeze_chunk('$chunk')").as[Boolean].head())
+    spark.sql(s"SELECT drop_chunks('$path', older_than => TIMESTAMP '2025-01-01 00:00:00')")
+    assert(spark.sql(s"SELECT show_chunks('$path')").count() === 0)
+  }
+
+  test("retention/columnstore policies register real jobs with ids") {
+    val path = tmp()
+    spark.sql(s"SELECT create_hypertable('$path', 'ts')")
+    val id = spark.sql(
+      s"SELECT add_retention_policy('$path', INTERVAL '30 days')").as[Int].head()
+    val id2 = spark.sql(
+      s"SELECT add_columnstore_policy('$path', after => INTERVAL '7 days')")
+      .as[Int].head()
+    assert(id !== id2)
+    val specs = Jobs.list(spark, path).map(_._1)
+    assert(specs.exists(s => s.proc == "policy_retention" &&
+      s.config("drop_after") == (30L * 86400000000L).toString))
+    assert(specs.exists(s => s.proc == "policy_columnstore" &&
+      s.config("compress_after") == (7L * 86400000000L).toString))
+    // duplicate add errors, like the reference's if_not_exists=false default
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT add_retention_policy('$path', INTERVAL '10 days')").collect()
+    }
+    assert(err.getMessage.contains("already exists"))
+    assert(spark.sql(s"SELECT remove_retention_policy('$path')").as[Boolean].head())
+    assert(!spark.sql(s"SELECT remove_retention_policy('$path')").as[Boolean].head())
+    assert(Jobs.list(spark, path).map(_._1.proc) === Seq("policy_columnstore"))
+  }
+
+  test("CALL refresh_continuous_aggregate refreshes a registered cagg") {
+    val htPath = tmp()
+    val caggPath = tmp() + "/cagg"
+    spark.sql(s"SELECT create_hypertable('$htPath', 'ts', INTERVAL '1 day')")
+    val ht = Hypertable.at(spark, htPath)
+    ht.write(events(48))
+    val cagg = ContinuousAggregate.create(spark, caggPath, ht,
+      CaggDef(bucketWidth = "1 hour", groupCols = Seq("user_id"),
+        aggs = Seq(sum($"value").as("total"), count(lit(1)).as("n"))))
+    spark.sql(s"CALL refresh_continuous_aggregate('$caggPath', NULL, NULL)")
+    assert(cagg.materialized.count() === 48)
+    // unknown path errors with a clear message
+    val err = intercept[Exception] {
+      spark.sql(s"CALL refresh_continuous_aggregate('/nope', NULL, NULL)").collect()
+    }
+    assert(err.getMessage.contains("no continuous aggregate registered"))
+  }
+
+  test("non-admin SQL is untouched by the parser extension") {
+    assert(spark.sql("SELECT 1 + 1").as[Int].head() === 2)
+    // a graft SQL function through the same parser path
+    assert(spark.sql(
+      "SELECT time_bucket(INTERVAL '1' HOUR, TIMESTAMP '2024-01-01 10:30:00')")
+      .collect()(0).getTimestamp(0) ===
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    // an admin-looking name that is NOT registered delegates (and fails in
+    // Spark's own resolver, not ours)
+    val err = intercept[Exception] {
+      spark.sql("SELECT definitely_not_registered_fn('/x')").collect()
+    }
+    assert(err.getMessage.contains("UNRESOLVED_ROUTINE"))
+  }
+
+  test("argument errors are informative") {
+    val path = tmp()
+    spark.sql(s"SELECT create_hypertable('$path', 'ts')")
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT drop_chunks('$path')").collect()
+    }
+    assert(e1.getMessage.contains("older_than"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT show_chunks('$path', bogus_arg => 1)").collect()
+    }
+    assert(e2.getMessage.contains("bogus_arg"))
+  }
+}
