@@ -81,7 +81,30 @@ object SqlAdmin {
     "remove_compaction_policy" -> StructType(Seq(
       StructField("remove_compaction_policy", BooleanType))),
     "refresh_continuous_aggregate" -> StructType(Seq(
-      StructField("refresh_continuous_aggregate", BooleanType))))
+      StructField("refresh_continuous_aggregate", BooleanType))),
+    "merge_chunks" -> StructType(Seq(StructField("merge_chunks", StringType))),
+    "split_chunk" -> StructType(Seq(StructField("split_chunk", StringType))),
+    "reorder_chunk" -> StructType(Seq(StructField("reorder_chunk", StringType))),
+    "recompress_chunk" -> StructType(Seq(
+      StructField("recompress_chunk", StringType))),
+    "hypertable_detailed_size" -> StructType(Seq(
+      StructField("table_bytes", LongType), StructField("index_bytes", LongType),
+      StructField("toast_bytes", LongType), StructField("total_bytes", LongType))),
+    "chunks_detailed_size" -> StructType(Seq(
+      StructField("chunk", StringType), StructField("total_bytes", LongType),
+      StructField("files", LongType), StructField("rows", LongType))),
+    "add_reorder_policy" -> StructType(Seq(
+      StructField("add_reorder_policy", IntegerType))),
+    "remove_reorder_policy" -> StructType(Seq(
+      StructField("remove_reorder_policy", BooleanType))),
+    "add_continuous_aggregate_policy" -> StructType(Seq(
+      StructField("add_continuous_aggregate_policy", IntegerType))),
+    "remove_continuous_aggregate_policy" -> StructType(Seq(
+      StructField("remove_continuous_aggregate_policy", BooleanType))),
+    "add_job" -> StructType(Seq(StructField("add_job", IntegerType))),
+    "delete_job" -> StructType(Seq(StructField("delete_job", BooleanType))),
+    "run_job" -> StructType(Seq(StructField("run_job", BooleanType))),
+    "alter_job" -> StructType(Seq(StructField("alter_job", IntegerType))))
 
   /** One evaluated call argument: optional `name =>` plus the literal. */
   case class Arg(name: Option[String], value: Any, dataType: DataType)
@@ -175,6 +198,8 @@ object SqlAdmin {
       case (v, t) => throw new IllegalArgumentException(
         s"$fn: argument '$name' must be an interval or string, got ${t.sql} ($v)")
     }
+    /** Mark an argument consumed without conversion (non-scalar args). */
+    def ack(name: String): Unit = { consumed += name }
     def done(): Unit = {
       val extra = unknown -- consumed
       require(extra.isEmpty, s"$fn: unknown argument(s) ${extra.mkString(", ")}")
@@ -330,6 +355,105 @@ object SqlAdmin {
         cagg.refresh(a.microsOpt(1, "window_start"), a.microsOpt(2, "window_end"),
           force = force)
         Seq(Row(true))
+      case "merge_chunks" =>
+        // two chunk-path args, or one ARRAY['...', ...] of paths
+        val paths: Seq[String] = rawArgs.headOption match {
+          case Some(Arg(_, ad: org.apache.spark.sql.catalyst.util.ArrayData, _))
+              if rawArgs.size == 1 =>
+            (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
+          case _ => Seq(a.str(0, "chunk1"), a.str(1, "chunk2"))
+        }
+        val addrs = paths.map(chunkAddr)
+        require(addrs.map(_._1).distinct.size == 1,
+          "merge_chunks: chunks belong to different hypertables")
+        if (rawArgs.size == 1) a.ack("chunks") // the array arg is consumed
+        Seq(Row(ht(addrs.head._1).mergeChunks(addrs.map(_._2),
+          targetFileBytes = 128L << 20).path))
+      case "split_chunk" =>
+        val (htPath, start) = chunkAddr(a.str(0, "chunk"))
+        val h = ht(htPath)
+        val (c1, c2) = a.microsOpt(1, "split_at") match {
+          case Some(at) => h.splitChunk(start, at)
+          case None => h.splitChunk(start)
+        }
+        Seq(Row(c1.path), Row(c2.path))
+      case "reorder_chunk" =>
+        val p = a.str(0, "chunk")
+        val (htPath, _) = chunkAddr(p)
+        val h = ht(htPath)
+        val orderBy = a.strOpt(1, "orderby")
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Columnstore.resolveOptions(h).orderBy)
+        require(orderBy.nonEmpty,
+          "reorder_chunk: no orderby given and none derivable from settings")
+        Columnstore.compressChunk(spark, p, Columnstore.Options(orderBy = orderBy))
+        Seq(Row(p))
+      case "recompress_chunk" =>
+        val p = a.str(0, "chunk")
+        val (htPath, _) = chunkAddr(p)
+        Columnstore.recompressChunk(spark, p, Columnstore.resolveOptions(ht(htPath)))
+        Seq(Row(p))
+      case "hypertable_detailed_size" =>
+        val d = graft.operators.Stats.hypertableDetailedSize(ht(a.str(0, "relation")))
+        Seq(Row(d.tableBytes, d.indexBytes, d.toastBytes, d.totalBytes))
+      case "chunks_detailed_size" =>
+        graft.operators.Stats.chunksDetailedSize(ht(a.str(0, "relation")))
+          .map(c => Row(c.path, c.bytes, c.files, c.rows))
+      case "add_reorder_policy" =>
+        val path = a.str(0, "relation")
+        val orderBy = a.str(1, "orderby")
+        val sched = a.intervalMicrosOpt(Int.MaxValue, "schedule_interval")
+          .getOrElse(DAY_MICROS)
+        Seq(Row(addPolicyJob(spark, path, "policy_reorder", sched,
+          Map("orderby" -> orderBy))))
+      case "remove_reorder_policy" =>
+        Seq(Row(removePolicyJob(spark, a.str(0, "relation"), "policy_reorder")))
+      case "add_continuous_aggregate_policy" =>
+        val path = a.str(0, "continuous_aggregate")
+        val start = a.intervalMicrosOpt(1, "start_offset").getOrElse(
+          throw new IllegalArgumentException(s"$fn: missing argument 'start_offset'"))
+        val end = a.intervalMicrosOpt(2, "end_offset").getOrElse(
+          throw new IllegalArgumentException(s"$fn: missing argument 'end_offset'"))
+        val sched = a.intervalMicrosOpt(3, "schedule_interval").getOrElse(DAY_MICROS)
+        // jobs catalog lives at the CAGG path; validate it's a known cagg
+        require(graft.streaming.ContinuousAggregate.atPath(path).isDefined,
+          s"no continuous aggregate registered at '$path' in this session")
+        require(
+          policyJobId(spark, path, "policy_refresh_continuous_aggregate").isEmpty,
+          s"policy_refresh_continuous_aggregate already exists for $path")
+        Seq(Row(Jobs.add(spark, path, "policy_refresh_continuous_aggregate",
+          sched, nowMicros = System.currentTimeMillis * 1000L,
+          config = Map("continuous_aggregate" -> path,
+            "start_offset" -> start.toString, "end_offset" -> end.toString))))
+      case "remove_continuous_aggregate_policy" =>
+        Seq(Row(removePolicyJob(spark, a.str(0, "continuous_aggregate"),
+          "policy_refresh_continuous_aggregate")))
+      case "add_job" =>
+        val root = a.str(0, "root")
+        val proc = a.str(1, "proc")
+        val sched = a.intervalMicrosOpt(2, "schedule_interval").getOrElse(DAY_MICROS)
+        Seq(Row(Jobs.add(spark, root, proc, sched,
+          nowMicros = System.currentTimeMillis * 1000L,
+          config = Map("hypertable" -> root))))
+      case "delete_job" =>
+        Jobs.delete(spark, a.str(0, "root"), a.intOpt(1, "job_id").getOrElse(
+          throw new IllegalArgumentException(s"$fn: missing argument 'job_id'")))
+        Seq(Row(true))
+      case "run_job" =>
+        Seq(Row(Jobs.run(spark, a.str(0, "root"),
+          a.intOpt(1, "job_id").getOrElse(throw new IllegalArgumentException(
+            s"$fn: missing argument 'job_id'")),
+          nowMicros = System.currentTimeMillis * 1000L)))
+      case "alter_job" =>
+        val root = a.str(0, "root")
+        val id = a.intOpt(1, "job_id").getOrElse(
+          throw new IllegalArgumentException(s"$fn: missing argument 'job_id'"))
+        Jobs.alter(spark, root, id,
+          scheduleIntervalMicros = a.intervalMicrosOpt(Int.MaxValue, "schedule_interval"),
+          scheduled = a.boolOpt(Int.MaxValue, "scheduled"),
+          nextStartMicros = a.microsOpt(Int.MaxValue, "next_start"),
+          maxRetries = a.intOpt(Int.MaxValue, "max_retries"))
+        Seq(Row(id))
       case other =>
         throw new IllegalArgumentException(s"unknown admin function $other")
     }

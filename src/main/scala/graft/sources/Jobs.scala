@@ -440,4 +440,34 @@ object Jobs {
     Columnstore.compress(ht, opts,
       Some(cfgNow(config, ht) - config("compress_after").toLong))
   }
+
+  registerProc("policy_reorder") { (spark, config) =>
+    val ht = Hypertable.at(spark, config("hypertable"))
+    val orderBy = config("orderby").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(orderBy.nonEmpty, "policy_reorder: empty orderby")
+    ReorderPolicy.run(ht, orderBy,
+      olderThanMicros = config.get("older_than").map(_.toLong))
+  }
+
+  // the reference's cagg refresh policy (`policy_internal.sql`
+  // policy_refresh_continuous_aggregate): offsets back from the cagg's
+  // clock, window inscribed to whole buckets, optional batching. The cagg
+  // must be `create`d in this session (definitions carry Column
+  // expressions — there is no on-disk form to re-open, like views).
+  registerProc("policy_refresh_continuous_aggregate") { (spark, config) =>
+    val path = config("continuous_aggregate")
+    val cagg = graft.streaming.ContinuousAggregate.atPath(path).getOrElse(
+      throw new IllegalStateException(
+        s"no continuous aggregate registered at '$path' in this session — " +
+          "ContinuousAggregate.create it first"))
+    val now = config.get("now").map(_.toLong).getOrElse(cagg.source match {
+      case h: Hypertable => h.nowMicros()
+      case _ => System.currentTimeMillis * 1000L
+    })
+    graft.streaming.CaggRefreshPolicy.run(cagg, now,
+      config("start_offset").toLong, config("end_offset").toLong,
+      bucketsPerBatch = config.get("buckets_per_batch").map(_.toInt).getOrElse(0),
+      maxBatchesPerExecution =
+        config.get("max_batches_per_execution").map(_.toInt).getOrElse(0))
+  }
 }

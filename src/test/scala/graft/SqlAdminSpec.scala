@@ -149,6 +149,65 @@ class SqlAdminSpec extends AnyFunSuite {
     assert(err.getMessage.contains("UNRESOLVED_ROUTINE"))
   }
 
+  test("merge_chunks / split_chunk / recompress_chunk by SQL") {
+    val path = tmp()
+    spark.sql(s"SELECT create_hypertable('$path', 'ts', INTERVAL '1 day')")
+    val ht = Hypertable.at(spark, path)
+    ht.write(events(72)) // 3 day-chunks
+    val chunks = spark.sql(s"SELECT show_chunks('$path')").as[String].collect()
+    assert(chunks.length === 3)
+    val merged = spark.sql(
+      s"SELECT merge_chunks('${chunks(0)}', '${chunks(1)}')").as[String].head()
+    assert(spark.sql(s"SELECT show_chunks('$path')").count() === 2)
+    val split = spark.sql(s"SELECT split_chunk('$merged')").as[String].collect()
+    assert(split.length === 2)
+    assert(spark.sql(s"SELECT show_chunks('$path')").count() === 3)
+    // recompress on a raw chunk = full compression (needs settings)
+    ht.setColumnstoreSettings(Columnstore.Options(
+      segmentBy = Seq("user_id"), orderBy = Seq("ts")))
+    val c0 = spark.sql(s"SELECT show_chunks('$path')").as[String].head()
+    spark.sql(s"SELECT recompress_chunk('$c0')").collect()
+    assert(Columnstore.isCompressed(spark, c0))
+    // row total survives all the surgery
+    assert(ht.read().count() === 72)
+  }
+
+  test("detailed sizes and the job API by SQL") {
+    val path = tmp()
+    spark.sql(s"SELECT create_hypertable('$path', 'ts', INTERVAL '1 day')")
+    Hypertable.at(spark, path).write(events(48))
+    val d = spark.sql(s"SELECT hypertable_detailed_size('$path')").collect()(0)
+    assert(d.getLong(0) > 0 && d.getLong(3) >= d.getLong(0))
+    val cs = spark.sql(s"SELECT chunks_detailed_size('$path')").collect()
+    assert(cs.length === 2 && cs.map(_.getLong(3)).sum === 48)
+
+    val id = spark.sql(
+      s"SELECT add_job('$path', 'policy_retention', INTERVAL '1 hour')").as[Int].head()
+    spark.sql(s"SELECT alter_job('$path', $id, scheduled => false)").collect()
+    assert(Jobs.list(spark, path).find(_._1.id == id).exists(!_._1.scheduled))
+    assert(spark.sql(s"SELECT delete_job('$path', $id)").as[Boolean].head())
+    assert(Jobs.list(spark, path).isEmpty)
+  }
+
+  test("add_continuous_aggregate_policy refreshes via run_job") {
+    val htPath = tmp()
+    val caggPath = tmp() + "/cagg"
+    spark.sql(s"SELECT create_hypertable('$htPath', 'ts', INTERVAL '1 day')")
+    val ht = Hypertable.at(spark, htPath)
+    ht.write(events(48))
+    ContinuousAggregate.create(spark, caggPath, ht,
+      CaggDef(bucketWidth = "1 hour", groupCols = Seq("user_id"),
+        aggs = Seq(sum($"value").as("total"))))
+    val id = spark.sql(
+      s"""SELECT add_continuous_aggregate_policy('$caggPath',
+         | start_offset => INTERVAL '3650 days', end_offset => INTERVAL '0 days',
+         | schedule_interval => INTERVAL '1 hour')""".stripMargin).as[Int].head()
+    assert(spark.sql(s"SELECT run_job('$caggPath', $id)").as[Boolean].head())
+    assert(ContinuousAggregate.atPath(caggPath).get.materialized.count() === 48)
+    assert(spark.sql(
+      s"SELECT remove_continuous_aggregate_policy('$caggPath')").as[Boolean].head())
+  }
+
   test("argument errors are informative") {
     val path = tmp()
     spark.sql(s"SELECT create_hypertable('$path', 'ts')")
