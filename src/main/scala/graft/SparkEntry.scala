@@ -1246,6 +1246,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ANN, product-quantization variant (Jégou et al. 2011): per-subspace
+    // k-means codebooks, codes-only ADC candidate scan (m table lookups per
+    // row, vectors unread), exact-cosine rerank of the oversampled pool.
+    // The rerank emits EXACT similarities, so when the ADC pool covers the
+    // true top-k (it does on this corpus — deterministic training), the
+    // result hash-matches the brute-force oracle; the recall property in
+    // general is spec-gated (TrainingOpsSpec).
+    "q89_pq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      Similarity.pqTopK(emb, "vec_id", "embedding", q, 10,
+        m = 8, codebookSize = 16, oversample = 16)
+    }),
+
     // Training-data ops: corpus-level repeated-segment removal (Lee et al.
     // 2021 / CCNet line dedup) — segments duplicated >= 2 times corpus-wide
     // keep only their first (doc_id, position) occurrence; docs come back
@@ -1765,6 +1780,15 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q15_ann_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT e.vec_id,
+        | list_reduce(list_transform(list_zip(e.v, q.v), x -> x[1]*x[2]), (a,b) -> a+b)
+        |  / (sqrt(list_reduce(list_transform(e.v, x -> x*x), (a,b) -> a+b))
+        |     * sqrt(list_reduce(list_transform(q.v, x -> x*x), (a,b) -> a+b))) AS sim
+        |FROM e, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q89_pq_ann" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT e.vec_id,

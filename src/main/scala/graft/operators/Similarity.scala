@@ -456,4 +456,103 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
+
+  // ------------------------------------------------ product quantization
+
+  /** Per-subspace k-means codebooks for product quantization (Jégou et al.
+    * 2011): the D-dim space split into `m` contiguous subspaces of D/m
+    * dims, each with its own `codebookSize`-centroid codebook. Deterministic
+    * like [[ivfCentroids]] (xxhash64-seeded init, fixed iterations); each
+    * refinement iteration is ONE job — a posexplode keyed by
+    * (subspace, code, coordinate), so the shuffle carries at most
+    * D × codebookSize aggregated rows regardless of corpus size. At 100 TB,
+    * train on a deterministic sample (Sampling.bernoulli) — codebooks need
+    * thousands of vectors, not billions.
+    */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int = 8, codebookSize: Int = 16, iters: Int = 3,
+      seed: Long = 42L): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m $m")
+    val dsub = dim / m
+    // init: first codebookSize vectors in hash order, sliced per subspace
+    val init = emb.orderBy(xxhash64(col(idCol), lit(seed))).limit(codebookSize)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(init.nonEmpty, "pqCodebooks: empty corpus")
+    var cbs: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      Array.tabulate(codebookSize) { c =>
+        val v = init(c % init.length)
+        java.util.Arrays.copyOfRange(v, s * dsub, math.min((s + 1) * dsub, v.length))
+      }
+    }
+    var it = 0
+    while (it < iters) {
+      val codes = pqEncode(col(vecCol), cbs)
+      val means = emb
+        .select(codes.as("_codes"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("_i", "_x")))
+        .select((col("_i") / dsub).cast("int").as("_s"),
+          (col("_i") % dsub).as("_d"),
+          element_at(col("_codes"), (col("_i") / dsub).cast("int") + 1).as("_c"),
+          col("_x"))
+        .groupBy("_s", "_c", "_d").agg(avg(col("_x")).as("_m"))
+        .collect() // bounded: m × codebookSize × dsub = dim × codebookSize
+      val next = cbs.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      cbs = next // empty cells keep their previous centroid
+      it += 1
+    }
+    cbs
+  }
+
+  /** PQ code column (array<int>, one code per subspace) — single-pass
+    * codegen expression; codebooks ride in the expression, not the plan.
+    */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.GraftShims.toColumn(graft.expressions.PqEncode(
+      org.apache.spark.sql.GraftShims.toExpression(vec), codebooks))
+
+  /** Approximate cosine of the query against each row's RECONSTRUCTED
+    * vector, from codes alone (asymmetric distance computation): per
+    * subspace one table lookup, no vector read.
+    */
+  def pqAdcScore(codes: Column, codebooks: Array[Array[Array[Double]]],
+      query: Seq[Double]): Column = {
+    val dsub = codebooks(0)(0).length
+    val dots = codebooks.zipWithIndex.map { case (cb, s) =>
+      cb.map(_.zipWithIndex.map { case (cv, i) =>
+        cv * query.applyOrElse(s * dsub + i, (_: Int) => 0.0)
+      }.sum)
+    }
+    val nsqs = codebooks.map(_.map(c => c.map(x => x * x).sum))
+    org.apache.spark.sql.GraftShims.toColumn(graft.expressions.PqAdcScore(
+      org.apache.spark.sql.GraftShims.toExpression(codes), dots, nsqs))
+  }
+
+  /** PQ top-k with exact rerank: codes-only ADC scan ranks candidates
+    * (each row costs m table lookups — the corpus vectors are never read
+    * in stage 1 once codes are materialized), the top k·oversample get
+    * exact float cosine, top k win. The 100 TB shape: persist the code
+    * column once (m bytes/row instead of 4·D), scan it per query;
+    * stage 2 is a broadcast semi-join reading k·oversample rows.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, m: Int = 8, codebookSize: Int = 16,
+      oversample: Int = 4, iters: Int = 3, seed: Long = 42L): DataFrame = {
+    val cbs = pqCodebooks(emb, idCol, vecCol, query.length, m, codebookSize,
+      iters, seed)
+    val cand = emb
+      .select(col(idCol),
+        pqAdcScore(pqEncode(col(vecCol), cbs), cbs, query).as("_adc"))
+      .orderBy(col("_adc").desc, col(idCol))
+      .limit(k * oversample)
+      .select(col(idCol))
+    emb.join(broadcast(cand), Seq(idCol))
+      .select(col(idCol),
+        cosine(col(vecCol).cast("array<double>"), typedLit(query)).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
 }

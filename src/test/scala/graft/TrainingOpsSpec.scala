@@ -392,6 +392,47 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rr === exact, "int8 prefilter + exact rerank diverged from brute force")
   }
 
+  test("product quantization: codes shaped m, ADC ranks, rerank recalls") {
+    import graft.operators.Similarity
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val dim = emb.select(size($"embedding")).head().getInt(0)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", dim,
+      m = 8, codebookSize = 16)
+    assert(cbs.length === 8 && cbs.forall(_.length === 16) &&
+      cbs.forall(_.forall(_.length === dim / 8)))
+    // codes: one int per subspace, within codebook range; deterministic
+    val codes = emb.select($"vec_id",
+      Similarity.pqEncode($"embedding", cbs).as("c"))
+    val shape = codes.select(min(size($"c")), max(size($"c")),
+      max(array_max($"c")), min(array_min($"c"))).head()
+    assert(shape.getInt(0) === 8 && shape.getInt(1) === 8)
+    assert(shape.getInt(2) < 16 && shape.getInt(3) >= 0)
+    val again = emb.select($"vec_id",
+      Similarity.pqEncode($"embedding", cbs).as("c"))
+    assert(codes.exceptAll(again).count() === 0)
+
+    // ADC ranking + exact rerank: high recall vs brute force; planted
+    // self-vector is always its own nearest neighbor
+    val q = emb.where($"vec_id" === 7)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", q, 10,
+      m = 8, codebookSize = 16, oversample = 8)
+    val got = pq.collect().map(_.getLong(0))
+    assert(got.length === 10)
+    assert(got.contains(7L), "query vector must find itself")
+    val recall = (got.toSet & exact).size
+    assert(recall >= 7, s"PQ rerank recall too low: $recall/10")
+    // rerank similarities are EXACT cosines: the overlap rows agree with
+    // brute force bit-for-bit
+    val exactSims = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pq.collect().foreach { r =>
+      exactSims.get(r.getLong(0)).foreach(s => assert(s === r.getDouble(1)))
+    }
+  }
+
   test("segment dedup matches an in-memory model on randomized corpora") {
     val rnd = new scala.util.Random(20260814L)
     val vocab = Vector("x", "y", "zz", "", "x y")
