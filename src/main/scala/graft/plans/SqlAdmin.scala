@@ -104,7 +104,80 @@ object SqlAdmin {
     "add_job" -> StructType(Seq(StructField("add_job", IntegerType))),
     "delete_job" -> StructType(Seq(StructField("delete_job", BooleanType))),
     "run_job" -> StructType(Seq(StructField("run_job", BooleanType))),
-    "alter_job" -> StructType(Seq(StructField("alter_job", IntegerType))))
+    "alter_job" -> StructType(Seq(StructField("alter_job", IntegerType)))) ++
+    viewOutputs
+
+  /** `timescaledb_information.*` views (`sql/views.sql`) as table
+    * functions over a path: `SELECT * FROM
+    * timescaledb_information.chunks('/path')`. Underscore aliases
+    * (`timescaledb_information_chunks`) work where dotted names are
+    * awkward. Schemas mirror [[graft.operators.Info]]'s DataFrames
+    * column-for-column (asserted in SqlAdminSpec).
+    */
+  private def viewSchema(fields: (String, DataType)*): StructType =
+    StructType(fields.map { case (n, t) => StructField(n, t, nullable = true) })
+
+  lazy val viewBaseOutputs: Map[String, StructType] = Map(
+    "hypertables" -> viewSchema(
+      "hypertable_name" -> StringType, "primary_dimension" -> StringType,
+      "primary_dimension_type" -> StringType, "num_dimensions" -> IntegerType,
+      "num_chunks" -> LongType, "num_compressed_chunks" -> LongType),
+    "chunks" -> viewSchema(
+      "hypertable_name" -> StringType, "chunk_name" -> StringType,
+      "primary_dimension" -> StringType, "primary_dimension_type" -> StringType,
+      "range_start" -> TimestampType, "range_end" -> TimestampType,
+      "range_start_integer" -> LongType, "range_end_integer" -> LongType,
+      "is_compressed" -> BooleanType,
+      "chunk_status" -> ArrayType(StringType)),
+    "dimensions" -> viewSchema(
+      "hypertable_name" -> StringType, "dimension_number" -> IntegerType,
+      "column_name" -> StringType, "column_type" -> StringType,
+      "dimension_type" -> StringType, "time_interval_micros" -> LongType,
+      "integer_interval" -> LongType, "month_interval" -> IntegerType,
+      "num_partitions" -> IntegerType),
+    "chunk_columnstore_stats" -> viewSchema(
+      "hypertable_name" -> StringType, "chunk_name" -> StringType,
+      "compression_status" -> StringType, "numrows_pre_compression" -> LongType,
+      "before_compression_total_bytes" -> LongType,
+      "after_compression_total_bytes" -> LongType),
+    "hypertable_columnstore_stats" -> viewSchema(
+      "hypertable_name" -> StringType, "total_chunks" -> LongType,
+      "number_compressed_chunks" -> LongType,
+      "before_compression_total_bytes" -> LongType,
+      "after_compression_total_bytes" -> LongType),
+    "hypertable_columnstore_settings" -> viewSchema(
+      "hypertable" -> StringType, "segmentby" -> StringType,
+      "orderby" -> StringType, "row_group_bytes" -> LongType),
+    "jobs" -> viewSchema(
+      "job_id" -> IntegerType, "application_name" -> StringType,
+      "proc_name" -> StringType, "schedule_interval_micros" -> LongType,
+      "max_retries" -> IntegerType, "retry_period_micros" -> LongType,
+      "scheduled" -> BooleanType, "fixed_schedule" -> BooleanType,
+      "config" -> StringType, "initial_start" -> TimestampType,
+      "next_start" -> TimestampType, "timezone" -> StringType),
+    "job_stats" -> viewSchema(
+      "job_id" -> IntegerType, "last_run_started_at" -> TimestampType,
+      "last_successful_finish" -> TimestampType, "last_run_status" -> StringType,
+      "job_status" -> StringType, "next_start" -> TimestampType,
+      "total_runs" -> LongType, "total_successes" -> LongType,
+      "total_failures" -> LongType, "consecutive_failures" -> IntegerType),
+    "continuous_aggregates" -> viewSchema(
+      "view_name" -> StringType, "hypertable_name" -> StringType,
+      "bucket_width" -> StringType, "bucket_column" -> StringType,
+      "group_columns" -> StringType, "finalized" -> BooleanType,
+      "materialized_only" -> BooleanType, "compression_enabled" -> BooleanType,
+      "num_mat_chunks" -> LongType, "num_compressed_mat_chunks" -> LongType,
+      "watermark_micros" -> LongType, "pending_invalidations" -> LongType,
+      "num_children" -> LongType, "bucket_timezone" -> StringType,
+      "bucket_origin_micros" -> LongType, "bucket_fixed_width" -> BooleanType),
+    "policies" -> viewSchema(
+      "application_name" -> StringType, "start_offset_micros" -> LongType,
+      "end_offset_micros" -> LongType))
+
+  private lazy val viewOutputs: Map[String, StructType] =
+    viewBaseOutputs.flatMap { case (n, s) =>
+      Seq(s"timescaledb_information.$n" -> s, s"timescaledb_information_$n" -> s)
+    }
 
   /** One evaluated call argument: optional `name =>` plus the literal. */
   case class Arg(name: Option[String], value: Any, dataType: DataType)
@@ -454,6 +527,30 @@ object SqlAdmin {
           nextStartMicros = a.microsOpt(Int.MaxValue, "next_start"),
           maxRetries = a.intOpt(Int.MaxValue, "max_retries"))
         Seq(Row(id))
+      case v if v.startsWith("timescaledb_information") =>
+        import graft.operators.Info
+        val base = v.stripPrefix("timescaledb_information")
+          .stripPrefix(".").stripPrefix("_")
+        val arg = a.str(0, "relation")
+        val df = base match {
+          case "hypertables" => Info.hypertables(spark, Seq(arg))
+          case "chunks" => Info.chunks(ht(arg))
+          case "dimensions" => Info.dimensions(ht(arg))
+          case "chunk_columnstore_stats" => Info.chunkColumnstoreStats(ht(arg))
+          case "hypertable_columnstore_stats" =>
+            Info.hypertableColumnstoreStats(ht(arg))
+          case "hypertable_columnstore_settings" =>
+            Info.hypertableColumnstoreSettings(ht(arg))
+          case "jobs" => Info.jobs(spark, arg)
+          case "job_stats" => Info.jobStats(spark, arg)
+          case "policies" => Info.policies(spark, arg)
+          case "continuous_aggregates" =>
+            val cagg = graft.streaming.ContinuousAggregate.atPath(arg).getOrElse(
+              throw new IllegalArgumentException(
+                s"no continuous aggregate registered at '$arg' in this session"))
+            Info.continuousAggregates(Seq(cagg))
+        }
+        df.collect().toSeq // metadata-sized by construction
       case other =>
         throw new IllegalArgumentException(s"unknown admin function $other")
     }
@@ -469,7 +566,7 @@ case class GraftAdminCommand(fn: String, args: Seq[SqlAdmin.Arg])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     SqlAdmin.outputs(fn).fields.toSeq.map(f =>
-      AttributeReference(f.name, f.dataType, nullable = false)())
+      AttributeReference(f.name, f.dataType, f.nullable)())
   override def run(sparkSession: SparkSession): Seq[Row] =
     SqlAdmin.run(sparkSession, fn, args)
 }
@@ -482,9 +579,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val callShapes = Seq(
     // SELECT fn(args)  /  SELECT * FROM fn(args)  /  CALL fn(args)
-    """(?is)^\s*select\s+([a-z_][a-z0-9_]*)\s*\((.*)\)\s*;?\s*$""".r,
-    """(?is)^\s*select\s+\*\s+from\s+([a-z_][a-z0-9_]*)\s*\((.*)\)\s*;?\s*$""".r,
-    """(?is)^\s*call\s+([a-z_][a-z0-9_]*)\s*\((.*)\)\s*;?\s*$""".r)
+    """(?is)^\s*select\s+([a-z_][a-z0-9_.]*)\s*\((.*)\)\s*;?\s*$""".r,
+    """(?is)^\s*select\s+\*\s+from\s+([a-z_][a-z0-9_.]*)\s*\((.*)\)\s*;?\s*$""".r,
+    """(?is)^\s*call\s+([a-z_][a-z0-9_.]*)\s*\((.*)\)\s*;?\s*$""".r)
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     for (shape <- callShapes; m <- shape.findFirstMatchIn(sqlText)) {

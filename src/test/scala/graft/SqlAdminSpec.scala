@@ -208,6 +208,73 @@ class SqlAdminSpec extends AnyFunSuite {
       s"SELECT remove_continuous_aggregate_policy('$caggPath')").as[Boolean].head())
   }
 
+  test("timescaledb_information views are SQL-queryable and schema-true") {
+    import graft.operators.Info
+    val path = tmp()
+    spark.sql(s"SELECT create_hypertable('$path', 'ts', INTERVAL '1 day')")
+    val ht = Hypertable.at(spark, path)
+    ht.write(events(48))
+    spark.sql(s"SELECT add_retention_policy('$path', INTERVAL '30 days')")
+
+    // dotted (reference) name and underscore alias both work
+    val chunks = spark.sql(
+      s"SELECT * FROM timescaledb_information.chunks('$path')").collect()
+    assert(chunks.length === 2)
+    assert(chunks.forall(r => !r.getBoolean(8))) // is_compressed
+    val hts = spark.sql(
+      s"SELECT timescaledb_information_hypertables('$path')").collect()
+    assert(hts.length === 1 && hts(0).getLong(4) === 2L) // num_chunks
+    assert(spark.sql(
+      s"SELECT * FROM timescaledb_information.dimensions('$path')").count() === 1)
+    val jobs = spark.sql(
+      s"SELECT * FROM timescaledb_information.jobs('$path')").collect()
+    assert(jobs.length === 1 && jobs(0).getString(2) === "policy_retention")
+    assert(spark.sql(
+      s"SELECT * FROM timescaledb_information.job_stats('$path')").count() === 1)
+
+    // declared schemas mirror Info's DataFrames column-for-column
+    import graft.plans.SqlAdmin
+    def names(st: org.apache.spark.sql.types.StructType) =
+      st.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(names(SqlAdmin.viewBaseOutputs("chunks")) === names(Info.chunks(ht).schema))
+    assert(names(SqlAdmin.viewBaseOutputs("hypertables")) ===
+      names(Info.hypertables(spark, Seq(path)).schema))
+    assert(names(SqlAdmin.viewBaseOutputs("dimensions")) ===
+      names(Info.dimensions(ht).schema))
+    assert(names(SqlAdmin.viewBaseOutputs("jobs")) ===
+      names(Info.jobs(spark, path).schema))
+    assert(names(SqlAdmin.viewBaseOutputs("job_stats")) ===
+      names(Info.jobStats(spark, path).schema))
+    assert(names(SqlAdmin.viewBaseOutputs("chunk_columnstore_stats")) ===
+      names(Info.chunkColumnstoreStats(ht).schema))
+    assert(names(SqlAdmin.viewBaseOutputs("hypertable_columnstore_stats")) ===
+      names(Info.hypertableColumnstoreStats(ht).schema))
+    assert(names(SqlAdmin.viewBaseOutputs("hypertable_columnstore_settings")) ===
+      names(Info.hypertableColumnstoreSettings(ht).schema))
+    assert(names(SqlAdmin.viewBaseOutputs("policies")) ===
+      names(Info.policies(spark, path).schema))
+  }
+
+  test("timescaledb_information.continuous_aggregates by cagg path") {
+    import graft.operators.Info
+    val htPath = tmp()
+    val caggPath = tmp() + "/cagg"
+    spark.sql(s"SELECT create_hypertable('$htPath', 'ts', INTERVAL '1 day')")
+    val ht = Hypertable.at(spark, htPath)
+    ht.write(events(24))
+    val cagg = ContinuousAggregate.create(spark, caggPath, ht,
+      CaggDef(bucketWidth = "1 hour", groupCols = Seq("user_id"),
+        aggs = Seq(sum($"value").as("total"))))
+    val r = spark.sql(
+      s"SELECT * FROM timescaledb_information.continuous_aggregates('$caggPath')")
+      .collect()
+    assert(r.length === 1 && r(0).getString(0) === caggPath)
+    def names(st: org.apache.spark.sql.types.StructType) =
+      st.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(names(graft.plans.SqlAdmin.viewBaseOutputs("continuous_aggregates")) ===
+      names(Info.continuousAggregates(Seq(cagg)).schema))
+  }
+
   test("argument errors are informative") {
     val path = tmp()
     spark.sql(s"SELECT create_hypertable('$path', 'ts')")
