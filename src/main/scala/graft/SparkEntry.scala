@@ -1246,6 +1246,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Training-data ops: deterministic epoch shuffle — every doc gets its
+    // (shard, position) in epoch 1's global training order, derived from
+    // md5(epoch|id): uniform, uncorrelated across epochs, identical on any
+    // engine/layout, resumable mid-shard. The oracle recomputes the exact
+    // shard/rank via DuckDB's md5 + a hex-digit fold.
+    "q90_epoch_order" -> ((s, dir) => {
+      graft.operators.Sampling.epochOrder(
+          t(s, dir, "documents").select("doc_id"), "doc_id",
+          epoch = 1L, shards = 8)
+        .orderBy("doc_id")
+    }),
+
     // ANN, product-quantization variant (Jégou et al. 2011): per-subspace
     // k-means codebooks, codes-only ADC candidate scan (m table lookups per
     // row, vectors unread), exact-cosine rerank of the oversampled pool.
@@ -1787,6 +1799,22 @@ object SparkEntry {
         |  / (sqrt(list_reduce(list_transform(e.v, x -> x*x), (a,b) -> a+b))
         |     * sqrt(list_reduce(list_transform(q.v, x -> x*x), (a,b) -> a+b))) AS sim
         |FROM e, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q90_epoch_order" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('epoch1|' || CAST(doc_id AS VARCHAR)) AS eh
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, eh,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(substr(eh, 1, 12), '.'),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, d) -> a * 16 + d) AS hv
+        |  FROM h)
+        |SELECT doc_id, CAST(hv % 8 AS INT) AS epoch_shard,
+        |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY eh, doc_id) AS INT)
+        |    AS epoch_pos
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "q89_pq_ann" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),

@@ -84,6 +84,31 @@ object Sampling {
     * already, and the window carries only (id, stratum, tokens), so the
     * sort is over narrow rows, not document text.
     */
+  /** Deterministic GLOBAL TRAINING ORDER for one epoch: every row gets an
+    * `epoch_shard` (hash partition) and `epoch_pos` (rank inside the
+    * shard), both derived from md5(epoch|id) — so the order is uniform,
+    * uncorrelated across epochs, identical on any engine/cluster layout,
+    * and resumable (a reader at (shard, pos) can restart exactly there).
+    * This is the "seeded epoch shuffle" of an LLM training run, expressed
+    * as a column recipe instead of an RNG.
+    *
+    * One shuffle (the per-shard rank window) over narrow rows; shards
+    * bound the window partitions, so pick shards ≈ the reader parallelism
+    * (each shard is one contiguous stream).
+    */
+  def epochOrder(df: DataFrame, idCol: String, epoch: Long,
+      shards: Int): DataFrame = {
+    require(shards >= 1, "epochOrder: shards must be positive")
+    val h = hashKey(col(idCol), salt = s"epoch$epoch")
+    val hv = conv(substring(h, 1, 12), 16, 10).cast("long")
+    val w = Window.partitionBy(col("epoch_shard"))
+      .orderBy(col("_graft_eh"), col(idCol))
+    df.withColumn("_graft_eh", h)
+      .withColumn("epoch_shard", (hv % shards).cast("int"))
+      .withColumn("epoch_pos", row_number().over(w))
+      .drop("_graft_eh")
+  }
+
   /** Hashed bag-of-words bucket ids of the text's whitespace tokens, in
     * document order (single-pass expression; PortableHash mod `buckets`, so
     * any engine reproduces the exact ids).

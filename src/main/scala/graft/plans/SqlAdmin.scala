@@ -104,7 +104,17 @@ object SqlAdmin {
     "add_job" -> StructType(Seq(StructField("add_job", IntegerType))),
     "delete_job" -> StructType(Seq(StructField("delete_job", BooleanType))),
     "run_job" -> StructType(Seq(StructField("run_job", BooleanType))),
-    "alter_job" -> StructType(Seq(StructField("alter_job", IntegerType)))) ++
+    "alter_job" -> StructType(Seq(StructField("alter_job", IntegerType))),
+    // timescaledb_experimental policy bundle (sql/policy_experimental.sql)
+    "add_policies" -> StructType(Seq(StructField("add_policies", BooleanType))),
+    "alter_policies" -> StructType(Seq(
+      StructField("alter_policies", BooleanType))),
+    "remove_policies" -> StructType(Seq(
+      StructField("remove_policies", BooleanType))),
+    "show_policies" -> StructType(Seq(
+      StructField("application_name", StringType),
+      StructField("start_offset_micros", LongType, nullable = true),
+      StructField("end_offset_micros", LongType, nullable = true)))) ++
     viewOutputs
 
   /** `timescaledb_information.*` views (`sql/views.sql`) as table
@@ -527,6 +537,23 @@ object SqlAdmin {
           nextStartMicros = a.microsOpt(Int.MaxValue, "next_start"),
           maxRetries = a.intOpt(Int.MaxValue, "max_retries"))
         Seq(Row(id))
+      case "add_policies" | "alter_policies" =>
+        val path = a.str(0, "relation")
+        val set = graft.sources.PolicySet(
+          refreshStartOffsetMicros =
+            a.intervalMicrosOpt(Int.MaxValue, "refresh_start_offset"),
+          refreshEndOffsetMicros =
+            a.intervalMicrosOpt(Int.MaxValue, "refresh_end_offset"),
+          columnstoreAfterMicros =
+            a.intervalMicrosOpt(Int.MaxValue, "compress_after"),
+          dropAfterMicros = a.intervalMicrosOpt(Int.MaxValue, "drop_after"))
+        if (fn == "add_policies") graft.sources.Policies.add(spark, path, set)
+        else graft.sources.Policies.alter(spark, path, set)
+        Seq(Row(true))
+      case "remove_policies" =>
+        Seq(Row(graft.sources.Policies.remove(spark, a.str(0, "relation"))))
+      case "show_policies" =>
+        graft.operators.Info.policies(spark, a.str(0, "relation")).collect().toSeq
       case v if v.startsWith("timescaledb_information") =>
         import graft.operators.Info
         val base = v.stripPrefix("timescaledb_information")

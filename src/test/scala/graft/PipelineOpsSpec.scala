@@ -243,6 +243,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"top-k must be enriched for the target language (corpus rate $corpusRate)")
   }
 
+  test("epochOrder: complete cover, dense per-shard ranks, epochs differ") {
+    val out = Sampling.epochOrder(docs.select($"doc_id"), "doc_id",
+      epoch = 1L, shards = 4)
+      .as[(Long, Int, Int)].collect()
+    assert(out.length === docs.count())
+    assert(out.map(_._2).distinct.sorted.toSeq.forall(s => s >= 0 && s < 4))
+    // positions are dense 1..n within each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length).toSeq)
+    }
+    // deterministic; a different epoch produces a different order
+    val again = Sampling.epochOrder(docs.select($"doc_id"), "doc_id", 1L, 4)
+      .as[(Long, Int, Int)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    val e2 = Sampling.epochOrder(docs.select($"doc_id"), "doc_id", 2L, 4)
+      .as[(Long, Int, Int)].collect()
+    assert(out.sortBy(_._1).map(r => (r._2, r._3)).toSeq !==
+      e2.sortBy(_._1).map(r => (r._2, r._3)).toSeq)
+  }
+
   test("keepBestPerCluster keeps exactly the best-quality row per cluster") {
     val assign = Seq(
       (1L, 1L, 10L), (2L, 1L, 30L), (3L, 1L, 30L), // tie at 30 → min id 2

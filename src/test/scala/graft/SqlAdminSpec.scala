@@ -275,6 +275,24 @@ class SqlAdminSpec extends AnyFunSuite {
       names(Info.continuousAggregates(Seq(cagg)).schema))
   }
 
+  test("experimental policy bundle add/show/alter/remove by SQL") {
+    val path = tmp()
+    spark.sql(s"SELECT create_hypertable('$path', 'ts')")
+    assert(spark.sql(
+      s"""SELECT add_policies('$path', drop_after => INTERVAL '90 days',
+         | compress_after => INTERVAL '7 days')""".stripMargin)
+      .as[Boolean].head())
+    val shown = spark.sql(s"SELECT show_policies('$path')").collect()
+    assert(shown.map(_.getString(0)).toSet ===
+      Set("policy_columnstore", "policy_retention"))
+    spark.sql(s"SELECT alter_policies('$path', drop_after => INTERVAL '30 days')")
+    val alt = spark.sql(s"SELECT show_policies('$path')").collect()
+    assert(alt.map(_.getString(0)).toSeq === Seq("policy_retention"))
+    assert(alt(0).getLong(1) === 30L * 86400000000L)
+    assert(spark.sql(s"SELECT remove_policies('$path')").as[Boolean].head())
+    assert(spark.sql(s"SELECT show_policies('$path')").count() === 0)
+  }
+
   test("argument errors are informative") {
     val path = tmp()
     spark.sql(s"SELECT create_hypertable('$path', 'ts')")
