@@ -540,12 +540,23 @@ object Similarity {
     */
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, m: Int = 8, codebookSize: Int = 16,
-      oversample: Int = 4, iters: Int = 3, seed: Long = 42L): DataFrame = {
-    val cbs = pqCodebooks(emb, idCol, vecCol, query.length, m, codebookSize,
-      iters, seed)
+      oversample: Int = 4, iters: Int = 3, seed: Long = 42L): DataFrame =
+    pqTopKWith(emb, idCol, vecCol, query, k,
+      pqCodebooks(emb, idCol, vecCol, query.length, m, codebookSize, iters, seed),
+      oversample)
+
+  /** [[pqTopK]] with PRECOMPUTED codebooks — the per-query entry point.
+    * Train codebooks once ([[pqCodebooks]]), optionally persist the
+    * `pqEncode` column alongside the corpus, then answer each query from
+    * the codes; retraining per query would pay iters+1 corpus passes every
+    * call.
+    */
+  def pqTopKWith(emb: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, codebooks: Array[Array[Array[Double]]],
+      oversample: Int = 4): DataFrame = {
     val cand = emb
       .select(col(idCol),
-        pqAdcScore(pqEncode(col(vecCol), cbs), cbs, query).as("_adc"))
+        pqAdcScore(pqEncode(col(vecCol), codebooks), codebooks, query).as("_adc"))
       .orderBy(col("_adc").desc, col(idCol))
       .limit(k * oversample)
       .select(col(idCol))

@@ -195,20 +195,28 @@ object SqlAdmin {
   /** Positional+named argument accessor with the conversions the admin
     * surface needs. Positional index counts ONLY positional args.
     */
-  class Args(fn: String, args: Seq[Arg]) {
+  class Args(fn: String, args: Seq[Arg],
+      timeZone: java.time.ZoneId = java.time.ZoneOffset.UTC) {
     private val positional = args.takeWhile(_.name.isEmpty)
     private val named = args.collect { case Arg(Some(n), v, t) => n -> ((v, t)) }.toMap
     require(args.dropWhile(_.name.isEmpty).forall(_.name.isDefined),
       s"$fn: positional arguments cannot follow named arguments")
     private val unknown = named.keySet
     private var consumed = Set.empty[String]
+    private var positionalRead = 0
+
+    private[SqlAdmin] def zone: java.time.ZoneId = timeZone
 
     private def raw(i: Int, name: String): Option[(Any, DataType)] = {
       consumed += name
-      val hit =
-        if (i < positional.size) Some((positional(i).value, positional(i).dataType))
-        else named.get(name)
-      hit.filter(_._1 != null) // SQL NULL = argument absent (open bound)
+      if (i < positional.size) {
+        // specifying the same argument both ways is an error, like Postgres
+        require(!named.contains(name),
+          s"$fn: argument '$name' given both positionally and by name")
+        positionalRead = math.max(positionalRead, i + 1)
+        Some((positional(i).value, positional(i).dataType))
+          .filter(_._1 != null)
+      } else named.get(name).filter(_._1 != null) // SQL NULL = absent
     }
     def str(i: Int, name: String): String = strOpt(i, name).getOrElse(
       throw new IllegalArgumentException(s"$fn: missing argument '$name'"))
@@ -236,9 +244,11 @@ object SqlAdmin {
       case (us: java.lang.Long, TimestampType | TimestampNTZType) => us.longValue
       case (n: java.lang.Long, LongType) => n.longValue
       case (n: java.lang.Integer, _) => n.longValue
-      case (s: UTF8String, StringType) => // 'YYYY-MM-DD ...' in UTC
+      case (s: UTF8String, StringType) =>
+        // 'YYYY-MM-DD ...' strings bind in the SESSION timezone — the same
+        // instant a TIMESTAMP literal of the same text would produce
         org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .stringToTimestamp(s, java.time.ZoneOffset.UTC).getOrElse(
+          .stringToTimestamp(s, timeZone).getOrElse(
             throw new IllegalArgumentException(
               s"$fn: cannot parse '$s' as a timestamp for '$name'"))
       case (v, t) => throw new IllegalArgumentException(
@@ -282,12 +292,15 @@ object SqlAdmin {
         s"$fn: argument '$name' must be an interval or string, got ${t.sql} ($v)")
     }
     /** Mark an argument consumed without conversion (non-scalar args). */
-    def ack(name: String): Unit = { consumed += name }
+    def ack(name: String): Unit = { consumed += name; positionalRead += 1 }
     def done(): Unit = {
       val extra = unknown -- consumed
       require(extra.isEmpty, s"$fn: unknown argument(s) ${extra.mkString(", ")}")
-      require(positional.size <= consumed.size,
-        s"$fn: too many positional arguments (${positional.size})")
+      // every positional slot must have been READ, not merely probed —
+      // extra trailing positionals are an error, never a silent no-op
+      require(positional.size <= positionalRead,
+        s"$fn: too many positional arguments " +
+          s"(${positional.size} given, $positionalRead understood)")
     }
   }
 
@@ -307,14 +320,18 @@ object SqlAdmin {
   private def policyJobId(spark: SparkSession, root: String, proc: String): Option[Int] =
     Jobs.list(spark, root).collectFirst { case (spec, _) if spec.proc == proc => spec.id }
 
+  /** Register a policy job at `path` after `validate` passes; duplicate
+    * procs for the same target error like the reference's default
+    * if_not_exists=false.
+    */
   private def addPolicyJob(spark: SparkSession, path: String, proc: String,
-      scheduleMicros: Long, config: Map[String, String]): Int = {
+      scheduleMicros: Long, config: Map[String, String],
+      validate: => Unit = ()): Int = {
     require(policyJobId(spark, path, proc).isEmpty,
       s"$proc already exists for $path (remove it first)")
-    Hypertable.at(spark, path) // validate the target is a hypertable
+    validate
     Jobs.add(spark, path, proc, scheduleMicros,
-      nowMicros = System.currentTimeMillis * 1000L,
-      config = config + ("hypertable" -> path))
+      nowMicros = System.currentTimeMillis * 1000L, config = config)
   }
 
   private def removePolicyJob(spark: SparkSession, path: String, proc: String): Boolean =
@@ -327,7 +344,8 @@ object SqlAdmin {
 
   /** Execute `fn(args)`; the rows conform to `outputs(fn)`. */
   def run(spark: SparkSession, fn: String, rawArgs: Seq[Arg]): Seq[Row] = {
-    val a = new Args(fn, rawArgs)
+    val a = new Args(fn, rawArgs,
+      java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
     def ht(path: String) = Hypertable.at(spark, path)
     val rows: Seq[Row] = fn match {
       case "create_hypertable" =>
@@ -408,7 +426,8 @@ object SqlAdmin {
         val sched = a.intervalMicrosOpt(Int.MaxValue, "schedule_interval")
           .getOrElse(DAY_MICROS)
         Seq(Row(addPolicyJob(spark, path, "policy_retention", sched,
-          Map("drop_after" -> drop.toString))))
+          Map("hypertable" -> path, "drop_after" -> drop.toString),
+          validate = ht(path))))
       case "remove_retention_policy" =>
         Seq(Row(removePolicyJob(spark, a.str(0, "relation"), "policy_retention")))
       case "add_columnstore_policy" | "add_compression_policy" =>
@@ -419,18 +438,20 @@ object SqlAdmin {
         val sched = a.intervalMicrosOpt(Int.MaxValue, "schedule_interval")
           .getOrElse(DAY_MICROS)
         Seq(Row(addPolicyJob(spark, path, "policy_columnstore", sched,
-          Map("compress_after" -> after.toString))))
+          Map("hypertable" -> path, "compress_after" -> after.toString),
+          validate = ht(path))))
       case "remove_columnstore_policy" | "remove_compression_policy" =>
         Seq(Row(removePolicyJob(spark, a.str(0, "relation"), "policy_columnstore")))
       case "add_compaction_policy" =>
         val path = a.str(0, "relation")
         val sched = a.intervalMicrosOpt(1, "schedule_interval").getOrElse(DAY_MICROS)
-        Seq(Row(addPolicyJob(spark, path, "policy_compaction", sched, Map.empty)))
+        Seq(Row(addPolicyJob(spark, path, "policy_compaction", sched,
+          Map("hypertable" -> path), validate = ht(path))))
       case "remove_compaction_policy" =>
         Seq(Row(removePolicyJob(spark, a.str(0, "relation"), "policy_compaction")))
       case "refresh_continuous_aggregate" =>
         val path = a.str(0, "continuous_aggregate")
-        val cagg = graft.streaming.ContinuousAggregate.atPath(path).getOrElse(
+        val cagg = graft.streaming.ContinuousAggregate.atPath(spark, path).getOrElse(
           throw new IllegalArgumentException(
             s"no continuous aggregate registered at '$path' in this session " +
               "(build it with ContinuousAggregate.create, which registers it)"))
@@ -488,7 +509,8 @@ object SqlAdmin {
         val sched = a.intervalMicrosOpt(Int.MaxValue, "schedule_interval")
           .getOrElse(DAY_MICROS)
         Seq(Row(addPolicyJob(spark, path, "policy_reorder", sched,
-          Map("orderby" -> orderBy))))
+          Map("hypertable" -> path, "orderby" -> orderBy),
+          validate = ht(path))))
       case "remove_reorder_policy" =>
         Seq(Row(removePolicyJob(spark, a.str(0, "relation"), "policy_reorder")))
       case "add_continuous_aggregate_policy" =>
@@ -499,15 +521,13 @@ object SqlAdmin {
           throw new IllegalArgumentException(s"$fn: missing argument 'end_offset'"))
         val sched = a.intervalMicrosOpt(3, "schedule_interval").getOrElse(DAY_MICROS)
         // jobs catalog lives at the CAGG path; validate it's a known cagg
-        require(graft.streaming.ContinuousAggregate.atPath(path).isDefined,
-          s"no continuous aggregate registered at '$path' in this session")
-        require(
-          policyJobId(spark, path, "policy_refresh_continuous_aggregate").isEmpty,
-          s"policy_refresh_continuous_aggregate already exists for $path")
-        Seq(Row(Jobs.add(spark, path, "policy_refresh_continuous_aggregate",
-          sched, nowMicros = System.currentTimeMillis * 1000L,
-          config = Map("continuous_aggregate" -> path,
-            "start_offset" -> start.toString, "end_offset" -> end.toString))))
+        Seq(Row(addPolicyJob(spark, path,
+          "policy_refresh_continuous_aggregate", sched,
+          Map("continuous_aggregate" -> path,
+            "start_offset" -> start.toString, "end_offset" -> end.toString),
+          validate = require(
+            graft.streaming.ContinuousAggregate.atPath(spark, path).isDefined,
+            s"no continuous aggregate registered at '$path' in this session"))))
       case "remove_continuous_aggregate_policy" =>
         Seq(Row(removePolicyJob(spark, a.str(0, "continuous_aggregate"),
           "policy_refresh_continuous_aggregate")))
@@ -572,7 +592,7 @@ object SqlAdmin {
           case "job_stats" => Info.jobStats(spark, arg)
           case "policies" => Info.policies(spark, arg)
           case "continuous_aggregates" =>
-            val cagg = graft.streaming.ContinuousAggregate.atPath(arg).getOrElse(
+            val cagg = graft.streaming.ContinuousAggregate.atPath(spark, arg).getOrElse(
               throw new IllegalArgumentException(
                 s"no continuous aggregate registered at '$arg' in this session"))
             Info.continuousAggregates(Seq(cagg))
@@ -613,17 +633,27 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = {
     for (shape <- callShapes; m <- shape.findFirstMatchIn(sqlText)) {
       val fn = m.group(1).toLowerCase(java.util.Locale.ROOT)
-      if (SqlAdmin.outputs.contains(fn))
-        return GraftAdminCommand(fn, parseArgs(fn, m.group(2)))
+      if (SqlAdmin.outputs.contains(fn)) {
+        // the greedy capture runs to the LAST ')': a composite statement
+        // (UNION, WHERE, alias after the call...) leaves unbalanced parens
+        // or trailing clauses in the args region — those are NOT simple
+        // admin calls and must reach Spark's parser untouched
+        parseArgs(fn, m.group(2)) match {
+          case Some(args) => return GraftAdminCommand(fn, args)
+          case None => return delegate.parsePlan(sqlText)
+        }
+      }
     }
     delegate.parsePlan(sqlText)
   }
 
   /** Split `argsText` on top-level commas (quote- and paren-aware), parse
-    * each with Spark's expression parser, fold to a literal.
+    * each with Spark's expression parser, fold to a literal. Returns None
+    * when the text is not a plain argument list (paren underflow — the
+    * statement had structure after the call).
     */
-  private def parseArgs(fn: String, argsText: String): Seq[SqlAdmin.Arg] = {
-    if (argsText.trim.isEmpty) return Nil
+  private def parseArgs(fn: String, argsText: String): Option[Seq[SqlAdmin.Arg]] = {
+    if (argsText.trim.isEmpty) return Some(Nil)
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
@@ -641,22 +671,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       } else c match {
         case '\'' => inQuote = true; cur.append(c)
         case '(' => depth += 1; cur.append(c)
-        case ')' => depth -= 1; cur.append(c)
+        case ')' =>
+          depth -= 1
+          if (depth < 0) return None // ')' closing the CALL itself mid-text
+          cur.append(c)
         case ',' if depth == 0 => parts += cur.toString; cur.clear()
         case _ => cur.append(c)
       }
       i += 1
     }
+    if (depth != 0 || inQuote) return None
     parts += cur.toString
     val named = """(?s)^\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*=>\s*(.*)$""".r
-    parts.toSeq.map { p =>
+    Some(parts.toSeq.map { p =>
       val (name, exprText) = p match {
         case named(n, rest) => (Some(n.toLowerCase(java.util.Locale.ROOT)), rest)
         case _ => (None, p)
       }
       val (value, dt) = foldLiteral(fn, exprText.trim)
       SqlAdmin.Arg(name, value, dt)
-    }
+    })
   }
 
   private def foldLiteral(fn: String, exprText: String): (Any, DataType) = {

@@ -456,7 +456,7 @@ object Jobs {
   // expressions — there is no on-disk form to re-open, like views).
   registerProc("policy_refresh_continuous_aggregate") { (spark, config) =>
     val path = config("continuous_aggregate")
-    val cagg = graft.streaming.ContinuousAggregate.atPath(path).getOrElse(
+    val cagg = graft.streaming.ContinuousAggregate.atPath(spark, path).getOrElse(
       throw new IllegalStateException(
         s"no continuous aggregate registered at '$path' in this session — " +
           "ContinuousAggregate.create it first"))

@@ -1160,14 +1160,28 @@ object ContinuousAggregate {
     cagg
   }
 
-  /** In-session registry of caggs by materialization path — the lookup
-    * behind the SQL `refresh_continuous_aggregate` admin call (caggs are
-    * defined with Column expressions, so a fresh session must re-`create`
-    * them before the SQL surface can address them, like views).
+  /** In-JVM registry of caggs by materialization path — the lookup behind
+    * the SQL `refresh_continuous_aggregate` admin call (caggs are defined
+    * with Column expressions, so a fresh session must re-`create` them
+    * before the SQL surface can address them, like views). Entries live
+    * until `drop()`; `create` on the same path replaces the handle.
     */
   private val sessionRegistry =
     scala.collection.concurrent.TrieMap.empty[String, ContinuousAggregate]
 
   private[graft] def atPath(path: String): Option[ContinuousAggregate] =
     sessionRegistry.get(path)
+
+  /** [[atPath]] guarded against cross-SparkContext confusion: a handle
+    * registered by a different context must not execute plans bound to it
+    * from this one.
+    */
+  private[graft] def atPath(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[ContinuousAggregate] =
+    sessionRegistry.get(path).map { c =>
+      require(c.spark.sparkContext eq spark.sparkContext,
+        s"continuous aggregate at '$path' was created by a different " +
+          "SparkContext — re-create it in this one")
+      c
+    }
 }

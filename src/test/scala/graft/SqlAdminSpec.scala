@@ -304,5 +304,29 @@ class SqlAdminSpec extends AnyFunSuite {
       spark.sql(s"SELECT show_chunks('$path', bogus_arg => 1)").collect()
     }
     assert(e2.getMessage.contains("bogus_arg"))
+    // the same argument given both positionally and by name is an error,
+    // never a silent preference
+    val e3 = intercept[Exception] {
+      spark.sql(s"""SELECT show_chunks('$path', TIMESTAMP '2024-01-01 00:00:00',
+        | older_than => TIMESTAMP '2024-06-01 00:00:00')""".stripMargin).collect()
+    }
+    assert(e3.getMessage.contains("both positionally and by name"))
+    // extra trailing positionals error instead of silently dropping
+    val e4 = intercept[Exception] {
+      spark.sql(s"SELECT hypertable_size('$path', 'junk')").collect()
+    }
+    assert(e4.getMessage.contains("too many positional"))
+  }
+
+  test("composite statements headed by an admin name delegate to Spark") {
+    // UNION of two admin calls is not a simple call — it must reach
+    // Spark's parser (which rejects the unknown routine), never be
+    // half-parsed as mangled admin arguments
+    val err = intercept[Exception] {
+      spark.sql("SELECT show_chunks('/a') UNION ALL SELECT show_chunks('/b')")
+        .collect()
+    }
+    assert(err.getMessage.contains("UNRESOLVED_ROUTINE") ||
+      err.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
   }
 }
