@@ -114,7 +114,14 @@ object SqlAdmin {
     "show_policies" -> StructType(Seq(
       StructField("application_name", StringType),
       StructField("start_offset_micros", LongType, nullable = true),
-      StructField("end_offset_micros", LongType, nullable = true)))) ++
+      StructField("end_offset_micros", LongType, nullable = true))),
+    // the CREATE MATERIALIZED VIEW ... WITH (timescaledb.continuous)
+    // surface, function form (path-addressed like everything else here)
+    "create_continuous_aggregate" -> StructType(Seq(
+      StructField("continuous_aggregate", StringType),
+      StructField("created", BooleanType))),
+    "drop_continuous_aggregate" -> StructType(Seq(
+      StructField("drop_continuous_aggregate", BooleanType)))) ++
     viewOutputs
 
   /** `timescaledb_information.*` views (`sql/views.sql`) as table
@@ -315,6 +322,37 @@ object SqlAdmin {
     val end = rest.indexOf('/')
     val start = (if (end < 0) rest else rest.substring(0, end)).toLong
     (chunkPath.substring(0, i), start)
+  }
+
+  /** Split a SQL expression list on top-level commas (quote- and
+    * paren-aware) — for comma-joined expression arguments like
+    * `create_continuous_aggregate`'s aggs.
+    */
+  private[plans] def splitTopLevel(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        cur.append(c)
+        if (c == '\'')
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+            cur.append('\''); i += 1
+          } else inQuote = false
+      } else c match {
+        case '\'' => inQuote = true; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
   private def policyJobId(spark: SparkSession, root: String, proc: String): Option[Int] =
@@ -557,6 +595,38 @@ object SqlAdmin {
           nextStartMicros = a.microsOpt(Int.MaxValue, "next_start"),
           maxRetries = a.intOpt(Int.MaxValue, "max_retries"))
         Seq(Row(id))
+      case "create_continuous_aggregate" =>
+        // the reference's CREATE MATERIALIZED VIEW ... WITH
+        // (timescaledb.continuous) AS SELECT time_bucket(w, ts), aggs ...
+        // GROUP BY ..., as a call: group_cols is a comma list, aggs a
+        // comma list of SQL aggregate expressions with AS aliases
+        // (parsed by Spark's own expression parser)
+        val caggPath = a.str(0, "continuous_aggregate")
+        val htPath = a.str(1, "hypertable")
+        val width = a.widthStrOpt(2, "bucket_width").getOrElse(
+          throw new IllegalArgumentException(
+            s"$fn: missing argument 'bucket_width'"))
+        val groupCols = a.strOpt(3, "group_cols")
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        val aggsStr = a.str(4, "aggs")
+        val tz = a.strOpt(Int.MaxValue, "timezone")
+        val origin = a.microsOpt(Int.MaxValue, "origin")
+        val withData = a.boolOpt(Int.MaxValue, "with_data").getOrElse(false)
+        val aggCols = splitTopLevel(aggsStr).map(s =>
+          org.apache.spark.sql.functions.expr(s.trim))
+        require(aggCols.nonEmpty, s"$fn: empty aggs list")
+        val defn = graft.streaming.CaggDef(
+          bucketWidth = width, groupCols = groupCols, aggs = aggCols,
+          bucketTz = tz, bucketOriginMicros = origin)
+        graft.streaming.ContinuousAggregate.create(
+          spark, caggPath, ht(htPath), defn, withData = withData)
+        Seq(Row(caggPath, true))
+      case "drop_continuous_aggregate" =>
+        val path = a.str(0, "continuous_aggregate")
+        graft.streaming.ContinuousAggregate.atPath(spark, path) match {
+          case Some(c) => c.drop(); Seq(Row(true))
+          case None => Seq(Row(false))
+        }
       case "add_policies" | "alter_policies" =>
         val path = a.str(0, "relation")
         val set = graft.sources.PolicySet(

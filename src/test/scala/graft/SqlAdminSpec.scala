@@ -318,6 +318,31 @@ class SqlAdminSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("too many positional"))
   }
 
+  test("create_continuous_aggregate by SQL: create, refresh, drop") {
+    val htPath = tmp()
+    val caggPath = tmp() + "/cagg"
+    spark.sql(s"SELECT create_hypertable('$htPath', 'ts', INTERVAL '1 day')")
+    val ht = Hypertable.at(spark, htPath)
+    ht.write(events(48))
+    val created = spark.sql(
+      s"""SELECT create_continuous_aggregate('$caggPath', '$htPath',
+         | INTERVAL '1 hour', 'user_id',
+         | 'sum(value) AS total, count(1) AS n')""".stripMargin).collect()
+    assert(created(0).getString(0) === caggPath && created(0).getBoolean(1))
+    spark.sql(s"CALL refresh_continuous_aggregate('$caggPath', NULL, NULL)")
+    val cagg = ContinuousAggregate.atPath(caggPath).get
+    assert(cagg.materialized.count() === 48)
+    // the materialized totals agree with a direct aggregation
+    val direct = ht.read().groupBy(window($"ts", "1 hour"), $"user_id")
+      .agg(sum($"value")).count()
+    assert(cagg.materialized.count() === direct)
+    assert(spark.sql(
+      s"SELECT drop_continuous_aggregate('$caggPath')").as[Boolean].head())
+    assert(ContinuousAggregate.atPath(caggPath).isEmpty)
+    assert(!spark.sql(
+      s"SELECT drop_continuous_aggregate('$caggPath')").as[Boolean].head())
+  }
+
   test("composite statements headed by an admin name delegate to Spark") {
     // UNION of two admin calls is not a simple call — it must reach
     // Spark's parser (which rejects the unknown routine), never be
