@@ -175,6 +175,39 @@ object ScaleProbe {
       }
       report("quantized_topk", tQAnn)
 
+      // 13. DSIR importance weights (B-bounded count shuffle + narrow
+      // scoring map; the two passes over the text ARE the algorithm)
+      val (tDsir, _) = timed2 {
+        force(Sampling.dsirWeights(Tables.table(spark, dir, "documents"),
+          "text", col("lang") === "en"))
+      }
+      report("dsir_weights", tDsir)
+
+      // 14. PQ query with PRECOMPUTED codebooks (the per-query path:
+      // codes-only ADC scan + broadcast-semi exact rerank); training is
+      // timed separately since it amortizes over all queries
+      val emb = Tables.table(spark, dir, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val (tPqTrain, cbs) = timed {
+        graft.operators.Similarity.pqCodebooks(emb, "vec_id", "embedding",
+          dim, m = 8, codebookSize = 16)
+      }
+      report("pq_train", tPqTrain)
+      val (tPq, _) = timed2 {
+        val q = emb.where(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        force(graft.operators.Similarity.pqTopKWith(
+          emb, "vec_id", "embedding", q, 10, cbs))
+      }
+      report("pq_topk", tPq)
+
+      // 15. deterministic epoch shuffle (one narrow-row window shuffle)
+      val (tEpoch, _) = timed2 {
+        force(Sampling.epochOrder(Tables.table(spark, dir, "documents")
+          .select("doc_id"), "doc_id", epoch = 1L, shards = 32))
+      }
+      report("epoch_order", tEpoch)
+
       println(s"[scale] m=$m done (neardup pairs=$nPairs)")
     }
     spark.stop()
