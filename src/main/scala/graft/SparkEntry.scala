@@ -1258,6 +1258,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Training-data ops: CCNet-style LM quality scoring (Wenzek et al.
+    // 2020) — a hashed-bigram language model trains on the English subset,
+    // every doc scored by its total log-probability under it. The training
+    // counts and the sequential scoring fold are both engine-exact, so the
+    // oracle rebuilds the identical model and scores in DuckDB.
+    "q91_lm_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.lmTrain(docs, "text", col("lang") === "en",
+        buckets = 256)
+      docs.select(col("doc_id"),
+          TextAnalysis.lm_score(col("text"), model, buckets = 256)
+            .as("lm_logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // Training-data ops: the Gopher corpus-quality rule set (Rae et al.
+    // 2021, Table A1) — word-count/word-length bounds, symbol ratio,
+    // alphabetic-word fraction, stop-word evidence, and the conjunction.
+    "q92_gopher_rules" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.gopher_rules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.mean_word_len").as("mean_word_len"),
+          col("g.symbol_ratio").as("symbol_ratio"),
+          col("g.alpha_frac").as("alpha_frac"),
+          col("g.n_stopwords").as("n_stopwords"),
+          col("g.pass_gopher").as("pass_gopher"))
+        .orderBy("doc_id")
+    }),
+
     // ANN, product-quantization variant (Jégou et al. 2011): per-subspace
     // k-means codebooks, codes-only ADC candidate scan (m table lookups per
     // row, vectors unread), exact-cosine rerank of the oversampled pool.
@@ -1799,6 +1829,69 @@ object SparkEntry {
         |  / (sqrt(list_reduce(list_transform(e.v, x -> x*x), (a,b) -> a+b))
         |     * sqrt(list_reduce(list_transform(q.v, x -> x*x), (a,b) -> a+b))) AS sim
         |FROM e, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q91_lm_quality" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(toks, tk -> CAST(list_reduce(
+        |      list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(regexp_extract_all(tk, '.'), c -> CAST(unicode(c) AS BIGINT))),
+        |      (h, cp) -> (h * 131 + cp) % 2147483647) % 256 AS INT)) AS bs
+        |  FROM tok),
+        |bg AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(range(1, len(bs)), i -> bs[i] * 256 + bs[i+1]) AS ks
+        |  FROM tb),
+        |cnt AS (SELECT unnest(ks) AS k FROM bg WHERE lang = 'en' AND len(ks) >= 1),
+        |c2 AS (SELECT k, count(*) AS n FROM cnt GROUP BY k),
+        |c1 AS (SELECT k // 256 AS p, sum(n) AS np FROM c2 GROUP BY 1),
+        |lam AS (
+        |  SELECT c2.k, ln(CAST(c2.n + 1 AS DOUBLE) / CAST(c1.np + 256 AS DOUBLE)) AS l
+        |  FROM c2 JOIN c1 ON c1.p = c2.k // 256),
+        |l0 AS (SELECT p, ln(CAST(1 AS DOUBLE) / CAST(np + 256 AS DOUBLE)) AS l FROM c1),
+        |m AS (SELECT map(list(k), list(l)) AS mp FROM lam),
+        |m0 AS (SELECT map(list(p), list(l)) AS mp0 FROM l0),
+        |sc AS (
+        |  SELECT doc_id, CASE WHEN len(ks) < 1 THEN NULL ELSE
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(ks, x -> coalesce(map_extract(mp, x)[1],
+        |        map_extract(mp0, x // 256)[1],
+        |        ln(CAST(1 AS DOUBLE) / CAST(256 AS DOUBLE))))),
+        |      (a, y) -> a + y) END AS lm_logprob
+        |  FROM bg, m, m0)
+        |SELECT doc_id, lm_logprob FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q92_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, trim(text) AS tt,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_words,
+        |    CASE WHEN n_words > 0 THEN
+        |      CAST(length(regexp_replace(tt, '\s+', '', 'g')) AS DOUBLE)
+        |        / CAST(n_words AS DOUBLE) END AS mean_word_len,
+        |    CASE WHEN n_words > 0 THEN
+        |      CAST(length(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+        |        / CAST(n_words AS DOUBLE) END AS symbol_ratio,
+        |    CASE WHEN n_words > 0 THEN
+        |      CAST(len(list_filter(string_split_regex(tt, '\s+'),
+        |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |        / CAST(n_words AS DOUBLE) END AS alpha_frac,
+        |    CAST(length(regexp_extract_all(lower(text),
+        |      '\b(the|a|of|to|and|in|is|it)\b')) AS BIGINT) AS n_stopwords
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+        |  n_stopwords,
+        |  coalesce((n_words >= 50 AND n_words <= 100000)
+        |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+        |    AND n_stopwords >= 2, false) AS pass_gopher
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q90_epoch_order" ->
       """WITH h AS (

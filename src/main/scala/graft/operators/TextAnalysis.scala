@@ -233,4 +233,94 @@ object TextAnalysis {
     struct(piiPatterns.map { case (kind, pat, _) =>
       regexp_count(text, lit(pat)).as(s"n_$kind")
     }: _*)
+
+  // ------------------------------------- hashed-bigram LM quality scoring
+
+  /** Train a hashed-bigram language model on the rows where `isTarget`
+    * (CCNet's quality signal, Wenzek et al. 2020: score documents by LM
+    * fit against a clean corpus): tokens hash to `buckets` ids
+    * ([[Sampling.tokenBuckets]] arithmetic), bigram and unigram counts
+    * aggregate in ONE B²-bounded shuffle, and the add-1-smoothed log-prob
+    * table `ln((c2[p,c]+1)/(c1[p]+B))` comes back as one dense B×B
+    * Array[Double] (B=256 → 512 KB on the driver, like the IVF centroids).
+    * At 100 TB the counts pass is a full text scan — train on a
+    * [[Sampling.bernoulli]] sample; the model needs millions of tokens,
+    * not all of them.
+    */
+  def lmTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      isTarget: Column, buckets: Int = 256): Array[Double] = {
+    require(buckets >= 2 && buckets <= 2048,
+      "lmTrain: buckets must be in [2, 2048] (dense B^2 driver table)")
+    val tb = Sampling.tokenBuckets(col(textCol), buckets)
+    // bigram key = prev*B + cur, from each doc's bucket sequence in order
+    val counts = df.where(isTarget)
+      .select(tb.as("_b"))
+      .where(size(col("_b")) >= 2)
+      .select(explode(zip_with(
+        slice(col("_b"), lit(1), size(col("_b")) - 1),
+        slice(col("_b"), lit(2), size(col("_b")) - 1),
+        (p, c) => p * buckets + c)).as("_k"))
+      .groupBy("_k").agg(count(lit(1)).as("n"))
+      .collect() // bounded: <= buckets^2 rows
+    val c2 = new Array[Long](buckets * buckets)
+    counts.foreach(r => c2(r.getInt(0)) = r.getLong(1))
+    val c1 = new Array[Long](buckets)
+    var k = 0
+    while (k < c2.length) { c1(k / buckets) += c2(k); k += 1 }
+    val lam = new Array[Double](buckets * buckets)
+    k = 0
+    while (k < lam.length) {
+      lam(k) = math.log((c2(k) + 1L).toDouble /
+        (c1(k / buckets) + buckets).toDouble)
+      k += 1
+    }
+    lam
+  }
+
+  /** Total log-probability of `text` under a [[lmTrain]]ed model — higher
+    * is more target-like; divide by (token_count − 1) for a length-free
+    * quality score (CCNet filters on exactly this). Null for docs with
+    * fewer than 2 tokens. Single-pass codegen expression; the table rides
+    * in the expression, never the plan.
+    */
+  def lm_score(text: Column, model: Array[Double], buckets: Int = 256): Column =
+    org.apache.spark.sql.GraftShims.toColumn(graft.expressions.BigramLmScore(
+      org.apache.spark.sql.GraftShims.toExpression(
+        Sampling.tokenBuckets(text, buckets)),
+      model, buckets))
+
+  // --------------------------------------------------- Gopher quality rules
+
+  /** The Gopher corpus-quality rule set (Rae et al. 2021, Table A1) as one
+    * struct of features + per-rule flags + the conjunction: word-count
+    * bounds, mean word length bounds, symbol-to-word ratio, alphabetic-word
+    * fraction, and stop-word evidence. Every feature is an exact integer or
+    * a single integer division — engine-portable for the oracle. One
+    * narrow scan; thresholds are the paper's.
+    */
+  def gopher_rules(text: Column): Column = {
+    val toks = token_count(text)
+    val nChars = length(regexp_replace(trim(text), "\\s+", ""))
+    val meanWordLen = when(toks > 0, nChars.cast("double") / toks.cast("double"))
+    val nSymbols = regexp_count(text, lit("#|\\.\\.\\."))
+    val symbolRatio = when(toks > 0, nSymbols.cast("double") / toks.cast("double"))
+    val nAlphaWords = size(filter(split(trim(text), "\\s+"),
+      w => w.rlike("[A-Za-z]")))
+    val alphaFrac = when(toks > 0, nAlphaWords.cast("double") / toks.cast("double"))
+    val nStop = stopword_count(text)
+    val passWords = toks >= 50 && toks <= 100000
+    val passWordLen = meanWordLen >= 3.0 && meanWordLen <= 10.0
+    val passSymbols = symbolRatio <= 0.1
+    val passAlpha = alphaFrac >= 0.8
+    val passStop = nStop >= 2
+    struct(
+      toks.as("n_words"), meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+      nStop.cast("long").as("n_stopwords"),
+      passWords.as("pass_word_count"), passWordLen.as("pass_word_length"),
+      passSymbols.as("pass_symbol_ratio"), passAlpha.as("pass_alpha_frac"),
+      passStop.as("pass_stopwords"),
+      (passWords && passWordLen && passSymbols && passAlpha && passStop)
+        .as("pass_gopher"))
+  }
 }

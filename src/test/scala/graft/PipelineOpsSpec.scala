@@ -243,6 +243,44 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"top-k must be enriched for the target language (corpus rate $corpusRate)")
   }
 
+  test("lmTrain/lm_score: target-like docs outscore off-target; short docs null") {
+    val rows = Seq(
+      (1L, "aa bb aa bb aa bb", true), (2L, "bb aa bb aa", true),
+      (10L, "xx yy xx yy xx", false),
+      (20L, "aa bb aa bb", false), // target-like, held out
+      (30L, "one", false), (31L, "", false)) // < 2 tokens → null
+      .toDF("doc_id", "text", "is_tgt")
+    val model = TextAnalysis.lmTrain(rows, "text", col("is_tgt"), buckets = 64)
+    assert(model.length === 64 * 64)
+    val sc = rows.select($"doc_id",
+      TextAnalysis.lm_score($"text", model, buckets = 64).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(sc(30L).isEmpty && sc(31L).isEmpty)
+    // per-bigram average: the held-out target-like doc beats the off-vocab one
+    assert(sc(20L).get / 3 > sc(10L).get / 4,
+      s"target-like doc must average higher log-prob: $sc")
+    // deterministic
+    val model2 = TextAnalysis.lmTrain(rows, "text", col("is_tgt"), buckets = 64)
+    assert(model.toSeq === model2.toSeq)
+  }
+
+  test("gopher_rules: canonical pass and each rule's failure mode") {
+    val good = (("the quick brown fox jumps over a lazy dog and runs to " * 5) +
+      "the end of it all in time it is done now so").trim
+    val shortDoc = "too short"
+    val symbols = Seq.fill(60)("### ...").mkString(" ")
+    val rows = Seq((1L, good), (2L, shortDoc), (3L, symbols))
+      .toDF("doc_id", "text")
+    val out = rows.select($"doc_id", TextAnalysis.gopher_rules($"text").as("g"))
+      .select($"doc_id", $"g.pass_gopher", $"g.pass_word_count",
+        $"g.pass_symbol_ratio", $"g.n_words")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(1), s"canonical doc must pass: ${out(1L)}")
+    assert(!out(2L).getBoolean(1) && !out(2L).getBoolean(2)) // word count
+    assert(!out(3L).getBoolean(1) && !out(3L).getBoolean(3)) // symbol ratio
+  }
+
   test("epochOrder: complete cover, dense per-shard ranks, epochs differ") {
     val out = Sampling.epochOrder(docs.select($"doc_id"), "doc_id",
       epoch = 1L, shards = 4)
