@@ -1258,6 +1258,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Training-data ops: the END-TO-END pipeline composition — Gopher
+    // quality filter → near-dup clustering with keep-best retention →
+    // per-source token budget — producing the final corpus manifest
+    // (doc_id, source, n_tokens). Each stage is individually oracle-gated
+    // (q92, q87, q83); this row proves they COMPOSE exactly: the oracle
+    // replays the whole pipeline in SQL.
+    "q93_pipeline_e2e" -> ((s, dir) => {
+      import graft.operators.{Clustering, Sampling}
+      val docs = t(s, dir, "documents")
+      val filtered = docs
+        .withColumn("_g", TextAnalysis.gopher_rules(col("text")))
+        .where(col("_g.pass_gopher")).drop("_g")
+      val labeled = Clustering.dedupKeepBest(filtered, "doc_id", "text",
+        threshold = 0.5, quality = col("n_chars"))
+      val kept = filtered
+        .join(labeled.where(col("kept")).select("doc_id"), "doc_id")
+        .withColumn("n_tokens",
+          TextAnalysis.token_count(col("text")).cast("long"))
+      Sampling.tokenBudget(
+          kept.select(col("doc_id"), col("source"), col("n_tokens")),
+          "source", "doc_id", "n_tokens",
+          budgets = (0 until 20).map(i => s"src$i" -> 1500L).toMap)
+        .orderBy("doc_id")
+    }),
+
     // Training-data ops: CCNet-style LM quality scoring (Wenzek et al.
     // 2020) — a hashed-bigram language model trains on the English subset,
     // every doc scored by its total log-probability under it. The training
@@ -1829,6 +1854,68 @@ object SparkEntry {
         |  / (sqrt(list_reduce(list_transform(e.v, x -> x*x), (a,b) -> a+b))
         |     * sqrt(list_reduce(list_transform(q.v, x -> x*x), (a,b) -> a+b))) AS sim
         |FROM e, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q93_pipeline_e2e" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, source, text, n_chars, trim(text) AS tt,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, source, text, n_chars, n_words,
+        |    CASE WHEN n_words > 0 THEN
+        |      CAST(length(regexp_replace(tt, '\s+', '', 'g')) AS DOUBLE)
+        |        / CAST(n_words AS DOUBLE) END AS mwl,
+        |    CASE WHEN n_words > 0 THEN
+        |      CAST(length(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+        |        / CAST(n_words AS DOUBLE) END AS sr,
+        |    CASE WHEN n_words > 0 THEN
+        |      CAST(len(list_filter(string_split_regex(tt, '\s+'),
+        |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |        / CAST(n_words AS DOUBLE) END AS af,
+        |    length(regexp_extract_all(lower(text),
+        |      '\b(the|a|of|to|and|in|is|it)\b')) AS ns
+        |  FROM base),
+        |filt AS (
+        |  SELECT doc_id, source, text, n_chars, n_words FROM feat
+        |  WHERE n_words >= 50 AND n_words <= 100000
+        |    AND mwl >= 3.0 AND mwl <= 10.0 AND sr <= 0.1 AND af >= 0.8
+        |    AND ns >= 2),
+        |s AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM filt),
+        |g AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(0, greatest(length(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i+1 : i+3], ' '))) AS sh
+        |  FROM s),
+        |p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5),
+        |e AS (
+        |  SELECT da AS a, db AS b FROM p
+        |  UNION SELECT db, da FROM p
+        |  UNION SELECT doc_id, doc_id FROM s),
+        |reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |c AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+        |r AS (
+        |  SELECT c.doc_id, row_number() OVER (PARTITION BY c.cluster_id
+        |    ORDER BY f.n_chars DESC, c.doc_id) AS rn
+        |  FROM c JOIN filt f ON f.doc_id = c.doc_id),
+        |kept AS (
+        |  SELECT f.doc_id, f.source, CAST(f.n_words AS BIGINT) AS n_tokens
+        |  FROM filt f JOIN r ON r.doc_id = f.doc_id AND r.rn = 1),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM kept)
+        |SELECT doc_id, source, n_tokens FROM cum
+        |WHERE cum <= 1500 ORDER BY doc_id""".stripMargin,
 
     "q91_lm_quality" ->
       """WITH tok AS (
