@@ -1267,9 +1267,13 @@ object SparkEntry {
     "q93_pipeline_e2e" -> ((s, dir) => {
       import graft.operators.{Clustering, Sampling}
       val docs = t(s, dir, "documents")
+      // the regex-heavy gopher filter feeds THREE downstream consumers
+      // (shingling, the quality join, the final manifest join) —
+      // materialize it once instead of re-running the filter per consumer
       val filtered = docs
         .withColumn("_g", TextAnalysis.gopher_rules(col("text")))
         .where(col("_g.pass_gopher")).drop("_g")
+        .localCheckpoint()
       val labeled = Clustering.dedupKeepBest(filtered, "doc_id", "text",
         threshold = 0.5, quality = col("n_chars"))
       val kept = filtered
