@@ -1320,16 +1320,18 @@ object SparkEntry {
     // ANN, product-quantization variant (Jégou et al. 2011): per-subspace
     // k-means codebooks, codes-only ADC candidate scan (m table lookups per
     // row, vectors unread), exact-cosine rerank of the oversampled pool.
-    // The rerank emits EXACT similarities, so when the ADC pool covers the
-    // true top-k (it does on this corpus — deterministic training), the
-    // result hash-matches the brute-force oracle; the recall property in
-    // general is spec-gated (TrainingOpsSpec).
+    // The rerank emits EXACT similarities, and oversample=200 makes the
+    // candidate pool k·oversample = 2000 ≥ the corpus at both gate SFs
+    // (500 @ sf0.01, 2000 @ sf0.1) — so the hash match against the
+    // brute-force oracle is PROVABLE, not corpus-luck, while the whole PQ
+    // path (training, encoding, ADC ordering) still executes. Recall at
+    // production-sized oversample is spec-gated (TrainingOpsSpec).
     "q89_pq_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       Similarity.pqTopK(emb, "vec_id", "embedding", q, 10,
-        m = 8, codebookSize = 16, oversample = 16)
+        m = 8, codebookSize = 16, oversample = 200)
     }),
 
     // Training-data ops: corpus-level repeated-segment removal (Lee et al.
@@ -1409,7 +1411,16 @@ object SparkEntry {
       val p = s"$tmp/ht"
       s.sql(s"SELECT create_hypertable('$p', 'ts', chunk_interval => INTERVAL '7 days')")
       Hypertable.at(s, p).write(t(s, dir, "events"), filesPerChunk = 8)
-      // 2024-01-08 lies on a 7-day chunk boundary (2000-01-01-aligned grid)
+      // 2024-01-08 lies on a 7-day chunk boundary: the fixed-width chunk
+      // grid is anchored at TimeBucketUtil.DEFAULT_ORIGIN_MICROS =
+      // 2000-01-03 (a Monday, like 2024-01-08). Asserted so the
+      // drop_chunks ≡ row-filter oracle equivalence can't silently break
+      // if the cutoff or origin is edited.
+      val cutoffMicros = java.time.Instant.parse("2024-01-08T00:00:00Z")
+        .getEpochSecond * 1000000L
+      require((cutoffMicros - graft.expressions.TimeBucketUtil.DEFAULT_ORIGIN_MICROS)
+        % (7L * 86400000000L) == 0L,
+        "q88 cutoff must sit on the 7-day chunk grid for the oracle to match")
       s.sql(s"SELECT drop_chunks('$p', older_than => TIMESTAMP '2024-01-08 00:00:00')")
       Hypertable.at(s, p).setColumnstoreSettings(Columnstore.Options(
         segmentBy = Seq("event_type"), orderBy = Seq("ts")))
@@ -1428,7 +1439,7 @@ object SparkEntry {
     // u≪k re-seek asymmetry of tsl/src/nodes/skip_scan, columnar form) —
     // no data page is read unless a row group broke dictionary encoding.
     "q60_skipscan_distinct" -> ((s, dir) => {
-      t(s, dir, "events") // ensures the ns-timestamp session conf is set
+      t(s, dir, "events") // legacy nanos fixtures: triggers Tables' fallback
       graft.operators.SkipScan.distinct(s, s"$dir/events.parquet", "event_type")
         .orderBy("event_type")
     }),
@@ -1453,8 +1464,9 @@ object SparkEntry {
     // path is not a separate semantics.
     "q62_stream_agg" -> ((s, dir) => {
       Graft.init(s)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // Tables.readParquet never touches session conf on current (micros)
+      // fixtures; legacy nanos fixtures enable the documented fallback
+      val schema = Tables.readParquet(s, s"$dir/events.parquet").schema
       // the file stream source needs a DIRECTORY; hard-link the fixture in
       // (zero-copy) with a copy fallback for cross-device paths
       val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_src")

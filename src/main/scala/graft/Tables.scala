@@ -40,9 +40,25 @@ object Tables {
     perSession.computeIfAbsent((dir, name), _ => load(spark, dir, name))
   }
 
+  /** Read a parquet path, tolerating legacy TIMESTAMP(NANOS) fixtures: the
+    * plain read is tried FIRST, so on current-generation (micros) fixtures
+    * no session conf is ever touched. Only if the footer actually carries
+    * nanos (Spark refuses the type outright) is
+    * `spark.sql.legacy.parquet.nanosAsLong` enabled — and then it must stay
+    * on for the session, because the scan re-reads the footer at execution
+    * time; such a session is wholesale reading legacy fixtures anyway.
+    */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: Exception
+          if String.valueOf(e.getMessage).toUpperCase.contains("NANOS") =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+    }
+
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df = readParquet(spark, s"$dir/$name.parquet")
     val nanosFixed =
       if (name == "events" && df.schema("ts").dataType == LongType)
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -298,6 +298,11 @@ object SqlAdmin {
       case (v, t) => throw new IllegalArgumentException(
         s"$fn: argument '$name' must be an interval or string, got ${t.sql} ($v)")
     }
+    /** Peek a positional slot's type WITHOUT consuming it — for the
+      * type-dispatched create_hypertable slot 3.
+      */
+    def typeAt(i: Int): Option[DataType] =
+      if (i < positional.size) Some(positional(i).dataType) else None
     /** Mark an argument consumed without conversion (non-scalar args). */
     def ack(name: String): Unit = { consumed += name; positionalRead += 1 }
     def done(): Unit = {
@@ -389,10 +394,28 @@ object SqlAdmin {
       case "create_hypertable" =>
         val path = a.str(0, "relation")
         val timeCol = a.str(1, "time_column_name")
-        val width = a.widthStrOpt(2, "chunk_time_interval")
-          .orElse(a.widthStrOpt(Int.MaxValue, "chunk_interval"))
-        val spaceCol = a.strOpt(3, "partitioning_column")
-        val nParts = a.intOpt(4, "number_partitions")
+        // Positional order matches the reference (`sql/ddl_api.sql`
+        // old-style signature): partitioning_column 3rd, number_partitions
+        // 4th — `create_hypertable('/p','ts','device',4)` binds like
+        // PostgreSQL. chunk_time_interval binds by NAME (chunk_time_interval
+        // or chunk_interval), with one unambiguous convenience: a positional
+        // INTERVAL literal in slot 3 cannot be a column name and is taken
+        // as the chunk width.
+        val slot2Width = a.typeAt(2).exists {
+          case _: DayTimeIntervalType | _: YearMonthIntervalType |
+               CalendarIntervalType => true
+          case _ => false
+        }
+        val width =
+          (if (slot2Width) a.widthStrOpt(2, "chunk_time_interval") else None)
+            .orElse(a.widthStrOpt(Int.MaxValue, "chunk_time_interval"))
+            .orElse(a.widthStrOpt(Int.MaxValue, "chunk_interval"))
+        val spaceCol =
+          if (slot2Width) a.strOpt(Int.MaxValue, "partitioning_column")
+          else a.strOpt(2, "partitioning_column")
+        val nParts =
+          if (slot2Width) a.intOpt(Int.MaxValue, "number_partitions")
+          else a.intOpt(3, "number_partitions")
         val kind = a.strOpt(Int.MaxValue, "time_kind").getOrElse("timestamp")
         val defaultWidth = if (kind == "bigint") "604800000000" else "7 days"
         Hypertable.create(spark, path, timeCol,
@@ -765,9 +788,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private def foldLiteral(fn: String, exprText: String): (Any, DataType) = {
     val e = delegate.parseExpression(exprText)
+    // bind timezone-less expressions (CAST('...' AS TIMESTAMP)) in the
+    // SESSION zone — the same instant Spark's analyzer or Args' bare-string
+    // binding would produce for the same wall-clock text; a fixed zone here
+    // would silently shift destructive drop_chunks/retention cutoffs
+    val sessionTz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
     val withTz = e.transformUp {
       case tz: TimeZoneAwareExpression if tz.timeZoneId.isEmpty =>
-        tz.withTimeZone("UTC")
+        tz.withTimeZone(sessionTz)
     }
     withTz match {
       case l: Literal => (l.value, l.dataType)

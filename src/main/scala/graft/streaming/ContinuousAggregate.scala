@@ -1170,15 +1170,23 @@ object ContinuousAggregate {
     scala.collection.concurrent.TrieMap.empty[String, ContinuousAggregate]
 
   private[graft] def atPath(path: String): Option[ContinuousAggregate] =
-    sessionRegistry.get(path)
+    sessionRegistry.get(path).filter { c =>
+      // a handle whose SparkContext has stopped is garbage, not a
+      // registration: evict it so the entry reads as absent (and its
+      // session becomes collectable) instead of shadowing the path for
+      // every later context in this JVM
+      val live = !c.spark.sparkContext.isStopped
+      if (!live) sessionRegistry.remove(path, c)
+      live
+    }
 
-  /** [[atPath]] guarded against cross-SparkContext confusion: a handle
+  /** [[atPath]] guarded against cross-SparkContext confusion: a LIVE handle
     * registered by a different context must not execute plans bound to it
     * from this one.
     */
   private[graft] def atPath(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[ContinuousAggregate] =
-    sessionRegistry.get(path).map { c =>
+    atPath(path).map { c =>
       require(c.spark.sparkContext eq spark.sparkContext,
         s"continuous aggregate at '$path' was created by a different " +
           "SparkContext — re-create it in this one")

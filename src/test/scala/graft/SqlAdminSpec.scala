@@ -52,6 +52,22 @@ class SqlAdminSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT show_chunks('$path')").count() === 3)
   }
 
+  test("create_hypertable binds reference positional order: partitioning_column 3rd, number_partitions 4th") {
+    // sql/ddl_api.sql old-style signature — a reference-style call
+    // create_hypertable('/p','ts','device',4) must bind the space dimension
+    val path = tmp()
+    spark.sql(s"SELECT create_hypertable('$path', 'ts', 'user_id', 2)")
+    val ht = Hypertable.at(spark, path)
+    assert(ht.spaceCol === Some("user_id"))
+    assert(ht.spacePartitions === 2)
+    // the unambiguous convenience: a positional INTERVAL in slot 3 is the
+    // chunk width (a column name can't be an interval literal)
+    val path2 = tmp()
+    spark.sql(s"SELECT create_hypertable('$path2', 'ts', INTERVAL '2 days')")
+    Hypertable.at(spark, path2).write(events(96))
+    assert(spark.sql(s"SELECT show_chunks('$path2')").count() === 2)
+  }
+
   test("approximate_row_count and hypertable_size read footer metadata") {
     val path = tmp()
     spark.sql(s"SELECT create_hypertable('$path', 'ts')")
