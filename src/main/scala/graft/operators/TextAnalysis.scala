@@ -212,24 +212,46 @@ object TextAnalysis {
     ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
     ("phone_us", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"))
 
-  /** Redact the selected PII kinds — a chain of codegen'd
-    * `regexp_replace`s (one narrow scan, no UDF). At 100 TB this is
-    * embarrassingly parallel and pipelines inside whole-stage codegen with
-    * whatever filter/projection surrounds it.
-    */
-  def redact_pii(text: Column,
-      kinds: Seq[String] = piiPatterns.map(_._1)): Column = {
+  private def piiScan(text: Column, kinds: Seq[String]): Column = {
     val unknown = kinds.filterNot(k => piiPatterns.exists(_._1 == k))
     require(unknown.isEmpty, s"unknown PII kind(s): ${unknown.mkString(",")}")
+    org.apache.spark.sql.GraftShims.toColumn(graft.expressions.PiiScan(
+      org.apache.spark.sql.GraftShims.toExpression(text), kinds))
+  }
+
+  /** Redact the selected PII kinds in one single-pass expression
+    * ([[graft.expressions.PiiScan]] — hand-rolled scanners, no regex
+    * engine; [[redact_pii_columns]] is the 4-chained-`regexp_replace`
+    * reference it reproduces, spec-pinned). Still embarrassingly parallel
+    * and codegen-fused at 100 TB; when paired with [[pii_counts]] over the
+    * same text, Spark's subexpression elimination runs the scan ONCE.
+    */
+  def redact_pii(text: Column,
+      kinds: Seq[String] = piiPatterns.map(_._1)): Column =
+    piiScan(text, kinds).getField("redacted")
+
+  /** Per-kind PII match counts (for filtering/reporting pipelines) as a
+    * struct with one field per kind in [[piiPatterns]] order — counted
+    * over the original text, like the independent `regexp_count` columns
+    * ([[pii_counts_columns]]).
+    */
+  def pii_counts(text: Column): Column = {
+    val scan = piiScan(text, piiPatterns.map(_._1))
+    struct(piiPatterns.map { case (kind, _, _) =>
+      scan.getField(s"n_$kind").as(s"n_$kind")
+    }: _*)
+  }
+
+  /** The chained-regex formulations the single-pass expression reproduces
+    * byte-for-byte (spec-pinned in PipelineOpsSpec).
+    */
+  def redact_pii_columns(text: Column,
+      kinds: Seq[String] = piiPatterns.map(_._1)): Column =
     piiPatterns.filter(p => kinds.contains(p._1)).foldLeft(text) {
       case (c, (_, pat, repl)) => regexp_replace(c, lit(pat), lit(repl))
     }
-  }
 
-  /** Per-kind PII match counts (for filtering/reporting pipelines) as a
-    * struct with one field per kind in [[piiPatterns]] order.
-    */
-  def pii_counts(text: Column): Column =
+  def pii_counts_columns(text: Column): Column =
     struct(piiPatterns.map { case (kind, pat, _) =>
       regexp_count(text, lit(pat)).as(s"n_$kind")
     }: _*)
@@ -295,10 +317,21 @@ object TextAnalysis {
     * struct of features + per-rule flags + the conjunction: word-count
     * bounds, mean word length bounds, symbol-to-word ratio, alphabetic-word
     * fraction, and stop-word evidence. Every feature is an exact integer or
-    * a single integer division — engine-portable for the oracle. One
-    * narrow scan; thresholds are the paper's.
+    * a single integer division — engine-portable for the oracle.
+    *
+    * Single-pass expression ([[graft.expressions.GopherFeatures]] — two
+    * linear walks, no regex engine); [[gopher_rules_columns]] is the
+    * ~6-scan regex formulation it must reproduce bit-for-bit
+    * (spec-pinned in PipelineOpsSpec).
     */
-  def gopher_rules(text: Column): Column = {
+  def gopher_rules(text: Column): Column =
+    org.apache.spark.sql.GraftShims.toColumn(graft.expressions.GopherFeatures(
+      org.apache.spark.sql.GraftShims.toExpression(text), STOPWORDS_EN))
+
+  /** The rule set as composed column expressions — the reference formula
+    * the single-pass expression reproduces.
+    */
+  def gopher_rules_columns(text: Column): Column = {
     val toks = token_count(text)
     val nChars = length(regexp_replace(trim(text), "\\s+", ""))
     val meanWordLen = when(toks > 0, nChars.cast("double") / toks.cast("double"))

@@ -265,6 +265,83 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(model.toSeq === model2.toSeq)
   }
 
+  test("pii scan single-pass expression ≡ chained regexp_replace/count, byte-for-byte") {
+    val edge = Seq(
+      "", "no pii here", "a@b.cc", "a@b.c", "a@b", "@x.com", "a@@b.cc",
+      "a.b@c.dd", "a@b.cc@d.ee", "a@b.ccx@d.ee", "a@b.cc x@d.ee",
+      // sequential-replace semantics: the quad glued to the email gains a
+      // boundary only AFTER the email pass replaced it
+      "a@b.cc1.2.3.4", "user_1@ex-a.co.uk tail",
+      "1.2.3.4", "1.2.3.4.5", "1234.5.6.7", "12.34.56.789", "1.2.3.4567",
+      "x1.2.3.4", "1.2.3.4x", "_1.2.3.4_", "10.0.0.7.", "..1.2.3.4..",
+      "123-45-6789", "123-456-7890", "123-45-6789-123-456-7890",
+      "1234-45-6789", "123-45-67890", "x123-45-6789", "123-45-6789y",
+      "_123-45-6789", "555-867-5309 and 123-45-6789",
+      "call 555-867-5309call", "%+-a@b.cc", "a@-.cc", "a@.cc", "a@c-.dd-",
+      "émail@exämple.com", "日本@例.jp", "a@b.cc\n1.2.3.4",
+      "123-45-6789@x.cc" // local part eats the ssn; counts still see it
+    ).zipWithIndex.map { case (t, i) => (20000L + i, t) }
+    // fuzz with a PII-heavy alphabet
+    val rnd = new scala.util.Random(7)
+    val alpha = "ab1@.-_% 9#".toCharArray
+    val fuzz = (0 until 300).map { i =>
+      val len = rnd.nextInt(40)
+      (30000L + i, (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val aug = docs.select($"doc_id",
+      concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+        lit("@example.com from 10.0."), ($"doc_id" % 256).cast("string"),
+        lit(".7 ssn 123-45-6789 call 555-867-5309")).as("text"))
+    val rows = aug.union(edge.toDF("doc_id", "text"))
+      .union(fuzz.toDF("doc_id", "text"))
+    val both = rows.select($"text",
+      TextAnalysis.redact_pii($"text").as("er"),
+      TextAnalysis.redact_pii_columns($"text").as("cr"),
+      TextAnalysis.pii_counts($"text").as("ec"),
+      TextAnalysis.pii_counts_columns($"text").as("cc"))
+    val redactDiff = both.where(!($"er" <=> $"cr"))
+    assert(redactDiff.count() === 0,
+      s"redaction diverges: ${redactDiff.select("text", "er", "cr").take(3).mkString("; ")}")
+    for (k <- TextAnalysis.piiPatterns.map(_._1)) {
+      val d = both.where(!(col(s"ec.n_$k") <=> col(s"cc.n_$k")))
+      assert(d.count() === 0,
+        s"count n_$k diverges: ${d.select("text", s"ec.n_$k", s"cc.n_$k").take(3).mkString("; ")}")
+    }
+    // subset kinds route through the same scanner
+    val sub = rows.select($"text",
+      TextAnalysis.redact_pii($"text", Seq("ssn", "ipv4")).as("er"),
+      TextAnalysis.redact_pii_columns($"text", Seq("ssn", "ipv4")).as("cr"))
+      .where(!($"er" <=> $"cr"))
+    assert(sub.count() === 0, s"subset-kind redaction diverges: ${sub.take(3).mkString("; ")}")
+  }
+
+  test("gopher_rules single-pass expression ≡ the regex column formulation, bit-for-bit") {
+    // fixture docs + adversarial synthetics: empty, whitespace-only,
+    // tab-led (kept empty first split field), "..."/"#" runs, overlapping
+    // dots, stopwords at edges, digits-only words, surrogate pairs,
+    // Kelvin sign (lowers into ASCII 'k'), trailing whitespace
+    val edge = Seq("", " ", "\t", "\ta b", "a\t", "... .. ....", "#", "#...#",
+      "the the the", "it", "of.", "...the...", "123 456", "a_b the",
+      "x" + "😀" + " the y", "Kit is", "dots...here",
+      "is it in the a of to and", ". . .", "a  b   c", "w " * 60)
+      .zipWithIndex.map { case (t, i) => (10000L + i, t) }
+    val rows = docs.select($"doc_id", $"text")
+      .union(edge.toDF("doc_id", "text"))
+    val both = rows.select(
+      TextAnalysis.gopher_rules($"text").as("e"),
+      TextAnalysis.gopher_rules_columns($"text").as("c"))
+    // struct equality in Spark is null-safe and exact on doubles (bitwise
+    // via ordering comparison of equal values); compare field-by-field to
+    // localize failures
+    val fields = Seq("n_words", "mean_word_len", "symbol_ratio", "alpha_frac",
+      "n_stopwords", "pass_word_count", "pass_word_length",
+      "pass_symbol_ratio", "pass_alpha_frac", "pass_stopwords", "pass_gopher")
+    for (f <- fields) {
+      val diff = both.where(!(col(s"e.$f") <=> col(s"c.$f")))
+      assert(diff.count() === 0, s"field $f diverges: ${diff.take(3).mkString("; ")}")
+    }
+  }
+
   test("gopher_rules: canonical pass and each rule's failure mode") {
     val good = (("the quick brown fox jumps over a lazy dog and runs to " * 5) +
       "the end of it all in time it is done now so").trim

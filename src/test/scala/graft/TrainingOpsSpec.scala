@@ -38,6 +38,34 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(pairs.where($"jaccard" < 0.5).count() === 0)
   }
 
+  test("hashed shingle sets reproduce string-set jaccard exactly") {
+    // all fixture-doc pairs within a window + adversarial synthetics:
+    // repeats (distinct must collapse), short docs (truncated gram),
+    // disjoint, identical, single-token
+    val edge = Seq((9001L, "a b c a b c a b c"), (9002L, "a b c"), (9003L, "x"),
+      (9004L, "a"), (9005L, "p q r s t u"), (9006L, "p q r s t zzz"),
+      (9007L, "the the the the"), (9008L, ""))
+      .toDF("doc_id", "text")
+    val rows = docs.select($"doc_id", $"text").union(edge)
+    for (n <- Seq(1, 3)) {
+      val sets = rows.select($"doc_id",
+        Dedup.shingles($"text", n).as("ss"),
+        Dedup.shingleHashes($"text", n).as("hs"))
+      // distinct cardinalities agree (no within-doc collisions)
+      val card = sets.where(size(array_distinct($"ss")) =!= size($"hs"))
+      assert(card.count() === 0, s"n=$n cardinality diverges: ${card.take(3).mkString}")
+      val a = sets.select($"doc_id".as("ida"), $"ss".as("ssa"), $"hs".as("hsa"))
+      val b = sets.select($"doc_id".as("idb"), $"ss".as("ssb"), $"hs".as("hsb"))
+      val pairs = a.join(b, $"ida" < $"idb" &&
+        ($"idb" - $"ida") < 8) // banded window keeps it O(n), not n²
+      val diff = pairs.select(
+          Dedup.jaccard($"ssa", $"ssb").as("js"),
+          Dedup.jaccardHashed($"hsa", $"hsb").as("jh"))
+        .where(!($"js" <=> $"jh"))
+      assert(diff.count() === 0, s"n=$n jaccard diverges: ${diff.take(3).mkString}")
+    }
+  }
+
   test("minhash estimate approximates exact jaccard") {
     val sh = Dedup.shingles(lit("a b c d e f g h i j"), 2)
     val sh2 = Dedup.shingles(lit("a b c d e f g h i zzz"), 2)
