@@ -126,7 +126,12 @@ object GraftExtensions {
       case Seq(e, p, t) => Locf(e, Some(p),
         t.eval().asInstanceOf[Boolean])
     },
-    fn("interpolate", "(value)") { case Seq(e) => Interpolate(e) },
+    fn("interpolate", "(value [, prev [, next]])") {
+      // NULL literal = no seed on that side (the reference's NULL record)
+      case Seq(e) => Interpolate(e)
+      case Seq(e, p) => Interpolate(e, nonNull(p))
+      case Seq(e, p, n) => Interpolate(e, nonNull(p), nonNull(n))
+    },
 
     // bookends (`src/agg_bookend.c:29-33`): first(value, time) /
     // last(value, time) are the reference's aggregates. Shadowing the
@@ -210,6 +215,14 @@ object GraftExtensions {
 
   private def nullTsLit = org.apache.spark.sql.catalyst.expressions.Literal(
     null, org.apache.spark.sql.types.TimestampType)
+
+  /** A NULL literal argument reads as "absent" (the reference's NULL
+    * record seed in `interpolate(value, prev, next)`).
+    */
+  private def nonNull(e: Expression): Option[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(null, _) => None
+    case other => Some(other)
+  }
 
   private def isStringExpr(e: Expression): Boolean =
     e.resolved && e.dataType == org.apache.spark.sql.types.StringType

@@ -645,9 +645,14 @@ object SparkEntry {
       import graft.sources.Hypertable
       Graft.init(s)
       val tmp = java.nio.file.Files.createTempDirectory("graft_hs_q").toString
-      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days",
-        spaceCol = Some("user_id"), spacePartitions = 8,
-        extraSpace = Seq(("event_type", 4)))
+      val p = s"$tmp/ht"
+      // built THROUGH SQL: reference-positional create_hypertable
+      // (partitioning_column 3rd, number_partitions 4th) + the by_hash
+      // dimension_info constructor (sql/ddl_api.sql:133-143,167-170)
+      s.sql(s"SELECT create_hypertable('$p', 'ts', 'user_id', 8, " +
+        "chunk_interval => INTERVAL '7 days')")
+      s.sql(s"SELECT add_dimension('$p', by_hash('event_type', 4))")
+      val ht = Hypertable.at(s, p)
       ht.write(t(s, dir, "events"))
       ht.read()
         .where(col("user_id") === 42L && col("event_type") === "click" &&
@@ -685,11 +690,15 @@ object SparkEntry {
       import graft.sources.Hypertable
       Graft.init(s)
       val tmp = java.nio.file.Files.createTempDirectory("graft_snp_q").toString
+      val p = s"$tmp/ht"
       val cutoff = lit(tsUtc("2024-01-15 00:00:00"))
-      val ht4 = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days",
+      val ht4 = Hypertable.create(s, p, "ts", chunkWidth = "7 days",
         spaceCol = Some("user_id"), spacePartitions = 4)
       ht4.write(t(s, dir, "events").where(col("ts") < cutoff), filesPerChunk = 8)
-      val ht8 = ht4.setNumberPartitions("user_id", 8)
+      // repartition THROUGH SQL (dimension_name defaults to the closed
+      // dimension, like the reference's NULL default)
+      s.sql(s"SELECT set_number_partitions('$p', 8)")
+      val ht8 = Hypertable.at(s, p)
       ht8.write(t(s, dir, "events").where(col("ts") >= cutoff), filesPerChunk = 8)
       ht8.read()
         .where(col("user_id") === 42L)
@@ -1435,6 +1444,78 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Multimodal: REAL compressed-image decode through the JDK's
+    // javax.imageio — per doc a deterministic pixel pattern is PNG-ENCODED
+    // (ImageIO writer), then decoded back through the full
+    // Multimodal.decodeImage path (PPM/BMP probes, then the ImageIO
+    // reader) inside batched mapPartitions. Outputs are the exact integer
+    // channel sums, which the oracle re-derives from the closed-form
+    // pattern — a hash match proves pixel-exact PNG decode, no float-order
+    // caveats. (JPEG's lossy round-trip is spec-gated in ImageCodecSpec.)
+    "q95_imageio_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.ImageCodec
+      val imgs = t(s, dir, "documents").where(col("doc_id") < 64)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val w = (16 + d % 8).toInt
+          val h = (12 + d % 5).toInt
+          val rgb = new Array[Byte](3 * w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val i = 3 * (y * w + x)
+              rgb(i) = ((x * 7 + y * 13 + d) % 256).toByte
+              rgb(i + 1) = ((x * 3 + y * 5 + 2 * d) % 256).toByte
+              rgb(i + 2) = ((x + y + 3 * d) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (d, ImageCodec.encodePng(ImageCodec.Image(w, h, rgb)))
+        }).toDF("doc_id", "media")
+      Multimodal.pixelSums(s, imgs, "doc_id", "media")
+        .select(col("id").as("doc_id"), col("format"), col("width"),
+          col("height"), col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.12 DECLARATIVE DDL end-to-end (reference
+    // src/with_clause/create_table_with_clause.c +
+    // tsl/src/continuous_aggs/create.c:779): the modern CREATE TABLE ...
+    // WITH (tsdb.hypertable, ...) and CREATE MATERIALIZED VIEW ... WITH
+    // (tsdb.continuous) surfaces drive the whole flow — hypertable with
+    // declared chunk grid + columnstore settings, ingest, compress through
+    // the DECLARED segmentby/orderby, cagg built WITH DATA by the
+    // materialized-view statement — and the materialization must equal the
+    // oracle's direct bucket aggregation over the raw rows.
+    "q94_declarative_ddl" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      Graft.init(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ddl_q").toString
+      val p = s"$tmp/ht"
+      val cg = s"$tmp/cagg"
+      s.sql(
+        s"""CREATE TABLE '$p' (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+           |  event_type STRING, value DOUBLE, props STRING)
+           |WITH (tsdb.hypertable, tsdb.partition_column='ts',
+           |      tsdb.chunk_interval='7 days',
+           |      tsdb.segmentby='event_type', tsdb.orderby='ts')""".stripMargin)
+      Hypertable.at(s, p).write(t(s, dir, "events"), filesPerChunk = 8)
+      s.sql(s"SELECT show_chunks('$p')").collect()
+        .foreach(r => s.sql(s"SELECT compress_chunk('${r.getString(0)}')"))
+      s.sql(
+        s"""CREATE MATERIALIZED VIEW '$cg' WITH (tsdb.continuous)
+           |AS SELECT time_bucket('1 day', ts) AS day, event_type,
+           |  count(1) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+           |FROM '$p' GROUP BY day, event_type WITH DATA""".stripMargin)
+      graft.streaming.ContinuousAggregate.atPath(s, cg).get
+        .materialized
+        .orderBy("day", "event_type")
+    }),
+
     // §2.4 SkipScan: DISTINCT answered from parquet dictionary pages (the
     // u≪k re-seek asymmetry of tsl/src/nodes/skip_scan, columnar form) —
     // no data page is read unless a row group broke dictionary encoding.
@@ -1602,6 +1683,27 @@ object SparkEntry {
         | COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q95_imageio_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+        |  FROM documents WHERE doc_id < 64),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, x.range AS x, y.range AS y
+        |  FROM d, range(0, 24) AS x, range(0, 17) AS y
+        |  WHERE x.range < d.w AND y.range < d.h)
+        |SELECT doc_id, 'png' AS format,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(SUM((x*7 + y*13 + doc_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((x*3 + y*5 + 2*doc_id) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((x + y + 3*doc_id) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "q94_declarative_ddl" ->
+      """SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q02_bucket_hourly" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,

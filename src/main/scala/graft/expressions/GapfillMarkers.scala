@@ -59,12 +59,38 @@ case class Locf(child: Expression, prev: Option[Expression],
     copy(child = c(0), prev = if (c.length > 1) Some(c(1)) else None)
 }
 
-/** `interpolate(agg)` — linear interpolation across gapfilled nulls. */
-case class Interpolate(child: Expression) extends Expression with Unevaluable {
-  override def children: Seq[Expression] = Seq(child)
+/** `interpolate(agg [, prev [, next]])` — linear interpolation across
+  * gapfilled nulls. `prev`/`next` are the reference's lookup-expression
+  * record arguments (`sql/gapfill.sql` interpolate signatures,
+  * `interpolate.c:184-216`): a 2-field (time, value) struct supplying the
+  * anchor point beyond the window's first/last real row — in SQL,
+  * `interpolate(min(v), struct(TIMESTAMP '...', 0.0), NULL)`.
+  */
+case class Interpolate(child: Expression, prev: Option[Expression] = None,
+    next: Option[Expression] = None) extends Expression with Unevaluable {
+  override def children: Seq[Expression] = child +: (prev.toSeq ++ next.toSeq)
   override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
   override def prettyName: String = "interpolate"
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
-    copy(child = c(0))
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isSeed(e: Expression) = e.dataType match {
+      case StructType(fs) if fs.length == 2 =>
+        fs(0).dataType == TimestampType || fs(0).dataType == TimestampNTZType
+      case _ => false
+    }
+    (prev.toSeq ++ next.toSeq).find(e => !isSeed(e)) match {
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        "interpolate prev/next must be (timestamp, value) structs " +
+          s"(e.g. struct(TIMESTAMP '...', 0.0)), got ${bad.dataType.sql}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression = {
+    var i = 1
+    val p = prev.map { _ => val v = c(i); i += 1; v }
+    val n = next.map { _ => val v = c(i); i += 1; v }
+    copy(child = c(0), prev = p, next = n)
+  }
 }

@@ -1,14 +1,15 @@
 package graft.operators
 
-/** Pure-JVM image codec for the two uncompressed formats whose decode is
-  * plain byte arithmetic: binary PPM (P6) and 24-bit uncompressed BMP
-  * (BI_RGB). No image library exists in this environment; compressed
-  * formats (JPEG/PNG/MP4) stay stubbed in [[Multimodal]] — but for these
-  * two, decode, nearest-neighbor resize, and feature extraction are REAL,
-  * so the multimodal pipeline exercises actual pixel work end-to-end.
+/** JVM image codec: hand-rolled byte decoders for the two uncompressed
+  * formats (binary PPM (P6), 24-bit BI_RGB BMP) plus REAL compressed-image
+  * decode through the JDK's own `javax.imageio` (JPEG/PNG/GIF/TIFF/WBMP —
+  * all ship with the JRE and work headless; only video (MP4) genuinely
+  * lacks a JDK codec and stays on [[Multimodal]]'s fake container).
   *
-  * All functions are executor-side pure byte/array code: no driver state,
-  * no reflection, safe inside `mapPartitions` at any scale.
+  * All functions are executor-side pure code: no driver state, safe inside
+  * `mapPartitions` at any scale. ImageIO readers are allocated per call
+  * (they are not thread-safe) — amortized fine against per-image decode
+  * cost.
   */
 object ImageCodec {
 
@@ -17,11 +18,85 @@ object ImageCodec {
     require(rgb.length == 3 * width * height, "rgb length mismatch")
   }
 
-  /** Decode PPM (P6) or 24-bit BMP; None for anything else (corrupt rows
-    * must not kill the job).
+  /** Decode PPM (P6), 24-bit BMP (fast hand-rolled paths), or any
+    * ImageIO-supported compressed format; None for anything else (corrupt
+    * rows must not kill the job).
     */
   def decode(bytes: Array[Byte]): Option[Image] =
     decodePpm(bytes).orElse(decodeBmp(bytes))
+      .orElse(decodeImageIO(bytes).map(_._2))
+
+  // ---- compressed formats via the JDK's javax.imageio ----
+
+  /** Decode via ImageIO, returning (format name, image) — e.g.
+    * ("jpeg", ...), ("png", ...). None when no reader claims the bytes or
+    * the payload is corrupt (a truncated JPEG throws inside `read`; that
+    * is a dropped row, never a failed task).
+    */
+  def decodeImageIO(bytes: Array[Byte]): Option[(String, Image)] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+          val bi = reader.read(0)
+          Some((fmt, fromBufferedImage(bi)))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def fromBufferedImage(bi: java.awt.image.BufferedImage): Image = {
+    val w = bi.getWidth
+    val h = bi.getHeight
+    // getRGB normalizes any color model to sRGB ints — deterministic for
+    // a given decode
+    val px = bi.getRGB(0, 0, w, h, null, 0, w)
+    val rgb = new Array[Byte](3 * w * h)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      rgb(3 * i) = ((p >> 16) & 0xff).toByte
+      rgb(3 * i + 1) = ((p >> 8) & 0xff).toByte
+      rgb(3 * i + 2) = (p & 0xff).toByte
+      i += 1
+    }
+    Image(w, h, rgb)
+  }
+
+  private def toBufferedImage(img: Image): java.awt.image.BufferedImage = {
+    val bi = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](img.width * img.height)
+    var i = 0
+    while (i < px.length) {
+      px(i) = ((img.rgb(3 * i) & 0xff) << 16) |
+        ((img.rgb(3 * i + 1) & 0xff) << 8) | (img.rgb(3 * i + 2) & 0xff)
+      i += 1
+    }
+    bi.setRGB(0, 0, img.width, img.height, px, 0, img.width)
+    bi
+  }
+
+  /** PNG-encode (lossless: `decode(encodePng(img)).rgb` is pixel-exact). */
+  def encodePng(img: Image): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(toBufferedImage(img), "png", out)
+    out.toByteArray
+  }
+
+  /** JPEG-encode (lossy — round-trips approximately; spec-tested). */
+  def encodeJpeg(img: Image): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(toBufferedImage(img), "jpg", out)
+    out.toByteArray
+  }
 
   // ---- PPM (P6): "P6" <ws> width <ws> height <ws> maxval '\n' raw RGB ----
 
@@ -171,6 +246,22 @@ object ImageCodec {
       y += 1
     }
     Image(w, h, out)
+  }
+
+  /** Exact per-channel pixel sums — integer outputs (no float rounding),
+    * the oracle-gateable face of a real decode: any engine that can
+    * enumerate the source pixels reproduces them bit-for-bit.
+    */
+  def channelSums(img: Image): (Long, Long, Long) = {
+    var r = 0L; var g = 0L; var b = 0L
+    var i = 0
+    while (i < img.rgb.length) {
+      r += img.rgb(i) & 0xff
+      g += img.rgb(i + 1) & 0xff
+      b += img.rgb(i + 2) & 0xff
+      i += 3
+    }
+    (r, g, b)
   }
 
   /** 8-dim image feature: mean R, G, B (0..1), mean luminance of the four

@@ -173,6 +173,35 @@ object Info {
       "consecutive_failures")
   }
 
+  /** timescaledb_information.job_history (`sql/views.sql:328-366`): one
+    * row per recorded run, latest last. pid/sqlerrcode have no Spark
+    * analogue and are omitted; `err_message` is NULL on success like the
+    * reference.
+    */
+  def jobHistory(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    Jobs.history(spark, root).map { r =>
+      (r.id, r.jobId, r.succeeded, r.proc,
+        microsToTimestamp(r.startMicros), microsToTimestamp(r.finishMicros),
+        r.config.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","),
+        r.error)
+    }.toDF("id", "job_id", "succeeded", "proc_name",
+      "start_time", "finish_time", "config", "err_message")
+  }
+
+  /** timescaledb_information.job_errors (`sql/views.sql:293-326`): the
+    * failed subset of [[jobHistory]] — failure forensics without scanning
+    * the full history.
+    */
+  def jobErrors(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    Jobs.history(spark, root).filterNot(_.succeeded).map { r =>
+      (r.jobId, r.proc,
+        microsToTimestamp(r.startMicros), microsToTimestamp(r.finishMicros),
+        r.error)
+    }.toDF("job_id", "proc_name", "start_time", "finish_time", "err_message")
+  }
+
   /** timescaledb_information.continuous_aggregates (`sql/views.sql`
     * continuous_aggregates view): one row per cagg handle with its bucket
     * definition, materialization state, and compression status. Caggs are

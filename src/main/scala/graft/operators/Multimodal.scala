@@ -9,16 +9,17 @@ import org.apache.spark.sql.functions._
   * typed metadata, plus the decode / feature-extract / frame-sample
   * plumbing a training-data pipeline needs.
   *
-  * Uncompressed images decode FOR REAL: PPM (P6) and 24-bit BMP payloads
-  * go through [[ImageCodec]] — actual pixel decode, nearest-neighbor
-  * resize, and an 8-dim visual feature, all pure JVM byte arithmetic.
-  * Compressed codecs (JPEG/PNG/MP4) are STUBBED (no image/audio
-  * libraries in this environment): those payloads use a deterministic
-  * fake container (`GRFT` magic + type/width/height/frames header) and
-  * "decoding" derives a deterministic feature from the payload bytes.
-  * Everything Spark-side is real either way: binary schema, per-partition
-  * batched iteration (the Scala analogue of `mapInPandas` batch shape),
-  * partition-parallel execution, typed output schema.
+  * Images decode FOR REAL: PPM (P6) and 24-bit BMP through
+  * [[ImageCodec]]'s hand-rolled byte decoders, and JPEG/PNG/GIF/TIFF
+  * through the JDK's own `javax.imageio` (ships with the JRE, headless) —
+  * actual pixel decode, nearest-neighbor resize, and an 8-dim visual
+  * feature. Only VIDEO (MP4 frame extraction) genuinely lacks a JDK codec
+  * and uses a deterministic fake container (`GRFT` magic +
+  * type/width/height/frames header) with a payload-derived stub feature;
+  * audio is metadata-only the same way. Everything Spark-side is real
+  * either way: binary schema, per-partition batched iteration (the Scala
+  * analogue of `mapInPandas` batch shape), partition-parallel execution,
+  * typed output schema.
   */
 object Multimodal {
 
@@ -78,8 +79,9 @@ object Multimodal {
     else if (n >= frames) 0 until frames
     else (0 until n).map(i => (i.toLong * frames / n).toInt)
 
-  /** Decode one payload: real pixels for PPM/BMP, fake-container header
-    * for everything else, None if neither parses.
+  /** Decode one payload: real pixels for PPM/BMP (hand-rolled) and any
+    * ImageIO format (JPEG/PNG/GIF/TIFF), fake-container header for
+    * video/audio, None if nothing parses.
     */
   def decodeOne(id: Long, media: Array[Byte]): Option[DecodedRow] =
     ImageCodec.decodePpm(media) match {
@@ -88,9 +90,13 @@ object Multimodal {
       case None => ImageCodec.decodeBmp(media) match {
         case Some(img) => Some(DecodedRow(id, "bmp", img.width, img.height, 1,
           img.rgb.length, ImageCodec.feature(img)))
-        case None => parseMeta(media).map { m =>
-          DecodedRow(id, m.format, m.width, m.height, m.frames,
-            media.length - 11, extractFeatureStub(media))
+        case None => ImageCodec.decodeImageIO(media) match {
+          case Some((fmt, img)) => Some(DecodedRow(id, fmt, img.width,
+            img.height, 1, img.rgb.length, ImageCodec.feature(img)))
+          case None => parseMeta(media).map { m =>
+            DecodedRow(id, m.format, m.width, m.height, m.frames,
+              media.length - 11, extractFeatureStub(media))
+          }
         }
       }
     }
@@ -109,17 +115,23 @@ object Multimodal {
   }
 
   /** Resize one payload: REAL nearest-neighbor pixel resize for PPM/BMP
-    * (re-encoded in the same format); header-dim rewrite for fake
-    * containers (the compressed-codec stub); unknown bytes pass through.
+    * (re-encoded in the same format) and ImageIO formats (re-encoded PNG —
+    * lossless, so a resize chain never accumulates generation loss);
+    * header-dim rewrite for fake video/audio containers; unknown bytes
+    * pass through.
     */
   def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
     ImageCodec.decodePpm(bytes) match {
       case Some(img) => ImageCodec.encodePpm(ImageCodec.resizeNearest(img, w, h))
       case None => ImageCodec.decodeBmp(bytes) match {
         case Some(img) => ImageCodec.encodeBmp(ImageCodec.resizeNearest(img, w, h))
-        case None => parseMeta(bytes) match {
-          case Some(m) => encodeFake(m.format, w, h, m.frames, bytes.drop(11))
-          case None    => bytes
+        case None => ImageCodec.decodeImageIO(bytes) match {
+          case Some((_, img)) =>
+            ImageCodec.encodePng(ImageCodec.resizeNearest(img, w, h))
+          case None => parseMeta(bytes) match {
+            case Some(m) => encodeFake(m.format, w, h, m.frames, bytes.drop(11))
+            case None    => bytes
+          }
         }
       }
     }
@@ -134,6 +146,37 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
       .as[MediaRow]
       .mapPartitions(_.map(r => MediaRow(r.id, resizeStub(r.media, w, h))))
+  }
+
+  /** Decode one payload to (format, pixels) through every real path:
+    * PPM/BMP byte decoders, then ImageIO (JPEG/PNG/GIF/TIFF). None for
+    * fake containers and garbage — this is the pixels-only face of
+    * [[decodeOne]].
+    */
+  def decodeImage(media: Array[Byte]): Option[(String, ImageCodec.Image)] =
+    ImageCodec.decodePpm(media).map(("ppm", _))
+      .orElse(ImageCodec.decodeBmp(media).map(("bmp", _)))
+      .orElse(ImageCodec.decodeImageIO(media))
+
+  case class PixelSumRow(id: Long, format: String, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Per-image exact channel sums over a binary media column — the same
+    * per-partition batched shape as [[decode]], but with integer-exact
+    * outputs (an oracle can re-derive them from the source pixels with no
+    * float-order concerns). Non-image rows are dropped.
+    */
+  def pixelSums(spark: SparkSession, df: DataFrame, idCol: String,
+      mediaCol: String): Dataset[PixelSumRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+      .as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        decodeImage(r.media).map { case (fmt, img) =>
+          val (sr, sg, sb) = ImageCodec.channelSums(img)
+          PixelSumRow(r.id, fmt, img.width, img.height, sr, sg, sb)
+        }
+      })
   }
 
   case class FrameRef(id: Long, frameIdx: Int, feature: Array[Float])

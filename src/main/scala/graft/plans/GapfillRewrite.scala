@@ -167,9 +167,20 @@ class GapfillRewriteRule(widenNullability: Boolean) extends Rule[LogicalPlan] {
             m.treatNullAsMissing))
         })
       case a: Alias if deref(a.child, defs).isInstanceOf[Interpolate] =>
+        val m = deref(a.child, defs).asInstanceOf[Interpolate]
+        // (time, value)-struct seeds → the Column API's (time, value)
+        // pairs, by ordinal (the struct's field names are caller-chosen)
+        def seedPair(e: org.apache.spark.sql.catalyst.expressions.Expression) = {
+          val st = e.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+          (org.apache.spark.sql.GraftShims.toColumn(
+            org.apache.spark.sql.catalyst.expressions.GetStructField(e, 0, Some(st.fields(0).name))),
+            org.apache.spark.sql.GraftShims.toColumn(
+              org.apache.spark.sql.catalyst.expressions.GetStructField(e, 1, Some(st.fields(1).name))))
+        }
         a.name -> ((df: org.apache.spark.sql.DataFrame) => {
           df.withColumn(a.name, Gapfill.interpolate(
-            org.apache.spark.sql.functions.col(a.name), groupNames, BN))
+            org.apache.spark.sql.functions.col(a.name), groupNames, BN,
+            prev = m.prev.map(seedPair), next = m.next.map(seedPair)))
         })
     }
 
@@ -185,7 +196,7 @@ class GapfillRewriteRule(widenNullability: Boolean) extends Rule[LogicalPlan] {
           TimeBucket(w,
             org.apache.spark.sql.catalyst.expressions.FromUTCTimestamp(t, z), None), z)
       case Locf(c, _, _)             => c
-      case Interpolate(c)            =>
+      case Interpolate(c, _, _)      =>
         org.apache.spark.sql.catalyst.expressions.Cast(c, org.apache.spark.sql.types.DoubleType)
     }.asInstanceOf[Aggregate]
 

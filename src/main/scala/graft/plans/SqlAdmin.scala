@@ -49,6 +49,17 @@ object SqlAdmin {
     "hypertable_size" -> StructType(Seq(StructField("hypertable_size", LongType))),
     "set_chunk_time_interval" -> StructType(Seq(
       StructField("set_chunk_time_interval", BooleanType))),
+    // dimension DDL (sql/ddl_api.sql:56-87,115-177)
+    "add_dimension" -> StructType(Seq(
+      StructField("dimension_id", IntegerType),
+      StructField("column_name", StringType),
+      StructField("created", BooleanType))),
+    "set_number_partitions" -> StructType(Seq(
+      StructField("set_number_partitions", BooleanType))),
+    "set_partitioning_interval" -> StructType(Seq(
+      StructField("set_partitioning_interval", BooleanType))),
+    "set_integer_now_func" -> StructType(Seq(
+      StructField("set_integer_now_func", BooleanType))),
     "enable_chunk_skipping" -> StructType(Seq(
       StructField("column_name", StringType), StructField("enabled", BooleanType))),
     "disable_chunk_skipping" -> StructType(Seq(
@@ -178,6 +189,15 @@ object SqlAdmin {
       "job_status" -> StringType, "next_start" -> TimestampType,
       "total_runs" -> LongType, "total_successes" -> LongType,
       "total_failures" -> LongType, "consecutive_failures" -> IntegerType),
+    "job_history" -> viewSchema(
+      "id" -> LongType, "job_id" -> IntegerType, "succeeded" -> BooleanType,
+      "proc_name" -> StringType, "start_time" -> TimestampType,
+      "finish_time" -> TimestampType, "config" -> StringType,
+      "err_message" -> StringType),
+    "job_errors" -> viewSchema(
+      "job_id" -> IntegerType, "proc_name" -> StringType,
+      "start_time" -> TimestampType, "finish_time" -> TimestampType,
+      "err_message" -> StringType),
     "continuous_aggregates" -> viewSchema(
       "view_name" -> StringType, "hypertable_name" -> StringType,
       "bucket_width" -> StringType, "bucket_column" -> StringType,
@@ -423,6 +443,68 @@ object SqlAdmin {
           spaceCol = spaceCol, spacePartitions = nParts.getOrElse(4),
           timeKind = kind)
         Seq(Row(path, true))
+      case "add_dimension" =>
+        // two reference forms (sql/ddl_api.sql:115-143):
+        //   add_dimension(ht, column_name, number_partitions)
+        //   add_dimension(ht, by_hash(column_name, number_partitions))
+        // by_range second dimensions are rejected: graft hypertables have
+        // ONE open (range) dimension plus hash dimensions (SURVEY §2.1
+        // hyperspace mapping) — the reference's multi-range hypertables
+        // exist but its own docs call one range + N hash the norm.
+        val h = ht(a.str(0, "hypertable"))
+        val byCall = """(?is)^\s*by_(hash|range)\s*\((.*)\)\s*$""".r
+        def unquote(s: String): String = {
+          val t = s.trim
+          if (t.length >= 2 && t.startsWith("'") && t.endsWith("'"))
+            t.substring(1, t.length - 1).replace("''", "'")
+          else t
+        }
+        val second = a.strOpt(1, "dimension")
+          .orElse(a.strOpt(Int.MaxValue, "column_name"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$fn: missing dimension (column_name or by_hash(...))"))
+        val (colName, nParts) = second match {
+          case byCall(kind, argsText) =>
+            val parts = splitTopLevel(argsText).map(_.trim)
+            if (kind.toLowerCase(java.util.Locale.ROOT) == "range")
+              throw new IllegalArgumentException(
+                s"$fn: by_range second dimensions are not supported — a " +
+                  "graft hypertable has one open (range) dimension; add " +
+                  "hash dimensions with by_hash(column_name, number_partitions)")
+            require(parts.size == 2,
+              s"$fn: by_hash takes (column_name, number_partitions)")
+            (unquote(parts(0)), parts(1).toInt)
+          case colName0 =>
+            (colName0, a.intOpt(2, "number_partitions").getOrElse(
+              throw new IllegalArgumentException(
+                s"$fn: missing argument 'number_partitions'")))
+        }
+        val updated = h.addDimension(colName, nParts)
+        // dimension_id: 1 = the open dimension, closed dims numbered after
+        Seq(Row(updated.spaceDims.size + 1, colName, true))
+      case "set_number_partitions" =>
+        val h = ht(a.str(0, "hypertable"))
+        val n = a.intOpt(1, "number_partitions").getOrElse(
+          throw new IllegalArgumentException(
+            s"$fn: missing argument 'number_partitions'"))
+        val dim = a.strOpt(2, "dimension_name").orElse(h.spaceCol).getOrElse(
+          throw new IllegalArgumentException(
+            s"$fn: hypertable has no closed dimension"))
+        h.setNumberPartitions(dim, n)
+        Seq(Row(true))
+      case "set_partitioning_interval" =>
+        val h = ht(a.str(0, "hypertable"))
+        val w = a.widthStrOpt(1, "partition_interval").getOrElse(
+          throw new IllegalArgumentException(
+            s"$fn: missing argument 'partition_interval'"))
+        a.strOpt(2, "dimension_name").foreach(d => require(d == h.timeCol,
+          s"$fn: only the open dimension '${h.timeCol}' has an interval"))
+        h.setPartitioningInterval(w)
+        Seq(Row(true))
+      case "set_integer_now_func" =>
+        ht(a.str(0, "hypertable")).setIntegerNowFunc(
+          a.str(1, "integer_now_func"))
+        Seq(Row(true))
       case "show_chunks" =>
         val h = ht(a.str(0, "relation"))
         h.showChunks(a.microsOpt(1, "older_than"), a.microsOpt(2, "newer_than"))
@@ -683,6 +765,8 @@ object SqlAdmin {
             Info.hypertableColumnstoreSettings(ht(arg))
           case "jobs" => Info.jobs(spark, arg)
           case "job_stats" => Info.jobStats(spark, arg)
+          case "job_history" => Info.jobHistory(spark, arg)
+          case "job_errors" => Info.jobErrors(spark, arg)
           case "policies" => Info.policies(spark, arg)
           case "continuous_aggregates" =>
             val cagg = graft.streaming.ContinuousAggregate.atPath(spark, arg).getOrElse(
@@ -696,6 +780,86 @@ object SqlAdmin {
     }
     a.done()
     rows
+  }
+
+  private def parseBoolOpt(fn: String, name: String, v: String): Boolean =
+    v.toLowerCase(java.util.Locale.ROOT) match {
+      case "true" | "on" | "1" => true
+      case "false" | "off" | "0" => false
+      case other => throw new IllegalArgumentException(
+        s"$fn: option '$name' must be boolean, got '$other'")
+    }
+
+  private def splitCols(v: String): Seq[String] =
+    v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** [[GraftCreateTableDDL]]'s executor. */
+  private[plans] def runCreateTableDDL(spark: SparkSession, path: String,
+      schema: StructType, opts: Map[String, String],
+      ifNotExists: Boolean): Unit = {
+    val fn = "CREATE TABLE ... WITH (tsdb.hypertable)"
+    val ignored = Set("create_default_indexes", "associated_schema",
+      "associated_table_prefix", "index", "sparse_index", "compress_index",
+      "compress_sparse_index")
+    val known = ignored ++ Set("hypertable", "columnstore",
+      "enable_columnstore", "compress", "partition_column",
+      "partitioning_column", "chunk_interval", "segmentby", "segment_by",
+      "compress_segmentby", "orderby", "order_by", "compress_orderby")
+    val unknown = opts.keySet -- known
+    require(unknown.isEmpty,
+      s"$fn: unsupported option(s): ${unknown.mkString(", ")}")
+    require(opts.get("hypertable").forall(parseBoolOpt(fn, "hypertable", _)),
+      s"$fn: tsdb.hypertable=false makes no sense on a path-addressed table")
+    if (ifNotExists &&
+        scala.util.Try(Hypertable.at(spark, path)).isSuccess) return
+    // partition column: explicit option, else the first timestamp column
+    // (the reference's default rule, src/process_utility.c:4245-4260)
+    val timeCol = opts.get("partition_column")
+      .orElse(opts.get("partitioning_column"))
+      .getOrElse(schema.fields.collectFirst {
+        case f if f.dataType == TimestampType || f.dataType == TimestampNTZType => f.name
+      }.getOrElse(throw new IllegalArgumentException(
+        s"$fn: no timestamp column to partition by — " +
+          "use tsdb.partition_column to specify one")))
+    val field = schema.fields.find(_.name.equalsIgnoreCase(timeCol)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$fn: partition column '$timeCol' is not in the column list"))
+    val timeKind = field.dataType match {
+      case LongType | IntegerType | ShortType => "bigint"
+      case TimestampType | TimestampNTZType | DateType => "timestamp"
+      case dt => throw new IllegalArgumentException(
+        s"$fn: cannot partition on ${dt.sql} column '$timeCol'")
+    }
+    val width = opts.get("chunk_interval").getOrElse(
+      if (timeKind == "bigint") "604800000000" else "7 days")
+    Hypertable.create(spark, path, field.name, chunkWidth = width,
+      timeKind = timeKind)
+    val seg = opts.get("segmentby").orElse(opts.get("segment_by"))
+      .orElse(opts.get("compress_segmentby")).map(splitCols).getOrElse(Nil)
+    val ord = opts.get("orderby").orElse(opts.get("order_by"))
+      .orElse(opts.get("compress_orderby")).map(splitCols).getOrElse(Nil)
+    if (seg.nonEmpty || ord.nonEmpty)
+      Hypertable.at(spark, path).setColumnstoreSettings(
+        Columnstore.Options(segmentBy = seg, orderBy = ord))
+  }
+
+  /** [[GraftCreateCaggDDL]]'s executor. */
+  private[plans] def runCreateCaggDDL(spark: SparkSession,
+      c: GraftCreateCaggDDL): Unit = {
+    val ht = Hypertable.at(spark, c.htPath)
+    require(c.timeColName.equalsIgnoreCase(ht.timeCol),
+      s"CREATE MATERIALIZED VIEW: time_bucket must be over the " +
+        s"hypertable's time column '${ht.timeCol}', got '${c.timeColName}'")
+    val defn = graft.streaming.CaggDef(
+      bucketWidth = c.bucketWidth,
+      groupCols = c.groupCols,
+      aggs = c.aggSqls.map(org.apache.spark.sql.functions.expr),
+      bucketCol = c.bucketCol,
+      matChunkWidth = c.matChunkWidth.getOrElse("auto"),
+      bucketTz = c.bucketTz,
+      bucketOriginMicros = c.originMicros)
+    graft.streaming.ContinuousAggregate.create(
+      spark, c.caggPath, ht, defn, withData = c.withData)
   }
 }
 
@@ -711,6 +875,53 @@ case class GraftAdminCommand(fn: String, args: Seq[SqlAdmin.Arg])
     SqlAdmin.run(sparkSession, fn, args)
 }
 
+/** The reference's DECLARATIVE hypertable DDL
+  * (`src/with_clause/create_table_with_clause.c:15-28` option names;
+  * `src/process_utility.c:4245` default-partition-column rule):
+  * `CREATE TABLE '<path>' (<cols>) WITH (tsdb.hypertable, ...)`.
+  * Creates the hypertable at the path and stores any declared columnstore
+  * settings; the declared schema picks/validates the partition column and
+  * its time kind (rows arrive via `Hypertable.write`/COPY, as everywhere
+  * in graft). Postgres-only knobs (`create_default_indexes`,
+  * `associated_schema`, `associated_table_prefix`, sparse-index options)
+  * are accepted and ignored — parquet chunks have no btree indexes or
+  * schema-qualified chunk names; unknown options error.
+  */
+case class GraftCreateTableDDL(path: String, declaredSchema: StructType,
+    opts: Map[String, String], ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    SqlAdmin.runCreateTableDDL(sparkSession, path, declaredSchema, opts, ifNotExists)
+    Nil
+  }
+}
+
+/** The reference's declarative continuous-aggregate DDL
+  * (`tsl/src/continuous_aggs/create.c:779`; option names in
+  * `src/with_clause/create_materialized_view_with_clause.c`; test shapes
+  * in `tsl/test/sql/cagg_ddl.sql`):
+  * `CREATE MATERIALIZED VIEW '<path>' WITH (tsdb.continuous[, ...]) AS
+  * SELECT time_bucket(w, ts) AS b, g..., aggs... FROM '<ht>' GROUP BY ...
+  * [WITH [NO] DATA]`. Maps onto `ContinuousAggregate.create` exactly like
+  * the `create_continuous_aggregate` call form. `materialized_only` is
+  * accepted without effect: graft exposes BOTH `materialized` and
+  * `realtime` reads on every cagg handle (the reference's flag only
+  * toggles which one the view's SELECT serves). Absent WITH [NO] DATA
+  * defaults to WITH DATA, Postgres's default for materialized views.
+  */
+case class GraftCreateCaggDDL(caggPath: String, htPath: String,
+    bucketWidth: String, bucketCol: String, timeColName: String,
+    bucketTz: Option[String], originMicros: Option[Long],
+    matChunkWidth: Option[String], groupCols: Seq[String],
+    aggSqls: Seq[String], withData: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    SqlAdmin.runCreateCaggDDL(sparkSession, this)
+    Nil
+  }
+}
+
 /** Parser extension: intercepts the admin-call statement shapes, delegates
   * every other statement (and every other ParserInterface method) to
   * Spark's own parser.
@@ -723,7 +934,33 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*select\s+\*\s+from\s+([a-z_][a-z0-9_.]*)\s*\((.*)\)\s*;?\s*$""".r,
     """(?is)^\s*call\s+([a-z_][a-z0-9_.]*)\s*\((.*)\)\s*;?\s*$""".r)
 
+  // the reference's declarative DDL (option names:
+  // src/with_clause/create_table_with_clause.c and
+  // create_materialized_view_with_clause.c; both tsdb. and timescaledb.
+  // prefixes are accepted, like the reference)
+  private val createTableShape =
+    ("""(?is)^\s*create\s+table\s+(if\s+not\s+exists\s+)?'([^']+)'""" +
+      """\s*\((.*)\)\s*with\s*\((.*?)\)\s*;?\s*$""").r
+  private val createMatViewShape =
+    ("""(?is)^\s*create\s+materialized\s+view\s+(?:if\s+not\s+exists\s+)?""" +
+      """'([^']+)'\s*with\s*\((.*?)\)\s*as\s+(.*?)""" +
+      """(\s+with\s+(?:no\s+)?data)?\s*;?\s*$""").r
+
   override def parsePlan(sqlText: String): LogicalPlan = {
+    for (m <- createTableShape.findFirstMatchIn(sqlText);
+         opts <- parseTsdbOptions(m.group(4))) {
+      require(opts.contains("hypertable"),
+        "CREATE TABLE with tsdb options requires tsdb.hypertable")
+      return GraftCreateTableDDL(m.group(2),
+        delegate.parseTableSchema(m.group(3)), opts, m.group(1) != null)
+    }
+    for (m <- createMatViewShape.findFirstMatchIn(sqlText);
+         opts <- parseTsdbOptions(m.group(2))) {
+      require(opts.get("continuous").forall(_.toLowerCase == "true") &&
+          opts.contains("continuous"),
+        "CREATE MATERIALIZED VIEW with tsdb options requires tsdb.continuous")
+      return parseCaggDDL(m.group(1), opts, m.group(3), m.group(4))
+    }
     for (shape <- callShapes; m <- shape.findFirstMatchIn(sqlText)) {
       val fn = m.group(1).toLowerCase(java.util.Locale.ROOT)
       if (SqlAdmin.outputs.contains(fn)) {
@@ -786,7 +1023,154 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     })
   }
 
+  /** Parse a WITH-clause option list where EVERY entry is a
+    * `tsdb.`/`timescaledb.`-prefixed option (flag or `= value`); any other
+    * entry → None, so plain-Spark WITH clauses reach the delegate parser
+    * untouched. String values are unquoted ('' unescaped); bare flags
+    * default to "true" (the reference's boolean-flag behavior).
+    */
+  private def parseTsdbOptions(text: String): Option[Map[String, String]] = {
+    if (text.trim.isEmpty) return None
+    val opt =
+      """(?is)^\s*(?:tsdb|timescaledb)\s*\.\s*([a-z_]+)\s*(?:=\s*(.+?)\s*)?$""".r
+    val out = scala.collection.mutable.Map.empty[String, String]
+    for (entry <- SqlAdmin.splitTopLevel(text)) entry match {
+      case opt(name, value) =>
+        val v = Option(value).map { s0 =>
+          val s = s0.trim
+          if (s.length >= 2 && s.startsWith("'") && s.endsWith("'"))
+            s.substring(1, s.length - 1).replace("''", "'")
+          else s
+        }.getOrElse("true")
+        out += name.toLowerCase(java.util.Locale.ROOT) -> v
+      case _ => return None
+    }
+    Some(out.toMap)
+  }
+
+  /** Parse the `AS SELECT time_bucket(...), g..., aggs... FROM '<ht>'
+    * GROUP BY ...` body of a declarative continuous aggregate into a
+    * [[GraftCreateCaggDDL]].
+    */
+  private def parseCaggDDL(caggPath: String, opts: Map[String, String],
+      query: String, withDataClause: String): LogicalPlan = {
+    val fn = "CREATE MATERIALIZED VIEW (tsdb.continuous)"
+    val ignored = Set("create_group_indexes", "materialized_only")
+    val known = ignored ++ Set("continuous", "chunk_interval")
+    val unknown = opts.keySet -- known
+    require(unknown.isEmpty, s"$fn: unsupported option(s): ${unknown.mkString(", ")}")
+    val qm = ("""(?is)^\s*select\s+(.*?)\s+from\s+'([^']+)'""" +
+      """\s*group\s+by\s+(.*?)\s*$""").r
+    val (selText, htPath, grpText) = query match {
+      case qm(s, h, g) => (s, h, g)
+      case _ => throw new IllegalArgumentException(
+        s"$fn: expected AS SELECT ... FROM '<hypertable-path>' GROUP BY ...")
+    }
+    val items = SqlAdmin.splitTopLevel(selText)
+    val aliased = """(?is)^(.*)\s+as\s+([a-zA-Z_][a-zA-Z0-9_]*)\s*$""".r
+    val bucketRe = """(?is)^time_bucket\s*\((.*)\)$""".r
+    val bareCol = """^[a-zA-Z_][a-zA-Z0-9_]*$""".r
+    var bucket: Option[(String, String, String)] = None // (argsText, alias, index)
+    val groupColsB = scala.collection.mutable.ArrayBuffer.empty[String]
+    val aggsB = scala.collection.mutable.ArrayBuffer.empty[String]
+    // items by ordinal for GROUP BY 1,2 resolution
+    val itemNames = items.zipWithIndex.map { case (it, ix) =>
+      it.trim match {
+        case aliased(_, a) => a
+        case t => t
+      }
+    }
+    val groupRefs = SqlAdmin.splitTopLevel(grpText).map(_.trim).map { g =>
+      if (g.matches("""\d+""")) {
+        val ix = g.toInt - 1
+        require(ix >= 0 && ix < items.size, s"$fn: GROUP BY ordinal $g out of range")
+        itemNames(ix)
+      } else g
+    }.toSet
+    items.zipWithIndex.foreach { case (raw, ix) =>
+      val it = raw.trim
+      val (body, alias) = it match {
+        case aliased(b, a) => (b.trim, Some(a))
+        case _ => (it, None)
+      }
+      body match {
+        case bucketRe(args) =>
+          require(bucket.isEmpty, s"$fn: more than one time_bucket item")
+          bucket = Some((args, alias.getOrElse("bucket"), it))
+        case bareCol() =>
+          // a plain column: must be grouped; aliasing a group column would
+          // rename it in the materialization — unsupported, like the call
+          // form's group_cols list
+          require(alias.forall(_ == body),
+            s"$fn: cannot alias group column '$body'")
+          require(groupRefs.contains(body),
+            s"$fn: non-aggregate column '$body' is not in GROUP BY")
+          groupColsB += body
+        case _ =>
+          require(alias.isDefined, s"$fn: aggregate '$body' needs an AS alias")
+          aggsB += s"$body AS ${alias.get}"
+      }
+    }
+    val (bArgsText, bAlias, bItem) = bucket.getOrElse(throw
+      new IllegalArgumentException(s"$fn: SELECT must contain a time_bucket item"))
+    require(groupRefs.contains(bAlias) ||
+        groupRefs.exists(_.replaceAll("\\s+", "") == bItem.replaceAll("\\s+", "")),
+      s"$fn: the time_bucket item must be in GROUP BY")
+    val bArgs = SqlAdmin.splitTopLevel(bArgsText).map(_.trim)
+    require(bArgs.size >= 2, s"$fn: time_bucket needs (width, time_column)")
+    val quoted = """(?is)^(?:interval\s+)?'(.*)'$""".r
+    val width = bArgs(0) match {
+      case quoted(w) => w
+      case n if n.matches("""\d+""") => n // integer-time bucket width
+      case other => throw new IllegalArgumentException(
+        s"$fn: cannot parse time_bucket width '$other'")
+    }
+    val timeCol = bArgs(1)
+    require(timeCol.matches(bareCol.regex),
+      s"$fn: time_bucket's second argument must be the time column, got '$timeCol'")
+    // optional 3rd arg: timezone (text) or origin (timestamp literal) —
+    // disambiguated like the reference's overloads: a literal that parses
+    // as a timestamp is an origin, otherwise a timezone name
+    var tz: Option[String] = None
+    var origin: Option[Long] = None
+    val named = """(?is)^(timezone|origin)\s*=>\s*(.*)$""".r
+    val tsLit = """(?is)^timestamp\s+'(.*)'$""".r
+    bArgs.drop(2).foreach { a =>
+      val (slot, value) = a match {
+        case named(n, v) => (Some(n.toLowerCase(java.util.Locale.ROOT)), v.trim)
+        case v => (None, v.trim)
+      }
+      val text = value match {
+        case tsLit(s) => s
+        case quoted(s) => s
+        case other => other
+      }
+      val asTs = org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .stringToTimestamp(org.apache.spark.unsafe.types.UTF8String.fromString(text),
+          java.time.ZoneId.of(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+      slot match {
+        case Some("timezone") => tz = Some(text)
+        case Some("origin") => origin = Some(asTs.getOrElse(
+          throw new IllegalArgumentException(s"$fn: cannot parse origin '$text'")))
+        case _ if asTs.isDefined => origin = asTs
+        case _ => tz = Some(text)
+      }
+    }
+    val withData = withDataClause == null ||
+      !withDataClause.toLowerCase(java.util.Locale.ROOT).contains("no")
+    GraftCreateCaggDDL(caggPath, htPath, width, bAlias, timeCol, tz, origin,
+      opts.get("chunk_interval"), groupColsB.toSeq, aggsB.toSeq, withData)
+  }
+
+  private val dimensionInfoCall = """(?is)^\s*by_(?:hash|range)\s*\(.*\)\s*$""".r
+
   private def foldLiteral(fn: String, exprText: String): (Any, DataType) = {
+    // add_dimension's dimension_info constructors (sql/ddl_api.sql:167-177
+    // by_hash/by_range) are not SQL literals — pass their text through for
+    // the command to interpret
+    if (fn == "add_dimension" && dimensionInfoCall.findFirstIn(exprText).isDefined)
+      return (UTF8String.fromString(exprText.trim), StringType)
     val e = delegate.parseExpression(exprText)
     // bind timezone-less expressions (CAST('...' AS TIMESTAMP)) in the
     // SESSION zone — the same instant Spark's analyzer or Args' bare-string

@@ -59,6 +59,22 @@ case class JobStat(
     totalFailures: Long = 0,
     consecutiveFailures: Int = 0)
 
+/** One recorded job run — a `_timescaledb_internal.bgw_job_stat_history`
+  * row (`sql/views.sql:293-366` job_history/job_errors; populated by
+  * `src/bgw/job_stat_history.c`). `error` carries the failure's message
+  * (the reference's `err_message`); pid/sqlerrcode have no analogue in a
+  * Spark session.
+  */
+case class JobRun(
+    id: Long,
+    jobId: Int,
+    proc: String,
+    succeeded: Boolean,
+    startMicros: Long,
+    finishMicros: Long,
+    config: Map[String, String],
+    error: Option[String])
+
 /** The general job/automation API — `add_job` / `alter_job` / `delete_job` /
   * `run_job` (`sql/job_api.sql`) plus the next-start scheduling semantics of
   * `src/bgw/job_stat.c`.
@@ -308,9 +324,12 @@ object Jobs {
     val f = Option(procs.get(spec.proc)).getOrElse(
       throw new IllegalStateException(
         s"proc '${spec.proc}' is not registered in this session"))
-    val ok =
-      try { f(spark, spec.config); true }
-      catch { case scala.util.control.NonFatal(_) => false }
+    val err: Option[String] =
+      try { f(spark, spec.config); None }
+      catch { case scala.util.control.NonFatal(e) =>
+        Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
+    val ok = err.isEmpty
     lock.synchronized {
       val (nextId, jobs) = readCatalog(spark, root)
       jobs.find(_._1.id == id).foreach { case (j, s) =>
@@ -331,9 +350,83 @@ object Jobs {
           totalFailures = s.totalFailures + (if (ok) 0 else 1),
           consecutiveFailures = fails)
         save(spark, root, nextId, jobs.filterNot(_._1.id == id) :+ (j, stat))
+        appendHistory(spark, root,
+          JobRun(0, id, j.proc, ok, nowMicros, finish, j.config, err))
       }
     }
     ok
+  }
+
+  // --------------------------------------------------------- run history
+  // The reference keeps every run's outcome in
+  // _timescaledb_internal.bgw_job_stat_history (job_stat_history.c),
+  // surfaced by timescaledb_information.job_history/job_errors and pruned
+  // by the built-in retention job (sql/job_stat_history_log_retention.sql).
+  // Graft's analogue is a per-root `_graft_job_history.json` appended
+  // under the catalog lock; entries carry a never-recycled sequence id.
+
+  private val HISTORY_FILE = "_graft_job_history.json"
+
+  /** All recorded runs, id (= execution) order. */
+  def history(spark: SparkSession, root: String): Seq[JobRun] =
+    readHistory(spark, root)._2
+
+  private def readHistory(spark: SparkSession,
+      root: String): (Long, Seq[JobRun]) = {
+    val p = new Path(root, HISTORY_FILE)
+    val filesys = fs(spark, root)
+    if (!filesys.exists(p)) return (1L, Seq.empty)
+    val tree = mapper.readTree(Hypertable.readSmallFile(filesys, p))
+    val runs = tree.get("runs").elements().asScala.map { n =>
+      val cfg = Option(n.get("config")).map { c =>
+        c.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+      }.getOrElse(Map.empty[String, String])
+      JobRun(n.get("id").asLong, n.get("job_id").asInt, n.get("proc").asText,
+        n.get("succeeded").asBoolean, n.get("start").asLong,
+        n.get("finish").asLong, cfg, optStr(n, "error"))
+    }.toSeq.sortBy(_.id)
+    (tree.get("next_id").asLong, runs)
+  }
+
+  private def saveHistory(spark: SparkSession, root: String, nextId: Long,
+      runs: Seq[JobRun]): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("next_id", nextId)
+    val arr = o.putArray("runs")
+    runs.sortBy(_.id).foreach { r =>
+      val n = arr.addObject()
+      n.put("id", r.id)
+      n.put("job_id", r.jobId)
+      n.put("proc", r.proc)
+      n.put("succeeded", r.succeeded)
+      n.put("start", r.startMicros)
+      n.put("finish", r.finishMicros)
+      val cfg = n.putObject("config")
+      r.config.foreach { case (k, v) => cfg.put(k, v) }
+      r.error.foreach(n.put("error", _))
+    }
+    Hypertable.writeSmallFile(fs(spark, root), new Path(root, HISTORY_FILE),
+      o.toString)
+  }
+
+  /** Callers hold [[lock]] (invoked from [[run]]'s bookkeeping block). */
+  private def appendHistory(spark: SparkSession, root: String,
+      run: JobRun): Unit = {
+    val (nextId, runs) = readHistory(spark, root)
+    saveHistory(spark, root, nextId + 1, runs :+ run.copy(id = nextId))
+  }
+
+  /** Drop history entries that FINISHED before `cutoffMicros` — the
+    * retention proc's core (`sql/job_stat_history_log_retention.sql`
+    * deletes on `execution_finish < now() - drop_after`). Returns the
+    * number pruned.
+    */
+  def historyRetention(spark: SparkSession, root: String,
+      cutoffMicros: Long): Long = lock.synchronized {
+    val (nextId, runs) = readHistory(spark, root)
+    val keep = runs.filter(_.finishMicros >= cutoffMicros)
+    if (keep.size != runs.size) saveHistory(spark, root, nextId, keep)
+    (runs.size - keep.size).toLong
   }
 
   // ------------------------------------------------------- next-start math
@@ -447,6 +540,20 @@ object Jobs {
     require(orderBy.nonEmpty, "policy_reorder: empty orderby")
     ReorderPolicy.run(ht, orderBy,
       olderThanMicros = config.get("older_than").map(_.toLong))
+  }
+
+  // the reference's history retention job (job id 3 in its catalog,
+  // `sql/job_stat_history_log_retention.sql`: DELETE WHERE
+  // execution_finish < now() - drop_after, default 1 month) — here a
+  // registrable proc with config keys root, drop_after (micros), and the
+  // usual "now" override for deterministic replay
+  registerProc("policy_job_stat_history_retention") { (spark, config) =>
+    val root = config("root")
+    val now = config.get("now").map(_.toLong)
+      .getOrElse(System.currentTimeMillis * 1000L)
+    val dropAfter = config.get("drop_after").map(_.toLong)
+      .getOrElse(30L * 86400000000L)
+    historyRetention(spark, root, now - dropAfter)
   }
 
   // the reference's cagg refresh policy (`policy_internal.sql`

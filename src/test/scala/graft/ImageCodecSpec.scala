@@ -77,6 +77,59 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(fh(4) < 0.1f && fh(6) < 0.1f) // right quadrants dark
   }
 
+  test("ImageIO path: PNG round-trips pixel-exact, JPEG approximately, corrupt bytes tolerated") {
+    val img = px(16, 12)((x, y) => ((x * 7 + y * 13) % 256, (x * 3 + y * 5) % 256, (x + y) % 256))
+    // PNG is lossless: full pixel equality through encode→ImageIO decode
+    val png = ImageCodec.encodePng(img)
+    val (pngFmt, pngDec) = ImageCodec.decodeImageIO(png).get
+    assert(pngFmt === "png")
+    assert(pngDec.width === 16 && pngDec.height === 12)
+    assert(pngDec.rgb.toSeq === img.rgb.toSeq)
+    // exact channel sums survive the round trip (the q95 gate's property)
+    assert(ImageCodec.channelSums(pngDec) === ImageCodec.channelSums(img))
+    // JPEG is lossy: dims exact, pixels close (smooth gradient — DCT error
+    // stays small), mean absolute error bounded
+    val jpg = ImageCodec.encodeJpeg(img)
+    val (jpgFmt, jpgDec) = ImageCodec.decodeImageIO(jpg).get
+    assert(jpgFmt === "jpeg")
+    assert(jpgDec.width === 16 && jpgDec.height === 12)
+    val mae = img.rgb.zip(jpgDec.rgb)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.sum.toDouble / img.rgb.length
+    assert(mae < 32.0, s"JPEG decode too far from source (mae=$mae)")
+    // decode() dispatches: PPM/BMP via the byte decoders, PNG/JPEG via
+    // ImageIO, and decodeImage reports the format
+    assert(Multimodal.decodeImage(png).map(_._1) === Some("png"))
+    assert(Multimodal.decodeImage(jpg).map(_._1) === Some("jpeg"))
+    // corrupt payloads: truncated PNG/JPEG and garbage all → None, no throw
+    assert(ImageCodec.decodeImageIO(png.take(20)) === None)
+    assert(ImageCodec.decodeImageIO(jpg.take(20)) === None)
+    assert(ImageCodec.decodeImageIO(Array.fill[Byte](64)(0x42)) === None)
+    assert(ImageCodec.decodeImageIO(null) === None)
+    assert(ImageCodec.decodeImageIO(Array.emptyByteArray) === None)
+  }
+
+  test("Multimodal decode routes JPEG/PNG payloads through ImageIO with real features") {
+    val spark = Graft.session("image-codec-spec", "local[4]", 4)
+    import spark.implicits._
+    val img = px(10, 8)((x, y) => (x * 20, y * 30, 64))
+    val rows = Seq(
+      (1L, ImageCodec.encodePng(img)),
+      (2L, ImageCodec.encodeJpeg(img))).toDF("doc_id", "media")
+    val dec = Multimodal.decode(spark, rows, "doc_id", "media").collect()
+      .map(r => r.id -> r).toMap
+    assert(dec(1L).format === "png" && dec(1L).width === 10 && dec(1L).height === 8)
+    assert(dec(2L).format === "jpeg" && dec(2L).width === 10)
+    // PNG decode is exact, so its feature equals the source image's
+    assert(dec(1L).feature.toSeq === ImageCodec.feature(img).toSeq)
+    // resize of an ImageIO payload re-encodes PNG at the new dims
+    val resized = Multimodal.decode(spark,
+      Multimodal.resize(spark, rows.where($"doc_id" === 1), "doc_id", "media", 5, 4).toDF(),
+      "id", "media").head()
+    assert(resized.format === "png" && resized.width === 5 && resized.height === 4)
+    assert(resized.feature.toSeq ===
+      ImageCodec.feature(ImageCodec.resizeNearest(img, 5, 4)).toSeq)
+  }
+
   test("Multimodal decode and resize use the real codec for PPM/BMP payloads") {
     val spark = Graft.session("image-codec-spec", "local[4]", 4)
     import spark.implicits._

@@ -28,6 +28,48 @@ class JobsSpec extends AnyFunSuite {
     assert(Jobs.alter(spark, r, a, scheduled = Some(false), ifExists = true).isEmpty)
   }
 
+  test("run history: outcomes land in job_history, failures in job_errors, retention prunes") {
+    val r = root()
+    Jobs.registerProc("spec_ok") { (_, _) => () }
+    Jobs.registerProc("spec_boom") { (_, _) =>
+      throw new IllegalStateException("boom: chunk not found")
+    }
+    val ok = Jobs.add(spark, r, "spec_ok", HOUR, nowMicros = 0L)
+    val bad = Jobs.add(spark, r, "spec_boom", HOUR, nowMicros = 0L)
+    assert(Jobs.run(spark, r, ok, nowMicros = 1000L))
+    assert(!Jobs.run(spark, r, bad, nowMicros = 2000L))
+    assert(!Jobs.run(spark, r, bad, nowMicros = 3000L))
+
+    // every run recorded, ids sequential, error text captured
+    val hist = Jobs.history(spark, r)
+    assert(hist.map(h => (h.jobId, h.succeeded)) ===
+      Seq((ok, true), (bad, false), (bad, false)))
+    assert(hist.map(_.id) === Seq(1L, 2L, 3L))
+    assert(hist.last.error.exists(_.contains("boom")))
+
+    // the views: job_history has all rows, job_errors only failures
+    assert(Info.jobHistory(spark, r).count() === 3)
+    val errs = Info.jobErrors(spark, r).collect()
+    assert(errs.length === 2)
+    assert(errs.forall(_.getAs[String]("err_message").contains("boom")))
+    assert(errs.forall(_.getAs[String]("proc_name") == "spec_boom"))
+    // SQL surface
+    assert(spark.sql(
+      s"SELECT * FROM timescaledb_information.job_errors('$r')").count() === 2)
+    assert(spark.sql(
+      s"SELECT * FROM timescaledb_information.job_history('$r')").count() === 3)
+
+    // the retention proc prunes by finish time; survivors keep their ids
+    val rid = Jobs.add(spark, r, "policy_job_stat_history_retention", HOUR,
+      nowMicros = 0L,
+      config = Map("root" -> r, "drop_after" -> "500", "now" -> "3000"))
+    assert(Jobs.run(spark, r, rid, nowMicros = 4000L))
+    // cutoff = 3000 - 500 = 2500: runs finished at 1000 and 2000 go, the
+    // 3000 one stays, and the retention run itself is recorded
+    val after = Jobs.history(spark, r)
+    assert(after.map(h => (h.id, h.jobId)) === Seq((3L, bad), (4L, rid)))
+  }
+
   test("initial_start anchors the first fire; otherwise now + interval") {
     val r = root()
     val a = Jobs.add(spark, r, "noop", HOUR, nowMicros = 10L,

@@ -42,6 +42,58 @@ class SqlAdminModelSpec extends AnyFunSuite {
     (chunks, rows, hash)
   }
 
+  test("random dimension-DDL sequences match the Scala API state exactly") {
+    val rnd = new scala.util.Random(20260815L)
+    val extraCols = Seq("user_id", "value")
+    for (trial <- 0 until 3) {
+      val sqlPath = Files.createTempDirectory(s"graft_dmodel_sql$trial").toString + "/ht"
+      val apiPath = Files.createTempDirectory(s"graft_dmodel_api$trial").toString + "/ht"
+      spark.sql(s"SELECT create_hypertable('$sqlPath', 'ts', INTERVAL '1 day')")
+      Hypertable.create(spark, apiPath, "ts", chunkWidth = "1 day")
+      // dimension DDL applies while the table is empty (like the
+      // reference's "hypertable has chunks" rule for add_dimension)
+      for (step <- 0 until 6) {
+        def sqlHt = Hypertable.at(spark, sqlPath)
+        def apiHt = Hypertable.at(spark, apiPath)
+        rnd.nextInt(4) match {
+          case 0 =>
+            val free = extraCols.filterNot(c => sqlHt.spaceDims.exists(_._1 == c))
+            if (free.nonEmpty) {
+              val c = free(rnd.nextInt(free.size))
+              val n = 2 + rnd.nextInt(3)
+              if (rnd.nextBoolean())
+                spark.sql(s"SELECT add_dimension('$sqlPath', by_hash('$c', $n))").collect()
+              else
+                spark.sql(s"SELECT add_dimension('$sqlPath', '$c', $n)").collect()
+              apiHt.addDimension(c, n)
+            }
+          case 1 if sqlHt.spaceDims.nonEmpty =>
+            val dims = sqlHt.spaceDims
+            val (c, _, _) = dims(rnd.nextInt(dims.size))
+            val n = 2 + rnd.nextInt(6)
+            spark.sql(s"SELECT set_number_partitions('$sqlPath', $n, '$c')").collect()
+            apiHt.setNumberPartitions(c, n)
+          case 2 =>
+            val days = 1 + rnd.nextInt(4)
+            spark.sql(s"SELECT set_partitioning_interval('$sqlPath', INTERVAL '$days days')").collect()
+            apiHt.setPartitioningInterval(s"$days days")
+          case _ => ()
+        }
+        assert(sqlHt.spaceDims === apiHt.spaceDims,
+          s"trial $trial step $step: dimensions diverged")
+        assert(sqlHt.chunkWidthMicros === apiHt.chunkWidthMicros,
+          s"trial $trial step $step: chunk width diverged")
+      }
+      // identical data lands identically under the final layout
+      val seed = rnd.nextInt()
+      Hypertable.at(spark, sqlPath).write(events(300, seed))
+      Hypertable.at(spark, apiPath).write(events(300, seed))
+      val (c1, r1, h1) = state(Hypertable.at(spark, sqlPath))
+      val (c2, r2, h2) = state(Hypertable.at(spark, apiPath))
+      assert(c1 === c2 && r1 === r2 && h1 === h2, s"trial $trial: final state diverged")
+    }
+  }
+
   test("random SQL op sequences match the Scala API state exactly") {
     val rnd = new scala.util.Random(20260814L)
     for (trial <- 0 until 3) {

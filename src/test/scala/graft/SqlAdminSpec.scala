@@ -261,6 +261,10 @@ class SqlAdminSpec extends AnyFunSuite {
       names(Info.jobs(spark, path).schema))
     assert(names(SqlAdmin.viewBaseOutputs("job_stats")) ===
       names(Info.jobStats(spark, path).schema))
+    assert(names(SqlAdmin.viewBaseOutputs("job_history")) ===
+      names(Info.jobHistory(spark, path).schema))
+    assert(names(SqlAdmin.viewBaseOutputs("job_errors")) ===
+      names(Info.jobErrors(spark, path).schema))
     assert(names(SqlAdmin.viewBaseOutputs("chunk_columnstore_stats")) ===
       names(Info.chunkColumnstoreStats(ht).schema))
     assert(names(SqlAdmin.viewBaseOutputs("hypertable_columnstore_stats")) ===
@@ -357,6 +361,143 @@ class SqlAdminSpec extends AnyFunSuite {
     assert(ContinuousAggregate.atPath(caggPath).isEmpty)
     assert(!spark.sql(
       s"SELECT drop_continuous_aggregate('$caggPath')").as[Boolean].head())
+  }
+
+  test("dimension DDL by SQL: add_dimension, set_number_partitions, set_partitioning_interval, set_integer_now_func") {
+    // sql/ddl_api.sql:56-87,115-177 call forms
+    val path = tmp() + "/ht"
+    spark.sql(s"SELECT create_hypertable('$path', 'ts', 'user_id', 4)")
+    // by_hash dimension_info constructor
+    val added = spark.sql(
+      s"SELECT add_dimension('$path', by_hash('value', 2))").collect()(0)
+    assert(added.getInt(0) === 3 && added.getString(1) === "value" && added.getBoolean(2))
+    val ht = Hypertable.at(spark, path)
+    assert(ht.spaceDims.map(d => (d._1, d._2)) === Seq(("user_id", 4), ("value", 2)))
+    // old-style positional form on a fresh table
+    val p2 = tmp() + "/ht2"
+    spark.sql(s"SELECT create_hypertable('$p2', 'ts')")
+    spark.sql(s"SELECT add_dimension('$p2', 'user_id', 2)")
+    assert(Hypertable.at(spark, p2).spaceDims.map(_._1) === Seq("user_id"))
+    // by_range second dimensions are rejected with the documented reason
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT add_dimension('$p2', by_range('value', INTERVAL '1 day'))")
+        .collect()
+    }
+    assert(e.getMessage.contains("by_range"))
+
+    // set_number_partitions defaults dimension_name to the closed dim
+    spark.sql(s"SELECT set_number_partitions('$path', 8)")
+    assert(Hypertable.at(spark, path).spacePartitions === 8)
+    // set_partitioning_interval = set_chunk_time_interval on the open dim
+    spark.sql(s"SELECT set_partitioning_interval('$path', INTERVAL '2 days')")
+    Hypertable.at(spark, path).write(events(96))
+    assert(spark.sql(s"SELECT show_chunks('$path')").count() === 2)
+
+    // set_integer_now_func registers the bigint clock
+    val p3 = tmp() + "/ht3"
+    spark.sql(s"SELECT create_hypertable('$p3', 'seq', " +
+      "chunk_interval => 1000, time_kind => 'bigint')")
+    Hypertable.registerIntegerNow("test_now")(() => 5000L)
+    assert(spark.sql(s"SELECT set_integer_now_func('$p3', 'test_now')")
+      .as[Boolean].head())
+    assert(Hypertable.at(spark, p3).integerNowFunc === Some("test_now"))
+  }
+
+  test("declarative CREATE TABLE ... WITH (tsdb.hypertable, ...) creates the hypertable") {
+    // reference surface: src/with_clause/create_table_with_clause.c
+    val path = tmp() + "/ht"
+    spark.sql(
+      s"""CREATE TABLE '$path' (ts TIMESTAMP, user_id BIGINT, value DOUBLE)
+         |WITH (tsdb.hypertable, tsdb.partition_column='ts',
+         |      tsdb.chunk_interval='1 day',
+         |      tsdb.segmentby='user_id', tsdb.orderby='ts')""".stripMargin)
+    val ht = Hypertable.at(spark, path)
+    assert(ht.timeCol === "ts")
+    ht.write(events(96)) // 4 days → 4 chunks at 1 day
+    assert(spark.sql(s"SELECT show_chunks('$path')").count() === 4)
+    // the declared columnstore settings are stored and effective
+    val opts = Columnstore.resolveOptions(ht)
+    assert(opts.segmentBy === Seq("user_id") && opts.orderBy === Seq("ts"))
+    val chunk = spark.sql(s"SELECT show_chunks('$path')").as[String].head()
+    spark.sql(s"SELECT compress_chunk('$chunk')")
+    assert(Columnstore.isCompressed(spark, chunk))
+
+    // default partition column = first timestamp column (the reference's
+    // rule, src/process_utility.c:4245); timescaledb. prefix; IF NOT
+    // EXISTS is a no-op on an existing table
+    val p2 = tmp() + "/ht2"
+    spark.sql(s"CREATE TABLE '$p2' (v DOUBLE, t TIMESTAMP) WITH (timescaledb.hypertable)")
+    assert(Hypertable.at(spark, p2).timeCol === "t")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS '$p2' (v DOUBLE, t TIMESTAMP) " +
+      "WITH (tsdb.hypertable, tsdb.chunk_interval='2 days')")
+    assert(Hypertable.at(spark, p2).timeCol === "t")
+
+    // bigint partition column derives integer time kind
+    val p3 = tmp() + "/ht3"
+    spark.sql(s"CREATE TABLE '$p3' (seq BIGINT, v DOUBLE) " +
+      "WITH (tsdb.hypertable, tsdb.partition_column='seq', tsdb.chunk_interval=1000)")
+    assert(Hypertable.at(spark, p3).timeKind === "bigint")
+
+    // unknown tsdb option errors; missing hypertable flag errors; a
+    // non-tsdb WITH clause falls through to Spark's parser
+    val e1 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE '${tmp()}/x' (ts TIMESTAMP) " +
+        "WITH (tsdb.hypertable, tsdb.bogus_option='1')")
+    }
+    assert(e1.getMessage.contains("unsupported"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE '${tmp()}/x' (ts TIMESTAMP) WITH (tsdb.orderby='ts')")
+    }
+    assert(e2.getMessage.contains("tsdb.hypertable"))
+    intercept[Exception] { // Spark's parser rejects the quoted name
+      spark.sql(s"CREATE TABLE '${tmp()}/x' (ts TIMESTAMP) WITH (foo='bar')")
+    }
+  }
+
+  test("declarative CREATE MATERIALIZED VIEW ... WITH (tsdb.continuous) builds a cagg") {
+    // reference surface: tsl/src/continuous_aggs/create.c + cagg_ddl.sql
+    val htPath = tmp() + "/ht"
+    val caggPath = tmp() + "/cagg"
+    spark.sql(s"SELECT create_hypertable('$htPath', 'ts', INTERVAL '1 day')")
+    val ht = Hypertable.at(spark, htPath)
+    ht.write(events(48))
+    // default WITH DATA (Postgres's materialized-view default)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW '$caggPath'
+         |WITH (tsdb.continuous, tsdb.materialized_only=false)
+         |AS SELECT time_bucket('1 hour', ts) AS bucket, user_id,
+         |  sum(value) AS total, count(1) AS n
+         |FROM '$htPath' GROUP BY bucket, user_id""".stripMargin)
+    val cagg = ContinuousAggregate.atPath(spark, caggPath).get
+    assert(cagg.materialized.count() === 48)
+    assert(cagg.defn.groupCols === Seq("user_id"))
+    val direct = ht.read().groupBy(window($"ts", "1 hour"), $"user_id")
+      .agg(sum($"value")).count()
+    assert(cagg.materialized.count() === direct)
+
+    // WITH NO DATA + GROUP BY ordinals + bare-width literal
+    val cagg2Path = tmp() + "/cagg2"
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW '$cagg2Path' WITH (timescaledb.continuous)
+         |AS SELECT time_bucket('1 day', ts) AS day, count(1) AS n
+         |FROM '$htPath' GROUP BY 1 WITH NO DATA""".stripMargin)
+    val cagg2 = ContinuousAggregate.atPath(spark, cagg2Path).get
+    assert(cagg2.materialized.count() === 0)
+    spark.sql(s"CALL refresh_continuous_aggregate('$cagg2Path', NULL, NULL)")
+    assert(cagg2.materialized.count() === 2)
+
+    // malformed shapes error with clear messages
+    val e1 = intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW '${tmp()}/c' WITH (tsdb.continuous) " +
+        s"AS SELECT count(1) AS n FROM '$htPath' GROUP BY 1")
+    }
+    assert(e1.getMessage.contains("time_bucket"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW '${tmp()}/c' WITH (tsdb.continuous) " +
+        s"AS SELECT time_bucket('1 hour', ts) AS b, user_id, sum(value) AS s " +
+        s"FROM '$htPath' GROUP BY b")
+    }
+    assert(e2.getMessage.contains("not in GROUP BY"))
   }
 
   test("composite statements headed by an admin name delegate to Spark") {

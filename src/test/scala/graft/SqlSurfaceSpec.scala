@@ -42,6 +42,52 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "init() must not re-append rules the extensions already injected")
   }
 
+  test("interpolate(value, prev, next) SQL seeds ≡ the Column API's seed pairs") {
+    // the reference's lookup-expression record arguments
+    // (sql/gapfill.sql interpolate signatures) — q65's construction, SQL
+    // form vs Column form, byte-identical rows
+    Graft.init(spark)
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val (start, finish) = (1703894400000000L, 1706918400000000L)
+    docs.where(col("ts") >= timestamp_micros(lit(start)) &&
+        col("ts") < timestamp_micros(lit(finish)))
+      .createOrReplaceTempView("events_seed_t")
+    val viaSql = spark.sql(
+      s"""SELECT event_type,
+         |  time_bucket_gapfill(INTERVAL '1 hour', ts,
+         |    TIMESTAMP '2023-12-30 00:00:00', TIMESTAMP '2024-02-03 00:00:00') AS bucket,
+         |  interpolate(min(value),
+         |    struct(TIMESTAMP '2023-12-30 00:00:00', CAST(0.0 AS DOUBLE)),
+         |    struct(TIMESTAMP '2024-02-03 00:00:00', CAST(100.0 AS DOUBLE))) AS interp_value
+         |FROM events_seed_t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    val agg = docs
+      .where(col("ts") >= timestamp_micros(lit(start)) &&
+        col("ts") < timestamp_micros(lit(finish)))
+      .groupBy(gf.time_bucket("1 hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(min(col("value")).as("min_value"))
+    val viaApi = graft.operators.Gapfill
+      .gapfill(agg, "bucket", Seq("event_type"), start, finish, "1 hour")
+      .withColumn("interp_value",
+        graft.operators.Gapfill.interpolate(col("min_value"), Seq("event_type"), "bucket",
+          prev = Some((timestamp_micros(lit(start)), lit(0.0))),
+          next = Some((timestamp_micros(lit(finish)), lit(100.0)))))
+      .select("event_type", "bucket", "interp_value")
+      .orderBy("event_type", "bucket")
+    val a = viaSql.collect()
+    val b = viaApi.collect()
+    assert(a.length === b.length && a.length > 0)
+    assert(a.toSeq === b.toSeq)
+    // a NULL seed reads as absent: edges beyond the last real point stay null
+    val viaSqlNoNext = spark.sql(
+      s"""SELECT event_type,
+         |  time_bucket_gapfill(INTERVAL '1 hour', ts,
+         |    TIMESTAMP '2023-12-30 00:00:00', TIMESTAMP '2024-02-03 00:00:00') AS bucket,
+         |  interpolate(min(value),
+         |    struct(TIMESTAMP '2023-12-30 00:00:00', CAST(0.0 AS DOUBLE)), NULL) AS iv
+         |FROM events_seed_t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin).collect()
+    assert(viaSqlNoNext.last.isNullAt(2), "trailing edge must stay null without a next seed")
+  }
+
   test("first/last: 2-arg reference bookends, 1-arg Spark builtins") {
     df // force view
     val sql = spark.sql(
