@@ -64,7 +64,18 @@ class Hypertable private (
       * so routing and pruning consult the per-chunk catalog. False keeps
       * the single-count fast path with zero extra metadata I/O.
       */
-    val repartitioned: Boolean = false) extends TimeSource {
+    val repartitioned: Boolean = false,
+    /** Chunk-set discovery mode (SCALE.md cliff #1). "list" (default):
+      * every `showChunks` lists the `_chunk=` dirs and reads each one's
+      * `_range` marker — O(chunks) metadata I/O per QUERY, which at 10⁵
+      * chunks on an object store is the dominant planning cost. "table":
+      * the chunk set persists in ONE `_graft_chunks.json` catalog file
+      * (the reference's `_timescaledb_catalog.chunk` analogue), refreshed
+      * at the end of each mutating operation — queries read one file;
+      * the O(chunks) listing runs only when the chunk set actually
+      * changes (ingest batches, maintenance), where it amortizes.
+      */
+    val catalogMode: String = "list") extends TimeSource {
 
   import Hypertable._
 
@@ -208,6 +219,9 @@ class Hypertable private (
       // primary root — fold them into the chunk's real directory (no-op
       // without attached tablespaces: one small-file read)
       if (showTablespaces.nonEmpty) relocateFreshWrites()
+      // the "table" catalog must see this batch's NEW chunks before the
+      // post-write steps below consult showChunks()
+      syncChunkCatalog()
       if (needStats) {
         val touched = routed.select(col(CHUNK)).distinct().collect()
           .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
@@ -423,7 +437,8 @@ class Hypertable private (
       (c, if (c == column) n else cn)
     }
     Hypertable.writeMeta(spark, path, timeCol, timeKind, chunkWidthMicros,
-      chunkMonths, spaceCol, newSpaceParts, newExtra, repartitioned = true)
+      chunkMonths, spaceCol, newSpaceParts, newExtra, repartitioned = true,
+      catalog = catalogMode)
     Hypertable.at(spark, path)
   }
 
@@ -769,8 +784,10 @@ class Hypertable private (
     */
   def showChunks(olderThanMicros: Option[Long] = None,
       newerThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
-    val roots = new Path(path) +: tablespaceTableDirs
-    val chunks = roots.flatMap(listChunksUnder).sortBy(_.startMicros)
+    val chunks =
+      if (catalogMode == "table")
+        readChunkCatalog().getOrElse(refreshChunkCatalog())
+      else listAllChunks()
     // a chunk start present in two roots means a crashed mid-move/ingest
     // relocation left both halves visible — reading would double rows
     chunks.groupBy(_.startMicros).find(_._2.size > 1).foreach { case (s, cs) =>
@@ -782,6 +799,47 @@ class Hypertable private (
       .filter(c => olderThanMicros.forall(c.endMicros <= _))
       .filter(c => newerThanMicros.forall(c.startMicros >= _))
   }
+
+  /** Every chunk by PHYSICAL dir listing across all storage roots — the
+    * ground truth the "table" catalog snapshots.
+    */
+  private def listAllChunks(): Seq[ChunkInfo] = {
+    val roots = new Path(path) +: tablespaceTableDirs
+    roots.flatMap(listChunksUnder).sortBy(_.startMicros)
+  }
+
+  /** Snapshot the physical chunk set into `_graft_chunks.json` and return
+    * it — the "table" catalog's refresh, called by every mutator that can
+    * change the chunk set or a chunk's recorded range.
+    */
+  def refreshChunkCatalog(): Seq[ChunkInfo] = {
+    val chunks = listAllChunks()
+    val o = Hypertable.jsonMapper.createObjectNode()
+    val arr = o.putArray("chunks")
+    chunks.foreach { c =>
+      val n = arr.addObject()
+      n.put("s", c.startMicros); n.put("e", c.endMicros); n.put("p", c.path)
+    }
+    Hypertable.writeSmallFile(fs, new Path(path, Hypertable.CHUNK_CATALOG),
+      o.toString)
+    chunks
+  }
+
+  private def readChunkCatalog(): Option[Seq[ChunkInfo]] = {
+    val p = new Path(path, Hypertable.CHUNK_CATALOG)
+    if (!fs.exists(p)) return None
+    val tree = Hypertable.jsonMapper.readTree(Hypertable.readSmallFile(fs, p))
+    import scala.jdk.CollectionConverters._
+    Some(tree.get("chunks").elements().asScala.map(n =>
+      ChunkInfo(n.get("s").asLong, n.get("e").asLong, n.get("p").asText))
+      .toSeq.sortBy(_.startMicros))
+  }
+
+  /** Post-mutation hook: under the "table" catalog every chunk-set /
+    * range-changing operation re-snapshots; a no-op under "list".
+    */
+  private def syncChunkCatalog(): Unit =
+    if (catalogMode == "table") { refreshChunkCatalog(); () }
 
   /** `_chunk=` dirs directly under `dir` (one storage root), with ranges. */
   private def listChunksUnder(dir: Path): Seq[ChunkInfo] = {
@@ -897,6 +955,7 @@ class Hypertable private (
       forceCompressed = Some(keepCompressed))
     mergedParts.foreach(Hypertable.writeSpaceParts(fs, new Path(cs.head.path), _))
     cs.tail.foreach(c => fs.delete(new Path(c.path), true))
+    syncChunkCatalog()
     ChunkInfo(cs.head.startMicros, cs.last.endMicros, cs.head.path)
   }
 
@@ -953,6 +1012,7 @@ class Hypertable private (
         Hypertable.writeSpaceParts(fs, new Path(c.path), p)
       }
     } finally rows.unpersist()
+    syncChunkCatalog()
     (ChunkInfo(c.startMicros, atMicros, c.path),
      ChunkInfo(atMicros, c.endMicros, s"$path/$CHUNK=$atMicros"))
   }
@@ -1093,6 +1153,7 @@ class Hypertable private (
     writeRange(target.toString, endMicros)
     refreshColumnStats(Seq(target.toString))
     invalidateCaggs(startMicros, endMicros) // new raw rows appeared
+    syncChunkCatalog()
     ChunkInfo(startMicros, endMicros, target.toString)
   }
 
@@ -1109,6 +1170,7 @@ class Hypertable private (
     require(fs.rename(new Path(c.path), dest), s"rename ${c.path} -> $destPath failed")
     fs.delete(new Path(dest, RANGE), false) // catalog marker, not table data
     invalidateCaggs(c.startMicros, c.endMicros) // raw rows disappeared
+    syncChunkCatalog()
     ChunkInfo(c.startMicros, c.endMicros, destPath)
   }
 
@@ -1219,6 +1281,7 @@ class Hypertable private (
         true /* deleteSource */, spark.sparkContext.hadoopConfiguration),
         s"copy $src -> $dst failed")
     }
+    syncChunkCatalog()
     ChunkInfo(c.startMicros, c.endMicros, qualifiedDst.toString)
   }
 
@@ -1285,11 +1348,13 @@ class Hypertable private (
         "(existing rows were not routed under the new dimension)")
     if (spaceCol.isEmpty)
       Hypertable.writeMeta(spark, path, timeCol, timeKind, chunkWidthMicros,
-        chunkMonths, Some(column), partitions, extraSpace, repartitioned)
+        chunkMonths, Some(column), partitions, extraSpace, repartitioned,
+        catalog = catalogMode)
     else
       Hypertable.writeMeta(spark, path, timeCol, timeKind, chunkWidthMicros,
         chunkMonths, spaceCol, spacePartitions,
-        extraSpace :+ (column -> partitions), repartitioned)
+        extraSpace :+ (column -> partitions), repartitioned,
+        catalog = catalogMode)
     Hypertable.at(spark, path)
   }
 
@@ -1306,13 +1371,14 @@ class Hypertable private (
     }
     val updated = Hypertable.create(spark, path, timeCol, chunkWidth = chunkWidth,
       spaceCol = spaceCol, spacePartitions = spacePartitions, timeKind = timeKind,
-      extraSpace = extraSpace)
+      extraSpace = extraSpace, catalog = catalogMode)
     // create() writes a fresh meta — restore the repartitioned marker, which
     // is orthogonal to the chunk width
     if (repartitioned) {
       Hypertable.writeMeta(spark, path, timeCol, timeKind,
         updated.chunkWidthMicros, updated.chunkMonths, spaceCol,
-        spacePartitions, extraSpace, repartitioned = true)
+        spacePartitions, extraSpace, repartitioned = true,
+        catalog = catalogMode)
       Hypertable.at(spark, path)
     } else updated
   }
@@ -1443,6 +1509,7 @@ class Hypertable private (
     // refresh windows (CaggRefreshPolicy offsets) to keep aggregated
     // history.
     invalidateCaggs(dropped.map(c => (c.startMicros, c.endMicros)))
+    syncChunkCatalog()
     dropped
   }
 
@@ -1478,6 +1545,7 @@ class Hypertable private (
       .filterNot(c => Hypertable.chunkFrozen(fs, new Path(c.path)))
     dropped.foreach(c => fs.delete(new Path(c.path), true))
     invalidateCaggs(dropped.map(c => (c.startMicros, c.endMicros)))
+    syncChunkCatalog()
     dropped
   }
 
@@ -1581,6 +1649,12 @@ object Hypertable {
   val SPACE = "_space"
   private val META = "_graft_hypertable.json"
   private val RANGE = "_graft_range"
+  /** The catalog="table" chunk-set snapshot (`_timescaledb_catalog.chunk`
+    * analogue).
+    */
+  private[sources] val CHUNK_CATALOG = "_graft_chunks.json"
+  private[sources] val jsonMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
   private[sources] val SKIPCOLS = "_graft_skipcols"
   private[sources] val COLSETTINGS = "_graft_columnstore_settings"
   private[sources] val SCHEMA = "_graft_table_schema"
@@ -1796,7 +1870,8 @@ object Hypertable {
   def create(spark: SparkSession, path: String, timeCol: String,
       chunkWidth: String = "7 days", spaceCol: Option[String] = None,
       spacePartitions: Int = 4, timeKind: String = "timestamp",
-      extraSpace: Seq[(String, Int)] = Nil): Hypertable = {
+      extraSpace: Seq[(String, Int)] = Nil,
+      catalog: String = "list"): Hypertable = {
     require(Seq("timestamp", "bigint", "uuidv7").contains(timeKind),
       s"timeKind must be timestamp/bigint/uuidv7, got $timeKind")
     val (widthMicros, months) =
@@ -1810,20 +1885,23 @@ object Hypertable {
           "month-width chunks need a timestamp dimension")
         (iv.days * TimeBucketUtil.MICROS_PER_DAY + iv.microseconds, iv.months)
       }
+    require(catalog == "list" || catalog == "table",
+      s"catalog must be 'list' or 'table', got '$catalog'")
     val ht = new Hypertable(spark, path, timeCol, widthMicros, spaceCol,
       spacePartitions, chunkMonths = months, timeKind = timeKind,
-      extraSpace = extraSpace)
+      extraSpace = extraSpace, catalogMode = catalog)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(path))
     writeMeta(spark, path, timeCol, timeKind, widthMicros, months, spaceCol,
-      spacePartitions, extraSpace, repartitioned = false)
+      spacePartitions, extraSpace, repartitioned = false, catalog = catalog)
     ht
   }
 
   private[sources] def writeMeta(spark: SparkSession, path: String,
       timeCol: String, timeKind: String, widthMicros: Long, months: Int,
       spaceCol: Option[String], spacePartitions: Int,
-      extraSpace: Seq[(String, Int)], repartitioned: Boolean): Unit = {
+      extraSpace: Seq[(String, Int)], repartitioned: Boolean,
+      catalog: String = "list"): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val extraJson = extraSpace
       .map { case (c, n) => "\"" + c + ":" + n + "\"" }.mkString("[", ",", "]")
@@ -1833,7 +1911,8 @@ object Hypertable {
       s""""spaceCol":${spaceCol.map(c => "\"" + c + "\"").getOrElse("null")},""" +
       s""""spacePartitions":$spacePartitions,""" +
       s""""extraSpace":$extraJson,""" +
-      s""""repartitioned":$repartitioned}"""
+      s""""repartitioned":$repartitioned,""" +
+      s""""catalog":"$catalog"}"""
     val out = fs.create(new Path(path, META), true)
     out.write(meta.getBytes("UTF-8")); out.close()
   }
@@ -1865,7 +1944,8 @@ object Hypertable {
     val repart = "\"repartitioned\":true".r.findFirstIn(meta).isDefined
     new Hypertable(spark, path, str("timeCol").get, num("chunkWidthMicros"),
       str("spaceCol"), num("spacePartitions").toInt, months,
-      str("timeKind").getOrElse("timestamp"), extra, repartitioned = repart)
+      str("timeKind").getOrElse("timestamp"), extra, repartitioned = repart,
+      catalogMode = str("catalog").getOrElse("list"))
   }
 }
 

@@ -521,4 +521,59 @@ class HypertableSpec extends AnyFunSuite {
         col("a.ts") === col("b.ts"), "left_semi").count()
     assert(h.whereTimeIn(sub, col("ts")).count() === expected)
   }
+
+  test("catalog='table': one-file chunk catalog round-trips every mutation and prunes identically") {
+    // SCALE.md cliff #1: the persisted chunk catalog replaces per-query
+    // dir listing; every chunk-set mutation must keep it exact
+    val d = Files.createTempDirectory("graft_ht_cat").toString
+    val events = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val listHt = Hypertable.create(spark, s"$d/list", "ts", chunkWidth = "1 day")
+    val tblHt = Hypertable.create(spark, s"$d/table", "ts", chunkWidth = "1 day",
+      catalog = "table")
+    assert(Hypertable.at(spark, s"$d/table").catalogMode === "table") // meta round-trip
+    def assertSame(): Unit = {
+      val a = listHt.showChunks().map(c => (c.startMicros, c.endMicros,
+        c.path.stripPrefix(s"$d/list")))
+      val b = tblHt.showChunks().map(c => (c.startMicros, c.endMicros,
+        c.path.replace("/table/", "/list/").stripPrefix(s"$d/list")))
+      assert(a === b, "chunk catalogs diverged")
+      assert(listHt.read().count() === tblHt.read().count())
+    }
+    listHt.write(events); tblHt.write(events)
+    // the catalog file exists and showChunks answers from it (delete a
+    // chunk dir BEHIND the catalog: "table" mode must still report it,
+    // proving no dir listing happened)
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$d/table/_graft_chunks.json")))
+    assertSame()
+    val probe = tblHt.showChunks().head
+    val hidden = new org.apache.hadoop.fs.Path(probe.path)
+    val stash = new org.apache.hadoop.fs.Path(s"$d/stash")
+    fs.rename(hidden, stash)
+    assert(tblHt.showChunks().exists(_.startMicros == probe.startMicros),
+      "showChunks must answer from the catalog file, not a dir listing")
+    fs.rename(stash, hidden)
+
+    // mutations keep the snapshot exact: merge, split, drop, DML
+    val starts = tblHt.showChunks().map(_.startMicros)
+    listHt.mergeChunks(starts(0), starts(1)); tblHt.mergeChunks(starts(0), starts(1))
+    assertSame()
+    listHt.splitChunk(starts(0)); tblHt.splitChunk(starts(0))
+    assertSame()
+    listHt.dropChunks(Some(starts(2)), None); tblHt.dropChunks(Some(starts(2)), None)
+    assertSame()
+    val late = events.limit(50)
+    listHt.write(late); tblHt.write(late)
+    assertSame()
+
+    // chunk exclusion prunes IDENTICALLY through the table catalog
+    val lo = Timestamp.valueOf("2024-01-10 00:00:00")
+    val hi = Timestamp.valueOf("2024-01-12 00:00:00")
+    def pruned(h: Hypertable) = leafScan(h.read().where(
+      col("ts") >= lit(lo) && col("ts") < lit(hi))).selectedPartitions.partitionCount
+    assert(pruned(tblHt) === pruned(listHt),
+      "exclusion must prune the same partitions under both catalog modes")
+    assert(pruned(tblHt) < tblHt.showChunks().size) // and it actually pruned
+  }
 }
