@@ -57,6 +57,23 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
+    // prior-round guard: a row measuring >3x its last recorded value gets
+    // one extra confirmation run. Round 4's q63 measured 1.21 s in the
+    // driver run from ambient load alone (isolated re-measure: 0.26 s) —
+    // min-of-two can still lose when BOTH runs land inside one host-level
+    // stall; comparing against the previous round's number catches that
+    // case for the cost of one run on only the suspicious rows.
+    val prior: Map[String, Double] = {
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(_.getName)
+      files.lastOption.map { f =>
+        val src = scala.io.Source.fromFile(f)
+        val txt = try src.mkString finally src.close()
+        """"(q\d+[a-z0-9_]*)":([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    }
     val results = selected.map { case (name, fn) =>
       def run(): Unit =
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -79,9 +96,13 @@ object Bench {
       // load, GC, JIT mid-ramp) — a third run breaks the tie; the extra
       // cost is bounded to exactly the noisy rows.
       val (a, b) = (timed(), timed())
-      val steady =
+      val steady0 =
         if (math.max(a, b) > 1.5 * math.min(a, b)) math.min(math.min(a, b), timed())
         else math.min(a, b)
+      val steady =
+        if (prior.get(name).exists(p => steady0 > 3 * p))
+          math.min(steady0, timed())
+        else steady0
       val r = name -> (steady, cold)
       dropBlocks()
       r

@@ -173,6 +173,40 @@ object Info {
       "consecutive_failures")
   }
 
+  /** timescaledb_information.chunk_columnstore_settings
+    * (`sql/views.sql:398-423`): one row per COMPRESSED chunk with the
+    * settings it was compressed under — recorded in its marker at
+    * compress time, falling back to the table's stored settings for
+    * chunks whose marker predates recording (rewrite paths).
+    */
+  def chunkColumnstoreSettings(ht: Hypertable): DataFrame = {
+    import ht.spark.implicits._
+    ht.showChunks()
+      .filter(c => Columnstore.isCompressed(ht.spark, c.path))
+      .map { c =>
+        val opts = Columnstore.chunkRecordedSettings(ht.spark, c.path)
+          .getOrElse(Columnstore.resolveOptions(ht))
+        (ht.path, c.path.substring(c.path.lastIndexOf('/') + 1),
+          opts.segmentBy.mkString(","), opts.orderBy.mkString(","),
+          opts.rowGroupBytes)
+      }.toDF("hypertable", "chunk", "segmentby", "orderby", "row_group_bytes")
+  }
+
+  /** timescaledb_information.stat_chunk_activity (`sql/views.sql:426+`),
+    * compression section: per-chunk batch (parquet row-group) counts and
+    * row/byte distributions from footers ([[Stats.chunkActivity]]).
+    */
+  def statChunkActivity(ht: Hypertable): DataFrame = {
+    import ht.spark.implicits._
+    Stats.chunkActivity(ht).map { a =>
+      (ht.path, a.path.substring(a.path.lastIndexOf('/') + 1), a.compressed,
+        a.batchCount, a.rowsMin, a.rowsMax, a.rowsAvg,
+        a.bytesMin, a.bytesMax, a.bytesAvg)
+    }.toDF("hypertable_name", "chunk_name", "is_compressed", "batch_count",
+      "batch_rows_min", "batch_rows_max", "batch_rows_avg",
+      "batch_bytes_min", "batch_bytes_max", "batch_bytes_avg")
+  }
+
   /** timescaledb_information.job_history (`sql/views.sql:328-366`): one
     * row per recorded run, latest last. pid/sqlerrcode have no Spark
     * analogue and are omitted; `err_message` is NULL on success like the

@@ -227,6 +227,48 @@ object Stats {
     }
   }
 
+  case class ChunkActivity(path: String, compressed: Boolean,
+      batchCount: Long, rowsMin: Long, rowsMax: Long, rowsAvg: Double,
+      bytesMin: Long, bytesMax: Long, bytesAvg: Double)
+
+  /** Per-chunk BATCH statistics — `timescaledb_information
+    * .stat_chunk_activity`'s compression section (`sql/views.sql:426+`):
+    * the reference reports compressed-batch counts and row/byte
+    * distributions from its stats table; the parquet analogue of a batch
+    * is the ROW GROUP, and its footer carries the same numbers for free.
+    * Footers are read on executors; chunks with no data report zero
+    * batches. (The reference's DML-activity counters have no analogue —
+    * graft DML is copy-on-write rewrite, not tracked per-statement.)
+    */
+  def chunkActivity(ht: graft.sources.Hypertable): Seq[ChunkActivity] = {
+    val conf = new SerializableConfiguration(
+      ht.spark.sparkContext.hadoopConfiguration)
+    ht.showChunks().map { c =>
+      val files = listParquetFiles(ht.spark, c.path)
+      val groups: Seq[(Long, Long)] =
+        if (files.isEmpty) Nil
+        else ht.spark.sparkContext
+          .parallelize(files, math.max(1, math.min(files.size, 64)))
+          .flatMap { f =>
+            val r = ParquetFileReader.open(
+              HadoopInputFile.fromPath(new Path(f), conf.value))
+            try r.getRowGroups.asScala
+              .map(g => (g.getRowCount, g.getCompressedSize)).toSeq
+            finally r.close()
+          }.collect().toSeq // bounded: row groups of ONE chunk
+      val n = groups.size.toLong
+      ChunkActivity(c.path,
+        graft.sources.Columnstore.isCompressed(ht.spark, c.path),
+        n,
+        if (n == 0) 0L else groups.map(_._1).min,
+        if (n == 0) 0L else groups.map(_._1).max,
+        if (n == 0) 0.0 else groups.map(_._1).sum.toDouble / n,
+        if (n == 0) 0L else groups.map(_._2).min,
+        if (n == 0) 0L else groups.map(_._2).max,
+        if (n == 0) 0.0 else groups.map(_._2).sum.toDouble / n)
+    }
+  }
+
   /** Per-column value range of every parquet file under `path`, normalized
     * for chunk skipping (`chunk_column_stats.c` analogue): INT32/INT64
     * (ints, dates-as-days) → Long, timestamp annotations → Long MICROS

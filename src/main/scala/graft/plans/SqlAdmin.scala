@@ -176,6 +176,16 @@ object SqlAdmin {
     "hypertable_columnstore_settings" -> viewSchema(
       "hypertable" -> StringType, "segmentby" -> StringType,
       "orderby" -> StringType, "row_group_bytes" -> LongType),
+    "chunk_columnstore_settings" -> viewSchema(
+      "hypertable" -> StringType, "chunk" -> StringType,
+      "segmentby" -> StringType, "orderby" -> StringType,
+      "row_group_bytes" -> LongType),
+    "stat_chunk_activity" -> viewSchema(
+      "hypertable_name" -> StringType, "chunk_name" -> StringType,
+      "is_compressed" -> BooleanType, "batch_count" -> LongType,
+      "batch_rows_min" -> LongType, "batch_rows_max" -> LongType,
+      "batch_rows_avg" -> DoubleType, "batch_bytes_min" -> LongType,
+      "batch_bytes_max" -> LongType, "batch_bytes_avg" -> DoubleType),
     "jobs" -> viewSchema(
       "job_id" -> IntegerType, "application_name" -> StringType,
       "proc_name" -> StringType, "schedule_interval_micros" -> LongType,
@@ -763,6 +773,9 @@ object SqlAdmin {
             Info.hypertableColumnstoreStats(ht(arg))
           case "hypertable_columnstore_settings" =>
             Info.hypertableColumnstoreSettings(ht(arg))
+          case "chunk_columnstore_settings" =>
+            Info.chunkColumnstoreSettings(ht(arg))
+          case "stat_chunk_activity" => Info.statChunkActivity(ht(arg))
           case "jobs" => Info.jobs(spark, arg)
           case "job_stats" => Info.jobStats(spark, arg)
           case "job_history" => Info.jobHistory(spark, arg)

@@ -122,11 +122,34 @@ object Columnstore {
   }
 
   /** Stamp a chunk dir as columnstore (for rewrite paths that re-encode a
-    * compressed chunk's rows and must keep its state).
+    * compressed chunk's rows and must keep its state). The empty marker
+    * means "compressed, settings unrecorded" — views fall back to the
+    * table's stored settings.
     */
   private[sources] def markCompressed(fs: org.apache.hadoop.fs.FileSystem,
       chunkDir: Path): Unit =
     fs.create(new Path(chunkDir, MARKER), true).close()
+
+  /** The settings a chunk was compressed with, read back from its marker
+    * content; None when the chunk is uncompressed OR the marker predates
+    * settings recording (rewrite paths stamp empty markers).
+    */
+  def chunkRecordedSettings(spark: SparkSession,
+      chunkPath: String): Option[Options] = {
+    val p = new Path(chunkPath, MARKER)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || fs.getFileStatus(p).getLen == 0) return None
+    val lines = Hypertable.readSmallFile(fs, p).split('\n')
+      .flatMap { l =>
+        val i = l.indexOf('=')
+        if (i > 0) Some(l.substring(0, i) -> l.substring(i + 1).trim) else None
+      }.toMap
+    def cols(k: String) = lines.getOrElse(k, "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    Some(Options(segmentBy = cols("segmentby"), orderBy = cols("orderby"),
+      rowGroupBytes = lines.get("rowgroupbytes").map(_.toLong)
+        .getOrElse(Options().rowGroupBytes)))
+  }
 
   /** One recursive walk of a chunk: its LEAF data directories (the
     * `_space=` partition dirs, or the chunk root when unpartitioned — the
@@ -329,7 +352,13 @@ object Columnstore {
     fs.rename(tmp, chunkP)
     range.foreach(end => Hypertable.writeRangeFile(fs, chunkP, end))
     parts.foreach(p => Hypertable.writeSpaceParts(fs, chunkP, p))
+    // the marker carries the settings this chunk was compressed WITH (the
+    // reference's per-relation compression_settings rows) — existence
+    // checks are unchanged, the content feeds chunk_columnstore_settings
     val touch = fs.create(new Path(chunkP, MARKER), true)
+    touch.write((s"segmentby=${opts.segmentBy.mkString(",")}\n" +
+      s"orderby=${opts.orderBy.mkString(",")}\n" +
+      s"rowgroupbytes=${opts.rowGroupBytes}").getBytes("UTF-8"))
     touch.close()
     // the reference computes chunk-skipping column ranges at compress time
     // (chunk_column_stats.c) — same here, from the fresh footers

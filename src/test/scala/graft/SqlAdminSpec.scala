@@ -265,6 +265,31 @@ class SqlAdminSpec extends AnyFunSuite {
       names(Info.jobHistory(spark, path).schema))
     assert(names(SqlAdmin.viewBaseOutputs("job_errors")) ===
       names(Info.jobErrors(spark, path).schema))
+    assert(names(SqlAdmin.viewBaseOutputs("chunk_columnstore_settings")) ===
+      names(Info.chunkColumnstoreSettings(ht).schema))
+    assert(names(SqlAdmin.viewBaseOutputs("stat_chunk_activity")) ===
+      names(Info.statChunkActivity(ht).schema))
+
+    // chunk_columnstore_settings reports the settings a chunk was
+    // COMPRESSED with; stat_chunk_activity reports real batch stats
+    ht.setColumnstoreSettings(Columnstore.Options(
+      segmentBy = Seq("user_id"), orderBy = Seq("ts")))
+    val chunk = spark.sql(s"SELECT show_chunks('$path')").as[String].head()
+    spark.sql(s"SELECT compress_chunk('$chunk')")
+    val settings = spark.sql(
+      s"SELECT * FROM timescaledb_information.chunk_columnstore_settings('$path')")
+      .collect()
+    assert(settings.length === 1)
+    assert(settings(0).getAs[String]("segmentby") === "user_id")
+    assert(settings(0).getAs[String]("orderby") === "ts")
+    val activity = spark.sql(
+      s"SELECT * FROM timescaledb_information.stat_chunk_activity('$path')")
+      .collect()
+    assert(activity.length === 2) // both chunks report
+    val compressedRow = activity.find(_.getAs[Boolean]("is_compressed")).get
+    assert(compressedRow.getAs[Long]("batch_count") >= 1)
+    assert(compressedRow.getAs[Long]("batch_rows_min") > 0)
+    assert(compressedRow.getAs[Double]("batch_bytes_avg") > 0.0)
     assert(names(SqlAdmin.viewBaseOutputs("chunk_columnstore_stats")) ===
       names(Info.chunkColumnstoreStats(ht).schema))
     assert(names(SqlAdmin.viewBaseOutputs("hypertable_columnstore_stats")) ===
