@@ -205,7 +205,23 @@ object GraftExtensions {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
         case _ => throw new IllegalArgumentException("word_ngrams: n must be a literal int")
       })
-    })
+    },
+    // round-5 single-pass training expressions, SQL-callable
+    fn("gopher_rules", "(text)") { case Seq(e) =>
+      GopherFeatures(e, graft.operators.TextAnalysis.STOPWORDS_EN) },
+    fn("pii_scan", "(text)") { case Seq(e) =>
+      PiiScan(e, graft.operators.TextAnalysis.piiPatterns.map(_._1)) },
+    fn("redact_pii", "(text)") { case Seq(e) =>
+      org.apache.spark.sql.catalyst.expressions.GetStructField(
+        PiiScan(e, graft.operators.TextAnalysis.piiPatterns.map(_._1)),
+        0, Some("redacted")) },
+    fn("shingle_hashes", "(tokens, n)") {
+      case Seq(toks, n) => ShingleHashes(toks, n match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
+        case _ => throw new IllegalArgumentException("shingle_hashes: n must be a literal int")
+      })
+    },
+    fn("jaccard_sorted", "(a, b)") { case Seq(a, b) => JaccardSortedLongs(a, b) })
 
   private def isBoolLit(e: Expression): Boolean = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(_,

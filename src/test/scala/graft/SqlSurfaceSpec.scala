@@ -88,6 +88,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSqlNoNext.last.isNullAt(2), "trailing edge must stay null without a next seed")
   }
 
+  test("round-5 training expressions are SQL-callable and match the Column API") {
+    Graft.init(spark)
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+    docs.createOrReplaceTempView("docs_r5_t")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  gopher_rules(text).pass_gopher AS pg,
+        |  redact_pii(text) AS red,
+        |  pii_scan(text).n_email AS ne,
+        |  jaccard_sorted(shingle_hashes(split(trim(text), '\\s+'), 3),
+        |                 shingle_hashes(split(trim(text), '\\s+'), 3)) AS selfj
+        |FROM docs_r5_t ORDER BY doc_id""".stripMargin).collect()
+    val viaApi = docs.select($"doc_id",
+        graft.operators.TextAnalysis.gopher_rules($"text").getField("pass_gopher").as("pg"),
+        graft.operators.TextAnalysis.redact_pii($"text").as("red"),
+        graft.operators.TextAnalysis.pii_counts($"text").getField("n_email").as("ne"),
+        lit(1.0).as("selfj"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.length === viaApi.length && viaSql.length === 50)
+    viaSql.zip(viaApi).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq, s"SQL/Column diverge: $a vs $b")
+    }
+  }
+
   test("first/last: 2-arg reference bookends, 1-arg Spark builtins") {
     df // force view
     val sql = spark.sql(
