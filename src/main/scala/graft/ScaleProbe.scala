@@ -208,6 +208,20 @@ object ScaleProbe {
       }
       report("epoch_order", tEpoch)
 
+      // 16. round-5 fused text scans: Gopher rules and the PII scan are
+      // single-pass expressions — pure narrow scans, expected ~linear
+      val (tGopher, _) = timed2 {
+        force(Tables.table(spark, dir, "documents").select(col("doc_id"),
+          graft.operators.TextAnalysis.gopher_rules(col("text")).as("g")))
+      }
+      report("gopher_scan", tGopher)
+      val (tPii, _) = timed2 {
+        force(Tables.table(spark, dir, "documents").select(col("doc_id"),
+          graft.operators.TextAnalysis.redact_pii(col("text")).as("r"),
+          graft.operators.TextAnalysis.pii_counts(col("text")).as("c")))
+      }
+      report("pii_scan", tPii)
+
       println(s"[scale] m=$m done (neardup pairs=$nPairs)")
     }
     spark.stop()

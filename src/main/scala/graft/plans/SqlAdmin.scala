@@ -517,12 +517,25 @@ object SqlAdmin {
         Seq(Row(true))
       case "show_chunks" =>
         val h = ht(a.str(0, "relation"))
-        h.showChunks(a.microsOpt(1, "older_than"), a.microsOpt(2, "newer_than"))
-          .map(c => Row(c.path))
+        val (ot, nt) = (a.microsOpt(1, "older_than"), a.microsOpt(2, "newer_than"))
+        val (cb, ca) = (a.microsOpt(Int.MaxValue, "created_before"),
+          a.microsOpt(Int.MaxValue, "created_after"))
+        if (cb.isDefined || ca.isDefined) {
+          // creation bounds can't mix with dimension bounds (src/chunk.c:2360)
+          require(ot.isEmpty && nt.isEmpty,
+            s"$fn: cannot mix created_before/created_after with older_than/newer_than")
+          h.showChunksCreated(cb, ca).map(c => Row(c.path))
+        } else h.showChunks(ot, nt).map(c => Row(c.path))
       case "drop_chunks" =>
         val h = ht(a.str(0, "relation"))
-        h.dropChunks(a.microsOpt(1, "older_than"), a.microsOpt(2, "newer_than"))
-          .map(c => Row(c.path))
+        val (ot, nt) = (a.microsOpt(1, "older_than"), a.microsOpt(2, "newer_than"))
+        val (cb, ca) = (a.microsOpt(Int.MaxValue, "created_before"),
+          a.microsOpt(Int.MaxValue, "created_after"))
+        if (cb.isDefined || ca.isDefined) {
+          require(ot.isEmpty && nt.isEmpty,
+            s"$fn: cannot mix created_before/created_after with older_than/newer_than")
+          h.dropChunksCreated(cb, ca).map(c => Row(c.path))
+        } else h.dropChunks(ot, nt).map(c => Row(c.path))
       case "approximate_row_count" =>
         Seq(Row(graft.operators.Stats.rowCount(spark, a.str(0, "relation"))))
       case "hypertable_size" =>
@@ -856,6 +869,40 @@ object SqlAdmin {
         Columnstore.Options(segmentBy = seg, orderBy = ord))
   }
 
+  /** [[GraftAlterTableDDL]]'s executor — the
+    * `ALTER TABLE ... SET (timescaledb.*)` surface
+    * (`src/with_clause/alter_table_with_clause.c`): columnstore settings
+    * land in the per-table settings catalog; chunk_interval applies to
+    * future chunks. Index/sparse-index and direct-compress knobs are
+    * accepted and ignored (no parquet analogue); unknown options error.
+    */
+  private[plans] def runAlterTableDDL(spark: SparkSession, path: String,
+      opts: Map[String, String]): Unit = {
+    val fn = "ALTER TABLE ... SET (tsdb.*)"
+    val ignored = Set("compress_index", "compress_sparse_index", "index",
+      "sparse_index", "direct_compress", "compress_chunk_interval",
+      "compress_chunk_time_interval")
+    val known = ignored ++ Set("compress", "columnstore", "enable_columnstore",
+      "chunk_interval", "compress_segmentby", "segmentby", "segment_by",
+      "compress_orderby", "orderby", "order_by")
+    val unknown = opts.keySet -- known
+    require(unknown.isEmpty, s"$fn: unsupported option(s): ${unknown.mkString(", ")}")
+    val h = Hypertable.at(spark, path)
+    val enable = opts.get("compress").orElse(opts.get("columnstore"))
+      .orElse(opts.get("enable_columnstore"))
+    require(enable.forall(parseBoolOpt(fn, "enable_columnstore", _)),
+      s"$fn: columnstore cannot be disabled — decompress_chunk reverts " +
+        "chunks and removing the policy stops compressing")
+    val seg = opts.get("segmentby").orElse(opts.get("segment_by"))
+      .orElse(opts.get("compress_segmentby")).map(splitCols)
+    val ord = opts.get("orderby").orElse(opts.get("order_by"))
+      .orElse(opts.get("compress_orderby")).map(splitCols)
+    if (seg.isDefined || ord.isDefined)
+      h.setColumnstoreSettings(Columnstore.Options(
+        segmentBy = seg.getOrElse(Nil), orderBy = ord.getOrElse(Nil)))
+    opts.get("chunk_interval").foreach(h.setChunkTimeInterval)
+  }
+
   /** [[GraftCreateCaggDDL]]'s executor. */
   private[plans] def runCreateCaggDDL(spark: SparkSession,
       c: GraftCreateCaggDDL): Unit = {
@@ -923,6 +970,51 @@ case class GraftCreateTableDDL(path: String, declaredSchema: StructType,
   * toggles which one the view's SELECT serves). Absent WITH [NO] DATA
   * defaults to WITH DATA, Postgres's default for materialized views.
   */
+/** `ALTER TABLE '<path>' SET (timescaledb.*)` — columnstore settings and
+  * chunk interval through the reference's declarative form
+  * (`src/with_clause/alter_table_with_clause.c` option names).
+  */
+case class GraftAlterTableDDL(path: String, opts: Map[String, String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    SqlAdmin.runAlterTableDDL(sparkSession, path, opts)
+    Nil
+  }
+}
+
+/** `DROP MATERIALIZED VIEW [IF EXISTS] '<path>'` → drop the continuous
+  * aggregate (the statement-form twin of `drop_continuous_aggregate`).
+  */
+case class GraftDropCaggDDL(path: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    graft.streaming.ContinuousAggregate.atPath(sparkSession, path) match {
+      case Some(c) => c.drop()
+      case None => require(ifExists,
+        s"no continuous aggregate registered at '$path' in this session")
+    }
+    Nil
+  }
+}
+
+/** `DROP TABLE [IF EXISTS] '<path>'` → drop the hypertable (chunks,
+  * catalog markers, registered cagg links — `Hypertable.drop`).
+  */
+case class GraftDropTableDDL(path: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    scala.util.Try(Hypertable.at(sparkSession, path)) match {
+      case scala.util.Success(h) => h.drop()
+      case scala.util.Failure(_) => require(ifExists,
+        s"no hypertable at '$path'")
+    }
+    Nil
+  }
+}
+
 case class GraftCreateCaggDDL(caggPath: String, htPath: String,
     bucketWidth: String, bucketCol: String, timeColName: String,
     bucketTz: Option[String], originMicros: Option[Long],
@@ -958,8 +1050,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)^\s*create\s+materialized\s+view\s+(?:if\s+not\s+exists\s+)?""" +
       """'([^']+)'\s*with\s*\((.*?)\)\s*as\s+(.*?)""" +
       """(\s+with\s+(?:no\s+)?data)?\s*;?\s*$""").r
+  private val alterTableSetShape =
+    """(?is)^\s*alter\s+table\s+'([^']+)'\s+set\s*\((.*?)\)\s*;?\s*$""".r
+  private val dropMatViewShape =
+    """(?is)^\s*drop\s+materialized\s+view\s+(if\s+exists\s+)?'([^']+)'\s*;?\s*$""".r
+  private val dropTableShape =
+    """(?is)^\s*drop\s+table\s+(if\s+exists\s+)?'([^']+)'\s*;?\s*$""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = {
+    for (m <- alterTableSetShape.findFirstMatchIn(sqlText);
+         opts <- parseTsdbOptions(m.group(2)))
+      return GraftAlterTableDDL(m.group(1), opts)
+    for (m <- dropMatViewShape.findFirstMatchIn(sqlText))
+      return GraftDropCaggDDL(m.group(2), m.group(1) != null)
+    for (m <- dropTableShape.findFirstMatchIn(sqlText))
+      return GraftDropTableDDL(m.group(2), m.group(1) != null)
     for (m <- createTableShape.findFirstMatchIn(sqlText);
          opts <- parseTsdbOptions(m.group(4))) {
       require(opts.contains("hypertable"),

@@ -525,6 +525,57 @@ class SqlAdminSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("not in GROUP BY"))
   }
 
+  test("ALTER TABLE SET, DROP MATERIALIZED VIEW, DROP TABLE, creation-bound chunk ops") {
+    val path = tmp() + "/ht"
+    spark.sql(s"SELECT create_hypertable('$path', 'ts', INTERVAL '1 day')")
+    Hypertable.at(spark, path).write(events(48))
+    // ALTER TABLE ... SET stores columnstore settings and chunk interval
+    // (src/with_clause/alter_table_with_clause.c option names)
+    spark.sql(s"ALTER TABLE '$path' SET (timescaledb.enable_columnstore, " +
+      "timescaledb.segmentby = 'user_id', timescaledb.orderby = 'ts')")
+    val opts = Columnstore.resolveOptions(Hypertable.at(spark, path))
+    assert(opts.segmentBy === Seq("user_id") && opts.orderBy === Seq("ts"))
+    val chunk = spark.sql(s"SELECT show_chunks('$path')").as[String].head()
+    spark.sql(s"SELECT compress_chunk('$chunk')")
+    assert(Columnstore.isCompressed(spark, chunk))
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE '$path' SET (tsdb.enable_columnstore = false)")
+    }
+    assert(e.getMessage.contains("cannot be disabled"))
+
+    // creation-bound chunk listing/drop by SQL (arrival-time retention);
+    // every chunk was just written, so a future created_before sees all
+    // and an epoch one sees none — and mixing bound kinds errors
+    assert(spark.sql(s"SELECT show_chunks('$path', " +
+      "created_before => TIMESTAMP '2030-01-01 00:00:00')").count() === 2)
+    assert(spark.sql(s"SELECT show_chunks('$path', " +
+      "created_before => TIMESTAMP '1990-01-01 00:00:00')").count() === 0)
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT show_chunks('$path', older_than => TIMESTAMP " +
+        "'2030-01-01 00:00:00', created_before => TIMESTAMP '2030-01-01 00:00:00')")
+        .collect()
+    }
+    assert(e2.getMessage.contains("cannot mix"))
+    assert(spark.sql(s"SELECT drop_chunks('$path', " +
+      "created_before => TIMESTAMP '1990-01-01 00:00:00')").count() === 0)
+
+    // DROP MATERIALIZED VIEW drops a registered cagg; IF EXISTS tolerates
+    val caggPath = tmp() + "/cagg"
+    spark.sql(s"SELECT create_continuous_aggregate('$caggPath', '$path', " +
+      "INTERVAL '1 hour', 'user_id', 'count(1) AS n')")
+    assert(ContinuousAggregate.atPath(caggPath).isDefined)
+    spark.sql(s"DROP MATERIALIZED VIEW '$caggPath'")
+    assert(ContinuousAggregate.atPath(caggPath).isEmpty)
+    intercept[Exception] { spark.sql(s"DROP MATERIALIZED VIEW '$caggPath'") }
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS '$caggPath'") // no-op
+
+    // DROP TABLE removes the hypertable; IF EXISTS tolerates absence
+    spark.sql(s"DROP TABLE '$path'")
+    intercept[Exception] { Hypertable.at(spark, path) }
+    intercept[Exception] { spark.sql(s"DROP TABLE '$path'") }
+    spark.sql(s"DROP TABLE IF EXISTS '$path'") // no-op
+  }
+
   test("composite statements headed by an admin name delegate to Spark") {
     // UNION of two admin calls is not a simple call — it must reach
     // Spark's parser (which rejects the unknown routine), never be
