@@ -221,10 +221,21 @@ object SqlAdmin {
       "application_name" -> StringType, "start_offset_micros" -> LongType,
       "end_offset_micros" -> LongType))
 
+  /** The reference keeps the pre-columnstore-rename view names as
+    * aliases (`sql/views.sql:368-423`: the `*_compression_*` views are
+    * `SELECT * FROM` their `*_columnstore_*` twins, and vice versa).
+    */
+  private lazy val viewAliases: Map[String, String] = Map(
+    "hypertable_compression_settings" -> "hypertable_columnstore_settings",
+    "chunk_compression_settings" -> "chunk_columnstore_settings",
+    "hypertable_compression_stats" -> "hypertable_columnstore_stats",
+    "chunk_compression_stats" -> "chunk_columnstore_stats")
+
   private lazy val viewOutputs: Map[String, StructType] =
-    viewBaseOutputs.flatMap { case (n, s) =>
-      Seq(s"timescaledb_information.$n" -> s, s"timescaledb_information_$n" -> s)
-    }
+    (viewBaseOutputs ++ viewAliases.map { case (a, t) => a -> viewBaseOutputs(t) })
+      .flatMap { case (n, s) =>
+        Seq(s"timescaledb_information.$n" -> s, s"timescaledb_information_$n" -> s)
+      }
 
   /** One evaluated call argument: optional `name =>` plus the literal. */
   case class Arg(name: Option[String], value: Any, dataType: DataType)
@@ -774,8 +785,9 @@ object SqlAdmin {
         graft.operators.Info.policies(spark, a.str(0, "relation")).collect().toSeq
       case v if v.startsWith("timescaledb_information") =>
         import graft.operators.Info
-        val base = v.stripPrefix("timescaledb_information")
+        val named = v.stripPrefix("timescaledb_information")
           .stripPrefix(".").stripPrefix("_")
+        val base = viewAliases.getOrElse(named, named)
         val arg = a.str(0, "relation")
         val df = base match {
           case "hypertables" => Info.hypertables(spark, Seq(arg))

@@ -282,6 +282,17 @@ class SqlAdminSpec extends AnyFunSuite {
     assert(settings.length === 1)
     assert(settings(0).getAs[String]("segmentby") === "user_id")
     assert(settings(0).getAs[String]("orderby") === "ts")
+    // the pre-rename *_compression_* view names alias their
+    // *_columnstore_* twins (sql/views.sql:368-423)
+    assert(spark.sql(
+      s"SELECT * FROM timescaledb_information.chunk_compression_settings('$path')")
+      .collect().toSeq ===
+      spark.sql(
+        s"SELECT * FROM timescaledb_information.chunk_columnstore_settings('$path')")
+        .collect().toSeq)
+    assert(spark.sql(
+      s"SELECT * FROM timescaledb_information.hypertable_compression_stats('$path')")
+      .count() === 1)
     val activity = spark.sql(
       s"SELECT * FROM timescaledb_information.stat_chunk_activity('$path')")
       .collect()
