@@ -1444,6 +1444,41 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // §2.1 chunk catalog as a TABLE (SCALE.md cliff #1): the hypertable's
+    // chunk set lives in one _graft_chunks.json snapshot instead of dir
+    // listings. The row drives ingest, merge, split-back, and a
+    // chunk-boundary drop THROUGH the snapshot (each mutator re-syncs
+    // it), then a time-bounded aggregation whose chunk exclusion consults
+    // the catalog file. Merge+split restore the original grid, so the
+    // oracle mirrors drop_chunks as a row filter at the boundary.
+    "q96_catalog_table" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      Graft.init(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cat_q").toString
+      val p = s"$tmp/ht"
+      val ht = Hypertable.create(s, p, "ts", chunkWidth = "7 days",
+        catalog = "table")
+      ht.write(t(s, dir, "events"), filesPerChunk = 8)
+      val starts = ht.showChunks().map(_.startMicros)
+      ht.mergeChunks(starts(0), starts(1))
+      ht.splitChunk(starts(0), starts(1)) // split back at the old boundary
+      val cutoff = java.time.Instant.parse("2024-01-08T00:00:00Z")
+        .getEpochSecond * 1000000L // on the 2000-01-03-anchored 7-day grid
+      require((cutoff - graft.expressions.TimeBucketUtil.DEFAULT_ORIGIN_MICROS)
+        % (7L * 86400000000L) == 0L, "q96 cutoff must sit on the chunk grid")
+      ht.dropChunks(Some(cutoff), None)
+      require(new org.apache.hadoop.fs.Path(s"$p/_graft_chunks.json")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$p/_graft_chunks.json")),
+        "table-catalog snapshot must exist")
+      Hypertable.at(s, p).read()
+        .where(col("ts") < lit(tsUtc("2024-01-22 00:00:00")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Multimodal: REAL compressed-image decode through the JDK's
     // javax.imageio — per doc a deterministic pixel pattern is PNG-ENCODED
     // (ImageIO writer), then decoded back through the full
@@ -1683,6 +1718,14 @@ object SparkEntry {
         | COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q96_catalog_table" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-22 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q95_imageio_decode" ->
       """WITH d AS (

@@ -66,6 +66,26 @@ object SqlAdmin {
       StructField("column_name", StringType), StructField("disabled", BooleanType))),
     "compress_chunk" -> StructType(Seq(StructField("compress_chunk", StringType))),
     "decompress_chunk" -> StructType(Seq(StructField("decompress_chunk", StringType))),
+    // the columnstore-era names (sql/maintenance_utils.sql): same ops
+    "convert_to_columnstore" -> StructType(Seq(
+      StructField("convert_to_columnstore", StringType))),
+    "convert_to_rowstore" -> StructType(Seq(
+      StructField("convert_to_rowstore", StringType))),
+    "attach_chunk" -> StructType(Seq(StructField("attach_chunk", StringType))),
+    "detach_chunk" -> StructType(Seq(StructField("detach_chunk", StringType))),
+    "merge_chunks_concurrently" -> StructType(Seq(
+      StructField("merge_chunks_concurrently", StringType))),
+    "detach_tablespaces" -> StructType(Seq(
+      StructField("detach_tablespaces", StringType))),
+    // approximate sizes: graft's listing IS the catalog, so approximate
+    // equals exact (sql/size_utils.sql:300-360 reads catalog stats)
+    "hypertable_approximate_size" -> StructType(Seq(
+      StructField("hypertable_approximate_size", LongType))),
+    "hypertable_approximate_detailed_size" -> StructType(Seq(
+      StructField("table_bytes", LongType), StructField("index_bytes", LongType),
+      StructField("toast_bytes", LongType), StructField("total_bytes", LongType))),
+    "hypertable_index_size" -> StructType(Seq(
+      StructField("hypertable_index_size", LongType))),
     "compact_chunk" -> StructType(Seq(StructField("compact_chunk", StringType))),
     "freeze_chunk" -> StructType(Seq(StructField("freeze_chunk", BooleanType))),
     "unfreeze_chunk" -> StructType(Seq(StructField("unfreeze_chunk", BooleanType))),
@@ -133,7 +153,13 @@ object SqlAdmin {
       StructField("created", BooleanType))),
     "drop_continuous_aggregate" -> StructType(Seq(
       StructField("drop_continuous_aggregate", BooleanType)))) ++
-    viewOutputs
+    viewOutputs ++
+    // bare table-function forms of the stats views (sql/size_utils.sql)
+    Map(
+      "chunk_columnstore_stats" -> viewBaseOutputs("chunk_columnstore_stats"),
+      "chunk_compression_stats" -> viewBaseOutputs("chunk_columnstore_stats"),
+      "hypertable_columnstore_stats" -> viewBaseOutputs("hypertable_columnstore_stats"),
+      "hypertable_compression_stats" -> viewBaseOutputs("hypertable_columnstore_stats"))
 
   /** `timescaledb_information.*` views (`sql/views.sql`) as table
     * functions over a path: `SELECT * FROM
@@ -565,15 +591,38 @@ object SqlAdmin {
         val col = a.str(1, "column_name")
         ht(a.str(0, "relation")).disableChunkSkipping(col)
         Seq(Row(col, true))
-      case "compress_chunk" =>
+      case "compress_chunk" | "convert_to_columnstore" =>
         val p = a.str(0, "chunk")
         val (htPath, _) = chunkAddr(p)
         Columnstore.compressChunk(spark, p, Columnstore.resolveOptions(ht(htPath)))
         Seq(Row(p))
-      case "decompress_chunk" =>
+      case "decompress_chunk" | "convert_to_rowstore" =>
         val p = a.str(0, "chunk")
         Columnstore.decompressChunk(spark, p)
         Seq(Row(p))
+      case "attach_chunk" =>
+        // attach_chunk(hypertable, chunk_src, slice_start, slice_end) —
+        // sql/chunk.sql:67-70 takes a jsonb slice; graft binds the range
+        // as two time bounds in the dimension's units
+        val h = ht(a.str(0, "hypertable"))
+        val src = a.str(1, "chunk")
+        val start = a.micros(2, "slice_start")
+        val end = a.micros(3, "slice_end")
+        Seq(Row(h.attachChunk(src, start, end).path))
+      case "detach_chunk" =>
+        val p = a.str(0, "chunk")
+        val dest = a.str(1, "destination")
+        val (htPath, start) = chunkAddr(p)
+        Seq(Row(ht(htPath).detachChunk(start, dest).path))
+      case "detach_tablespaces" =>
+        ht(a.str(0, "hypertable")).detachTablespaces().map(Row(_))
+      case "hypertable_approximate_size" =>
+        Seq(Row(graft.operators.Stats.hypertableSize(ht(a.str(0, "relation")))))
+      case "hypertable_index_size" =>
+        // index bytes = the pruning-metadata analogue reported by
+        // hypertable_detailed_size (catalog markers, ranges, stats)
+        val d = graft.operators.Stats.hypertableDetailedSize(ht(a.str(0, "relation")))
+        Seq(Row(d.indexBytes))
       case "compact_chunk" =>
         val p = a.str(0, "chunk")
         Columnstore.compactChunk(spark, p)
@@ -636,7 +685,10 @@ object SqlAdmin {
         cagg.refresh(a.microsOpt(1, "window_start"), a.microsOpt(2, "window_end"),
           force = force)
         Seq(Row(true))
-      case "merge_chunks" =>
+      case "merge_chunks" | "merge_chunks_concurrently" =>
+        // graft's merge is already non-blocking for readers (tmp + atomic
+        // swap), so the _concurrently variant is the same operation
+        // (sql/maintenance_utils.sql:31-58)
         // two chunk-path args, or one ARRAY['...', ...] of paths
         val paths: Seq[String] = rawArgs.headOption match {
           case Some(Arg(_, ad: org.apache.spark.sql.catalyst.util.ArrayData, _))
@@ -674,9 +726,17 @@ object SqlAdmin {
         val (htPath, _) = chunkAddr(p)
         Columnstore.recompressChunk(spark, p, Columnstore.resolveOptions(ht(htPath)))
         Seq(Row(p))
-      case "hypertable_detailed_size" =>
+      case "hypertable_detailed_size" | "hypertable_approximate_detailed_size" =>
         val d = graft.operators.Stats.hypertableDetailedSize(ht(a.str(0, "relation")))
         Seq(Row(d.tableBytes, d.indexBytes, d.toastBytes, d.totalBytes))
+      case "chunk_columnstore_stats" | "chunk_compression_stats" =>
+        // bare table-function forms (sql/size_utils.sql:413+) — same rows
+        // as the timescaledb_information views
+        graft.operators.Info.chunkColumnstoreStats(ht(a.str(0, "hypertable")))
+          .collect().toSeq
+      case "hypertable_columnstore_stats" | "hypertable_compression_stats" =>
+        graft.operators.Info.hypertableColumnstoreStats(ht(a.str(0, "hypertable")))
+          .collect().toSeq
       case "chunks_detailed_size" =>
         graft.operators.Stats.chunksDetailedSize(ht(a.str(0, "relation")))
           .map(c => Row(c.path, c.bytes, c.files, c.rows))

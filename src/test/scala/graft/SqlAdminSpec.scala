@@ -536,6 +536,53 @@ class SqlAdminSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("not in GROUP BY"))
   }
 
+  test("columnstore-era names, chunk attach/detach, and size variants by SQL") {
+    val path = tmp() + "/ht"
+    spark.sql(s"SELECT create_hypertable('$path', 'ts', INTERVAL '1 day')")
+    val ht = Hypertable.at(spark, path)
+    ht.setColumnstoreSettings(Columnstore.Options(
+      segmentBy = Seq("user_id"), orderBy = Seq("ts")))
+    ht.write(events(48))
+    val chunk = spark.sql(s"SELECT show_chunks('$path')").as[String].head()
+    // convert_to_columnstore / convert_to_rowstore are the modern names
+    // of compress/decompress_chunk (sql/maintenance_utils.sql)
+    spark.sql(s"SELECT convert_to_columnstore('$chunk')")
+    assert(Columnstore.isCompressed(spark, chunk))
+    spark.sql(s"SELECT convert_to_rowstore('$chunk')")
+    assert(!Columnstore.isCompressed(spark, chunk))
+    // bare stats table functions mirror the views
+    assert(spark.sql(s"SELECT * FROM chunk_compression_stats('$path')")
+      .count() === 2)
+    assert(spark.sql(s"SELECT * FROM hypertable_columnstore_stats('$path')")
+      .count() === 1)
+    // size variants: approximate == exact (the listing IS the catalog)
+    val exact = spark.sql(s"SELECT hypertable_size('$path')").as[Long].head()
+    assert(spark.sql(s"SELECT hypertable_approximate_size('$path')")
+      .as[Long].head() === exact)
+    val det = spark.sql(s"SELECT hypertable_detailed_size('$path')").collect()(0)
+    val approx = spark.sql(
+      s"SELECT hypertable_approximate_detailed_size('$path')").collect()(0)
+    assert(det.toSeq === approx.toSeq)
+    assert(spark.sql(s"SELECT hypertable_index_size('$path')")
+      .as[Long].head() === det.getLong(1))
+    // detach_chunk moves the dir out; attach_chunk adopts it back
+    val dest = tmp() + "/standalone"
+    val detached = spark.sql(
+      s"SELECT detach_chunk('$chunk', '$dest')").as[String].head()
+    assert(detached === dest)
+    assert(spark.sql(s"SELECT show_chunks('$path')").count() === 1)
+    val start = chunk.substring(chunk.lastIndexOf("_chunk=") + 7).toLong
+    val end = start + 86400000000L
+    spark.sql(s"SELECT attach_chunk('$path', '$dest', $start, $end)")
+    assert(spark.sql(s"SELECT show_chunks('$path')").count() === 2)
+    assert(Hypertable.at(spark, path).read().count() === 48)
+    // merge_chunks_concurrently = merge_chunks (readers never block here)
+    val chunks = spark.sql(s"SELECT show_chunks('$path')").as[String].collect()
+    spark.sql(s"SELECT merge_chunks_concurrently('${chunks(0)}', '${chunks(1)}')")
+    assert(spark.sql(s"SELECT show_chunks('$path')").count() === 1)
+    assert(Hypertable.at(spark, path).read().count() === 48)
+  }
+
   test("ALTER TABLE SET, DROP MATERIALIZED VIEW, DROP TABLE, creation-bound chunk ops") {
     val path = tmp() + "/ht"
     spark.sql(s"SELECT create_hypertable('$path', 'ts', INTERVAL '1 day')")
