@@ -57,8 +57,10 @@ case class GopherFeatures(child: Expression, stopwords: Seq[String])
     c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
   private def isAsciiAlpha(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
-  private def isWordChar(c: Int): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+  // Java \b's word class (Pattern.Bound WITHOUT UNICODE_CHARACTER_CLASS
+  // is still Unicode-aware): '_' or any Unicode letter/digit — 'é'/'１'
+  // join word runs and suppress stopword matches, like the regex does
+  private def isWordChar(c: Int): Boolean = c == '_' || Character.isLetterOrDigit(c)
 
   override def nullSafeEval(v: Any): Any = {
     val u = v.asInstanceOf[UTF8String]

@@ -35,8 +35,10 @@ case class LangId(child: Expression, markers: Seq[(String, Seq[String])])
     m
   }
 
-  private def isWordChar(c: Int): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+  // Java \b's word class (Pattern.Bound is Unicode-aware even WITHOUT
+  // UNICODE_CHARACTER_CLASS): '_' or any Unicode letter/digit — 'é'
+  // joins a word run and suppresses a marker match, like the regex does
+  private def isWordChar(c: Int): Boolean = c == '_' || Character.isLetterOrDigit(c)
 
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String].toString

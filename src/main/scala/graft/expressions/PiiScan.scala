@@ -30,9 +30,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    fixed-count groups — digit runs must have exactly the stated
   *    lengths.
   *
-  * Word/boundary classes are ASCII (`Pattern.compile` without
-  * UNICODE_CHARACTER_CLASS), so char-wise classification is exact:
-  * surrogate halves classify as non-word on both paths.
+  * Character classes (`\d`, the email classes) are ASCII
+  * (`Pattern.compile` without UNICODE_CHARACTER_CLASS) — but Java's `\b`
+  * is NOT: even without the flag, `Pattern.Bound` classifies word
+  * characters as `'_' || Character.isLetterOrDigit(codePoint)`, so 'é',
+  * '１' (full-width one), and astral letters suppress boundaries while
+  * '€' or an emoji does not (verified empirically; a 100k-string fuzz
+  * caught the ASCII approximation diverging). The scanners replicate the
+  * Unicode rule by code point, surrogate pairs included. RE2's `\b` stays
+  * ASCII — the engine-portability claim for the oracle therefore holds on
+  * ASCII text (the oracle corpus); the expression pins JAVA (= Spark
+  * column) semantics.
   *
   * Redaction applies the kinds IN ORDER to the progressively-replaced
   * text (sequential `regexp_replace` semantics — e.g. a dotted-quad glued
@@ -100,8 +108,16 @@ object PiiScan {
     StructField("n_ssn", IntegerType),
     StructField("n_phone_us", IntegerType)))
 
-  private def isWord(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+  /** Java `\b`'s word class (Pattern.Bound without UNICODE_CHARACTER_CLASS):
+    * `'_' || Character.isLetterOrDigit` — Unicode-aware, unlike `\w`.
+    */
+  private def isWordCp(cp: Int): Boolean = cp == '_' || Character.isLetterOrDigit(cp)
+  /** Word-ness of the code point ENDING at index i (false at start). */
+  private def wordBefore(s: String, i: Int): Boolean =
+    i > 0 && isWordCp(s.codePointBefore(i))
+  /** Word-ness of the code point STARTING at index i (false at end). */
+  private def wordAt(s: String, i: Int): Boolean =
+    i < s.length && isWordCp(s.codePointAt(i))
   private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
   private def isAlpha(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
@@ -165,7 +181,7 @@ object PiiScan {
     val n = s.length
     var i = 0
     while (i < n) {
-      if (isDigit(s.charAt(i)) && (i == 0 || !isWord(s.charAt(i - 1)))) {
+      if (isDigit(s.charAt(i)) && !wordBefore(s, i)) {
         // attempt at this boundary-started digit run
         var p = i
         var ok = true
@@ -177,7 +193,7 @@ object PiiScan {
           if (len < 1 || len > 3) ok = false
           else if (g < 3) {
             if (p < n && s.charAt(p) == '.') p += 1 else ok = false
-          } else ok = p >= n || !isWord(s.charAt(p)) // trailing \b
+          } else ok = !wordAt(s, p) // trailing \b
           g += 1
         }
         if (ok) { out.add(i); out.add(p); i = p }
@@ -201,17 +217,17 @@ object PiiScan {
       p - from
     }
     while (i < n) {
-      if (isDigit(s.charAt(i)) && (i == 0 || !isWord(s.charAt(i - 1)))) {
+      if (isDigit(s.charAt(i)) && !wordBefore(s, i)) {
         val e =
           if (runLen(i) == a && i + a < n && s.charAt(i + a) == '-' &&
               runLen(i + a + 1) == b && i + a + 1 + b < n &&
               s.charAt(i + a + 1 + b) == '-' &&
               runLen(i + a + b + 2) == c) i + a + b + c + 2
           else -1
-        // trailing \b: char after the last digit group must be non-word
-        // or end (runLen == c already guarantees no digit follows; a
-        // letter or '_' could)
-        if (e > 0 && (e >= n || !isWord(s.charAt(e)))) {
+        // trailing \b: the code point after the last digit group must be
+        // non-word or end (runLen == c already guarantees no digit
+        // follows; a letter — ASCII or not — or '_' could)
+        if (e > 0 && !wordAt(s, e)) {
           out.add(i); out.add(e); i = e
         } else i += 1
       } else i += 1

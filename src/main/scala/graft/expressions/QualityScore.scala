@@ -39,8 +39,10 @@ case class QualityScore(child: Expression, stopwords: Seq[String])
 
   private def isRegexSpace(c: Int): Boolean = // Java regex \s
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-  private def isWordChar(c: Int): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+  // Java \b's word class (Pattern.Bound is Unicode-aware even WITHOUT
+  // UNICODE_CHARACTER_CLASS): '_' or any Unicode letter/digit — 'é'
+  // joins a word run and suppresses a stopword match, like the regex does
+  private def isWordChar(c: Int): Boolean = c == '_' || Character.isLetterOrDigit(c)
   private def isAlnum(c: Int): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
 

@@ -279,11 +279,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       "_123-45-6789", "555-867-5309 and 123-45-6789",
       "call 555-867-5309call", "%+-a@b.cc", "a@-.cc", "a@.cc", "a@c-.dd-",
       "émail@exämple.com", "日本@例.jp", "a@b.cc\n1.2.3.4",
-      "123-45-6789@x.cc" // local part eats the ssn; counts still see it
+      "123-45-6789@x.cc", // local part eats the ssn; counts still see it
+      // Java's \b is Unicode-aware without UNICODE_CHARACTER_CLASS:
+      // 'é'/'１'/astral letters suppress boundaries, '€'/emoji do not
+      "é10.0.0.7", "10.0.0.7é", "€10.0.0.7€", "１123-45-6789", "123-45-6789１",
+      "𝐀555-867-5309", "555-867-5309𝐀", "😀" + "1.2.3.4" + "😀"
     ).zipWithIndex.map { case (t, i) => (20000L + i, t) }
     // fuzz with a PII-heavy alphabet
     val rnd = new scala.util.Random(7)
-    val alpha = "ab1@.-_% 9#".toCharArray
+    val alpha = "ab1@.-_% 9#é１€".toCharArray
     val fuzz = (0 until 300).map { i =>
       val len = rnd.nextInt(40)
       (30000L + i, (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
@@ -323,7 +327,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     val edge = Seq("", " ", "\t", "\ta b", "a\t", "... .. ....", "#", "#...#",
       "the the the", "it", "of.", "...the...", "123 456", "a_b the",
       "x" + "😀" + " the y", "Kit is", "dots...here",
-      "is it in the a of to and", ". . .", "a  b   c", "w " * 60)
+      "is it in the a of to and", ". . .", "a  b   c", "w " * 60,
+      // Unicode \b word class: these join runs and kill stopword matches
+      "éthe theé é the", "１the the１ the",
+      "𝐀the the𝐀 the")
       .zipWithIndex.map { case (t, i) => (10000L + i, t) }
     val rows = docs.select($"doc_id", $"text")
       .union(edge.toDF("doc_id", "text"))

@@ -239,11 +239,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
-  test("quality score and lang id iterate by code point") {
+  test("quality score and lang id iterate by code point with Java's Unicode word class") {
     // astral-plane punctuation (surrogate pair) is ONE [^A-Za-z0-9\s] match;
-    // U+212A (Kelvin sign) lowercases into ASCII 'k' and joins a word run
+    // U+212A (Kelvin sign) lowercases into ASCII 'k' and joins a word run.
+    // Java's \b is Unicode-aware even WITHOUT UNICODE_CHARACTER_CLASS
+    // (word = '_' | Character.isLetterOrDigit): 'é', '１' (full-width
+    // one) and astral letters like 𝐀 join word runs, so "éthe" has NO
+    // stopword/marker match — a 100k-string fuzz caught the earlier ASCII
+    // approximation diverging exactly here.
     val tricky = Seq("a 😀 b", "😀😀",
-      "looK the cat", "Kthe cat", "King of the hill", "café the")
+      "looK the cat", "Kthe cat", "King of the hill", "café the",
+      "éthe theé é the", "１the the the１",
+      "𝐀the of the𝐀", "the_ _the the")
       .toDF("text")
     val r = tricky.select(
       TextAnalysis.quality_score($"text").as("fast"),
@@ -252,10 +259,21 @@ class TrainingOpsSpec extends AnyFunSuite {
       java.lang.Double.doubleToLongBits(row.getDouble(0)) ===
         java.lang.Double.doubleToLongBits(row.getDouble(1)),
       s"quality mismatch: ${row.getDouble(0)} vs ${row.getDouble(1)}"))
-    // "loo<Kelvin>" lowers to "look" — NOT the marker "the"-breaking run the
-    // per-char version saw; the argmax must still match the regex formula
-    val langs = tricky.select(TextAnalysis.lang_id($"text").as("l")).collect()
-    assert(langs.map(_.getString(0)).toSeq === Seq("und", "und", "en", "und", "en", "en"))
+    // lang_id against the per-language regexp_count columns it fuses:
+    // counts and first-wins argmax must agree exactly on every row
+    val markers = TextAnalysis.LANG_MARKERS
+    val counts = tricky.select(
+      TextAnalysis.lang_id($"text").as("fused") +:
+        markers.map { case (l, _) => TextAnalysis.lang_score($"text", l).as(l) }: _*)
+      .collect()
+    counts.foreach { row =>
+      val byLang = markers.map { case (l, _) => row.getAs[Int](l) }
+      val expected =
+        if (byLang.sum == 0) "und"
+        else markers(byLang.indexOf(byLang.max))._1
+      assert(row.getString(0) === expected,
+        s"lang_id diverges from the regex counts: $row")
+    }
   }
 
   test("WordNGrams equals the higher-order-function formulation") {
