@@ -30,8 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `n_alpha_words` = fields of the same split containing an ASCII
   *    letter (`rlike("[A-Za-z]")`).
   *  - `n_stopwords` = `regexp_count(lower(text), "\b(w1|...)\b")` =
-  *    maximal `\w` runs of the code-point-lowered text equal to a
-  *    stopword ([[QualityScore]]'s equivalence argument).
+  *    maximal word-character runs (Java `\b`'s Unicode class) of the
+  *    code-point-lowered text equal to a stopword ([[QualityScore]]'s
+  *    equivalence argument). Lowering is simple 1:1 code-point mapping;
+  *    locale-special multi-char expansions (U+0130 'İ' → i + combining
+  *    dot under `lower()`) are outside the pinned contract, same as
+  *    QualityScore's documented exclusion.
   */
 case class GopherFeatures(child: Expression, stopwords: Seq[String])
     extends UnaryExpression with NullSafeEvalCodegen {

@@ -19,6 +19,10 @@ case class JaccardSortedLongs(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sorted"
+  // the 0/0 (two empty sets) result is NULL regardless of child
+  // nullability — without this override the non-nullable codegen branch
+  // would unbox compute()'s null and NPE
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {

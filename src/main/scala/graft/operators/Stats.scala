@@ -243,29 +243,37 @@ object Stats {
   def chunkActivity(ht: graft.sources.Hypertable): Seq[ChunkActivity] = {
     val conf = new SerializableConfiguration(
       ht.spark.sparkContext.hadoopConfiguration)
-    ht.showChunks().map { c =>
-      val files = listParquetFiles(ht.spark, c.path)
-      val groups: Seq[(Long, Long)] =
-        if (files.isEmpty) Nil
-        else ht.spark.sparkContext
-          .parallelize(files, math.max(1, math.min(files.size, 64)))
-          .flatMap { f =>
-            val r = ParquetFileReader.open(
-              HadoopInputFile.fromPath(new Path(f), conf.value))
-            try r.getRowGroups.asScala
-              .map(g => (g.getRowCount, g.getCompressedSize)).toSeq
-            finally r.close()
-          }.collect().toSeq // bounded: row groups of ONE chunk
-      val n = groups.size.toLong
+    val chunks = ht.showChunks()
+    // ONE job over every (chunk, file) pair — a per-chunk job would pay
+    // the ~100ms scheduling floor × #chunks, minutes on the very
+    // 10³-chunk tables this view exists to inspect. The collect is
+    // bounded: one (rows, bytes) pair per ROW GROUP of the table.
+    val files = chunks.zipWithIndex.flatMap { case (c, i) =>
+      listParquetFiles(ht.spark, c.path).map(f => (i, f))
+    }
+    val groups: Map[Int, Seq[(Long, Long)]] =
+      if (files.isEmpty) Map.empty
+      else ht.spark.sparkContext
+        .parallelize(files, math.max(1, math.min(files.size, 64)))
+        .flatMap { case (i, f) =>
+          val r = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(f), conf.value))
+          try r.getRowGroups.asScala
+            .map(g => (i, (g.getRowCount, g.getCompressedSize))).toSeq
+          finally r.close()
+        }.collect().toSeq.groupBy(_._1).map { case (i, xs) => i -> xs.map(_._2) }
+    chunks.zipWithIndex.map { case (c, i) =>
+      val gs = groups.getOrElse(i, Nil)
+      val n = gs.size.toLong
       ChunkActivity(c.path,
         graft.sources.Columnstore.isCompressed(ht.spark, c.path),
         n,
-        if (n == 0) 0L else groups.map(_._1).min,
-        if (n == 0) 0L else groups.map(_._1).max,
-        if (n == 0) 0.0 else groups.map(_._1).sum.toDouble / n,
-        if (n == 0) 0L else groups.map(_._2).min,
-        if (n == 0) 0L else groups.map(_._2).max,
-        if (n == 0) 0.0 else groups.map(_._2).sum.toDouble / n)
+        if (n == 0) 0L else gs.map(_._1).min,
+        if (n == 0) 0L else gs.map(_._1).max,
+        if (n == 0) 0.0 else gs.map(_._1).sum.toDouble / n,
+        if (n == 0) 0L else gs.map(_._2).min,
+        if (n == 0) 0L else gs.map(_._2).max,
+        if (n == 0) 0.0 else gs.map(_._2).sum.toDouble / n)
     }
   }
 

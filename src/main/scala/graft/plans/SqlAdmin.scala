@@ -908,8 +908,14 @@ object SqlAdmin {
       s"$fn: unsupported option(s): ${unknown.mkString(", ")}")
     require(opts.get("hypertable").forall(parseBoolOpt(fn, "hypertable", _)),
       s"$fn: tsdb.hypertable=false makes no sense on a path-addressed table")
-    if (ifNotExists &&
-        scala.util.Try(Hypertable.at(spark, path)).isSuccess) return
+    if (scala.util.Try(Hypertable.at(spark, path)).isSuccess) {
+      // a bare CREATE TABLE on an existing hypertable must ERROR, like
+      // Postgres — silently rewriting meta would change the chunk grid
+      // (and reset the catalog mode) under existing chunk dirs
+      require(ifNotExists, s"$fn: a hypertable already exists at '$path' " +
+        "(use CREATE TABLE IF NOT EXISTS, or DROP TABLE first)")
+      return
+    }
     // partition column: explicit option, else the first timestamp column
     // (the reference's default rule, src/process_utility.c:4245-4260)
     val timeCol = opts.get("partition_column")
@@ -1286,7 +1292,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       body match {
         case bucketRe(args) =>
           require(bucket.isEmpty, s"$fn: more than one time_bucket item")
-          bucket = Some((args, alias.getOrElse("bucket"), it))
+          // store the EXPRESSION text (no alias) — GROUP BY may repeat
+          // the raw time_bucket(...) call, the standard Postgres form
+          bucket = Some((args, alias.getOrElse("bucket"), body))
         case bareCol() =>
           // a plain column: must be grouped; aliasing a group column would
           // rename it in the materialization — unsupported, like the call

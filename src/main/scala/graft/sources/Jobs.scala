@@ -409,11 +409,23 @@ object Jobs {
       o.toString)
   }
 
+  /** Size backstop on the history file: each append rewrites the whole
+    * JSON (small-file catalog semantics), so unbounded growth would make
+    * run_job bookkeeping O(total runs). Time-based pruning belongs to the
+    * retention proc; this cap only bounds the rewrite cost between its
+    * passes — the reference's bgw_job_stat_history has the same
+    * two-layer shape (append table + scheduled retention job).
+    */
+  private val MAX_HISTORY = 10000
+
   /** Callers hold [[lock]] (invoked from [[run]]'s bookkeeping block). */
   private def appendHistory(spark: SparkSession, root: String,
       run: JobRun): Unit = {
     val (nextId, runs) = readHistory(spark, root)
-    saveHistory(spark, root, nextId + 1, runs :+ run.copy(id = nextId))
+    val appended = runs :+ run.copy(id = nextId)
+    saveHistory(spark, root, nextId + 1,
+      if (appended.size > MAX_HISTORY) appended.takeRight(MAX_HISTORY)
+      else appended)
   }
 
   /** Drop history entries that FINISHED before `cutoffMicros` — the

@@ -522,6 +522,22 @@ class SqlAdminSpec extends AnyFunSuite {
     spark.sql(s"CALL refresh_continuous_aggregate('$cagg2Path', NULL, NULL)")
     assert(cagg2.materialized.count() === 2)
 
+    // GROUP BY may repeat the raw time_bucket expression, the standard
+    // Postgres form (not just the alias / ordinal)
+    val cagg3Path = tmp() + "/cagg3"
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW '$cagg3Path' WITH (tsdb.continuous)
+         |AS SELECT time_bucket('1 day', ts) AS day, count(1) AS n
+         |FROM '$htPath' GROUP BY time_bucket('1 day', ts) WITH DATA""".stripMargin)
+    assert(ContinuousAggregate.atPath(spark, cagg3Path).get.materialized.count() === 2)
+
+    // a bare CREATE TABLE on an existing hypertable errors (no silent
+    // meta rewrite); IF NOT EXISTS stays a no-op
+    val eDup = intercept[Exception] {
+      spark.sql(s"CREATE TABLE '$htPath' (ts TIMESTAMP) WITH (tsdb.hypertable)")
+    }
+    assert(eDup.getMessage.contains("already exists"))
+
     // malformed shapes error with clear messages
     val e1 = intercept[Exception] {
       spark.sql(s"CREATE MATERIALIZED VIEW '${tmp()}/c' WITH (tsdb.continuous) " +

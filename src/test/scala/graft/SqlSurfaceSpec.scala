@@ -111,6 +111,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
     viaSql.zip(viaApi).foreach { case (a, b) =>
       assert(a.toSeq === b.toSeq, s"SQL/Column diverge: $a vs $b")
     }
+    // two empty sets: jaccard is 0/0 = NULL (never an NPE), even though
+    // the array children are non-nullable
+    val empty = spark.sql(
+      "SELECT jaccard_sorted(CAST(array() AS ARRAY<BIGINT>), " +
+        "CAST(array() AS ARRAY<BIGINT>)) AS j").collect()(0)
+    assert(empty.isNullAt(0))
   }
 
   test("first/last: 2-arg reference bookends, 1-arg Spark builtins") {
