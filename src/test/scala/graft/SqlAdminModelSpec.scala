@@ -42,6 +42,53 @@ class SqlAdminModelSpec extends AnyFunSuite {
     (chunks, rows, hash)
   }
 
+  test("random mutation sequences: catalog='table' tracks catalog='list' exactly") {
+    // the table-catalog snapshot must stay correct through ANY mutation
+    // order, not just the scripted HypertableSpec round-trip
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 0 until 2) {
+      val listPath = Files.createTempDirectory(s"graft_cmodel_l$trial").toString + "/ht"
+      val tblPath = Files.createTempDirectory(s"graft_cmodel_t$trial").toString + "/ht"
+      Hypertable.create(spark, listPath, "ts", chunkWidth = "1 day")
+      Hypertable.create(spark, tblPath, "ts", chunkWidth = "1 day",
+        catalog = "table")
+      def lHt = Hypertable.at(spark, listPath)
+      def tHt = Hypertable.at(spark, tblPath)
+      val seed = rnd.nextInt()
+      lHt.write(events(300, seed)); tHt.write(events(300, seed))
+      for (step <- 0 until 10) {
+        val chunks = lHt.showChunks()
+        rnd.nextInt(5) match {
+          case 0 if chunks.size >= 2 =>
+            // merge two adjacent chunks (if an adjacent pair exists)
+            chunks.sliding(2).find { case Seq(x, y) => x.endMicros == y.startMicros }
+              .foreach { case Seq(x, y) =>
+                lHt.mergeChunks(x.startMicros, y.startMicros)
+                tHt.mergeChunks(x.startMicros, y.startMicros)
+              }
+          case 1 if chunks.nonEmpty =>
+            val c = chunks(rnd.nextInt(chunks.size))
+            if (c.endMicros - c.startMicros >= 2) {
+              val at = c.startMicros + (c.endMicros - c.startMicros) / 2
+              lHt.splitChunk(c.startMicros, at); tHt.splitChunk(c.startMicros, at)
+            }
+          case 2 if chunks.nonEmpty =>
+            val cutoff = chunks(rnd.nextInt(chunks.size)).startMicros
+            lHt.dropChunks(Some(cutoff), None); tHt.dropChunks(Some(cutoff), None)
+          case 3 =>
+            val s2 = rnd.nextInt()
+            lHt.write(events(40, s2)); tHt.write(events(40, s2))
+          case _ => ()
+        }
+        val a = lHt.showChunks().map(c => (c.startMicros, c.endMicros))
+        val b = tHt.showChunks().map(c => (c.startMicros, c.endMicros))
+        assert(a === b, s"trial $trial step $step: chunk sets diverged")
+        assert(lHt.read().count() === tHt.read().count(),
+          s"trial $trial step $step: row counts diverged")
+      }
+    }
+  }
+
   test("random dimension-DDL sequences match the Scala API state exactly") {
     val rnd = new scala.util.Random(20260815L)
     val extraCols = Seq("user_id", "value")
