@@ -163,6 +163,23 @@ class SqlAdminSpec extends AnyFunSuite {
       spark.sql("SELECT definitely_not_registered_fn('/x')").collect()
     }
     assert(err.getMessage.contains("UNRESOLVED_ROUTINE"))
+
+    // the declarative statement shapes intercept ONLY quoted-path forms
+    // with tsdb options — plain Spark DDL on identifiers flows through
+    spark.sql("CREATE TABLE graft_plain_t (a INT, b STRING) USING parquet " +
+      s"LOCATION '${tmp()}/plain'")
+    spark.sql("INSERT INTO graft_plain_t VALUES (1, 'x')")
+    assert(spark.sql("SELECT * FROM graft_plain_t").count() === 1)
+    spark.sql("ALTER TABLE graft_plain_t SET TBLPROPERTIES ('k' = 'v')")
+    spark.sql("DROP TABLE graft_plain_t")
+    // quoted path WITHOUT tsdb options also delegates (Spark rejects the
+    // quoted name itself — never half-parsed as graft DDL)
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE '${tmp()}/x' (a INT) WITH (foo = 'bar')")
+    }
+    // a real temp view named like a table survives DROP TABLE delegation
+    spark.range(3).createOrReplaceTempView("graft_plain_v")
+    spark.sql("DROP VIEW graft_plain_v")
   }
 
   test("merge_chunks / split_chunk / recompress_chunk by SQL") {
