@@ -63,17 +63,35 @@ object Bench {
     // min-of-two can still lose when BOTH runs land inside one host-level
     // stall; comparing against the previous round's number catches that
     // case for the cost of one run on only the suspicious rows.
-    val prior: Map[String, Double] = {
-      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(_.getName)
-      files.lastOption.map { f =>
-        val src = scala.io.Source.fromFile(f)
-        val txt = try src.mkString finally src.close()
-        """"(q\d+[a-z0-9_]*)":([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }.getOrElse(Map.empty)
+    // In driver-written BENCH_rNN.json the per-query times live inside the
+    // escaped "tail" STRING field (raw text `\"q21_asof\":0.342`), so the
+    // quote before/after the name may carry a backslash — the pattern
+    // accepts both raw and escaped forms. The tail also truncates the
+    // earliest rows, so we additionally read `bench_full_*.json`, the
+    // complete per-query line this main writes for its own sf (below).
+    val priorRx = """\\?"(q\d+[a-z0-9_]*)\\?":([0-9.]+)""".r
+    def parseBench(f: java.io.File): Map[String, Double] = {
+      val src = scala.io.Source.fromFile(f)
+      val txt = try src.mkString finally src.close()
+      priorRx.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val fullFile = new java.io.File(s"bench_full_$sfTag.json")
+    val prior: Map[String, Double] = {
+      val benchFiles = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      val fromDriver = benchFiles.lastOption.map { f =>
+        val rows = parseBench(f)
+        if (rows.isEmpty)
+          System.err.println(s"[bench] WARNING: prior file ${f.getName} exists but yielded 0 parsed rows — >3x guard will not fire")
+        rows
+      }.getOrElse(Map.empty)
+      // full local record (same sf) fills rows the driver tail truncated
+      val fromFull = if (fullFile.exists()) parseBench(fullFile) else Map.empty[String, Double]
+      fromFull ++ fromDriver
+    }
+    if (prior.nonEmpty)
+      System.err.println(s"[bench] prior-round guard armed with ${prior.size} rows")
     val results = selected.map { case (name, fn) =>
       def run(): Unit =
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -112,7 +130,22 @@ object Bench {
     val total = results.map(_._2._1).sum
     val coldTotal = results.map(_._2._2).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_sec":$coldTotal%.3f,"errors":$errs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_sec":$coldTotal%.3f,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // persist the complete line (driver BENCH files truncate the tail) so
+    // the next round's >3x prior guard sees every row for this sf. Partial
+    // SPARK_GRAFT_ONLY runs still only update their own rows via the merge
+    // on read, so don't overwrite a full record with a subset: merge here.
+    try {
+      val merged =
+        if (fullFile.exists() && only.nonEmpty) {
+          val old = parseBench(fullFile)
+          val upd = old ++ results.map { case (k, (v, _)) => k -> v }
+          upd.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+            .mkString("""{"queries":{""", ",", s"""},"sf":"$sfDir"}""")
+        } else line
+      val w = new java.io.PrintWriter(fullFile); try w.println(merged) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] could not write ${fullFile.getName}: ${e.getMessage}") }
     spark.stop()
   }
 }
