@@ -1479,6 +1479,39 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // §2.10 window functions in the cagg defining query — the reference's
+    // experimental `enable_cagg_window_functions` surface (src/guc.c:1031,
+    // cagg_ddl.sql cagg_window_1..4): windows compute over the AGGREGATED
+    // rows. Two disjoint refreshes prove bucket-partitioned window values
+    // are refresh-window independent (whole buckets recompute together).
+    "q97_cagg_window" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      import graft.streaming.{CaggDef, ContinuousAggregate}
+      import org.apache.spark.sql.expressions.Window
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cagg_win").toString
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
+      ht.write(t(s, dir, "events"), filesPerChunk = 8)
+      s.conf.set("spark.graft.enable_cagg_window_functions", "true")
+      val cagg =
+        try ContinuousAggregate.create(s, s"$tmp/cagg", ht,
+          CaggDef("1 day", Seq("event_type"),
+            aggs = Seq(count(lit(1)).as("n")),
+            windowCols = Seq(
+              rank().over(Window.partitionBy("bucket")
+                .orderBy(desc("n"), col("event_type"))).cast("long").as("rnk"),
+              sum("n").over(Window.partitionBy("bucket")).as("day_total"))))
+        finally s.conf.unset("spark.graft.enable_cagg_window_functions")
+      val day = 86400000000L
+      val (tmin, tmax) = timeRange(s, s"$tmp/ht", "ts")
+      val lo = graft.expressions.TimeBucketUtil.bucketMicros(tmin, day,
+        graft.expressions.TimeBucketUtil.SENTINEL)
+      val mid = graft.expressions.TimeBucketUtil.bucketMicros(
+        lo / 2 + (tmax + day) / 2, day, graft.expressions.TimeBucketUtil.SENTINEL)
+      cagg.refresh(lo, mid)
+      cagg.refresh(mid, tmax + day)
+      cagg.materialized.orderBy("bucket", "event_type")
+    }),
+
     // Multimodal: REAL compressed-image decode through the JDK's
     // javax.imageio — per doc a deterministic pixel pattern is PNG-ENCODED
     // (ImageIO writer), then decoded back through the full
@@ -1726,6 +1759,16 @@ object SparkEntry {
         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-22 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q97_cagg_window" ->
+      """SELECT bucket, event_type, n,
+        | CAST(rank() OVER (PARTITION BY bucket ORDER BY n DESC, event_type)
+        |   AS BIGINT) AS rnk,
+        | CAST(SUM(n) OVER (PARTITION BY bucket) AS BIGINT) AS day_total
+        |FROM (SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS bucket,
+        |        event_type, COUNT(*) AS n
+        |      FROM events GROUP BY 1, 2) g
+        |ORDER BY 1, 2""".stripMargin,
 
     "q95_imageio_decode" ->
       """WITH d AS (

@@ -19,10 +19,13 @@ object functions {
   private def ex(c: Column): Expression = GraftShims.toExpression(c)
 
   /** Parse a PostgreSQL-style interval string ("1 hour", "3 months") into a
-    * CalendarInterval literal column.
+    * CalendarInterval literal column. PostgreSQL's lexer also accepts
+    * digit-adjacent units ("1week", "2hours" — the reference's own tests
+    * use them, e.g. cagg_ddl.sql:1461); Spark's does not, so split them.
     */
   def interval(s: String): Column =
-    col(Literal(IntervalUtils.stringToInterval(UTF8String.fromString(s)), CalendarIntervalType))
+    col(Literal(IntervalUtils.stringToInterval(UTF8String.fromString(
+      s.replaceAll("(?<=[0-9])(?=[a-zA-Z])", " "))), CalendarIntervalType))
 
   // ---------------------------------------------------------------- buckets
 

@@ -65,6 +65,12 @@ object CaggRewrite extends Rule[LogicalPlan] {
     require(cagg.defn.filter.isEmpty && cagg.defn.having.isEmpty,
       "caggs with a WHERE/HAVING clause cannot serve raw-table rewrites " +
         "(they materialize a filtered subset); query the cagg directly")
+    // a window cagg's materialization carries extra window columns and its
+    // defining query is not a plain bucketed aggregate — no raw GROUP BY
+    // shape is equivalent to it
+    require(cagg.defn.windowCols.isEmpty,
+      "caggs with window functions cannot serve raw-table rewrites; " +
+        "query the cagg directly")
     // resolve the cagg's agg columns against the real source to get
     // canonical SQL for structural matching
     val tcol = org.apache.spark.sql.functions.col(ht.timeCol)

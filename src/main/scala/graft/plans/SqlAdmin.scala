@@ -142,6 +142,8 @@ object SqlAdmin {
       StructField("alter_policies", BooleanType))),
     "remove_policies" -> StructType(Seq(
       StructField("remove_policies", BooleanType))),
+    "remove_all_policies" -> StructType(Seq(
+      StructField("remove_all_policies", BooleanType))),
     "show_policies" -> StructType(Seq(
       StructField("application_name", StringType),
       StructField("start_offset_micros", LongType, nullable = true),
@@ -427,6 +429,18 @@ object SqlAdmin {
     parts.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** True when the parsed SELECT-list expression is a window function call
+    * (`fn(...) OVER (...)`) — routed to [[graft.streaming.CaggDef]]'s
+    * `windowCols` (the reference's experimental cagg-window surface)
+    * instead of `aggs`.
+    */
+  private[plans] def isWindowExpr(c: org.apache.spark.sql.Column): Boolean =
+    org.apache.spark.sql.GraftShims.toExpressionEager(c).exists {
+      case _: org.apache.spark.sql.catalyst.expressions.WindowExpression => true
+      case _: org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression => true
+      case _ => false
+    }
+
   private def policyJobId(spark: SparkSession, root: String, proc: String): Option[Int] =
     Jobs.list(spark, root).collectFirst { case (spec, _) if spec.proc == proc => spec.id }
 
@@ -480,6 +494,20 @@ object SqlAdmin {
         val spaceCol =
           if (slot2Width) a.strOpt(Int.MaxValue, "partitioning_column")
           else a.strOpt(2, "partitioning_column")
+        // a STRING in slot 3 that parses as an interval ('7 days') is a
+        // mis-positioned chunk width, not a column name — binding it as a
+        // hash dimension would only fail much later at write time with an
+        // unrelated routing error; refuse with the fix spelled out
+        spaceCol.foreach { sc =>
+          val looksLikeWidth = scala.util.Try(
+            org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                sc.replaceAll("(?<=[0-9])(?=[a-zA-Z])", " ")))).isSuccess
+          require(!looksLikeWidth,
+            s"$fn: partitioning column '$sc' parses as an interval — " +
+              s"if this is the chunk width, pass chunk_interval => " +
+              s"INTERVAL '$sc'")
+        }
         val nParts =
           if (slot2Width) a.intOpt(Int.MaxValue, "number_partitions")
           else a.intOpt(3, "number_partitions")
@@ -811,12 +839,16 @@ object SqlAdmin {
         val tz = a.strOpt(Int.MaxValue, "timezone")
         val origin = a.microsOpt(Int.MaxValue, "origin")
         val withData = a.boolOpt(Int.MaxValue, "with_data").getOrElse(false)
-        val aggCols = splitTopLevel(aggsStr).map(s =>
+        val parsedCols = splitTopLevel(aggsStr).map(s =>
           org.apache.spark.sql.functions.expr(s.trim))
-        require(aggCols.nonEmpty, s"$fn: empty aggs list")
+        // window-function items (`rank() OVER (PARTITION BY bucket) AS r`)
+        // go to windowCols — they compute over the AGGREGATED rows and
+        // reference output aliases, not raw columns
+        val (winCols, aggCols) = parsedCols.partition(isWindowExpr)
+        require(parsedCols.nonEmpty, s"$fn: empty aggs list")
         val defn = graft.streaming.CaggDef(
           bucketWidth = width, groupCols = groupCols, aggs = aggCols,
-          bucketTz = tz, bucketOriginMicros = origin)
+          bucketTz = tz, bucketOriginMicros = origin, windowCols = winCols)
         graft.streaming.ContinuousAggregate.create(
           spark, caggPath, ht(htPath), defn, withData = withData)
         Seq(Row(caggPath, true))
@@ -841,6 +873,16 @@ object SqlAdmin {
         Seq(Row(true))
       case "remove_policies" =>
         Seq(Row(graft.sources.Policies.remove(spark, a.str(0, "relation"))))
+      case "remove_all_policies" =>
+        // sql/policy_api.sql:147-152: bundle + every policy_* job go in one
+        // call; if_exists=false errors when nothing was configured
+        val path = a.str(0, "relation")
+        val ifExists = a.boolOpt(1, "if_exists").getOrElse(false)
+        val removed = graft.sources.Policies.removeAll(spark, path)
+        require(removed || ifExists,
+          s"remove_all_policies: no policies found for $path " +
+            "(use if_exists => true)")
+        Seq(Row(removed))
       case "show_policies" =>
         graft.operators.Info.policies(spark, a.str(0, "relation")).collect().toSeq
       case v if v.startsWith("timescaledb_information") =>
@@ -988,14 +1030,17 @@ object SqlAdmin {
     require(c.timeColName.equalsIgnoreCase(ht.timeCol),
       s"CREATE MATERIALIZED VIEW: time_bucket must be over the " +
         s"hypertable's time column '${ht.timeCol}', got '${c.timeColName}'")
+    val (winCols, aggCols) = c.aggSqls
+      .map(org.apache.spark.sql.functions.expr).partition(isWindowExpr)
     val defn = graft.streaming.CaggDef(
       bucketWidth = c.bucketWidth,
       groupCols = c.groupCols,
-      aggs = c.aggSqls.map(org.apache.spark.sql.functions.expr),
+      aggs = aggCols,
       bucketCol = c.bucketCol,
       matChunkWidth = c.matChunkWidth.getOrElse("auto"),
       bucketTz = c.bucketTz,
-      bucketOriginMicros = c.originMicros)
+      bucketOriginMicros = c.originMicros,
+      windowCols = winCols)
     graft.streaming.ContinuousAggregate.create(
       spark, c.caggPath, ht, defn, withData = c.withData)
   }
@@ -1283,7 +1328,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         itemNames(ix)
       } else g
     }.toSet
-    items.zipWithIndex.foreach { case (raw, ix) =>
+    // pre-pass: locate the single time_bucket item FIRST — window-function
+    // items may reference it from any select-list position (the reference
+    // style `rank() OVER (PARTITION BY time_bucket('1 week', time))`,
+    // cagg_ddl.sql:1459-1470)
+    items.foreach { raw =>
       val it = raw.trim
       val (body, alias) = it match {
         case aliased(b, a) => (b.trim, Some(a))
@@ -1295,6 +1344,58 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           // store the EXPRESSION text (no alias) — GROUP BY may repeat
           // the raw time_bucket(...) call, the standard Postgres form
           bucket = Some((args, alias.getOrElse("bucket"), body))
+        case _ => ()
+      }
+    }
+    val (bArgsText, bAlias, bItem) = bucket.getOrElse(throw
+      new IllegalArgumentException(s"$fn: SELECT must contain a time_bucket item"))
+    // a `time_bucket(...)` call inside a window item's OVER clause names
+    // the GROUP BY bucket (PostgreSQL matches it to the grouping expression
+    // after literal normalization, so the width text may differ: '1week'
+    // in the select vs '1 week' in OVER in the reference's cagg_window_1).
+    // Rewrite it to the bucket's output alias — windows compute over the
+    // aggregated rows, where only the alias exists — after checking it IS
+    // the same bucket.
+    val winBucketCall = """(?is)time_bucket\s*\(([^()]*)\)""".r
+    val quotedW = """(?is)^(?:interval\s+)?'(.*)'$""".r
+    def sameWidth(a: String, b: String): Boolean = {
+      def micros(s: String): Option[(Int, Long)] = {
+        val t = s match { case quotedW(w) => w; case o => o }
+        if (t.matches("""\d+""")) Some((0, t.toLong))
+        else scala.util.Try {
+          // same PG-style digit-unit split as CaggDef.interval ('1week')
+          val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              t.replaceAll("(?<=[0-9])(?=[a-zA-Z])", " ")))
+          (iv.months, iv.days * 86400000000L + iv.microseconds)
+        }.toOption
+      }
+      (micros(a), micros(b)) match {
+        case (Some(x), Some(y)) => x == y
+        case _ => a.replaceAll("\\s+", "") == b.replaceAll("\\s+", "")
+      }
+    }
+    def rewriteWindowBody(body: String): String =
+      winBucketCall.replaceAllIn(body, m => {
+        val args = SqlAdmin.splitTopLevel(m.group(1)).map(_.trim)
+        val bArgs0 = SqlAdmin.splitTopLevel(bArgsText).map(_.trim)
+        require(args.size >= 2 && sameWidth(args(0), bArgs0(0)) &&
+            args(1) == bArgs0(1) &&
+            args.drop(2).map(_.replaceAll("\\s+", "")) ==
+              bArgs0.drop(2).map(_.replaceAll("\\s+", "")),
+          s"$fn: window expression references time_bucket(${m.group(1)}) " +
+            s"which does not match the GROUP BY bucket time_bucket($bArgsText)")
+        java.util.regex.Matcher.quoteReplacement(bAlias)
+      })
+    val overRx = """(?is)\bover\s*\(""".r
+    items.foreach { raw =>
+      val it = raw.trim
+      val (body, alias) = it match {
+        case aliased(b, a) => (b.trim, Some(a))
+        case _ => (it, None)
+      }
+      body match {
+        case bucketRe(_) => ()
         case bareCol() =>
           // a plain column: must be grouped; aliasing a group column would
           // rename it in the materialization — unsupported, like the call
@@ -1306,11 +1407,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           groupColsB += body
         case _ =>
           require(alias.isDefined, s"$fn: aggregate '$body' needs an AS alias")
-          aggsB += s"$body AS ${alias.get}"
+          val fixed = if (overRx.findFirstIn(body).isDefined)
+            rewriteWindowBody(body) else body
+          aggsB += s"$fixed AS ${alias.get}"
       }
     }
-    val (bArgsText, bAlias, bItem) = bucket.getOrElse(throw
-      new IllegalArgumentException(s"$fn: SELECT must contain a time_bucket item"))
     require(groupRefs.contains(bAlias) ||
         groupRefs.exists(_.replaceAll("\\s+", "") == bItem.replaceAll("\\s+", "")),
       s"$fn: the time_bucket item must be in GROUP BY")

@@ -61,4 +61,15 @@ object Toggles {
     */
   def skipCaggInvalidation: Boolean =
     on("spark.graft.skip_cagg_invalidation", default = false)
+
+  /** Allow window functions in cagg defining queries —
+    * `timescaledb.enable_cagg_window_functions` (`src/guc.c:1031`, default
+    * OFF both there and here). A FEATURE gate, not an optimization: like
+    * [[skipCaggInvalidation]] it sits outside the `optimizations` master
+    * switch. The reference flags the support experimental because window
+    * values are recomputed per refresh region — deterministic only for
+    * windows partitioned by the bucket (see [[graft.streaming.CaggDef]]).
+    */
+  def caggWindowFunctions: Boolean =
+    on("spark.graft.enable_cagg_window_functions", default = false)
 }

@@ -785,9 +785,18 @@ class Hypertable private (
   def showChunks(olderThanMicros: Option[Long] = None,
       newerThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
     val chunks =
-      if (catalogMode == "table")
+      if (catalogMode == "table") {
+        // crash-recovery staleness check ONCE per handle: a process that
+        // died between a data commit and syncChunkCatalog() left committed
+        // chunks invisible to catalog reads; the next session's first use
+        // heals it. Per-QUERY checking would defeat the catalog (and
+        // reintroduce listing whenever anything else touches the root).
+        if (!catalogValidated) {
+          catalogValidated = true
+          if (!catalogFresh()) refreshChunkCatalog()
+        }
         readChunkCatalog().getOrElse(refreshChunkCatalog())
-      else listAllChunks()
+      } else listAllChunks()
     // a chunk start present in two roots means a crashed mid-move/ingest
     // relocation left both halves visible — reading would double rows
     chunks.groupBy(_.startMicros).find(_._2.size > 1).foreach { case (s, cs) =>
@@ -820,8 +829,13 @@ class Hypertable private (
       val n = arr.addObject()
       n.put("s", c.startMicros); n.put("e", c.endMicros); n.put("p", c.path)
     }
-    Hypertable.writeSmallFile(fs, new Path(path, Hypertable.CHUNK_CATALOG),
-      o.toString)
+    val cat = new Path(path, Hypertable.CHUNK_CATALOG)
+    Hypertable.writeSmallFile(fs, cat, o.toString)
+    // the tmp-file swap preserves the TMP file's mtime (predating the
+    // rename that bumped the root dir's entry) — stamp the catalog now so
+    // catalogFresh() doesn't read our own swap as staleness and refresh on
+    // every query
+    fs.setTimes(cat, System.currentTimeMillis(), -1)
     chunks
   }
 
@@ -840,6 +854,32 @@ class Hypertable private (
     */
   private def syncChunkCatalog(): Unit =
     if (catalogMode == "table") { refreshChunkCatalog(); () }
+
+  @volatile private var catalogValidated = false
+
+  /** Crash-recovery staleness cue for the "table" catalog: every mutator
+    * commits data FIRST and snapshots the catalog AFTER, so a crash in
+    * between leaves committed chunks invisible to catalog reads (dir
+    * listing would serve them). Chunk-set changes touch each storage
+    * root's directory entry (new/removed `_chunk=` dirs; the parquet
+    * committer also rewrites `_SUCCESS` at the root on every write),
+    * bumping the root's mtime — so `root mtime > catalog mtime` means
+    * "something changed after the last snapshot": re-snapshot before
+    * serving. Checked once per handle (cost: one getFileStatus per storage
+    * root — flat in the chunk count, which is the whole point of the table
+    * catalog). Best-effort (mtime granularity is filesystem-dependent);
+    * `refreshChunkCatalog()` remains the explicit recovery step.
+    */
+  private def catalogFresh(): Boolean = {
+    val cat = new Path(path, Hypertable.CHUNK_CATALOG)
+    if (!fs.exists(cat)) return false
+    val catM = fs.getFileStatus(cat).getModificationTime
+    val roots = new Path(path) +: tablespaceTableDirs
+    roots.forall { r =>
+      val rfs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      !rfs.exists(r) || rfs.getFileStatus(r).getModificationTime <= catM
+    }
+  }
 
   /** `_chunk=` dirs directly under `dir` (one storage root), with ranges. */
   private def listChunksUnder(dir: Path): Seq[ChunkInfo] = {

@@ -67,6 +67,19 @@ object Policies {
   def remove(spark: SparkSession, path: String): Boolean =
     fs(spark, path).delete(new Path(path, FILE), false)
 
+  /** remove_all_policies (`sql/policy_api.sql:147-152`,
+    * `ts_policies_remove_all`): drop the experimental bundle AND every
+    * registered per-policy job (`policy_*` procs in the job catalog) for
+    * the relation in one call. Returns whether anything was removed.
+    */
+  def removeAll(spark: SparkSession, path: String): Boolean = {
+    val policyJobs = Jobs.list(spark, path)
+      .collect { case (spec, _) if spec.proc.startsWith("policy_") => spec.id }
+    policyJobs.foreach(id => Jobs.delete(spark, path, id))
+    val hadBundle = remove(spark, path)
+    hadBundle || policyJobs.nonEmpty
+  }
+
   /** Execute a stored bundle against the hypertable (and its cagg, when
     * the refresh offsets are set): refresh → columnstore → retention, in
     * that order. Returns a short human-readable action report.

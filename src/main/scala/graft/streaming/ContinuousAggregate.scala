@@ -86,14 +86,45 @@ case class CaggDef(
       * refresh recomputes whole buckets, so a group row's pass/fail is
       * always decided on its complete aggregate — no partial-merge hazard.
       */
-    having: Option[Column] = None) {
+    having: Option[Column] = None,
+    /** Window expressions in the defining query — the reference's
+      * EXPERIMENTAL `timescaledb.enable_cagg_window_functions` surface
+      * (`src/guc.c:1031`, validated `tsl/src/continuous_aggs/common.c:
+      * 665-695`, exercised by `tsl/test/sql/cagg_ddl.sql` cagg_window_1-4).
+      * Each entry must be an aliased window expression over the AGGREGATED
+      * rows, referencing output columns ([[bucketCol]], group cols, agg /
+      * [[havingAggs]] aliases) — e.g.
+      * `rank().over(Window.partitionBy("bucket").orderBy("cnt")).as("r")`.
+      * Values are computed at refresh over the recomputed region (and at
+      * query time on the realtime live side), so they are deterministic —
+      * independent of refresh-window carving — exactly when every window
+      * is partitioned by [[bucketCol]] (whole buckets are always
+      * recomputed together). That bucket-partitioned shape is the only one
+      * the reference's tests exercise; anything else inherits the same
+      * "may result in unexpected results" caveat the reference warns about.
+      * Creation is gated on `spark.graft.enable_cagg_window_functions`
+      * (default off, like the reference).
+      */
+    windowCols: Seq[Column] = Nil) {
+  // PostgreSQL's interval lexer accepts '1week'/'2hours' with no space
+  // (the reference's own cagg_ddl.sql:1461 writes '1week'); Spark's does
+  // not — split digit-unit adjacency before parsing
   private def interval(s: String) = org.apache.spark.sql.catalyst.util.IntervalUtils
-    .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(
+      s.replaceAll("(?<=[0-9])(?=[a-zA-Z])", " ")))
 
   require(bucketTz.isEmpty || bucketOriginMicros.isEmpty,
     "bucketTz and bucketOriginMicros cannot be combined")
   require(havingAggs.isEmpty || having.nonEmpty,
     "havingAggs without a having predicate would compute and drop dead columns")
+  windowCols.foreach { c =>
+    require(org.apache.spark.sql.GraftShims.toExpressionEager(c).exists {
+      case _: org.apache.spark.sql.catalyst.expressions.WindowExpression => true
+      case _: org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression => true
+      case _ => false
+    }, s"windowCols entries must be window expressions (fn().over(spec)), got: $c" +
+      " — plain aggregates belong in aggs")
+  }
 
   /** Aggregate + HAVING tail shared by materialization and the realtime
     * live side: helper aggregates computed, predicate applied, helpers
@@ -104,12 +135,26 @@ case class CaggDef(
   private[streaming] def aggregateAndHave(grouped:
       org.apache.spark.sql.RelationalGroupedDataset): org.apache.spark.sql.DataFrame = {
     val all = aggs ++ havingAggs
+    // a defining query with no aggregate items (`SELECT time_bucket(...)
+    // FROM t GROUP BY 1`, the reference's cagg_chunk_interval /
+    // cagg_window_1 shapes in cagg_ddl.sql) is a pure bucketed DISTINCT
+    if (all.isEmpty)
+      return grouped.agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("__graft_nop")).drop("__graft_nop")
     val agg = grouped.agg(all.head, all.tail: _*)
     val post = having.foldLeft(agg)((df, p) => df.where(p))
     if (havingAggs.isEmpty) post
     else post.select(post.columns.dropRight(havingAggs.size)
       .map(org.apache.spark.sql.functions.col).toSeq: _*)
   }
+  /** Append [[windowCols]] over the aggregated rows. The caller ensures
+    * the frame exposes [[bucketCol]] (materialization temporarily projects
+    * it from the internal micros column).
+    */
+  private[streaming] def applyWindows(df: DataFrame): DataFrame =
+    if (windowCols.isEmpty) df
+    else df.select(df.columns.toSeq.map(org.apache.spark.sql.functions.col)
+      ++ windowCols: _*)
   /** Parsed zone (validates the id eagerly, at definition time). */
   @transient private lazy val zone: java.time.ZoneId =
     java.time.ZoneId.of(bucketTz.get)
@@ -308,9 +353,17 @@ class ContinuousAggregate(
     val joined = defn.dimJoin.foldLeft(source.between(loMicros, hiMicros))(
       (df, j) => j(df))
     val raw = defn.filter.foldLeft(joined)((df, p) => df.where(p))
-    defn.aggregateAndHave(raw.groupBy(
+    val agg = defn.aggregateAndHave(raw.groupBy(
       (toUs(bucketOf(col(source.timeCol))).as(BUCKET) +:
         defn.groupCols.map(col)): _*))
+    // window exprs reference the user-visible bucket name; project it from
+    // the internal micros column for their evaluation, then drop it (the
+    // mat layout keeps only BUCKET). Safe per-refresh: a refresh always
+    // recomputes whole buckets, so a bucket-partitioned window sees its
+    // complete partition here.
+    if (defn.windowCols.isEmpty) agg
+    else defn.applyWindows(agg.withColumn(defn.bucketCol, fromUs(col(BUCKET))))
+      .drop(defn.bucketCol)
   }
 
   /** Materialized rows with the bucket as a timestamp column (bucket first,
@@ -959,9 +1012,12 @@ class ContinuousAggregate(
       source.read().where(toUs(col(source.timeCol)) >= wmMicros))(
       (df, j) => j(df))
     val raw = defn.filter.foldLeft(joined)((df, p) => df.where(p))
-    defn.aggregateAndHave(raw.groupBy(
+    // live buckets sit entirely at/above the watermark, so a
+    // bucket-partitioned window computed over the live rows alone agrees
+    // with what a refresh will later materialize for the same buckets
+    defn.applyWindows(defn.aggregateAndHave(raw.groupBy(
       (bucketOf(col(source.timeCol)).as(defn.bucketCol) +:
-        defn.groupCols.map(col)): _*))
+        defn.groupCols.map(col)): _*)))
   }
 }
 
@@ -1113,6 +1169,22 @@ object ContinuousAggregate {
   def create(spark: SparkSession, path: String, source: TimeSource,
       defn: CaggDef, withData: Boolean = false): ContinuousAggregate = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // reference parity (`tsl/src/continuous_aggs/common.c:665-695`): window
+    // functions in the defining query are rejected at CREATE unless the
+    // experimental GUC is on; when on, the reference elogs a WARNING —
+    // mirrored here on the session log
+    if (defn.windowCols.nonEmpty) {
+      if (!graft.plans.Toggles.caggWindowFunctions)
+        throw new IllegalArgumentException(
+          "invalid continuous aggregate query: window function support not " +
+            "enabled — enable experimental window function support by " +
+            "setting spark.graft.enable_cagg_window_functions " +
+            "(timescaledb.enable_cagg_window_functions, src/guc.c:1031)")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "window function support is experimental and may result in " +
+          "unexpected results depending on the functions used " +
+          "(partition windows by the bucket column for deterministic refreshes)")
+    }
     // reference parity (`cagg_create`, tested in cagg_refresh_common.sql
     // "without a now function. This should not be allowed"): an
     // integer-time cagg requires the hypertable's integer-now function

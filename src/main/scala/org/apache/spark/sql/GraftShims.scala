@@ -11,6 +11,14 @@ object GraftShims {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Eager Column→Expression conversion — [[toExpression]] returns a lazy
+    * `ColumnNodeExpression` wrapper whose tree is only expanded during
+    * analysis, so structural inspection (e.g. "is this a window function?")
+    * needs the converter invoked directly.
+    */
+  def toExpressionEager(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** DataFrame from a logical plan on the active session (`Dataset.ofRows`
     * is `private[sql]` in Spark 4).
     */

@@ -576,4 +576,34 @@ class HypertableSpec extends AnyFunSuite {
       "exclusion must prune the same partitions under both catalog modes")
     assert(pruned(tblHt) < tblHt.showChunks().size) // and it actually pruned
   }
+
+  test("catalog='table': crash between data commit and snapshot self-heals " +
+      "on the next handle open") {
+    // mutators commit data FIRST, snapshot AFTER — a crash in between
+    // leaves a committed chunk the catalog never saw. The staleness cue
+    // (root dir mtime > catalog mtime) must fold it back in on the next
+    // session's first use.
+    val d = Files.createTempDirectory("graft_ht_heal").toString
+    val ht = Hypertable.create(spark, s"$d/ht", "ts", chunkWidth = "1 day",
+      catalog = "table")
+    ht.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cat = new org.apache.hadoop.fs.Path(s"$d/ht/_graft_chunks.json")
+    val chunks = ht.showChunks() // validates (and may re-stamp) FIRST
+    // push the snapshot's stamp safely into the past (mtime granularity)
+    fs.setTimes(cat, System.currentTimeMillis() - 5000, -1)
+    // "crashed ingest": a fully committed chunk dir, no snapshot update
+    val orphanStart = chunks.map(_.startMicros).max + 86400000000L
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(chunks.head.path), fs,
+      new org.apache.hadoop.fs.Path(s"$d/ht/_chunk=$orphanStart"),
+      false, spark.sparkContext.hadoopConfiguration)
+    // the already-validated handle keeps serving its snapshot (no listing
+    // per query); a NEW handle runs the cue and heals
+    val reopened = Hypertable.at(spark, s"$d/ht")
+    assert(reopened.showChunks().exists(_.startMicros == orphanStart),
+      "stale catalog must self-heal on next open")
+    assert(reopened.showChunks().size === chunks.size + 1)
+  }
 }

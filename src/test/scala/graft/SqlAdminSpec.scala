@@ -364,6 +364,32 @@ class SqlAdminSpec extends AnyFunSuite {
     assert(alt(0).getLong(1) === 30L * 86400000000L)
     assert(spark.sql(s"SELECT remove_policies('$path')").as[Boolean].head())
     assert(spark.sql(s"SELECT show_policies('$path')").count() === 0)
+
+    // remove_all_policies (sql/policy_api.sql:147-152): bundle AND every
+    // registered policy_* job go in one call; if_exists governs the
+    // nothing-to-remove case
+    spark.sql(s"SELECT add_policies('$path', drop_after => INTERVAL '90 days')")
+    spark.sql(
+      s"SELECT add_retention_policy('$path', drop_after => INTERVAL '90 days')")
+    assert(spark.sql(s"SELECT remove_all_policies('$path')").as[Boolean].head())
+    assert(spark.sql(s"SELECT show_policies('$path')").count() === 0)
+    assert(graft.sources.Jobs.list(spark, path)
+      .count(_._1.proc.startsWith("policy_")) === 0)
+    val eNone = intercept[Exception] {
+      spark.sql(s"SELECT remove_all_policies('$path')").collect()
+    }
+    assert(eNone.getMessage.contains("no policies"))
+    assert(!spark.sql(
+      s"SELECT remove_all_policies('$path', if_exists => true)")
+      .as[Boolean].head())
+  }
+
+  test("create_hypertable rejects an interval string bound positionally as " +
+      "the partitioning column") {
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT create_hypertable('${tmp()}/x', 'ts', '7 days')")
+    }
+    assert(e.getMessage.contains("chunk_interval"))
   }
 
   test("argument errors are informative") {
