@@ -25,6 +25,27 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Prebuilt ANN artifacts per sf-dir — (hyperplane-indexed corpus path,
+    * PQ codebooks) — for the per-query bench rows q98/q99. The index is
+    * parquet-backed and the codebooks are small driver arrays, so Bench's
+    * between-run `clearCache` cannot evict them; building happens once, on
+    * the first (unmeasured warmup) run.
+    */
+  private val annArtifacts = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[Array[Array[Double]]])]()
+  private def annPrebuilt(s: SparkSession,
+      dir: String): (String, Array[Array[Array[Double]]]) =
+    annArtifacts.computeIfAbsent(dir, _ => {
+      val emb = t(s, dir, "embeddings")
+      val idxPath = java.nio.file.Files.createTempDirectory("graft_ann_idx")
+        .toString + "/indexed"
+      graft.operators.Similarity.annIndex(emb, "embedding", dim = 64)
+        .write.mode("overwrite").parquet(idxPath)
+      val cbs = graft.operators.Similarity.pqCodebooks(emb, "vec_id",
+        "embedding", dim = 64, m = 8, codebookSize = 16)
+      (idxPath, cbs)
+    })
+
   /** UTC-pinned literals: `java.sql.Timestamp.valueOf` parses in the JVM
     * default timezone, so on a non-UTC host every query window would shift
     * against the oracle's naive literals (the session timezone is pinned
@@ -425,6 +446,30 @@ object SparkEntry {
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+    }),
+
+    // Per-QUERY ANN shapes: q57/q89 fold index/codebook TRAINING into the
+    // measured row (worst case); these two measure what a standing index
+    // costs per query — the number a production search pays. Artifacts are
+    // built once per sf-dir (parquet-backed / driver arrays, so Bench's
+    // between-run cache drops don't evict them); Bench's unmeasured warmup
+    // run absorbs the build.
+    "q98_ann_query_indexed" -> ((s, dir) => {
+      val idxPath = annPrebuilt(s, dir)._1
+      val q = t(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      Similarity.annTopKIndexed(s.read.parquet(idxPath), "vec_id", "embedding",
+        q, 10)
+    }),
+    "q99_pq_query_codebooks" -> ((s, dir) => {
+      val cbs = annPrebuilt(s, dir)._2
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      // oversample 200 makes the rerank pool provably cover the sf0.01
+      // corpus (like q89), so the result is the exact top-10 — oracle-able
+      Similarity.pqTopKWith(emb, "vec_id", "embedding", q, 10, cbs,
+        oversample = 200)
     }),
 
     // Embedding near-duplicate pairs via banded LSH (the at-scale equi-join
@@ -2051,6 +2096,17 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q15_ann_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT e.vec_id,
+        | list_reduce(list_transform(list_zip(e.v, q.v), x -> x[1]*x[2]), (a,b) -> a+b)
+        |  / (sqrt(list_reduce(list_transform(e.v, x -> x*x), (a,b) -> a+b))
+        |     * sqrt(list_reduce(list_transform(q.v, x -> x*x), (a,b) -> a+b))) AS sim
+        |FROM e, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // q99's rerank pool (10 x 200) covers the sf0.01 corpus, so the exact
+    // brute-force top-10 IS its result — the same oracle as q15
+    "q99_pq_query_codebooks" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT e.vec_id,

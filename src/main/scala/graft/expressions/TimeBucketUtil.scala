@@ -23,6 +23,23 @@ import org.apache.spark.unsafe.types.CalendarInterval
   */
 object TimeBucketUtil {
   final val MICROS_PER_DAY: Long = 86400000000L
+
+  /** PostgreSQL-tolerant interval text → Spark-parsable: split digit-unit
+    * adjacency ('1week', the reference's own cagg_ddl.sql:1461) and expand
+    * PG single-letter unit abbreviations ('30m', '4h' — cagg_query_common's
+    * offset caggs). No change to already-valid Spark interval text.
+    */
+  final def pgIntervalText(s: String): String =
+    s.replaceAll("(?<=[0-9])(?=[A-Za-z])", " ").split("\\s+").map { t =>
+      t.toLowerCase(java.util.Locale.ROOT) match {
+        case "d" => "days"
+        case "h" => "hours"
+        case "m" => "minutes"
+        case "s" => "seconds"
+        case "w" => "weeks"
+        case _ => t
+      }
+    }.mkString(" ")
   /** 2000-01-03 00:00:00 UTC in micros since unix epoch. */
   final val DEFAULT_ORIGIN_MICROS: Long = 946857600000000L
   /** 2000-01-01 00:00:00 UTC in micros (origin for month-width buckets). */

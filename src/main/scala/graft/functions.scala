@@ -19,13 +19,14 @@ object functions {
   private def ex(c: Column): Expression = GraftShims.toExpression(c)
 
   /** Parse a PostgreSQL-style interval string ("1 hour", "3 months") into a
-    * CalendarInterval literal column. PostgreSQL's lexer also accepts
-    * digit-adjacent units ("1week", "2hours" — the reference's own tests
-    * use them, e.g. cagg_ddl.sql:1461); Spark's does not, so split them.
+    * CalendarInterval literal column — via
+    * [[graft.expressions.TimeBucketUtil.pgIntervalText]], so PG's
+    * digit-adjacent ("1week") and single-letter ("30m") forms the
+    * reference's tests use parse too.
     */
   def interval(s: String): Column =
     col(Literal(IntervalUtils.stringToInterval(UTF8String.fromString(
-      s.replaceAll("(?<=[0-9])(?=[a-zA-Z])", " "))), CalendarIntervalType))
+      graft.expressions.TimeBucketUtil.pgIntervalText(s))), CalendarIntervalType))
 
   // ---------------------------------------------------------------- buckets
 

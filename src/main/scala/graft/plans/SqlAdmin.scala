@@ -837,7 +837,12 @@ object SqlAdmin {
           .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
         val aggsStr = a.str(4, "aggs")
         val tz = a.strOpt(Int.MaxValue, "timezone")
+        // offset-form caggs (`time_bucket(w, ts, '30m'::interval)`,
+        // reference cagg_4_hours_offset in cagg_query_common.sql): a bucket
+        // offset is the default origin shifted by the offset
         val origin = a.microsOpt(Int.MaxValue, "origin")
+          .orElse(a.intervalMicrosOpt(Int.MaxValue, "offset")
+            .map(graft.expressions.TimeBucketUtil.DEFAULT_ORIGIN_MICROS + _))
         val withData = a.boolOpt(Int.MaxValue, "with_data").getOrElse(false)
         val parsedCols = splitTopLevel(aggsStr).map(s =>
           org.apache.spark.sql.functions.expr(s.trim))
@@ -1363,10 +1368,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         val t = s match { case quotedW(w) => w; case o => o }
         if (t.matches("""\d+""")) Some((0, t.toLong))
         else scala.util.Try {
-          // same PG-style digit-unit split as CaggDef.interval ('1week')
+          // same PG-tolerant lexing as CaggDef.interval ('1week', '30m')
           val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
             org.apache.spark.unsafe.types.UTF8String.fromString(
-              t.replaceAll("(?<=[0-9])(?=[a-zA-Z])", " ")))
+              graft.expressions.TimeBucketUtil.pgIntervalText(t)))
           (iv.months, iv.days * 86400000000L + iv.microseconds)
         }.toOption
       }
@@ -1432,8 +1437,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // as a timestamp is an origin, otherwise a timezone name
     var tz: Option[String] = None
     var origin: Option[Long] = None
-    val named = """(?is)^(timezone|origin)\s*=>\s*(.*)$""".r
+    val named = """(?is)^(timezone|origin|offset)\s*=>\s*(.*)$""".r
     val tsLit = """(?is)^timestamp\s+'(.*)'$""".r
+    // a fixed interval (no month component) as offset — the reference's
+    // offset-form caggs (`time_bucket('4 hour', time, '30m'::interval)`,
+    // cagg_4_hours_offset): equivalent to the default origin shifted
+    def asOffsetMicros(text: String): Option[Long] = scala.util.Try {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          graft.expressions.TimeBucketUtil.pgIntervalText(text)))
+      require(iv.months == 0, "month offsets are not supported")
+      iv.days * 86400000000L + iv.microseconds
+    }.toOption
     bArgs.drop(2).foreach { a =>
       val (slot, value) = a match {
         case named(n, v) => (Some(n.toLowerCase(java.util.Locale.ROOT)), v.trim)
@@ -1448,11 +1463,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         .stringToTimestamp(org.apache.spark.unsafe.types.UTF8String.fromString(text),
           java.time.ZoneId.of(
             org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+      def offsetOrigin = asOffsetMicros(text).map(
+        graft.expressions.TimeBucketUtil.DEFAULT_ORIGIN_MICROS + _)
       slot match {
         case Some("timezone") => tz = Some(text)
         case Some("origin") => origin = Some(asTs.getOrElse(
           throw new IllegalArgumentException(s"$fn: cannot parse origin '$text'")))
+        case Some("offset") => origin = Some(offsetOrigin.getOrElse(
+          throw new IllegalArgumentException(s"$fn: cannot parse offset '$text'")))
         case _ if asTs.isDefined => origin = asTs
+        case _ if offsetOrigin.isDefined => origin = offsetOrigin
         case _ => tz = Some(text)
       }
     }

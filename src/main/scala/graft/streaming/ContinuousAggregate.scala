@@ -106,12 +106,12 @@ case class CaggDef(
       * (default off, like the reference).
       */
     windowCols: Seq[Column] = Nil) {
-  // PostgreSQL's interval lexer accepts '1week'/'2hours' with no space
-  // (the reference's own cagg_ddl.sql:1461 writes '1week'); Spark's does
-  // not — split digit-unit adjacency before parsing
+  // PostgreSQL's interval lexer accepts '1week'/'30m' forms (the
+  // reference's own cagg_ddl.sql:1461 writes '1week'); Spark's does not —
+  // normalize via pgIntervalText before parsing
   private def interval(s: String) = org.apache.spark.sql.catalyst.util.IntervalUtils
     .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(
-      s.replaceAll("(?<=[0-9])(?=[a-zA-Z])", " ")))
+      TimeBucketUtil.pgIntervalText(s)))
 
   require(bucketTz.isEmpty || bucketOriginMicros.isEmpty,
     "bucketTz and bucketOriginMicros cannot be combined")
@@ -845,6 +845,36 @@ class ContinuousAggregate(
       k + matChunkMicros <= olderThanMicros
     }
     todo.foreach { case (_, p) => fs.delete(p, true) }
+    todo.map(_._1)
+  }
+
+  /** `drop_chunks(cagg, newer_than => ...)` on the materialization —
+    * the reference's "Drop the most recent chunk" scenario
+    * (`cagg_query_common.sql`, golden `cagg_query_using_merge.out:605-647`):
+    * mat chunks STARTING at/after the cutoff are deleted, and the WATERMARK
+    * recedes to the end of the last remaining bucket (the reference
+    * recomputes `cagg_watermark` from the mat data on the drop path) so the
+    * realtime view re-aggregates the dropped span live. The invalidation
+    * THRESHOLD deliberately stays — mutations below it keep logging
+    * ("the invalidation threshold doesn't move back, while the watermark
+    * does"). Cost: one footer-level max over the LAST remaining chunk dir.
+    */
+  def dropMatChunksNewer(newerThanMicros: Long): Seq[Long] = withRefreshLock {
+    val todo = matChunkDirs.filter { case (k, _) => k >= newerThanMicros }
+    todo.foreach { case (_, p) => fs.delete(p, true) }
+    if (todo.nonEmpty) {
+      val remaining = matChunkDirs
+      val wmNew =
+        if (remaining.isEmpty) Long.MinValue
+        else {
+          val last = remaining.maxBy(_._1)._2
+          val r = spark.read.parquet(last.toString)
+            .agg(org.apache.spark.sql.functions.max(col(BUCKET))).head()
+          if (r.isNullAt(0)) Long.MinValue
+          else defn.bucketAdvance(r.getLong(0), 1)
+        }
+      if (wmNew < watermark) setWatermark(wmNew)
+    }
     todo.map(_._1)
   }
 

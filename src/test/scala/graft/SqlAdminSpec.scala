@@ -384,6 +384,34 @@ class SqlAdminSpec extends AnyFunSuite {
       .as[Boolean].head())
   }
 
+  test("offset-form caggs: time_bucket(w, ts, '30m'::interval) shifts the " +
+      "bucket grid (cagg_4_hours_offset, cagg_query_common.sql)") {
+    val dir = tmp()
+    spark.sql(s"SELECT create_hypertable('$dir/temperature', 'ts', INTERVAL '1 day')")
+    val ht = Hypertable.at(spark, s"$dir/temperature")
+    // reference setup: INSERT ('2000-01-01 01:00:00', 5)
+    ht.write(Seq((java.sql.Timestamp.valueOf("2000-01-01 01:00:00"), 5.0))
+      .toDF("ts", "value"))
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW '$dir/cagg_4h_offset' WITH (tsdb.continuous)
+         |AS SELECT time_bucket('4 hour', ts, '30m') AS bucket, max(value) AS max
+         |FROM '$dir/temperature' GROUP BY 1""".stripMargin)
+    val rows = graft.streaming.ContinuousAggregate
+      .atPath(spark, s"$dir/cagg_4h_offset").get.materialized
+      .select(unix_micros($"bucket"), $"max").as[(Long, Double)].collect().toSeq
+    // grid ... 20:30, 00:30, 04:30: 01:00 lands in the 00:30 bucket
+    assert(rows === Seq(
+      (java.sql.Timestamp.valueOf("2000-01-01 00:30:00").getTime * 1000L, 5.0)))
+    // call form takes offset => INTERVAL too
+    spark.sql(s"SELECT create_continuous_aggregate('$dir/c2', " +
+      s"'$dir/temperature', INTERVAL '4 hours', '', 'max(value) AS max', " +
+      s"offset => INTERVAL '30 minutes', with_data => true)")
+    val rows2 = graft.streaming.ContinuousAggregate
+      .atPath(spark, s"$dir/c2").get.materialized
+      .select(unix_micros($"bucket"), $"max").as[(Long, Double)].collect().toSeq
+    assert(rows2.map(_._1) === rows.map(_._1))
+  }
+
   test("create_hypertable rejects an interval string bound positionally as " +
       "the partitioning column") {
     val e = intercept[Exception] {
