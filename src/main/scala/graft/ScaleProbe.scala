@@ -39,6 +39,36 @@ object ScaleProbe {
   private def force(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** Chunk-catalog width probe (SCALE.md §1 cliff #1): one table, 10⁴
+    * chunks, planned under `catalog="list"` (per-query dir listing) vs
+    * `catalog="table"` (one snapshot file). Reports showChunks wall time
+    * (repeat = the per-query planning cost a standing session pays) and a
+    * chunk-excluded 2-chunk count. Run:
+    * `SPARK_GRAFT_CATALOG_PROBE=1 sbt "runMain graft.ScaleProbe"`.
+    */
+  private def catalogProbe(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_catprobe").toString
+    // one row per 10-minute chunk over 70 days = 10,080 chunks
+    val step = 600L * 1000000L
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond * 1000000L
+    val rows = (0 until 10080).map(i => (t0 + i * step, i.toLong)).toDF("us", "v")
+      .select(timestamp_micros(col("us")).as("ts"), col("v"))
+    for (mode <- Seq("list", "table")) {
+      val p = s"$base/$mode"
+      val ht = Hypertable.create(spark, p, "ts", chunkWidth = "10 minutes",
+        catalog = mode)
+      val (tw, _) = timed { ht.write(rows, filesPerChunk = 1) }
+      val h = Hypertable.at(spark, p) // fresh handle: includes open-time costs
+      val (tFirst, n) = timed { h.showChunks().size }
+      val (tRepeat, _) = timed2 { h.showChunks().size }
+      val (tQuery, cnt) = timed2 {
+        h.between(t0 + 5000 * step, t0 + 5002 * step).count()
+      }
+      println(f"""[scale] {"probe":"catalog_$mode","chunks":$n,"write_sec":$tw%.2f,"show_first_sec":$tFirst%.3f,"show_repeat_sec":$tRepeat%.3f,"pruned_count_sec":$tQuery%.3f,"rows":$cnt}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,10,100")
@@ -46,6 +76,9 @@ object ScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Graft.session("graft-scale-probe", s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("SPARK_GRAFT_CATALOG_PROBE")) {
+      catalogProbe(spark); spark.stop(); return
+    }
     val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
 
     for ((m, round) <- mults.zipWithIndex) {

@@ -448,6 +448,54 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
     }),
 
+    // §2.10 streaming cagg END-TO-END: a live file stream drives
+    // CaggStream.attach (foreachBatch -> Hypertable ingest + late-data
+    // invalidation), a refresh advances the watermark mid-stream, a second
+    // batch arrives BELOW it (logged, not dropped — the key divergence
+    // from vanilla watermarking), and the refresh POLICY repairs it. The
+    // oracle is the plain batch aggregation: the whole maintenance dance
+    // must be invisible in the result.
+    "q100_stream_cagg" -> ((s, dir) => {
+      import graft.sources.Hypertable
+      import graft.streaming.{CaggDef, CaggRefreshPolicy, CaggStream, ContinuousAggregate}
+      Graft.init(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cagg").toString
+      val fix = t(s, dir, "events")
+      val r0 = fix.agg(unix_micros(min(col("ts"))), unix_micros(max(col("ts")))).head()
+      val (mn, mx) = (r0.getLong(0), r0.getLong(1))
+      val hour = 3600000000L
+      val cut = mn / 2 + mx / 2
+      val streamDir = new java.io.File(s"$tmp/stream"); streamDir.mkdirs()
+      def emit(df: DataFrame, name: String): Unit = {
+        val side = s"$tmp/side_$name"
+        df.coalesce(1).write.parquet(side)
+        val part = new java.io.File(side).listFiles
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(streamDir, s"$name.parquet").toPath)
+      }
+      emit(fix.where(unix_micros(col("ts")) >= cut), "f1")
+      val ht = Hypertable.create(s, s"$tmp/ht", "ts", chunkWidth = "7 days")
+      val cagg = ContinuousAggregate.create(s, s"$tmp/cagg", ht,
+        CaggDef("1 hour", Seq("event_type"), Seq(
+          count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"))))
+      val stream = s.readStream.schema(fix.schema).parquet(streamDir.toString)
+      val q = CaggStream.attach(cagg, stream, s"$tmp/ckpt")
+      try {
+        q.processAllAvailable() // batch 0: the newer half
+        cagg.refreshAll() // watermark + threshold advance to its end
+        emit(fix.where(unix_micros(col("ts")) < cut), "f2") // LATE batch
+        q.processAllAvailable()
+      } finally q.stop()
+      require(cagg.pendingInvalidations().nonEmpty,
+        "late stream rows below the watermark must be logged")
+      // refresh POLICY over the full standing window folds the dirt in
+      CaggRefreshPolicy.run(cagg, nowMicros = mx + hour,
+        startOffsetMicros = mx + 2 * hour - mn, endOffsetMicros = 0L)
+      cagg.materialized.orderBy("bucket", "event_type")
+    }),
+
     // Per-QUERY ANN shapes: q57/q89 fold index/codebook TRAINING into the
     // measured row (worst case); these two measure what a standing index
     // costs per query — the number a production search pays. Artifacts are
@@ -2103,6 +2151,12 @@ object SparkEntry {
         |  / (sqrt(list_reduce(list_transform(e.v, x -> x*x), (a,b) -> a+b))
         |     * sqrt(list_reduce(list_transform(q.v, x -> x*x), (a,b) -> a+b))) AS sim
         |FROM e, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q100_stream_cagg" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q99's rerank pool (10 x 200) covers the sf0.01 corpus, so the exact
     // brute-force top-10 IS its result — the same oracle as q15

@@ -665,10 +665,28 @@ class Hypertable private (
     * `ChunkScanCtx` `src/chunk.h:93-98`). Catalog-driven (not arithmetic)
     * so merged/split chunks with non-derived ranges still resolve.
     */
+  /** Direct scan of ONLY the given chunk dirs, grouped per storage root so
+    * `basePath` keeps the partition columns parsing. At width this is the
+    * load-bearing planning shape: `spark.read.parquet(root)` pays
+    * O(all chunks) partition discovery PER QUERY — measured 15-21 s/query
+    * at 10,080 chunks (ScaleProbe catalog probe) — while the
+    * catalog-driven direct scan lists only the chunks it reads (0.15 s for
+    * 2 of 10,080). An empty hit set falls back to an all-false-filtered
+    * full read: correct schema, and the wide listing only on a
+    * provably-empty result.
+    */
+  private def readChunkDirs(hits: Seq[ChunkInfo]): DataFrame = {
+    if (hits.isEmpty) return read().where(lit(false))
+    val byRoot = hits.groupBy(c => new Path(c.path).getParent.toString)
+    byRoot.toSeq.sortBy(_._1).map { case (root, cs) =>
+      val r0 = spark.read.option("basePath", root)
+      dataSchema.fold(r0)(s => r0.schema(s)).parquet(cs.map(_.path).sorted: _*)
+    }.reduceLeft(_ unionByName _)
+  }
+
   def between(startMicros: Long, endMicros: Long): DataFrame = {
-    val hit = showChunks()
+    val hits = showChunks()
       .filter(c => c.startMicros < endMicros && c.endMicros > startMicros)
-      .map(_.startMicros)
     val rowFilter = timeKind match {
       case "bigint" => col(timeCol) >= lit(startMicros) && col(timeCol) < lit(endMicros)
       case "uuidv7" =>
@@ -681,7 +699,7 @@ class Hypertable private (
         col(timeCol) >= timestamp_micros(lit(startMicros)) &&
           col(timeCol) < timestamp_micros(lit(endMicros))
     }
-    read().where(col(CHUNK).isin(hit: _*)).where(rowFilter)
+    readChunkDirs(hits).where(rowFilter)
   }
 
   private def boundaryUuid(us: Long): String =
@@ -729,8 +747,7 @@ class Hypertable private (
     val hit = showChunks()
       .filter(c => keys.exists(k =>
         k < c.endMicros && defaultChunkEnd(k) > c.startMicros))
-      .map(_.startMicros)
-    read().where(col(CHUNK).isin(hit: _*))
+    readChunkDirs(hit)
       .join(broadcast(subT.distinct()),
         col(timeCol) === col(probe), "left_semi")
   }

@@ -520,6 +520,20 @@ class HypertableSpec extends AnyFunSuite {
       .join(sub.select(col("ts").cast("timestamp").as("ts")).as("b"),
         col("a.ts") === col("b.ts"), "left_semi").count()
     assert(h.whereTimeIn(sub, col("ts")).count() === expected)
+
+    // VERDICT r5 #8 audit: between / orderedRead round-trip on the
+    // NTZ-written table too — the stored instants must bound and order
+    // identically to a typed write (UTC session ⇒ same wall clocks)
+    val lo = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-12 00:00:00")
+    val expBetween = events.where(col("ts") >= lit(lo) && col("ts") < lit(hi))
+    assert(h.between(lo, hi).count() === expBetween.count())
+    assert(h.between(lo, hi).agg(min("ts"), max("ts")).head() ===
+      expBetween.agg(min("ts"), max("ts")).head())
+    val ordered = h.orderedRead().select("ts").collect().map(_.getTimestamp(0))
+    assert(ordered.length === events.count())
+    assert(ordered.sliding(2).forall(p => !p(0).after(p(1))),
+      "orderedRead must stream NTZ-written rows in global time order")
   }
 
   test("catalog='table': one-file chunk catalog round-trips every mutation and prunes identically") {
