@@ -586,6 +586,26 @@ class Hypertable private (
     * appends the partition columns it discovers to a user-specified
     * schema, so pruning is unaffected.
     */
+  /** Table-catalog fast path for repeated plain reads: ONE resolved scan
+    * per (catalog snapshot, declared schema) generation.
+    * `spark.read.parquet(root)` pays O(chunks) partition discovery per
+    * CALL (ScaleProbe catalog probe: 15–21 s at 10,080 chunks), and a
+    * session typically issues many queries against an unchanged table.
+    * Under `catalog="table"` the snapshot file's mtime is a 1-RPC
+    * freshness stamp — every chunk-set mutation re-snapshots (and
+    * [[refreshChunkCatalog]] re-stamps), so the memo invalidates exactly
+    * when the chunk set can have changed; ALTER ADD COLUMN invalidates
+    * via the schema file's stamp. List-mode tables skip the memo (no
+    * cheap stamp — and their whole contract is per-query listing).
+    */
+  @volatile private var cachedScan: Option[((Long, Long), DataFrame)] = None
+  private def metaStamp(): (Long, Long) = {
+    def m(n: String) =
+      try fs.getFileStatus(new Path(path, n)).getModificationTime
+      catch { case _: Exception => -1L }
+    (m(Hypertable.CHUNK_CATALOG), m(Hypertable.SCHEMA))
+  }
+
   def read(): DataFrame = {
     val info = Hypertable.ExclusionInfo(
       qualifiedPath, timeCol, () => showChunks(),
@@ -594,6 +614,19 @@ class Hypertable private (
       () => spacePartsCatalog(),
       () => skipColumns)
     Hypertable.registerForExclusion(info)
+    if (catalogMode == "table") {
+      val stamp = metaStamp()
+      cachedScan match {
+        case Some((s, df)) if s == stamp && stamp._1 != -1L => return df
+        case _ => ()
+      }
+      val df = buildScan(info)
+      cachedScan = Some((stamp, df))
+      df
+    } else buildScan(info)
+  }
+
+  private def buildScan(info: Hypertable.ExclusionInfo): DataFrame = {
     // chunks living in attached tablespace roots: union one scan per root
     // (same schema, same `_chunk`/`_space` partition discovery), each
     // registered in the exclusion catalog so time/space/stats pruning
@@ -847,12 +880,17 @@ class Hypertable private (
       n.put("s", c.startMicros); n.put("e", c.endMicros); n.put("p", c.path)
     }
     val cat = new Path(path, Hypertable.CHUNK_CATALOG)
+    val prev =
+      try fs.getFileStatus(cat).getModificationTime
+      catch { case _: Exception => -1L }
     Hypertable.writeSmallFile(fs, cat, o.toString)
     // the tmp-file swap preserves the TMP file's mtime (predating the
     // rename that bumped the root dir's entry) — stamp the catalog now so
     // catalogFresh() doesn't read our own swap as staleness and refresh on
-    // every query
-    fs.setTimes(cat, System.currentTimeMillis(), -1)
+    // every query. Strictly-after-previous so two mutations inside one
+    // mtime tick still produce distinct stamps (read()'s scan memo keys
+    // on this value).
+    fs.setTimes(cat, math.max(System.currentTimeMillis(), prev + 1), -1)
     chunks
   }
 

@@ -591,6 +591,29 @@ class HypertableSpec extends AnyFunSuite {
     assert(pruned(tblHt) < tblHt.showChunks().size) // and it actually pruned
   }
 
+  test("catalog='table': plain read() memoizes the resolved scan until a " +
+      "mutation re-stamps the catalog") {
+    val d = Files.createTempDirectory("graft_ht_memo").toString
+    val events = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val ht = Hypertable.create(spark, s"$d/ht", "ts", chunkWidth = "7 days",
+      catalog = "table")
+    ht.write(events)
+    val n0 = ht.read().count()
+    // unchanged table: the SAME resolved DataFrame comes back (no repeated
+    // O(chunks) partition discovery)
+    assert(ht.read() eq ht.read())
+    // any mutation re-snapshots the catalog -> fresh scan, fresh data
+    val r1 = ht.read()
+    ht.write(events.limit(25))
+    val r2 = ht.read()
+    assert(!(r1 eq r2), "mutation must invalidate the scan memo")
+    assert(r2.count() === n0 + 25)
+    // schema widening invalidates too (separate stamp)
+    ht.alterAddColumn("memo_probe", "INT")
+    val r3 = ht.read()
+    assert(!(r2 eq r3) && r3.columns.contains("memo_probe"))
+  }
+
   test("catalog='table': crash between data commit and snapshot self-heals " +
       "on the next handle open") {
     // mutators commit data FIRST, snapshot AFTER — a crash in between
