@@ -78,8 +78,11 @@ object Bench {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     val fullFile = new java.io.File(s"bench_full_$sfTag.json")
     val prior: Map[String, Double] = {
+      // numeric round sort: lexicographic would rank BENCH_r9 after
+      // BENCH_r10 from round 10 on
       val benchFiles = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
       val fromDriver = benchFiles.lastOption.map { f =>
         val rows = parseBench(f)
         if (rows.isEmpty)
@@ -132,18 +135,18 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_sec":$coldTotal%.3f,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
-    // persist the complete line (driver BENCH files truncate the tail) so
-    // the next round's >3x prior guard sees every row for this sf. Partial
-    // SPARK_GRAFT_ONLY runs still only update their own rows via the merge
-    // on read, so don't overwrite a full record with a subset: merge here.
+    // persist the per-query record (driver BENCH files truncate the tail)
+    // so the next round's >3x prior guard sees every row for this sf.
+    // Always MERGE into the existing record (subset runs update only their
+    // own rows) and never persist FAILED rows — a failure's near-zero wall
+    // time would read as a prior value and spuriously trip the guard.
     try {
-      val merged =
-        if (fullFile.exists() && only.nonEmpty) {
-          val old = parseBench(fullFile)
-          val upd = old ++ results.map { case (k, (v, _)) => k -> v }
-          upd.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-            .mkString("""{"queries":{""", ",", s"""},"sf":"$sfDir"}""")
-        } else line
+      val good = results.collect {
+        case (k, (v, _)) if !failed.contains(k) => k -> v }
+      val old = if (fullFile.exists()) parseBench(fullFile) else Map.empty[String, Double]
+      val merged = (old ++ good).toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("""{"queries":{""", ",", s"""},"sf":"$sfDir"}""")
       val w = new java.io.PrintWriter(fullFile); try w.println(merged) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] could not write ${fullFile.getName}: ${e.getMessage}") }
     spark.stop()

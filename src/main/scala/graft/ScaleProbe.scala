@@ -65,7 +65,12 @@ object ScaleProbe {
       val (tQuery, cnt) = timed2 {
         h.between(t0 + 5000 * step, t0 + 5002 * step).count()
       }
-      println(f"""[scale] {"probe":"catalog_$mode","chunks":$n,"write_sec":$tw%.2f,"show_first_sec":$tFirst%.3f,"show_repeat_sec":$tRepeat%.3f,"pruned_count_sec":$tQuery%.3f,"rows":$cnt}""")
+      // plain full read(): first call pays Spark's O(chunks) partition
+      // discovery; the second is the table-mode memo hit (list mode
+      // rebuilds every time)
+      val (tRead1, _) = timed { h.read().where(col("v") === 5000L).count() }
+      val (tRead2, _) = timed { h.read().where(col("v") === 6000L).count() }
+      println(f"""[scale] {"probe":"catalog_$mode","chunks":$n,"write_sec":$tw%.2f,"show_first_sec":$tFirst%.3f,"show_repeat_sec":$tRepeat%.3f,"pruned_count_sec":$tQuery%.3f,"read_first_sec":$tRead1%.2f,"read_repeat_sec":$tRead2%.2f,"rows":$cnt}""")
     }
   }
 

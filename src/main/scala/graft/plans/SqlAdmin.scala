@@ -502,7 +502,7 @@ object SqlAdmin {
           val looksLikeWidth = scala.util.Try(
             org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
               org.apache.spark.unsafe.types.UTF8String.fromString(
-                sc.replaceAll("(?<=[0-9])(?=[a-zA-Z])", " ")))).isSuccess
+                graft.expressions.TimeBucketUtil.pgIntervalText(sc)))).isSuccess
           require(!looksLikeWidth,
             s"$fn: partitioning column '$sc' parses as an interval — " +
               s"if this is the chunk width, pass chunk_interval => " +
@@ -1412,8 +1412,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           groupColsB += body
         case _ =>
           require(alias.isDefined, s"$fn: aggregate '$body' needs an AS alias")
-          val fixed = if (overRx.findFirstIn(body).isDefined)
-            rewriteWindowBody(body) else body
+          val fixed = if (overRx.findFirstIn(body).isDefined) {
+            val r = rewriteWindowBody(body)
+            // a residual time_bucket call (e.g. nested parens the rewrite
+            // regex cannot match) would only fail later with a generic
+            // unresolved-column error — refuse with the targeted one
+            require("""(?is)time_bucket\s*\(""".r.findFirstIn(r).isEmpty,
+              s"$fn: window expression contains a time_bucket call that " +
+                s"could not be matched to the GROUP BY bucket — reference " +
+                s"the bucket's output alias instead: $body")
+            r
+          } else body
           aggsB += s"$fixed AS ${alias.get}"
       }
     }

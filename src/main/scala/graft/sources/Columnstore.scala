@@ -287,6 +287,9 @@ object Columnstore {
     // the rewrite stamped fresh mtimes; re-touch the marker so the chunk
     // does not read as PARTIAL (the compacted files ARE the columnstore)
     if (compressed) fs.create(new Path(chunkP, MARKER), true).close()
+    // chunk CONTENT changed with the chunk SET intact: bump the owning
+    // root's content stamp so read()'s table-mode scan memo rebuilds
+    Hypertable.touchContentStamp(fs, chunkP.getParent)
     Hypertable.refreshColStatsIfEnabled(spark, chunkPath)
     dataFiles(fs, chunkP).size
   }
@@ -362,6 +365,9 @@ object Columnstore {
     touch.close()
     // the reference computes chunk-skipping column ranges at compress time
     // (chunk_column_stats.c) — same here, from the fresh footers
+    // chunk CONTENT changed with the chunk SET intact: bump the owning
+    // root's content stamp so read()'s table-mode scan memo rebuilds
+    Hypertable.touchContentStamp(fs, chunkP.getParent)
     Hypertable.refreshColStatsIfEnabled(spark, chunkPath)
     n
   }
@@ -402,6 +408,9 @@ object Columnstore {
     fs.rename(tmp, chunkP)
     range.foreach(end => Hypertable.writeRangeFile(fs, chunkP, end))
     parts.foreach(p => Hypertable.writeSpaceParts(fs, chunkP, p))
+    // chunk CONTENT changed with the chunk SET intact: bump the owning
+    // root's content stamp so read()'s table-mode scan memo rebuilds
+    Hypertable.touchContentStamp(fs, chunkP.getParent)
     Hypertable.refreshColStatsIfEnabled(spark, chunkPath)
     n
   }
@@ -519,6 +528,9 @@ object Columnstore {
     // re-touch the marker: the rewritten rows ARE columnstore now, so the
     // chunk must stop reading as PARTIAL
     markCompressed(fs, chunkP)
+    // chunk CONTENT changed with the chunk SET intact: bump the owning
+    // root's content stamp so read()'s table-mode scan memo rebuilds
+    Hypertable.touchContentStamp(fs, chunkP.getParent)
     Hypertable.refreshColStatsIfEnabled(spark, chunkPath)
     consumed
   }

@@ -532,8 +532,16 @@ class Hypertable private (
       Hypertable.readSmallFile(fs, f)))
   }
 
-  private def stampSchema(s: org.apache.spark.sql.types.StructType): Unit =
-    Hypertable.writeSmallFile(fs, new Path(path, Hypertable.SCHEMA), s.toDDL)
+  private def stampSchema(s: org.apache.spark.sql.types.StructType): Unit = {
+    val p = new Path(path, Hypertable.SCHEMA)
+    val prev =
+      try fs.getFileStatus(p).getModificationTime
+      catch { case _: Exception => -1L }
+    Hypertable.writeSmallFile(fs, p, s.toDDL)
+    // strictly-past-previous: read()'s scan memo keys on this mtime, and
+    // the tmp-swap preserves the tmp file's (possibly same-tick) mtime
+    fs.setTimes(p, math.max(System.currentTimeMillis(), prev + 1), -1)
+  }
 
   /** `ALTER TABLE ... ADD COLUMN` — widen the declared schema. Instant and
     * metadata-only, like the reference: no file is rewritten; rows written
@@ -598,13 +606,26 @@ class Hypertable private (
     * via the schema file's stamp. List-mode tables skip the memo (no
     * cheap stamp — and their whole contract is per-query listing).
     */
-  @volatile private var cachedScan: Option[((Long, Long), DataFrame)] = None
-  private def metaStamp(): (Long, Long) = {
+  @volatile private var cachedScan: Option[((Long, Long, Long), DataFrame)] = None
+  private def metaStamp(): (Long, Long, Long) = {
     def m(n: String) =
       try fs.getFileStatus(new Path(path, n)).getModificationTime
       catch { case _: Exception => -1L }
-    (m(Hypertable.CHUNK_CATALOG), m(Hypertable.SCHEMA))
+    // content rewrites stamp the CHUNK's own storage root (a compressed
+    // chunk may live in a tablespace dir) — take the max across roots
+    val content = (new Path(path) +: tablespaceTableDirs).map { r =>
+      try r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(new Path(r, Hypertable.CONTENT_STAMP)).getModificationTime
+      catch { case _: Exception => -1L }
+    }.max
+    (m(Hypertable.CHUNK_CATALOG), m(Hypertable.SCHEMA), content)
   }
+
+  /** Content-rewrite hook (DML copy-on-write): see
+    * [[Hypertable.touchContentStamp]].
+    */
+  private[sources] def markContentChanged(): Unit =
+    Hypertable.touchContentStamp(fs, new Path(path))
 
   def read(): DataFrame = {
     val info = Hypertable.ExclusionInfo(
@@ -1146,6 +1167,7 @@ class Hypertable private (
     // reference's per-chunk invalidation entries)
     invalidateCaggs(perChunk.collect {
       case (h, c) if h > 0 => (c.startMicros, c.endMicros) })
+    if (perChunk.exists(_._1 > 0)) markContentChanged()
     perChunk.map(_._1).sum
   }
 
@@ -1183,6 +1205,7 @@ class Hypertable private (
     }
     invalidateCaggs(perChunk.collect {
       case (h, c) if h > 0 => (c.startMicros, c.endMicros) })
+    if (perChunk.exists(_._1 > 0)) markContentChanged()
     perChunk.map(_._1).sum
   }
 
@@ -1748,6 +1771,26 @@ object Hypertable {
     * analogue).
     */
   private[sources] val CHUNK_CATALOG = "_graft_chunks.json"
+  private[sources] val CONTENT_STAMP = "_graft_content_stamp"
+
+  /** Bump the table's content stamp — called by every chunk-CONTENT
+    * rewrite that leaves the chunk SET unchanged (DML copy-on-write,
+    * columnstore compress/decompress/recompress/compact), which
+    * `syncChunkCatalog` deliberately does not cover. `read()`'s table-mode
+    * scan memo keys on this mtime, so a memoized scan can never serve
+    * part-files a rewrite deleted. Direct create (no tmp-swap): only the
+    * mtime matters, concurrent bumps may interleave freely, and the
+    * strictly-past-previous stamp survives coarse mtime granularity.
+    */
+  private[sources] def touchContentStamp(fs: FileSystem, tableRoot: Path): Unit = {
+    val p = new Path(tableRoot, CONTENT_STAMP)
+    val prev =
+      try fs.getFileStatus(p).getModificationTime
+      catch { case _: Exception => -1L }
+    val out = fs.create(p, true)
+    out.write('1'); out.close()
+    fs.setTimes(p, math.max(System.currentTimeMillis(), prev + 1), -1)
+  }
   private[sources] val jsonMapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
   private[sources] val SKIPCOLS = "_graft_skipcols"

@@ -612,6 +612,22 @@ class HypertableSpec extends AnyFunSuite {
     ht.alterAddColumn("memo_probe", "INT")
     val r3 = ht.read()
     assert(!(r2 eq r3) && r3.columns.contains("memo_probe"))
+    // chunk-CONTENT rewrites with the chunk SET intact (DML copy-on-write,
+    // columnstore conversion) must invalidate as well — the catalog
+    // snapshot doesn't change, the content stamp does. A stale memo here
+    // would serve deleted part-files (FileNotFound) or pre-delete rows.
+    val r4 = ht.read()
+    val deleted = ht.deleteWhere(col("user_id") === 3L)
+    assert(deleted > 0)
+    val r5 = ht.read()
+    assert(!(r4 eq r5), "DML must invalidate the scan memo")
+    assert(r5.count() === n0 + 25 - deleted)
+    val chunk = ht.showChunks().head.path
+    graft.sources.Columnstore.compressChunk(spark, chunk,
+      graft.sources.Columnstore.Options(orderBy = Seq("ts")))
+    val r6 = ht.read()
+    assert(!(r5 eq r6), "columnstore conversion must invalidate the scan memo")
+    assert(r6.count() === n0 + 25 - deleted)
   }
 
   test("catalog='table': crash between data commit and snapshot self-heals " +

@@ -418,6 +418,12 @@ class SqlAdminSpec extends AnyFunSuite {
       spark.sql(s"SELECT create_hypertable('${tmp()}/x', 'ts', '7 days')")
     }
     assert(e.getMessage.contains("chunk_interval"))
+    // PG short units must be caught by the same guard ('7d' parses via
+    // pgIntervalText everywhere else in the engine)
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT create_hypertable('${tmp()}/x', 'ts', '7d')")
+    }
+    assert(e2.getMessage.contains("chunk_interval"))
   }
 
   test("argument errors are informative") {
