@@ -709,9 +709,33 @@ object SqlAdmin {
           throw new IllegalArgumentException(
             s"no continuous aggregate registered at '$path' in this session " +
               "(build it with ContinuousAggregate.create, which registers it)"))
-        val force = a.boolOpt(Int.MaxValue, "force").getOrElse(false)
-        cagg.refresh(a.microsOpt(1, "window_start"), a.microsOpt(2, "window_end"),
-          force = force)
+        // reference signature (sql/ddl_api.sql:200-206): window_start,
+        // window_end, force = false, options = NULL jsonb with
+        // buckets_per_batch / max_batches_per_execution /
+        // refresh_newest_first (tsl refresh.c batching)
+        val force = a.boolOpt(3, "force").getOrElse(false)
+        val options = a.strOpt(4, "options")
+        val (s, e) = (a.microsOpt(1, "window_start"), a.microsOpt(2, "window_end"))
+        options match {
+          case Some(json) if json.trim.nonEmpty && json.trim != "null" =>
+            val node = graft.sources.Hypertable.jsonMapper.readTree(json)
+            def intOf(k: String, d: Int) =
+              if (node.has(k)) node.get(k).asInt(d) else d
+            val known = Set("buckets_per_batch", "max_batches_per_execution",
+              "refresh_newest_first")
+            val unknown = scala.jdk.CollectionConverters
+              .IteratorHasAsScala(node.fieldNames()).asScala.toSet -- known
+            require(unknown.isEmpty,
+              s"$fn: unsupported option(s): ${unknown.mkString(", ")}")
+            cagg.refreshBatched(s, e,
+              bucketsPerBatch = intOf("buckets_per_batch", 0),
+              maxBatchesPerExecution = intOf("max_batches_per_execution", 0),
+              refreshNewestFirst =
+                !node.has("refresh_newest_first") ||
+                  node.get("refresh_newest_first").asBoolean(true),
+              force = force)
+          case _ => cagg.refresh(s, e, force = force)
+        }
         Seq(Row(true))
       case "merge_chunks" | "merge_chunks_concurrently" =>
         // graft's merge is already non-blocking for readers (tmp + atomic

@@ -1791,7 +1791,7 @@ object Hypertable {
     out.write('1'); out.close()
     fs.setTimes(p, math.max(System.currentTimeMillis(), prev + 1), -1)
   }
-  private[sources] val jsonMapper =
+  private[graft] val jsonMapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
   private[sources] val SKIPCOLS = "_graft_skipcols"
   private[sources] val COLSETTINGS = "_graft_columnstore_settings"

@@ -558,6 +558,44 @@ class ContinuousAggregate(
   def refreshAll(force: Boolean = false): Option[(Long, Long)] =
     refresh(None, None, force)
 
+  /** Batched windowed refresh — the `options` jsonb of
+    * `CALL refresh_continuous_aggregate(cagg, s, e, force, options =>
+    * '{"buckets_per_batch": N, "max_batches_per_execution": M,
+    * "refresh_newest_first": B}')` (`sql/ddl_api.sql:200-206`; batching in
+    * `tsl/src/continuous_aggs/refresh.c`). The (inscribed) window is
+    * carved into N-bucket batches (month-aware stepping), at most M
+    * refreshed in THIS call (0 = unlimited), newest-first by default like
+    * the reference; batches the cap skips are LOGGED as invalidations so
+    * the next execution picks them up — never silently unmaterialized.
+    */
+  def refreshBatched(startOpt: Option[Long], endOpt: Option[Long],
+      bucketsPerBatch: Int, maxBatchesPerExecution: Int = 0,
+      refreshNewestFirst: Boolean = true,
+      force: Boolean = false): Seq[(Long, Long)] = {
+    if (bucketsPerBatch <= 0) return refresh(startOpt, endOpt, force).toSeq
+    val bounds = source.timeBounds
+    val s0 = startOpt.orElse(bounds.map(b => defn.bucketFloor(b._1)))
+    val e0 = endOpt.orElse(bounds.map(b =>
+      defn.bucketAdvance(defn.bucketFloor(b._2 - 1), 1)))
+    (s0, e0) match {
+      case (Some(sRaw), Some(eRaw)) if sRaw < eRaw =>
+        val (s, e) = inscribe(sRaw, eRaw)
+        if (s >= e) return Seq.empty
+        var windows = Iterator.iterate(s)(defn.bucketAdvance(_, bucketsPerBatch))
+          .takeWhile(_ < e).toSeq
+          .map(lo => (lo, math.min(defn.bucketAdvance(lo, bucketsPerBatch), e)))
+        if (refreshNewestFirst) windows = windows.reverse
+        val dropped =
+          if (maxBatchesPerExecution > 0) windows.drop(maxBatchesPerExecution)
+          else Seq.empty
+        if (maxBatchesPerExecution > 0) windows = windows.take(maxBatchesPerExecution)
+        val done = windows.map { case (lo, hi) => refresh(lo, hi, force) }
+        dropped.foreach { case (lo, hi) => invalidate(lo, hi) }
+        done
+      case _ => Seq.empty
+    }
+  }
+
   /** Serialize refreshes via an exclusive-create lock file; a lock older
     * than `staleMs` (1 h — a refresh holding it longer is presumed
     * crashed; refresh is idempotent, so re-running a window that died
@@ -1038,9 +1076,21 @@ class ContinuousAggregate(
   }
 
   private def liveFrom(wmMicros: Long): DataFrame = {
-    val joined = defn.dimJoin.foldLeft(
-      source.read().where(toUs(col(source.timeCol)) >= wmMicros))(
-      (df, j) => j(df))
+    // catalog-driven scan of ONLY the chunks at/above the seam:
+    // source.between lists just the hit chunk dirs (SCALE.md §2 — the
+    // realtime live side of a year-deep table reads days, not the table),
+    // where read().where paid Spark's O(all chunks) partition discovery
+    // per realtime query. The upper bound comes from the source's edge
+    // footer stats (a synthetic +inf would overflow uuidv7's 48-bit ms
+    // boundary encoding and under-bound exotic integer dimensions). The
+    // never-refreshed seam (wm at the sentinel floor) and the empty
+    // source genuinely cover everything — plain read() there.
+    val live = source.timeBounds match {
+      case Some((_, hi)) if wmMicros > Long.MinValue / 2 =>
+        source.between(wmMicros, hi + 1)
+      case _ => source.read().where(toUs(col(source.timeCol)) >= wmMicros)
+    }
+    val joined = defn.dimJoin.foldLeft(live)((df, j) => j(df))
     val raw = defn.filter.foldLeft(joined)((df, p) => df.where(p))
     // live buckets sit entirely at/above the watermark, so a
     // bucket-partitioned window computed over the live rows alone agrees
@@ -1066,28 +1116,15 @@ object CaggRefreshPolicy {
     require(startOffsetMicros > endOffsetMicros, "start offset must exceed end offset")
     val (s, e) = cagg.inscribe(nowMicros - startOffsetMicros, nowMicros - endOffsetMicros)
     if (s >= e) return Seq.empty
-    var windows =
-      if (bucketsPerBatch <= 0) Seq((s, e))
-      else {
-        // step whole buckets (month-aware: bucket widths vary)
-        val starts = Iterator.iterate(s)(cagg.defn.bucketAdvance(_, bucketsPerBatch))
-          .takeWhile(_ < e).toSeq
-        starts.map(lo => (lo, math.min(cagg.defn.bucketAdvance(lo, bucketsPerBatch), e)))
-      }
-    if (refreshNewestFirst) windows = windows.reverse
-    val dropped =
-      if (maxBatchesPerExecution > 0) windows.drop(maxBatchesPerExecution) else Seq.empty
-    if (maxBatchesPerExecution > 0) windows = windows.take(maxBatchesPerExecution)
     // each windowed refresh folds in the window's own invalidations (the
     // default refresh is invalidation-driven, refresh.c:1377); dirt
     // OUTSIDE the policy window deliberately stays logged — the reference
-    // policy never repairs past its offsets
-    val done = windows.map { case (lo, hi) => cagg.refresh(lo, hi) }
-    // newest-first + cap skips windows: log them so the NEXT policy run
-    // picks them up (the reference keeps unprocessed ranges in the
-    // invalidation log) — never silently unmaterialized
-    dropped.foreach { case (lo, hi) => cagg.invalidate(lo, hi) }
-    done
+    // policy never repairs past its offsets. Carving + newest-first + cap
+    // + skipped-batch logging are shared with the CALL surface
+    // ([[ContinuousAggregate.refreshBatched]]).
+    if (bucketsPerBatch <= 0) Seq(cagg.refresh(s, e))
+    else cagg.refreshBatched(Some(s), Some(e), bucketsPerBatch,
+      maxBatchesPerExecution, refreshNewestFirst)
   }
 }
 

@@ -384,6 +384,36 @@ class SqlAdminSpec extends AnyFunSuite {
       .as[Boolean].head())
   }
 
+  test("refresh options jsonb: buckets_per_batch carves, " +
+      "max_batches_per_execution caps newest-first and logs the remainder " +
+      "(ddl_api.sql:200-206)") {
+    val dir = tmp()
+    spark.sql(s"SELECT create_hypertable('$dir/ht', 'ts', INTERVAL '1 day')")
+    val ht = Hypertable.at(spark, s"$dir/ht")
+    ht.write(events(96)) // 4 days of hourly rows
+    spark.sql(s"SELECT create_continuous_aggregate('$dir/c', '$dir/ht', " +
+      s"INTERVAL '1 day', '', 'count(1) AS n')")
+    val c = ContinuousAggregate.atPath(spark, s"$dir/c").get
+    // 4 daily buckets; 1-bucket batches capped at 2, newest-first: only
+    // the newest two days materialize now
+    spark.sql(s"CALL refresh_continuous_aggregate('$dir/c', NULL, NULL, " +
+      """options => '{"buckets_per_batch": 1, "max_batches_per_execution": 2}')""")
+    assert(c.materialized.count() === 2)
+    assert(c.materialized.agg(min(unix_micros($"bucket"))).head().getLong(0)
+      === java.sql.Timestamp.valueOf("2024-01-03 00:00:00").getTime * 1000L)
+    // the two SKIPPED (older) batches were re-logged as invalidations
+    // below the advanced threshold — the next pass picks them up
+    assert(c.pendingInvalidations().nonEmpty)
+    c.refreshInvalidated()
+    assert(c.materialized.count() === 4)
+    // unknown options error like the reference's jsonb validation
+    val eOpt = intercept[Exception] {
+      spark.sql(s"CALL refresh_continuous_aggregate('$dir/c', NULL, NULL, " +
+        """options => '{"nope": 1}')""")
+    }
+    assert(eOpt.getMessage.contains("unsupported option"))
+  }
+
   test("offset-form caggs: time_bucket(w, ts, '30m'::interval) shifts the " +
       "bucket grid (cagg_4_hours_offset, cagg_query_common.sql)") {
     val dir = tmp()
