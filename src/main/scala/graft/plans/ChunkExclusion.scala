@@ -45,8 +45,22 @@ object ChunkExclusion extends Rule[LogicalPlan] {
       case hfs: HadoopFsRelation => hfs.location.rootPaths
       case _                     => return f
     }
-    if (roots.size != 1) return f
-    val reg = Hypertable.lookupExclusion(roots.head.toString).getOrElse(return f)
+    if (roots.isEmpty) return f
+    // a catalog-driven DIRECT chunk-dir scan (Hypertable.readChunkDirs:
+    // between / whereTimeIn / the realtime live side) has `_chunk=K` dirs
+    // as its roots — map them back to the owning table so exclusion still
+    // narrows FURTHER predicates layered on the pruned scan. All roots
+    // must share one table parent (tablespace-split scans are separate
+    // unioned relations, each matched here on its own root).
+    val reg = (if (roots.size == 1) Hypertable.lookupExclusion(roots.head.toString)
+      else None).orElse {
+        val parents = roots.flatMap(r =>
+          if (r.getName.startsWith("_chunk=")) Option(r.getParent) else None)
+          .distinct
+        if (parents.size == 1 && roots.forall(_.getName.startsWith("_chunk=")))
+          Hypertable.lookupExclusion(parents.head.toString)
+        else None
+      }.getOrElse(return f)
 
     val timeIn = timeFilter(cond, rel, reg)
     val spaceIn = spaceFilter(cond, rel, reg)

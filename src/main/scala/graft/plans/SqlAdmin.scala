@@ -719,20 +719,37 @@ object SqlAdmin {
         options match {
           case Some(json) if json.trim.nonEmpty && json.trim != "null" =>
             val node = graft.sources.Hypertable.jsonMapper.readTree(json)
-            def intOf(k: String, d: Int) =
-              if (node.has(k)) node.get(k).asInt(d) else d
+            // the reference validates the jsonb strictly — a mistyped value
+            // must error, not silently degrade to an unbatched refresh
+            require(node.isObject,
+              s"$fn: options must be a JSON object, got '$json'")
             val known = Set("buckets_per_batch", "max_batches_per_execution",
               "refresh_newest_first")
             val unknown = scala.jdk.CollectionConverters
               .IteratorHasAsScala(node.fieldNames()).asScala.toSet -- known
             require(unknown.isEmpty,
               s"$fn: unsupported option(s): ${unknown.mkString(", ")}")
+            def intOf(k: String): Int =
+              if (!node.has(k)) 0
+              else {
+                val v = node.get(k)
+                require(v.isIntegralNumber && v.asLong() >= 0 &&
+                    v.asLong() <= Int.MaxValue,
+                  s"$fn: option '$k' must be a non-negative integer, got $v")
+                v.asInt()
+              }
+            val newestFirst =
+              if (!node.has("refresh_newest_first")) true
+              else {
+                val v = node.get("refresh_newest_first")
+                require(v.isBoolean,
+                  s"$fn: option 'refresh_newest_first' must be a boolean, got $v")
+                v.asBoolean()
+              }
             cagg.refreshBatched(s, e,
-              bucketsPerBatch = intOf("buckets_per_batch", 0),
-              maxBatchesPerExecution = intOf("max_batches_per_execution", 0),
-              refreshNewestFirst =
-                !node.has("refresh_newest_first") ||
-                  node.get("refresh_newest_first").asBoolean(true),
+              bucketsPerBatch = intOf("buckets_per_batch"),
+              maxBatchesPerExecution = intOf("max_batches_per_execution"),
+              refreshNewestFirst = newestFirst,
               force = force)
           case _ => cagg.refresh(s, e, force = force)
         }

@@ -627,13 +627,16 @@ class Hypertable private (
   private[sources] def markContentChanged(): Unit =
     Hypertable.touchContentStamp(fs, new Path(path))
 
-  def read(): DataFrame = {
-    val info = Hypertable.ExclusionInfo(
+  private def exclusionInfo: Hypertable.ExclusionInfo =
+    Hypertable.ExclusionInfo(
       qualifiedPath, timeCol, () => showChunks(),
       spaceDims,
       () => columnStatsCatalog(),
       () => spacePartsCatalog(),
       () => skipColumns)
+
+  def read(): DataFrame = {
+    val info = exclusionInfo
     Hypertable.registerForExclusion(info)
     if (catalogMode == "table") {
       val stamp = metaStamp()
@@ -731,6 +734,11 @@ class Hypertable private (
     */
   private def readChunkDirs(hits: Seq[ChunkInfo]): DataFrame = {
     if (hits.isEmpty) return read().where(lit(false))
+    // register so ChunkExclusion (which maps `_chunk=` roots back to the
+    // owning table) can still narrow FURTHER predicates layered on this
+    // already-pruned scan — e.g. realtime-view queries well above the
+    // watermark seam
+    Hypertable.registerForExclusion(exclusionInfo)
     val byRoot = hits.groupBy(c => new Path(c.path).getParent.toString)
     byRoot.toSeq.sortBy(_._1).map { case (root, cs) =>
       val r0 = spark.read.option("basePath", root)
@@ -739,7 +747,8 @@ class Hypertable private (
   }
 
   def between(startMicros: Long, endMicros: Long): DataFrame = {
-    val hits = showChunks()
+    val all = showChunks()
+    val hits = all
       .filter(c => c.startMicros < endMicros && c.endMicros > startMicros)
     val rowFilter = timeKind match {
       case "bigint" => col(timeCol) >= lit(startMicros) && col(timeCol) < lit(endMicros)
@@ -753,7 +762,14 @@ class Hypertable private (
         col(timeCol) >= timestamp_micros(lit(startMicros)) &&
           col(timeCol) < timestamp_micros(lit(endMicros))
     }
-    readChunkDirs(hits).where(rowFilter)
+    // a window covering EVERY chunk (the full-range refresh shape) gains
+    // nothing from per-dir enumeration — one root discovery (plus the
+    // table-mode scan memo) beats N per-path listings when N is the whole
+    // table (measured: m=100 cagg_refresh 3.3 s direct vs 2.0 s root).
+    // The direct scan is for windows that EXCLUDE most of the table.
+    if (hits.size == all.size && tablespaceTableDirs.isEmpty)
+      read().where(rowFilter)
+    else readChunkDirs(hits).where(rowFilter)
   }
 
   private def boundaryUuid(us: Long): String =

@@ -573,24 +573,53 @@ class ContinuousAggregate(
       refreshNewestFirst: Boolean = true,
       force: Boolean = false): Seq[(Long, Long)] = {
     if (bucketsPerBatch <= 0) return refresh(startOpt, endOpt, force).toSeq
-    val bounds = source.timeBounds
+    val explicit = startOpt.isDefined && endOpt.isDefined
+    // the data probe runs only when an endpoint is absent — a policy with
+    // explicit offsets must not pay edge-footer reads per scheduled run
+    lazy val bounds = source.timeBounds
     val s0 = startOpt.orElse(bounds.map(b => defn.bucketFloor(b._1)))
     val e0 = endOpt.orElse(bounds.map(b =>
       defn.bucketAdvance(defn.bucketFloor(b._2 - 1), 1)))
     (s0, e0) match {
-      case (Some(sRaw), Some(eRaw)) if sRaw < eRaw =>
+      case (Some(sRaw), Some(eRaw)) =>
+        // explicit windows keep the two-sided refresh's errors — passing
+        // `options` must not turn a bad window into a silent success; the
+        // data-derived (NULL-endpoint) form keeps its no-op-on-empty
+        // contract, like refresh(Option, Option)
+        if (sRaw >= eRaw) {
+          require(!explicit, "refresh window too small: it must cover at " +
+            "least one whole bucket")
+          return Seq.empty
+        }
         val (s, e) = inscribe(sRaw, eRaw)
-        if (s >= e) return Seq.empty
-        var windows = Iterator.iterate(s)(defn.bucketAdvance(_, bucketsPerBatch))
-          .takeWhile(_ < e).toSeq
-          .map(lo => (lo, math.min(defn.bucketAdvance(lo, bucketsPerBatch), e)))
-        if (refreshNewestFirst) windows = windows.reverse
-        val dropped =
-          if (maxBatchesPerExecution > 0) windows.drop(maxBatchesPerExecution)
-          else Seq.empty
-        if (maxBatchesPerExecution > 0) windows = windows.take(maxBatchesPerExecution)
-        val done = windows.map { case (lo, hi) => refresh(lo, hi, force) }
-        dropped.foreach { case (lo, hi) => invalidate(lo, hi) }
+        if (s >= e) {
+          require(!explicit, "refresh window too small: it must cover at " +
+            "least one whole bucket")
+          return Seq.empty
+        }
+        // O(1)-memory carving: a wide window with small buckets can hold
+        // millions of batches — never materialize more than the capped
+        // executed set, and log the skipped remainder as ONE range
+        def grid = Iterator.iterate(s)(defn.bucketAdvance(_, bucketsPerBatch))
+          .takeWhile(_ < e)
+        val total = grid.size
+        val cap =
+          if (maxBatchesPerExecution > 0) math.min(maxBatchesPerExecution, total)
+          else total
+        val skipFront = if (refreshNewestFirst) total - cap else 0
+        val starts0 = grid.slice(skipFront, skipFront + cap).toSeq
+        val starts = if (refreshNewestFirst) starts0.reverse else starts0
+        val done = starts.map { lo =>
+          refresh(lo, math.min(defn.bucketAdvance(lo, bucketsPerBatch), e), force)
+        }
+        if (cap < total) {
+          // skipped region (newest-first skips the OLD tail, oldest-first
+          // the NEW one) re-logs for the next execution — never silently
+          // unmaterialized
+          if (refreshNewestFirst) invalidate(s, starts0.head)
+          else invalidate(
+            math.min(defn.bucketAdvance(starts0.last, bucketsPerBatch), e), e)
+        }
         done
       case _ => Seq.empty
     }
@@ -1076,19 +1105,24 @@ class ContinuousAggregate(
   }
 
   private def liveFrom(wmMicros: Long): DataFrame = {
-    // catalog-driven scan of ONLY the chunks at/above the seam:
-    // source.between lists just the hit chunk dirs (SCALE.md §2 — the
-    // realtime live side of a year-deep table reads days, not the table),
-    // where read().where paid Spark's O(all chunks) partition discovery
-    // per realtime query. The upper bound comes from the source's edge
+    // catalog-driven scan of ONLY the chunks at/above the seam: for a raw
+    // HYPERTABLE source, between lists just the hit chunk dirs (SCALE.md
+    // §2 — the realtime live side of a year-deep table reads days, not
+    // the table), where read().where paid Spark's O(all chunks) partition
+    // discovery per realtime query. The upper bound comes from the edge
     // footer stats (a synthetic +inf would overflow uuidv7's 48-bit ms
-    // boundary encoding and under-bound exotic integer dimensions). The
-    // never-refreshed seam (wm at the sentinel floor) and the empty
-    // source genuinely cover everything — plain read() there.
-    val live = source.timeBounds match {
-      case Some((_, hi)) if wmMicros > Long.MinValue / 2 =>
-        source.between(wmMicros, hi + 1)
-      case _ => source.read().where(toUs(col(source.timeCol)) >= wmMicros)
+    // boundary encoding and under-bound exotic integer dimensions).
+    // Hierarchical caggs (CaggSource) keep the plain filtered read —
+    // their between is the same materialized scan plus a row filter, so
+    // the bounds probe would be pure extra I/O; same for the
+    // never-refreshed sentinel seam, which genuinely covers everything.
+    val live = source match {
+      case h: Hypertable if wmMicros > Long.MinValue / 2 =>
+        h.timeBounds match {
+          case Some((_, hi)) => h.between(wmMicros, hi + 1)
+          case None => h.read().where(toUs(col(h.timeCol)) >= wmMicros)
+        }
+      case s0 => s0.read().where(toUs(col(s0.timeCol)) >= wmMicros)
     }
     val joined = defn.dimJoin.foldLeft(live)((df, j) => j(df))
     val raw = defn.filter.foldLeft(joined)((df, p) => df.where(p))

@@ -591,6 +591,36 @@ class HypertableSpec extends AnyFunSuite {
     assert(pruned(tblHt) < tblHt.showChunks().size) // and it actually pruned
   }
 
+  test("between: narrow windows scan ONLY the hit chunk dirs; a full-range " +
+      "window falls back to the single root scan") {
+    val d = Files.createTempDirectory("graft_ht_direct").toString
+    val ht = Hypertable.create(spark, s"$d/ht", "ts", chunkWidth = "7 days")
+    ht.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
+    val nChunks = ht.showChunks().size
+    assert(nChunks >= 4)
+    // narrow: the scan's ROOT PATHS are the two hit chunk dirs — Spark
+    // never lists (or even sees) the excluded chunks (SCALE.md §2)
+    val narrow = ht.between(Timestamp.valueOf("2024-01-08 00:00:00"),
+      Timestamp.valueOf("2024-01-22 00:00:00"))
+    val narrowRoots = leafScan(narrow).relation.location.rootPaths
+    assert(narrowRoots.size === 2 &&
+      narrowRoots.forall(_.getName.startsWith("_chunk=")))
+    assert(narrow.count() ===
+      ht.read().where(col("ts") >= lit(Timestamp.valueOf("2024-01-08 00:00:00"))
+        && col("ts") < lit(Timestamp.valueOf("2024-01-22 00:00:00"))).count())
+    // full coverage: one root discovery, not N per-dir listings
+    val full = ht.between(Timestamp.valueOf("2020-01-01 00:00:00"),
+      Timestamp.valueOf("2030-01-01 00:00:00"))
+    val fullRoots = leafScan(full).relation.location.rootPaths
+    assert(fullRoots.size === 1 && !fullRoots.head.getName.startsWith("_chunk="))
+    assert(full.count() === ht.read().count())
+    // ChunkExclusion composes with the DIRECT scan: a further predicate
+    // on the already-pruned frame still partition-prunes (the rule maps
+    // the _chunk= roots back to the owning table)
+    val narrowed = narrow.where(col("ts") < lit(Timestamp.valueOf("2024-01-15 00:00:00")))
+    assert(leafScan(narrowed).selectedPartitions.partitionCount === 1)
+  }
+
   test("catalog='table': plain read() memoizes the resolved scan until a " +
       "mutation re-stamps the catalog") {
     val d = Files.createTempDirectory("graft_ht_memo").toString

@@ -412,6 +412,20 @@ class SqlAdminSpec extends AnyFunSuite {
         """options => '{"nope": 1}')""")
     }
     assert(eOpt.getMessage.contains("unsupported option"))
+    // mistyped values error rather than silently degrading to an
+    // unbatched refresh
+    val eBad = intercept[Exception] {
+      spark.sql(s"CALL refresh_continuous_aggregate('$dir/c', NULL, NULL, " +
+        """options => '{"buckets_per_batch": "ten"}')""")
+    }
+    assert(eBad.getMessage.contains("non-negative integer"))
+    // an explicit inverted window errors exactly like the option-less CALL
+    val eInv = intercept[Exception] {
+      spark.sql(s"CALL refresh_continuous_aggregate('$dir/c', " +
+        s"TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-01 00:00:00', " +
+        """false, options => '{"buckets_per_batch": 1}')""")
+    }
+    assert(eInv.getMessage.contains("refresh window"))
   }
 
   test("offset-form caggs: time_bucket(w, ts, '30m'::interval) shifts the " +
