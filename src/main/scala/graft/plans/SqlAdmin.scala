@@ -733,8 +733,9 @@ object SqlAdmin {
               if (!node.has(k)) 0
               else {
                 val v = node.get(k)
-                require(v.isIntegralNumber && v.asLong() >= 0 &&
-                    v.asLong() <= Int.MaxValue,
+                // canConvertToInt guards BigInteger wrap-around (2^64+5
+                // would otherwise truncate through asLong to batch size 5)
+                require(v.isIntegralNumber && v.canConvertToInt && v.asInt() >= 0,
                   s"$fn: option '$k' must be a non-negative integer, got $v")
                 v.asInt()
               }

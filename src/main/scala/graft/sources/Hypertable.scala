@@ -737,8 +737,17 @@ class Hypertable private (
     // register so ChunkExclusion (which maps `_chunk=` roots back to the
     // owning table) can still narrow FURTHER predicates layered on this
     // already-pruned scan — e.g. realtime-view queries well above the
-    // watermark seam
+    // watermark seam. Tablespace-resident chunk dirs map to THEIR root,
+    // so each attached root registers too (mirroring buildScan). Note the
+    // rule's catalog consult on these scans is not an added cost: the
+    // pre-direct-scan formulation (read().where) triggered the same
+    // consult on the same predicates.
     Hypertable.registerForExclusion(exclusionInfo)
+    tablespaceTableDirs.foreach { d =>
+      val q = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(d).toString
+      Hypertable.registerForExclusion(exclusionInfo.copy(qualifiedPath = q))
+    }
     val byRoot = hits.groupBy(c => new Path(c.path).getParent.toString)
     byRoot.toSeq.sortBy(_._1).map { case (root, cs) =>
       val r0 = spark.read.option("basePath", root)

@@ -585,12 +585,8 @@ class ContinuousAggregate(
         // explicit windows keep the two-sided refresh's errors — passing
         // `options` must not turn a bad window into a silent success; the
         // data-derived (NULL-endpoint) form keeps its no-op-on-empty
-        // contract, like refresh(Option, Option)
-        if (sRaw >= eRaw) {
-          require(!explicit, "refresh window too small: it must cover at " +
-            "least one whole bucket")
-          return Seq.empty
-        }
+        // contract, like refresh(Option, Option). Inverted input collapses
+        // through inscribe (s >= sRaw, e <= eRaw), so one check covers it.
         val (s, e) = inscribe(sRaw, eRaw)
         if (s >= e) {
           require(!explicit, "refresh window too small: it must cover at " +
