@@ -57,31 +57,60 @@ object Similarity {
   def lshSignature(vec: Column, numPlanes: Int, dim: Int = 64, seed: Long = 42L): Column =
     lshBandKeys(vec, numPlanes, 1, dim, seed).getItem(0).getField("bucket")
 
-  /** Signature-index the corpus once: adds a `_sig` column. Persist or
+  /** Signature-index the corpus once: adds a `_sig` column (table 0) plus,
+    * when `numTables > 1`, an LSH-forest `_sigs` array<long> with one
+    * signature per hash table (table `t` uses `seed + t`). Persist or
     * write this out and query via [[annTopKIndexed]] — computing signatures
     * per query costs `numPlanes` dot products per row, MORE than the single
     * dot an exact scan pays, so one-shot [[annTopK]] only wins once the
     * signature column is reused across queries (or stored and pruned on).
+    * At 100 TB, bucketing/partitioning the stored index on a `_sig` prefix
+    * turns the candidate filter into partition pruning.
     */
   def annIndex(emb: DataFrame, vecCol: String, dim: Int,
-      numPlanes: Int = 12, seed: Long = 42L): DataFrame =
-    emb.withColumn("_sig", lshSignature(col(vecCol), numPlanes, dim, seed))
+      numPlanes: Int = 12, seed: Long = 42L, numTables: Int = 1): DataFrame = {
+    val sigs = (0 until numTables).map(t =>
+      lshSignature(col(vecCol), numPlanes, dim, seed + t))
+    val base = emb.withColumn("_sig", sigs.head)
+    if (numTables == 1) base else base.withColumn("_sigs", array(sigs: _*))
+  }
 
-  /** ANN top-k over an [[annIndex]]ed corpus: candidates = rows whose
-    * `_sig` is within `maxFlips` bits of the query's (multi-probe), exact
-    * cosine rerank on candidates only.
-    */
-  def annTopKIndexed(indexed: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Double], k: Int, numPlanes: Int = 12, maxFlips: Int = 2,
-      seed: Long = 42L): DataFrame = {
+  /** Query-side signature of `query` under table `t`'s planes. */
+  private def querySignature(query: Seq[Double], numPlanes: Int,
+      seed: Long): Long = {
     val planes = hyperplanes(numPlanes, query.length, seed)
     var qSig = 0L
     planes.zipWithIndex.foreach { case (plane, p) =>
-      val d = plane.zip(query).map { case (x, y) => x * y }.sum
+      var d = 0.0
+      var i = 0
+      val n = math.min(plane.length, query.length)
+      while (i < n) { d += plane(i) * query(i); i += 1 }
       if (d >= 0) qSig |= (1L << p)
     }
-    val cands = indexed.where(bit_count(col("_sig").bitwiseXOR(lit(qSig))) <= maxFlips)
-    bruteForceTopK(cands, idCol, vecCol, query, k)
+    qSig
+  }
+
+  /** ANN top-k over an [[annIndex]]ed corpus: candidates = rows whose
+    * signature is within `maxFlips` bits of the query's in ANY of the
+    * `numTables` hash tables (multi-probe LSH forest), exact cosine rerank
+    * on candidates only. With `numTables = 1` reads the `_sig` column,
+    * otherwise `_sigs`. Recall is a function of (numPlanes, maxFlips,
+    * numTables) and the corpus geometry; for exact results size the probe
+    * so the candidate set covers the true top-k (TrainingOpsSpec pins
+    * 4×12-plane tables at radius 7 ≡ brute force on the test corpora,
+    * whose uniform-random vectors are LSH's worst case — clustered real
+    * embeddings concentrate at far smaller radii).
+    */
+  def annTopKIndexed(indexed: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, numPlanes: Int = 12, maxFlips: Int = 2,
+      seed: Long = 42L, numTables: Int = 1): DataFrame = {
+    val cond = (0 until numTables).map { t =>
+      val qSig = querySignature(query, numPlanes, seed + t)
+      val sig = if (numTables == 1) col("_sig")
+                else element_at(col("_sigs"), t + 1)
+      bit_count(sig.bitwiseXOR(lit(qSig))) <= maxFlips
+    }.reduce(_ || _)
+    bruteForceTopK(indexed.where(cond), idCol, vecCol, query, k)
   }
 
   /** One-shot ANN top-k (index built inline — see [[annIndex]] for the
@@ -90,9 +119,10 @@ object Similarity {
     */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, numPlanes: Int = 12, maxFlips: Int = 2,
-      seed: Long = 42L): DataFrame =
-    annTopKIndexed(annIndex(emb, vecCol, query.length, numPlanes, seed),
-      idCol, vecCol, query, k, numPlanes, maxFlips, seed)
+      seed: Long = 42L, numTables: Int = 1): DataFrame =
+    annTopKIndexed(
+      annIndex(emb, vecCol, query.length, numPlanes, seed, numTables),
+      idCol, vecCol, query, k, numPlanes, maxFlips, seed, numTables)
 
   /** IVF coarse quantizer: `nlist` centroids from a deterministic sample of
     * the vectors (smallest xxhash64(id, seed)), refined with `iters` Lloyd

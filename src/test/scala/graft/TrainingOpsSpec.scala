@@ -120,6 +120,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(found >= 4, s"recall too low: $found/5 planted neighbors in top-6")
   }
 
+  test("q98 probe config: 4-table radius-7 indexed ANN ≡ brute force on the corpora") {
+    // Pins the exact-by-construction claim behind q98's DuckDB oracle: the
+    // multi-probe candidate union must cover the true top-10 on the real
+    // testdata (measured required radii: 5 at sf0.01, 6 at sf0.001/sf0.1 —
+    // radius 7 leaves ≥1 bit of slack on each).
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val emb = Tables.table(spark, s"/root/testdata/$sf", "embeddings")
+      val q = emb.where($"vec_id" === 0)
+        .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+      val indexed = Similarity.annIndex(emb, "embedding", dim = 64, numTables = 4)
+      val got = Similarity.annTopKIndexed(indexed, "vec_id", "embedding",
+        q, 10, numPlanes = 12, maxFlips = 7, numTables = 4)
+        .select($"vec_id").as[Long].collect().toSeq
+      val want = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+        .select($"vec_id").as[Long].collect().toSeq
+      assert(got === want, s"$sf: indexed probe missed true top-10 members")
+    }
+  }
+
   test("text analysis basics") {
     val r = spark.range(1).select(
       TextAnalysis.token_count(lit("  the cat  sat ")).as("t"),
