@@ -84,14 +84,29 @@ object Bench {
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
         .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
       val fromDriver = benchFiles.lastOption.map { f =>
-        val rows = parseBench(f)
+        val src = scala.io.Source.fromFile(f)
+        val txt = try src.mkString finally src.close()
+        // driver rows are only comparable when that run's sf matches THIS
+        // run's — a BENCH_rNN from a different scale would poison the
+        // guard with times from the wrong data size. The escaped tail
+        // carries the full sf dir (`sf\":\"/root/testdata/sf0.1\"`); the
+        // driver's top-level field is a bare number (`"sf": 0.1`).
+        val sfOk = """sf\\":\\"([^"\\]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1) == sfDir)
+          .getOrElse(""""sf":\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+            .forall(m => sfDir.endsWith("sf" + m.group(1))))
+        val rows = if (sfOk) priorRx.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          else Map.empty[String, Double]
         if (rows.isEmpty)
-          System.err.println(s"[bench] WARNING: prior file ${f.getName} exists but yielded 0 parsed rows — >3x guard will not fire")
+          System.err.println(s"[bench] WARNING: prior file ${f.getName} yielded 0 usable rows (sf mismatch or unparsed) — cross-round guard weakened")
         rows
       }.getOrElse(Map.empty)
-      // full local record (same sf) fills rows the driver tail truncated
+      // the sf-keyed full local record is authoritative where both have a
+      // row (it is never from the wrong scale and never tail-truncated);
+      // driver rows only fill names the local record lacks
       val fromFull = if (fullFile.exists()) parseBench(fullFile) else Map.empty[String, Double]
-      fromFull ++ fromDriver
+      fromDriver ++ fromFull
     }
     if (prior.nonEmpty)
       System.err.println(s"[bench] prior-round guard armed with ${prior.size} rows")
@@ -120,8 +135,13 @@ object Bench {
       val steady0 =
         if (math.max(a, b) > 1.5 * math.min(a, b)) math.min(math.min(a, b), timed())
         else math.min(a, b)
+      // cross-round confirmation: >3× always re-runs; rows that cost >1 s
+      // confirm already at >1.5× (the r5→r6 q62/q66 drift was 1.8-2.1× and
+      // sailed under the 3× bar — a 1.5× bar on expensive rows catches the
+      // ambient-load class for at most one extra run on few rows)
       val steady =
-        if (prior.get(name).exists(p => steady0 > 3 * p))
+        if (prior.get(name).exists(p =>
+            steady0 > 3 * p || (steady0 > 1.0 && steady0 > 1.5 * p)))
           math.min(steady0, timed())
         else steady0
       val r = name -> (steady, cold)

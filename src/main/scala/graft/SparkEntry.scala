@@ -1971,6 +1971,7 @@ object SparkEntry {
         |SELECT event_type, bucket,
         | CASE WHEN v IS NOT NULL THEN v
         |      WHEN p0x IS NULL OR p1x IS NULL THEN NULL
+        |      WHEN p0y = p1y THEN p0y
         |      ELSE (p0y * CAST(p1x - x AS DOUBLE) + p1y * CAST(x - p0x AS DOUBLE))
         |           / CAST(p1x - p0x AS DOUBLE) END AS interp_value
         |FROM w ORDER BY 1, 2""".stripMargin,
@@ -2948,6 +2949,7 @@ object SparkEntry {
         |   wn AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT event_type, bucket,
         | CASE WHEN v IS NOT NULL THEN v
+        |      WHEN p0y = p1y THEN p0y
         |      ELSE (p0y * CAST(p1x - x AS DOUBLE) + p1y * CAST(x - p0x AS DOUBLE))
         |           / CAST(p1x - p0x AS DOUBLE) END AS interp_value
         |FROM w ORDER BY 1, 2""".stripMargin,

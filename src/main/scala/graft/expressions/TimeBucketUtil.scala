@@ -25,12 +25,15 @@ object TimeBucketUtil {
   final val MICROS_PER_DAY: Long = 86400000000L
 
   /** PostgreSQL-tolerant interval text → Spark-parsable: split digit-unit
-    * adjacency ('1week', the reference's own cagg_ddl.sql:1461) and expand
-    * PG single-letter unit abbreviations ('30m', '4h' — cagg_query_common's
+    * adjacency in BOTH directions ('1week', the reference's own
+    * cagg_ddl.sql:1461; compound '1d2h' needs the letter→digit split too or
+    * 'd2' never isolates into an expandable unit token) and expand PG
+    * single-letter unit abbreviations ('30m', '4h' — cagg_query_common's
     * offset caggs). No change to already-valid Spark interval text.
     */
   final def pgIntervalText(s: String): String =
-    s.replaceAll("(?<=[0-9])(?=[A-Za-z])", " ").split("\\s+").map { t =>
+    s.replaceAll("(?<=[0-9])(?=[A-Za-z])", " ")
+      .replaceAll("(?<=[A-Za-z])(?=[0-9])", " ").split("\\s+").map { t =>
       t.toLowerCase(java.util.Locale.ROOT) match {
         case "d" => "days"
         case "h" => "hours"

@@ -134,11 +134,32 @@ object Gapfill {
     val valueCols = agg.columns.filterNot(c => groupCols.contains(c) || c == bucketCol).toSeq
 
     val B = "_gf_b" // row's own bucket, µs
+    val SYNTH = "_gf_synth"
+    // UNGROUPED gapfill emits the spine even over ZERO input rows (the
+    // reference's "test gap fill without rows in resultset" golden:
+    // `WHERE false GROUP BY 1` still yields the all-null spine) — the
+    // explode-from-rows shape below needs at least one row to carry it, so
+    // seed one synthetic out-of-window row (bucket = +inf, all values
+    // null). Its ONLY flag fires exactly when no real row exists; its own
+    // pass-through emission is suppressed via SYNTH. Grouped queries with
+    // no rows have no groups and correctly emit nothing, reference-style.
+    val agg0 = if (groupCols.nonEmpty) agg.withColumn(SYNTH, lit(false))
+      else {
+        val seed = agg.sparkSession.range(1).select(
+          timestamp_micros(lit(Long.MaxValue)).as(bucketCol) +:
+            valueCols.map(c =>
+              lit(null).cast(agg.schema(c).dataType).as(c)): _*)
+        agg.withColumn(SYNTH, lit(false))
+          .unionByName(seed.withColumn(SYNTH, lit(true)))
+      }
     val aligned =
       if (monthly) graft.functions.time_bucket(width, col(bucketCol)) === col(bucketCol)
-      else (unix_micros(col(bucketCol)) - ts0) % w === 0
+      // congruence via per-operand mods: `(B - ts0) % w` overflows int64
+      // under ANSI when B and ts0 have opposite signs at the extremes
+      // (e.g. the synthetic spine seed at +inf against a negative window)
+      else ((unix_micros(col(bucketCol)) % w) - lit(ts0 % w)) % w === 0
     val INWIN = "_gf_inwin"
-    val rows = agg
+    val rows = agg0
       // a NULL bucket would otherwise null out every range bound and the
       // coverage filter would silently DROP the group — the reference
       // errors on NULL gapfill time (gapfill_exec.c); so do we
@@ -184,9 +205,11 @@ object Gapfill {
       when(col(INWIN),
         array(range(headLo, col(B) - 1), range(col(B), col(B)),
           range(stepNext(col(B)), col(GAPEND))))
-        .otherwise( // pass-through row: itself, plus (if the group has no
-          // in-window rows and this is its first row) the whole spine
-          array(range(col(B), col(B)),
+        .otherwise( // pass-through row: itself (suppressed for the
+          // synthetic spine seed), plus (if the group has no in-window
+          // rows and this is its first row) the whole spine
+          array(range(col(B),
+              when(col(SYNTH), lit(Long.MinValue)).otherwise(col(B))),
             range(when(col(ONLY), lit(ts0)).otherwise(lit(Long.MaxValue)),
               lit(finishMicros) - 1))),
       r => r(hi) >= r(lo))
@@ -206,9 +229,15 @@ object Gapfill {
         // unbounded array in a single row
         val segW = w * MaxSpineSegment
         val SEG = "_gf_seg"
+        // min(s + segW−1, hi) via the subtraction form: the ADD overflows
+        // int64 under ANSI when a pass-through row sits near Long.MaxValue
+        // (the reference's own big-int golden interpolates between int64
+        // min and max); hi − s is always small here (every emitted range
+        // is window-bounded or degenerate lo == hi)
         val segs = flatten(transform(ranges, r => transform(
           sequence(r(lo), r(hi), lit(segW)),
-          s => range(s, least(s + lit(segW - 1), r(hi))))))
+          s => range(s, when(r(hi) - s >= segW - 1, s + lit(segW - 1))
+            .otherwise(r(hi))))))
         winCols.withColumn(SEG, explode(segs))
           .withColumn(GB, explode(sequence(col(SEG)(lo), col(SEG)(hi), lit(w))))
       }
@@ -278,7 +307,12 @@ object Gapfill {
   def interpolate(value: Column, groupCols: Seq[String], bucketCol: String,
       prev: Option[(Column, Column)] = None,
       next: Option[(Column, Column)] = None,
-      filledCol: String = FILLED): Column = {
+      filledCol: String = FILLED,
+      // x-axis values as LONG: defaults to the bucket's epoch-micros; pass
+      // the raw bucket column for INTEGER-time gapfill ([[gapfillInt]]
+      // output, where the bucket is a bigint, not a timestamp). Seeds'
+      // time components are read the same way.
+      xCol: Option[Column] = None): Column = {
     // Both anchors use RUNNING frames (unbounded-preceding..current): the
     // "next non-null point" comes from a DESCENDING-order running frame,
     // not `first(...) ROWS CURRENT..UNBOUNDED FOLLOWING` — Spark executes
@@ -290,7 +324,9 @@ object Gapfill {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNextRev = Window.partitionBy(groupCols.map(col): _*).orderBy(col(bucketCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val x = unix_micros(col(bucketCol))
+    val x = xCol.getOrElse(unix_micros(col(bucketCol)))
+    def timeOf(t: Column): Column =
+      if (xCol.isDefined) t.cast("long") else unix_micros(t)
     // anchors are the surrounding REAL rows — even a real row whose value
     // is NULL (its NULL then poisons the line, so the injected neighbors
     // come out NULL). The reference interpolates from the adjacent fetched
@@ -301,17 +337,24 @@ object Gapfill {
     def seeded(anchor: Column, seed: Option[(Column, Column)]): Column =
       seed match {
         case Some((t, v)) =>
-          coalesce(anchor, struct(unix_micros(t).as("x"), v.as("y")))
+          coalesce(anchor, struct(timeOf(t).as("x"), v.as("y")))
         case None => anchor
       }
     val p0 = seeded(last(pt, ignoreNulls = true).over(wPrev), prev)
     val p1 = seeded(last(pt, ignoreNulls = true).over(wNextRev), next)
     // real rows keep their value (including real NULLs); only injected rows
-    // interpolate (NULL when either side has no real row and no seed)
+    // interpolate (NULL when either side has no real row and no seed).
+    // The line itself is [[graft.expressions.Lerp]]: reference-exact
+    // per-type math (integers round through exact arithmetic like the
+    // reference's NUMERIC path; floats shortcircuit equal anchors) and the
+    // result KEEPS the value column's type — an int column interpolates to
+    // ints, `interpolate.c:222-291`.
+    def ex(c: Column) = org.apache.spark.sql.GraftShims.toExpression(c)
+    val lerp = org.apache.spark.sql.GraftShims.toColumn(
+      graft.expressions.Lerp(ex(x), ex(p0("x")), ex(p1("x")),
+        ex(p0("y")), ex(p1("y"))))
     when(!col(filledCol), value)
       .when(p0.isNull || p1.isNull, lit(null))
-      .otherwise(
-        (p0("y") * (p1("x") - x).cast("double") + p1("y") * (x - p0("x")).cast("double")) /
-          (p1("x") - p0("x")).cast("double"))
+      .otherwise(lerp)
   }
 }

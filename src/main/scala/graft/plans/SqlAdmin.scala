@@ -729,8 +729,8 @@ object SqlAdmin {
               .IteratorHasAsScala(node.fieldNames()).asScala.toSet -- known
             require(unknown.isEmpty,
               s"$fn: unsupported option(s): ${unknown.mkString(", ")}")
-            def intOf(k: String): Int =
-              if (!node.has(k)) 0
+            def intOf(k: String, default: Int): Int =
+              if (!node.has(k)) default
               else {
                 val v = node.get(k)
                 // canConvertToInt guards BigInteger wrap-around (2^64+5
@@ -747,12 +747,20 @@ object SqlAdmin {
                   s"$fn: option 'refresh_newest_first' must be a boolean, got $v")
                 v.asBoolean()
               }
+            // buckets_per_batch defaults to DEFAULT_BUCKETS_PER_BATCH=10
+            // when the key is absent (refresh.c:788) — manual refreshes
+            // batch by default; an explicit 0 forces the single atomic pass
             cagg.refreshBatched(s, e,
-              bucketsPerBatch = intOf("buckets_per_batch"),
-              maxBatchesPerExecution = intOf("max_batches_per_execution"),
+              bucketsPerBatch = intOf("buckets_per_batch", 10),
+              maxBatchesPerExecution = intOf("max_batches_per_execution", 0),
               refreshNewestFirst = newestFirst,
               force = force)
-          case _ => cagg.refresh(s, e, force = force)
+          // NULL/absent options still batch at the reference default
+          // (refresh.c:784-788: "Manual refreshes batch by default") —
+          // end state is identical to a single pass (no cap ⇒ nothing
+          // skipped), only the materialization granularity differs
+          case _ => cagg.refreshBatched(s, e, bucketsPerBatch = 10,
+            force = force)
         }
         Seq(Row(true))
       case "merge_chunks" | "merge_chunks_concurrently" =>

@@ -72,4 +72,15 @@ object Toggles {
     */
   def caggWindowFunctions: Boolean =
     on("spark.graft.enable_cagg_window_functions", default = false)
+
+  /** Allow cagg window expressions whose partition spec LACKS the bucket
+    * column. Such windows mix rows across buckets, so their values depend
+    * on which refresh window recomputed them — the hazard behind the
+    * reference's "may result in unexpected results" WARNING
+    * (`tsl/src/continuous_aggs/common.c:692`). Graft detects the shape
+    * statically at CREATE and rejects it unless this is set (default OFF;
+    * the reference's own tests only exercise bucket-partitioned windows).
+    */
+  def caggWindowAllowUnpartitioned: Boolean =
+    on("spark.graft.cagg_window_allow_unpartitioned", default = false)
 }

@@ -74,6 +74,9 @@ class Hypertable private (
       * at the end of each mutating operation — queries read one file;
       * the O(chunks) listing runs only when the chunk set actually
       * changes (ingest batches, maintenance), where it amortizes.
+      * The "table" mode's crash self-heal keys off storage-root directory
+      * mtimes — see [[catalogFresh]] for the object-store caveat (call
+      * `refreshChunkCatalog()` after a writer crash on S3-like stores).
       */
     val catalogMode: String = "list") extends TimeSource {
 
@@ -361,6 +364,24 @@ class Hypertable private (
     * erase the bounds of the data that still exists.
     */
   override def timeBounds: Option[(Long, Long)] = {
+    // memoized under catalog="table" on the same stamps as the scan memo
+    // (chunk-set / schema / content): realtime-view queries probe bounds
+    // per call, and on uuidv7 tables (footer stats never trusted) an
+    // unmemoized probe is a real edge-chunk scan per query. List mode
+    // keeps per-call probing — no cheap freshness stamp exists there.
+    if (catalogMode == "table") {
+      val stamp = metaStamp()
+      cachedTimeBounds match {
+        case Some((s, b)) if s == stamp && stamp._1 != -1L => return b
+        case _ => ()
+      }
+      val b = computeTimeBounds()
+      cachedTimeBounds = Some((stamp, b))
+      b
+    } else computeTimeBounds()
+  }
+
+  private def computeTimeBounds(): Option[(Long, Long)] = {
     val cs = showChunks()
     if (cs.isEmpty) return None
     // Some(None) = chunk provably holds no time values (empty/all-null);
@@ -607,6 +628,8 @@ class Hypertable private (
     * cheap stamp — and their whole contract is per-query listing).
     */
   @volatile private var cachedScan: Option[((Long, Long, Long), DataFrame)] = None
+  @volatile private var cachedTimeBounds:
+    Option[((Long, Long, Long), Option[(Long, Long)])] = None
   private def metaStamp(): (Long, Long, Long) = {
     def m(n: String) =
       try fs.getFileStatus(new Path(path, n)).getModificationTime
@@ -970,6 +993,15 @@ class Hypertable private (
     * root — flat in the chunk count, which is the whole point of the table
     * catalog). Best-effort (mtime granularity is filesystem-dependent);
     * `refreshChunkCatalog()` remains the explicit recovery step.
+    *
+    * FILESYSTEM ASSUMPTION: this cue needs directory mtimes that bump when
+    * children appear (local FS, HDFS). Object stores (S3A, GCS) have no
+    * real directories — a prefix's "mtime" never changes and `setTimes` is
+    * a no-op — so there the self-heal silently never fires and the
+    * strictly-increasing-stamp guarantee degrades to upload-time ordering.
+    * On such stores, run `refreshChunkCatalog()` explicitly after any
+    * writer crash (normal-path correctness is unaffected: every COMPLETED
+    * mutator re-snapshots the catalog itself).
     */
   private def catalogFresh(): Boolean = {
     val cat = new Path(path, Hypertable.CHUNK_CATALOG)

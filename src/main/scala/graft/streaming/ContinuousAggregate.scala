@@ -1012,6 +1012,13 @@ class ContinuousAggregate(
 
   /** Real-time view: materialized below the watermark, live aggregation at
     * or above it (`create.c:583-592` union view).
+    *
+    * Freshness note: like the watermark itself, the live side's UPPER
+    * bound is frozen at composition time (the edge-footer probe in
+    * [[liveFrom]]) — each `realtime` call re-probes, so call it per query;
+    * a caller HOLDING a returned DataFrame across later ingests will not
+    * see rows above the probed max (same staleness class as holding any
+    * DataFrame across a watermark advance).
     */
   def realtime: DataFrame = {
     val wm = watermark
@@ -1281,6 +1288,36 @@ object ContinuousAggregate {
         "window function support is experimental and may result in " +
           "unexpected results depending on the functions used " +
           "(partition windows by the bucket column for deterministic refreshes)")
+      // the reference's "may result in unexpected results" caveat is a
+      // RUNTIME hazard there; the shape behind it — a window whose
+      // partition spec lacks the bucket column, so values depend on which
+      // refresh window recomputed them — is statically detectable here.
+      // Reject at CREATE unless explicitly overridden.
+      if (!graft.plans.Toggles.caggWindowAllowUnpartitioned) {
+        import org.apache.spark.sql.catalyst.expressions._
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        def refsBucket(e: Expression): Boolean = e.exists {
+          case a: UnresolvedAttribute => a.nameParts.last == defn.bucketCol
+          case a: Attribute => a.name == defn.bucketCol
+          case _ => false
+        }
+        defn.windowCols.foreach { c =>
+          val eager = org.apache.spark.sql.GraftShims.toExpressionEager(c)
+          eager.foreach {
+            case WindowExpression(_, spec: WindowSpecDefinition)
+                if !spec.partitionSpec.exists(refsBucket) =>
+              throw new IllegalArgumentException(
+                "cagg window expression is not partitioned by the bucket " +
+                  s"column '${defn.bucketCol}': $c — its values would " +
+                  "depend on refresh-window carving. Partition the window " +
+                  "by the bucket column, or set " +
+                  "spark.graft.cagg_window_allow_unpartitioned to accept " +
+                  "the reference's \"may result in unexpected results\" " +
+                  "behavior (tsl/src/continuous_aggs/common.c:692)")
+            case _ => ()
+          }
+        }
+      }
     }
     // reference parity (`cagg_create`, tested in cagg_refresh_common.sql
     // "without a now function. This should not be allowed"): an

@@ -64,6 +64,36 @@ class CaggWindowSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("window expressions"))
   }
 
+  test("a window not partitioned by the bucket column is rejected at " +
+      "CREATE unless cagg_window_allow_unpartitioned is set") {
+    val ht = freshHt()
+    val unpart = CaggDef("1 day", Seq("event_type"),
+      aggs = Seq(count(lit(1)).as("n")),
+      // partitioned by event_type only: rank mixes rows ACROSS buckets, so
+      // its value depends on which refresh window recomputed it
+      windowCols = Seq(rank().over(
+        Window.partitionBy("event_type").orderBy(desc("n"))).as("r")))
+    withGuc(on = true) {
+      val e = intercept[IllegalArgumentException] {
+        ContinuousAggregate.create(spark, ht.path + "_wu", ht, unpart)
+      }
+      assert(e.getMessage.contains("not partitioned by the bucket column"))
+      // the escape hatch accepts the reference's runtime-hazard behavior
+      spark.conf.set("spark.graft.cagg_window_allow_unpartitioned", "true")
+      try {
+        val c = ContinuousAggregate.create(spark, ht.path + "_wu2", ht, unpart)
+        c.refreshAll()
+        assert(c.materialized.count() > 0)
+      } finally spark.conf.unset("spark.graft.cagg_window_allow_unpartitioned")
+      // a COMPOUND partition spec that includes the bucket still passes
+      val compound = CaggDef("1 day", Seq("event_type"),
+        aggs = Seq(count(lit(1)).as("n")),
+        windowCols = Seq(rank().over(Window.partitionBy("bucket", "event_type")
+          .orderBy(desc("n"))).as("r")))
+      ContinuousAggregate.create(spark, ht.path + "_wc", ht, compound)
+    }
+  }
+
   test("bucket-partitioned window matches direct computation and is " +
       "refresh-window independent") {
     val ht = freshHt()

@@ -428,6 +428,28 @@ class SqlAdminSpec extends AnyFunSuite {
     assert(eInv.getMessage.contains("refresh window"))
   }
 
+  test("refresh options: absent buckets_per_batch defaults to 10 " +
+      "(DEFAULT_BUCKETS_PER_BATCH, refresh.c:784-788) so a lone " +
+      "max_batches_per_execution still caps") {
+    val dir = tmp()
+    spark.sql(s"SELECT create_hypertable('$dir/ht', 'ts', INTERVAL '1 day')")
+    val ht = Hypertable.at(spark, s"$dir/ht")
+    ht.write(events(30 * 24)) // 30 days of hourly rows → 30 daily buckets
+    spark.sql(s"SELECT create_continuous_aggregate('$dir/c', '$dir/ht', " +
+      s"INTERVAL '1 day', '', 'count(1) AS n')")
+    val c = ContinuousAggregate.atPath(spark, s"$dir/c").get
+    // reference behavior: {"max_batches_per_execution": 2} alone means two
+    // DEFAULT-sized (10-bucket) batches, newest-first → 20 of 30 buckets
+    // materialize, remainder re-logged. The pre-fix behavior (absent key →
+    // single pass) would have materialized all 30 and logged nothing.
+    spark.sql(s"CALL refresh_continuous_aggregate('$dir/c', NULL, NULL, " +
+      """options => '{"max_batches_per_execution": 2}')""")
+    assert(c.materialized.count() === 20)
+    assert(c.pendingInvalidations().nonEmpty)
+    c.refreshInvalidated()
+    assert(c.materialized.count() === 30)
+  }
+
   test("offset-form caggs: time_bucket(w, ts, '30m'::interval) shifts the " +
       "bucket grid (cagg_4_hours_offset, cagg_query_common.sql)") {
     val dir = tmp()

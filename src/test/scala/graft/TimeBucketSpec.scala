@@ -21,6 +21,19 @@ class TimeBucketSpec extends AnyFunSuite {
     assert(bucket("1 hour", "2020-01-01 00:34:56") === tsOf("2020-01-01 00:00:00"))
   }
 
+  test("PG interval lexing: compound and abbreviated unit forms") {
+    import graft.expressions.TimeBucketUtil.pgIntervalText
+    assert(pgIntervalText("1week") === "1 week")
+    assert(pgIntervalText("30m") === "30 minutes")
+    // letter→digit adjacency (PG accepts '1d2h'): both units must isolate
+    assert(pgIntervalText("1d2h") === "1 days 2 hours")
+    assert(pgIntervalText("2h30m") === "2 hours 30 minutes")
+    // already-valid Spark text passes through (modulo token separation)
+    assert(pgIntervalText("1 hour") === "1 hour")
+    // and the compound form actually buckets: 26-hour width from '1d2h'
+    assert(bucket("1d2h", "2000-01-04 03:00:00") === tsOf("2000-01-04 02:00:00"))
+  }
+
   test("15 minute bucket") {
     assert(bucket("15 minutes", "2020-01-01 00:34:56") === tsOf("2020-01-01 00:30:00"))
   }
