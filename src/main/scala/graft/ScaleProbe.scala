@@ -40,21 +40,28 @@ object ScaleProbe {
     df.write.mode("overwrite").format("noop").save()
 
   /** Chunk-catalog width probe (SCALE.md §1 cliff #1): one table, 10⁴
-    * chunks, planned under `catalog="list"` (per-query dir listing) vs
-    * `catalog="table"` (one snapshot file). Reports showChunks wall time
-    * (repeat = the per-query planning cost a standing session pays) and a
-    * chunk-excluded 2-chunk count. Run:
+    * chunks by default (`SPARK_GRAFT_CATALOG_CHUNKS` overrides — the 10⁵
+    * row in SCALE.md §2 uses 100,000), planned under `catalog="list"`
+    * (per-query dir listing) vs `catalog="table"` (one snapshot file).
+    * Reports showChunks wall time (repeat = the per-query planning cost a
+    * standing session pays) and a chunk-excluded 2-chunk count. Run:
     * `SPARK_GRAFT_CATALOG_PROBE=1 sbt "runMain graft.ScaleProbe"`.
+    * `SPARK_GRAFT_CATALOG_MODES=table` restricts to one mode (the 10⁵
+    * list-mode first read is pure Spark partition discovery over 10⁵ dirs
+    * — measured once at 10⁴, it only extrapolates linearly).
     */
   private def catalogProbe(spark: SparkSession): Unit = {
     import spark.implicits._
+    val nChunks = sys.env.getOrElse("SPARK_GRAFT_CATALOG_CHUNKS", "10080").toInt
+    val modes = sys.env.getOrElse("SPARK_GRAFT_CATALOG_MODES", "list,table")
+      .split(",").map(_.trim).toSeq
     val base = java.nio.file.Files.createTempDirectory("graft_catprobe").toString
-    // one row per 10-minute chunk over 70 days = 10,080 chunks
+    // one row per 10-minute chunk
     val step = 600L * 1000000L
     val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond * 1000000L
-    val rows = (0 until 10080).map(i => (t0 + i * step, i.toLong)).toDF("us", "v")
+    val rows = (0 until nChunks).map(i => (t0 + i * step, i.toLong)).toDF("us", "v")
       .select(timestamp_micros(col("us")).as("ts"), col("v"))
-    for (mode <- Seq("list", "table")) {
+    for (mode <- modes) {
       val p = s"$base/$mode"
       val ht = Hypertable.create(spark, p, "ts", chunkWidth = "10 minutes",
         catalog = mode)
@@ -62,14 +69,15 @@ object ScaleProbe {
       val h = Hypertable.at(spark, p) // fresh handle: includes open-time costs
       val (tFirst, n) = timed { h.showChunks().size }
       val (tRepeat, _) = timed2 { h.showChunks().size }
+      val mid = nChunks / 2L
       val (tQuery, cnt) = timed2 {
-        h.between(t0 + 5000 * step, t0 + 5002 * step).count()
+        h.between(t0 + mid * step, t0 + (mid + 2) * step).count()
       }
       // plain full read(): first call pays Spark's O(chunks) partition
       // discovery; the second is the table-mode memo hit (list mode
       // rebuilds every time)
-      val (tRead1, _) = timed { h.read().where(col("v") === 5000L).count() }
-      val (tRead2, _) = timed { h.read().where(col("v") === 6000L).count() }
+      val (tRead1, _) = timed { h.read().where(col("v") === mid).count() }
+      val (tRead2, _) = timed { h.read().where(col("v") === mid + 1L).count() }
       println(f"""[scale] {"probe":"catalog_$mode","chunks":$n,"write_sec":$tw%.2f,"show_first_sec":$tFirst%.3f,"show_repeat_sec":$tRepeat%.3f,"pruned_count_sec":$tQuery%.3f,"read_first_sec":$tRead1%.2f,"read_repeat_sec":$tRead2%.2f,"rows":$cnt}""")
     }
   }

@@ -939,8 +939,21 @@ class Hypertable private (
   /** Snapshot the physical chunk set into `_graft_chunks.json` and return
     * it — the "table" catalog's refresh, called by every mutator that can
     * change the chunk set or a chunk's recorded range.
+    *
+    * Serialized per table path within the JVM: catalog snapshots only ever
+    * run on the driver (mutators and the once-per-handle crash heal), so a
+    * concurrent heal from a fresh handle racing a mutator's sync would
+    * otherwise collide in the delete+rename swap and throw at a READER.
+    * The reference holds the hypertable catalog lock across the analogous
+    * update (`src/ts_catalog/catalog.c`); one JVM lock is the same scope
+    * here because chunk-set mutation is a driver-side operation.
     */
-  def refreshChunkCatalog(): Seq[ChunkInfo] = {
+  def refreshChunkCatalog(): Seq[ChunkInfo] =
+    Hypertable.catalogLock(qualifiedPath).synchronized {
+      refreshChunkCatalogLocked()
+    }
+
+  private def refreshChunkCatalogLocked(): Seq[ChunkInfo] = {
     val chunks = listAllChunks()
     val o = Hypertable.jsonMapper.createObjectNode()
     val arr = o.putArray("chunks")
@@ -966,7 +979,13 @@ class Hypertable private (
   private def readChunkCatalog(): Option[Seq[ChunkInfo]] = {
     val p = new Path(path, Hypertable.CHUNK_CATALOG)
     if (!fs.exists(p)) return None
-    val tree = Hypertable.jsonMapper.readTree(Hypertable.readSmallFile(fs, p))
+    // a concurrent snapshot swap (delete+rename) has a no-file window;
+    // reading into it is "catalog momentarily absent", which the caller
+    // already answers by re-snapshotting — not a reader-visible error
+    val body =
+      try Hypertable.readSmallFile(fs, p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val tree = Hypertable.jsonMapper.readTree(body)
     import scala.jdk.CollectionConverters._
     Some(tree.get("chunks").elements().asScala.map(n =>
       ChunkInfo(n.get("s").asLong, n.get("e").asLong, n.get("p").asText))
@@ -1006,7 +1025,11 @@ class Hypertable private (
   private def catalogFresh(): Boolean = {
     val cat = new Path(path, Hypertable.CHUNK_CATALOG)
     if (!fs.exists(cat)) return false
-    val catM = fs.getFileStatus(cat).getModificationTime
+    // exists→stat race against a concurrent swap reads as "stale" (the
+    // caller re-snapshots under the catalog lock), never as a reader error
+    val catM =
+      try fs.getFileStatus(cat).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return false }
     val roots = new Path(path) +: tablespaceTableDirs
     roots.forall { r =>
       val rfs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1880,6 +1903,16 @@ object Hypertable {
 
   /** Serializes `_graft_caggs` read-modify-writes across threads. */
   private val caggRegistryLock = new Object
+
+  /** Per-table-path lock serializing chunk-catalog snapshots (see
+    * [[Hypertable.refreshChunkCatalog]]). Keyed on the qualified path so
+    * every handle of one table shares the lock; entries are tiny and
+    * unbounded growth would need unbounded distinct tables in one JVM.
+    */
+  private val catalogOpLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def catalogLock(qualifiedPath: String): Object =
+    catalogOpLocks.computeIfAbsent(qualifiedPath, _ => new Object)
 
   def registerIntegerNow(name: String)(f: () => Long): Unit =
     integerNowFuncs.put(name, f)

@@ -408,11 +408,9 @@ class ContinuousAggregate(
     empty.select((defn.bucketCol +: defn.groupCols) ++ aggCols map col: _*)
   }
 
-  def watermark: Long = {
-    val p = new Path(path, "_watermark")
-    if (!fs.exists(p)) Long.MinValue
-    else Hypertable.readSmallFile(fs, p).trim.toLong
-  }
+  def watermark: Long =
+    ContinuousAggregate.readMarker(fs, new Path(path, "_watermark"))
+      .map(_.trim.toLong).getOrElse(Long.MinValue)
 
   private def setWatermark(us: Long): Unit =
     Hypertable.writeSmallFile(fs, new Path(path, "_watermark"), us.toString)
@@ -426,11 +424,9 @@ class ContinuousAggregate(
     * by the next [[refreshInvalidated]] pass instead of silently relying
     * on a materialization that may never have finished.
     */
-  def invalidationThreshold: Long = {
-    val p = new Path(path, "_threshold")
-    if (!fs.exists(p)) watermark
-    else Hypertable.readSmallFile(fs, p).trim.toLong
-  }
+  def invalidationThreshold: Long =
+    ContinuousAggregate.readMarker(fs, new Path(path, "_threshold"))
+      .map(_.trim.toLong).getOrElse(watermark)
 
   private[graft] def setInvalidationThreshold(us: Long): Unit =
     if (us > invalidationThreshold)
@@ -629,26 +625,33 @@ class ContinuousAggregate(
     * wins the takeover — a bare delete+create would let a second waiter
     * delete the winner's FRESH lock and both would enter.
     */
-  private def withRefreshLock[T](body: => T): T = {
-    val lock = new Path(path, "_refresh_lock")
-    val staleMs = 60 * 60 * 1000L
-    val deadline = System.currentTimeMillis() + staleMs
-    var acquired = fs.createNewFile(lock)
-    while (!acquired) {
-      val stale =
-        try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > staleMs
-        catch { case _: java.io.FileNotFoundException => false }
-      if (stale) {
-        val takeover = new Path(path, s"_refresh_lock_stale_${System.nanoTime()}")
-        try { if (fs.rename(lock, takeover)) fs.delete(takeover, false) }
-        catch { case _: java.io.IOException => () } // another waiter won
-      } else if (System.currentTimeMillis() > deadline)
-        throw new IllegalStateException(s"timed out waiting for cagg refresh lock $lock")
-      else Thread.sleep(100)
-      acquired = fs.createNewFile(lock)
+  private def withRefreshLock[T](body: => T): T =
+    // Hadoop's createNewFile is exists-then-create — NOT atomic — so two
+    // threads in one JVM can both "acquire" the file. Every refresh of a
+    // Spark app runs on the driver, so a per-path JVM monitor closes that
+    // hole exactly where it exists; the lock FILE stays for best-effort
+    // cross-process exclusion (two separate apps refreshing one cagg).
+    ContinuousAggregate.refreshMonitor(
+      fs.makeQualified(new Path(path)).toString).synchronized {
+      val lock = new Path(path, "_refresh_lock")
+      val staleMs = 60 * 60 * 1000L
+      val deadline = System.currentTimeMillis() + staleMs
+      var acquired = fs.createNewFile(lock)
+      while (!acquired) {
+        val stale =
+          try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > staleMs
+          catch { case _: java.io.FileNotFoundException => false }
+        if (stale) {
+          val takeover = new Path(path, s"_refresh_lock_stale_${System.nanoTime()}")
+          try { if (fs.rename(lock, takeover)) fs.delete(takeover, false) }
+          catch { case _: java.io.IOException => () } // another waiter won
+        } else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(s"timed out waiting for cagg refresh lock $lock")
+        else Thread.sleep(100)
+        acquired = fs.createNewFile(lock)
+      }
+      try body finally fs.delete(lock, false)
     }
-    try body finally fs.delete(lock, false)
-  }
 
   /** `cutLog = false`: skip the materialize-then-cut of log entries — the
     * non-forced [[refresh]] path owns the cut (it repairs several regions
@@ -811,13 +814,18 @@ class ContinuousAggregate(
   private def invEntries(): Seq[(Path, (Long, Long))] = {
     val dir = new Path(invPath)
     if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toSeq.flatMap { st =>
-      try {
-        val Array(lo, hi) =
-          Hypertable.readSmallFile(fs, st.getPath).trim.split(",").map(_.toLong)
-        Some(st.getPath -> (lo, hi))
-      } catch { case _: java.io.FileNotFoundException => None }
-    }
+    // raw listStatus also returns writeSmallFile's in-flight dot-prefixed
+    // tmp files — a concurrent append's tmp read mid-write is empty/partial
+    // garbage, not an entry; the rename that publishes it is atomic
+    fs.listStatus(dir).toSeq
+      .filterNot(_.getPath.getName.startsWith("."))
+      .flatMap { st =>
+        try {
+          val Array(lo, hi) =
+            Hypertable.readSmallFile(fs, st.getPath).trim.split(",").map(_.toLong)
+          Some(st.getPath -> (lo, hi))
+        } catch { case _: java.io.FileNotFoundException => None }
+      }
   }
 
 
@@ -1226,6 +1234,15 @@ object ContinuousAggregate {
   /** Append one range file to a cagg's invalidation log (by path, so a
     * parent can write into its children's logs).
     */
+  /** Per-cagg-path JVM monitors backing [[withRefreshLock]] — see the
+    * non-atomic-createNewFile note there. Entries are tiny; unbounded
+    * growth would need unbounded distinct caggs in one JVM.
+    */
+  private val refreshLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def refreshMonitor(qualifiedPath: String): Object =
+    refreshLocks.computeIfAbsent(qualifiedPath, _ => new Object)
+
   private[streaming] def appendInvalidation(fs: org.apache.hadoop.fs.FileSystem,
       caggPath: String, loMicros: Long, hiMicros: Long): Unit = {
     val dir = new Path(caggPath, "_invalidations")
@@ -1239,12 +1256,32 @@ object ContinuousAggregate {
     * [[ContinuousAggregate.invalidationThreshold]]).
     */
   private def thresholdAt(fs: org.apache.hadoop.fs.FileSystem,
-      caggPath: String): Long = {
-    val t = new Path(caggPath, "_threshold")
-    val w = new Path(caggPath, "_watermark")
-    if (fs.exists(t)) graft.sources.Hypertable.readSmallFile(fs, t).trim.toLong
-    else if (fs.exists(w)) graft.sources.Hypertable.readSmallFile(fs, w).trim.toLong
-    else Long.MinValue
+      caggPath: String): Long =
+    readMarker(fs, new Path(caggPath, "_threshold"))
+      .orElse(readMarker(fs, new Path(caggPath, "_watermark")))
+      .map(_.trim.toLong).getOrElse(Long.MinValue)
+
+  /** Read a single-value marker file, riding out the tiny no-file window
+    * of a concurrent [[Hypertable.writeSmallFile]] swap (delete+rename):
+    * a first miss may BE the swap window, so re-probe briefly before
+    * concluding the marker genuinely does not exist. Markers only move
+    * forward, so a post-retry miss means "never written" — and a reader
+    * that narrowly loses the race reads the PREVIOUS value, which every
+    * marker consumer already tolerates (stale watermark = wider live scan;
+    * stale threshold = an extra logged entry).
+    */
+  private[streaming] def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[String] = {
+    var attempt = 0
+    while (attempt < 5) {
+      try {
+        if (fs.exists(p)) return Some(graft.sources.Hypertable.readSmallFile(fs, p))
+        else if (attempt > 0) return None
+      } catch { case _: java.io.FileNotFoundException => () }
+      attempt += 1
+      if (attempt < 5) Thread.sleep(5L)
+    }
+    None
   }
 
   /** Hypertable-side invalidation distribution (the reference's
