@@ -215,6 +215,21 @@ object Columnstore {
   }
 
   /** ceil(bytes / targetFileBytes), min 1 — the size-targeted file count. */
+  /** Serialize a chunk rewrite against every other same-JVM mutator of its
+    * storage root — the chunk dir's parent IS the root the table-level
+    * mutators key on ([[Hypertable.mutationMonitor]]), so a compress
+    * racing a DELETE of the same table serializes instead of the last
+    * tmp-swap silently winning. Reentrant: [[Hypertable.withMutation]]
+    * holding the same root nests fine, as does recompress → compress.
+    */
+  private def withChunkMutation[T](spark: SparkSession, chunkPath: String)(
+      body: => T): T = {
+    val cp = new Path(chunkPath)
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Hypertable.mutationMonitor(fs.makeQualified(cp.getParent).toString)
+      .synchronized(body)
+  }
+
   private def sizeTargetFiles(bytes: Long, targetFileBytes: Long): Int =
     math.max(1, math.ceil(bytes.toDouble / targetFileBytes.toDouble).toInt)
 
@@ -240,7 +255,8 @@ object Columnstore {
     */
   def compactChunk(spark: SparkSession, chunkPath: String,
       targetFileBytes: Long = DEFAULT_FILE_BYTES, maxFiles: Int = 0,
-      rowGroupBytes: Long = 64L * 1024 * 1024): Int = {
+      rowGroupBytes: Long = 64L * 1024 * 1024): Int =
+    withChunkMutation(spark, chunkPath) {
     val chunkP = new Path(chunkPath)
     val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!Hypertable.chunkFrozen(fs, chunkP),
@@ -301,7 +317,8 @@ object Columnstore {
     * The chunk's `_graft_range` catalog file (non-default range written by
     * merge/split) survives the rewrite.
     */
-  def compressChunk(spark: SparkSession, chunkPath: String, opts: Options): Long = {
+  def compressChunk(spark: SparkSession, chunkPath: String, opts: Options): Long =
+    withChunkMutation(spark, chunkPath) {
     val chunkP = new Path(chunkPath)
     val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!Hypertable.chunkFrozen(fs, chunkP),
@@ -377,7 +394,8 @@ object Columnstore {
     * `convert_to_rowstore` (`tsl/src/compression/api.c:957`). Needed for
     * the compress → modify heavily → recompress workflow.
     */
-  def decompressChunk(spark: SparkSession, chunkPath: String): Long = {
+  def decompressChunk(spark: SparkSession, chunkPath: String): Long =
+    withChunkMutation(spark, chunkPath) {
     val chunkP = new Path(chunkPath)
     val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!Hypertable.chunkFrozen(fs, chunkP),
@@ -449,7 +467,8 @@ object Columnstore {
     * no uncompressed appends (no-op, like `if_not_compressed`).
     */
   def recompressChunkSegmentwise(spark: SparkSession, chunkPath: String,
-      opts: Options): Int = {
+      opts: Options): Int =
+    withChunkMutation(spark, chunkPath) {
     val chunkP = new Path(chunkPath)
     val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!Hypertable.chunkFrozen(fs, chunkP),
@@ -553,6 +572,7 @@ object Columnstore {
     */
   def recompressChunk(spark: SparkSession, chunkPath: String,
       opts: Options): RecompressResult =
+    withChunkMutation(spark, chunkPath) {
     (statusBits(spark, chunkPath) & 5) match {
       case 5 => recompressChunkSegmentwise(spark, chunkPath, opts) match {
         case -1 => RecompressNoop // appends vanished between status and pass
@@ -560,6 +580,7 @@ object Columnstore {
       }
       case 1 => RecompressNoop
       case _ => RecompressedFull(compressChunk(spark, chunkPath, opts))
+    }
     }
 
   /** Options for maintenance over `ht` when the caller passes none: the

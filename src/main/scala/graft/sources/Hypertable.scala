@@ -139,8 +139,15 @@ class Hypertable private (
     * `filesPerChunk` > 1 splits each chunk across that many writer tasks —
     * raise it when one ingest batch covers few chunks but many executors.
     */
+  /** Serialize a mutation of this table's chunks against every other
+    * same-JVM mutator of the table — see [[Hypertable.mutationMonitor]].
+    * Reentrant (a monitor), so mutators may compose.
+    */
+  private[graft] def withMutation[T](body: => T): T =
+    Hypertable.mutationMonitor(qualifiedPath).synchronized(body)
+
   def write(df: DataFrame, mode: SaveMode = SaveMode.Append,
-      filesPerChunk: Int = 1): Unit = {
+      filesPerChunk: Int = 1): Unit = withMutation {
     // static partition overwrite deletes the ENTIRE table root first —
     // including _graft_hypertable.json and every catalog stamp, bricking
     // Hypertable.at(); truncate via dropChunks/deleteWhere, then append
@@ -278,10 +285,12 @@ class Hypertable private (
     * with registered continuous aggregates refuses (their defining queries
     * would dangle) — drop the caggs first.
     */
-  def drop(): Unit =
+  def drop(): Unit = withMutation {
     // same in-JVM lock registration takes: a concurrent create() either
     // registers before the check (drop refuses) or observes the deleted
     // table (registerCagg refuses) — never a live cagg on a deleted table
+    // (mutation monitor outside: an in-flight write/DML completes before
+    // the table vanishes under it; ordering is always mutation→registry)
     Hypertable.caggRegistryLock.synchronized {
       require(caggPaths.isEmpty,
         s"hypertable $path has continuous aggregates " +
@@ -295,6 +304,7 @@ class Hypertable private (
         if (dfs.exists(d)) dfs.delete(d, true)
       }
     }
+  }
 
   /** Remove a dropped cagg from this table's fan-out registry — without
     * this, every later mutation would resurrect the dead cagg's
@@ -570,7 +580,7 @@ class Hypertable private (
     * schema drives every read, and the parquet reader fills columns a file
     * does not carry).
     */
-  def alterAddColumn(name: String, ddlType: String): Unit = {
+  def alterAddColumn(name: String, ddlType: String): Unit = withMutation {
     val cur = dataSchema.getOrElse(throw new IllegalStateException(
       s"hypertable $path has no declared schema yet — the first write stamps it"))
     require(!cur.fieldNames.contains(name), s"column $name already exists")
@@ -914,19 +924,55 @@ class Hypertable private (
           catalogValidated = true
           if (!catalogFresh()) refreshChunkCatalog()
         }
-        readChunkCatalog().getOrElse(refreshChunkCatalog())
-      } else listAllChunks()
-    // a chunk start present in two roots means a crashed mid-move/ingest
-    // relocation left both halves visible — reading would double rows
+        // parsed-catalog memo: the snapshot JSON is ~100 B/chunk, and every
+        // planned query calls showChunks — at 10⁵ chunks an unmemoized
+        // parse is 0.21 s/query (measured, SCALE.md §2); the memo makes the
+        // steady state one getFileStatus. Stamped BEFORE the read: a swap
+        // racing the read can only pair an old stamp with newer chunks,
+        // which the next query's stamp mismatch re-reads — never stale-as-
+        // fresh. Every mutation re-stamps the file, so the first query
+        // after one re-parses (and re-checks) exactly once.
+        val pre = catalogStampNow()
+        cachedCatalog match {
+          case Some((s, cs)) if s == pre && pre != -1L => cs
+          case _ =>
+            readChunkCatalog() match {
+              case Some(cs) =>
+                checkNoDuplicateStarts(cs)
+                if (pre != -1L) cachedCatalog = Some((pre, cs))
+                cs
+              case None =>
+                val cs = refreshChunkCatalog()
+                checkNoDuplicateStarts(cs)
+                cs
+            }
+        }
+      } else {
+        val cs = listAllChunks()
+        checkNoDuplicateStarts(cs)
+        cs
+      }
+    chunks
+      .filter(c => olderThanMicros.forall(c.endMicros <= _))
+      .filter(c => newerThanMicros.forall(c.startMicros >= _))
+  }
+
+  /** A chunk start present in two roots means a crashed mid-move/ingest
+    * relocation left both halves visible — reading would double rows.
+    * Checked when a chunk set is (re)loaded, not on every memo hit.
+    */
+  private def checkNoDuplicateStarts(chunks: Seq[ChunkInfo]): Unit =
     chunks.groupBy(_.startMicros).find(_._2.size > 1).foreach { case (s, cs) =>
       throw new IllegalStateException(
         s"chunk $s exists in multiple storage roots (${cs.map(_.path).mkString(", ")}) — " +
           "an interrupted move_chunk/ingest relocation; merge the directories manually")
     }
-    chunks
-      .filter(c => olderThanMicros.forall(c.endMicros <= _))
-      .filter(c => newerThanMicros.forall(c.startMicros >= _))
-  }
+
+  @volatile private var cachedCatalog: Option[(Long, Seq[ChunkInfo])] = None
+
+  private def catalogStampNow(): Long =
+    try fs.getFileStatus(new Path(path, Hypertable.CHUNK_CATALOG)).getModificationTime
+    catch { case _: Exception => -1L }
 
   /** Every chunk by PHYSICAL dir listing across all storage roots — the
     * ground truth the "table" catalog snapshots.
@@ -1112,7 +1158,7 @@ class Hypertable private (
     * not N−1 pairwise rewrites (which would copy the first chunk's data
     * N−1 times).
     */
-  def mergeChunks(starts: Seq[Long], targetFileBytes: Long): ChunkInfo = {
+  def mergeChunks(starts: Seq[Long], targetFileBytes: Long): ChunkInfo = withMutation {
     require(starts.size >= 2, "merge needs at least two chunks")
     require(starts.distinct.size == starts.size,
       s"duplicate chunk in merge (ts_merge_chunks errors likewise)")
@@ -1169,7 +1215,7 @@ class Hypertable private (
     * the chunk's recorded range (`tsl/src/chunk_split.c:1136-1139`,
     * `split_at = range_start + interval_range / 2`).
     */
-  def splitChunk(startMicros: Long): (ChunkInfo, ChunkInfo) = {
+  def splitChunk(startMicros: Long): (ChunkInfo, ChunkInfo) = withMutation {
     val c = chunkAt(startMicros)
     splitChunkImpl(c, c.startMicros + (c.endMicros - c.startMicros) / 2)
   }
@@ -1178,7 +1224,7 @@ class Hypertable private (
     * time point into two chunks covering [start, at) and [at, end).
     */
   def splitChunk(startMicros: Long, atMicros: Long): (ChunkInfo, ChunkInfo) =
-    splitChunkImpl(chunkAt(startMicros), atMicros)
+    withMutation { splitChunkImpl(chunkAt(startMicros), atMicros) }
 
   private def splitChunkImpl(c: ChunkInfo, atMicros: Long): (ChunkInfo, ChunkInfo) = {
     require(!Hypertable.chunkFrozen(fs, new Path(c.path)),
@@ -1225,7 +1271,7 @@ class Hypertable private (
     * Restrict with `timeRange` to prune chunks up front (the reference
     * locates batches by metadata the same way). Returns deleted row count.
     */
-  def deleteWhere(pred: Column, timeRange: Option[(Long, Long)] = None): Long = {
+  def deleteWhere(pred: Column, timeRange: Option[(Long, Long)] = None): Long = withMutation {
     // no deletes permitted on a frozen chunk (src/chunk.c:3579) — probed
     // BEFORE any rewrite starts, so a frozen hit can't leave the sweep
     // half-applied with sibling chunks already rewritten (and their cagg
@@ -1257,7 +1303,7 @@ class Hypertable private (
     * delete + re-insert instead). Returns updated row count.
     */
   def updateWhere(pred: Column, assignments: Map[String, Column],
-      timeRange: Option[(Long, Long)] = None): Long = {
+      timeRange: Option[(Long, Long)] = None): Long = withMutation {
     require(!assignments.contains(timeCol),
       s"updating the time column would re-route rows across chunks; delete + write instead")
     require(spaceDims.forall { case (sc, _, _) => !assignments.contains(sc) },
@@ -1296,7 +1342,7 @@ class Hypertable private (
     * validates the slice via CHECK constraints; here the footer min/max of
     * the time column (no data scan) must sit inside the declared range.
     */
-  def attachChunk(srcPath: String, startMicros: Long, endMicros: Long): ChunkInfo = {
+  def attachChunk(srcPath: String, startMicros: Long, endMicros: Long): ChunkInfo = withMutation {
     require(startMicros < endMicros, "empty chunk range")
     require(spaceCol.isEmpty,
       "attach_chunk needs the space partition layout inside the source dir; " +
@@ -1359,7 +1405,7 @@ class Hypertable private (
     * hypertable WITHOUT dropping its data — the directory moves to
     * `destPath` as a standalone parquet table (catalog markers removed).
     */
-  def detachChunk(startMicros: Long, destPath: String): ChunkInfo = {
+  def detachChunk(startMicros: Long, destPath: String): ChunkInfo = withMutation {
     val c = chunkAt(startMicros)
     require(!Hypertable.chunkFrozen(fs, new Path(c.path)),
       s"cannot detach frozen chunk ${c.path} — unfreeze_chunk first")
@@ -1453,7 +1499,7 @@ class Hypertable private (
     * tails only the primary root — move chunks past the streaming
     * consumers' watermark, the same contract compaction has.
     */
-  def moveChunk(startMicros: Long, destRoot: Option[String]): ChunkInfo = {
+  def moveChunk(startMicros: Long, destRoot: Option[String]): ChunkInfo = withMutation {
     val c = chunkAt(startMicros)
     require(!Hypertable.chunkFrozen(fs, new Path(c.path)),
       s"cannot move frozen chunk ${c.path} — unfreeze_chunk first")
@@ -1694,7 +1740,7 @@ class Hypertable private (
     * reference (an unbounded drop is a truncate, which must be explicit).
     */
   def dropChunks(olderThanMicros: Option[Long],
-      newerThanMicros: Option[Long]): Seq[ChunkInfo] = {
+      newerThanMicros: Option[Long]): Seq[ChunkInfo] = withMutation {
     require(olderThanMicros.isDefined || newerThanMicros.isDefined,
       "drop_chunks needs older_than and/or newer_than")
     // frozen chunks are skipped, not dropped (src/chunk.c:4113)
@@ -1738,7 +1784,7 @@ class Hypertable private (
 
   /** drop_chunks by creation time — frozen chunks skipped as always. */
   def dropChunksCreated(createdBeforeMicros: Option[Long],
-      createdAfterMicros: Option[Long]): Seq[ChunkInfo] = {
+      createdAfterMicros: Option[Long]): Seq[ChunkInfo] = withMutation {
     val dropped = showChunksCreated(createdBeforeMicros, createdAfterMicros)
       .filterNot(c => Hypertable.chunkFrozen(fs, new Path(c.path)))
     dropped.foreach(c => fs.delete(new Path(c.path), true))
@@ -1760,7 +1806,7 @@ class Hypertable private (
     * and a table-root catalog of frozen starts (what the hot insert path
     * reads — ONE small-file read per batch instead of a per-chunk scan).
     */
-  def freezeChunk(startMicros: Long): Boolean = {
+  def freezeChunk(startMicros: Long): Boolean = withMutation {
     val c = chunkAt(startMicros)
     val f = new Path(c.path, Hypertable.FROZEN)
     if (fs.exists(f)) false
@@ -1772,11 +1818,12 @@ class Hypertable private (
   }
 
   /** unfreeze_chunk (`sql/chunk.sql:44-46`). Returns false if not frozen. */
-  def unfreezeChunk(startMicros: Long): Boolean =
+  def unfreezeChunk(startMicros: Long): Boolean = withMutation {
     Hypertable.frozenCatalogLock.synchronized {
       writeFrozenCatalog(frozenCatalog() - startMicros)
       fs.delete(new Path(chunkAt(startMicros).path, Hypertable.FROZEN), false)
     }
+  }
 
   def isFrozen(startMicros: Long): Boolean =
     showChunks().find(_.startMicros == startMicros)
@@ -1913,6 +1960,26 @@ object Hypertable {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[sources] def catalogLock(qualifiedPath: String): Object =
     catalogOpLocks.computeIfAbsent(qualifiedPath, _ => new Object)
+
+  /** Per-storage-root monitors serializing chunk MUTATIONS — append
+    * routing, DML copy-on-write, merge/split/move, drops, the frozen
+    * catalog's read-modify-write, and columnstore rewrites — within the
+    * JVM. The reference serializes the same operations with relation/row
+    * locks; here every mutator runs on the Spark driver, so one JVM
+    * monitor per storage root is the equivalent scope. Without it, two
+    * concurrent copy-on-write rewrites of one chunk would both read the
+    * same base and the last tmp-swap would silently drop the other's
+    * changes, and an append racing a rewrite could land files in a dir the
+    * rewrite is about to replace. Cross-PROCESS mutation of one table is
+    * out of contract (same as the crash-heal note at catalogFresh).
+    * Ordering: a table-level mutator may nest a chunk-level columnstore
+    * monitor (tablespace-resident chunk roots differ from the primary
+    * root) — always table root first, never the reverse, so no cycle.
+    */
+  private val mutationLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[graft] def mutationMonitor(qualifiedRoot: String): Object =
+    mutationLocks.computeIfAbsent(qualifiedRoot, _ => new Object)
 
   def registerIntegerNow(name: String)(f: () => Long): Unit =
     integerNowFuncs.put(name, f)

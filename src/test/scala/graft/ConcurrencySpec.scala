@@ -138,6 +138,33 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(cagg.materialized.collect().toSet === direct)
   }
 
+  test("concurrent disjoint DML sweeps serialize: no lost copy-on-write " +
+    "rewrites, no rows lost to an append racing a rewrite swap") {
+    val dir = Files.createTempDirectory("graft_conc_dml").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    // hold back one slice so an APPEND races the delete rewrites too
+    ht.write(events.where(pmod(col("event_id"), lit(5)) =!= 4))
+    val appendSlice = events.where(pmod(col("event_id"), lit(5)) === 4)
+    val expectDeleted = events
+      .where(pmod(col("event_id"), lit(5)).isin(0L, 1L, 2L)).count()
+    val expectKept = events.count() - expectDeleted
+
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    // three deleters hit DISJOINT row sets in the SAME chunks: without the
+    // per-table mutation monitor each copy-on-write rewrite reads the same
+    // base files and the last tmp-swap silently undoes the others
+    val deleters = (0 until 3).map(i => thread(s"conc-del-$i", errs) {
+      val n = ht.deleteWhere(pmod(col("event_id"), lit(5)) === i)
+      assert(n > 0, s"deleter $i matched no rows")
+    })
+    val appender = thread("conc-append", errs) { ht.write(appendSlice) }
+    (deleters :+ appender).foreach(_.join())
+    assertNoErrors(errs)
+    assert(ht.read().count() === expectKept)
+    assert(ht.read().where(pmod(col("event_id"), lit(5)).isin(0L, 1L, 2L)).count() === 0L)
+  }
+
   test("concurrent fresh handles heal a stale table catalog exactly once " +
     "each, without colliding on the snapshot swap") {
     val dir = Files.createTempDirectory("graft_conc_heal").toString
