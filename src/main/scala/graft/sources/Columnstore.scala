@@ -215,19 +215,25 @@ object Columnstore {
   }
 
   /** ceil(bytes / targetFileBytes), min 1 — the size-targeted file count. */
-  /** Serialize a chunk rewrite against every other same-JVM mutator of its
-    * storage root — the chunk dir's parent IS the root the table-level
-    * mutators key on ([[Hypertable.mutationMonitor]]), so a compress
-    * racing a DELETE of the same table serializes instead of the last
-    * tmp-swap silently winning. Reentrant: [[Hypertable.withMutation]]
-    * holding the same root nests fine, as does recompress → compress.
+  /** Serialize a chunk rewrite: the storage root's READ lock (so a
+    * table-level sweep — DELETE, merge, drop — of the same root excludes
+    * it, [[Hypertable.tableMutationLock]]) plus a per-chunk monitor (so
+    * two rewrites of ONE chunk serialize instead of the last tmp-swap
+    * silently winning). Rewrites of DIFFERENT chunks stay parallel — the
+    * policies' `Par.foreach` fan-out and the reference's
+    * `parallel_compression.spec` behavior. Reentrant under a table-level
+    * mutator holding the same root (read-under-write), and under
+    * recompress → compress (same chunk monitor, same thread).
     */
   private def withChunkMutation[T](spark: SparkSession, chunkPath: String)(
       body: => T): T = {
     val cp = new Path(chunkPath)
     val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Hypertable.mutationMonitor(fs.makeQualified(cp.getParent).toString)
-      .synchronized(body)
+    val rl = Hypertable.tableMutationLock(
+      fs.makeQualified(cp.getParent).toString).readLock()
+    rl.lock()
+    try Hypertable.chunkMonitor(fs.makeQualified(cp).toString).synchronized(body)
+    finally rl.unlock()
   }
 
   private def sizeTargetFiles(bytes: Long, targetFileBytes: Long): Int =

@@ -139,12 +139,15 @@ class Hypertable private (
     * `filesPerChunk` > 1 splits each chunk across that many writer tasks —
     * raise it when one ingest batch covers few chunks but many executors.
     */
-  /** Serialize a mutation of this table's chunks against every other
-    * same-JVM mutator of the table — see [[Hypertable.mutationMonitor]].
-    * Reentrant (a monitor), so mutators may compose.
+  /** Serialize a table-level mutation against every other same-JVM mutator
+    * of the table — see [[Hypertable.tableMutationLock]]. Reentrant, so
+    * mutators may compose.
     */
-  private[graft] def withMutation[T](body: => T): T =
-    Hypertable.mutationMonitor(qualifiedPath).synchronized(body)
+  private[graft] def withMutation[T](body: => T): T = {
+    val l = Hypertable.tableMutationLock(qualifiedPath).writeLock()
+    l.lock()
+    try body finally l.unlock()
+  }
 
   def write(df: DataFrame, mode: SaveMode = SaveMode.Append,
       filesPerChunk: Int = 1): Unit = withMutation {
@@ -1961,25 +1964,40 @@ object Hypertable {
   private[sources] def catalogLock(qualifiedPath: String): Object =
     catalogOpLocks.computeIfAbsent(qualifiedPath, _ => new Object)
 
-  /** Per-storage-root monitors serializing chunk MUTATIONS — append
-    * routing, DML copy-on-write, merge/split/move, drops, the frozen
-    * catalog's read-modify-write, and columnstore rewrites — within the
-    * JVM. The reference serializes the same operations with relation/row
-    * locks; here every mutator runs on the Spark driver, so one JVM
-    * monitor per storage root is the equivalent scope. Without it, two
-    * concurrent copy-on-write rewrites of one chunk would both read the
-    * same base and the last tmp-swap would silently drop the other's
-    * changes, and an append racing a rewrite could land files in a dir the
-    * rewrite is about to replace. Cross-PROCESS mutation of one table is
-    * out of contract (same as the crash-heal note at catalogFresh).
-    * Ordering: a table-level mutator may nest a chunk-level columnstore
-    * monitor (tablespace-resident chunk roots differ from the primary
-    * root) — always table root first, never the reverse, so no cycle.
+  /** Two-level chunk-mutation locking, per storage root, within the JVM —
+    * the analogue of the reference's relation/row lock hierarchy (every
+    * graft mutator runs on the Spark driver, so JVM scope IS the lock
+    * scope; cross-PROCESS mutation of one table is out of contract, same
+    * as the crash-heal note at catalogFresh).
+    *
+    *  - TABLE-level mutators (append routing, DML copy-on-write sweeps,
+    *    merge/split/move, drops, ALTER, freeze RMW) take the root's WRITE
+    *    lock: without it two copy-on-write rewrites of one chunk would
+    *    both read the same base and the last tmp-swap would silently drop
+    *    the other's changes, and an append racing a rewrite could land
+    *    files in a dir the rewrite is about to replace.
+    *  - CHUNK-level columnstore primitives (compress/decompress/
+    *    recompress/compact) take the root's READ lock plus a per-chunk
+    *    monitor: rewrites of DIFFERENT chunks stay parallel (the
+    *    `Par.foreach` in Columnstore.compress and the policies — the
+    *    reference's `parallel_compression.spec` behavior), same-chunk
+    *    rewrites serialize, and any of them excludes a table-level sweep.
+    *
+    * ReentrantReadWriteLock: a table mutator may nest a chunk primitive
+    * (read-under-write is permitted); the reverse (chunk primitive calling
+    * a table mutator — a read→write upgrade) does not exist in the code.
     */
-  private val mutationLocks =
+  private val mutationLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantReadWriteLock]()
+  private[graft] def tableMutationLock(
+      qualifiedRoot: String): java.util.concurrent.locks.ReentrantReadWriteLock =
+    mutationLocks.computeIfAbsent(qualifiedRoot,
+      _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
+
+  private val chunkMutationLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[graft] def mutationMonitor(qualifiedRoot: String): Object =
-    mutationLocks.computeIfAbsent(qualifiedRoot, _ => new Object)
+  private[graft] def chunkMonitor(qualifiedChunkPath: String): Object =
+    chunkMutationLocks.computeIfAbsent(qualifiedChunkPath, _ => new Object)
 
   def registerIntegerNow(name: String)(f: () => Long): Unit =
     integerNowFuncs.put(name, f)

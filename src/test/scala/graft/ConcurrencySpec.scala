@@ -165,6 +165,41 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(ht.read().where(pmod(col("event_id"), lit(5)).isin(0L, 1L, 2L)).count() === 0L)
   }
 
+  test("parallel per-chunk compression races a DML sweep: different chunks " +
+    "compress concurrently, the sweep excludes them, final state exact") {
+    val dir = Files.createTempDirectory("graft_conc_cmp").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    ht.write(events)
+    val total = events.count()
+    val delPred = pmod(col("event_id"), lit(7)) === 3
+    val expectDeleted = events.where(delPred).count()
+    val opts = graft.sources.Columnstore.Options(
+      segmentBy = Seq("event_type"), orderBy = Seq("ts"))
+
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    // one compressor thread per chunk (the policies' Par.foreach shape) —
+    // these may run concurrently with EACH OTHER but serialize against the
+    // deleter's copy-on-write sweep via the root read/write lock
+    val compressors = ht.showChunks().map(c =>
+      thread(s"conc-cmp-${c.startMicros}", errs) {
+        graft.sources.Columnstore.compressChunk(spark, c.path, opts)
+      })
+    val deleter = thread("conc-del", errs) {
+      assert(ht.deleteWhere(delPred) === expectDeleted)
+    }
+    (compressors :+ deleter).foreach(_.join())
+    assertNoErrors(errs)
+    assert(ht.read().count() === total - expectDeleted)
+    assert(ht.read().where(delPred).count() === 0L)
+    // whichever order each chunk saw (compress→delete-rewrite keeps the
+    // columnstore state; delete→compress ends compressed), every chunk
+    // must end in columnstore layout
+    ht.showChunks().foreach(c =>
+      assert(graft.sources.Columnstore.isCompressed(spark, c.path),
+        s"chunk ${c.path} lost its columnstore state in the race"))
+  }
+
   test("concurrent fresh handles heal a stale table catalog exactly once " +
     "each, without colliding on the snapshot swap") {
     val dir = Files.createTempDirectory("graft_conc_heal").toString
