@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Hypertable
+import graft.streaming.{CaggDef, ContinuousAggregate}
+import graft.{functions => gf}
+
+/** Crash-recovery coverage: the reference recovers from WAL + MVCC; graft's
+  * contract is idempotent re-runs over atomic per-file/per-dir swaps, plus
+  * explicit healing cues. Each test plants the exact debris a crash at a
+  * documented point leaves behind and asserts the next normal operation
+  * recovers — no manual surgery, no wrong answers served meanwhile.
+  */
+class CrashRecoverySpec extends AnyFunSuite {
+  lazy val spark = Graft.session("crash-recovery-spec", "local[4]", 4)
+
+  private def events = Tables.table(spark, "/root/testdata/sf0.001", "events")
+  private def us(s: String): Long = Timestamp.valueOf(s).getTime * 1000L
+
+  private val defn = CaggDef("1 hour", Seq("event_type"), Seq(
+    count(lit(1)).as("n"),
+    min(col("value")).as("min_value"),
+    max(col("value")).as("max_value")))
+
+  private def directAgg(ht: Hypertable) =
+    ht.read()
+      .groupBy(gf.time_bucket("1 hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(defn.aggs.head, defn.aggs.tail: _*)
+
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("a refresh lock abandoned by a crashed process is taken over once " +
+    "stale, and the re-run converges") {
+    val dir = Files.createTempDirectory("graft_crash_lock").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(events)
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht, defn)
+    // the crashed holder: a lock file whose mtime is 2 h old (staleMs = 1 h)
+    val fs = fsOf(s"$dir/cagg")
+    val lock = new Path(s"$dir/cagg", "_refresh_lock")
+    fs.create(lock, true).close()
+    fs.setTimes(lock, System.currentTimeMillis() - 2 * 3600 * 1000L, -1)
+    // refresh must break the stale lock (rename-takeover), run, and release
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    assert(!fs.exists(lock), "refresh did not release the lock it took over")
+    assert(cagg.materialized.collect().toSet === directAgg(ht).collect().toSet)
+  }
+
+  test("a refresh that died mid-materialization leaves its window-keyed tmp " +
+    "dir and an advanced threshold; the re-run overwrites both and converges") {
+    val dir = Files.createTempDirectory("graft_crash_tmp").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(events)
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht, defn)
+    val (s, e) = (us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    // debris of a crash after the tmp write began but before any chunk
+    // swap: a half-written window-keyed tmp dir + threshold moved (it
+    // advances at refresh START), watermark NOT moved
+    val fs = fsOf(s"$dir/cagg")
+    val tmp = new Path(s"$dir/cagg/mat__refresh_tmp_${s}_$e")
+    fs.mkdirs(new Path(tmp, "_mat_chunk=0"))
+    Hypertable.writeSmallFile(fs, new Path(tmp, "_mat_chunk=0/garbage"), "not parquet")
+    cagg.setInvalidationThreshold(e)
+    assert(cagg.watermark === Long.MinValue)
+    // refresh is idempotent: re-running the SAME window reuses (overwrites)
+    // the crashed attempt's tmp dir instead of orphaning it; force so the
+    // re-run materializes the exact window (and hence the exact tmp name)
+    cagg.refresh(s, e, force = true)
+    assert(cagg.watermark === e)
+    assert(!fs.exists(tmp), "re-run did not clean the crashed tmp dir")
+    assert(cagg.materialized.collect().toSet === directAgg(ht).collect().toSet)
+  }
+
+  test("a DML rewrite that died mid-swap leaves a dot-prefixed tmp chunk " +
+    "dir: reads never see it, the next rewrite replaces it") {
+    val dir = Files.createTempDirectory("graft_crash_dml").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    ht.write(events)
+    val total = events.count()
+    val first = ht.showChunks().head
+    // debris: the copy-on-write tmp dir of a crashed deleteWhere
+    val fs = fsOf(s"$dir/ht")
+    val tmp = new Path(new Path(first.path).getParent, s".tmp_chunk_${first.startMicros}")
+    fs.mkdirs(tmp)
+    Hypertable.writeSmallFile(fs, new Path(tmp, "garbage"), "not parquet")
+    // invisible to scans (dot prefix) and to the chunk catalog
+    assert(ht.read().count() === total)
+    assert(ht.showChunks().size === 5)
+    // the next DML of the same chunk overwrites the debris and succeeds
+    val pred = pmod(col("event_id"), lit(11)) === 3
+    val deleted = ht.deleteWhere(pred)
+    assert(deleted > 0 && ht.read().count() === total - deleted)
+    assert(!fs.exists(tmp), "rewrite did not replace the crashed tmp dir")
+  }
+
+  test("a crash between the data commit and the catalog snapshot heals on " +
+    "the next handle; explicit refreshChunkCatalog is the manual override") {
+    val dir = Files.createTempDirectory("graft_crash_cat").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    ht.write(events.where(col("ts") < lit(Timestamp.valueOf("2024-01-15 00:00:00"))))
+    val early = ht.read().count()
+    // crash simulation: data for NEW chunks lands, the snapshot doesn't —
+    // regress the catalog file to its pre-write content by rewriting it
+    // from a detached copy taken now, then writing more data via a handle
+    // that (like a crashed process) never syncs: emulate by writing with a
+    // normal handle and then restoring the OLD snapshot file on top
+    val fs = fsOf(s"$dir/ht")
+    val cat = new Path(s"$dir/ht", "_graft_chunks.json")
+    val old = Hypertable.readSmallFile(fs, cat)
+    val beforeWrite = fs.getFileStatus(cat).getModificationTime
+    ht.write(events.where(col("ts") >= lit(Timestamp.valueOf("2024-01-15 00:00:00"))))
+    Hypertable.writeSmallFile(fs, cat, old)
+    // in the real crash the snapshot PREDATES the data commit — restore
+    // its mtime too, or the restore itself would read as fresh
+    fs.setTimes(cat, beforeWrite, -1)
+    // a FRESH handle's first use sees root mtime > catalog mtime and heals
+    val healed = Hypertable.at(spark, s"$dir/ht")
+    assert(healed.read().count() === events.count())
+    assert(healed.showChunks().size === 5)
+    // the stale-handle path: the ORIGINAL handle already validated its
+    // catalog this session, so the explicit refresh is the manual override
+    ht.refreshChunkCatalog()
+    assert(ht.read().count() === events.count())
+    assert(early < events.count()) // the regression actually hid chunks
+  }
+}
