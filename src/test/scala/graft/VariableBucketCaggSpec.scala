@@ -146,4 +146,84 @@ class VariableBucketCaggSpec extends AnyFunSuite {
     assert(defn.bucketAdvance(b, 1) === us("2024-04-01 04:00:00"))
     assert(defn.bucketFloor(defn.bucketAdvance(b, 1)) === defn.bucketAdvance(b, 1))
   }
+
+  /** Month-width invalidation at month EDGES — the reference's
+    * `cagg_invalidation_variable_bucket.sql`: the last microsecond of
+    * February dirties only the February bucket, the first microsecond of
+    * March only March, and a PARTIAL multi-month refresh window inscribes
+    * to whole months — refresh('02-15','04-15') repairs ONLY March,
+    * leaving the Feb and Apr dirt logged (the expected output's remaining
+    * invals `[Feb-01, Feb-29 23:59:59.999999]` / `[Apr-01, ...]`,
+    * `cagg_invalidation_variable_bucket.out`).
+    */
+  test("month-width cagg: edge-microsecond invalidations and whole-month " +
+    "window inscribing (leap February, 29/30/31-day months)") {
+    val dir = Files.createTempDirectory("graft_vb_month").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "1 month")
+    // one row per day, 2024-01-01 .. 2024-05-30 (covers the 29-day leap
+    // February, 31-day March, 30-day April)
+    val day = 86400L * 1000000L
+    val t0 = us("2024-01-01 00:00:00")
+    ht.write(spark.range(0, 151).select(
+      timestamp_micros(lit(t0) + col("id") * lit(day)).as("ts"),
+      col("id").cast("double").as("value")))
+    def rowAt(usV: Long, v: Double) = spark.range(1).select(
+      timestamp_micros(lit(usV)).as("ts"), lit(v).as("value"))
+    val defn = CaggDef("1 month", Seq.empty, Seq(
+      count(lit(1)).as("n"),
+      sum($"value".cast("decimal(20,10)")).as("sv")), bucketCol = "bucket")
+    def direct(lo: Long, hi: Long) =
+      ht.read().where($"ts" >= timestamp_micros(lit(lo)) && $"ts" < timestamp_micros(lit(hi)))
+        .groupBy(gf.time_bucket("1 month", $"ts").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum($"value".cast("decimal(20,10)")).as("sv"))
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht, defn)
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2025-01-01 00:00:00"))
+    assert(cagg.pendingInvalidations() === Seq.empty)
+
+    // edge microseconds: adjacent single-row writes merge into ONE pending
+    // range spanning the month boundary...
+    val feb29Last = us("2024-03-01 00:00:00") - 1L
+    val mar1 = us("2024-03-01 00:00:00")
+    ht.write(rowAt(feb29Last, 888.0))
+    ht.write(rowAt(mar1, 777.0))
+    assert(cagg.pendingInvalidations() === Seq((feb29Last, mar1 + 1L)))
+    // ...but the February refresh repairs only the February MICROSECOND:
+    // the cut leaves exactly the March instant pending
+    cagg.refresh(us("2024-02-01 00:00:00"), us("2024-03-01 00:00:00"))
+    assert(cagg.pendingInvalidations() === Seq((mar1, mar1 + 1L)))
+    val febBucket = us("2024-02-01 00:00:00")
+    val marBucket = mar1
+    assert(cagg.materialized.where($"bucket" === timestamp_micros(lit(febBucket)))
+      .collect().toSet ===
+      direct(febBucket, mar1).collect().toSet) // 888 included
+    // March still serves the stale count (777 not yet materialized)
+    val marStaleN = cagg.materialized
+      .where($"bucket" === timestamp_micros(lit(marBucket))).head().getAs[Long]("n")
+    assert(marStaleN === 31L)
+    cagg.refresh(mar1, us("2024-04-01 00:00:00"))
+    assert(cagg.pendingInvalidations() === Seq.empty)
+
+    // the 29/30/31-day partial-window matrix: dirt in Feb, Mar, Apr; a
+    // [Feb-15, Apr-15) window inscribes to [Mar-01, Apr-01) and repairs
+    // ONLY March — Feb and Apr dirt must remain logged
+    val feb29b = us("2024-02-29 23:59:59")
+    val mar31 = us("2024-03-31 12:00:00")
+    val apr30 = us("2024-04-30 23:59:59")
+    ht.write(rowAt(feb29b, 100.0))
+    ht.write(rowAt(mar31, 200.0))
+    ht.write(rowAt(apr30, 300.0))
+    assert(cagg.pendingInvalidations() ===
+      Seq((feb29b, feb29b + 1L), (mar31, mar31 + 1L), (apr30, apr30 + 1L)))
+    cagg.refresh(us("2024-02-15 00:00:00"), us("2024-04-15 00:00:00"))
+    assert(cagg.pendingInvalidations() ===
+      Seq((feb29b, feb29b + 1L), (apr30, apr30 + 1L)))
+    assert(cagg.materialized.where($"bucket" === timestamp_micros(lit(marBucket)))
+      .collect().toSet ===
+      direct(marBucket, us("2024-04-01 00:00:00")).collect().toSet) // 200 included
+    // full repair converges exactly
+    cagg.refresh(us("2024-01-01 00:00:00"), us("2025-01-01 00:00:00"))
+    assert(cagg.pendingInvalidations() === Seq.empty)
+    assert(cagg.materialized.collect().toSet ===
+      direct(t0, us("2025-01-01 00:00:00")).collect().toSet)
+  }
 }
