@@ -226,4 +226,59 @@ class VariableBucketCaggSpec extends AnyFunSuite {
     assert(cagg.materialized.collect().toSet ===
       direct(t0, us("2025-01-01 00:00:00")).collect().toSet)
   }
+
+  /** Batched refresh over local-daily buckets ACROSS a DST transition —
+    * the reference's `cagg_dst_daily` section of
+    * `cagg_invalidation_variable_bucket.sql` (Berlin-local days, refresh
+    * with the `options` jsonb): batch carving steps with `bucketAdvance`,
+    * so the 23-hour spring-forward day and the 25-hour fall-back day are
+    * whole batch members, never split mid-bucket; a capped execution
+    * re-logs the skipped region instead of leaving it silently
+    * unmaterialized.
+    */
+  test("batched refresh carves Berlin-local daily buckets across DST; a " +
+    "capped execution re-logs the skipped tail") {
+    val dir = Files.createTempDirectory("graft_vb_dst").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    // one row per hour across BOTH 2025 Berlin transitions: Mar 30
+    // (spring forward, 23 h) and Oct 26 (fall back, 25 h)
+    val hour = 3600L * 1000000L
+    val spring0 = us("2025-03-25 00:00:00")
+    val fall0 = us("2025-10-21 00:00:00")
+    ht.write(spark.range(0, 240).select(
+      timestamp_micros(lit(spring0) + col("id") * lit(hour)).as("ts"),
+      lit(1.0).as("value"))
+      .unionAll(spark.range(0, 240).select(
+        timestamp_micros(lit(fall0) + col("id") * lit(hour)).as("ts"),
+        lit(1.0).as("value"))))
+    val defn = CaggDef("1 day", Seq.empty,
+      Seq(count(lit(1)).as("n")), bucketTz = Some("Europe/Berlin"))
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht, defn)
+    def direct() = ht.read()
+      .groupBy(gf.time_bucket_tz("1 day", $"ts", "Europe/Berlin").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+    // capped first execution: 2 batches of 3 local days, newest first —
+    // the skipped OLD region must come back as pending dirt
+    val done = cagg.refreshBatched(
+      Some(us("2025-03-25 00:00:00")), Some(us("2025-11-01 00:00:00")),
+      bucketsPerBatch = 3, maxBatchesPerExecution = 2)
+    assert(done.size === 2)
+    assert(cagg.pendingInvalidations().nonEmpty,
+      "capped execution must re-log the skipped batches")
+    // drain: further executions pick the logged region up
+    var rounds = 0
+    while (cagg.pendingInvalidations().nonEmpty && rounds < 40) {
+      cagg.refreshInvalidated(); rounds += 1
+    }
+    assert(cagg.pendingInvalidations() === Seq.empty)
+    val mat = cagg.materialized.collect().toSet
+    assert(mat === direct().collect().toSet)
+    // the DST days really are uneven: 23 local hours on spring-forward
+    // day, 25 on fall-back (one row per hour ⇒ n = local day length)
+    val byBucket = cagg.materialized.collect()
+      .map(r => r.getTimestamp(0).toString -> r.getAs[Long]("n")).toMap
+    assert(byBucket("2025-03-29 23:00:00.0") === 23L) // Mar 30 local = 23:00 UTC prior day
+    assert(byBucket("2025-10-25 22:00:00.0") === 25L) // Oct 26 local (CEST) = 22:00 UTC prior day
+  }
 }
