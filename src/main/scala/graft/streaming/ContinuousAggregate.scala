@@ -625,14 +625,40 @@ class ContinuousAggregate(
     * wins the takeover — a bare delete+create would let a second waiter
     * delete the winner's FRESH lock and both would enter.
     */
-  private def withRefreshLock[T](body: => T): T =
+  /** Monitors for this cagg AND its hierarchy ancestors, root-most first:
+    * a hierarchical child's compute READS the parent's mat chunks, which a
+    * concurrent parent refresh swaps mid-read — the reference serializes
+    * exactly this (`tsl/test/isolation/specs/cagg_hierarchical_concurrent_
+    * refresh.spec`). The fixed ancestors-first order is cycle-free: a
+    * parent refresh never takes a child's lock (it only appends to child
+    * invalidation logs), and two children of one parent serialize on the
+    * shared parent prefix.
+    */
+  private def refreshMonitorChain: List[Object] = {
+    def ancestors(s: TimeSource): List[ContinuousAggregate] = s match {
+      case cs: ContinuousAggregate.CaggSource =>
+        ancestors(cs.parent.source) :+ cs.parent
+      case _ => Nil
+    }
+    (ancestors(source) :+ this).map(c =>
+      ContinuousAggregate.refreshMonitor(
+        c.fs.makeQualified(new Path(c.path)).toString))
+  }
+
+  private def withRefreshLock[T](body: => T): T = {
     // Hadoop's createNewFile is exists-then-create — NOT atomic — so two
     // threads in one JVM can both "acquire" the file. Every refresh of a
-    // Spark app runs on the driver, so a per-path JVM monitor closes that
+    // Spark app runs on the driver, so per-path JVM monitors close that
     // hole exactly where it exists; the lock FILE stays for best-effort
     // cross-process exclusion (two separate apps refreshing one cagg).
-    ContinuousAggregate.refreshMonitor(
-      fs.makeQualified(new Path(path)).toString).synchronized {
+    def lockAll(ms: List[Object]): T = ms match {
+      case Nil => withRefreshFileLock(body)
+      case h :: t => h.synchronized(lockAll(t))
+    }
+    lockAll(refreshMonitorChain)
+  }
+
+  private def withRefreshFileLock[T](body: => T): T = {
       val lock = new Path(path, "_refresh_lock")
       val staleMs = 60 * 60 * 1000L
       val deadline = System.currentTimeMillis() + staleMs
@@ -1198,8 +1224,37 @@ object ContinuousAggregate {
       * ranges first (the bucket is a plain INT64 — exact), scan fallback;
       * an empty or file-less edge dir moves the walk inward instead of
       * erasing the bounds of the chunks that still hold rows.
+      *
+      * Probes run OUTSIDE the refresh lock (pendingInvalidations, window
+      * derivation), so a concurrent parent refresh can swap a chunk
+      * between the listing and the footer read — retried like every other
+      * swap-window reader; the consumer (dirt clipping) tolerates a
+      * then-stale bound, so a bounded retry is enough.
       */
     override def timeBounds: Option[(Long, Long)] = {
+      var attempt = 0
+      while (true) {
+        try return timeBoundsOnce()
+        catch {
+          // Spark surfaces an executor-side FNF as a SparkException whose
+          // cause chain (or re-rendered message) holds it — check both
+          case e: Exception if attempt < 4 && {
+              var c: Throwable = e
+              var fnf = false
+              while (c != null && !fnf) {
+                fnf = c.isInstanceOf[java.io.FileNotFoundException]
+                c = c.getCause
+              }
+              fnf || Option(e.getMessage).exists(_.contains("FileNotFoundException"))
+            } =>
+            attempt += 1
+            Thread.sleep(25L)
+        }
+      }
+      None // unreachable
+    }
+
+    private def timeBoundsOnce(): Option[(Long, Long)] = {
       val dirs = parent.matChunkDirs
       if (dirs.isEmpty) return None
       def viaFooter(p: Path, wantMin: Boolean): Option[Option[Long]] =

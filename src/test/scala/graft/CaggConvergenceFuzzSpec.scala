@@ -51,8 +51,9 @@ class CaggConvergenceFuzzSpec extends AnyFunSuite {
       val dayUs = 24L * 3600 * 1000000
       val jan1 = us("2024-01-01 00:00:00")
       val ops = new StringBuilder
+      var dropped = false
       (1 to 12).foreach { _ =>
-        rnd.nextInt(5) match {
+        rnd.nextInt(7) match {
           case 0 if unwritten.nonEmpty =>
             val s = unwritten.head; unwritten = unwritten.tail
             ops ++= s"write($s) "
@@ -72,6 +73,25 @@ class CaggConvergenceFuzzSpec extends AnyFunSuite {
             cagg.refresh(jan1 + d0 * dayUs,
               math.min(jan1 + (d0 + len) * dayUs, us("2024-02-01 00:00:00")))
           case 4 =>
+            ops ++= "repair "
+            cagg.refreshInvalidated()
+          case 5 =>
+            // columnstore rewrite mid-sequence: content unchanged, so the
+            // invalidation state machine must be indifferent to it, and
+            // later refreshes read THROUGH the compressed layout
+            val cs = ht.showChunks()
+            val c = cs(rnd.nextInt(cs.size))
+            ops ++= s"compress(${c.startMicros}) "
+            graft.sources.Columnstore.compressChunk(spark, c.path,
+              graft.sources.Columnstore.Options(orderBy = Seq("ts")))
+          case 6 if !dropped =>
+            // retention mid-sequence: drops invalidate the removed range,
+            // and later slice writes re-create the chunk
+            dropped = true
+            val head = ht.showChunks().head
+            ops ++= s"dropOldest(${head.startMicros}) "
+            ht.dropChunks(Some(head.endMicros), None)
+          case _ =>
             ops ++= "repair "
             cagg.refreshInvalidated()
         }

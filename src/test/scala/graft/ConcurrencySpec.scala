@@ -165,6 +165,55 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(ht.read().where(pmod(col("event_id"), lit(5)).isin(0L, 1L, 2L)).count() === 0L)
   }
 
+  test("hierarchical caggs: concurrent parent and child refreshes serialize " +
+    "on the ancestor chain and converge through the propagation flow") {
+    val dir = Files.createTempDirectory("graft_conc_hier").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    val nBatches = 5
+    val batch = (0 until nBatches).map(i =>
+      events.where(pmod(col("event_id"), lit(nBatches)) === i))
+    ht.write(batch(0))
+    val hourly = ContinuousAggregate.create(spark, s"$dir/hourly", ht,
+      CaggDef("1 hour", Seq("event_type"), Seq(count(lit(1)).as("n"))))
+    hourly.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+    // child reads the PARENT's materialization — its refresh must
+    // serialize against parent mat-chunk swaps (ancestor-chain monitors)
+    val daily = ContinuousAggregate.create(spark, s"$dir/daily", hourly.asSource,
+      CaggDef("1 day", Seq("event_type"), Seq(sum(col("n")).as("n"))))
+    daily.refresh(us("2024-01-01 00:00:00"), us("2024-02-01 00:00:00"))
+
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    val done = new AtomicBoolean(false)
+    val writer = thread("hier-writer", errs) {
+      (1 until nBatches).foreach { i => ht.write(batch(i)); Thread.sleep(30) }
+    }
+    val parentRefresher = thread("hier-parent", errs) {
+      while (!done.get()) { hourly.refreshInvalidated(); Thread.sleep(15) }
+    }
+    val childRefresher = thread("hier-child", errs) {
+      while (!done.get()) { daily.refreshInvalidated(); Thread.sleep(15) }
+    }
+    writer.join()
+    done.set(true)
+    Seq(parentRefresher, childRefresher).foreach(_.join())
+    assertNoErrors(errs)
+
+    // quiesce the chain top-down: parent first, then the child picks up
+    // the propagated invalidations
+    var rounds = 0
+    while ((hourly.pendingInvalidations().nonEmpty ||
+        daily.pendingInvalidations().nonEmpty) && rounds < 10) {
+      hourly.refreshInvalidated(); daily.refreshInvalidated(); rounds += 1
+    }
+    assert(hourly.pendingInvalidations().isEmpty &&
+      daily.pendingInvalidations().isEmpty)
+    val directDaily = ht.read()
+      .groupBy(gf.time_bucket("1 day", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(daily.materialized.collect().toSet === directDaily.collect().toSet)
+  }
+
   test("parallel per-chunk compression races a DML sweep: different chunks " +
     "compress concurrently, the sweep excludes them, final state exact") {
     val dir = Files.createTempDirectory("graft_conc_cmp").toString
