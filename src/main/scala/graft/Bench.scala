@@ -91,10 +91,13 @@ object Bench {
         // guard with times from the wrong data size. The escaped tail
         // carries the full sf dir (`sf\":\"/root/testdata/sf0.1\"`); the
         // driver's top-level field is a bare number (`"sf": 0.1`).
+        // no parseable sf anywhere = UNKNOWN scale, which must read as a
+        // mismatch (findFirstMatchIn(...).forall on None would read as a
+        // match and arm the guard with rows of unknown scale)
         val sfOk = """sf\\":\\"([^"\\]+)""".r.findFirstMatchIn(txt)
           .map(_.group(1) == sfDir)
           .getOrElse(""""sf":\s*([0-9.]+)""".r.findFirstMatchIn(txt)
-            .forall(m => sfDir.endsWith("sf" + m.group(1))))
+            .exists(m => sfDir.endsWith("sf" + m.group(1))))
         val rows = if (sfOk) priorRx.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
           else Map.empty[String, Double]

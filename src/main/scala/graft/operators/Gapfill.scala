@@ -337,7 +337,14 @@ object Gapfill {
     def seeded(anchor: Column, seed: Option[(Column, Column)]): Column =
       seed match {
         case Some((t, v)) =>
-          coalesce(anchor, struct(timeOf(t).as("x"), v.as("y")))
+          // the seed record binds to the COLUMN's type (the reference reads
+          // it through the column's typecache) — without the cast, coalesce
+          // would widen the seeded anchor instead (long column + double
+          // seed → double on one side only) and fail Lerp's one-type check
+          val seedStruct = struct(timeOf(t).as("x"), v.as("y"))
+          def ex0(c: Column) = org.apache.spark.sql.GraftShims.toExpression(c)
+          coalesce(anchor, org.apache.spark.sql.GraftShims.toColumn(
+            graft.expressions.CastLike(ex0(seedStruct), ex0(pt))))
         case None => anchor
       }
     val p0 = seeded(last(pt, ignoreNulls = true).over(wPrev), prev)

@@ -215,6 +215,9 @@ object Columnstore {
   }
 
   /** ceil(bytes / targetFileBytes), min 1 — the size-targeted file count. */
+  private def sizeTargetFiles(bytes: Long, targetFileBytes: Long): Int =
+    math.max(1, math.ceil(bytes.toDouble / targetFileBytes.toDouble).toInt)
+
   /** Serialize a chunk rewrite: the storage root's READ lock (so a
     * table-level sweep — DELETE, merge, drop — of the same root excludes
     * it, [[Hypertable.tableMutationLock]]) plus a per-chunk monitor (so
@@ -229,15 +232,23 @@ object Columnstore {
       body: => T): T = {
     val cp = new Path(chunkPath)
     val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rl = Hypertable.tableMutationLock(
-      fs.makeQualified(cp.getParent).toString).readLock()
+    // a chunk moved into a tablespace lives under the tablespace's
+    // per-table dir, but table-level sweeps lock the PRIMARY root — the
+    // dir's pointer-home marker resolves the shared key (one small read,
+    // cheap next to the rewrite this guards)
+    val parent = fs.makeQualified(cp.getParent).toString
+    val rootKey = {
+      val marker = new Path(cp.getParent, Hypertable.PRIMARY_MARKER)
+      try {
+        if (fs.exists(marker)) Hypertable.readSmallFile(fs, marker).trim
+        else parent
+      } catch { case _: java.io.FileNotFoundException => parent }
+    }
+    val rl = Hypertable.tableMutationLock(rootKey).readLock()
     rl.lock()
     try Hypertable.chunkMonitor(fs.makeQualified(cp).toString).synchronized(body)
     finally rl.unlock()
   }
-
-  private def sizeTargetFiles(bytes: Long, targetFileBytes: Long): Int =
-    math.max(1, math.ceil(bytes.toDouble / targetFileBytes.toDouble).toInt)
 
   private[sources] val DEFAULT_FILE_BYTES = 128L << 20
 

@@ -129,16 +129,6 @@ class Hypertable private (
     if (chunkMonths > 0) TimeBucketUtil.addMonthsMicros(start, chunkMonths)
     else start + chunkWidthMicros
 
-  /** Append rows, routing each to its chunk (and space) partition — the
-    * tuple-routing insert path (`src/chunk_tuple_routing.c:72-147`); chunk
-    * directories are created on demand by the parquet writer.
-    *
-    * Rows are shuffled onto their partition key first: without it every
-    * write task opens a file in every chunk dir, committing
-    * tasks × chunks files (measured 23k files/33 s vs 720/3 s at sf0.1).
-    * `filesPerChunk` > 1 splits each chunk across that many writer tasks —
-    * raise it when one ingest batch covers few chunks but many executors.
-    */
   /** Serialize a table-level mutation against every other same-JVM mutator
     * of the table — see [[Hypertable.tableMutationLock]]. Reentrant, so
     * mutators may compose.
@@ -149,6 +139,16 @@ class Hypertable private (
     try body finally l.unlock()
   }
 
+  /** Append rows, routing each to its chunk (and space) partition — the
+    * tuple-routing insert path (`src/chunk_tuple_routing.c:72-147`); chunk
+    * directories are created on demand by the parquet writer.
+    *
+    * Rows are shuffled onto their partition key first: without it every
+    * write task opens a file in every chunk dir, committing
+    * tasks × chunks files (measured 23k files/33 s vs 720/3 s at sf0.1).
+    * `filesPerChunk` > 1 splits each chunk across that many writer tasks —
+    * raise it when one ingest batch covers few chunks but many executors.
+    */
   def write(df: DataFrame, mode: SaveMode = SaveMode.Append,
       filesPerChunk: Int = 1): Unit = withMutation {
     // static partition overwrite deletes the ENTIRE table root first —
@@ -1520,6 +1520,12 @@ class Hypertable private (
     if (src == qualifiedDst) return c // already there
     require(!dstFs.exists(dst), s"$dst already exists")
     dstFs.mkdirs(parent)
+    // pointer home for chunk-level lock resolution (see PRIMARY_MARKER) —
+    // written once per tablespace table dir, no-op when already present
+    if (destRoot.isDefined &&
+        !dstFs.exists(new Path(parent, Hypertable.PRIMARY_MARKER)))
+      Hypertable.writeSmallFile(dstFs,
+        new Path(parent, Hypertable.PRIMARY_MARKER), qualifiedPath)
     val srcFs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (srcFs.getUri == dstFs.getUri) {
       require(srcFs.rename(src, dst), s"rename $src -> $dst failed")
@@ -1933,6 +1939,13 @@ object Hypertable {
   private[sources] val FROZEN = "_graft_frozen"
   private[sources] val FROZENCAT = "_graft_frozen_chunks"
   private[sources] val TABLESPACES = "_graft_tablespaces"
+
+  /** Pointer home written into each tablespace-resident per-table dir: the
+    * qualified PRIMARY table root. Chunk-level mutators key their lock on
+    * it so a rewrite of a moved chunk serializes against table-level
+    * sweeps (which lock only the primary root).
+    */
+  private[sources] val PRIMARY_MARKER = "_graft_primary"
 
   /** Serializes root frozen-catalog read-modify-writes across threads. */
   private val frozenCatalogLock = new Object

@@ -617,14 +617,6 @@ class ContinuousAggregate(
     }
   }
 
-  /** Serialize refreshes via an exclusive-create lock file; a lock older
-    * than `staleMs` (1 h — a refresh holding it longer is presumed
-    * crashed; refresh is idempotent, so re-running a window that died
-    * mid-swap just rewrites its chunks) is broken by RENAMING it to a
-    * unique name first: rename is atomic, so of N waiters exactly one
-    * wins the takeover — a bare delete+create would let a second waiter
-    * delete the winner's FRESH lock and both would enter.
-    */
   /** Monitors for this cagg AND its hierarchy ancestors, root-most first:
     * a hierarchical child's compute READS the parent's mat chunks, which a
     * concurrent parent refresh swaps mid-read — the reference serializes
@@ -658,6 +650,14 @@ class ContinuousAggregate(
     lockAll(refreshMonitorChain)
   }
 
+  /** Serialize refreshes via an exclusive-create lock file; a lock older
+    * than `staleMs` (1 h — a refresh holding it longer is presumed
+    * crashed; refresh is idempotent, so re-running a window that died
+    * mid-swap just rewrites its chunks) is broken by RENAMING it to a
+    * unique name first: rename is atomic, so of N waiters exactly one
+    * wins the takeover — a bare delete+create would let a second waiter
+    * delete the winner's FRESH lock and both would enter.
+    */
   private def withRefreshFileLock[T](body: => T): T = {
       val lock = new Path(path, "_refresh_lock")
       val staleMs = 60 * 60 * 1000L
@@ -1286,9 +1286,6 @@ object ContinuousAggregate {
     }
   }
 
-  /** Append one range file to a cagg's invalidation log (by path, so a
-    * parent can write into its children's logs).
-    */
   /** Per-cagg-path JVM monitors backing [[withRefreshLock]] — see the
     * non-atomic-createNewFile note there. Entries are tiny; unbounded
     * growth would need unbounded distinct caggs in one JVM.
@@ -1298,6 +1295,9 @@ object ContinuousAggregate {
   private def refreshMonitor(qualifiedPath: String): Object =
     refreshLocks.computeIfAbsent(qualifiedPath, _ => new Object)
 
+  /** Append one range file to a cagg's invalidation log (by path, so a
+    * parent can write into its children's logs).
+    */
   private[streaming] def appendInvalidation(fs: org.apache.hadoop.fs.FileSystem,
       caggPath: String, loMicros: Long, hiMicros: Long): Unit = {
     val dir = new Path(caggPath, "_invalidations")
@@ -1331,10 +1331,17 @@ object ContinuousAggregate {
     while (attempt < 5) {
       try {
         if (fs.exists(p)) return Some(graft.sources.Hypertable.readSmallFile(fs, p))
+        // one quick recheck distinguishes the swap's no-file window from a
+        // genuinely-missing marker (never-refreshed caggs read their
+        // markers on every mutation — don't make them pay a long backoff)
         else if (attempt > 0) return None
-      } catch { case _: java.io.FileNotFoundException => () }
-      attempt += 1
-      if (attempt < 5) Thread.sleep(5L)
+        else { attempt += 1; Thread.sleep(2L) }
+      } catch {
+        // exists→open race: the swap IS in flight — worth the full backoff
+        case _: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt < 5) Thread.sleep(5L)
+      }
     }
     None
   }
@@ -1388,9 +1395,13 @@ object ContinuousAggregate {
       if (!graft.plans.Toggles.caggWindowAllowUnpartitioned) {
         import org.apache.spark.sql.catalyst.expressions._
         import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        // case-INSENSITIVE like Spark's default column resolution (and the
+        // reference's identifier folding): `PARTITION BY Bucket` IS
+        // bucket-partitioned under spark.sql.caseSensitive=false, and a
+        // false rejection here pushes users toward the unsafe override
         def refsBucket(e: Expression): Boolean = e.exists {
-          case a: UnresolvedAttribute => a.nameParts.last == defn.bucketCol
-          case a: Attribute => a.name == defn.bucketCol
+          case a: UnresolvedAttribute => a.nameParts.last.equalsIgnoreCase(defn.bucketCol)
+          case a: Attribute => a.name.equalsIgnoreCase(defn.bucketCol)
           case _ => false
         }
         defn.windowCols.foreach { c =>

@@ -91,6 +91,14 @@ class CaggWindowSpec extends AnyFunSuite {
         windowCols = Seq(rank().over(Window.partitionBy("bucket", "event_type")
           .orderBy(desc("n"))).as("r")))
       ContinuousAggregate.create(spark, ht.path + "_wc", ht, compound)
+      // the check matches like Spark's default case-INSENSITIVE resolution:
+      // `PARTITION BY Bucket` IS bucket-partitioned, not a false rejection
+      // that pushes users toward the unsafe override
+      val cased = CaggDef("1 day", Seq("event_type"),
+        aggs = Seq(count(lit(1)).as("n")),
+        windowCols = Seq(rank().over(Window.partitionBy("Bucket")
+          .orderBy(desc("n"))).as("r")))
+      ContinuousAggregate.create(spark, ht.path + "_wcase", ht, cased)
     }
   }
 

@@ -249,6 +249,43 @@ class ConcurrencySpec extends AnyFunSuite {
         s"chunk ${c.path} lost its columnstore state in the race"))
   }
 
+  test("a tablespace-resident chunk's rewrite serializes against a table " +
+    "sweep through the primary-root pointer marker") {
+    val dir = Files.createTempDirectory("graft_conc_tblspc").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(events)
+    val total = events.count()
+    ht.attachTablespace(s"$dir/cold")
+    val moved = ht.moveChunk(ht.showChunks().head.startMicros, Some(s"$dir/cold"))
+    // the pointer home exists (moveChunk wrote it) — the chunk-level lock
+    // resolves to the PRIMARY root even though the dir lives elsewhere
+    val fs = new org.apache.hadoop.fs.Path(moved.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(moved.path).getParent, "_graft_primary")))
+
+    val delPred = pmod(col("event_id"), lit(13)) === 5
+    val expectDeleted = events.where(delPred).count()
+    val opts = graft.sources.Columnstore.Options(orderBy = Seq("ts"))
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    // compressors hit every chunk INCLUDING the moved one, racing a DELETE
+    // sweep of the whole table: without the marker the moved chunk's
+    // rewrite would key a different lock than the sweep and lose updates
+    val compressors = ht.showChunks().map(c =>
+      thread(s"tblspc-cmp-${c.startMicros}", errs) {
+        graft.sources.Columnstore.compressChunk(spark, c.path, opts)
+      })
+    val deleter = thread("tblspc-del", errs) {
+      assert(ht.deleteWhere(delPred) === expectDeleted)
+    }
+    (compressors :+ deleter).foreach(_.join())
+    assertNoErrors(errs)
+    assert(ht.read().count() === total - expectDeleted)
+    assert(ht.read().where(delPred).count() === 0L)
+    ht.showChunks().foreach(c =>
+      assert(graft.sources.Columnstore.isCompressed(spark, c.path)))
+  }
+
   test("concurrent fresh handles heal a stale table catalog exactly once " +
     "each, without colliding on the snapshot swap") {
     val dir = Files.createTempDirectory("graft_conc_heal").toString

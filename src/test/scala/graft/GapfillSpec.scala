@@ -145,6 +145,23 @@ class GapfillSpec extends AnyFunSuite {
     assert(got === Seq(1.0, 2.0, 3.0, 4.0, 6.0, 8.0))
   }
 
+  test("a seed of a wider numeric type coerces to the COLUMN's type " +
+    "(reference: the record binds through the column's typecache)") {
+    // LONG value column, DOUBLE-typed seed literal: the seed must cast to
+    // long — Lerp keeps the column's type — not widen one anchor to double
+    // (which would fail Lerp's one-type check at analysis)
+    val shifted = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 01:00:00"), 2L),
+      ("a", Timestamp.valueOf("2024-01-01 03:00:00"), 4L)).toDF("g", "bucket", "v")
+    val got = Gapfill.gapfill(shifted, "bucket", Seq("g"), start, finish, "1 hour")
+      .withColumn("i", Gapfill.interpolate($"v", Seq("g"), "bucket",
+        prev = Some((lit(Timestamp.valueOf("2023-12-31 23:00:00")), lit(0.0))),
+        next = Some((lit(Timestamp.valueOf("2024-01-01 06:00:00")), lit(10.0)))))
+      .orderBy("bucket").select("i")
+    assert(got.schema.head.dataType.typeName === "long")
+    assert(got.as[Long].collect().toSeq === Seq(1L, 2L, 3L, 4L, 6L, 8L))
+  }
+
   test("gapfillInt matches an in-memory model on randomized sparse inputs") {
     // the riskiest operator surface (the reference needs a 1695-line state
     // machine): pit the distributed formulation against an obviously-
