@@ -1,5 +1,6 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, RuntimeReplaceable}
 
 /** `cast_like(value, like)` — cast `value` to `like`'s RESOLVED type,
@@ -12,12 +13,32 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, RuntimeRepla
   * instead WIDEN the seeded anchor (long column + double seed → double on
   * one side only) and fail Lerp's type check.
   *
+  * Only LOSSLESS coercions are accepted (`Cast.canUpCast`: int seed on a
+  * long column, float on double, …). A lossy one — a double seed like 0.9
+  * on a long column — is an analysis-time error, mirroring the
+  * reference's "invalid interpolate function argument" datatype check
+  * (`interpolate.c:138-148` errors when the record's value type does not
+  * match the column type; it never coerces, so a silent truncation here
+  * would alter results the reference refuses to compute).
+  *
   * `like` contributes only its type: the replacement drops it, so any
   * computation inside (window anchors included) costs nothing here.
   */
 case class CastLike(value: Expression, like: Expression)
     extends RuntimeReplaceable {
-  override lazy val replacement: Expression = Cast(value, like.dataType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (value.dataType == like.dataType ||
+        Cast.canUpCast(value.dataType, like.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"interpolate seed of type ${value.dataType.simpleString} does not " +
+        s"losslessly match the value column's type " +
+        s"${like.dataType.simpleString} — the reference errors on a " +
+        "datatype mismatch (interpolate.c); pass the seed in the " +
+        "column's own type")
+  override lazy val replacement: Expression =
+    if (value.dataType == like.dataType) value
+    else Cast(value, like.dataType)
   override def children: Seq[Expression] = Seq(value, like)
   override def prettyName: String = "cast_like"
   override protected def withNewChildrenInternal(

@@ -132,28 +132,60 @@ object Similarity {
     * driver.
     */
   def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int = 3, seed: Long = 42L): Array[Array[Double]] = {
-    val spark = emb.sparkSession
-    var cents: Array[Array[Double]] = emb
-      .orderBy(xxhash64(col(idCol), lit(seed)))
-      .limit(nlist)
-      .select(col(vecCol).cast("array<double>"))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
-    var it = 0
-    while (it < iters) {
-      val assigned = emb.select(
-        nearestCentroid(col(vecCol), cents).as("_c"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("_i", "_x")))
-      val means = assigned.groupBy("_c", "_i").agg(avg(col("_x")).as("_m"))
+      nlist: Int, iters: Int = 3, seed: Long = 42L,
+      maxTrainRows: Long = DEFAULT_TRAIN_ROWS): Array[Array[Double]] = {
+    val (train, cached) = trainingSample(emb, idCol, seed, maxTrainRows)
+    try {
+      var cents: Array[Array[Double]] = train
+        .orderBy(xxhash64(col(idCol), lit(seed)))
+        .limit(nlist)
+        .select(col(vecCol).cast("array<double>"))
         .collect()
-      val next = cents.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      cents = next // clusters that lost all members keep their old centroid
-      it += 1
-    }
-    cents
+        .map(_.getSeq[Double](0).toArray)
+      var it = 0
+      while (it < iters) {
+        val assigned = train.select(
+          nearestCentroid(col(vecCol), cents).as("_c"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("_i", "_x")))
+        val means = assigned.groupBy("_c", "_i").agg(avg(col("_x")).as("_m"))
+          .collect()
+        val next = cents.map(_.clone())
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        cents = next // clusters that lost all members keep their old centroid
+        it += 1
+      }
+      cents
+    } finally if (cached) train.unpersist()
   }
+
+  /** k-means needs thousands of training vectors, not billions: above
+    * `maxTrainRows` the trainers run on a DETERMINISTIC hash-thresholded
+    * sample (xxhash64 of the id — same id set, same sample, any partition
+    * layout), persisted so each Lloyd iteration scans the bounded sample
+    * instead of re-scanning the full corpus. This makes the 100 TB
+    * mitigation the API's default behavior, not a doc comment;
+    * `maxTrainRows <= 0` disables sampling. Below the threshold the input
+    * is trained on as-is — bitwise-identical results to the unsampled
+    * path. The count that decides is one aggregate over the input
+    * (footer-count fast for bare parquet scans), noise next to the
+    * training jobs themselves.
+    */
+  private def trainingSample(emb: DataFrame, idCol: String, seed: Long,
+      maxTrainRows: Long): (DataFrame, Boolean) = {
+    if (maxTrainRows <= 0) return (emb, false)
+    val n = emb.count()
+    if (n <= maxTrainRows) return (emb, false)
+    // keep ~maxTrainRows rows: hash-threshold on the id, seeded apart from
+    // the init ordering's hash so the sample and the init draw stay
+    // independent
+    val keep = ((maxTrainRows.toDouble / n) * (1L << 32).toDouble).toLong
+    val s = emb
+      .where(pmod(xxhash64(col(idCol), lit(seed ^ 0x5a17c0deL)), lit(1L << 32)) < keep)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (s, true)
+  }
+
+  private[graft] val DEFAULT_TRAIN_ROWS: Long = 1L << 18
 
   /** Cluster-assignment column for a fixed centroid matrix. */
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
@@ -501,9 +533,18 @@ object Similarity {
     */
   def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
       m: Int = 8, codebookSize: Int = 16, iters: Int = 3,
-      seed: Long = 42L): Array[Array[Array[Double]]] = {
+      seed: Long = 42L,
+      maxTrainRows: Long = DEFAULT_TRAIN_ROWS): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m $m")
     val dsub = dim / m
+    val (train, cached) = trainingSample(emb, idCol, seed, maxTrainRows)
+    try pqCodebooksOn(train, idCol, vecCol, dsub, m, codebookSize, iters, seed)
+    finally if (cached) train.unpersist()
+  }
+
+  private def pqCodebooksOn(emb: DataFrame, idCol: String, vecCol: String,
+      dsub: Int, m: Int, codebookSize: Int, iters: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
     // init: first codebookSize vectors in hash order, sliced per subspace
     val init = emb.orderBy(xxhash64(col(idCol), lit(seed))).limit(codebookSize)
       .select(col(vecCol).cast("array<double>")).collect()

@@ -916,6 +916,10 @@ class Hypertable private (
     */
   def showChunks(olderThanMicros: Option[Long] = None,
       newerThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
+    if (!tablespacesHealed) {
+      tablespacesHealed = true
+      healTablespaceMarkers()
+    }
     val chunks =
       if (catalogMode == "table") {
         // crash-recovery staleness check ONCE per handle: a process that
@@ -1048,6 +1052,26 @@ class Hypertable private (
     if (catalogMode == "table") { refreshChunkCatalog(); () }
 
   @volatile private var catalogValidated = false
+  @volatile private var tablespacesHealed = false
+
+  /** Stamp the `_graft_primary` pointer-home marker into tablespace table
+    * dirs that predate it (layouts written before the marker existed):
+    * [[graft.sources.Columnstore]]'s per-chunk mutation lock resolves its
+    * table-level key through the marker, and an unmarked dir falls back to
+    * keying on the tablespace dir itself — a different monitor than the
+    * primary root's, reopening the exact lock-split race the marker fixed.
+    * Once per handle, and only when tablespaces are attached (tables
+    * without them pay one small-file existence check, already part of
+    * [[showTablespaces]]); new moves stamp the marker at dir creation.
+    */
+  private def healTablespaceMarkers(): Unit =
+    tablespaceTableDirs.foreach { d =>
+      val dfs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (dfs.exists(d) &&
+          !dfs.exists(new Path(d, Hypertable.PRIMARY_MARKER)))
+        Hypertable.writeSmallFile(dfs,
+          new Path(d, Hypertable.PRIMARY_MARKER), qualifiedPath)
+    }
 
   /** Crash-recovery staleness cue for the "table" catalog: every mutator
     * commits data FIRST and snapshots the catalog AFTER, so a crash in

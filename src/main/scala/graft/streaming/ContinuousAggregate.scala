@@ -1236,19 +1236,27 @@ object ContinuousAggregate {
       while (true) {
         try return timeBoundsOnce()
         catch {
-          // Spark surfaces an executor-side FNF as a SparkException whose
-          // cause chain (or re-rendered message) holds it — check both
-          case e: Exception if attempt < 4 && {
+          // Spark surfaces an executor-side FNF as a SparkException with
+          // the FNF preserved in the cause chain (local mode rethrows the
+          // task failure's cause directly) — cause-chain matching only; a
+          // message-substring check could mask an unrelated error whose
+          // text merely mentions FNF. Each retry re-lists matChunkDirs, so
+          // a chunk dir the swap REMOVED (not just replaced) resolves by
+          // the re-listing no longer returning it. Exponential backoff to
+          // ~1.6 s total: a parent refresh's chunk swap includes a
+          // recursive delete of the old mat chunk dir, which can exceed a
+          // fixed 100 ms window for a large chunk.
+          case e: Exception if attempt < 6 && {
               var c: Throwable = e
               var fnf = false
               while (c != null && !fnf) {
                 fnf = c.isInstanceOf[java.io.FileNotFoundException]
                 c = c.getCause
               }
-              fnf || Option(e.getMessage).exists(_.contains("FileNotFoundException"))
+              fnf
             } =>
+            Thread.sleep(25L << attempt)
             attempt += 1
-            Thread.sleep(25L)
         }
       }
       None // unreachable
@@ -1317,33 +1325,42 @@ object ContinuousAggregate {
       .map(_.trim.toLong).getOrElse(Long.MinValue)
 
   /** Read a single-value marker file, riding out the tiny no-file window
-    * of a concurrent [[Hypertable.writeSmallFile]] swap (delete+rename):
-    * a first miss may BE the swap window, so re-probe briefly before
-    * concluding the marker genuinely does not exist. Markers only move
-    * forward, so a post-retry miss means "never written" — and a reader
-    * that narrowly loses the race reads the PREVIOUS value, which every
-    * marker consumer already tolerates (stale watermark = wider live scan;
-    * stale threshold = an extra logged entry).
+    * of a concurrent [[Hypertable.writeSmallFile]] swap (delete+rename).
+    *
+    * The swap window is DETECTABLE: writeSmallFile creates its
+    * dot-prefixed `.name.tmp-*` sibling before deleting the target, so a
+    * miss during the window always coexists with an in-flight tmp file.
+    * The present case is one open (no exists pre-probe); a miss lists the
+    * parent once — no tmp in flight plus one confirming re-open (for a
+    * swap that completed between the miss and the listing) means the
+    * marker genuinely does not exist, with no sleeps on that path (a
+    * never-refreshed cagg reads `_threshold`+`_watermark` on every
+    * mutation's invalidation fan-out — a blind re-probe backoff there is
+    * pure per-mutation cost). Only a detected in-flight swap waits.
+    * Treating a clean first miss as definitive WITHOUT the tmp probe
+    * would let a reader in the window read a real threshold as absent
+    * and silently skip logging an invalidation.
     */
   private[streaming] def readMarker(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): Option[String] = {
+    def read(): Option[String] =
+      try Some(graft.sources.Hypertable.readSmallFile(fs, p))
+      catch { case _: java.io.FileNotFoundException => None }
+    def swapInFlight(): Boolean =
+      try fs.listStatus(p.getParent).exists(
+        _.getPath.getName.startsWith(s".${p.getName}.tmp-"))
+      catch { case _: Exception => false }
     var attempt = 0
-    while (attempt < 5) {
-      try {
-        if (fs.exists(p)) return Some(graft.sources.Hypertable.readSmallFile(fs, p))
-        // one quick recheck distinguishes the swap's no-file window from a
-        // genuinely-missing marker (never-refreshed caggs read their
-        // markers on every mutation — don't make them pay a long backoff)
-        else if (attempt > 0) return None
-        else { attempt += 1; Thread.sleep(2L) }
-      } catch {
-        // exists→open race: the swap IS in flight — worth the full backoff
-        case _: java.io.FileNotFoundException =>
+    while (attempt < 8) {
+      read() match {
+        case some @ Some(_) => return some
+        case None =>
+          if (!swapInFlight()) return read() // catches a just-finished swap
           attempt += 1
-          if (attempt < 5) Thread.sleep(5L)
+          if (attempt < 8) Thread.sleep(2L)
       }
     }
-    None
+    read()
   }
 
   /** Hypertable-side invalidation distribution (the reference's

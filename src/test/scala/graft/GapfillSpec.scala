@@ -145,21 +145,33 @@ class GapfillSpec extends AnyFunSuite {
     assert(got === Seq(1.0, 2.0, 3.0, 4.0, 6.0, 8.0))
   }
 
-  test("a seed of a wider numeric type coerces to the COLUMN's type " +
-    "(reference: the record binds through the column's typecache)") {
-    // LONG value column, DOUBLE-typed seed literal: the seed must cast to
-    // long — Lerp keeps the column's type — not widen one anchor to double
-    // (which would fail Lerp's one-type check at analysis)
+  test("a losslessly-narrower seed upcasts to the COLUMN's type; a lossy " +
+    "seed errors (reference: interpolate.c rejects a datatype mismatch)") {
+    // LONG value column, INT-typed seed literal: int→long is a lossless
+    // upcast, so the seed binds to the column's type and Lerp keeps it
     val shifted = Seq(
       ("a", Timestamp.valueOf("2024-01-01 01:00:00"), 2L),
       ("a", Timestamp.valueOf("2024-01-01 03:00:00"), 4L)).toDF("g", "bucket", "v")
     val got = Gapfill.gapfill(shifted, "bucket", Seq("g"), start, finish, "1 hour")
       .withColumn("i", Gapfill.interpolate($"v", Seq("g"), "bucket",
-        prev = Some((lit(Timestamp.valueOf("2023-12-31 23:00:00")), lit(0.0))),
-        next = Some((lit(Timestamp.valueOf("2024-01-01 06:00:00")), lit(10.0)))))
+        prev = Some((lit(Timestamp.valueOf("2023-12-31 23:00:00")), lit(0))),
+        next = Some((lit(Timestamp.valueOf("2024-01-01 06:00:00")), lit(10)))))
       .orderBy("bucket").select("i")
     assert(got.schema.head.dataType.typeName === "long")
     assert(got.as[Long].collect().toSeq === Seq(1L, 2L, 3L, 4L, 6L, 8L))
+
+    // DOUBLE-typed seed on the LONG column: the reference raises an error
+    // when the record's value type does not match the column's
+    // (interpolate.c:138-148 — it never coerces); a silent cast would
+    // truncate 0.9 to 0 and alter results without warning
+    val err = intercept[Exception] {
+      Gapfill.gapfill(shifted, "bucket", Seq("g"), start, finish, "1 hour")
+        .withColumn("i", Gapfill.interpolate($"v", Seq("g"), "bucket",
+          prev = Some((lit(Timestamp.valueOf("2023-12-31 23:00:00")), lit(0.9)))))
+        .collect()
+    }
+    assert(err.getMessage.contains("losslessly"),
+      s"expected the lossy-seed analysis error, got: ${err.getMessage}")
   }
 
   test("gapfillInt matches an in-memory model on randomized sparse inputs") {

@@ -146,6 +146,27 @@ class TablespaceSpec extends AnyFunSuite {
     assert(graft.operators.Stats.hypertableSize(ht) === after.totalBytes)
   }
 
+  test("a pre-marker tablespace layout heals _graft_primary on open") {
+    // layouts written before round 7's pointer-home marker existed: the
+    // per-chunk mutation lock falls back to keying on the tablespace dir
+    // itself — a different monitor than table-level sweeps use. Opening
+    // the table stamps the marker so legacy layouts get the fix.
+    val (ht, dir) = fresh()
+    ht.attachTablespace(s"$dir/cold")
+    ht.moveChunk(ht.showChunks().head.startMicros, Some(s"$dir/cold"))
+    val tsDir = ht.tablespaceTableDir(s"$dir/cold")
+    val fs = tsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(tsDir, "_graft_primary")
+    assert(fs.exists(marker))
+    fs.delete(marker, false) // simulate the pre-round-7 layout
+    val reopened = Hypertable.at(spark, ht.path)
+    reopened.showChunks()
+    assert(fs.exists(marker), "reopen did not heal the pointer-home marker")
+    val stamped = Hypertable.readSmallFile(fs, marker).trim
+    assert(stamped === fs.makeQualified(
+      new org.apache.hadoop.fs.Path(ht.path)).toString)
+  }
+
   test("drop() removes tablespace-resident chunk dirs too") {
     val (ht, dir) = fresh()
     ht.attachTablespace(s"$dir/cold")

@@ -169,6 +169,43 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert((part & brute).size >= 5, s"IVF recall too low: ${(part & brute).size}/10")
   }
 
+  test("trainer sampling: maxTrainRows below the corpus still yields " +
+    "deterministic, usable centroids (the 100 TB default path)") {
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = emb.count()
+    assert(n > 64, "corpus too small to exercise sampling")
+    // the sample is hash-thresholded on the id: same ids → same sample →
+    // bitwise-identical training, regardless of partition layout
+    val a = Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist = 4,
+      maxTrainRows = 64)
+    val b = Similarity.ivfCentroids(emb.repartition(7), "vec_id", "embedding",
+      nlist = 4, maxTrainRows = 64)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // sampled centroids still quantize: full-probe IVF over them stays a
+    // partitioned exact scan (every cluster probed)
+    val q = emb.where(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val assigned = emb.withColumn("_c", Similarity.nearestCentroid(
+      col("embedding"), a))
+    val full = (0 until 4).flatMap { c =>
+      Similarity.bruteForceTopK(assigned.where(col("_c") === c),
+        "vec_id", "embedding", q, 5).collect()
+        .map(r => (r.getLong(r.fieldIndex("vec_id")),
+          r.getDouble(r.fieldIndex("sim"))))
+    }.sortBy(-_._2).take(5).map(_._1).toSet
+    assert(full === brute)
+    // pq codebooks sample the same way and stay deterministic
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val ca = Similarity.pqCodebooks(emb, "vec_id", "embedding", dim,
+      m = 4, codebookSize = 4, maxTrainRows = 64)
+    val cb = Similarity.pqCodebooks(emb.repartition(5), "vec_id", "embedding",
+      dim, m = 4, codebookSize = 4, maxTrainRows = 64)
+    assert(ca.map(_.map(_.toSeq).toSeq).toSeq === cb.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("knnJoin: per-query results equal bruteForceTopK; plan keeps the " +
       "top-k below the exchange (window group limit)") {
     val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
