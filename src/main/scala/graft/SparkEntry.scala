@@ -1546,12 +1546,13 @@ object SparkEntry {
     }),
 
     // §2.1 chunk catalog as a TABLE (SCALE.md cliff #1): the hypertable's
-    // chunk set lives in one _graft_chunks.json snapshot instead of dir
-    // listings. The row drives ingest, merge, split-back, and a
-    // chunk-boundary drop THROUGH the snapshot (each mutator re-syncs
-    // it), then a time-bounded aggregation whose chunk exclusion consults
-    // the catalog file. Merge+split restore the original grid, so the
-    // oracle mirrors drop_chunks as a row filter at the boundary.
+    // chunk set lives in versioned `_graft_catalog/v<seq>.json` manifests
+    // instead of dir listings. The row drives ingest, merge, split-back,
+    // and a chunk-boundary drop THROUGH the manifest (each mutator
+    // publishes the next version), then a time-bounded aggregation whose
+    // chunk exclusion consults the pinned manifest. Merge+split restore
+    // the original grid, so the oracle mirrors drop_chunks as a row
+    // filter at the boundary.
     "q96_catalog_table" -> ((s, dir) => {
       import graft.sources.Hypertable
       Graft.init(s)
@@ -1568,10 +1569,10 @@ object SparkEntry {
       require((cutoff - graft.expressions.TimeBucketUtil.DEFAULT_ORIGIN_MICROS)
         % (7L * 86400000000L) == 0L, "q96 cutoff must sit on the chunk grid")
       ht.dropChunks(Some(cutoff), None)
-      require(new org.apache.hadoop.fs.Path(s"$p/_graft_chunks.json")
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(s"$p/_graft_chunks.json")),
-        "table-catalog snapshot must exist")
+      val catDir = new org.apache.hadoop.fs.Path(s"$p/_graft_catalog")
+      require(catDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .listStatus(catDir).exists(_.getPath.getName.matches("v\\d+\\.json")),
+        "table-catalog manifest must exist")
       Hypertable.at(s, p).read()
         .where(col("ts") < lit(tsUtc("2024-01-22 00:00:00")))
         .groupBy(col("event_type"))

@@ -52,12 +52,18 @@ object ChunkExclusion extends Rule[LogicalPlan] {
     // narrows FURTHER predicates layered on the pruned scan. All roots
     // must share one table parent (tablespace-split scans are separate
     // unioned relations, each matched here on its own root).
+    // a gen-layout scan's roots are `_chunk=K/_gen=N` dirs — one level
+    // deeper than the flat layout's `_chunk=K`; both map to the chunk
+    // dir's parent (the storage root the table registered)
+    def chunkRootOf(r: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+      val cd = if (r.getName.startsWith("_gen=")) r.getParent else r
+      if (cd != null && cd.getName.startsWith("_chunk=")) Option(cd.getParent)
+      else None
+    }
     val reg = (if (roots.size == 1) Hypertable.lookupExclusion(roots.head.toString)
       else None).orElse {
-        val parents = roots.flatMap(r =>
-          if (r.getName.startsWith("_chunk=")) Option(r.getParent) else None)
-          .distinct
-        if (parents.size == 1 && roots.forall(_.getName.startsWith("_chunk=")))
+        val parents = roots.flatMap(chunkRootOf).distinct
+        if (parents.size == 1 && roots.forall(r => chunkRootOf(r).isDefined))
           Hypertable.lookupExclusion(parents.head.toString)
         else None
       }.getOrElse(return f)

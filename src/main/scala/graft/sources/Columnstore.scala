@@ -232,23 +232,28 @@ object Columnstore {
       body: => T): T = {
     val cp = new Path(chunkPath)
     val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the monitor keys on the chunk IDENTITY dir, so two rewrites of one
+    // chunk serialize even when they hold paths of different generations;
     // a chunk moved into a tablespace lives under the tablespace's
     // per-table dir, but table-level sweeps lock the PRIMARY root — the
     // dir's pointer-home marker resolves the shared key (one small read,
     // cheap next to the rewrite this guards)
-    val parent = fs.makeQualified(cp.getParent).toString
-    val rootKey = {
-      val marker = new Path(cp.getParent, Hypertable.PRIMARY_MARKER)
-      try {
-        if (fs.exists(marker)) Hypertable.readSmallFile(fs, marker).trim
-        else parent
-      } catch { case _: java.io.FileNotFoundException => parent }
-    }
+    val chunkDir = Hypertable.chunkDirOf(cp)
+    val rootKey = Hypertable.resolvePrimaryRoot(fs, chunkDir)
     val rl = Hypertable.tableMutationLock(rootKey).readLock()
     rl.lock()
-    try Hypertable.chunkMonitor(fs.makeQualified(cp).toString).synchronized(body)
+    try Hypertable.chunkMonitor(fs.makeQualified(chunkDir).toString).synchronized(body)
     finally rl.unlock()
   }
+
+  /** Staging dir for a whole-chunk rewrite of `chunkP`: inside the chunk
+    * identity dir for gen paths (unique per chunk — parallel per-chunk
+    * sweeps share the storage root), next to the dir for flat ones (whose
+    * in-place swap deletes the dir itself).
+    */
+  private def rewriteTmp(chunkP: Path, tag: String): Path =
+    if (Hypertable.isGenPath(chunkP)) new Path(chunkP.getParent, s".${tag}_tmp")
+    else new Path(chunkP.getParent, "." + chunkP.getName + s"_${tag}_tmp")
 
   private[sources] val DEFAULT_FILE_BYTES = 128L << 20
 
@@ -292,6 +297,53 @@ object Columnstore {
       if (fls.size > n) Some(leaf -> n) else None
     }
     if (todo.isEmpty) return -1
+    if (Hypertable.isGenPath(chunkP)) {
+      // generation-copy compact: stage a COMPLETE next generation —
+      // oversized leaves rewritten compact, everything else (untouched
+      // leaves' files, sidecars) byte-copied across — then publish with
+      // one rename. Pinned readers keep the old generation; the copy of
+      // the untouched files is the price of the snapshot (compact targets
+      // fragmented chunks, where the rewrite dominates anyway).
+      val tmp = rewriteTmp(chunkP, "compact")
+      fs.delete(tmp, true)
+      fs.mkdirs(tmp)
+      val todoDirs = todo.map(_._1.toString).toSet
+      todo.foreach { case (leaf, n) =>
+        val rel = leaf.toString.stripPrefix(chunkP.toString).stripPrefix("/")
+        val out = if (rel.isEmpty) tmp else new Path(tmp, rel)
+        var w = spark.read.option("mergeSchema", "true")
+          .parquet(leaf.toString).coalesce(n).write.mode("overwrite")
+        if (compressed) w = w.option("compression", "zstd")
+          .option("parquet.block.size", rowGroupBytes.toString)
+        w.parquet(out.toString)
+      }
+      def copyRest(dir: Path, dst: Path): Unit =
+        fs.listStatus(dir).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith(".") || name == "_SUCCESS") ()
+          else if (st.isDirectory) {
+            val sub = new Path(dst, name)
+            fs.mkdirs(sub)
+            copyRest(st.getPath, sub)
+          } else if (!(todoDirs(dir.toString) && !name.startsWith("_")) &&
+              name != MARKER) {
+            org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+              new Path(dst, name), false, spark.sparkContext.hadoopConfiguration)
+          }
+        }
+      copyRest(chunkP, tmp)
+      // fresh-mtime marker with the PRESERVED settings content, so the
+      // compacted generation reads as clean columnstore, not PARTIAL
+      if (compressed) {
+        val settings = Hypertable.readSmallFile(fs, new Path(chunkP, MARKER))
+        val out = fs.create(new Path(tmp, MARKER), true)
+        out.write(settings.getBytes("UTF-8")); out.close()
+      }
+      val live = Hypertable.publishChunkRewrite(spark, fs, chunkP, tmp)
+      Hypertable.refreshColStatsIfEnabled(spark, live.toString)
+      Hypertable.syncCatalogForChunk(spark, fs, live)
+      return dataFiles(fs, live).size
+    }
     todo.foreach { case (leaf, n) =>
       // leaf files carry no partition columns (those are encoded in the
       // dir names above), so the rewrite is a plain read → coalesce →
@@ -322,7 +374,7 @@ object Columnstore {
     if (compressed) fs.create(new Path(chunkP, MARKER), true).close()
     // chunk CONTENT changed with the chunk SET intact: bump the owning
     // root's content stamp so read()'s table-mode scan memo rebuilds
-    Hypertable.touchContentStamp(fs, chunkP.getParent)
+    Hypertable.touchContentStamp(fs, Hypertable.storageRootOf(chunkP))
     Hypertable.refreshColStatsIfEnabled(spark, chunkPath)
     dataFiles(fs, chunkP).size
   }
@@ -369,7 +421,7 @@ object Columnstore {
         // defeating both)
         df.repartitionByRange(segs.map(col): _*)
     }).sortWithinPartitions((opts.segmentBy ++ opts.orderBy).map(col): _*)
-    val tmp = new Path(chunkP.getParent, "." + chunkP.getName + "_compress_tmp")
+    val tmp = rewriteTmp(chunkP, "compress")
     var w = arranged.write.mode("overwrite")
       .option("compression", "zstd")
       .option("parquet.block.size", opts.rowGroupBytes.toString)
@@ -380,29 +432,34 @@ object Columnstore {
     w.parquet(tmp.toString)
     // row count from the freshly written footers — no data re-read
     val n = graft.operators.Stats.rowCount(spark, tmp.toString)
-    val range = Hypertable.readRangeFile(fs, chunkP)
+    // sidecars land in the TMP dir before the publish: the single rename
+    // is the whole visibility step (a crash can no longer strand a chunk
+    // without its range/layout/marker records)
+    Hypertable.readRangeFile(fs, chunkP)
+      .foreach(end => Hypertable.writeRangeFile(fs, tmp, end))
     // the space-layout stamp must survive like the range file: rows keep
     // their `_space` values, so the count that produced them still holds —
     // losing it would make pruning assume the CURRENT dimension count
-    val parts = Hypertable.readSpaceParts(fs, chunkP)
-    fs.delete(chunkP, true)
-    fs.rename(tmp, chunkP)
-    range.foreach(end => Hypertable.writeRangeFile(fs, chunkP, end))
-    parts.foreach(p => Hypertable.writeSpaceParts(fs, chunkP, p))
+    Hypertable.readSpaceParts(fs, chunkP)
+      .foreach(p => Hypertable.writeSpaceParts(fs, tmp, p))
     // the marker carries the settings this chunk was compressed WITH (the
     // reference's per-relation compression_settings rows) — existence
     // checks are unchanged, the content feeds chunk_columnstore_settings
-    val touch = fs.create(new Path(chunkP, MARKER), true)
+    val touch = fs.create(new Path(tmp, MARKER), true)
     touch.write((s"segmentby=${opts.segmentBy.mkString(",")}\n" +
       s"orderby=${opts.orderBy.mkString(",")}\n" +
       s"rowgroupbytes=${opts.rowGroupBytes}").getBytes("UTF-8"))
     touch.close()
+    val live = Hypertable.publishChunkRewrite(spark, fs, chunkP, tmp)
     // the reference computes chunk-skipping column ranges at compress time
     // (chunk_column_stats.c) — same here, from the fresh footers
-    // chunk CONTENT changed with the chunk SET intact: bump the owning
-    // root's content stamp so read()'s table-mode scan memo rebuilds
-    Hypertable.touchContentStamp(fs, chunkP.getParent)
-    Hypertable.refreshColStatsIfEnabled(spark, chunkPath)
+    Hypertable.refreshColStatsIfEnabled(spark, live.toString)
+    // flat layout: chunk CONTENT changed with the chunk SET intact — bump
+    // the owning root's content stamp so read()'s table-mode scan memo
+    // rebuilds. Gen layout: the publish bumped it, and the data PATH
+    // changed — re-snapshot the manifest.
+    if (live == chunkP) Hypertable.touchContentStamp(fs, Hypertable.storageRootOf(chunkP))
+    else Hypertable.syncCatalogForChunk(spark, fs, live)
     n
   }
 
@@ -432,21 +489,21 @@ object Columnstore {
     val out =
       if (nParts <= df.rdd.getNumPartitions) df.coalesce(nParts)
       else df.repartition(nParts)
-    val tmp = new Path(chunkP.getParent, "." + chunkP.getName + "_decompress_tmp")
+    val tmp = rewriteTmp(chunkP, "decompress")
     var w = out.write.mode("overwrite")
     if (spacePart.nonEmpty) w = w.partitionBy(spacePart: _*)
     w.parquet(tmp.toString)
     val n = graft.operators.Stats.rowCount(spark, tmp.toString)
-    val range = Hypertable.readRangeFile(fs, chunkP)
-    val parts = Hypertable.readSpaceParts(fs, chunkP)
-    fs.delete(chunkP, true)
-    fs.rename(tmp, chunkP)
-    range.foreach(end => Hypertable.writeRangeFile(fs, chunkP, end))
-    parts.foreach(p => Hypertable.writeSpaceParts(fs, chunkP, p))
-    // chunk CONTENT changed with the chunk SET intact: bump the owning
-    // root's content stamp so read()'s table-mode scan memo rebuilds
-    Hypertable.touchContentStamp(fs, chunkP.getParent)
-    Hypertable.refreshColStatsIfEnabled(spark, chunkPath)
+    // sidecars into tmp before the publish — see compressChunk; the
+    // columnstore MARKER is deliberately absent (this IS the decompress)
+    Hypertable.readRangeFile(fs, chunkP)
+      .foreach(end => Hypertable.writeRangeFile(fs, tmp, end))
+    Hypertable.readSpaceParts(fs, chunkP)
+      .foreach(p => Hypertable.writeSpaceParts(fs, tmp, p))
+    val live = Hypertable.publishChunkRewrite(spark, fs, chunkP, tmp)
+    Hypertable.refreshColStatsIfEnabled(spark, live.toString)
+    if (live == chunkP) Hypertable.touchContentStamp(fs, Hypertable.storageRootOf(chunkP))
+    else Hypertable.syncCatalogForChunk(spark, fs, live)
     n
   }
 
@@ -565,8 +622,14 @@ object Columnstore {
     // chunk must stop reading as PARTIAL
     markCompressed(fs, chunkP)
     // chunk CONTENT changed with the chunk SET intact: bump the owning
-    // root's content stamp so read()'s table-mode scan memo rebuilds
-    Hypertable.touchContentStamp(fs, chunkP.getParent)
+    // root's content stamp so read()'s table-mode scan memo rebuilds.
+    // (This pass swaps files IN PLACE even under the gen layout — the
+    // reference holds an exclusive chunk lock for the whole of
+    // recompress_chunk, so readers there block rather than snapshot; the
+    // per-leaf swap window here is the documented equivalent, and the
+    // whole point of the segmentwise pass is NOT rewriting the untouched
+    // bulk of the chunk, which a generation copy would.)
+    Hypertable.touchContentStamp(fs, Hypertable.storageRootOf(chunkP))
     Hypertable.refreshColStatsIfEnabled(spark, chunkPath)
     consumed
   }

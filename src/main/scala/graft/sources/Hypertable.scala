@@ -78,9 +78,20 @@ class Hypertable private (
       * mtimes — see [[catalogFresh]] for the object-store caveat (call
       * `refreshChunkCatalog()` after a writer crash on S3-like stores).
       */
-    val catalogMode: String = "list") extends TimeSource {
+    val catalogMode: String = "list",
+    /** True for catalog="table" tables created from round 8 on: chunk
+      * content is versioned in `_gen=` subdirs so rewrites never delete
+      * what a pinned reader planned against — see the generational-layout
+      * note on the companion object. False = the flat pre-round-8 layout
+      * with in-place rewrite swaps (and their documented swap windows).
+      */
+    val genLayout: Boolean = false) extends TimeSource {
 
   import Hypertable._
+
+  require(!genLayout || catalogMode == "table",
+    "the generational chunk layout requires the table catalog " +
+      "(readers pin a manifest version; list mode has none)")
 
   require(extraSpace.isEmpty || spaceCol.isDefined,
     "extra closed dimensions need a primary space dimension first")
@@ -159,6 +170,31 @@ class Hypertable private (
         "the chunk catalog — dropChunks/deleteWhere first, then append")
     var out = conformToSchema(normalizeTime(df, timeCol))
       .withColumn(CHUNK, chunkKey(col(timeCol)))
+    // gen layout: rows append into each chunk's LIVE generation dir (new
+    // chunks open at _gen=0). The lookup is a literal map of only the
+    // REWRITTEN chunks (gen > 0) — bounded by maintenance history, not
+    // the chunk count; the write lock holds the generations still.
+    // Tombstoned chunk dirs (dropped, grace-retained) route to a FRESH
+    // rebirth generation above every dead one — appending into _gen=0
+    // would mix new rows with the dropped data awaiting GC (or lose them
+    // to its GC); healRebirth below commits the rebirth after the append.
+    val tombstoned: Seq[(Long, Path)] = if (genLayout) tombstonedChunkDirs() else Nil
+    if (genLayout) {
+      val live = showChunks()
+        .map(c => c.startMicros -> Hypertable.genOf(new Path(c.path))).toMap
+      // a start that is LIVE again (already reborn at the primary root)
+      // routes to its live generation, not the dead dir's successor
+      val rebirth = tombstoned.filterNot(t => live.contains(t._1))
+        .map { case (start, d) =>
+          val dfs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          start -> (Hypertable.listGenDirs(dfs, d).map(_._1)
+            .maxOption.getOrElse(-1) + 1)
+        }
+      val gens: Map[Long, Int] = (live.filter(_._2 != 0) ++ rebirth).toMap
+      out = out.withColumn(Hypertable.GEN,
+        if (gens.isEmpty) lit(0)
+        else coalesce(element_at(typedLit(gens), col(CHUNK)), lit(0)))
+    }
     // after set_number_partitions, a row landing in an EXISTING chunk must
     // route with THAT chunk's recorded count (the reference routes into a
     // chunk's own slices, not the dimension's current count); only rows
@@ -198,7 +234,9 @@ class Hypertable private (
       require(out.where(col(CHUNK).isInCollection(frozenStarts)).isEmpty,
         s"batch routes rows into frozen chunk(s) ${frozenStarts.mkString(",")} — " +
           "unfreeze_chunk first")
-    val partCols = CHUNK +: spaceDims.map(_._3)
+    val partCols =
+      if (genLayout) CHUNK +: Hypertable.GEN +: spaceDims.map(_._3)
+      else CHUNK +: spaceDims.map(_._3)
     val keys = partCols.map(col)
     val routed =
       if (filesPerChunk > 1) // deterministic row-hash salt (shuffle exprs can't be nondeterministic)
@@ -228,6 +266,12 @@ class Hypertable private (
     if (expensiveInput) routed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       routed.write.mode(mode).partitionBy(partCols: _*).parquet(path)
+      // commit any rebirths this batch performed (tombstoned dirs that now
+      // hold a fresh generation — see the routing note above)
+      tombstoned.foreach { case (_, d) =>
+        val dfs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Hypertable.healRebirth(dfs, d)
+      }
       // rows routed into chunks that live in a tablespace landed under the
       // primary root — fold them into the chunk's real directory (no-op
       // without attached tablespaces: one small-file read)
@@ -472,7 +516,7 @@ class Hypertable private (
     }
     Hypertable.writeMeta(spark, path, timeCol, timeKind, chunkWidthMicros,
       chunkMonths, spaceCol, newSpaceParts, newExtra, repartitioned = true,
-      catalog = catalogMode)
+      catalog = catalogMode, genLayout = genLayout)
     Hypertable.at(spark, path)
   }
 
@@ -654,7 +698,9 @@ class Hypertable private (
         .getFileStatus(new Path(r, Hypertable.CONTENT_STAMP)).getModificationTime
       catch { case _: Exception => -1L }
     }.max
-    (m(Hypertable.CHUNK_CATALOG), m(Hypertable.SCHEMA), content)
+    // first component: the manifest VERSION (monotonic — a chunk-set
+    // mutation can never reuse a stamp, regardless of mtime granularity)
+    (catalogStampNow(), m(Hypertable.SCHEMA), content)
   }
 
   /** Content-rewrite hook (DML copy-on-write): see
@@ -687,6 +733,24 @@ class Hypertable private (
   }
 
   private def buildScan(info: Hypertable.ExclusionInfo): DataFrame = {
+    // gen layout: the full read is an EXPLICIT enumeration of the live
+    // generation dirs from the pinned manifest — the snapshot the memoized
+    // DataFrame (and its eagerly-listed FileIndex) carries until the next
+    // manifest version. Root discovery would also sweep superseded
+    // generations (they are k=v dirs, visible to it). The per-root
+    // grouping inside readChunkDirs keeps one scan per storage root, so
+    // plan width matches the root-discovery shape.
+    if (genLayout) {
+      val cs = showChunks()
+      if (cs.nonEmpty) return readChunkDirs(cs)
+      // empty table: zero rows with the table's schema. NOT a plain root
+      // read — dropped-but-graced chunk dirs still hold their files, and
+      // root discovery would resurrect them (a post-drop reader must see
+      // the post-drop set). The all-false filter keeps schema behavior
+      // (inference error on a never-written, schema-less table — same as
+      // the flat layout) while the optimizer collapses the scan to empty.
+      return readPaths(path).where(lit(false)).drop(Hypertable.GEN)
+    }
     // chunks living in attached tablespace roots: union one scan per root
     // (same schema, same `_chunk`/`_space` partition discovery), each
     // registered in the exclusion catalog so time/space/stats pruning
@@ -746,6 +810,13 @@ class Hypertable private (
       .option("basePath", path)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(s"$path/$CHUNK=*")
+      // gen layout: files sit one `_gen=` level down; the glob still
+      // matches the chunk dirs and the source lists them recursively, the
+      // generation just surfaces as one more discovered partition column —
+      // physical metadata, dropped (no-op on flat tables). A rewrite's new
+      // generation re-emits its rows like any rewrite under the
+      // append-only contract above.
+      .drop(GEN)
   }
 
   private lazy val qualifiedPath: String =
@@ -784,11 +855,17 @@ class Hypertable private (
         .makeQualified(d).toString
       Hypertable.registerForExclusion(exclusionInfo.copy(qualifiedPath = q))
     }
-    val byRoot = hits.groupBy(c => new Path(c.path).getParent.toString)
+    // group by STORAGE ROOT (a gen path's parent is its chunk dir — one
+    // group per chunk would explode plan width); basePath=root keeps the
+    // `_chunk`/`_gen`/`_space` partition columns parsing per group
+    val byRoot = hits.groupBy(c =>
+      Hypertable.storageRootOf(new Path(c.path)).toString)
     byRoot.toSeq.sortBy(_._1).map { case (root, cs) =>
       val r0 = spark.read.option("basePath", root)
       dataSchema.fold(r0)(s => r0.schema(s)).parquet(cs.map(_.path).sorted: _*)
     }.reduceLeft(_ unionByName _)
+      // the generation is physical-layout metadata, not table surface
+      .drop(Hypertable.GEN)
   }
 
   def between(startMicros: Long, endMicros: Long): DataFrame = {
@@ -977,9 +1054,29 @@ class Hypertable private (
 
   @volatile private var cachedCatalog: Option[(Long, Seq[ChunkInfo])] = None
 
+  private def catalogDir: Path = new Path(path, Hypertable.CATALOG_DIR)
+
+  /** Manifest versions currently published, ascending (empty before the
+    * first refresh / on a pre-round-8 table).
+    */
+  private def manifestVersions(): Seq[(Long, Path)] =
+    try fs.listStatus(catalogDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.matches("v\\d+\\.json"))
+      .map(s => s.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong ->
+        s.getPath)
+      .sortBy(_._1)
+    catch { case _: java.io.FileNotFoundException => Nil }
+
+  /** Monotonic catalog stamp: the highest manifest version (the memo key —
+    * immune to mtime granularity), falling back to the legacy single
+    * file's mtime until the first refresh migrates it. -1 = no catalog.
+    */
   private def catalogStampNow(): Long =
-    try fs.getFileStatus(new Path(path, Hypertable.CHUNK_CATALOG)).getModificationTime
-    catch { case _: Exception => -1L }
+    manifestVersions().lastOption.map(_._1).getOrElse {
+      try fs.getFileStatus(new Path(path, Hypertable.CHUNK_CATALOG))
+        .getModificationTime
+      catch { case _: Exception => -1L }
+    }
 
   /** Every chunk by PHYSICAL dir listing across all storage roots — the
     * ground truth the "table" catalog snapshots.
@@ -988,6 +1085,22 @@ class Hypertable private (
     val roots = new Path(path) +: tablespaceTableDirs
     roots.flatMap(listChunksUnder).sortBy(_.startMicros)
   }
+
+  /** Dropped-but-graced chunk dirs across all storage roots (gen layout):
+    * the write path must route around them. Bounded by the drop→GC grace
+    * window's backlog, found with one listing per root plus one existence
+    * probe per chunk dir — the same order as the catalog refresh every
+    * mutating write already pays.
+    */
+  private def tombstonedChunkDirs(): Seq[(Long, Path)] =
+    (new Path(path) +: tablespaceTableDirs).flatMap { r =>
+      val rfs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!rfs.exists(r)) Nil
+      else rfs.listStatus(r).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$CHUNK="))
+        .filter(s => Hypertable.isTombstoned(rfs, s.getPath))
+        .map(s => s.getPath.getName.stripPrefix(s"$CHUNK=").toLong -> s.getPath)
+    }
 
   /** Snapshot the physical chunk set into `_graft_chunks.json` and return
     * it — the "table" catalog's refresh, called by every mutator that can
@@ -1007,6 +1120,20 @@ class Hypertable private (
     }
 
   private def refreshChunkCatalogLocked(): Seq[ChunkInfo] = {
+    // GC piggybacks on the refresh's full listing: graced-out superseded
+    // generations, tombstoned dirs, and crash-remnant generations go here
+    // (under the catalog lock, so a publish's rename+stamp never
+    // interleaves — a remnant seen here is a genuinely dead rewrite)
+    if (genLayout) {
+      val grace = Hypertable.gcGraceMs(spark)
+      (new Path(path) +: tablespaceTableDirs).foreach { r =>
+        val rfs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (rfs.exists(r))
+          rfs.listStatus(r).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$CHUNK="))
+            .foreach(s => Hypertable.gcChunkDir(rfs, s.getPath, grace))
+      }
+    }
     val chunks = listAllChunks()
     val o = Hypertable.jsonMapper.createObjectNode()
     val arr = o.putArray("chunks")
@@ -1014,35 +1141,52 @@ class Hypertable private (
       val n = arr.addObject()
       n.put("s", c.startMicros); n.put("e", c.endMicros); n.put("p", c.path)
     }
-    val cat = new Path(path, Hypertable.CHUNK_CATALOG)
-    val prev =
-      try fs.getFileStatus(cat).getModificationTime
-      catch { case _: Exception => -1L }
-    Hypertable.writeSmallFile(fs, cat, o.toString)
-    // the tmp-file swap preserves the TMP file's mtime (predating the
-    // rename that bumped the root dir's entry) — stamp the catalog now so
-    // catalogFresh() doesn't read our own swap as staleness and refresh on
-    // every query. Strictly-after-previous so two mutations inside one
-    // mtime tick still produce distinct stamps (read()'s scan memo keys
-    // on this value).
-    fs.setTimes(cat, math.max(System.currentTimeMillis(), prev + 1), -1)
+    // versioned manifest: a NEW file per refresh (pure tmp+rename — no
+    // no-file window), sequence = memo key. Old versions beyond the keep
+    // window go; a reader that listed just before this still opens its
+    // pinned version.
+    val versions = manifestVersions()
+    val next = versions.lastOption.map(_._1 + 1).getOrElse(1L)
+    o.put("v", next)
+    fs.mkdirs(catalogDir)
+    Hypertable.writeSmallFile(fs,
+      new Path(catalogDir, f"v$next%d.json"), o.toString)
+    versions.dropRight(Hypertable.CATALOG_KEEP - 1)
+      .foreach { case (_, p) => fs.delete(p, false) }
+    // migrate away the legacy single-file snapshot, if any
+    fs.delete(new Path(path, Hypertable.CHUNK_CATALOG), false)
     chunks
   }
 
   private def readChunkCatalog(): Option[Seq[ChunkInfo]] = {
-    val p = new Path(path, Hypertable.CHUNK_CATALOG)
-    if (!fs.exists(p)) return None
-    // a concurrent snapshot swap (delete+rename) has a no-file window;
-    // reading into it is "catalog momentarily absent", which the caller
-    // already answers by re-snapshotting — not a reader-visible error
-    val body =
-      try Hypertable.readSmallFile(fs, p)
-      catch { case _: java.io.FileNotFoundException => return None }
-    val tree = Hypertable.jsonMapper.readTree(body)
-    import scala.jdk.CollectionConverters._
-    Some(tree.get("chunks").elements().asScala.map(n =>
-      ChunkInfo(n.get("s").asLong, n.get("e").asLong, n.get("p").asText))
-      .toSeq.sortBy(_.startMicros))
+    def parse(body: String): Seq[ChunkInfo] = {
+      val tree = Hypertable.jsonMapper.readTree(body)
+      import scala.jdk.CollectionConverters._
+      tree.get("chunks").elements().asScala.map(n =>
+        ChunkInfo(n.get("s").asLong, n.get("e").asLong, n.get("p").asText))
+        .toSeq.sortBy(_.startMicros)
+    }
+    manifestVersions().lastOption match {
+      case Some((_, p)) =>
+        // a concurrent refresh can GC the version between the listing and
+        // the open — re-resolve once; the caller answers a second miss by
+        // re-snapshotting
+        try Some(parse(Hypertable.readSmallFile(fs, p)))
+        catch {
+          case _: java.io.FileNotFoundException =>
+            manifestVersions().lastOption.flatMap { case (_, p2) =>
+              try Some(parse(Hypertable.readSmallFile(fs, p2)))
+              catch { case _: java.io.FileNotFoundException => None }
+            }
+        }
+      case None =>
+        // legacy single-file snapshot (pre-round-8 table): first refresh
+        // migrates it to the manifest dir
+        val p = new Path(path, Hypertable.CHUNK_CATALOG)
+        if (!fs.exists(p)) return None
+        try Some(parse(Hypertable.readSmallFile(fs, p)))
+        catch { case _: java.io.FileNotFoundException => None }
+    }
   }
 
   /** Post-mutation hook: under the "table" catalog every chunk-set /
@@ -1096,31 +1240,56 @@ class Hypertable private (
     * mutator re-snapshots the catalog itself).
     */
   private def catalogFresh(): Boolean = {
-    val cat = new Path(path, Hypertable.CHUNK_CATALOG)
-    if (!fs.exists(cat)) return false
-    // exists→stat race against a concurrent swap reads as "stale" (the
-    // caller re-snapshots under the catalog lock), never as a reader error
-    val catM =
+    val catM = manifestVersions().lastOption.map { case (_, p) =>
+      try fs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return false }
+    }.getOrElse {
+      val cat = new Path(path, Hypertable.CHUNK_CATALOG)
+      if (!fs.exists(cat)) return false
+      // exists→stat race against a concurrent swap reads as "stale" (the
+      // caller re-snapshots under the catalog lock), never as a reader error
       try fs.getFileStatus(cat).getModificationTime
       catch { case _: java.io.FileNotFoundException => return false }
+    }
     val roots = new Path(path) +: tablespaceTableDirs
     roots.forall { r =>
       val rfs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      !rfs.exists(r) || rfs.getFileStatus(r).getModificationTime <= catM
+      !rfs.exists(r) || {
+        // a gen publish renames INSIDE the chunk dir (the root's own mtime
+        // does not move) but bumps the root's content stamp before its
+        // commit stamp — so a crash between a publish and its manifest
+        // sync still reads as stale here and heals
+        val rootM = rfs.getFileStatus(r).getModificationTime
+        val contentM =
+          try rfs.getFileStatus(new Path(r, Hypertable.CONTENT_STAMP))
+            .getModificationTime
+          catch { case _: Exception => -1L }
+        math.max(rootM, contentM) <= catM
+      }
     }
   }
 
-  /** `_chunk=` dirs directly under `dir` (one storage root), with ranges. */
+  /** `_chunk=` dirs directly under `dir` (one storage root), with ranges.
+    * Gen layout: each chunk resolves to its LIVE `_gen=` dir (lowest
+    * unstamped — see the companion's layout note); tombstoned or fully
+    * superseded chunk dirs (dropped / merged away, grace-retained for
+    * pinned readers) are not chunks.
+    */
   private def listChunksUnder(dir: Path): Seq[ChunkInfo] = {
     val dfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!dfs.exists(dir)) return Seq.empty
     dfs.listStatus(dir).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$CHUNK="))
-      .map { s =>
+      .flatMap { s =>
         val start = s.getPath.getName.stripPrefix(s"$CHUNK=").toLong
-        val end = Hypertable.readRangeFile(dfs, s.getPath)
-          .getOrElse(defaultChunkEnd(start))
-        ChunkInfo(start, end, s.getPath.toString)
+        val data =
+          if (genLayout) Hypertable.liveDataDir(dfs, s.getPath)
+          else Some(s.getPath)
+        data.map { d =>
+          val end = Hypertable.readRangeFile(dfs, d)
+            .getOrElse(defaultChunkEnd(start))
+          ChunkInfo(start, end, d.toString)
+        }
       }
   }
 
@@ -1145,30 +1314,51 @@ class Hypertable private (
     * result must reflect several inputs (merge).
     */
   private def rewriteChunkDir(startMicros: Long, endMicros: Long, df: DataFrame,
-      forceCompressed: Option[Boolean] = None): Unit = {
-    // a chunk that was move_chunk'd to a tablespace is rewritten IN PLACE
-    // at its current root; brand-new dirs (split's upper half) open in the
+      forceCompressed: Option[Boolean] = None): Path = {
+    // a chunk that was move_chunk'd to a tablespace is rewritten at its
+    // current root; brand-new dirs (split's upper half) open in the
     // primary root
-    val target = showChunks().find(_.startMicros == startMicros)
+    val existing = showChunks().find(_.startMicros == startMicros)
       .map(c => new Path(c.path))
-      .getOrElse(new Path(path, s"$CHUNK=$startMicros"))
+    val target = existing.getOrElse(new Path(path, s"$CHUNK=$startMicros"))
     val compressed = forceCompressed
       .getOrElse(Columnstore.isCompressed(spark, target.toString))
     // the recorded space layout survives the physical rewrite (rows keep
     // their `_space` values, so the counts that produced them still hold)
     val parts = if (repartitioned) Hypertable.readSpaceParts(fs, target) else None
-    // dot-prefixed: invisible to Spark's file index while in flight
-    val tmp = new Path(target.getParent, s".tmp_chunk_$startMicros")
+    // dot-prefixed: invisible to Spark's file index while in flight. Built
+    // COMPLETE — data and every sidecar — before the single publish step,
+    // so a crash mid-build leaves only an invisible tmp and a crash after
+    // publish leaves a fully-formed generation (gen layout) / dir (flat).
+    // Gen layout stages INSIDE the chunk identity dir (unique per chunk,
+    // and the chunk GC covers crashed leftovers); the flat layout stages
+    // next to the dir its swap deletes, as before.
+    val tmp =
+      if (genLayout) {
+        fs.mkdirs(Hypertable.chunkDirOf(target))
+        new Path(Hypertable.chunkDirOf(target), s".tmp_chunk_$startMicros")
+      } else new Path(target.getParent, s".tmp_chunk_$startMicros")
     var w = df.write.mode(SaveMode.Overwrite)
     if (compressed) w = w.option("compression", "zstd")
     if (spaceDims.nonEmpty) w = w.partitionBy(spaceDims.map(_._3): _*)
     w.parquet(tmp.toString)
-    fs.delete(target, true)
-    fs.rename(tmp, target)
-    writeRange(target.toString, endMicros)
-    parts.foreach(Hypertable.writeSpaceParts(fs, target, _))
-    if (compressed) Columnstore.markCompressed(fs, target)
-    refreshColumnStats(Seq(target.toString))
+    Hypertable.writeRangeFile(fs, tmp, endMicros)
+    parts.foreach(Hypertable.writeSpaceParts(fs, tmp, _))
+    if (compressed) Columnstore.markCompressed(fs, tmp)
+    val live = existing match {
+      case Some(cur) => Hypertable.publishChunkRewrite(spark, fs, cur, tmp)
+      case None if genLayout => // new chunk born directly at _gen=0
+        val chunkDir = target
+        fs.mkdirs(chunkDir)
+        val dst = new Path(chunkDir, s"${Hypertable.GEN}=0")
+        require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+        dst
+      case None =>
+        require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
+        target
+    }
+    refreshColumnStats(Seq(live.toString))
+    live
   }
 
   /** merge_chunks (`sql/maintenance_utils.sql:8-30`): coalesce two ADJACENT
@@ -1220,12 +1410,19 @@ class Hypertable private (
           sc -> (if (counts.distinct.size == 1) counts.head.getOrElse(-1) else -1)
         }.toMap)
       }
-    rewriteChunkDir(cs.head.startMicros, cs.last.endMicros, rows,
+    val newHead = rewriteChunkDir(cs.head.startMicros, cs.last.endMicros, rows,
       forceCompressed = Some(keepCompressed))
-    mergedParts.foreach(Hypertable.writeSpaceParts(fs, new Path(cs.head.path), _))
-    cs.tail.foreach(c => fs.delete(new Path(c.path), true))
+    mergedParts.foreach(Hypertable.writeSpaceParts(fs, newHead, _))
+    // absorbed chunks: tombstoned in gen layout (pinned readers keep their
+    // files for the grace window; the manifest stops listing them), hard
+    // delete in the flat layout as before
+    cs.tail.foreach { c =>
+      if (genLayout)
+        Hypertable.tombstoneChunk(fs, Hypertable.chunkDirOf(new Path(c.path)))
+      else fs.delete(new Path(c.path), true)
+    }
     syncChunkCatalog()
-    ChunkInfo(cs.head.startMicros, cs.last.endMicros, cs.head.path)
+    ChunkInfo(cs.head.startMicros, cs.last.endMicros, newHead.toString)
   }
 
   /** merge_chunks_concurrently (`sql/maintenance_utils.sql:31-58`): the
@@ -1270,20 +1467,20 @@ class Hypertable private (
       // both halves keep the parent's columnstore state (the reference
       // splits the compressed rel itself, chunk_split.c:1245)
       val wasCompressed = Columnstore.isCompressed(spark, c.path)
-      rewriteChunkDir(atMicros, c.endMicros, rows.where(atOrLater),
+      val upper = rewriteChunkDir(atMicros, c.endMicros, rows.where(atOrLater),
         forceCompressed = Some(wasCompressed))
-      rewriteChunkDir(c.startMicros, atMicros, rows.where(!atOrLater),
+      val lower = rewriteChunkDir(c.startMicros, atMicros, rows.where(!atOrLater),
         forceCompressed = Some(wasCompressed))
       // both halves inherit the parent's layout (the upper half is a NEW
       // dir — rewriteChunkDir had nothing to carry over for it)
       parentParts.foreach { p =>
-        Hypertable.writeSpaceParts(fs, new Path(path, s"$CHUNK=$atMicros"), p)
-        Hypertable.writeSpaceParts(fs, new Path(c.path), p)
+        Hypertable.writeSpaceParts(fs, upper, p)
+        Hypertable.writeSpaceParts(fs, lower, p)
       }
+      syncChunkCatalog()
+      (ChunkInfo(c.startMicros, atMicros, lower.toString),
+       ChunkInfo(atMicros, c.endMicros, upper.toString))
     } finally rows.unpersist()
-    syncChunkCatalog()
-    (ChunkInfo(c.startMicros, atMicros, c.path),
-     ChunkInfo(atMicros, c.endMicros, s"$path/$CHUNK=$atMicros"))
   }
 
   /** Chunks whose range intersects the optional [lo, hi) restriction. */
@@ -1320,9 +1517,17 @@ class Hypertable private (
     // reference's per-chunk invalidation entries)
     invalidateCaggs(perChunk.collect {
       case (h, c) if h > 0 => (c.startMicros, c.endMicros) })
-    if (perChunk.exists(_._1 > 0)) markContentChanged()
+    if (perChunk.exists(_._1 > 0)) { markContentChanged(); dmlSync() }
     perChunk.map(_._1).sum
   }
+
+  /** Gen layout: a DML rewrite changes the touched chunks' data PATHS
+    * (each publishes a new generation), so the manifest must re-snapshot —
+    * a stale manifest would keep serving the superseded generation's
+    * pre-DML rows for the whole grace window. Flat layout rewrites in
+    * place (paths unchanged); the content stamp alone is correct there.
+    */
+  private def dmlSync(): Unit = if (genLayout) { refreshChunkCatalog(); () }
 
   /** UPDATE ... SET assignments WHERE pred — copy-on-write chunk rewrite
     * like [[deleteWhere]]. Time-column updates that would move a row to a
@@ -1358,7 +1563,7 @@ class Hypertable private (
     }
     invalidateCaggs(perChunk.collect {
       case (h, c) if h > 0 => (c.startMicros, c.endMicros) })
-    if (perChunk.exists(_._1 > 0)) markContentChanged()
+    if (perChunk.exists(_._1 > 0)) { markContentChanged(); dmlSync() }
     perChunk.map(_._1).sum
   }
 
@@ -1411,8 +1616,13 @@ class Hypertable private (
     require(inRange._1,
       s"data ${inRange._2} outside declared range [$startMicros,$endMicros) — " +
         "chunk exclusion would silently drop those rows")
-    val target = new Path(path, s"$CHUNK=$startMicros")
-    require(!fs.exists(target), s"chunk dir $target already exists")
+    val chunkDir = new Path(path, s"$CHUNK=$startMicros")
+    require(!fs.exists(chunkDir), s"chunk dir $chunkDir already exists")
+    // gen layout: the adopted dir becomes the chunk's generation 0, so
+    // later rewrites version it like any native chunk
+    val target =
+      if (genLayout) { fs.mkdirs(chunkDir); new Path(chunkDir, s"${Hypertable.GEN}=0") }
+      else chunkDir
     require(fs.rename(new Path(srcPath), target), s"rename $srcPath -> $target failed")
     // an adopted dir may carry a frozen sentinel (e.g. re-attaching a
     // previously frozen+detached chunk's data) — keep the root catalog,
@@ -1440,6 +1650,12 @@ class Hypertable private (
     require(!fs.exists(dest), s"$destPath already exists")
     require(fs.rename(new Path(c.path), dest), s"rename ${c.path} -> $destPath failed")
     fs.delete(new Path(dest, RANGE), false) // catalog marker, not table data
+    // gen layout: c.path was the live generation; the chunk-dir shell (and
+    // any graced-out superseded generations — duplicates of data the user
+    // now owns) goes with it. Like the reference, detach is an exclusive
+    // DDL operation, not covered by the reader snapshot contract.
+    if (genLayout)
+      fs.delete(Hypertable.chunkDirOf(new Path(c.path)), true)
     invalidateCaggs(c.startMicros, c.endMicros) // raw rows disappeared
     syncChunkCatalog()
     ChunkInfo(c.startMicros, c.endMicros, destPath)
@@ -1537,11 +1753,19 @@ class Hypertable private (
         tablespaceTableDir(r)
       case None => new Path(path)
     }
-    val src = new Path(c.path)
+    // gen layout: relocate the chunk IDENTITY dir (live generation plus
+    // any grace-retained ones travel together). Like the reference's
+    // move_chunk, the move is an exclusive operation — a reader pinned to
+    // the old location is outside the snapshot contract.
+    val src = Hypertable.chunkDirOf(new Path(c.path))
     val dst = new Path(parent, s"$CHUNK=$startMicros")
     val dstFs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qualifiedDst = dstFs.makeQualified(dst)
-    if (src == qualifiedDst) return c // already there
+    val liveSub = new Path(c.path).toString.stripPrefix(src.toString)
+      .stripPrefix("/")
+    def liveAt(chunkDir: Path): Path =
+      if (liveSub.isEmpty) chunkDir else new Path(chunkDir, liveSub)
+    if (fs.makeQualified(src) == qualifiedDst) return c // already there
     require(!dstFs.exists(dst), s"$dst already exists")
     dstFs.mkdirs(parent)
     // pointer home for chunk-level lock resolution (see PRIMARY_MARKER) —
@@ -1559,7 +1783,8 @@ class Hypertable private (
         s"copy $src -> $dst failed")
     }
     syncChunkCatalog()
-    ChunkInfo(c.startMicros, c.endMicros, qualifiedDst.toString)
+    ChunkInfo(c.startMicros, c.endMicros,
+      dstFs.makeQualified(liveAt(qualifiedDst)).toString)
   }
 
   def moveChunk(startMicros: Long, destRoot: String): ChunkInfo =
@@ -1580,7 +1805,10 @@ class Hypertable private (
       val dst = moved(stub.startMicros)
       val dstFs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
       mergeInto(fs, new Path(stub.path), dstFs, dst)
-      fs.delete(new Path(stub.path), true)
+      // delete the whole stub CHUNK dir: in gen layout stub.path is its
+      // `_gen=` dir, and an empty `_chunk=` shell left behind would read
+      // as a flat duplicate of the tablespace-resident chunk
+      fs.delete(Hypertable.chunkDirOf(new Path(stub.path)), true)
     }
   }
 
@@ -1626,12 +1854,12 @@ class Hypertable private (
     if (spaceCol.isEmpty)
       Hypertable.writeMeta(spark, path, timeCol, timeKind, chunkWidthMicros,
         chunkMonths, Some(column), partitions, extraSpace, repartitioned,
-        catalog = catalogMode)
+        catalog = catalogMode, genLayout = genLayout)
     else
       Hypertable.writeMeta(spark, path, timeCol, timeKind, chunkWidthMicros,
         chunkMonths, spaceCol, spacePartitions,
         extraSpace :+ (column -> partitions), repartitioned,
-        catalog = catalogMode)
+        catalog = catalogMode, genLayout = genLayout)
     Hypertable.at(spark, path)
   }
 
@@ -1655,7 +1883,7 @@ class Hypertable private (
       Hypertable.writeMeta(spark, path, timeCol, timeKind,
         updated.chunkWidthMicros, updated.chunkMonths, spaceCol,
         spacePartitions, extraSpace, repartitioned = true,
-        catalog = catalogMode)
+        catalog = catalogMode, genLayout = genLayout)
       Hypertable.at(spark, path)
     } else updated
   }
@@ -1758,6 +1986,21 @@ class Hypertable private (
     case _ => java.time.Instant.now.toEpochMilli * 1000L
   }
 
+  /** Physically retire dropped chunks: gen layout tombstones the chunk
+    * dirs (readers pinned to a manifest that still lists them keep their
+    * files for the GC grace window — drop_chunks racing a SELECT yields
+    * the pre-drop or post-drop set, never a half-listed one, the
+    * reference's `dropchunks_race.spec` outcome); the flat layout hard
+    * deletes as before. `spark.graft.gc.graceMs=0` restores eager
+    * deletion.
+    */
+  private def dropChunkDirs(dropped: Seq[ChunkInfo]): Unit =
+    dropped.foreach { c =>
+      if (genLayout && Hypertable.gcGraceMs(spark) > 0)
+        Hypertable.tombstoneChunk(fs, Hypertable.chunkDirOf(new Path(c.path)))
+      else fs.delete(Hypertable.chunkDirOf(new Path(c.path)), true)
+    }
+
   /** drop_chunks(older_than): delete chunks whose range ends at or before
     * the cutoff. Returns dropped chunks.
     */
@@ -1779,7 +2022,7 @@ class Hypertable private (
     // frozen chunks are skipped, not dropped (src/chunk.c:4113)
     val dropped = showChunks(olderThanMicros, newerThanMicros)
       .filterNot(c => Hypertable.chunkFrozen(fs, new Path(c.path)))
-    dropped.foreach(c => fs.delete(new Path(c.path), true))
+    dropChunkDirs(dropped)
     // drop_chunks invalidates caggs over the removed ranges (chunk.c:
     // 4064-4101) — a later refresh covering them re-materializes from
     // what's left. As in the reference, pair retention with BOUNDED cagg
@@ -1820,7 +2063,7 @@ class Hypertable private (
       createdAfterMicros: Option[Long]): Seq[ChunkInfo] = withMutation {
     val dropped = showChunksCreated(createdBeforeMicros, createdAfterMicros)
       .filterNot(c => Hypertable.chunkFrozen(fs, new Path(c.path)))
-    dropped.foreach(c => fs.delete(new Path(c.path), true))
+    dropChunkDirs(dropped)
     invalidateCaggs(dropped.map(c => (c.startMicros, c.endMicros)))
     syncChunkCatalog()
     dropped
@@ -1925,13 +2168,232 @@ class Hypertable private (
 object Hypertable {
   val CHUNK = "_chunk"
   val SPACE = "_space"
+  /** Generation partition dir inside a chunk dir (gen-layout tables). */
+  val GEN = "_gen"
   private val META = "_graft_hypertable.json"
   private val RANGE = "_graft_range"
   /** The catalog="table" chunk-set snapshot (`_timescaledb_catalog.chunk`
-    * analogue).
+    * analogue) — LEGACY single-file form; gen-layout tables use the
+    * versioned manifests under [[CATALOG_DIR]] instead.
     */
   private[sources] val CHUNK_CATALOG = "_graft_chunks.json"
+  /** Versioned chunk-set manifests: `_graft_catalog/v<seq>.json`. Each
+    * refresh writes a NEW file (pure tmp+rename — no delete+rename no-file
+    * window) and readers resolve the highest sequence, so the memo key is
+    * a monotonic number rather than an mtime (two swaps inside one mtime
+    * tick can no longer serve stale-as-fresh), and a reader never observes
+    * a momentarily-absent catalog. The last few versions are retained so a
+    * reader that listed just before a refresh still opens its file.
+    */
+  private[sources] val CATALOG_DIR = "_graft_catalog"
+  private[sources] val CATALOG_KEEP = 4
   private[sources] val CONTENT_STAMP = "_graft_content_stamp"
+
+  // ------------------------------------------------- generational chunk dirs
+  // Gen-layout tables (catalog="table" tables created from round 8 on)
+  // version each chunk's CONTENT in `_gen=<n>` partition subdirs:
+  //   root/_chunk=<start>/_gen=<n>[/_space=<b>]/part-*.parquet
+  // A rewrite (DML copy-on-write, compress/decompress, merge/split,
+  // compact) publishes the next generation with ONE rename of a completed
+  // tmp dir, then stamps the old generation `.graft_superseded` — the
+  // COMMIT POINT — and re-snapshots the manifest. Superseded generations
+  // stay on disk for a grace window, so a reader pinned to an older
+  // manifest keeps reading exactly the files it planned — the
+  // file-listing equivalent of the reference's MVCC snapshot
+  // (`src/ts_catalog/catalog.c` consistent chunk-set reads; every
+  // `test/isolation/specs/*.spec` reader relies on it). Liveness is the
+  // LOWEST unstamped generation: an unstamped dir ABOVE it is a crash
+  // remnant from the window between the publish rename and the stamp
+  // (i.e. an uncommitted rewrite) and is rolled back by GC. Drops write a
+  // `.graft_dropped` tombstone instead of deleting, with the same grace.
+
+  private[sources] val SUPERSEDED = ".graft_superseded"
+  private[sources] val DROP_TOMB = ".graft_dropped"
+
+  /** How long superseded generations / dropped chunk dirs stay readable
+    * for pinned readers before GC deletes them. A query must finish within
+    * this window of its planning (or re-plan); size it to the deployment's
+    * longest query. 0 = eager delete (pre-round-8 behavior).
+    */
+  private[graft] def gcGraceMs(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.gc.graceMs", "600000").toLong
+
+  private[graft] def isGenPath(p: Path): Boolean =
+    p.getName.startsWith(s"$GEN=")
+
+  /** The chunk IDENTITY dir of a data path (itself for flat layouts). */
+  private[graft] def chunkDirOf(p: Path): Path =
+    if (isGenPath(p)) p.getParent else p
+
+  /** The storage root holding a chunk data path (primary or tablespace). */
+  private[graft] def storageRootOf(p: Path): Path = chunkDirOf(p).getParent
+
+  private[sources] def genOf(p: Path): Int =
+    if (isGenPath(p)) p.getName.stripPrefix(s"$GEN=").toInt else 0
+
+  private[sources] def listGenDirs(fs: FileSystem,
+      chunkDir: Path): Seq[(Int, Path)] =
+    fs.listStatus(chunkDir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$GEN="))
+      .map(s => s.getPath.getName.stripPrefix(s"$GEN=").toInt -> s.getPath)
+      .sortBy(_._1)
+
+  private[sources] def isSuperseded(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(new Path(dir, SUPERSEDED))
+
+  private[sources] def isTombstoned(fs: FileSystem, chunkDir: Path): Boolean =
+    fs.exists(new Path(chunkDir, DROP_TOMB))
+
+  /** The LIVE data dir of a chunk dir: the lowest unstamped generation
+    * (see the layout note above); the chunk dir itself when it has no
+    * generations (flat layout); None when tombstoned or fully superseded
+    * (dropped / merged away, awaiting GC).
+    */
+  private[sources] def liveDataDir(fs: FileSystem,
+      chunkDir: Path): Option[Path] = {
+    if (isTombstoned(fs, chunkDir)) return None
+    val gens = listGenDirs(fs, chunkDir)
+    if (gens.isEmpty) Some(chunkDir)
+    else gens.collectFirst { case (_, d) if !isSuperseded(fs, d) => d }
+  }
+
+  /** Stamp a generation superseded — the rewrite's commit point. The
+    * stamp's mtime is GC's grace clock.
+    */
+  private[sources] def stampSuperseded(fs: FileSystem, genDir: Path): Unit =
+    fs.create(new Path(genDir, SUPERSEDED), true).close()
+
+  /** Tombstone a whole chunk dir (drop/merge-away): readers pinned to a
+    * manifest that still lists its live generation keep reading it for the
+    * grace window; new manifests exclude it; GC deletes the dir after
+    * grace.
+    */
+  private[sources] def tombstoneChunk(fs: FileSystem, chunkDir: Path): Unit =
+    fs.create(new Path(chunkDir, DROP_TOMB), true).close()
+
+  /** GC one chunk dir: graced-out superseded generations, graced-out
+    * tombstoned dirs, crash-remnant generations above the live one
+    * (uncommitted publishes — rolled back immediately: no manifest ever
+    * pointed at them), and stale in-flight tmp dirs. Callers hold the
+    * table's catalog lock (publish stamps also run under it, so a remnant
+    * here is never an in-flight publish).
+    */
+  private[sources] def gcChunkDir(fs: FileSystem, chunkDir: Path,
+      graceMs: Long): Unit = {
+    val now = System.currentTimeMillis()
+    def graced(markFile: Path): Boolean =
+      try now - fs.getFileStatus(markFile).getModificationTime >= graceMs
+      catch { case _: Exception => false }
+    if (isTombstoned(fs, chunkDir)) {
+      // a write that re-ingested this range routed its rows into a fresh
+      // rebirth generation (created AFTER the tombstone); finish the
+      // rebirth if the writer crashed before its own heal ran
+      if (!healRebirth(fs, chunkDir) &&
+          graced(new Path(chunkDir, DROP_TOMB))) fs.delete(chunkDir, true)
+      return
+    }
+    val gens = listGenDirs(fs, chunkDir)
+    if (gens.isEmpty) return
+    val live = gens.collectFirst { case (g, d) if !isSuperseded(fs, d) => g }
+    gens.foreach { case (g, d) =>
+      if (isSuperseded(fs, d)) {
+        if (graced(new Path(d, SUPERSEDED))) fs.delete(d, true)
+      } else if (live.exists(g > _)) fs.delete(d, true) // crash remnant
+    }
+    // stale publish tmp dirs (crashed before their rename)
+    fs.listStatus(chunkDir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".") &&
+        now - s.getModificationTime >= math.max(graceMs, 3600000L))
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+
+  /** Complete the rebirth of a tombstoned chunk a write re-ingested into:
+    * generations created AFTER the tombstone (dir mtime — the routed
+    * append made them) are the new life; everything older is the dropped
+    * data, stamped superseded so liveness (lowest UNstamped) lands on the
+    * rebirth generation, then the tombstone comes off. Ordered so a crash
+    * at any point leaves the drop in force (stamps first, tombstone last);
+    * the re-ingested rows wait in the still-tombstoned dir until the next
+    * heal finishes the job. Returns true when a rebirth was found.
+    */
+  private[sources] def healRebirth(fs: FileSystem, chunkDir: Path): Boolean = {
+    val tombM =
+      try fs.getFileStatus(new Path(chunkDir, DROP_TOMB)).getModificationTime
+      catch { case _: Exception => return false }
+    val gens = listGenDirs(fs, chunkDir)
+    val (reborn, dead) = gens.partition { case (_, d) =>
+      (try fs.getFileStatus(d).getModificationTime catch { case _: Exception => 0L }) > tombM
+    }
+    if (reborn.isEmpty) return false
+    dead.foreach { case (_, d) =>
+      if (!isSuperseded(fs, d)) stampSuperseded(fs, d)
+    }
+    fs.delete(new Path(chunkDir, DROP_TOMB), false)
+    true
+  }
+
+  /** The qualified PRIMARY table root owning a chunk dir: the parent
+    * itself, or — for tablespace-resident chunks — the pointer-home the
+    * [[PRIMARY_MARKER]] records.
+    */
+  private[graft] def resolvePrimaryRoot(fs: FileSystem, chunkDir: Path): String = {
+    val parent = fs.makeQualified(chunkDir.getParent)
+    val marker = new Path(parent, PRIMARY_MARKER)
+    try {
+      if (fs.exists(marker)) readSmallFile(fs, marker).trim else parent.toString
+    } catch { case _: java.io.FileNotFoundException => parent.toString }
+  }
+
+  /** Publish a completed rewrite of the chunk whose CURRENT live data dir
+    * is `live`, from the fully-built tmp dir `tmp` (data + sidecars:
+    * `_range`, `_graft_spaceparts`, columnstore marker, colstats — all
+    * written into tmp BEFORE this call, so the single publish rename is
+    * the only visibility step). Returns the new live path.
+    *
+    * Gen layout (live is a `_gen=` dir): under the table's catalog lock,
+    * rename tmp → next generation, bump the owning root's content stamp
+    * (the crash-heal cue — a publish rename inside the chunk dir does not
+    * touch the ROOT's mtime), stamp the old generation superseded (the
+    * commit point), then GC this chunk's graced-out generations. The
+    * caller re-snapshots the manifest afterwards. Crash windows: before
+    * the stamp, the old generation stays live and the new dir is a
+    * remnant GC rolls back (the rewrite never committed); after it, the
+    * next catalog heal re-points the manifest at the new generation.
+    *
+    * Flat layout: the pre-round-8 in-place delete+rename swap.
+    */
+  private[graft] def publishChunkRewrite(spark: SparkSession, fs: FileSystem,
+      live: Path, tmp: Path): Path = {
+    if (!isGenPath(live)) {
+      fs.delete(live, true)
+      require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
+      live
+    } else {
+      val chunkDir = live.getParent
+      val primary = resolvePrimaryRoot(fs, chunkDir)
+      catalogLock(primary).synchronized {
+        val next = listGenDirs(fs, chunkDir).map(_._1).max + 1
+        val dst = new Path(chunkDir, s"$GEN=$next")
+        require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+        touchContentStamp(fs, chunkDir.getParent)
+        stampSuperseded(fs, live)
+        gcChunkDir(fs, chunkDir, gcGraceMs(spark))
+        dst
+      }
+    }
+  }
+
+  /** Re-snapshot the owning table's chunk manifest after a STATIC-context
+    * gen publish ([[Columnstore]]'s per-chunk primitives have no handle).
+    * One meta read + one refresh; maintenance-op cost.
+    */
+  private[graft] def syncCatalogForChunk(spark: SparkSession, fs: FileSystem,
+      dataDir: Path): Unit =
+    if (isGenPath(dataDir)) {
+      at(spark, resolvePrimaryRoot(fs, chunkDirOf(dataDir)))
+        .refreshChunkCatalog()
+      ()
+    }
 
   /** Bump the table's content stamp — called by every chunk-CONTENT
     * rewrite that leaves the chunk SET unchanged (DML copy-on-write,
@@ -2237,13 +2699,21 @@ object Hypertable {
       }
     require(catalog == "list" || catalog == "table",
       s"catalog must be 'list' or 'table', got '$catalog'")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // re-opening an existing table keeps its physical layout: a flat
+    // pre-round-8 table must not silently flip to the generational layout
+    // (its chunks carry no _gen= dirs)
+    val gen =
+      if (fs.exists(new Path(path, META)))
+        "\"genLayout\":true".r.findFirstIn(readSmallFile(fs, new Path(path, META))).isDefined
+      else catalog == "table"
     val ht = new Hypertable(spark, path, timeCol, widthMicros, spaceCol,
       spacePartitions, chunkMonths = months, timeKind = timeKind,
-      extraSpace = extraSpace, catalogMode = catalog)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      extraSpace = extraSpace, catalogMode = catalog, genLayout = gen)
     fs.mkdirs(new Path(path))
     writeMeta(spark, path, timeCol, timeKind, widthMicros, months, spaceCol,
-      spacePartitions, extraSpace, repartitioned = false, catalog = catalog)
+      spacePartitions, extraSpace, repartitioned = false, catalog = catalog,
+      genLayout = gen)
     ht
   }
 
@@ -2251,7 +2721,7 @@ object Hypertable {
       timeCol: String, timeKind: String, widthMicros: Long, months: Int,
       spaceCol: Option[String], spacePartitions: Int,
       extraSpace: Seq[(String, Int)], repartitioned: Boolean,
-      catalog: String = "list"): Unit = {
+      catalog: String = "list", genLayout: Boolean = false): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val extraJson = extraSpace
       .map { case (c, n) => "\"" + c + ":" + n + "\"" }.mkString("[", ",", "]")
@@ -2262,6 +2732,7 @@ object Hypertable {
       s""""spacePartitions":$spacePartitions,""" +
       s""""extraSpace":$extraJson,""" +
       s""""repartitioned":$repartitioned,""" +
+      s""""genLayout":$genLayout,""" +
       s""""catalog":"$catalog"}"""
     val out = fs.create(new Path(path, META), true)
     out.write(meta.getBytes("UTF-8")); out.close()
@@ -2292,10 +2763,11 @@ object Hypertable {
         (s.substring(0, i), s.substring(i + 1).toInt)
       }
     val repart = "\"repartitioned\":true".r.findFirstIn(meta).isDefined
+    val gen = "\"genLayout\":true".r.findFirstIn(meta).isDefined
     new Hypertable(spark, path, str("timeCol").get, num("chunkWidthMicros"),
       str("spaceCol"), num("spacePartitions").toInt, months,
       str("timeKind").getOrElse("timestamp"), extra, repartitioned = repart,
-      catalogMode = str("catalog").getOrElse("list"))
+      catalogMode = str("catalog").getOrElse("list"), genLayout = gen)
   }
 }
 

@@ -298,7 +298,7 @@ class ConcurrencySpec extends AnyFunSuite {
     // missing (process died between the data commit and syncChunkCatalog)
     val fs = new org.apache.hadoop.fs.Path(s"$dir/ht")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/ht/_graft_chunks.json"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/ht/_graft_catalog"), true)
 
     val errs = new ConcurrentLinkedQueue[Throwable]()
     val gate = new CountDownLatch(1)
@@ -315,5 +315,112 @@ class ConcurrencySpec extends AnyFunSuite {
     results.forEach(r => assert(r === expect))
     // the healed snapshot serves subsequent reads (no re-listing)
     assert(Hypertable.at(spark, s"$dir/ht").read().count() === events.count())
+  }
+
+  test("snapshot isolation: readers NEVER miss a chunk while compress/" +
+    "decompress and DML sweeps continuously rewrite the table (gen layout)") {
+    // The round-8 contract (SCALE.md §14): a rewrite publishes the next
+    // generation and grace-retains the old one, so a reader pinned to any
+    // manifest version reads a complete, consistent chunk set — the
+    // file-listing analogue of the MVCC snapshot every reference
+    // isolation spec leans on. Every op below preserves the row count, so
+    // ANY deviation (a transiently-missing chunk, a half-swapped dir, a
+    // double-listed generation) is observable as a wrong count or an
+    // exception. Round 7's version of this test tolerated the transient;
+    // this one does not.
+    val dir = Files.createTempDirectory("graft_conc_snap").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    ht.write(events)
+    val total = events.count()
+    val window = (Timestamp.valueOf("2024-01-08 00:00:00"),
+      Timestamp.valueOf("2024-01-22 00:00:00"))
+    val windowCount = ht.read().where(
+      col("ts") >= lit(window._1) && col("ts") < lit(window._2)).count()
+    val opts = graft.sources.Columnstore.Options(orderBy = Seq("ts"))
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    val stop = new AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val readers = (0 until 3).map(i => thread(s"snap-reader-$i", errs) {
+      while (!stop.get()) {
+        // full read (memoized scan, pinned file listing) and a between
+        // window (fresh per-call listing of only the hit generations)
+        assert(ht.read().count() === total, "full read lost rows mid-sweep")
+        assert(ht.between(window._1, window._2).count() === windowCount,
+          "between() lost rows mid-sweep")
+        reads.incrementAndGet()
+      }
+    })
+    val compressor = thread("snap-compress", errs) {
+      var i = 0
+      while (i < 3) {
+        ht.showChunks().foreach(c =>
+          graft.sources.Columnstore.compressChunk(spark, c.path, opts))
+        ht.showChunks().foreach(c =>
+          graft.sources.Columnstore.decompressChunk(spark, c.path))
+        i += 1
+      }
+    }
+    val dml = thread("snap-dml", errs) {
+      var i = 0
+      while (i < 4) {
+        // count-preserving copy-on-write rewrite of every touched chunk
+        val n = ht.updateWhere(pmod(col("event_id"), lit(5)) === (i % 5),
+          Map("value" -> (col("value") + lit(0.0))))
+        assert(n > 0)
+        i += 1
+      }
+    }
+    compressor.join(); dml.join()
+    stop.set(true)
+    readers.foreach(_.join())
+    assertNoErrors(errs)
+    assert(reads.get() >= 10, s"readers only completed ${reads.get()} loops")
+    // the sweeps really did publish generations (and the live set moved on)
+    val gens = ht.showChunks().map(c =>
+      "_gen=(\\d+)".r.findFirstMatchIn(c.path).map(_.group(1).toInt).getOrElse(-1))
+    assert(gens.forall(_ > 0), s"expected advanced generations, got $gens")
+    assert(ht.read().count() === total)
+  }
+
+  test("drop_chunks racing concurrent SELECTs: every observed count is a " +
+    "pre-drop or post-drop prefix, never a partial (dropchunks_race.spec)") {
+    // the reference's test/isolation/specs/dropchunks_race.spec outcome:
+    // a SELECT concurrent with drop_chunks sees the chunk set before or
+    // after the drop — never a half-dropped table. Gen layout: drops
+    // tombstone (the manifest stops listing; pinned readers keep their
+    // grace-retained files), so the only observable counts are the
+    // drop-prefix sums.
+    val dir = Files.createTempDirectory("graft_conc_dropsel").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    ht.write(events)
+    val chunks = ht.showChunks().sortBy(_.startMicros)
+    val perChunk = chunks.map(c =>
+      ht.between(c.startMicros, c.endMicros).count())
+    val total = perChunk.sum
+    // counts observable mid-drop: total minus each oldest-first prefix
+    val valid = (0 to chunks.size).map(k => total - perChunk.take(k).sum).toSet
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    val stop = new AtomicBoolean(false)
+    val observed = new ConcurrentLinkedQueue[Long]()
+    val readers = (0 until 3).map(i => thread(s"dropsel-reader-$i", errs) {
+      while (!stop.get()) observed.add(ht.read().count())
+    })
+    val dropper = thread("dropsel-dropper", errs) {
+      chunks.foreach { c =>
+        ht.dropChunks(Some(c.endMicros), None)
+        Thread.sleep(50L)
+      }
+    }
+    dropper.join()
+    stop.set(true)
+    readers.foreach(_.join())
+    assertNoErrors(errs)
+    assert(observed.size > 0)
+    observed.forEach { n =>
+      assert(valid(n), s"reader observed partial drop state: $n not in $valid")
+    }
+    assert(ht.showChunks().isEmpty && ht.read().count() === 0)
   }
 }

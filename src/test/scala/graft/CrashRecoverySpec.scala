@@ -109,19 +109,18 @@ class CrashRecoverySpec extends AnyFunSuite {
     ht.write(events.where(col("ts") < lit(Timestamp.valueOf("2024-01-15 00:00:00"))))
     val early = ht.read().count()
     // crash simulation: data for NEW chunks lands, the snapshot doesn't —
-    // regress the catalog file to its pre-write content by rewriting it
-    // from a detached copy taken now, then writing more data via a handle
-    // that (like a crashed process) never syncs: emulate by writing with a
-    // normal handle and then restoring the OLD snapshot file on top
+    // with the versioned manifest the equivalent regression is deleting
+    // every manifest version the (would-have-crashed) write published,
+    // leaving the pre-write version as latest, mtime and all
     val fs = fsOf(s"$dir/ht")
-    val cat = new Path(s"$dir/ht", "_graft_chunks.json")
-    val old = Hypertable.readSmallFile(fs, cat)
-    val beforeWrite = fs.getFileStatus(cat).getModificationTime
+    val catDir = new Path(s"$dir/ht", "_graft_catalog")
+    def versions() = fs.listStatus(catDir).toSeq
+      .filter(_.getPath.getName.matches("v\\d+\\.json"))
+      .map(s => s.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong ->
+        s.getPath)
+    val preMax = versions().map(_._1).max
     ht.write(events.where(col("ts") >= lit(Timestamp.valueOf("2024-01-15 00:00:00"))))
-    Hypertable.writeSmallFile(fs, cat, old)
-    // in the real crash the snapshot PREDATES the data commit — restore
-    // its mtime too, or the restore itself would read as fresh
-    fs.setTimes(cat, beforeWrite, -1)
+    versions().filter(_._1 > preMax).foreach(v => fs.delete(v._2, false))
     // a FRESH handle's first use sees root mtime > catalog mtime and heals
     val healed = Hypertable.at(spark, s"$dir/ht")
     assert(healed.read().count() === events.count())

@@ -548,8 +548,11 @@ class HypertableSpec extends AnyFunSuite {
     def assertSame(): Unit = {
       val a = listHt.showChunks().map(c => (c.startMicros, c.endMicros,
         c.path.stripPrefix(s"$d/list")))
+      // the table catalog's gen layout resolves each chunk to its live
+      // `_gen=` dir — strip it for the identity compare
       val b = tblHt.showChunks().map(c => (c.startMicros, c.endMicros,
-        c.path.replace("/table/", "/list/").stripPrefix(s"$d/list")))
+        c.path.replace("/table/", "/list/").stripPrefix(s"$d/list")
+          .replaceAll("/_gen=\\d+$", "")))
       assert(a === b, "chunk catalogs diverged")
       assert(listHt.read().count() === tblHt.read().count())
     }
@@ -559,7 +562,9 @@ class HypertableSpec extends AnyFunSuite {
     // proving no dir listing happened)
     val fs = new org.apache.hadoop.fs.Path(d)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$d/table/_graft_chunks.json")))
+    // the catalog is a versioned manifest dir: at least one v<seq>.json
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$d/table/_graft_catalog"))
+      .exists(_.getPath.getName.matches("v\\d+\\.json")))
     assertSame()
     val probe = tblHt.showChunks().head
     val hidden = new org.apache.hadoop.fs.Path(probe.path)
@@ -672,9 +677,12 @@ class HypertableSpec extends AnyFunSuite {
     ht.write(Tables.table(spark, "/root/testdata/sf0.001", "events"))
     val fs = new org.apache.hadoop.fs.Path(d)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cat = new org.apache.hadoop.fs.Path(s"$d/ht/_graft_chunks.json")
     val chunks = ht.showChunks() // validates (and may re-stamp) FIRST
-    // push the snapshot's stamp safely into the past (mtime granularity)
+    // push the manifest's stamp safely into the past (mtime granularity)
+    val cat = fs.listStatus(new org.apache.hadoop.fs.Path(s"$d/ht/_graft_catalog"))
+      .filter(_.getPath.getName.matches("v\\d+\\.json"))
+      .maxBy(_.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong)
+      .getPath
     fs.setTimes(cat, System.currentTimeMillis() - 5000, -1)
     // "crashed ingest": a fully committed chunk dir, no snapshot update
     val orphanStart = chunks.map(_.startMicros).max + 86400000000L
