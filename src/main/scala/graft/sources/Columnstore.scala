@@ -240,6 +240,9 @@ object Columnstore {
     // cheap next to the rewrite this guards)
     val chunkDir = Hypertable.chunkDirOf(cp)
     val rootKey = Hypertable.resolvePrimaryRoot(fs, chunkDir)
+    // chunk rewrites are mutations too: claim the table's cross-process
+    // mutator lease (map hit after the first claim per table)
+    Hypertable.acquireMutatorLease(spark, fs, rootKey)
     val rl = Hypertable.tableMutationLock(rootKey).readLock()
     rl.lock()
     try Hypertable.chunkMonitor(fs.makeQualified(chunkDir).toString).synchronized(body)

@@ -142,9 +142,12 @@ class Hypertable private (
 
   /** Serialize a table-level mutation against every other same-JVM mutator
     * of the table — see [[Hypertable.tableMutationLock]]. Reentrant, so
-    * mutators may compose.
+    * mutators may compose. Entry also claims the cross-PROCESS mutator
+    * lease (loud refusal when another process holds the table — see
+    * [[Hypertable.acquireMutatorLease]]); a map hit after the first call.
     */
   private[graft] def withMutation[T](body: => T): T = {
+    Hypertable.acquireMutatorLease(spark, fs, qualifiedPath)
     val l = Hypertable.tableMutationLock(qualifiedPath).writeLock()
     l.lock()
     try body finally l.unlock()
@@ -350,6 +353,8 @@ class Hypertable private (
         val dfs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (dfs.exists(d)) dfs.delete(d, true)
       }
+      // the table is gone; stop heartbeating its (deleted) lease
+      Hypertable.heldLeases.remove(qualifiedPath); ()
     }
   }
 
@@ -2209,6 +2214,156 @@ object Hypertable {
 
   private[sources] val SUPERSEDED = ".graft_superseded"
   private[sources] val DROP_TOMB = ".graft_dropped"
+
+  // ---------------------------------------------- cross-process mutator lease
+  // The in-JVM lock hierarchy above is complete for ONE driver process —
+  // the deployment contract (SCALE.md §14). A SECOND mutating process is
+  // out of contract, but until round 8 the failure mode was silent (two
+  // drivers' catalog swaps interleaving). The mutator lease makes it
+  // LOUD: the first mutation of a table claims `_graft_mutator_lease`
+  // (owner id + heartbeated mtime) for the process lifetime, and a
+  // different process attempting a mutation while the lease is fresh gets
+  // a clear refusal naming the holder, instead of a race. A lease whose
+  // heartbeat stopped (holder crashed) is broken by the same
+  // atomic-rename takeover dance the cagg refresh lock uses
+  // ([[graft.streaming.ContinuousAggregate]] withRefreshFileLock).
+  //
+  // This is FENCING-BY-REFUSAL, not a distributed lock: filesystems
+  // without an atomic create-exclusive primitive (Hadoop's createNewFile
+  // is exists-then-create) cannot give mutual exclusion, so two processes
+  // claiming in the same instant can still interleave — the claim
+  // write-then-read-back narrows that to a sub-heartbeat window and every
+  // LATER mutation by the displaced process refuses. Readers never touch
+  // the lease (snapshot isolation is the manifest's job, above).
+
+  private[sources] val MUTATOR_LEASE = "_graft_mutator_lease"
+
+  /** This process's lease identity — one per JVM; override with
+    * `spark.graft.lease.owner` (tests / deliberate handoff).
+    */
+  private[graft] val processId: String = java.util.UUID.randomUUID().toString
+
+  /** Heartbeats older than this read as a crashed holder (takeover);
+    * younger ones refuse. Crash recovery therefore waits out this window
+    * (the price of lease fencing on a CAS-less store).
+    */
+  private[graft] def leaseStaleMs(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.lease.staleMs", "600000").toLong
+
+  private def leaseOwner(spark: SparkSession): String =
+    spark.conf.get("spark.graft.lease.owner", processId)
+
+  /** Held leases: qualified primary root -> (fs, lease path, owner id). */
+  private val heldLeases = new java.util.concurrent.ConcurrentHashMap[
+    String, (FileSystem, Path, String)]()
+  private val leaseAcqLock = new Object
+  @volatile private var leaseDaemonStarted = false
+
+  /** One heartbeat pass: touch every held lease's mtime; a lease whose
+    * content is no longer ours (takeover after our heartbeat stalled past
+    * staleness) or whose table vanished is dropped from the held set, so
+    * the displaced process's NEXT mutation re-resolves — and refuses
+    * loudly. Exposed for deterministic spec coverage.
+    */
+  private[graft] def leaseHeartbeatNow(): Unit =
+    heldLeases.forEach { (root, v) =>
+      val (fs, lease, owner) = v
+      try {
+        if (readSmallFile(fs, lease).trim == owner)
+          fs.setTimes(lease, System.currentTimeMillis(), -1)
+        else heldLeases.remove(root)
+      } catch { case _: java.io.IOException => heldLeases.remove(root) }
+    }
+
+  private def ensureLeaseDaemon(): Unit =
+    if (!leaseDaemonStarted) leaseAcqLock.synchronized {
+      if (!leaseDaemonStarted) {
+        val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+          r => { val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t })
+        ex.scheduleWithFixedDelay(() => leaseHeartbeatNow(), 30, 30,
+          java.util.concurrent.TimeUnit.SECONDS)
+        // graceful exits hand the table off immediately; only a crash
+        // pays the staleness window
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          heldLeases.forEach { (_, v) =>
+            try { if (readSmallFile(v._1, v._2).trim == v._3) v._1.delete(v._2, false) }
+            catch { case _: java.io.IOException => () }
+          }, "graft-lease-release"))
+        leaseDaemonStarted = true
+      }
+    }
+
+  /** Claim (or re-verify) the table's mutator lease for this process —
+    * called by every mutation entry point; a ConcurrentHashMap hit after
+    * the first claim. Throws with the holder's identity when another
+    * process holds a fresh lease.
+    */
+  private[graft] def acquireMutatorLease(spark: SparkSession, fs: FileSystem,
+      qualifiedRoot: String): Unit = {
+    if (heldLeases.containsKey(qualifiedRoot)) return
+    leaseAcqLock.synchronized {
+      if (heldLeases.containsKey(qualifiedRoot)) return
+      val root = new Path(qualifiedRoot)
+      if (!fs.exists(root)) return // table not created yet — nothing to fence
+      val lease = new Path(root, MUTATOR_LEASE)
+      val owner = leaseOwner(spark)
+      val staleMs = leaseStaleMs(spark)
+      var attempts = 0
+      while (attempts < 3) {
+        val cur =
+          try Some(readSmallFile(fs, lease).trim ->
+            fs.getFileStatus(lease).getModificationTime)
+          catch { case _: java.io.IOException => None }
+        cur match {
+          case Some((o, _)) if o == owner => // already ours — adopt
+            heldLeases.put(qualifiedRoot, (fs, lease, owner))
+            ensureLeaseDaemon()
+            return
+          case Some((o, m)) if System.currentTimeMillis() - m < staleMs =>
+            throw new IllegalStateException(
+              s"table $qualifiedRoot is being mutated by another process " +
+                s"(lease holder $o, heartbeat ${System.currentTimeMillis() - m} ms " +
+                s"ago) — concurrent mutating processes are out of contract " +
+                "(SCALE.md §14). Wait for the lease to expire, or have the " +
+                "holder release it (Hypertable.releaseMutatorLease / exit).")
+          case Some(_) => // crashed holder: atomic-rename takeover
+            val t = new Path(root, s".${MUTATOR_LEASE}_stale_${System.nanoTime()}")
+            try { if (fs.rename(lease, t)) fs.delete(t, false) }
+            catch { case _: java.io.IOException => () } // another waiter won
+          case None => ()
+        }
+        // claim, then read back: of two same-instant claimants the LAST
+        // swap wins and the read-back demotes the other to a refusal
+        writeSmallFile(fs, lease, owner)
+        val back =
+          try readSmallFile(fs, lease).trim
+          catch { case _: java.io.IOException => "" }
+        if (back == owner) {
+          heldLeases.put(qualifiedRoot, (fs, lease, owner))
+          ensureLeaseDaemon()
+          return
+        }
+        attempts += 1
+      }
+      throw new IllegalStateException(
+        s"lost the mutator-lease claim race for $qualifiedRoot three times — " +
+          "another process is actively claiming it")
+    }
+  }
+
+  /** Graceful handoff: delete this process's lease (no-op when not held /
+    * already taken over) so another process can claim without waiting out
+    * staleness.
+    */
+  def releaseMutatorLease(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = fs.makeQualified(p).toString
+    Option(heldLeases.remove(key)).foreach { case (lfs, lease, owner) =>
+      try { if (readSmallFile(lfs, lease).trim == owner) lfs.delete(lease, false) }
+      catch { case _: java.io.IOException => () }
+    }
+  }
 
   /** How long superseded generations / dropped chunk dirs stay readable
     * for pinned readers before GC deletes them. A query must finish within

@@ -131,4 +131,65 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(ht.read().count() === events.count())
     assert(early < events.count()) // the regression actually hid chunks
   }
+
+  test("a second mutating process is refused LOUDLY while the lease is " +
+    "fresh; reads are unaffected; release hands the table off") {
+    val dir = Files.createTempDirectory("graft_crash_lease").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(events) // claims this process's mutator lease
+    val fs = fsOf(s"$dir/ht")
+    val lease = new Path(s"$dir/ht", "_graft_mutator_lease")
+    assert(Hypertable.readSmallFile(fs, lease).trim === Hypertable.processId)
+    // graceful handoff, then "another process" claims (fresh heartbeat)
+    Hypertable.releaseMutatorLease(spark, s"$dir/ht")
+    assert(!fs.exists(lease), "release must delete the held lease")
+    val out = fs.create(lease, true)
+    out.write("pid-of-some-other-driver".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException] {
+      ht.updateWhere(col("event_id") === 1, Map("value" -> lit(0.0)))
+    }
+    assert(e.getMessage.contains("pid-of-some-other-driver"),
+      s"refusal must name the holder: ${e.getMessage}")
+    assert(e.getMessage.contains("another process"))
+    // readers never touch the lease
+    assert(ht.read().count() === events.count())
+  }
+
+  test("a crashed holder's stale lease is broken by atomic-rename takeover " +
+    "and the next mutation proceeds as the new holder") {
+    val dir = Files.createTempDirectory("graft_crash_lease2").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(events)
+    Hypertable.releaseMutatorLease(spark, s"$dir/ht")
+    val fs = fsOf(s"$dir/ht")
+    val lease = new Path(s"$dir/ht", "_graft_mutator_lease")
+    val out = fs.create(lease, true)
+    out.write("crashed-driver".getBytes("UTF-8")); out.close()
+    val staleMs = Hypertable.leaseStaleMs(spark)
+    fs.setTimes(lease, System.currentTimeMillis() - 2 * staleMs, -1)
+    val n = ht.updateWhere(col("event_id") === 1, Map("value" -> lit(0.0)))
+    assert(n > 0)
+    assert(Hypertable.readSmallFile(fs, lease).trim === Hypertable.processId,
+      "takeover must leave this process as the recorded holder")
+    assert(ht.read().count() === events.count())
+  }
+
+  test("a displaced holder (lease taken over while this JVM stalled) " +
+    "notices at the next heartbeat and its next mutation refuses") {
+    val dir = Files.createTempDirectory("graft_crash_lease3").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(events) // we hold the lease
+    val fs = fsOf(s"$dir/ht")
+    val lease = new Path(s"$dir/ht", "_graft_mutator_lease")
+    // another process deemed us crashed and took over (fresh foreign lease)
+    val out = fs.create(lease, true)
+    out.write("usurper-driver".getBytes("UTF-8")); out.close()
+    // the heartbeat sees a lease that is no longer ours and drops it from
+    // the held set — LATER mutations re-resolve and refuse
+    Hypertable.leaseHeartbeatNow()
+    val e = intercept[IllegalStateException] {
+      ht.updateWhere(col("event_id") === 1, Map("value" -> lit(0.0)))
+    }
+    assert(e.getMessage.contains("usurper-driver"))
+  }
 }

@@ -1,0 +1,243 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.TimeBucketUtil
+import graft.operators.Gapfill
+import graft.{functions => gf}
+
+/** Seeded differential fuzzing of the scalar/operator surfaces whose graft
+  * implementation is a CUSTOM path (Catalyst expressions, the single-pass
+  * gapfill formulation, min_by/max_by operators) against an INDEPENDENT
+  * naive formulation of the reference semantics — exact integer alignment
+  * arithmetic for `time_bucket` (`ts_timestamp_bucket`, src/time_bucket.c),
+  * calendar arithmetic for month buckets, window-function oracles for
+  * bookends/DISTINCT ON, and the spine-cross-join+left-join design the
+  * gapfill scaladoc rejects for scale (but which is trivially correct) for
+  * the gapfill family. ~220 generated configurations per run; every case
+  * reproduces from the fixed seed and prints its config on failure. The
+  * reference's net here is 300+ regress scripts; this sweeps the parameter
+  * space those scripts spot-check.
+  *
+  * Scalar families stack many configurations into ONE job each (a row-wise
+  * mismatch predicate OR'd over configs), so the suite stays in CI budget.
+  */
+class DifferentialFuzzSpec extends AnyFunSuite {
+  lazy val spark = Graft.session("diff-fuzz-spec", "local[4]", 4)
+
+  private lazy val events = Tables
+    .table(spark, "/root/testdata/sf0.001", "events")
+    .select("event_id", "ts", "user_id", "event_type", "value")
+    .cache()
+  // unique-ts variant: bookend/DISTINCT ON ties are unspecified in the
+  // reference too, so the differential only runs where ties cannot occur
+  private lazy val uniqueTs = events.dropDuplicates("ts").cache()
+
+  private def us(s: String): Long = Timestamp.valueOf(s).getTime * 1000L
+
+  /** Exact long floor-alignment: largest o + k*w <= t (no doubles — a
+    * double division could misplace boundary values and fail spuriously).
+    */
+  private def floorAlign(t: Column, o: Long, w: Long): Column = {
+    val d = t - lit(o)
+    lit(o) + (d - ((d % lit(w)) + lit(w)) % lit(w))
+  }
+
+  private val SEED = 20260815L
+
+  /** Run stacked per-row scalar configs in one pass; on mismatch, re-check
+    * one-by-one to name the culprits.
+    */
+  private def assertRowwise(df: DataFrame,
+      cases: Seq[(String, Column, Column)]): Unit = {
+    val anyBad = cases.map { case (_, a, b) =>
+      !(a <=> b) // null-safe: both-null is agreement
+    }.reduce(_ || _)
+    if (df.where(anyBad).limit(1).count() > 0) {
+      val bad = cases.filter { case (_, a, b) =>
+        df.where(!(a <=> b)).limit(1).count() > 0 }
+      val detail = bad.take(3).map { case (label, a, b) =>
+        val r = df.where(!(a <=> b))
+          .select(col("ts"), a.as("graft"), b.as("oracle")).head()
+        s"$label: ts=${r.get(0)} graft=${r.get(1)} oracle=${r.get(2)}"
+      }
+      fail(s"[seed=$SEED] ${bad.size} diverging configs: " +
+        bad.map(_._1).mkString(", ") + "\n" + detail.mkString("\n"))
+    }
+  }
+
+  test("time_bucket fixed widths: default origin, explicit origin, and " +
+    "offset forms match exact integer alignment (60 configs)") {
+    val rnd = new scala.util.Random(SEED)
+    val t = unix_micros(col("ts"))
+    val o0 = TimeBucketUtil.DEFAULT_ORIGIN_MICROS
+    def randWidthUs(): Long = rnd.nextInt(5) match {
+      case 0 => (1 + rnd.nextInt(120)).toLong * 1000000L            // seconds
+      case 1 => (1 + rnd.nextInt(600)).toLong * 60L * 1000000L      // minutes
+      case 2 => (1 + rnd.nextInt(72)).toLong * 3600L * 1000000L     // hours
+      case 3 => (1 + rnd.nextInt(45)).toLong * 86400L * 1000000L    // days
+      case _ => 1L + math.abs(rnd.nextLong()) % (10L * 86400L * 1000000L)
+    }
+    def w2s(w: Long): String = s"$w microseconds"
+    val defaults = (1 to 20).map { i =>
+      val w = randWidthUs()
+      (s"default#$i w=${w}us",
+        gf.time_bucket(w2s(w), col("ts")),
+        timestamp_micros(floorAlign(t, o0, w)))
+    }
+    val origins = (1 to 20).map { i =>
+      val w = randWidthUs()
+      // any alignment point, incl. ones after the data (negative deltas)
+      val og = us("2019-01-01 00:00:00") +
+        math.abs(rnd.nextLong()) % (6L * 365 * 86400L * 1000000L)
+      (s"origin#$i w=${w}us o=$og",
+        gf.time_bucket(w2s(w), col("ts"), timestamp_micros(lit(og))),
+        timestamp_micros(floorAlign(t, og, w)))
+    }
+    val offsets = (1 to 20).map { i =>
+      val w = randWidthUs()
+      val off = math.abs(rnd.nextLong()) % (2 * w) // may exceed the width
+      // reference: time_bucket(w, ts, offset) = time_bucket(w, ts-off)+off
+      (s"offset#$i w=${w}us off=$off",
+        gf.time_bucket(w2s(w), col("ts"), expr(s"INTERVAL '$off' MICROSECOND")),
+        timestamp_micros(floorAlign(t - lit(off), o0, w) + lit(off)))
+    }
+    assertRowwise(events, defaults ++ origins ++ offsets)
+  }
+
+  test("time_bucket integer widths over positive AND negative values match " +
+    "floor division (40 configs)") {
+    val rnd = new scala.util.Random(SEED + 1)
+    // shifted so roughly half the values are negative (int time has no
+    // epoch; the reference floor-aligns toward -inf, origin 0)
+    val mid = us("2024-01-15 00:00:00")
+    val v = (unix_micros(col("ts")) - lit(mid)).as("v")
+    val cases = (1 to 40).map { i =>
+      val w = 1L + math.abs(rnd.nextLong()) % (rnd.nextInt(3) match {
+        case 0 => 1000L
+        case 1 => 1000000000L
+        case _ => 100L * 86400L * 1000000L
+      })
+      (s"int#$i w=$w", gf.time_bucket(lit(w), v), floorAlign(v, 0L, w))
+    }
+    assertRowwise(events, cases)
+  }
+
+  test("time_bucket month widths match independent calendar arithmetic " +
+    "(20 configs)") {
+    val rnd = new scala.util.Random(SEED + 2)
+    // months since 2000-01 (the reference's month-bucket origin 2000-01-01,
+    // ts_time_bucket): pure int calendar math, independent of the
+    // expression's addMonths path
+    val m = (year(col("ts")) * 12 + month(col("ts")) - 1) - lit(2000 * 12)
+    val cases = (1 to 20).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      val bm = m - ((m % n) + n) % n
+      (s"months#$i n=$n",
+        gf.time_bucket(s"$n months", col("ts")),
+        make_timestamp(lit(2000) + (bm / 12).cast("int"),
+          (bm % 12).cast("int") + 1, lit(1), lit(0), lit(0), lit(0)))
+    }
+    assertRowwise(events, cases)
+  }
+
+  test("first/last bookends match a window-function oracle on tie-free " +
+    "groups (16 queries)") {
+    val rnd = new scala.util.Random(SEED + 3)
+    (1 to 16).foreach { i =>
+      val grpDay = rnd.nextBoolean()
+      val keys: Seq[Column] =
+        if (grpDay) Seq(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        else Seq(col("event_type"))
+      val keyNames = if (grpDay) Seq("event_type", "d") else Seq("event_type")
+      val d0 = rnd.nextInt(25); val len = 1 + rnd.nextInt(6)
+      val lo = us("2024-01-01 00:00:00") + d0 * 86400000000L
+      val hi = lo + len * 86400000000L
+      val base = uniqueTs.where(
+        col("ts") >= timestamp_micros(lit(lo)) && col("ts") < timestamp_micros(lit(hi)))
+      val got = base.groupBy(keys: _*)
+        .agg(gf.first(col("value"), col("ts")).as("f"),
+          gf.last(col("value"), col("ts")).as("l"))
+      val w = Window.partitionBy(keys: _*).orderBy(col("ts"))
+      val exp = base
+        .withColumn("rna", row_number().over(w))
+        .withColumn("rnd_", row_number().over(
+          Window.partitionBy(keys: _*).orderBy(col("ts").desc)))
+        .groupBy(keys: _*)
+        .agg(max(when(col("rna") === 1, col("value"))).as("f"),
+          max(when(col("rnd_") === 1, col("value"))).as("l"))
+      val cols = keyNames :+ "f" :+ "l"
+      assert(got.select(cols.map(col): _*).collect().toSet ===
+        exp.select(cols.map(col): _*).collect().toSet,
+        s"[seed=$SEED bookends#$i grpDay=$grpDay d0=$d0 len=$len]")
+    }
+  }
+
+  test("gapfill + locf match the naive spine-cross-join oracle (16 queries)") {
+    val rnd = new scala.util.Random(SEED + 4)
+    val o0 = TimeBucketUtil.DEFAULT_ORIGIN_MICROS
+    (1 to 16).foreach { i =>
+      val wUs = Seq(900000000L, 3600000000L, 7200000000L, 21600000000L,
+        86400000000L)(rnd.nextInt(5))
+      val width = s"$wUs microseconds"
+      // deliberately unaligned window edges: starts mid-bucket half the time
+      val start = us("2024-01-01 00:00:00") +
+        rnd.nextInt(20) * 86400000000L + (if (rnd.nextBoolean()) 0L else 5400000000L)
+      val finish = start + (1 + rnd.nextInt(7)) * 86400000000L
+      val ev = events.where(col("ts") >= timestamp_micros(lit(start)) &&
+        col("ts") < timestamp_micros(lit(finish)))
+      val agg = ev.groupBy(gf.time_bucket(width, col("ts")).as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"))
+      val got = Gapfill.gapfill(agg, "bucket", Seq("event_type"),
+          start, finish, width)
+        .withColumn("locf_v", Gapfill.locf(col("min_value"), Seq("event_type"), "bucket"))
+        .select("event_type", "bucket", "n", "locf_v")
+      // oracle: distinct groups x full bucket spine, left-joined, locf via
+      // a running last(ignoreNulls) window (no genuine NULLs in min_value,
+      // so fill-only semantics coincide)
+      val ts0 = {
+        val d = start - o0; o0 + (d - ((d % wUs) + wUs) % wUs)
+      }
+      val spine = agg.select("event_type").distinct()
+        .crossJoin(spark.range(ts0, finish, wUs)
+          .select(timestamp_micros(col("id")).as("bucket")))
+      val exp = spine.join(agg, Seq("event_type", "bucket"), "left")
+        .withColumn("locf_v", last(col("min_value"), ignoreNulls = true).over(
+          Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("event_type", "bucket", "n", "locf_v")
+      assert(got.collect().toSet === exp.collect().toSet,
+        s"[seed=$SEED gapfill#$i w=$wUs start=$start finish=$finish]")
+    }
+  }
+
+  test("DISTINCT ON matches a window row_number oracle on tie-free data " +
+    "(8 queries)") {
+    val rnd = new scala.util.Random(SEED + 5)
+    (1 to 8).foreach { i =>
+      val keys = Seq(Seq("event_type"), Seq("user_id"),
+        Seq("event_type", "user_id"))(rnd.nextInt(3))
+      val latest = rnd.nextBoolean()
+      val d0 = rnd.nextInt(20); val len = 3 + rnd.nextInt(8)
+      val lo = us("2024-01-01 00:00:00") + d0 * 86400000000L
+      val hi = lo + len * 86400000000L
+      val base = uniqueTs.where(col("ts") >= timestamp_micros(lit(lo)) &&
+        col("ts") < timestamp_micros(lit(hi)))
+      val got = graft.operators.DistinctOn.distinctOn(
+        base, keys, "ts", Seq("event_id", "value"), latest = latest)
+      val ord = if (latest) col("ts").desc else col("ts").asc
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(ord)
+      val exp = base.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1).drop("_rn")
+        .select(got.columns.map(col): _*)
+      assert(got.collect().toSet === exp.collect().toSet,
+        s"[seed=$SEED distinctOn#$i keys=$keys latest=$latest]")
+    }
+  }
+}
