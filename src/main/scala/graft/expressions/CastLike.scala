@@ -26,16 +26,37 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, RuntimeRepla
   */
 case class CastLike(value: Expression, like: Expression)
     extends RuntimeReplaceable {
+
+  import org.apache.spark.sql.types._
+
+  /** Value-lossless coercion check. Differs from `Cast.canUpCast` in two
+    * deliberate ways: (a) nullability never matters — the seed is a
+    * literal record and the window anchor's nullability is an artifact of
+    * the gapfill plan, so two structs differing only there must compare
+    * equal (canUpCast would refuse nullable→non-null and print two
+    * identical-looking types at the user); (b) the integral→floating
+    * upcasts Spark permits by numeric precedence (long→double/float,
+    * int→float) are REFUSED — they lose magnitude bits, and "lossless" is
+    * the whole point of the check.
+    */
+  private def lossless(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (f: StructType, t: StructType) if f.length == t.length =>
+      f.fields.zip(t.fields).forall { case (a, b) =>
+        lossless(a.dataType, b.dataType) }
+    case (LongType, DoubleType | FloatType) => false
+    case (IntegerType, FloatType) => false
+    case (f, t) => f.sql == t.sql || Cast.canUpCast(f, t)
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (value.dataType == like.dataType ||
-        Cast.canUpCast(value.dataType, like.dataType))
+    if (lossless(value.dataType, like.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"interpolate seed of type ${value.dataType.simpleString} does not " +
         s"losslessly match the value column's type " +
         s"${like.dataType.simpleString} — the reference errors on a " +
-        "datatype mismatch (interpolate.c); pass the seed in the " +
-        "column's own type")
+        "datatype mismatch (interpolate.c); CAST the seed's value to the " +
+        "column's own type (e.g. CAST(0.9 AS DOUBLE) on a double column)")
   override lazy val replacement: Expression =
     if (value.dataType == like.dataType) value
     else Cast(value, like.dataType)

@@ -282,11 +282,16 @@ object Columnstore {
       targetFileBytes: Long = DEFAULT_FILE_BYTES, maxFiles: Int = 0,
       rowGroupBytes: Long = 64L * 1024 * 1024): Int =
     withChunkMutation(spark, chunkPath) {
-    val chunkP = new Path(chunkPath)
-    val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(chunkPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // re-resolve to the chunk's CURRENT live generation: the caller's
+    // showChunks snapshot may predate a concurrent publish (see
+    // Hypertable.liveChunkTarget) — rewriting a superseded generation
+    // would republish stale data
+    val chunkP = Hypertable.liveChunkTarget(fs, new Path(chunkPath))
     require(!Hypertable.chunkFrozen(fs, chunkP),
       s"cannot compact frozen chunk $chunkPath — unfreeze_chunk first")
-    val compressed = isCompressed(spark, chunkPath)
+    val compressed = isCompressed(spark, chunkP.toString)
     val leaves = leafFiles(fs, chunkP)
     if (compressed) {
       val markedAt = fs.getFileStatus(new Path(chunkP, MARKER)).getModificationTime
@@ -310,9 +315,17 @@ object Columnstore {
       val tmp = rewriteTmp(chunkP, "compact")
       fs.delete(tmp, true)
       fs.mkdirs(tmp)
-      val todoDirs = todo.map(_._1.toString).toSet
+      // leaf paths come from fs listings (scheme-qualified); the caller's
+      // chunkPath may be bare (e.g. SQL compact_chunk('/path')). Qualify
+      // BOTH sides before the prefix strip — a no-op strip would resolve
+      // the staging target back to the live leaf and clobber it in place.
+      val qChunk = fs.makeQualified(chunkP).toString
+      val todoDirs = todo.map(t => fs.makeQualified(t._1).toString).toSet
       todo.foreach { case (leaf, n) =>
-        val rel = leaf.toString.stripPrefix(chunkP.toString).stripPrefix("/")
+        val qLeaf = fs.makeQualified(leaf).toString
+        require(qLeaf == qChunk || qLeaf.startsWith(qChunk + "/"),
+          s"leaf $qLeaf is not under chunk $qChunk")
+        val rel = qLeaf.stripPrefix(qChunk).stripPrefix("/")
         val out = if (rel.isEmpty) tmp else new Path(tmp, rel)
         var w = spark.read.option("mergeSchema", "true")
           .parquet(leaf.toString).coalesce(n).write.mode("overwrite")
@@ -328,8 +341,8 @@ object Columnstore {
             val sub = new Path(dst, name)
             fs.mkdirs(sub)
             copyRest(st.getPath, sub)
-          } else if (!(todoDirs(dir.toString) && !name.startsWith("_")) &&
-              name != MARKER) {
+          } else if (!(todoDirs(fs.makeQualified(dir).toString) &&
+              !name.startsWith("_")) && name != MARKER) {
             org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
               new Path(dst, name), false, spark.sparkContext.hadoopConfiguration)
           }
@@ -378,7 +391,7 @@ object Columnstore {
     // chunk CONTENT changed with the chunk SET intact: bump the owning
     // root's content stamp so read()'s table-mode scan memo rebuilds
     Hypertable.touchContentStamp(fs, Hypertable.storageRootOf(chunkP))
-    Hypertable.refreshColStatsIfEnabled(spark, chunkPath)
+    Hypertable.refreshColStatsIfEnabled(spark, chunkP.toString)
     dataFiles(fs, chunkP).size
   }
 
@@ -391,14 +404,19 @@ object Columnstore {
     */
   def compressChunk(spark: SparkSession, chunkPath: String, opts: Options): Long =
     withChunkMutation(spark, chunkPath) {
-    val chunkP = new Path(chunkPath)
-    val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(chunkPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // re-resolve to the chunk's CURRENT live generation: the caller's
+    // showChunks snapshot may predate a concurrent publish (see
+    // Hypertable.liveChunkTarget) — rewriting a superseded generation
+    // would republish stale data
+    val chunkP = Hypertable.liveChunkTarget(fs, new Path(chunkPath))
     require(!Hypertable.chunkFrozen(fs, chunkP),
       s"cannot modify frozen chunk $chunkPath — unfreeze_chunk first")
     // mergeSchema: a post-ALTER append can leave files of differing
     // widths in one chunk — a single-footer read would silently drop the
     // newer columns from the REWRITE
-    val df = spark.read.option("mergeSchema", "true").parquet(chunkPath)
+    val df = spark.read.option("mergeSchema", "true").parquet(chunkP.toString)
     val spacePart = df.schema.fieldNames.filter(_.matches("_space\\d*")).toSeq
       .sortBy(n => n.stripPrefix("_space") match { case "" => 0; case d => d.toInt })
     // without a segmentby, size the file count from the input bytes (a 2 TB
@@ -473,14 +491,19 @@ object Columnstore {
     */
   def decompressChunk(spark: SparkSession, chunkPath: String): Long =
     withChunkMutation(spark, chunkPath) {
-    val chunkP = new Path(chunkPath)
-    val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(chunkPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // re-resolve to the chunk's CURRENT live generation: the caller's
+    // showChunks snapshot may predate a concurrent publish (see
+    // Hypertable.liveChunkTarget) — rewriting a superseded generation
+    // would republish stale data
+    val chunkP = Hypertable.liveChunkTarget(fs, new Path(chunkPath))
     require(!Hypertable.chunkFrozen(fs, chunkP),
       s"cannot modify frozen chunk $chunkPath — unfreeze_chunk first")
     // mergeSchema: a post-ALTER append can leave files of differing
     // widths in one chunk — a single-footer read would silently drop the
     // newer columns from the REWRITE
-    val df = spark.read.option("mergeSchema", "true").parquet(chunkPath)
+    val df = spark.read.option("mergeSchema", "true").parquet(chunkP.toString)
     val spacePart = df.schema.fieldNames.filter(_.matches("_space\\d*")).toSeq
       .sortBy(n => n.stripPrefix("_space") match { case "" => 0; case d => d.toInt })
     val bytes = fs.getContentSummary(chunkP).getLength
@@ -546,8 +569,13 @@ object Columnstore {
   def recompressChunkSegmentwise(spark: SparkSession, chunkPath: String,
       opts: Options): Int =
     withChunkMutation(spark, chunkPath) {
-    val chunkP = new Path(chunkPath)
-    val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(chunkPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // re-resolve to the chunk's CURRENT live generation: the caller's
+    // showChunks snapshot may predate a concurrent publish (see
+    // Hypertable.liveChunkTarget) — rewriting a superseded generation
+    // would republish stale data
+    val chunkP = Hypertable.liveChunkTarget(fs, new Path(chunkPath))
     require(!Hypertable.chunkFrozen(fs, chunkP),
       s"cannot modify frozen chunk $chunkPath — unfreeze_chunk first")
     val m = new Path(chunkP, MARKER)
@@ -633,7 +661,7 @@ object Columnstore {
     // whole point of the segmentwise pass is NOT rewriting the untouched
     // bulk of the chunk, which a generation copy would.)
     Hypertable.touchContentStamp(fs, Hypertable.storageRootOf(chunkP))
-    Hypertable.refreshColStatsIfEnabled(spark, chunkPath)
+    Hypertable.refreshColStatsIfEnabled(spark, chunkP.toString)
     consumed
   }
 

@@ -181,17 +181,35 @@ class Hypertable private (
     // rebirth generation above every dead one — appending into _gen=0
     // would mix new rows with the dropped data awaiting GC (or lose them
     // to its GC); healRebirth below commits the rebirth after the append.
-    val tombstoned: Seq[(Long, Path)] = if (genLayout) tombstonedChunkDirs() else Nil
+    val liveChunks: Seq[ChunkInfo] = if (genLayout) showChunks() else Nil
+    val tombstoned: Seq[(Long, Path)] =
+      if (genLayout)
+        tombstonedChunkDirs(liveChunks.map(c =>
+          fs.makeQualified(Hypertable.chunkDirOf(new Path(c.path))).toString).toSet)
+      else Nil
     if (genLayout) {
-      val live = showChunks()
+      val live = liveChunks
         .map(c => c.startMicros -> Hypertable.genOf(new Path(c.path))).toMap
       // a start that is LIVE again (already reborn at the primary root)
       // routes to its live generation, not the dead dir's successor
       val rebirth = tombstoned.filterNot(t => live.contains(t._1))
         .map { case (start, d) =>
           val dfs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          start -> (Hypertable.listGenDirs(dfs, d).map(_._1)
-            .maxOption.getOrElse(-1) + 1)
+          val maxGen = Hypertable.listGenDirs(dfs, d).map(_._1)
+            .maxOption.getOrElse(-1)
+          // a tombstone whose recorded drop-max is unreadable (the drop
+          // crashed between create and write) would strand this rebirth at
+          // healRebirth — normalize it now, under the write lock, before
+          // any rebirth rows land
+          val tomb = new Path(d, Hypertable.DROP_TOMB)
+          val parsable =
+            try { Hypertable.readSmallFile(dfs, tomb).trim.toInt; true }
+            catch { case _: Exception => false }
+          if (!parsable) {
+            val out0 = dfs.create(tomb, true)
+            out0.write(maxGen.toString.getBytes("UTF-8")); out0.close()
+          }
+          start -> (maxGen + 1)
         }
       val gens: Map[Long, Int] = (live.filter(_._2 != 0) ++ rebirth).toMap
       out = out.withColumn(Hypertable.GEN,
@@ -820,7 +838,16 @@ class Hypertable private (
       // generation just surfaces as one more discovered partition column —
       // physical metadata, dropped (no-op on flat tables). A rewrite's new
       // generation re-emits its rows like any rewrite under the
-      // append-only contract above.
+      // append-only contract above. Known divergence from batch read():
+      // a stream STARTED during a GC grace window also lists
+      // grace-retained files — a superseded generation (its rows emit
+      // once per generation, like the rewrite re-emission a running
+      // stream sees anyway) or a dropped-but-graced chunk (its rows emit
+      // once before GC removes the dir). Streams are the RAW-ingest
+      // surface (the reference's caggs consume inserts, not rewrites);
+      // start streams before maintenance sweeps, or set
+      // `spark.graft.gc.graceMs=0` on stream-fed tables where exact
+      // once-per-row emission matters more than reader snapshots.
       .drop(GEN)
   }
 
@@ -1011,7 +1038,24 @@ class Hypertable private (
         // reintroduce listing whenever anything else touches the root).
         if (!catalogValidated) {
           catalogValidated = true
-          if (!catalogFresh()) refreshChunkCatalog()
+          if (!catalogFresh()) {
+            // the heal WRITES a manifest version only in the process
+            // holding the mutator lease: a pure-reader process writing
+            // could collide with the real mutator's concurrent sync on
+            // the same version number (both compute next = N+1; the last
+            // delete+rename wins and could persist the reader's OLDER
+            // view over the mutator's). A reader instead heals in memory:
+            // stamp first, then list, cached like a parsed manifest — the
+            // next real sync bumps the stamp and takes over.
+            if (Hypertable.heldLeases.containsKey(qualifiedPath))
+              refreshChunkCatalog()
+            else {
+              val s0 = catalogStampNow()
+              val cs = listAllChunks()
+              checkNoDuplicateStarts(cs)
+              if (s0 != -1L) cachedCatalog = Some((s0, cs))
+            }
+          }
         }
         // parsed-catalog memo: the snapshot JSON is ~100 B/chunk, and every
         // planned query calls showChunks — at 10⁵ chunks an unmemoized
@@ -1031,7 +1075,12 @@ class Hypertable private (
                 if (pre != -1L) cachedCatalog = Some((pre, cs))
                 cs
               case None =>
-                val cs = refreshChunkCatalog()
+                // no manifest yet: persist the first one only as the
+                // lease holder (same reader-write hazard as the heal)
+                val cs =
+                  if (Hypertable.heldLeases.containsKey(qualifiedPath))
+                    refreshChunkCatalog()
+                  else listAllChunks()
                 checkNoDuplicateStarts(cs)
                 cs
             }
@@ -1092,17 +1141,20 @@ class Hypertable private (
   }
 
   /** Dropped-but-graced chunk dirs across all storage roots (gen layout):
-    * the write path must route around them. Bounded by the drop→GC grace
-    * window's backlog, found with one listing per root plus one existence
-    * probe per chunk dir — the same order as the catalog refresh every
-    * mutating write already pays.
+    * the write path must route around them. One listing per root; the
+    * tombstone existence probe runs only for dirs ABSENT from the live
+    * catalog set (a live chunk holds an unstamped, untombstoned
+    * generation by construction), so the steady no-tombstone append pays
+    * zero probes instead of one per chunk.
     */
-  private def tombstonedChunkDirs(): Seq[(Long, Path)] =
+  private def tombstonedChunkDirs(liveDirs: Set[String]): Seq[(Long, Path)] =
     (new Path(path) +: tablespaceTableDirs).flatMap { r =>
       val rfs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!rfs.exists(r)) Nil
       else rfs.listStatus(r).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$CHUNK="))
+        .filterNot(s => liveDirs.contains(
+          rfs.makeQualified(s.getPath).toString))
         .filter(s => Hypertable.isTombstoned(rfs, s.getPath))
         .map(s => s.getPath.getName.stripPrefix(s"$CHUNK=").toLong -> s.getPath)
     }
@@ -1128,8 +1180,14 @@ class Hypertable private (
     // GC piggybacks on the refresh's full listing: graced-out superseded
     // generations, tombstoned dirs, and crash-remnant generations go here
     // (under the catalog lock, so a publish's rename+stamp never
-    // interleaves — a remnant seen here is a genuinely dead rewrite)
-    if (genLayout) {
+    // interleaves — a remnant seen here is a genuinely dead rewrite).
+    // ONLY in the process holding the mutator lease: a pure-READER
+    // process also reaches this method (the staleness heal), and its
+    // catalogLock is JVM-local — letting it delete "remnants" would race
+    // the real mutator's publish window cross-process (it could reap a
+    // just-renamed generation before its superseded stamp lands). Readers
+    // heal the manifest; only the mutator collects garbage.
+    if (genLayout && Hypertable.heldLeases.containsKey(qualifiedPath)) {
       val grace = Hypertable.gcGraceMs(spark)
       (new Path(path) +: tablespaceTableDirs).foreach { r =>
         val rfs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1352,11 +1410,30 @@ class Hypertable private (
     if (compressed) Columnstore.markCompressed(fs, tmp)
     val live = existing match {
       case Some(cur) => Hypertable.publishChunkRewrite(spark, fs, cur, tmp)
-      case None if genLayout => // new chunk born directly at _gen=0
+      case None if genLayout =>
+        // new chunk — but its identity dir may be a dropped/merged-away
+        // dir still holding grace-retained dead generations (split after
+        // merge reuses the absorbed chunk's start; DML/merge into a
+        // dropped range likewise). Born ABOVE every dead generation: a
+        // rename onto an existing `_gen=0` would silently NEST the tmp
+        // dir inside it (Hadoop rename-into-directory semantics) and
+        // resurrect the dead data instead of publishing the new.
         val chunkDir = target
         fs.mkdirs(chunkDir)
-        val dst = new Path(chunkDir, s"${Hypertable.GEN}=0")
+        val next = Hypertable.listGenDirs(fs, chunkDir).map(_._1)
+          .maxOption.getOrElse(-1) + 1
+        val dst = new Path(chunkDir, s"${Hypertable.GEN}=$next")
         require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+        if (Hypertable.isTombstoned(fs, chunkDir)) {
+          // commit the rebirth (we hold the table write lock): dead
+          // generations stamped first, tombstone off last — a crash
+          // in between leaves a state healRebirth completes
+          Hypertable.listGenDirs(fs, chunkDir).foreach { case (g, d) =>
+            if (g < next && !Hypertable.isSuperseded(fs, d))
+              Hypertable.stampSuperseded(fs, d)
+          }
+          fs.delete(new Path(chunkDir, Hypertable.DROP_TOMB), false)
+        }
         dst
       case None =>
         require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
@@ -2399,17 +2476,23 @@ object Hypertable {
   private[sources] def isTombstoned(fs: FileSystem, chunkDir: Path): Boolean =
     fs.exists(new Path(chunkDir, DROP_TOMB))
 
-  /** The LIVE data dir of a chunk dir: the lowest unstamped generation
-    * (see the layout note above); the chunk dir itself when it has no
-    * generations (flat layout); None when tombstoned or fully superseded
-    * (dropped / merged away, awaiting GC).
+  /** The LIVE data dir of a chunk dir under the GEN layout: the lowest
+    * unstamped generation (see the layout note above); None when
+    * tombstoned, fully superseded (dropped / merged away, awaiting GC),
+    * or a BARE shell with no generations at all — every live gen-table
+    * chunk is born with a `_gen=` dir (append routing, rewriteChunkDir,
+    * attachChunk all create one), so a generation-less shell is the
+    * remnant of a rewrite that crashed between `mkdirs(chunkDir)` and its
+    * publish, or a sub-millisecond commit window; listing it as a flat
+    * chunk would put a phantom (empty, default-ranged) chunk in the
+    * manifest and send later rewrites down the flat in-place-swap path
+    * inside a gen table.
     */
   private[sources] def liveDataDir(fs: FileSystem,
       chunkDir: Path): Option[Path] = {
     if (isTombstoned(fs, chunkDir)) return None
-    val gens = listGenDirs(fs, chunkDir)
-    if (gens.isEmpty) Some(chunkDir)
-    else gens.collectFirst { case (_, d) if !isSuperseded(fs, d) => d }
+    listGenDirs(fs, chunkDir)
+      .collectFirst { case (_, d) if !isSuperseded(fs, d) => d }
   }
 
   /** Stamp a generation superseded — the rewrite's commit point. The
@@ -2421,10 +2504,17 @@ object Hypertable {
   /** Tombstone a whole chunk dir (drop/merge-away): readers pinned to a
     * manifest that still lists its live generation keep reading it for the
     * grace window; new manifests exclude it; GC deletes the dir after
-    * grace.
+    * grace. The tombstone RECORDS the highest generation present at drop
+    * time, so a later re-ingest's rebirth generation is recognized
+    * structurally (gen number > recorded max) — an mtime comparison would
+    * mis-classify a drop and an append landing within one mtime tick on
+    * coarse-granularity stores, silently superseding acked rows.
     */
-  private[sources] def tombstoneChunk(fs: FileSystem, chunkDir: Path): Unit =
-    fs.create(new Path(chunkDir, DROP_TOMB), true).close()
+  private[sources] def tombstoneChunk(fs: FileSystem, chunkDir: Path): Unit = {
+    val deadMax = listGenDirs(fs, chunkDir).map(_._1).maxOption.getOrElse(-1)
+    val out = fs.create(new Path(chunkDir, DROP_TOMB), true)
+    out.write(deadMax.toString.getBytes("UTF-8")); out.close()
+  }
 
   /** GC one chunk dir: graced-out superseded generations, graced-out
     * tombstoned dirs, crash-remnant generations above the live one
@@ -2448,7 +2538,6 @@ object Hypertable {
       return
     }
     val gens = listGenDirs(fs, chunkDir)
-    if (gens.isEmpty) return
     val live = gens.collectFirst { case (g, d) if !isSuperseded(fs, d) => g }
     gens.foreach { case (g, d) =>
       if (isSuperseded(fs, d)) {
@@ -2456,29 +2545,41 @@ object Hypertable {
       } else if (live.exists(g > _)) fs.delete(d, true) // crash remnant
     }
     // stale publish tmp dirs (crashed before their rename)
-    fs.listStatus(chunkDir).toSeq
+    val entries = fs.listStatus(chunkDir).toSeq
+    entries
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".") &&
         now - s.getModificationTime >= math.max(graceMs, 3600000L))
       .foreach(s => fs.delete(s.getPath, true))
+    // a long-dead BARE shell (no generations, no tombstone, nothing but
+    // stale dot-entries — a rewrite that crashed between mkdirs and its
+    // publish; liveDataDir already refuses to list it): delete once old
+    // enough that it cannot be a commit in flight
+    if (gens.isEmpty &&
+        (try now - fs.getFileStatus(chunkDir).getModificationTime >=
+          math.max(graceMs, 3600000L)
+        catch { case _: Exception => false }) &&
+        !fs.listStatus(chunkDir).exists(s =>
+          !s.getPath.getName.startsWith(".")))
+      fs.delete(chunkDir, true)
   }
 
   /** Complete the rebirth of a tombstoned chunk a write re-ingested into:
-    * generations created AFTER the tombstone (dir mtime — the routed
-    * append made them) are the new life; everything older is the dropped
-    * data, stamped superseded so liveness (lowest UNstamped) lands on the
-    * rebirth generation, then the tombstone comes off. Ordered so a crash
-    * at any point leaves the drop in force (stamps first, tombstone last);
-    * the re-ingested rows wait in the still-tombstoned dir until the next
-    * heal finishes the job. Returns true when a rebirth was found.
+    * generations numbered ABOVE the tombstone's recorded drop-time max
+    * (the routed append created them — see [[tombstoneChunk]]; structural,
+    * no mtime comparison) are the new life; everything at or below is the
+    * dropped data, stamped superseded so liveness (lowest UNstamped) lands
+    * on the rebirth generation, then the tombstone comes off. Ordered so a
+    * crash at any point leaves the drop in force (stamps first, tombstone
+    * last); the re-ingested rows wait in the still-tombstoned dir until
+    * the next heal finishes the job. Returns true when a rebirth was
+    * found.
     */
   private[sources] def healRebirth(fs: FileSystem, chunkDir: Path): Boolean = {
-    val tombM =
-      try fs.getFileStatus(new Path(chunkDir, DROP_TOMB)).getModificationTime
+    val deadMax =
+      try readSmallFile(fs, new Path(chunkDir, DROP_TOMB)).trim.toInt
       catch { case _: Exception => return false }
     val gens = listGenDirs(fs, chunkDir)
-    val (reborn, dead) = gens.partition { case (_, d) =>
-      (try fs.getFileStatus(d).getModificationTime catch { case _: Exception => 0L }) > tombM
-    }
+    val (reborn, dead) = gens.partition { case (g, _) => g > deadMax }
     if (reborn.isEmpty) return false
     dead.foreach { case (_, d) =>
       if (!isSuperseded(fs, d)) stampSuperseded(fs, d)
@@ -2486,6 +2587,21 @@ object Hypertable {
     fs.delete(new Path(chunkDir, DROP_TOMB), false)
     true
   }
+
+  /** Re-resolve a (possibly stale) gen data path to the chunk's CURRENT
+    * live generation. A caller that captured a `showChunks` snapshot, then
+    * waited on the chunk monitor while a DML publish advanced the chunk,
+    * would otherwise read the SUPERSEDED generation as its rewrite input —
+    * republishing pre-DML data and leaving the DML's generation stamped
+    * while its own sat unstamped ABOVE it, which the crash-remnant GC
+    * rule then deletes out from under any manifest pointing at it. Called
+    * INSIDE the chunk monitor + root read lock, where the live set is
+    * pinned. Tombstoned / no-live dirs return the given path (the op
+    * proceeds on graced files; the manifest no longer lists the chunk).
+    */
+  private[graft] def liveChunkTarget(fs: FileSystem, p: Path): Path =
+    if (!isGenPath(p)) p
+    else liveDataDir(fs, p.getParent).getOrElse(p)
 
   /** The qualified PRIMARY table root owning a chunk dir: the parent
     * itself, or — for tablespace-resident chunks — the pointer-home the
@@ -2527,27 +2643,85 @@ object Hypertable {
       val chunkDir = live.getParent
       val primary = resolvePrimaryRoot(fs, chunkDir)
       catalogLock(primary).synchronized {
-        val next = listGenDirs(fs, chunkDir).map(_._1).max + 1
+        val gens = listGenDirs(fs, chunkDir)
+        val next = gens.map(_._1).max + 1
         val dst = new Path(chunkDir, s"$GEN=$next")
         require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
         touchContentStamp(fs, chunkDir.getParent)
-        stampSuperseded(fs, live)
+        // stamp EVERY unstamped generation below the new one (not just
+        // the caller's handle): the commit invariant is exactly one
+        // unstamped (live) generation — the caller retargets to the live
+        // dir before reading ([[liveChunkTarget]]), so these coincide,
+        // but a single stamp keyed on a stale handle would leave the new
+        // generation sitting unstamped ABOVE an unstamped older one,
+        // which the crash-remnant GC rule deletes out from under the
+        // manifest that points at it
+        gens.foreach { case (_, d) =>
+          if (!isSuperseded(fs, d)) stampSuperseded(fs, d)
+        }
         gcChunkDir(fs, chunkDir, gcGraceMs(spark))
         dst
       }
     }
   }
 
-  /** Re-snapshot the owning table's chunk manifest after a STATIC-context
-    * gen publish ([[Columnstore]]'s per-chunk primitives have no handle).
-    * One meta read + one refresh; maintenance-op cost.
+  /** Point the owning table's chunk manifest at a gen publish's new live
+    * dir ([[Columnstore]]'s per-chunk primitives have no handle). This is
+    * an INCREMENTAL read-modify-write of the latest manifest — replace
+    * the one entry whose chunk identity matches, publish the next version
+    * — NOT a full refresh: a policy sweep calls a per-chunk primitive per
+    * chunk, and a full refresh's GC-walk-plus-listing per chunk would
+    * make the sweep O(chunks²) in small-file I/O at the 10⁴-chunk target.
+    * The rewrite preserved the chunk's range (the sidecars were copied
+    * into the staged generation), so only the path cell changes. Falls
+    * back to a full refresh when the manifest is missing or does not list
+    * the chunk.
     */
   private[graft] def syncCatalogForChunk(spark: SparkSession, fs: FileSystem,
       dataDir: Path): Unit =
     if (isGenPath(dataDir)) {
-      at(spark, resolvePrimaryRoot(fs, chunkDirOf(dataDir)))
-        .refreshChunkCatalog()
-      ()
+      val chunkDir = chunkDirOf(dataDir)
+      val primary = resolvePrimaryRoot(fs, chunkDir)
+      catalogLock(primary).synchronized {
+        val proot = new Path(primary)
+        val pfs = proot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val catDir = new Path(proot, CATALOG_DIR)
+        val versions =
+          try pfs.listStatus(catDir).toSeq
+            .filter(s => s.isFile && s.getPath.getName.matches("v\\d+\\.json"))
+            .map(s => s.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong ->
+              s.getPath)
+            .sortBy(_._1)
+          catch { case _: java.io.FileNotFoundException => Nil }
+        val qNew = fs.makeQualified(dataDir).toString
+        val qChunk = fs.makeQualified(chunkDir).toString
+        val patched = versions.lastOption.flatMap { case (_, vp) =>
+          try {
+            val tree = jsonMapper.readTree(readSmallFile(pfs, vp))
+            var hit = false
+            tree.get("chunks").elements().forEachRemaining { n =>
+              val entry = new Path(n.get("p").asText)
+              if (fs.makeQualified(chunkDirOf(entry)).toString == qChunk) {
+                n.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                  .put("p", qNew)
+                hit = true
+              }
+            }
+            if (hit) Some(tree) else None
+          } catch { case _: Exception => None }
+        }
+        patched match {
+          case Some(tree) =>
+            val next = versions.last._1 + 1
+            tree.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              .put("v", next)
+            writeSmallFile(pfs, new Path(catDir, s"v$next.json"), tree.toString)
+            versions.dropRight(CATALOG_KEEP - 1)
+              .foreach { case (_, p) => pfs.delete(p, false) }
+          case None =>
+            at(spark, primary).refreshChunkCatalog(); ()
+        }
+      }
     }
 
   /** Bump the table's content stamp — called by every chunk-CONTENT

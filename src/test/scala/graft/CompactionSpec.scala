@@ -239,4 +239,95 @@ class CompactionSpec extends AnyFunSuite {
     assert(rows.length === 1)
     assert(rows.head.getSeq[String](0).contains("FROZEN"))
   }
+
+  test("gen-layout compactChunk via an UNQUALIFIED path on a " +
+    "space-partitioned chunk: staged generation is complete, no leaf " +
+    "clobbered in place") {
+    // regression: leaf paths from listings are scheme-qualified while a
+    // caller (e.g. SQL compact_chunk('/path')) may pass a bare path; an
+    // unqualified prefix strip once resolved staging targets back to the
+    // LIVE leaves, overwriting them in place and publishing a generation
+    // missing every rewritten leaf's data
+    val dir = Files.createTempDirectory("graft_compact_gen").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days",
+      spaceCol = Some("event_type"), spacePartitions = 3, catalog = "table")
+    (0 until 4).foreach { i =>
+      ht.write(events.where(pmod(col("event_id"), lit(4)) === i), filesPerChunk = 4)
+    }
+    val c = ht.showChunks().head
+    assert(c.path.contains("_gen="), s"fixture must be gen-layout: ${c.path}")
+    val beforeRows = ht.between(c.startMicros, c.endMicros).count()
+    val before = fileCount(ht, c.path)
+    assert(before > 3, s"fixture not fragmented: $before files")
+    // strip the scheme: the unqualified form a SQL caller would pass
+    val bare = c.path.stripPrefix("file:")
+    assert(!bare.contains(":"))
+    val after = Columnstore.compactChunk(spark, bare)
+    assert(after >= 1 && after < before)
+    val c2 = ht.showChunks().head
+    assert(c2.path != c.path, "compact must publish a NEW generation")
+    assert(ht.between(c.startMicros, c.endMicros).count() === beforeRows)
+    assert(ht.read().count() === events.count())
+  }
+
+  test("gen-layout rebirth after drop is structural: heals even when the " +
+    "tombstone and the rebirth share one mtime tick") {
+    // regression: an mtime-compared rebirth check silently superseded
+    // acked re-ingested rows when drop and append landed within the
+    // filesystem's mtime granularity; the tombstone now RECORDS the
+    // drop-time max generation and rebirth = gen number above it
+    val dir = Files.createTempDirectory("graft_rebirth").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days",
+      catalog = "table")
+    ht.write(events)
+    val first = ht.showChunks().head
+    val slice = events.where(col("ts") >= timestamp_micros(lit(first.startMicros)) &&
+      col("ts") < timestamp_micros(lit(first.endMicros)))
+    val sliceN = slice.count()
+    ht.dropChunks(Some(first.endMicros), None)
+    assert(ht.read().count() === events.count() - sliceN)
+    // crashed re-ingesting writer: its rebirth generation landed (routed
+    // ABOVE the tombstone's recorded max) but the writer died before its
+    // own healRebirth ran. Build that state by hand, then force every
+    // mtime in the chunk dir onto ONE tick — the worst-case coarse
+    // granularity tie an mtime-based heal mis-classifies as dead data.
+    val chunkDirP = graft.sources.Hypertable.chunkDirOf(
+      new org.apache.hadoop.fs.Path(first.path))
+    val chunkDir = new java.io.File(chunkDirP.toUri.getPath)
+    val tombContent = scala.io.Source.fromFile(
+      new java.io.File(chunkDir, ".graft_dropped")).mkString.trim
+    val deadMax = tombContent.toInt
+    val refCols = spark.read.parquet(ht.showChunks().head.path).columns
+    slice.select(refCols.map(col): _*).coalesce(1).write
+      .parquet(s"${chunkDir.getPath}/_gen=${deadMax + 1}")
+    val tick = (System.currentTimeMillis() / 1000L) * 1000L
+    def setAll(f: java.io.File): Unit = {
+      f.setLastModified(tick)
+      Option(f.listFiles()).foreach(_.foreach(setAll))
+    }
+    setAll(chunkDir)
+    // the next mutator-side catalog refresh heals the rebirth
+    ht.refreshChunkCatalog()
+    assert(ht.read().count() === events.count(),
+      "crashed writer's re-ingested rows lost to the tombstone heal")
+    assert(ht.showChunks().exists(_.startMicros === first.startMicros))
+    assert(!new java.io.File(chunkDir, ".graft_dropped").exists())
+  }
+
+  test("a bare generation-less chunk shell (crashed rewrite) is never " +
+    "listed as a live chunk") {
+    val dir = Files.createTempDirectory("graft_shell").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days",
+      catalog = "table")
+    ht.write(events)
+    val n = ht.showChunks().size
+    // crash debris: rewriteChunkDir died between mkdirs and its publish
+    val shell = new java.io.File(s"$dir/ht/_chunk=99999999000000")
+    assert(shell.mkdirs())
+    new java.io.File(shell, ".tmp_chunk_99999999000000").mkdirs()
+    ht.refreshChunkCatalog()
+    assert(ht.showChunks().size === n,
+      "phantom shell must not enter the manifest")
+    assert(ht.read().count() === events.count())
+  }
 }

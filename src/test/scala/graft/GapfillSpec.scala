@@ -172,6 +172,37 @@ class GapfillSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("losslessly"),
       s"expected the lossy-seed analysis error, got: ${err.getMessage}")
+
+    // LONG seed on a DOUBLE column: Spark's canUpCast permits it by
+    // numeric precedence, but long→double loses magnitude bits — refused
+    val dcol = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 01:00:00"), 2.0),
+      ("a", Timestamp.valueOf("2024-01-01 03:00:00"), 4.0)).toDF("g", "bucket", "v")
+    val err2 = intercept[Exception] {
+      Gapfill.gapfill(dcol, "bucket", Seq("g"), start, finish, "1 hour")
+        .withColumn("i", Gapfill.interpolate($"v", Seq("g"), "bucket",
+          prev = Some((lit(Timestamp.valueOf("2023-12-31 23:00:00")), lit(3L)))))
+        .collect()
+    }
+    assert(err2.getMessage.contains("losslessly"))
+  }
+
+  test("a seed differing from the anchor struct only in NULLABILITY binds " +
+    "cleanly (no canUpCast nullability refusal)") {
+    // regression: the anchor struct's fields are nullable (window output)
+    // while a seed built from non-literal expressions may mix; types that
+    // are equal up to nullability must not be refused with an error
+    // message showing two identical-looking structs
+    val shifted = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 01:00:00"), 2.0),
+      ("a", Timestamp.valueOf("2024-01-01 03:00:00"), 4.0)).toDF("g", "bucket", "v")
+    // when(...) makes the seed value expression NULLABLE double
+    val nullableSeed = when(lit(true), lit(0.0))
+    val got = Gapfill.gapfill(shifted, "bucket", Seq("g"), start, finish, "1 hour")
+      .withColumn("i", Gapfill.interpolate($"v", Seq("g"), "bucket",
+        prev = Some((lit(Timestamp.valueOf("2023-12-31 23:00:00")), nullableSeed))))
+      .orderBy("bucket").select("i").collect()
+    assert(got.head.getDouble(0) === 1.0) // the seeded edge interpolates
   }
 
   test("gapfillInt matches an in-memory model on randomized sparse inputs") {

@@ -684,11 +684,14 @@ class HypertableSpec extends AnyFunSuite {
       .maxBy(_.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong)
       .getPath
     fs.setTimes(cat, System.currentTimeMillis() - 5000, -1)
-    // "crashed ingest": a fully committed chunk dir, no snapshot update
+    // "crashed ingest": a fully committed chunk dir, no snapshot update.
+    // Gen layout: the routed append commits `_chunk=K/_gen=0/...` (a bare
+    // `_chunk=` shell without a generation is crash DEBRIS, deliberately
+    // not listed), so the simulation copies the gen dir one level down
     val orphanStart = chunks.map(_.startMicros).max + 86400000000L
     org.apache.hadoop.fs.FileUtil.copy(fs,
       new org.apache.hadoop.fs.Path(chunks.head.path), fs,
-      new org.apache.hadoop.fs.Path(s"$d/ht/_chunk=$orphanStart"),
+      new org.apache.hadoop.fs.Path(s"$d/ht/_chunk=$orphanStart/_gen=0"),
       false, spark.sparkContext.hadoopConfiguration)
     // the already-validated handle keeps serving its snapshot (no listing
     // per query); a NEW handle runs the cue and heals
