@@ -79,6 +79,20 @@ object ScaleProbe {
       val (tRead1, _) = timed { h.read().where(col("v") === mid).count() }
       val (tRead2, _) = timed { h.read().where(col("v") === mid + 1L).count() }
       println(f"""[scale] {"probe":"catalog_$mode","chunks":$n,"write_sec":$tw%.2f,"show_first_sec":$tFirst%.3f,"show_repeat_sec":$tRepeat%.3f,"pruned_count_sec":$tQuery%.3f,"read_first_sec":$tRead1%.2f,"read_repeat_sec":$tRead2%.2f,"rows":$cnt}""")
+      // maintenance-sweep shape at width (SPARK_GRAFT_CATALOG_SWEEP=K):
+      // compress K chunks one by one — each publish is a per-chunk
+      // generation rename + an INCREMENTAL manifest entry patch, so
+      // per-chunk cost must stay FLAT in table width (a full refresh per
+      // chunk would make the sweep O(chunks²) in small-file I/O)
+      sys.env.get("SPARK_GRAFT_CATALOG_SWEEP").map(_.toInt).foreach { k =>
+        val targets = h.showChunks().take(k)
+        val opts = graft.sources.Columnstore.Options(orderBy = Seq("ts"))
+        val (tSweep, _) = timed {
+          targets.foreach(c =>
+            graft.sources.Columnstore.compressChunk(spark, c.path, opts))
+        }
+        println(f"""[scale] {"probe":"catalog_${mode}_sweep","chunks":$n,"swept":${targets.size},"sweep_sec":$tSweep%.2f,"per_chunk_sec":${tSweep / math.max(1, targets.size)}%.3f}""")
+      }
     }
   }
 
