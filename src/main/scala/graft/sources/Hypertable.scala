@@ -1776,6 +1776,73 @@ class Hypertable private (
   private def tablespaceTableDirs: Seq[Path] =
     showTablespaces.map(tablespaceTableDir)
 
+  /** Migrate this FLAT-layout table to the generational chunk layout in
+    * place — the upgrade path giving pre-existing tables the reader
+    * snapshot-isolation contract (SCALE.md §14) that `catalog="table"`
+    * tables get from birth, as every reference table gets MVCC chunk
+    * visibility from Postgres. Each chunk dir's entire contents (data
+    * files and every sidecar marker — `_graft_range`, space-parts,
+    * columnstore marker, frozen sentinel, colstats: all resolve against
+    * the DATA dir in both layouts) move into a `_gen=0` generation via
+    * two renames; the chunk-set manifest is published and the metadata
+    * flips to `genLayout=true` + `catalog="table"` (snapshot isolation
+    * requires the manifest catalog, so a `catalog="list"` table is
+    * switched as part of the migration).
+    *
+    * Exclusive DDL, like `move_chunk`: runs under the table write lock +
+    * cross-process mutator lease; readers in OTHER processes are out of
+    * contract for its duration, and the window is LOUD — the
+    * `_graft_migrating` marker goes down first, and a fresh open of a
+    * half-migrated table completes the migration instead of reading the
+    * mixed layout. Every step is idempotent, so marker + re-run is the
+    * entire crash-recovery story. Metadata-only cost: two renames + one
+    * mkdir per chunk — O(chunks), the same order as chunk creation,
+    * independent of data size. Existing handles are stale after this
+    * call; use the returned handle.
+    */
+  def migrateToGenLayout(): Hypertable = withMutation {
+    require(!genLayout, "table already uses the generational layout")
+    Hypertable.writeSmallFile(fs, new Path(path, Hypertable.MIGRATING), "gen")
+    finishGenMigration()
+  }
+
+  /** Complete a (possibly crashed) gen-layout migration: finish
+    * half-converted chunks, convert every chunk dir still lacking a
+    * generation, flip the metadata, publish the manifest, clear the
+    * marker. Idempotent; called by [[migrateToGenLayout]] and by
+    * [[Hypertable.at]]/[[Hypertable.create]] when they find the marker.
+    */
+  private[sources] def finishGenMigration(): Hypertable = withMutation {
+    (new Path(path) +: tablespaceTableDirs).foreach { r =>
+      val rfs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (rfs.exists(r)) {
+        // crashed half-conversions first: the data sits in the dot-tmp
+        rfs.listStatus(r).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(".") &&
+            s.getPath.getName.endsWith(Hypertable.MIG_SUFFIX))
+          .foreach { s =>
+            val cd = new Path(r, s.getPath.getName.stripPrefix(".")
+              .stripSuffix(Hypertable.MIG_SUFFIX))
+            Hypertable.finishChunkGenConversion(rfs, cd, s.getPath)
+          }
+        rfs.listStatus(r).toSeq
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith(s"${Hypertable.CHUNK}="))
+          .foreach(s => Hypertable.convertChunkDirToGen(rfs, s.getPath))
+      }
+    }
+    Hypertable.writeMeta(spark, path, timeCol, timeKind, chunkWidthMicros,
+      chunkMonths, spaceCol, spacePartitions, extraSpace, repartitioned,
+      catalog = "table", genLayout = true)
+    val nh = new Hypertable(spark, path, timeCol, chunkWidthMicros, spaceCol,
+      spacePartitions, chunkMonths = chunkMonths, timeKind = timeKind,
+      extraSpace = extraSpace, repartitioned = repartitioned,
+      catalogMode = "table", genLayout = true)
+    nh.refreshChunkCatalog()
+    fs.delete(new Path(path, Hypertable.MIGRATING), false)
+    nh
+  }
+
   /** attach_tablespace: register another storage root chunks can move to.
     * Metadata-only (one small-file write); the per-table dir is created
     * lazily by the first move.
@@ -2259,6 +2326,43 @@ object Hypertable {
     * versioned manifests under [[CATALOG_DIR]] instead.
     */
   private[sources] val CHUNK_CATALOG = "_graft_chunks.json"
+
+  /** Table-root marker set for the duration of a flat→generational layout
+    * migration ([[Hypertable!.migrateToGenLayout]]): while present the
+    * table may hold a MIX of flat and `_gen=` chunk dirs, so a fresh open
+    * completes the migration instead of reading it.
+    */
+  private[sources] val MIGRATING = "_graft_migrating"
+  private[sources] val MIG_SUFFIX = ".mig"
+
+  /** One chunk dir's flat→gen conversion: the whole dir (data files plus
+    * every sidecar — they all resolve against the DATA dir in both
+    * layouts) renames through a dot-tmp (invisible to Spark's file index)
+    * into `_gen=0`. Metadata-only; no data rewrite. Idempotent, and
+    * resumable from either crash point via [[finishChunkGenConversion]].
+    */
+  private[sources] def convertChunkDirToGen(fs: FileSystem,
+      chunkDir: Path): Unit = {
+    if (listGenDirs(fs, chunkDir).nonEmpty) return // already generational
+    val tmp = new Path(chunkDir.getParent, s".${chunkDir.getName}$MIG_SUFFIX")
+    require(fs.rename(chunkDir, tmp), s"rename $chunkDir -> $tmp failed")
+    finishChunkGenConversion(fs, chunkDir, tmp)
+  }
+
+  private[sources] def finishChunkGenConversion(fs: FileSystem,
+      chunkDir: Path, tmp: Path): Unit = {
+    fs.mkdirs(chunkDir)
+    val dst = new Path(chunkDir, s"$GEN=0")
+    // no crash sequence produces both the tmp and the destination (the
+    // renames are atomic and consume their source) — an existing dst
+    // means an out-of-contract writer recreated the chunk mid-migration;
+    // renaming onto it would NEST the tmp inside (Hadoop semantics), so
+    // refuse loudly and leave both for the operator
+    require(!fs.exists(dst),
+      s"$dst already exists — another writer recreated the chunk during " +
+        s"the layout migration; resolve $tmp manually")
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+  }
   /** Versioned chunk-set manifests: `_graft_catalog/v<seq>.json`. Each
     * refresh writes a NEW file (pure tmp+rename — no delete+rename no-file
     * window) and readers resolve the highest sequence, so the memo key is
@@ -2907,7 +3011,15 @@ object Hypertable {
       chunkPath: String): Unit = {
     val chunkP = new Path(chunkPath)
     val fs = chunkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val skipF = new Path(chunkP.getParent, SKIPCOLS)
+    // the skip-column registry lives at the PRIMARY table root: resolve
+    // through the gen level (a data dir's parent is the chunk dir, not
+    // the root) and the tablespace pointer-home (a moved chunk's parent
+    // is the tablespace's per-table dir) — probing chunkP.getParent
+    // directly silently no-opped for both, publishing rewritten
+    // generations without their colstats sidecar and losing that chunk's
+    // skip pruning until the next DML refresh
+    val primary = new Path(resolvePrimaryRoot(fs, chunkDirOf(chunkP)))
+    val skipF = new Path(primary, SKIPCOLS)
     if (!fs.exists(skipF)) return
     val cols = readSmallFile(fs, skipF).split('\n').map(_.trim).filter(_.nonEmpty).toSeq
     if (cols.nonEmpty)
@@ -3043,7 +3155,9 @@ object Hypertable {
     writeMeta(spark, path, timeCol, timeKind, widthMicros, months, spaceCol,
       spacePartitions, extraSpace, repartitioned = false, catalog = catalog,
       genLayout = gen)
-    ht
+    // complete a crashed gen-layout migration before handing out a handle
+    // over the mixed layout (same hook as [[at]])
+    if (fs.exists(new Path(path, MIGRATING))) ht.finishGenMigration() else ht
   }
 
   private[sources] def writeMeta(spark: SparkSession, path: String,
@@ -3093,10 +3207,15 @@ object Hypertable {
       }
     val repart = "\"repartitioned\":true".r.findFirstIn(meta).isDefined
     val gen = "\"genLayout\":true".r.findFirstIn(meta).isDefined
-    new Hypertable(spark, path, str("timeCol").get, num("chunkWidthMicros"),
+    val ht = new Hypertable(spark, path, str("timeCol").get,
+      num("chunkWidthMicros"),
       str("spaceCol"), num("spacePartitions").toInt, months,
       str("timeKind").getOrElse("timestamp"), extra, repartitioned = repart,
       catalogMode = str("catalog").getOrElse("list"), genLayout = gen)
+    // a crashed gen-layout migration left its marker: complete it before
+    // anything reads the mixed layout (claims the mutator lease — refuses
+    // loudly when another process holds the table)
+    if (fs.exists(new Path(path, MIGRATING))) ht.finishGenMigration() else ht
   }
 }
 

@@ -332,7 +332,26 @@ class ConcurrencySpec extends AnyFunSuite {
     val ht = Hypertable.create(spark, s"$dir/ht", "ts",
       chunkWidth = "7 days", catalog = "table")
     ht.write(events)
-    val total = events.count()
+    snapshotHammer(ht)
+  }
+
+  test("snapshot isolation holds on a table MIGRATED from the flat layout") {
+    // migrateToGenLayout's product must be the same contract a born-gen
+    // table has: the identical hammer runs against a flat table (one
+    // chunk compressed BEFORE migration, so a converted columnstore
+    // chunk is in the rewrite mix) upgraded in place
+    val dir = Files.createTempDirectory("graft_conc_snapmig").toString
+    val flat = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days")
+    flat.write(events)
+    graft.sources.Columnstore.compressChunk(spark,
+      flat.showChunks().head.path,
+      graft.sources.Columnstore.Options(orderBy = Seq("ts")))
+    snapshotHammer(flat.migrateToGenLayout())
+  }
+
+  private def snapshotHammer(ht: Hypertable): Unit = {
+    val total = ht.read().count()
     val window = (Timestamp.valueOf("2024-01-08 00:00:00"),
       Timestamp.valueOf("2024-01-22 00:00:00"))
     val windowCount = ht.read().where(

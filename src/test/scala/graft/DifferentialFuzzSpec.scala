@@ -240,4 +240,108 @@ class DifferentialFuzzSpec extends AnyFunSuite {
         s"[seed=$SEED distinctOn#$i keys=$keys latest=$latest]")
     }
   }
+
+  test("as-of join matches a naive greatest-rt-per-left-row oracle, and the " +
+    "skew-blocked path matches the plain path (10 configs)") {
+    val rnd = new scala.util.Random(SEED + 6)
+    (1 to 10).foreach { i =>
+      val keys = Seq(Seq("event_type"), Seq("user_id"))(rnd.nextInt(2))
+      val tol = if (rnd.nextBoolean()) None
+        else Some((1L + rnd.nextInt(48)) * 3600000000L)
+      val blockUs = (1L + rnd.nextInt(96)) * 3600000000L
+      val lo = us("2024-01-01 00:00:00") + rnd.nextInt(15) * 86400000000L
+      val mid = lo + (2 + rnd.nextInt(5)) * 86400000000L
+      val hi = mid + (2 + rnd.nextInt(5)) * 86400000000L
+      // left rows in [mid, hi), right history in [lo, hi): matches span the
+      // windows' overlap AND reach back before the left window's start
+      val left = uniqueTs.where(col("ts") >= timestamp_micros(lit(mid)) &&
+        col("ts") < timestamp_micros(lit(hi)))
+        .select("event_id", "ts", "event_type", "user_id")
+      val right = uniqueTs.where(col("ts") >= timestamp_micros(lit(lo)) &&
+        col("ts") < timestamp_micros(lit(hi)) && pmod(col("event_id"), lit(3)) === 0)
+        .select((keys.map(col) :+ col("ts") :+ col("value")): _*)
+      val got = graft.operators.Joins.asOf(left, right, keys,
+          "ts", "ts", Seq("value"), toleranceMicros = tol)
+        .select(col("event_id"), col("value_asof"), col("ts_matched"))
+      // the skew-blocked formulation claims identical results — hold it to
+      // that with a random block width
+      val gotBlocked = graft.operators.Joins.asOf(left, right, keys,
+          "ts", "ts", Seq("value"), toleranceMicros = tol,
+          skewBlockMicros = Some(blockUs))
+        .select(col("event_id"), col("value_asof"), col("ts_matched"))
+      // naive oracle: inner-join every candidate (rt <= lt), keep the
+      // greatest rt per left row, gate the VALUE (not the matched time) on
+      // tolerance — unique right ts per key makes the argmax tie-free
+      val r2 = right.select((keys.map(col) :+ col("ts").as("_rts") :+
+        col("value").as("_rv")): _*)
+      val best = left.join(r2, keys)
+        .where(col("_rts") <= col("ts"))
+        .groupBy(col("event_id").as("_lid"))
+        .agg(max(struct(col("_rts"), col("_rv"))).as("_b"))
+      val exp = left.join(best, col("event_id") === col("_lid"), "left")
+        .withColumn("value_asof", tol match {
+          case Some(t) => when(
+            unix_micros(col("ts")) - unix_micros(col("_b")("_rts")) <= t,
+            col("_b")("_rv"))
+          case None => col("_b")("_rv")
+        })
+        .select(col("event_id"), col("value_asof"),
+          col("_b")("_rts").as("ts_matched"))
+      val label = s"[seed=$SEED asof#$i keys=$keys tol=$tol block=$blockUs]"
+      assert(got.collect().toSet === exp.collect().toSet, s"$label vs oracle")
+      assert(gotBlocked.collect().toSet === got.collect().toSet,
+        s"$label blocked-vs-plain")
+    }
+  }
+
+  test("interpolate matches an array-scan lerp oracle on double aggregates " +
+    "(10 queries)") {
+    val rnd = new scala.util.Random(SEED + 7)
+    (1 to 10).foreach { i =>
+      val wUs = Seq(1800000000L, 3600000000L, 10800000000L,
+        86400000000L)(rnd.nextInt(4))
+      val width = s"$wUs microseconds"
+      val start = us("2024-01-01 00:00:00") + rnd.nextInt(20) * 86400000000L
+      val finish = start + (2 + rnd.nextInt(6)) * 86400000000L
+      val ev = events.where(col("ts") >= timestamp_micros(lit(start)) &&
+        col("ts") < timestamp_micros(lit(finish)) &&
+        // keep ~40% of rows so the spine has real gaps to interpolate
+        pmod(col("event_id"), lit(5)) < 2)
+      val agg = ev.groupBy(gf.time_bucket(width, col("ts")).as("bucket"),
+          col("event_type"))
+        .agg(avg(col("value")).as("v"))
+      val filled = Gapfill.gapfill(agg, "bucket", Seq("event_type"),
+        start, finish, width)
+      // oracle: per group, the sorted array of REAL (x, y) points; prev =
+      // greatest point at/before x, next = least point after x; plain lerp
+      // in doubles — an array scan, structurally independent of the
+      // engine's running-window formulation
+      val x = unix_micros(col("bucket"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val both = filled
+        .withColumn("_giv",
+          Gapfill.interpolate(col("v"), Seq("event_type"), "bucket"))
+        .withColumn("_x", x)
+        .withColumn("_reals", sort_array(collect_list(
+          when(!col(Gapfill.FILLED),
+            struct(x.as("x"), col("v").as("y")))).over(wAll)))
+        .withColumn("_p", array_max(expr(
+          "filter(_reals, p -> p.x <= _x)")))
+        .withColumn("_n", array_min(expr(
+          "filter(_reals, p -> p.x > _x)")))
+        .withColumn("_oiv", when(!col(Gapfill.FILLED), col("v"))
+          .otherwise(
+            col("_p")("y") + (col("_x") - col("_p")("x")).cast("double") /
+              (col("_n")("x") - col("_p")("x")).cast("double") *
+              (col("_n")("y") - col("_p")("y"))))
+      val agree = (col("_giv") <=> col("_oiv")) ||
+        coalesce(abs(col("_giv") - col("_oiv")) <=
+          lit(1e-9) * greatest(lit(1.0), abs(col("_oiv"))), lit(false))
+      val bad = both.where(!agree)
+        .select("event_type", "bucket", "_giv", "_oiv").limit(3).collect()
+      assert(bad.isEmpty,
+        s"[seed=$SEED interp#$i w=$wUs start=$start] diverged: " +
+          bad.mkString("; "))
+    }
+  }
 }

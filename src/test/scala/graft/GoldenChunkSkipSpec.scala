@@ -45,13 +45,17 @@ class GoldenChunkSkipSpec extends AnyFunSuite {
 
   private def survivingChunks(df: DataFrame): Int = {
     val plan = df.queryExecution.executedPlan
-    val scan = plan.collectFirst { case f: FileSourceScanExec => f }.orElse(plan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
-      case _ => None
-    })
+    val scans = plan.collect { case f: FileSourceScanExec => f } match {
+      case Nil => plan match {
+        // a multi-root (tablespace) read unions one scan per storage root
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.collect { case f: FileSourceScanExec => f }
+        case _ => Nil
+      }
+      case fs => fs
+    }
     // a fully-pruned scan may plan as an empty LocalRelation: 0 partitions
-    scan.map(_.selectedPartitions.partitionCount).getOrElse(0)
+    scans.map(_.selectedPartitions.partitionCount).sum
   }
 
   private def probe(pred: org.apache.spark.sql.Column,
@@ -113,5 +117,52 @@ class GoldenChunkSkipSpec extends AnyFunSuite {
 
   test("enable refuses the open dimension column") {
     intercept[IllegalArgumentException] { fixture.enableChunkSkipping("ts") }
+  }
+
+  test("columnstore rewrite keeps skip stats on a gen-layout chunk") {
+    // catalog="table" → generational layout: compress publishes a NEW
+    // _gen= dir, whose colstats sidecar must be recomputed there (the
+    // registry probe used to resolve SKIPCOLS at the data dir's parent —
+    // the chunk dir, not the table root — and silently skipped the
+    // refresh, losing the chunk's pruning until the next DML)
+    val d = Files.createTempDirectory("graft_goldskip_gen").toString
+    val ht = Hypertable.create(spark, s"$d/ht", "ts", chunkWidth = "7 days",
+      catalog = "table")
+    val t1 = Timestamp.from(java.time.Instant.parse("2022-01-27T19:39:53Z"))
+    val t2 = Timestamp.from(java.time.Instant.parse("2022-02-05T12:21:11Z"))
+    ht.write((Seq(1, 2, 8).map(s => (t1, s)) ++ Seq(9, 12, 16).map(s => (t2, s)))
+      .toDF("ts", "sensor_id"))
+    ht.enableChunkSkipping("sensor_id")
+    val c1 = ht.showChunks().minBy(_.startMicros)
+    graft.sources.Columnstore.compressChunk(spark, c1.path,
+      graft.sources.Columnstore.Options(orderBy = Seq("ts")))
+    val stats = ht.columnStatsCatalog()
+    assert(stats.get(c1.startMicros).flatMap(_.get("sensor_id")).flatten
+      === Some((1L, 8L)), "rewritten generation lost its skip stats")
+    val df = ht.read().where(col("sensor_id") > 8)
+    assert(survivingChunks(df) === 1 && df.count() === 3)
+  }
+
+  test("columnstore rewrite keeps skip stats on a tablespace-moved chunk") {
+    // a moved chunk's dir parent is the tablespace's per-table dir; the
+    // registry still lives at the PRIMARY root (resolved via the
+    // pointer-home marker)
+    val d = Files.createTempDirectory("graft_goldskip_ts").toString
+    val ht = Hypertable.create(spark, s"$d/ht", "ts", chunkWidth = "7 days")
+    val t1 = Timestamp.from(java.time.Instant.parse("2022-01-27T19:39:53Z"))
+    val t2 = Timestamp.from(java.time.Instant.parse("2022-02-05T12:21:11Z"))
+    ht.write((Seq(1, 2, 8).map(s => (t1, s)) ++ Seq(9, 12, 16).map(s => (t2, s)))
+      .toDF("ts", "sensor_id"))
+    ht.enableChunkSkipping("sensor_id")
+    ht.attachTablespace(s"$d/cold")
+    val c1 = ht.showChunks().minBy(_.startMicros)
+    val moved = ht.moveChunk(c1.startMicros, Some(s"$d/cold"))
+    graft.sources.Columnstore.compressChunk(spark, moved.path,
+      graft.sources.Columnstore.Options(orderBy = Seq("ts")))
+    val stats = ht.columnStatsCatalog()
+    assert(stats.get(c1.startMicros).flatMap(_.get("sensor_id")).flatten
+      === Some((1L, 8L)), "moved chunk lost its skip stats on rewrite")
+    val df = ht.read().where(col("sensor_id") > 8)
+    assert(survivingChunks(df) === 1 && df.count() === 3)
   }
 }

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Columnstore, Hypertable}
+
+/** Flat→generational layout migration (`migrateToGenLayout`): the upgrade
+  * path that gives pre-existing tables the SCALE.md §14 snapshot-isolation
+  * contract. The reference needs no equivalent (MVCC is ambient in
+  * Postgres); graft's migration must relocate every chunk's data AND
+  * sidecar state without a rewrite, survive a crash at any point, and
+  * leave a table whose subsequent rewrites are generational.
+  */
+class MigrationSpec extends AnyFunSuite {
+  lazy val spark = Graft.session("migration-spec", "local[4]", 4)
+  import spark.implicits._
+
+  private def mkFlat(d: String): Hypertable = {
+    val ht = Hypertable.create(spark, s"$d/ht", "t", chunkWidth = "100",
+      timeKind = "bigint")
+    ht.write((0L until 300L).map(i => (i, i % 17, s"r$i"))
+      .toDF("t", "v", "s"))
+    assert(ht.showChunks().size === 3)
+    ht
+  }
+
+  test("migration preserves rows, sidecar state, and flips the catalog") {
+    val d = Files.createTempDirectory("graft_mig").toString
+    val ht = mkFlat(d)
+    val before = ht.read().select("t", "v", "s").collect().toSet
+    ht.enableChunkSkipping("v")
+    val cs = ht.showChunks()
+    // one compressed chunk, one tablespace-resident chunk, one frozen
+    Columnstore.compressChunk(spark, cs(0).path,
+      Columnstore.Options(orderBy = Seq("t")))
+    ht.attachTablespace(s"$d/cold")
+    ht.moveChunk(cs(1).startMicros, Some(s"$d/cold"))
+    ht.freezeChunk(cs(2).startMicros)
+
+    val mig = ht.migrateToGenLayout()
+    assert(mig.genLayout && mig.catalogMode === "table")
+    assert(mig.read().select("t", "v", "s").collect().toSet === before)
+    val migChunks = mig.showChunks()
+    assert(migChunks.size === 3)
+    assert(migChunks.forall(_.path.contains(s"${"_gen"}=0")),
+      s"expected every chunk at _gen=0: ${migChunks.map(_.path)}")
+    // sidecars rode the rename: columnstore marker, frozen sentinel,
+    // tablespace residence, skip stats
+    val byStart = migChunks.map(c => c.startMicros -> c).toMap
+    assert(Columnstore.isCompressed(spark, byStart(cs(0).startMicros).path))
+    assert(byStart(cs(1).startMicros).path.contains("/cold/"))
+    assert(mig.isFrozen(cs(2).startMicros))
+    assert(mig.columnStatsCatalog().nonEmpty, "skip stats lost in migration")
+    // migrating again refuses
+    intercept[IllegalArgumentException] { mig.migrateToGenLayout() }
+    // and the first post-migration rewrite is GENERATIONAL: a new _gen=1
+    // publishes while a pre-rewrite plan keeps reading _gen=0 (grace)
+    mig.unfreezeChunk(cs(2).startMicros)
+    val pinned = mig.read().where(col("t") >= 200L)
+    Columnstore.compressChunk(spark, byStart(cs(2).startMicros).path,
+      Columnstore.Options(orderBy = Seq("t")))
+    assert(pinned.count() === 100L, "pinned reader lost rows across rewrite")
+    assert(mig.showChunks().find(_.startMicros == cs(2).startMicros).get
+      .path.contains(s"${"_gen"}=1"))
+  }
+
+  test("a crashed migration completes on the next open, from any point") {
+    val d = Files.createTempDirectory("graft_mig_crash").toString
+    val ht = mkFlat(d)
+    val before = ht.read().select("t", "v", "s").collect().toSet
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash mid-migration: marker down, one chunk converted,
+    // one stranded in its dot-tmp, one untouched
+    Hypertable.writeSmallFile(fs, new Path(s"$d/ht", "_graft_migrating"), "gen")
+    val dirs = fs.listStatus(new Path(s"$d/ht")).map(_.getPath)
+      .filter(_.getName.startsWith("_chunk=")).sortBy(_.getName)
+    assert(dirs.length === 3)
+    // fully converted chunk
+    val done = dirs(0)
+    val tmp0 = new Path(done.getParent, s".${done.getName}.mig")
+    assert(fs.rename(done, tmp0)); fs.mkdirs(done)
+    assert(fs.rename(tmp0, new Path(done, "_gen=0")))
+    // stranded mid-conversion (crash between the two renames)
+    val half = dirs(1)
+    assert(fs.rename(half, new Path(half.getParent, s".${half.getName}.mig")))
+
+    val healed = Hypertable.at(spark, s"$d/ht")
+    assert(healed.genLayout && healed.catalogMode === "table")
+    assert(healed.read().select("t", "v", "s").collect().toSet === before)
+    assert(healed.showChunks().forall(_.path.contains("_gen=0")))
+    assert(!fs.exists(new Path(s"$d/ht", "_graft_migrating")))
+  }
+
+  test("a bare marker (crash before any conversion) migrates on open") {
+    val d = Files.createTempDirectory("graft_mig_bare").toString
+    val ht = mkFlat(d)
+    val before = ht.read().count()
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Hypertable.writeSmallFile(fs, new Path(s"$d/ht", "_graft_migrating"), "gen")
+    val healed = Hypertable.at(spark, s"$d/ht")
+    assert(healed.genLayout && healed.read().count() === before)
+  }
+}
