@@ -93,6 +93,18 @@ object ScaleProbe {
         }
         println(f"""[scale] {"probe":"catalog_${mode}_sweep","chunks":$n,"swept":${targets.size},"sweep_sec":$tSweep%.2f,"per_chunk_sec":${tSweep / math.max(1, targets.size)}%.3f}""")
       }
+      // flat→gen migration cost at width (SPARK_GRAFT_CATALOG_MIGRATE=1,
+      // list mode only — migrateToGenLayout refuses gen tables): claimed
+      // metadata-only, two renames + one mkdir per chunk → must be
+      // O(chunks) rename-bound, far below the table's own creation time
+      if (mode == "list" && sys.env.contains("SPARK_GRAFT_CATALOG_MIGRATE")) {
+        val (tMig, mh) = timed { Hypertable.at(spark, p).migrateToGenLayout() }
+        val (tShow, n2) = timed { mh.showChunks().size }
+        val (tQ2, c2) = timed2 {
+          mh.between(t0 + mid * step, t0 + (mid + 2) * step).count()
+        }
+        println(f"""[scale] {"probe":"catalog_migrate","chunks":$n2,"migrate_sec":$tMig%.2f,"show_sec":$tShow%.3f,"pruned_count_sec":$tQ2%.3f,"rows":$c2}""")
+      }
     }
   }
 

@@ -174,6 +174,39 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(ht.read().count() === events.count())
   }
 
+  test("a half-migrated table refuses to open while another process holds " +
+    "a fresh mutator lease, and completes the migration once it goes stale") {
+    // the gen-layout migration window is LOUD: opening a table whose
+    // _graft_migrating marker is down requires finishing the migration,
+    // which claims the lease — a fresh foreign lease means the migrating
+    // process may still be mid-rename, so the open must refuse rather
+    // than read the mixed layout or race the conversion
+    val dir = Files.createTempDirectory("graft_crash_mig").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(events)
+    val total = events.count()
+    Hypertable.releaseMutatorLease(spark, s"$dir/ht")
+    val fs = fsOf(s"$dir/ht")
+    Hypertable.writeSmallFile(fs,
+      new Path(s"$dir/ht", "_graft_migrating"), "gen")
+    val lease = new Path(s"$dir/ht", "_graft_mutator_lease")
+    val out = fs.create(lease, true)
+    out.write("other-driver-mid-migration".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException] {
+      Hypertable.at(spark, s"$dir/ht")
+    }
+    assert(e.getMessage.contains("other-driver-mid-migration"),
+      s"refusal must name the holder: ${e.getMessage}")
+    // the migrating process "crashes": once its lease is stale, the next
+    // open takes over and completes the conversion
+    fs.setTimes(lease,
+      System.currentTimeMillis() - 2 * Hypertable.leaseStaleMs(spark), -1)
+    val healed = Hypertable.at(spark, s"$dir/ht")
+    assert(healed.genLayout && healed.catalogMode === "table")
+    assert(healed.read().count() === total)
+    assert(healed.showChunks().forall(_.path.contains("_gen=0")))
+  }
+
   test("a displaced holder (lease taken over while this JVM stalled) " +
     "notices at the next heartbeat and its next mutation refuses") {
     val dir = Files.createTempDirectory("graft_crash_lease3").toString
