@@ -148,6 +148,16 @@ class Hypertable private (
     */
   private[graft] def withMutation[T](body: => T): T = {
     Hypertable.acquireMutatorLease(spark, fs, qualifiedPath)
+    // a FLAT handle kept across migrateToGenLayout() would route writes
+    // into _chunk=X/ beside the _gen= dirs — rows acked but invisible to
+    // every manifest reader (silent loss). Re-verify the on-disk layout
+    // flag before every mutation through a flat handle; gen handles
+    // cannot go stale in this direction (there is no reverse migration),
+    // so the steady-state gen path pays nothing.
+    if (!genLayout && Hypertable.metaSaysGenLayout(fs, path))
+      throw new IllegalStateException(
+        s"$path was migrated to the generational layout after this handle " +
+          "was opened — re-open it with Hypertable.at before mutating")
     val l = Hypertable.tableMutationLock(qualifiedPath).writeLock()
     l.lock()
     try body finally l.unlock()
@@ -2335,6 +2345,27 @@ object Hypertable {
   private[sources] val MIGRATING = "_graft_migrating"
   private[sources] val MIG_SUFFIX = ".mig"
 
+  /** The on-disk layout flag, re-read: lets a flat handle detect that the
+    * table was migrated after it was opened (see [[Hypertable!.withMutation]]).
+    */
+  private[sources] def metaSaysGenLayout(fs: FileSystem, path: String): Boolean =
+    try "\"genLayout\":true".r
+      .findFirstIn(readSmallFile(fs, new Path(path, META))).isDefined
+    catch { case _: java.io.IOException => false }
+
+  /** Complete a crashed migration found at open time, releasing the
+    * mutator lease afterwards when THIS process did not already hold it —
+    * a long-lived read-only session that merely healed the table must not
+    * keep writers locked out for its lifetime (the heal is the one
+    * mutation a reader performs).
+    */
+  private def healCrashedMigration(ht: Hypertable): Hypertable = {
+    val hadLease = heldLeases.containsKey(ht.qualifiedPath)
+    val nh = ht.finishGenMigration()
+    if (!hadLease) releaseMutatorLease(ht.spark, ht.path)
+    nh
+  }
+
   /** One chunk dir's flat→gen conversion: the whole dir (data files plus
     * every sidecar — they all resolve against the DATA dir in both
     * layouts) renames through a dot-tmp (invisible to Spark's file index)
@@ -2702,10 +2733,20 @@ object Hypertable {
     * INSIDE the chunk monitor + root read lock, where the live set is
     * pinned. Tombstoned / no-live dirs return the given path (the op
     * proceeds on graced files; the manifest no longer lists the chunk).
+    *
+    * A FLAT chunk-identity path whose dir meanwhile gained `_gen=`
+    * generations (a pre-migration `showChunks` path saved across
+    * `migrateToGenLayout`) redirects to the live generation too —
+    * otherwise the primitive would read the chunk dir itself, where
+    * Spark's file index sees only underscore-prefixed subdirs and fails
+    * with an unhelpful schema-inference error. One extra listing, paid
+    * only by flat-path calls (gen tables hand out gen paths).
     */
   private[graft] def liveChunkTarget(fs: FileSystem, p: Path): Path =
-    if (!isGenPath(p)) p
-    else liveDataDir(fs, p.getParent).getOrElse(p)
+    if (isGenPath(p)) liveDataDir(fs, p.getParent).getOrElse(p)
+    else if (p.getName.startsWith(s"$CHUNK=") && listGenDirs(fs, p).nonEmpty)
+      liveDataDir(fs, p).getOrElse(p)
+    else p
 
   /** The qualified PRIMARY table root owning a chunk dir: the parent
     * itself, or — for tablespace-resident chunks — the pointer-home the
@@ -3019,9 +3060,13 @@ object Hypertable {
     // generations without their colstats sidecar and losing that chunk's
     // skip pruning until the next DML refresh
     val primary = new Path(resolvePrimaryRoot(fs, chunkDirOf(chunkP)))
+    // the primary root may live on a DIFFERENT filesystem than the chunk
+    // (moveChunk supports cross-FS tablespaces via FileUtil.copy) — probe
+    // the registry with the root's own FS, like syncCatalogForChunk
+    val pfs = primary.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val skipF = new Path(primary, SKIPCOLS)
-    if (!fs.exists(skipF)) return
-    val cols = readSmallFile(fs, skipF).split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    if (!pfs.exists(skipF)) return
+    val cols = readSmallFile(pfs, skipF).split('\n').map(_.trim).filter(_.nonEmpty).toSeq
     if (cols.nonEmpty)
       writeColStatsFile(fs, chunkP,
         graft.operators.Stats.columnRanges(spark, chunkPath, cols))
@@ -3157,7 +3202,7 @@ object Hypertable {
       genLayout = gen)
     // complete a crashed gen-layout migration before handing out a handle
     // over the mixed layout (same hook as [[at]])
-    if (fs.exists(new Path(path, MIGRATING))) ht.finishGenMigration() else ht
+    if (fs.exists(new Path(path, MIGRATING))) healCrashedMigration(ht) else ht
   }
 
   private[sources] def writeMeta(spark: SparkSession, path: String,
@@ -3214,8 +3259,9 @@ object Hypertable {
       catalogMode = str("catalog").getOrElse("list"), genLayout = gen)
     // a crashed gen-layout migration left its marker: complete it before
     // anything reads the mixed layout (claims the mutator lease — refuses
-    // loudly when another process holds the table)
-    if (fs.exists(new Path(path, MIGRATING))) ht.finishGenMigration() else ht
+    // loudly when another process holds the table; released again after
+    // the heal if this process was not already the holder)
+    if (fs.exists(new Path(path, MIGRATING))) healCrashedMigration(ht) else ht
   }
 }
 

@@ -332,7 +332,7 @@ class ConcurrencySpec extends AnyFunSuite {
     val ht = Hypertable.create(spark, s"$dir/ht", "ts",
       chunkWidth = "7 days", catalog = "table")
     ht.write(events)
-    snapshotHammer(ht)
+    snapshotHammer(ht, events.count())
   }
 
   test("snapshot isolation holds on a table MIGRATED from the flat layout") {
@@ -347,11 +347,14 @@ class ConcurrencySpec extends AnyFunSuite {
     graft.sources.Columnstore.compressChunk(spark,
       flat.showChunks().head.path,
       graft.sources.Columnstore.Options(orderBy = Seq("ts")))
-    snapshotHammer(flat.migrateToGenLayout())
+    snapshotHammer(flat.migrateToGenLayout(), events.count())
   }
 
-  private def snapshotHammer(ht: Hypertable): Unit = {
-    val total = ht.read().count()
+  /** `total` is the INDEPENDENTLY-known expected row count — deriving it
+    * from `ht.read()` would re-baseline the hammer on a table already
+    * damaged by write/migration bugs.
+    */
+  private def snapshotHammer(ht: Hypertable, total: Long): Unit = {
     val window = (Timestamp.valueOf("2024-01-08 00:00:00"),
       Timestamp.valueOf("2024-01-22 00:00:00"))
     val windowCount = ht.read().where(

@@ -294,6 +294,43 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("range join matches a naive non-equi-join oracle across bucket " +
+    "widths, including empty and inverted intervals (8 configs)") {
+    val rnd = new scala.util.Random(SEED + 8)
+    (1 to 8).foreach { i =>
+      val lo = us("2024-01-01 00:00:00") + rnd.nextInt(15) * 86400000000L
+      val hi = lo + (2 + rnd.nextInt(5)) * 86400000000L
+      val left = uniqueTs.where(col("ts") >= timestamp_micros(lit(lo)) &&
+        col("ts") < timestamp_micros(lit(hi)))
+        .select("event_id", "ts", "event_type")
+      // right intervals from a disjoint event sample: deterministic
+      // per-row durations spanning −2 h (inverted) .. 0 (empty) .. 94 h —
+      // the engine must both EXCLUDE the degenerate intervals (its
+      // sequence-explosion guard) and match the long ones regardless of
+      // the bucket width chosen
+      val dur = (pmod(col("_rid"), lit(97)) - lit(2)) * lit(3600000000L)
+      val right = uniqueTs.where(col("ts") >= timestamp_micros(lit(lo)) &&
+        col("ts") < timestamp_micros(lit(hi)) &&
+        pmod(col("event_id"), lit(4)) === 0)
+        .select(col("event_type"), col("event_id").as("_rid"),
+          col("ts").as("_rs"))
+        .withColumn("_re",
+          timestamp_micros(unix_micros(col("_rs")) + dur))
+      // bucket width 1 h .. 7 days: both shorter AND longer than the
+      // interval lengths — the blocking is an equi-join rewrite, not an
+      // approximation, so the answer must be width-invariant
+      val wUs = (1L + rnd.nextInt(168)) * 3600000000L
+      val got = graft.operators.Joins.rangeJoin(left, right,
+          Seq("event_type"), "ts", "_rs", "_re", wUs)
+        .select("event_id", "_rid")
+      val exp = left.join(right, Seq("event_type"))
+        .where(col("ts") >= col("_rs") && col("ts") < col("_re"))
+        .select("event_id", "_rid")
+      assert(got.collect().toSet === exp.collect().toSet,
+        s"[seed=$SEED rangejoin#$i w=$wUs lo=$lo hi=$hi]")
+    }
+  }
+
   test("interpolate matches an array-scan lerp oracle on double aggregates " +
     "(10 queries)") {
     val rnd = new scala.util.Random(SEED + 7)

@@ -66,6 +66,23 @@ class MigrationSpec extends AnyFunSuite {
     assert(pinned.count() === 100L, "pinned reader lost rows across rewrite")
     assert(mig.showChunks().find(_.startMicros == cs(2).startMicros).get
       .path.contains(s"${"_gen"}=1"))
+    // a PRE-migration saved chunk path (flat _chunk= dir) still works for
+    // per-chunk primitives: liveChunkTarget redirects it to the live
+    // generation instead of reading the now-gen-holding dir itself
+    Columnstore.compressChunk(spark, cs(0).path,
+      Columnstore.Options(orderBy = Seq("t")))
+    assert(mig.showChunks().find(_.startMicros == cs(0).startMicros).get
+      .path.contains(s"${"_gen"}=1"),
+      "flat-path compress did not publish the next generation")
+    assert(mig.read().count() === 300)
+    // the pre-migration handle itself must REFUSE mutations — a flat
+    // write would land beside the generations, acked but invisible
+    val stale = intercept[IllegalStateException] {
+      ht.write(Seq((900L, 1L, "x")).toDF("t", "v", "s"))
+    }
+    assert(stale.getMessage.contains("re-open"),
+      s"stale-handle refusal missing: ${stale.getMessage}")
+    assert(mig.read().count() === 300)
   }
 
   test("a crashed migration completes on the next open, from any point") {
@@ -95,13 +112,21 @@ class MigrationSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(s"$d/ht", "_graft_migrating")))
   }
 
-  test("a bare marker (crash before any conversion) migrates on open") {
+  test("a bare marker (crash before any conversion) migrates on open, and " +
+    "a reader-only healer releases the lease it had to claim") {
     val d = Files.createTempDirectory("graft_mig_bare").toString
     val ht = mkFlat(d)
     val before = ht.read().count()
     val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the healer being a DIFFERENT process than the crashed
+    // migrator: this JVM does not hold the lease when it opens the table
+    Hypertable.releaseMutatorLease(spark, s"$d/ht")
     Hypertable.writeSmallFile(fs, new Path(s"$d/ht", "_graft_migrating"), "gen")
     val healed = Hypertable.at(spark, s"$d/ht")
     assert(healed.genLayout && healed.read().count() === before)
+    // the heal claimed the lease to run; a read-only session keeping it
+    // would lock every writer out for its lifetime — it must hand it back
+    assert(!fs.exists(new Path(s"$d/ht", "_graft_mutator_lease")),
+      "reader-only healer retained the mutator lease")
   }
 }
