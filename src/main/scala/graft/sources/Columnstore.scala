@@ -241,8 +241,14 @@ object Columnstore {
     val chunkDir = Hypertable.chunkDirOf(cp)
     val rootKey = Hypertable.resolvePrimaryRoot(fs, chunkDir)
     // chunk rewrites are mutations too: claim the table's cross-process
-    // mutator lease (map hit after the first claim per table)
-    Hypertable.acquireMutatorLease(spark, fs, rootKey)
+    // mutator lease (map hit after the first claim per table). The lease
+    // lives at the PRIMARY root, which for a cross-FS tablespace chunk
+    // (moveChunk's FileUtil.copy branch) is a different filesystem than
+    // the chunk's — resolve the root's own FS or Hadoop's checkPath
+    // throws "Wrong FS" on the first claim
+    val rootP = new Path(rootKey)
+    Hypertable.acquireMutatorLease(spark,
+      rootP.getFileSystem(spark.sparkContext.hadoopConfiguration), rootKey)
     val rl = Hypertable.tableMutationLock(rootKey).readLock()
     rl.lock()
     try Hypertable.chunkMonitor(fs.makeQualified(chunkDir).toString).synchronized(body)
@@ -254,9 +260,14 @@ object Columnstore {
     * sweeps share the storage root), next to the dir for flat ones (whose
     * in-place swap deletes the dir itself).
     */
-  private def rewriteTmp(chunkP: Path, tag: String): Path =
-    if (Hypertable.isGenPath(chunkP)) new Path(chunkP.getParent, s".${tag}_tmp")
-    else new Path(chunkP.getParent, "." + chunkP.getName + s"_${tag}_tmp")
+  private def rewriteTmp(fs: org.apache.hadoop.fs.FileSystem, chunkP: Path,
+      tag: String): Path =
+    // registered in flight so a concurrent catalog sync's stale-tmp GC
+    // cannot reap the staging dir of a still-running rewrite (the dir's
+    // mtime is the Spark job's START, not its progress)
+    Hypertable.registerRewriteTmp(fs,
+      if (Hypertable.isGenPath(chunkP)) new Path(chunkP.getParent, s".${tag}_tmp")
+      else new Path(chunkP.getParent, "." + chunkP.getName + s"_${tag}_tmp"))
 
   private[sources] val DEFAULT_FILE_BYTES = 128L << 20
 
@@ -312,7 +323,7 @@ object Columnstore {
       // one rename. Pinned readers keep the old generation; the copy of
       // the untouched files is the price of the snapshot (compact targets
       // fragmented chunks, where the rewrite dominates anyway).
-      val tmp = rewriteTmp(chunkP, "compact")
+      val tmp = rewriteTmp(fs, chunkP, "compact")
       fs.delete(tmp, true)
       fs.mkdirs(tmp)
       // leaf paths come from fs listings (scheme-qualified); the caller's
@@ -442,7 +453,7 @@ object Columnstore {
         // defeating both)
         df.repartitionByRange(segs.map(col): _*)
     }).sortWithinPartitions((opts.segmentBy ++ opts.orderBy).map(col): _*)
-    val tmp = rewriteTmp(chunkP, "compress")
+    val tmp = rewriteTmp(fs, chunkP, "compress")
     var w = arranged.write.mode("overwrite")
       .option("compression", "zstd")
       .option("parquet.block.size", opts.rowGroupBytes.toString)
@@ -515,7 +526,7 @@ object Columnstore {
     val out =
       if (nParts <= df.rdd.getNumPartitions) df.coalesce(nParts)
       else df.repartition(nParts)
-    val tmp = rewriteTmp(chunkP, "decompress")
+    val tmp = rewriteTmp(fs, chunkP, "decompress")
     var w = out.write.mode("overwrite")
     if (spacePart.nonEmpty) w = w.partitionBy(spacePart: _*)
     w.parquet(tmp.toString)

@@ -146,18 +146,26 @@ class Hypertable private (
     * lease (loud refusal when another process holds the table — see
     * [[Hypertable.acquireMutatorLease]]); a map hit after the first call.
     */
-  private[graft] def withMutation[T](body: => T): T = {
-    Hypertable.acquireMutatorLease(spark, fs, qualifiedPath)
-    // a FLAT handle kept across migrateToGenLayout() would route writes
-    // into _chunk=X/ beside the _gen= dirs — rows acked but invisible to
-    // every manifest reader (silent loss). Re-verify the on-disk layout
-    // flag before every mutation through a flat handle; gen handles
-    // cannot go stale in this direction (there is no reverse migration),
-    // so the steady-state gen path pays nothing.
+  /** A FLAT handle kept across `migrateToGenLayout()` would route writes
+    * into `_chunk=X/` beside the `_gen=` dirs (rows acked but invisible
+    * to every manifest reader — silent loss) and its READS would discover
+    * both generations as partition dirs (every rewritten chunk's rows
+    * double-counted, dropped-but-graced dirs resurrected — silently wrong
+    * answers). Re-verify the on-disk layout flag at every mutation and
+    * scan entry of a flat handle; gen handles cannot go stale in this
+    * direction (there is no reverse migration), so the steady-state gen
+    * path pays nothing. One small-file read per call, the same order as
+    * the marker/catalog reads these paths already perform.
+    */
+  private def assertLayoutCurrent(): Unit =
     if (!genLayout && Hypertable.metaSaysGenLayout(fs, path))
       throw new IllegalStateException(
         s"$path was migrated to the generational layout after this handle " +
-          "was opened — re-open it with Hypertable.at before mutating")
+          "was opened — re-open it with Hypertable.at")
+
+  private[graft] def withMutation[T](body: => T): T = {
+    Hypertable.acquireMutatorLease(spark, fs, qualifiedPath)
+    assertLayoutCurrent()
     val l = Hypertable.tableMutationLock(qualifiedPath).writeLock()
     l.lock()
     try body finally l.unlock()
@@ -751,6 +759,7 @@ class Hypertable private (
       () => skipColumns)
 
   def read(): DataFrame = {
+    assertLayoutCurrent()
     val info = exclusionInfo
     Hypertable.registerForExclusion(info)
     if (catalogMode == "table") {
@@ -1035,6 +1044,7 @@ class Hypertable private (
     */
   def showChunks(olderThanMicros: Option[Long] = None,
       newerThanMicros: Option[Long] = None): Seq[ChunkInfo] = {
+    assertLayoutCurrent()
     if (!tablespacesHealed) {
       tablespacesHealed = true
       healTablespaceMarkers()
@@ -1078,6 +1088,13 @@ class Hypertable private (
         val pre = catalogStampNow()
         cachedCatalog match {
           case Some((s, cs)) if s == pre && pre != -1L => cs
+          // sentinel: a reader's listing of a manifest-less table (writer
+          // crashed before its first refresh; the reader cannot persist).
+          // Valid exactly while NO stamp exists — the moment any process
+          // publishes a manifest, pre != -1 invalidates it. Stale only if
+          // a second writer crash adds chunks with the manifest STILL
+          // absent; the open-time staleness heal bounds that per handle.
+          case Some((-2L, cs)) if pre == -1L => cs
           case _ =>
             readChunkCatalog() match {
               case Some(cs) =>
@@ -1086,11 +1103,21 @@ class Hypertable private (
                 cs
               case None =>
                 // no manifest yet: persist the first one only as the
-                // lease holder (same reader-write hazard as the heal)
+                // lease holder (same reader-write hazard as the heal). A
+                // pure reader still MEMOIZES its listing (stamp first,
+                // like the heal) — without that, every query against a
+                // table whose writer crashed before its first refresh
+                // would re-pay the full multi-root listing, the exact
+                // O(chunks)-per-query cost the catalog exists to remove
                 val cs =
                   if (Hypertable.heldLeases.containsKey(qualifiedPath))
                     refreshChunkCatalog()
-                  else listAllChunks()
+                  else {
+                    val s0 = catalogStampNow()
+                    val l = listAllChunks()
+                    cachedCatalog = Some((if (s0 == -1L) -2L else s0, l))
+                    l
+                  }
                 checkNoDuplicateStarts(cs)
                 cs
             }
@@ -1124,12 +1151,7 @@ class Hypertable private (
     * first refresh / on a pre-round-8 table).
     */
   private def manifestVersions(): Seq[(Long, Path)] =
-    try fs.listStatus(catalogDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.matches("v\\d+\\.json"))
-      .map(s => s.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong ->
-        s.getPath)
-      .sortBy(_._1)
-    catch { case _: java.io.FileNotFoundException => Nil }
+    Hypertable.listManifests(fs, catalogDir)
 
   /** Monotonic catalog stamp: the highest manifest version (the memo key —
     * immune to mtime granularity), falling back to the legacy single
@@ -2484,7 +2506,17 @@ object Hypertable {
         if (readSmallFile(fs, lease).trim == owner)
           fs.setTimes(lease, System.currentTimeMillis(), -1)
         else heldLeases.remove(root)
-      } catch { case _: java.io.IOException => heldLeases.remove(root) }
+      } catch {
+        case _: java.io.IOException => heldLeases.remove(root)
+        // a non-IO failure (object-store SDKs throw unwrapped runtime
+        // exceptions; setTimes is UnsupportedOperation on some
+        // connectors) must not escape: scheduleWithFixedDelay suppresses
+        // ALL later runs after one thrown task, which would freeze the
+        // heartbeat while heldLeases keeps answering "held" — silently
+        // disabling the fencing and letting a stale-takeover peer mutate
+        // concurrently. Drop the entry; the next mutation re-resolves.
+        case scala.util.control.NonFatal(_) => heldLeases.remove(root)
+      }
     }
 
   private def ensureLeaseDaemon(): Unit =
@@ -2492,7 +2524,11 @@ object Hypertable {
       if (!leaseDaemonStarted) {
         val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
           r => { val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t })
-        ex.scheduleWithFixedDelay(() => leaseHeartbeatNow(), 30, 30,
+        // belt over the per-entry catch: one thrown pass would cancel
+        // every future scheduled run
+        ex.scheduleWithFixedDelay(() =>
+          try leaseHeartbeatNow()
+          catch { case scala.util.control.NonFatal(_) => () }, 30, 30,
           java.util.concurrent.TimeUnit.SECONDS)
         // graceful exits hand the table off immediately; only a crash
         // pays the staleness window
@@ -2630,6 +2666,41 @@ object Hypertable {
       .collectFirst { case (_, d) if !isSuperseded(fs, d) => d }
   }
 
+  /** The versioned manifest files of a catalog dir, ascending by version —
+    * THE single definition of the manifest naming scheme, shared by the
+    * handle's `manifestVersions()` and the static incremental patch
+    * ([[syncCatalogForChunk]]) so the two paths can never disagree about
+    * which version is latest.
+    */
+  private[sources] def listManifests(fs: FileSystem,
+      catDir: Path): Seq[(Long, Path)] =
+    try fs.listStatus(catDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.matches("v\\d+\\.json"))
+      .map(s => s.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong ->
+        s.getPath)
+      .sortBy(_._1)
+    catch { case _: java.io.FileNotFoundException => Nil }
+
+  /** Staging dirs of in-flight chunk rewrites (JVM scope — the mutator
+    * lease allows at most one mutating process per table, so this IS the
+    * real scope). The stale-tmp GC rule must skip them: its age heuristic
+    * reads the dir mtime, which for a Spark write is the JOB START (task
+    * files land under `_temporary/`, not the dir itself), so a rewrite
+    * outliving max(grace, 1 h) — a multi-TB chunk — would otherwise have
+    * its LIVE staging dir deleted out from under the running job by a
+    * concurrent append's catalog sync (chunk rewrites hold only the root
+    * READ lock, so table-level syncs interleave legally).
+    */
+  private val inFlightTmps =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[sources] def registerRewriteTmp(fs: FileSystem, tmp: Path): Path = {
+    inFlightTmps.add(fs.makeQualified(tmp).toString); tmp
+  }
+
+  private[sources] def isInFlightTmp(fs: FileSystem, p: Path): Boolean =
+    inFlightTmps.contains(fs.makeQualified(p).toString)
+
   /** Stamp a generation superseded — the rewrite's commit point. The
     * stamp's mtime is GC's grace clock.
     */
@@ -2679,10 +2750,14 @@ object Hypertable {
         if (graced(new Path(d, SUPERSEDED))) fs.delete(d, true)
       } else if (live.exists(g > _)) fs.delete(d, true) // crash remnant
     }
-    // stale publish tmp dirs (crashed before their rename)
+    // stale publish tmp dirs (crashed before their rename). NEVER one
+    // registered as in flight: the age heuristic reads the dir mtime,
+    // which for a running Spark write is the job START — see
+    // [[registerRewriteTmp]]
     val entries = fs.listStatus(chunkDir).toSeq
     entries
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".") &&
+        !isInFlightTmp(fs, s.getPath) &&
         now - s.getModificationTime >= math.max(graceMs, 3600000L))
       .foreach(s => fs.delete(s.getPath, true))
     // a long-dead BARE shell (no generations, no tombstone, nothing but
@@ -2780,6 +2855,10 @@ object Hypertable {
     */
   private[graft] def publishChunkRewrite(spark: SparkSession, fs: FileSystem,
       live: Path, tmp: Path): Path = {
+    // the write is done — from here the tmp is either consumed by the
+    // publish rename, deleted by the tombstone abort, or (on a failed
+    // rename) dead debris the aged GC may reap
+    inFlightTmps.remove(fs.makeQualified(tmp).toString)
     if (!isGenPath(live)) {
       fs.delete(live, true)
       require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
@@ -2788,6 +2867,19 @@ object Hypertable {
       val chunkDir = live.getParent
       val primary = resolvePrimaryRoot(fs, chunkDir)
       catalogLock(primary).synchronized {
+        // the chunk was DROPPED while this rewrite ran (the caller's
+        // showChunks snapshot predates the drop — drop_chunks takes the
+        // table write lock, chunk rewrites only the read lock, so the
+        // interleaving is legal): publishing now would place a generation
+        // ABOVE the tombstone's recorded drop-max, which the rebirth heal
+        // ([[healRebirth]], reserved for the write path's genuine
+        // re-ingests) would then commit as new data and DELETE the
+        // tombstone — silently undoing the drop and resurrecting
+        // retention-deleted rows. The drop wins: discard the rewrite.
+        if (isTombstoned(fs, chunkDir)) {
+          fs.delete(tmp, true)
+          return live
+        }
         val gens = listGenDirs(fs, chunkDir)
         val next = gens.map(_._1).max + 1
         val dst = new Path(chunkDir, s"$GEN=$next")
@@ -2831,13 +2923,7 @@ object Hypertable {
         val proot = new Path(primary)
         val pfs = proot.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val catDir = new Path(proot, CATALOG_DIR)
-        val versions =
-          try pfs.listStatus(catDir).toSeq
-            .filter(s => s.isFile && s.getPath.getName.matches("v\\d+\\.json"))
-            .map(s => s.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong ->
-              s.getPath)
-            .sortBy(_._1)
-          catch { case _: java.io.FileNotFoundException => Nil }
+        val versions = listManifests(pfs, catDir)
         val qNew = fs.makeQualified(dataDir).toString
         val qChunk = fs.makeQualified(chunkDir).toString
         val patched = versions.lastOption.flatMap { case (_, vp) =>
@@ -3188,17 +3274,23 @@ object Hypertable {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // re-opening an existing table keeps its physical layout: a flat
     // pre-round-8 table must not silently flip to the generational layout
-    // (its chunks carry no _gen= dirs)
+    // (its chunks carry no _gen= dirs) — and a MIGRATED table must not
+    // flip back (the exception-guarded helper read also keeps a transient
+    // read failure from being mistaken for "flat" and persisted below).
+    // The layout is sticky THROUGH the catalog too: generations need the
+    // manifest catalog, so create(catalog="list") on a gen table keeps
+    // "table" — the reference's create-on-existing if_not_exists shape,
+    // which preserves the existing configuration rather than erroring.
     val gen =
-      if (fs.exists(new Path(path, META)))
-        "\"genLayout\":true".r.findFirstIn(readSmallFile(fs, new Path(path, META))).isDefined
+      if (fs.exists(new Path(path, META))) metaSaysGenLayout(fs, path)
       else catalog == "table"
+    val cat = if (gen) "table" else catalog
     val ht = new Hypertable(spark, path, timeCol, widthMicros, spaceCol,
       spacePartitions, chunkMonths = months, timeKind = timeKind,
-      extraSpace = extraSpace, catalogMode = catalog, genLayout = gen)
+      extraSpace = extraSpace, catalogMode = cat, genLayout = gen)
     fs.mkdirs(new Path(path))
     writeMeta(spark, path, timeCol, timeKind, widthMicros, months, spaceCol,
-      spacePartitions, extraSpace, repartitioned = false, catalog = catalog,
+      spacePartitions, extraSpace, repartitioned = false, catalog = cat,
       genLayout = gen)
     // complete a crashed gen-layout migration before handing out a handle
     // over the mixed layout (same hook as [[at]])

@@ -1238,14 +1238,18 @@ object ContinuousAggregate {
         catch {
           // Spark surfaces an executor-side FNF as a SparkException with
           // the FNF preserved in the cause chain (local mode rethrows the
-          // task failure's cause directly) — cause-chain matching only; a
-          // message-substring check could mask an unrelated error whose
-          // text merely mentions FNF. Each retry re-lists matChunkDirs, so
-          // a chunk dir the swap REMOVED (not just replaced) resolves by
-          // the re-listing no longer returning it. Exponential backoff to
-          // ~1.6 s total: a parent refresh's chunk swap includes a
-          // recursive delete of the old mat chunk dir, which can exceed a
-          // fixed 100 ms window for a large chunk.
+          // task failure's cause directly) — cause-chain matching first.
+          // One NARROW message fallback: in cluster mode a task failure
+          // whose exception fails to deserialize on the driver is
+          // reconstructed from its string form, so the chain can be LOST
+          // and only the re-rendered message names the FNF — restrict the
+          // substring match to SparkExceptions (an arbitrary error whose
+          // text merely mentions FNF stays unmatched). Each retry
+          // re-lists matChunkDirs, so a chunk dir the swap REMOVED (not
+          // just replaced) resolves by the re-listing no longer returning
+          // it. Exponential backoff to ~1.6 s total: a parent refresh's
+          // chunk swap includes a recursive delete of the old mat chunk
+          // dir, which can exceed a fixed 100 ms window for a large chunk.
           case e: Exception if attempt < 6 && {
               var c: Throwable = e
               var fnf = false
@@ -1253,7 +1257,9 @@ object ContinuousAggregate {
                 fnf = c.isInstanceOf[java.io.FileNotFoundException]
                 c = c.getCause
               }
-              fnf
+              fnf || (e.isInstanceOf[org.apache.spark.SparkException] &&
+                e.getMessage != null &&
+                e.getMessage.contains("FileNotFoundException"))
             } =>
             Thread.sleep(25L << attempt)
             attempt += 1

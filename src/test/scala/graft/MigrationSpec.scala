@@ -82,7 +82,34 @@ class MigrationSpec extends AnyFunSuite {
     }
     assert(stale.getMessage.contains("re-open"),
       s"stale-handle refusal missing: ${stale.getMessage}")
+    // ...and its READS too: root discovery through the flat handle would
+    // list every _gen= dir and double-count each rewritten chunk's rows
+    intercept[IllegalStateException] { ht.read() }
+    intercept[IllegalStateException] { ht.showChunks() }
     assert(mig.read().count() === 300)
+  }
+
+  test("a rewrite racing drop_chunks cannot resurrect the dropped chunk") {
+    // the stale-snapshot interleaving: a sweep captures showChunks, the
+    // chunk is dropped (tombstoned), the sweep's compress then completes —
+    // its publish must be DISCARDED, not committed above the tombstone
+    // where the rebirth heal would mistake it for re-ingested data and
+    // remove the tombstone (silently undoing retention)
+    val d = Files.createTempDirectory("graft_mig_race").toString
+    val ht = Hypertable.create(spark, s"$d/ht", "t", chunkWidth = "100",
+      timeKind = "bigint", catalog = "table")
+    ht.write((0L until 300L).map(i => (i, i % 17, s"r$i")).toDF("t", "v", "s"))
+    val victim = ht.showChunks().minBy(_.startMicros)
+    ht.dropChunks(Some(victim.endMicros), None)
+    val afterDrop = ht.read().count()
+    Columnstore.compressChunk(spark, victim.path,
+      Columnstore.Options(orderBy = Seq("t")))
+    assert(ht.showChunks().size === 2 && ht.read().count() === afterDrop,
+      "stale compress resurrected a dropped chunk")
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val chunkDir = new Path(victim.path).getParent
+    assert(fs.exists(new Path(chunkDir, ".graft_dropped")),
+      "the drop tombstone must survive the refused publish")
   }
 
   test("a crashed migration completes on the next open, from any point") {
