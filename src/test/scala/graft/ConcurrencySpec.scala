@@ -405,6 +405,44 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(ht.read().count() === total)
   }
 
+  test("drop_chunks racing a continuous compress sweep: no deadlock, the " +
+    "drop always wins (deadlock_drop_chunks_compress.spec + tombstone-abort)") {
+    // the reference's test/isolation/specs/deadlock_dropchunks_select /
+    // compression race class: drop takes the table write lock +
+    // catalog lock, compress the root read lock + chunk monitor +
+    // catalog lock — same order everywhere, so the interleaving must
+    // complete without deadlock, and every compress whose snapshot
+    // predates the drop must DISCARD its publish (tombstone-abort;
+    // a committed publish above the tombstone would resurrect the chunk)
+    val dir = Files.createTempDirectory("graft_conc_dropcomp").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    ht.write(events)
+    val chunks = ht.showChunks().sortBy(_.startMicros)
+    val opts = graft.sources.Columnstore.Options(orderBy = Seq("ts"))
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    val compressor = thread("dropcomp-compress", errs) {
+      // stale snapshot on purpose: keeps compressing the ORIGINAL chunk
+      // list while the dropper tombstones it out from under the sweep
+      (1 to 3).foreach { _ =>
+        chunks.foreach(c =>
+          graft.sources.Columnstore.compressChunk(spark, c.path, opts))
+      }
+    }
+    val dropper = thread("dropcomp-drop", errs) {
+      chunks.foreach { c =>
+        ht.dropChunks(Some(c.endMicros), None)
+        Thread.sleep(20L)
+      }
+    }
+    compressor.join(120000L); dropper.join(120000L)
+    assert(!compressor.isAlive && !dropper.isAlive,
+      "drop/compress interleaving deadlocked")
+    assertNoErrors(errs)
+    assert(ht.showChunks().isEmpty && ht.read().count() === 0,
+      "a racing compress resurrected dropped chunks")
+  }
+
   test("drop_chunks racing concurrent SELECTs: every observed count is a " +
     "pre-drop or post-drop prefix, never a partial (dropchunks_race.spec)") {
     // the reference's test/isolation/specs/dropchunks_race.spec outcome:

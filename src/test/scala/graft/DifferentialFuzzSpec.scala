@@ -331,6 +331,66 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("timezone gapfill matches a java.time spine oracle across DST " +
+    "transitions (6 configs incl. a 30-minute-shift zone)") {
+    // The engine buckets in local-naive space (fixed-width there) and
+    // converts back; the oracle enumerates local midnights with
+    // java.time calendar arithmetic, converts each to an instant via
+    // the zone rules, and assigns rows by INSTANT-range containment —
+    // structurally independent of from/to_utc_timestamp. Windows are
+    // chosen to straddle real transitions: US spring-forward and
+    // fall-back, EU spring-forward, a no-DST zone with a :30 offset,
+    // and Lord Howe Island's 30-MINUTE DST shift in both directions.
+    import java.time.{LocalDateTime, ZoneId}
+    import spark.implicits._
+    val cases = Seq(
+      // (tz, data shift days, local window start, days)
+      ("America/New_York", 60, "2024-03-07T00:00", 7),   // Mar 10 spring fwd
+      ("America/New_York", 280, "2024-10-31T00:00", 7),  // Nov 3 fall back
+      ("Europe/Berlin", 60, "2024-03-27T00:00", 6),      // Mar 31 spring fwd
+      ("Asia/Kolkata", 0, "2024-01-05T00:00", 7),        // no DST, :30 offset
+      ("Australia/Lord_Howe", 280, "2024-10-03T00:00", 7), // Oct 6 +30 min
+      ("Australia/Lord_Howe", 90, "2024-04-04T00:00", 7))  // Apr 7 -30 min
+    cases.zipWithIndex.foreach { case ((tz, shift, startS, days), i) =>
+      val zone = ZoneId.of(tz)
+      val startLdt = LocalDateTime.parse(startS)
+      val lsUs = startLdt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+      val lfUs = startLdt.plusDays(days)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+      val ev = events
+        .withColumn("ts2", col("ts") + expr(s"INTERVAL $shift DAYS"))
+        .where(col("value") > 200)
+      val agg = ev.groupBy(
+          gf.time_bucket_tz("1 day", col("ts2"), tz).as("b"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val got = Gapfill.gapfillTz(agg, "b", Seq("event_type"),
+          lsUs, lfUs, "1 day", tz)
+        .select("event_type", "b", "n")
+      val locals = Iterator.iterate(startLdt)(_.plusDays(1))
+        .takeWhile(_.isBefore(startLdt.plusDays(days))).toSeq
+      val spine = locals.map { l =>
+        (java.sql.Timestamp.from(l.atZone(zone).toInstant),
+         java.sql.Timestamp.from(l.atZone(zone).toInstant),
+         java.sql.Timestamp.from(l.plusDays(1).atZone(zone).toInstant))
+      }.toDF("b", "lo", "hi")
+      val expAgg = ev.join(spine,
+          col("ts2") >= col("lo") && col("ts2") < col("hi"))
+        .groupBy("b", "event_type").agg(count(lit(1)).as("n"))
+      val exp = agg.select("event_type").distinct()
+        .crossJoin(spine.select("b"))
+        .join(expAgg, Seq("event_type", "b"), "left")
+        .select("event_type", "b", "n")
+      // restrict the engine output to the oracle's window instants (the
+      // engine also keeps out-of-window REAL rows; the spine rows are
+      // what the DST arithmetic must get right)
+      val spineSet = locals
+        .map(l => java.sql.Timestamp.from(l.atZone(zone).toInstant)).toSet
+      val gotRows = got.collect().filter(r => spineSet(r.getTimestamp(1))).toSet
+      assert(gotRows === exp.collect().toSet,
+        s"[tzgapfill#$i tz=$tz start=$startS]")
+    }
+  }
+
   test("interpolate matches an array-scan lerp oracle on double aggregates " +
     "(10 queries)") {
     val rnd = new scala.util.Random(SEED + 7)
