@@ -847,27 +847,60 @@ class Hypertable private (
           "readStream (parquet cannot infer one from an empty table)")
       spark.read.parquet(path).schema
     }
-    spark.readStream
+    val base = spark.readStream
       .schema(s)
       .option("basePath", path)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(s"$path/$CHUNK=*")
-      // gen layout: files sit one `_gen=` level down; the glob still
-      // matches the chunk dirs and the source lists them recursively, the
-      // generation just surfaces as one more discovered partition column —
-      // physical metadata, dropped (no-op on flat tables). A rewrite's new
-      // generation re-emits its rows like any rewrite under the
-      // append-only contract above. Known divergence from batch read():
-      // a stream STARTED during a GC grace window also lists
-      // grace-retained files — a superseded generation (its rows emit
-      // once per generation, like the rewrite re-emission a running
-      // stream sees anyway) or a dropped-but-graced chunk (its rows emit
-      // once before GC removes the dir). Streams are the RAW-ingest
-      // surface (the reference's caggs consume inserts, not rewrites);
-      // start streams before maintenance sweeps, or set
-      // `spark.graft.gc.graceMs=0` on stream-fed tables where exact
-      // once-per-row emission matters more than reader snapshots.
-      .drop(GEN)
+    // gen layout: files sit one `_gen=` level down; the glob still
+    // matches the chunk dirs and the source lists them recursively, the
+    // generation just surfaces as one more discovered partition column —
+    // physical metadata, dropped (no-op on flat tables). A rewrite's new
+    // generation re-emits its rows like any rewrite under the
+    // append-only contract above. A stream STARTED during a GC grace
+    // window would additionally list grace-retained files — a superseded
+    // generation (every rewritten chunk's rows emitted TWICE at start) or
+    // a dropped-but-graced chunk (deleted rows emitted once) — so the
+    // dead-at-START set is filtered out row-wise below: generations
+    // already superseded and drop-tombstoned generations at or below
+    // their tombstone's recorded max, as of stream DEFINITION. Rows a
+    // LATER rewrite publishes still re-emit (they are not in the start
+    // set) — the running-stream contract above is untouched, and a
+    // tombstoned chunk's RE-INGESTED rows (rebirth generations above the
+    // recorded max) still emit, as acked new data must. One listing walk
+    // at definition time; the set is bounded by the grace window's
+    // maintenance backlog, not the chunk count.
+    // `spark.graft.stream.skipDeadAtStart=false` restores the raw glob.
+    val filtered =
+      if (!genLayout ||
+        !spark.conf.get("spark.graft.stream.skipDeadAtStart", "true").toBoolean)
+        base
+      else {
+        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+        (new Path(path) +: tablespaceTableDirs).foreach { r =>
+          val rfs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (rfs.exists(r)) rfs.listStatus(r).toSeq
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith(s"$CHUNK="))
+            .foreach { st =>
+              val ck = st.getPath.getName.stripPrefix(s"$CHUNK=")
+              val deadMax =
+                if (!Hypertable.isTombstoned(rfs, st.getPath)) -1
+                else (try Hypertable.readSmallFile(rfs,
+                    new Path(st.getPath, Hypertable.DROP_TOMB)).trim.toInt
+                  catch { case _: Exception => Int.MaxValue })
+              Hypertable.listGenDirs(rfs, st.getPath).foreach { case (g, d) =>
+                if (g <= deadMax || Hypertable.isSuperseded(rfs, d))
+                  dead += s"$ck:$g"
+              }
+            }
+        }
+        if (dead.isEmpty) base
+        else base.where(!concat_ws(":",
+          col(CHUNK).cast("string"), col(GEN).cast("string"))
+          .isInCollection(dead))
+      }
+    filtered.drop(GEN)
   }
 
   private lazy val qualifiedPath: String =

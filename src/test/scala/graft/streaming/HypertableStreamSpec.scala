@@ -100,4 +100,36 @@ class HypertableStreamSpec extends AnyFunSuite {
     assert(got.count() === events.count())
     assert(got.columns.contains("_space"))
   }
+
+  test("a stream STARTED during a GC grace window skips dead-at-start " +
+    "generations and dropped chunks, but still emits re-ingested rows") {
+    // gen layout: a compress leaves the superseded _gen=0 grace-retained
+    // and a drop leaves the whole tombstoned dir — a fresh stream's glob
+    // would list both, emitting every rewritten chunk's rows TWICE and
+    // deleted rows once. The dead-at-start filter removes exactly that
+    // set while keeping rebirth generations (re-ingested acked rows).
+    val dir = Files.createTempDirectory("graft_htstream_gen").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days",
+      catalog = "table")
+    val events = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    ht.write(events)
+    val chunks = ht.showChunks().sortBy(_.startMicros)
+    // rewrite one chunk (superseded gen retained), drop another, then
+    // RE-INGEST rows into the dropped range (rebirth generation)
+    graft.sources.Columnstore.compressChunk(spark, chunks.last.path,
+      graft.sources.Columnstore.Options(orderBy = Seq("ts")))
+    val victim = chunks.head
+    ht.dropChunks(Some(victim.endMicros), None)
+    val reborn = events
+      .where(col("ts") >= timestamp_micros(lit(victim.startMicros)) &&
+        col("ts") < timestamp_micros(lit(victim.endMicros)) &&
+        pmod(col("event_id"), lit(2)) === 0)
+    ht.write(reborn)
+    val expected = ht.read().count() // live view: drop applied, rebirth in
+    drain(ht, s"$dir/ckpt", "ht_stream_gen_sink")
+    val got = spark.table("ht_stream_gen_sink")
+    assert(got.count() === expected,
+      s"fresh-start stream emitted ${got.count()} rows, batch sees $expected " +
+        "(superseded generations or dropped rows leaked, or rebirth lost)")
+  }
 }
