@@ -219,12 +219,8 @@ class Hypertable private (
           // crashed between create and write) would strand this rebirth at
           // healRebirth — normalize it now, under the write lock, before
           // any rebirth rows land
-          val tomb = new Path(d, Hypertable.DROP_TOMB)
-          val parsable =
-            try { Hypertable.readSmallFile(dfs, tomb).trim.toInt; true }
-            catch { case _: Exception => false }
-          if (!parsable) {
-            val out0 = dfs.create(tomb, true)
+          if (Hypertable.readTombMax(dfs, d).isEmpty) {
+            val out0 = dfs.create(new Path(d, Hypertable.DROP_TOMB), true)
             out0.write(maxGen.toString.getBytes("UTF-8")); out0.close()
           }
           start -> (maxGen + 1)
@@ -861,43 +857,101 @@ class Hypertable private (
     // window would additionally list grace-retained files — a superseded
     // generation (every rewritten chunk's rows emitted TWICE at start) or
     // a dropped-but-graced chunk (deleted rows emitted once) — so the
-    // dead-at-START set is filtered out row-wise below: generations
-    // already superseded and drop-tombstoned generations at or below
-    // their tombstone's recorded max, as of stream DEFINITION. Rows a
-    // LATER rewrite publishes still re-emit (they are not in the start
-    // set) — the running-stream contract above is untouched, and a
-    // tombstoned chunk's RE-INGESTED rows (rebirth generations above the
-    // recorded max) still emit, as acked new data must. One listing walk
-    // at definition time; the set is bounded by the grace window's
-    // maintenance backlog, not the chunk count.
+    // rows of the dead-at-START data FILES are filtered out below.
+    //
+    // The filter keys on FILE PATH SUFFIXES (`_chunk=K/_gen=G[/...]/name`),
+    // not (chunk, generation): a chunk dir fully GC'd and later
+    // re-created restarts at _gen=0, and a (chunk, gen) predicate baked
+    // at start would silently drop those acked rows forever — while the
+    // re-created generation's FILES carry a fresh write-job UUID in
+    // their names, so the start-time suffix set can never shadow them.
+    // (The name ALONE is not enough the other way: one ingest job's
+    // dynamic-partition write reuses the same part-file name in EVERY
+    // chunk dir it touches.) Rows a LATER rewrite publishes still
+    // re-emit (new suffixes) — the running-stream contract above is
+    // untouched — and a tombstoned chunk's RE-INGESTED rows (rebirth
+    // generations above the tombstone's recorded max) still emit, as
+    // acked new data must.
+    //
+    // Walk cost: the LIVE set comes from the memoized catalog; only
+    // chunks with a rewrite history (live gen > 0) or absent from the
+    // live set (tombstoned/awaiting GC) get per-dir listings — the
+    // maintenance BACKLOG, not the chunk count. One root listing per
+    // storage root on top (the stream source itself re-lists every
+    // micro-batch, so this adds nothing asymptotic). Every probe rides
+    // out concurrent GC (FNF = the dir resolved itself — skip it).
     // `spark.graft.stream.skipDeadAtStart=false` restores the raw glob.
     val filtered =
       if (!genLayout ||
         !spark.conf.get("spark.graft.stream.skipDeadAtStart", "true").toBoolean)
         base
       else {
+        val liveGen: Map[String, Int] = showChunks().map { c =>
+          val p = new Path(c.path)
+          Hypertable.chunkDirOf(p).getName.stripPrefix(s"$CHUNK=") ->
+            Hypertable.genOf(p)
+        }.toMap
         val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+        // collect the `_chunk=...`-rooted suffix of every data file under
+        // the dir (recursing through `_space=` levels)
+        def deadFilesOf(rfs: FileSystem, genDir: Path): Unit =
+          try rfs.listStatus(genDir).foreach { f =>
+            val n = f.getPath.getName
+            if (f.isDirectory && !n.startsWith(".") && n.contains("="))
+              deadFilesOf(rfs, f.getPath)
+            else if (f.isFile && !n.startsWith(".") && !n.startsWith("_")) {
+              val full = f.getPath.toString
+              val i = full.indexOf(s"/$CHUNK=")
+              if (i >= 0) dead += full.substring(i + 1)
+            }
+          } catch { case _: java.io.FileNotFoundException => () } // GC won
         (new Path(path) +: tablespaceTableDirs).foreach { r =>
           val rfs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (rfs.exists(r)) rfs.listStatus(r).toSeq
-            .filter(st => st.isDirectory &&
+          val sts =
+            try rfs.listStatus(r).toSeq
+            catch { case _: java.io.FileNotFoundException => Nil }
+          sts.filter(st => st.isDirectory &&
               st.getPath.getName.startsWith(s"$CHUNK="))
             .foreach { st =>
               val ck = st.getPath.getName.stripPrefix(s"$CHUNK=")
-              val deadMax =
-                if (!Hypertable.isTombstoned(rfs, st.getPath)) -1
-                else (try Hypertable.readSmallFile(rfs,
-                    new Path(st.getPath, Hypertable.DROP_TOMB)).trim.toInt
-                  catch { case _: Exception => Int.MaxValue })
-              Hypertable.listGenDirs(rfs, st.getPath).foreach { case (g, d) =>
-                if (g <= deadMax || Hypertable.isSuperseded(rfs, d))
-                  dead += s"$ck:$g"
-              }
+              try liveGen.get(ck) match {
+                case Some(0) => () // born-fresh chunk: nothing below gen 0
+                case Some(g) =>
+                  // single-live-generation invariant: everything below
+                  // the live generation is superseded (and the memoized
+                  // catalog can only UNDERSTATE g — conservative)
+                  Hypertable.listGenDirs(rfs, st.getPath)
+                    .filter(_._1 < g).foreach(d => deadFilesOf(rfs, d._2))
+                case None =>
+                  // not live: tombstoned (dead ≤ recorded max; rebirth
+                  // gens above it are acked re-ingests) or fully
+                  // superseded awaiting GC (stamped gens are dead). An
+                  // unreadable tombstone re-checks existence first — a
+                  // VANISHED tombstone (rebirth heal committed between
+                  // the probes) must not classify the now-live rebirth
+                  // generation as dead; a present-but-unparsable one is
+                  // a crashed drop, where no rebirth generation can
+                  // exist yet (the write path normalizes the tombstone
+                  // under the write lock BEFORE routing rebirth rows),
+                  // so all generations are the dropped data.
+                  val deadMax = Hypertable.readTombMax(rfs, st.getPath) match {
+                    case Some(m) => m
+                    case None =>
+                      if (Hypertable.isTombstoned(rfs, st.getPath))
+                        Int.MaxValue
+                      else -1
+                  }
+                  Hypertable.listGenDirs(rfs, st.getPath).foreach {
+                    case (g, d) =>
+                      if (g <= deadMax || Hypertable.isSuperseded(rfs, d))
+                        deadFilesOf(rfs, d)
+                  }
+              } catch { case _: java.io.FileNotFoundException => () }
             }
         }
         if (dead.isEmpty) base
-        else base.where(!concat_ws(":",
-          col(CHUNK).cast("string"), col(GEN).cast("string"))
+        else base.where(!regexp_extract(
+          col("_metadata")("file_path"), s"/($CHUNK=.+)$$", 1)
           .isInCollection(dead))
       }
     filtered.drop(GEN)
@@ -2755,6 +2809,18 @@ object Hypertable {
     out.write(deadMax.toString.getBytes("UTF-8")); out.close()
   }
 
+  /** The tombstone's recorded drop-time max generation: Some when present
+    * and parsable, None when absent OR unreadable (a drop crashed between
+    * create and write, or a concurrent heal removed it mid-read). Callers
+    * choose the fallback — the policies genuinely differ: the write path
+    * NORMALIZES an unreadable tombstone, [[healRebirth]] treats it as
+    * nothing-to-heal, the stream's dead-set walk re-probes existence to
+    * split vanished from crashed.
+    */
+  private[sources] def readTombMax(fs: FileSystem, chunkDir: Path): Option[Int] =
+    try Some(readSmallFile(fs, new Path(chunkDir, DROP_TOMB)).trim.toInt)
+    catch { case _: Exception => None }
+
   /** GC one chunk dir: graced-out superseded generations, graced-out
     * tombstoned dirs, crash-remnant generations above the live one
     * (uncommitted publishes — rolled back immediately: no manifest ever
@@ -2818,9 +2884,10 @@ object Hypertable {
     * found.
     */
   private[sources] def healRebirth(fs: FileSystem, chunkDir: Path): Boolean = {
-    val deadMax =
-      try readSmallFile(fs, new Path(chunkDir, DROP_TOMB)).trim.toInt
-      catch { case _: Exception => return false }
+    val deadMax = readTombMax(fs, chunkDir) match {
+      case Some(m) => m
+      case None => return false // absent or unreadable: nothing healable yet
+    }
     val gens = listGenDirs(fs, chunkDir)
     val (reborn, dead) = gens.partition { case (g, _) => g > deadMax }
     if (reborn.isEmpty) return false

@@ -109,8 +109,10 @@ class HypertableStreamSpec extends AnyFunSuite {
     // deleted rows once. The dead-at-start filter removes exactly that
     // set while keeping rebirth generations (re-ingested acked rows).
     val dir = Files.createTempDirectory("graft_htstream_gen").toString
+    // space-partitioned on purpose: dead files then sit one `_space=`
+    // level below the generation dir, exercising the recursive suffix walk
     val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days",
-      catalog = "table")
+      catalog = "table", spaceCol = Some("user_id"), spacePartitions = 2)
     val events = Tables.table(spark, "/root/testdata/sf0.001", "events")
     ht.write(events)
     val chunks = ht.showChunks().sortBy(_.startMicros)
