@@ -134,4 +134,70 @@ class HypertableStreamSpec extends AnyFunSuite {
       s"fresh-start stream emitted ${got.count()} rows, batch sees $expected " +
         "(superseded generations or dropped rows leaked, or rebirth lost)")
   }
+
+  for ((seed, space) <- Seq((7L, false), (19L, true)))
+    test("fresh-stream drain equals the batch read after a RANDOM " +
+      s"maintenance history (seed=$seed, space=$space)") {
+      // seeded fuzz of the dead-at-start filter: any misclassification is
+      // observable — over-filtering emits fewer rows than the batch view,
+      // a leaked superseded generation or dropped row emits more
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"graft_htstream_fz$seed").toString
+      val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+        chunkWidth = "7 days", catalog = "table",
+        spaceCol = if (space) Some("user_id") else None, spacePartitions = 2)
+      val events = Tables.table(spark, "/root/testdata/sf0.001", "events")
+      var unwritten = rnd.shuffle((1 until 4).toList)
+      ht.write(events.where(pmod(col("event_id"), lit(4)) === 0))
+      val opts = graft.sources.Columnstore.Options(orderBy = Seq("ts"))
+      var droppedBefore: Option[Long] = None
+      val ops = new StringBuilder
+      (1 to 10).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 if unwritten.nonEmpty =>
+            val s0 = unwritten.head; unwritten = unwritten.tail
+            ops ++= s"write($s0) "
+            ht.write(events.where(pmod(col("event_id"), lit(4)) === s0))
+          case 0 | 1 =>
+            val cs = ht.showChunks()
+            if (cs.nonEmpty) {
+              val c = cs(rnd.nextInt(cs.size)); ops ++= "compress "
+              graft.sources.Columnstore.compressChunk(spark, c.path, opts)
+            }
+          case 2 =>
+            val cs = ht.showChunks()
+            if (cs.nonEmpty) {
+              val c = cs(rnd.nextInt(cs.size)); ops ++= "decompress "
+              graft.sources.Columnstore.decompressChunk(spark, c.path)
+            }
+          case 3 if droppedBefore.isEmpty =>
+            val cs = ht.showChunks().sortBy(_.startMicros)
+            if (cs.nonEmpty) {
+              ops ++= "drop "
+              droppedBefore = Some(cs.head.endMicros)
+              ht.dropChunks(droppedBefore, None)
+            }
+          case 3 | 4 =>
+            val k = rnd.nextInt(97); ops ++= s"delete($k) "
+            ht.deleteWhere(pmod(col("event_id"), lit(97)) === k)
+          case 5 =>
+            droppedBefore match {
+              case Some(end) => // re-ingest into the dropped range (rebirth)
+                ops ++= "rebirth "
+                ht.write(events.where(
+                  col("ts") < timestamp_micros(lit(end)) &&
+                    pmod(col("event_id"), lit(3)) === 0))
+              case None =>
+                val k = rnd.nextInt(101); ops ++= s"update($k) "
+                ht.updateWhere(pmod(col("event_id"), lit(101)) === k,
+                  Map("value" -> (col("value") + lit(1.0))))
+            }
+        }
+      }
+      val expected = ht.read().count()
+      drain(ht, s"$dir/ckpt", s"ht_stream_fz${seed}_sink")
+      val got = spark.table(s"ht_stream_fz${seed}_sink").count()
+      assert(got === expected,
+        s"[seed=$seed ops: $ops] stream emitted $got, batch sees $expected")
+    }
 }
