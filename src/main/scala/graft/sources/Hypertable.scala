@@ -916,24 +916,41 @@ class Hypertable private (
               val ck = st.getPath.getName.stripPrefix(s"$CHUNK=")
               try liveGen.get(ck) match {
                 case Some(0) => () // born-fresh chunk: nothing below gen 0
+                  // (a publish that superseded gen 0 but has not yet
+                  // synced the manifest leaves this chunk's duplicate in
+                  // the start set — the pre-filter behavior, duplicates
+                  // only, never loss; probing every gen-0 chunk would
+                  // reintroduce the O(chunks) walk)
                 case Some(g) =>
                   // single-live-generation invariant: everything below
-                  // the live generation is superseded (and the memoized
-                  // catalog can only UNDERSTATE g — conservative)
-                  Hypertable.listGenDirs(rfs, st.getPath)
-                    .filter(_._1 < g).foreach(d => deadFilesOf(rfs, d._2))
+                  // the live generation is superseded. Gens AT or ABOVE
+                  // g still get a fresh on-disk isSuperseded probe (we
+                  // are already listing this dir): the memoized catalog
+                  // may lag one unsynced publish, and its g would then
+                  // understate the dead set
+                  Hypertable.listGenDirs(rfs, st.getPath).foreach {
+                    case (gg, d) =>
+                      if (gg < g || Hypertable.isSuperseded(rfs, d))
+                        deadFilesOf(rfs, d)
+                  }
                 case None =>
                   // not live: tombstoned (dead ≤ recorded max; rebirth
                   // gens above it are acked re-ingests) or fully
-                  // superseded awaiting GC (stamped gens are dead). An
-                  // unreadable tombstone re-checks existence first — a
-                  // VANISHED tombstone (rebirth heal committed between
-                  // the probes) must not classify the now-live rebirth
-                  // generation as dead; a present-but-unparsable one is
-                  // a crashed drop, where no rebirth generation can
-                  // exist yet (the write path normalizes the tombstone
-                  // under the write lock BEFORE routing rebirth rows),
-                  // so all generations are the dropped data.
+                  // superseded awaiting GC (stamped gens are dead).
+                  // The generations are listed BEFORE the tombstone is
+                  // read: the write path normalizes an unreadable
+                  // tombstone under the write lock BEFORE routing
+                  // rebirth rows, so a rebirth generation present in
+                  // the listing implies the LATER tombstone read sees
+                  // the normalized (parsable) value — list-first makes
+                  // the crashed-drop fallback below race-free. An
+                  // unreadable tombstone then re-checks existence: a
+                  // VANISHED one (rebirth heal committed in between)
+                  // must not classify the now-live generation as dead;
+                  // a present-but-unparsable one is a crashed drop,
+                  // where no rebirth generation can be in our listing,
+                  // so everything listed is the dropped data.
+                  val gens = Hypertable.listGenDirs(rfs, st.getPath)
                   val deadMax = Hypertable.readTombMax(rfs, st.getPath) match {
                     case Some(m) => m
                     case None =>
@@ -941,18 +958,33 @@ class Hypertable private (
                         Int.MaxValue
                       else -1
                   }
-                  Hypertable.listGenDirs(rfs, st.getPath).foreach {
-                    case (g, d) =>
-                      if (g <= deadMax || Hypertable.isSuperseded(rfs, d))
-                        deadFilesOf(rfs, d)
+                  gens.foreach { case (g, d) =>
+                    if (g <= deadMax || Hypertable.isSuperseded(rfs, d))
+                      deadFilesOf(rfs, d)
                   }
               } catch { case _: java.io.FileNotFoundException => () }
             }
         }
-        if (dead.isEmpty) base
-        else base.where(!regexp_extract(
+        val deadSet = dead.distinct
+        val cap = spark.conf
+          .get("spark.graft.stream.deadSetMax", "100000").toInt
+        if (deadSet.isEmpty) base
+        else if (deadSet.size > cap) {
+          // a mass retention drop or compaction sweep inside the grace
+          // window can make the file-level set huge — an In-literal of
+          // millions of strings would ship with every task of every
+          // micro-batch. Degrade to the pre-filter behavior (duplicates
+          // possible, never loss) rather than bloat the plan; raise
+          // spark.graft.stream.deadSetMax or start the stream after the
+          // sweep's grace window to keep the filter.
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"dead-at-start set has ${deadSet.size} files " +
+              s"(> deadSetMax=$cap); stream starts UNFILTERED — " +
+              "grace-retained duplicates may emit once")
+          base
+        } else base.where(!regexp_extract(
           col("_metadata")("file_path"), s"/($CHUNK=.+)$$", 1)
-          .isInCollection(dead))
+          .isInCollection(deadSet))
       }
     filtered.drop(GEN)
   }
@@ -1825,6 +1857,24 @@ class Hypertable private (
       if (genLayout) { fs.mkdirs(chunkDir); new Path(chunkDir, s"${Hypertable.GEN}=0") }
       else chunkDir
     require(fs.rename(new Path(srcPath), target), s"rename $srcPath -> $target failed")
+    if (genLayout) {
+      // adopted data files get FRESH unique names (metadata-only renames,
+      // same order of cost as the footer validation above): the stream's
+      // dead-at-start filter keys on `_chunk=K/_gen=G/name` suffixes,
+      // whose uniqueness Spark-written files get from their write-job
+      // UUID — an adoption that PRESERVED source names could reproduce a
+      // dead suffix (detach → drop → GC → re-attach of a same-named
+      // file) and have a running stream silently drop the re-attached
+      // acked rows
+      val stamp = java.lang.Long.toHexString(System.nanoTime())
+      fs.listStatus(target).filter(_.isFile)
+        .map(_.getPath).filterNot(p =>
+          p.getName.startsWith(".") || p.getName.startsWith("_"))
+        .zipWithIndex.foreach { case (p, i) =>
+          val fresh = new Path(target, s"adopt-$stamp-$i-${p.getName}")
+          require(fs.rename(p, fresh), s"rename $p -> $fresh failed")
+        }
+    }
     // an adopted dir may carry a frozen sentinel (e.g. re-attaching a
     // previously frozen+detached chunk's data) — keep the root catalog,
     // which the insert guard reads, in sync with it
