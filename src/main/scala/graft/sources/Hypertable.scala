@@ -1967,7 +1967,12 @@ class Hypertable private (
     * entire crash-recovery story. Metadata-only cost: two renames + one
     * mkdir per chunk — O(chunks), the same order as chunk creation,
     * independent of data size. Existing handles are stale after this
-    * call; use the returned handle.
+    * call and REFUSE loudly at their next scan or mutation
+    * ([[withMutation]]/read/showChunks re-verify the on-disk layout
+    * flag) — that includes handles embedded in other objects, e.g. a
+    * [[graft.streaming.ContinuousAggregate]] built over the old handle:
+    * re-open with [[Hypertable.at]] and rebuild such objects from the
+    * returned handle.
     */
   def migrateToGenLayout(): Hypertable = withMutation {
     require(!genLayout, "table already uses the generational layout")
