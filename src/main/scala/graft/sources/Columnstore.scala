@@ -366,10 +366,13 @@ object Columnstore {
         val out = fs.create(new Path(tmp, MARKER), true)
         out.write(settings.getBytes("UTF-8")); out.close()
       }
-      val live = Hypertable.publishChunkRewrite(spark, fs, chunkP, tmp)
-      Hypertable.refreshColStatsIfEnabled(spark, live.toString)
-      Hypertable.syncCatalogForChunk(spark, fs, live)
-      return dataFiles(fs, live).size
+      return Hypertable.publishChunkRewrite(spark, fs, chunkP, tmp) match {
+        case None => 0 // chunk dropped mid-compact; the drop won
+        case Some(live) =>
+          Hypertable.refreshColStatsIfEnabled(spark, live.toString)
+          Hypertable.syncCatalogForChunk(spark, fs, live)
+          dataFiles(fs, live).size
+      }
     }
     todo.foreach { case (leaf, n) =>
       // leaf files carry no partition columns (those are encoded in the
@@ -482,17 +485,22 @@ object Columnstore {
       s"orderby=${opts.orderBy.mkString(",")}\n" +
       s"rowgroupbytes=${opts.rowGroupBytes}").getBytes("UTF-8"))
     touch.close()
-    val live = Hypertable.publishChunkRewrite(spark, fs, chunkP, tmp)
-    // the reference computes chunk-skipping column ranges at compress time
-    // (chunk_column_stats.c) — same here, from the fresh footers
-    Hypertable.refreshColStatsIfEnabled(spark, live.toString)
-    // flat layout: chunk CONTENT changed with the chunk SET intact — bump
-    // the owning root's content stamp so read()'s table-mode scan memo
-    // rebuilds. Gen layout: the publish bumped it, and the data PATH
-    // changed — re-snapshot the manifest.
-    if (live == chunkP) Hypertable.touchContentStamp(fs, Hypertable.storageRootOf(chunkP))
-    else Hypertable.syncCatalogForChunk(spark, fs, live)
-    n
+    Hypertable.publishChunkRewrite(spark, fs, chunkP, tmp) match {
+      case None => 0L // chunk dropped mid-compress; the drop won — no
+        // stamp bump or manifest sync (nothing was published)
+      case Some(live) =>
+        // the reference computes chunk-skipping column ranges at compress
+        // time (chunk_column_stats.c) — same here, from the fresh footers
+        Hypertable.refreshColStatsIfEnabled(spark, live.toString)
+        // flat layout (live == chunkP): chunk CONTENT changed with the
+        // chunk SET intact — bump the owning root's content stamp so
+        // read()'s table-mode scan memo rebuilds. Gen layout: the publish
+        // bumped it, and the data PATH changed — re-snapshot the manifest.
+        if (live == chunkP)
+          Hypertable.touchContentStamp(fs, Hypertable.storageRootOf(chunkP))
+        else Hypertable.syncCatalogForChunk(spark, fs, live)
+        n
+    }
   }
 
   /** Invert [[compressChunk]]: rewrite the chunk as plain (snappy) parquet
@@ -537,11 +545,15 @@ object Columnstore {
       .foreach(end => Hypertable.writeRangeFile(fs, tmp, end))
     Hypertable.readSpaceParts(fs, chunkP)
       .foreach(p => Hypertable.writeSpaceParts(fs, tmp, p))
-    val live = Hypertable.publishChunkRewrite(spark, fs, chunkP, tmp)
-    Hypertable.refreshColStatsIfEnabled(spark, live.toString)
-    if (live == chunkP) Hypertable.touchContentStamp(fs, Hypertable.storageRootOf(chunkP))
-    else Hypertable.syncCatalogForChunk(spark, fs, live)
-    n
+    Hypertable.publishChunkRewrite(spark, fs, chunkP, tmp) match {
+      case None => 0L // chunk dropped mid-decompress; the drop won
+      case Some(live) =>
+        Hypertable.refreshColStatsIfEnabled(spark, live.toString)
+        if (live == chunkP)
+          Hypertable.touchContentStamp(fs, Hypertable.storageRootOf(chunkP))
+        else Hypertable.syncCatalogForChunk(spark, fs, live)
+        n
+    }
   }
 
   /** recompress_chunk_segmentwise (`tsl/src/compression/recompress.c`):

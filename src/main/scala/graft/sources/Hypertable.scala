@@ -202,28 +202,56 @@ class Hypertable private (
     val liveChunks: Seq[ChunkInfo] = if (genLayout) showChunks() else Nil
     val tombstoned: Seq[(Long, Path)] =
       if (genLayout)
-        tombstonedChunkDirs(liveChunks.map(c =>
-          fs.makeQualified(Hypertable.chunkDirOf(new Path(c.path))).toString).toSet)
+        tombstonedChunkDirs(liveChunks.map { c =>
+          // qualify each chunk dir with ITS OWN filesystem: a chunk
+          // resident on a cross-FS tablespace would make the primary
+          // root's fs.makeQualified throw "Wrong FS" (checkPath)
+          val cd = Hypertable.chunkDirOf(new Path(c.path))
+          cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .makeQualified(cd).toString
+        }.toSet)
       else Nil
+    // tombstoned dirs this batch will re-ingest into, start -> (dir, gen):
+    // the post-write commit marks these generations complete, then heals
+    var pendingRebirth = Map.empty[Long, (Path, Int)]
     if (genLayout) {
       val live = liveChunks
         .map(c => c.startMicros -> Hypertable.genOf(new Path(c.path))).toMap
       // a start that is LIVE again (already reborn at the primary root)
       // routes to its live generation, not the dead dir's successor
       val rebirth = tombstoned.filterNot(t => live.contains(t._1))
-        .map { case (start, d) =>
+        .flatMap { case (start, d) =>
           val dfs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val maxGen = Hypertable.listGenDirs(dfs, d).map(_._1)
-            .maxOption.getOrElse(-1)
-          // a tombstone whose recorded drop-max is unreadable (the drop
-          // crashed between create and write) would strand this rebirth at
-          // healRebirth — normalize it now, under the write lock, before
-          // any rebirth rows land
-          if (Hypertable.readTombMax(dfs, d).isEmpty) {
-            val out0 = dfs.create(new Path(d, Hypertable.DROP_TOMB), true)
-            out0.write(maxGen.toString.getBytes("UTF-8")); out0.close()
+          // a COMPLETE but unhealed rebirth (an earlier append's job
+          // commit finished and was marked, but the writer died before
+          // its heal): commit it now and route into the healed live
+          // generation — normalizing it dead would discard a finished
+          // commit's rows
+          if (Hypertable.healRebirth(dfs, d))
+            Hypertable.liveDataDir(dfs, d)
+              .map(ld => start -> Hypertable.genOf(ld))
+          else {
+            val listedMax = Hypertable.listGenDirs(dfs, d).map(_._1)
+              .maxOption.getOrElse(-1)
+            val recorded = Hypertable.readTombMax(dfs, d)
+            // normalize the tombstone's recorded drop-max UP to cover
+            // every listed generation BEFORE routing: a crashed append's
+            // partial (unmarked) generation in (recorded, listedMax]
+            // must join the dead set, or the heal would land liveness on
+            // the partial and the crash-remnant GC rule would delete the
+            // generation THIS batch writes above it — silent loss of
+            // acked rows. Also normalizes an unreadable tombstone (a
+            // drop crashed between create and write). Routing then goes
+            // strictly above everything dead, so healRebirth commits
+            // exactly the generation this append writes.
+            val deadMax = math.max(listedMax, recorded.getOrElse(-1))
+            if (!recorded.contains(deadMax)) {
+              val out0 = dfs.create(new Path(d, Hypertable.DROP_TOMB), true)
+              out0.write(deadMax.toString.getBytes("UTF-8")); out0.close()
+            }
+            pendingRebirth += start -> (d, deadMax + 1)
+            Some(start -> (deadMax + 1))
           }
-          start -> (maxGen + 1)
         }
       val gens: Map[Long, Int] = (live.filter(_._2 != 0) ++ rebirth).toMap
       out = out.withColumn(Hypertable.GEN,
@@ -292,25 +320,68 @@ class Hypertable private (
     // bulk-backfill escape hatch exists to avoid
     val caggs =
       if (graft.plans.Toggles.skipCaggInvalidation) Nil else caggPaths
+    // chunks resident in an attached tablespace take their routed rows
+    // DIRECTLY (one extra write job per tablespace root holding hits):
+    // the pre-round-9 route-to-primary + rename-into-place relocation
+    // left a window where a running stream's listing missed the renamed
+    // files entirely — silent loss; a direct write is atomic at job
+    // commit, so readStream's per-root sources see every acked row
+    // exactly once. The map is sized by the MOVED chunk count (bounded
+    // by move_chunk history), a broadcast-sized literal set. Tombstoned
+    // tablespace dirs route here too, so their rebirth generation lands
+    // where the tombstone (and its heal) lives.
+    val tsRoots: Map[Long, Path] =
+      if (showTablespaces.isEmpty) Map.empty
+      else {
+        val liveTs = tablespaceTableDirs.flatMap(d =>
+          listChunksUnder(d).map(_.startMicros -> d))
+        val tombTs = tombstoned.filter { case (_, cd) =>
+          val pfs = cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          pfs.makeQualified(cd.getParent).toString != qualifiedPath
+        }.map { case (s, cd) => s -> cd.getParent }
+        (liveTs ++ tombTs).toMap
+      }
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Join => LJoin, Window => LWin}
-    val expensiveInput = (needStats || caggs.nonEmpty) &&
+    // splitting the batch across storage roots re-scans it once per root —
+    // persist alongside the stats/cagg second-action case
+    val expensiveInput = ((needStats || caggs.nonEmpty) &&
       df.queryExecution.analyzed.exists {
         case _: LJoin | _: LAgg | _: LWin => true
         case _ => false
-      }
+      }) || tsRoots.nonEmpty
     if (expensiveInput) routed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      routed.write.mode(mode).partitionBy(partCols: _*).parquet(path)
-      // commit any rebirths this batch performed (tombstoned dirs that now
-      // hold a fresh generation — see the routing note above)
-      tombstoned.foreach { case (_, d) =>
-        val dfs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        Hypertable.healRebirth(dfs, d)
+      if (tsRoots.isEmpty)
+        routed.write.mode(mode).partitionBy(partCols: _*).parquet(path)
+      else {
+        // NULL chunk keys (null time) stay on the primary write: an
+        // isInCollection miss on null yields null, and where(!null)
+        // would silently drop the row from BOTH splits
+        routed.where(col(CHUNK).isNull ||
+            !col(CHUNK).isInCollection(tsRoots.keySet))
+          .write.mode(mode).partitionBy(partCols: _*).parquet(path)
+        tsRoots.groupBy(_._2).foreach { case (root, m) =>
+          routed.where(col(CHUNK).isInCollection(m.keySet))
+            .write.mode(mode).partitionBy(partCols: _*).parquet(root.toString)
+        }
       }
-      // rows routed into chunks that live in a tablespace landed under the
-      // primary root — fold them into the chunk's real directory (no-op
-      // without attached tablespaces: one small-file read)
+      // fold any CRASHED earlier relocation's primary-root stubs into
+      // their tablespace dirs first (fresh rows now write directly), so
+      // the rebirth commits below see final locations (no-op without
+      // attached tablespaces: one small-file read)
       if (showTablespaces.nonEmpty) relocateFreshWrites()
+      // commit the rebirths this batch performed: stamp each written
+      // generation COMPLETE first — healRebirth's cue that its data is a
+      // finished job commit, not a crashed partial it must not resurrect
+      // — then heal (stamps the dead generations, lifts the tombstone)
+      pendingRebirth.foreach { case (_, (d, g)) =>
+        val dfs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val genDir = new Path(d, s"${Hypertable.GEN}=$g")
+        if (dfs.exists(genDir)) { // batch may hold no rows for this chunk
+          Hypertable.markRebirthComplete(dfs, genDir)
+          Hypertable.healRebirth(dfs, d)
+        }
+      }
       // the "table" catalog must see this batch's NEW chunks before the
       // post-write steps below consult showChunks()
       syncChunkCatalog()
@@ -818,8 +889,15 @@ class Hypertable private (
     * Spark's file source tracks seen FILES in the checkpoint, so each file
     * is delivered once; new `_chunk=`/`_space=` directories are discovered
     * as they appear (partition columns come from the provided schema +
-    * basePath). `maxFilesPerTrigger` bounds micro-batch size — size it so
-    * one batch ≈ executors × a few input splits at the target scale.
+    * basePath). `maxFilesPerTrigger` bounds micro-batch size (per storage
+    * root) — size it so one batch ≈ executors × a few input splits at the
+    * target scale.
+    *
+    * EVERY storage root is covered: the stream is a union of one file
+    * source per attached tablespace root plus the primary, and appends
+    * write directly into the owning root, so rows of tablespace-resident
+    * chunks emit exactly once like any others. Tablespaces attached AFTER
+    * the stream started need a stream restart to be seen.
     *
     * APPEND-ONLY contract: a chunk REWRITE (deleteWhere/updateWhere,
     * compress/decompress, merge/split) produces new part files whose rows
@@ -836,18 +914,47 @@ class Hypertable private (
     * file index ignores `_`-prefixed files inside the dirs.
     */
   def readStream(maxFilesPerTrigger: Int = 1000,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    readStreamWithInfo(maxFilesPerTrigger, schema)._1
+
+  /** [[readStream]] plus the stream-start filter's state, so a pipeline
+    * can ASSERT its exactly-once start instead of scraping driver logs:
+    * `filtered` — the dead-at-start filter engaged (vacuously true when
+    * nothing was dead); `deadFiles` — grace-retained files excluded from
+    * the start; `degraded` — the dead set exceeded
+    * `spark.graft.stream.deadSetMax`, so the stream starts UNFILTERED
+    * (grace-retained duplicates may emit once, never loss).
+    */
+  def readStreamWithInfo(maxFilesPerTrigger: Int = 1000,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : (DataFrame, Hypertable.StreamStartInfo) = {
+    // a stale flat handle's glob would discover both `_gen=` generations
+    // of a migrated table as data (double emits, graced-drop resurrection)
+    // — refuse loudly, like read()/showChunks()/withMutation
+    assertLayoutCurrent()
     val s = schema.getOrElse {
       require(showChunks().nonEmpty,
         "hypertable has no chunks yet — pass an explicit schema to " +
           "readStream (parquet cannot infer one from an empty table)")
       spark.read.parquet(path).schema
     }
-    val base = spark.readStream
+    // one file source per STORAGE ROOT: appends write DIRECTLY into the
+    // root their chunk lives in (see write()'s tablespace routing), so a
+    // primary-only glob would never see rows of tablespace-resident
+    // chunks — silent loss. Roots snapshot at stream start;
+    // attach_tablespace during a running stream needs a stream restart
+    // (the same contract moveChunk mid-stream already has).
+    // `maxFilesPerTrigger` applies per root.
+    val roots = new Path(path) +: tablespaceTableDirs
+    roots.drop(1).foreach { r => // primary exists; a ts dir may not yet
+      val rfs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!rfs.exists(r)) rfs.mkdirs(r)
+    }
+    def sourceFor(root: Path): DataFrame = spark.readStream
       .schema(s)
-      .option("basePath", path)
+      .option("basePath", root.toString)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(s"$path/$CHUNK=*")
+      .parquet(s"$root/$CHUNK=*")
     // gen layout: files sit one `_gen=` level down; the glob still
     // matches the chunk dirs and the source lists them recursively, the
     // generation just surfaces as one more discovered partition column —
@@ -881,11 +988,24 @@ class Hypertable private (
     // micro-batch, so this adds nothing asymptotic). Every probe rides
     // out concurrent GC (FNF = the dir resolved itself — skip it).
     // `spark.graft.stream.skipDeadAtStart=false` restores the raw glob.
-    val filtered =
+    val (deadSet, degraded) =
       if (!genLayout ||
         !spark.conf.get("spark.graft.stream.skipDeadAtStart", "true").toBoolean)
-        base
+        (Seq.empty[String], false)
       else {
+        // stream start is RARE: re-probe catalog freshness (one
+        // getFileStatus per storage root) so the live-gen map reflects
+        // every publish COMPLETED before this start — including one whose
+        // manifest sync never ran (the publish bumps the content stamp
+        // BEFORE its commit stamp, so a crash between them still reads
+        // stale here). Without this, the gen-0 fast path below would
+        // leave such a publish's superseded files in the start set. Only
+        // a publish racing the start itself can still re-emit — the same
+        // window the running-stream rewrite contract already covers.
+        if (catalogMode == "table" && !catalogFresh()) {
+          catalogValidated = false
+          cachedCatalog = None
+        }
         val liveGen: Map[String, Int] = showChunks().map { c =>
           val p = new Path(c.path)
           Hypertable.chunkDirOf(p).getName.stripPrefix(s"$CHUNK=") ->
@@ -905,7 +1025,7 @@ class Hypertable private (
               if (i >= 0) dead += full.substring(i + 1)
             }
           } catch { case _: java.io.FileNotFoundException => () } // GC won
-        (new Path(path) +: tablespaceTableDirs).foreach { r =>
+        roots.foreach { r =>
           val rfs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val sts =
             try rfs.listStatus(r).toSeq
@@ -915,12 +1035,12 @@ class Hypertable private (
             .foreach { st =>
               val ck = st.getPath.getName.stripPrefix(s"$CHUNK=")
               try liveGen.get(ck) match {
-                case Some(0) => () // born-fresh chunk: nothing below gen 0
-                  // (a publish that superseded gen 0 but has not yet
-                  // synced the manifest leaves this chunk's duplicate in
-                  // the start set — the pre-filter behavior, duplicates
-                  // only, never loss; probing every gen-0 chunk would
-                  // reintroduce the O(chunks) walk)
+                case Some(0) => () // born-fresh chunk: nothing below gen 0.
+                  // Trustworthy WITHOUT a per-dir probe (which would
+                  // reintroduce the O(chunks) walk) because the catalog
+                  // freshness re-probe above already caught any publish
+                  // completed before this start — a completed publish
+                  // always bumps the content stamp first
                 case Some(g) =>
                   // single-live-generation invariant: everything below
                   // the live generation is superseded. Gens AT or ABOVE
@@ -965,28 +1085,41 @@ class Hypertable private (
               } catch { case _: java.io.FileNotFoundException => () }
             }
         }
-        val deadSet = dead.distinct
+        val ds = dead.distinct
         val cap = spark.conf
           .get("spark.graft.stream.deadSetMax", "100000").toInt
-        if (deadSet.isEmpty) base
-        else if (deadSet.size > cap) {
+        if (ds.size > cap) {
           // a mass retention drop or compaction sweep inside the grace
           // window can make the file-level set huge — an In-literal of
           // millions of strings would ship with every task of every
           // micro-batch. Degrade to the pre-filter behavior (duplicates
           // possible, never loss) rather than bloat the plan; raise
           // spark.graft.stream.deadSetMax or start the stream after the
-          // sweep's grace window to keep the filter.
+          // sweep's grace window to keep the filter. The degradation is
+          // ALSO surfaced on the returned StreamStartInfo, not just here.
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"dead-at-start set has ${deadSet.size} files " +
+            s"dead-at-start set has ${ds.size} files " +
               s"(> deadSetMax=$cap); stream starts UNFILTERED — " +
               "grace-retained duplicates may emit once")
-          base
-        } else base.where(!regexp_extract(
-          col("_metadata")("file_path"), s"/($CHUNK=.+)$$", 1)
-          .isInCollection(deadSet))
+          (ds, true)
+        } else (ds, false)
       }
-    filtered.drop(GEN)
+    // the dead-file predicate keys on `_metadata.file_path` — a per-
+    // relation pseudo-column, so it must apply on each root's source
+    // BEFORE the union
+    val streams = roots.map { r =>
+      val src = sourceFor(r)
+      if (deadSet.isEmpty || degraded) src
+      else src.where(!regexp_extract(
+        col("_metadata")("file_path"), s"/($CHUNK=.+)$$", 1)
+        .isInCollection(deadSet))
+    }
+    val skipOn = genLayout &&
+      spark.conf.get("spark.graft.stream.skipDeadAtStart", "true").toBoolean
+    (streams.reduceLeft(_ unionByName _).drop(GEN),
+      Hypertable.StreamStartInfo(
+        filtered = skipOn && !degraded, deadFiles = deadSet.size,
+        degraded = degraded))
   }
 
   private lazy val qualifiedPath: String =
@@ -1560,7 +1693,11 @@ class Hypertable private (
     parts.foreach(Hypertable.writeSpaceParts(fs, tmp, _))
     if (compressed) Columnstore.markCompressed(fs, tmp)
     val live = existing match {
-      case Some(cur) => Hypertable.publishChunkRewrite(spark, fs, cur, tmp)
+      // the tombstone-discard (None) cannot fire here: this path runs
+      // under the table WRITE lock, which excludes a concurrent drop, and
+      // `existing` came from a showChunks() that saw the chunk live
+      case Some(cur) =>
+        Hypertable.publishChunkRewrite(spark, fs, cur, tmp).getOrElse(cur)
       case None if genLayout =>
         // new chunk — but its identity dir may be a dropped/merged-away
         // dir still holding grace-retained dead generations (split after
@@ -1576,9 +1713,12 @@ class Hypertable private (
         val dst = new Path(chunkDir, s"${Hypertable.GEN}=$next")
         require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
         if (Hypertable.isTombstoned(fs, chunkDir)) {
-          // commit the rebirth (we hold the table write lock): dead
-          // generations stamped first, tombstone off last — a crash
-          // in between leaves a state healRebirth completes
+          // commit the rebirth INLINE (we hold the table write lock):
+          // dead generations stamped first, tombstone off last.
+          // Deliberately NO completion marker: a crash mid-commit leaves
+          // an unmarked generation healRebirth refuses and the next
+          // append normalizes dead — the op was never acked, so the
+          // drop staying in force is the correct outcome
           Hypertable.listGenDirs(fs, chunkDir).foreach { case (g, d) =>
             if (g < next && !Hypertable.isSuperseded(fs, d))
               Hypertable.stampSuperseded(fs, d)
@@ -2588,8 +2728,28 @@ object Hypertable {
   // (i.e. an uncommitted rewrite) and is rolled back by GC. Drops write a
   // `.graft_dropped` tombstone instead of deleting, with the same grace.
 
+  /** One stream start's dead-at-start filter state (see
+    * [[Hypertable.readStreamWithInfo]]): `filtered` — the filter engaged
+    * (exactly-once start; vacuously true when nothing was dead);
+    * `deadFiles` — grace-retained files excluded; `degraded` — the set
+    * overflowed `spark.graft.stream.deadSetMax` and the stream starts
+    * unfiltered (duplicates possible, never loss).
+    */
+  case class StreamStartInfo(filtered: Boolean, deadFiles: Int,
+      degraded: Boolean)
+
   private[sources] val SUPERSEDED = ".graft_superseded"
   private[sources] val DROP_TOMB = ".graft_dropped"
+  private[sources] val REBIRTH_OK = ".graft_rebirth_ok"
+
+  /** Stamp a rebirth generation COMPLETE — written by the re-ingesting
+    * append immediately after its job commit, BEFORE its heal. The marker
+    * is what lets [[healRebirth]] distinguish a finished commit from a
+    * crashed write's partial dynamic-partition job commit: committing the
+    * latter would resurrect the dropped chunk with unacked partial data.
+    */
+  private[sources] def markRebirthComplete(fs: FileSystem, genDir: Path): Unit =
+    fs.create(new Path(genDir, REBIRTH_OK), true).close()
 
   // ---------------------------------------------- cross-process mutator lease
   // The in-JVM lock hierarchy above is complete for ONE driver process —
@@ -2930,13 +3090,19 @@ object Hypertable {
   /** Complete the rebirth of a tombstoned chunk a write re-ingested into:
     * generations numbered ABOVE the tombstone's recorded drop-time max
     * (the routed append created them — see [[tombstoneChunk]]; structural,
-    * no mtime comparison) are the new life; everything at or below is the
-    * dropped data, stamped superseded so liveness (lowest UNstamped) lands
-    * on the rebirth generation, then the tombstone comes off. Ordered so a
-    * crash at any point leaves the drop in force (stamps first, tombstone
-    * last); the re-ingested rows wait in the still-tombstoned dir until
-    * the next heal finishes the job. Returns true when a rebirth was
-    * found.
+    * no mtime comparison) AND carrying the [[REBIRTH_OK]] completion
+    * marker are the new life; everything else is dead — the dropped data
+    * at or below the recorded max, plus any UNMARKED generation above it,
+    * which can only be a crashed append's partial job commit (the write
+    * path normalizes the recorded max over every listed generation before
+    * routing, so an unmarked survivor above it is never acked data).
+    * All dead generations are stamped superseded so liveness (lowest
+    * UNstamped) lands on the marked rebirth generation, then the
+    * tombstone comes off. Ordered so a crash at any point leaves the drop
+    * in force (stamps first, tombstone last); re-ingested rows wait in
+    * the still-tombstoned dir until the next heal finishes the job.
+    * Without a marked complete rebirth nothing heals: the tombstone (and
+    * its graced GC) stays in force. Returns true when a rebirth committed.
     */
   private[sources] def healRebirth(fs: FileSystem, chunkDir: Path): Boolean = {
     val deadMax = readTombMax(fs, chunkDir) match {
@@ -2944,10 +3110,17 @@ object Hypertable {
       case None => return false // absent or unreadable: nothing healable yet
     }
     val gens = listGenDirs(fs, chunkDir)
-    val (reborn, dead) = gens.partition { case (g, _) => g > deadMax }
-    if (reborn.isEmpty) return false
-    dead.foreach { case (_, d) =>
-      if (!isSuperseded(fs, d)) stampSuperseded(fs, d)
+    val ok = gens.filter { case (g, d) =>
+      g > deadMax && fs.exists(new Path(d, REBIRTH_OK))
+    }
+    if (ok.isEmpty) return false
+    // two marked generations cannot normally coexist (every append heals
+    // pending rebirths before routing new ones); if crash interleavings
+    // ever produce both, the HIGHEST marked one is the latest finished
+    // commit — everything below it is stale
+    val liveG = ok.map(_._1).max
+    gens.foreach { case (g, d) =>
+      if (g != liveG && !isSuperseded(fs, d)) stampSuperseded(fs, d)
     }
     fs.delete(new Path(chunkDir, DROP_TOMB), false)
     true
@@ -2994,7 +3167,10 @@ object Hypertable {
     * is `live`, from the fully-built tmp dir `tmp` (data + sidecars:
     * `_range`, `_graft_spaceparts`, columnstore marker, colstats — all
     * written into tmp BEFORE this call, so the single publish rename is
-    * the only visibility step). Returns the new live path.
+    * the only visibility step). Returns Some(new live path), or None when
+    * the chunk was tombstoned mid-rewrite and the drop won (the rewrite
+    * is discarded; callers must skip their stamp/manifest sync and report
+    * that nothing was published).
     *
     * Gen layout (live is a `_gen=` dir): under the table's catalog lock,
     * rename tmp → next generation, bump the owning root's content stamp
@@ -3009,7 +3185,7 @@ object Hypertable {
     * Flat layout: the pre-round-8 in-place delete+rename swap.
     */
   private[graft] def publishChunkRewrite(spark: SparkSession, fs: FileSystem,
-      live: Path, tmp: Path): Path = {
+      live: Path, tmp: Path): Option[Path] = {
     // the write is done — from here the tmp is either consumed by the
     // publish rename, deleted by the tombstone abort, or (on a failed
     // rename) dead debris the aged GC may reap
@@ -3017,7 +3193,7 @@ object Hypertable {
     if (!isGenPath(live)) {
       fs.delete(live, true)
       require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
-      live
+      Some(live)
     } else {
       val chunkDir = live.getParent
       val primary = resolvePrimaryRoot(fs, chunkDir)
@@ -3033,7 +3209,7 @@ object Hypertable {
         // retention-deleted rows. The drop wins: discard the rewrite.
         if (isTombstoned(fs, chunkDir)) {
           fs.delete(tmp, true)
-          return live
+          return None
         }
         val gens = listGenDirs(fs, chunkDir)
         val next = gens.map(_._1).max + 1
@@ -3052,7 +3228,7 @@ object Hypertable {
           if (!isSuperseded(fs, d)) stampSuperseded(fs, d)
         }
         gcChunkDir(fs, chunkDir, gcGraceMs(spark))
-        dst
+        Some(dst)
       }
     }
   }

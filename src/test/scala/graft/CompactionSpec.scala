@@ -300,6 +300,11 @@ class CompactionSpec extends AnyFunSuite {
     val refCols = spark.read.parquet(ht.showChunks().head.path).columns
     slice.select(refCols.map(col): _*).coalesce(1).write
       .parquet(s"${chunkDir.getPath}/_gen=${deadMax + 1}")
+    // the writer stamps the rebirth COMPLETE right after its job commit
+    // (before its own heal) — this crash happened after that point; an
+    // unmarked generation would be a partial commit the heal refuses
+    new java.io.File(chunkDir, s"_gen=${deadMax + 1}/.graft_rebirth_ok")
+      .createNewFile()
     val tick = (System.currentTimeMillis() / 1000L) * 1000L
     def setAll(f: java.io.File): Unit = {
       f.setLastModified(tick)
@@ -312,6 +317,51 @@ class CompactionSpec extends AnyFunSuite {
       "crashed writer's re-ingested rows lost to the tombstone heal")
     assert(ht.showChunks().exists(_.startMicros === first.startMicros))
     assert(!new java.io.File(chunkDir, ".graft_dropped").exists())
+  }
+
+  test("a crashed append's UNMARKED partial rebirth generation is never " +
+    "committed, and the next append's acked rows survive above it") {
+    // ADVICE r8: routing keyed rebirths off the LISTED max gen while the
+    // heal keyed off the tombstone's RECORDED max — a crashed partial
+    // _gen=M+1 then made the heal land liveness on the partial and GC
+    // delete the acked _gen=M+2. Now: the write path normalizes the
+    // recorded max over every listed generation BEFORE routing, and the
+    // heal commits only generations carrying the completion marker.
+    val dir = Files.createTempDirectory("graft_partial_rebirth").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days",
+      catalog = "table")
+    ht.write(events)
+    val first = ht.showChunks().minBy(_.startMicros)
+    val slice = events.where(col("ts") >= timestamp_micros(lit(first.startMicros)) &&
+      col("ts") < timestamp_micros(lit(first.endMicros)))
+    val sliceN = slice.count()
+    ht.dropChunks(Some(first.endMicros), None)
+    val chunkDirP = graft.sources.Hypertable.chunkDirOf(
+      new org.apache.hadoop.fs.Path(first.path))
+    val chunkDir = new java.io.File(chunkDirP.toUri.getPath)
+    val deadMax = scala.io.Source.fromFile(
+      new java.io.File(chunkDir, ".graft_dropped")).mkString.trim.toInt
+    // crashed mid-job-commit partial: SOME of the slice's rows landed in
+    // _gen=deadMax+1, no completion marker ever written
+    val refCols = spark.read.parquet(ht.showChunks().head.path).columns
+    slice.limit(3).select(refCols.map(col): _*).coalesce(1).write
+      .parquet(s"${chunkDir.getPath}/_gen=${deadMax + 1}")
+    // a GC/refresh pass must NOT resurrect the partial
+    ht.refreshChunkCatalog()
+    assert(ht.read().count() === events.count() - sliceN,
+      "an unmarked partial rebirth generation was committed as live")
+    // the next append re-ingests the full slice: its rows must route ABOVE
+    // the partial remnant, commit, and be fully visible — while the
+    // partial's 3 rows stay dead (total is exact, no over-count)
+    ht.write(slice)
+    assert(ht.read().count() === events.count(),
+      "acked re-ingested rows lost to the partial-remnant interleaving")
+    val tomb = new java.io.File(chunkDir, ".graft_dropped")
+    assert(!tomb.exists(), "rebirth did not lift the tombstone")
+    val partial = new java.io.File(chunkDir, s"_gen=${deadMax + 1}")
+    assert(!partial.exists() ||
+      new java.io.File(partial, ".graft_superseded").exists(),
+      "the crashed partial generation must be dead (stamped or GC'd)")
   }
 
   test("a bare generation-less chunk shell (crashed rewrite) is never " +

@@ -135,6 +135,118 @@ class HypertableStreamSpec extends AnyFunSuite {
         "(superseded generations or dropped rows leaked, or rebirth lost)")
   }
 
+  test("appends into a tablespace-resident chunk emit exactly once " +
+    "(rows route directly to the owning root; the stream unions all roots)") {
+    // VERDICT r8 #1: the primary-only glob never saw rows relocated into
+    // tablespace dirs — silent loss. write() now routes moved chunks'
+    // rows directly to their root and readStream tails one source per
+    // root, so every acked row emits exactly once.
+    val dir = Files.createTempDirectory("graft_htstream_ts").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days",
+      catalog = "table")
+    val events = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    // parity split: BOTH batches span every chunk, so the post-move append
+    // is guaranteed to route rows into the tablespace-resident chunk
+    val (early, late) = (events.where(pmod($"event_id", lit(2)) === 0),
+      events.where(pmod($"event_id", lit(2)) === 1))
+    ht.write(early)
+    ht.attachTablespace(s"$dir/cold")
+    val moved = ht.showChunks().minBy(_.startMicros)
+    ht.moveChunk(moved.startMicros, s"$dir/cold")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def drainTo(ckpt: String): Unit = {
+      val q = ht.readStream()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("event_id").collect().foreach(r => seen.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    val ckpt = s"$dir/ckpt"
+    drainTo(ckpt)
+    assert(seen.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted.toSeq
+      === early.select("event_id").collect().map(_.getLong(0)).sorted.toSeq,
+      "pre-move rows must emit exactly once from their current root")
+    // append a batch that spans BOTH the moved chunk's range and primary-
+    // resident chunks — every acked row must emit exactly once, none lost
+    // to the tablespace dir, none duplicated by a relocation rename
+    ht.write(late)
+    drainTo(ckpt)
+    assert(seen.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted.toSeq
+      === events.select("event_id").collect().map(_.getLong(0)).sorted.toSeq,
+      "acked rows written into a tablespace-resident chunk were lost or " +
+        "duplicated by the stream")
+    // the moved chunk's fresh rows really do live under the tablespace dir
+    val tsLate = late.where(col("ts") >= timestamp_micros(lit(moved.startMicros)) &&
+      col("ts") < timestamp_micros(lit(moved.endMicros))).count()
+    assert(tsLate > 0, "test data must hit the moved chunk")
+    val movedNow = ht.showChunks().minBy(_.startMicros)
+    assert(movedNow.path.contains("/cold/"),
+      "appends must not relocate the chunk back to the primary root")
+  }
+
+  test("readStreamWithInfo surfaces the dead-at-start filter state") {
+    val dir = Files.createTempDirectory("graft_htstream_info").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days",
+      catalog = "table")
+    val events = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    ht.write(events)
+    // nothing dead yet: vacuously filtered
+    val (_, clean) = ht.readStreamWithInfo()
+    assert(clean === Hypertable.StreamStartInfo(filtered = true, 0, degraded = false))
+    // a compress leaves the superseded generation grace-retained
+    val c = ht.showChunks().head
+    graft.sources.Columnstore.compressChunk(spark, c.path,
+      graft.sources.Columnstore.Options(orderBy = Seq("ts")))
+    val (_, info) = ht.readStreamWithInfo()
+    assert(info.filtered && info.deadFiles > 0 && !info.degraded)
+    // overflow the cap: the stream degrades LOUDLY on the returned info
+    spark.conf.set("spark.graft.stream.deadSetMax", "0")
+    try {
+      val (_, over) = ht.readStreamWithInfo()
+      assert(over.degraded && !over.filtered && over.deadFiles > 0)
+    } finally spark.conf.unset("spark.graft.stream.deadSetMax")
+    // filter disabled by conf: reported unfiltered, not degraded
+    spark.conf.set("spark.graft.stream.skipDeadAtStart", "false")
+    try {
+      val (_, off) = ht.readStreamWithInfo()
+      assert(off === Hypertable.StreamStartInfo(filtered = false, 0, degraded = false))
+    } finally spark.conf.unset("spark.graft.stream.skipDeadAtStart")
+  }
+
+  test("a publish whose manifest sync never ran (crash window) does not " +
+    "double-emit on a fresh stream: stream start re-probes catalog freshness") {
+    // VERDICT r8 "what's wrong" #3: the gen-0 fast path trusted the
+    // memoized catalog, so a publish that superseded gen 0 without a
+    // manifest sync left its dead files in the start set (duplicates).
+    val dir = Files.createTempDirectory("graft_htstream_unsynced").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days",
+      catalog = "table")
+    val events = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    ht.write(events)
+    val expected = ht.read().count() // validates + memoizes the catalog
+    val c = ht.showChunks().head
+    val fs = new org.apache.hadoop.fs.Path(c.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveP = new org.apache.hadoop.fs.Path(c.path)
+    // publish a rewrite of the chunk's own content and CRASH before the
+    // manifest sync: rename + stamps land, the manifest still points at
+    // _gen=0
+    val tmp = new org.apache.hadoop.fs.Path(
+      graft.sources.Hypertable.chunkDirOf(liveP), ".tmp_unsynced_publish")
+    spark.read.parquet(c.path).write.parquet(tmp.toString)
+    assert(graft.sources.Hypertable
+      .publishChunkRewrite(spark, fs, liveP, tmp).nonEmpty)
+    drain(ht, s"$dir/ckpt", "ht_stream_unsynced_sink")
+    val got = spark.table("ht_stream_unsynced_sink").count()
+    assert(got === expected,
+      s"fresh stream emitted $got rows vs batch $expected — the unsynced " +
+        "publish's superseded generation leaked into (or over-filtered) the start")
+  }
+
   for ((seed, space) <- Seq((7L, false), (19L, true)))
     test("fresh-stream drain equals the batch read after a RANDOM " +
       s"maintenance history (seed=$seed, space=$space)") {
