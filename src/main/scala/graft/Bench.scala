@@ -172,6 +172,19 @@ object Bench {
         .mkString("""{"queries":{""", ",", s"""},"sf":"$sfDir"}""")
       val w = new java.io.PrintWriter(fullFile); try w.println(merged) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] could not write ${fullFile.getName}: ${e.getMessage}") }
+    // ALSO write this run's rows UNMERGED, stamped with a run id: the
+    // merged record mixes rows from different runs (whichever ran last
+    // per query), so cross-run medians/aggregates were not computable
+    // from artifacts — only from prose notes (VERDICT r8 "what's wrong"
+    // #2). One immutable file per run fixes that.
+    try {
+      val runId = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd'T'HHmmss").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      val runFile = new java.io.File(s"bench_run_${sfTag}_$runId.json")
+      val w = new java.io.PrintWriter(runFile)
+      try w.println(line) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] could not write per-run file: ${e.getMessage}") }
     spark.stop()
   }
 }

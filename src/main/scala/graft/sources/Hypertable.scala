@@ -1495,6 +1495,14 @@ class Hypertable private (
     val versions = manifestVersions()
     val next = versions.lastOption.map(_._1 + 1).getOrElse(1L)
     o.put("v", next)
+    // record each root's content-stamp counter: the mtime-free freshness
+    // cue (catalogFreshByCounter) compares live counters against these
+    val csNode = o.putObject("cs")
+    (new Path(path) +: tablespaceTableDirs).foreach { r =>
+      val rfs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val c = Hypertable.readContentCounter(rfs, r)
+      if (c >= 0) csNode.put(rfs.makeQualified(r).toString, c)
+    }
     fs.mkdirs(catalogDir)
     Hypertable.writeSmallFile(fs,
       new Path(catalogDir, f"v$next%d.json"), o.toString)
@@ -1587,6 +1595,13 @@ class Hypertable private (
     * mutator re-snapshots the catalog itself).
     */
   private def catalogFresh(): Boolean = {
+    // object-store mode: mtimes are unusable (no dir mtimes; setTimes is
+    // a no-op) — compare each root's content-stamp COUNTER against the
+    // counter the latest manifest recorded at sync time. New-chunk crash
+    // heal (the root-mtime cue) is unavailable there; every COMPLETED
+    // mutator still re-snapshots, and the documented recovery after a
+    // writer crash remains an explicit refreshChunkCatalog().
+    if (!Hypertable.mtimeReliable(spark)) return catalogFreshByCounter()
     val catM = manifestVersions().lastOption.map { case (_, p) =>
       try fs.getFileStatus(p).getModificationTime
       catch { case _: java.io.FileNotFoundException => return false }
@@ -1612,6 +1627,33 @@ class Hypertable private (
             .getModificationTime
           catch { case _: Exception => -1L }
         math.max(rootM, contentM) <= catM
+      }
+    }
+  }
+
+  /** [[catalogFresh]]'s mtime-free form (`spark.graft.fs.mtimeReliable=
+    * false`): fresh ⟺ every root's content-stamp counter is ≤ the value
+    * the latest manifest recorded. A root with a stamp the manifest has
+    * no record of reads stale (heals); an unparsable manifest likewise.
+    */
+  private def catalogFreshByCounter(): Boolean = {
+    val latest = manifestVersions().lastOption.getOrElse(return false)
+    val cs: Map[String, Long] =
+      try {
+        val n = Hypertable.jsonMapper
+          .readTree(Hypertable.readSmallFile(fs, latest._2)).get("cs")
+        if (n == null || !n.isObject) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          n.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+        }
+      } catch { case _: Exception => return false }
+    val roots = new Path(path) +: tablespaceTableDirs
+    roots.forall { r =>
+      val rfs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      !rfs.exists(r) || {
+        val c = Hypertable.readContentCounter(rfs, r)
+        c < 0 || cs.get(rfs.makeQualified(r).toString).exists(c <= _)
       }
     }
   }
@@ -2774,6 +2816,30 @@ object Hypertable {
 
   private[sources] val MUTATOR_LEASE = "_graft_mutator_lease"
 
+  /** Whether the store provides reliable, SETTABLE file mtimes (local FS,
+    * HDFS: yes; S3A/GCS: `setTimes` is a no-op and directory "mtimes"
+    * do not exist). `spark.graft.fs.mtimeReliable=false` switches the
+    * mtime-dependent primitives to content-embedded fallbacks: the
+    * content-stamp freshness cue compares a counter written INTO the
+    * stamp file against the counter recorded in the manifest, and the
+    * lease heartbeat/staleness uses a wall-clock timestamp embedded in
+    * the lease file (bounded clock skew assumed, as in any lease
+    * system). See the FS-assumption matrix in SCALE.md.
+    */
+  private[graft] def mtimeReliable(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.fs.mtimeReliable", "true").toBoolean
+
+  /** Lease file body: owner id, then the heartbeat wall-clock (the
+    * staleness clock when mtimes are unreliable; ignored otherwise).
+    */
+  private def leaseStamp(owner: String): String =
+    owner + "\n" + System.currentTimeMillis()
+  private def leaseOwnerOf(txt: String): String =
+    txt.trim.linesIterator.nextOption().getOrElse("")
+  private def leaseTsOf(txt: String): Option[Long] =
+    txt.trim.linesIterator.toSeq.lift(1)
+      .flatMap(l => scala.util.Try(l.trim.toLong).toOption)
+
   /** This process's lease identity — one per JVM; override with
     * `spark.graft.lease.owner` (tests / deliberate handoff).
     */
@@ -2789,9 +2855,12 @@ object Hypertable {
   private def leaseOwner(spark: SparkSession): String =
     spark.conf.get("spark.graft.lease.owner", processId)
 
-  /** Held leases: qualified primary root -> (fs, lease path, owner id). */
+  /** Held leases: qualified primary root -> (fs, lease path, owner id,
+    * mtime-reliable mode captured at acquire — the heartbeat daemon has
+    * no session to re-read the conf from).
+    */
   private val heldLeases = new java.util.concurrent.ConcurrentHashMap[
-    String, (FileSystem, Path, String)]()
+    String, (FileSystem, Path, String, Boolean)]()
   private val leaseAcqLock = new Object
   @volatile private var leaseDaemonStarted = false
 
@@ -2803,11 +2872,19 @@ object Hypertable {
     */
   private[graft] def leaseHeartbeatNow(): Unit =
     heldLeases.forEach { (root, v) =>
-      val (fs, lease, owner) = v
+      val (fs, lease, owner, mtimeOk) = v
       try {
-        if (readSmallFile(fs, lease).trim == owner)
-          fs.setTimes(lease, System.currentTimeMillis(), -1)
-        else heldLeases.remove(root)
+        if (leaseOwnerOf(readSmallFile(fs, lease)) == owner) {
+          if (mtimeOk) fs.setTimes(lease, System.currentTimeMillis(), -1)
+          else {
+            // refresh the EMBEDDED heartbeat clock. Overwrite in place
+            // (truncate+write, not the delete+rename swap): a swap's
+            // no-file window would read as "no lease" to a concurrent
+            // claimant and hand our held table away
+            val out = fs.create(lease, true)
+            out.write(leaseStamp(owner).getBytes("UTF-8")); out.close()
+          }
+        } else heldLeases.remove(root)
       } catch {
         case _: java.io.IOException => heldLeases.remove(root)
         // a non-IO failure (object-store SDKs throw unwrapped runtime
@@ -2836,7 +2913,7 @@ object Hypertable {
         // pays the staleness window
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
           heldLeases.forEach { (_, v) =>
-            try { if (readSmallFile(v._1, v._2).trim == v._3) v._1.delete(v._2, false) }
+            try { if (leaseOwnerOf(readSmallFile(v._1, v._2)) == v._3) v._1.delete(v._2, false) }
             catch { case _: java.io.IOException => () }
           }, "graft-lease-release"))
         leaseDaemonStarted = true
@@ -2858,15 +2935,25 @@ object Hypertable {
       val lease = new Path(root, MUTATOR_LEASE)
       val owner = leaseOwner(spark)
       val staleMs = leaseStaleMs(spark)
+      val mtimeOk = mtimeReliable(spark)
       var attempts = 0
       while (attempts < 3) {
         val cur =
-          try Some(readSmallFile(fs, lease).trim ->
-            fs.getFileStatus(lease).getModificationTime)
+          try {
+            val txt = readSmallFile(fs, lease)
+            val mt = fs.getFileStatus(lease).getModificationTime
+            // heartbeat clock: file mtime where reliable; otherwise the
+            // timestamp embedded by the holder's heartbeats (a legacy
+            // owner-only file falls back to mtime — the conservative
+            // direction is refusing, and takeover still works once BOTH
+            // clocks read stale)
+            val hb = if (mtimeOk) mt else leaseTsOf(txt).getOrElse(mt)
+            Some(leaseOwnerOf(txt) -> hb)
+          }
           catch { case _: java.io.IOException => None }
         cur match {
           case Some((o, _)) if o == owner => // already ours — adopt
-            heldLeases.put(qualifiedRoot, (fs, lease, owner))
+            heldLeases.put(qualifiedRoot, (fs, lease, owner, mtimeOk))
             ensureLeaseDaemon()
             return
           case Some((o, m)) if System.currentTimeMillis() - m < staleMs =>
@@ -2884,12 +2971,12 @@ object Hypertable {
         }
         // claim, then read back: of two same-instant claimants the LAST
         // swap wins and the read-back demotes the other to a refusal
-        writeSmallFile(fs, lease, owner)
+        writeSmallFile(fs, lease, leaseStamp(owner))
         val back =
-          try readSmallFile(fs, lease).trim
+          try leaseOwnerOf(readSmallFile(fs, lease))
           catch { case _: java.io.IOException => "" }
         if (back == owner) {
-          heldLeases.put(qualifiedRoot, (fs, lease, owner))
+          heldLeases.put(qualifiedRoot, (fs, lease, owner, mtimeOk))
           ensureLeaseDaemon()
           return
         }
@@ -2909,8 +2996,8 @@ object Hypertable {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val key = fs.makeQualified(p).toString
-    Option(heldLeases.remove(key)).foreach { case (lfs, lease, owner) =>
-      try { if (readSmallFile(lfs, lease).trim == owner) lfs.delete(lease, false) }
+    Option(heldLeases.remove(key)).foreach { case (lfs, lease, owner, _) =>
+      try { if (leaseOwnerOf(readSmallFile(lfs, lease)) == owner) lfs.delete(lease, false) }
       catch { case _: java.io.IOException => () }
     }
   }
@@ -3274,9 +3361,23 @@ object Hypertable {
         }
         patched match {
           case Some(tree) =>
+            val on = tree
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
             val next = versions.last._1 + 1
-            tree.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-              .put("v", next)
+            on.put("v", next)
+            // re-record the published chunk's ROOT counter: the publish
+            // bumped it just before this sync, and the mtime-free
+            // freshness cue must see this manifest as covering it
+            val rootP = chunkDir.getParent
+            val c = readContentCounter(fs, rootP)
+            if (c >= 0) {
+              val csN =
+                if (on.has("cs") && on.get("cs").isObject)
+                  on.get("cs")
+                    .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                else on.putObject("cs")
+              csN.put(fs.makeQualified(rootP).toString, c)
+            }
             writeSmallFile(pfs, new Path(catDir, s"v$next.json"), tree.toString)
             versions.dropRight(CATALOG_KEEP - 1)
               .foreach { case (_, p) => pfs.delete(p, false) }
@@ -3295,14 +3396,39 @@ object Hypertable {
     * mtime matters, concurrent bumps may interleave freely, and the
     * strictly-past-previous stamp survives coarse mtime granularity.
     */
-  private[sources] def touchContentStamp(fs: FileSystem, tableRoot: Path): Unit = {
-    val p = new Path(tableRoot, CONTENT_STAMP)
-    val prev =
-      try fs.getFileStatus(p).getModificationTime
-      catch { case _: Exception => -1L }
-    val out = fs.create(p, true)
-    out.write('1'); out.close()
-    fs.setTimes(p, math.max(System.currentTimeMillis(), prev + 1), -1)
+  private[sources] def touchContentStamp(fs: FileSystem, tableRoot: Path): Unit =
+    // counter writes must not interleave (read-inc-write would lose one);
+    // the mutator lease makes this JVM the only stamper, so a JVM lock
+    // keyed on the root is the full scope
+    catalogLock(fs.makeQualified(tableRoot).toString).synchronized {
+      val p = new Path(tableRoot, CONTENT_STAMP)
+      val prevM =
+        try fs.getFileStatus(p).getModificationTime
+        catch { case _: Exception => -1L }
+      // the body is a monotonic COUNTER (the mtime-free freshness cue for
+      // object stores — see mtimeReliable); the mtime bump stays the cue
+      // on stores that have one
+      val next = math.max(readContentCounter(fs, tableRoot), 0L) + 1L
+      val out = fs.create(p, true)
+      out.write(next.toString.getBytes("UTF-8")); out.close()
+      fs.setTimes(p, math.max(System.currentTimeMillis(), prevM + 1), -1)
+    }
+
+  /** The content stamp's embedded counter: -1 when absent. A pre-round-9
+    * body is the literal '1' (parses as counter 1 and bumps monotonically
+    * from there); a truly unparsable body falls back to the file mtime so
+    * comparisons against a cs recorded from the same fallback stay
+    * monotonic.
+    */
+  private[graft] def readContentCounter(fs: FileSystem, root: Path): Long = {
+    val p = new Path(root, CONTENT_STAMP)
+    try readSmallFile(fs, p).trim.toLong
+    catch {
+      case _: NumberFormatException =>
+        try fs.getFileStatus(p).getModificationTime
+        catch { case _: Exception => -1L }
+      case _: Exception => -1L
+    }
   }
   private[graft] val jsonMapper =
     new com.fasterxml.jackson.databind.ObjectMapper()

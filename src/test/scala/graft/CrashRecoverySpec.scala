@@ -139,7 +139,8 @@ class CrashRecoverySpec extends AnyFunSuite {
     ht.write(events) // claims this process's mutator lease
     val fs = fsOf(s"$dir/ht")
     val lease = new Path(s"$dir/ht", "_graft_mutator_lease")
-    assert(Hypertable.readSmallFile(fs, lease).trim === Hypertable.processId)
+    assert(Hypertable.readSmallFile(fs, lease).trim.linesIterator.next()
+      === Hypertable.processId)
     // graceful handoff, then "another process" claims (fresh heartbeat)
     Hypertable.releaseMutatorLease(spark, s"$dir/ht")
     assert(!fs.exists(lease), "release must delete the held lease")
@@ -169,7 +170,8 @@ class CrashRecoverySpec extends AnyFunSuite {
     fs.setTimes(lease, System.currentTimeMillis() - 2 * staleMs, -1)
     val n = ht.updateWhere(col("event_id") === 1, Map("value" -> lit(0.0)))
     assert(n > 0)
-    assert(Hypertable.readSmallFile(fs, lease).trim === Hypertable.processId,
+    assert(Hypertable.readSmallFile(fs, lease).trim.linesIterator.next()
+      === Hypertable.processId,
       "takeover must leave this process as the recorded holder")
     assert(ht.read().count() === events.count())
   }
@@ -224,5 +226,94 @@ class CrashRecoverySpec extends AnyFunSuite {
       ht.updateWhere(col("event_id") === 1, Map("value" -> lit(0.0)))
     }
     assert(e.getMessage.contains("usurper-driver"))
+  }
+
+  test("object-store mode: content-stamp COUNTERS drive catalog freshness " +
+    "(spark.graft.fs.mtimeReliable=false)") {
+    // SCALE.md FS matrix: on stores without settable mtimes the freshness
+    // cue is a counter embedded in the stamp file, compared against the
+    // value the latest manifest recorded at sync time
+    spark.conf.set("spark.graft.fs.mtimeReliable", "false")
+    try {
+      val dir = Files.createTempDirectory("graft_crash_counter").toString
+      val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+        chunkWidth = "7 days", catalog = "table")
+      ht.write(events)
+      val fs = fsOf(s"$dir/ht")
+      val root = new Path(s"$dir/ht")
+      // a DML rewrite bumps the counter and its sync records it in the
+      // manifest — the two sides of the comparison must agree
+      ht.deleteWhere(col("event_id") === 1)
+      val c1 = Hypertable.readContentCounter(fs, root)
+      assert(c1 >= 1, "DML publish must bump the content counter")
+      val manifests = fs.listStatus(new Path(s"$dir/ht/_graft_catalog")).toSeq
+        .filter(_.getPath.getName.matches("v\\d+\\.json"))
+        .sortBy(_.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong)
+      val tree = Hypertable.jsonMapper.readTree(
+        Hypertable.readSmallFile(fs, manifests.last.getPath))
+      val recorded = tree.get("cs").get(fs.makeQualified(root).toString)
+      assert(recorded != null && recorded.asLong() === c1,
+        "manifest sync must record the root's counter")
+      // crash window: a publish whose manifest sync never ran — the
+      // counter advances past the manifest record, and a FRESH handle
+      // must detect staleness WITHOUT any mtime and heal to the rewrite
+      val expected = ht.read().count()
+      val c = ht.showChunks().head
+      val liveP = new Path(c.path)
+      val tmp = new Path(Hypertable.chunkDirOf(liveP), ".tmp_counter_publish")
+      // the rewrite drops 5 more rows, so healing is observable by count
+      val chunkRows = spark.read.parquet(c.path)
+      val victims = chunkRows.select("event_id").limit(5)
+        .collect().map(_.getLong(0)).toSet
+      chunkRows.where(!col("event_id").isInCollection(victims))
+        .write.parquet(tmp.toString)
+      assert(Hypertable.publishChunkRewrite(spark, fs, liveP, tmp).nonEmpty)
+      assert(Hypertable.readContentCounter(fs, root) > c1)
+      val healed = Hypertable.at(spark, s"$dir/ht")
+      assert(healed.read().count() === expected - victims.size,
+        "counter-mode freshness missed the unsynced publish")
+    } finally spark.conf.unset("spark.graft.fs.mtimeReliable")
+  }
+
+  test("object-store mode: the lease heartbeat and staleness use the " +
+    "EMBEDDED clock, not file mtimes") {
+    spark.conf.set("spark.graft.fs.mtimeReliable", "false")
+    try {
+      val dir = Files.createTempDirectory("graft_crash_lease_ctr").toString
+      val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+      ht.write(events) // claims the lease: body = owner \n heartbeat-clock
+      val fs = fsOf(s"$dir/ht")
+      val lease = new Path(s"$dir/ht", "_graft_mutator_lease")
+      val body = Hypertable.readSmallFile(fs, lease).trim.linesIterator.toSeq
+      assert(body.head === Hypertable.processId)
+      val ts1 = body(1).toLong
+      Thread.sleep(5)
+      Hypertable.leaseHeartbeatNow()
+      val ts2 = Hypertable.readSmallFile(fs, lease).trim
+        .linesIterator.toSeq(1).toLong
+      assert(ts2 > ts1, "heartbeat must advance the embedded clock " +
+        "(setTimes is a no-op on object stores)")
+      val staleMs = Hypertable.leaseStaleMs(spark)
+      // foreign lease, STALE embedded clock, FRESH file mtime: the
+      // embedded clock governs — takeover must succeed
+      Hypertable.releaseMutatorLease(spark, s"$dir/ht")
+      Hypertable.writeSmallFile(fs, lease,
+        s"crashed-peer\n${System.currentTimeMillis() - 2 * staleMs}")
+      assert(ht.updateWhere(col("event_id") === 2,
+        Map("value" -> lit(0.0))) > 0)
+      // foreign lease, FRESH embedded clock, ANCIENT mtime: must refuse
+      // (an mtime-based check would wrongly take over)
+      Hypertable.releaseMutatorLease(spark, s"$dir/ht")
+      Hypertable.writeSmallFile(fs, lease,
+        s"live-peer\n${System.currentTimeMillis()}")
+      fs.setTimes(lease, System.currentTimeMillis() - 2 * staleMs, -1)
+      val e = intercept[IllegalStateException] {
+        ht.deleteWhere(col("event_id") === 3)
+      }
+      assert(e.getMessage.contains("live-peer"))
+    } finally {
+      spark.conf.unset("spark.graft.fs.mtimeReliable")
+      // leave no foreign lease behind for later suites reusing the temp FS
+    }
   }
 }
