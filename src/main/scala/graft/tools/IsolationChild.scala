@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Hypertable
+
+/** Second-PROCESS driver for the real cross-JVM isolation specs
+  * (RealProcessIsolationSpec): a genuinely separate JVM with its own
+  * SparkSession, exercising the mutator lease and reader snapshot
+  * isolation against a table another process owns. This is the
+  * reference's `test/isolation/` model — real concurrent sessions —
+  * which the same-JVM simulations in CrashRecoverySpec/ConcurrencySpec
+  * cannot fully prove (their locks and heldLeases are JVM-global).
+  *
+  * Modes (argv):
+  *  - `mutate <table>` — attempt one updateWhere. Prints `MUTATED <n>`
+  *    (exit 0) or `REFUSED <message>` (exit 3, the lease refusal).
+  *  - `read-loop <table> <iters>` — pure reader: re-opens the handle and
+  *    re-counts `iters` times while the parent process churns pure
+  *    rewrites (compress/decompress). Snapshot isolation promises every
+  *    count equals the first; prints `READS_OK <count>` (exit 0) or
+  *    `INCONSISTENT ...` (exit 4).
+  *
+  * Output protocol is line-oriented on stdout; the spec asserts on the
+  * exit code first and the lines second.
+  */
+object IsolationChild {
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val table = args(1)
+    val spark = graft.Graft.session("graft-isolation-child", "local[2]", 4)
+    spark.sparkContext.setLogLevel("WARN")
+    var code = 0
+    try {
+      mode match {
+        case "mutate" =>
+          val ht = Hypertable.at(spark, table)
+          try {
+            val n = ht.updateWhere(col("event_id") === 1,
+              Map("value" -> lit(0.0)))
+            println(s"MUTATED $n")
+          } catch {
+            case e: IllegalStateException =>
+              println(s"REFUSED ${e.getMessage}")
+              code = 3
+          }
+        case "read-loop" =>
+          val iters = args(2).toInt
+          val first = Hypertable.at(spark, table).read().count()
+          var i = 1
+          while (i < iters && code == 0) {
+            // a fresh handle per read: each one re-resolves the manifest,
+            // so this exercises the cross-process snapshot contract, not
+            // a memoized plan
+            val c = Hypertable.at(spark, table).read().count()
+            if (c != first) {
+              println(s"INCONSISTENT $c != $first at iteration $i")
+              code = 4
+            }
+            i += 1
+          }
+          if (code == 0) println(s"READS_OK $first")
+        case other =>
+          System.err.println(s"unknown mode $other")
+          code = 2
+      }
+    } finally {
+      System.out.flush()
+      spark.stop()
+    }
+    sys.exit(code)
+  }
+}
