@@ -227,10 +227,14 @@ class Hypertable private (
           // its heal): commit it now and route into the healed live
           // generation — normalizing it dead would discard a finished
           // commit's rows
-          if (Hypertable.healRebirth(dfs, d))
-            Hypertable.liveDataDir(dfs, d)
-              .map(ld => start -> Hypertable.genOf(ld))
-          else {
+          if (Hypertable.healRebirth(dfs, d)) {
+            // loud, not silent: a dropped map entry would default the
+            // routing to _gen=0 — a dead generation — losing the rows
+            val ld = Hypertable.liveDataDir(dfs, d).getOrElse(
+              throw new IllegalStateException(
+                s"rebirth heal of $d left no live generation"))
+            Some(start -> Hypertable.genOf(ld))
+          } else {
             val listedMax = Hypertable.listGenDirs(dfs, d).map(_._1)
               .maxOption.getOrElse(-1)
             val recorded = Hypertable.readTombMax(dfs, d)
@@ -245,10 +249,13 @@ class Hypertable private (
             // strictly above everything dead, so healRebirth commits
             // exactly the generation this append writes.
             val deadMax = math.max(listedMax, recorded.getOrElse(-1))
-            if (!recorded.contains(deadMax)) {
-              val out0 = dfs.create(new Path(d, Hypertable.DROP_TOMB), true)
-              out0.write(deadMax.toString.getBytes("UTF-8")); out0.close()
-            }
+            // ALWAYS rewrite (even when the value is unchanged): the
+            // fresh mtime resets the tombstone's grace clock, so the GC
+            // cannot reap this dir between our job commit and our heal
+            // (gcChunkDir additionally refuses while an above-max
+            // generation exists — this is the belt, that the braces)
+            val out0 = dfs.create(new Path(d, Hypertable.DROP_TOMB), true)
+            out0.write(deadMax.toString.getBytes("UTF-8")); out0.close()
             pendingRebirth += start -> (d, deadMax + 1)
             Some(start -> (deadMax + 1))
           }
@@ -800,11 +807,17 @@ class Hypertable private (
       try fs.getFileStatus(new Path(path, n)).getModificationTime
       catch { case _: Exception => -1L }
     // content rewrites stamp the CHUNK's own storage root (a compressed
-    // chunk may live in a tablespace dir) — take the max across roots
+    // chunk may live in a tablespace dir) — take the max across roots.
+    // Object-store mode keys on the stamp's embedded COUNTER instead of
+    // its mtime (strictly monotonic; immune to PUT-time granularity)
+    val mtimeOk = Hypertable.mtimeReliable(spark)
     val content = (new Path(path) +: tablespaceTableDirs).map { r =>
-      try r.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getFileStatus(new Path(r, Hypertable.CONTENT_STAMP)).getModificationTime
-      catch { case _: Exception => -1L }
+      val rfs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (mtimeOk)
+        try rfs.getFileStatus(new Path(r, Hypertable.CONTENT_STAMP))
+          .getModificationTime
+        catch { case _: Exception => -1L }
+      else Hypertable.readContentCounter(rfs, r)
     }.max
     // first component: the manifest VERSION (monotonic — a chunk-set
     // mutation can never reuse a stamp, regardless of mtime granularity)
@@ -933,10 +946,19 @@ class Hypertable private (
     // — refuse loudly, like read()/showChunks()/withMutation
     assertLayoutCurrent()
     val s = schema.getOrElse {
-      require(showChunks().nonEmpty,
+      val cs = showChunks()
+      require(cs.nonEmpty,
         "hypertable has no chunks yet — pass an explicit schema to " +
           "readStream (parquet cannot infer one from an empty table)")
-      spark.read.parquet(path).schema
+      // infer from ONE chunk dir against its storage root: same fidelity
+      // as a whole-root read (parquet inference reads one footer either
+      // way, and basePath surfaces the same partition columns) without
+      // the O(all chunks) partition discovery — and it works when every
+      // chunk lives in a tablespace and the primary root is bare
+      val c = new Path(cs.head.path)
+      spark.read
+        .option("basePath", Hypertable.storageRootOf(c).toString)
+        .parquet(c.toString).schema
     }
     // one file source per STORAGE ROOT: appends write DIRECTLY into the
     // root their chunk lives in (see write()'s tablespace routing), so a
@@ -3140,8 +3162,18 @@ object Hypertable {
       // a write that re-ingested this range routed its rows into a fresh
       // rebirth generation (created AFTER the tombstone); finish the
       // rebirth if the writer crashed before its own heal ran
-      if (!healRebirth(fs, chunkDir) &&
-          graced(new Path(chunkDir, DROP_TOMB))) fs.delete(chunkDir, true)
+      if (!healRebirth(fs, chunkDir) && graced(new Path(chunkDir, DROP_TOMB))) {
+        // never reap while ANY generation sits above the recorded max:
+        // it is either an append's just-committed rebirth racing this GC
+        // (its completion marker lands momentarily — the write path also
+        // refreshes the tombstone's grace clock at routing, so this arm
+        // needs an append older than the grace window to even arrive
+        // here) or a crashed partial the next append will normalize into
+        // the dead set. Deleting would lose the former's acked rows.
+        val deadMax = readTombMax(fs, chunkDir).getOrElse(Int.MaxValue)
+        if (!listGenDirs(fs, chunkDir).exists(_._1 > deadMax))
+          fs.delete(chunkDir, true)
+      }
       return
     }
     val gens = listGenDirs(fs, chunkDir)
