@@ -29,10 +29,22 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
     .select(col("event_id"), unix_micros(col("ts")))
     .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  for ((seed, startFlat, space) <- Seq(
-      (11L, true, false), (23L, false, true), (42L, false, false)))
+  // seed 57 runs the whole interleaving in OBJECT-STORE mode
+  // (mtimeReliable=false): every publish/sync in the sequence exercises
+  // the counter-based freshness cue instead of mtimes
+  for ((seed, startFlat, space, objectStore) <- Seq(
+      (11L, true, false, false), (23L, false, true, false),
+      (42L, false, false, false), (57L, false, false, true)))
     test("maintenance-op interleavings match the expected-rowset oracle " +
-      s"after every op (seed=$seed, startFlat=$startFlat, space=$space)") {
+      s"after every op (seed=$seed, startFlat=$startFlat, space=$space" +
+      s"${if (objectStore) ", mtimeReliable=false" else ""})") {
+      if (objectStore) spark.conf.set("spark.graft.fs.mtimeReliable", "false")
+      try runInterleaving(seed, startFlat, space)
+      finally if (objectStore) spark.conf.unset("spark.graft.fs.mtimeReliable")
+    }
+
+  private def runInterleaving(seed: Long, startFlat: Boolean,
+      space: Boolean): Unit = {
       val rnd = new scala.util.Random(seed)
       val dir = Files.createTempDirectory(s"graft_mfuzz$seed").toString
       var ht = Hypertable.create(spark, s"$dir/ht", "ts",
@@ -138,5 +150,5 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
       }
       // quiesce: a fresh handle converges to the same multiset
       assert(Hypertable.at(spark, s"$dir/ht").read().count() === expected.size.toLong)
-    }
+  }
 }

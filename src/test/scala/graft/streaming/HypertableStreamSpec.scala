@@ -247,17 +247,20 @@ class HypertableStreamSpec extends AnyFunSuite {
         "publish's superseded generation leaked into (or over-filtered) the start")
   }
 
-  for ((seed, space) <- Seq((7L, false), (19L, true)))
+  for ((seed, space) <- Seq((7L, false), (19L, true), (37L, false)))
     test("fresh-stream drain equals the batch read after a RANDOM " +
       s"maintenance history (seed=$seed, space=$space)") {
       // seeded fuzz of the dead-at-start filter: any misclassification is
       // observable — over-filtering emits fewer rows than the batch view,
-      // a leaked superseded generation or dropped row emits more
+      // a leaked superseded generation or dropped row emits more. The op
+      // pool includes move_chunk to/from an attached tablespace, so the
+      // walk and the per-root union cover relocated chunks too.
       val rnd = new scala.util.Random(seed)
       val dir = Files.createTempDirectory(s"graft_htstream_fz$seed").toString
       val ht = Hypertable.create(spark, s"$dir/ht", "ts",
         chunkWidth = "7 days", catalog = "table",
         spaceCol = if (space) Some("user_id") else None, spacePartitions = 2)
+      ht.attachTablespace(s"$dir/cold")
       val events = Tables.table(spark, "/root/testdata/sf0.001", "events")
       var unwritten = rnd.shuffle((1 until 4).toList)
       ht.write(events.where(pmod(col("event_id"), lit(4)) === 0))
@@ -265,7 +268,7 @@ class HypertableStreamSpec extends AnyFunSuite {
       var droppedBefore: Option[Long] = None
       val ops = new StringBuilder
       (1 to 10).foreach { _ =>
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 if unwritten.nonEmpty =>
             val s0 = unwritten.head; unwritten = unwritten.tail
             ops ++= s"write($s0) "
@@ -303,6 +306,17 @@ class HypertableStreamSpec extends AnyFunSuite {
                 val k = rnd.nextInt(101); ops ++= s"update($k) "
                 ht.updateWhere(pmod(col("event_id"), lit(101)) === k,
                   Map("value" -> (col("value") + lit(1.0))))
+            }
+          case 6 =>
+            val cs = ht.showChunks()
+            if (cs.nonEmpty) {
+              val c = cs(rnd.nextInt(cs.size))
+              if (c.path.contains("/cold/")) {
+                ops ++= "move(home) "; ht.moveChunk(c.startMicros, None)
+              } else {
+                ops ++= "move(cold) "
+                ht.moveChunk(c.startMicros, s"$dir/cold")
+              }
             }
         }
       }
