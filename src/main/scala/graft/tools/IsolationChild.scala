@@ -20,6 +20,11 @@ import graft.sources.Hypertable
   *    rewrites (compress/decompress). Snapshot isolation promises every
   *    count equals the first; prints `READS_OK <count>` (exit 0) or
   *    `INCONSISTENT ...` (exit 4).
+  *  - `hold <table> <ms>` — mutate once (claiming the lease), print
+  *    `HELD <owner>`, keep the process (and its heartbeat daemon) alive
+  *    for `ms`, then exit gracefully (the shutdown hook releases the
+  *    lease). The parent asserts ITS mutations are refused while this
+  *    runs — the mirror direction of `mutate`.
   *
   * Output protocol is line-oriented on stdout; the spec asserts on the
   * exit code first and the lines second.
@@ -60,6 +65,14 @@ object IsolationChild {
             i += 1
           }
           if (code == 0) println(s"READS_OK $first")
+        case "hold" =>
+          val ms = args(2).toLong
+          val ht = Hypertable.at(spark, table)
+          ht.updateWhere(col("event_id") === 1, Map("value" -> lit(1.0)))
+          println(s"HELD ${Hypertable.processId}")
+          System.out.flush()
+          Thread.sleep(ms) // the heartbeat daemon keeps the lease fresh
+          println("DONE")
         case other =>
           System.err.println(s"unknown mode $other")
           code = 2

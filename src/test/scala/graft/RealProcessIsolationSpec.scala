@@ -97,6 +97,63 @@ class RealProcessIsolationSpec extends AnyFunSuite {
     assert(ht.read().count() === events.count() - 1)
   }
 
+  test("the mirror direction: while a second process HOLDS the lease, " +
+    "this process's mutations refuse naming it; its graceful exit hands back") {
+    val dir = Files.createTempDirectory("graft_realproc_hold").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(events)
+    // hand the table off so the child can claim it
+    Hypertable.releaseMutatorLease(spark, s"$dir/ht")
+    val pb = new ProcessBuilder(childCmd("hold", s"$dir/ht", "20000"): _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new java.lang.StringBuilder
+    @volatile var heldOwner: Option[String] = None
+    val drain = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var l = r.readLine()
+      while (l != null) {
+        out.synchronized { out.append(l).append('\n') }
+        if (l.startsWith("HELD ")) heldOwner = Some(l.stripPrefix("HELD ").trim)
+        l = r.readLine()
+      }
+    }, "hold-drain")
+    drain.setDaemon(true)
+    drain.start()
+    try {
+      val deadline = System.nanoTime() + 240L * 1000000000L
+      while (heldOwner.isEmpty && p.isAlive && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(heldOwner.nonEmpty,
+        s"child never claimed the lease:\n${out.synchronized(out.toString)}")
+      // our mutation must refuse, naming the CHILD process
+      val e = intercept[IllegalStateException] {
+        ht.updateWhere(col("event_id") === 5, Map("value" -> lit(0.0)))
+      }
+      assert(e.getMessage.contains("another process") &&
+        e.getMessage.contains(heldOwner.get),
+        s"refusal must name the child holder ${heldOwner.get}: ${e.getMessage}")
+      // reads are never fenced
+      assert(ht.read().count() === events.count())
+    } finally {
+      p.destroy() // graceful SIGTERM -> the child's shutdown hook releases
+      p.waitFor(60, TimeUnit.SECONDS)
+      if (p.isAlive) p.destroyForcibly()
+    }
+    drain.join(5000)
+    // after the graceful exit the lease is gone and we can mutate again
+    val fs = new Path(s"$dir/ht")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deadline2 = System.nanoTime() + 30L * 1000000000L
+    while (fs.exists(new Path(s"$dir/ht", "_graft_mutator_lease")) &&
+        System.nanoTime() < deadline2) Thread.sleep(100)
+    assert(!fs.exists(new Path(s"$dir/ht", "_graft_mutator_lease")),
+      "a SIGTERM'd child must release its lease via the shutdown hook")
+    assert(ht.updateWhere(col("event_id") === 5,
+      Map("value" -> lit(0.0))) > 0)
+  }
+
   test("a READER in a second process sees snapshot-consistent chunk sets " +
     "while this process churns compress/decompress rewrites") {
     val dir = Files.createTempDirectory("graft_realproc_snap").toString
