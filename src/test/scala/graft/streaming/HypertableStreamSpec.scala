@@ -135,15 +135,17 @@ class HypertableStreamSpec extends AnyFunSuite {
         "(superseded generations or dropped rows leaked, or rebirth lost)")
   }
 
+  for (catalog <- Seq("table", "list"))
   test("appends into a tablespace-resident chunk emit exactly once " +
-    "(rows route directly to the owning root; the stream unions all roots)") {
+    s"(direct root routing + per-root stream union; catalog=$catalog)") {
     // VERDICT r8 #1: the primary-only glob never saw rows relocated into
     // tablespace dirs — silent loss. write() now routes moved chunks'
     // rows directly to their root and readStream tails one source per
-    // root, so every acked row emits exactly once.
-    val dir = Files.createTempDirectory("graft_htstream_ts").toString
+    // root, so every acked row emits exactly once. The list-mode variant
+    // pins the FLAT layout (no `_gen=` level) through the same paths.
+    val dir = Files.createTempDirectory(s"graft_htstream_ts_$catalog").toString
     val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days",
-      catalog = "table")
+      catalog = catalog)
     val events = Tables.table(spark, "/root/testdata/sf0.001", "events")
     // parity split: BOTH batches span every chunk, so the post-move append
     // is guaranteed to route rows into the tablespace-resident chunk
