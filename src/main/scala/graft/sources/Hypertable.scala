@@ -881,6 +881,14 @@ class Hypertable private (
     val extra = tablespaceTableDirs.filter(d => listChunksUnder(d).nonEmpty)
     if (extra.isEmpty) readPaths(path)
     else {
+      // with chunks in MULTIPLE roots, run the duplicate-start guard the
+      // table-mode catalog read gets for free: a crashed move/relocation
+      // leaves one chunk visible in two roots, and a silent union would
+      // DOUBLE-COUNT its rows — the loud refusal (and its manual-merge
+      // message) must come from every read path, not just showChunks
+      // consumers. One extra listing per root on a path that is already
+      // per-query listing by contract.
+      checkNoDuplicateStarts(listAllChunks())
       extra.foreach { d =>
         val q = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .makeQualified(d).toString

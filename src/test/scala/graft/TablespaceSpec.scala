@@ -99,6 +99,35 @@ class TablespaceSpec extends AnyFunSuite {
     assert(spark.read.parquet(movedPath).count() === chunkRowsBefore + nLate)
   }
 
+  test("a CRASHED relocation's primary-root stub: fresh handles refuse " +
+    "loudly (duplicate start), the owning session's next write heals it") {
+    // since round 9 fresh rows write DIRECTLY into the owning root, so a
+    // stub only exists from a pre-r9 crash (or external tooling) — the
+    // relocate path is now pure heal. Build the stub by hand.
+    val (ht, dir) = fresh()
+    val total = ht.read().count()
+    ht.attachTablespace(s"$dir/cold")
+    val first = ht.showChunks().head
+    ht.moveChunk(first.startMicros, Some(s"$dir/cold"))
+    val stubRows = events
+      .where(col("ts") < new Timestamp(first.endMicros / 1000)).limit(7)
+    val refCols = spark.read.parquet(ht.showChunks().head.path).columns
+    stubRows.select(refCols.map(col): _*).coalesce(1).write
+      .parquet(s"$dir/ht/_chunk=${first.startMicros}")
+    // a FRESH handle re-snapshots and sees the chunk in two roots: the
+    // documented loud refusal, never a double-counted read
+    val e = intercept[IllegalStateException] {
+      Hypertable.at(spark, s"$dir/ht").read().count()
+    }
+    assert(e.getMessage.contains("multiple storage roots"))
+    // the session that owns the table (warm catalog memo) heals on its
+    // next write: relocateFreshWrites folds the stub into the moved dir
+    ht.write(events.limit(0)) // empty batch still runs the heal
+    assert(ht.read().count() === total + 7)
+    assert(Hypertable.at(spark, s"$dir/ht").read().count() === total + 7)
+    assert(!new java.io.File(s"$dir/ht/_chunk=${first.startMicros}").exists())
+  }
+
   test("maintenance resolves moved chunks: compress + merge in place") {
     val (ht, dir) = fresh()
     ht.attachTablespace(s"$dir/cold")
