@@ -93,6 +93,63 @@ class GoldenCaggDropChunksSpec extends AnyFunSuite {
         "must not clear the dropped-range buckets")
   }
 
+  test("cagg_ddl.out 'materialization of invalidation before drop': " +
+    "refresh-then-drop workflow, dropped buckets persist, dropped chunks " +
+    "reborn with their original identities") {
+    val dir = Files.createTempDirectory("graft_cagg_ddl_invdrop").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "time",
+      chunkWidth = "10", timeKind = "bigint", catalog = "table")
+    // integer_now_test2() = coalesce(max(time), 0) — a moving clock
+    var now = 0L
+    Hypertable.registerIntegerNow("cagg_ddl_invdrop_now")(() => now)
+    ht.setIntegerNowFunc("cagg_ddl_invdrop_now")
+    val defn = CaggDef("5", Seq.empty, Seq(max($"data").as("max")),
+      bucketCol = "time_bucket")
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht, defn)
+    def ins(rows: Seq[(Long, Int)]): Unit = {
+      ht.write(rows.toDF("time", "data"))
+      now = math.max(now, rows.map(_._1).max)
+    }
+    def view: Map[Long, Int] = cagg.materialized.collect()
+      .map(r => r.getAs[Long]("time_bucket") -> r.getAs[Int]("max")).toMap
+    ins((0L to 20L).map(i => i -> i.toInt))
+    // "dropping chunks will process the invalidations": drop < now-9=11
+    ht.dropChunks(Some(now - 9), None)
+    assert(ht.read().agg(min($"time")).head().getLong(0) === 10L)
+    ins((20L to 35L).map(i => i -> i.toInt))
+    cagg.refresh(10L, 40L)
+    assert(view === Map(10L -> 14, 15L -> 19, 20L -> 24, 25L -> 29,
+      30L -> 34, 35L -> 35))
+    // late updates: 26 inside the next drop window, 31 outside
+    ins(Seq(26L -> 100))
+    ins(Seq(31L -> 200))
+    ins((35L to 39L).map(i => i -> i.toInt))
+    // "the invalidation on 25 not yet seen"
+    assert(view(25L) === 29)
+    // refresh to process the invalidations, THEN drop < now-9=30
+    cagg.refresh(None, Some(now - 9), force = false)
+    ht.dropChunks(Some(now - 9), None)
+    // "new values on 25 now seen"; dropped-range buckets persist
+    assert(view === Map(10L -> 14, 15L -> 19, 20L -> 24, 25L -> 100,
+      30L -> 34, 35L -> 35))
+    assert(ht.read().agg(min($"time")).head().getLong(0) === 30L)
+    assert(ht.read().where($"time" < now - 9).isEmpty,
+      "no raw data below the drop point")
+    // "recreate the dropped chunk": re-ingest into the dropped ranges —
+    // the tombstoned identity dirs take rebirth generations
+    ins((0L to 20L).map(i => i -> i.toInt))
+    assert(ht.read().where($"time" < 30).count() === 21)
+    // chunks reborn with their ORIGINAL identities and ranges
+    assert(ht.showChunks().map(c => (c.startMicros, c.endMicros)).sorted ===
+      Seq((0L, 10L), (10L, 20L), (20L, 30L), (30L, 40L)))
+    // "the dropped data should stay the same as long as we only refresh
+    // buckets that have non-dropped data": buckets 10-25 keep their
+    // pre-drop materialization even though the reborn raw differs
+    cagg.refresh(30L, 40L)
+    assert(view === Map(10L -> 14, 15L -> 19, 20L -> 24, 25L -> 100,
+      30L -> 200, 35L -> 39))
+  }
+
   test("cagg_drop_chunks.out records_monthly: drop_chunks succeeds on a " +
     "realtime cagg's source and the union view serves the surviving range") {
     // the .sql's first scenario exists to prove drop_chunks works at all
