@@ -70,11 +70,16 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
             s"(got ${got.size} rows, expected ${expected.size})")
       }
       var unwritten = rnd.shuffle(List(1, 2, 3))
+      // frozen chunks: writes/DML/maintenance must refuse or skip them —
+      // candidate picks below exclude them, the delete op exercises the
+      // atomic refusal, and the drop oracle pins drop-SKIPS-frozen
+      val frozen = scala.collection.mutable.Set.empty[Long]
       val opts = Columnstore.Options(orderBy = Seq("ts"))
       (1 to 16).foreach { i =>
-        val cs = ht.showChunks().sortBy(_.startMicros)
-        val name = rnd.nextInt(10) match {
-          case 0 if unwritten.nonEmpty =>
+        val all = ht.showChunks().sortBy(_.startMicros)
+        val cs = all.filterNot(c => frozen(c.startMicros))
+        val name = rnd.nextInt(11) match {
+          case 0 if unwritten.nonEmpty && frozen.isEmpty =>
             val k = unwritten.head; unwritten = unwritten.tail
             writeSlice(k); s"write($k)"
           case 0 | 1 if cs.nonEmpty =>
@@ -119,8 +124,10 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
           case 7 if detached.nonEmpty =>
             val (p, s0, e0, ids) = detached.top
             // a later write may have re-created a chunk in the freed
-            // range — attaching over it must be skipped, like a user would
-            if (cs.exists(c => c.startMicros < e0 && c.endMicros > s0))
+            // range — attaching over it must be skipped, like a user
+            // would (overlap check against ALL chunks, frozen included:
+            // attachChunk's own overlap require does not care)
+            if (all.exists(c => c.startMicros < e0 && c.endMicros > s0))
               "attach(skip-overlap)"
             else {
               detached.pop()
@@ -130,19 +137,37 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
           case 8 =>
             val k = rnd.nextInt(53)
             val victims = expected.filter(id => math.floorMod(id, 53) == k).toSeq
-            ht.deleteWhere(pmod(col("event_id"), lit(53)) === k)
-            expected --= victims; s"delete($k)"
+            // the refusal on a frozen hit is ATOMIC (probed before any
+            // rewrite) — on refusal nothing changes, and the per-op check
+            // below proves exactly that
+            try {
+              ht.deleteWhere(pmod(col("event_id"), lit(53)) === k)
+              expected --= victims; s"delete($k)"
+            } catch {
+              case _: IllegalArgumentException => s"delete($k,frozen-refused)"
+            }
           case 9 if startFlat && !ht.genLayout =>
             ht = ht.migrateToGenLayout(); "migrate"
           case 9 if cs.size > 2 =>
             val end = cs.head.endMicros
-            // physical rows of the chunks the drop covers (see the detach
-            // note: recorded ranges can overlap a post-merge sibling's)
+            // physical rows of the UNFROZEN chunks the drop covers (see
+            // the detach note on recorded-range overlap); frozen chunks
+            // are SKIPPED, not dropped (src/chunk.c:4113) — their rows
+            // stay in the oracle
             val victims = cs.filter(_.endMicros <= end).flatMap(c =>
               spark.read.parquet(c.path).select("event_id")
                 .collect().map(_.getLong(0)))
             ht.dropChunks(Some(end), None)
             expected --= victims; "drop"
+          case 10 if frozen.nonEmpty && rnd.nextBoolean() =>
+            val s0 = frozen.head
+            ht.unfreezeChunk(s0); frozen -= s0; "unfreeze"
+          case 10 if cs.nonEmpty && unwritten.isEmpty =>
+            // freeze only once every write slice landed (a routed batch
+            // refuses whole if ANY row targets a frozen chunk)
+            val c = cs(rnd.nextInt(cs.size))
+            ht.freezeChunk(c.startMicros); frozen += c.startMicros
+            "freeze"
           case _ => "noop"
         }
         ops ++= name + " "
