@@ -32,9 +32,12 @@ class MaintenanceFuzzSpec extends AnyFunSuite {
   // seed 57 runs the whole interleaving in OBJECT-STORE mode
   // (mtimeReliable=false): every publish/sync in the sequence exercises
   // the counter-based freshness cue instead of mtimes
+  // seed 83 starts FLAT **and** space-partitioned: the mid-sequence
+  // migration must carry `_space=` subtrees through the gen conversion
   for ((seed, startFlat, space, objectStore) <- Seq(
       (11L, true, false, false), (23L, false, true, false),
-      (42L, false, false, false), (57L, false, false, true)))
+      (42L, false, false, false), (57L, false, false, true),
+      (83L, true, true, false)))
     test("maintenance-op interleavings match the expected-rowset oracle " +
       s"after every op (seed=$seed, startFlat=$startFlat, space=$space" +
       s"${if (objectStore) ", mtimeReliable=false" else ""})") {
