@@ -333,20 +333,50 @@ class Hypertable private (
     // left a window where a running stream's listing missed the renamed
     // files entirely — silent loss; a direct write is atomic at job
     // commit, so readStream's per-root sources see every acked row
-    // exactly once. The map is sized by the MOVED chunk count (bounded
-    // by move_chunk history), a broadcast-sized literal set. Tombstoned
-    // tablespace dirs route here too, so their rebirth generation lands
-    // where the tombstone (and its heal) lives.
+    // exactly once. ATOMICITY BOUNDARY: each ROOT's job commit is the
+    // atomic unit, not the batch — with attached tablespaces a crash
+    // between the primary-root commit and a tablespace-root commit
+    // leaves the committed roots' rows visible (unacked partial batch),
+    // and a caller retry re-appends them (duplicates). Callers needing
+    // batch-exact multi-root semantics must dedupe on retry (idempotent
+    // keys) or quiesce tablespaces during ingest; see SCALE.md §15.
+    // The map is sized by the MOVED chunk count (bounded by move_chunk
+    // history), a broadcast-sized literal set. Tombstoned tablespace
+    // dirs route here too, so their rebirth generation lands where the
+    // tombstone (and its heal) lives.
     val tsRoots: Map[Long, Path] =
       if (showTablespaces.isEmpty) Map.empty
       else {
-        val liveTs = tablespaceTableDirs.flatMap(d =>
-          listChunksUnder(d).map(_.startMicros -> d))
-        val tombTs = tombstoned.filter { case (_, cd) =>
-          val pfs = cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          pfs.makeQualified(cd.getParent).toString != qualifiedPath
+        // gen layout: route from the SAME liveChunks list the gens map was
+        // built from, so the generation and the root always agree — a start
+        // can be live at the primary while a graced tombstone of it still
+        // sits at a tablespace (merge absorbed the cold-resident chunk,
+        // then a split recreated the start at the primary); listing the
+        // tablespace dirs would route those rows' live-gen files INTO the
+        // tombstoned dir, where no reader looks and GC reaps them — silent
+        // loss of acked rows. Flat layout has no tombstones, so the dir
+        // listing stays authoritative there.
+        val liveTs =
+          if (genLayout) liveChunks.flatMap { c =>
+            val cd = Hypertable.chunkDirOf(new Path(c.path))
+            val pfs = cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (pfs.makeQualified(cd.getParent).toString != qualifiedPath)
+              Some(c.startMicros -> cd.getParent)
+            else None
+          }
+          else tablespaceTableDirs.flatMap(d =>
+            listChunksUnder(d).map(_.startMicros -> d))
+        // tombstoned tablespace dirs host rebirth generations — but only
+        // for starts with NO live chunk (the same filter the rebirth
+        // routing above applies); live always wins the map union too
+        val liveStarts = liveChunks.map(_.startMicros).toSet
+        val tombTs = tombstoned.filter { case (s, cd) =>
+          !liveStarts.contains(s) && {
+            val pfs = cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            pfs.makeQualified(cd.getParent).toString != qualifiedPath
+          }
         }.map { case (s, cd) => s -> cd.getParent }
-        (liveTs ++ tombTs).toMap
+        (tombTs ++ liveTs).toMap
       }
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Join => LJoin, Window => LWin}
     // splitting the batch across storage roots re-scans it once per root —
@@ -2928,6 +2958,20 @@ object Hypertable {
       }
     }
 
+  /** Lease owner read for the holder's own release paths, tolerating the
+    * heartbeat's non-atomic truncate-overwrite window (mtime-unreliable
+    * mode): a concurrent heartbeat's create(overwrite) can expose an
+    * empty/ownerless body for a moment; concluding "not ours" then skips
+    * the delete and leaks the lease until staleness expiry. An empty
+    * owner is re-read once after a short sleep — the heartbeat writes the
+    * full stamp in one small write, so the window is sub-millisecond.
+    */
+  private def leaseOwnerSettled(fs: FileSystem, lease: Path): String = {
+    val o = leaseOwnerOf(readSmallFile(fs, lease))
+    if (o.nonEmpty) o
+    else { Thread.sleep(25); leaseOwnerOf(readSmallFile(fs, lease)) }
+  }
+
   private def ensureLeaseDaemon(): Unit =
     if (!leaseDaemonStarted) leaseAcqLock.synchronized {
       if (!leaseDaemonStarted) {
@@ -2943,7 +2987,7 @@ object Hypertable {
         // pays the staleness window
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
           heldLeases.forEach { (_, v) =>
-            try { if (leaseOwnerOf(readSmallFile(v._1, v._2)) == v._3) v._1.delete(v._2, false) }
+            try { if (leaseOwnerSettled(v._1, v._2) == v._3) v._1.delete(v._2, false) }
             catch { case _: java.io.IOException => () }
           }, "graft-lease-release"))
         leaseDaemonStarted = true
@@ -3027,7 +3071,7 @@ object Hypertable {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val key = fs.makeQualified(p).toString
     Option(heldLeases.remove(key)).foreach { case (lfs, lease, owner, _) =>
-      try { if (leaseOwnerOf(readSmallFile(lfs, lease)) == owner) lfs.delete(lease, false) }
+      try { if (leaseOwnerSettled(lfs, lease) == owner) lfs.delete(lease, false) }
       catch { case _: java.io.IOException => () }
     }
   }

@@ -196,6 +196,50 @@ class TablespaceSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(ht.path)).toString)
   }
 
+  test("a start LIVE at the primary with a graced tombstone at a " +
+    "tablespace: appends route to the live root, not the dead dir") {
+    // merge absorbs a cold-resident chunk (tombstoning its tablespace
+    // dir for the grace window), then a split recreates the SAME start
+    // live at the primary — tuple routing must send that start's rows
+    // to the live generation's actual root; writing them into the
+    // tombstoned tablespace dir would make them invisible to every
+    // reader and eventually GC'd (silent loss of acked rows).
+    val dir = Files.createTempDirectory("graft_tblspc").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    ht.write(events)
+    ht.attachTablespace(s"$dir/cold")
+    val all = ht.showChunks().sortBy(_.startMicros)
+    val a = all(0); val b = all(1)
+    ht.moveChunk(b.startMicros, Some(s"$dir/cold"))
+    ht.mergeChunksConcurrently(Seq(a.startMicros, b.startMicros))
+    ht.splitChunk(a.startMicros, b.startMicros)
+    val liveB = ht.showChunks().find(_.startMicros == b.startMicros).get
+    assert(!liveB.path.contains("/cold/"),
+      "split should recreate the upper half at the primary root")
+    // b's tombstoned dir still sits at the cold root (graced)
+    val tsDir = ht.tablespaceTableDir(s"$dir/cold")
+    val cfs = tsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val coldB = cfs.listStatus(tsDir).map(_.getPath)
+      .find(_.getName.startsWith("_chunk="))
+    assert(coldB.isDefined, "expected the absorbed cold dir to be graced")
+
+    val total = ht.read().count()
+    val coldFilesBefore =
+      cfs.getContentSummary(coldB.get).getFileCount
+    val late = events.where(
+      col("ts") >= new Timestamp(b.startMicros / 1000) &&
+      col("ts") < new Timestamp(b.endMicros / 1000)).limit(50)
+    val nLate = late.count()
+    assert(nLate > 0)
+    ht.write(late)
+    // every acked row is visible through the normal read path...
+    assert(ht.read().count() === total + nLate)
+    // ...and none leaked into the tombstoned cold dir
+    assert(cfs.getContentSummary(coldB.get).getFileCount === coldFilesBefore,
+      "append wrote files into the tombstoned tablespace dir")
+  }
+
   test("drop() removes tablespace-resident chunk dirs too") {
     val (ht, dir) = fresh()
     ht.attachTablespace(s"$dir/cold")
