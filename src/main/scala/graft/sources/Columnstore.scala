@@ -247,12 +247,19 @@ object Columnstore {
     // the chunk's — resolve the root's own FS or Hadoop's checkPath
     // throws "Wrong FS" on the first claim
     val rootP = new Path(rootKey)
-    Hypertable.acquireMutatorLease(spark,
-      rootP.getFileSystem(spark.sparkContext.hadoopConfiguration), rootKey)
+    val rootFs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Hypertable.acquireMutatorLease(spark, rootFs, rootKey)
     val rl = Hypertable.tableMutationLock(rootKey).readLock()
     rl.lock()
-    try Hypertable.chunkMonitor(fs.makeQualified(chunkDir).toString).synchronized(body)
-    finally rl.unlock()
+    try Hypertable.chunkMonitor(fs.makeQualified(chunkDir).toString).synchronized {
+      // cross-process seal on the chunk (lease split): a concurrent
+      // APPEND process routing rows into this chunk either drains before
+      // the rewrite reads its input or yields until the publish lands —
+      // the reference's per-chunk lock in tsl/src/compression/api.c
+      val start = scala.util.Try(
+        chunkDir.getName.stripPrefix(s"${Hypertable.CHUNK}=").toLong).toOption
+      MutationGate.withSeals(spark, rootFs, rootKey, Seq(start))(body)
+    } finally rl.unlock()
   }
 
   /** Staging dir for a whole-chunk rewrite of `chunkP`: inside the chunk
@@ -260,12 +267,19 @@ object Columnstore {
     * sweeps share the storage root), next to the dir for flat ones (whose
     * in-place swap deletes the dir itself).
     */
-  private def rewriteTmp(fs: org.apache.hadoop.fs.FileSystem, chunkP: Path,
+  private def rewriteTmp(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, chunkP: Path,
       tag: String): Path =
     // registered in flight so a concurrent catalog sync's stale-tmp GC
     // cannot reap the staging dir of a still-running rewrite (the dir's
-    // mtime is the Spark job's START, not its progress)
-    Hypertable.registerRewriteTmp(fs,
+    // mtime is the Spark job's START, not its progress). Direct publish
+    // mode stages IN the final generation dir — see
+    // [[Hypertable.publishMode]] (object stores without atomic dir
+    // rename).
+    if (Hypertable.isGenPath(chunkP) &&
+        Hypertable.publishMode(spark) == "direct")
+      Hypertable.stageGenDir(fs, chunkP.getParent)
+    else Hypertable.registerRewriteTmp(fs,
       if (Hypertable.isGenPath(chunkP)) new Path(chunkP.getParent, s".${tag}_tmp")
       else new Path(chunkP.getParent, "." + chunkP.getName + s"_${tag}_tmp"))
 
@@ -323,7 +337,7 @@ object Columnstore {
       // one rename. Pinned readers keep the old generation; the copy of
       // the untouched files is the price of the snapshot (compact targets
       // fragmented chunks, where the rewrite dominates anyway).
-      val tmp = rewriteTmp(fs, chunkP, "compact")
+      val tmp = rewriteTmp(spark, fs, chunkP, "compact")
       fs.delete(tmp, true)
       fs.mkdirs(tmp)
       // leaf paths come from fs listings (scheme-qualified); the caller's
@@ -456,7 +470,7 @@ object Columnstore {
         // defeating both)
         df.repartitionByRange(segs.map(col): _*)
     }).sortWithinPartitions((opts.segmentBy ++ opts.orderBy).map(col): _*)
-    val tmp = rewriteTmp(fs, chunkP, "compress")
+    val tmp = rewriteTmp(spark, fs, chunkP, "compress")
     var w = arranged.write.mode("overwrite")
       .option("compression", "zstd")
       .option("parquet.block.size", opts.rowGroupBytes.toString)
@@ -534,7 +548,7 @@ object Columnstore {
     val out =
       if (nParts <= df.rdd.getNumPartitions) df.coalesce(nParts)
       else df.repartition(nParts)
-    val tmp = rewriteTmp(fs, chunkP, "decompress")
+    val tmp = rewriteTmp(spark, fs, chunkP, "decompress")
     var w = out.write.mode("overwrite")
     if (spacePart.nonEmpty) w = w.partitionBy(spacePart: _*)
     w.parquet(tmp.toString)

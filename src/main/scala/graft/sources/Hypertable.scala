@@ -171,6 +171,23 @@ class Hypertable private (
     try body finally l.unlock()
   }
 
+  /** [[withMutation]] plus cross-process chunk seals (the lease split):
+    * rewrite-class ops hold the EXCLUSIVE lease (serializing against
+    * other maintenance processes) AND seal their target chunks
+    * (`Some(start)`) or the whole table (`None`, DDL class) so that
+    * concurrent APPEND processes — which no longer take the exclusive
+    * lease — yield on exactly the chunks being rewritten and nothing
+    * else. The seal claim drains in-flight append intents first, so no
+    * batch that started before the seal can land rows in a generation
+    * this op is about to supersede. `scopes` is by-name: it usually needs
+    * showChunks(), which must run under the lock.
+    */
+  private def withSealedMutation[T](scopes: => Seq[Option[Long]])(
+      body: => T): T =
+    withMutation {
+      MutationGate.withSeals(spark, fs, qualifiedPath, scopes)(body)
+    }
+
   /** Append rows, routing each to its chunk (and space) partition — the
     * tuple-routing insert path (`src/chunk_tuple_routing.c:72-147`); chunk
     * directories are created on demand by the parquet writer.
@@ -182,7 +199,25 @@ class Hypertable private (
     * raise it when one ingest batch covers few chunks but many executors.
     */
   def write(df: DataFrame, mode: SaveMode = SaveMode.Append,
-      filesPerChunk: Int = 1): Unit = withMutation {
+      filesPerChunk: Int = 1): Unit = {
+    // APPENDS take the SHARED lease class: any number of appender
+    // processes coexist with each other and with ONE maintenance process
+    // (the exclusive `_graft_mutator_lease`, which since the round-10
+    // split serializes rewrite-class processes only). Per-batch conflicts
+    // with a concurrent chunk rewrite are fenced by the intent/seal gate
+    // below — the reference's concurrent-INSERT-vs-compression semantics
+    // (per-chunk locks, tsl/src/compression/api.c) rather than a
+    // table-wide refusal. In-process, appends still serialize with other
+    // local mutations on the JVM write lock (unchanged).
+    MutationGate.acquireAppendLease(spark, fs, qualifiedPath)
+    assertLayoutCurrent()
+    val l = Hypertable.tableMutationLock(qualifiedPath).writeLock()
+    l.lock()
+    try writeGated(df, mode, filesPerChunk) finally l.unlock()
+  }
+
+  private def writeGated(df: DataFrame, mode: SaveMode,
+      filesPerChunk: Int): Unit = {
     // static partition overwrite deletes the ENTIRE table root first —
     // including _graft_hypertable.json and every catalog stamp, bricking
     // Hypertable.at(); truncate via dropChunks/deleteWhere, then append
@@ -191,6 +226,27 @@ class Hypertable private (
         "the chunk catalog — dropChunks/deleteWhere first, then append")
     var out = conformToSchema(normalizeTime(df, timeCol))
       .withColumn(CHUNK, chunkKey(col(timeCol)))
+    // per-batch append gate: declare the in-flight batch (intent), yield
+    // to any live seal overlapping this batch's routed chunks (a rewrite
+    // in progress on those chunks in ANOTHER process), then proceed. The
+    // intent must outlive the batch's data commit AND catalog sync — a
+    // rewriter drains intents before reading its input.
+    val intent = MutationGate.appendGate(spark, fs, qualifiedPath, () =>
+      out.select(col(CHUNK)).distinct().collect()
+        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet)
+    try {
+      // re-verify AFTER the gate: a table-wide seal we just yielded to may
+      // have been a layout migration or a drop
+      assertLayoutCurrent()
+      require(fs.exists(new Path(path, Hypertable.META)),
+        s"$path is no longer a hypertable (dropped while this batch waited)")
+      writeRouted(out, mode, filesPerChunk, df)
+    } finally MutationGate.removeMarker(fs, intent)
+  }
+
+  private def writeRouted(out0: DataFrame, mode: SaveMode,
+      filesPerChunk: Int, df: DataFrame): Unit = {
+    var out = out0
     // gen layout: rows append into each chunk's LIVE generation dir (new
     // chunks open at _gen=0). The lookup is a literal map of only the
     // REWRITTEN chunks (gen > 0) — bounded by maintenance history, not
@@ -214,6 +270,16 @@ class Hypertable private (
     // tombstoned dirs this batch will re-ingest into, start -> (dir, gen):
     // the post-write commit marks these generations complete, then heals
     var pendingRebirth = Map.empty[Long, (Path, Int)]
+    // with concurrent appender PROCESSES allowed, two batches re-ingesting
+    // into the same tombstoned dir would race the drop-max normalization
+    // (the later reader lists the earlier's committed-but-unhealed
+    // generation and declares it dead) — claim each tombstoned dir's
+    // rebirth lock for the batch (bounded by drop history; zero files the
+    // common tombstone-free case). The GC also respects a live lock.
+    val rebirthLocks: Seq[(FileSystem, Path)] =
+      if (tombstoned.isEmpty) Nil
+      else MutationGate.claimRebirthLocks(spark, tombstoned.map(_._2))
+    try {
     if (genLayout) {
       val live = liveChunks
         .map(c => c.startMicros -> Hypertable.genOf(new Path(c.path))).toMap
@@ -451,6 +517,9 @@ class Hypertable private (
             if (pre(c.startMicros)) unknown else counts)
       }
     }
+    } finally rebirthLocks.foreach { case (lfs, p) =>
+      MutationGate.removeMarker(lfs, p)
+    }
   }
 
   // ------------------------------------------------ cagg invalidation hooks
@@ -475,7 +544,7 @@ class Hypertable private (
     * with registered continuous aggregates refuses (their defining queries
     * would dangle) — drop the caggs first.
     */
-  def drop(): Unit = withMutation {
+  def drop(): Unit = withSealedMutation(Seq(None)) {
     // same in-JVM lock registration takes: a concurrent create() either
     // registers before the check (drop refuses) or observes the deleted
     // table (registerCagg refuses) — never a live cagg on a deleted table
@@ -772,7 +841,8 @@ class Hypertable private (
     * schema drives every read, and the parquet reader fills columns a file
     * does not carry).
     */
-  def alterAddColumn(name: String, ddlType: String): Unit = withMutation {
+  def alterAddColumn(name: String, ddlType: String): Unit =
+      withSealedMutation(Seq(None)) {
     val cur = dataSchema.getOrElse(throw new IllegalStateException(
       s"hypertable $path has no declared schema yet — the first write stamps it"))
     require(!cur.fieldNames.contains(name), s"column $name already exists")
@@ -1379,7 +1449,8 @@ class Hypertable private (
             // view over the mutator's). A reader instead heals in memory:
             // stamp first, then list, cached like a parsed manifest — the
             // next real sync bumps the stamp and takes over.
-            if (Hypertable.heldLeases.containsKey(qualifiedPath))
+            if (Hypertable.heldLeases.containsKey(qualifiedPath) ||
+                MutationGate.holdsAppendLease(qualifiedPath))
               refreshChunkCatalog()
             else {
               val s0 = catalogStampNow()
@@ -1517,7 +1588,13 @@ class Hypertable private (
     */
   def refreshChunkCatalog(): Seq[ChunkInfo] =
     Hypertable.catalogLock(qualifiedPath).synchronized {
-      refreshChunkCatalogLocked()
+      // cross-process: a standing appender's refresh and the maintenance
+      // process's publish/patch must not interleave (torn listing of a
+      // mid-publish chunk, or a version collision persisting the older
+      // view) — the JVM lock above covers only this process
+      MutationGate.withCatalogFsLock(spark, fs, qualifiedPath) {
+        refreshChunkCatalogLocked()
+      }
     }
 
   private def refreshChunkCatalogLocked(): Seq[ChunkInfo] = {
@@ -1782,8 +1859,12 @@ class Hypertable private (
     // Gen layout stages INSIDE the chunk identity dir (unique per chunk,
     // and the chunk GC covers crashed leftovers); the flat layout stages
     // next to the dir its swap deletes, as before.
+    val directMode = genLayout &&
+      Hypertable.publishMode(spark) == "direct"
     val tmp =
-      if (genLayout) {
+      if (directMode) // stage IN the final generation dir (publishMode doc)
+        Hypertable.stageGenDir(fs, Hypertable.chunkDirOf(target))
+      else if (genLayout) {
         fs.mkdirs(Hypertable.chunkDirOf(target))
         new Path(Hypertable.chunkDirOf(target), s".tmp_chunk_$startMicros")
       } else new Path(target.getParent, s".tmp_chunk_$startMicros")
@@ -1810,10 +1891,17 @@ class Hypertable private (
         // resurrect the dead data instead of publishing the new.
         val chunkDir = target
         fs.mkdirs(chunkDir)
-        val next = Hypertable.listGenDirs(fs, chunkDir).map(_._1)
-          .maxOption.getOrElse(-1) + 1
-        val dst = new Path(chunkDir, s"${Hypertable.GEN}=$next")
-        require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+        // direct mode already staged in the final generation dir — the
+        // data is in place, nothing to rename
+        val (next, dst) =
+          if (directMode) (Hypertable.genOf(tmp), tmp)
+          else {
+            val n = Hypertable.listGenDirs(fs, chunkDir).map(_._1)
+              .maxOption.getOrElse(-1) + 1
+            val d = new Path(chunkDir, s"${Hypertable.GEN}=$n")
+            require(fs.rename(tmp, d), s"rename $tmp -> $d failed")
+            (n, d)
+          }
         if (Hypertable.isTombstoned(fs, chunkDir)) {
           // commit the rebirth INLINE (we hold the table write lock):
           // dead generations stamped first, tombstone off last.
@@ -1827,6 +1915,7 @@ class Hypertable private (
           }
           fs.delete(new Path(chunkDir, Hypertable.DROP_TOMB), false)
         }
+        if (directMode) Hypertable.unregisterRewriteTmp(fs, tmp)
         dst
       case None =>
         require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
@@ -1850,7 +1939,8 @@ class Hypertable private (
     * not N−1 pairwise rewrites (which would copy the first chunk's data
     * N−1 times).
     */
-  def mergeChunks(starts: Seq[Long], targetFileBytes: Long): ChunkInfo = withMutation {
+  def mergeChunks(starts: Seq[Long], targetFileBytes: Long): ChunkInfo =
+      withSealedMutation(starts.map(Some(_))) {
     require(starts.size >= 2, "merge needs at least two chunks")
     require(starts.distinct.size == starts.size,
       s"duplicate chunk in merge (ts_merge_chunks errors likewise)")
@@ -1914,16 +2004,19 @@ class Hypertable private (
     * the chunk's recorded range (`tsl/src/chunk_split.c:1136-1139`,
     * `split_at = range_start + interval_range / 2`).
     */
-  def splitChunk(startMicros: Long): (ChunkInfo, ChunkInfo) = withMutation {
-    val c = chunkAt(startMicros)
-    splitChunkImpl(c, c.startMicros + (c.endMicros - c.startMicros) / 2)
-  }
+  def splitChunk(startMicros: Long): (ChunkInfo, ChunkInfo) =
+    withSealedMutation(Seq(Some(startMicros))) {
+      val c = chunkAt(startMicros)
+      splitChunkImpl(c, c.startMicros + (c.endMicros - c.startMicros) / 2)
+    }
 
   /** split_chunk (`sql/maintenance_utils.sql:60-80`): split one chunk at a
     * time point into two chunks covering [start, at) and [at, end).
     */
   def splitChunk(startMicros: Long, atMicros: Long): (ChunkInfo, ChunkInfo) =
-    withMutation { splitChunkImpl(chunkAt(startMicros), atMicros) }
+    withSealedMutation(Seq(Some(startMicros))) {
+      splitChunkImpl(chunkAt(startMicros), atMicros)
+    }
 
   private def splitChunkImpl(c: ChunkInfo, atMicros: Long): (ChunkInfo, ChunkInfo) = {
     require(!Hypertable.chunkFrozen(fs, new Path(c.path)),
@@ -1971,12 +2064,19 @@ class Hypertable private (
     * locates batches by metadata the same way). Returns deleted row count.
     */
   def deleteWhere(pred: Column, timeRange: Option[(Long, Long)] = None): Long = withMutation {
+    // snapshot the candidate set ONCE and seal exactly it: rows a
+    // concurrent append commits into a NEW chunk after this snapshot are
+    // not swept — the reference's read-committed DML sees the same (rows
+    // inserted after the DELETE's snapshot survive it)
+    val cs = chunksIn(timeRange)
+    MutationGate.withSeals(spark, fs, qualifiedPath,
+        cs.map(c => Some(c.startMicros))) {
     // no deletes permitted on a frozen chunk (src/chunk.c:3579) — probed
     // BEFORE any rewrite starts, so a frozen hit can't leave the sweep
     // half-applied with sibling chunks already rewritten (and their cagg
     // invalidations unrecorded)
-    requireNoFrozenHits(chunksIn(timeRange), pred, "DELETE")
-    val perChunk = graft.Par.map(chunksIn(timeRange)) { c =>
+    requireNoFrozenHits(cs, pred, "DELETE")
+    val perChunk = graft.Par.map(cs) { c =>
       // probe scan first (predicate pushes down to parquet) so untouched
       // chunks are never rewritten; touched chunks re-scan instead of
       // caching — per-chunk .cache() at 100 TB is executor-memory pressure
@@ -1994,6 +2094,7 @@ class Hypertable private (
       case (h, c) if h > 0 => (c.startMicros, c.endMicros) })
     if (perChunk.exists(_._1 > 0)) { markContentChanged(); dmlSync() }
     perChunk.map(_._1).sum
+    }
   }
 
   /** Gen layout: a DML rewrite changes the touched chunks' data PATHS
@@ -2015,9 +2116,13 @@ class Hypertable private (
       s"updating the time column would re-route rows across chunks; delete + write instead")
     require(spaceDims.forall { case (sc, _, _) => !assignments.contains(sc) },
       s"updating a space-dimension column would re-route rows across space buckets; delete + write instead")
+    // one snapshot, sealed exactly — see deleteWhere
+    val cs = chunksIn(timeRange)
+    MutationGate.withSeals(spark, fs, qualifiedPath,
+        cs.map(c => Some(c.startMicros))) {
     // frozen probe BEFORE any rewrite — see deleteWhere
-    requireNoFrozenHits(chunksIn(timeRange), pred, "UPDATE")
-    val perChunk = graft.Par.map(chunksIn(timeRange)) { c =>
+    requireNoFrozenHits(cs, pred, "UPDATE")
+    val perChunk = graft.Par.map(cs) { c =>
       val rows = chunkRows(c)
       val p = coalesce(pred, lit(false))
       val hits = rows.where(p).count()
@@ -2040,6 +2145,7 @@ class Hypertable private (
       case (h, c) if h > 0 => (c.startMicros, c.endMicros) })
     if (perChunk.exists(_._1 > 0)) { markContentChanged(); dmlSync() }
     perChunk.map(_._1).sum
+    }
   }
 
   /** attach_chunk (`sql/chunk.sql:67-70`): adopt an EXISTING parquet
@@ -2049,7 +2155,8 @@ class Hypertable private (
     * validates the slice via CHECK constraints; here the footer min/max of
     * the time column (no data scan) must sit inside the declared range.
     */
-  def attachChunk(srcPath: String, startMicros: Long, endMicros: Long): ChunkInfo = withMutation {
+  def attachChunk(srcPath: String, startMicros: Long, endMicros: Long): ChunkInfo =
+      withSealedMutation(Seq(Some(startMicros))) {
     require(startMicros < endMicros, "empty chunk range")
     require(spaceCol.isEmpty,
       "attach_chunk needs the space partition layout inside the source dir; " +
@@ -2135,7 +2242,8 @@ class Hypertable private (
     * hypertable WITHOUT dropping its data — the directory moves to
     * `destPath` as a standalone parquet table (catalog markers removed).
     */
-  def detachChunk(startMicros: Long, destPath: String): ChunkInfo = withMutation {
+  def detachChunk(startMicros: Long, destPath: String): ChunkInfo =
+      withSealedMutation(Seq(Some(startMicros))) {
     val c = chunkAt(startMicros)
     require(!Hypertable.chunkFrozen(fs, new Path(c.path)),
       s"cannot detach frozen chunk ${c.path} — unfreeze_chunk first")
@@ -2219,7 +2327,7 @@ class Hypertable private (
   def migrateToGenLayout(): Hypertable = withMutation {
     require(!genLayout, "table already uses the generational layout")
     Hypertable.writeSmallFile(fs, new Path(path, Hypertable.MIGRATING), "gen")
-    finishGenMigration()
+    finishGenMigration() // takes the table-wide seal itself
   }
 
   /** Complete a (possibly crashed) gen-layout migration: finish
@@ -2228,7 +2336,8 @@ class Hypertable private (
     * marker. Idempotent; called by [[migrateToGenLayout]] and by
     * [[Hypertable.at]]/[[Hypertable.create]] when they find the marker.
     */
-  private[sources] def finishGenMigration(): Hypertable = withMutation {
+  private[sources] def finishGenMigration(): Hypertable =
+      withSealedMutation(Seq(None)) {
     (new Path(path) +: tablespaceTableDirs).foreach { r =>
       val rfs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (rfs.exists(r)) {
@@ -2307,7 +2416,8 @@ class Hypertable private (
     * tails only the primary root — move chunks past the streaming
     * consumers' watermark, the same contract compaction has.
     */
-  def moveChunk(startMicros: Long, destRoot: Option[String]): ChunkInfo = withMutation {
+  def moveChunk(startMicros: Long, destRoot: Option[String]): ChunkInfo =
+      withSealedMutation(Seq(Some(startMicros))) {
     val c = chunkAt(startMicros)
     require(!Hypertable.chunkFrozen(fs, new Path(c.path)),
       s"cannot move frozen chunk ${c.path} — unfreeze_chunk first")
@@ -2587,14 +2697,20 @@ class Hypertable private (
     // frozen chunks are skipped, not dropped (src/chunk.c:4113)
     val dropped = showChunks(olderThanMicros, newerThanMicros)
       .filterNot(c => Hypertable.chunkFrozen(fs, new Path(c.path)))
-    dropChunkDirs(dropped)
-    // drop_chunks invalidates caggs over the removed ranges (chunk.c:
-    // 4064-4101) — a later refresh covering them re-materializes from
-    // what's left. As in the reference, pair retention with BOUNDED cagg
-    // refresh windows (CaggRefreshPolicy offsets) to keep aggregated
-    // history.
-    invalidateCaggs(dropped.map(c => (c.startMicros, c.endMicros)))
-    syncChunkCatalog()
+    // seal the dropped set: a concurrent append batch routing into one of
+    // these chunks either drains before the tombstone lands or yields and
+    // re-ingests into a fresh rebirth generation after it
+    MutationGate.withSeals(spark, fs, qualifiedPath,
+        dropped.map(c => Some(c.startMicros))) {
+      dropChunkDirs(dropped)
+      // drop_chunks invalidates caggs over the removed ranges (chunk.c:
+      // 4064-4101) — a later refresh covering them re-materializes from
+      // what's left. As in the reference, pair retention with BOUNDED cagg
+      // refresh windows (CaggRefreshPolicy offsets) to keep aggregated
+      // history.
+      invalidateCaggs(dropped.map(c => (c.startMicros, c.endMicros)))
+      syncChunkCatalog()
+    }
     dropped
   }
 
@@ -2628,9 +2744,12 @@ class Hypertable private (
       createdAfterMicros: Option[Long]): Seq[ChunkInfo] = withMutation {
     val dropped = showChunksCreated(createdBeforeMicros, createdAfterMicros)
       .filterNot(c => Hypertable.chunkFrozen(fs, new Path(c.path)))
-    dropChunkDirs(dropped)
-    invalidateCaggs(dropped.map(c => (c.startMicros, c.endMicros)))
-    syncChunkCatalog()
+    MutationGate.withSeals(spark, fs, qualifiedPath,
+        dropped.map(c => Some(c.startMicros))) {
+      dropChunkDirs(dropped)
+      invalidateCaggs(dropped.map(c => (c.startMicros, c.endMicros)))
+      syncChunkCatalog()
+    }
     dropped
   }
 
@@ -2647,7 +2766,8 @@ class Hypertable private (
     * and a table-root catalog of frozen starts (what the hot insert path
     * reads — ONE small-file read per batch instead of a per-chunk scan).
     */
-  def freezeChunk(startMicros: Long): Boolean = withMutation {
+  def freezeChunk(startMicros: Long): Boolean =
+      withSealedMutation(Seq(Some(startMicros))) {
     val c = chunkAt(startMicros)
     val f = new Path(c.path, Hypertable.FROZEN)
     if (fs.exists(f)) false
@@ -2659,7 +2779,8 @@ class Hypertable private (
   }
 
   /** unfreeze_chunk (`sql/chunk.sql:44-46`). Returns false if not frozen. */
-  def unfreezeChunk(startMicros: Long): Boolean = withMutation {
+  def unfreezeChunk(startMicros: Long): Boolean =
+      withSealedMutation(Seq(Some(startMicros))) {
     Hypertable.frozenCatalogLock.synchronized {
       writeFrozenCatalog(frozenCatalog() - startMicros)
       fs.delete(new Path(chunkAt(startMicros).path, Hypertable.FROZEN), false)
@@ -2978,21 +3099,29 @@ object Hypertable {
         val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
           r => { val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t })
         // belt over the per-entry catch: one thrown pass would cancel
-        // every future scheduled run
+        // every future scheduled run. The same pass refreshes the gate
+        // markers (append leases, intents, seals — MutationGate).
         ex.scheduleWithFixedDelay(() =>
-          try leaseHeartbeatNow()
+          try { leaseHeartbeatNow(); MutationGate.heartbeatNow() }
           catch { case scala.util.control.NonFatal(_) => () }, 30, 30,
           java.util.concurrent.TimeUnit.SECONDS)
         // graceful exits hand the table off immediately; only a crash
         // pays the staleness window
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
           heldLeases.forEach { (_, v) =>
             try { if (leaseOwnerSettled(v._1, v._2) == v._3) v._1.delete(v._2, false) }
             catch { case _: java.io.IOException => () }
-          }, "graft-lease-release"))
+          }
+          MutationGate.releaseAll()
+        }, "graft-lease-release"))
         leaseDaemonStarted = true
       }
     }
+
+  /** The gate markers ride the lease daemon's heartbeat — appenders and
+    * seal holders start it without holding the exclusive lease.
+    */
+  private[sources] def ensureGateDaemon(): Unit = ensureLeaseDaemon()
 
   /** Claim (or re-verify) the table's mutator lease for this process —
     * called by every mutation entry point; a ConcurrentHashMap hit after
@@ -3161,8 +3290,45 @@ object Hypertable {
     inFlightTmps.add(fs.makeQualified(tmp).toString); tmp
   }
 
+  /** How a gen-layout chunk rewrite publishes (`spark.graft.publish.mode`):
+    *
+    *  - `"rename"` (default): stage in a dot-prefixed tmp dir, publish
+    *    with one ATOMIC DIRECTORY RENAME to `_gen=N+1`. Needs a
+    *    rename-atomic store (local FS, HDFS) — see SCALE.md §15.
+    *  - `"direct"`: stage IN the final `_gen=N+1` dir (registered
+    *    in-flight so no GC touches it) and COMMIT by stamping the old
+    *    generation superseded — one single-object PUT, atomic on every
+    *    store including S3/GCS. Mid-write, the partial new generation is
+    *    invisible: manifest readers resolve the old path, and listing
+    *    liveness is "lowest unstamped generation", which stays the old
+    *    one until the stamp. A crash mid-write leaves an unstamped
+    *    above-live remnant the next maintenance GC deletes (never acked);
+    *    a crash after the stamp heals forward (the staleness cue
+    *    re-lists and finds the completed generation live). This removes
+    *    the publish path's LAST atomic-rename dependency on object
+    *    stores. Flat-layout chunks always use the in-place swap
+    *    regardless of the mode (their layout has nowhere to stage).
+    */
+  private[graft] def publishMode(spark: SparkSession): String =
+    spark.conf.get("spark.graft.publish.mode", "rename")
+
+  /** Direct-mode staging target: the chunk's NEXT generation dir itself,
+    * registered in flight. Callers hold the per-chunk serialization
+    * (table write lock or chunk monitor), so the max-gen read is stable;
+    * appends only ever write into the LIVE (lower) generation.
+    */
+  private[sources] def stageGenDir(fs: FileSystem, chunkDir: Path): Path = {
+    fs.mkdirs(chunkDir)
+    val next = listGenDirs(fs, chunkDir).map(_._1).maxOption.getOrElse(-1) + 1
+    registerRewriteTmp(fs, new Path(chunkDir, s"$GEN=$next"))
+  }
+
   private[sources] def isInFlightTmp(fs: FileSystem, p: Path): Boolean =
     inFlightTmps.contains(fs.makeQualified(p).toString)
+
+  private[sources] def unregisterRewriteTmp(fs: FileSystem, p: Path): Unit = {
+    inFlightTmps.remove(fs.makeQualified(p).toString); ()
+  }
 
   /** Stamp a generation superseded — the rewrite's commit point. The
     * stamp's mtime is GC's grace clock.
@@ -3211,6 +3377,10 @@ object Hypertable {
       try now - fs.getFileStatus(markFile).getModificationTime >= graceMs
       catch { case _: Exception => false }
     if (isTombstoned(fs, chunkDir)) {
+      // an appender PROCESS is mid-rebirth into this dir (lease split:
+      // appends run concurrently with the maintenance process doing this
+      // GC) — hands off entirely; its own heal commits the rebirth
+      if (MutationGate.rebirthLockLive(fs, chunkDir)) return
       // a write that re-ingested this range routed its rows into a fresh
       // rebirth generation (created AFTER the tombstone); finish the
       // rebirth if the writer crashed before its own heal ran
@@ -3233,7 +3403,8 @@ object Hypertable {
     gens.foreach { case (g, d) =>
       if (isSuperseded(fs, d)) {
         if (graced(new Path(d, SUPERSEDED))) fs.delete(d, true)
-      } else if (live.exists(g > _)) fs.delete(d, true) // crash remnant
+      } else if (live.exists(g > _) && !isInFlightTmp(fs, d))
+        fs.delete(d, true) // crash remnant (direct-mode stages register)
     }
     // stale publish tmp dirs (crashed before their rename). NEVER one
     // registered as in flight: the age heuristic reads the dir mtime,
@@ -3368,7 +3539,14 @@ object Hypertable {
     } else {
       val chunkDir = live.getParent
       val primary = resolvePrimaryRoot(fs, chunkDir)
+      val pfs = new Path(primary)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       catalogLock(primary).synchronized {
+      // the rename+stamp pair is the manifest's ground truth: hold the
+      // cross-process catalog lock so a concurrent appender's full
+      // refresh can never list the new generation before its
+      // predecessor's superseded stamp lands (torn listing)
+      MutationGate.withCatalogFsLock(spark, pfs, primary) {
         // the chunk was DROPPED while this rewrite ran (the caller's
         // showChunks snapshot predates the drop — drop_chunks takes the
         // table write lock, chunk rewrites only the read lock, so the
@@ -3382,10 +3560,19 @@ object Hypertable {
           fs.delete(tmp, true)
           return None
         }
+        // direct mode staged IN the final generation dir — the commit is
+        // the superseded stamp below, no rename needed (publishMode doc)
+        val directStaged = isGenPath(tmp) && tmp.getParent == chunkDir
         val gens = listGenDirs(fs, chunkDir)
-        val next = gens.map(_._1).max + 1
-        val dst = new Path(chunkDir, s"$GEN=$next")
-        require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+          .filterNot(_._2.getName == tmp.getName)
+        val dst =
+          if (directStaged) tmp
+          else {
+            val next = gens.map(_._1).max + 1
+            val d = new Path(chunkDir, s"$GEN=$next")
+            require(fs.rename(tmp, d), s"rename $tmp -> $d failed")
+            d
+          }
         touchContentStamp(fs, chunkDir.getParent)
         // stamp EVERY unstamped generation below the new one (not just
         // the caller's handle): the commit invariant is exactly one
@@ -3400,6 +3587,7 @@ object Hypertable {
         }
         gcChunkDir(fs, chunkDir, gcGraceMs(spark))
         Some(dst)
+      }
       }
     }
   }
@@ -3424,6 +3612,7 @@ object Hypertable {
       catalogLock(primary).synchronized {
         val proot = new Path(primary)
         val pfs = proot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        MutationGate.withCatalogFsLock(spark, pfs, primary) {
         val catDir = new Path(proot, CATALOG_DIR)
         val versions = listManifests(pfs, catDir)
         val qNew = fs.makeQualified(dataDir).toString
@@ -3467,6 +3656,7 @@ object Hypertable {
               .foreach { case (_, p) => pfs.delete(p, false) }
           case None =>
             at(spark, primary).refreshChunkCatalog(); ()
+        }
         }
       }
     }

@@ -73,6 +73,51 @@ object IsolationChild {
           System.out.flush()
           Thread.sleep(ms) // the heartbeat daemon keeps the lease fresh
           println("DONE")
+        case "policy" =>
+          // columnstore-policy churn for the lease-split spec: claim the
+          // EXCLUSIVE lease, then compress+decompress chunks in rounds
+          // until the parent drops the stop marker. Any refusal (the
+          // pre-split behavior) exits 3; the parent's concurrent appends
+          // must never be refused either.
+          val stopMarker = new java.io.File(args(2))
+          val maxMs = args(3).toLong
+          val opts = graft.sources.Columnstore.Options(orderBy = Seq("ts"))
+          try {
+            // claim the exclusive lease via a no-hit rewrite op
+            Hypertable.at(spark, table)
+              .updateWhere(col("event_id") === -1L, Map("value" -> lit(0.0)))
+            println(s"POLICY_START ${Hypertable.processId}")
+            System.out.flush()
+            var rounds = 0
+            val deadline = System.currentTimeMillis() + maxMs
+            while (!stopMarker.exists() &&
+                System.currentTimeMillis() < deadline) {
+              val cs = Hypertable.at(spark, table).showChunks()
+              cs.foreach { c =>
+                graft.sources.Columnstore.compressChunk(spark, c.path, opts)
+                val c2 = Hypertable.at(spark, table).showChunks()
+                  .find(_.startMicros == c.startMicros).get
+                graft.sources.Columnstore.decompressChunk(spark, c2.path)
+              }
+              rounds += 1
+              println(s"ROUND $rounds")
+              System.out.flush()
+            }
+            println(s"POLICY_OK $rounds")
+          } catch {
+            case e: IllegalStateException =>
+              println(s"POLICY_REFUSED ${e.getMessage}")
+              code = 3
+          }
+        case "read-expect" =>
+          // read_committed_insert port (test/isolation/specs/
+          // read_committed_insert.spec): a FRESH session must see exactly
+          // the rows every committed insert produced — no fewer (lost
+          // commit), no more (torn/partial batch).
+          val expected = args(2).toLong
+          val got = Hypertable.at(spark, table).read().count()
+          if (got == expected) println(s"COUNT_OK $got")
+          else { println(s"COUNT_MISMATCH $got != $expected"); code = 5 }
         case other =>
           System.err.println(s"unknown mode $other")
           code = 2

@@ -136,7 +136,9 @@ class CrashRecoverySpec extends AnyFunSuite {
     "fresh; reads are unaffected; release hands the table off") {
     val dir = Files.createTempDirectory("graft_crash_lease").toString
     val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
-    ht.write(events) // claims this process's mutator lease
+    ht.write(events) // appends take the SHARED lease class (lease split)
+    // a rewrite-class op claims the EXCLUSIVE mutator lease
+    ht.updateWhere(col("event_id") === -1L, Map("value" -> lit(0.0)))
     val fs = fsOf(s"$dir/ht")
     val lease = new Path(s"$dir/ht", "_graft_mutator_lease")
     assert(Hypertable.readSmallFile(fs, lease).trim.linesIterator.next()
@@ -213,7 +215,9 @@ class CrashRecoverySpec extends AnyFunSuite {
     "notices at the next heartbeat and its next mutation refuses") {
     val dir = Files.createTempDirectory("graft_crash_lease3").toString
     val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
-    ht.write(events) // we hold the lease
+    ht.write(events)
+    // hold the EXCLUSIVE lease (appends alone no longer claim it)
+    ht.updateWhere(col("event_id") === -1L, Map("value" -> lit(0.0)))
     val fs = fsOf(s"$dir/ht")
     val lease = new Path(s"$dir/ht", "_graft_mutator_lease")
     // another process deemed us crashed and took over (fresh foreign lease)
@@ -281,7 +285,10 @@ class CrashRecoverySpec extends AnyFunSuite {
     try {
       val dir = Files.createTempDirectory("graft_crash_lease_ctr").toString
       val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
-      ht.write(events) // claims the lease: body = owner \n heartbeat-clock
+      ht.write(events)
+      // a rewrite-class op claims the exclusive lease:
+      // body = owner \n heartbeat-clock
+      ht.updateWhere(col("event_id") === -1L, Map("value" -> lit(0.0)))
       val fs = fsOf(s"$dir/ht")
       val lease = new Path(s"$dir/ht", "_graft_mutator_lease")
       val body = Hypertable.readSmallFile(fs, lease).trim.linesIterator.toSeq

@@ -75,7 +75,10 @@ class RealProcessIsolationSpec extends AnyFunSuite {
     "process as the holder; after release it succeeds and hands back") {
     val dir = Files.createTempDirectory("graft_realproc_lease").toString
     val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
-    ht.write(events) // this process claims the mutator lease
+    ht.write(events)
+    // a rewrite-class op claims the EXCLUSIVE lease (appends take the
+    // shared class since the round-10 lease split)
+    ht.updateWhere(col("event_id") === -1L, Map("value" -> lit(0.0)))
     val (code, out) = runChild(childCmd("mutate", s"$dir/ht"))
     assert(code === 3, s"child must be refused while our lease is fresh:\n$out")
     assert(out.contains("REFUSED") && out.contains("another process"),
@@ -152,6 +155,99 @@ class RealProcessIsolationSpec extends AnyFunSuite {
       "a SIGTERM'd child must release its lease via the shutdown hook")
     assert(ht.updateWhere(col("event_id") === 5,
       Map("value" -> lit(0.0))) > 0)
+  }
+
+  test("lease split: this process streams APPENDS while a second process " +
+    "runs the columnstore policy — zero refusals, exactly-once, oracle-exact") {
+    // the reference runs concurrent INSERTs alongside compression
+    // policies (per-chunk locks, tsl/src/compression/api.c;
+    // tsl/test/isolation/specs/compression_ddl_iso.spec). Pre-split,
+    // either side would have refused on the other's table-wide lease.
+    val dir = Files.createTempDirectory("graft_realproc_split").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    val ev = events
+    val total = ev.count()
+    ht.write(ev.where(pmod(col("event_id"), lit(8)) === 0))
+    val stop = new java.io.File(s"$dir/stop_policy")
+    val pb = new ProcessBuilder(
+      childCmd("policy", s"$dir/ht", stop.getAbsolutePath, "240000"): _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new java.lang.StringBuilder
+    @volatile var policyStarted = false
+    @volatile var rounds = 0
+    val drain = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var l = r.readLine()
+      while (l != null) {
+        out.synchronized { out.append(l).append('\n') }
+        if (l.startsWith("POLICY_START")) policyStarted = true
+        if (l.startsWith("ROUND ")) rounds = l.stripPrefix("ROUND ").trim.toInt
+        l = r.readLine()
+      }
+    }, "policy-drain")
+    drain.setDaemon(true)
+    drain.start()
+    try {
+      val deadline = System.nanoTime() + 240L * 1000000000L
+      while (!policyStarted && p.isAlive && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(policyStarted,
+        s"child never started the policy:\n${out.synchronized(out.toString)}")
+      // stream appends WHILE the child (holding the exclusive lease)
+      // compresses and decompresses the same chunks — every batch must be
+      // accepted (an IllegalStateException here is the pre-split refusal)
+      (1 to 7).foreach { k =>
+        ht.write(ev.where(pmod(col("event_id"), lit(8)) === k))
+      }
+      // require genuine overlap: at least one full policy round ran while
+      // we appended (the child only counts completed rounds)
+      val deadline2 = System.nanoTime() + 120L * 1000000000L
+      while (rounds < 2 && p.isAlive && System.nanoTime() < deadline2)
+        Thread.sleep(100)
+      assert(rounds >= 2, s"policy churn never overlapped the appends " +
+        s"(rounds=$rounds):\n${out.synchronized(out.toString)}")
+    } finally {
+      stop.createNewFile()
+      p.waitFor(120, TimeUnit.SECONDS)
+      if (p.isAlive) p.destroyForcibly()
+    }
+    drain.join(5000)
+    val o = out.synchronized(out.toString)
+    assert(p.exitValue() === 0 && o.contains("POLICY_OK"),
+      s"policy child must finish with zero refusals:\n$o")
+    // exactly-once, oracle-exact: every appended row visible exactly once
+    val ht2 = Hypertable.at(spark, s"$dir/ht")
+    assert(ht2.read().count() === total,
+      "concurrent policy lost or duplicated appended rows")
+    assert(ht2.read().groupBy("event_id").agg(count(lit(1)).as("n"))
+      .where(col("n") =!= 1).isEmpty,
+      "a row was duplicated or lost under concurrent append+policy")
+  }
+
+  test("read_committed_insert port: a second-process reader sees exactly " +
+    "the committed rows after each insert commit") {
+    // test/isolation/specs/read_committed_insert.spec: a concurrent
+    // session's SELECT after the INSERT's commit sees the new rows; graft
+    // maps commit visibility to write() returning (data job + catalog
+    // sync complete) and a FRESH cross-process handle.
+    val dir = Files.createTempDirectory("graft_realproc_rc").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    val a = events.where(pmod(col("event_id"), lit(2)) === 0)
+    val b = events.where(pmod(col("event_id"), lit(2)) === 1)
+    val (na, nb) = (a.count(), b.count())
+    ht.write(a)
+    val (c1, o1) = runChild(childCmd("read-expect", s"$dir/ht", na.toString))
+    assert(c1 === 0 && o1.contains(s"COUNT_OK $na"),
+      s"reader must see the first committed insert:\n$o1")
+    ht.write(b)
+    val (c2, o2) = runChild(
+      childCmd("read-expect", s"$dir/ht", (na + nb).toString))
+    assert(c2 === 0 && o2.contains(s"COUNT_OK ${na + nb}"),
+      s"reader must see the second committed insert at its boundary:\n$o2")
   }
 
   test("a READER in a second process sees snapshot-consistent chunk sets " +
