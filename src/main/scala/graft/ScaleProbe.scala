@@ -91,6 +91,22 @@ object ScaleProbe {
       if (mode == "table") {
         val (tStream, si) = timed { h.readStreamWithInfo() }
         println(f"""[scale] {"probe":"stream_start","chunks":$n,"start_sec":$tStream%.3f,"filtered":${si._2.filtered},"dead_files":${si._2.deadFiles}}""")
+        // catalog-backed source (round 10): construction + the real query-
+        // start work (createSource: snapshot enumeration via parallel
+        // manifest-resolved listings + first getOffset). `latest` start —
+        // the tail-a-hot-table deployment shape; `earliest` pays the same
+        // one-time listing and then emits it as batch 0. Per-TRIGGER cost
+        // afterwards is O(new files) (log tail), not a re-listing.
+        val (tCat, _) = timed {
+          h.readStreamCatalog(startingPosition = "latest") // plan + schema
+          val prov = new org.apache.spark.sql.graftstream.GraftStreamSourceProvider()
+          val src = prov.createSource(spark.sqlContext,
+            s"$base/_probe_ckpt_$mode", None, "graft-hypertable",
+            Map("path" -> p, "startingPosition" -> "latest"))
+          src.getOffset
+          ()
+        }
+        println(f"""[scale] {"probe":"stream_start_catalog","chunks":$n,"start_sec":$tCat%.3f}""")
       }
       // maintenance-sweep shape at width (SPARK_GRAFT_CATALOG_SWEEP=K):
       // compress K chunks one by one — each publish is a per-chunk

@@ -240,6 +240,13 @@ class Hypertable private (
       assertLayoutCurrent()
       require(fs.exists(new Path(path, Hypertable.META)),
         s"$path is no longer a hypertable (dropped while this batch waited)")
+      // a torn merge/split left by a CRASHED maintenance process (its seal
+      // went stale, so the gate no longer blocks us) must be resolved
+      // before routing: appending into a dir the completion will
+      // tombstone, or into a parent range the roll-forward re-derives,
+      // would lose acked rows. One root listing when markers exist; the
+      // marker files ride the root listing write() does anyway otherwise.
+      if (genLayout && rewriteIntentMarkers().nonEmpty) healRewriteIntents()
       writeRouted(out, mode, filesPerChunk, df)
     } finally MutationGate.removeMarker(fs, intent)
   }
@@ -270,6 +277,9 @@ class Hypertable private (
     // tombstoned dirs this batch will re-ingest into, start -> (dir, gen):
     // the post-write commit marks these generations complete, then heals
     var pendingRebirth = Map.empty[Long, (Path, Int)]
+    // routed generation per chunk (non-zero lives + rebirths); consumed by
+    // the stream-log dir resolution below
+    var gensOut = Map.empty[Long, Int]
     // with concurrent appender PROCESSES allowed, two batches re-ingesting
     // into the same tombstoned dir would race the drop-max normalization
     // (the later reader lists the earlier's committed-but-unhealed
@@ -327,6 +337,7 @@ class Hypertable private (
           }
         }
       val gens: Map[Long, Int] = (live.filter(_._2 != 0) ++ rebirth).toMap
+      gensOut = gens
       out = out.withColumn(Hypertable.GEN,
         if (gens.isEmpty) lit(0)
         else coalesce(element_at(typedLit(gens), col(CHUNK)), lit(0)))
@@ -453,6 +464,42 @@ class Hypertable private (
         case _ => false
       }) || tsRoots.nonEmpty
     if (expensiveInput) routed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // catalog-backed stream log: resolve each touched chunk's FINAL data
+    // dir (the routing above fixed it — the seal gate excludes concurrent
+    // rewrites for the batch's lifetime) and list it BEFORE the job; the
+    // post-commit listing's diff is exactly this job's files. Paid only
+    // while a stream log exists (one `exists` otherwise); O(touched
+    // chunks) small listings + one distinct action when it does.
+    val tombMap = tombstoned.toMap
+    def streamLogDirs(touched: Set[Long]): Map[Long, Path] = {
+      val liveByStart = liveChunks.map(c => c.startMicros -> c.path).toMap
+      touched.map { s =>
+        val d = pendingRebirth.get(s)
+          .map { case (dd, g) => new Path(dd, s"${Hypertable.GEN}=$g") }
+          .orElse(liveByStart.get(s).map(new Path(_)))
+          .orElse(tombMap.get(s).map(dd =>
+            new Path(dd, s"${Hypertable.GEN}=${gensOut.getOrElse(s, 0)}")))
+          .getOrElse {
+            val root = tsRoots.getOrElse(s, new Path(path))
+            val cd = new Path(root, s"$CHUNK=$s")
+            if (genLayout)
+              new Path(cd, s"${Hypertable.GEN}=${gensOut.getOrElse(s, 0)}")
+            else cd
+          }
+        s -> d
+      }.toMap
+    }
+    val streamLogPre: Option[(Map[Long, Path], Map[Long, Set[String]])] =
+      if (!Hypertable.streamLogEnabled(fs, path)) None
+      else {
+        val touched = routed.select(col(CHUNK)).distinct().collect()
+          .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+        val dirs = streamLogDirs(touched)
+        Some((dirs, dirs.map { case (s, d) =>
+          s -> Hypertable.listDataFilesRec(
+            d.getFileSystem(spark.sparkContext.hadoopConfiguration), d).toSet
+        }))
+      }
     try {
       if (tsRoots.isEmpty)
         routed.write.mode(mode).partitionBy(partCols: _*).parquet(path)
@@ -477,17 +524,47 @@ class Hypertable private (
       // generation COMPLETE first — healRebirth's cue that its data is a
       // finished job commit, not a crashed partial it must not resurrect
       // — then heal (stamps the dead generations, lifts the tombstone)
+      Hypertable.crashPoint("write.after_job")
       pendingRebirth.foreach { case (_, (d, g)) =>
         val dfs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val genDir = new Path(d, s"${Hypertable.GEN}=$g")
         if (dfs.exists(genDir)) { // batch may hold no rows for this chunk
           Hypertable.markRebirthComplete(dfs, genDir)
+          Hypertable.crashPoint("write.rebirth.after_mark")
           Hypertable.healRebirth(dfs, d)
         }
       }
+      Hypertable.crashPoint("write.before_sync")
       // the "table" catalog must see this batch's NEW chunks before the
       // post-write steps below consult showChunks()
       syncChunkCatalog()
+      // stream-log entry: exactly this job's committed files (post minus
+      // pre, at the same final dirs — relocation heals above fold INTO
+      // them, so healed stubs surface here too, which a tailing stream
+      // wants: those acked rows were otherwise lost to it)
+      streamLogPre match {
+        case Some((dirs, pre)) =>
+          val fresh = dirs.toSeq.flatMap { case (s, d) =>
+            Hypertable.listDataFilesRec(
+              d.getFileSystem(spark.sparkContext.hadoopConfiguration), d)
+              .filterNot(pre(s))
+          }
+          Hypertable.appendStreamLog(fs, path, fresh)
+        case None if Hypertable.streamLogEnabled(fs, path) =>
+          // the log was enabled WHILE this batch ran (a stream starting
+          // concurrently): no pre-listing exists, so log every file of
+          // the touched dirs — over-inclusive is safe (the source dedups
+          // by path against its snapshot/seen set), silence would lose
+          // this batch if the stream's snapshot listed before our commit
+          val touched = routed.select(col(CHUNK)).distinct().collect()
+            .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+          val all = streamLogDirs(touched).toSeq.flatMap { case (_, d) =>
+            Hypertable.listDataFilesRec(
+              d.getFileSystem(spark.sparkContext.hadoopConfiguration), d)
+          }
+          Hypertable.appendStreamLog(fs, path, all)
+        case None => ()
+      }
       if (needStats) {
         val touched = routed.select(col(CHUNK)).distinct().collect()
           .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
@@ -1038,6 +1115,35 @@ class Hypertable private (
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
     readStreamWithInfo(maxFilesPerTrigger, schema)._1
 
+  /** Catalog-backed streaming source
+    * ([[org.apache.spark.sql.graftstream.GraftStreamSource]]): tails the
+    * `_graft_stream_log/` per-batch append feed instead of re-listing the
+    * table's files every micro-batch — per-trigger discovery is O(new
+    * files) instead of FileStreamSource's O(all files) (the 14 s/10k-chunk
+    * start + per-batch cliff in SCALE.md §16), and the one-time initial
+    * snapshot resolves from the MANIFEST, so graced/dead generations are
+    * excluded by construction (no dead-set filter riding the stream).
+    * Rewrites never enter the log, so compaction/DML can overlap a
+    * running stream without re-emission — a stronger contract than
+    * [[readStream]]'s append-only one. `startingPosition`: `"earliest"`
+    * (snapshot emitted as batch 0) or `"latest"` (only post-start
+    * appends). Writers log batches only while the log dir exists —
+    * calling this enables it, so batches written BEFORE the first call
+    * but after the snapshot cannot be missed (the source re-checks).
+    */
+  def readStreamCatalog(
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      startingPosition: String = "earliest"): DataFrame = {
+    assertLayoutCurrent()
+    Hypertable.enableStreamLog(fs, path)
+    var r = spark.readStream
+      .format("org.apache.spark.sql.graftstream.GraftStreamSourceProvider")
+      .option("path", path)
+      .option("startingPosition", startingPosition)
+    schema.foreach(s => r = r.schema(s))
+    r.load()
+  }
+
   /** [[readStream]] plus the stream-start filter's state, so a pipeline
     * can ASSERT its exactly-once start instead of scraping driver logs:
     * `filtered` — the dead-at-start filter engaged (vacuously true when
@@ -1548,11 +1654,136 @@ class Hypertable private (
     }
 
   /** Every chunk by PHYSICAL dir listing across all storage roots — the
-    * ground truth the "table" catalog snapshots.
+    * ground truth the "table" catalog snapshots. Gen layout: a torn
+    * multi-step merge/split (crash between its publishes) is resolved to
+    * a CONSISTENT view via its intent marker before the listing is served.
     */
   private def listAllChunks(): Seq[ChunkInfo] = {
     val roots = new Path(path) +: tablespaceTableDirs
-    roots.flatMap(listChunksUnder).sortBy(_.startMicros)
+    val all = roots.flatMap(listChunksUnder).sortBy(_.startMicros)
+    if (genLayout) applyRewriteIntents(all) else all
+  }
+
+  /** Rewrite-intent markers at the primary root: (isMerge, start, path). */
+  private def rewriteIntentMarkers(): Seq[(Boolean, Long, Path)] =
+    try fs.listStatus(new Path(path)).toSeq.filter(_.isFile).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(Hypertable.MERGING))
+        scala.util.Try(n.stripPrefix(Hypertable.MERGING).toLong).toOption
+          .map((true, _, st.getPath))
+      else if (n.startsWith(Hypertable.SPLITTING))
+        scala.util.Try(n.stripPrefix(Hypertable.SPLITTING).toLong).toOption
+          .map((false, _, st.getPath))
+      else None
+    } catch { case _: java.io.FileNotFoundException => Nil }
+
+  /** The reader-safe view of a torn merge/split (see the marker constants):
+    *
+    *  - MERGE, head's live range already extends to the merged end (its
+    *    publish landed): the not-yet-tombstoned absorbed dirs are
+    *    EXCLUDED — their rows live in the merged generation. Head range
+    *    unchanged → the merge never committed; serve the pre state.
+    *  - SPLIT, parent's live range still covers the split point (the
+    *    shrink didn't land): the published upper half is EXCLUDED — its
+    *    rows still live in the parent. Parent already shrunk → the split
+    *    committed; serve both halves.
+    *
+    * Pure function of the listing + marker bodies, so pure READERS (who
+    * may not mutate) get a consistent snapshot too; mutators additionally
+    * complete or roll back via [[healRewriteIntents]].
+    */
+  private def applyRewriteIntents(all: Seq[ChunkInfo]): Seq[ChunkInfo] = {
+    val markers = rewriteIntentMarkers()
+    if (markers.isEmpty) return all
+    var out = all
+    markers.foreach { case (isMerge, start, p) =>
+      val body =
+        try Hypertable.readSmallFile(fs, p).linesIterator.toSeq
+        catch { case _: java.io.IOException => Nil } // completed meanwhile
+      if (isMerge) body match {
+        case endS +: absorbed if absorbed.nonEmpty =>
+          val mergedEnd = scala.util.Try(endS.trim.toLong).getOrElse(-1L)
+          if (out.exists(c => c.startMicros == start &&
+              c.endMicros == mergedEnd)) {
+            val dead = absorbed.map(_.trim).toSet
+            out = out.filterNot { c =>
+              val cd = Hypertable.chunkDirOf(new Path(c.path))
+              dead.contains(cd.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+                .makeQualified(cd).toString)
+            }
+          }
+        case _ => ()
+      } else body.headOption.flatMap(s =>
+        scala.util.Try(s.trim.toLong).toOption).foreach { at =>
+        if (out.exists(c => c.startMicros == start && c.endMicros > at))
+          out = out.filterNot(_.startMicros == at)
+      }
+    }
+    out
+  }
+
+  /** Complete or roll back torn merges/splits (mutating counterpart of
+    * [[applyRewriteIntents]] — idempotent, cross-process-safe under the
+    * catalog commit lock):
+    *
+    *  - MERGE committed (head covers the merged end): tombstone the
+    *    remaining absorbed dirs, drop the marker. Not committed: drop the
+    *    marker — nothing happened (the staged tmp is GC debris).
+    *  - SPLIT half-done (upper live, parent not shrunk): roll FORWARD —
+    *    re-derive the lower half from the parent's still-complete live
+    *    generation (everything below the split point) and publish it,
+    *    then drop the marker. Upper missing or parent already shrunk:
+    *    drop the marker.
+    */
+  private def healRewriteIntents(): Unit = {
+    if (!genLayout || rewriteIntentMarkers().isEmpty) return
+    // re-entrancy: the split roll-forward's rewrite consults showChunks,
+    // whose staleness heal runs a refresh that would re-enter HERE and
+    // roll the same marker forward a second time
+    if (Hypertable.healingIntents.get()) return
+    Hypertable.healingIntents.set(true)
+    try MutationGate.withCatalogFsLock(spark, fs, qualifiedPath) {
+      rewriteIntentMarkers().foreach { case (isMerge, start, p) =>
+        val body =
+          try Hypertable.readSmallFile(fs, p).linesIterator.toSeq
+          catch { case _: java.io.IOException => Nil }
+        val listed = (new Path(path) +: tablespaceTableDirs)
+          .flatMap(listChunksUnder)
+        if (isMerge) body match {
+          case endS +: absorbed if absorbed.nonEmpty =>
+            val mergedEnd = scala.util.Try(endS.trim.toLong).getOrElse(-1L)
+            if (listed.exists(c => c.startMicros == start &&
+                c.endMicros == mergedEnd))
+              absorbed.map(_.trim).foreach { d =>
+                val cd = new Path(d)
+                val cfs = cd.getFileSystem(
+                  spark.sparkContext.hadoopConfiguration)
+                if (cfs.exists(cd) && !Hypertable.isTombstoned(cfs, cd))
+                  Hypertable.tombstoneChunk(cfs, cd)
+              }
+            fs.delete(p, false)
+          case _ => fs.delete(p, false)
+        } else {
+          body.headOption.flatMap(s =>
+            scala.util.Try(s.trim.toLong).toOption) match {
+            case Some(at) =>
+              val parent = listed.find(c => c.startMicros == start &&
+                c.endMicros > at)
+              val upperLive = listed.exists(_.startMicros == at)
+              if (parent.isDefined && upperLive) {
+                val c = parent.get
+                rewriteChunkDir(c.startMicros, at,
+                  chunkRows(c).where(!atOrLaterExpr(at)),
+                  forceCompressed =
+                    Some(Columnstore.isCompressed(spark, c.path)))
+              }
+              fs.delete(p, false)
+            case None => fs.delete(p, false)
+          }
+        }
+      }
+    } finally Hypertable.healingIntents.set(false)
   }
 
   /** Dropped-but-graced chunk dirs across all storage roots (gen layout):
@@ -1598,6 +1829,11 @@ class Hypertable private (
     }
 
   private def refreshChunkCatalogLocked(): Seq[ChunkInfo] = {
+    // torn merges/splits first (their intent markers), in any MUTATING
+    // process — readers resolve them view-only (applyRewriteIntents)
+    if (genLayout && (Hypertable.heldLeases.containsKey(qualifiedPath) ||
+        MutationGate.holdsAppendLease(qualifiedPath)))
+      healRewriteIntents()
     // GC piggybacks on the refresh's full listing: graced-out superseded
     // generations, tombstoned dirs, and crash-remnant generations go here
     // (under the catalog lock, so a publish's rename+stamp never
@@ -1975,9 +2211,25 @@ class Hypertable private (
           sc -> (if (counts.distinct.size == 1) counts.head.getOrElse(-1) else -1)
         }.toMap)
       }
+    // REWRITE-INTENT marker (gen layout): a merge is two+ publish steps —
+    // the head's new generation, then each absorbed dir's tombstone — and
+    // a crash between them would leave the absorbed rows DOUBLE-listed
+    // (the merged gen covers them AND their dirs are still live). The
+    // marker records the intent (merged end + absorbed dirs) BEFORE the
+    // first step; readers resolve a consistent view from it
+    // (applyRewriteIntents) and the next mutator completes or rolls back
+    // (healRewriteIntents). CrashPointFuzzSpec found the bare window.
+    val mergeMarker = new Path(path,
+      s"${Hypertable.MERGING}${cs.head.startMicros}")
+    if (genLayout)
+      Hypertable.writeSmallFile(fs, mergeMarker,
+        (cs.last.endMicros.toString +: cs.tail.map(c =>
+          fs.makeQualified(Hypertable.chunkDirOf(new Path(c.path))).toString))
+          .mkString("\n"))
     val newHead = rewriteChunkDir(cs.head.startMicros, cs.last.endMicros, rows,
       forceCompressed = Some(keepCompressed))
     mergedParts.foreach(Hypertable.writeSpaceParts(fs, newHead, _))
+    Hypertable.crashPoint("merge.after_publish")
     // absorbed chunks: tombstoned in gen layout (pinned readers keep their
     // files for the grace window; the manifest stops listing them), hard
     // delete in the flat layout as before
@@ -1985,7 +2237,9 @@ class Hypertable private (
       if (genLayout)
         Hypertable.tombstoneChunk(fs, Hypertable.chunkDirOf(new Path(c.path)))
       else fs.delete(new Path(c.path), true)
+      Hypertable.crashPoint("merge.absorb_step")
     }
+    if (genLayout) fs.delete(mergeMarker, false)
     syncChunkCatalog()
     ChunkInfo(cs.head.startMicros, cs.last.endMicros, newHead.toString)
   }
@@ -2018,27 +2272,52 @@ class Hypertable private (
       splitChunkImpl(chunkAt(startMicros), atMicros)
     }
 
+  /** Typed "time ≥ at" predicate for the table's dimension kind. */
+  private def atOrLaterExpr(atMicros: Long): Column = timeKind match {
+    case "bigint" => col(timeCol) >= lit(atMicros)
+    case "uuidv7" => col(timeCol) >= lit(boundaryUuid(atMicros))
+    case _        => col(timeCol) >= timestamp_micros(lit(atMicros))
+  }
+
   private def splitChunkImpl(c: ChunkInfo, atMicros: Long): (ChunkInfo, ChunkInfo) = {
     require(!Hypertable.chunkFrozen(fs, new Path(c.path)),
       s"cannot split frozen chunk ${c.path} — unfreeze_chunk first")
     require(atMicros > c.startMicros && atMicros < c.endMicros,
       s"split point $atMicros outside chunk [${c.startMicros},${c.endMicros})")
+    // merge+rebirth geometry can leave chunks whose recorded ranges
+    // overlap (a reborn dir resurrects at its full grid width beside
+    // half-width split products — sound for pruning, which only
+    // over-includes). A split point landing EXACTLY on such a sibling's
+    // start would make the upper half rewrite THAT chunk and replace its
+    // rows — found by CrashPointFuzzSpec seed 9123. Refuse loudly, like
+    // the reference errors on slice conflicts.
+    require(!showChunks().exists(_.startMicros == atMicros),
+      s"split point $atMicros collides with an existing chunk's start — " +
+        "merge the overlapping chunks first")
     val rows = chunkRows(c).cache()
     val parentParts =
       if (repartitioned) Hypertable.readSpaceParts(fs, new Path(c.path)) else None
     try {
-      val atOrLater = timeKind match {
-        case "bigint" => col(timeCol) >= lit(atMicros)
-        case "uuidv7" => col(timeCol) >= lit(boundaryUuid(atMicros))
-        case _        => col(timeCol) >= timestamp_micros(lit(atMicros))
-      }
+      val atOrLater = atOrLaterExpr(atMicros)
       // both halves keep the parent's columnstore state (the reference
       // splits the compressed rel itself, chunk_split.c:1245)
       val wasCompressed = Columnstore.isCompressed(spark, c.path)
+      // intent marker BEFORE the first half publishes: a crash between
+      // the upper's publish and the parent's shrink would double-list
+      // [at, end) — readers exclude the upper until the parent shrinks
+      // (applyRewriteIntents), mutators roll the split forward
+      // (healRewriteIntents re-derives the lower from the parent's still-
+      // complete live generation)
+      val splitMarker = new Path(path,
+        s"${Hypertable.SPLITTING}${c.startMicros}")
+      if (genLayout)
+        Hypertable.writeSmallFile(fs, splitMarker, atMicros.toString)
       val upper = rewriteChunkDir(atMicros, c.endMicros, rows.where(atOrLater),
         forceCompressed = Some(wasCompressed))
+      Hypertable.crashPoint("split.between_halves")
       val lower = rewriteChunkDir(c.startMicros, atMicros, rows.where(!atOrLater),
         forceCompressed = Some(wasCompressed))
+      if (genLayout) fs.delete(splitMarker, false)
       // both halves inherit the parent's layout (the upper half is a NEW
       // dir — rewriteChunkDir had nothing to carry over for it)
       parentParts.foreach { p =>
@@ -2082,9 +2361,11 @@ class Hypertable private (
       // caching — per-chunk .cache() at 100 TB is executor-memory pressure
       val rows = chunkRows(c)
       val hits = rows.where(coalesce(pred, lit(false))).count()
-      if (hits > 0)
+      if (hits > 0) {
         rewriteChunkDir(c.startMicros, c.endMicros,
           rows.where(!coalesce(pred, lit(false))))
+        Hypertable.crashPoint("dml.chunk_step")
+      }
       (hits, c)
     }
     // DELETE invalidates caggs over the touched chunks' ranges
@@ -2674,6 +2955,7 @@ class Hypertable private (
       if (genLayout && Hypertable.gcGraceMs(spark) > 0)
         Hypertable.tombstoneChunk(fs, Hypertable.chunkDirOf(new Path(c.path)))
       else fs.delete(Hypertable.chunkDirOf(new Path(c.path)), true)
+      Hypertable.crashPoint("drop.dir_step")
     }
 
   /** drop_chunks(older_than): delete chunks whose range ends at or before
@@ -2963,6 +3245,14 @@ object Hypertable {
 
   private[sources] val SUPERSEDED = ".graft_superseded"
   private[sources] val DROP_TOMB = ".graft_dropped"
+  // rewrite-intent markers at the PRIMARY root (multi-step merge/split
+  // publishes): `_graft_merging_<headStart>` (body: mergedEnd, then the
+  // absorbed chunk dirs) / `_graft_splitting_<parentStart>` (body: the
+  // split point). Readers derive a consistent view from a torn state
+  // (applyRewriteIntents); mutators complete or roll back
+  // (healRewriteIntents).
+  private[sources] val MERGING = "_graft_merging_"
+  private[sources] val SPLITTING = "_graft_splitting_"
   private[sources] val REBIRTH_OK = ".graft_rebirth_ok"
 
   /** Stamp a rebirth generation COMPLETE — written by the re-ingesting
@@ -3290,6 +3580,70 @@ object Hypertable {
     inFlightTmps.add(fs.makeQualified(tmp).toString); tmp
   }
 
+  // --------------------------------------------------- crash injection
+  // Test-only fault hook at the named multi-step publish boundaries (tmp
+  // write / rename / stamp / tombstone / manifest sync): the crash-point
+  // fuzz (CrashPointFuzzSpec) schedules a throw at a seeded call, leaving
+  // exactly the partial on-disk state a process kill at that boundary
+  // would, then asserts the next op's heal restores the rowset oracle.
+  // Production cost: one volatile read of a no-op lambda per boundary.
+  @volatile private[graft] var crashHook: String => Unit = _ => ()
+  // per-thread re-entrancy latch for healRewriteIntents (see its scaladoc)
+  private[sources] val healingIntents =
+    new ThreadLocal[java.lang.Boolean] { override def initialValue = false }
+  private[graft] final class InjectedCrash(val point: String)
+    extends RuntimeException(s"injected crash at $point")
+  private[sources] def crashPoint(name: String): Unit = crashHook(name)
+
+  // ------------------------------------------------------ stream log
+  // The catalog-backed streaming source (graft.streaming.readStreamCatalog
+  // / GraftStreamSource) tails per-batch append entries instead of
+  // re-listing the whole table's files every micro-batch (Spark's
+  // FileStreamSource is O(files) per trigger — the measured 14 s/10k-chunk
+  // scale cliff in SCALE.md §16). write() appends one entry per batch
+  // listing EXACTLY the files its job committed (pre/post listing diff of
+  // only the touched chunk dirs), but only while the log dir exists — the
+  // first catalog-backed stream enables it; tables nobody tails pay one
+  // `exists` per batch and nothing else.
+
+  private[graft] val STREAM_LOG = "_graft_stream_log"
+
+  private[graft] def streamLogEnabled(fs: FileSystem, tablePath: String): Boolean =
+    fs.exists(new Path(tablePath, STREAM_LOG))
+
+  private[graft] def enableStreamLog(fs: FileSystem, tablePath: String): Unit = {
+    fs.mkdirs(new Path(tablePath, STREAM_LOG)); ()
+  }
+
+  /** Data files under a chunk data dir, recursing through `_space=` levels
+    * (never into dot/tmp dirs), qualified. Missing dir = empty.
+    */
+  private[graft] def listDataFilesRec(fs: FileSystem, dir: Path): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(d: Path): Unit =
+      try fs.listStatus(d).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && !n.startsWith(".") && n.contains("=")) walk(st.getPath)
+        else if (st.isFile && !n.startsWith(".") && !n.startsWith("_"))
+          out += fs.makeQualified(st.getPath).toString
+      } catch { case _: java.io.FileNotFoundException => () }
+    walk(dir)
+    out.toSeq
+  }
+
+  /** One committed-batch entry: file paths, one per line. A fresh unique
+    * name per entry (tmp+rename inside writeSmallFile → atomic appearance);
+    * entries may OVERLAP across concurrent appenders — the source dedups
+    * by path. Age-pruned by the source (`spark.graft.stream.logRetainMs`).
+    */
+  private[graft] def appendStreamLog(fs: FileSystem, tablePath: String,
+      files: Seq[String]): Unit =
+    if (files.nonEmpty)
+      writeSmallFile(fs,
+        new Path(new Path(tablePath, STREAM_LOG),
+          s"e_${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}"),
+        files.mkString("\n"))
+
   /** How a gen-layout chunk rewrite publishes (`spark.graft.publish.mode`):
     *
     *  - `"rename"` (default): stage in a dot-prefixed tmp dir, publish
@@ -3565,6 +3919,7 @@ object Hypertable {
         val directStaged = isGenPath(tmp) && tmp.getParent == chunkDir
         val gens = listGenDirs(fs, chunkDir)
           .filterNot(_._2.getName == tmp.getName)
+        crashPoint("publish.before_rename")
         val dst =
           if (directStaged) tmp
           else {
@@ -3573,6 +3928,7 @@ object Hypertable {
             require(fs.rename(tmp, d), s"rename $tmp -> $d failed")
             d
           }
+        crashPoint("publish.after_rename")
         touchContentStamp(fs, chunkDir.getParent)
         // stamp EVERY unstamped generation below the new one (not just
         // the caller's handle): the commit invariant is exactly one
@@ -3585,6 +3941,7 @@ object Hypertable {
         gens.foreach { case (_, d) =>
           if (!isSuperseded(fs, d)) stampSuperseded(fs, d)
         }
+        crashPoint("publish.after_stamp")
         gcChunkDir(fs, chunkDir, gcGraceMs(spark))
         Some(dst)
       }

@@ -31,6 +31,25 @@ object CaggStream {
       .start()
   }
 
+  /** [[attach]] fed directly from the cagg's raw hypertable, surfacing the
+    * raw stream's start state ([[graft.sources.Hypertable.StreamStartInfo]])
+    * so a streaming-cagg pipeline can ASSERT its exactly-once start —
+    * `filtered` (dead-at-start filter engaged), `deadFiles`, `degraded` —
+    * instead of scraping driver logs, the same introspection
+    * `readStreamWithInfo` gives raw-table consumers.
+    */
+  def attachFromHypertable(cagg: ContinuousAggregate,
+      ht: graft.sources.Hypertable, checkpointLocation: String,
+      maxFilesPerTrigger: Int = 1000, refreshEachBatch: Boolean = false)
+      : (StreamingQuery, graft.sources.Hypertable.StreamStartInfo) = {
+    val (df, info) = ht.readStreamWithInfo(maxFilesPerTrigger)
+    // the raw stream surfaces physical partition columns (`_chunk`,
+    // `_space*`) — ingest re-routes rows itself, so strip them
+    val clean = df.drop("_chunk")
+      .drop(df.columns.filter(_.startsWith("_space")).toIndexedSeq: _*)
+    (attach(cagg, clean, checkpointLocation, refreshEachBatch), info)
+  }
+
   /** One micro-batch: ingest unless this checkpoint's `batchId` was
     * already processed.
     */

@@ -1,0 +1,207 @@
+package org.apache.spark.sql.graftstream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.streaming.CatalogStreamCore
+
+/** V1 Structured Streaming source that tails a graft hypertable's
+  * `_graft_stream_log/` append feed instead of re-listing the table's
+  * files every micro-batch (see [[CatalogStreamCore]] for the why; this
+  * class sits under `org.apache.spark.sql` only for the `private[sql]`
+  * streaming SPI — Source, DataSource, LogicalRelation).
+  *
+  * Semantics:
+  *  - `startingPosition=earliest` (default): batch 0 is the table's live
+  *    snapshot (manifest-resolved — graced/dead generations excluded by
+  *    construction); later batches are exactly the files appended by
+  *    `write()` batches. `latest`: the snapshot is marked seen and NOT
+  *    emitted — only post-start appends stream; start cost is the same
+  *    one-time parallel listing.
+  *  - exactly-once per checkpoint: each micro-batch's file list is
+  *    persisted under the checkpoint (`<metadataPath>/b<id>`) before the
+  *    offset is exposed, so restarts replay identical batches; a seen-set
+  *    rebuilt from those lists dedups overlapping log entries (two
+  *    concurrent appenders can both list a racing file — harmless here).
+  *  - rewrites (compress/decompress/merge/split/DML) never enter the log,
+  *    so their re-encoded files never re-emit — streams and maintenance
+  *    can overlap, unlike the file-tailing `readStream` contract.
+  *  - each getOffset drains EVERYTHING new since the last trigger into one
+  *    batch (`maxFilesPerTrigger` is accepted but advisory here — batch
+  *    size is bounded by arrival rate between triggers; AvailableNow
+  *    latches a single target offset, which this satisfies in one pass).
+  *  - a stream down longer than `spark.graft.stream.logRetainMs` (7 days
+  *    default) can miss pruned entries — restart with a fresh checkpoint
+  *    to resnapshot.
+  */
+class GraftStreamSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-hypertable"
+
+  // one table open + schema inference per (path, schema), shared between
+  // sourceSchema (plan time) and createSource (query start): each open
+  // pays a fresh-handle manifest resolve and the inference a one-chunk
+  // parquet read — measurable at 10k chunks (ScaleProbe
+  // stream_start_catalog). The provider instance is per-DataSource, so
+  // the memo's lifetime is one stream's setup.
+  @volatile private var memo: Option[(String, Option[StructType],
+    (StructType, StructType, Seq[String], graft.sources.Hypertable))] = None
+
+  private def resolve(sqlContext: SQLContext, schema: Option[StructType],
+      parameters: Map[String, String])
+      : (StructType, StructType, Seq[String], graft.sources.Hypertable) =
+    memo match {
+      case Some((p, s, r)) if p == parameters("path") && s == schema => r
+      case _ =>
+        val r = CatalogStreamCore.schemas(
+          sqlContext.sparkSession, parameters("path"), schema)
+        memo = Some((parameters("path"), schema, r))
+        r
+    }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), resolve(sqlContext, schema, parameters)._1)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val table = parameters("path")
+    val (out, rel, parts, ht) = resolve(sqlContext, schema, parameters)
+    new GraftStreamSource(spark.asInstanceOf[classic.SparkSession], table,
+      metadataPath, out, rel, parts,
+      parameters.getOrElse("startingPosition", "earliest"), Some(ht))
+  }
+}
+
+class GraftStreamSource(spark: classic.SparkSession, table: String,
+    metadataPath: String, outputSchema: StructType,
+    relationSchema: StructType, partitionCols: Seq[String],
+    startingPosition: String,
+    handle: Option[graft.sources.Hypertable] = None) extends Source {
+
+  private val metaFs = CatalogStreamCore.fsOf(spark, metadataPath)
+  private val metaDir = new Path(metadataPath, "graft-batches")
+  private val seen = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+  private val processedEntries = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+  private var batchId: Long = -1L
+
+  // make sure writers start logging from now on, even before the first
+  // trigger (readStreamCatalog also enables eagerly at plan time)
+  CatalogStreamCore.enableLog(spark, table)
+
+  // rebuild checkpointed state: every persisted batch's files are seen
+  {
+    metaFs.mkdirs(metaDir)
+    val existing =
+      try metaFs.listStatus(metaDir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("b"))
+        .map(s => s.getPath.getName.stripPrefix("b").toLong -> s.getPath)
+        .sortBy(_._1)
+      catch { case _: java.io.FileNotFoundException => Nil }
+    existing.foreach { case (id, p) =>
+      CatalogStreamCore.readText(metaFs, p)
+        .linesIterator.filter(_.nonEmpty).foreach(seen.add)
+      batchId = math.max(batchId, id)
+    }
+    // FIRST start only: the initial snapshot. Restarts rely on the log —
+    // re-snapshotting would re-enqueue rewrite-produced files whose rows
+    // were already delivered (the log, by construction, never does). The
+    // snapshot decision is persisted: a `latest` start's skipped baseline
+    // must survive restarts as the seen-set floor, or a restart would
+    // re-mark post-start appends as "pre-start" and silently drop them.
+    val snapMarker = new Path(metaDir, "snapshot")
+    if (existing.isEmpty && !metaFs.exists(snapMarker)) {
+      val snap = CatalogStreamCore.snapshotFiles(spark, table, handle)
+      if (startingPosition == "latest") {
+        CatalogStreamCore.writeText(metaFs, snapMarker, snap.mkString("\n"))
+        snap.foreach(seen.add)
+      } else {
+        CatalogStreamCore.writeText(metaFs, snapMarker, "")
+        if (snap.nonEmpty) { persistBatch(0L, snap); batchId = 0L }
+      }
+    } else if (metaFs.exists(snapMarker)) {
+      try CatalogStreamCore.readText(metaFs, snapMarker)
+        .linesIterator.filter(_.nonEmpty).foreach(seen.add)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private def persistBatch(id: Long, files: Seq[String]): Unit = {
+    CatalogStreamCore.writeText(metaFs,
+      new Path(metaDir, s"b$id"), files.mkString("\n"))
+    files.foreach(seen.add)
+  }
+
+  override def schema: StructType = outputSchema
+
+  override def getOffset: Option[Offset] = synchronized {
+    val fresh = CatalogStreamCore
+      .newLogEntries(spark, table, processedEntries)
+      .flatMap { case (name, files) =>
+        processedEntries.add(name)
+        files.filterNot(seen.contains)
+      }.distinct
+    if (fresh.nonEmpty) { persistBatch(batchId + 1, fresh); batchId += 1 }
+    if (batchId >= 0) Some(LongOffset(batchId)) else None
+  }
+
+  private def idOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(idOf).getOrElse(-1L) + 1
+    val to = idOf(end)
+    val files = (from to to).flatMap { id =>
+      try CatalogStreamCore.readText(metaFs,
+        new Path(metaDir, s"b$id")).linesIterator.filter(_.nonEmpty).toSeq
+      catch { case _: java.io.FileNotFoundException => Nil }
+    }
+    if (files.isEmpty)
+      return classic.Dataset.ofRows(spark, LocalRelation(
+        DataTypeUtils.toAttributes(outputSchema), Nil, isStreaming = true))
+    // one relation per storage root (basePath parses the partition dirs);
+    // union, then project to the output schema (drops `_gen`)
+    val byRoot = files.groupBy { f =>
+      val i = f.indexOf(s"/_chunk=")
+      if (i > 0) f.substring(0, i) else new Path(f).getParent.toString
+    }
+    val dfs = byRoot.toSeq.map { case (root, fs0) =>
+      val rel = DataSource(
+        sparkSession = spark,
+        className = "parquet",
+        paths = fs0,
+        userSpecifiedSchema = Some(relationSchema),
+        partitionColumns = partitionCols,
+        options = Map("basePath" -> root)
+      ).resolveRelation(checkFilesExist = false)
+      classic.Dataset.ofRows(spark,
+        LogicalRelation(rel, isStreaming = true))
+    }
+    dfs.reduceLeft(_ unionByName _)
+      .select(outputSchema.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftStreamSource[$table]"
+}

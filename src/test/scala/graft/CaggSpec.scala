@@ -360,6 +360,40 @@ class CaggSpec extends AnyFunSuite {
     assert(cagg.materialized.collect().toSet === directAgg(ht).collect().toSet)
   }
 
+  test("attachFromHypertable surfaces StreamStartInfo: a q100-shaped " +
+    "pipeline asserts its exactly-once start, dead files excluded") {
+    import graft.sources.Columnstore
+    // FEED table with a rewrite history: a compressed chunk leaves its
+    // superseded generation grace-retained — a raw glob at stream start
+    // would emit those rows TWICE into the cagg
+    val dir = Files.createTempDirectory("graft_cagg_sinfo").toString
+    val feed = Hypertable.create(spark, s"$dir/feed", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    val events = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    feed.write(events)
+    Columnstore.compressChunk(spark, feed.showChunks().head.path,
+      Columnstore.Options(orderBy = Seq("ts")))
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht, defn)
+    val ckpt = Files.createTempDirectory("graft_ckpt_sinfo").toString
+    val (q, info) = CaggStream.attachFromHypertable(cagg, feed, ckpt,
+      refreshEachBatch = true)
+    try {
+      // the pipeline can ASSERT its exactly-once start instead of
+      // scraping logs: the dead-at-start filter engaged, non-degraded
+      assert(info.filtered && !info.degraded)
+      assert(info.deadFiles > 0,
+        "the compressed chunk's superseded generation must be in the dead set")
+      q.processAllAvailable()
+    } finally q.stop()
+    // exactly-once in the RESULT: the cagg equals the direct aggregation
+    // over the feed — the graced dead generation was not double-ingested
+    assert(ht.read().count() === events.count())
+    cagg.refreshAll()
+    assert(cagg.materialized.collect().toSet ===
+      directAgg(feed).collect().toSet)
+  }
+
   /** Like [[freshCagg]] but with 7-day mat chunks, so the one month of
     * events spans several mat chunks (the default 10× sizing would put
     * all of January in a single 70-day chunk).

@@ -229,4 +229,42 @@ class ChunkOpsSpec extends AnyFunSuite {
     assert(report.exists(_.startsWith("columnstore")))
     assert(!report.exists(_.startsWith("dropped")))
   }
+
+  test("a split point colliding with an existing chunk's start refuses " +
+    "instead of rewriting that chunk (CrashPointFuzzSpec seed 9123)") {
+    // merge+rebirth geometry: split a chunk in half, merge the lower half
+    // away, drop... simplest reproduction: a half-width chunk exists at
+    // the midpoint of a full-width one after split+merge, then re-ingest
+    // resurrects the full-width dir — its midpoint == the half chunk's
+    // start. The buggy path made the upper half REWRITE the existing
+    // chunk, silently replacing its rows.
+    val dir = Files.createTempDirectory("graft_splitcollide").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    ht.write(events)
+    val total = ht.read().count()
+    val cs0 = ht.showChunks().sortBy(_.startMicros)
+    val (a, b) = (cs0(0), cs0(1))
+    // split B in half, then merge A with B's lower half -> B's dir is
+    // tombstoned while a half chunk lives at B's midpoint
+    val (bLow, bUp) = ht.splitChunk(b.startMicros)
+    ht.mergeChunks(a.startMicros, bLow.startMicros)
+    // re-ingest rows of B's lower range -> rebirth of B's dir at FULL
+    // grid width (default range), overlapping the half chunk bUp
+    val re = events.where(col("ts") >= new java.sql.Timestamp(
+      b.startMicros / 1000) && col("ts") < new java.sql.Timestamp(
+      bLow.endMicros / 1000)).limit(20)
+    ht.write(re)
+    val expected = total + re.count()
+    assert(ht.read().count() === expected)
+    val reborn = ht.showChunks().find(_.startMicros == b.startMicros).get
+    assert(reborn.endMicros > bUp.startMicros,
+      "setup must produce the overlapping-range geometry")
+    // the reborn chunk's midpoint == bUp.start: split must REFUSE, and
+    // every row must still be readable afterwards
+    intercept[IllegalArgumentException](
+      ht.splitChunk(reborn.startMicros, bUp.startMicros))
+    assert(ht.read().count() === expected,
+      "refused split must leave every chunk's rows intact")
+  }
 }

@@ -1,0 +1,171 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Columnstore, Hypertable}
+import graft.Tables
+
+/** [[Hypertable.readStreamCatalog]] — the catalog-backed streaming source
+  * (GraftStreamSource): per-trigger discovery tails `_graft_stream_log/`
+  * entries (O(new files), not FileStreamSource's O(all files) re-listing),
+  * the initial snapshot resolves from the manifest (dead generations
+  * excluded by construction), and REWRITES never re-emit — maintenance
+  * can overlap a running stream.
+  */
+class CatalogStreamSpec extends AnyFunSuite {
+  lazy val spark = graft.Graft.session("catalog-stream-spec", "local[4]", 4)
+  import spark.implicits._
+
+  private def events = Tables.table(spark, "/root/testdata/sf0.001", "events")
+
+  private def drainTo(ht: Hypertable, ckpt: String,
+      seen: java.util.Queue[Long], sawCols: StringBuilder = new StringBuilder,
+      startingPosition: String = "earliest"): Unit = {
+    val q = ht.readStreamCatalog(startingPosition = startingPosition)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (sawCols.isEmpty) { sawCols ++= df.columns.mkString(","); () }
+        df.select("event_id").collect().foreach(r => seen.add(r.getLong(0)))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+  }
+
+  test("earliest drain equals the batch read; a second drain of the same " +
+    "checkpoint sees ONLY appends (exactly-once)") {
+    val dir = Files.createTempDirectory("graft_catstream").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    val (early, late) = (events.where(dayofmonth($"ts") <= 20),
+      events.where(dayofmonth($"ts") > 20))
+    ht.write(early)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val cols = new StringBuilder
+    val ckpt = s"$dir/ckpt"
+    drainTo(ht, ckpt, seen, cols)
+    assert(cols.toString.contains("_chunk"),
+      s"stream must surface the partition column like readStream: $cols")
+    assert(!cols.toString.contains("_gen"))
+    assert(seen.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted.toSeq
+      === early.select("event_id").collect().map(_.getLong(0)).sorted.toSeq)
+    ht.write(late)
+    drainTo(ht, ckpt, seen)
+    assert(seen.size === events.count())
+    assert(seen.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted.toSeq
+      === events.select("event_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("latest: the pre-start snapshot is skipped; only post-start appends " +
+    "emit") {
+    val dir = Files.createTempDirectory("graft_catstream_latest").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    val (early, late) = (events.where(dayofmonth($"ts") <= 20),
+      events.where(dayofmonth($"ts") > 20))
+    ht.write(early)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ckpt = s"$dir/ckpt"
+    drainTo(ht, ckpt, seen, startingPosition = "latest")
+    assert(seen.isEmpty, s"latest start must not emit the snapshot: ${seen.size}")
+    ht.write(late)
+    drainTo(ht, ckpt, seen, startingPosition = "latest")
+    assert(seen.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted.toSeq
+      === late.select("event_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("REWRITES between drains never re-emit: compress + DML + merge can " +
+    "overlap the stream's lifetime") {
+    val dir = Files.createTempDirectory("graft_catstream_rw").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    val (early, late) = (events.where(dayofmonth($"ts") <= 20),
+      events.where(dayofmonth($"ts") > 20))
+    ht.write(early)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ckpt = s"$dir/ckpt"
+    drainTo(ht, ckpt, seen)
+    val afterFirst = seen.size
+    // rewrite machinery between drains: every one of these produces NEW
+    // part files whose rows were already delivered — the file-tailing
+    // readStream would re-emit them all; the catalog source must not
+    val opts = Columnstore.Options(orderBy = Seq("ts"))
+    val cs = ht.showChunks().sortBy(_.startMicros)
+    Columnstore.compressChunk(spark, cs.head.path, opts)
+    ht.updateWhere(col("event_id") === -1L, Map("value" -> lit(0.0)))
+    ht.mergeChunks(cs(1).startMicros, cs(2).startMicros)
+    ht.write(late) // and a real append on top
+    drainTo(ht, ckpt, seen)
+    assert(seen.size === afterFirst + late.count(),
+      "a rewrite's files re-emitted (or an append was lost)")
+    assert(seen.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted.toSeq
+      === events.select("event_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("a stream started during a GC grace window: the manifest snapshot " +
+    "excludes dead generations and dropped dirs, keeps rebirth rows") {
+    val dir = Files.createTempDirectory("graft_catstream_gen").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days",
+      catalog = "table", spaceCol = Some("user_id"), spacePartitions = 2)
+    ht.write(events)
+    val chunks = ht.showChunks().sortBy(_.startMicros)
+    // superseded gen retained in grace; dropped dir tombstoned; rebirth
+    Columnstore.compressChunk(spark, chunks.head.path,
+      Columnstore.Options(orderBy = Seq("ts")))
+    val dropped = chunks(1)
+    ht.dropChunks(Some(dropped.endMicros), None) // drops chunks 0 and 1? no:
+    // endMicros bound drops every chunk ending at/before it — chunk 0 and 1
+    val reIngest = events.where(col("ts") >= new java.sql.Timestamp(
+      dropped.startMicros / 1000) && col("ts") < new java.sql.Timestamp(
+      dropped.endMicros / 1000)).limit(40)
+    val nRe = reIngest.count()
+    ht.write(reIngest) // rebirth generation above the tombstone
+    val expected = ht.read().count()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    drainTo(ht, s"$dir/ckpt", seen)
+    assert(seen.size === expected,
+      s"snapshot must equal the batch read (incl. $nRe rebirth rows)")
+  }
+
+  test("appends into tablespace-resident chunks flow (multi-root log paths)") {
+    val dir = Files.createTempDirectory("graft_catstream_ts").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    ht.write(events.where(dayofmonth($"ts") <= 20))
+    ht.attachTablespace(s"$dir/cold")
+    val first = ht.showChunks().head
+    ht.moveChunk(first.startMicros, Some(s"$dir/cold"))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ckpt = s"$dir/ckpt"
+    drainTo(ht, ckpt, seen)
+    val base = seen.size
+    // rows routing into the MOVED chunk write directly to the cold root —
+    // the log records cold-root paths and the source reads them
+    val late = events.where(col("ts") < new java.sql.Timestamp(
+      first.endMicros / 1000)).limit(60)
+    ht.write(late)
+    drainTo(ht, ckpt, seen)
+    assert(seen.size === base + late.count())
+  }
+
+  test("an empty table streams with an explicit schema; writes flow in") {
+    val dir = Files.createTempDirectory("graft_catstream_empty").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    val withChunk = org.apache.spark.sql.types.StructType(
+      events.schema.fields :+
+        org.apache.spark.sql.types.StructField("_chunk",
+          org.apache.spark.sql.types.LongType))
+    val stream = ht.readStreamCatalog(schema = Some(withChunk))
+    ht.write(events.limit(50))
+    val q = stream.writeStream.format("memory").queryName("cat_empty_sink")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("cat_empty_sink").count() === 50)
+  }
+}
