@@ -109,6 +109,21 @@ object IsolationChild {
               println(s"POLICY_REFUSED ${e.getMessage}")
               code = 3
           }
+        case "append-loop" =>
+          // cross-process appender for the catalog-stream spec: write
+          // `batches` (≤ 4) slices of event_id % 5 == k — the parent
+          // seeds the table with the %5==4 slice, so the sets stay
+          // disjoint and exactly-once is assertable by id distinctness
+          val batches = args(2).toInt
+          val ht = Hypertable.at(spark, table)
+          val events = graft.Tables.table(spark,
+            "/root/testdata/sf0.001", "events")
+          (0 until batches).foreach { k =>
+            ht.write(events.where(pmod(col("event_id"), lit(5)) === k))
+            println(s"APPENDED $k")
+            System.out.flush()
+          }
+          println("APPEND_DONE")
         case "read-expect" =>
           // read_committed_insert port (test/isolation/specs/
           // read_committed_insert.spec): a FRESH session must see exactly

@@ -227,6 +227,43 @@ class RealProcessIsolationSpec extends AnyFunSuite {
       "a row was duplicated or lost under concurrent append+policy")
   }
 
+  test("catalog stream across processes: this process TAILS " +
+    "readStreamCatalog while a second process appends — every batch " +
+    "arrives exactly once") {
+    // the stream log's whole point is cross-process tailing: the child
+    // appender writes the log entries, this process's source consumes
+    // them with O(new files) discovery
+    val dir = Files.createTempDirectory("graft_realproc_stream").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    ht.write(events.where(pmod(col("event_id"), lit(5)) === 4).limit(1))
+    Hypertable.releaseMutatorLease(spark, s"$dir/ht")
+    val stream = ht.readStreamCatalog() // enables the log BEFORE the child
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("event_id").collect().foreach(r => seen.add(r.getLong(0)))
+      }
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(300))
+      .start()
+    try {
+      val (code, out) = runChild(childCmd("append-loop", s"$dir/ht", "4"))
+      assert(code === 0 && out.contains("APPEND_DONE"),
+        s"child appender failed:\n$out")
+      // drain: everything the child acked must arrive exactly once
+      val want = events.where(pmod(col("event_id"), lit(5)) < 4).count() + 1
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (seen.size < want && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(seen.size === want,
+        s"expected $want rows exactly once, saw ${seen.size}")
+      val ids = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+      assert(ids.length === ids.distinct.length,
+        "a cross-process batch was delivered twice")
+    } finally q.stop()
+  }
+
   test("read_committed_insert port: a second-process reader sees exactly " +
     "the committed rows after each insert commit") {
     // test/isolation/specs/read_committed_insert.spec: a concurrent

@@ -153,6 +153,78 @@ class CatalogStreamSpec extends AnyFunSuite {
     assert(seen.size === base + late.count())
   }
 
+  for (seed <- Seq(11L, 23L, 41L))
+    test("a RUNNING catalog stream under a random maintenance history " +
+      s"delivers every appended row exactly once (seed=$seed)") {
+      // the catalog source is an APPEND FEED: rewrites (compress/merge/
+      // split/DML) never re-emit, and rows already delivered stay
+      // delivered across later deletes/drops — so the oracle is strict:
+      // the sink must hold exactly the union of appended slices, each id
+      // once, no matter what maintenance interleaves
+      val rnd = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"graft_catstream_fz$seed").toString
+      val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+        chunkWidth = "7 days", catalog = "table")
+      ht.write(events.where(pmod(col("event_id"), lit(5)) === 0))
+      val appended = scala.collection.mutable.Set[Long](
+        events.where(pmod(col("event_id"), lit(5)) === 0)
+          .select("event_id").collect().map(_.getLong(0)).toIndexedSeq: _*)
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = ht.readStreamCatalog()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("event_id").collect().foreach(r => seen.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200))
+        .start()
+      val opts = Columnstore.Options(orderBy = Seq("ts"))
+      var unwritten = rnd.shuffle((1 until 5).toList)
+      try {
+        (1 to 12).foreach { _ =>
+          val cs = ht.showChunks().sortBy(_.startMicros)
+          rnd.nextInt(8) match {
+            case 0 | 1 if unwritten.nonEmpty =>
+              val k = unwritten.head; unwritten = unwritten.tail
+              val slice = events.where(pmod(col("event_id"), lit(5)) === k)
+              ht.write(slice)
+              appended ++= slice.select("event_id").collect().map(_.getLong(0))
+            case 2 if cs.nonEmpty =>
+              Columnstore.compressChunk(spark,
+                cs(rnd.nextInt(cs.size)).path, opts)
+            case 3 if cs.nonEmpty =>
+              Columnstore.decompressChunk(spark, cs(rnd.nextInt(cs.size)).path)
+            case 4 =>
+              val pairs = cs.sliding(2).filter {
+                case Seq(a, b) => a.endMicros == b.startMicros
+                case _ => false
+              }.toSeq
+              if (pairs.nonEmpty) {
+                val Seq(a, b) = pairs(rnd.nextInt(pairs.size)): @unchecked
+                ht.mergeChunks(a.startMicros, b.startMicros)
+              }
+            case 5 if cs.nonEmpty =>
+              try ht.splitChunk(cs(rnd.nextInt(cs.size)).startMicros)
+              catch { case _: IllegalArgumentException => () } // collision
+            case 6 =>
+              ht.deleteWhere(pmod(col("event_id"), lit(97))
+                === rnd.nextInt(97))
+            case _ if cs.size > 2 =>
+              ht.dropChunks(Some(cs.head.endMicros), None)
+            case _ => ()
+          }
+        }
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+      assert(got.length === got.distinct.length,
+        s"[seed=$seed] a rewrite or replay re-emitted rows")
+      assert(got.toSet === appended.toSet,
+        s"[seed=$seed] appended-feed mismatch: missing=${
+          (appended.toSet -- got.toSet).take(5)} extra=${
+          (got.toSet -- appended.toSet).take(5)}")
+    }
+
   test("an empty table streams with an explicit schema; writes flow in") {
     val dir = Files.createTempDirectory("graft_catstream_empty").toString
     val ht = Hypertable.create(spark, s"$dir/ht", "ts",
