@@ -500,19 +500,42 @@ class Hypertable private (
             d.getFileSystem(spark.sparkContext.hadoopConfiguration), d).toSet
         }))
       }
+    // CONCURRENT APPENDER PROCESSES would collide in the committer's
+    // SHARED staging dir: FileOutputCommitter stages every job under
+    // `<table>/_temporary/<appAttemptId>` with appAttemptId=0, and one
+    // job's commit-time cleanup deletes `_temporary` wholesale — nuking
+    // the other process's in-flight task files (TASK_WRITE_FAILED; found
+    // by the two-appender RealProcessIsolationSpec case). Give each
+    // process its own attempt id (unique staging subtree) and skip the
+    // committer's whole-dir cleanup; we delete OUR OWN staging subtree
+    // after the job instead (in-process writes serialize on the JVM
+    // lock, so the id is safe to reuse).
+    val stagingOpts = Map(
+      "mapreduce.job.application.attempt.id" ->
+        math.abs(Hypertable.processId.hashCode % 1000000000).toString,
+      "mapreduce.fileoutputcommitter.cleanup.skipped" -> "true")
+    def writeTo(df: DataFrame, dest: String): Unit = {
+      df.write.mode(mode).options(stagingOpts)
+        .partitionBy(partCols: _*).parquet(dest)
+      val dfs = new Path(dest)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try dfs.delete(new Path(dest,
+        s"_temporary/${stagingOpts("mapreduce.job.application.attempt.id")}"),
+        true)
+      catch { case _: java.io.IOException => () }
+    }
     try {
       if (tsRoots.isEmpty)
-        routed.write.mode(mode).partitionBy(partCols: _*).parquet(path)
+        writeTo(routed, path)
       else {
         // NULL chunk keys (null time) stay on the primary write: an
         // isInCollection miss on null yields null, and where(!null)
         // would silently drop the row from BOTH splits
-        routed.where(col(CHUNK).isNull ||
-            !col(CHUNK).isInCollection(tsRoots.keySet))
-          .write.mode(mode).partitionBy(partCols: _*).parquet(path)
+        writeTo(routed.where(col(CHUNK).isNull ||
+            !col(CHUNK).isInCollection(tsRoots.keySet)), path)
         tsRoots.groupBy(_._2).foreach { case (root, m) =>
-          routed.where(col(CHUNK).isInCollection(m.keySet))
-            .write.mode(mode).partitionBy(partCols: _*).parquet(root.toString)
+          writeTo(routed.where(col(CHUNK).isInCollection(m.keySet)),
+            root.toString)
         }
       }
       // fold any CRASHED earlier relocation's primary-root stubs into

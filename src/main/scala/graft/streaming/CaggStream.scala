@@ -50,6 +50,25 @@ object CaggStream {
     (attach(cagg, clean, checkpointLocation, refreshEachBatch), info)
   }
 
+  /** [[attachFromHypertable]] over the CATALOG-BACKED source
+    * ([[graft.sources.Hypertable.readStreamCatalog]]): per-trigger
+    * discovery tails the stream log (O(new files), no re-listing), dead
+    * generations are excluded by construction (no StreamStartInfo needed
+    * — there is no dead-set filter to assert), and REWRITES never
+    * re-emit, so the raw table's compression/retention policies can run
+    * while the cagg pipeline streams — the shape a standing 100 TB
+    * ingest actually needs.
+    */
+  def attachFromHypertableCatalog(cagg: ContinuousAggregate,
+      ht: graft.sources.Hypertable, checkpointLocation: String,
+      startingPosition: String = "earliest",
+      refreshEachBatch: Boolean = false): StreamingQuery = {
+    val df = ht.readStreamCatalog(startingPosition = startingPosition)
+    val clean = df.drop("_chunk")
+      .drop(df.columns.filter(_.startsWith("_space")).toIndexedSeq: _*)
+    attach(cagg, clean, checkpointLocation, refreshEachBatch)
+  }
+
   /** One micro-batch: ingest unless this checkpoint's `batchId` was
     * already processed.
     */

@@ -110,15 +110,16 @@ object IsolationChild {
               code = 3
           }
         case "append-loop" =>
-          // cross-process appender for the catalog-stream spec: write
-          // `batches` (≤ 4) slices of event_id % 5 == k — the parent
-          // seeds the table with the %5==4 slice, so the sets stay
-          // disjoint and exactly-once is assertable by id distinctness
+          // cross-process appender: write `batches` slices of
+          // event_id % 5 == (offset + i) — offsets keep several appender
+          // PROCESSES (and the parent's seed slice) disjoint, so
+          // exactly-once is assertable by id distinctness
           val batches = args(2).toInt
+          val offset = if (args.length > 3) args(3).toInt else 0
           val ht = Hypertable.at(spark, table)
           val events = graft.Tables.table(spark,
             "/root/testdata/sf0.001", "events")
-          (0 until batches).foreach { k =>
+          (offset until offset + batches).foreach { k =>
             ht.write(events.where(pmod(col("event_id"), lit(5)) === k))
             println(s"APPENDED $k")
             System.out.flush()

@@ -394,6 +394,37 @@ class CaggSpec extends AnyFunSuite {
       directAgg(feed).collect().toSet)
   }
 
+  test("attachFromHypertableCatalog: the cagg pipeline streams while the " +
+    "FEED table compresses mid-stream — no re-ingest of rewritten rows") {
+    import graft.sources.Columnstore
+    val dir = Files.createTempDirectory("graft_cagg_catsrc").toString
+    val feed = Hypertable.create(spark, s"$dir/feed", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    val events = Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val (early, late) = (events.where(dayofmonth($"ts") <= 20),
+      events.where(dayofmonth($"ts") > 20))
+    feed.write(early)
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht, defn)
+    val q = CaggStream.attachFromHypertableCatalog(cagg, feed,
+      Files.createTempDirectory("graft_ckpt_catsrc").toString,
+      refreshEachBatch = true)
+    try {
+      q.processAllAvailable()
+      // maintenance on the FEED while the stream runs: the file-tailing
+      // source would re-emit the compressed chunk's rows into the cagg
+      Columnstore.compressChunk(spark, feed.showChunks().head.path,
+        Columnstore.Options(orderBy = Seq("ts")))
+      feed.write(late)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ht.read().count() === events.count(),
+      "a rewrite's files were re-ingested (or an append was lost)")
+    cagg.refreshAll()
+    assert(cagg.materialized.collect().toSet ===
+      directAgg(feed).collect().toSet)
+  }
+
   /** Like [[freshCagg]] but with 7-day mat chunks, so the one month of
     * events spans several mat chunks (the default 10× sizing would put
     * all of January in a single 70-day chunk).

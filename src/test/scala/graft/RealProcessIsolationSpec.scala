@@ -264,6 +264,54 @@ class RealProcessIsolationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TWO appender processes share one table concurrently: disjoint " +
+    "slices land exactly once, the catalog stays consistent") {
+    // the shared append-lease class: appenders never conflict with each
+    // other (unique part files per job; manifest commits serialize on
+    // the catalog flock; rebirths on the per-dir lock). Two REAL child
+    // JVMs append interleaved batches to the same table at once.
+    val dir = Files.createTempDirectory("graft_realproc_2app").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    ht.write(events.where(pmod(col("event_id"), lit(5)) === 4))
+    Hypertable.releaseMutatorLease(spark, s"$dir/ht")
+    val pA = new ProcessBuilder(
+      childCmd("append-loop", s"$dir/ht", "2", "0"): _*)
+      .redirectErrorStream(true).start()
+    val pB = new ProcessBuilder(
+      childCmd("append-loop", s"$dir/ht", "2", "2"): _*)
+      .redirectErrorStream(true).start()
+    def drainOf(p: Process, tag: String): (Thread, java.lang.StringBuilder) = {
+      val out = new java.lang.StringBuilder
+      val t = new Thread(() => {
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream))
+        var l = r.readLine()
+        while (l != null) {
+          out.synchronized { out.append(l).append('\n') }; l = r.readLine()
+        }
+      }, s"drain-$tag")
+      t.setDaemon(true); t.start(); (t, out)
+    }
+    val (tA, oA) = drainOf(pA, "a")
+    val (tB, oB) = drainOf(pB, "b")
+    assert(pA.waitFor(240, TimeUnit.SECONDS) && pB.waitFor(240, TimeUnit.SECONDS),
+      "appender children timed out")
+    tA.join(5000); tB.join(5000)
+    assert(pA.exitValue() === 0 && oA.synchronized(oA.toString).contains("APPEND_DONE"),
+      s"appender A failed:\n$oA")
+    assert(pB.exitValue() === 0 && oB.synchronized(oB.toString).contains("APPEND_DONE"),
+      s"appender B failed:\n$oB")
+    // exactly-once union through a FRESH handle (manifest-resolved)
+    val got = Hypertable.at(spark, s"$dir/ht").read()
+      .select("event_id").collect().map(_.getLong(0))
+    assert(got.length === got.distinct.length,
+      "concurrent appenders duplicated rows")
+    assert(got.sorted.toSeq === events.select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq,
+      "concurrent appenders lost rows")
+  }
+
   test("read_committed_insert port: a second-process reader sees exactly " +
     "the committed rows after each insert commit") {
     // test/isolation/specs/read_committed_insert.spec: a concurrent
