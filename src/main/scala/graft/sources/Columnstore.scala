@@ -173,6 +173,58 @@ object Columnstore {
       dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
     leafFiles(fs, dir).flatMap(_._2)
 
+  /** Per-leaf swap intent (segmentwise recompress): consumed input names
+    * + adopted fresh names, written BEFORE the leaf mutates. Dot-prefixed
+    * — invisible to [[leafFiles]] and Spark's file index.
+    */
+  private[sources] val SWAP_MARKER = ".graft_swap"
+
+  /** Heal a torn per-leaf recompress swap (crash between the marker, the
+    * adoption renames, and the input deletes): all fresh files present →
+    * finish deleting the consumed inputs; some fresh still staged in a
+    * surviving tmp → complete the adoption first; fresh incomplete and
+    * the tmp gone → roll the adopted ones back (the inputs are intact —
+    * deletes only ever run after a full adoption). Idempotent; called by
+    * every whole-chunk maintenance entry before it lists data files, so
+    * a torn leaf can never feed duplicates into a compress/compact/
+    * recompress rewrite.
+    */
+  private[sources] def healSwapsUnder(fs: org.apache.hadoop.fs.FileSystem,
+      chunkP: Path): Unit = {
+    def walk(d: Path): Unit = {
+      val entries =
+        try fs.listStatus(d).toSeq
+        catch { case _: java.io.FileNotFoundException => return }
+      entries.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .foreach(s => walk(s.getPath))
+      entries.find(s => s.isFile && s.getPath.getName == SWAP_MARKER)
+        .foreach { mk =>
+          val lines =
+            try Hypertable.readSmallFile(fs, mk.getPath)
+              .linesIterator.toSeq
+            catch { case _: java.io.IOException => Nil }
+          val ins = lines.filter(_.startsWith("in:")).map(_.stripPrefix("in:"))
+          val outs = lines.filter(_.startsWith("out:")).map(_.stripPrefix("out:"))
+          val present = entries.filter(_.isFile)
+            .map(_.getPath.getName).toSet
+          val tmp = new Path(d, ".recompress_tmp")
+          if (outs.nonEmpty && outs.forall(present.contains))
+            ins.foreach(n => fs.delete(new Path(d, n), false))
+          else if (outs.nonEmpty && fs.exists(tmp) && outs.forall(n =>
+              present.contains(n) || fs.exists(new Path(tmp, n)))) {
+            outs.filterNot(present.contains).foreach(n =>
+              fs.rename(new Path(tmp, n), new Path(d, n)))
+            ins.foreach(n => fs.delete(new Path(d, n), false))
+          } else
+            outs.filter(present.contains).foreach(n =>
+              fs.delete(new Path(d, n), false))
+          fs.delete(mk.getPath, false)
+          fs.delete(tmp, true)
+        }
+    }
+    walk(chunkP)
+  }
+
   /** CHUNK_STATUS_COMPRESSED_PARTIAL analogue (reference `src/chunk.c:3563`
     * `ts_chunk_set_partial`): plain appends landed AFTER compression, so the
     * chunk holds uncompressed rows alongside the columnstore files. Detected
@@ -314,6 +366,7 @@ object Columnstore {
     // Hypertable.liveChunkTarget) — rewriting a superseded generation
     // would republish stale data
     val chunkP = Hypertable.liveChunkTarget(fs, new Path(chunkPath))
+    healSwapsUnder(fs, chunkP) // a torn leaf swap must not feed this rewrite
     require(!Hypertable.chunkFrozen(fs, chunkP),
       s"cannot compact frozen chunk $chunkPath — unfreeze_chunk first")
     val compressed = isCompressed(spark, chunkP.toString)
@@ -439,6 +492,7 @@ object Columnstore {
     // Hypertable.liveChunkTarget) — rewriting a superseded generation
     // would republish stale data
     val chunkP = Hypertable.liveChunkTarget(fs, new Path(chunkPath))
+    healSwapsUnder(fs, chunkP) // a torn leaf swap must not feed this rewrite
     require(!Hypertable.chunkFrozen(fs, chunkP),
       s"cannot modify frozen chunk $chunkPath — unfreeze_chunk first")
     // mergeSchema: a post-ALTER append can leave files of differing
@@ -531,6 +585,7 @@ object Columnstore {
     // Hypertable.liveChunkTarget) — rewriting a superseded generation
     // would republish stale data
     val chunkP = Hypertable.liveChunkTarget(fs, new Path(chunkPath))
+    healSwapsUnder(fs, chunkP) // a torn leaf swap must not feed this rewrite
     require(!Hypertable.chunkFrozen(fs, chunkP),
       s"cannot modify frozen chunk $chunkPath — unfreeze_chunk first")
     // mergeSchema: a post-ALTER append can leave files of differing
@@ -613,6 +668,7 @@ object Columnstore {
     // Hypertable.liveChunkTarget) — rewriting a superseded generation
     // would republish stale data
     val chunkP = Hypertable.liveChunkTarget(fs, new Path(chunkPath))
+    healSwapsUnder(fs, chunkP) // a torn leaf swap must not feed this rewrite
     require(!Hypertable.chunkFrozen(fs, chunkP),
       s"cannot modify frozen chunk $chunkPath — unfreeze_chunk first")
     val m = new Path(chunkP, MARKER)
@@ -675,12 +731,27 @@ object Columnstore {
           w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
         }
         w.parquet(tmp.toString)
-        // swap: drop the consumed inputs, adopt the fresh files (Spark part
-        // names carry a fresh job UUID — no collision with the survivors)
-        inputs.foreach(f => fs.delete(f.getPath, false))
-        fs.listStatus(tmp)
+        // CRASH-SAFE swap: record the intent (consumed inputs + fresh
+        // names) BEFORE mutating the leaf, ADOPT the fresh files first,
+        // delete the inputs LAST. Pre-round-10, inputs were deleted
+        // before the adoption — a crash between the two lost the
+        // rewritten rows permanently (tmp is dot-invisible and
+        // eventually GC'd). A crash now leaves a state healLeafSwap
+        // resolves on the next pass: all-fresh-present → finish deleting
+        // inputs; partial with tmp alive → finish adopting; partial with
+        // tmp gone → roll back the adopted fresh files (inputs intact).
+        val fresh = fs.listStatus(tmp)
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .foreach(s => fs.rename(s.getPath, new Path(leaf, s.getPath.getName)))
+          .map(_.getPath.getName).toSeq
+        Hypertable.writeSmallFile(fs, new Path(leaf, SWAP_MARKER),
+          (inputs.map(f => s"in:${f.getPath.getName}") ++
+            fresh.map(n => s"out:$n")).mkString("\n"))
+        Hypertable.crashPoint("recompress.marked")
+        fresh.foreach(n =>
+          fs.rename(new Path(tmp, n), new Path(leaf, n)))
+        Hypertable.crashPoint("recompress.adopted")
+        inputs.foreach(f => fs.delete(f.getPath, false))
+        fs.delete(new Path(leaf, SWAP_MARKER), false)
         fs.delete(tmp, true)
         consumed += inputs.size
       }

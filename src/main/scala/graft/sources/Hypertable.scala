@@ -2761,6 +2761,7 @@ class Hypertable private (
         true /* deleteSource */, spark.sparkContext.hadoopConfiguration),
         s"copy $src -> $dst failed")
     }
+    Hypertable.crashPoint("move.after_rename")
     syncChunkCatalog()
     ChunkInfo(c.startMicros, c.endMicros,
       dstFs.makeQualified(liveAt(qualifiedDst)).toString)

@@ -78,6 +78,7 @@ class CrashPointFuzzSpec extends AnyFunSuite {
     try {
       var ht = Hypertable.create(spark, s"$dir/ht", "ts",
         chunkWidth = "7 days", catalog = "table")
+      ht.attachTablespace(s"$dir/cold")
       def slice(k: Int) = events.where(pmod(col("event_id"), lit(4)) === k)
       ht.write(slice(0))
       var expected: Map[Long, Long] = counts(slice(0))
@@ -97,7 +98,7 @@ class CrashPointFuzzSpec extends AnyFunSuite {
         val crash = rnd.nextInt(10) < 6
         val fired = if (crash) arm(rnd.nextInt(4))
           else { disarm(); new java.util.concurrent.atomic.AtomicBoolean(false) }
-        val branch = rnd.nextInt(7)
+        val branch = rnd.nextInt(10)
         val name = try {
           branch match {
             case 0 if unwritten.nonEmpty =>
@@ -147,6 +148,19 @@ class CrashPointFuzzSpec extends AnyFunSuite {
                     (got.keySet -- (pre.keySet -- victims)).subsetOf(victims) }
               ht.deleteWhere(pmod(col("event_id"), lit(53)) === k)
               s"delete($k)"
+            case 7 if cs.nonEmpty =>
+              // row-preserving relocation: the chunk travels whole
+              val c = cs(rnd.nextInt(cs.size))
+              if (c.path.contains("/cold/")) {
+                ht.moveChunk(c.startMicros, None); "move(home)"
+              } else {
+                ht.moveChunk(c.startMicros, Some(s"$dir/cold")); "move(cold)"
+              }
+            case 8 if cs.nonEmpty =>
+              // whole-chunk compaction (row-preserving; -1 = already
+              // compact; partial-chunk refusals surface as refused())
+              Columnstore.compactChunk(spark, cs(rnd.nextInt(cs.size)).path)
+              "compact"
             case _ if cs.size > 2 =>
               val end = cs.head.endMicros
               val droppable = cs.filter(_.endMicros <= end).map(chunkIds)
