@@ -122,6 +122,12 @@ object ScaleProbe {
         }
         println(f"""[scale] {"probe":"catalog_${mode}_sweep","chunks":$n,"swept":${targets.size},"sweep_sec":$tSweep%.2f,"per_chunk_sec":${tSweep / math.max(1, targets.size)}%.3f}""")
       }
+      // append p50/p99 under a REAL second process's seal churn
+      // (SPARK_GRAFT_GATE_CHURN=<batches>, table mode)
+      if (mode == "table")
+        sys.env.get("SPARK_GRAFT_GATE_CHURN").map(_.toInt).foreach { b =>
+          appendChurnProbe(spark, h, p, base, nChunks, t0, step, b)
+        }
       // flat→gen migration cost at width (SPARK_GRAFT_CATALOG_MIGRATE=1,
       // list mode only — migrateToGenLayout refuses gen tables): claimed
       // metadata-only, two renames + one mkdir per chunk → must be
@@ -137,6 +143,122 @@ object ScaleProbe {
     }
   }
 
+  /** Per-trigger stream-log listing cost vs ACCUMULATED entries (round
+    * 11): synthesize N committed-batch entries spread over ~6.5 days of
+    * bucketed log history, mark all but the newest 5 processed, and time
+    * one `newLogEntries` pass with the floor (the steady-state trigger)
+    * vs without (the restart pass / the pre-round-11 behavior, which
+    * listed every retained entry each trigger). Flat floor-pass cost
+    * under 100× entries is the claim SCALE.md §16 now makes.
+    * `SPARK_GRAFT_STREAM_LOG_PROBE=1 sbt "runMain graft.ScaleProbe"`.
+    */
+  private def streamLogProbe(spark: SparkSession): Unit = {
+    import graft.sources.Hypertable
+    import graft.streaming.CatalogStreamCore
+    val base = java.nio.file.Files.createTempDirectory("graft_slogprobe").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (n <- Seq(600, 60000)) {
+      val table = s"$base/t$n"
+      val logDir = new org.apache.hadoop.fs.Path(table, Hypertable.STREAM_LOG)
+      fs.mkdirs(logDir)
+      val now = System.currentTimeMillis()
+      val spacing = (6.5 * 24 * 3600 * 1000 / n).toLong
+      val processed = java.util.Collections.newSetFromMap(
+        new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+      var maxTs = 0L
+      val (tBuild, _) = timed {
+        (0 until n).foreach { i =>
+          val ts = now - (n - 1 - i) * spacing
+          val name = f"e_${ts}_$i%08d"
+          val bucket = new org.apache.hadoop.fs.Path(logDir,
+            s"t${ts / Hypertable.STREAM_LOG_BUCKET_MS}")
+          val out = fs.create(new org.apache.hadoop.fs.Path(bucket, name), true)
+          out.write(s"$table/_chunk=0/_gen=0/part-$i.parquet".getBytes("UTF-8"))
+          out.close()
+          if (i < n - 5) processed.add(name)
+          maxTs = math.max(maxTs, ts)
+        }
+      }
+      val floor = maxTs - 600000L
+      CatalogStreamCore.newLogEntries(spark, table, processed, floor) // warm
+      val (tFloor, gotFloor) = timed2 {
+        CatalogStreamCore.newLogEntries(spark, table, processed, floor).size
+      }
+      val (tFull, gotFull) = timed2 {
+        CatalogStreamCore.newLogEntries(spark, table, processed, -1L).size
+      }
+      println(f"""[scale] {"probe":"stream_log_trigger","entries":$n,"build_sec":$tBuild%.2f,"floor_pass_sec":$tFloor%.4f,"full_pass_sec":$tFull%.4f,"floor_new":$gotFloor,"full_new":$gotFull}""")
+    }
+  }
+
+  /** Append latency with/without a REAL second process churning
+    * compress/decompress seals on the same table (round 11, verdict item
+    * 5): the reference claim being matched is concurrent INSERT
+    * throughput alongside compression (`compression_ddl_iso.spec`).
+    * Reports p50/p99 of per-batch append wall time in both phases —
+    * appends must not stall beyond the seal windows of the chunks they
+    * actually route into.
+    */
+  private def appendChurnProbe(spark: SparkSession, h: Hypertable, p: String,
+      base: String, nChunks: Int, t0: Long, step: Long,
+      batches: Int): Unit = {
+    import spark.implicits._
+    Hypertable.releaseMutatorLease(spark, p)
+    val rnd = new scala.util.Random(42)
+    def appendLatencies(k: Int): Seq[Double] = (0 until k).map { i =>
+      val rows = (0 until 200).map { j =>
+        (t0 + rnd.nextInt(nChunks) * step + j, (i * 1000L + j))
+      }.toDF("us", "v")
+        .select(timestamp_micros(col("us")).as("ts"), col("v").cast("long"))
+      timed(h.write(rows))._1
+    }
+    def pct(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted; s(math.min(s.size - 1, (q * s.size).toInt))
+    }
+    val quiet = appendLatencies(batches)
+    // real second JVM: the policy child claims the EXCLUSIVE lease and
+    // churns compress/decompress (seal claims + drains) over 25 chunks
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(x => Seq("--add-opens", s"$x=ALL-UNNAMED"))
+    val stop = new java.io.File(s"$base/stop_churn")
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx3g",
+      "-Dspark.ui.enabled=false", "-cp", sys.props("java.class.path"),
+      "graft.tools.IsolationChild", "policy", p, stop.getAbsolutePath,
+      "600000", "25"))
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    @volatile var started = false
+    @volatile var rounds = 0
+    val drain = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var l = r.readLine()
+      while (l != null) {
+        if (l.startsWith("POLICY_START")) started = true
+        if (l.startsWith("ROUND ")) rounds = l.stripPrefix("ROUND ").trim.toInt
+        l = r.readLine()
+      }
+    })
+    drain.setDaemon(true); drain.start()
+    val deadline = System.nanoTime() + 180L * 1000000000L
+    while (!started && proc.isAlive && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    val churn = if (started) appendLatencies(batches) else Nil
+    stop.createNewFile()
+    proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+    if (proc.isAlive) proc.destroyForcibly()
+    println(f"""[scale] {"probe":"append_under_churn","chunks":$nChunks,"batches":$batches,"quiet_p50":${pct(quiet, 0.5)}%.2f,"quiet_p99":${pct(quiet, 0.99)}%.2f,"churn_p50":${if (churn.nonEmpty) pct(churn, 0.5) else -1.0}%.2f,"churn_p99":${if (churn.nonEmpty) pct(churn, 0.99) else -1.0}%.2f,"policy_rounds":$rounds}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,10,100")
@@ -144,6 +266,9 @@ object ScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Graft.session("graft-scale-probe", s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("SPARK_GRAFT_STREAM_LOG_PROBE")) {
+      streamLogProbe(spark); spark.stop(); return
+    }
     if (sys.env.contains("SPARK_GRAFT_CATALOG_PROBE")) {
       catalogProbe(spark); spark.stop(); return
     }

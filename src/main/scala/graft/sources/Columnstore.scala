@@ -173,21 +173,35 @@ object Columnstore {
       dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
     leafFiles(fs, dir).flatMap(_._2)
 
-  /** Per-leaf swap intent (segmentwise recompress): consumed input names
-    * + adopted fresh names, written BEFORE the leaf mutates. Dot-prefixed
-    * — invisible to [[leafFiles]] and Spark's file index.
+  /** Per-leaf swap COMMIT (segmentwise recompress): consumed input names
+    * + adopted fresh names. Dot-prefixed — invisible to [[leafFiles]] and
+    * Spark's file index. Round 11 made this marker the swap's single
+    * commit point (the direct-publish stage+stamp pattern, per leaf): the
+    * fresh files are fully STAGED IN the leaf under `.graft_stage_` names
+    * before the marker is written, so the commit is ONE atomic small-file
+    * appearance — in contract on raw object stores, where the only
+    * atomic primitive is a single-object PUT — and everything after it
+    * (un-dot the staged files, delete the inputs) is idempotent
+    * roll-FORWARD out of same-dir per-object renames. Crash before the
+    * marker → stage debris the next maintenance heal deletes (pre-state
+    * intact); crash after → heal finishes the adoption and the deletes.
     */
   private[sources] val SWAP_MARKER = ".graft_swap"
+  private[sources] val STAGE_PREFIX = ".graft_stage_"
 
-  /** Heal a torn per-leaf recompress swap (crash between the marker, the
-    * adoption renames, and the input deletes): all fresh files present →
-    * finish deleting the consumed inputs; some fresh still staged in a
-    * surviving tmp → complete the adoption first; fresh incomplete and
-    * the tmp gone → roll the adopted ones back (the inputs are intact —
-    * deletes only ever run after a full adoption). Idempotent; called by
-    * every whole-chunk maintenance entry before it lists data files, so
-    * a torn leaf can never feed duplicates into a compress/compact/
-    * recompress rewrite.
+  /** Heal a torn per-leaf recompress swap. Marker present (the swap
+    * COMMITTED): roll forward — un-dot any still-staged fresh file
+    * (legacy `.recompress_tmp` copies tolerated too), then delete the
+    * consumed inputs and the marker. Marker absent: any `.graft_stage_`
+    * files and `.recompress_tmp` dir are pre-commit debris of a crashed
+    * stage — deleted (the inputs were never touched). The defensive arm
+    * — marker present but some fresh file exists NOWHERE (impossible by
+    * construction: the marker is written only after every fresh file is
+    * staged) — rolls the adopted ones back; the inputs are intact
+    * because deletes only ever run after a full adoption. Idempotent;
+    * called by every whole-chunk maintenance entry before it lists data
+    * files, so a torn leaf can never feed duplicates into a
+    * compress/compact/recompress rewrite.
     */
   private[sources] def healSwapsUnder(fs: org.apache.hadoop.fs.FileSystem,
       chunkP: Path): Unit = {
@@ -197,8 +211,9 @@ object Columnstore {
         catch { case _: java.io.FileNotFoundException => return }
       entries.filter(s => s.isDirectory && s.getPath.getName.contains("="))
         .foreach(s => walk(s.getPath))
-      entries.find(s => s.isFile && s.getPath.getName == SWAP_MARKER)
-        .foreach { mk =>
+      val tmp = new Path(d, ".recompress_tmp")
+      entries.find(s => s.isFile && s.getPath.getName == SWAP_MARKER) match {
+        case Some(mk) =>
           val lines =
             try Hypertable.readSmallFile(fs, mk.getPath)
               .linesIterator.toSeq
@@ -207,20 +222,34 @@ object Columnstore {
           val outs = lines.filter(_.startsWith("out:")).map(_.stripPrefix("out:"))
           val present = entries.filter(_.isFile)
             .map(_.getPath.getName).toSet
-          val tmp = new Path(d, ".recompress_tmp")
-          if (outs.nonEmpty && outs.forall(present.contains))
-            ins.foreach(n => fs.delete(new Path(d, n), false))
-          else if (outs.nonEmpty && fs.exists(tmp) && outs.forall(n =>
-              present.contains(n) || fs.exists(new Path(tmp, n)))) {
+          def stagedOf(n: String): Option[Path] = {
+            val s = new Path(d, STAGE_PREFIX + n)
+            val t = new Path(tmp, n)
+            if (present.contains(STAGE_PREFIX + n) || fs.exists(s)) Some(s)
+            else if (fs.exists(t)) Some(t)
+            else None
+          }
+          val recoverable = outs.forall(n =>
+            present.contains(n) || stagedOf(n).isDefined)
+          if (outs.nonEmpty && recoverable) {
             outs.filterNot(present.contains).foreach(n =>
-              fs.rename(new Path(tmp, n), new Path(d, n)))
+              stagedOf(n).foreach(fs.rename(_, new Path(d, n))))
             ins.foreach(n => fs.delete(new Path(d, n), false))
           } else
             outs.filter(present.contains).foreach(n =>
               fs.delete(new Path(d, n), false))
           fs.delete(mk.getPath, false)
+          entries.filter(s => s.isFile &&
+              s.getPath.getName.startsWith(STAGE_PREFIX))
+            .foreach(s => fs.delete(s.getPath, false))
           fs.delete(tmp, true)
-        }
+        case None =>
+          // pre-commit debris: a stage that never reached its marker
+          entries.filter(s => s.isFile &&
+              s.getPath.getName.startsWith(STAGE_PREFIX))
+            .foreach(s => fs.delete(s.getPath, false))
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+      }
     }
     walk(chunkP)
   }
@@ -731,24 +760,31 @@ object Columnstore {
           w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
         }
         w.parquet(tmp.toString)
-        // CRASH-SAFE swap: record the intent (consumed inputs + fresh
-        // names) BEFORE mutating the leaf, ADOPT the fresh files first,
-        // delete the inputs LAST. Pre-round-10, inputs were deleted
-        // before the adoption — a crash between the two lost the
-        // rewritten rows permanently (tmp is dot-invisible and
-        // eventually GC'd). A crash now leaves a state healLeafSwap
-        // resolves on the next pass: all-fresh-present → finish deleting
-        // inputs; partial with tmp alive → finish adopting; partial with
-        // tmp gone → roll back the adopted fresh files (inputs intact).
+        // CRASH-SAFE swap, stage+stamp form (round 11 — the direct
+        // publish pattern applied per leaf): stage every fresh file IN
+        // the leaf under dot-invisible `.graft_stage_` names, COMMIT
+        // with the single marker write (one atomic small-file
+        // appearance — a single-object PUT on raw stores, closing the
+        // §15 object-store window the two-location tmp protocol left),
+        // then roll forward: un-dot the staged files (same-dir,
+        // per-object-atomic renames) and delete the consumed inputs
+        // LAST. A crash before the marker leaves only dot-debris the
+        // next heal deletes (pre-state intact); a crash after it is
+        // rolled forward by healSwapsUnder on the next maintenance
+        // entry. Pre-round-10, inputs were deleted before adoption — a
+        // crash between the two lost the rewritten rows permanently.
         val fresh = fs.listStatus(tmp)
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.getName).toSeq
+        fresh.foreach(n =>
+          fs.rename(new Path(tmp, n), new Path(leaf, STAGE_PREFIX + n)))
+        Hypertable.crashPoint("recompress.staged")
         Hypertable.writeSmallFile(fs, new Path(leaf, SWAP_MARKER),
           (inputs.map(f => s"in:${f.getPath.getName}") ++
             fresh.map(n => s"out:$n")).mkString("\n"))
         Hypertable.crashPoint("recompress.marked")
         fresh.foreach(n =>
-          fs.rename(new Path(tmp, n), new Path(leaf, n)))
+          fs.rename(new Path(leaf, STAGE_PREFIX + n), new Path(leaf, n)))
         Hypertable.crashPoint("recompress.adopted")
         inputs.foreach(f => fs.delete(f.getPath, false))
         fs.delete(new Path(leaf, SWAP_MARKER), false)

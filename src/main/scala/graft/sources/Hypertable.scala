@@ -288,7 +288,8 @@ class Hypertable private (
     // common tombstone-free case). The GC also respects a live lock.
     val rebirthLocks: Seq[(FileSystem, Path)] =
       if (tombstoned.isEmpty) Nil
-      else MutationGate.claimRebirthLocks(spark, tombstoned.map(_._2))
+      else MutationGate.claimRebirthLocks(spark, tombstoned.map(_._2),
+        Some((fs, qualifiedPath)))
     try {
     if (genLayout) {
       val live = liveChunks
@@ -489,16 +490,28 @@ class Hypertable private (
         s -> d
       }.toMap
     }
+    var streamJournal: Path = null
     val streamLogPre: Option[(Map[Long, Path], Map[Long, Set[String]])] =
       if (!Hypertable.streamLogEnabled(fs, path)) None
       else {
+        // crashed earlier batches' journaled entries first, so their
+        // files surface to tailing streams before this batch's diff
+        // (which would otherwise fold them into its own pre-listing)
+        Hypertable.healStreamLogJournals(spark, fs, path)
         val touched = routed.select(col(CHUNK)).distinct().collect()
           .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
         val dirs = streamLogDirs(touched)
-        Some((dirs, dirs.map { case (s, d) =>
+        val pre = dirs.map { case (s, d) =>
           s -> Hypertable.listDataFilesRec(
             d.getFileSystem(spark.sparkContext.hadoopConfiguration), d).toSet
-        }))
+        }
+        // journal the intended entry BEFORE the job commits: a crash in
+        // the commit-to-appendStreamLog window heals forward (the next
+        // logging batch re-diffs and emits) instead of silently dropping
+        // the batch from every tailing catalog stream
+        streamJournal = Hypertable.journalStreamLog(fs, path,
+          dirs.values.toSeq, pre.values.flatten.toSet)
+        Some((dirs, pre))
       }
     // CONCURRENT APPENDER PROCESSES would collide in the committer's
     // SHARED staging dir: FileOutputCommitter stages every job under
@@ -509,20 +522,39 @@ class Hypertable private (
     // process its own attempt id (unique staging subtree) and skip the
     // committer's whole-dir cleanup; we delete OUR OWN staging subtree
     // after the job instead (in-process writes serialize on the JVM
-    // lock, so the id is safe to reuse).
-    val stagingOpts = Map(
-      "mapreduce.job.application.attempt.id" ->
-        math.abs(Hypertable.processId.hashCode % 1000000000).toString,
-      "mapreduce.fileoutputcommitter.cleanup.skipped" -> "true")
+    // lock, so the id is safe to reuse). The id is int-typed in the
+    // committer, so 31 bits is all the namespace there is — a bare hash
+    // collides ~1/2³¹ per process pair, and STICKILY (the round-10
+    // advisor's nit: two unlucky hosts would collide on every batch
+    // forever). Round 11 makes the id a CLAIM: each batch claims
+    // `.graft_staging_claim_<id>` at the dest root (exclusive-create +
+    // heartbeat, MutationGate) before using <id>, walking a
+    // deterministic probe sequence on conflict — a collision costs one
+    // extra claim attempt instead of a nuked staging subtree.
+    // `spark.graft.staging.attemptIdBase` overrides the base (tests
+    // force two processes onto equal bases).
+    val attemptBase = spark.conf.getOption("spark.graft.staging.attemptIdBase")
+      .map(_.toInt).getOrElse(Hypertable.stagingAttemptBase)
     def writeTo(df: DataFrame, dest: String): Unit = {
-      df.write.mode(mode).options(stagingOpts)
-        .partitionBy(partCols: _*).parquet(dest)
       val dfs = new Path(dest)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      try dfs.delete(new Path(dest,
-        s"_temporary/${stagingOpts("mapreduce.job.application.attempt.id")}"),
-        true)
-      catch { case _: java.io.IOException => () }
+      var id = attemptBase
+      var k = 0
+      var claim: Path = null
+      while (claim == null) {
+        val p = new Path(dest, s".graft_staging_claim_$id")
+        if (MutationGate.tryClaimExclusive(spark, dfs, p,
+            Some((fs, qualifiedPath)))) claim = p
+        else { k += 1; id = math.abs((attemptBase + k * 1000003) % 1000000000) }
+      }
+      try {
+        df.write.mode(mode)
+          .option("mapreduce.job.application.attempt.id", id.toString)
+          .option("mapreduce.fileoutputcommitter.cleanup.skipped", "true")
+          .partitionBy(partCols: _*).parquet(dest)
+        try dfs.delete(new Path(dest, s"_temporary/$id"), true)
+        catch { case _: java.io.IOException => () }
+      } finally MutationGate.removeMarker(dfs, claim)
     }
     try {
       if (tsRoots.isEmpty)
@@ -573,6 +605,8 @@ class Hypertable private (
               .filterNot(pre(s))
           }
           Hypertable.appendStreamLog(fs, path, fresh)
+          if (streamJournal != null)
+            MutationGate.removeMarker(fs, streamJournal)
         case None if Hypertable.streamLogEnabled(fs, path) =>
           // the log was enabled WHILE this batch ran (a stream starting
           // concurrently): no pre-listing exists, so log every file of
@@ -1153,6 +1187,13 @@ class Hypertable private (
     * appends). Writers log batches only while the log dir exists —
     * calling this enables it, so batches written BEFORE the first call
     * but after the snapshot cannot be missed (the source re-checks).
+    *
+    * Stream SETUP cost: each stream's first start pays one fresh-handle
+    * manifest resolve + a one-chunk schema-inference read (~2 s at 10k
+    * chunks) plus the one-time snapshot listing. A standing stream — the
+    * design target — amortizes this over its lifetime; a driver churning
+    * many short-lived streams of one wide table pays it per stream
+    * (pass an explicit `schema` to skip the inference read).
     */
   def readStreamCatalog(
       schema: Option[org.apache.spark.sql.types.StructType] = None,
@@ -1747,8 +1788,7 @@ class Hypertable private (
   }
 
   /** Complete or roll back torn merges/splits (mutating counterpart of
-    * [[applyRewriteIntents]] — idempotent, cross-process-safe under the
-    * catalog commit lock):
+    * [[applyRewriteIntents]] — idempotent, cross-process-safe):
     *
     *  - MERGE committed (head covers the merged end): tombstone the
     *    remaining absorbed dirs, drop the marker. Not committed: drop the
@@ -1758,6 +1798,24 @@ class Hypertable private (
     *    generation (everything below the split point) and publish it,
     *    then drop the marker. Upper missing or parent already shrunk:
     *    drop the marker.
+    *
+    * Ownership (round 11): a marker whose chunk start has a live FOREIGN
+    * seal belongs to a RUNNING merge/split in another process — ops claim
+    * their seals BEFORE writing the marker and delete the marker before
+    * releasing them, so marker-without-live-seal is exactly the crashed
+    * case. Pre-round-11, an appender whose batch routed to unrelated
+    * chunks passed the gate during a live foreign merge and deleted the
+    * running op's marker here, stripping the crash protection from the
+    * very window it guards. Live-owned markers are SKIPPED (the gate's
+    * staleness horizon applies to both the seal and the gate wait, so
+    * the moment an appender can pass a crashed op's seal, its heal is
+    * allowed too). Concurrent healers serialize on a per-marker claim
+    * (`_graft_healing/<marker>`), skipped — not queued — when held.
+    * The catalog FS lock is NOT held here at all (pre-round-11 it was
+    * held across the split roll-forward's whole rewrite JOB, blocking
+    * every other process's refresh until gate timeout): readers resolve
+    * any intermediate state view-only (applyRewriteIntents), and
+    * rewriteChunkDir claims the lock only around its publish step.
     */
   private def healRewriteIntents(): Unit = {
     if (!genLayout || rewriteIntentMarkers().isEmpty) return
@@ -1766,47 +1824,61 @@ class Hypertable private (
     // roll the same marker forward a second time
     if (Hypertable.healingIntents.get()) return
     Hypertable.healingIntents.set(true)
-    try MutationGate.withCatalogFsLock(spark, fs, qualifiedPath) {
-      rewriteIntentMarkers().foreach { case (isMerge, start, p) =>
-        val body =
-          try Hypertable.readSmallFile(fs, p).linesIterator.toSeq
-          catch { case _: java.io.IOException => Nil }
-        val listed = (new Path(path) +: tablespaceTableDirs)
-          .flatMap(listChunksUnder)
-        if (isMerge) body match {
-          case endS +: absorbed if absorbed.nonEmpty =>
-            val mergedEnd = scala.util.Try(endS.trim.toLong).getOrElse(-1L)
-            if (listed.exists(c => c.startMicros == start &&
-                c.endMicros == mergedEnd))
-              absorbed.map(_.trim).foreach { d =>
-                val cd = new Path(d)
-                val cfs = cd.getFileSystem(
-                  spark.sparkContext.hadoopConfiguration)
-                if (cfs.exists(cd) && !Hypertable.isTombstoned(cfs, cd))
-                  Hypertable.tombstoneChunk(cfs, cd)
-              }
-            fs.delete(p, false)
-          case _ => fs.delete(p, false)
-        } else {
-          body.headOption.flatMap(s =>
-            scala.util.Try(s.trim.toLong).toOption) match {
-            case Some(at) =>
-              val parent = listed.find(c => c.startMicros == start &&
-                c.endMicros > at)
-              val upperLive = listed.exists(_.startMicros == at)
-              if (parent.isDefined && upperLive) {
-                val c = parent.get
-                rewriteChunkDir(c.startMicros, at,
-                  chunkRows(c).where(!atOrLaterExpr(at)),
-                  forceCompressed =
-                    Some(Columnstore.isCompressed(spark, c.path)))
-              }
-              fs.delete(p, false)
-            case None => fs.delete(p, false)
-          }
-        }
+    try rewriteIntentMarkers().foreach { case (isMerge, start, p) =>
+      if (!MutationGate.foreignSealLive(spark, fs, qualifiedPath, start)) {
+        val healP = new Path(path, s"${MutationGate.HEAL_DIR}/${p.getName}")
+        if (MutationGate.tryClaimExclusive(spark, fs, healP,
+            Some((fs, qualifiedPath))))
+          try {
+            // re-verify under the claim: the owner may have completed, or
+            // another healer resolved it, between the listing and here
+            if (fs.exists(p) && !MutationGate.foreignSealLive(spark, fs,
+                qualifiedPath, start))
+              healOneRewriteIntent(isMerge, start, p)
+          } finally MutationGate.removeMarker(fs, healP)
       }
     } finally Hypertable.healingIntents.set(false)
+  }
+
+  private def healOneRewriteIntent(isMerge: Boolean, start: Long,
+      p: Path): Unit = {
+    val body =
+      try Hypertable.readSmallFile(fs, p).linesIterator.toSeq
+      catch { case _: java.io.IOException => Nil }
+    val listed = (new Path(path) +: tablespaceTableDirs)
+      .flatMap(listChunksUnder)
+    if (isMerge) body match {
+      case endS +: absorbed if absorbed.nonEmpty =>
+        val mergedEnd = scala.util.Try(endS.trim.toLong).getOrElse(-1L)
+        if (listed.exists(c => c.startMicros == start &&
+            c.endMicros == mergedEnd))
+          absorbed.map(_.trim).foreach { d =>
+            val cd = new Path(d)
+            val cfs = cd.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (cfs.exists(cd) && !Hypertable.isTombstoned(cfs, cd))
+              Hypertable.tombstoneChunk(cfs, cd)
+          }
+        fs.delete(p, false)
+      case _ => fs.delete(p, false)
+    } else {
+      body.headOption.flatMap(s =>
+        scala.util.Try(s.trim.toLong).toOption) match {
+        case Some(at) =>
+          val parent = listed.find(c => c.startMicros == start &&
+            c.endMicros > at)
+          val upperLive = listed.exists(_.startMicros == at)
+          if (parent.isDefined && upperLive) {
+            val c = parent.get
+            rewriteChunkDir(c.startMicros, at,
+              chunkRows(c).where(!atOrLaterExpr(at)),
+              forceCompressed =
+                Some(Columnstore.isCompressed(spark, c.path)))
+          }
+          fs.delete(p, false)
+        case None => fs.delete(p, false)
+      }
+    }
   }
 
   /** Dropped-but-graced chunk dirs across all storage roots (gen layout):
@@ -1842,6 +1914,13 @@ class Hypertable private (
     */
   def refreshChunkCatalog(): Seq[ChunkInfo] =
     Hypertable.catalogLock(qualifiedPath).synchronized {
+      // torn merges/splits first (their intent markers), in any MUTATING
+      // process — readers resolve them view-only (applyRewriteIntents).
+      // BEFORE the commit lock: a split roll-forward is a data JOB, and
+      // the flock's contract is metadata-commit-only (never across a job)
+      if (genLayout && (Hypertable.heldLeases.containsKey(qualifiedPath) ||
+          MutationGate.holdsAppendLease(qualifiedPath)))
+        healRewriteIntents()
       // cross-process: a standing appender's refresh and the maintenance
       // process's publish/patch must not interleave (torn listing of a
       // mid-publish chunk, or a version collision persisting the older
@@ -1852,11 +1931,6 @@ class Hypertable private (
     }
 
   private def refreshChunkCatalogLocked(): Seq[ChunkInfo] = {
-    // torn merges/splits first (their intent markers), in any MUTATING
-    // process — readers resolve them view-only (applyRewriteIntents)
-    if (genLayout && (Hypertable.heldLeases.containsKey(qualifiedPath) ||
-        MutationGate.holdsAppendLease(qualifiedPath)))
-      healRewriteIntents()
     // GC piggybacks on the refresh's full listing: graced-out superseded
     // generations, tombstoned dirs, and crash-remnant generations go here
     // (under the catalog lock, so a publish's rename+stamp never
@@ -2125,8 +2199,10 @@ class Hypertable private (
         Hypertable.stageGenDir(fs, Hypertable.chunkDirOf(target))
       else if (genLayout) {
         fs.mkdirs(Hypertable.chunkDirOf(target))
-        new Path(Hypertable.chunkDirOf(target), s".tmp_chunk_$startMicros")
-      } else new Path(target.getParent, s".tmp_chunk_$startMicros")
+        Hypertable.registerRewriteTmp(fs,
+          new Path(Hypertable.chunkDirOf(target), s".tmp_chunk_$startMicros"))
+      } else Hypertable.registerRewriteTmp(fs,
+        new Path(target.getParent, s".tmp_chunk_$startMicros"))
     var w = df.write.mode(SaveMode.Overwrite)
     if (compressed) w = w.option("compression", "zstd")
     if (spaceDims.nonEmpty) w = w.partitionBy(spaceDims.map(_._3): _*)
@@ -2174,10 +2250,11 @@ class Hypertable private (
           }
           fs.delete(new Path(chunkDir, Hypertable.DROP_TOMB), false)
         }
-        if (directMode) Hypertable.unregisterRewriteTmp(fs, tmp)
+        Hypertable.unregisterRewriteTmp(fs, tmp)
         dst
       case None =>
         require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
+        Hypertable.unregisterRewriteTmp(fs, tmp)
         target
     }
     refreshColumnStats(Seq(live.toString))
@@ -3340,6 +3417,17 @@ object Hypertable {
     */
   private[graft] val processId: String = java.util.UUID.randomUUID().toString
 
+  /** Per-process base for the committer's int-typed staging attempt id:
+    * both 64-bit halves of the process UUID folded to 31 bits (the whole
+    * namespace the committer offers). Uniqueness is NOT assumed — the
+    * write path claims the id on disk before use (see writeRouted).
+    */
+  private[graft] lazy val stagingAttemptBase: Int = {
+    val u = java.util.UUID.fromString(processId)
+    val h = u.getMostSignificantBits ^ u.getLeastSignificantBits
+    math.abs(((h ^ (h >>> 32)).toInt) % 1000000000)
+  }
+
   /** Heartbeats older than this read as a crashed holder (takeover);
     * younger ones refuse. Crash recovery therefore waits out this window
     * (the price of lease fencing on a CAS-less store).
@@ -3505,6 +3593,26 @@ object Hypertable {
     }
   }
 
+  /** A live FOREIGN exclusive mutator lease on the table: another process
+    * is running rewrite-class mutations right now. Consulted by the gate's
+    * foreign-activity probe (claim settle) and by torn-op healers (a
+    * foreign holder's in-flight markers are live work, not a crash).
+    * Missing/unreadable lease, our own lease, or a stale heartbeat = no.
+    */
+  private[sources] def foreignMutatorLive(spark: SparkSession, fs: FileSystem,
+      qualifiedRoot: String): Boolean = {
+    if (heldLeases.containsKey(qualifiedRoot)) return false // ours
+    val lease = new Path(new Path(qualifiedRoot), MUTATOR_LEASE)
+    try {
+      val txt = readSmallFile(fs, lease)
+      val o = leaseOwnerOf(txt)
+      val mt = fs.getFileStatus(lease).getModificationTime
+      val hb = if (mtimeReliable(spark)) mt else leaseTsOf(txt).getOrElse(mt)
+      o.nonEmpty && o != leaseOwner(spark) &&
+        System.currentTimeMillis() - hb < leaseStaleMs(spark)
+    } catch { case _: java.io.IOException => false }
+  }
+
   /** Graceful handoff: delete this process's lease (no-op when not held /
     * already taken over) so another process can claim without waiting out
     * staleness.
@@ -3600,8 +3708,23 @@ object Hypertable {
   private val inFlightTmps =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** The cross-process in-flight marker guarding a staged rewrite dir: a
+    * heartbeated file NEXT TO the staged dir (inside it, the write job's
+    * Overwrite would wipe it). [[gcChunkDir]] refuses to reap any staged
+    * dir — direct-mode `_gen=` stage or dot-tmp — whose marker is live,
+    * so a FOREIGN process's GC (a takeover after this process's heartbeat
+    * stalled, or any future GC-running lease class) can never delete a
+    * stage mid-write on the strength of its own JVM-local
+    * [[inFlightTmps]] view alone (round-10 advisor finding). A crashed
+    * stage's marker goes stale with its owner and the remnant reaps.
+    */
+  private[sources] def stagingMarkerPath(stagedDir: Path): Path =
+    new Path(stagedDir.getParent, s".staging_${stagedDir.getName}")
+
   private[sources] def registerRewriteTmp(fs: FileSystem, tmp: Path): Path = {
-    inFlightTmps.add(fs.makeQualified(tmp).toString); tmp
+    inFlightTmps.add(fs.makeQualified(tmp).toString)
+    MutationGate.createMarker(fs, stagingMarkerPath(tmp))
+    tmp
   }
 
   // --------------------------------------------------- crash injection
@@ -3655,18 +3778,88 @@ object Hypertable {
     out.toSeq
   }
 
-  /** One committed-batch entry: file paths, one per line. A fresh unique
-    * name per entry (tmp+rename inside writeSmallFile → atomic appearance);
-    * entries may OVERLAP across concurrent appenders — the source dedups
-    * by path. Age-pruned by the source (`spark.graft.stream.logRetainMs`).
+  /** Entry names bucket into `t<epochHour>/` subdirs so a tailing source
+    * lists only the buckets that can hold unprocessed entries (current +
+    * floor window) instead of every entry within retention — with a
+    * 10 s-trigger ingest and 7-day retention, a flat dir would be ~60k
+    * files listed per trigger. Constant (not conf): readers derive each
+    * bucket's time range from its name, so writer/reader must agree.
+    */
+  private[graft] val STREAM_LOG_BUCKET_MS = 3600000L
+
+  /** One committed-batch entry: file paths, one per line, in the entry
+    * ts's bucket subdir. A fresh unique name per entry (tmp+rename inside
+    * writeSmallFile → atomic appearance); entries may OVERLAP across
+    * concurrent appenders — the source dedups by path. Whole buckets are
+    * age-pruned by the source (`spark.graft.stream.logRetainMs`).
     */
   private[graft] def appendStreamLog(fs: FileSystem, tablePath: String,
       files: Seq[String]): Unit =
-    if (files.nonEmpty)
+    if (files.nonEmpty) {
+      val ts = System.currentTimeMillis()
       writeSmallFile(fs,
         new Path(new Path(tablePath, STREAM_LOG),
-          s"e_${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}"),
+          s"t${ts / STREAM_LOG_BUCKET_MS}/e_${ts}_${java.util.UUID.randomUUID().toString.take(8)}"),
         files.mkString("\n"))
+    }
+
+  /** Journal the INTENT of a stream-log entry before the batch's write
+    * job: touched final dirs + their pre-listing, as the payload of a
+    * heartbeated marker under `_graft_stream_log/.pending/`. A crash
+    * between the parquet job commit and [[appendStreamLog]] would
+    * otherwise leave the batch's committed files permanently absent from
+    * the log — the catalog-backed source snapshots only at first start,
+    * so a catalog stream would silently diverge from the table (round-10
+    * advisor finding). [[healStreamLogJournals]] re-diffs and emits the
+    * missing entry on the next logging batch.
+    */
+  private[sources] def journalStreamLog(fs: FileSystem, tablePath: String,
+      dirs: Seq[Path], pre: Set[String]): Path = {
+    val p = new Path(new Path(tablePath, STREAM_LOG),
+      s".pending/j_${System.currentTimeMillis()}_${java.util.UUID.randomUUID().toString.take(8)}")
+    MutationGate.createMarker(fs, p, Some(
+      (dirs.map(d => s"d:$d") ++ pre.toSeq.sorted.map(f => s"f:$f"))
+        .mkString("\n")))
+    p
+  }
+
+  /** Emit the stream-log entries of crashed (or same-process failed)
+    * batches: every `.pending` journal whose owner is this process (the
+    * write lock serializes our batches, so an own journal found at batch
+    * start is never in flight) or whose heartbeat went stale is re-diffed
+    * — current files of the journaled dirs minus the journaled
+    * pre-listing — and appended as a normal entry. Over-inclusive is safe
+    * (later batches' files carry their own entries; the source dedups by
+    * path); a live FOREIGN journal is an appender mid-batch — skipped.
+    * Called once per logging batch; one listing of the tiny pending dir.
+    */
+  private[sources] def healStreamLogJournals(spark: SparkSession,
+      fs: FileSystem, tablePath: String): Unit = {
+    val dir = new Path(new Path(tablePath, STREAM_LOG), ".pending")
+    val sts =
+      try fs.listStatus(dir).toSeq.filter(_.isFile)
+      catch { case _: java.io.FileNotFoundException => return }
+    val now = System.currentTimeMillis()
+    sts.foreach { st =>
+      val m = MutationGate.parse(fs, st)
+      val ours = m.exists(_.owner == processId)
+      val live = m.exists(_.live(now, MutationGate.staleMs(spark)))
+      if (ours || !live) {
+        val lines = MutationGate.payloadOf(fs, st.getPath)
+          .linesIterator.toSeq
+        val dirs = lines.filter(_.startsWith("d:"))
+          .map(s => new Path(s.stripPrefix("d:")))
+        val pre = lines.filter(_.startsWith("f:"))
+          .map(_.stripPrefix("f:")).toSet
+        val fresh = dirs.flatMap { d =>
+          listDataFilesRec(
+            d.getFileSystem(spark.sparkContext.hadoopConfiguration), d)
+        }.filterNot(pre)
+        appendStreamLog(fs, tablePath, fresh)
+        MutationGate.removeMarker(fs, st.getPath)
+      }
+    }
+  }
 
   /** How a gen-layout chunk rewrite publishes (`spark.graft.publish.mode`):
     *
@@ -3705,7 +3898,8 @@ object Hypertable {
     inFlightTmps.contains(fs.makeQualified(p).toString)
 
   private[sources] def unregisterRewriteTmp(fs: FileSystem, p: Path): Unit = {
-    inFlightTmps.remove(fs.makeQualified(p).toString); ()
+    inFlightTmps.remove(fs.makeQualified(p).toString)
+    MutationGate.removeMarker(fs, stagingMarkerPath(p))
   }
 
   /** Stamp a generation superseded — the rewrite's commit point. The
@@ -3781,19 +3975,46 @@ object Hypertable {
     gens.foreach { case (g, d) =>
       if (isSuperseded(fs, d)) {
         if (graced(new Path(d, SUPERSEDED))) fs.delete(d, true)
-      } else if (live.exists(g > _) && !isInFlightTmp(fs, d))
-        fs.delete(d, true) // crash remnant (direct-mode stages register)
+      } else if (live.exists(g > _) && !isInFlightTmp(fs, d) &&
+          !MutationGate.fileMarkerLiveAny(fs, stagingMarkerPath(d))) {
+        // crash remnant — but only when no process advertises the dir as
+        // a stage in flight: the JVM-local registration covers OUR stages,
+        // the heartbeated on-disk marker covers a FOREIGN process's
+        // direct-mode stage (a lease takeover's GC must not delete a
+        // zombie rewriter's stage mid-write; the remnant reaps once the
+        // marker's heartbeat goes stale)
+        fs.delete(d, true)
+        try fs.delete(stagingMarkerPath(d), false)
+        catch { case _: java.io.IOException => () }
+      }
     }
     // stale publish tmp dirs (crashed before their rename). NEVER one
-    // registered as in flight: the age heuristic reads the dir mtime,
-    // which for a running Spark write is the job START — see
-    // [[registerRewriteTmp]]
+    // registered as in flight (JVM set or live on-disk staging marker):
+    // the age heuristic reads the dir mtime, which for a running Spark
+    // write is the job START — see [[registerRewriteTmp]]
     val entries = fs.listStatus(chunkDir).toSeq
     entries
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".") &&
         !isInFlightTmp(fs, s.getPath) &&
+        !MutationGate.fileMarkerLiveAny(fs, stagingMarkerPath(s.getPath)) &&
         now - s.getModificationTime >= math.max(graceMs, 3600000L))
-      .foreach(s => fs.delete(s.getPath, true))
+      .foreach { s =>
+        fs.delete(s.getPath, true)
+        try fs.delete(stagingMarkerPath(s.getPath), false)
+        catch { case _: java.io.IOException => () }
+      }
+    // orphaned staging markers (their staged dir never appeared, or was
+    // consumed by a publish whose unregister raced a crash): reap once
+    // stale — a live one may precede its dir (registration runs before
+    // the write job creates it)
+    entries
+      .filter(s => s.isFile && s.getPath.getName.startsWith(".staging_") &&
+        !MutationGate.fileMarkerLiveAny(fs, s.getPath) &&
+        !fs.exists(new Path(chunkDir,
+          s.getPath.getName.stripPrefix(".staging_"))))
+      .foreach(s =>
+        try fs.delete(s.getPath, false)
+        catch { case _: java.io.IOException => () })
     // a long-dead BARE shell (no generations, no tombstone, nothing but
     // stale dot-entries — a rewrite that crashed between mkdirs and its
     // publish; liveDataDir already refuses to list it): delete once old
@@ -3905,11 +4126,10 @@ object Hypertable {
     * Flat layout: the pre-round-8 in-place delete+rename swap.
     */
   private[graft] def publishChunkRewrite(spark: SparkSession, fs: FileSystem,
-      live: Path, tmp: Path): Option[Path] = {
-    // the write is done — from here the tmp is either consumed by the
-    // publish rename, deleted by the tombstone abort, or (on a failed
-    // rename) dead debris the aged GC may reap
-    inFlightTmps.remove(fs.makeQualified(tmp).toString)
+      live: Path, tmp: Path): Option[Path] = try {
+    // the in-flight registration (JVM set + on-disk staging marker) is
+    // dropped in the finally below — AFTER the commit/abort, so a foreign
+    // GC can never treat the stage as a remnant inside the publish window
     if (!isGenPath(live)) {
       fs.delete(live, true)
       require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
@@ -3971,7 +4191,7 @@ object Hypertable {
       }
       }
     }
-  }
+  } finally unregisterRewriteTmp(fs, tmp)
 
   /** Point the owning table's chunk manifest at a gen publish's new live
     * dir ([[Columnstore]]'s per-chunk primitives have no handle). This is
@@ -4465,7 +4685,25 @@ object Hypertable {
     // anything reads the mixed layout (claims the mutator lease — refuses
     // loudly when another process holds the table; released again after
     // the heal if this process was not already the holder)
-    if (fs.exists(new Path(path, MIGRATING))) healCrashedMigration(ht) else ht
+    val healed =
+      if (fs.exists(new Path(path, MIGRATING))) healCrashedMigration(ht) else ht
+    // flat-layout retirement (SCALE.md §15): with
+    // `spark.graft.autoMigrateOnOpen=true`, a legacy flat table migrates
+    // to the generational layout at open — the exclusive-DDL migration,
+    // same machinery as the explicit call. Gen layout is the contract
+    // every object-store guarantee is stated against; the flag turns
+    // "migrate the stragglers" into a rollout default instead of a
+    // per-table chore. Skipped (flat handle returned) while another
+    // process holds the table — the next open after it releases migrates.
+    if (!healed.genLayout &&
+        spark.conf.get("spark.graft.autoMigrateOnOpen", "false").toBoolean &&
+        !foreignMutatorLive(spark, fs,
+          fs.makeQualified(new Path(path)).toString)) {
+      val hadLease = heldLeases.containsKey(healed.qualifiedPath)
+      val nh = healed.migrateToGenLayout()
+      if (!hadLease) releaseMutatorLease(spark, path)
+      nh
+    } else healed
   }
 }
 

@@ -18,30 +18,32 @@ import org.apache.spark.sql.SparkSession
   *    with the exclusive maintenance lease (`_graft_mutator_lease`, which
   *    after the split serializes REWRITE-class processes only).
   *  - APPEND INTENT (`_graft_intents/i_<owner>_<n>`): one per in-flight
-  *    append batch. A rewriter drains intents created at-or-before its
-  *    seal before reading its input, so no append started before the seal
-  *    can land rows in a generation the rewrite is about to supersede.
+  *    append batch. A rewriter drains the intents VISIBLE when its seal
+  *    is in place before reading its input, so no append started before
+  *    the seal can land rows in a generation the rewrite is about to
+  *    supersede.
   *  - SEAL (`_graft_seals/s<start>` / `s_ALL`): a rewriter's per-chunk
   *    (or, for DDL, table-wide) exclusion marker. An appender checks seals
   *    AFTER writing its intent; on overlap with its routed chunk set it
   *    YIELDS — removes its intent, waits for the seal to clear, re-creates
   *    the intent and re-checks. The write-intent-then-read-seal /
   *    write-seal-then-read-intent ordering means at least one side always
-  *    sees the other (bounded clock skew assumed for the created-ts
-  *    comparison, `spark.graft.gate.skewMs`).
+  *    sees the other. The drain is a SNAPSHOT wait (below) — no
+  *    cross-host clock comparison anywhere in the ordering.
   *
-  * Deadlock-freedom: rewriters never yield and wait only on intents
-  * CREATED at-or-before their seal; appenders always yield to any live
-  * overlapping seal (dropping their intent while they wait). A yielded
-  * appender's re-created intent is younger than the seal, so the rewriter
-  * does not wait for it. Crash tolerance: every marker embeds a creation
-  * ts and a heartbeat ts; a marker whose heartbeat (and mtime) is older
-  * than `spark.graft.gate.staleMs` reads as a crashed holder and is
-  * ignored (and reaped best-effort).
+  * Deadlock-freedom: rewriters never yield and wait only on the intents
+  * captured in their post-seal snapshot; appenders always yield to any
+  * live overlapping seal (dropping their intent while they wait). A
+  * yielded appender's re-created intent appears only after the seal
+  * clears, so the rewriter does not wait for it. Crash tolerance: every
+  * marker embeds a creation ts and a heartbeat ts; a marker whose
+  * heartbeat (and mtime) is older than `spark.graft.gate.staleMs` reads
+  * as a crashed holder and is ignored (and reaped best-effort).
   *
-  * File body layout: `owner \n createdTs \n heartbeatTs`. Heartbeats
-  * rewrite only the third line (truncate-overwrite; readers treat an
-  * unparsable/empty body as live-conservative within the mtime bound).
+  * File body layout: `owner \n createdTs \n heartbeatTs [\n payload…]`.
+  * Heartbeats rewrite the whole body preserving the payload
+  * (truncate-overwrite; readers treat an unparsable/empty body as
+  * live-conservative within the mtime bound).
   */
 private[graft] object MutationGate {
   import Hypertable.{readSmallFile, processId}
@@ -51,6 +53,7 @@ private[graft] object MutationGate {
   private[sources] val SEAL_DIR = "_graft_seals"
   private[sources] val REBIRTH_LOCK = "_graft_rebirth_lock"
   private[sources] val CATALOG_FLOCK = "_graft_catalog_flock"
+  private[sources] val HEAL_DIR = "_graft_healing"
 
   /** Liveness horizon for gate markers. Shorter than the mutator lease's
     * staleness: gate markers are per-batch/per-op, and a rewriter's drain
@@ -60,10 +63,6 @@ private[graft] object MutationGate {
   private[graft] def staleMs(spark: SparkSession): Long =
     spark.conf.get("spark.graft.gate.staleMs", "120000").toLong
 
-  /** Cross-host wall-clock skew allowance for the created-ts ordering. */
-  private[graft] def skewMs(spark: SparkSession): Long =
-    spark.conf.get("spark.graft.gate.skewMs", "5000").toLong
-
   /** How long a gate wait (drain / yield) may block before erroring. */
   private[graft] def timeoutMs(spark: SparkSession): Long =
     spark.conf.get("spark.graft.gate.timeoutMs", "600000").toLong
@@ -71,17 +70,30 @@ private[graft] object MutationGate {
   private def pollMs(spark: SparkSession): Long =
     spark.conf.get("spark.graft.gate.pollMs", "50").toLong
 
+  /** Settle window for exclusive-marker claims on stores without an
+    * atomic create-exclusive (raw object stores): after winning the
+    * create+readback, wait this long and read back AGAIN before declaring
+    * the claim won — longer than one competing create+readback
+    * round-trip, so of two same-instant claimants at most one survives
+    * both readbacks. Paid only while ANOTHER process is known active on
+    * the table ([[foreignActive]]); the single-process fast path keeps
+    * the plain claim-readback.
+    */
+  private def settleMs(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.gate.settleMs", "60").toLong
+
   // ------------------------------------------------------- marker plumbing
 
   /** Markers this process holds, refreshed by [[heartbeatNow]] (wired into
     * the lease daemon's 30 s pass): qualified path -> (fs, path, owner,
-    * createdTs).
+    * createdTs, payload).
     */
   private val held = new java.util.concurrent.ConcurrentHashMap[
-    String, (FileSystem, Path, String, Long)]()
+    String, (FileSystem, Path, String, Long, Option[String])]()
 
-  private def body(owner: String, created: Long, hb: Long): String =
-    s"$owner\n$created\n$hb"
+  private def body(owner: String, created: Long, hb: Long,
+      payload: Option[String]): String =
+    s"$owner\n$created\n$hb" + payload.map("\n" + _).getOrElse("")
 
   private[graft] case class Marker(path: Path, owner: String, created: Long,
       hb: Long, mtime: Long) {
@@ -89,7 +101,7 @@ private[graft] object MutationGate {
       math.max(hb, mtime) > now - stale
   }
 
-  private def parse(fs: FileSystem,
+  private[sources] def parse(fs: FileSystem,
       st: org.apache.hadoop.fs.FileStatus): Option[Marker] =
     try {
       val lines = readSmallFile(fs, st.getPath).linesIterator.toSeq
@@ -104,18 +116,27 @@ private[graft] object MutationGate {
       Some(Marker(st.getPath, owner, created, hb, st.getModificationTime))
     } catch { case _: java.io.IOException => None } // vanished mid-list
 
-  private def writeMarker(fs: FileSystem, p: Path, created: Long): Unit = {
+  /** The payload lines (4th onward) of a held-style marker file; empty
+    * string when none or unreadable.
+    */
+  private[sources] def payloadOf(fs: FileSystem, p: Path): String =
+    try readSmallFile(fs, p).linesIterator.drop(3).mkString("\n")
+    catch { case _: java.io.IOException => "" }
+
+  private def writeMarker(fs: FileSystem, p: Path, created: Long,
+      payload: Option[String], overwrite: Boolean): Unit = {
     fs.mkdirs(p.getParent)
-    val out = fs.create(p, true)
-    out.write(body(processId, created, System.currentTimeMillis())
+    val out = fs.create(p, overwrite)
+    out.write(body(processId, created, System.currentTimeMillis(), payload)
       .getBytes("UTF-8"))
     out.close()
   }
 
-  private[graft] def createMarker(fs: FileSystem, p: Path): Path = {
+  private[graft] def createMarker(fs: FileSystem, p: Path,
+      payload: Option[String] = None): Path = {
     val created = System.currentTimeMillis()
-    writeMarker(fs, p, created)
-    held.put(fs.makeQualified(p).toString, (fs, p, processId, created))
+    writeMarker(fs, p, created, payload, overwrite = true)
+    held.put(fs.makeQualified(p).toString, (fs, p, processId, created, payload))
     p
   }
 
@@ -130,12 +151,13 @@ private[graft] object MutationGate {
     */
   private[graft] def heartbeatNow(): Unit =
     held.forEach { (k, v) =>
-      val (fs, p, _, created) = v
+      val (fs, p, _, created, payload) = v
       // a vanished marker means the table was dropped (or an operator
       // cleaned up) — drop it from the held set rather than resurrecting
       // the marker dir under a deleted root
       try {
-        if (fs.exists(p)) writeMarker(fs, p, created) else held.remove(k)
+        if (fs.exists(p)) writeMarker(fs, p, created, payload, overwrite = true)
+        else held.remove(k)
       } catch { case scala.util.control.NonFatal(_) => () }
     }
 
@@ -162,6 +184,163 @@ private[graft] object MutationGate {
       if (m.live(now, stale)) Some(m)
       else { try fs.delete(m.path, false)
              catch { case _: java.io.IOException => () }; None }
+    }
+  }
+
+  /** Is the single marker file at `p` held by a live (fresh-heartbeat)
+    * process? Missing/unreadable = no.
+    */
+  private[sources] def fileMarkerLive(spark: SparkSession, fs: FileSystem,
+      p: Path): Boolean =
+    try parse(fs, fs.getFileStatus(p))
+      .exists(_.live(System.currentTimeMillis(), staleMs(spark)))
+    catch { case _: java.io.IOException => false }
+
+  /** [[fileMarkerLive]] for session-less callers (GC helpers): staleness
+    * from the active session when one exists, the config default else.
+    */
+  private[sources] def fileMarkerLiveAny(fs: FileSystem, p: Path): Boolean = {
+    val stale = SparkSession.getActiveSession.map(staleMs).getOrElse(120000L)
+    try parse(fs, fs.getFileStatus(p))
+      .exists(_.live(System.currentTimeMillis(), stale))
+    catch { case _: java.io.IOException => false }
+  }
+
+  // ------------------------------------------ foreign-activity observation
+
+  // root -> (checkedAtMs, foreignProcessActive). Refreshed at most once
+  // per heartbeat period: the EXCLUSIVE claim protocol only needs its
+  // settle belt while a second process can actually contend, and probing
+  // two marker locations per claim would put object-store latency on the
+  // per-batch hot path. The residual window — a brand-new process inside
+  // one TTL — is additionally covered by create-exclusive (atomic on
+  // local/HDFS) and by the double readback below.
+  private val activityCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Boolean)]()
+  private val ACTIVITY_TTL_MS = 30000L
+
+  private[sources] def foreignActive(spark: SparkSession, fs: FileSystem,
+      qualifiedRoot: String): Boolean = {
+    val now = System.currentTimeMillis()
+    val cached = activityCache.get(qualifiedRoot)
+    if (cached != null && now - cached._1 < ACTIVITY_TTL_MS) return cached._2
+    val root = new Path(qualifiedRoot)
+    val active =
+      try listLive(spark, fs, new Path(root, APPEND_DIR))
+        .exists(_.owner != processId) ||
+        Hypertable.foreignMutatorLive(spark, fs, qualifiedRoot)
+      catch { case scala.util.control.NonFatal(_) => true } // conservative
+    activityCache.put(qualifiedRoot, (now, active))
+    active
+  }
+
+  /** Tests: force the next [[foreignActive]] probe to re-read disk. */
+  private[graft] def resetActivityCache(): Unit = activityCache.clear()
+
+  // ------------------------------------------------ exclusive marker claim
+
+  /** Claim the single-holder marker at `p`, waiting while a live foreign
+    * holder exists. The claim itself:
+    *
+    *  1. `create(overwrite=false)` — atomic create-exclusive on local FS
+    *     and HDFS, so on those stores mutual exclusion is structural (the
+    *     loser's create throws). A stale/crashed holder's file is deleted
+    *     first (losing that delete+create race just re-loops).
+    *  2. read back — on object stores, where create is blind-PUT, the
+    *     LAST writer's bytes win and the readback demotes every other
+    *     claimant.
+    *  3. when another process is known active on the table
+    *     ([[foreignActive]] vs `activityRoot`), sleep
+    *     `spark.graft.gate.settleMs` and read back AGAIN — longer than a
+    *     competing create+readback round-trip, so two same-instant PUT
+    *     claimants cannot both survive (the pre-round-11 protocol could
+    *     admit both: A-create/A-readback/B-create/B-readback). Without
+    *     observed contention the second readback runs with no sleep.
+    *
+    * Returns when claimed; throws after `spark.graft.gate.timeoutMs`.
+    */
+  private[sources] def claimExclusive(spark: SparkSession, fs: FileSystem,
+      p: Path, activityRoot: => Option[(FileSystem, String)]): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs(spark)
+    var claimed = false
+    while (!claimed) {
+      val cur =
+        try parse(fs, fs.getFileStatus(p))
+        catch { case _: java.io.IOException => None }
+      val now = System.currentTimeMillis()
+      cur match {
+        case Some(m) if m.owner != processId && m.live(now, staleMs(spark)) =>
+          if (now > deadline)
+            throw new IllegalStateException(
+              s"timed out waiting for exclusive marker $p held by ${m.owner}")
+          Thread.sleep(pollMs(spark))
+        case other =>
+          // stale holder (or our own leftover): clear the file so the
+          // exclusive create below can succeed
+          if (other.isDefined)
+            try fs.delete(p, false)
+            catch { case _: java.io.IOException => () }
+          val created = System.currentTimeMillis()
+          val won =
+            try { writeMarker(fs, p, created, None, overwrite = false); true }
+            catch { case _: java.io.IOException => false } // exists: lost
+          if (won) {
+            def mine: Boolean =
+              try parse(fs, fs.getFileStatus(p)).exists(_.owner == processId)
+              catch { case _: java.io.IOException => false }
+            val settle = activityRoot.exists { case (afs, root) =>
+              foreignActive(spark, afs, root) }
+            val confirmed = mine && {
+              if (settle) Thread.sleep(settleMs(spark)); mine
+            }
+            if (confirmed) {
+              held.put(fs.makeQualified(p).toString,
+                (fs, p, processId, created, None))
+              claimed = true
+            }
+            // lost the readback: our bytes were overwritten — nothing of
+            // ours remains on disk, so do NOT delete (that would release
+            // the winner); just loop into the wait arm
+          }
+      }
+    }
+  }
+
+  /** Non-blocking [[claimExclusive]]: one attempt; false when a live
+    * foreign holder exists or the claim race is lost. Used by
+    * opportunistic work (torn-op healing) that should skip, not queue.
+    */
+  private[sources] def tryClaimExclusive(spark: SparkSession, fs: FileSystem,
+      p: Path, activityRoot: => Option[(FileSystem, String)]): Boolean = {
+    val cur =
+      try parse(fs, fs.getFileStatus(p))
+      catch { case _: java.io.IOException => None }
+    val now = System.currentTimeMillis()
+    cur match {
+      case Some(m) if m.owner != processId && m.live(now, staleMs(spark)) =>
+        false
+      case other =>
+        if (other.isDefined)
+          try fs.delete(p, false)
+          catch { case _: java.io.IOException => () }
+        val created = System.currentTimeMillis()
+        val won =
+          try { writeMarker(fs, p, created, None, overwrite = false); true }
+          catch { case _: java.io.IOException => false }
+        won && {
+          def mine: Boolean =
+            try parse(fs, fs.getFileStatus(p)).exists(_.owner == processId)
+            catch { case _: java.io.IOException => false }
+          val settle = activityRoot.exists { case (afs, root) =>
+            foreignActive(spark, afs, root) }
+          val confirmed = mine && {
+            if (settle) Thread.sleep(settleMs(spark)); mine
+          }
+          if (confirmed)
+            held.put(fs.makeQualified(p).toString,
+              (fs, p, processId, created, None))
+          confirmed
+        }
     }
   }
 
@@ -206,15 +385,15 @@ private[graft] object MutationGate {
     new Path(root, s"$SEAL_DIR/${scope.map(s => s"s$s").getOrElse("s_ALL")}")
 
   /** Run `body` with seals claimed on the given scopes (Some(start) =
-    * one chunk; None = the whole table, DDL class), after draining every
-    * live foreign append intent created at-or-before the seal. The
-    * claimed seals exclude appends on the sealed chunks for the duration
-    * — the cross-process analogue of the reference's per-chunk locks.
+    * one chunk; None = the whole table, DDL class), after draining the
+    * live foreign append intents visible once the seals are in place.
+    * The claimed seals exclude appends on the sealed chunks for the
+    * duration — the cross-process analogue of the reference's per-chunk
+    * locks.
     *
     * Only rewrite-class ops call this, and they already hold the table's
     * EXCLUSIVE mutator lease plus the JVM lock hierarchy, so seals never
-    * contend with other seals; the readback is a belt against clock-skew
-    * takeover of a stale-looking live holder.
+    * contend with other seals.
     */
   private[sources] def withSeals[T](spark: SparkSession, fs: FileSystem,
       qualifiedRoot: String, scopes: Seq[Option[Long]])(body: => T): T = {
@@ -224,26 +403,32 @@ private[graft] object MutationGate {
       .map(s => createMarker(fs, sealPath(root, s)))
     Hypertable.ensureGateDaemon()
     try {
-      drainIntents(spark, fs, root,
-        claimed.map(p => held.get(fs.makeQualified(p).toString))
-          .flatMap(Option(_)).map(_._4).maxOption
-          .getOrElse(System.currentTimeMillis()))
+      drainIntents(spark, fs, root)
       body
     } finally claimed.foreach(removeMarker(fs, _))
   }
 
-  /** Wait until no live FOREIGN intent created at-or-before `sealTs` (plus
-    * skew) remains — called by a rewriter AFTER its seal is visible, so
-    * appends that started before the seal finish before the rewrite reads
-    * its input, and appends that start after it yield to the seal.
+  /** Snapshot-wait for in-flight appends — called by a rewriter AFTER its
+    * seals are fully written. The uncertainty set is exactly the live
+    * FOREIGN intents visible NOW: an appender that wrote its intent
+    * before our seal landed may not have seen the seal (we wait for its
+    * batch), while any intent created after this snapshot was written
+    * after the seal was visible — its owner's subsequent seal check
+    * (write-intent-then-read-seal, on a read-after-write-consistent
+    * store) sees the seal and yields if it conflicts. No cross-host
+    * clock enters the ordering; a skewed appender clock cannot slip a
+    * pre-seal batch past the drain (GateOrderingSpec pins this with
+    * deliberately future-dated intents).
     */
-  private def drainIntents(spark: SparkSession, fs: FileSystem, root: Path,
-      sealTs: Long): Unit = {
+  private def drainIntents(spark: SparkSession, fs: FileSystem,
+      root: Path): Unit = {
     val dir = new Path(root, INTENT_DIR)
-    val horizon = sealTs + skewMs(spark)
+    val pending = listLive(spark, fs, dir)
+      .filter(_.owner != processId).map(_.path.getName).toSet
+    if (pending.isEmpty) return
     val deadline = System.currentTimeMillis() + timeoutMs(spark)
     while (listLive(spark, fs, dir)
-        .exists(m => m.owner != processId && m.created <= horizon)) {
+        .exists(m => m.owner != processId && pending.contains(m.path.getName))) {
       if (System.currentTimeMillis() > deadline)
         throw new IllegalStateException(
           s"timed out draining append intents under $dir — an appender " +
@@ -306,46 +491,42 @@ private[graft] object MutationGate {
     intent
   }
 
+  /** A live FOREIGN seal covering chunk `start` (or the table-wide
+    * `s_ALL`) means a rewrite-class op in another process is mid-flight
+    * on that chunk RIGHT NOW — its torn-op intent markers describe live
+    * work, not a crash. Healers consult this before resolving a
+    * merge/split marker ([[Hypertable]]'s healRewriteIntents): ops claim
+    * their seals BEFORE writing intent markers and drop the markers
+    * before releasing the seals, so marker-present-without-live-seal is
+    * exactly the crashed case.
+    */
+  private[sources] def foreignSealLive(spark: SparkSession, fs: FileSystem,
+      qualifiedRoot: String, start: Long): Boolean =
+    listLive(spark, fs, new Path(new Path(qualifiedRoot), SEAL_DIR))
+      .exists(m => m.owner != processId &&
+        sealScopeOf(m.path.getName).forall(_ == start))
+
   // -------------------------------------------- rebirth lock (append path)
 
   /** Per-chunk mutual exclusion between APPENDERS re-ingesting into the
     * same tombstoned (dropped, grace-retained) chunk dir: two concurrent
     * rebirths would race the tombstone's drop-max normalization and could
-    * stamp each other's just-committed generation dead. Claim-readback on
-    * a heartbeated marker INSIDE the chunk dir; the GC also refuses to
-    * reap a dir whose rebirth lock is live ([[Hypertable.gcChunkDir]]).
-    * Returns the claimed paths; release via [[removeMarker]].
+    * stamp each other's just-committed generation dead. Exclusive claim
+    * ([[claimExclusive]]) on a heartbeated marker INSIDE the chunk dir;
+    * the GC also refuses to reap a dir whose rebirth lock is live
+    * ([[Hypertable.gcChunkDir]]). Returns the claimed paths; release via
+    * [[removeMarker]]. `activityRoot` is the table's PRIMARY root — the
+    * settle belt keys on table-level foreign activity.
     */
   private[sources] def claimRebirthLocks(spark: SparkSession,
-      chunkDirs: Seq[Path]): Seq[(FileSystem, Path)] =
+      chunkDirs: Seq[Path], activityRoot: Option[(FileSystem, String)])
+      : Seq[(FileSystem, Path)] =
     chunkDirs.sortBy(_.toString).map { d =>
       // each dir's OWN filesystem: a tombstoned chunk resident on a
       // cross-FS tablespace is locked where it lives
       val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val p = new Path(d, REBIRTH_LOCK)
-      val deadline = System.currentTimeMillis() + timeoutMs(spark)
-      var claimed = false
-      while (!claimed) {
-        val cur =
-          try parse(fs, fs.getFileStatus(p))
-          catch { case _: java.io.IOException => None }
-        val now = System.currentTimeMillis()
-        cur match {
-          case Some(m) if m.owner != processId &&
-              m.live(now, staleMs(spark)) =>
-            if (now > deadline)
-              throw new IllegalStateException(
-                s"timed out waiting for rebirth lock $p held by ${m.owner}")
-            Thread.sleep(pollMs(spark))
-          case _ =>
-            createMarker(fs, p)
-            val back =
-              try parse(fs, fs.getFileStatus(p)).map(_.owner).getOrElse("")
-              catch { case _: java.io.IOException => "" }
-            if (back == processId) claimed = true
-            else held.remove(fs.makeQualified(p).toString)
-        }
-      }
+      claimExclusive(spark, fs, p, activityRoot)
       (fs, p)
     }
 
@@ -361,57 +542,39 @@ private[graft] object MutationGate {
 
   // --------------------------------------------- catalog commit lock (FS)
 
-  // roots whose catalog FS lock this JVM holds, with depth (reentrancy:
-  // syncCatalogForChunk's full-refresh fallback re-enters; in-process
-  // serialization is the JVM catalogLock every caller already holds)
-  private val flockDepth = new java.util.concurrent.ConcurrentHashMap[
-    String, java.lang.Integer]()
+  // in-JVM serialization + reentrancy for the catalog FS lock, keyed on
+  // the qualified root. A ReentrantLock (not a depth map keyed per table)
+  // so a SECOND THREAD of this process blocks instead of treating another
+  // thread's hold as its own re-entry — the pre-round-11 depth map let
+  // e.g. a heal on one thread run inside another thread's commit window.
+  private val flockJvm = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantLock]()
 
   /** Serialize MANIFEST commits (full refresh, per-chunk patch, and the
     * gen-publish rename+stamp they index) across processes: without it a
     * standing appender's full refresh and the maintenance process's
     * publish/patch could interleave — a torn listing (new generation
     * renamed in, superseded stamp not yet visible) or a version-number
-    * collision whose last writer persists the older view. Claim-readback
-    * on a heartbeated marker at the primary root; held only for the
-    * metadata commit (listing + one small-file write), never across a
-    * data job.
+    * collision whose last writer persists the older view. Exclusive claim
+    * ([[claimExclusive]]: create-exclusive + readback + contention-gated
+    * settle) on a heartbeated marker at the primary root; held only for
+    * the metadata commit (listing + one small-file write), never across
+    * a data job. In-JVM, threads serialize on a per-root ReentrantLock
+    * (re-entrant within one thread).
     */
   private[sources] def withCatalogFsLock[T](spark: SparkSession,
       fs: FileSystem, qualifiedRoot: String)(body: => T): T = {
-    if (flockDepth.containsKey(qualifiedRoot)) {
-      flockDepth.put(qualifiedRoot, flockDepth.get(qualifiedRoot) + 1)
-      try return body
-      finally flockDepth.put(qualifiedRoot, flockDepth.get(qualifiedRoot) - 1)
-    }
-    val p = new Path(new Path(qualifiedRoot), CATALOG_FLOCK)
-    val deadline = System.currentTimeMillis() + timeoutMs(spark)
-    var claimed = false
-    while (!claimed) {
-      val cur =
-        try parse(fs, fs.getFileStatus(p))
-        catch { case _: java.io.IOException => None }
-      val now = System.currentTimeMillis()
-      cur match {
-        case Some(m) if m.owner != processId && m.live(now, staleMs(spark)) =>
-          if (now > deadline)
-            throw new IllegalStateException(
-              s"timed out waiting for catalog commit lock $p held by ${m.owner}")
-          Thread.sleep(pollMs(spark))
-        case _ =>
-          createMarker(fs, p)
-          val back =
-            try parse(fs, fs.getFileStatus(p)).map(_.owner).getOrElse("")
-            catch { case _: java.io.IOException => "" }
-          if (back == processId) claimed = true
-          else held.remove(fs.makeQualified(p).toString)
+    val l = flockJvm.computeIfAbsent(qualifiedRoot,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    l.lock()
+    try {
+      if (l.getHoldCount > 1) body // re-entrant: this thread already claimed
+      else {
+        val p = new Path(new Path(qualifiedRoot), CATALOG_FLOCK)
+        claimExclusive(spark, fs, p, Some((fs, qualifiedRoot)))
+        try body
+        finally removeMarker(fs, p)
       }
-    }
-    flockDepth.put(qualifiedRoot, 1)
-    try body
-    finally {
-      flockDepth.remove(qualifiedRoot)
-      removeMarker(fs, p)
-    }
+    } finally l.unlock()
   }
 }

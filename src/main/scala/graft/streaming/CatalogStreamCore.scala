@@ -17,11 +17,17 @@ import graft.sources.Hypertable
   * 14.2 s at 10,080 chunks, SCALE.md §16, and O(files) per trigger
   * forever after. Graft already owns the authoritative change feed: every
   * `write()` batch appends a `_graft_stream_log/` entry naming EXACTLY
-  * the files its job committed. Tailing that log turns per-trigger
-  * discovery into O(new files); the one-time initial snapshot (earliest
-  * start) enumerates live chunks from the MANIFEST — dead/graced
-  * generations and tombstoned dirs are never listed, so the dead-at-start
-  * filtering readStream needs a file-path blocklist for comes free here.
+  * the files its job committed. Tailing that log makes per-trigger
+  * discovery O(new files + the floor window): entries bucket into hourly
+  * subdirs, buckets below the processed floor are skipped without
+  * listing, and buckets past retention are deleted whole — so the cost
+  * is the current/previous bucket's entry count, independent of table
+  * width AND of how long the log has accumulated (the round-10 version
+  * listed every entry within retention each trigger). The one-time
+  * initial snapshot (earliest start) enumerates live chunks from the
+  * MANIFEST — dead/graced generations and tombstoned dirs are never
+  * listed, so the dead-at-start filtering readStream needs a file-path
+  * blocklist for comes free here.
   * Rewrites (compress/merge/DML) never appear in the log, so their
   * re-encoded files never re-emit — a STRONGER contract than the
   * file-tailing append-only one (readStream's scaladoc).
@@ -108,28 +114,73 @@ object CatalogStreamCore {
     }.flatten
   }
 
+  /** The wall-clock a log entry's name embeds; -1 when unparsable. */
+  def entryTs(name: String): Long = scala.util.Try(
+    name.stripPrefix("e_").takeWhile(_.isDigit).toLong).getOrElse(-1L)
+
+  /** How far below the highest PROCESSED entry ts an entry may still
+    * appear. Must exceed the writer naming-to-visibility delay (one
+    * small-file write plus worst-case process pause) PLUS the wall-clock
+    * skew between concurrent WRITER hosts (entry names embed each
+    * writer's own clock) — the 10 min default is generous for both.
+    * Entries below `maxProcessedTs - floorSkewMs` are guaranteed already
+    * processed, so the source skips them — and whole buckets below the
+    * floor — without reading, making per-trigger listing
+    * O(new files + floor window) instead of O(entries within retention).
+    */
+  def floorSkewMs(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.stream.floorSkewMs", "600000").toLong
+
   /** Unprocessed log entries, oldest first: (entry name, file paths).
-    * Prunes entries past retention (best-effort; entries are tiny).
+    *
+    * Listing is bucket-aware: one listStatus of the log root yields the
+    * `t<epochHour>` bucket dirs; buckets wholly past retention are
+    * deleted recursively, buckets wholly below `floorTs` (< 0 = no
+    * floor, e.g. first pass after a restart) are skipped unread, and
+    * only the remainder — the floor window, typically the current and
+    * previous hour — is descended into. Legacy flat entries at the root
+    * (pre-round-11 layout) keep working: listed every pass, pruned
+    * per-entry.
     */
   def newLogEntries(spark: SparkSession, tablePath: String,
-      processed: java.util.Set[String]): Seq[(String, Seq[String])] = {
+      processed: java.util.Set[String], floorTs: Long)
+      : Seq[(String, Seq[String])] = {
     val fs = fsOf(spark, tablePath)
     val dir = new Path(tablePath, Hypertable.STREAM_LOG)
     val retain = logRetainMs(spark)
+    val bucket = Hypertable.STREAM_LOG_BUCKET_MS
     val now = System.currentTimeMillis()
-    val entries =
-      try fs.listStatus(dir).toSeq.filter(s => s.isFile &&
-        s.getPath.getName.startsWith("e_"))
+    val top =
+      try fs.listStatus(dir).toSeq
       catch { case _: java.io.FileNotFoundException => return Nil }
-    entries.flatMap { st =>
+    val bucketed = top
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("t"))
+      .flatMap { d =>
+        val idx = scala.util.Try(
+          d.getPath.getName.stripPrefix("t").toLong).getOrElse(-1L)
+        if (idx < 0) Nil
+        else if (now - (idx + 1) * bucket > retain) {
+          // the whole bucket aged out: one recursive delete, no per-entry
+          // listing — this is also what bounds the on-disk entry count
+          try fs.delete(d.getPath, true)
+          catch { case _: java.io.IOException => () }
+          Nil
+        } else if (floorTs >= 0 && (idx + 1) * bucket <= floorTs)
+          Nil // wholly below the floor: every entry inside is processed
+        else
+          try fs.listStatus(d.getPath).toSeq.filter(_.isFile)
+          catch { case _: java.io.FileNotFoundException => Nil }
+      }
+    val legacy = top.filter(s => s.isFile && s.getPath.getName.startsWith("e_"))
+    (legacy ++ bucketed).flatMap { st =>
       val name = st.getPath.getName
-      val created = scala.util.Try(
-        name.stripPrefix("e_").takeWhile(_.isDigit).toLong).getOrElse(now)
+      val created = entryTs(name) match { case -1L => now; case t => t }
       if (now - created > retain) {
         try fs.delete(st.getPath, false)
         catch { case _: java.io.IOException => () }
         None
-      } else if (processed.contains(name)) None
+      } else if (floorTs >= 0 && created < floorTs) None // processed (floor)
+      else if (processed.contains(name)) None
       else {
         try Some(name -> Hypertable.readSmallFile(fs, st.getPath)
           .linesIterator.filter(_.nonEmpty).toSeq)

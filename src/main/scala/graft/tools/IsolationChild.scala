@@ -81,6 +81,9 @@ object IsolationChild {
           // must never be refused either.
           val stopMarker = new java.io.File(args(2))
           val maxMs = args(3).toLong
+          // optional cap on chunks churned per round (ScaleProbe's
+          // append-under-churn measurement at 10⁴-chunk width)
+          val maxChunks = if (args.length > 4) args(4).toInt else Int.MaxValue
           val opts = graft.sources.Columnstore.Options(orderBy = Seq("ts"))
           try {
             // claim the exclusive lease via a no-hit rewrite op
@@ -93,6 +96,7 @@ object IsolationChild {
             while (!stopMarker.exists() &&
                 System.currentTimeMillis() < deadline) {
               val cs = Hypertable.at(spark, table).showChunks()
+                .take(maxChunks)
               cs.foreach { c =>
                 graft.sources.Columnstore.compressChunk(spark, c.path, opts)
                 val c2 = Hypertable.at(spark, table).showChunks()
@@ -125,6 +129,32 @@ object IsolationChild {
             System.out.flush()
           }
           println("APPEND_DONE")
+        case "read-snapshot" =>
+          // three-way isolation reader (compression_ddl_iso.spec's SELECT
+          // role): while ANOTHER process appends and a THIRD runs
+          // compress/decompress churn, every fresh-handle read must be a
+          // consistent snapshot — no row ever twice (a torn generation
+          // listing duplicates), and the visible rowset never shrinks
+          // (append-only history; rewrites are row-preserving)
+          val iters = args(2).toInt
+          var prev = -1L
+          var i = 0
+          while (i < iters && code == 0) {
+            val r = Hypertable.at(spark, table).read()
+              .agg(count(lit(1)), countDistinct(col("event_id")))
+              .collect()(0)
+            val (n, d) = (r.getLong(0), r.getLong(1))
+            if (n != d) {
+              println(s"SNAP_DUP $n rows vs $d distinct at iteration $i")
+              code = 6
+            } else if (n < prev) {
+              println(s"SNAP_SHRUNK $n < $prev at iteration $i")
+              code = 6
+            }
+            prev = math.max(prev, n)
+            i += 1
+          }
+          if (code == 0) println(s"SNAP_OK $prev")
         case "read-expect" =>
           // read_committed_insert port (test/isolation/specs/
           // read_committed_insert.spec): a FRESH session must see exactly

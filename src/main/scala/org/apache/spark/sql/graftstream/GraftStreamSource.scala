@@ -25,12 +25,25 @@ import graft.streaming.CatalogStreamCore
   *    construction); later batches are exactly the files appended by
   *    `write()` batches. `latest`: the snapshot is marked seen and NOT
   *    emitted — only post-start appends stream; start cost is the same
-  *    one-time parallel listing.
+  *    one-time parallel listing. Stream SETUP pays one fresh-handle
+  *    manifest resolve + a one-chunk schema read (~2 s at 10k chunks) —
+  *    amortized over a standing stream's lifetime, the design target;
+  *    drivers churning many short-lived streams of one table pay it per
+  *    stream.
   *  - exactly-once per checkpoint: each micro-batch's file list is
   *    persisted under the checkpoint (`<metadataPath>/b<id>`) before the
   *    offset is exposed, so restarts replay identical batches; a seen-set
   *    rebuilt from those lists dedups overlapping log entries (two
   *    concurrent appenders can both list a racing file — harmless here).
+  *  - BOUNDED state (round 11): Spark's commit() callback drives a
+  *    rolling compaction — every `spark.graft.stream.compactEvery`
+  *    commits, the seen-set (minus entries older than log retention +
+  *    floor skew, which can never reappear in the log) is folded into
+  *    one `c<id>` file and the committed `b<id>` files are deleted, the
+  *    FileStreamSource compact-file pattern. Restart reads the latest
+  *    compact + the newer b files, so neither memory nor restart cost
+  *    grows with stream age. Per-trigger discovery skips log buckets
+  *    below the processed floor (see [[CatalogStreamCore.newLogEntries]]).
   *  - rewrites (compress/decompress/merge/split/DML) never enter the log,
   *    so their re-encoded files never re-emit — streams and maintenance
   *    can overlap, unlike the file-tailing `readStream` contract.
@@ -93,28 +106,66 @@ class GraftStreamSource(spark: classic.SparkSession, table: String,
 
   private val metaFs = CatalogStreamCore.fsOf(spark, metadataPath)
   private val metaDir = new Path(metadataPath, "graft-batches")
-  private val seen = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+  // file path -> persist-time wall clock (the age-out key: a file older
+  // than log retention + floor skew can never reappear in the log)
+  private val seen = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.Long]()
   private val processedEntries = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
   private var batchId: Long = -1L
+  private var lastCommitted: Long = -1L
+  private var commitsSinceCompact = 0
+  // highest processed log-entry ts; the per-trigger listing floor is this
+  // minus the writer visibility-skew bound (CatalogStreamCore.floorSkewMs)
+  private var maxEntryTs: Long = -1L
+
+  private def compactEvery: Int =
+    spark.conf.get("spark.graft.stream.compactEvery", "10").toInt
+
+  private def seenCutoff(now: Long): Long =
+    now - (CatalogStreamCore.logRetainMs(spark) +
+      CatalogStreamCore.floorSkewMs(spark))
 
   // make sure writers start logging from now on, even before the first
   // trigger (readStreamCatalog also enables eagerly at plan time)
   CatalogStreamCore.enableLog(spark, table)
 
-  // rebuild checkpointed state: every persisted batch's files are seen
+  // rebuild checkpointed state: latest compact file (if any) + every
+  // NEWER persisted batch's files are seen — restart cost is bounded by
+  // the compaction cadence, not the stream's age
   {
     metaFs.mkdirs(metaDir)
-    val existing =
-      try metaFs.listStatus(metaDir).toSeq
-        .filter(s => s.isFile && s.getPath.getName.startsWith("b"))
-        .map(s => s.getPath.getName.stripPrefix("b").toLong -> s.getPath)
-        .sortBy(_._1)
+    val names =
+      try metaFs.listStatus(metaDir).toSeq.filter(_.isFile)
+        .map(_.getPath.getName)
       catch { case _: java.io.FileNotFoundException => Nil }
-    existing.foreach { case (id, p) =>
+    val latestCompact = names.filter(_.startsWith("c"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("c").toLong).toOption)
+      .maxOption
+    latestCompact.foreach { cid =>
+      CatalogStreamCore.readText(metaFs, new Path(metaDir, s"c$cid"))
+        .linesIterator.filter(_.nonEmpty).foreach { l =>
+          val i = l.indexOf('\t')
+          if (i > 0)
+            scala.util.Try(l.substring(0, i).toLong).toOption
+              .foreach(ts => seen.put(l.substring(i + 1), ts))
+        }
+      batchId = cid
+      lastCommitted = cid
+    }
+    val floorId = latestCompact.getOrElse(-1L)
+    val existing = names.filter(_.startsWith("b"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("b").toLong).toOption)
+      .filter(_ > floorId).sorted
+    existing.foreach { id =>
+      val p = new Path(metaDir, s"b$id")
+      var ts = System.currentTimeMillis()
       CatalogStreamCore.readText(metaFs, p)
-        .linesIterator.filter(_.nonEmpty).foreach(seen.add)
+        .linesIterator.filter(_.nonEmpty).foreach { l =>
+          if (l.startsWith("#ts="))
+            ts = scala.util.Try(l.stripPrefix("#ts=").toLong).getOrElse(ts)
+          else if (!l.startsWith("#")) seen.put(l, ts)
+        }
       batchId = math.max(batchId, id)
     }
     // FIRST start only: the initial snapshot. Restarts rely on the log —
@@ -124,36 +175,88 @@ class GraftStreamSource(spark: classic.SparkSession, table: String,
     // must survive restarts as the seen-set floor, or a restart would
     // re-mark post-start appends as "pre-start" and silently drop them.
     val snapMarker = new Path(metaDir, "snapshot")
-    if (existing.isEmpty && !metaFs.exists(snapMarker)) {
+    if (latestCompact.isEmpty && existing.isEmpty &&
+        !metaFs.exists(snapMarker)) {
       val snap = CatalogStreamCore.snapshotFiles(spark, table, handle)
       if (startingPosition == "latest") {
         CatalogStreamCore.writeText(metaFs, snapMarker, snap.mkString("\n"))
-        snap.foreach(seen.add)
+        val now = System.currentTimeMillis()
+        snap.foreach(f => seen.put(f, now))
       } else {
         CatalogStreamCore.writeText(metaFs, snapMarker, "")
         if (snap.nonEmpty) { persistBatch(0L, snap); batchId = 0L }
       }
     } else if (metaFs.exists(snapMarker)) {
+      // `latest`-start baseline: files of the pre-start snapshot. Their
+      // log entries (if any) predate the stream, so age is irrelevant —
+      // pin with current time and let compaction age them out with the
+      // log's own retention.
+      val now = System.currentTimeMillis()
       try CatalogStreamCore.readText(metaFs, snapMarker)
-        .linesIterator.filter(_.nonEmpty).foreach(seen.add)
+        .linesIterator.filter(_.nonEmpty).foreach(f => seen.put(f, now))
       catch { case _: java.io.IOException => () }
     }
   }
 
   private def persistBatch(id: Long, files: Seq[String]): Unit = {
-    CatalogStreamCore.writeText(metaFs,
-      new Path(metaDir, s"b$id"), files.mkString("\n"))
-    files.foreach(seen.add)
+    val now = System.currentTimeMillis()
+    CatalogStreamCore.writeText(metaFs, new Path(metaDir, s"b$id"),
+      (s"#ts=$now" +: files).mkString("\n"))
+    files.foreach(f => seen.put(f, now))
+  }
+
+  /** Fold everything known-committed into one `c<id>` file, age out
+    * entries past the log-retention horizon, and delete the superseded
+    * per-batch files. Only batches ≤ the last COMMITTED offset compact —
+    * Spark may still request `getBatch` up to the latest uncommitted
+    * offset after a restart.
+    */
+  private def compactState(): Unit = {
+    val now = System.currentTimeMillis()
+    val cutoff = seenCutoff(now)
+    seen.entrySet().removeIf(e => e.getValue < cutoff)
+    val cid = lastCommitted
+    val sb = new java.lang.StringBuilder
+    seen.forEach { (f, ts) =>
+      sb.append(ts).append('\t').append(f).append('\n')
+    }
+    CatalogStreamCore.writeText(metaFs, new Path(metaDir, s"c$cid"),
+      sb.toString)
+    val names =
+      try metaFs.listStatus(metaDir).toSeq.filter(_.isFile)
+        .map(_.getPath.getName)
+      catch { case _: java.io.FileNotFoundException => Nil }
+    names.foreach { n =>
+      val drop =
+        (n.startsWith("b") && scala.util.Try(n.stripPrefix("b").toLong)
+          .toOption.exists(_ <= cid)) ||
+        (n.startsWith("c") && scala.util.Try(n.stripPrefix("c").toLong)
+          .toOption.exists(_ < cid))
+      if (drop)
+        try metaFs.delete(new Path(metaDir, n), false)
+        catch { case _: java.io.IOException => () }
+    }
+    // entry names below the floor are never listed again — drop them
+    if (maxEntryTs >= 0) {
+      val floor = maxEntryTs - CatalogStreamCore.floorSkewMs(spark)
+      processedEntries.removeIf { n =>
+        val t = CatalogStreamCore.entryTs(n); t >= 0 && t < floor
+      }
+    }
   }
 
   override def schema: StructType = outputSchema
 
   override def getOffset: Option[Offset] = synchronized {
+    val floor =
+      if (maxEntryTs < 0) -1L
+      else maxEntryTs - CatalogStreamCore.floorSkewMs(spark)
     val fresh = CatalogStreamCore
-      .newLogEntries(spark, table, processedEntries)
+      .newLogEntries(spark, table, processedEntries, floor)
       .flatMap { case (name, files) =>
         processedEntries.add(name)
-        files.filterNot(seen.contains)
+        maxEntryTs = math.max(maxEntryTs, CatalogStreamCore.entryTs(name))
+        files.filterNot(seen.containsKey)
       }.distinct
     if (fresh.nonEmpty) { persistBatch(batchId + 1, fresh); batchId += 1 }
     if (batchId >= 0) Some(LongOffset(batchId)) else None
@@ -170,7 +273,8 @@ class GraftStreamSource(spark: classic.SparkSession, table: String,
     val to = idOf(end)
     val files = (from to to).flatMap { id =>
       try CatalogStreamCore.readText(metaFs,
-        new Path(metaDir, s"b$id")).linesIterator.filter(_.nonEmpty).toSeq
+        new Path(metaDir, s"b$id")).linesIterator
+        .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
       catch { case _: java.io.FileNotFoundException => Nil }
     }
     if (files.isEmpty)
@@ -199,7 +303,15 @@ class GraftStreamSource(spark: classic.SparkSession, table: String,
         .toIndexedSeq: _*)
   }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = synchronized {
+    lastCommitted = math.max(lastCommitted, idOf(end))
+    commitsSinceCompact += 1
+    if (commitsSinceCompact >= compactEvery && lastCommitted >= 0) {
+      commitsSinceCompact = 0
+      try compactState()
+      catch { case scala.util.control.NonFatal(_) => () } // retried next cycle
+    }
+  }
 
   override def stop(): Unit = ()
 

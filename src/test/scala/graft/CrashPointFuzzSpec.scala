@@ -137,6 +137,14 @@ class CrashPointFuzzSpec extends AnyFunSuite {
               if (c.endMicros - c.startMicros >= 2) {
                 ht.splitChunk(c.startMicros); "split"
               } else "split(skip)"
+            case 6 if cs.nonEmpty =>
+              // row-preserving recompress dispatch: segmentwise (the
+              // stage+stamp per-leaf swap) when the chunk is partial,
+              // full compression when raw — both must heal to exactly
+              // the pre multiset from any injected boundary
+              val c = cs(rnd.nextInt(cs.size))
+              Columnstore.recompressChunk(spark, c.path, opts)
+              "recompress"
             case 5 =>
               val k = rnd.nextInt(53)
               val victims = pre.keySet.filter(id => math.floorMod(id, 53) == k)

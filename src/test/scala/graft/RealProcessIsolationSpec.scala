@@ -227,6 +227,136 @@ class RealProcessIsolationSpec extends AnyFunSuite {
       "a row was duplicated or lost under concurrent append+policy")
   }
 
+  test("THREE-way interleaving (compression_ddl_iso): appends here vs " +
+    "columnstore policy in process A vs a reader in process B — the " +
+    "reader sees snapshot-consistent, append-monotone states throughout") {
+    // tsl/test/isolation/specs/compression_ddl_iso.spec interleaves
+    // INSERT, compress_chunk and SELECT sessions; the two-way cases
+    // above each pair two roles — this pins all three at once, with the
+    // reader asserting mid-rewrite consistency (no duplicated row from a
+    // torn generation listing, no shrinking rowset).
+    val dir = Files.createTempDirectory("graft_realproc_3way").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    val ev = events
+    ht.write(ev.where(pmod(col("event_id"), lit(8)) === 0))
+    val stop = new java.io.File(s"$dir/stop_policy")
+    val pb = new ProcessBuilder(
+      childCmd("policy", s"$dir/ht", stop.getAbsolutePath, "240000"): _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new java.lang.StringBuilder
+    @volatile var policyStarted = false
+    @volatile var rounds = 0
+    val drain = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var l = r.readLine()
+      while (l != null) {
+        out.synchronized { out.append(l).append('\n') }
+        if (l.startsWith("POLICY_START")) policyStarted = true
+        if (l.startsWith("ROUND ")) rounds = l.stripPrefix("ROUND ").trim.toInt
+        l = r.readLine()
+      }
+    }, "3way-policy-drain")
+    drain.setDaemon(true)
+    drain.start()
+    try {
+      val deadline = System.nanoTime() + 240L * 1000000000L
+      while (!policyStarted && p.isAlive && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(policyStarted,
+        s"policy child never started:\n${out.synchronized(out.toString)}")
+      // run the READER child to completion while THIS process appends in
+      // the runChild poll loop — all three roles genuinely overlap
+      var next = 1
+      val (rcode, rout) = runChild(
+        childCmd("read-snapshot", s"$dir/ht", "12"),
+        whileAlive = () => if (next <= 7) {
+          ht.write(ev.where(pmod(col("event_id"), lit(8)) === next))
+          next += 1
+        })
+      assert(rcode === 0 && rout.contains("SNAP_OK"),
+        s"cross-process reader saw an inconsistent mid-rewrite state:\n$rout")
+      while (next <= 7) { // reader may finish before all slices landed
+        ht.write(ev.where(pmod(col("event_id"), lit(8)) === next))
+        next += 1
+      }
+      val deadline2 = System.nanoTime() + 120L * 1000000000L
+      while (rounds < 2 && p.isAlive && System.nanoTime() < deadline2)
+        Thread.sleep(100)
+      assert(rounds >= 2, s"policy churn never overlapped (rounds=$rounds):\n${
+        out.synchronized(out.toString)}")
+    } finally {
+      stop.createNewFile()
+      p.waitFor(120, TimeUnit.SECONDS)
+      if (p.isAlive) p.destroyForcibly()
+    }
+    drain.join(5000)
+    assert(p.exitValue() === 0 &&
+      out.synchronized(out.toString).contains("POLICY_OK"),
+      s"policy child must finish with zero refusals:\n${
+        out.synchronized(out.toString)}")
+    val got = Hypertable.at(spark, s"$dir/ht").read()
+      .select("event_id").collect().map(_.getLong(0))
+    assert(got.length === got.distinct.length,
+      "three-way interleaving duplicated rows")
+    assert(got.sorted.toSeq === ev.select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq, "three-way interleaving lost rows")
+  }
+
+  test("TWO appender processes with FORCED-EQUAL staging attempt-id " +
+    "bases append concurrently without colliding in the committer " +
+    "staging tree (the claim walk redirects one)") {
+    // the round-10 nit: the attempt id is int-typed, so two processes
+    // can hash to the same base; pre-round-11 that collision was sticky
+    // and nuked one process's in-flight task files. Forcing BOTH
+    // children onto base 777 makes every batch contend — the on-disk
+    // claim must redirect one side each time.
+    val dir = Files.createTempDirectory("graft_realproc_stag").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    ht.write(events.where(pmod(col("event_id"), lit(5)) === 4))
+    Hypertable.releaseMutatorLease(spark, s"$dir/ht")
+    def forcedCmd(offset: String): Seq[String] = {
+      val base = childCmd("append-loop", s"$dir/ht", "2", offset)
+      // spark.* system properties flow into the child's SparkConf
+      (base.head +: "-Dspark.graft.staging.attemptIdBase=777" +: base.tail)
+    }
+    val pA = new ProcessBuilder(forcedCmd("0"): _*)
+      .redirectErrorStream(true).start()
+    val pB = new ProcessBuilder(forcedCmd("2"): _*)
+      .redirectErrorStream(true).start()
+    def drainOf(p: Process, tag: String): (Thread, java.lang.StringBuilder) = {
+      val out = new java.lang.StringBuilder
+      val t = new Thread(() => {
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream))
+        var l = r.readLine()
+        while (l != null) {
+          out.synchronized { out.append(l).append('\n') }; l = r.readLine()
+        }
+      }, s"drain-$tag")
+      t.setDaemon(true); t.start(); (t, out)
+    }
+    val (tA, oA) = drainOf(pA, "sa")
+    val (tB, oB) = drainOf(pB, "sb")
+    assert(pA.waitFor(240, TimeUnit.SECONDS) && pB.waitFor(240, TimeUnit.SECONDS),
+      "forced-collision appender children timed out")
+    tA.join(5000); tB.join(5000)
+    assert(pA.exitValue() === 0 && oA.synchronized(oA.toString).contains("APPEND_DONE"),
+      s"appender A failed under forced-equal attempt ids:\n$oA")
+    assert(pB.exitValue() === 0 && oB.synchronized(oB.toString).contains("APPEND_DONE"),
+      s"appender B failed under forced-equal attempt ids:\n$oB")
+    val got = Hypertable.at(spark, s"$dir/ht").read()
+      .select("event_id").collect().map(_.getLong(0))
+    assert(got.length === got.distinct.length,
+      "forced-equal staging ids duplicated rows")
+    assert(got.sorted.toSeq === events.select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq,
+      "forced-equal staging ids lost rows")
+  }
+
   test("catalog stream across processes: this process TAILS " +
     "readStreamCatalog while a second process appends — every batch " +
     "arrives exactly once") {

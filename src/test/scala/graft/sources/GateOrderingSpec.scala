@@ -1,0 +1,178 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+
+/** The intent/seal gate's ORDERING and the torn-op healers' OWNERSHIP
+  * rules, pinned against simulated foreign processes (hand-written marker
+  * files with foreign owners and deliberately skewed clocks).
+  *
+  *  - Round 11 replaced the drain's created-ts horizon (`skewMs` wall
+  *    clock comparison) with a snapshot wait: the rewriter waits for
+  *    exactly the foreign intents VISIBLE once its seal is in place — no
+  *    cross-host clock enters the ordering. The first test is the one the
+  *    old scheme FAILS: an appender with a fast clock writes an intent
+  *    created-ts far in the future; the horizon comparison would skip it
+  *    and read the rewrite input while the append is in flight.
+  *  - healRewriteIntents must not resolve a merge/split marker whose
+  *    owner still holds a live seal (a RUNNING op in another process) —
+  *    the round-10 advisor's finding.
+  *  - gcChunkDir must not reap an above-live unstamped generation (a
+  *    direct-mode stage) while a foreign staging marker heartbeat is
+  *    live.
+  */
+class GateOrderingSpec extends AnyFunSuite {
+  lazy val spark = graft.Graft.session("gate-ordering-spec", "local[4]", 4)
+
+  private def events = Tables.table(spark, "/root/testdata/sf0.001", "events")
+
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** A gate-format marker file owned by a pretend foreign process. */
+  private def foreignMarker(dir: String, rel: String, owner: String,
+      created: Long, hb: Long): Path = {
+    val fs = fsOf(dir)
+    val p = new Path(dir, rel)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    out.write(s"$owner\n$created\n$hb".getBytes("UTF-8")); out.close()
+    p
+  }
+
+  test("drain is clock-skew-free: a foreign intent with a FUTURE created-ts " +
+    "(fast appender clock) is still drained — the seal claim waits on it") {
+    val dir = Files.createTempDirectory("graft_gate_skew").toString
+    val fs = fsOf(dir)
+    val root = fs.makeQualified(new Path(dir)).toString
+    val now = System.currentTimeMillis()
+    // an in-flight foreign append batch whose clock runs 10 min fast: the
+    // pre-round-11 horizon (sealTs + skewMs) read this as created AFTER
+    // the seal and skipped the wait entirely
+    val intent = foreignMarker(dir, "_graft_intents/i_fake_1", "fake-appender",
+      now + 600000, now + 600000)
+    spark.conf.set("spark.graft.gate.timeoutMs", "2500")
+    try {
+      val e = intercept[IllegalStateException] {
+        MutationGate.withSeals(spark, fs, root, Seq(Some(0L))) { () }
+      }
+      assert(e.getMessage.contains("draining append intents"),
+        s"seal claim must wait on the future-dated intent: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.gate.timeoutMs")
+    // the batch finishes (intent removed) -> the same claim proceeds
+    val remover = new Thread(() => {
+      Thread.sleep(700); fs.delete(intent, false); ()
+    })
+    remover.start()
+    var ran = false
+    MutationGate.withSeals(spark, fs, root, Seq(Some(0L))) { ran = true }
+    remover.join()
+    assert(ran, "drain must complete once the snapshot intent clears")
+  }
+
+  test("healRewriteIntents skips a merge marker whose owner's seal is LIVE " +
+    "(running foreign op), and resolves it once the seal is gone (crash)") {
+    val dir = Files.createTempDirectory("graft_gate_heal").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    ht.write(events)
+    val fs = fsOf(s"$dir/ht")
+    val cs = ht.showChunks().sortBy(_.startMicros)
+    val start = cs.head.startMicros
+    val now = System.currentTimeMillis()
+    // a foreign merge mid-flight: its seal on the head chunk is live, its
+    // intent marker records a merge that has NOT committed (head's range
+    // unchanged) — pre-round-11 any append would "heal" (delete) it
+    foreignMarker(s"$dir/ht", s"_graft_seals/s$start", "fake-maint", now, now)
+    val marker = new Path(s"$dir/ht", s"${Hypertable.MERGING}$start")
+    Hypertable.writeSmallFile(fs, marker,
+      s"${cs(1).endMicros}\n${cs(1).path}")
+    // an append routed to a DIFFERENT chunk passes the gate (no conflict)
+    // and must leave the running op's marker alone
+    val lastSlice = events.where(col("ts") >= lit(new java.sql.Timestamp(
+      cs.last.startMicros / 1000))).limit(20)
+    assert(lastSlice.count() > 0)
+    ht.write(lastSlice)
+    assert(fs.exists(marker),
+      "an appender healed a LIVE foreign merge's intent marker")
+    // the foreign op crashes: seal heartbeat goes stale -> the next batch
+    // resolves the marker (not committed => dropped, state unchanged)
+    val seal = new Path(s"$dir/ht", s"_graft_seals/s$start")
+    val out = fs.create(seal, true)
+    out.write(s"fake-maint\n${now - 900000}\n${now - 900000}".getBytes("UTF-8"))
+    out.close()
+    fs.setTimes(seal, now - 900000, -1)
+    ht.write(lastSlice.limit(1))
+    assert(!fs.exists(marker),
+      "a crashed foreign merge's marker must heal once its seal is stale")
+  }
+
+  test("gcChunkDir spares an above-live unstamped generation with a LIVE " +
+    "foreign staging marker (direct-mode stage of a zombie rewriter), and " +
+    "reaps it once the marker is stale") {
+    val dir = Files.createTempDirectory("graft_gate_stage").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    ht.write(events)
+    // the GC walk runs only in the EXCLUSIVE-lease holder; a no-hit
+    // rewrite-class op claims it for this process
+    ht.updateWhere(col("event_id") === -1L, Map("value" -> lit(0.0)))
+    val fs = fsOf(s"$dir/ht")
+    val c = ht.showChunks().sortBy(_.startMicros).head
+    val chunkDir = Hypertable.chunkDirOf(new Path(c.path))
+    val liveGen = Hypertable.genOf(new Path(c.path))
+    val staged = new Path(chunkDir, s"${Hypertable.GEN}=${liveGen + 1}")
+    fs.mkdirs(staged)
+    val now = System.currentTimeMillis()
+    val marker = foreignMarker(chunkDir.toString,
+      s".staging_${Hypertable.GEN}=${liveGen + 1}", "fake-rewriter", now, now)
+    ht.refreshChunkCatalog() // runs the GC walk under the held lease
+    assert(fs.exists(staged),
+      "GC reaped a foreign process's live direct-mode stage")
+    // the rewriter dies: heartbeat stops -> stale -> the stage is a remnant
+    val out = fs.create(marker, true)
+    out.write(s"fake-rewriter\n${now - 900000}\n${now - 900000}"
+      .getBytes("UTF-8"))
+    out.close()
+    fs.setTimes(marker, now - 900000, -1)
+    fs.setTimes(staged, now - 900000, -1)
+    ht.refreshChunkCatalog()
+    assert(!fs.exists(staged),
+      "a stale (crashed) stage must still be rolled back")
+    assert(!fs.exists(marker), "the stale staging marker must be reaped")
+    assert(ht.read().count() === events.count())
+  }
+
+  test("withCatalogFsLock is exclusive BETWEEN THREADS of one JVM (the " +
+    "pre-round-11 depth map admitted a second thread as re-entrant)") {
+    val dir = Files.createTempDirectory("graft_gate_flock").toString
+    val fs = fsOf(dir)
+    val root = fs.makeQualified(new Path(dir)).toString
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        try (1 to 5).foreach { _ =>
+          MutationGate.withCatalogFsLock(spark, fs, root) {
+            val n = inside.incrementAndGet()
+            maxInside.updateAndGet(m => math.max(m, n))
+            Thread.sleep(15)
+            // re-entrancy within the holding thread must still work
+            MutationGate.withCatalogFsLock(spark, fs, root) { () }
+            inside.decrementAndGet()
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(errs.isEmpty, s"flock worker failed: ${errs.peek()}")
+    assert(maxInside.get() === 1,
+      s"two threads held the catalog FS lock at once (max=${maxInside.get()})")
+  }
+}

@@ -225,6 +225,105 @@ class CatalogStreamSpec extends AnyFunSuite {
           (got.toSet -- appended.toSet).take(5)}")
     }
 
+  test("stream-log journal: a crash between the job commit and the log " +
+    "append heals — the batch's files surface on the next logging batch") {
+    val dir = Files.createTempDirectory("graft_catstream_journal").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    def slice(k: Int) = events.where(pmod(col("event_id"), lit(3)) === k)
+    ht.write(slice(0))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ckpt = s"$dir/ckpt"
+    drainTo(ht, ckpt, seen) // snapshot; log enabled from here on
+    // crash AFTER the parquet job commit, BEFORE the stream-log append
+    // (write.before_sync sits exactly in that window): the rows are on
+    // disk and batch-visible, but no entry was written — pre-round-11
+    // the stream silently diverged forever
+    Hypertable.crashHook = name =>
+      if (name == "write.before_sync")
+        throw new Hypertable.InjectedCrash(name)
+    try intercept[Hypertable.InjectedCrash] { ht.write(slice(1)) }
+    finally Hypertable.crashHook = _ => ()
+    // next logging batch heals the journal (its own entry follows)
+    ht.write(slice(2))
+    drainTo(ht, ckpt, seen)
+    val got = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(got.length === got.distinct.length, "journal heal re-emitted rows")
+    assert(got.sorted.toSeq === events.select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq,
+      "the crashed batch's committed rows must reach the stream via the journal")
+  }
+
+  test("checkpoint compaction: b-files fold into a compact file, restarts " +
+    "read the compacted state, exactly-once holds throughout") {
+    val dir = Files.createTempDirectory("graft_catstream_compact").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    spark.conf.set("spark.graft.stream.compactEvery", "1")
+    try {
+      def slice(k: Int) = events.where(pmod(col("event_id"), lit(6)) === k)
+      ht.write(slice(0))
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val ckpt = s"$dir/ckpt"
+      (0 to 4).foreach { i =>
+        if (i > 0) ht.write(slice(i))
+        drainTo(ht, ckpt, seen) // each drain restarts the source
+      }
+      ht.write(slice(5))
+      drainTo(ht, ckpt, seen)
+      val got = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+      assert(got.length === got.distinct.length,
+        "a restart over a compacted checkpoint replayed rows")
+      assert(got.sorted.toSeq === events.select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq)
+      // the state actually compacted: one c-file, no b-files at or below it
+      val metaDir = new java.io.File(s"$ckpt/sources/0/graft-batches")
+      val names = metaDir.listFiles().map(_.getName).filterNot(_.endsWith(".crc"))
+      val cIds = names.filter(_.startsWith("c")).map(_.stripPrefix("c").toLong)
+      assert(cIds.nonEmpty, s"no compact file was written: ${names.toSeq}")
+      val bIds = names.filter(n => n.startsWith("b") && !n.startsWith("batch"))
+        .map(_.stripPrefix("b").toLong)
+      assert(bIds.forall(_ > cIds.max),
+        s"compacted b-files must be deleted: b=${bIds.toSeq} c=${cIds.toSeq}")
+      assert(cIds.length === 1, s"superseded compact files must be deleted: ${cIds.toSeq}")
+    } finally spark.conf.unset("spark.graft.stream.compactEvery")
+  }
+
+  test("bucketed log layout: entries land in t<hour> subdirs; a legacy " +
+    "flat entry at the log root is still consumed and dedup'd") {
+    val dir = Files.createTempDirectory("graft_catstream_bucket").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    val (early, late) = (events.where(dayofmonth($"ts") <= 20),
+      events.where(dayofmonth($"ts") > 20))
+    ht.write(early)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ckpt = s"$dir/ckpt"
+    drainTo(ht, ckpt, seen)
+    ht.write(late)
+    // entries are bucketed now
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/ht")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new org.apache.hadoop.fs.Path(s"$dir/ht/_graft_stream_log")
+    val buckets = fs.listStatus(logDir).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("t"))
+    assert(buckets.nonEmpty, "append entries must land in bucket subdirs")
+    val entry = fs.listStatus(buckets.head.getPath)
+      .filter(_.getPath.getName.startsWith("e_")).head.getPath
+    // a legacy (pre-bucketing) flat entry with the SAME file list: the
+    // source must list it AND dedup its files against the bucketed twin
+    val body = graft.streaming.CatalogStreamCore.readText(fs, entry)
+    graft.streaming.CatalogStreamCore.writeText(fs,
+      new org.apache.hadoop.fs.Path(logDir,
+        s"e_${System.currentTimeMillis()}_legacy1"), body)
+    drainTo(ht, ckpt, seen)
+    val got = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(got.length === got.distinct.length,
+      "legacy-entry overlap must dedup by path")
+    assert(got.sorted.toSeq === events.select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("an empty table streams with an explicit schema; writes flow in") {
     val dir = Files.createTempDirectory("graft_catstream_empty").toString
     val ht = Hypertable.create(spark, s"$dir/ht", "ts",
