@@ -19,11 +19,17 @@ object RatioProbe {
     val dirs =
       if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")
+    // SPARK_GRAFT_RATIO_NAMES narrows to a subset — the sf3-equivalent
+    // third point (SCALE.md §17) re-times only the rows whose DuckDB
+    // cost is already tens of seconds at sf1
+    val names = sys.env.get("SPARK_GRAFT_RATIO_NAMES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Names)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Graft.session("graft-ratio-probe", s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     dirs.foreach { dir =>
-      val res = Names.flatMap { n =>
+      val res = names.flatMap { n =>
         SparkEntry.queries.get(n).map { q =>
           def run(): Double = {
             val t0 = System.nanoTime()

@@ -122,6 +122,16 @@ object ScaleProbe {
         }
         println(f"""[scale] {"probe":"catalog_${mode}_sweep","chunks":$n,"swept":${targets.size},"sweep_sec":$tSweep%.2f,"per_chunk_sec":${tSweep / math.max(1, targets.size)}%.3f}""")
       }
+      // the FULL catalog re-snapshot's cost at width — what every append
+      // batch paid before the round-11 incremental append sync (the
+      // patch's saving is the op count: ~4 small-file ops per chunk
+      // drop to one names-only listing + O(new dirs); on local FS the
+      // dentry cache hides most of it, on object stores each op is
+      // 10–50 ms and this IS the batch budget)
+      if (mode == "table") {
+        val (tRefresh, _) = timed2 { h.refreshChunkCatalog().size }
+        println(f"""[scale] {"probe":"catalog_full_refresh","chunks":$n,"refresh_sec":$tRefresh%.3f}""")
+      }
       // append p50/p99 under a REAL second process's seal churn
       // (SPARK_GRAFT_GATE_CHURN=<batches>, table mode)
       if (mode == "table")
@@ -166,7 +176,10 @@ object ScaleProbe {
       val spacing = (6.5 * 24 * 3600 * 1000 / n).toLong
       val processed = java.util.Collections.newSetFromMap(
         new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
-      var maxTs = 0L
+      // the floor the SOURCE would hold: newest PROCESSED entry ts minus
+      // the skew window (unprocessed entries are always at/after it in a
+      // live stream — the probe reproduces that state)
+      var maxProcessedTs = 0L
       val (tBuild, _) = timed {
         (0 until n).foreach { i =>
           val ts = now - (n - 1 - i) * spacing
@@ -176,11 +189,10 @@ object ScaleProbe {
           val out = fs.create(new org.apache.hadoop.fs.Path(bucket, name), true)
           out.write(s"$table/_chunk=0/_gen=0/part-$i.parquet".getBytes("UTF-8"))
           out.close()
-          if (i < n - 5) processed.add(name)
-          maxTs = math.max(maxTs, ts)
+          if (i < n - 5) { processed.add(name); maxProcessedTs = ts }
         }
       }
-      val floor = maxTs - 600000L
+      val floor = maxProcessedTs - 600000L
       CatalogStreamCore.newLogEntries(spark, table, processed, floor) // warm
       val (tFloor, gotFloor) = timed2 {
         CatalogStreamCore.newLogEntries(spark, table, processed, floor).size

@@ -591,8 +591,9 @@ class Hypertable private (
       }
       Hypertable.crashPoint("write.before_sync")
       // the "table" catalog must see this batch's NEW chunks before the
-      // post-write steps below consult showChunks()
-      syncChunkCatalog()
+      // post-write steps below consult showChunks() — the append-shaped
+      // incremental patch, not the O(chunks) full re-snapshot
+      syncChunkCatalogAppend()
       // stream-log entry: exactly this job's committed files (post minus
       // pre, at the same final dirs — relocation heals above fold INTO
       // them, so healed stubs surface here too, which a tailing stream
@@ -2019,6 +2020,101 @@ class Hypertable private (
     */
   private def syncChunkCatalog(): Unit =
     if (catalogMode == "table") { refreshChunkCatalog(); () }
+
+  /** Append-path catalog sync (round 11): an append changes the chunk
+    * set only by OPENING new dirs (or committing a rebirth) — existing
+    * chunks keep their data path and recorded range. The full re-snapshot
+    * [[syncChunkCatalog]] runs resolves EVERY chunk (tombstone probe +
+    * generation listing + superseded probes + range read ≈ 4 small-file
+    * ops each): measured seconds per batch at 10⁴-chunk width — an
+    * O(chunks) tax on every ingest batch that only grows with table age.
+    * This patch instead does ONE names-only listing per storage root,
+    * reuses the latest manifest's entry verbatim for every dir it
+    * already knows, and fully resolves only the dirs it does not (this
+    * batch's new chunks, a CRASHED batch's unlisted chunks — the listing
+    * keeps that heal — and rebirths, whose dirs left the manifest at
+    * drop time). Two deliberate conservatisms:
+    *
+    *  - the previous manifest's content-counter map (`cs`) is copied
+    *    UNCHANGED, so any pending content staleness (e.g. a crashed
+    *    maintenance publish whose counter bump the manifest has not
+    *    absorbed) stays visible to readers' freshness cue — the patch
+    *    can never mask a heal a full refresh would perform;
+    *  - no manifest yet, or an unreadable one, falls back to the full
+    *    refresh.
+    *
+    * Runs under the same JVM catalog lock + cross-process flock as the
+    * full refresh, so it can never interleave with a maintenance
+    * publish/patch. GC does not ride it (GC stays with the exclusive
+    * lease holder's full refresh, as before).
+    */
+  private def syncChunkCatalogAppend(): Unit = {
+    if (catalogMode != "table") return
+    Hypertable.catalogLock(qualifiedPath).synchronized {
+      MutationGate.withCatalogFsLock(spark, fs, qualifiedPath) {
+        val latest = manifestVersions().lastOption
+        val tree = latest.flatMap { case (_, p) =>
+          try Some(Hypertable.jsonMapper.readTree(
+            Hypertable.readSmallFile(fs, p)))
+          catch { case _: Exception => None }
+        }
+        tree match {
+          case None => refreshChunkCatalogLocked(); ()
+          case Some(t) =>
+            import scala.jdk.CollectionConverters._
+            val prev = t.get("chunks").elements().asScala.map(n =>
+              ChunkInfo(n.get("s").asLong, n.get("e").asLong,
+                n.get("p").asText)).toSeq
+            val prevByDir: Map[String, ChunkInfo] = prev.map { c =>
+              val cd = Hypertable.chunkDirOf(new Path(c.path))
+              cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .makeQualified(cd).toString -> c
+            }.toMap
+            val listed = (new Path(path) +: tablespaceTableDirs).flatMap { r =>
+              val rfs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              if (!rfs.exists(r)) Nil
+              else rfs.listStatus(r).toSeq.filter(s =>
+                s.isDirectory && s.getPath.getName.startsWith(s"$CHUNK="))
+                .flatMap { s =>
+                  prevByDir.get(rfs.makeQualified(s.getPath).toString)
+                    .orElse {
+                      // unknown dir: resolve fully (new / crashed-batch /
+                      // rebirth; a tombstoned dir resolves to None)
+                      val start = s.getPath.getName
+                        .stripPrefix(s"$CHUNK=").toLong
+                      val data =
+                        if (genLayout) Hypertable.liveDataDir(rfs, s.getPath)
+                        else Some(s.getPath)
+                      data.map { d =>
+                        ChunkInfo(start, Hypertable.readRangeFile(rfs, d)
+                          .getOrElse(defaultChunkEnd(start)), d.toString)
+                      }
+                    }
+                }
+            }.sortBy(_.startMicros)
+            val chunks =
+              if (genLayout) applyRewriteIntents(listed) else listed
+            val o = Hypertable.jsonMapper.createObjectNode()
+            val arr = o.putArray("chunks")
+            chunks.foreach { c =>
+              val n = arr.addObject()
+              n.put("s", c.startMicros); n.put("e", c.endMicros)
+              n.put("p", c.path)
+            }
+            val next = latest.map(_._1 + 1).getOrElse(1L)
+            o.put("v", next)
+            if (t.has("cs") && t.get("cs").isObject)
+              o.set[com.fasterxml.jackson.databind.JsonNode]("cs", t.get("cs"))
+            fs.mkdirs(catalogDir)
+            Hypertable.writeSmallFile(fs,
+              new Path(catalogDir, f"v$next%d.json"), o.toString)
+            manifestVersions().filter(_._1 < next)
+              .dropRight(Hypertable.CATALOG_KEEP - 1)
+              .foreach { case (_, p) => fs.delete(p, false) }
+        }
+      }
+    }
+  }
 
   @volatile private var catalogValidated = false
   @volatile private var tablespacesHealed = false

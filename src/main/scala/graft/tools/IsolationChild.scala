@@ -86,9 +86,14 @@ object IsolationChild {
           val maxChunks = if (args.length > 4) args(4).toInt else Int.MaxValue
           val opts = graft.sources.Columnstore.Options(orderBy = Seq("ts"))
           try {
-            // claim the exclusive lease via a no-hit rewrite op
-            Hypertable.at(spark, table)
-              .updateWhere(col("event_id") === -1L, Map("value" -> lit(0.0)))
+            // claim the exclusive lease up front — directly, not via a
+            // no-hit DML probe: at 10⁴-chunk width (ScaleProbe's
+            // append-under-churn measurement) a whole-table probe scan
+            // would take minutes before the first round
+            val tfs = new org.apache.hadoop.fs.Path(table)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            Hypertable.acquireMutatorLease(spark, tfs,
+              tfs.makeQualified(new org.apache.hadoop.fs.Path(table)).toString)
             println(s"POLICY_START ${Hypertable.processId}")
             System.out.flush()
             var rounds = 0

@@ -324,6 +324,64 @@ class CatalogStreamSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted.toSeq)
   }
 
+  for (seed <- Seq(7L, 19L))
+    test("catalog stream vs CRASHED writes: journaled entries converge the " +
+      s"stream to exactly the table's committed rowset (seed=$seed)") {
+      // writes are killed at random publish boundaries (after the job
+      // commit, before the catalog sync / log append). Their rows ARE on
+      // disk — batch readers see them — so the stream must converge to
+      // the same rowset via the .pending journal heal, exactly once.
+      val rnd = new scala.util.Random(seed)
+      def injected(t: Throwable): Boolean = {
+        var c: Throwable = t
+        while (c != null) {
+          if (c.isInstanceOf[Hypertable.InjectedCrash]) return true
+          c = c.getCause
+        }
+        false
+      }
+      val dir = Files.createTempDirectory(s"graft_catstream_cr$seed").toString
+      val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+        chunkWidth = "7 days", catalog = "table")
+      def slice(k: Int) = events.where(pmod(col("event_id"), lit(9)) === k)
+      ht.write(slice(0))
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = ht.readStreamCatalog()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("event_id").collect().foreach(r => seen.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.ProcessingTime(200))
+        .start()
+      try {
+        (1 to 8).foreach { k =>
+          if (rnd.nextBoolean()) {
+            val target = rnd.nextInt(2) // after_job / before_sync
+            val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+            Hypertable.crashHook = name =>
+              if (calls.getAndIncrement() == target)
+                throw new Hypertable.InjectedCrash(name)
+            try ht.write(slice(k))
+            catch { case t: Throwable if injected(t) => () }
+            finally Hypertable.crashHook = _ => ()
+          } else ht.write(slice(k))
+        }
+        // quiesce: a settle write heals pending journals, then drain
+        Hypertable.at(spark, s"$dir/ht").write(events.limit(0))
+        q.processAllAvailable()
+      } finally { q.stop(); Hypertable.crashHook = _ => () }
+      val table = Hypertable.at(spark, s"$dir/ht").read()
+        .select("event_id").collect().map(_.getLong(0))
+      val got = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+      assert(got.length === got.distinct.length,
+        s"[seed=$seed] journal heal re-emitted rows")
+      assert(got.sorted.toSeq === table.sorted.toSeq,
+        s"[seed=$seed] stream diverged from the committed table: " +
+          s"missing=${(table.toSet -- got.toSet).take(5)} " +
+          s"extra=${(got.toSet -- table.toSet).take(5)}")
+    }
+
   test("an empty table streams with an explicit schema; writes flow in") {
     val dir = Files.createTempDirectory("graft_catstream_empty").toString
     val ht = Hypertable.create(spark, s"$dir/ht", "ts",
