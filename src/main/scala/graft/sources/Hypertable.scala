@@ -3470,9 +3470,10 @@ object Hypertable {
   // (owner id + heartbeated mtime) for the process lifetime, and a
   // different process attempting a mutation while the lease is fresh gets
   // a clear refusal naming the holder, instead of a race. A lease whose
-  // heartbeat stopped (holder crashed) is broken by the same
-  // atomic-rename takeover dance the cagg refresh lock uses
-  // ([[graft.streaming.ContinuousAggregate]] withRefreshFileLock).
+  // heartbeat stopped (holder crashed) is broken by an atomic-rename
+  // takeover dance (rename to a unique name first, so of N waiters
+  // exactly one wins; the cagg refresh lock used the same dance until
+  // round 11 moved it onto MutationGate.claimExclusive).
   //
   // This is FENCING-BY-REFUSAL, not a distributed lock: filesystems
   // without an atomic create-exclusive primitive (Hadoop's createNewFile
@@ -3619,7 +3620,7 @@ object Hypertable {
   /** The gate markers ride the lease daemon's heartbeat — appenders and
     * seal holders start it without holding the exclusive lease.
     */
-  private[sources] def ensureGateDaemon(): Unit = ensureLeaseDaemon()
+  private[graft] def ensureGateDaemon(): Unit = ensureLeaseDaemon()
 
   /** Claim (or re-verify) the table's mutator lease for this process —
     * called by every mutation entry point; a ConcurrentHashMap hit after

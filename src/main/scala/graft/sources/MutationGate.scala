@@ -258,9 +258,14 @@ private[graft] object MutationGate {
     *     observed contention the second readback runs with no sleep.
     *
     * Returns when claimed; throws after `spark.graft.gate.timeoutMs`.
+    * `alwaysSettle` forces the settle-confirm readback regardless of the
+    * activity probe — for claims whose contenders advertise no lease
+    * (e.g. two processes' cagg refreshes) and whose hold time dwarfs the
+    * settle cost.
     */
-  private[sources] def claimExclusive(spark: SparkSession, fs: FileSystem,
-      p: Path, activityRoot: => Option[(FileSystem, String)]): Unit = {
+  private[graft] def claimExclusive(spark: SparkSession, fs: FileSystem,
+      p: Path, activityRoot: => Option[(FileSystem, String)],
+      alwaysSettle: Boolean = false): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs(spark)
     var claimed = false
     while (!claimed) {
@@ -288,8 +293,8 @@ private[graft] object MutationGate {
             def mine: Boolean =
               try parse(fs, fs.getFileStatus(p)).exists(_.owner == processId)
               catch { case _: java.io.IOException => false }
-            val settle = activityRoot.exists { case (afs, root) =>
-              foreignActive(spark, afs, root) }
+            val settle = alwaysSettle || activityRoot.exists {
+              case (afs, root) => foreignActive(spark, afs, root) }
             val confirmed = mine && {
               if (settle) Thread.sleep(settleMs(spark)); mine
             }

@@ -650,34 +650,33 @@ class ContinuousAggregate(
     lockAll(refreshMonitorChain)
   }
 
-  /** Serialize refreshes via an exclusive-create lock file; a lock older
-    * than `staleMs` (1 h — a refresh holding it longer is presumed
-    * crashed; refresh is idempotent, so re-running a window that died
-    * mid-swap just rewrites its chunks) is broken by RENAMING it to a
-    * unique name first: rename is atomic, so of N waiters exactly one
-    * wins the takeover — a bare delete+create would let a second waiter
-    * delete the winner's FRESH lock and both would enter.
+  /** Serialize refreshes cross-process on the shared exclusive-claim
+    * protocol (round 11 — [[graft.sources.MutationGate.claimExclusive]]:
+    * create-exclusive + readback + settle-confirm, heartbeated by the
+    * 30 s daemon). This replaces the round-7 createNewFile + 1 h
+    * mtime-staleness lock, which had BOTH failure directions: Hadoop's
+    * exists-then-create let two processes acquire in the race window
+    * (no readback at all), and a healthy refresh longer than an hour
+    * read as crashed and was taken over mid-swap. Now a crashed
+    * holder's lock goes stale in `spark.graft.gate.staleMs` (2 min
+    * default — heartbeats stop with the process) while a healthy
+    * hours-long refresh keeps heartbeating and is never displaced.
+    * `alwaysSettle`: refresh contenders advertise no table lease, so
+    * the activity probe cannot see them — the settle readback is
+    * unconditional (60 ms against a multi-second refresh). Old-format
+    * empty lock files from a crashed pre-round-11 process parse as
+    * live-conservative within their mtime and age out on the gate
+    * horizon. The reference analogue is the refresh serialization in
+    * `tsl/src/continuous_aggs/refresh.c` (`cagg_concurrent_refresh.spec`).
     */
   private def withRefreshFileLock[T](body: => T): T = {
-      val lock = new Path(path, "_refresh_lock")
-      val staleMs = 60 * 60 * 1000L
-      val deadline = System.currentTimeMillis() + staleMs
-      var acquired = fs.createNewFile(lock)
-      while (!acquired) {
-        val stale =
-          try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > staleMs
-          catch { case _: java.io.FileNotFoundException => false }
-        if (stale) {
-          val takeover = new Path(path, s"_refresh_lock_stale_${System.nanoTime()}")
-          try { if (fs.rename(lock, takeover)) fs.delete(takeover, false) }
-          catch { case _: java.io.IOException => () } // another waiter won
-        } else if (System.currentTimeMillis() > deadline)
-          throw new IllegalStateException(s"timed out waiting for cagg refresh lock $lock")
-        else Thread.sleep(100)
-        acquired = fs.createNewFile(lock)
-      }
-      try body finally fs.delete(lock, false)
-    }
+    val lock = new Path(path, "_refresh_lock")
+    graft.sources.Hypertable.ensureGateDaemon()
+    graft.sources.MutationGate.claimExclusive(spark, fs, lock, None,
+      alwaysSettle = true)
+    try body
+    finally graft.sources.MutationGate.removeMarker(fs, lock)
+  }
 
   /** `cutLog = false`: skip the materialize-then-cut of log entries — the
     * non-forced [[refresh]] path owns the cut (it repairs several regions

@@ -134,6 +134,32 @@ object IsolationChild {
             System.out.flush()
           }
           println("APPEND_DONE")
+        case "cagg-refresh" =>
+          // cagg_concurrent_refresh.spec port: re-open the cagg (create is
+          // an idempotent re-open with the same definition) and run
+          // FORCED whole-window refreshes racing the parent process's
+          // ingest+refresh. The cross-process refresh lock must
+          // serialize the mat-chunk swaps; a torn swap surfaces here as
+          // an exception (exit 7) or in the parent's convergence check.
+          val htPath = args(2)
+          val iters = args(3).toInt
+          val ht = Hypertable.at(spark, htPath)
+          val defn = graft.streaming.CaggDef("1 hour", Seq("event_type"),
+            Seq(count(lit(1)).as("n")))
+          val cagg = graft.streaming.ContinuousAggregate.create(
+            spark, table, ht, defn)
+          try {
+            (1 to iters).foreach { i =>
+              cagg.refreshAll(force = true)
+              println(s"CAGG_ROUND $i")
+              System.out.flush()
+            }
+            println("CAGG_OK")
+          } catch {
+            case e: Exception =>
+              println(s"CAGG_FAIL ${e.getMessage}")
+              code = 7
+          }
         case "read-snapshot" =>
           // three-way isolation reader (compression_ddl_iso.spec's SELECT
           // role): while ANOTHER process appends and a THIRD runs

@@ -442,6 +442,67 @@ class RealProcessIsolationSpec extends AnyFunSuite {
       "concurrent appenders lost rows")
   }
 
+  test("cagg_concurrent_refresh port: a second PROCESS refreshes the same " +
+    "cagg under live ingest — the claimed refresh lock serializes the " +
+    "swaps and the materialization converges to the direct aggregation") {
+    val dir = Files.createTempDirectory("graft_realproc_cagg").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    val ev = events
+    ht.write(ev.where(pmod(col("event_id"), lit(4)) === 0))
+    val defn = graft.streaming.CaggDef("1 hour", Seq("event_type"),
+      Seq(count(lit(1)).as("n")))
+    val cagg = graft.streaming.ContinuousAggregate.create(
+      spark, s"$dir/cagg", ht, defn)
+    cagg.refreshAll()
+    val pb = new ProcessBuilder(
+      childCmd("cagg-refresh", s"$dir/cagg", s"$dir/ht", "5"): _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new java.lang.StringBuilder
+    @volatile var childRounds = 0
+    val drain = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var l = r.readLine()
+      while (l != null) {
+        out.synchronized { out.append(l).append('\n') }
+        if (l.startsWith("CAGG_ROUND "))
+          childRounds = l.stripPrefix("CAGG_ROUND ").trim.toInt
+        l = r.readLine()
+      }
+    }, "cagg-child-drain")
+    drain.setDaemon(true)
+    drain.start()
+    try {
+      // race: ingest + forced refresh from THIS process while the child
+      // force-refreshes the same window
+      (1 to 3).foreach { k =>
+        ht.write(ev.where(pmod(col("event_id"), lit(4)) === k))
+        cagg.refreshAll(force = true)
+      }
+      assert(p.waitFor(240, TimeUnit.SECONDS), "cagg-refresh child timed out")
+    } finally if (p.isAlive) p.destroyForcibly()
+    drain.join(5000)
+    val o = out.synchronized(out.toString)
+    assert(p.exitValue() === 0 && o.contains("CAGG_OK"),
+      s"concurrent cross-process refresh failed:\n$o")
+    assert(childRounds >= 5, s"child must have completed its rounds:\n$o")
+    // quiesce, then the cagg must equal the direct aggregation exactly
+    cagg.refreshAll(force = true)
+    val mat = cagg.materialized.select("bucket", "event_type", "n")
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    val direct = ht.read()
+      .groupBy(graft.functions.time_bucket("1 hour", col("ts")).as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(mat === direct,
+      "concurrent refreshes left a torn/diverged materialization")
+  }
+
   test("read_committed_insert port: a second-process reader sees exactly " +
     "the committed rows after each insert commit") {
     // test/isolation/specs/read_committed_insert.spec: a concurrent
