@@ -43,7 +43,10 @@ import graft.streaming.CatalogStreamCore
   *    FileStreamSource compact-file pattern. Restart reads the latest
   *    compact + the newer b files, so neither memory nor restart cost
   *    grows with stream age. Per-trigger discovery skips log buckets
-  *    below the processed floor (see [[CatalogStreamCore.newLogEntries]]).
+  *    below the processed floor (see [[CatalogStreamCore.newLogEntries]]);
+  *    the floor basis is persisted too (`#met=` header lines), so a
+  *    restart resumes bucket-skipping immediately instead of re-listing
+  *    the whole retained log once.
   *  - rewrites (compress/decompress/merge/split/DML) never enter the log,
   *    so their re-encoded files never re-emit — streams and maintenance
   *    can overlap, unlike the file-tailing `readStream` contract.
@@ -145,10 +148,15 @@ class GraftStreamSource(spark: classic.SparkSession, table: String,
     latestCompact.foreach { cid =>
       CatalogStreamCore.readText(metaFs, new Path(metaDir, s"c$cid"))
         .linesIterator.filter(_.nonEmpty).foreach { l =>
-          val i = l.indexOf('\t')
-          if (i > 0)
-            scala.util.Try(l.substring(0, i).toLong).toOption
-              .foreach(ts => seen.put(l.substring(i + 1), ts))
+          if (l.startsWith("#met="))
+            scala.util.Try(l.stripPrefix("#met=").toLong).toOption
+              .foreach(t => maxEntryTs = math.max(maxEntryTs, t))
+          else {
+            val i = l.indexOf('\t')
+            if (i > 0)
+              scala.util.Try(l.substring(0, i).toLong).toOption
+                .foreach(ts => seen.put(l.substring(i + 1), ts))
+          }
         }
       batchId = cid
       lastCommitted = cid
@@ -164,6 +172,9 @@ class GraftStreamSource(spark: classic.SparkSession, table: String,
         .linesIterator.filter(_.nonEmpty).foreach { l =>
           if (l.startsWith("#ts="))
             ts = scala.util.Try(l.stripPrefix("#ts=").toLong).getOrElse(ts)
+          else if (l.startsWith("#met="))
+            scala.util.Try(l.stripPrefix("#met=").toLong).toOption
+              .foreach(t => maxEntryTs = math.max(maxEntryTs, t))
           else if (!l.startsWith("#")) seen.put(l, ts)
         }
       batchId = math.max(batchId, id)
@@ -200,8 +211,11 @@ class GraftStreamSource(spark: classic.SparkSession, table: String,
 
   private def persistBatch(id: Long, files: Seq[String]): Unit = {
     val now = System.currentTimeMillis()
+    // #met persists the processed-entry floor basis: a restart restores
+    // it and the first pass skips the below-floor buckets instead of
+    // re-listing the whole retained log once
     CatalogStreamCore.writeText(metaFs, new Path(metaDir, s"b$id"),
-      (s"#ts=$now" +: files).mkString("\n"))
+      (s"#ts=$now" +: s"#met=$maxEntryTs" +: files).mkString("\n"))
     files.foreach(f => seen.put(f, now))
   }
 
@@ -217,6 +231,7 @@ class GraftStreamSource(spark: classic.SparkSession, table: String,
     seen.entrySet().removeIf(e => e.getValue < cutoff)
     val cid = lastCommitted
     val sb = new java.lang.StringBuilder
+    sb.append("#met=").append(maxEntryTs).append('\n')
     seen.forEach { (f, ts) =>
       sb.append(ts).append('\t').append(f).append('\n')
     }
