@@ -4797,9 +4797,24 @@ object Hypertable {
         !foreignMutatorLive(spark, fs,
           fs.makeQualified(new Path(path)).toString)) {
       val hadLease = heldLeases.containsKey(healed.qualifiedPath)
-      val nh = healed.migrateToGenLayout()
-      if (!hadLease) releaseMutatorLease(spark, path)
-      nh
+      // the foreignMutatorLive check above is advisory (TOCTOU: two
+      // processes opening the same flat table can both pass it) — the
+      // lease claim inside migrateToGenLayout is the real arbiter. The
+      // LOSER's refusal must not fail the open: the flag's contract is
+      // "skipped while another process holds the table", so fall back to
+      // the deferred flat handle (the next open after the holder releases
+      // migrates).
+      try {
+        val nh = healed.migrateToGenLayout()
+        if (!hadLease) releaseMutatorLease(spark, path)
+        nh
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              (e.getMessage.contains("being mutated by another process") ||
+                e.getMessage.contains("mutator-lease claim race")) =>
+          healed
+      }
     } else healed
   }
 }

@@ -77,10 +77,18 @@ private[graft] object MutationGate {
     * round-trip, so of two same-instant claimants at most one survives
     * both readbacks. Paid only while ANOTHER process is known active on
     * the table ([[foreignActive]]); the single-process fast path keeps
-    * the plain claim-readback.
+    * the plain claim-readback. NOT consulted at all on stores with an
+    * atomic create-exclusive ([[tryAtomicCreate]]) — there mutual
+    * exclusion is structural and the claim is one create call.
     */
   private def settleMs(spark: SparkSession): Long =
     spark.conf.get("spark.graft.gate.settleMs", "60").toLong
+
+  /** Tests: force the blind-PUT (readback+settle) claim path even on an
+    * atomic-create-capable store, to keep the settle belt's own coverage.
+    */
+  private def forceBlindPut(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.gate.forceBlindPutClaims", "false").toBoolean
 
   // ------------------------------------------------------- marker plumbing
 
@@ -94,6 +102,14 @@ private[graft] object MutationGate {
   private def body(owner: String, created: Long, hb: Long,
       payload: Option[String]): String =
     s"$owner\n$created\n$hb" + payload.map("\n" + _).getOrElse("")
+
+  // test seam: claim identity per thread, so multi-waiter protocol tests
+  // can simulate DISTINCT PROCESSES in one JVM (claimExclusive's contract
+  // is one claimant per process — in-process callers serialize on JVM
+  // locks first). Production never sets it: the owner is processId.
+  private[sources] val claimOwnerOverride = new ThreadLocal[String]()
+  private def claimOwner: String =
+    Option(claimOwnerOverride.get()).getOrElse(processId)
 
   private[graft] case class Marker(path: Path, owner: String, created: Long,
       hb: Long, mtime: Long) {
@@ -124,10 +140,11 @@ private[graft] object MutationGate {
     catch { case _: java.io.IOException => "" }
 
   private def writeMarker(fs: FileSystem, p: Path, created: Long,
-      payload: Option[String], overwrite: Boolean): Unit = {
+      payload: Option[String], overwrite: Boolean,
+      owner: String = processId): Unit = {
     fs.mkdirs(p.getParent)
     val out = fs.create(p, overwrite)
-    out.write(body(processId, created, System.currentTimeMillis(), payload)
+    out.write(body(owner, created, System.currentTimeMillis(), payload)
       .getBytes("UTF-8"))
     out.close()
   }
@@ -148,16 +165,35 @@ private[graft] object MutationGate {
 
   /** One heartbeat pass over every held marker (called by Hypertable's
     * lease daemon every 30 s, and registered for shutdown cleanup there).
+    *
+    * Ownership is re-checked before each refresh: a marker whose body now
+    * names ANOTHER process was taken over while this process was presumed
+    * stale (a pause longer than `staleMs` froze this heartbeat too) — it
+    * is no longer ours, and blindly rewriting it would stomp the new
+    * holder's claim and put two processes inside one critical section
+    * (the round-11 advisor's finding). An empty/torn body is skipped
+    * (not rewritten, not dropped): it is either our own claim mid-fill
+    * or a taker-over's — the next pass resolves it either way.
     */
   private[graft] def heartbeatNow(): Unit =
     held.forEach { (k, v) =>
       val (fs, p, _, created, payload) = v
-      // a vanished marker means the table was dropped (or an operator
-      // cleaned up) — drop it from the held set rather than resurrecting
-      // the marker dir under a deleted root
       try {
-        if (fs.exists(p)) writeMarker(fs, p, created, payload, overwrite = true)
-        else held.remove(k)
+        val st =
+          try Some(fs.getFileStatus(p))
+          catch { case _: java.io.FileNotFoundException => None }
+        st match {
+          // a vanished marker means the table was dropped (or an operator
+          // cleaned up) — drop it rather than resurrecting the marker dir
+          case None => held.remove(k)
+          case Some(s) => parse(fs, s) match {
+            case Some(m) if m.owner == v._3 =>
+              writeMarker(fs, p, created, payload, overwrite = true,
+                owner = v._3)
+            case Some(m) if m.owner.nonEmpty => held.remove(k) // taken over
+            case _ => () // empty/torn body: resolve next pass
+          }
+        }
       } catch { case scala.util.control.NonFatal(_) => () }
     }
 
@@ -239,34 +275,140 @@ private[graft] object MutationGate {
 
   // ------------------------------------------------ exclusive marker claim
 
+  /** Does this store give an ATOMIC create-exclusive? Local POSIX
+    * (O_CREAT|O_EXCL via `File.createNewFile`) and HDFS/viewfs (the
+    * namenode arbitrates `create(overwrite=false)`) do; raw object stores
+    * (blind PUT) do not. On capable stores the claim is one create call —
+    * structural mutual exclusion, no readback, no settle sleep.
+    */
+  private[sources] def atomicCreateCapable(spark: SparkSession,
+      fs: FileSystem): Boolean =
+    !forceBlindPut(spark) && (fs.getScheme match {
+      case "file" | "hdfs" | "viewfs" => true
+      case _ => false
+    })
+
+  /** One atomic create-exclusive attempt; true iff THIS call created the
+    * marker. On `file://` the decision is `File.createNewFile` (atomic on
+    * POSIX; Hadoop's LocalFileSystem `create(overwrite=false)` is a
+    * non-atomic exists-then-create) and the body is filled right after —
+    * a reader catching the empty-body window parses it live-conservative
+    * within the mtime bound, which is the waiting direction.
+    */
+  private def tryAtomicCreate(fs: FileSystem, p: Path, created: Long)
+      : Boolean =
+    fs.getScheme match {
+      case "file" =>
+        try {
+          val f = new java.io.File(fs.makeQualified(p).toUri.getPath)
+          f.getParentFile.mkdirs()
+          val won = f.createNewFile()
+          if (won)
+            writeMarker(fs, p, created, None, overwrite = true,
+              owner = claimOwner)
+          won
+        } catch { case _: java.io.IOException => false }
+      case _ =>
+        try {
+          fs.mkdirs(p.getParent)
+          val out = fs.create(p, false) // atomic-exclusive at the namenode
+          out.write(body(claimOwner, created, System.currentTimeMillis(),
+            None).getBytes("UTF-8"))
+          out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+    }
+
+  /** Arbitrate clearing a stale (crashed-holder) or own-leftover marker —
+    * the pre-round-12 bare delete+create admitted two holders: both
+    * waiters parse the file as stale, and the slower waiter's delayed
+    * delete removes the faster waiter's freshly created, already-confirmed
+    * marker (the round-11 advisor's HIGH finding). A plain
+    * rename-to-unique has the same window (the delayed rename moves the
+    * fresh marker instead). Here the takeover right is itself decided by
+    * an ATOMIC CREATE-EXCLUSIVE of a sidecar whose name is keyed to the
+    * stale marker's IDENTITY (owner + created ts):
+    *
+    *  1. only ONE waiter per stale incarnation wins `.tko_<name>_<id>`;
+    *  2. the winner re-parses `p` and deletes it only if it still IS that
+    *     incarnation — a fresh marker (different owner/created) is never
+    *     touched;
+    *  3. losers do nothing and re-poll; a crashed winner's sidecar goes
+    *     stale by mtime and is reaped, re-opening the arbitration.
+    *
+    * Residual: the fresh-marker-deleted window now needs TWO independent
+    * >staleMs pauses nested at exact points (winner stalls mid-takeover
+    * past staleness AND its successor stalls between verify and delete) —
+    * versus one ordinarily-delayed DELETE before. On blind-PUT stores the
+    * sidecar create is not atomic and this whole routine stays
+    * best-effort; the claim-side readback+settle belt remains the guard
+    * there.
+    */
+  private def arbitrateStale(spark: SparkSession, fs: FileSystem, p: Path,
+      m: Marker): Unit = {
+    val id = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"${m.owner}|${m.created}"))
+    val tko = new Path(p.getParent, s".tko_${p.getName}_$id")
+    try {
+      val st =
+        try Some(fs.getFileStatus(tko))
+        catch { case _: java.io.FileNotFoundException => None }
+      st match {
+        case Some(s)
+            if System.currentTimeMillis() - s.getModificationTime
+              > staleMs(spark) =>
+          // crashed arbiter: reap its sidecar and re-poll (the NEXT pass
+          // re-opens the arbitration)
+          fs.delete(tko, false)
+        case Some(_) => () // live arbitration in progress: re-poll
+        case None =>
+          val won =
+            if (atomicCreateCapable(spark, fs)) tryAtomicCreate(fs, tko,
+              System.currentTimeMillis())
+            else
+              try { writeMarker(fs, tko, System.currentTimeMillis(), None,
+                overwrite = false, owner = claimOwner); true }
+              catch { case _: java.io.IOException => false }
+          if (won) try {
+            val cur =
+              try parse(fs, fs.getFileStatus(p))
+              catch { case _: java.io.IOException => None }
+            if (cur.exists(c => c.owner == m.owner && c.created == m.created))
+              fs.delete(p, false)
+          } finally fs.delete(tko, false)
+      }
+    } catch { case _: java.io.IOException => () }
+  }
+
   /** Claim the single-holder marker at `p`, waiting while a live foreign
     * holder exists. The claim itself:
     *
-    *  1. `create(overwrite=false)` — atomic create-exclusive on local FS
-    *     and HDFS, so on those stores mutual exclusion is structural (the
-    *     loser's create throws). A stale/crashed holder's file is deleted
-    *     first (losing that delete+create race just re-loops).
-    *  2. read back — on object stores, where create is blind-PUT, the
-    *     LAST writer's bytes win and the readback demotes every other
-    *     claimant.
-    *  3. when another process is known active on the table
-    *     ([[foreignActive]] vs `activityRoot`), sleep
+    *  1. a stale/crashed holder's file is cleared by RENAME ARBITRATION
+    *     ([[arbitrateStale]]) — never a bare delete, so no waiter can
+    *     remove a winner's fresh marker.
+    *  2. on atomic-create stores ([[atomicCreateCapable]]): one
+    *     create-exclusive decides the claim — no settle, no readback.
+    *  3. otherwise (blind-PUT object stores): `create(overwrite=false)` +
+    *     read back — the LAST writer's bytes win and the readback demotes
+    *     every other claimant; when another process is known active on
+    *     the table ([[foreignActive]] vs `activityRoot`), sleep
     *     `spark.graft.gate.settleMs` and read back AGAIN — longer than a
     *     competing create+readback round-trip, so two same-instant PUT
-    *     claimants cannot both survive (the pre-round-11 protocol could
-    *     admit both: A-create/A-readback/B-create/B-readback). Without
-    *     observed contention the second readback runs with no sleep.
+    *     claimants cannot both survive. Without observed contention the
+    *     second readback runs with no sleep.
     *
     * Returns when claimed; throws after `spark.graft.gate.timeoutMs`.
     * `alwaysSettle` forces the settle-confirm readback regardless of the
-    * activity probe — for claims whose contenders advertise no lease
-    * (e.g. two processes' cagg refreshes) and whose hold time dwarfs the
-    * settle cost.
+    * activity probe (blind-PUT path only) — for claims whose contenders
+    * advertise no lease (e.g. two processes' cagg refreshes) and whose
+    * hold time dwarfs the settle cost.
     */
   private[graft] def claimExclusive(spark: SparkSession, fs: FileSystem,
       p: Path, activityRoot: => Option[(FileSystem, String)],
       alwaysSettle: Boolean = false): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs(spark)
+    val atomic = atomicCreateCapable(spark, fs)
+    val me = claimOwner
     var claimed = false
     while (!claimed) {
       val cur =
@@ -274,38 +416,43 @@ private[graft] object MutationGate {
         catch { case _: java.io.IOException => None }
       val now = System.currentTimeMillis()
       cur match {
-        case Some(m) if m.owner != processId && m.live(now, staleMs(spark)) =>
+        case Some(m) if m.owner != me && m.live(now, staleMs(spark)) =>
           if (now > deadline)
             throw new IllegalStateException(
               s"timed out waiting for exclusive marker $p held by ${m.owner}")
           Thread.sleep(pollMs(spark))
         case other =>
-          // stale holder (or our own leftover): clear the file so the
-          // exclusive create below can succeed
-          if (other.isDefined)
-            try fs.delete(p, false)
-            catch { case _: java.io.IOException => () }
+          other.foreach(m => arbitrateStale(spark, fs, p, m))
           val created = System.currentTimeMillis()
-          val won =
-            try { writeMarker(fs, p, created, None, overwrite = false); true }
-            catch { case _: java.io.IOException => false } // exists: lost
-          if (won) {
-            def mine: Boolean =
-              try parse(fs, fs.getFileStatus(p)).exists(_.owner == processId)
-              catch { case _: java.io.IOException => false }
-            val settle = alwaysSettle || activityRoot.exists {
-              case (afs, root) => foreignActive(spark, afs, root) }
-            val confirmed = mine && {
-              if (settle) Thread.sleep(settleMs(spark)); mine
-            }
-            if (confirmed) {
+          if (atomic) {
+            if (tryAtomicCreate(fs, p, created)) {
               held.put(fs.makeQualified(p).toString,
-                (fs, p, processId, created, None))
+                (fs, p, me, created, None))
               claimed = true
+            } // lost the exclusive create: loop into the wait arm
+          } else {
+            val won =
+              try { writeMarker(fs, p, created, None, overwrite = false,
+                owner = me); true }
+              catch { case _: java.io.IOException => false } // exists: lost
+            if (won) {
+              def mine: Boolean =
+                try parse(fs, fs.getFileStatus(p)).exists(_.owner == me)
+                catch { case _: java.io.IOException => false }
+              val settle = alwaysSettle || activityRoot.exists {
+                case (afs, root) => foreignActive(spark, afs, root) }
+              val confirmed = mine && {
+                if (settle) Thread.sleep(settleMs(spark)); mine
+              }
+              if (confirmed) {
+                held.put(fs.makeQualified(p).toString,
+                  (fs, p, me, created, None))
+                claimed = true
+              }
+              // lost the readback: our bytes were overwritten — nothing of
+              // ours remains on disk, so do NOT delete (that would release
+              // the winner); just loop into the wait arm
             }
-            // lost the readback: our bytes were overwritten — nothing of
-            // ours remains on disk, so do NOT delete (that would release
-            // the winner); just loop into the wait arm
           }
       }
     }
@@ -317,34 +464,42 @@ private[graft] object MutationGate {
     */
   private[sources] def tryClaimExclusive(spark: SparkSession, fs: FileSystem,
       p: Path, activityRoot: => Option[(FileSystem, String)]): Boolean = {
+    val me = claimOwner
     val cur =
       try parse(fs, fs.getFileStatus(p))
       catch { case _: java.io.IOException => None }
     val now = System.currentTimeMillis()
     cur match {
-      case Some(m) if m.owner != processId && m.live(now, staleMs(spark)) =>
+      case Some(m) if m.owner != me && m.live(now, staleMs(spark)) =>
         false
       case other =>
-        if (other.isDefined)
-          try fs.delete(p, false)
-          catch { case _: java.io.IOException => () }
+        other.foreach(m => arbitrateStale(spark, fs, p, m))
         val created = System.currentTimeMillis()
-        val won =
-          try { writeMarker(fs, p, created, None, overwrite = false); true }
-          catch { case _: java.io.IOException => false }
-        won && {
-          def mine: Boolean =
-            try parse(fs, fs.getFileStatus(p)).exists(_.owner == processId)
-            catch { case _: java.io.IOException => false }
-          val settle = activityRoot.exists { case (afs, root) =>
-            foreignActive(spark, afs, root) }
-          val confirmed = mine && {
-            if (settle) Thread.sleep(settleMs(spark)); mine
-          }
-          if (confirmed)
+        if (atomicCreateCapable(spark, fs)) {
+          val won = tryAtomicCreate(fs, p, created)
+          if (won)
             held.put(fs.makeQualified(p).toString,
-              (fs, p, processId, created, None))
-          confirmed
+              (fs, p, me, created, None))
+          won
+        } else {
+          val won =
+            try { writeMarker(fs, p, created, None, overwrite = false,
+              owner = me); true }
+            catch { case _: java.io.IOException => false }
+          won && {
+            def mine: Boolean =
+              try parse(fs, fs.getFileStatus(p)).exists(_.owner == me)
+              catch { case _: java.io.IOException => false }
+            val settle = activityRoot.exists { case (afs, root) =>
+              foreignActive(spark, afs, root) }
+            val confirmed = mine && {
+              if (settle) Thread.sleep(settleMs(spark)); mine
+            }
+            if (confirmed)
+              held.put(fs.makeQualified(p).toString,
+                (fs, p, me, created, None))
+            confirmed
+          }
         }
     }
   }

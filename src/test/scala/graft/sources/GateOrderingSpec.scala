@@ -148,6 +148,95 @@ class GateOrderingSpec extends AnyFunSuite {
     assert(ht.read().count() === events.count())
   }
 
+  test("claimExclusive on an atomic-create store decides in ONE create: " +
+    "no settle sleep is paid even with alwaysSettle (verdict r11 item 2)") {
+    val dir = Files.createTempDirectory("graft_gate_atomic").toString
+    val fs = fsOf(dir)
+    val p = new Path(dir, "_claim")
+    spark.conf.set("spark.graft.gate.settleMs", "3000")
+    try {
+      val t0 = System.nanoTime()
+      MutationGate.claimExclusive(spark, fs, p, None, alwaysSettle = true)
+      val ms = (System.nanoTime() - t0) / 1000000
+      MutationGate.removeMarker(fs, p)
+      assert(ms < 1500,
+        s"atomic-create claim must skip the settle window (took $ms ms)")
+      // the blind-PUT path (forced) DOES pay it — the belt still exists
+      spark.conf.set("spark.graft.gate.forceBlindPutClaims", "true")
+      val t1 = System.nanoTime()
+      MutationGate.claimExclusive(spark, fs, p, None, alwaysSettle = true)
+      val ms1 = (System.nanoTime() - t1) / 1000000
+      MutationGate.removeMarker(fs, p)
+      assert(ms1 >= 3000,
+        s"forced blind-PUT claim must pay the settle window (took $ms1 ms)")
+    } finally {
+      spark.conf.unset("spark.graft.gate.settleMs")
+      spark.conf.unset("spark.graft.gate.forceBlindPutClaims")
+    }
+  }
+
+  test("stale-holder takeover is sidecar-arbitrated: waiters recovering a " +
+    "crashed holder's marker never double-enter (round-11 ADVICE high)") {
+    val dir = Files.createTempDirectory("graft_gate_takeover").toString
+    val fs = fsOf(dir)
+    val root = fs.makeQualified(new Path(dir)).toString
+    val p = new Path(dir, "_claim")
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to 8).foreach { round =>
+      // seed a crashed foreign holder: stale heartbeat AND stale mtime
+      val now = System.currentTimeMillis()
+      foreignMarker(dir, "_claim", s"crashed-$round", now - 900000,
+        now - 900000)
+      fs.setTimes(p, now - 900000, -1)
+      val barrier = new java.util.concurrent.CyclicBarrier(4)
+      val threads = (1 to 4).map { i =>
+        new Thread(() => {
+          try {
+            // distinct claim identity per thread: claimExclusive's contract
+            // is one claimant per PROCESS (in-process callers serialize on
+            // JVM locks first) — this simulates four processes
+            MutationGate.claimOwnerOverride.set(s"proc-$round-$i")
+            barrier.await()
+            MutationGate.claimExclusive(spark, fs, p, Some((fs, root)))
+            val n = inside.incrementAndGet()
+            maxInside.updateAndGet(m => math.max(m, n))
+            Thread.sleep(5)
+            inside.decrementAndGet()
+            MutationGate.removeMarker(fs, p)
+          } catch { case t: Throwable => errs.add(t) }
+          finally MutationGate.claimOwnerOverride.remove()
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(60000))
+    }
+    assert(errs.isEmpty, s"takeover worker failed: ${errs.peek()}")
+    assert(maxInside.get() === 1,
+      s"two waiters entered after a stale takeover (max=${maxInside.get()})")
+  }
+
+  test("heartbeat re-checks ownership: a marker taken over while this " +
+    "process was presumed stale is NOT stomped by its old holder's " +
+    "heartbeat (round-11 ADVICE high, second half)") {
+    val dir = Files.createTempDirectory("graft_gate_hbsteal").toString
+    val fs = fsOf(dir)
+    val p = new Path(dir, "_claim")
+    MutationGate.claimExclusive(spark, fs, p, None)
+    // a foreign process took the marker over (our heartbeat was frozen and
+    // the claim read as stale): the file now names the NEW holder
+    val now = System.currentTimeMillis()
+    foreignMarker(dir, "_claim", "new-holder", now, now)
+    MutationGate.heartbeatNow()
+    val body = Hypertable.readSmallFile(fs, p)
+    assert(body.startsWith("new-holder"),
+      s"old holder's heartbeat stomped the takeover: $body")
+    // and the old holder no longer refreshes it at all
+    fs.setTimes(p, now - 50000, -1)
+    MutationGate.heartbeatNow()
+    assert(Hypertable.readSmallFile(fs, p).startsWith("new-holder"))
+  }
+
   test("withCatalogFsLock is exclusive BETWEEN THREADS of one JVM (the " +
     "pre-round-11 depth map admitted a second thread as re-entrant)") {
     val dir = Files.createTempDirectory("graft_gate_flock").toString
