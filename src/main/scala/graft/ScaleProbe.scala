@@ -153,54 +153,59 @@ object ScaleProbe {
     }
   }
 
-  /** Per-trigger stream-log listing cost vs ACCUMULATED entries (round
-    * 11): synthesize N committed-batch entries spread over ~6.5 days of
-    * bucketed log history, mark all but the newest 5 processed, and time
-    * one `newLogEntries` pass with the floor (the steady-state trigger)
-    * vs without (the restart pass / the pre-round-11 behavior, which
-    * listed every retained entry each trigger). Flat floor-pass cost
-    * under 100× entries is the claim SCALE.md §16 now makes.
+  /** Per-trigger stream-log listing cost vs ACCUMULATED entries (rounds
+    * 11–12): synthesize N committed-batch entries of seq-bucketed log
+    * history, set the floor below the newest 5, and time one
+    * `newLogEntries` pass with the floor (the steady-state trigger) vs
+    * without (the restart pass / the pre-round-11 behavior, which listed
+    * every retained entry each trigger). Flat floor-pass cost under 100×
+    * entries is the claim SCALE.md §16 makes. The same layout is then
+    * probed through [[SlowFs]] — a latency-injected local FileSystem
+    * (50 ms LIST / 20 ms open+stat, emulating object-store round-trips;
+    * round-11 verdict item 7) — so §16's O(frontier bucket) claim is
+    * measured under S3-like per-call costs, not local-FS microseconds.
     * `SPARK_GRAFT_STREAM_LOG_PROBE=1 sbt "runMain graft.ScaleProbe"`.
     */
   private def streamLogProbe(spark: SparkSession): Unit = {
     import graft.sources.Hypertable
     import graft.streaming.CatalogStreamCore
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.slowfs.impl", classOf[SlowFs].getName)
     val base = java.nio.file.Files.createTempDirectory("graft_slogprobe").toString
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (n <- Seq(600, 60000)) {
-      val table = s"$base/t$n"
-      val logDir = new org.apache.hadoop.fs.Path(table, Hypertable.STREAM_LOG)
-      fs.mkdirs(logDir)
+    val noSeqs = new java.util.concurrent.ConcurrentSkipListSet[java.lang.Long]()
+    val noNames = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    for (n <- Seq(600, 60000); scheme <- Seq("file", "slowfs")) {
+      val table = s"$base/$scheme$n"
+      val probePath = if (scheme == "file") table else s"slowfs://$table"
+      val fs = new org.apache.hadoop.fs.Path(probePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val logDir = new org.apache.hadoop.fs.Path(probePath, Hypertable.STREAM_LOG)
       val now = System.currentTimeMillis()
       val spacing = (6.5 * 24 * 3600 * 1000 / n).toLong
-      val processed = java.util.Collections.newSetFromMap(
-        new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
-      // the floor the SOURCE would hold: newest PROCESSED entry ts minus
-      // the skew window (unprocessed entries are always at/after it in a
-      // live stream — the probe reproduces that state)
-      var maxProcessedTs = 0L
       val (tBuild, _) = timed {
         (0 until n).foreach { i =>
           val ts = now - (n - 1 - i) * spacing
-          val name = f"e_${ts}_$i%08d"
           val bucket = new org.apache.hadoop.fs.Path(logDir,
-            s"t${ts / Hypertable.STREAM_LOG_BUCKET_MS}")
-          val out = fs.create(new org.apache.hadoop.fs.Path(bucket, name), true)
+            Hypertable.streamLogBucketOf(i))
+          val out = fs.create(new org.apache.hadoop.fs.Path(bucket,
+            Hypertable.streamEntryName(i, ts)), true)
           out.write(s"$table/_chunk=0/_gen=0/part-$i.parquet".getBytes("UTF-8"))
           out.close()
-          if (i < n - 5) { processed.add(name); maxProcessedTs = ts }
         }
       }
-      val floor = maxProcessedTs - 600000L
-      CatalogStreamCore.newLogEntries(spark, table, processed, floor) // warm
+      val floor = n - 6L // newest 5 unprocessed — the steady-state trigger
+      CatalogStreamCore.newLogEntries(spark, probePath, noNames, floor,
+        noSeqs) // warm
       val (tFloor, gotFloor) = timed2 {
-        CatalogStreamCore.newLogEntries(spark, table, processed, floor).size
+        CatalogStreamCore.newLogEntries(spark, probePath, noNames, floor,
+          noSeqs)._1.size
       }
       val (tFull, gotFull) = timed2 {
-        CatalogStreamCore.newLogEntries(spark, table, processed, -1L).size
+        CatalogStreamCore.newLogEntries(spark, probePath, noNames, -1L,
+          noSeqs)._1.size
       }
-      println(f"""[scale] {"probe":"stream_log_trigger","entries":$n,"build_sec":$tBuild%.2f,"floor_pass_sec":$tFloor%.4f,"full_pass_sec":$tFull%.4f,"floor_new":$gotFloor,"full_new":$gotFull}""")
+      println(f"""[scale] {"probe":"stream_log_trigger","fs":"$scheme","entries":$n,"build_sec":$tBuild%.2f,"floor_pass_sec":$tFloor%.4f,"full_pass_sec":$tFull%.4f,"floor_new":$gotFloor,"full_new":$gotFull}""")
     }
   }
 
@@ -499,5 +504,28 @@ object ScaleProbe {
       .select((col("vec_id") * m + col("_rep")).as("vec_id"),
         col("embedding"), col("label"))
     emb.repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+}
+
+/** Latency-injected local FileSystem (`slowfs://`) emulating object-store
+  * per-call round-trips — 50 ms per LIST, 20 ms per open/stat — so the
+  * stream-log probe's O(frontier bucket) claim is measured under S3-like
+  * costs instead of local-FS microseconds (round-11 verdict item 7).
+  * Probe-only; registered by ScaleProbe via `fs.slowfs.impl`.
+  */
+class SlowFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "slowfs"
+  override def getUri: java.net.URI = java.net.URI.create("slowfs:///")
+  override def listStatus(p: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    Thread.sleep(50); super.listStatus(p)
+  }
+  override def open(p: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    Thread.sleep(20); super.open(p, bufferSize)
+  }
+  override def getFileStatus(p: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileStatus = {
+    Thread.sleep(20); super.getFileStatus(p)
   }
 }

