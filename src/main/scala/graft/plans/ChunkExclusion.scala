@@ -54,10 +54,15 @@ object ChunkExclusion extends Rule[LogicalPlan] {
     // unioned relations, each matched here on its own root).
     // a gen-layout scan's roots are `_chunk=K/_gen=N` dirs — one level
     // deeper than the flat layout's `_chunk=K`; both map to the chunk
-    // dir's parent (the storage root the table registered)
+    // dir's parent (the storage root the table registered). A cagg
+    // materialization scan has the same two shapes with the mat store's
+    // column names (`_mat_chunk=K[/_mat_gen=TS]` — round 12's
+    // grace-retained generations).
     def chunkRootOf(r: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
-      val cd = if (r.getName.startsWith("_gen=")) r.getParent else r
-      if (cd != null && cd.getName.startsWith("_chunk=")) Option(cd.getParent)
+      val cd = if (r.getName.startsWith("_gen=") ||
+        r.getName.startsWith("_mat_gen=")) r.getParent else r
+      if (cd != null && (cd.getName.startsWith("_chunk=") ||
+          cd.getName.startsWith("_mat_chunk="))) Option(cd.getParent)
       else None
     }
     val reg = (if (roots.size == 1) Hypertable.lookupExclusion(roots.head.toString)

@@ -370,13 +370,13 @@ class ContinuousAggregate(
     * then group cols, then aggregates — same shape as the live aggregation).
     */
   def materialized: DataFrame = {
-    val mp = new Path(matPath)
-    // a refresh over a window with no raw rows leaves mat/ with no chunk
-    // dirs — parquet can't infer a schema from a file-less dir, so detect
-    // "no materialized chunks" and return the empty frame instead
-    val hasChunks = fs.exists(mp) && fs.listStatus(mp).exists(st =>
-      st.isDirectory && st.getPath.getName.startsWith(s"$MATCHUNK="))
-    if (!hasChunks) return emptyLike()
+    // per-chunk LIVE-generation resolution (readMatLive): a refresh swap
+    // publishes new generations additively and grace-retains the old, so
+    // this read's planned files stay on disk through its execution even
+    // under a concurrent cross-process refresh. A refresh over a window
+    // with no raw rows leaves no data files — return the empty frame
+    // (parquet can't infer a schema from file-less dirs).
+    val live = readMatLive().getOrElse(return emptyLike())
     // register the materialization for plan-time chunk exclusion — the
     // reference plans the mat hypertable through the same expansion as a
     // raw table, so a bucket-bounded query over a year of mat chunks
@@ -388,7 +388,7 @@ class ContinuousAggregate(
         graft.sources.ChunkInfo(k, k + matChunkMicros, p.toString) },
       Seq.empty,
       chunkCol = MATCHUNK))
-    val df = spark.read.parquet(matPath)
+    val df = live
       .withColumn(defn.bucketCol, fromUs(col(BUCKET)))
       .drop(BUCKET, MATCHUNK)
     val aggCols = df.columns.filterNot(c =>
@@ -700,13 +700,15 @@ class ContinuousAggregate(
     // mat-chunk; a chunk-aligned window (the common full/policy refresh)
     // recomputes every bucket of every touched chunk — skip the mat read
     val needCarryOver = !(s <= chunkLo && e >= chunkHi)
-    val combined = if (needCarryOver && fs.exists(new Path(matPath))) {
-      val keep = spark.read.parquet(matPath)
-        .where(col(MATCHUNK) >= chunkLo && col(MATCHUNK) < chunkHi &&
-          (col(BUCKET) < s || col(BUCKET) >= e))
-        .select(fresh.columns.map(col): _*)
-      keep.unionByName(fresh)
-    } else fresh
+    val combined = readMatLive() match {
+      case Some(mat) if needCarryOver =>
+        val keep = mat
+          .where(col(MATCHUNK) >= chunkLo && col(MATCHUNK) < chunkHi &&
+            (col(BUCKET) < s || col(BUCKET) >= e))
+          .select(fresh.columns.map(col): _*)
+        keep.unionByName(fresh)
+      case _ => fresh
+    }
     // window-keyed tmp name: concurrent refreshes of DIFFERENT windows
     // cannot collide, and a re-run of the SAME window reuses (overwrites)
     // its own leftover dir instead of orphaning it
@@ -722,14 +724,22 @@ class ContinuousAggregate(
     val tmpDirs = fs.listStatus(new Path(tmp)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$MATCHUNK="))
     fs.mkdirs(new Path(matPath))
+    // ADDITIVE publish (round 12): each touched chunk gains a new
+    // generation subdir; the superseded content is grace-retained so a
+    // cross-process reader planned against it is never yanked mid-read
+    // (the pre-round-12 delete+rename at the same path failed such
+    // readers with FAILED_READ, or silently dropped the bucket for a
+    // lister racing the gap — found by the three-process cagg case)
+    val pubTs = System.currentTimeMillis()
     tmpDirs.foreach { st =>
-      val target = new Path(matPath, st.getPath.getName)
-      fs.delete(target, true)
-      fs.rename(st.getPath, target)
+      publishMatGen(new Path(matPath, st.getPath.getName), Some(st.getPath),
+        pubTs)
     }
     // a mat-chunk in [chunkLo, chunkHi) whose recomputed content is empty
-    // (all raw rows deleted + invalidated) produces no tmp dir — remove the
-    // stale dir too or materialized/realtime keep serving deleted buckets
+    // (all raw rows deleted + invalidated) produces no tmp dir — publish
+    // an EMPTY generation (retiring the old content under grace, never
+    // deleting it under readers) or materialized/realtime keep serving
+    // deleted buckets
     val written = tmpDirs.map(_.getPath.getName).toSet
     fs.listStatus(new Path(matPath)).toSeq
       .filter { st =>
@@ -737,9 +747,9 @@ class ContinuousAggregate(
           !written.contains(st.getPath.getName) && {
             val ck = st.getPath.getName.stripPrefix(s"$MATCHUNK=").toLong
             ck >= chunkLo && ck < chunkHi
-          }
+          } && hasDataFiles(liveMatDir(st.getPath))
       }
-      .foreach(st => fs.delete(st.getPath, true))
+      .foreach(st => publishMatGen(st.getPath, None, pubTs))
     fs.delete(new Path(tmp), true)
     if (e > watermark) setWatermark(e)
     // propagate down the hierarchy (the reference's cagg-on-cagg
@@ -886,10 +896,111 @@ class ContinuousAggregate(
   /** Chunk keys (bucket-time micros / integer units) of the mat chunks. */
   def matChunks: Seq[Long] = matChunkDirs.map(_._1)
 
+  /** How long superseded mat-chunk GENERATIONS stay on disk after a newer
+    * one is published. Cross-process readers resolve file paths at plan
+    * time; the pre-round-12 swap (delete + rename at the same path) could
+    * yank those files mid-execution — a FAILED_READ in the best case, a
+    * silently missing bucket for a lister racing the delete+rename gap in
+    * the worst (found by the three-process cagg invalidation case). Must
+    * exceed the longest read that plans against the materialization.
+    */
+  private def matGraceMs: Long =
+    spark.conf.get("spark.graft.cagg.matGraceMs", "600000").toLong
+
+  /** Generation subdirs of a mat chunk dir (publish-ts ascending). The
+    * newest is the chunk's LIVE content; older ones are grace-retained
+    * for in-flight readers; pre-round-12 chunks have none (their content
+    * sits directly in the chunk dir).
+    */
+  private def matGens(chunkDir: Path): Seq[(Long, Path)] =
+    (try fs.listStatus(chunkDir).toSeq
+     catch { case _: java.io.FileNotFoundException => Nil })
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"${MATGEN}="))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix(s"${MATGEN}=").toLong).toOption
+        .map(_ -> st.getPath))
+      .sortBy(_._1)
+
+  /** The dir holding a mat chunk's live content: newest generation
+    * subdir, or the chunk dir itself (legacy flat layout).
+    */
+  private[streaming] def liveMatDir(chunkDir: Path): Path =
+    matGens(chunkDir).lastOption.map(_._2).getOrElse(chunkDir)
+
+  private def hasDataFiles(dir: Path): Boolean =
+    try fs.listStatus(dir).exists(st => st.isFile &&
+      st.getPath.getName.endsWith(".parquet"))
+    catch { case _: java.io.FileNotFoundException => false }
+
+  /** Publish a mat chunk's new content as generation `ts` — rename the
+    * staged dir in (None = an explicitly EMPTY generation: the recompute
+    * produced no rows for this chunk, which must retire the old content
+    * without deleting the dir under readers) — then GC what the grace
+    * allows: a generation is retired at its SUCCESSOR's publish ts and
+    * deleted once that is older than [[matGraceMs]]; legacy flat files
+    * (retired at the FIRST generation's ts) go the same way, along with a
+    * stale legacy columnstore marker. Only refresh-lock holders call this,
+    * so publishes never race each other; readers never lose a planned
+    * file inside the grace.
+    */
+  private def publishMatGen(chunkDir: Path, staged: Option[Path],
+      ts: Long): Unit = {
+    fs.mkdirs(chunkDir)
+    // unique publish ts per chunk: two refreshes inside one millisecond
+    // (forced back-to-back) must not collide on the gen name
+    var t = ts
+    var target = new Path(chunkDir, s"${MATGEN}=$t")
+    while (fs.exists(target)) { t += 1; target = new Path(chunkDir, s"${MATGEN}=$t") }
+    staged match {
+      case Some(s) => require(fs.rename(s, target),
+        s"mat generation publish failed: $s -> $target")
+      case None => fs.mkdirs(target)
+    }
+    val gens = matGens(chunkDir)
+    val now = System.currentTimeMillis()
+    gens.sliding(2).foreach {
+      case Seq((_, dir), (succTs, _)) if now - succTs > matGraceMs =>
+        try fs.delete(dir, true)
+        catch { case _: java.io.IOException => () }
+      case _ => ()
+    }
+    if (gens.nonEmpty && now - gens.head._1 > matGraceMs)
+      try fs.listStatus(chunkDir)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+        .foreach(st => fs.delete(st.getPath, false))
+      catch { case _: java.io.IOException => () }
+  }
+
+  /** The materialization's live rows (BUCKET + groups + aggs + MATCHUNK),
+    * resolved per chunk to its live generation — None when no chunk holds
+    * data files. Generation-layout and legacy flat chunks read separately
+    * (their partition depths differ) and union.
+    */
+  private def readMatLive(): Option[DataFrame] = {
+    val chunks = matChunkDirs
+    if (chunks.isEmpty) return None
+    val resolved = graft.Par.map(chunks) { case (_, d) =>
+      val live = liveMatDir(d)
+      (live, live != d, hasDataFiles(live))
+    }
+    val genDirs = resolved.collect { case (p, true, true) => p.toString }
+    val flatDirs = resolved.collect { case (p, false, true) => p.toString }
+    def readDirs(dirs: Seq[String]): Option[DataFrame] =
+      if (dirs.isEmpty) None
+      else Some(spark.read.option("basePath", matPath).parquet(dirs: _*)
+        .drop(MATGEN))
+    (readDirs(genDirs), readDirs(flatDirs)) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+  }
+
   /** Chunk keys of mat chunks currently in columnstore layout. */
   def compressedMatChunks: Seq[Long] =
     matChunkDirs.collect {
-      case (k, p) if Columnstore.isCompressed(spark, p.toString) => k
+      case (k, p)
+          if Columnstore.isCompressed(spark, liveMatDir(p).toString) => k
     }
 
   /** Convert mat chunks fully older than the cutoff to columnstore layout —
@@ -908,10 +1019,15 @@ class ContinuousAggregate(
       opts: Option[Columnstore.Options] = None): Seq[Long] = withRefreshLock {
     val o = opts.getOrElse(Columnstore.Options(
       segmentBy = defn.groupCols, orderBy = Seq(BUCKET)))
-    val todo = matChunkDirs.filter { case (k, p) =>
-      olderThanMicros.forall(cut => k + matChunkMicros <= cut) &&
-        !Columnstore.isCompressed(spark, p.toString)
-    }
+    // columnstore conversion operates on the chunk's LIVE content dir
+    // (its newest generation, or the legacy flat dir) — the swap inside
+    // compressChunk is the flat-layout in-place one, same contract as a
+    // flat raw chunk
+    val todo = matChunkDirs.map { case (k, p) => (k, liveMatDir(p)) }
+      .filter { case (k, p) =>
+        olderThanMicros.forall(cut => k + matChunkMicros <= cut) &&
+          hasDataFiles(p) && !Columnstore.isCompressed(spark, p.toString)
+      }
     graft.Par.foreach(todo) { case (_, p) =>
       Columnstore.compressChunk(spark, p.toString, o)
     }
@@ -920,9 +1036,8 @@ class ContinuousAggregate(
 
   /** Invert [[compressMaterialization]] for every compressed mat chunk. */
   def decompressMaterialization(): Seq[Long] = withRefreshLock {
-    val todo = matChunkDirs.filter { case (_, p) =>
-      Columnstore.isCompressed(spark, p.toString)
-    }
+    val todo = matChunkDirs.map { case (k, p) => (k, liveMatDir(p)) }
+      .filter { case (_, p) => Columnstore.isCompressed(spark, p.toString) }
     graft.Par.foreach(todo) { case (_, p) =>
       Columnstore.decompressChunk(spark, p.toString)
     }
@@ -960,6 +1075,8 @@ class ContinuousAggregate(
     todo.foreach { case (_, p) => fs.delete(p, true) }
     if (todo.nonEmpty) {
       val remaining = matChunkDirs
+        .map { case (k, p) => (k, liveMatDir(p)) }
+        .filter { case (_, p) => hasDataFiles(p) }
       val wmNew =
         if (remaining.isEmpty) Long.MinValue
         else {
@@ -1201,6 +1318,7 @@ object CaggRefreshPolicy {
 object ContinuousAggregate {
   private val BUCKET = "_bucket"
   private val MATCHUNK = "_mat_chunk"
+  private val MATGEN = "_mat_gen"
 
   /** In-JVM lock serializing child registration against parent drop —
     * the cagg-side analogue of `Hypertable.caggRegistryLock`.
@@ -1268,7 +1386,11 @@ object ContinuousAggregate {
     }
 
     private def timeBoundsOnce(): Option[(Long, Long)] = {
+      // probe each chunk's LIVE generation dir — a footer walk over the
+      // whole chunk dir would fold grace-retained old generations into
+      // the bounds
       val dirs = parent.matChunkDirs
+        .map { case (k, p) => (k, parent.liveMatDir(p)) }
       if (dirs.isEmpty) return None
       def viaFooter(p: Path, wantMin: Boolean): Option[Option[Long]] =
         graft.operators.Stats.columnRanges(parent.spark, p.toString, Seq(BUCKET))

@@ -160,6 +160,59 @@ object IsolationChild {
               println(s"CAGG_FAIL ${e.getMessage}")
               code = 7
           }
+        case "cagg-read-loop" =>
+          // cagg invalidation isolation reader (the SELECT role of
+          // tsl/test/isolation/specs/cagg_drop_chunks_iso.spec and the
+          // invalidation-log txn dance, tsl/src/continuous_aggs/
+          // invalidation.c): while one process ingests LATE rows and
+          // another force-refreshes, every REALTIME read must count each
+          // row exactly once. A bucket counted both materialized AND live
+          // (a torn seam mid-swap) shows up as realtime > a raw read
+          // taken AFTER it (append-only ingest: raw-after ≥ anything the
+          // realtime snapshot could legally contain); a swap that loses
+          // rows shows up as a bucket count shrinking below an earlier
+          // read (counts are monotone under append-only + repair).
+          val htPath = args(2)
+          val iters = args(3).toInt
+          val prev = scala.collection.mutable.Map[(String, String), Long]()
+          var i = 0
+          while (i < iters && code == 0) {
+            val ht = Hypertable.at(spark, htPath)
+            val defn = graft.streaming.CaggDef("1 hour", Seq("event_type"),
+              Seq(count(lit(1)).as("n")))
+            val cagg = graft.streaming.ContinuousAggregate.create(
+              spark, table, ht, defn)
+            val rt = cagg.realtime
+              .select(col("bucket").cast("string"), col("event_type"),
+                col("n"))
+              .collect()
+              .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+              .toMap
+            val raw = ht.read()
+              .groupBy(graft.functions.time_bucket("1 hour", col("ts"))
+                .as("bucket"), col("event_type"))
+              .agg(count(lit(1)).as("n"))
+              .select(col("bucket").cast("string"), col("event_type"),
+                col("n"))
+              .collect()
+              .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+              .toMap
+            rt.foreach { case (k, n) =>
+              if (n > raw.getOrElse(k, 0L)) {
+                println(s"DOUBLE_COUNT $k realtime=$n " +
+                  s"raw=${raw.getOrElse(k, 0L)} at iteration $i")
+                code = 8
+              } else if (n < prev.getOrElse(k, 0L)) {
+                println(s"SHRUNK $k $n < ${prev(k)} at iteration $i")
+                code = 8
+              }
+              prev(k) = math.max(prev.getOrElse(k, 0L), n)
+            }
+            println(s"CAGG_READ $i")
+            System.out.flush()
+            i += 1
+          }
+          if (code == 0) println(s"CAGG_READS_OK $iters")
         case "read-snapshot" =>
           // three-way isolation reader (compression_ddl_iso.spec's SELECT
           // role): while ANOTHER process appends and a THIRD runs

@@ -560,11 +560,16 @@ class CaggSpec extends AnyFunSuite {
         matChunkWidth = "7 days"))
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     def matState(): Map[String, Long] = {
+      // walk chunk dirs RECURSIVELY (round 12: live content sits in
+      // _mat_gen=<ts> generation subdirs); key on chunk-relative file path
       val mp = new org.apache.hadoop.fs.Path(s"$dir/cagg/mat")
       if (!fs.exists(mp)) return Map.empty
+      def files(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(d).toSeq.flatMap(st =>
+          if (st.isDirectory) files(st.getPath) else Seq(st))
       fs.listStatus(mp).filter(_.isDirectory).flatMap(d =>
-        fs.listStatus(d.getPath).filter(_.isFile)
-          .map(f => s"${d.getPath.getName}/${f.getPath.getName}" -> f.getModificationTime)).toMap
+        files(d.getPath).map(f =>
+          s"${d.getPath.getName}/${f.getPath.getName}" -> f.getModificationTime)).toMap
     }
     def direct() = ht.read()
       .groupBy(gf.time_bucket("1 hour", $"ts").as("bucket"), $"event_type")

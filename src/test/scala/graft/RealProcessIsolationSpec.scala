@@ -503,6 +503,84 @@ class RealProcessIsolationSpec extends AnyFunSuite {
       "concurrent refreshes left a torn/diverged materialization")
   }
 
+  test("cagg invalidation isolation across THREE processes " +
+    "(cagg_drop_chunks_iso / the invalidation-log txn dance): a " +
+    "mid-refresh reader never sees a bucket double-counted " +
+    "(materialized + live), and late-data repair survives a concurrent " +
+    "policy refresh in another process") {
+    // tsl/test/isolation/specs/cagg_drop_chunks_iso.spec +
+    // tsl/src/continuous_aggs/invalidation.c: process A force-refreshes
+    // (the policy role), process B reads the realtime view and checks
+    // exactly-once per bucket, THIS process ingests late rows (below the
+    // established watermark — the invalidation-repair path) throughout.
+    val dir = Files.createTempDirectory("graft_realproc_cagginv").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    ht.write(events.where(pmod(col("event_id"), lit(4)) === 0))
+    val defn = graft.streaming.CaggDef("1 hour", Seq("event_type"),
+      Seq(count(lit(1)).as("n")))
+    val cagg = graft.streaming.ContinuousAggregate.create(
+      spark, s"$dir/cagg", ht, defn)
+    // establish the watermark over the full time range: every subsequent
+    // write is LATE data whose repair flows through the invalidation log
+    cagg.refreshAll(force = true)
+    def spawn(cmd: Seq[String], tag: String)
+        : (Process, java.lang.StringBuilder, Thread) = {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new java.lang.StringBuilder
+      val drain = new Thread(() => {
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream))
+        var l = r.readLine()
+        while (l != null) {
+          out.synchronized { out.append(l).append('\n') }
+          l = r.readLine()
+        }
+      }, s"$tag-drain")
+      drain.setDaemon(true); drain.start()
+      (p, out, drain)
+    }
+    val (refresher, outA, drainA) = spawn(
+      childCmd("cagg-refresh", s"$dir/cagg", s"$dir/ht", "6"), "cagginv-a")
+    val (reader, outB, drainB) = spawn(
+      childCmd("cagg-read-loop", s"$dir/cagg", s"$dir/ht", "8"), "cagginv-b")
+    try {
+      (1 to 3).foreach { k =>
+        ht.write(events.where(pmod(col("event_id"), lit(4)) === k))
+        Thread.sleep(500) // let a child refresh/read overlap the repair
+      }
+      assert(refresher.waitFor(240, TimeUnit.SECONDS),
+        "cagg-refresh child timed out")
+      assert(reader.waitFor(240, TimeUnit.SECONDS),
+        "cagg-read-loop child timed out")
+    } finally {
+      if (refresher.isAlive) refresher.destroyForcibly()
+      if (reader.isAlive) reader.destroyForcibly()
+    }
+    drainA.join(5000); drainB.join(5000)
+    val (oA, oB) = (outA.synchronized(outA.toString),
+      outB.synchronized(outB.toString))
+    assert(refresher.exitValue() === 0 && oA.contains("CAGG_OK"),
+      s"policy refresher failed under late-data repair:\n$oA")
+    assert(reader.exitValue() === 0 && oB.contains("CAGG_READS_OK"),
+      s"realtime reader saw a torn bucket (double-count or shrink):\n$oB")
+    // quiesce: the repaired materialization equals the direct aggregation
+    cagg.refreshAll(force = true)
+    val mat = cagg.materialized.select("bucket", "event_type", "n")
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    val direct = ht.read()
+      .groupBy(graft.functions.time_bucket("1 hour", col("ts")).as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(mat === direct,
+      "late-data repair diverged under a concurrent cross-process refresh")
+  }
+
   test("read_committed_insert port: a second-process reader sees exactly " +
     "the committed rows after each insert commit") {
     // test/isolation/specs/read_committed_insert.spec: a concurrent
