@@ -4106,30 +4106,46 @@ object Hypertable {
       var committed = false
       while (!committed) {
         MutationGate.claimExclusive(spark, fs, claim, Some((fs, qRoot)))
-        val top =
-          try fs.listStatus(logDir).toSeq
-          catch { case _: java.io.FileNotFoundException => Seq.empty }
-        val sIdxs = top.filter(_.isDirectory)
-          .map(s => streamBucketIdxOf(s.getPath.getName)).filter(_ >= 0)
-        val maxSeq = migrateLegacyStreamEntries(fs, logDir, top,
-          math.max(maxStreamSeq(fs, logDir, sIdxs),
-            readStreamHw(fs, logDir)))
-        val seq = maxSeq + 1
-        writeSmallFile(fs,
-          new Path(new Path(logDir, streamLogBucketOf(seq)),
-            streamEntryName(seq, System.currentTimeMillis())),
-          files.mkString("\n"))
-        val stillOurs =
-          try MutationGate.parse(fs, fs.getFileStatus(claim))
-            .exists(_.owner == processId)
-          catch { case _: java.io.IOException => false }
-        if (stillOurs) {
-          committed = true
-          raiseStreamHw(fs, logDir, seq)
-          if (seq % 64 == 0)
-            gcStreamLogBuckets(fs, logDir, streamLogRetainMs(spark))
-          MutationGate.removeMarker(fs, claim)
-        } else MutationGate.disownMarker(fs, claim) // taken over: redo
+        // any failure inside the hold must RELEASE (the claim is
+        // heartbeated — a leaked one from a thrown exception would block
+        // every other appender for this JVM's lifetime)
+        try {
+          val top =
+            try fs.listStatus(logDir).toSeq
+            catch { case _: java.io.FileNotFoundException => Seq.empty }
+          val sIdxs = top.filter(_.isDirectory)
+            .map(s => streamBucketIdxOf(s.getPath.getName)).filter(_ >= 0)
+          val maxSeq = migrateLegacyStreamEntries(fs, logDir, top,
+            math.max(maxStreamSeq(fs, logDir, sIdxs),
+              readStreamHw(fs, logDir)))
+          val seq = maxSeq + 1
+          writeSmallFile(fs,
+            new Path(new Path(logDir, streamLogBucketOf(seq)),
+              streamEntryName(seq, System.currentTimeMillis())),
+            files.mkString("\n"))
+          val stillOurs =
+            try MutationGate.parse(fs, fs.getFileStatus(claim))
+              .exists(_.owner == processId)
+            catch { case _: java.io.IOException => false }
+          if (stillOurs) {
+            committed = true
+            raiseStreamHw(fs, logDir, seq)
+            if (seq % 64 == 0)
+              gcStreamLogBuckets(fs, logDir, streamLogRetainMs(spark))
+            MutationGate.removeMarker(fs, claim)
+          } else MutationGate.disownMarker(fs, claim) // taken over: redo
+        } catch {
+          case t: Throwable =>
+            // release only if still ours — a taken-over marker is the new
+            // holder's file and must not be deleted out from under it
+            val ours =
+              try MutationGate.parse(fs, fs.getFileStatus(claim))
+                .exists(_.owner == processId)
+              catch { case scala.util.control.NonFatal(_) => false }
+            if (ours) MutationGate.removeMarker(fs, claim)
+            else MutationGate.disownMarker(fs, claim)
+            throw t
+        }
       }
     }
   }
