@@ -4123,6 +4123,10 @@ object Hypertable {
             new Path(new Path(logDir, streamLogBucketOf(seq)),
               streamEntryName(seq, System.currentTimeMillis())),
             files.mkString("\n"))
+          // a crash here: entry visible, high-water behind by one, claim
+          // released by the catch below, journal still pending — the next
+          // logging batch heals (re-emits; readers dedup by path)
+          crashPoint("write.streamlog.after_entry")
           val stillOurs =
             try MutationGate.parse(fs, fs.getFileStatus(claim))
               .exists(_.owner == processId)

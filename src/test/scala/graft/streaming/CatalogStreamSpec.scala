@@ -570,7 +570,11 @@ class CatalogStreamSpec extends AnyFunSuite {
       try {
         (1 to 8).foreach { k =>
           if (rnd.nextBoolean()) {
-            val target = rnd.nextInt(2) // after_job / before_sync
+            // after_job / before_sync / streamlog.after_entry (the last
+            // crashes INSIDE the seq-claim critical section: entry
+            // visible, high-water behind, claim released on the error
+            // path — the journal heal must still converge)
+            val target = rnd.nextInt(3)
             val calls = new java.util.concurrent.atomic.AtomicInteger(0)
             Hypertable.crashHook = name =>
               if (calls.getAndIncrement() == target)
