@@ -535,6 +535,65 @@ class CatalogStreamSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.stream.compactEvery")
   }
 
+  test("seq-claim takeover mid-append: the post-write ownership verify " +
+    "REDOES the allocation under a fresh claim; the stale twin entry " +
+    "dedups by path and the reader stays exactly-once") {
+    val dir = Files.createTempDirectory("graft_catstream_tko").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    def slice(k: Int) = events.where(pmod(col("event_id"), lit(2)) === k)
+    ht.write(slice(0))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ckpt = s"$dir/ckpt"
+    drainTo(ht, ckpt, seen) // snapshot; log enabled
+    val fs = fsOf(s"$dir/ht")
+    val logDir = logDirOf(s"$dir/ht")
+    val claim = new org.apache.hadoop.fs.Path(logDir, ".seq_claim")
+    // between the entry write and the ownership verify, the claim is
+    // taken over (this writer "paused past staleness"; the marker left
+    // behind is the taker-over's, already gone stale again so the redo
+    // can arbitrate it instead of waiting out a live heartbeat)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Hypertable.crashHook = name =>
+      if (name == "write.streamlog.after_entry" &&
+          fired.compareAndSet(false, true)) {
+        val old = System.currentTimeMillis() - 900000
+        val out = fs.create(claim, true)
+        out.write(s"takeover-proc\n$old\n$old".getBytes("UTF-8"))
+        out.close()
+        fs.setTimes(claim, old, -1)
+      }
+    try ht.write(slice(1))
+    finally Hypertable.crashHook = _ => ()
+    assert(fired.get, "the takeover hook must have fired")
+    // the redo leaves TWO entries naming slice 1's files: the stale twin
+    // (first attempt) and the verified retry, on consecutive seqs
+    val entries = fs.listStatus(logDir)
+      .filter(d => d.isDirectory &&
+        Hypertable.streamBucketIdxOf(d.getPath.getName) >= 0)
+      .flatMap(d => fs.listStatus(d.getPath)).filter(_.isFile)
+      .map(_.getPath)
+    val bodies = entries.map(p =>
+      graft.streaming.CatalogStreamCore.readText(fs, p).linesIterator
+        .filter(_.nonEmpty).toSet)
+    // slice 0 predates the log (the snapshot covers it), so the log holds
+    // exactly the first attempt (stale twin) and the verified retry, on
+    // consecutive seqs with identical file lists
+    assert(entries.length === 2,
+      s"expected twin + retry: ${entries.map(_.getName).toSeq}")
+    assert(entries.map(p => Hypertable.streamEntrySeq(p.getName)).sorted
+      .toSeq === Seq(0L, 1L))
+    assert(bodies.distinct.length === 1,
+      "twin and retry must carry the same file list")
+    assert(!fs.exists(claim), "the redo must release the claim")
+    drainTo(ht, ckpt, seen)
+    val got = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(got.length === got.distinct.length,
+      "the stale twin re-emitted its files")
+    assert(got.sorted.toSeq === events.select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq)
+  }
+
   // SPARK_GRAFT_STREAM_CRASH_SEEDS widens the evidence pass (default 2)
   for (seed <- (0 until sys.env.getOrElse(
       "SPARK_GRAFT_STREAM_CRASH_SEEDS", "2").toInt).map(7L + 12 * _))
