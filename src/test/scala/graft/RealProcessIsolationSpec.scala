@@ -394,6 +394,81 @@ class RealProcessIsolationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TWO appender processes race the stream-log SEQ CLAIM while this " +
+    "process tails: entries come out consecutively sequenced and every " +
+    "batch arrives exactly once (round-12 clock-free floor, cross-JVM)") {
+    // the round-12 allocation protocol's whole point: two appender HOSTS
+    // (arbitrary clocks) serialize on the log's exclusive claim, so a
+    // tailing reader's contiguous-seq floor is exact with no skew window
+    val dir = Files.createTempDirectory("graft_realproc_seq").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    ht.write(events.where(pmod(col("event_id"), lit(5)) === 4))
+    Hypertable.releaseMutatorLease(spark, s"$dir/ht")
+    val stream = ht.readStreamCatalog() // enables the log BEFORE the children
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("event_id").collect().foreach(r => seen.add(r.getLong(0)))
+      }
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(300))
+      .start()
+    try {
+      val pbA = new ProcessBuilder(
+        childCmd("append-loop", s"$dir/ht", "2", "0"): _*)
+      val pbB = new ProcessBuilder(
+        childCmd("append-loop", s"$dir/ht", "2", "2"): _*)
+      pbA.redirectErrorStream(true); pbB.redirectErrorStream(true)
+      val (pa, pb) = (pbA.start(), pbB.start())
+      def drainP(p: Process, tag: String): (Thread, java.lang.StringBuilder) = {
+        val out = new java.lang.StringBuilder
+        val t = new Thread(() => {
+          val r = new java.io.BufferedReader(
+            new java.io.InputStreamReader(p.getInputStream))
+          var l = r.readLine()
+          while (l != null) {
+            out.synchronized { out.append(l).append('\n') }; l = r.readLine()
+          }
+        }, tag)
+        t.setDaemon(true); t.start(); (t, out)
+      }
+      val (ta, oa) = drainP(pa, "seq-a"); val (tb, ob) = drainP(pb, "seq-b")
+      assert(pa.waitFor(240, TimeUnit.SECONDS), "appender A timed out")
+      assert(pb.waitFor(240, TimeUnit.SECONDS), "appender B timed out")
+      ta.join(5000); tb.join(5000)
+      assert(pa.exitValue() === 0 &&
+        oa.synchronized(oa.toString).contains("APPEND_DONE"),
+        s"appender A failed:\n$oa")
+      assert(pb.exitValue() === 0 &&
+        ob.synchronized(ob.toString).contains("APPEND_DONE"),
+        s"appender B failed:\n$ob")
+      // the two processes' four entries carry CONSECUTIVE seqs from 0 —
+      // the claim serialized the allocations across JVMs
+      val fs = new Path(s"$dir/ht")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val logDir = new Path(s"$dir/ht/_graft_stream_log")
+      val seqs = fs.listStatus(logDir)
+        .filter(d => d.isDirectory &&
+          Hypertable.streamBucketIdxOf(d.getPath.getName) >= 0)
+        .flatMap(d => fs.listStatus(d.getPath)).filter(_.isFile)
+        .map(st => Hypertable.streamEntrySeq(st.getPath.getName))
+        .sorted.toSeq
+      assert(seqs === (0L until seqs.size).toSeq,
+        s"cross-process seq allocation must be consecutive: $seqs")
+      assert(seqs.size >= 4, s"expected >=4 entries, got $seqs")
+      val want = events.count()
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (seen.size < want && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(seen.size === want,
+        s"expected $want rows exactly once, saw ${seen.size}")
+      val ids = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+      assert(ids.length === ids.distinct.length,
+        "a cross-process batch was delivered twice")
+    } finally q.stop()
+  }
+
   test("TWO appender processes share one table concurrently: disjoint " +
     "slices land exactly once, the catalog stays consistent") {
     // the shared append-lease class: appenders never conflict with each
