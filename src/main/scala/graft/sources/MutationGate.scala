@@ -381,7 +381,12 @@ private[graft] object MutationGate {
             val cur =
               try parse(fs, fs.getFileStatus(p))
               catch { case _: java.io.IOException => None }
-            if (cur.exists(c => c.owner == m.owner && c.created == m.created))
+            // same incarnation AND still stale: a holder that resumed and
+            // heartbeated between the caller's staleness read and this
+            // verify keeps its marker (we re-poll and wait on it instead)
+            if (cur.exists(c => c.owner == m.owner &&
+                c.created == m.created &&
+                !c.live(System.currentTimeMillis(), staleMs(spark))))
               fs.delete(p, false)
           } finally fs.delete(tko, false)
       }
