@@ -514,6 +514,21 @@ object Columnstore {
     */
   def compressChunk(spark: SparkSession, chunkPath: String, opts: Options): Long =
     withChunkMutation(spark, chunkPath) {
+      val (fs, chunkP, tmp, n) = compressEncodeTmp(spark, chunkPath, opts)
+      publishEncoded(spark, fs, chunkP, tmp, n)
+    }
+
+  /** Encode a chunk's current content into a columnstore-layout TMP dir —
+    * sidecars and the settings marker included — WITHOUT publishing: the
+    * caller owns the swap. [[compressChunk]] publishes via the chunk
+    * rewrite path (generation publish / flat in-place); the cagg
+    * materialization publishes the tmp as a NEW `_mat_gen` generation so
+    * cross-process readers planned against the old content are never
+    * yanked mid-read (same additive-publish contract as a cagg refresh).
+    * Returns (fs, resolved source dir, tmp dir, row count).
+    */
+  private[graft] def compressEncodeTmp(spark: SparkSession, chunkPath: String,
+      opts: Options): (org.apache.hadoop.fs.FileSystem, Path, Path, Long) = {
     val fs = new Path(chunkPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // re-resolve to the chunk's CURRENT live generation: the caller's
@@ -582,6 +597,16 @@ object Columnstore {
       s"orderby=${opts.orderBy.mkString(",")}\n" +
       s"rowgroupbytes=${opts.rowGroupBytes}").getBytes("UTF-8"))
     touch.close()
+    (fs, chunkP, tmp, n)
+  }
+
+  /** Publish an [[compressEncodeTmp]]/[[decompressEncodeTmp]] result via
+    * the hypertable chunk-rewrite path (generation publish on gen
+    * layouts, in-place swap on flat dirs) + the catalog/stamp bookkeeping.
+    */
+  private def publishEncoded(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, chunkP: Path, tmp: Path,
+      n: Long): Long =
     Hypertable.publishChunkRewrite(spark, fs, chunkP, tmp) match {
       case None => 0L // chunk dropped mid-compress; the drop won — no
         // stamp bump or manifest sync (nothing was published)
@@ -598,7 +623,6 @@ object Columnstore {
         else Hypertable.syncCatalogForChunk(spark, fs, live)
         n
     }
-  }
 
   /** Invert [[compressChunk]]: rewrite the chunk as plain (snappy) parquet
     * and drop the columnstore marker — `decompress_chunk` /
@@ -607,6 +631,16 @@ object Columnstore {
     */
   def decompressChunk(spark: SparkSession, chunkPath: String): Long =
     withChunkMutation(spark, chunkPath) {
+      val (fs, chunkP, tmp, n) = decompressEncodeTmp(spark, chunkPath)
+      publishEncoded(spark, fs, chunkP, tmp, n)
+    }
+
+  /** [[compressEncodeTmp]]'s inverse: rowstore-encode into a TMP dir
+    * without publishing (no columnstore marker — this IS the decompress).
+    */
+  private[graft] def decompressEncodeTmp(spark: SparkSession,
+      chunkPath: String)
+      : (org.apache.hadoop.fs.FileSystem, Path, Path, Long) = {
     val fs = new Path(chunkPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // re-resolve to the chunk's CURRENT live generation: the caller's
@@ -643,15 +677,7 @@ object Columnstore {
       .foreach(end => Hypertable.writeRangeFile(fs, tmp, end))
     Hypertable.readSpaceParts(fs, chunkP)
       .foreach(p => Hypertable.writeSpaceParts(fs, tmp, p))
-    Hypertable.publishChunkRewrite(spark, fs, chunkP, tmp) match {
-      case None => 0L // chunk dropped mid-decompress; the drop won
-      case Some(live) =>
-        Hypertable.refreshColStatsIfEnabled(spark, live.toString)
-        if (live == chunkP)
-          Hypertable.touchContentStamp(fs, Hypertable.storageRootOf(chunkP))
-        else Hypertable.syncCatalogForChunk(spark, fs, live)
-        n
-    }
+    (fs, chunkP, tmp, n)
   }
 
   /** recompress_chunk_segmentwise (`tsl/src/compression/recompress.c`):

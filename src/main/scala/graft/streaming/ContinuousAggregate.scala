@@ -1019,27 +1019,39 @@ class ContinuousAggregate(
       opts: Option[Columnstore.Options] = None): Seq[Long] = withRefreshLock {
     val o = opts.getOrElse(Columnstore.Options(
       segmentBy = defn.groupCols, orderBy = Seq(BUCKET)))
-    // columnstore conversion operates on the chunk's LIVE content dir
-    // (its newest generation, or the legacy flat dir) — the swap inside
-    // compressChunk is the flat-layout in-place one, same contract as a
-    // flat raw chunk
-    val todo = matChunkDirs.map { case (k, p) => (k, liveMatDir(p)) }
-      .filter { case (k, p) =>
+    // columnstore conversion reads the chunk's LIVE content dir (its
+    // newest generation, or the legacy flat dir) and publishes the
+    // re-encoded result as a NEW generation — the same additive contract
+    // as a refresh, so a cross-process reader planned against the old
+    // layout is never yanked mid-read by the policy (an in-place swap
+    // inside the live dir would be; round 12)
+    val todo = matChunkDirs.map { case (k, p) => (k, p, liveMatDir(p)) }
+      .filter { case (k, _, live) =>
         olderThanMicros.forall(cut => k + matChunkMicros <= cut) &&
-          hasDataFiles(p) && !Columnstore.isCompressed(spark, p.toString)
+          hasDataFiles(live) &&
+          !Columnstore.isCompressed(spark, live.toString)
       }
-    graft.Par.foreach(todo) { case (_, p) =>
-      Columnstore.compressChunk(spark, p.toString, o)
+    val ts = System.currentTimeMillis()
+    graft.Par.foreach(todo) { case (_, chunkDir, live) =>
+      val (_, _, tmp, _) = Columnstore.compressEncodeTmp(spark,
+        live.toString, o)
+      publishMatGen(chunkDir, Some(tmp), ts)
     }
     todo.map(_._1)
   }
 
-  /** Invert [[compressMaterialization]] for every compressed mat chunk. */
+  /** Invert [[compressMaterialization]] for every compressed mat chunk —
+    * additive generation publish, like the compression itself.
+    */
   def decompressMaterialization(): Seq[Long] = withRefreshLock {
-    val todo = matChunkDirs.map { case (k, p) => (k, liveMatDir(p)) }
-      .filter { case (_, p) => Columnstore.isCompressed(spark, p.toString) }
-    graft.Par.foreach(todo) { case (_, p) =>
-      Columnstore.decompressChunk(spark, p.toString)
+    val todo = matChunkDirs.map { case (k, p) => (k, p, liveMatDir(p)) }
+      .filter { case (_, _, live) =>
+        Columnstore.isCompressed(spark, live.toString) }
+    val ts = System.currentTimeMillis()
+    graft.Par.foreach(todo) { case (_, chunkDir, live) =>
+      val (_, _, tmp, _) = Columnstore.decompressEncodeTmp(spark,
+        live.toString)
+      publishMatGen(chunkDir, Some(tmp), ts)
     }
     todo.map(_._1)
   }

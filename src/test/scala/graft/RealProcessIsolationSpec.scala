@@ -624,6 +624,10 @@ class RealProcessIsolationSpec extends AnyFunSuite {
     try {
       (1 to 3).foreach { k =>
         ht.write(events.where(pmod(col("event_id"), lit(4)) === k))
+        // columnstore policy churn on the cagg itself: the conversion
+        // publishes NEW mat generations (round 12) — the reader in
+        // process B must never see a torn layout mid-swap either
+        if (k == 2) { cagg.compressMaterialization(); () }
         Thread.sleep(500) // let a child refresh/read overlap the repair
       }
       assert(refresher.waitFor(240, TimeUnit.SECONDS),
