@@ -45,6 +45,16 @@ object Graft {
     * raw-hypertable aggregations are answered from its realtime view
     * (reference `rewrite_with_caggs.c`).
     */
+  /** Register an atomic conditional-PUT backend for a filesystem scheme
+    * (S3 `If-None-Match: *`, GCS `ifGenerationMatch=0`, ABFS ETag
+    * preconditions): exclusive claims — including the stream-log seq
+    * claim — then decide in ONE store round-trip on that scheme, and the
+    * blind-PUT readback + settle belt retires for it.
+    */
+  def registerConditionalPutClaims(scheme: String,
+      backend: graft.sources.ConditionalPutBackend): Unit =
+    graft.sources.MutationGate.registerConditionalPut(scheme, backend)
+
   def registerCaggRewrite(cagg: graft.streaming.ContinuousAggregate): Unit =
     graft.plans.CaggRewrite.register(cagg)
 

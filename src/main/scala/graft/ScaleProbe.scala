@@ -173,8 +173,6 @@ object ScaleProbe {
       "fs.slowfs.impl", classOf[SlowFs].getName)
     val base = java.nio.file.Files.createTempDirectory("graft_slogprobe").toString
     val noSeqs = new java.util.concurrent.ConcurrentSkipListSet[java.lang.Long]()
-    val noNames = java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
     for (n <- Seq(600, 60000); scheme <- Seq("file", "slowfs")) {
       val table = s"$base/$scheme$n"
       val probePath = if (scheme == "file") table else s"slowfs://$table"
@@ -195,10 +193,10 @@ object ScaleProbe {
         }
       }
       val floor = n - 6L // newest 5 unprocessed — the steady-state trigger
-      CatalogStreamCore.newLogEntries(spark, probePath, noNames, floor,
+      CatalogStreamCore.newLogEntries(spark, probePath, floor,
         noSeqs) // warm
       val (tFloor, gotFloor) = timed2 {
-        CatalogStreamCore.newLogEntries(spark, probePath, noNames, floor,
+        CatalogStreamCore.newLogEntries(spark, probePath, floor,
           noSeqs)._1.size
       }
       // the floor-less pass is the CONTRAST (what a restart without a
@@ -208,7 +206,7 @@ object ScaleProbe {
       val (tFull, gotFull) =
         if (scheme == "slowfs" && n > 600) (-1.0, -1)
         else timed2 {
-          CatalogStreamCore.newLogEntries(spark, probePath, noNames, -1L,
+          CatalogStreamCore.newLogEntries(spark, probePath, -1L,
             noSeqs)._1.size
         }
       println(f"""[scale] {"probe":"stream_log_trigger","fs":"$scheme","entries":$n,"build_sec":$tBuild%.2f,"floor_pass_sec":$tFloor%.4f,"full_pass_sec":$tFull%.4f,"floor_new":$gotFloor,"full_new":$gotFull}""")
@@ -282,6 +280,51 @@ object ScaleProbe {
     println(f"""[scale] {"probe":"append_under_churn","chunks":$nChunks,"batches":$batches,"quiet_p50":${pct(quiet, 0.5)}%.2f,"quiet_p99":${pct(quiet, 0.99)}%.2f,"churn_p50":${if (churn.nonEmpty) pct(churn, 0.5) else -1.0}%.2f,"churn_p99":${if (churn.nonEmpty) pct(churn, 0.99) else -1.0}%.2f,"policy_rounds":$rounds}""")
   }
 
+  /** Mat-catalog resolution probe (round 13, SCALE.md §18): a cagg with N
+    * mat chunks (default 10⁴); resolution = `matChunks` through the
+    * `_mat_catalog` snapshot (one LIST + one GET) vs the pre-round-13
+    * physical path (the fallback: mat-root LIST + ~2 LISTs per chunk —
+    * measured under slowfs at the small point, where it is already
+    * seconds, and on local fs at full N). The cagg is BUILT on local fs
+    * and probed through `slowfs://` (same dir), like the stream-log
+    * probe. Run: `SPARK_GRAFT_MAT_PROBE=1 sbt "runMain graft.ScaleProbe"`.
+    */
+  private def matResolutionProbe(spark: SparkSession): Unit = {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.slowfs.impl", classOf[SlowFs].getName)
+    val base = java.nio.file.Files.createTempDirectory("graft_matprobe").toString
+    val big = sys.env.getOrElse("SPARK_GRAFT_MAT_CHUNKS", "10000").toInt
+    for (n <- Seq(600, big).distinct) {
+      val dir = s"$base/n$n"
+      val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+        chunkWidth = (n.toLong * 10L).toString, timeKind = "bigint")
+      ht.write((0L until n.toLong).toDF("ts").withColumn("v", lit(1.0)))
+      val defn = CaggDef("1", Seq.empty, Seq(count(lit(1)).as("cnt"),
+        sum(col("v").cast("decimal(28,8)")).as("s")), matChunkWidth = "1")
+      val cagg = ContinuousAggregate.create(spark, s"$dir/cagg", ht, defn)
+      val (tBuild, _) = timed { cagg.refresh(0L, n.toLong) }
+      require(cagg.matChunks.size == n, s"expected $n mat chunks")
+      val results = (for (scheme <- Seq("file", "slowfs")) yield {
+        val probe =
+          if (scheme == "file") cagg
+          else new ContinuousAggregate(spark, s"slowfs://$dir/cagg", ht, defn)
+        probe.matChunks // warm
+        val (tCat, _) = timed2 { probe.matChunks.size }
+        scheme -> (tCat, probe)
+      }).toMap
+      // fallback contrast: the physical per-chunk listing (pre-round-13)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/cagg/_mat_catalog"), true)
+      val (tListLocal, _) = timed { cagg.matChunks.size }
+      val tListSlow =
+        if (n > 600) -1.0 // ~2·n slowfs LISTs / 8 threads — minutes; small point only
+        else timed { results("slowfs")._2.matChunks.size }._1
+      println(f"""[scale] {"probe":"mat_resolution","chunks":$n,"build_sec":$tBuild%.1f,"catalog_local_sec":${results("file")._1}%.4f,"catalog_slowfs_sec":${results("slowfs")._1}%.4f,"fallback_local_sec":$tListLocal%.3f,"fallback_slowfs_sec":$tListSlow%.2f}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,10,100")
@@ -294,6 +337,15 @@ object ScaleProbe {
     }
     if (sys.env.contains("SPARK_GRAFT_CATALOG_PROBE")) {
       catalogProbe(spark); spark.stop(); return
+    }
+    if (sys.env.contains("SPARK_GRAFT_MAT_PROBE")) {
+      matResolutionProbe(spark); spark.stop(); return
+    }
+    sys.env.get("SPARK_GRAFT_BUILD_FULL").foreach { out =>
+      val m = sys.env.getOrElse("SPARK_GRAFT_BUILD_MULT", "10").toInt
+      buildFullScaled(spark, sf, m, out)
+      println(s"[scale] built full ${m}x of $sf at $out")
+      spark.stop(); return
     }
     val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
 
@@ -485,6 +537,46 @@ object ScaleProbe {
     * each replica's internal duplicate structure is preserved → pair count
     * scales ~N.
     */
+  /** Build a FULL sf-equivalent dir: every table, with JOIN KEYS shifted
+    * per replica (orderkey/custkey/partkey/suppkey offset by replica ×
+    * key-domain) so fact-dim and fact-fact joins stay 1:1 instead of m²
+    * blowups — the input for the full-bench sf1 measurement (round-13
+    * verdict item 6). region/nation stay as-is (genuinely fixed dims).
+    * Run: `SPARK_GRAFT_BUILD_FULL=/tmp/graft_sf1_full
+    * SPARK_GRAFT_BUILD_MULT=10 sbt "runMain graft.ScaleProbe"`.
+    */
+  private def buildFullScaled(spark: SparkSession, sf: String, m: Int,
+      dir: String): Unit = {
+    val reps = broadcast(spark.range(m).select(col("id").as("_rep")))
+    def t(name: String) = Tables.table(spark, sf, name)
+    def domain(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).head().getLong(0) + 1
+    Seq("region", "nation").foreach { n =>
+      t(n).write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    }
+    val cOff = domain(t("customer"), "c_custkey")
+    val sOff = domain(t("supplier"), "s_suppkey")
+    val pOff = domain(t("part"), "p_partkey")
+    val oOff = domain(t("orders"), "o_orderkey")
+    def replicate(df: DataFrame, shifts: Map[String, Long]): DataFrame =
+      shifts.foldLeft(df.crossJoin(reps)) { case (d, (c, off)) =>
+        d.withColumn(c,
+          (col(c) + col("_rep") * off).cast(df.schema(c).dataType))
+      }.drop("_rep")
+    Seq(
+      ("customer", Map("c_custkey" -> cOff)),
+      ("supplier", Map("s_suppkey" -> sOff)),
+      ("part", Map("p_partkey" -> pOff)),
+      ("orders", Map("o_orderkey" -> oOff, "o_custkey" -> cOff)),
+      ("lineitem", Map("l_orderkey" -> oOff, "l_partkey" -> pOff,
+        "l_suppkey" -> sOff)),
+    ).foreach { case (n, shifts) =>
+      replicate(t(n), shifts).repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    }
+    buildScaled(spark, sf, m, dir) // events/documents/embeddings (§13 form)
+  }
+
   private def buildScaled(spark: SparkSession, sf: String, m: Int, dir: String): Unit = {
     val reps = broadcast(spark.range(m).select(col("id").as("_rep")))
     val ev = Tables.table(spark, sf, "events").crossJoin(reps)

@@ -90,6 +90,27 @@ private[graft] object MutationGate {
   private def forceBlindPut(spark: SparkSession): Boolean =
     spark.conf.get("spark.graft.gate.forceBlindPutClaims", "false").toBoolean
 
+  // ------------------------------------------- conditional-PUT claim hook
+
+  /** Registered [[ConditionalPutBackend]]s by filesystem scheme. When a
+    * scheme has one, exclusive claims decide in that ONE store round-trip
+    * (structural mutual exclusion, like local/HDFS create-exclusive): the
+    * blind-PUT readback + settle belt is skipped entirely, and the
+    * stream-log seq claim's hold cost collapses accordingly (SCALE.md
+    * §16's ~6-round-trip bound was the no-conditional-PUT worst case).
+    */
+  private val conditionalPutBackends = new java.util.concurrent
+    .ConcurrentHashMap[String, ConditionalPutBackend]()
+
+  private[graft] def registerConditionalPut(scheme: String,
+      backend: ConditionalPutBackend): Unit = {
+    conditionalPutBackends.put(scheme, backend); ()
+  }
+
+  private[graft] def unregisterConditionalPut(scheme: String): Unit = {
+    conditionalPutBackends.remove(scheme); ()
+  }
+
   // ------------------------------------------------------- marker plumbing
 
   /** Markers this process holds, refreshed by [[heartbeatNow]] (wired into
@@ -107,7 +128,7 @@ private[graft] object MutationGate {
   // can simulate DISTINCT PROCESSES in one JVM (claimExclusive's contract
   // is one claimant per process — in-process callers serialize on JVM
   // locks first). Production never sets it: the owner is processId.
-  private[sources] val claimOwnerOverride = new ThreadLocal[String]()
+  private[graft] val claimOwnerOverride = new ThreadLocal[String]()
   private def claimOwner: String =
     Option(claimOwnerOverride.get()).getOrElse(processId)
 
@@ -285,15 +306,18 @@ private[graft] object MutationGate {
 
   /** Does this store give an ATOMIC create-exclusive? Local POSIX
     * (O_CREAT|O_EXCL via `File.createNewFile`) and HDFS/viewfs (the
-    * namenode arbitrates `create(overwrite=false)`) do; raw object stores
-    * (blind PUT) do not. On capable stores the claim is one create call —
-    * structural mutual exclusion, no readback, no settle sleep.
+    * namenode arbitrates `create(overwrite=false)`) do natively; any
+    * scheme with a registered [[ConditionalPutBackend]] (S3
+    * If-None-Match, GCS ifGenerationMatch=0, ABFS ETag) does through the
+    * hook. Raw object stores without one (blind PUT) do not. On capable
+    * stores the claim is one create call — structural mutual exclusion,
+    * no readback, no settle sleep.
     */
   private[sources] def atomicCreateCapable(spark: SparkSession,
       fs: FileSystem): Boolean =
     !forceBlindPut(spark) && (fs.getScheme match {
       case "file" | "hdfs" | "viewfs" => true
-      case _ => false
+      case s => conditionalPutBackends.containsKey(s)
     })
 
   /** One atomic create-exclusive attempt; true iff THIS call created the
@@ -304,7 +328,15 @@ private[graft] object MutationGate {
     * within the mtime bound, which is the waiting direction.
     */
   private def tryAtomicCreate(fs: FileSystem, p: Path, created: Long)
-      : Boolean =
+      : Boolean = {
+    val backend = conditionalPutBackends.get(fs.getScheme)
+    if (backend != null)
+      // object stores have no directories — no mkdirs round-trip; a
+      // backend for a store that does need parents creates them itself
+      return try backend.putIfAbsent(fs, p,
+        body(claimOwner, created, System.currentTimeMillis(), None)
+          .getBytes("UTF-8"))
+      catch { case _: java.io.IOException => false }
     fs.getScheme match {
       case "file" =>
         try {
@@ -326,6 +358,7 @@ private[graft] object MutationGate {
           true
         } catch { case _: java.io.IOException => false }
     }
+  }
 
   /** Arbitrate clearing a stale (crashed-holder) or own-leftover marker —
     * the pre-round-12 bare delete+create admitted two holders: both
@@ -467,6 +500,17 @@ private[graft] object MutationGate {
               // the winner); just loop into the wait arm
             }
           }
+          // Lost the create (or arbitration is pending a live sidecar /
+          // another holder's revive): back off like the wait arm does.
+          // Without this the stale/other arm busy-loops FS calls — and,
+          // since the deadline was only checked in the live-foreign-holder
+          // arm, could spin past timeoutMs entirely.
+          if (!claimed) {
+            if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"timed out contending for exclusive marker $p")
+            Thread.sleep(pollMs(spark))
+          }
       }
     }
   }
@@ -475,7 +519,7 @@ private[graft] object MutationGate {
     * foreign holder exists or the claim race is lost. Used by
     * opportunistic work (torn-op healing) that should skip, not queue.
     */
-  private[sources] def tryClaimExclusive(spark: SparkSession, fs: FileSystem,
+  private[graft] def tryClaimExclusive(spark: SparkSession, fs: FileSystem,
       p: Path, activityRoot: => Option[(FileSystem, String)]): Boolean = {
     val me = claimOwner
     val cur =
@@ -750,4 +794,26 @@ private[graft] object MutationGate {
       }
     } finally l.unlock()
   }
+}
+
+/** Backend hook for stores offering an atomic CONDITIONAL CREATE — S3's
+  * `If-None-Match: *` PUT (native since 2024), GCS `ifGenerationMatch=0`
+  * preconditions, ABFS ETag preconditions. Hadoop's FileSystem API
+  * exposes no conditional PUT, so the hook receives the marker bytes and
+  * talks to the store client directly. Register per scheme via
+  * [[graft.Graft.registerConditionalPutClaims]]; once registered,
+  * exclusive claims (including the stream-log seq claim) decide in this
+  * ONE round-trip and the blind-PUT readback + settle belt retires for
+  * that scheme.
+  */
+trait ConditionalPutBackend {
+
+  /** Write `bytes` at `p` iff no object exists there, atomically AT THE
+    * STORE. Returns true iff THIS call created the object; false when it
+    * already exists (failed precondition). Throw IOException only for
+    * transport errors — the claim loop treats a throw as a lost attempt
+    * and re-polls.
+    */
+  def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Boolean
 }

@@ -122,15 +122,6 @@ object CatalogStreamCore {
     }.flatten
   }
 
-  /** The wall-clock a LEGACY log entry's name embeds; -1 when unparsable.
-    * (V2 entries put the SEQUENCE first — parse those with
-    * [[Hypertable.streamEntrySeq]]/[[Hypertable.streamEntryTs]]; the two
-    * formats are distinguished by LOCATION: `s*` buckets are v2, the root
-    * and `t*` buckets are legacy.)
-    */
-  def entryTs(name: String): Long = scala.util.Try(
-    name.stripPrefix("e_").takeWhile(_.isDigit).toLong).getOrElse(-1L)
-
   /** Round 12 DEMOTED this from a correctness bound to a dedup-memory
     * pad: delivery floors are now logical (contiguous processed SEQUENCE
     * — see [[newLogEntries]]), so no writer clock skew can floor an
@@ -144,31 +135,32 @@ object CatalogStreamCore {
   def floorSkewMs(spark: SparkSession): Long =
     spark.conf.get("spark.graft.stream.floorSkewMs", "600000").toLong
 
-  /** Unprocessed log entries, oldest first, as (name, seq, files) — seq
-    * = -1 for legacy-layout entries — plus the lowest EXISTING v2 bucket
-    * index (-1 when none), which lets the source snap its floor past
-    * retention-pruned history.
+  /** Unprocessed log entries, oldest first, as (name, seq, files), plus
+    * the lowest EXISTING bucket index (-1 when none), which lets the
+    * source snap its floor past retention-pruned history.
     *
-    * V2 listing is exact and clock-free: one listStatus of the log root
+    * The listing is exact and clock-free: one listStatus of the log root
     * yields the `s<seq/512>` bucket dirs; buckets whose whole seq range
     * is ≤ `floorSeq` are skipped unread (every verified entry in them is
     * processed — the contiguous-floor invariant), and only the frontier
     * buckets are descended into. Within a listed bucket, entries with
-    * seq ≤ floorSeq or in `processedSeqs` are skipped. Legacy layouts
-    * (root-flat round-10 entries, `t<hour>` round-11 buckets) are listed
-    * every pass with per-entry retention pruning and NAME-keyed dedup —
-    * transitional only: the first round-12 write folds them into seq
-    * buckets, and retention ages them out regardless.
+    * seq ≤ floorSeq or in `processedSeqs` are skipped.
+    *
+    * Round 13 DELETED the legacy reader branches (root-flat round-10
+    * entries, `t<hour>` round-11 buckets — re-listed every pass with
+    * name-keyed dedup): the fold-on-first-write
+    * ([[Hypertable]].migrateLegacyStreamEntries, shipped round 12) moves
+    * any legacy entries into seq buckets before a new entry can land, a
+    * NEW checkpoint's initial snapshot covers their files regardless, and
+    * retention ages out what remains — the reader-first upgrade ordering
+    * (SCALE.md §16) already governs the mixed-version window.
     */
   def newLogEntries(spark: SparkSession, tablePath: String,
-      processed: java.util.Set[String], floorSeq: Long,
-      processedSeqs: java.util.Set[java.lang.Long])
+      floorSeq: Long, processedSeqs: java.util.Set[java.lang.Long])
       : (Seq[(String, Long, Seq[String])], Long) = {
     val fs = fsOf(spark, tablePath)
     val dir = new Path(tablePath, Hypertable.STREAM_LOG)
-    val retain = logRetainMs(spark)
     val bucketSeqs = Hypertable.STREAM_LOG_BUCKET_SEQS
-    val now = System.currentTimeMillis()
     val top =
       try fs.listStatus(dir).toSeq
       catch { case _: java.io.FileNotFoundException => return (Nil, -1L) }
@@ -191,39 +183,7 @@ object CatalogStreamCore {
             .linesIterator.filter(_.nonEmpty).toSeq))
           catch { case _: java.io.IOException => None } // racing writer/prune
       }
-    // legacy layouts: hourly t-buckets (whole-bucket retention prune) and
-    // root-flat entries, both name-dedup'd — no floor (exactness over
-    // speed for a transitional window the first v2 write closes)
-    val tBucketed = top
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("t") &&
-        s.getPath.getName.drop(1).forall(_.isDigit))
-      .flatMap { d =>
-        val idx = d.getPath.getName.stripPrefix("t").toLong
-        if (now - (idx + 1) * Hypertable.STREAM_LOG_BUCKET_MS > retain) {
-          try fs.delete(d.getPath, true)
-          catch { case _: java.io.IOException => () }
-          Nil
-        } else
-          try fs.listStatus(d.getPath).toSeq.filter(_.isFile)
-          catch { case _: java.io.FileNotFoundException => Nil }
-      }
-    val rootFlat = top.filter(s =>
-      s.isFile && s.getPath.getName.startsWith("e_"))
-    val legacy = (rootFlat ++ tBucketed).flatMap { st =>
-      val name = st.getPath.getName
-      val created = entryTs(name) match { case -1L => now; case t => t }
-      if (now - created > retain) {
-        try fs.delete(st.getPath, false)
-        catch { case _: java.io.IOException => () }
-        None
-      } else if (processed.contains(name)) None
-      else {
-        try Some((name, -1L, Hypertable.readSmallFile(fs, st.getPath)
-          .linesIterator.filter(_.nonEmpty).toSeq))
-        catch { case _: java.io.IOException => None }
-      }
-    }
-    ((legacy ++ v2).sortBy(e => (e._2, e._1)), minBucket)
+    (v2.sortBy(e => (e._2, e._1)), minBucket)
   }
 
   /** Reader-side log retention GC (writers run the same walk every 64th

@@ -384,8 +384,9 @@ class ContinuousAggregate(
     // timestamp_micros projection; ChunkExclusion sees through it.
     Hypertable.registerForExclusion(Hypertable.ExclusionInfo(
       fs.makeQualified(new Path(matPath)).toString, BUCKET,
-      () => matChunkDirs.map { case (k, p) =>
-        graft.sources.ChunkInfo(k, k + matChunkMicros, p.toString) },
+      () => matLiveEntries.map { case (k, _, _) =>
+        graft.sources.ChunkInfo(k, k + matChunkMicros,
+          new Path(matPath, s"$MATCHUNK=$k").toString) },
       Seq.empty,
       chunkCol = MATCHUNK))
     val df = live
@@ -729,28 +730,33 @@ class ContinuousAggregate(
     // cross-process reader planned against it is never yanked mid-read
     // (the pre-round-12 delete+rename at the same path failed such
     // readers with FAILED_READ, or silently dropped the bucket for a
-    // lister racing the gap — found by the three-process cagg case)
+    // lister racing the gap — found by the three-process cagg case).
+    // Round 13: liveness is recorded in the mat CATALOG (publishSync
+    // below) — readers resolve generations from one snapshot read, and
+    // the grace clock starts at the catalog write.
     val pubTs = System.currentTimeMillis()
-    tmpDirs.foreach { st =>
-      publishMatGen(new Path(matPath, st.getPath.getName), Some(st.getPath),
-        pubTs)
+    val published = tmpDirs.map { st =>
+      val key = st.getPath.getName.stripPrefix(s"$MATCHUNK=").toLong
+      val (gen, sibs) = publishMatGen(new Path(matPath, st.getPath.getName),
+        Some(st.getPath), pubTs)
+      (key, gen, sibs, true, false)
     }
     // a mat-chunk in [chunkLo, chunkHi) whose recomputed content is empty
     // (all raw rows deleted + invalidated) produces no tmp dir — publish
     // an EMPTY generation (retiring the old content under grace, never
     // deleting it under readers) or materialized/realtime keep serving
     // deleted buckets
-    val written = tmpDirs.map(_.getPath.getName).toSet
-    fs.listStatus(new Path(matPath)).toSeq
-      .filter { st =>
-        st.isDirectory && st.getPath.getName.startsWith(s"$MATCHUNK=") &&
-          !written.contains(st.getPath.getName) && {
-            val ck = st.getPath.getName.stripPrefix(s"$MATCHUNK=").toLong
-            ck >= chunkLo && ck < chunkHi
-          } && hasDataFiles(liveMatDir(st.getPath))
+    val writtenKeys = published.map(_._1).toSet
+    val emptied = matLiveEntries
+      .filter { case (k, _, hasData) =>
+        hasData && !writtenKeys.contains(k) && k >= chunkLo && k < chunkHi }
+      .map { case (k, _, _) =>
+        val (gen, sibs) =
+          publishMatGen(new Path(matPath, s"$MATCHUNK=$k"), None, pubTs)
+        (k, gen, sibs, false, false)
       }
-      .foreach(st => publishMatGen(st.getPath, None, pubTs))
     fs.delete(new Path(tmp), true)
+    publishSync(published ++ emptied)
     if (e > watermark) setWatermark(e)
     // propagate down the hierarchy (the reference's cagg-on-cagg
     // invalidation flow): log the CHANGED range into each child's
@@ -883,8 +889,11 @@ class ContinuousAggregate(
     widened
   }
 
-  /** Mat-chunk partition dirs as (chunk key, path), key-sorted. */
-  private[streaming] def matChunkDirs: Seq[(Long, Path)] = {
+  /** Mat-chunk partition dirs as (chunk key, path), key-sorted — the
+    * PHYSICAL listing. Catalog-fallback and mutator-side scans only;
+    * reader paths resolve through [[matLiveEntries]] (one catalog read).
+    */
+  private def matChunkDirsListed: Seq[(Long, Path)] = {
     val mp = new Path(matPath)
     if (!fs.exists(mp)) return Seq.empty
     fs.listStatus(mp).toSeq
@@ -894,7 +903,7 @@ class ContinuousAggregate(
   }
 
   /** Chunk keys (bucket-time micros / integer units) of the mat chunks. */
-  def matChunks: Seq[Long] = matChunkDirs.map(_._1)
+  def matChunks: Seq[Long] = matLiveEntries.map(_._1)
 
   /** How long superseded mat-chunk GENERATIONS stay on disk after a newer
     * one is published. Cross-process readers resolve file paths at plan
@@ -922,30 +931,207 @@ class ContinuousAggregate(
         .map(_ -> st.getPath))
       .sortBy(_._1)
 
-  /** The dir holding a mat chunk's live content: newest generation
-    * subdir, or the chunk dir itself (legacy flat layout).
-    */
-  private[streaming] def liveMatDir(chunkDir: Path): Path =
-    matGens(chunkDir).lastOption.map(_._2).getOrElse(chunkDir)
-
   private def hasDataFiles(dir: Path): Boolean =
     try fs.listStatus(dir).exists(st => st.isFile &&
       st.getPath.getName.endsWith(".parquet"))
     catch { case _: java.io.FileNotFoundException => false }
 
-  /** Publish a mat chunk's new content as generation `ts` — rename the
-    * staged dir in (None = an explicitly EMPTY generation: the recompute
-    * produced no rows for this chunk, which must retire the old content
-    * without deleting the dir under readers) — then GC what the grace
-    * allows: a generation is retired at its SUCCESSOR's publish ts and
-    * deleted once that is older than [[matGraceMs]]; legacy flat files
-    * (retired at the FIRST generation's ts) go the same way, along with a
-    * stale legacy columnstore marker. Only refresh-lock holders call this,
-    * so publishes never race each other; readers never lose a planned
-    * file inside the grace.
+  private def hasFlatFiles(dir: Path): Boolean =
+    try fs.listStatus(dir).exists(st => st.isFile &&
+      !st.getPath.getName.startsWith("."))
+    catch { case _: java.io.FileNotFoundException => false }
+
+  // ----------------------------------------------------------- mat catalog
+  //
+  // Round 13: the materialization's live-generation pointers live in a
+  // versioned `_mat_catalog/v<N>.json` (the same move round 5 made for raw
+  // chunks with `_graft_chunks.json`). Before this, every materialized/
+  // realtime construction paid one listStatus of the mat root plus ~2
+  // listStatus per mat chunk — eagerly, before any bucket predicate could
+  // prune: ~10-40 s of metadata latency per query at 10^4 chunks on an
+  // object store (20 ms/LIST). Now it is ONE list + ONE get. Writers all
+  // hold the refresh lock (cross-process), so read-modify-write is safe;
+  // each write is a NEW version file (no no-file window), keep-3 pruned.
+
+  private def matCatalogDir = new Path(path, "_mat_catalog")
+
+  private def matCatalogVersions(): Seq[(Long, Path)] =
+    (try fs.listStatus(matCatalogDir).toSeq.filter(_.isFile)
+     catch { case _: java.io.IOException => Nil })
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v") && n.endsWith(".json"))
+          scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toLong)
+            .toOption.map(_ -> st.getPath)
+        else None
+      }.sortBy(_._1)
+
+  /** Newest catalog snapshot; None for a cagg that predates the catalog
+    * (first mutator writes it) — callers fall back to the physical
+    * listing. A version pruned between the listing and the open (several
+    * publishes raced in) re-resolves once.
+    */
+  private[streaming] def readMatCatalog(): Option[MatCatalog] = {
+    var attempt = 0
+    while (attempt < 2) {
+      matCatalogVersions().lastOption match {
+        case None => return None
+        case Some((_, p)) =>
+          try return Some(parseMatCatalog(Hypertable.readSmallFile(fs, p)))
+          catch { case _: java.io.IOException => attempt += 1 }
+      }
+    }
+    None
+  }
+
+  private def parseMatCatalog(body: String): MatCatalog = {
+    val t = Hypertable.jsonMapper.readTree(body)
+    import scala.jdk.CollectionConverters._
+    val chunks = t.get("chunks").elements().asScala.map(n =>
+      MatEntry(n.get("k").asLong, n.get("d").asText, n.get("f").asBoolean,
+        n.get("c").asBoolean)).toSeq
+    val retired = t.get("retired").elements().asScala.map(n =>
+      MatRetired(n.get("x").asText, n.get("d").asText,
+        n.get("t").asLong)).toSeq
+    MatCatalog(t.get("v").asLong, chunks, retired)
+  }
+
+  private def writeMatCatalogFile(cat: MatCatalog): Unit = {
+    val o = Hypertable.jsonMapper.createObjectNode()
+    o.put("v", cat.v)
+    val ca = o.putArray("chunks")
+    cat.chunks.sortBy(_.key).foreach { e =>
+      val n = ca.addObject()
+      n.put("k", e.key); n.put("d", e.rel)
+      n.put("f", e.hasData); n.put("c", e.compressed)
+    }
+    val ra = o.putArray("retired")
+    cat.retired.foreach { r =>
+      val n = ra.addObject()
+      n.put("x", r.kind); n.put("d", r.rel); n.put("t", r.ts)
+    }
+    fs.mkdirs(matCatalogDir)
+    Hypertable.writeSmallFile(fs,
+      new Path(matCatalogDir, s"v${cat.v}.json"), o.toString)
+    matCatalogVersions().dropRight(MAT_CATALOG_KEEP)
+      .foreach { case (_, p) =>
+        try fs.delete(p, false)
+        catch { case _: java.io.IOException => () }
+      }
+  }
+
+  private def matRelOf(p: Path): String = {
+    val base =
+      fs.makeQualified(new Path(matPath)).toString.stripSuffix("/") + "/"
+    val q = fs.makeQualified(p).toString
+    require(q.startsWith(base), s"mat content dir $q not under $base")
+    q.stripPrefix(base)
+  }
+
+  private def matDirOf(rel: String): Path = new Path(matPath, rel)
+
+  /** Physical-listing fallback for pre-catalog caggs: live = the newest
+    * generation (or the flat dir); superseded content enters `retired` at
+    * its SUCCESSOR generation's publish ts — the round-12 grace rule, so
+    * the first catalog write GCs exactly what round 12 would have.
+    * `withCompression` gates the per-chunk columnstore probe (only the
+    * compression paths need the flag; readers skip the extra stat).
+    */
+  private def listMatState(withCompression: Boolean): MatCatalog = {
+    val entries = graft.Par.map(matChunkDirsListed) { case (k, d) =>
+      val gens = matGens(d)
+      val live = gens.lastOption.map(_._2).getOrElse(d)
+      val entry = MatEntry(k, matRelOf(live), hasDataFiles(live),
+        withCompression && Columnstore.isCompressed(spark, live.toString))
+      val retired = gens.sliding(2).collect {
+        case Seq((_, dir), (succTs, _)) =>
+          MatRetired("g", matRelOf(dir), succTs)
+      }.toSeq ++
+        (if (gens.nonEmpty && hasFlatFiles(d))
+           Seq(MatRetired("l", matRelOf(d), gens.head._1))
+         else Nil)
+      (entry, retired)
+    }
+    MatCatalog(0L, entries.map(_._1), entries.flatMap(_._2))
+  }
+
+  /** (chunk key, live content dir, hasData) for every live mat chunk —
+    * ONE catalog read when the catalog exists; the physical listing only
+    * for pre-catalog caggs. The reader-side resolution for materialized/
+    * realtime/hierarchical reads: zero per-chunk listStatus.
+    */
+  private[streaming] def matLiveEntries: Seq[(Long, Path, Boolean)] =
+    readMatCatalog().map(_.chunks).getOrElse(listMatState(false).chunks)
+      .map(e => (e.key, matDirOf(e.rel), e.hasData))
+      .sortBy(_._1)
+
+  private def retireOf(e: MatEntry, ts: Long): MatRetired =
+    if (e.rel.contains(s"${MATGEN}=")) MatRetired("g", e.rel, ts)
+    else MatRetired("l", e.rel, ts)
+
+  /** Delete a grace-expired retired dir, then (for a chunk no longer in
+    * the catalog — a dropped chunk) the emptied chunk-dir shell.
+    */
+  private def deleteRetired(r: MatRetired, liveKeys: Set[Long]): Unit = {
+    val d = matDirOf(r.rel)
+    def chunkKeyOf(p: Path): Option[Long] = scala.util.Try(
+      p.getName.stripPrefix(s"$MATCHUNK=").toLong).toOption
+    def reapShell(chunkDir: Path): Unit =
+      if (chunkKeyOf(chunkDir).exists(k => !liveKeys.contains(k)) &&
+          (try fs.listStatus(chunkDir).isEmpty
+           catch { case _: java.io.IOException => false }))
+        fs.delete(chunkDir, false)
+    try r.kind match {
+      case "g" =>
+        fs.delete(d, true)
+        reapShell(d.getParent)
+      case _ => // "l": flat files live directly in the chunk dir
+        try fs.listStatus(d)
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+          .foreach(st => fs.delete(st.getPath, false))
+        catch { case _: java.io.FileNotFoundException => () }
+        reapShell(d)
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** Read-modify-write of the mat catalog — refresh-lock holders ONLY
+    * (the lock serializes publishers cross-process). GC piggybacks here:
+    * a retired dir whose grace expired is deleted from DISK first, then
+    * dropped from the list in the same write — a crash between the two
+    * re-deletes (idempotent) instead of leaking. A reader planned against
+    * a dir keeps at least [[matGraceMs]] from the catalog write that
+    * retired it, because readers can only plan dirs the catalog
+    * references as live.
+    */
+  private def syncMatCatalog(mutate: MatCatalog => MatCatalog): MatCatalog = {
+    val cur = readMatCatalog().getOrElse(listMatState(true))
+    val next0 = mutate(cur)
+    val now = System.currentTimeMillis()
+    val liveKeys = next0.chunks.map(_.key).toSet
+    val liveRels = next0.chunks.map(_.rel).toSet
+    // defensive: never let a retired entry shadow a live pointer, and
+    // collapse duplicates to the LATEST retire ts (longest grace)
+    val dedup = next0.retired.filterNot(r => liveRels.contains(r.rel))
+      .groupBy(r => (r.kind, r.rel)).map(_._2.maxBy(_.ts)).toSeq
+    val (expired, kept) = dedup.partition(r => now - r.ts > matGraceMs)
+    expired.foreach(r => deleteRetired(r, liveKeys))
+    val next = next0.copy(v = cur.v + 1, retired = kept)
+    writeMatCatalogFile(next)
+    next
+  }
+
+  /** Rename a mat chunk's staged content in as generation `ts` (None = an
+    * explicitly EMPTY generation: the recompute produced no rows for this
+    * chunk, which must retire the old content without deleting it under
+    * readers). Returns the published gen dir plus the rel paths of the
+    * OTHER generation dirs present in the chunk — the caller retires any
+    * of them the catalog doesn't already track (crash remnants of a
+    * publish whose catalog write never landed). Deletion is entirely
+    * [[syncMatCatalog]]'s job: a dir dies only [[matGraceMs]] after the
+    * catalog write that dereferenced it.
     */
   private def publishMatGen(chunkDir: Path, staged: Option[Path],
-      ts: Long): Unit = {
+      ts: Long): (Path, Seq[String]) = {
     fs.mkdirs(chunkDir)
     // unique publish ts per chunk: two refreshes inside one millisecond
     // (forced back-to-back) must not collide on the gen name
@@ -957,35 +1143,69 @@ class ContinuousAggregate(
         s"mat generation publish failed: $s -> $target")
       case None => fs.mkdirs(target)
     }
-    val gens = matGens(chunkDir)
-    val now = System.currentTimeMillis()
-    gens.sliding(2).foreach {
-      case Seq((_, dir), (succTs, _)) if now - succTs > matGraceMs =>
-        try fs.delete(dir, true)
-        catch { case _: java.io.IOException => () }
-      case _ => ()
-    }
-    if (gens.nonEmpty && now - gens.head._1 > matGraceMs)
-      try fs.listStatus(chunkDir)
-        .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
-        .foreach(st => fs.delete(st.getPath, false))
-      catch { case _: java.io.IOException => () }
+    val qTarget = fs.makeQualified(target)
+    val siblings = matGens(chunkDir).map(_._2)
+      .filter(p => fs.makeQualified(p) != qTarget)
+      .map(matRelOf)
+    (target, siblings)
   }
 
-  /** The materialization's live rows (BUCKET + groups + aggs + MATCHUNK),
-    * resolved per chunk to its live generation — None when no chunk holds
-    * data files. Generation-layout and legacy flat chunks read separately
-    * (their partition depths differ) and union.
+  /** Fold a batch of publishes into the catalog: move each chunk's live
+    * pointer, retire the previous one (grace clock = this catalog write),
+    * and retire untracked sibling generations (crash remnants). One
+    * element per published chunk: (key, gen dir, sibling rels, hasData,
+    * compressed).
     */
-  private def readMatLive(): Option[DataFrame] = {
-    val chunks = matChunkDirs
-    if (chunks.isEmpty) return None
-    val resolved = graft.Par.map(chunks) { case (_, d) =>
-      val live = liveMatDir(d)
-      (live, live != d, hasDataFiles(live))
+  private def publishSync(
+      pubs: Seq[(Long, Path, Seq[String], Boolean, Boolean)]): MatCatalog =
+    syncMatCatalog { cat =>
+      val now = System.currentTimeMillis()
+      val byKey = cat.chunks.map(e => e.key -> e).toMap
+      val tracked = (cat.chunks.map(_.rel) ++ cat.retired.map(_.rel)).toSet
+      val updated = pubs.map { case (k, gen, _, f, c) =>
+        MatEntry(k, matRelOf(gen), f, c) }
+      val updatedRels = updated.map(_.rel).toSet
+      val newRetired = pubs.flatMap { case (k, _, sibs, _, _) =>
+        byKey.get(k).map(e => retireOf(e, now)).toSeq ++
+          sibs.filterNot(tracked).filterNot(updatedRels)
+            .map(MatRetired("g", _, now))
+      }
+      val upKeys = updated.map(_.key).toSet
+      cat.copy(chunks = cat.chunks.filterNot(e => upKeys(e.key)) ++ updated,
+        retired = cat.retired ++ newRetired)
     }
-    val genDirs = resolved.collect { case (p, true, true) => p.toString }
-    val flatDirs = resolved.collect { case (p, false, true) => p.toString }
+
+  // the mat scan memo: (catalog version, scan) — like Hypertable's
+  // buildScan memo, the DataFrame (and its eagerly-listed FileIndex) is
+  // the catalog version's snapshot; any publish/drop bumps the version
+  // and rebuilds. Cross-process refreshes are caught because every query
+  // re-reads the catalog head (one list + one get) to check the version.
+  @volatile private var cachedMatScan: Option[(Long, Option[DataFrame])] = None
+
+  /** The materialization's live rows (BUCKET + groups + aggs + MATCHUNK),
+    * resolved per chunk to its live generation from ONE catalog read —
+    * None when no chunk holds data files. Generation-layout and legacy
+    * flat chunks read separately (their partition depths differ) and
+    * union.
+    */
+  private def readMatLive(): Option[DataFrame] =
+    readMatCatalog() match {
+      case Some(cat) =>
+        cachedMatScan match {
+          case Some((v, df)) if v == cat.v => df
+          case _ =>
+            val df = buildMatLive(cat.chunks)
+            cachedMatScan = Some((cat.v, df))
+            df
+        }
+      case None => buildMatLive(listMatState(false).chunks)
+    }
+
+  private def buildMatLive(chunks: Seq[MatEntry]): Option[DataFrame] = {
+    val entries = chunks.filter(_.hasData)
+    if (entries.isEmpty) return None
+    val (genDirs, flatDirs) = entries.map(e => matDirOf(e.rel).toString)
+      .partition(_.contains(s"${MATGEN}="))
     def readDirs(dirs: Seq[String]): Option[DataFrame] =
       if (dirs.isEmpty) None
       else Some(spark.read.option("basePath", matPath).parquet(dirs: _*)
@@ -998,10 +1218,8 @@ class ContinuousAggregate(
 
   /** Chunk keys of mat chunks currently in columnstore layout. */
   def compressedMatChunks: Seq[Long] =
-    matChunkDirs.collect {
-      case (k, p)
-          if Columnstore.isCompressed(spark, liveMatDir(p).toString) => k
-    }
+    readMatCatalog().map(_.chunks).getOrElse(listMatState(true).chunks)
+      .collect { case e if e.compressed => e.key }.sorted
 
   /** Convert mat chunks fully older than the cutoff to columnstore layout —
     * compression on a continuous aggregate (`ALTER MATERIALIZED VIEW ...
@@ -1025,35 +1243,39 @@ class ContinuousAggregate(
     // as a refresh, so a cross-process reader planned against the old
     // layout is never yanked mid-read by the policy (an in-place swap
     // inside the live dir would be; round 12)
-    val todo = matChunkDirs.map { case (k, p) => (k, p, liveMatDir(p)) }
-      .filter { case (k, _, live) =>
-        olderThanMicros.forall(cut => k + matChunkMicros <= cut) &&
-          hasDataFiles(live) &&
-          !Columnstore.isCompressed(spark, live.toString)
+    val todo = readMatCatalog().map(_.chunks).getOrElse(listMatState(true).chunks)
+      .filter { e =>
+        olderThanMicros.forall(cut => e.key + matChunkMicros <= cut) &&
+          e.hasData && !e.compressed
       }
     val ts = System.currentTimeMillis()
-    graft.Par.foreach(todo) { case (_, chunkDir, live) =>
+    val pubs = graft.Par.map(todo) { e =>
+      val chunkDir = new Path(matPath, s"$MATCHUNK=${e.key}")
       val (_, _, tmp, _) = Columnstore.compressEncodeTmp(spark,
-        live.toString, o)
-      publishMatGen(chunkDir, Some(tmp), ts)
+        matDirOf(e.rel).toString, o)
+      val (gen, sibs) = publishMatGen(chunkDir, Some(tmp), ts)
+      (e.key, gen, sibs, e.hasData, true)
     }
-    todo.map(_._1)
+    publishSync(pubs)
+    todo.map(_.key)
   }
 
   /** Invert [[compressMaterialization]] for every compressed mat chunk —
     * additive generation publish, like the compression itself.
     */
   def decompressMaterialization(): Seq[Long] = withRefreshLock {
-    val todo = matChunkDirs.map { case (k, p) => (k, p, liveMatDir(p)) }
-      .filter { case (_, _, live) =>
-        Columnstore.isCompressed(spark, live.toString) }
+    val todo = readMatCatalog().map(_.chunks).getOrElse(listMatState(true).chunks)
+      .filter(_.compressed)
     val ts = System.currentTimeMillis()
-    graft.Par.foreach(todo) { case (_, chunkDir, live) =>
+    val pubs = graft.Par.map(todo) { e =>
+      val chunkDir = new Path(matPath, s"$MATCHUNK=${e.key}")
       val (_, _, tmp, _) = Columnstore.decompressEncodeTmp(spark,
-        live.toString)
-      publishMatGen(chunkDir, Some(tmp), ts)
+        matDirOf(e.rel).toString)
+      val (gen, sibs) = publishMatGen(chunkDir, Some(tmp), ts)
+      (e.key, gen, sibs, e.hasData, false)
     }
-    todo.map(_._1)
+    publishSync(pubs)
+    todo.map(_.key)
   }
 
   /** Drop mat chunks fully older than the cutoff — retention applied to
@@ -1064,11 +1286,22 @@ class ContinuousAggregate(
     * dropped chunk keys.
     */
   def dropMatChunks(olderThanMicros: Long): Seq[Long] = withRefreshLock {
-    val todo = matChunkDirs.filter { case (k, _) =>
-      k + matChunkMicros <= olderThanMicros
+    // Drop = remove from the catalog NOW (new plans exclude the chunk at
+    // once), grace-retire the content (round-12 advisor low: the previous
+    // in-place recursive delete yanked a cross-process reader's planned
+    // files — the exact failure class the additive _mat_gen publish was
+    // added to eliminate). The chunk-dir shell is reaped by the retired
+    // GC once its last content dir dies.
+    var dropped: Seq[Long] = Nil
+    syncMatCatalog { cat =>
+      val now = System.currentTimeMillis()
+      val (drop, keep) = cat.chunks.partition(e =>
+        e.key + matChunkMicros <= olderThanMicros)
+      dropped = drop.map(_.key).sorted
+      cat.copy(chunks = keep,
+        retired = cat.retired ++ drop.map(retireOf(_, now)))
     }
-    todo.foreach { case (_, p) => fs.delete(p, true) }
-    todo.map(_._1)
+    dropped
   }
 
   /** `drop_chunks(cagg, newer_than => ...)` on the materialization —
@@ -1083,16 +1316,21 @@ class ContinuousAggregate(
     * does"). Cost: one footer-level max over the LAST remaining chunk dir.
     */
   def dropMatChunksNewer(newerThanMicros: Long): Seq[Long] = withRefreshLock {
-    val todo = matChunkDirs.filter { case (k, _) => k >= newerThanMicros }
-    todo.foreach { case (_, p) => fs.delete(p, true) }
-    if (todo.nonEmpty) {
-      val remaining = matChunkDirs
-        .map { case (k, p) => (k, liveMatDir(p)) }
-        .filter { case (_, p) => hasDataFiles(p) }
+    // same grace-retire contract as [[dropMatChunks]]
+    var dropped: Seq[Long] = Nil
+    val next = syncMatCatalog { cat =>
+      val now = System.currentTimeMillis()
+      val (drop, keep) = cat.chunks.partition(_.key >= newerThanMicros)
+      dropped = drop.map(_.key).sorted
+      cat.copy(chunks = keep,
+        retired = cat.retired ++ drop.map(retireOf(_, now)))
+    }
+    if (dropped.nonEmpty) {
+      val remaining = next.chunks.filter(_.hasData)
       val wmNew =
         if (remaining.isEmpty) Long.MinValue
         else {
-          val last = remaining.maxBy(_._1)._2
+          val last = matDirOf(remaining.maxBy(_.key).rel)
           val r = spark.read.parquet(last.toString)
             .agg(org.apache.spark.sql.functions.max(col(BUCKET))).head()
           if (r.isNullAt(0)) Long.MinValue
@@ -1100,7 +1338,7 @@ class ContinuousAggregate(
         }
       if (wmNew < watermark) setWatermark(wmNew)
     }
-    todo.map(_._1)
+    dropped
   }
 
   /** Path of the raw source (hypertable, or the parent cagg of a
@@ -1331,6 +1569,31 @@ object ContinuousAggregate {
   private val BUCKET = "_bucket"
   private val MATCHUNK = "_mat_chunk"
   private val MATGEN = "_mat_gen"
+  private val MAT_CATALOG_KEEP = 3
+
+  /** One live mat chunk in the mat catalog: chunk key, live content dir
+    * RELATIVE to the mat root (`_mat_chunk=K/_mat_gen=T`, or
+    * `_mat_chunk=K` for a legacy flat chunk), whether it holds data
+    * files, and whether that content is columnstore-encoded.
+    */
+  private[streaming] case class MatEntry(key: Long, rel: String,
+      hasData: Boolean, compressed: Boolean)
+
+  /** A mat content dir no longer referenced as live. Its grace clock
+    * starts at the CATALOG WRITE that dereferenced it (`ts`) — not at the
+    * superseding generation's publish ts — so a crashed publish whose
+    * catalog write never landed cannot strand readers of the
+    * still-cataloged older generation: they keep the full grace from the
+    * moment the catalog actually moved. `kind`: "g" = a generation subdir
+    * (recursive delete), "l" = legacy flat files directly in the chunk
+    * dir (top-level file delete only — the dir itself hosts generation
+    * subdirs).
+    */
+  private[streaming] case class MatRetired(kind: String, rel: String,
+      ts: Long)
+
+  private[streaming] case class MatCatalog(v: Long, chunks: Seq[MatEntry],
+      retired: Seq[MatRetired])
 
   /** In-JVM lock serializing child registration against parent drop —
     * the cagg-side analogue of `Hypertable.caggRegistryLock`.
@@ -1374,8 +1637,8 @@ object ContinuousAggregate {
           // and only the re-rendered message names the FNF — restrict the
           // substring match to SparkExceptions (an arbitrary error whose
           // text merely mentions FNF stays unmatched). Each retry
-          // re-lists matChunkDirs, so a chunk dir the swap REMOVED (not
-          // just replaced) resolves by the re-listing no longer returning
+          // re-reads matLiveEntries, so a chunk the swap REMOVED (not
+          // just replaced) resolves by the re-read no longer returning
           // it. Exponential backoff to ~1.6 s total: a parent refresh's
           // chunk swap includes a recursive delete of the old mat chunk
           // dir, which can exceed a fixed 100 ms window for a large chunk.
@@ -1398,11 +1661,11 @@ object ContinuousAggregate {
     }
 
     private def timeBoundsOnce(): Option[(Long, Long)] = {
-      // probe each chunk's LIVE generation dir — a footer walk over the
-      // whole chunk dir would fold grace-retained old generations into
-      // the bounds
-      val dirs = parent.matChunkDirs
-        .map { case (k, p) => (k, parent.liveMatDir(p)) }
+      // probe each chunk's LIVE generation dir (one catalog read) — a
+      // footer walk over the whole chunk dir would fold grace-retained
+      // old generations into the bounds
+      val dirs = parent.matLiveEntries
+        .collect { case (k, p, true) => (k, p) }
       if (dirs.isEmpty) return None
       def viaFooter(p: Path, wantMin: Boolean): Option[Option[Long]] =
         graft.operators.Stats.columnRanges(parent.spark, p.toString, Seq(BUCKET))

@@ -213,6 +213,78 @@ object IsolationChild {
             i += 1
           }
           if (code == 0) println(s"CAGG_READS_OK $iters")
+        case "cagg-repair-loop" =>
+          // the refresh role of cagg_drop_chunks_iso's DROP arm
+          // (tsl/test/isolation/specs/cagg_drop_chunks_iso.spec): process
+          // repair-refreshes the cagg's PENDING invalidations in a loop
+          // while the parent drops RAW chunks (whose drop logs the
+          // removed ranges — src/chunk.c:4064-4101) and a third process
+          // reads the realtime view. The invalidation-log snapshot cut
+          // must neither lose a logged range nor double-apply one.
+          val htPath = args(2)
+          val iters = args(3).toInt
+          val ht = Hypertable.at(spark, htPath)
+          val defn = graft.streaming.CaggDef("1 hour", Seq("event_type"),
+            Seq(count(lit(1)).as("n")))
+          val cagg = graft.streaming.ContinuousAggregate.create(
+            spark, table, ht, defn)
+          try {
+            (1 to iters).foreach { i =>
+              cagg.refreshInvalidated()
+              println(s"CAGG_REPAIR $i")
+              System.out.flush()
+              Thread.sleep(300)
+            }
+            println("CAGG_REPAIR_OK")
+          } catch {
+            case e: Exception =>
+              println(s"CAGG_REPAIR_FAIL ${e.getMessage}")
+              code = 7
+          }
+        case "cagg-read-drop" =>
+          // the SELECT role of cagg_drop_chunks_iso's DROP arm: with NO
+          // ingest anywhere, every realtime bucket count is ALL-OR-NOTHING
+          // through a raw drop_chunks + repair — each (bucket, key) shows
+          // its original value until the repair refresh re-materializes
+          // the dropped range from the (now empty) raw side, after which
+          // it is absent; a partial count is a torn read, a reappearance
+          // is a double-apply of the cut invalidation.
+          val htPath = args(2)
+          val iters = args(3).toInt
+          val first = scala.collection.mutable.Map[(String, String), Long]()
+          val dead = scala.collection.mutable.Set[(String, String)]()
+          var i = 0
+          while (i < iters && code == 0) {
+            val ht = Hypertable.at(spark, htPath)
+            val defn = graft.streaming.CaggDef("1 hour", Seq("event_type"),
+              Seq(count(lit(1)).as("n")))
+            val cagg = graft.streaming.ContinuousAggregate.create(
+              spark, table, ht, defn)
+            val rt = cagg.realtime
+              .select(col("bucket").cast("string"), col("event_type"),
+                col("n"))
+              .collect()
+              .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+              .toMap
+            rt.foreach { case (k, n) =>
+              first.get(k) match {
+                case None => first(k) = n
+                case Some(orig) if dead(k) =>
+                  println(s"RESURRECTED $k=$n at iteration $i")
+                  code = 9
+                case Some(orig) if n != orig =>
+                  println(s"TORN $k $n != original $orig at iteration $i")
+                  code = 9
+                case _ => ()
+              }
+            }
+            first.keys.filterNot(rt.contains).foreach(k => dead += k)
+            println(s"CAGG_DROP_READ $i")
+            System.out.flush()
+            i += 1
+            Thread.sleep(250)
+          }
+          if (code == 0) println(s"CAGG_DROP_READS_OK $iters")
         case "read-snapshot" =>
           // three-way isolation reader (compression_ddl_iso.spec's SELECT
           // role): while ANOTHER process appends and a THIRD runs

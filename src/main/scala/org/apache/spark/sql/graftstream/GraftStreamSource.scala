@@ -117,9 +117,6 @@ class GraftStreamSource(spark: classic.SparkSession, table: String,
   // than log retention + floor skew can never reappear in the log)
   private val seen = new java.util.concurrent.ConcurrentHashMap[
     String, java.lang.Long]()
-  // LEGACY-layout entry names already processed (v2 entries dedup by seq)
-  private val processedEntries = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
   private var batchId: Long = -1L
   private var lastCommitted: Long = -1L
   private var commitsSinceCompact = 0
@@ -144,6 +141,17 @@ class GraftStreamSource(spark: classic.SparkSession, table: String,
   // make sure writers start logging from now on, even before the first
   // trigger (readStreamCatalog also enables eagerly at plan time)
   CatalogStreamCore.enableLog(spark, table)
+
+  // one reader-side GC + journal-heal pass at START (round-12 advisor
+  // low): an appender that crashed mid-batch leaves its committed files'
+  // entry in a `.pending` journal, healed before round 13 only by the
+  // NEXT write to the table — a table that then went permanently idle
+  // silently lost that batch. The same pass also runs at checkpoint-
+  // compaction cadence (compactState); here it covers the
+  // restart-after-writer-death case. Bounded: one listing of the tiny
+  // pending dir + ≤8 bucket listings, under a non-blocking claim.
+  try CatalogStreamCore.gcExpiredBuckets(spark, table)
+  catch { case scala.util.control.NonFatal(_) => () }
 
   // rebuild checkpointed state: latest compact file (if any) + every
   // NEWER persisted batch's files are seen — restart cost is bounded by
@@ -284,13 +292,6 @@ class GraftStreamSource(spark: classic.SparkSession, table: String,
         try metaFs.delete(new Path(metaDir, n), false)
         catch { case _: java.io.IOException => () }
     }
-    // LEGACY entry names age out with retention (they can never re-list
-    // past it); v2 dedup state is the seq floor, already bounded
-    processedEntries.removeIf { n =>
-      val t = CatalogStreamCore.entryTs(n)
-      t >= 0 && now - t > CatalogStreamCore.logRetainMs(spark) +
-        CatalogStreamCore.floorSkewMs(spark)
-    }
     // log-side retention GC at the same cadence (writers also run it;
     // this covers tables whose writers went away)
     try CatalogStreamCore.gcExpiredBuckets(spark, table)
@@ -301,9 +302,9 @@ class GraftStreamSource(spark: classic.SparkSession, table: String,
 
   override def getOffset: Option[Offset] = synchronized {
     val (entries, minBucket) = CatalogStreamCore
-      .newLogEntries(spark, table, processedEntries, floorSeq, processedSeqs)
-    val fresh = entries.flatMap { case (name, seq, files) =>
-      if (seq >= 0) processedSeqs.add(seq) else processedEntries.add(name)
+      .newLogEntries(spark, table, floorSeq, processedSeqs)
+    val fresh = entries.flatMap { case (_, seq, files) =>
+      processedSeqs.add(seq)
       files.filterNot(seen.containsKey)
     }.distinct
     // retention-pruned history: buckets below the lowest existing one are

@@ -660,6 +660,93 @@ class RealProcessIsolationSpec extends AnyFunSuite {
       "late-data repair diverged under a concurrent cross-process refresh")
   }
 
+  test("cagg_drop_chunks_iso DROP arm: drop_chunks on the RAW hypertable " +
+    "racing a cagg repair-refresh and a realtime reader in two other " +
+    "processes — every bucket is all-or-nothing through the drop, and " +
+    "the invalidation cut neither loses nor double-applies a range") {
+    // tsl/test/isolation/specs/cagg_drop_chunks_iso.spec (the actual drop
+    // variant; the refresh-vs-reader-vs-late-ingest variant is the case
+    // above) + src/chunk.c:4064-4101 (drop_chunks logs cagg
+    // invalidations over the removed ranges): THIS process drops raw
+    // chunks, process A repair-refreshes the logged invalidations,
+    // process B asserts all-or-nothing realtime bucket counts.
+    val dir = Files.createTempDirectory("graft_realproc_caggdrop").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    ht.write(events)
+    val defn = graft.streaming.CaggDef("1 hour", Seq("event_type"),
+      Seq(count(lit(1)).as("n")))
+    val cagg = graft.streaming.ContinuousAggregate.create(
+      spark, s"$dir/cagg", ht, defn)
+    cagg.refreshAll(force = true) // watermark at the end; fully materialized
+    val wmBefore = cagg.watermark
+    val chunks = ht.showChunks().sortBy(_.startMicros)
+    assert(chunks.size >= 3, s"need ≥3 raw chunks, got ${chunks.size}")
+    def spawn(cmd: Seq[String], tag: String)
+        : (Process, java.lang.StringBuilder, Thread) = {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new java.lang.StringBuilder
+      val drain = new Thread(() => {
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream))
+        var l = r.readLine()
+        while (l != null) {
+          out.synchronized { out.append(l).append('\n') }
+          l = r.readLine()
+        }
+      }, s"$tag-drain")
+      drain.setDaemon(true); drain.start()
+      (p, out, drain)
+    }
+    val (repairer, outA, drainA) = spawn(
+      childCmd("cagg-repair-loop", s"$dir/cagg", s"$dir/ht", "8"),
+      "caggdrop-a")
+    val (reader, outB, drainB) = spawn(
+      childCmd("cagg-read-drop", s"$dir/cagg", s"$dir/ht", "10"),
+      "caggdrop-b")
+    try {
+      Thread.sleep(1500) // let both children establish their first view
+      ht.dropChunks(chunks(0).endMicros)
+      Thread.sleep(1200) // a repair pass + reads overlap the first drop
+      ht.dropChunks(chunks(1).endMicros)
+      assert(repairer.waitFor(240, TimeUnit.SECONDS),
+        "cagg-repair-loop child timed out")
+      assert(reader.waitFor(240, TimeUnit.SECONDS),
+        "cagg-read-drop child timed out")
+    } finally {
+      if (repairer.isAlive) repairer.destroyForcibly()
+      if (reader.isAlive) reader.destroyForcibly()
+    }
+    drainA.join(5000); drainB.join(5000)
+    val (oA, oB) = (outA.synchronized(outA.toString),
+      outB.synchronized(outB.toString))
+    assert(repairer.exitValue() === 0 && oA.contains("CAGG_REPAIR_OK"),
+      s"repair refresher failed under concurrent raw drops:\n$oA")
+    assert(reader.exitValue() === 0 && oB.contains("CAGG_DROP_READS_OK"),
+      s"realtime reader saw a torn/resurrected bucket through the drop:\n$oB")
+    // quiesce: remaining pending invalidations repaired here; the mat
+    // equals the direct aggregation over the REMAINING raw rows (the
+    // dropped region's buckets are gone — re-materialized from what's
+    // left, the reference's drop-invalidation contract), and the
+    // watermark never receded (raw drops leave the seam alone)
+    cagg.refreshInvalidated()
+    val mat = cagg.materialized.select("bucket", "event_type", "n")
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    val direct = ht.read()
+      .groupBy(graft.functions.time_bucket("1 hour", col("ts")).as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(mat === direct,
+      "drop-invalidation repair diverged under cross-process concurrency")
+    assert(cagg.watermark === wmBefore,
+      "a raw drop_chunks must not recede the cagg watermark")
+  }
+
   test("read_committed_insert port: a second-process reader sees exactly " +
     "the committed rows after each insert commit") {
     // test/isolation/specs/read_committed_insert.spec: a concurrent

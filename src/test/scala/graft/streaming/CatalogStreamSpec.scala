@@ -317,8 +317,9 @@ class CatalogStreamSpec extends AnyFunSuite {
   }
 
   test("seq-bucketed log layout: entries land in s<seq/512> subdirs with " +
-    "consecutive seqs; a legacy flat entry at the log root is still " +
-    "consumed and dedup'd") {
+    "consecutive seqs; a root-flat legacy entry is ignored by the reader " +
+    "(round 13 deleted the legacy branches — fold-on-write owns legacy " +
+    "delivery) and folded by the next write") {
     val dir = Files.createTempDirectory("graft_catstream_bucket").toString
     val ht = Hypertable.create(spark, s"$dir/ht", "ts",
       chunkWidth = "7 days", catalog = "table")
@@ -340,19 +341,34 @@ class CatalogStreamSpec extends AnyFunSuite {
       Hypertable.streamEntrySeq(st.getPath.getName)).sorted.toSeq
     assert(seqs === (0L until seqs.size).toSeq,
       s"verified entries must be consecutive from 0: $seqs")
-    // a legacy (pre-seq) flat entry with the SAME file list: the source
-    // must list it AND dedup its files against the seq-bucketed twin
+    // a legacy (pre-seq) flat entry with the SAME file list: the reader
+    // IGNORES it (its branches were deleted round 13); the next write
+    // folds it into a seq bucket, where path-dedup absorbs the overlap
     val body = graft.streaming.CatalogStreamCore.readText(fs,
       entries.last.getPath)
     graft.streaming.CatalogStreamCore.writeText(fs,
       new org.apache.hadoop.fs.Path(logDir,
         s"e_${System.currentTimeMillis()}_legacy1"), body)
     drainTo(ht, ckpt, seen)
+    assert(fs.listStatus(logDir).exists(s =>
+      s.isFile && s.getPath.getName.startsWith("e_")),
+      "the reader must leave the legacy entry for the fold, not consume it")
+    // the fold needs a fresh-listing write: drop any held claim first
+    spark.conf.set("spark.graft.stream.seqClaimHoldMs", "0")
+    try ht.write(late.limit(1)
+      .withColumn("event_id", col("event_id") + 2000000))
+    finally spark.conf.unset("spark.graft.stream.seqClaimHoldMs")
+    assert(!fs.listStatus(logDir).exists(s =>
+      s.isFile && s.getPath.getName.startsWith("e_")),
+      "the next write must fold the legacy entry into a seq bucket")
+    drainTo(ht, ckpt, seen)
     val got = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong)
     assert(got.length === got.distinct.length,
-      "legacy-entry overlap must dedup by path")
-    assert(got.sorted.toSeq === events.select("event_id").collect()
-      .map(_.getLong(0)).sorted.toSeq)
+      "folded legacy-entry overlap must dedup by path")
+    assert(got.sorted.toSeq === (events.select("event_id").collect()
+      .map(_.getLong(0)).toSeq :+
+      (late.select("event_id").limit(1).head().getLong(0) + 2000000))
+      .sorted)
   }
 
   test("writer clock skew CANNOT floor an appender out of the stream: " +
@@ -393,6 +409,11 @@ class CatalogStreamSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_catstream_migrate").toString
     val ht = Hypertable.create(spark, s"$dir/ht", "ts",
       chunkWidth = "7 days", catalog = "table")
+    // per-batch claims: this test retro-writes LEGACY entries between two
+    // writes — production legacy state predates any held claim (the fold
+    // happens on a claim session's first, fresh-listing write)
+    spark.conf.set("spark.graft.stream.seqClaimHoldMs", "0")
+    try {
     def slice(k: Int) = events.where(pmod(col("event_id"), lit(3)) === k)
     ht.write(slice(0))
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
@@ -433,6 +454,7 @@ class CatalogStreamSpec extends AnyFunSuite {
       "migrated twin entries must dedup by path")
     assert(got.sorted.toSeq === events.select("event_id").collect()
       .map(_.getLong(0)).sorted.toSeq)
+    } finally spark.conf.unset("spark.graft.stream.seqClaimHoldMs")
   }
 
   test("restart reaps compaction-crash orphans: b/c files at/below the " +
@@ -482,6 +504,10 @@ class CatalogStreamSpec extends AnyFunSuite {
     val ht = Hypertable.create(spark, s"$dir/ht", "ts",
       chunkWidth = "7 days", catalog = "table")
     spark.conf.set("spark.graft.stream.compactEvery", "1")
+    // per-batch claims: the test splices a synthetic frontier entry into
+    // the log between writes — external log surgery a held claim's cached
+    // allocation is (correctly) blind to
+    spark.conf.set("spark.graft.stream.seqClaimHoldMs", "0")
     try {
       def slice(k: Int) = events.where(pmod(col("event_id"), lit(4)) === k)
       ht.write(slice(0))
@@ -532,7 +558,10 @@ class CatalogStreamSpec extends AnyFunSuite {
       assert(got.sorted.toSeq === events.select("event_id").collect()
         .map(_.getLong(0)).sorted.toSeq,
         "a post-GC append was floored out by a restarted sequence")
-    } finally spark.conf.unset("spark.graft.stream.compactEvery")
+    } finally {
+      spark.conf.unset("spark.graft.stream.compactEvery")
+      spark.conf.unset("spark.graft.stream.seqClaimHoldMs")
+    }
   }
 
   test("seq-claim takeover mid-append: the post-write ownership verify " +
@@ -585,7 +614,13 @@ class CatalogStreamSpec extends AnyFunSuite {
       .toSeq === Seq(0L, 1L))
     assert(bodies.distinct.length === 1,
       "twin and retry must carry the same file list")
-    assert(!fs.exists(claim), "the redo must release the claim")
+    // round 13: the redo's fresh claim may be RETAINED for amortization
+    // (seqClaimHoldMs) — released on idle; what matters is it is OURS
+    // (never the stale taker-over's leftover)
+    assert(!fs.exists(claim) ||
+      graft.streaming.CatalogStreamCore.readText(fs, claim)
+        .startsWith(Hypertable.processId),
+      "a retained claim must be this process's own")
     drainTo(ht, ckpt, seen)
     val got = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong)
     assert(got.length === got.distinct.length,
@@ -657,6 +692,171 @@ class CatalogStreamSpec extends AnyFunSuite {
           s"missing=${(table.toSet -- got.toSet).take(5)} " +
           s"extra=${(got.toSet -- table.toSet).take(5)}")
     }
+
+  test("winner-commits-then-reader-processes-then-LOSER-TWIN: a late " +
+    "stale twin at an already-processed seq is skipped without loss — " +
+    "its files arrive via the loser's redo at a fresh seq, exactly once " +
+    "(the appendStreamLog scaladoc's safety argument, pinned)") {
+    val dir = Files.createTempDirectory("graft_catstream_twin2").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    def slice(k: Int) = events.where(pmod(col("event_id"), lit(3)) === k)
+    ht.write(slice(0))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ckpt = s"$dir/ckpt"
+    drainTo(ht, ckpt, seen) // snapshot; log enabled
+    ht.write(slice(1)) // the WINNER's verified entry at seq 0
+    drainTo(ht, ckpt, seen) // the reader PROCESSES seq 0 (floor = 0)
+    val fs = fsOf(s"$dir/ht")
+    val logDir = logDirOf(s"$dir/ht")
+    val root = new org.apache.hadoop.fs.Path(s"$dir/ht")
+    // the paused LOSER's batch: files committed by the job, no log entry
+    // (write.before_sync crashes between the job commit and the append);
+    // its journal is removed — the loser is PAUSED, not crashed, and its
+    // redo below is the delivery path under test
+    val pre = Hypertable.listDataFilesRec(fs, root).toSet
+    Hypertable.crashHook = name =>
+      if (name == "write.before_sync")
+        throw new Hypertable.InjectedCrash(name)
+    try intercept[Hypertable.InjectedCrash] { ht.write(slice(2)) }
+    finally Hypertable.crashHook = _ => ()
+    fs.delete(new org.apache.hadoop.fs.Path(logDir, ".pending"), true)
+    val g = (Hypertable.listDataFilesRec(fs, root).toSet -- pre).toSeq.sorted
+    assert(g.nonEmpty, "the crashed job must have committed files")
+    // the loser wakes and writes its TWIN at the winner's seq 0 — same
+    // seq, DIFFERENT file list than the verified entry the reader already
+    // processed. The protocol guarantees this ordering (the twin can only
+    // exist after the winner's verified entry was visible), so the
+    // seq-keyed skip can never drop a verified entry — only the twin.
+    val now = System.currentTimeMillis()
+    graft.streaming.CatalogStreamCore.writeText(fs,
+      new org.apache.hadoop.fs.Path(logDir,
+        s"s0/${Hypertable.streamEntryName(0L, now)}"), g.mkString("\n"))
+    drainTo(ht, ckpt, seen)
+    val mid = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(mid.length === mid.distinct.length,
+      "the twin must be skipped, not re-processed")
+    val gIds = slice(2).select("event_id").collect().map(_.getLong(0)).sorted
+    assert(!mid.contains(gIds.head),
+      "the twin alone delivers nothing — delivery is the redo's job")
+    // the loser's REDO under a fresh claim: same files, fresh seq
+    graft.streaming.CatalogStreamCore.writeText(fs,
+      new org.apache.hadoop.fs.Path(logDir,
+        s"s0/${Hypertable.streamEntryName(1L, now)}"), g.mkString("\n"))
+    drainTo(ht, ckpt, seen)
+    val got = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(got.length === got.distinct.length,
+      "twin + redo must dedup by path")
+    assert(got.sorted.toSeq === events.select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq,
+      "the loser's batch must arrive exactly once via the redo")
+  }
+
+  test("reader-side journal heal: an appender crash mid-batch on a table " +
+    "that then goes PERMANENTLY idle still delivers the committed batch " +
+    "(round-12 advisor: the heal ran only on the next write before)") {
+    val dir = Files.createTempDirectory("graft_catstream_idleheal").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    def slice(k: Int) = events.where(pmod(col("event_id"), lit(2)) === k)
+    ht.write(slice(0))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ckpt = s"$dir/ckpt"
+    drainTo(ht, ckpt, seen) // snapshot; log enabled
+    // the appender dies between the job commit and the log append — its
+    // journal stays pending and NOTHING ever writes this table again
+    Hypertable.crashHook = name =>
+      if (name == "write.before_sync")
+        throw new Hypertable.InjectedCrash(name)
+    try intercept[Hypertable.InjectedCrash] { ht.write(slice(1)) }
+    finally Hypertable.crashHook = _ => ()
+    // the reader's next START heals the journal (an own-process journal
+    // heals immediately; a foreign crashed appender's after gate.staleMs)
+    // and the same drain delivers the batch
+    drainTo(ht, ckpt, seen)
+    val got = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(got.length === got.distinct.length,
+      "the heal must not duplicate rows")
+    assert(got.sorted.toSeq === events.select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq,
+      "the idle table's crashed batch must reach the stream via the " +
+        "reader-side heal")
+  }
+
+  test("seq-claim amortization: back-to-back batches HOLD the claim and " +
+    "allocate consecutive seqs without re-listing; a `.seq_want` " +
+    "contender is yielded to at the next batch; a stale (paused) holder " +
+    "is still taken over within staleMs (verdict r12 item 3)") {
+    val dir = Files.createTempDirectory("graft_catstream_hold").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    def slice(k: Int) = events.where(pmod(col("event_id"), lit(4)) === k)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ckpt = s"$dir/ckpt"
+    ht.write(slice(0))
+    drainTo(ht, ckpt, seen) // snapshot; log enabled
+    val fs = fsOf(s"$dir/ht")
+    val logDir = logDirOf(s"$dir/ht")
+    val claim = new org.apache.hadoop.fs.Path(logDir, ".seq_claim")
+    ht.write(slice(1)) // seq 0, fresh acquire
+    assert(fs.exists(claim) &&
+      graft.streaming.CatalogStreamCore.readText(fs, claim)
+        .startsWith(Hypertable.processId),
+      "the claim must be RETAINED (held) after the batch")
+    ht.write(slice(2)) // seq 1 from the cached allocation, no re-acquire
+    val seqs = fs.listStatus(logDir)
+      .filter(d => d.isDirectory &&
+        Hypertable.streamBucketIdxOf(d.getPath.getName) >= 0)
+      .flatMap(d => fs.listStatus(d.getPath)).filter(_.isFile)
+      .map(st => Hypertable.streamEntrySeq(st.getPath.getName)).sorted.toSeq
+    assert(seqs === Seq(0L, 1L),
+      s"held-claim batches must allocate consecutive seqs: $seqs")
+    // a contender writes `.seq_want`: the holder's NEXT batch yields the
+    // hold, re-contends, and still commits (the contender here is
+    // simulated — nothing actually races the re-acquisition)
+    graft.streaming.CatalogStreamCore.writeText(fs,
+      new org.apache.hadoop.fs.Path(logDir, ".seq_want"), "contender-1")
+    ht.write(slice(3)) // must yield, re-acquire, commit seq 2
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(logDir, ".seq_want")),
+      "the next acquirer must consume the want marker")
+    // the idle releaser drops the hold once no batches follow (a writer
+    // that stopped streaming must not starve other appenders)
+    val dl = System.currentTimeMillis() + 15000
+    while (fs.exists(claim) && System.currentTimeMillis() < dl)
+      Thread.sleep(100)
+    assert(!fs.exists(claim), "the idle releaser must drop the hold")
+    // a PAUSED holder (heartbeat frozen past staleMs): a foreign claimant
+    // takes the claim over at once via the staleness arbitration — the
+    // hold adds no takeover latency beyond the existing staleMs contract
+    val now = System.currentTimeMillis()
+    val old = now - 900000
+    val out = fs.create(claim, true)
+    out.write(s"paused-writer\n$old\n$old".getBytes("UTF-8"))
+    out.close()
+    fs.setTimes(claim, old, -1)
+    val taken = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      graft.sources.MutationGate.claimOwnerOverride.set("foreign-taker")
+      try {
+        taken.set(graft.sources.MutationGate.tryClaimExclusive(spark, fs,
+          claim, None))
+        if (taken.get) graft.sources.MutationGate.removeMarker(fs, claim)
+      } finally graft.sources.MutationGate.claimOwnerOverride.remove()
+    })
+    t.start(); t.join(30000)
+    assert(taken.get, "a stale held claim must be takeable within staleMs")
+    assert(!fs.exists(claim))
+    // the writer resumes after the idle release: a fresh acquire, fresh
+    // listing, next consecutive seq — exactly-once end to end
+    ht.write(slice(0).limit(1)
+      .withColumn("event_id", col("event_id") + 1000000))
+    drainTo(ht, ckpt, seen)
+    val got = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(got.length === got.distinct.length,
+      "hold/yield/takeover must keep the stream exactly-once")
+    assert(got.toSet.size === events.count() + 1,
+      "every batch incl. the post-takeover one must be delivered")
+  }
 
   test("an empty table streams with an explicit schema; writes flow in") {
     val dir = Files.createTempDirectory("graft_catstream_empty").toString
