@@ -299,6 +299,8 @@ object ScaleProbe {
       val dir = s"$base/n$n"
       val ht = Hypertable.create(spark, s"$dir/ht", "ts",
         chunkWidth = (n.toLong * 10L).toString, timeKind = "bigint")
+      Hypertable.registerIntegerNow(s"matprobe_now_$n")(() => n.toLong)
+      ht.setIntegerNowFunc(s"matprobe_now_$n")
       ht.write((0L until n.toLong).toDF("ts").withColumn("v", lit(1.0)))
       val defn = CaggDef("1", Seq.empty, Seq(count(lit(1)).as("cnt"),
         sum(col("v").cast("decimal(28,8)")).as("s")), matChunkWidth = "1")

@@ -60,13 +60,24 @@ object SkipScan {
       all.map(v => Row(v)).asJava,
       StructType(Seq(StructField(column, sparkType, nullable = true))))
     if (fallbackFiles.isEmpty) fromDict.distinct()
-    else fromDict.unionByName(
-      // basePath + explicit schema: a PARTITION column (in no file's
-      // physical schema — every file falls back) is re-derived from the
-      // paths, and a schema-evolved column missing from old files
-      // null-fills instead of failing resolution
-      spark.read.option("basePath", path).schema(fullSchema)
-        .parquet(fallbackFiles: _*).select(col(column))).distinct()
+    else {
+      // basePath must be a DIRECTORY: a single-FILE table (flat fixture
+      // parquet) whose row groups fall back anchors at its parent dir —
+      // same partition derivation (none for a flat file), no resolution
+      // error
+      val p = new org.apache.hadoop.fs.Path(path)
+      val base =
+        if (p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getFileStatus(p).isDirectory) path
+        else p.getParent.toString
+      fromDict.unionByName(
+        // basePath + explicit schema: a PARTITION column (in no file's
+        // physical schema — every file falls back) is re-derived from the
+        // paths, and a schema-evolved column missing from old files
+        // null-fills instead of failing resolution
+        spark.read.option("basePath", base).schema(fullSchema)
+          .parquet(fallbackFiles: _*).select(col(column))).distinct()
+    }
   }
 
   /** Exact dictionary→Spark-external-value conversion for the column, or

@@ -38,6 +38,23 @@ class SkipScanSpec extends AnyFunSuite {
     assert(got.toSeq === (0 until 7).map(i => s"v$i"))
   }
 
+  test("fallback over a single-FILE table: basePath anchors at the parent " +
+      "dir (sf1 bench regression — 'basePath must be a directory')") {
+    val dir = Files.createTempDirectory("graft_skipscan_file").toString
+    val df = (0 until 10000).map(i => (s"v${i % 7}", i.toLong)).toDF("k", "n")
+    df.coalesce(1).write
+      .option("parquet.enable.dictionary", "false").parquet(s"$dir/stage")
+    // a flat fixture-style single file, like the testdata tables
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/stage"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/t.parquet"))
+    val got = SkipScan.distinct(spark, s"$dir/t.parquet", "k")
+      .as[String].collect().sorted
+    assert(got.toSeq === (0 until 7).map(i => s"v$i"))
+  }
+
   test("distinct on a partition column (in no file's physical schema)") {
     val dir = Files.createTempDirectory("graft_skipscan_part").toString
     val df = (0 until 1000).map(i => (i % 5, i.toLong)).toDF("p", "n")
