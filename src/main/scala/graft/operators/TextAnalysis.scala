@@ -30,15 +30,34 @@ object TextAnalysis {
       .where(col("n_total") >= minCount)
   }
 
-  /** Whitespace token count of the trimmed text. */
+  /** Whitespace token count of the trimmed text — single-pass codegen
+    * expression (round 13: the column form materialized the full token
+    * ARRAY per row just to take its size; q11 at the sf1 point was
+    * dominated by it).
+    */
   def token_count(text: Column): Column =
+    org.apache.spark.sql.GraftShims.toColumn(graft.expressions.TokenCount(
+      org.apache.spark.sql.GraftShims.toExpression(text)))
+
+  /** The original column formulation — the reference [[token_count]] must
+    * match bit-for-bit (spec-pinned).
+    */
+  def token_count_columns(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish piece count: alpha runs, digit runs, and single punctuation
-    * marks each count as one piece.
+    * marks each count as one piece — single-pass codegen expression.
     */
   val SUBWORD_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-  def subword_count(text: Column): Column = regexp_count(text, lit(SUBWORD_PATTERN))
+  def subword_count(text: Column): Column =
+    org.apache.spark.sql.GraftShims.toColumn(graft.expressions.SubwordCount(
+      org.apache.spark.sql.GraftShims.toExpression(text)))
+
+  /** The original regex formulation — the reference [[subword_count]]
+    * must match exactly (spec-pinned).
+    */
+  def subword_count_columns(text: Column): Column =
+    regexp_count(text, lit(SUBWORD_PATTERN))
 
   /** Simple quality features + score in [0,1]:
     * 0.5·min(tokens/50,1) + 0.3·(1 − punct/chars) + 0.2·min(5·stopdensity,1).

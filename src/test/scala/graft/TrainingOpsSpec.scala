@@ -348,6 +348,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("single-pass token_count / subword_count equal the split/regex " +
+      "formulations exactly (round 13)") {
+    val edge = Seq("", "   ", "\tleading tab", "trailing\t", "a  b   c",
+      "vt start", "end\n", "a_b c-d e.f", "ab1cd 12ab",
+      "é über naïve", "😀😀 a😀b", "１23４", "𝐀bc", "__ !! ..",
+      "mixed😀text", "\t\t", "x").toDF("text")
+    for (df <- Seq(docs.select($"text"), edge)) {
+      val bad = df.select(
+        TextAnalysis.token_count($"text").as("tf"),
+        TextAnalysis.token_count_columns($"text").as("tr"),
+        TextAnalysis.subword_count($"text").as("sf"),
+        TextAnalysis.subword_count_columns($"text").as("sr"))
+        .where(not($"tf" <=> $"tr") || not($"sf" <=> $"sr"))
+      assert(bad.count() === 0,
+        s"counter mismatch: ${bad.collect().take(3).mkString("; ")}")
+    }
+  }
+
   test("single-pass quality score equals the column formula bit-for-bit") {
     val edge = Seq("", "   ", "\tleading tab", "trailing\t", "the the the!",
       "a_b c-d e.f", "ALL CAPS AND the Of To", "x").toDF("text")
