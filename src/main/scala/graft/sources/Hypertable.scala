@@ -4224,18 +4224,35 @@ object Hypertable {
             else Some(next)
         }
         if (cached.isEmpty) {
-          // signal a held-across-batches holder to yield at its next
-          // batch; whoever acquires next consumes the marker, so a stale
-          // want (crashed waiter) cannot pin the log in per-batch mode
-          val holderLive =
-            try MutationGate.parse(fs, fs.getFileStatus(claim)).exists(m =>
-              m.owner != processId &&
-                m.live(System.currentTimeMillis(), MutationGate.staleMs(spark)))
-            catch { case _: java.io.IOException => false }
-          if (holderLive)
-            try writeSmallFile(fs, want, processId)
-            catch { case _: java.io.IOException => () }
-          MutationGate.claimExclusive(spark, fs, claim, Some((fs, qRoot)))
+          // acquisition loop that keeps the yield request STANDING: the
+          // acquirer consumes `.seq_want` on winning, so a blocked
+          // claimExclusive waiter whose one-shot want was consumed by a
+          // racing winner would starve under a held claim with
+          // back-to-back batches (continuous two-writer liveness) — each
+          // loser here re-creates the want within one poll instead, and
+          // two continuous writers ALTERNATE batches. A stale want
+          // (crashed waiter) cannot pin the log in per-batch mode: the
+          // next acquirer consumes it.
+          val deadline =
+            System.currentTimeMillis() + MutationGate.timeoutMs(spark)
+          var won = false
+          while (!won) {
+            won = MutationGate.tryClaimExclusive(spark, fs, claim,
+              Some((fs, qRoot)))
+            if (!won) {
+              if (System.currentTimeMillis() > deadline)
+                throw new IllegalStateException(
+                  s"timed out contending for stream-log seq claim $claim")
+              val wantAbsent =
+                try { fs.getFileStatus(want); false }
+                catch { case _: java.io.FileNotFoundException => true
+                        case _: java.io.IOException => false }
+              if (wantAbsent)
+                try writeSmallFile(fs, want, processId)
+                catch { case _: java.io.IOException => () }
+              Thread.sleep(MutationGate.pollMs(spark))
+            }
+          }
           try fs.delete(want, false)
           catch { case _: java.io.IOException => () }
         }

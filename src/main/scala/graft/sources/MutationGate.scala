@@ -67,7 +67,7 @@ private[graft] object MutationGate {
   private[graft] def timeoutMs(spark: SparkSession): Long =
     spark.conf.get("spark.graft.gate.timeoutMs", "600000").toLong
 
-  private def pollMs(spark: SparkSession): Long =
+  private[graft] def pollMs(spark: SparkSession): Long =
     spark.conf.get("spark.graft.gate.pollMs", "50").toLong
 
   /** Settle window for exclusive-marker claims on stores without an
