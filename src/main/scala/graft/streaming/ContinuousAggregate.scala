@@ -701,7 +701,7 @@ class ContinuousAggregate(
     // mat-chunk; a chunk-aligned window (the common full/policy refresh)
     // recomputes every bucket of every touched chunk — skip the mat read
     val needCarryOver = !(s <= chunkLo && e >= chunkHi)
-    val combined = readMatLive() match {
+    val combined = readMatLive(register = false) match {
       case Some(mat) if needCarryOver =>
         val keep = mat
           .where(col(MATCHUNK) >= chunkLo && col(MATCHUNK) < chunkHi &&
@@ -971,7 +971,7 @@ class ContinuousAggregate(
     * listing. A version pruned between the listing and the open (several
     * publishes raced in) re-resolves once.
     */
-  private[streaming] def readMatCatalog(): Option[MatCatalog] = {
+  private[graft] def readMatCatalog(): Option[MatCatalog] = {
     var attempt = 0
     while (attempt < 2) {
       matCatalogVersions().lastOption match {
@@ -1082,7 +1082,7 @@ class ContinuousAggregate(
            catch { case _: java.io.IOException => false }))
         fs.delete(chunkDir, false)
     try r.kind match {
-      case "g" =>
+      case "g" | "o" =>
         fs.delete(d, true)
         reapShell(d.getParent)
       case _ => // "l": flat files live directly in the chunk dir
@@ -1113,7 +1113,17 @@ class ContinuousAggregate(
     // collapse duplicates to the LATEST retire ts (longest grace)
     val dedup = next0.retired.filterNot(r => liveRels.contains(r.rel))
       .groupBy(r => (r.kind, r.rel)).map(_._2.maxBy(_.ts)).toSeq
-    val (expired, kept) = dedup.partition(r => now - r.ts > matGraceMs)
+    // exact reader protection past the wall-clock grace (MatReaderEpochs):
+    // a dir stays while any LIVE epoch file predates its retirement (the
+    // reader registered before the dir was dereferenced, so it may have
+    // planned it); the skew pad errs toward retention. A crashed reader's
+    // epoch goes stale by mtime and stops blocking — the grace floor is
+    // then the contract, exactly as before.
+    val epochFloor = MatReaderEpochs.liveFloor(spark, fs, new Path(path))
+    val skew = MatReaderEpochs.skewMs(spark)
+    val (expired, kept) = dedup.partition(r =>
+      now - r.ts > matGraceMs &&
+        (r.kind == "o" || epochFloor > r.ts + skew))
     expired.foreach(r => deleteRetired(r, liveKeys))
     val next = next0.copy(v = cur.v + 1, retired = kept)
     writeMatCatalogFile(next)
@@ -1166,9 +1176,12 @@ class ContinuousAggregate(
         MatEntry(k, matRelOf(gen), f, c) }
       val updatedRels = updated.map(_.rel).toSet
       val newRetired = pubs.flatMap { case (k, _, sibs, _, _) =>
+        // untracked siblings get kind "o" (orphan): NEVER catalog-live, so
+        // no catalog reader can have planned them — reader epochs don't
+        // block their GC (only the grace applies)
         byKey.get(k).map(e => retireOf(e, now)).toSeq ++
           sibs.filterNot(tracked).filterNot(updatedRels)
-            .map(MatRetired("g", _, now))
+            .map(MatRetired("o", _, now))
       }
       val upKeys = updated.map(_.key).toSet
       cat.copy(chunks = cat.chunks.filterNot(e => upKeys(e.key)) ++ updated,
@@ -1188,7 +1201,44 @@ class ContinuousAggregate(
     * flat chunks read separately (their partition depths differ) and
     * union.
     */
-  private def readMatLive(): Option[DataFrame] =
+  /** `register = false` for refresh-INTERNAL reads (the carry-over scan
+    * at [[refresh]]): they plan and execute entirely under the refresh
+    * lock, which already serializes them against every publish and GC —
+    * an epoch there would let the refresher's own transient scans block
+    * generation GC until collected.
+    */
+  private def readMatLive(register: Boolean = true): Option[DataFrame] = {
+    if (!register) return readMatLiveInner()
+    // reader-epoch registration BEFORE the catalog read (MatReaderEpochs):
+    // the epoch file is on disk first, so every dir live in the catalog
+    // this read resolves can only be retired by a later catalog write,
+    // which the live epoch then blocks from GC past the grace — a
+    // slower-than-matGraceMs reader keeps its planned files exactly, not
+    // just probabilistically (SCALE.md §18)
+    val epoch = MatReaderEpochs.begin(spark, fs, new Path(path))
+    val res =
+      try readMatLiveInner()
+      catch { case e: Throwable => epoch.cancel(); throw e }
+    res match {
+      case Some(df) =>
+        // the holder must be what DERIVED frames retain: materialized/
+        // realtime wrap this scan in projections whose plan trees hold
+        // the analyzed child NODES, not the Dataset wrapper — attaching
+        // the wrapper alone would drop the epoch while a user's derived
+        // frame (or its running collect) is still alive
+        val analyzed = df.queryExecution.analyzed
+        epoch.attach(analyzed)
+        // belt: re-analysis of a derived tree can copy interior nodes;
+        // the resolved LEAF relations survive unchanged far more often,
+        // and any one surviving holder keeps the epoch
+        analyzed.collectLeaves().foreach(epoch.attach)
+        epoch.attach(df)
+      case None => epoch.cancel()
+    }
+    res
+  }
+
+  private def readMatLiveInner(): Option[DataFrame] =
     readMatCatalog() match {
       case Some(cat) =>
         cachedMatScan match {
@@ -1576,7 +1626,7 @@ object ContinuousAggregate {
     * `_mat_chunk=K` for a legacy flat chunk), whether it holds data
     * files, and whether that content is columnstore-encoded.
     */
-  private[streaming] case class MatEntry(key: Long, rel: String,
+  private[graft] case class MatEntry(key: Long, rel: String,
       hasData: Boolean, compressed: Boolean)
 
   /** A mat content dir no longer referenced as live. Its grace clock
@@ -1589,10 +1639,10 @@ object ContinuousAggregate {
     * dir (top-level file delete only — the dir itself hosts generation
     * subdirs).
     */
-  private[streaming] case class MatRetired(kind: String, rel: String,
+  private[graft] case class MatRetired(kind: String, rel: String,
       ts: Long)
 
-  private[streaming] case class MatCatalog(v: Long, chunks: Seq[MatEntry],
+  private[graft] case class MatCatalog(v: Long, chunks: Seq[MatEntry],
       retired: Seq[MatRetired])
 
   /** In-JVM lock serializing child registration against parent drop —

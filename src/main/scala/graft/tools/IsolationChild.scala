@@ -285,6 +285,43 @@ object IsolationChild {
             Thread.sleep(250)
           }
           if (code == 0) println(s"CAGG_DROP_READS_OK $iters")
+        case "cagg-slow-read" =>
+          // reader-epoch exactness (MatReaderEpochs): plan a materialized
+          // read, hold it PAST the parent's matGraceMs while the parent
+          // refreshes (retiring the planned generations) and runs GC,
+          // then execute the plan — the epoch this process registered at
+          // plan time must keep every planned file on disk, so both
+          // collects agree exactly. Without epochs this is the documented
+          // Delta-vacuum-class loss: the second collect throws or shrinks.
+          val htPath = args(2)
+          val signalFile = new java.io.File(args(3))
+          val ht = Hypertable.at(spark, htPath)
+          val defn = graft.streaming.CaggDef("1 hour", Seq("event_type"),
+            Seq(count(lit(1)).as("n")))
+          val cagg = graft.streaming.ContinuousAggregate.create(
+            spark, table, ht, defn)
+          val planned = cagg.materialized // plans + registers the epoch
+          val before = planned.collect().map(_.toString).sorted.toSeq
+          println(s"MAT_PLANNED ${before.length}")
+          System.out.flush()
+          // hold the plan until the parent has refreshed + GC'd (signal
+          // file), bounded so a crashed parent can't hang the child
+          val holdDeadline = System.currentTimeMillis() + 120000L
+          while (!signalFile.exists() &&
+              System.currentTimeMillis() < holdDeadline)
+            Thread.sleep(200)
+          try {
+            val after = planned.collect().map(_.toString).sorted.toSeq
+            if (after == before) println(s"SLOW_READ_OK ${after.length}")
+            else {
+              println(s"SLOW_READ_CHANGED ${after.length} != ${before.length}")
+              code = 9
+            }
+          } catch {
+            case e: Exception =>
+              println(s"SLOW_READ_FAIL ${e.getMessage}")
+              code = 9
+          }
         case "read-snapshot" =>
           // three-way isolation reader (compression_ddl_iso.spec's SELECT
           // role): while ANOTHER process appends and a THIRD runs

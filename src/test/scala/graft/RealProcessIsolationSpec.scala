@@ -802,4 +802,172 @@ class RealProcessIsolationSpec extends AnyFunSuite {
     // quiesced: the batch view is intact after the churn
     assert(Hypertable.at(spark, s"$dir/ht").read().count() === n)
   }
+
+  test("insert_dropchunks_race port: a second-process APPEND racing " +
+    "drop_chunks in this process never tears — every appended slice is " +
+    "all-or-nothing per chunk range and ids stay distinct") {
+    // test/isolation/specs/insert_dropchunks_race.spec (+ dropchunks_race
+    // .spec): an INSERT concurrent with drop_chunks either commits before
+    // the drop (its rows go with the chunk) or lands after (recreating
+    // the range); the reference never exposes a half-dropped chunk to
+    // either session. Here the appender is a REAL second process: any
+    // torn interleaving surfaces as a (slice, chunk-range) cell that is
+    // neither empty nor complete, or as a duplicated id (a drop+rebirth
+    // double-listing a batch's files).
+    val dir = Files.createTempDirectory("graft_realproc_insdrop").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    ht.write(events.where(pmod(col("event_id"), lit(5)) === 0)) // seed
+    val ranges = ht.showChunks().sortBy(_.startMicros)
+      .map(c => (c.startMicros, c.endMicros))
+    assert(ranges.size >= 3, s"need ≥3 chunks, got ${ranges.size}")
+    val pb = new ProcessBuilder(
+      childCmd("append-loop", s"$dir/ht", "4", "1"): _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new java.lang.StringBuilder
+    val drain = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var l = r.readLine()
+      while (l != null) { out.synchronized { out.append(l).append('\n') }; l = r.readLine() }
+    }, "insdrop-drain")
+    drain.setDaemon(true); drain.start()
+    var drops = 0
+    try {
+      // drop the two oldest ranges while the child is mid-append-stream:
+      // one after its first committed batch, one after its third
+      val deadline = System.nanoTime() + 240L * 1000000000L
+      // keep draining until both drops ran (post-exit the APPENDED lines
+      // are already buffered, so the drops still execute — sequentially
+      // rather than interleaved — instead of flaking the assert below)
+      while (drops < 2 && System.nanoTime() < deadline) {
+        val o = out.synchronized(out.toString)
+        if (drops == 0 && o.contains("APPENDED 1")) {
+          ht.dropChunks(ranges(0)._2); drops += 1
+        } else if (drops == 1 && o.contains("APPENDED 3")) {
+          ht.dropChunks(ranges(1)._2); drops += 1
+        } else Thread.sleep(100)
+      }
+      assert(p.waitFor(240, TimeUnit.SECONDS),
+        s"append child timed out:\n${out.synchronized(out.toString)}")
+    } finally if (p.isAlive) p.destroyForcibly()
+    drain.join(5000)
+    val o = out.synchronized(out.toString)
+    assert(p.exitValue() === 0 && o.contains("APPEND_DONE"),
+      s"cross-process appender failed mid-drop-race:\n$o")
+    assert(drops === 2, s"both drops must have interleaved the appends:\n$o")
+    // quiesced state: no duplicate ids anywhere...
+    val re = Hypertable.at(spark, s"$dir/ht").read()
+    val agg = re.agg(count(lit(1)), countDistinct(col("event_id"))).collect()(0)
+    assert(agg.getLong(0) === agg.getLong(1),
+      s"drop+rebirth duplicated rows: ${agg.getLong(0)} vs ${agg.getLong(1)} distinct")
+    // ...and every (slice, chunk-range) cell is ALL-OR-NOTHING: a torn
+    // drop (chunk half-removed under the appender) would leave a partial
+    // map each row to its PRE-RACE chunk range (time_bucket boundaries
+    // follow the reference origin, so derive cells from the actual chunk
+    // list, not epoch arithmetic); -1 = outside every seed range
+    val rangeExpr = ranges.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, ((s, e), i)) =>
+        when(unix_micros(col("ts")) >= s && unix_micros(col("ts")) < e,
+          lit(i)).otherwise(acc)
+    }
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Long] =
+      df.groupBy(pmod(col("event_id"), lit(5)).cast("int").as("slice"),
+          rangeExpr.as("range"))
+        .count()
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+    val expected = cells(events)
+    val observed = cells(re)
+    observed.foreach { case (cell, n) =>
+      assert(expected.get(cell).contains(n),
+        s"torn cell $cell: observed $n, expected ${expected.get(cell)} or absent")
+    }
+    assert(agg.getLong(0) > 0)
+  }
+
+  test("a cross-process reader SLOWER than matGraceMs keeps its planned " +
+    "generation files (reader-epoch exactness): GC past the grace yields " +
+    "to the live epoch and reclaims once the reader is gone") {
+    // the round-12 contract was wall-clock only ("raise matGraceMs above
+    // the longest read" — the Delta-vacuum class); MatReaderEpochs makes
+    // it exact for registered readers. Here the GRACE IS EXCEEDED while
+    // the reader holds its plan across a refresh that retires every
+    // planned generation — without the epoch the second collect loses
+    // files; with it both collects agree exactly.
+    val dir = Files.createTempDirectory("graft_realproc_slowread").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days")
+    ht.write(events)
+    val defn = graft.streaming.CaggDef("1 hour", Seq("event_type"),
+      Seq(count(lit(1)).as("n")))
+    val cagg = graft.streaming.ContinuousAggregate.create(
+      spark, s"$dir/cagg", ht, defn)
+    cagg.refreshAll(force = true)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val signal = new java.io.File(s"$dir/reader_may_finish")
+    val pb = new ProcessBuilder(childCmd("cagg-slow-read", s"$dir/cagg",
+      s"$dir/ht", signal.getAbsolutePath): _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new java.lang.StringBuilder
+    val drain = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var l = r.readLine()
+      while (l != null) { out.synchronized { out.append(l).append('\n') }; l = r.readLine() }
+    }, "slowread-drain")
+    drain.setDaemon(true); drain.start()
+    try {
+      // wait until the child has PLANNED (and registered its epoch)
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (!out.synchronized(out.toString).contains("MAT_PLANNED") &&
+          p.isAlive && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(out.synchronized(out.toString).contains("MAT_PLANNED"),
+        s"child never planned:\n${out.synchronized(out.toString)}")
+      // late row -> repair refresh retires every planned generation
+      import spark.implicits._
+      val late = Seq((990001L, java.sql.Timestamp.valueOf("2024-01-03 07:30:00"),
+        9L, "click", 999.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      cagg.ingest(late)
+      cagg.refreshInvalidated()
+      val cat = cagg.readMatCatalog().get
+      val retiredRels = cat.retired.map(_.rel)
+      assert(retiredRels.nonEmpty,
+        "the repair refresh must retire the planned generations")
+      try {
+        spark.conf.set("spark.graft.cagg.matGraceMs", "100")
+        Thread.sleep(300) // grace EXPIRES while the reader still holds
+        cagg.dropMatChunks(Long.MinValue) // catalog sync -> GC pass
+        retiredRels.foreach { rel =>
+          assert(fs.exists(new Path(s"$dir/cagg/mat/$rel")),
+            s"GC deleted $rel despite the live cross-process reader epoch")
+        }
+        // let the reader finish its held plan against the retained files
+        assert(signal.createNewFile())
+        val finished = p.waitFor(120, TimeUnit.SECONDS)
+        assert(finished, s"child timed out:\n${out.synchronized(out.toString)}")
+        drain.join(5000)
+        val o = out.synchronized(out.toString)
+        assert(p.exitValue() === 0 && o.contains("SLOW_READ_OK"),
+          s"slow reader lost planned files through the GC:\n$o")
+        // reader gone (its shutdown hook drops the epoch; stale-age any
+        // remnant) -> the same GC now reclaims
+        val rdir = new Path(s"$dir/cagg/_mat_readers")
+        try fs.listStatus(rdir).foreach(st =>
+          fs.setTimes(st.getPath, 1000L, 1000L))
+        catch { case _: java.io.FileNotFoundException => () }
+        cagg.dropMatChunks(Long.MinValue)
+        retiredRels.foreach { rel =>
+          assert(!fs.exists(new Path(s"$dir/cagg/mat/$rel")),
+            s"GC must reclaim $rel once no live reader epoch remains")
+        }
+      } finally spark.conf.unset("spark.graft.cagg.matGraceMs")
+    } finally {
+      if (p.isAlive) p.destroyForcibly()
+    }
+  }
 }

@@ -146,6 +146,72 @@ class MatCatalogSpec extends AnyFunSuite {
         .collect().toSet)
   }
 
+  test("a LIVE reader epoch blocks generation GC past the grace; a stale " +
+      "or later-registered epoch does not (round-13 exactness)") {
+    val (dir, _, cagg) = fresh()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rdir = new Path(s"$dir/cagg/${MatReaderEpochs.DIR}")
+    fs.mkdirs(rdir)
+    val foreign = new Path(rdir, "r_foreign-process")
+    // a foreign process's epoch registered BEFORE the drop retires dirs
+    Hypertable.writeSmallFile(fs, foreign,
+      (System.currentTimeMillis() - 5000).toString)
+    val cut = cagg.matChunks.last
+    val dropped = cagg.dropMatChunks(cut)
+    assert(dropped.nonEmpty)
+    val droppedDirs = dropped.map(k => new Path(s"$dir/cagg/mat/_mat_chunk=$k"))
+    try {
+      spark.conf.set("spark.graft.cagg.matGraceMs", "50")
+      Thread.sleep(120)
+      cagg.dropMatChunks(Long.MinValue) // sync -> GC pass
+      droppedDirs.foreach(d => assert(fs.exists(d),
+        s"a live pre-retire reader epoch must block GC of $d"))
+      // STALE epoch (no heartbeat — crashed reader): grace floor returns
+      fs.setTimes(foreign, 1000L, 1000L)
+      cagg.dropMatChunks(Long.MinValue)
+      droppedDirs.foreach(d => assert(!fs.exists(d),
+        s"a stale epoch must not block GC of $d"))
+      // an epoch registered AFTER a retire cannot have planned it — with
+      // no skew pad it does not block
+      spark.conf.set("spark.graft.cagg.matEpochSkewMs", "0")
+      val dropped2 = cagg.dropMatChunks(Long.MaxValue) // the remaining chunk
+      assert(dropped2.nonEmpty)
+      val dirs2 = dropped2.map(k => new Path(s"$dir/cagg/mat/_mat_chunk=$k"))
+      Hypertable.writeSmallFile(fs, foreign,
+        (System.currentTimeMillis() + 60000).toString)
+      Thread.sleep(120)
+      cagg.dropMatChunks(Long.MinValue)
+      dirs2.foreach(d => assert(!fs.exists(d),
+        s"a post-retire epoch must not block GC of $d"))
+    } finally {
+      spark.conf.unset("spark.graft.cagg.matGraceMs")
+      spark.conf.unset("spark.graft.cagg.matEpochSkewMs")
+      fs.delete(foreign, false)
+    }
+  }
+
+  test("a materialized read registers this process's epoch file before " +
+      "the catalog read; the sweeper drops it once no plan holds it") {
+    val (dir, _, cagg) = fresh()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = new Path(
+      s"$dir/cagg/${MatReaderEpochs.DIR}/r_${Hypertable.processId}")
+    val df = cagg.materialized
+    assert(fs.exists(f),
+      "the plan must write the reader epoch before resolving the catalog")
+    val ts0 = Hypertable.readSmallFile(fs, f).trim.toLong
+    assert(ts0 <= System.currentTimeMillis())
+    // heartbeat keeps the file while the plan is reachable
+    MatReaderEpochs.sweepNow()
+    assert(fs.exists(f))
+    assert(df.count() > 0)
+    // all plans gone -> the sweep drops the file; reads still work (the
+    // grace floor is the contract again)
+    MatReaderEpochs.expireAll()
+    assert(!fs.exists(f), "an emptied epoch set must drop its file")
+    assert(cagg.materialized.count() > 0)
+  }
+
   test("pre-catalog cagg (round-12 layout): reads fall back to the " +
       "physical listing; the next publish writes a catalog with correct " +
       "compression flags") {
