@@ -327,6 +327,73 @@ object ScaleProbe {
     }
   }
 
+  /** Exclusive-claim + stream-log append cost by store capability
+    * (SCALE.md §16/§18, round-12 verdict item 2's re-measure): counts
+    * TOP-LEVEL FS API calls ([[OpCountFs]] — each ≈ one object-store
+    * round-trip) for a fresh `claimExclusive`+release and for
+    * `appendStreamLog` batches (fresh acquisition vs held-claim
+    * steady state), on (a) a blind-PUT object store (no backend) and
+    * (b) the same store with a registered conditional-PUT backend.
+    * Run: `SPARK_GRAFT_CLAIM_PROBE=1 sbt "runMain graft.ScaleProbe"`.
+    */
+  private def claimProbe(spark: SparkSession): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.MutationGate
+    spark.sparkContext.hadoopConfiguration.set("fs.opcount.impl",
+      classOf[OpCountFs].getName)
+    val base = java.nio.file.Files.createTempDirectory("graft_claimprobe")
+      .toString
+    val backend = new graft.sources.ConditionalPutBackend {
+      // one counted fs.create ≈ the single conditional-PUT round-trip;
+      // the local createNewFile is the atomicity shim, not a store call
+      def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+          bytes: Array[Byte]): Boolean =
+        try {
+          val f = new java.io.File(p.toUri.getPath)
+          f.getParentFile.mkdirs()
+          if (!f.createNewFile()) false
+          else {
+            val o = fs.create(p, true); o.write(bytes); o.close(); true
+          }
+        } catch { case _: java.io.IOException => false }
+    }
+    def claimOnce(label: String): Unit = {
+      val p = new Path(s"opcount://$base/claims/c_$label")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      OpCountFs.reset()
+      MutationGate.claimExclusive(spark, fs, p, None)
+      val acq = OpCountFs.total()
+      val acqOps = OpCountFs.breakdown()
+      OpCountFs.reset()
+      MutationGate.removeMarker(fs, p)
+      println(s"[claim] $label acquire=$acq ($acqOps) " +
+        s"release=${OpCountFs.total()} (${OpCountFs.breakdown()})")
+    }
+    def appendBatches(label: String): Unit = {
+      val table = s"opcount://$base/log_$label"
+      val fs = new Path(table).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      (1 to 4).foreach { i =>
+        OpCountFs.reset()
+        Hypertable.appendStreamLog(spark, fs, table, Seq(s"f$i"))
+        val kind = if (i == 1) "fresh" else "held"
+        println(s"[claim] $label append#$i ($kind) ops=${OpCountFs.total()} " +
+          s"(${OpCountFs.breakdown()})")
+      }
+      // release the held claim so the next mode starts fresh
+      Hypertable.releaseAllSeqClaims()
+    }
+    println("[claim] mode=blind-put (no conditional-PUT backend)")
+    claimOnce("blind")
+    appendBatches("blind")
+    graft.Graft.registerConditionalPutClaims("opcount", backend)
+    try {
+      println("[claim] mode=conditional-put (registered backend)")
+      claimOnce("cond")
+      appendBatches("cond")
+    } finally MutationGate.unregisterConditionalPut("opcount")
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,10,100")
@@ -342,6 +409,9 @@ object ScaleProbe {
     }
     if (sys.env.contains("SPARK_GRAFT_MAT_PROBE")) {
       matResolutionProbe(spark); spark.stop(); return
+    }
+    if (sys.env.contains("SPARK_GRAFT_CLAIM_PROBE")) {
+      claimProbe(spark); spark.stop(); return
     }
     sys.env.get("SPARK_GRAFT_BUILD_FULL").foreach { out =>
       val m = sys.env.getOrElse("SPARK_GRAFT_BUILD_MULT", "10").toInt
@@ -613,6 +683,78 @@ object ScaleProbe {
   * costs instead of local-FS microseconds (round-11 verdict item 7).
   * Probe-only; registered by ScaleProbe via `fs.slowfs.impl`.
   */
+/** Local FS counting TOP-LEVEL FS API calls (nested internal calls —
+  * RawLocalFileSystem implements several ops via others — are not
+  * re-counted), so each count ≈ one object-store round-trip. Probe-only.
+  */
+class OpCountFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  import OpCountFs._
+  override def getScheme: String = "opcount"
+  override def getUri: java.net.URI = java.net.URI.create("opcount:///")
+  private def counted[T](op: String)(body: => T): T = {
+    val d = depth.get()
+    if (d == 0) bump(op)
+    depth.set(d + 1)
+    try body finally depth.set(d)
+  }
+  override def getFileStatus(p: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileStatus =
+    counted("stat")(super.getFileStatus(p))
+  override def listStatus(p: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] =
+    counted("list")(super.listStatus(p))
+  override def open(p: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream =
+    counted("get")(super.open(p, bufferSize))
+  override def create(p: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    counted("put")(super.create(p, permission, overwrite, bufferSize,
+      replication, blockSize, progress))
+  // RawLocalFileSystem enters through this overload without delegating to
+  // the permissioned one — count both, depth-guarded against double-count
+  override def create(p: org.apache.hadoop.fs.Path, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    counted("put")(super.create(p, overwrite, bufferSize, replication,
+      blockSize, progress))
+  override def rename(a: org.apache.hadoop.fs.Path,
+      b: org.apache.hadoop.fs.Path): Boolean =
+    counted("rename")(super.rename(a, b))
+  override def delete(p: org.apache.hadoop.fs.Path, recursive: Boolean)
+      : Boolean =
+    counted("delete")(super.delete(p, recursive))
+  override def mkdirs(p: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission): Boolean =
+    counted("mkdirs")(super.mkdirs(p, permission))
+}
+
+object OpCountFs {
+  private val counts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang
+      .Integer]()
+  private val depth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+  private def bump(op: String): Unit = {
+    counts.merge(op, 1, (a, b) => a + b); ()
+  }
+  def reset(): Unit = counts.clear()
+  def total(): Int = {
+    var t = 0
+    counts.forEach((_, v) => t += v)
+    t
+  }
+  def breakdown(): String = {
+    import scala.jdk.CollectionConverters._
+    counts.asScala.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+      .mkString(",")
+  }
+}
+
 class SlowFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "slowfs"
   override def getUri: java.net.URI = java.net.URI.create("slowfs:///")

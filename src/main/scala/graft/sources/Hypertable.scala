@@ -1073,20 +1073,41 @@ class Hypertable private (
       () => spacePartsCatalog(),
       () => skipColumns)
 
+  /** Wrap a public read surface in a reader epoch (ChunkReaderEpochs):
+    * registered at the PRIMARY root BEFORE the snapshot (manifest /
+    * chunk listing) the plan resolves from is read, and tied to the
+    * built plan's reachability — the GC consults the primary root's
+    * epochs wherever the chunk physically lives, so a reader slower than
+    * `gc.graceMs` keeps its planned generations exactly (SCALE.md §18).
+    * Zero FS ops while a standing epoch exists; one small write on the
+    * first read per (process, table).
+    */
+  private def withReaderEpoch(build: => DataFrame): DataFrame = {
+    val epoch = ChunkReaderEpochs.begin(spark, fs, new Path(path))
+    val df =
+      try build
+      catch { case e: Throwable => epoch.cancel(); throw e }
+    epoch.attachPlan(df)
+    df
+  }
+
   def read(): DataFrame = {
     assertLayoutCurrent()
-    val info = exclusionInfo
-    Hypertable.registerForExclusion(info)
-    if (catalogMode == "table") {
-      val stamp = metaStamp()
-      cachedScan match {
-        case Some((s, df)) if s == stamp && stamp._1 != -1L => return df
-        case _ => ()
-      }
-      val df = buildScan(info)
-      cachedScan = Some((stamp, df))
-      df
-    } else buildScan(info)
+    withReaderEpoch {
+      val info = exclusionInfo
+      Hypertable.registerForExclusion(info)
+      if (catalogMode == "table") {
+        val stamp = metaStamp()
+        (cachedScan match {
+          case Some((s, df)) if s == stamp && stamp._1 != -1L => Some(df)
+          case _ => None
+        }).getOrElse {
+          val df = buildScan(info)
+          cachedScan = Some((stamp, df))
+          df
+        }
+      } else buildScan(info)
+    }
   }
 
   private def buildScan(info: Hypertable.ExclusionInfo): DataFrame = {
@@ -1472,7 +1493,7 @@ class Hypertable private (
       .drop(Hypertable.GEN)
   }
 
-  def between(startMicros: Long, endMicros: Long): DataFrame = {
+  def between(startMicros: Long, endMicros: Long): DataFrame = withReaderEpoch {
     val all = showChunks()
     val hits = all
       .filter(c => c.startMicros < endMicros && c.endMicros > startMicros)
@@ -1527,7 +1548,7 @@ class Hypertable private (
     * exactly the work the reference's executor does when it evaluates
     * runtime constraints before opening chunks.
     */
-  def whereTimeIn(sub: DataFrame, subTime: Column): DataFrame = {
+  def whereTimeIn(sub: DataFrame, subTime: Column): DataFrame = withReaderEpoch {
     val probe = "_graft_in_t"
     val subT = normalizeTime(sub.select(subTime.as(probe)), probe)
     // NULL subquery times can never match `IN` (same as SQL), so they
@@ -1564,7 +1585,7 @@ class Hypertable private (
     * likewise ordered OR parallel, not both); use plain `read()` for wide
     * parallel scans.
     */
-  def orderedRead(descending: Boolean = false): DataFrame = {
+  def orderedRead(descending: Boolean = false): DataFrame = withReaderEpoch {
     val chunks = showChunks()
     if (chunks.isEmpty) return read()
     val ordered = if (descending) chunks.reverse else chunks
@@ -1944,12 +1965,17 @@ class Hypertable private (
     // heal the manifest; only the mutator collects garbage.
     if (genLayout && Hypertable.heldLeases.containsKey(qualifiedPath)) {
       val grace = Hypertable.gcGraceMs(spark)
+      // reader epochs live at the PRIMARY root wherever the chunk is
+      // stored — one LIST per sweep, not per chunk
+      val floor = ChunkReaderEpochs.liveFloor(spark, fs, new Path(path))
+      val skew = ChunkReaderEpochs.skewMs(spark)
       (new Path(path) +: tablespaceTableDirs).foreach { r =>
         val rfs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (rfs.exists(r))
           rfs.listStatus(r).toSeq
             .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$CHUNK="))
-            .foreach(s => Hypertable.gcChunkDir(rfs, s.getPath, grace))
+            .foreach(s => Hypertable.gcChunkDir(rfs, s.getPath, grace,
+              floor, skew))
       }
     }
     val chunks = listAllChunks()
@@ -4130,6 +4156,14 @@ object Hypertable {
         releaseSeqClaimIfOurs(v._1, v._2)
     }
 
+  /** Tests/probes: force-release every held-across-batches seq claim now
+    * (the production path releases on idle via the 500 ms daemon).
+    */
+  private[graft] def releaseAllSeqClaims(): Unit =
+    heldSeqClaims.forEach { (k, v) =>
+      if (heldSeqClaims.remove(k, v)) releaseSeqClaimIfOurs(v._1, v._2)
+    }
+
   @volatile private var seqClaimReleaserStarted = false
   private def ensureSeqClaimReleaser(): Unit =
     if (!seqClaimReleaserStarted) synchronized {
@@ -4442,11 +4476,20 @@ object Hypertable {
     * here is never an in-flight publish).
     */
   private[sources] def gcChunkDir(fs: FileSystem, chunkDir: Path,
-      graceMs: Long): Unit = {
+      graceMs: Long, epochFloor: Long = Long.MaxValue,
+      epochSkewMs: Long = 0L): Unit = {
     val now = System.currentTimeMillis()
+    // `graced` gates the two deletion classes a MANIFEST READER can have
+    // planned (superseded generations, tombstoned dirs): grace expired AND
+    // no live reader epoch predates the retirement (ChunkReaderEpochs —
+    // callers pass the primary root's liveFloor; the default MaxValue
+    // keeps legacy callers grace-only). Crash remnants, stale tmps and
+    // bare shells below were never manifest-live and stay age-gated.
     def graced(markFile: Path): Boolean =
-      try now - fs.getFileStatus(markFile).getModificationTime >= graceMs
-      catch { case _: Exception => false }
+      try {
+        val mt = fs.getFileStatus(markFile).getModificationTime
+        now - mt >= graceMs && epochFloor > mt + epochSkewMs
+      } catch { case _: Exception => false }
     if (isTombstoned(fs, chunkDir)) {
       // an appender PROCESS is mid-rebirth into this dir (lease split:
       // appends run concurrently with the maintenance process doing this
@@ -4685,7 +4728,9 @@ object Hypertable {
           if (!isSuperseded(fs, d)) stampSuperseded(fs, d)
         }
         crashPoint("publish.after_stamp")
-        gcChunkDir(fs, chunkDir, gcGraceMs(spark))
+        gcChunkDir(fs, chunkDir, gcGraceMs(spark),
+          ChunkReaderEpochs.liveFloor(spark, pfs, new Path(primary)),
+          ChunkReaderEpochs.skewMs(spark))
         Some(dst)
       }
       }

@@ -1220,19 +1220,7 @@ class ContinuousAggregate(
       try readMatLiveInner()
       catch { case e: Throwable => epoch.cancel(); throw e }
     res match {
-      case Some(df) =>
-        // the holder must be what DERIVED frames retain: materialized/
-        // realtime wrap this scan in projections whose plan trees hold
-        // the analyzed child NODES, not the Dataset wrapper — attaching
-        // the wrapper alone would drop the epoch while a user's derived
-        // frame (or its running collect) is still alive
-        val analyzed = df.queryExecution.analyzed
-        epoch.attach(analyzed)
-        // belt: re-analysis of a derived tree can copy interior nodes;
-        // the resolved LEAF relations survive unchanged far more often,
-        // and any one surviving holder keeps the epoch
-        analyzed.collectLeaves().foreach(epoch.attach)
-        epoch.attach(df)
+      case Some(df) => epoch.attachPlan(df)
       case None => epoch.cancel()
     }
     res

@@ -285,6 +285,40 @@ object IsolationChild {
             Thread.sleep(250)
           }
           if (code == 0) println(s"CAGG_DROP_READS_OK $iters")
+        case "slow-read" =>
+          // raw-hypertable reader-epoch exactness (ChunkReaderEpochs):
+          // plan a read, hold it PAST the parent's gc.graceMs while the
+          // parent rewrites a chunk (superseding the planned generation)
+          // and runs the GC walk, then execute the plan — the epoch this
+          // process registered at plan time must keep every planned file
+          // on disk, so both collects agree exactly.
+          val signalFile = new java.io.File(args(2))
+          val ht = Hypertable.at(spark, table)
+          val planned = ht.read()
+          def snap() = {
+            val r = planned.agg(count(lit(1)), sum(col("event_id")))
+              .collect()(0)
+            (r.getLong(0), r.getLong(1))
+          }
+          val before = snap()
+          println(s"RAW_PLANNED ${before._1}")
+          System.out.flush()
+          val holdDeadline = System.currentTimeMillis() + 120000L
+          while (!signalFile.exists() &&
+              System.currentTimeMillis() < holdDeadline)
+            Thread.sleep(200)
+          try {
+            val after = snap()
+            if (after == before) println(s"SLOW_RAW_OK ${after._1}")
+            else {
+              println(s"SLOW_RAW_CHANGED $after != $before")
+              code = 9
+            }
+          } catch {
+            case e: Exception =>
+              println(s"SLOW_RAW_FAIL ${e.getMessage}")
+              code = 9
+          }
         case "cagg-slow-read" =>
           // reader-epoch exactness (MatReaderEpochs): plan a materialized
           // read, hold it PAST the parent's matGraceMs while the parent

@@ -803,6 +803,41 @@ class RealProcessIsolationSpec extends AnyFunSuite {
     assert(Hypertable.at(spark, s"$dir/ht").read().count() === n)
   }
 
+  test("merge_chunks_concurrent port: a READER in a second process sees " +
+    "snapshot-consistent counts while this process churns merge_chunks " +
+    "+ split_chunk rewrites") {
+    // tsl/test/isolation/specs/merge_chunks_concurrent.spec: a SELECT
+    // concurrent with merge_chunks sees the pre- or post-merge chunk set,
+    // never a torn one (double-listed rows mid-swap, or a vanished chunk
+    // between the delete and the merged publish). Merge+split are
+    // row-preserving, so any child count != the seed count is a tear.
+    val dir = Files.createTempDirectory("graft_realproc_merge").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days",
+      catalog = "table")
+    ht.write(events)
+    val n = ht.read().count()
+    var churnRounds = 0
+    val churn: () => Unit = () => {
+      val h = Hypertable.at(spark, s"$dir/ht")
+      val cs = h.showChunks().sortBy(_.startMicros)
+      if (cs.size >= 2) {
+        val boundary = cs(1).startMicros
+        h.mergeChunks(cs(0).startMicros, cs(1).startMicros)
+        Hypertable.at(spark, s"$dir/ht")
+          .splitChunk(cs(0).startMicros, boundary)
+        churnRounds += 1
+      }
+    }
+    val (code, out) = runChild(
+      childCmd("read-loop", s"$dir/ht", "12"), whileAlive = churn)
+    assert(code === 0,
+      s"cross-process reader saw a torn merge/split snapshot:\n$out")
+    assert(out.contains(s"READS_OK $n"), s"unexpected child output:\n$out")
+    assert(churnRounds >= 2,
+      s"churn must overlap the child's reads (did $churnRounds rounds)")
+    assert(Hypertable.at(spark, s"$dir/ht").read().count() === n)
+  }
+
   test("insert_dropchunks_race port: a second-process APPEND racing " +
     "drop_chunks in this process never tears — every appended slice is " +
     "all-or-nothing per chunk range and ids stay distinct") {
@@ -886,6 +921,81 @@ class RealProcessIsolationSpec extends AnyFunSuite {
         s"torn cell $cell: observed $n, expected ${expected.get(cell)} or absent")
     }
     assert(agg.getLong(0) > 0)
+  }
+
+  test("a cross-process RAW reader SLOWER than gc.graceMs keeps its " +
+    "planned generation (reader-epoch exactness on the hypertable side): " +
+    "the GC walk yields to the live epoch and reclaims once it is gone") {
+    // the raw twin of the cagg slow-reader case below: the round-9..12
+    // contract was "a query must finish within gc.graceMs of its
+    // planning, or re-plan" — ChunkReaderEpochs makes it exact for
+    // registered readers. A chunk REWRITE (columnstore conversion)
+    // supersedes the generation the child planned; the grace expires
+    // while the child still holds; the GC walk must keep the superseded
+    // dir until the child finishes.
+    val dir = Files.createTempDirectory("graft_realproc_rawslow").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts", chunkWidth = "7 days",
+      catalog = "table")
+    ht.write(events)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the GC walk runs only in the exclusive-lease holder
+    ht.updateWhere(col("event_id") === -1L, Map("value" -> lit(0.0)))
+    val victim = ht.showChunks().sortBy(_.startMicros).head
+    val oldGen = new Path(victim.path) // the live _gen dir the child plans
+    val signal = new java.io.File(s"$dir/reader_may_finish")
+    val pb = new ProcessBuilder(childCmd("slow-read", s"$dir/ht",
+      signal.getAbsolutePath): _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new java.lang.StringBuilder
+    val drain = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var l = r.readLine()
+      while (l != null) { out.synchronized { out.append(l).append('\n') }; l = r.readLine() }
+    }, "rawslow-drain")
+    drain.setDaemon(true); drain.start()
+    try {
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (!out.synchronized(out.toString).contains("RAW_PLANNED") &&
+          p.isAlive && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(out.synchronized(out.toString).contains("RAW_PLANNED"),
+        s"child never planned:\n${out.synchronized(out.toString)}")
+      // rewrite the chunk: columnstore conversion publishes a NEW
+      // generation and stamps the planned one superseded
+      graft.sources.Columnstore.compressChunk(spark, victim.path,
+        graft.sources.Columnstore.Options(orderBy = Seq("ts")))
+      assert(fs.exists(new Path(oldGen, ".graft_superseded")),
+        "the conversion must stamp the planned generation superseded")
+      try {
+        spark.conf.set("spark.graft.gc.graceMs", "100")
+        Thread.sleep(300) // grace EXPIRES while the reader still holds
+        graft.sources.ChunkReaderEpochs.expireAll() // only the CHILD's epoch counts
+        ht.refreshChunkCatalog() // runs the GC walk under the held lease
+        assert(fs.exists(oldGen),
+          "GC reaped the planned generation despite the live reader epoch")
+        // let the reader finish against the retained files
+        assert(signal.createNewFile())
+        assert(p.waitFor(120, TimeUnit.SECONDS),
+          s"child timed out:\n${out.synchronized(out.toString)}")
+        drain.join(5000)
+        val o = out.synchronized(out.toString)
+        assert(p.exitValue() === 0 && o.contains("SLOW_RAW_OK"),
+          s"slow raw reader lost planned files through the GC:\n$o")
+        // reader gone: age any remnant epoch file -> the walk reclaims
+        val rdir = new Path(s"$dir/ht/_graft_readers")
+        try fs.listStatus(rdir).foreach(st =>
+          fs.setTimes(st.getPath, 1000L, 1000L))
+        catch { case _: java.io.FileNotFoundException => () }
+        graft.sources.ChunkReaderEpochs.expireAll()
+        ht.refreshChunkCatalog()
+        assert(!fs.exists(oldGen),
+          "GC must reclaim the superseded generation once no live epoch remains")
+      } finally spark.conf.unset("spark.graft.gc.graceMs")
+    } finally {
+      if (p.isAlive) p.destroyForcibly()
+    }
   }
 
   test("a cross-process reader SLOWER than matGraceMs keeps its planned " +

@@ -332,6 +332,53 @@ class GateOrderingSpec extends AnyFunSuite {
     assert(maxInside.get() === 1,
       s"two threads held the catalog FS lock at once (max=${maxInside.get()})")
   }
+  test("gcChunkDir keeps a graced-out superseded generation while a LIVE " +
+    "reader epoch predates its stamp; a stale or post-stamp epoch frees it") {
+    // the raw-side reader-epoch gate (ChunkReaderEpochs / round 13): the
+    // two deletion classes a manifest reader can have planned — superseded
+    // generations and tombstoned dirs — wait past the grace for any live
+    // epoch registered before the retirement. Foreign epochs are plain
+    // files here, like the other simulated-process cases in this suite.
+    val dir = Files.createTempDirectory("graft_gate_epoch").toString
+    val ht = Hypertable.create(spark, s"$dir/ht", "ts",
+      chunkWidth = "7 days", catalog = "table")
+    ht.write(events)
+    val fs = fsOf(s"$dir/ht")
+    // GC walk runs only in the exclusive-lease holder
+    ht.updateWhere(col("event_id") === -1L, Map("value" -> lit(0.0)))
+    val victim = ht.showChunks().sortBy(_.startMicros).head
+    val oldGen = new Path(victim.path)
+    // a foreign reader registered BEFORE the rewrite stamps the old gen
+    val epochFile = new Path(s"$dir/ht/_graft_readers/r_foreign")
+    fs.mkdirs(epochFile.getParent)
+    Hypertable.writeSmallFile(fs, epochFile,
+      (System.currentTimeMillis() - 5000).toString)
+    Columnstore.compressChunk(spark, victim.path,
+      Columnstore.Options(orderBy = Seq("ts")))
+    assert(fs.exists(new Path(oldGen, ".graft_superseded")))
+    try {
+      spark.conf.set("spark.graft.gc.graceMs", "50")
+      Thread.sleep(120)
+      ChunkReaderEpochs.expireAll() // only the foreign FILE must count
+      ht.refreshChunkCatalog()
+      assert(fs.exists(oldGen),
+        "a live pre-stamp reader epoch must block the superseded-gen reap")
+      // a LATER epoch (registered after the stamp) does not block, with
+      // no skew pad
+      spark.conf.set("spark.graft.gc.epochSkewMs", "0")
+      Hypertable.writeSmallFile(fs, epochFile,
+        (System.currentTimeMillis() + 60000).toString)
+      ChunkReaderEpochs.expireAll()
+      ht.refreshChunkCatalog()
+      assert(!fs.exists(oldGen),
+        "a post-stamp epoch must not block the reap")
+    } finally {
+      spark.conf.unset("spark.graft.gc.graceMs")
+      spark.conf.unset("spark.graft.gc.epochSkewMs")
+      fs.delete(epochFile, false)
+    }
+    assert(ht.read().count() === events.count())
+  }
 }
 
 /** Local FS under a scheme the built-in atomic-create list does NOT cover
