@@ -175,6 +175,12 @@ object IsolationChild {
           val htPath = args(2)
           val iters = args(3).toInt
           val prev = scala.collection.mutable.Map[(String, String), Long]()
+          // cagg_watermark_concurrent_update.spec.in's reader invariant:
+          // the watermark another process's refreshes advance must never
+          // RECEDE from a concurrent session's view (a torn watermark
+          // write, or a refresh publishing an older seam, would shrink
+          // the materialized span a realtime read trusts)
+          var prevWm = Long.MinValue
           var i = 0
           while (i < iters && code == 0) {
             val ht = Hypertable.at(spark, htPath)
@@ -208,6 +214,12 @@ object IsolationChild {
               }
               prev(k) = math.max(prev.getOrElse(k, 0L), n)
             }
+            val wm = cagg.watermark
+            if (wm < prevWm) {
+              println(s"WM_RECEDED $wm < $prevWm at iteration $i")
+              code = 8
+            }
+            prevWm = math.max(prevWm, wm)
             println(s"CAGG_READ $i")
             System.out.flush()
             i += 1
