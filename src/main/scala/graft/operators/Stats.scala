@@ -18,9 +18,12 @@ import org.apache.spark.util.SerializableConfiguration
   *    columnar_index_scan.c:19-27`): min/max answered from per-batch sparse
   *    metadata → parquet column statistics in the footer.
   *
-  * Footers are read on the EXECUTORS (files are parallelized), so this
-  * scales to 100 TB tables with millions of files: the driver only ships
-  * paths and collects one (count, min, max) per file.
+  * Footers are read on the EXECUTORS (files are parallelized) once the
+  * file count exceeds `spark.graft.stats.footerLocalThreshold` (default
+  * 32), so this scales to 100 TB tables with millions of files: the
+  * driver only ships paths and collects one (count, min, max) per file.
+  * Below the threshold the driver reads the footers itself — bounded
+  * metadata I/O beats a Spark job's scheduling floor by ~30× there.
   */
 object Stats {
 
@@ -38,19 +41,42 @@ object Stats {
     if (fs.getFileStatus(p).isFile) Seq(path) else walk(p)
   }
 
+  /** Footer map-reduce, scale-adaptive: at or below
+    * `spark.graft.stats.footerLocalThreshold` files (default 32) the
+    * footers are read on the DRIVER — one footer is ~1 ms of metadata
+    * I/O while even an empty Spark job costs tens of ms of scheduling —
+    * above it the file list is parallelized to the executors (the
+    * 100 TB path: the driver ships paths and sees only the merged
+    * value). Driver work stays bounded by the threshold.
+    */
+  private def localThreshold(spark: SparkSession): Int = spark.conf
+    .get("spark.graft.stats.footerLocalThreshold", "32").toInt
+
+  private def footerFold[T: scala.reflect.ClassTag](spark: SparkSession,
+      files: Seq[String], zero: T)(read: (Configuration, String) => T)(
+      merge: (T, T) => T): T = {
+    val conf0 = spark.sparkContext.hadoopConfiguration
+    val threshold = localThreshold(spark)
+    if (files.size <= threshold)
+      files.foldLeft(zero)((acc, f) => merge(acc, read(conf0, f)))
+    else {
+      val conf = new SerializableConfiguration(conf0)
+      spark.sparkContext
+        .parallelize(files, math.max(1, math.min(files.size, 64)))
+        .map(f => read(conf.value, f))
+        .fold(zero)(merge)
+    }
+  }
+
   /** Exact row count from footers only — no column data is read. */
   def rowCount(spark: SparkSession, path: String): Long = {
     val files = listParquetFiles(spark, path)
-    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-    spark.sparkContext
-      .parallelize(files, math.max(1, math.min(files.size, 64)))
-      .map { f =>
-        val in = HadoopInputFile.fromPath(new Path(f), conf.value)
-        val r = ParquetFileReader.open(in)
-        try r.getRowGroups.asScala.map(_.getRowCount).sum
-        finally r.close()
-      }
-      .fold(0L)(_ + _)
+    footerFold(spark, files, 0L) { (conf, f) =>
+      val in = HadoopInputFile.fromPath(new Path(f), conf)
+      val r = ParquetFileReader.open(in)
+      try r.getRowGroups.asScala.map(_.getRowCount).sum
+      finally r.close()
+    }(_ + _)
   }
 
   /** (min, max) of a column from footer statistics only. Returns the raw
@@ -60,16 +86,17 @@ object Stats {
   def minMax(spark: SparkSession, path: String, column: String): (Option[Any], Option[Any]) = {
     val files = listParquetFiles(spark, path)
     if (files.isEmpty) return (None, None)
-    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-    // reduce on the executors — the driver sees one (min, max), not O(files)
+    // merged on the executors past the local threshold — the driver sees
+    // one (min, max), not O(files)
     def pickMin(a: Option[Any], b: Option[Any]): Option[Any] =
       (a ++ b).reduceOption((x, y) => if (comparableKey(x).compareTo(comparableKey(y)) <= 0) x else y)
     def pickMax(a: Option[Any], b: Option[Any]): Option[Any] =
       (a ++ b).reduceOption((x, y) => if (comparableKey(x).compareTo(comparableKey(y)) >= 0) x else y)
-    spark.sparkContext
-      .parallelize(files, math.max(1, math.min(files.size, 64)))
-      .map(f => columnStats(conf.value, f, column))
-      .treeReduce({ case ((mn1, mx1), (mn2, mx2)) => (pickMin(mn1, mn2), pickMax(mx1, mx2)) })
+    footerFold(spark, files,
+      (None: Option[Any], None: Option[Any]))(
+      (conf, f) => columnStats(conf, f, column)) {
+      case ((mn1, mx1), (mn2, mx2)) => (pickMin(mn1, mn2), pickMax(mx1, mx2))
+    }
   }
 
   /** Bookend lookup via footer stats — the ColumnarIndexScan first/last
@@ -82,22 +109,20 @@ object Stats {
       earliest: Boolean = true): Option[org.apache.spark.sql.Row] = {
     val files = listParquetFiles(spark, path)
     if (files.isEmpty) return None
-    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     // distributed argmin/argmax over footer stats: the driver receives only
     // the winning (key, tied files), never O(files) candidates
     val sign = if (earliest) -1 else 1
     // a file with NO usable stats could still hold the true extremum — it
     // must be scanned unconditionally, never silently skipped
-    val (best, statless) = spark.sparkContext
-      .parallelize(files, math.max(1, math.min(files.size, 64)))
-      .map { f =>
-        val (mn, mx) = columnStats(conf.value, f, timeCol)
+    val (best, statless) = footerFold(spark, files,
+      (None: Option[(BigDecimal, List[String])], List.empty[String]))(
+      { (conf, f) =>
+        val (mn, mx) = columnStats(conf, f, timeCol)
         (if (earliest) mn else mx) match {
           case Some(v) => (Some((comparableKey(v), List(f))): Option[(BigDecimal, List[String])], List.empty[String])
           case None    => (None: Option[(BigDecimal, List[String])], List(f))
         }
-      }
-      .fold((None, Nil)) { case ((a, sa), (b, sb)) =>
+      }) { case ((a, sa), (b, sb)) =>
         val merged = (a, b) match {
           case (None, x) => x
           case (x, None) => x
@@ -205,22 +230,18 @@ object Stats {
     * (`total_uncompressed_size` per column chunk) for free.
     */
   def compressionStats(ht: graft.sources.Hypertable): Seq[CompressionStats] = {
-    val conf = new SerializableConfiguration(
-      ht.spark.sparkContext.hadoopConfiguration)
     ht.showChunks().map { c =>
       val files = listParquetFiles(ht.spark, c.path)
-      val (rows, comp, uncomp) = ht.spark.sparkContext
-        .parallelize(files, math.max(1, math.min(files.size, 64)))
-        .map { f =>
-          val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf.value))
+      val (rows, comp, uncomp) = footerFold(ht.spark, files, (0L, 0L, 0L))(
+        { (conf, f) =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
           try {
             val rgs = r.getRowGroups.asScala
             (rgs.map(_.getRowCount).sum,
               rgs.map(_.getCompressedSize).sum,
               rgs.map(_.getTotalByteSize).sum)
           } finally r.close()
-        }
-        .fold((0L, 0L, 0L)) { case ((a, b, x), (d, e, f2)) => (a + d, b + e, x + f2) }
+        }) { case ((a, b, x), (d, e, f2)) => (a + d, b + e, x + f2) }
       CompressionStats(c.path,
         graft.sources.Columnstore.isCompressed(ht.spark, c.path),
         rows, comp, uncomp)
@@ -251,17 +272,20 @@ object Stats {
     val files = chunks.zipWithIndex.flatMap { case (c, i) =>
       listParquetFiles(ht.spark, c.path).map(f => (i, f))
     }
+    def perFile(c: Configuration, p: (Int, String)): Seq[(Int, (Long, Long))] = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p._2), c))
+      try r.getRowGroups.asScala
+        .map(g => (p._1, (g.getRowCount, g.getCompressedSize))).toSeq
+      finally r.close()
+    }
     val groups: Map[Int, Seq[(Long, Long)]] =
-      if (files.isEmpty) Map.empty
+      (if (files.isEmpty) Seq.empty[(Int, (Long, Long))]
+      else if (files.size <= localThreshold(ht.spark))
+        files.flatMap(perFile(ht.spark.sparkContext.hadoopConfiguration, _))
       else ht.spark.sparkContext
         .parallelize(files, math.max(1, math.min(files.size, 64)))
-        .flatMap { case (i, f) =>
-          val r = ParquetFileReader.open(
-            HadoopInputFile.fromPath(new Path(f), conf.value))
-          try r.getRowGroups.asScala
-            .map(g => (i, (g.getRowCount, g.getCompressedSize))).toSeq
-          finally r.close()
-        }.collect().toSeq.groupBy(_._1).map { case (i, xs) => i -> xs.map(_._2) }
+        .flatMap(perFile(conf.value, _)).collect().toSeq)
+        .groupBy(_._1).map { case (i, xs) => i -> xs.map(_._2) }
     chunks.zipWithIndex.map { case (c, i) =>
       val gs = groups.getOrElse(i, Nil)
       val n = gs.size.toLong
@@ -297,13 +321,13 @@ object Stats {
     if (columns.isEmpty) return Map.empty
     val files = listParquetFiles(spark, path)
     if (files.isEmpty) return columns.map(_ -> None).toMap
-    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val cols = columns.toIndexedSeq
-    // per file: col -> (outer None = unknown/poison, Some(None) = all null)
-    val merged = spark.sparkContext
-      .parallelize(files, math.max(1, math.min(files.size, 64)))
-      .map(f => fileColumnRanges(conf.value, f, cols))
-      .treeReduce { (a, b) =>
+    // per file: col -> (outer None = unknown/poison, Some(None) = all null);
+    // Some(None) (entirely-null column) is the merge's neutral element
+    val zero: Map[String, Option[Option[(Any, Any)]]] =
+      cols.map(_ -> (Some(None): Option[Option[(Any, Any)]])).toMap
+    val merged = footerFold(spark, files, zero)(
+      (conf, f) => fileColumnRanges(conf, f, cols)) { (a, b) =>
         cols.map { c =>
           val m = (a(c), b(c)) match {
             case (None, _) | (_, None) => None // unknown poisons the merge

@@ -465,6 +465,24 @@ class Hypertable private (
         case _ => false
       }) || tsRoots.nonEmpty
     if (expensiveInput) routed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE metadata pass over the batch serves every consumer needing its
+    // chunk set or time range: the stream-log pre-listing, chunk-skipping
+    // stats refresh, and the cagg invalidation fan-out each ran their own
+    // action over `routed` before — paying the routing EXCHANGE per
+    // action (repartition is a barrier min/max can't see through). A
+    // groupBy(CHUNK) over the pre-repartition batch prunes to the time
+    // column and shuffles one row per touched chunk; expensive inputs
+    // read the persisted `routed` instead so their pipeline still runs
+    // once. Lazy: batches needing none of the three consumers (no stream
+    // log, no skip columns, no caggs) never run it.
+    lazy val batchChunkStats: Seq[(Long, Long, Long)] = {
+      val tm = timeMicrosExpr(col(timeCol))
+      val src = if (expensiveInput) routed else out
+      src.groupBy(col(CHUNK)).agg(min(tm), max(tm)).collect().toSeq
+        .collect { case r if !r.isNullAt(0) && !r.isNullAt(1) =>
+          (r.getLong(0), r.getLong(1), r.getLong(2)) }
+    }
+    lazy val touchedChunks: Set[Long] = batchChunkStats.map(_._1).toSet
     // catalog-backed stream log: resolve each touched chunk's FINAL data
     // dir (the routing above fixed it — the seal gate excludes concurrent
     // rewrites for the batch's lifetime) and list it BEFORE the job; the
@@ -498,9 +516,7 @@ class Hypertable private (
         // files surface to tailing streams before this batch's diff
         // (which would otherwise fold them into its own pre-listing)
         Hypertable.healStreamLogJournals(spark, fs, path)
-        val touched = routed.select(col(CHUNK)).distinct().collect()
-          .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
-        val dirs = streamLogDirs(touched)
+        val dirs = streamLogDirs(touchedChunks)
         val pre = dirs.map { case (s, d) =>
           s -> Hypertable.listDataFilesRec(
             d.getFileSystem(spark.sparkContext.hadoopConfiguration), d).toSet
@@ -614,28 +630,21 @@ class Hypertable private (
           // the touched dirs — over-inclusive is safe (the source dedups
           // by path against its snapshot/seen set), silence would lose
           // this batch if the stream's snapshot listed before our commit
-          val touched = routed.select(col(CHUNK)).distinct().collect()
-            .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
-          val all = streamLogDirs(touched).toSeq.flatMap { case (_, d) =>
+          val all = streamLogDirs(touchedChunks).toSeq.flatMap { case (_, d) =>
             Hypertable.listDataFilesRec(
               d.getFileSystem(spark.sparkContext.hadoopConfiguration), d)
           }
           Hypertable.appendStreamLog(spark, fs, path, all)
         case None => ()
       }
-      if (needStats) {
-        val touched = routed.select(col(CHUNK)).distinct().collect()
-          .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+      if (needStats)
         refreshColumnStats(
-          showChunks().filter(c => touched(c.startMicros)).map(_.path))
-      }
-      // hypertable-side cagg invalidation (insert.c hook): one extra
-      // min/max aggregate over the batch, only when caggs are registered
-      if (caggs.nonEmpty) {
-        val t = timeMicrosExpr(col(timeCol))
-        val r = routed.agg(min(t), max(t)).head()
-        if (!r.isNullAt(0)) invalidateCaggs(r.getLong(0), r.getLong(1) + 1)
-      }
+          showChunks().filter(c => touchedChunks(c.startMicros)).map(_.path))
+      // hypertable-side cagg invalidation (insert.c hook): the batch's
+      // time range comes from the shared metadata pass, not its own agg
+      if (caggs.nonEmpty && batchChunkStats.nonEmpty)
+        invalidateCaggs(batchChunkStats.map(_._2).min,
+          batchChunkStats.map(_._3).max + 1)
     } finally if (expensiveInput) routed.unpersist()
     // chunks this write CREATED were routed with the current counts — stamp
     // them so later setNumberPartitions calls can't misattribute their
@@ -5095,30 +5104,87 @@ object Hypertable {
     * see the old content, no file, or the full new content — never a
     * partial write.
     */
-  private[graft] def writeSmallFile(fs: FileSystem, p: Path, s: String): Unit = {
-    val tmp = new Path(p.getParent,
-      s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    out.write(s.getBytes("UTF-8")); out.close()
-    // local FS rename refuses an existing destination; the delete+rename
-    // window reads as "no file", which every caller already handles
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(s"could not swap metadata file $p")
+  /** `file://` fast path for graft's own SMALL metadata files: Hadoop's
+    * LocalFileSystem pays a forked `chmod` per create (no native lib in
+    * most deployments) plus a `.crc` sidecar write — ~5–10 ms where
+    * java.nio does the same durable work in ~10 µs. Metadata-heavy paths
+    * (catalog stamps, claims, watermarks, heartbeats) issue dozens of
+    * these per batch, so the fork cost dominated machinery operations at
+    * small scale and is pure overhead at any scale. Non-local schemes
+    * (HDFS, S3, …) keep the Hadoop path unchanged.
+    */
+  private[graft] def localFileOf(fs: FileSystem, p: Path): Option[java.io.File] =
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+          _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val u = fs.makeQualified(p).toUri
+        if (u.getScheme == "file") Some(new java.io.File(u.getPath)) else None
+      case _ => None
     }
+
+  /** A pre-nio writer may have left a checksum sidecar; a bare-nio rewrite
+    * would leave it STALE and a later Hadoop-path `open` would fail
+    * verification — drop it whenever the nio path (re)writes the file.
+    */
+  private def dropCrcSidecar(f: java.io.File): Unit = {
+    val dir = f.getParentFile
+    if (dir != null) { new java.io.File(dir, s".${f.getName}.crc").delete(); () }
   }
 
-  private[graft] def readSmallFile(fs: FileSystem, p: Path): String = {
-    val in = fs.open(p)
-    try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val tmp = new Array[Byte](4096)
-      var n = in.read(tmp)
-      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-      buf.toString("UTF-8")
-    } finally in.close()
-  }
+  private[graft] def writeSmallFile(fs: FileSystem, p: Path, s: String): Unit =
+    localFileOf(fs, p) match {
+      case Some(f) =>
+        val dir = f.getParentFile
+        if (dir != null && !dir.isDirectory) dir.mkdirs()
+        val tmp = new java.io.File(dir,
+          s".${f.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        java.nio.file.Files.write(tmp.toPath, s.getBytes("UTF-8"))
+        dropCrcSidecar(f)
+        // atomic rename-over: readers see the old content or the full new
+        // content — strictly tighter than the Hadoop path's delete+rename
+        // "no file" window, which every caller already tolerates
+        try java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.AtomicMoveNotSupportedException =>
+            java.nio.file.Files.move(tmp.toPath, f.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        ()
+      case None =>
+        val tmp = new Path(p.getParent,
+          s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = fs.create(tmp, true)
+        out.write(s.getBytes("UTF-8")); out.close()
+        // rename refuses an existing destination on several stores; the
+        // delete+rename window reads as "no file", which callers handle
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmp, p)) {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(s"could not swap metadata file $p")
+        }
+    }
+
+  private[graft] def readSmallFile(fs: FileSystem, p: Path): String =
+    localFileOf(fs, p) match {
+      case Some(f) =>
+        try new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        catch {
+          // align with fs.open's contract — callers catch FileNotFound
+          case e: java.nio.file.NoSuchFileException =>
+            throw new java.io.FileNotFoundException(e.getMessage)
+        }
+      case None =>
+        val in = fs.open(p)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](4096)
+          var n = in.read(tmp)
+          while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          buf.toString("UTF-8")
+        } finally in.close()
+    }
 
   /** Declare (or re-open) a hypertable rooted at `path`. Default chunk width
     * is the reference's 7 days (`src/dimension.h:115`).

@@ -163,11 +163,28 @@ private[graft] object MutationGate {
   private def writeMarker(fs: FileSystem, p: Path, created: Long,
       payload: Option[String], overwrite: Boolean,
       owner: String = processId): Unit = {
-    fs.mkdirs(p.getParent)
-    val out = fs.create(p, overwrite)
-    out.write(body(owner, created, System.currentTimeMillis(), payload)
-      .getBytes("UTF-8"))
-    out.close()
+    val bytes = body(owner, created, System.currentTimeMillis(), payload)
+      .getBytes("UTF-8")
+    Hypertable.localFileOf(fs, p) match {
+      // file:// fast path — markers are (re)written on every claim and
+      // heartbeat; Hadoop's local create forks a chmod per call (see
+      // Hypertable.localFileOf). CREATE_NEW preserves the
+      // overwrite=false refuse-if-exists contract (atomic on POSIX).
+      case Some(f) =>
+        val dir = f.getParentFile
+        if (dir != null && !dir.isDirectory) dir.mkdirs()
+        if (dir != null) { new java.io.File(dir, s".${f.getName}.crc").delete(); () }
+        if (overwrite) java.nio.file.Files.write(f.toPath, bytes)
+        else java.nio.file.Files.write(f.toPath, bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        ()
+      case None =>
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, overwrite)
+        out.write(bytes)
+        out.close()
+    }
   }
 
   private[graft] def createMarker(fs: FileSystem, p: Path,
