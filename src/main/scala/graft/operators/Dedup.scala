@@ -180,6 +180,11 @@ object Dedup {
     // once per candidate pair — 8 bytes/shingle and a merge walk vs tens
     // of KB of gram text and hash-set builds (measured 11 s → ~3 s on the
     // q93 verify stage at sf0.1). Exactness bound in ShingleHashes' doc.
+    // NOT checkpointed although it feeds both verify-join sides: the
+    // duplicated semi-join subtree's exchanges are reused at runtime
+    // (AQE ReuseExchange) and the two broadcast builds run concurrently —
+    // a lazy checkpoint here measured +0.3 s on q47 at sf0.1 (serializes
+    // the builds behind one materialization barrier).
     val sh = df.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), shingleHashes(col(textCol), shingleN).as("sh"))
     cands

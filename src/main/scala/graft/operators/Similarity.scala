@@ -142,20 +142,99 @@ object Similarity {
         .select(col(vecCol).cast("array<double>"))
         .collect()
         .map(_.getSeq[Double](0).toArray)
-      var it = 0
-      while (it < iters) {
-        val assigned = train.select(
-          nearestCentroid(col(vecCol), cents).as("_c"),
-          posexplode(col(vecCol).cast("array<double>")).as(Seq("_i", "_x")))
-        val means = assigned.groupBy("_c", "_i").agg(avg(col("_x")).as("_m"))
-          .collect()
-        val next = cents.map(_.clone())
-        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-        cents = next // clusters that lost all members keep their old centroid
-        it += 1
+      localTrainVectors(train, vecCol, cents.headOption.map(_.length).getOrElse(0)) match {
+        case Some(rows) =>
+          // driver-local Lloyd steps over the collected sample — mirrors
+          // NearestCentroid's assignment math and the per-(cluster, dim)
+          // average exactly (modulo summation order, ulp-level)
+          var it = 0
+          while (it < iters) {
+            val dim = cents.map(_.length).max
+            val sums = Array.fill(cents.length)(new Array[Double](dim))
+            val cnts = Array.fill(cents.length)(new Array[Long](dim))
+            rows.foreach { v =>
+              val c = localNearest(v, cents)
+              var i = 0
+              val lim = math.min(v.length, dim)
+              while (i < lim) { sums(c)(i) += v(i); cnts(c)(i) += 1; i += 1 }
+            }
+            val next = cents.map(_.clone())
+            var c = 0
+            while (c < next.length) {
+              var i = 0
+              while (i < next(c).length) {
+                if (cnts(c)(i) > 0) next(c)(i) = sums(c)(i) / cnts(c)(i)
+                i += 1
+              }
+              c += 1
+            }
+            cents = next // clusters that lost all members keep their old centroid
+            it += 1
+          }
+          cents
+        case None =>
+          var it = 0
+          while (it < iters) {
+            val assigned = train.select(
+              nearestCentroid(col(vecCol), cents).as("_c"),
+              posexplode(col(vecCol).cast("array<double>")).as(Seq("_i", "_x")))
+            val means = assigned.groupBy("_c", "_i").agg(avg(col("_x")).as("_m"))
+              .collect()
+            val next = cents.map(_.clone())
+            means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+            cents = next // clusters that lost all members keep their old centroid
+            it += 1
+          }
+          cents
       }
-      cents
     } finally if (cached) train.unpersist()
+  }
+
+  /** Driver-local training gate: k-means over a few thousand sampled
+    * vectors pays a full Spark job + shuffle PER Lloyd iteration on the
+    * distributed path — pure scheduling overhead at that size. When the
+    * sample's cell count (rows × dim) is at or below
+    * `spark.graft.ann.localTrainCells` (default 2²² ≈ 32 MB of doubles —
+    * bounded driver memory by construction, the same budget class as the
+    * centroid/codebook arrays already collected), the vectors are
+    * collected ONCE and iterated in memory; larger samples keep the
+    * one-job-per-iteration distributed loop. Returns None above the gate.
+    */
+  private def localTrainVectors(train: DataFrame, vecCol: String,
+      dim: Int): Option[Array[Array[Double]]] = {
+    val spark = train.sparkSession
+    val gate = spark.conf.get("spark.graft.ann.localTrainCells",
+      (1L << 22).toString).toLong
+    if (dim <= 0) return None
+    // ONE bounded collect decides: fetch at most maxRows+1 vectors — if
+    // the limit overflows the sample is too big and the distributed loop
+    // runs (the discarded fetch is itself gate-bounded)
+    val maxRows = (gate / dim).toInt
+    if (maxRows <= 0) return None
+    val rows = train.select(col(vecCol).cast("array<double>"))
+      .limit(maxRows + 1).collect()
+    if (rows.length > maxRows) None
+    else Some(rows.map(_.getSeq[Double](0).toArray))
+  }
+
+  /** Exact mirror of [[graft.expressions.NearestCentroid]]'s assignment
+    * (squared euclidean, dim-order accumulation, ties to lower index).
+    */
+  private def localNearest(v: Array[Double],
+      cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(v.length, cent.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { val diff = v(i) - cent(i); d += diff * diff; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
   }
 
   /** k-means needs thousands of training vectors, not billions: above
@@ -556,26 +635,83 @@ object Similarity {
         java.util.Arrays.copyOfRange(v, s * dsub, math.min((s + 1) * dsub, v.length))
       }
     }
-    var it = 0
-    while (it < iters) {
-      val codes = pqEncode(col(vecCol), cbs)
-      val means = emb
-        .select(codes.as("_codes"),
-          posexplode(col(vecCol).cast("array<double>")).as(Seq("_i", "_x")))
-        .select((col("_i") / dsub).cast("int").as("_s"),
-          (col("_i") % dsub).as("_d"),
-          element_at(col("_codes"), (col("_i") / dsub).cast("int") + 1).as("_c"),
-          col("_x"))
-        .groupBy("_s", "_c", "_d").agg(avg(col("_x")).as("_m"))
-        .collect() // bounded: m × codebookSize × dsub = dim × codebookSize
-      val next = cbs.map(_.map(_.clone()))
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
-      }
-      cbs = next // empty cells keep their previous centroid
-      it += 1
+    localTrainVectors(emb, vecCol, m * dsub) match {
+      case Some(rows) =>
+        // driver-local refinement (see localTrainVectors): mirrors
+        // PqEncode's per-subspace assignment and the per-(s, c, d)
+        // average exactly (modulo summation order, ulp-level)
+        var it = 0
+        while (it < iters) {
+          val sums = Array.fill(m, codebookSize)(new Array[Double](dsub))
+          val cnts = Array.fill(m, codebookSize)(new Array[Long](dsub))
+          rows.foreach { v =>
+            var s = 0
+            while (s < m) {
+              val off = s * dsub
+              val lim = math.min(dsub, math.max(v.length - off, 0))
+              if (lim > 0) {
+                val cb = cbs(s)
+                var best = 0
+                var bestD = Double.MaxValue
+                var c = 0
+                while (c < cb.length) {
+                  val cent = cb(c)
+                  var d = 0.0
+                  var i = 0
+                  while (i < lim) {
+                    val diff = v(off + i) - cent(i); d += diff * diff; i += 1
+                  }
+                  if (d < bestD) { bestD = d; best = c }
+                  c += 1
+                }
+                var i = 0
+                while (i < lim) {
+                  sums(s)(best)(i) += v(off + i); cnts(s)(best)(i) += 1; i += 1
+                }
+              }
+              s += 1
+            }
+          }
+          val next = cbs.map(_.map(_.clone()))
+          var s = 0
+          while (s < m) {
+            var c = 0
+            while (c < codebookSize) {
+              var d = 0
+              while (d < dsub) {
+                if (cnts(s)(c)(d) > 0) next(s)(c)(d) = sums(s)(c)(d) / cnts(s)(c)(d)
+                d += 1
+              }
+              c += 1
+            }
+            s += 1
+          }
+          cbs = next // empty cells keep their previous centroid
+          it += 1
+        }
+        cbs
+      case None =>
+        var it = 0
+        while (it < iters) {
+          val codes = pqEncode(col(vecCol), cbs)
+          val means = emb
+            .select(codes.as("_codes"),
+              posexplode(col(vecCol).cast("array<double>")).as(Seq("_i", "_x")))
+            .select((col("_i") / dsub).cast("int").as("_s"),
+              (col("_i") % dsub).as("_d"),
+              element_at(col("_codes"), (col("_i") / dsub).cast("int") + 1).as("_c"),
+              col("_x"))
+            .groupBy("_s", "_c", "_d").agg(avg(col("_x")).as("_m"))
+            .collect() // bounded: m × codebookSize × dsub = dim × codebookSize
+          val next = cbs.map(_.map(_.clone()))
+          means.foreach { r =>
+            next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+          }
+          cbs = next // empty cells keep their previous centroid
+          it += 1
+        }
+        cbs
     }
-    cbs
   }
 
   /** PQ code column (array<int>, one code per subspace) — single-pass
