@@ -68,6 +68,15 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // size-driven post-shuffle coalescing (optimization guide §2.2/§9):
+      // the default parallelismFirst=true pins every post-shuffle stage
+      // at >= the core count regardless of data size — near-empty tasks
+      // on small stages, and at scale it overrides the advisory target
+      // the guide says to steer partition sizing by. Env-overridable.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
       .config("spark.sql.parquet.filterPushdown", "true")
       // INT96 timestamps carry no parquet min/max stats — micros keep
       // row-group skipping and footer-stats queries working on time columns

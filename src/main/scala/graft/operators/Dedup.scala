@@ -100,7 +100,12 @@ object Dedup {
     val banded = df.select(col(idCol),
         explode(lshBands(sig, bands, rows)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    // cap pathological buckets (boilerplate text) before the self-join
+    // cap pathological buckets (boilerplate text) before the self-join.
+    // Kept even when maxBucketSize = Int.MaxValue (a provably-no-op
+    // filter): the window's exchange is the join's shared
+    // materialization point — skipping it measured q93 3.6 → 5.2 s at
+    // sf0.1 (the planner then broadcasts one side and re-computes the
+    // whole banding subtree per side instead of reusing one exchange).
     val capped = banded.withColumn("_sz",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .where(col("_sz") <= maxBucketSize).drop("_sz")

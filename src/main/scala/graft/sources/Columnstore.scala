@@ -128,7 +128,7 @@ object Columnstore {
     */
   private[sources] def markCompressed(fs: org.apache.hadoop.fs.FileSystem,
       chunkDir: Path): Unit =
-    fs.create(new Path(chunkDir, MARKER), true).close()
+    Hypertable.touchFile(fs, new Path(chunkDir, MARKER))
 
   /** The settings a chunk was compressed with, read back from its marker
     * content; None when the chunk is uncompressed OR the marker predates
@@ -459,8 +459,7 @@ object Columnstore {
       // compacted generation reads as clean columnstore, not PARTIAL
       if (compressed) {
         val settings = Hypertable.readSmallFile(fs, new Path(chunkP, MARKER))
-        val out = fs.create(new Path(tmp, MARKER), true)
-        out.write(settings.getBytes("UTF-8")); out.close()
+        Hypertable.writeSmallFileDirect(fs, new Path(tmp, MARKER), settings)
       }
       return Hypertable.publishChunkRewrite(spark, fs, chunkP, tmp) match {
         case None => 0 // chunk dropped mid-compact; the drop won
@@ -497,7 +496,7 @@ object Columnstore {
     }
     // the rewrite stamped fresh mtimes; re-touch the marker so the chunk
     // does not read as PARTIAL (the compacted files ARE the columnstore)
-    if (compressed) fs.create(new Path(chunkP, MARKER), true).close()
+    if (compressed) Hypertable.touchFile(fs, new Path(chunkP, MARKER))
     // chunk CONTENT changed with the chunk SET intact: bump the owning
     // root's content stamp so read()'s table-mode scan memo rebuilds
     Hypertable.touchContentStamp(fs, Hypertable.storageRootOf(chunkP))
@@ -592,11 +591,10 @@ object Columnstore {
     // the marker carries the settings this chunk was compressed WITH (the
     // reference's per-relation compression_settings rows) — existence
     // checks are unchanged, the content feeds chunk_columnstore_settings
-    val touch = fs.create(new Path(tmp, MARKER), true)
-    touch.write((s"segmentby=${opts.segmentBy.mkString(",")}\n" +
-      s"orderby=${opts.orderBy.mkString(",")}\n" +
-      s"rowgroupbytes=${opts.rowGroupBytes}").getBytes("UTF-8"))
-    touch.close()
+    Hypertable.writeSmallFileDirect(fs, new Path(tmp, MARKER),
+      s"segmentby=${opts.segmentBy.mkString(",")}\n" +
+        s"orderby=${opts.orderBy.mkString(",")}\n" +
+        s"rowgroupbytes=${opts.rowGroupBytes}")
     (fs, chunkP, tmp, n)
   }
 

@@ -331,8 +331,8 @@ class Hypertable private (
             // cannot reap this dir between our job commit and our heal
             // (gcChunkDir additionally refuses while an above-max
             // generation exists — this is the belt, that the braces)
-            val out0 = dfs.create(new Path(d, Hypertable.DROP_TOMB), true)
-            out0.write(deadMax.toString.getBytes("UTF-8")); out0.close()
+            Hypertable.writeSmallFileDirect(dfs,
+              new Path(d, Hypertable.DROP_TOMB), deadMax.toString)
             pendingRebirth += start -> (d, deadMax + 1)
             Some(start -> (deadMax + 1))
           }
@@ -925,8 +925,8 @@ class Hypertable private (
   }
 
   private def writeSkipCols(cols: Seq[String]): Unit = {
-    val out = fs.create(new Path(path, SKIPCOLS), true)
-    out.write(cols.mkString("\n").getBytes("UTF-8")); out.close()
+    Hypertable.writeSmallFileDirect(fs, new Path(path, SKIPCOLS),
+      cols.mkString("\n"))
   }
 
   /** Recompute and persist the skip-column ranges of the given chunk dirs
@@ -3286,7 +3286,7 @@ class Hypertable private (
     val f = new Path(c.path, Hypertable.FROZEN)
     if (fs.exists(f)) false
     else Hypertable.frozenCatalogLock.synchronized {
-      fs.create(f, true).close()
+      Hypertable.touchFile(fs, f)
       writeFrozenCatalog(frozenCatalog() + startMicros)
       true
     }
@@ -3317,9 +3317,8 @@ class Hypertable private (
     val f = new Path(path, Hypertable.FROZENCAT)
     if (starts.isEmpty) { fs.delete(f, false); () }
     else {
-      val out = fs.create(f, true)
-      out.write(starts.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-      out.close()
+      Hypertable.writeSmallFileDirect(fs, f,
+        starts.toSeq.sorted.mkString("\n"))
     }
   }
 
@@ -3494,7 +3493,7 @@ object Hypertable {
     * latter would resurrect the dropped chunk with unacked partial data.
     */
   private[sources] def markRebirthComplete(fs: FileSystem, genDir: Path): Unit =
-    fs.create(new Path(genDir, REBIRTH_OK), true).close()
+    touchFile(fs, new Path(genDir, REBIRTH_OK))
 
   // ---------------------------------------------- cross-process mutator lease
   // The in-JVM lock hierarchy above is complete for ONE driver process —
@@ -3596,8 +3595,7 @@ object Hypertable {
             // (truncate+write, not the delete+rename swap): a swap's
             // no-file window would read as "no lease" to a concurrent
             // claimant and hand our held table away
-            val out = fs.create(lease, true)
-            out.write(leaseStamp(owner).getBytes("UTF-8")); out.close()
+            writeSmallFileDirect(fs, lease, leaseStamp(owner))
           }
         } else heldLeases.remove(root)
       } catch {
@@ -4448,7 +4446,7 @@ object Hypertable {
     * stamp's mtime is GC's grace clock.
     */
   private[sources] def stampSuperseded(fs: FileSystem, genDir: Path): Unit =
-    fs.create(new Path(genDir, SUPERSEDED), true).close()
+    touchFile(fs, new Path(genDir, SUPERSEDED))
 
   /** Tombstone a whole chunk dir (drop/merge-away): readers pinned to a
     * manifest that still lists its live generation keep reading it for the
@@ -4461,8 +4459,8 @@ object Hypertable {
     */
   private[sources] def tombstoneChunk(fs: FileSystem, chunkDir: Path): Unit = {
     val deadMax = listGenDirs(fs, chunkDir).map(_._1).maxOption.getOrElse(-1)
-    val out = fs.create(new Path(chunkDir, DROP_TOMB), true)
-    out.write(deadMax.toString.getBytes("UTF-8")); out.close()
+    writeSmallFileDirect(fs, new Path(chunkDir, DROP_TOMB),
+      deadMax.toString)
   }
 
   /** The tombstone's recorded drop-time max generation: Some when present
@@ -4837,8 +4835,7 @@ object Hypertable {
       // object stores — see mtimeReliable); the mtime bump stays the cue
       // on stores that have one
       val next = math.max(readContentCounter(fs, tableRoot), 0L) + 1L
-      val out = fs.create(p, true)
-      out.write(next.toString.getBytes("UTF-8")); out.close()
+      writeSmallFileDirect(fs, p, next.toString)
       fs.setTimes(p, math.max(System.currentTimeMillis(), prevM + 1), -1)
     }
 
@@ -4965,10 +4962,9 @@ object Hypertable {
 
   private[sources] def writeSpaceParts(fs: FileSystem, chunkDir: Path,
       counts: Map[String, Int]): Unit = {
-    val out = fs.create(new Path(chunkDir, SPACEPARTS), true)
-    out.write(counts.toSeq.sortBy(_._1).map { case (c, n) => s"$c:$n" }
-      .mkString("\n").getBytes("UTF-8"))
-    out.close()
+    writeSmallFileDirect(fs, new Path(chunkDir, SPACEPARTS),
+      counts.toSeq.sortBy(_._1).map { case (c, n) => s"$c:$n" }
+        .mkString("\n"))
   }
 
   /** What [[graft.plans.ChunkExclusion]] needs to prune a hypertable scan:
@@ -5011,8 +5007,8 @@ object Hypertable {
       case (c, Some((mn, mx))) =>
         throw new IllegalStateException(s"unexpected range types for $c: $mn/$mx")
     }
-    val out = fs.create(new Path(chunkDir, COLSTATS), true)
-    out.write(lines.mkString("\n").getBytes("UTF-8")); out.close()
+    writeSmallFileDirect(fs, new Path(chunkDir, COLSTATS),
+      lines.mkString("\n"))
   }
 
   /** Refresh one chunk's skip-column ranges when its parent hypertable has
@@ -5166,6 +5162,29 @@ object Hypertable {
         }
     }
 
+  /** Plain truncate-overwrite of a small metadata file — no tmp+rename;
+    * callers that chose this form accept (or, like the lease heartbeat,
+    * REQUIRE) the in-place overwrite: a swap's no-file window would read
+    * as "no lease"/"no marker" to a concurrent observer. Same `file://`
+    * fast-path rationale as [[writeSmallFile]].
+    */
+  private[graft] def writeSmallFileDirect(fs: FileSystem, p: Path,
+      s: String): Unit =
+    localFileOf(fs, p) match {
+      case Some(f) =>
+        val dir = f.getParentFile
+        if (dir != null && !dir.isDirectory) dir.mkdirs()
+        dropCrcSidecar(f)
+        java.nio.file.Files.write(f.toPath, s.getBytes("UTF-8")); ()
+      case None =>
+        val out = fs.create(p, true)
+        out.write(s.getBytes("UTF-8")); out.close()
+    }
+
+  /** Empty-marker create (touch), overwrite-if-exists. */
+  private[graft] def touchFile(fs: FileSystem, p: Path): Unit =
+    writeSmallFileDirect(fs, p, "")
+
   private[graft] def readSmallFile(fs: FileSystem, p: Path): String =
     localFileOf(fs, p) match {
       case Some(f) =>
@@ -5256,8 +5275,7 @@ object Hypertable {
       s""""repartitioned":$repartitioned,""" +
       s""""genLayout":$genLayout,""" +
       s""""catalog":"$catalog"}"""
-    val out = fs.create(new Path(path, META), true)
-    out.write(meta.getBytes("UTF-8")); out.close()
+    writeSmallFileDirect(fs, new Path(path, META), meta)
   }
 
   /** Re-open an existing hypertable from its metadata file. */

@@ -42,10 +42,9 @@ object Policies {
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** add_policies: persist the bundle at the table/cagg root. */
-  def add(spark: SparkSession, path: String, set: PolicySet): Unit = {
-    val out = fs(spark, path).create(new Path(path, FILE), true)
-    out.write(set.toJson.getBytes("UTF-8")); out.close()
-  }
+  def add(spark: SparkSession, path: String, set: PolicySet): Unit =
+    Hypertable.writeSmallFileDirect(fs(spark, path),
+      new Path(path, FILE), set.toJson)
 
   /** alter_policies: same write (full replacement, like the reference). */
   def alter(spark: SparkSession, path: String, set: PolicySet): Unit =
