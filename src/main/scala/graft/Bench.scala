@@ -39,13 +39,15 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // size-driven post-shuffle coalescing (guide §2.2/§9): the default
-      // parallelismFirst=true pins every post-shuffle stage at >= the
-      // core count — 32 near-empty tasks per tiny stage here, and at
-      // scale it ignores the advisory size the guide says to steer by.
-      // Env-overridable for A/B.
+      // AQE coalescing knobs, env-overridable for A/B and deployments.
+      // parallelismFirst stays at Spark's default (true): measured A/B
+      // at sf0.1 showed size-driven coalescing (false) trades ~5% on
+      // write/machinery rows for ~6% AGAINST read-side rows whose
+      // window/sort stages then run single-task — a wash locally, and a
+      // cluster that oversizes spark.sql.shuffle.partitions can flip it
+      // per the optimization guide §2.2/§9 without touching code.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

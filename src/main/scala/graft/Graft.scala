@@ -68,13 +68,13 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // size-driven post-shuffle coalescing (optimization guide §2.2/§9):
-      // the default parallelismFirst=true pins every post-shuffle stage
-      // at >= the core count regardless of data size — near-empty tasks
-      // on small stages, and at scale it overrides the advisory target
-      // the guide says to steer partition sizing by. Env-overridable.
+      // AQE coalescing knobs, env-overridable (see Bench for the sf0.1
+      // A/B: size-driven coalescing traded write-row gains for read-row
+      // single-task serialization — kept at Spark defaults locally;
+      // clusters that oversize shuffle.partitions flip parallelismFirst
+      // per the optimization guide §2.2/§9 without touching code)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
       .config("spark.sql.parquet.filterPushdown", "true")

@@ -386,10 +386,21 @@ class Hypertable private (
       if (genLayout) CHUNK +: Hypertable.GEN +: spaceDims.map(_._3)
       else CHUNK +: spaceDims.map(_._3)
     val keys = partCols.map(col)
+    // Space-partitioned tables fan each task out over chunk × space-part
+    // OUTPUT DIRS: AQE's size-driven coalescing (tiny batch → 1 task)
+    // would serialize one task over every dir's file open/close — q67's
+    // hyperspace write measured 1.3 → 3.1 s when coalesced. Pin those
+    // writes at the configured shuffle width (REPARTITION_BY_NUM is not
+    // coalescible); time-only tables keep the coalescible form (few dirs
+    // per chunk — fewer, fuller files is the right outcome there).
+    def rep(exprs: Seq[org.apache.spark.sql.Column]) =
+      if (spaceDims.nonEmpty)
+        out.repartition(spark.sessionState.conf.numShufflePartitions, exprs: _*)
+      else out.repartition(exprs: _*)
     val routed =
       if (filesPerChunk > 1) // deterministic row-hash salt (shuffle exprs can't be nondeterministic)
-        out.repartition((keys :+ pmod(hash(df.columns.map(col): _*), lit(filesPerChunk))): _*)
-      else out.repartition(keys: _*)
+        rep(keys :+ pmod(hash(df.columns.map(col): _*), lit(filesPerChunk)))
+      else rep(keys)
     // with chunk skipping enabled the touched chunks' column ranges must be
     // refreshed, which needs the batch's distinct chunk keys — a second
     // action over the input. A bare-scan input recomputes cheaply (column
