@@ -1534,8 +1534,13 @@ object SparkEntry {
       s.sql(s"SELECT drop_chunks('$p', older_than => TIMESTAMP '2024-01-08 00:00:00')")
       Hypertable.at(s, p).setColumnstoreSettings(Columnstore.Options(
         segmentBy = Seq("event_type"), orderBy = Seq("ts")))
-      s.sql(s"SELECT show_chunks('$p')").collect()
-        .foreach(r => s.sql(s"SELECT compress_chunk('${r.getString(0)}')"))
+      // independent per-chunk compressions overlap (guide §2.6): Spark's
+      // scheduler interleaves jobs submitted from separate threads, and
+      // each compress_chunk touches only its own chunk dir — the result
+      // is identical to the sequential loop (oracle-verified)
+      graft.Par.foreach(
+        s.sql(s"SELECT show_chunks('$p')").collect().toSeq)(
+        r => { s.sql(s"SELECT compress_chunk('${r.getString(0)}')"); () })
       Hypertable.at(s, p).read()
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -1673,8 +1678,13 @@ object SparkEntry {
            |      tsdb.chunk_interval='7 days',
            |      tsdb.segmentby='event_type', tsdb.orderby='ts')""".stripMargin)
       Hypertable.at(s, p).write(t(s, dir, "events"), filesPerChunk = 8)
-      s.sql(s"SELECT show_chunks('$p')").collect()
-        .foreach(r => s.sql(s"SELECT compress_chunk('${r.getString(0)}')"))
+      // independent per-chunk compressions overlap (guide §2.6): Spark's
+      // scheduler interleaves jobs submitted from separate threads, and
+      // each compress_chunk touches only its own chunk dir — the result
+      // is identical to the sequential loop (oracle-verified)
+      graft.Par.foreach(
+        s.sql(s"SELECT show_chunks('$p')").collect().toSeq)(
+        r => { s.sql(s"SELECT compress_chunk('${r.getString(0)}')"); () })
       s.sql(
         s"""CREATE MATERIALIZED VIEW '$cg' WITH (tsdb.continuous)
            |AS SELECT time_bucket('1 day', ts) AS day, event_type,
