@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line:
@@ -23,37 +22,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Graft.init(SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // the fixture tables are SINGLE parquet files (10-140 MB): the
-      // 128 MB default split gives 1-2 scan tasks on a 32-core box, so a
-      // plain scan-agg ran near-serial while DuckDB parallelized row
-      // groups. 8 MB splits ≈ one task per row group here — the standard
-      // per-layout tuning a real deployment applies (a 100 TB table's
-      // many-file layout parallelizes naturally and keeps the default).
-      // Measured: q01 at sf1-equivalent 1.83 -> 0.74 s, no sf0.1
-      // regression.
-      .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // AQE coalescing knobs, env-overridable for A/B and deployments.
-      // parallelismFirst stays at Spark's default (true): measured A/B
-      // at sf0.1 showed size-driven coalescing (false) trades ~5% on
-      // write/machinery rows for ~6% AGAINST read-side rows whose
-      // window/sort stages then run single-task — a wash locally, and a
-      // cluster that oversizes spark.sql.shuffle.partitions can flip it
-      // per the optimization guide §2.2/§9 without touching code.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate())
+    // shared measurement-session config (Graft.toolSession): the fixture
+    // tables are SINGLE parquet files, so the 8 MB split default keeps a
+    // plain scan-agg parallel (measured: q01 at sf1-equivalent
+    // 1.83 -> 0.74 s, no sf0.1 regression); AQE coalescing knobs stay at
+    // Spark defaults per the measured r13 A/B (size-driven coalescing
+    // traded ~5% on write rows for ~6% against read rows whose
+    // window/sort stages then run single-task). Both env-overridable.
+    val spark = Graft.toolSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (JVM/codegen/parquet-reader init) so the first
     // measured query reflects its own cost, not startup
@@ -206,6 +182,15 @@ object Bench {
       val w = new java.io.PrintWriter(runFile)
       try w.println(line) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] could not write per-run file: ${e.getMessage}") }
+    // The one-line JSON is RE-printed as the very last stdout lines, AFTER
+    // the artifact writes above: a write-failure stack trace or sbt footer
+    // must never displace it from a log tail (13 rounds of the driver's
+    // BENCH capture recorded `parsed: null` because the only copy sat
+    // ~4 KB above the tail window). The compact line first — a complete,
+    // parseable JSON object with the totals even when a short tail window
+    // cuts the head off the full per-query line that follows it.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","cold_sec":$coldTotal%.3f,"errors":$errs,"sf":"$sfDir","queries_n":${results.size}}""")
+    println(line)
     spark.stop()
   }
 }

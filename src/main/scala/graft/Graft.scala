@@ -58,6 +58,33 @@ object Graft {
   def registerCaggRewrite(cagg: graft.streaming.ContinuousAggregate): Unit =
     graft.plans.CaggRewrite.register(cagg)
 
+  /** Shared session builder for the measurement tools (Bench, Profile,
+    * PlanDump): one config block — including the env-overridable scan-split
+    * and AQE knobs — so profiles and plan dumps are captured under exactly
+    * the session configuration the bench measures (a profile taken with
+    * SPARK_GRAFT_AQE_* set must not silently run different AQE settings
+    * than the bench it is evidence for).
+    */
+  def toolSession(cpus: String): SparkSession =
+    init(SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing knobs, env-overridable for A/B and deployments —
+      // kept at Spark defaults locally (see Bench for the measured A/B)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+
   /** Local session with the defaults every graft entry point uses. */
   def session(appName: String = "graft", master: String = "local[*]",
       shufflePartitions: Int = 32): SparkSession = {
@@ -66,6 +93,14 @@ object Graft {
       .appName(appName)
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // Scan split sizing, unified with Bench (the bench must measure the
+      // library's real default, not a bench-only config): single-file
+      // fixture-scale tables split near row-group granularity so a plain
+      // scan-agg parallelizes; a many-file 100 TB layout is unaffected in
+      // practice (files ≥ the split size parallelize naturally) and
+      // deployments override via env or a builder config.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // AQE coalescing knobs, env-overridable (see Bench for the sf0.1

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
-import org.apache.spark.sql.SparkSession
 
 /** Optimization-round profiler (guide §1): runs ONE query from
   * [[SparkEntry.queries]] through the same warmup + steady-state protocol
@@ -22,18 +21,7 @@ object Profile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val name0 = sys.env.getOrElse("SPARK_GRAFT_PROFILE",
       args.headOption.getOrElse("q72"))
-    val spark = Graft.init(SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate())
+    val spark = Graft.toolSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     val (name, fn) = SparkEntry.queries.toSeq.sortBy(_._1)
       .find(_._1.startsWith(name0))
