@@ -1379,8 +1379,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       // the regex-heavy gopher filter feeds THREE downstream consumers
       // (shingling, the quality join, the final manifest join) —
-      // materialize it once instead of re-running the filter per consumer
-      val filtered = docs
+      // materialize it once instead of re-running the filter per consumer.
+      // Spread FIRST: the checkpoint freezes the partitioning, and a
+      // single-file corpus is one scan task — without it the gopher regex
+      // pass AND every downstream map stage over the checkpointed blocks
+      // (minhash, shingle hashing, token counts) run serially (measured:
+      // the q93 minhash stage alone was 2.3 s in ONE task at sf0.1)
+      val filtered = graft.operators.Spread.byKey(docs, col("doc_id"))
         .withColumn("_g", TextAnalysis.gopher_rules(col("text")))
         .where(col("_g.pass_gopher")).drop("_g")
         .localCheckpoint()

@@ -97,7 +97,9 @@ object Dedup {
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
     val sig = minhashFast(col(textCol), shingleN, numHashes)
-    val banded = df.select(col(idCol),
+    // minhash costs ~0.5 ms/doc — spread a small (few-split) corpus before
+    // computing it, or the whole signature pass runs in one scan task
+    val banded = Spread.byKey(df, col(idCol)).select(col(idCol),
         explode(lshBands(sig, bands, rows)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
     // cap pathological buckets (boilerplate text) before the self-join.
@@ -190,7 +192,10 @@ object Dedup {
     // (AQE ReuseExchange) and the two broadcast builds run concurrently —
     // a lazy checkpoint here measured +0.3 s on q47 at sf0.1 (serializes
     // the builds behind one materialization barrier).
-    val sh = df.join(candIds, Seq(idCol), "left_semi")
+    // spread before the semi-join for the same reason as the banding pass:
+    // shingle hashing is the expensive expression and a small corpus is one
+    // scan task (the broadcast semi-join preserves its input partitioning)
+    val sh = Spread.byKey(df, col(idCol)).join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), shingleHashes(col(textCol), shingleN).as("sh"))
     cands
       .join(sh.withColumnRenamed(idCol, s"${idCol}_a").withColumnRenamed("sh", "sh_a"), s"${idCol}_a")
@@ -218,7 +223,8 @@ object Dedup {
       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     val width = 64 / bands
     val mask = (1L << width) - 1
-    val withSig = df.select(col(idCol), simhash64(col(textCol)).as("sig"))
+    val withSig = Spread.byKey(df, col(idCol))
+      .select(col(idCol), simhash64(col(textCol)).as("sig"))
     val banded = withSig.select(col(idCol), col("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),

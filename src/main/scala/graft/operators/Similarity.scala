@@ -412,10 +412,13 @@ object Similarity {
     */
   def blockedPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blocks: Int = 32): DataFrame = {
-    val left = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+    // a small corpus is one scan task; the ×blocks replication explode and
+    // the norm pass would run serially without the spread (guide §2.5)
+    val src = Spread.byKey(emb, col(idCol))
+    val left = src.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
         norm(col(vecCol)).as("n_a"))
       .withColumn("_blk", explode(typedLit((0 until blocks).toList)))
-    val right = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+    val right = src.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
       norm(col(vecCol)).as("n_b"),
       pmod(hash(col(idCol)), lit(blocks)).as("_blk"))
     // pair (x, y), x < y appears exactly once: x's copy in y's block
@@ -463,17 +466,20 @@ object Similarity {
       r(0).getInt(0)
     }
     def bandCol(v: Column) = explode(lshBandKeys(v, m, l, d, seed))
+    // hyperplane banding is m×l×d multiplies per vector — spread a small
+    // (few-split) corpus before computing it (guide §2.5)
+    val embS = Spread.byKey(emb, col(idCol))
     if (rejoinVectors) {
       // id-only band shuffle, candidates deduped, vectors joined back once —
       // for very wide embeddings where duplicating vectors ×bands dominates
-      val banded = emb.select(col(idCol).as("id"), bandCol(col(vecCol)).as("bb"))
+      val banded = embS.select(col(idCol).as("id"), bandCol(col(vecCol)).as("bb"))
         .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       val cands = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .distinct()
-      val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      val vecs = embS.select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("n"))
       cands
         .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a")), "id_a")
@@ -484,7 +490,7 @@ object Similarity {
     } else {
       // carry (vector, norm) through the band join: the verify is inline and
       // only surviving pairs reach the final dedup shuffle (tiny)
-      val banded = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      val banded = embS.select(col(idCol).as("id"), col(vecCol).as("v"),
           norm(col(vecCol)).as("n"), bandCol(col(vecCol)).as("bb"))
         .select(col("id"), col("v"), col("n"),
           col("bb.band").as("band"), col("bb.bucket").as("bucket"))
