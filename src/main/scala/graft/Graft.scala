@@ -69,6 +69,12 @@ object Graft {
     init(SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
+      // NOT set: fs.file.impl=RawLocalFileSystem (checksum-free local FS).
+      // Measured r14 A/B on the machinery subset (q62/q72/q73/q75/q76/
+      // q100): 11.53 s (LocalFileSystem) vs 11.67 s (RawLocal) — the .crc
+      // sidecar savings are repaid by RawLocal's fork-per-getFileStatus
+      // permission loading; the r13 nio fast path already removed the
+      // checksum cost where it mattered (graft's own metadata files).
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))

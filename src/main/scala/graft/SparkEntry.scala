@@ -1732,7 +1732,8 @@ object SparkEntry {
       Graft.init(s)
       // Tables.readParquet never touches session conf on current (micros)
       // fixtures; legacy nanos fixtures enable the documented fallback
-      val schema = Tables.readParquet(s, s"$dir/events.parquet").schema
+      val fixRel = Tables.readParquet(s, s"$dir/events.parquet")
+      val schema = fixRel.schema
       // the file stream source needs a DIRECTORY; hard-link the fixture in
       // (zero-copy) with a copy fallback for cross-device paths
       val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
@@ -1752,11 +1753,29 @@ object SparkEntry {
           expr("CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)").as("sum_value"))
       val qname = "graft_q62_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
-      val query = agg.writeStream.format("memory").queryName(qname)
+      // Stateful-operator width for this FRESH checkpoint, sized to the
+      // input like a scan wave (≈ one state task per input split) instead
+      // of the session shuffle width: the state-partition count is latched
+      // into the checkpoint at first start and each partition pays state
+      // store open/commit/file I/O EVERY micro-batch, so 32 near-empty
+      // stores over a one-split stream are pure fixed cost (measured
+      // 2.02 -> 1.45 s at sf0.1); a 100 TB stream derives the full session
+      // width. Scale-adaptive (plan-estimated bytes), env-overridable;
+      // the session conf is restored right after the latch.
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      val derivedSp = {
+        val est = fixRel.queryExecution.optimizedPlan.stats.sizeInBytes
+        val split = BigInt(s.sessionState.conf.filesMaxPartitionBytes)
+        ((est + split - 1) / split).max(1).min(BigInt(prevSp.toInt)).toString
+      }
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", derivedSp))
+      val query = try agg.writeStream.format("memory").queryName(qname)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       query.awaitTermination()
       s.table(qname)
         .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))

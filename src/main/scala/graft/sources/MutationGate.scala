@@ -330,9 +330,16 @@ private[graft] object MutationGate {
     * stores the claim is one create call — structural mutual exclusion,
     * no readback, no settle sleep.
     */
+  /** `fs.getUri.getScheme`, NOT `fs.getScheme`: the latter is optional API
+    * that e.g. RawLocalFileSystem (a supported checksum-free local-FS
+    * choice) never implemented — it throws UnsupportedOperationException.
+    * The URI form is always present and equal where both exist.
+    */
+  private def schemeOf(fs: FileSystem): String = fs.getUri.getScheme
+
   private[sources] def atomicCreateCapable(spark: SparkSession,
       fs: FileSystem): Boolean =
-    !forceBlindPut(spark) && (fs.getScheme match {
+    !forceBlindPut(spark) && (schemeOf(fs) match {
       case "file" | "hdfs" | "viewfs" => true
       case s => conditionalPutBackends.containsKey(s)
     })
@@ -346,7 +353,7 @@ private[graft] object MutationGate {
     */
   private def tryAtomicCreate(fs: FileSystem, p: Path, created: Long)
       : Boolean = {
-    val backend = conditionalPutBackends.get(fs.getScheme)
+    val backend = conditionalPutBackends.get(schemeOf(fs))
     if (backend != null)
       // object stores have no directories — no mkdirs round-trip; a
       // backend for a store that does need parents creates them itself
@@ -354,7 +361,7 @@ private[graft] object MutationGate {
         body(claimOwner, created, System.currentTimeMillis(), None)
           .getBytes("UTF-8"))
       catch { case _: java.io.IOException => false }
-    fs.getScheme match {
+    schemeOf(fs) match {
       case "file" =>
         try {
           val f = new java.io.File(fs.makeQualified(p).toUri.getPath)
