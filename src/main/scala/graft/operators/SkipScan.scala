@@ -80,6 +80,55 @@ object SkipScan {
     }
   }
 
+  /** Driver-local exact distinct of an INTEGRAL column over a small file
+    * set, via dictionary pages: Some(values) iff in every file the column
+    * is a plain int32/int64, every data page of every row group is
+    * dictionary-encoded, and the footer proves zero nulls. One
+    * footer+dictionary-page read per file (~1 ms each) — callers probing a
+    * handful of freshly appended files (the segmentwise-recompress key
+    * probe) use this under a file-count gate instead of paying a scheduled
+    * Spark job's fixed cost for the same answer. Any gate failing → None
+    * and the caller runs the distributed distinct: results never depend on
+    * the encoding.
+    */
+  private[graft] def localIntegralDistinct(
+      conf: org.apache.hadoop.conf.Configuration,
+      files: Seq[String], column: String): Option[Seq[Any]] = {
+    val out = Seq.newBuilder[Any]
+    for (f <- files) {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val colDesc = schema.getColumns.asScala
+          .find(_.getPath.mkString(".") == column).getOrElse(return None)
+        val st = colDesc.getPrimitiveType.getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT64 => LongType
+          case PrimitiveTypeName.INT32 => IntegerType
+          case _ => return None
+        }
+        val decode = decoderFor(colDesc, st).getOrElse(return None)
+        val blocks = reader.getFooter.getBlocks.asScala
+        val chunks = blocks.map(_.getColumns.asScala
+          .find(_.getPath.toDotString == column).getOrElse(return None))
+        val exact = chunks.forall { c =>
+          val es = c.getEncodingStats
+          es != null && es.hasDictionaryPages && !es.hasNonDictionaryEncodedPages &&
+            c.getStatistics != null && c.getStatistics.isNumNullsSet &&
+            c.getStatistics.getNumNulls == 0
+        }
+        if (!exact) return None
+        blocks.foreach { b =>
+          val page = org.apache.parquet.hadoop.GraftParquetShims
+            .readDictionaryPage(reader, b, colDesc)
+          val dict: Dictionary = page.getEncoding.initDictionary(colDesc, page)
+          val d = decode(dict)
+          (0 to dict.getMaxId).foreach(i => out += d(i))
+        }
+      } finally reader.close()
+    }
+    Some(out.result().distinct)
+  }
+
   /** Exact dictionary→Spark-external-value conversion for the column, or
     * None when the (physical type, annotation, Spark type) combination has
     * no lossless mapping (→ scan fallback).

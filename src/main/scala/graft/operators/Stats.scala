@@ -49,7 +49,7 @@ object Stats {
     * 100 TB path: the driver ships paths and sees only the merged
     * value). Driver work stays bounded by the threshold.
     */
-  private def localThreshold(spark: SparkSession): Int = spark.conf
+  private[graft] def localThreshold(spark: SparkSession): Int = spark.conf
     .get("spark.graft.stats.footerLocalThreshold", "32").toInt
 
   private def footerFold[T: scala.reflect.ClassTag](spark: SparkSession,

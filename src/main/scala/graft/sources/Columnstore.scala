@@ -739,9 +739,19 @@ object Columnstore {
           case seg +: _ =>
             // the append's distinct segment keys — bounded by the segment
             // cardinality OF THE APPEND (a late batch touches few series),
-            // not the chunk's
-            val raw = spark.read.parquet(newPaths: _*)
-              .select(col(seg)).distinct().collect().map(_.get(0))
+            // not the chunk's. A late batch is a handful of small files, so
+            // under the footer-local gate the keys come straight from the
+            // files' dictionary pages on the driver (~1 ms/file) instead of
+            // a scheduled Spark job (~150 ms fixed cost, measured) — exact
+            // under the same encoding gates as SkipScan, else the
+            // distributed distinct runs as before.
+            val local =
+              if (newPaths.length <= graft.operators.Stats.localThreshold(spark))
+                graft.operators.SkipScan.localIntegralDistinct(conf, newPaths, seg)
+              else None
+            val raw: Array[Any] = local.map(_.toArray).getOrElse(
+              spark.read.parquet(newPaths: _*)
+                .select(col(seg)).distinct().collect().map(_.get(0)))
             val keys = raw.collect {
               case l: java.lang.Long    => l.longValue
               case i: java.lang.Integer => i.longValue
