@@ -475,7 +475,48 @@ class Hypertable private (
         case _: LJoin | _: LAgg | _: LWin => true
         case _ => false
       }) || tsRoots.nonEmpty
-    if (expensiveInput) routed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Every post-write consumer of the batch's metadata reduces to the
+    // touched-chunk SET plus the GLOBAL time range (the stream-log diff
+    // lists dirs, the stats refresh re-reads footers, the cagg fan-out
+    // cuts one range) — so when nothing needs the chunk set BEFORE the
+    // job (no stream log) and the batch lands in one root (an Observation
+    // fires once), fold the whole metadata pass into the write job itself
+    // as observed metrics (CollectMetrics accumulators): zero extra
+    // actions, and the range is measured on exactly the rows written, so
+    // the expensive-input persist that existed only to pin a second
+    // action's view of a non-deterministic pipeline is unnecessary too.
+    val observeStats = tsRoots.isEmpty &&
+      (needStats || caggs.nonEmpty || Hypertable.streamLogEnabled(fs, path)) &&
+      !Hypertable.streamLogEnabled(fs, path) &&
+      spark.conf.get("spark.graft.write.observeStats", "true").toBoolean
+    if (expensiveInput && !observeStats)
+      routed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val statsObs =
+      if (observeStats)
+        Some(org.apache.spark.sql.Observation(
+          "graft_batch_stats_" + java.util.UUID.randomUUID().toString.take(8)))
+      else None
+    val routedObserved = statsObs.map { o =>
+      val tm = timeMicrosExpr(col(timeCol))
+      routed.observe(o, collect_set(col(CHUNK)).as("chunks"),
+        min(tm).as("tmin"), max(tm).as("tmax"))
+    }.getOrElse(routed)
+    // observed metrics, decoded once after the write commits (get blocks
+    // until the job's listener fires): chunk set + global [min, max]
+    lazy val observedStats: Option[(Set[Long], Option[(Long, Long)])] =
+      statsObs.map { o =>
+        val m = o.get
+        val ks = m("chunks").asInstanceOf[scala.collection.Seq[Any]].map {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+        }.toSet
+        val rng = (m("tmin"), m("tmax")) match {
+          case (lo: java.lang.Long, hi: java.lang.Long) =>
+            Some((lo.longValue, hi.longValue))
+          case _ => None
+        }
+        (ks, rng)
+      }
     // ONE metadata pass over the batch serves every consumer needing its
     // chunk set or time range: the stream-log pre-listing, chunk-skipping
     // stats refresh, and the cagg invalidation fan-out each ran their own
@@ -485,15 +526,17 @@ class Hypertable private (
     // column and shuffles one row per touched chunk; expensive inputs
     // read the persisted `routed` instead so their pipeline still runs
     // once. Lazy: batches needing none of the three consumers (no stream
-    // log, no skip columns, no caggs) never run it.
+    // log, no skip columns, no caggs) never run it. This is the fallback
+    // when `observeStats` is off (stream log / multi-root / kill switch).
     lazy val batchChunkStats: Seq[(Long, Long, Long)] = {
       val tm = timeMicrosExpr(col(timeCol))
-      val src = if (expensiveInput) routed else out
+      val src = if (expensiveInput && !observeStats) routed else out
       src.groupBy(col(CHUNK)).agg(min(tm), max(tm)).collect().toSeq
         .collect { case r if !r.isNullAt(0) && !r.isNullAt(1) =>
           (r.getLong(0), r.getLong(1), r.getLong(2)) }
     }
-    lazy val touchedChunks: Set[Long] = batchChunkStats.map(_._1).toSet
+    lazy val touchedChunks: Set[Long] =
+      observedStats.map(_._1).getOrElse(batchChunkStats.map(_._1).toSet)
     // catalog-backed stream log: resolve each touched chunk's FINAL data
     // dir (the routing above fixed it — the seal gate excludes concurrent
     // rewrites for the batch's lifetime) and list it BEFORE the job; the
@@ -585,7 +628,7 @@ class Hypertable private (
     }
     try {
       if (tsRoots.isEmpty)
-        writeTo(routed, path)
+        writeTo(routedObserved, path)
       else {
         // NULL chunk keys (null time) stay on the primary write: an
         // isInCollection miss on null yields null, and where(!null)
@@ -652,11 +695,18 @@ class Hypertable private (
         refreshColumnStats(
           showChunks().filter(c => touchedChunks(c.startMicros)).map(_.path))
       // hypertable-side cagg invalidation (insert.c hook): the batch's
-      // time range comes from the shared metadata pass, not its own agg
-      if (caggs.nonEmpty && batchChunkStats.nonEmpty)
-        invalidateCaggs(batchChunkStats.map(_._2).min,
-          batchChunkStats.map(_._3).max + 1)
-    } finally if (expensiveInput) routed.unpersist()
+      // time range comes from the shared metadata pass (observed metrics
+      // of the write job, or the fallback aggregate), not its own agg
+      if (caggs.nonEmpty) {
+        val rng = observedStats match {
+          case Some((_, r)) => r
+          case None if batchChunkStats.nonEmpty =>
+            Some((batchChunkStats.map(_._2).min, batchChunkStats.map(_._3).max))
+          case None => None
+        }
+        rng.foreach { case (lo, hi) => invalidateCaggs(lo, hi + 1) }
+      }
+    } finally if (expensiveInput && !observeStats) routed.unpersist()
     // chunks this write CREATED were routed with the current counts — stamp
     // them so later setNumberPartitions calls can't misattribute their
     // layout. A chunk that already EXISTED but has no stamp was created by
