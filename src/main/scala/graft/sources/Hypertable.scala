@@ -390,13 +390,29 @@ class Hypertable private (
     // OUTPUT DIRS: AQE's size-driven coalescing (tiny batch → 1 task)
     // would serialize one task over every dir's file open/close — q67's
     // hyperspace write measured 1.3 → 3.1 s when coalesced. Pin those
-    // writes at the configured shuffle width (REPARTITION_BY_NUM is not
-    // coalescible); time-only tables keep the coalescible form (few dirs
-    // per chunk — fewer, fuller files is the right outcome there).
+    // writes at a non-coalescible width (REPARTITION_BY_NUM); time-only
+    // tables keep the coalescible form (few dirs per chunk — fewer,
+    // fuller files is the right outcome there). The pinned width is
+    // scale-adaptive, not the session constant (r13 pinned every such
+    // write at the full shuffle width and a small mid-ingest batch paid
+    // 32 near-empty writer tasks — q69 regressed 11%): one task per
+    // `pinTargetBytes` of plan-estimated input, floored at the space
+    // fan-out (each task starts ≈1 dir's file even when the bytes are
+    // tiny — the q67 case) and capped at the session width (a 100 TB
+    // batch pins at full width exactly as before).
     def rep(exprs: Seq[org.apache.spark.sql.Column]) =
-      if (spaceDims.nonEmpty)
-        out.repartition(spark.sessionState.conf.numShufflePartitions, exprs: _*)
-      else out.repartition(exprs: _*)
+      if (spaceDims.nonEmpty) {
+        val nSP = spark.sessionState.conf.numShufflePartitions
+        val target = BigInt(spark.conf
+          .get("spark.graft.write.pinTargetBytes",
+            spark.sessionState.conf.filesMaxPartitionBytes.toString).toLong)
+        val est = out.queryExecution.optimizedPlan.stats.sizeInBytes
+        val spaceFan = spaceDims.map(_._2.toLong).product
+          .min(nSP.toLong).max(1L).toInt
+        val width = ((est + target - 1) / target)
+          .max(BigInt(spaceFan)).min(BigInt(nSP)).toInt
+        out.repartition(width, exprs: _*)
+      } else out.repartition(exprs: _*)
     val routed =
       if (filesPerChunk > 1) // deterministic row-hash salt (shuffle exprs can't be nondeterministic)
         rep(keys :+ pmod(hash(df.columns.map(col): _*), lit(filesPerChunk)))
